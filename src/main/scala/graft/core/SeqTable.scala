@@ -1,0 +1,249 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.align.{AlignRead, Cigar}
+import graft.model.{Alphabets, SeqTableMeta}
+
+/** Spark-native SeqTable: the reference's (reads × positions × {seq,quality})
+  * tensor (/root/reference/seqtables/core/seqtables.py:121-129) re-expressed
+  * as two DataFrames plus metadata.
+  *
+  *  - `reads` (wide, one row per read): read_id STRING, seq STRING, qual
+  *    STRING — both strings span the window [minPos, maxPos], column i of
+  *    the string is reference position minPos+i; sentinels per Alphabets.
+  *  - `insertions` (long): read_id, position INT, loc INT (negative,
+  *    left-of-anchor; ref sam_to_arr.pyx:333-349), base STRING, qual INT
+  *    (phred-adjusted; ref constructor_ops.py:323-329).
+  *
+  * Composition instead of the reference's DataArray subclassing: Spark
+  * Datasets aren't extensible the way xarray is, and a wrapper keeps every
+  * operator DataFrame-in/DataFrame-out so Catalyst can optimize end-to-end.
+  */
+final case class SeqTable(
+    reads: DataFrame,
+    insertions: DataFrame,
+    meta: SeqTableMeta,
+    minPos: Int,
+    maxPos: Int) {
+
+  def spark: SparkSession = reads.sparkSession
+  def positions: Seq[Int] = minPos to maxPos
+
+  /** Long/exploded analytic form: (read_id, position, base, qual).
+    * qual is phred-adjusted (0 = null quality / uncovered).
+    * This is the canonical input of the per-position operators — one shuffle
+    * keyed by `position` covers all of them.
+    */
+  def long: DataFrame = {
+    val zipped = arrays_zip(split(col("seq"), ""), split(col("qual"), ""))
+    reads.select(col("read_id"), posexplode(zipped))
+      .select(
+        col("read_id"),
+        (col("pos") + lit(minPos)).as("position"),
+        col("col").getField("0").as("base"),
+        (ascii(col("col").getField("1")) - lit(meta.phredAdjust)).as("qual"))
+  }
+
+  /** Project the sequence plane (ref: seqtables.py:380-393 get_sequences). */
+  def sequences: DataFrame = reads.select(col("read_id"), col("seq"))
+
+  /** Project the quality plane as phred ints (ref: seqtables.py:395-406).
+    * Output: read_id, qual_arr ARRAY<INT>.
+    */
+  def qualities: DataFrame =
+    reads.select(
+      col("read_id"),
+      transform(split(col("qual"), ""), c => ascii(c) - lit(meta.phredAdjust))
+        .as("qual_arr"))
+
+  /** Positional slice [from, to] (ref: seqtables.py:320-340 sel/isel).
+    * Pure substring on the wide form — no shuffle.
+    */
+  def slicePositions(from: Int, to: Int): SeqTable = {
+    val f = math.max(from, minPos); val t = math.min(to, maxPos)
+    require(f <= t, s"slice [$from,$to] outside window [$minPos,$maxPos]")
+    val start = f - minPos + 1; val len = t - f + 1
+    copy(
+      reads = reads.withColumn("seq", substring(col("seq"), start, len))
+        .withColumn("qual", substring(col("qual"), start, len)),
+      insertions = insertions.filter(col("position").between(f, t)),
+      minPos = f, maxPos = t)
+  }
+
+  /** Uniform random subsample of reads (ref: seqtables.py:675-686). For an
+    * exact count the reference draws without replacement; at scale we use
+    * Bernoulli sampling (distributed, no global sort).
+    */
+  def subsample(fraction: Double, seed: Long = 42L): SeqTable = {
+    val picked = reads.sample(withReplacement = false, fraction, seed)
+    copy(
+      reads = picked,
+      insertions = insertions.join(picked.select("read_id"), Seq("read_id"), "left_semi"))
+  }
+
+  /** Keep reads where ≥ p% of non-null-quality bases have phred ≥ q
+    * (ref: seqtables.py:1223-1258 quality_filter). Wide-form array math —
+    * map-side only, plus a semi-join to prune the insertion table.
+    */
+  def qualityFilter(q: Int, p: Double, ignoreNullQual: Boolean = true): SeqTable = {
+    val adj = lit(meta.phredAdjust)
+    val quals = transform(split(col("qual"), ""), c => ascii(c) - adj)
+    val denom = if (ignoreNullQual)
+      size(filter(quals, v => v > 0)) else size(quals)
+    val good = size(filter(quals, v => v >= lit(q)))
+    val kept = reads.filter(good * lit(100.0) >= lit(p) * denom)
+    copy(
+      reads = kept,
+      insertions = insertions.join(kept.select("read_id"), Seq("read_id"), "left_semi"))
+  }
+
+  /** Replace bases whose quality is in (0, q) with the fill letter
+    * (ref: seqtables.py:1260-1303 convert_low_bases_to_null).
+    */
+  def convertLowBasesToNull(
+      q: Int,
+      replaceWith: Option[Char] = None,
+      removeFromInsertions: Boolean = true): SeqTable = {
+    val fill = lit(replaceWith.getOrElse(meta.fillNa).toString)
+    val adj = lit(meta.phredAdjust)
+    val masked = concat_ws("",
+      zip_with(split(col("seq"), ""), split(col("qual"), ""),
+        (b, qc) => when(ascii(qc) - adj < lit(q) && ascii(qc) - adj > 0, fill).otherwise(b)))
+    copy(
+      reads = reads.withColumn("seq", masked),
+      insertions =
+        if (removeFromInsertions) insertions.filter(col("qual") >= lit(q) || col("qual") <= 0)
+        else insertions)
+  }
+
+  /** Re-stringify a position range, padding uncovered flanks with the fill
+    * letter (ref: seqtables.py:566-673 slice_sequences). Output:
+    * (read_id, subseq, subqual).
+    */
+  def sliceSequences(from: Int, to: Int): DataFrame = {
+    val leftPad = math.max(0, minPos - from)
+    val rightPad = math.max(0, to - maxPos)
+    val f = math.max(from, minPos); val t = math.min(to, maxPos)
+    val core =
+      if (f > t) lit("")
+      else substring(col("seq"), f - minPos + 1, t - f + 1)
+    val coreQ =
+      if (f > t) lit("")
+      else substring(col("qual"), f - minPos + 1, t - f + 1)
+    val fill = meta.fillNa.toString
+    reads.select(
+      col("read_id"),
+      concat(lit(fill * leftPad), core, lit(fill * rightPad)).as("subseq"),
+      concat(lit(Alphabets.NullQual.toString * leftPad), coreQ,
+        lit(Alphabets.NullQual.toString * rightPad)).as("subqual"))
+  }
+}
+
+object SeqTable {
+
+  /** Build from pre-aligned strings (ref: seqtables.py:285-293 ctor +
+    * constructor_ops.py:377-516 seqs_to_datarray). Shorter reads are
+    * right-padded with the fill letter; the window is [pos, pos+maxLen-1].
+    */
+  def fromReads(
+      spark: SparkSession,
+      rows: Seq[(String, String, String)], // (read_id, seq, qual-or-null)
+      pos: Int = 1,
+      seqType: Option[String] = None,
+      phredAdjust: Int = Alphabets.PhredAdjust): SeqTable = {
+    import spark.implicits._
+    val st = seqType.getOrElse(
+      Alphabets.guessSeqType(rows.view.take(1000).map(_._2)))
+    val fill = Alphabets.fillFor(st)
+    val maxLen = rows.map(_._2.length).max
+    val hasQ = rows.exists(r => r._3 != null && r._3.nonEmpty)
+    val padded = rows.map { case (id, s, q) =>
+      val q0 = if (q == null || q.isEmpty) Alphabets.NullQual.toString * s.length else q
+      (id,
+        s + fill.toString * (maxLen - s.length),
+        q0 + Alphabets.NullQual.toString * (maxLen - q0.length))
+    }
+    val reads = padded.toDF("read_id", "seq", "qual")
+    SeqTable(reads, emptyInsertions(spark),
+      SeqTableMeta(st, phredAdjust, hasQuality = hasQ),
+      pos, pos + maxLen - 1)
+  }
+
+  /** Build from a SAM-shaped DataFrame with columns
+    * (header, rname, pos, cigar, seq, qual) — the T1 realignment
+    * (ref: constructor_ops.py:189-205 + sam_to_arr.pyx df_to_algn_arr).
+    *
+    * Two-pass plan: (1) a tiny per-partition min/max aggregate for the
+    * window unless supplied; (2) a map-only `flatMap` of the pure
+    * AlignRead kernel. The insertion table is derived from the same plan by
+    * exploding the per-read insertion array — no shuffle anywhere.
+    */
+  def fromSam(
+      df: DataFrame,
+      window: Option[(Int, Int)] = None,
+      seqType: String = "NT",
+      phredAdjust: Int = Alphabets.PhredAdjust): SeqTable = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val clean = df
+      .filter(col("rname").isNotNull && col("rname") =!= "*" &&
+        col("cigar").isNotNull && col("cigar") =!= "*")
+      .select(col("header").cast(StringType), col("seq").cast(StringType),
+        col("qual").cast(StringType), col("pos").cast(IntegerType),
+        col("cigar").cast(StringType))
+
+    val (mn, mx) = window.getOrElse {
+      val partials = clean.select(col("pos"), col("seq"), col("cigar"))
+        .as[(Int, String, String)]
+        .mapPartitions { it =>
+          var lo = Int.MaxValue; var hi = Int.MinValue; var any = false
+          it.foreach { case (p, s, c) =>
+            any = true
+            if (p < lo) lo = p
+            val e = Cigar.endPos(p, s.length, c)
+            if (e > hi) hi = e
+          }
+          if (any) Iterator.single((lo, hi)) else Iterator.empty
+        }.collect()
+      require(partials.nonEmpty, "no aligned reads")
+      (partials.map(_._1).min, partials.map(_._2).max)
+    }
+
+    val refs = df.select(col("rname")).filter(col("rname") =!= "*")
+      .distinct().limit(100).as[String].collect().toSeq
+
+    val aligned = clean.as[(String, String, String, Int, String)]
+      .flatMap { case (id, s, q, p, c) =>
+        AlignRead.align(s, q, p, c, mn, mx).map { ar =>
+          (id, ar.seq, ar.qual,
+            ar.insertions.map(ib =>
+              (ib.position, ib.loc, ib.base.toString, ib.qual.toInt - phredAdjust)))
+        }
+      }
+      .toDF("read_id", "seq", "qual", "ins")
+
+    val reads = aligned.select("read_id", "seq", "qual")
+    val insertions = aligned
+      .select(col("read_id"), explode(col("ins")).as("i"))
+      .select(col("read_id"), col("i._1").as("position"), col("i._2").as("loc"),
+        col("i._3").as("base"), col("i._4").as("qual"))
+
+    SeqTable(reads, insertions,
+      SeqTableMeta(seqType, phredAdjust, hasQuality = true, references = refs),
+      mn, mx)
+  }
+
+  def emptyInsertions(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("read_id", StringType),
+        StructField("position", IntegerType),
+        StructField("loc", IntegerType),
+        StructField("base", StringType),
+        StructField("qual", IntegerType))))
+}
