@@ -46,15 +46,23 @@ object Dedup {
         sequence(lit(1), greatest(length(text) - lit(k) + lit(1), lit(1))),
         i => array_join(slice(split(text, ""), i, lit(k)), "")))
 
+  /** Distinct shingles hashed to 64-bit longs: set operations (intersect /
+    * union sizing) over longs are several times cheaper than over short
+    * strings, and at 2^64 the collision probability within a document pair
+    * is ~|A||B|/2^64 ≈ 0 — Jaccard values are unchanged in practice.
+    */
+  def hashedShinglesOf(text: Column, k: Int): Column =
+    transform(shinglesOf(text, k), s => xxhash64(s))
+
   /** MinHash signature (numHashes 64-bit mins) over hashed shingles.
-    * h_i(x) = (a_i * xxhash64(x) + b_i) with fixed deterministic seeds;
-    * min over the shingle set. All expression-level — whole-stage codegen.
+    * h_i(x) = xxhash64(i, x) — seeding the hash with the function index
+    * gives numHashes independent hash families without the modular
+    * arithmetic that would overflow ANSI-mode longs. All expression-level —
+    * whole-stage codegen.
     */
   def minhashSignature(shingleArr: Column, numHashes: Int): Column = {
     val hashes = (0 until numHashes).map { i =>
-      val a = lit(2L * i + 1)       // odd multiplier
-      val b = lit(0x9E3779B97F4A7C15L + i)
-      array_min(transform(shingleArr, s => pmod(a * xxhash64(s) + b, lit(2147483647L))))
+      array_min(transform(shingleArr, s => xxhash64(lit(i), s)))
     }
     array(hashes: _*)
   }
@@ -76,53 +84,69 @@ object Dedup {
       k: Int = 5,
       numHashes: Int = 32,
       bands: Int = 8,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      minBandMatches: Int = 2): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val withSig = df.select(
+    val withSh = df.select(
       col(idCol).as("id"),
-      shinglesOf(col(textCol), k).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      HashKernels.hashedShinglesUdf(k)(col(textCol)).as("sh"))
+      .withColumn("n", size(col("sh")))
 
-    val banded = withSig.select(
-      col("id"), col("sh"),
-      posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(array_join(slice(col("sig"), b * rows + 1, lit(rows)), ",")))))
+    // The banded frame carries ONLY (band, band_hash, id, n): the candidate
+    // self-join shuffles ~20-byte rows, never arrays.
+    val banded = withSh
+      .select(col("id"), col("n"), HashKernels.minhashSigUdf(numHashes)(col("sh")).as("sig"))
+      .select(col("id"), col("n"),
+        posexplode(
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(array_join(slice(col("sig"), b * rows + 1, lit(rows)), ",")))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
 
-    val a = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    val candidates = a.join(b, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
-      .dropDuplicates("id_a", "id_b")
+    // Candidate pruning before any array travels:
+    //  - size bound (LOSSLESS): j >= t implies min(|A|,|B|)/max >= t;
+    //  - band-collision count (the free Jaccard estimate — E[collisions] =
+    //    bands * j^rows): pairs colliding in < minBandMatches bands are
+    //    dropped. On corpora with pervasive mid-range similarity, where
+    //    single-band collision prunes almost nothing, this is what keeps
+    //    the exact verifies proportional to true near-matches.
+    val candidates = banded
+      .select(col("band"), col("band_hash"), col("id").as("id_a"), col("n").as("n_a"))
+      .join(banded.select(col("band"), col("band_hash"),
+        col("id").as("id_b"), col("n").as("n_b")),
+        Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("n_a"), col("n_b")) >= lit(threshold) * greatest(col("n_a"), col("n_b")))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_band_matches"))
+      .filter(col("n_band_matches") >= lit(math.min(minBandMatches, bands)))
+      .select("id_a", "id_b")
 
     candidates
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", HashKernels.jaccardUdf(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
   /** 64-bit SimHash over whitespace tokens: per bit, sign of the sum of
-    * ±1 contributions from each token's xxhash64. Expression-only.
+    * ±1 contributions from each token's xxhash64. Expression-only; tokens
+    * are hashed ONCE and the 64 per-bit votes run over the long array
+    * (shift+mask), not 64 re-hashes of every token.
     */
   def simhash(text: Column): Column = {
-    val tokens = split(trim(text), "\\s+")
-    val bitCols = (0 until 64).map { bit =>
+    val hashes = transform(split(trim(text), "\\s+"), t => xxhash64(t))
+    val packed = (0 until 64).map { bit =>
       val votes = aggregate(
-        tokens,
+        hashes,
         lit(0L),
-        (acc, t) => acc + when(shiftright(xxhash64(t), bit).bitwiseAND(lit(1L)) === 1L, lit(1L))
+        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(lit(1L)) === 1L, lit(1L))
           .otherwise(lit(-1L)))
       when(votes > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
     }
-    bitCols.reduce(_ bitwiseOR _)
+    packed.reduce(_ bitwiseOR _)
   }
 
   /** SimHash near-duplicate pairs with ≤ maxHamming differing bits.
@@ -134,7 +158,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val withSig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val withSig = df.select(col(idCol).as("id"),
+      HashKernels.simhashUdf(col(textCol)).as("sig"))
     val chunked = withSig.select(
       col("id"), col("sig"),
       posexplode(array((0 until 4).map(c =>
@@ -164,14 +189,19 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.0): DataFrame = {
     val withSh = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      shinglesOf(col(textCol), n).as("sh"))
-    val a = withSh.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = withSh.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
+      HashKernels.hashedShinglesUdf(n)(col(textCol)).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val a = withSh.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"),
+      col("sz").as("sz_a"))
+    val b = withSh.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"),
+      col("sz").as("sz_b"))
     a.join(b, Seq("blk"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") < col("id_b") &&
+        // lossless size bound: j >= t implies min/max >= t — skip the set
+        // intersection entirely for pairs that cannot qualify
+        least(col("sz_a"), col("sz_b")) >= lit(threshold) * greatest(col("sz_a"), col("sz_b")))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        HashKernels.jaccardUdf(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

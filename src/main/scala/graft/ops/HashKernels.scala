@@ -1,0 +1,206 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Pure-Scala hot-loop kernels for the dedup/similarity family.
+  *
+  * The expression-level variants (shinglesOf + minhashSignature composed
+  * from split/transform/aggregate) are semantically identical but run
+  * interpreted — Spark's higher-order array functions are not part of
+  * whole-stage codegen, and profiling at sf0.1 put >80% of the dedup
+  * queries' time into those interpreted lambdas. These kernels do the same
+  * work as JIT-compiled Scala over primitive arrays (Spark passes
+  * ARRAY<BIGINT> to a UDF typed Array[Long] without boxing). This mirrors
+  * the reference's own escape hatch — its one Cython kernel
+  * (/root/reference/seqtables/core/internals/cython/sam_to_arr.pyx) exists
+  * for exactly this reason.
+  *
+  * All hashes are deterministic (no RNG state): shingles use FNV-1a 64 over
+  * the k-char window; per-function MinHash values use splitmix64(shingle ^
+  * seed_i). Jaccard over hashed shingles equals string-shingle Jaccard
+  * unless two distinct shingles of the same document pair collide in 64
+  * bits (~|A||B|/2^64 ≈ 1e-15 — never observed; the DuckDB oracle computes
+  * the string version and hash-matches).
+  */
+object HashKernels {
+
+  /** FNV-1a 64-bit over a char window. */
+  private def fnv1a(s: String, from: Int, len: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < len) {
+      h ^= s.charAt(from + i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** splitmix64 finalizer — cheap avalanche for deriving hash families. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Distinct hashed k-char shingles, sorted ascending (sorted so pair
+    * verification is a linear merge, no per-pair hash set).
+    */
+  def hashedShingles(text: String, k: Int): Array[Long] = {
+    if (text == null || text.isEmpty) return Array.emptyLongArray
+    val n = math.max(text.length - k + 1, 1)
+    val all = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      all(i) = fnv1a(text, i, math.min(k, text.length - i))
+      i += 1
+    }
+    java.util.Arrays.sort(all)
+    // in-place dedup of the sorted array
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (w == 0 || all(i) != all(w - 1)) { all(w) = all(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOfRange(all, 0, w)
+  }
+
+  /** MinHash signature: h_i = min over shingles of splitmix64(s ^ seed_i). */
+  def minhashSig(shingles: Array[Long], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < shingles.length) {
+      val s = shingles(i)
+      var f = 0
+      while (f < numHashes) {
+        val h = mix(s ^ (f * 0x9e3779b97f4a7c15L))
+        if (h < sig(f)) sig(f) = h
+        f += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** Jaccard of two sorted long arrays via linear merge. */
+  def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (a.length + b.length - inter)
+  }
+
+  /** 64-bit SimHash over whitespace tokens: one pass, 64 vote counters. */
+  def simhash64(text: String): Long = {
+    if (text == null) return 0L
+    val votes = new Array[Int](64)
+    var start = -1
+    val s = text
+    var i = 0
+    def flush(end: Int): Unit = if (start >= 0) {
+      val h = mix(fnv1a(s, start, end - start))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      start = -1
+    }
+    while (i < s.length) {
+      if (Character.isWhitespace(s.charAt(i))) flush(i)
+      else if (start < 0) start = i
+      i += 1
+    }
+    flush(s.length)
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Dot product in double precision, left-to-right — same accumulation
+    * order as the expression form, so results are bit-identical.
+    */
+  def dotD(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Random-hyperplane sign signature: bit b is the sign of Σ v[i]·w(b,i)
+    * with pseudo-random centered weights w = (splitmix64(seed,b,i) mod 1e5)
+    * / 1e5 − 0.5. Deterministic across executors/runs.
+    */
+  def hyperplaneSig(v: Array[Float], bits: Int, seed: Int): Long = {
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      var s = 0.0
+      var i = 0
+      while (i < v.length) {
+        val h = mix(seed.toLong * 0x9e3779b97f4a7c15L + b.toLong * 0xbf58476d1ce4e5b9L + i)
+        val w = (((h % 100000L) + 100000L) % 100000L).toDouble / 100000.0 - 0.5
+        s += v(i).toDouble * w
+        i += 1
+      }
+      if (s >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  // ---- Column-level wrappers -------------------------------------------
+
+  def hashedShinglesUdf(k: Int): Column => Column = {
+    val f = udf((t: String) => hashedShingles(t, k))
+    c => f(c)
+  }
+
+  def minhashSigUdf(numHashes: Int): Column => Column = {
+    val f = udf((sh: Array[Long]) => minhashSig(sh, numHashes))
+    c => f(c)
+  }
+
+  val jaccardUdf: (Column, Column) => Column = {
+    val f = udf((a: Array[Long], b: Array[Long]) => jaccardSorted(a, b))
+    (a, b) => f(a, b)
+  }
+
+  val simhashUdf: Column => Column = {
+    val f = udf((t: String) => simhash64(t))
+    c => f(c)
+  }
+
+  val dotUdf: (Column, Column) => Column = {
+    val f = udf((a: Array[Float], b: Array[Float]) => dotD(a, b))
+    (a, b) => f(a, b)
+  }
+
+  val cosineUdf: (Column, Column) => Column = {
+    val f = udf { (a: Array[Float], b: Array[Float]) =>
+      val d = math.sqrt(dotD(a, a)) * math.sqrt(dotD(b, b))
+      if (d > 0) dotD(a, b) / d else 0.0
+    }
+    (a, b) => f(a, b)
+  }
+
+  val normUdf: Column => Column = {
+    val f = udf((a: Array[Float]) => math.sqrt(dotD(a, a)))
+    c => f(c)
+  }
+
+  def hyperplaneSigUdf(bits: Int, seed: Int): Column => Column = {
+    val f = udf((v: Array[Float]) => hyperplaneSig(v, bits, seed))
+    c => f(c)
+  }
+}

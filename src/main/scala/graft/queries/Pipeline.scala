@@ -1,0 +1,265 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data-pipeline operators over `documents` / `embeddings` /
+  * `events`: dedup family, text analysis, similarity search, sessionization.
+  * Oracle-backed where exactly SQL-expressible; probabilistic variants
+  * (MinHash/SimHash/LSH/IVF) are declared without oracles (driver records a
+  * rows-only check) and are pinned by unit tests instead.
+  */
+object Pipeline {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- dedup family -------------------------------------------------
+    // Exact representative-per-group dedup (A10 generalized): one row per
+    // source, the min doc_id, with the group size.
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables(s, dir, "documents"), "source", "doc_id")
+        .select(col("source"), col("doc_id"), col("dup_count"))
+        .orderBy(col("source"))),
+
+    // Exact n-gram Jaccard near-dup pairs inside (lang, source) blocks.
+    "q_neardup_jaccard" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .withColumn("blk", concat_ws("|", col("lang"), col("source")))
+      Dedup.ngramJaccard(docs, "doc_id", "text", "blk", n = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // MinHash+LSH near-dup pairs over the whole corpus (probabilistic
+    // candidate generation; exact-Jaccard verified). Rows-only check.
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashNearDuplicates(Tables(s, dir, "documents"),
+        "doc_id", "text", k = 3, numHashes = 64, bands = 16, threshold = 0.7)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures).
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDuplicates(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- text analysis ------------------------------------------------
+    "q_token_stats" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"),
+        length(col("text")).as("len_chars"))
+        .orderBy(col("doc_id"))),
+
+    "q_quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityFeatures(Tables(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_token_len"), 6).as("avg_token_len"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"),
+          round(col("alpha_ratio"), 6).as("alpha_ratio"),
+          col("quality_score"))
+        .orderBy(col("doc_id"))),
+
+    "q_lang_id" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.languageId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    "q_fingerprint" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text"), 8).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // ---- similarity search over embeddings ----------------------------
+    // Exact brute-force cosine top-5 for the first 10 vectors as queries.
+    "q_ann_bruteforce" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // LSH-bucketed approximate variant (the 100 TB path). Rows-only.
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, bits = 16, bands = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF-style cell-probing variant. Rows-only.
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, kCentroids = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Embedding-cosine near-duplicate pairs. The testdata embeddings are
+    // random (max pairwise cosine ≈ 0.5), so the query threshold targets
+    // the top tail; real corpora would use the operator default 0.95.
+    // Rows-only.
+    "q_cosine_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDuplicates(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.35)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- events: JSON + sessionization --------------------------------
+    "q_events_json" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+          col("value"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("k"))),
+
+    // 30-minute-gap sessionization per user (lag + cumulative sum — the
+    // batch twin of the streaming state operator).
+    "q_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1)
+            .otherwise(0))
+        .withColumn("session_idx", sum(col("new_sess")).over(byUser))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          unix_micros(min(col("ts"))).as("start_us"),
+          unix_micros(max(col("ts"))).as("end_us"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy(col("user_id"), col("session_idx"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT source, MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_neardup_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, lang || '|' || source AS blk,
+        |    list_distinct([substring(text, i, 3) FOR i IN range(1, greatest(length(text) - 2, 1) + 1)]) AS s
+        |  FROM documents)
+        |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s))::DOUBLE /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id) t
+        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "q_token_stats" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(trim(text), '\S+')) AS n_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpeish,
+        |  length(text) AS len_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    regexp_extract_all(lower(trim(text)), '\S+') AS toks,
+        |    length(text) AS nc,
+        |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+        |    length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS punct
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    len(toks) AS n_tokens,
+        |    CASE WHEN len(toks) > 0
+        |      THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+        |      ELSE 0.0 END AS avg_token_len,
+        |    punct::DOUBLE / greatest(nc, 1) AS punct_ratio,
+        |    CASE WHEN len(toks) > 0
+        |      THEN len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','it','for','was','der','die','und','das','ist','nicht','ein','mit','auf','sich','el','la','de','los','es','que','un','una','por','con','le','les','et','est','dans','pour','qui')))::DOUBLE / len(toks)
+        |      ELSE 0.0 END AS stopword_ratio,
+        |    alpha::DOUBLE / greatest(nc, 1) AS alpha_ratio
+        |  FROM t)
+        |SELECT doc_id, n_tokens, round(avg_token_len, 6) AS avg_token_len,
+        |  round(stopword_ratio, 6) AS stopword_ratio,
+        |  round(alpha_ratio, 6) AS alpha_ratio,
+        |  round(least(1.0, n_tokens / 20.0) * 0.4 +
+        |        (1.0 - least(1.0, punct_ratio * 4.0)) * 0.3 +
+        |        least(1.0, alpha_ratio * 1.25) * 0.3, 6) AS quality_score
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_distinct(regexp_extract_all(lower(trim(text)), '\S+')) AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    len(list_intersect(toks, ['the','and','of','to','in','is','that','it','for','was'])) AS s_en,
+        |    len(list_intersect(toks, ['der','die','und','das','ist','nicht','ein','mit','auf','sich'])) AS s_de,
+        |    len(list_intersect(toks, ['el','la','de','los','es','que','un','una','por','con'])) AS s_es,
+        |    len(list_intersect(toks, ['le','la','les','et','est','que','une','dans','pour','qui'])) AS s_fr
+        |  FROM s)
+        |SELECT doc_id,
+        |  CASE WHEN s_en >= GREATEST(s_de, s_es, s_fr, 1) THEN 'en'
+        |       WHEN s_de >= GREATEST(s_es, s_fr, 1) THEN 'de'
+        |       WHEN s_es >= GREATEST(s_fr, 1) THEN 'es'
+        |       WHEN s_fr >= 1 THEN 'fr'
+        |       ELSE 'und' END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  list_min(list_transform(
+        |    list_distinct([substring(text, i, 8) FOR i IN range(1, greatest(length(text) - 7, 1) + 1)]),
+        |    s -> md5(s))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_ann_bruteforce" ->
+      """WITH pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) AS num,
+        |    sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))) *
+        |    sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))) AS den
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    round(CASE WHEN den > 0 THEN num / den ELSE 0 END, 6) AS sim
+        |  FROM pairs)
+        |SELECT query_id, neighbor_id, sim, rank FROM (
+        |  SELECT query_id, neighbor_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_events_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL OR
+        |    epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |sess AS (
+        |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |  epoch_us(min(ts)) AS start_us,
+        |  epoch_us(max(ts)) AS end_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin
+  )
+}
