@@ -1,0 +1,114 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SeqTableSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("fromReads pads shorter reads and infers seq type") {
+    val st = SeqTable.fromReads(spark, Seq(
+      ("r1", "ACGT", "IIII"), ("r2", "AC", "IJ")))
+    assert(st.meta.seqType == "NT")
+    assert(st.minPos == 1 && st.maxPos == 4)
+    val rows = st.reads.orderBy("read_id").collect()
+    assert(rows(1).getString(1) == "ACNN") // fill letter
+    assert(rows(1).getString(2) == "IJ!!") // null quality pad
+  }
+
+  test("AA inference for protein alphabets") {
+    val st = SeqTable.fromReads(spark, Seq(("r1", "MKVLEW", null)))
+    assert(st.meta.seqType == "AA")
+  }
+
+  test("long form explodes to (read, position, base, qual)") {
+    val st = SeqTable.fromReads(spark, Seq(("r1", "ACG", "!5I")), pos = 10)
+    val rows = st.long.orderBy("position").collect()
+    assert(rows.map(_.getInt(1)).toSeq == Seq(10, 11, 12))
+    assert(rows.map(_.getString(2)).toSeq == Seq("A", "C", "G"))
+    // '!'=33 → 0, '5'=53 → 20, 'I'=73 → 40
+    assert(rows.map(_.getInt(3)).toSeq == Seq(0, 20, 40))
+  }
+
+  test("slicePositions narrows window and insertions") {
+    import spark.implicits._
+    val st0 = SeqTable.fromReads(spark, Seq(("r1", "ACGTACGT", null)))
+    val ins = Seq(("r1", 2, -1, "G", 30), ("r1", 7, -1, "T", 30))
+      .toDF("read_id", "position", "loc", "base", "qual")
+    val st = st0.copy(insertions = ins).slicePositions(2, 5)
+    assert(st.minPos == 2 && st.maxPos == 5)
+    assert(st.reads.head().getString(1) == "CGTA")
+    assert(st.insertions.collect().map(_.getInt(1)).toSeq == Seq(2))
+  }
+
+  test("qualityFilter keeps reads meeting the percent-above-q bar") {
+    // r1: quals 40,40,40,40 → 100% ≥ 30; r2: 40,40,0,20 → non-null = 3,
+    // ≥30 count = 2 → 66.7%
+    val st = SeqTable.fromReads(spark, Seq(
+      ("r1", "ACGT", "IIII"), ("r2", "ACGT", "II!5")))
+    assert(st.qualityFilter(30, 70).reads.collect().map(_.getString(0)).toSeq == Seq("r1"))
+    val both = st.qualityFilter(30, 60).reads.collect().map(_.getString(0)).toSet
+    assert(both == Set("r1", "r2"))
+    // ignoreNullQual=false counts the '!' in the denominator: 2/4 = 50%
+    assert(st.qualityFilter(30, 60, ignoreNullQual = false)
+      .reads.collect().map(_.getString(0)).toSeq == Seq("r1"))
+  }
+
+  test("convertLowBasesToNull masks 0<q<cutoff only") {
+    // quals: 'I'=40, '5'=20, '!'=0 (null quality must NOT be masked)
+    val st = SeqTable.fromReads(spark, Seq(("r1", "ACGT", "I5!I")))
+    val masked = st.convertLowBasesToNull(30)
+    assert(masked.reads.head().getString(1) == "ANGT")
+  }
+
+  test("sliceSequences pads beyond-window flanks with fill") {
+    val st = SeqTable.fromReads(spark, Seq(("r1", "ACGT", "IIII")), pos = 5)
+    val row = st.sliceSequences(3, 10).head()
+    assert(row.getString(1) == "NNACGTNN")
+    assert(row.getString(2) == "!!IIII!!")
+  }
+
+  test("subsample prunes insertions consistently") {
+    import spark.implicits._
+    val reads = (1 to 100).map(i => (s"r$i", "ACGT", "IIII"))
+    val st0 = SeqTable.fromReads(spark, reads)
+    val ins = (1 to 100).map(i => (s"r$i", 1, -1, "G", 30))
+      .toDF("read_id", "position", "loc", "base", "qual")
+    val st = st0.copy(insertions = ins).subsample(0.3, seed = 7)
+    val keptReads = st.reads.select("read_id").collect().map(_.getString(0)).toSet
+    val keptIns = st.insertions.select("read_id").collect().map(_.getString(0)).toSet
+    assert(keptIns == keptReads.intersect(keptIns))
+    assert(keptReads.nonEmpty && keptReads.size < 100)
+  }
+
+  test("fromSam end-to-end: dense matrix + insertion side-table") {
+    import spark.implicits._
+    val df = Seq(
+      // read A: plain 4M at pos 2
+      ("A", "ref1", 2, "4M", "ACGT", "IIII"),
+      // read B: insertion of GG anchored left of pos 4
+      ("B", "ref1", 1, "3M2I2M", "AAAGGTT", "1234567"),
+      // read C: deletion at 3-4
+      ("C", "ref1", 2, "1M2D1M", "CA", "89"),
+      // read D: unaligned → dropped
+      ("D", "*", 0, "*", "TTTT", "IIII")
+    ).toDF("header", "rname", "pos", "cigar", "seq", "qual")
+    val st = SeqTable.fromSam(df)
+    // window: min pos 1; max end = max(2+4-1, 1+5+0-2... , 2+1+2) per cigar math
+    assert(st.minPos == 1 && st.maxPos == 5)
+    val rows = st.reads.orderBy("read_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows(0) == (("A", "$ACGT", "!IIII")))
+    assert(rows(1) == (("B", "AAATT", "12367")))
+    assert(rows(2) == (("C", "$C--A", "!8!!9")))
+    assert(rows.length == 3)
+    val ins = st.insertions.orderBy("loc").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3), r.getInt(4)))
+    // GG anchored at ref position 4 (left-of), locs -2 then -1;
+    // qual '4'=19, '5'=20 after phred adjust
+    assert(ins.toSeq == Seq(("B", 4, -2, "G", 19), ("B", 4, -1, "G", 20)))
+    assert(st.meta.references == Seq("ref1"))
+  }
+}

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class HashKernelsSpec extends AnyFunSuite {
+
+  test("hashedShingles: distinct, sorted, correct count") {
+    val sh = HashKernels.hashedShingles("abcdab", 3)
+    // windows: abc bcd cda dab — all distinct
+    assert(sh.length == 4)
+    assert(sh.toSeq == sh.sorted.toSeq)
+    // repeated text dedups
+    assert(HashKernels.hashedShingles("aaaa", 2).length == 1)
+    // shorter than k → one truncated shingle
+    assert(HashKernels.hashedShingles("ab", 5).length == 1)
+    assert(HashKernels.hashedShingles("", 3).isEmpty)
+  }
+
+  test("jaccardSorted agrees with set arithmetic") {
+    val a = HashKernels.hashedShingles("the quick brown fox", 3)
+    val b = HashKernels.hashedShingles("the quick brown cat", 3)
+    val sa = a.toSet; val sb = b.toSet
+    val expected = sa.intersect(sb).size.toDouble / sa.union(sb).size
+    assert(math.abs(HashKernels.jaccardSorted(a, b) - expected) < 1e-12)
+    assert(HashKernels.jaccardSorted(a, a) == 1.0)
+    val c = HashKernels.hashedShingles("zzzzzzzz", 3)
+    assert(HashKernels.jaccardSorted(a, c) == 0.0)
+  }
+
+  test("minhashSig estimates jaccard") {
+    val a = HashKernels.hashedShingles("x" * 200 + "abcdefghij" * 30, 5)
+    val b = HashKernels.hashedShingles("x" * 200 + "abcdefghij" * 30 + "qq", 5)
+    val sa = HashKernels.minhashSig(a, 256)
+    val sb = HashKernels.minhashSig(b, 256)
+    val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / 256
+    val truth = HashKernels.jaccardSorted(a, b)
+    assert(math.abs(est - truth) < 0.15)
+    // identical input → identical signature (determinism)
+    assert(HashKernels.minhashSig(a, 64).toSeq == HashKernels.minhashSig(a, 64).toSeq)
+  }
+
+  test("simhash: small edits stay within small hamming distance") {
+    val s1 = HashKernels.simhash64("the quick brown fox jumps over the lazy dog again and again")
+    val s2 = HashKernels.simhash64("the quick brown fox jumps over the lazy cat again and again")
+    val s3 = HashKernels.simhash64("entirely different words with nothing shared whatsoever here")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(s1, s2) < ham(s1, s3))
+    assert(HashKernels.simhash64("abc def") == HashKernels.simhash64("abc def"))
+  }
+
+  test("dot product and hyperplane signature") {
+    val v1 = Array(1.0f, 2.0f, 3.0f)
+    val v2 = Array(4.0f, 5.0f, 6.0f)
+    assert(HashKernels.dotD(v1, v2) == 32.0)
+    assert(HashKernels.hyperplaneSig(v1, 16, 42) ==
+      HashKernels.hyperplaneSig(v1, 16, 42))
+    // a vector and its negation flip every sign bit
+    val neg = v1.map(x => -x)
+    val s = HashKernels.hyperplaneSig(v1, 16, 42)
+    val sn = HashKernels.hyperplaneSig(neg, 16, 42)
+    assert((s ^ sn) == 0xFFFFL)
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away home", "b1"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs far away hom!", "b1"), // near-dup of 1
+    (3L, "completely unrelated text talking about database query optimization", "b1"),
+    (4L, "the quick brown fox jumps over the lazy dog and runs far away home", "b2"), // exact dup of 1
+    (5L, "another thing entirely with words no other document shares at all!", "b2")
+  ).toDF("doc_id", "text", "blk")
+
+  test("filterByCount keeps rows duplicated above cutoff") {
+    val df = Seq("a", "a", "a", "b").toDF("v")
+    assert(Dedup.filterByCount(df, "v", 2).count() == 3)
+    assert(Dedup.filterByCount(df, "v", 3).count() == 0)
+  }
+
+  test("exact dedup keeps min-id representative with group size") {
+    val r = Dedup.exact(docs, "text", "doc_id")
+      .select("doc_id", "dup_count").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r(1L) == 2) // ids 1 and 4 share text; representative = 1
+    assert(!r.contains(4L))
+    assert(r(2L) == 1 && r(3L) == 1 && r(5L) == 1)
+  }
+
+  test("minhash near-duplicates finds the near pair, not the unrelated") {
+    val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+      k = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L))) // exact dup → jaccard 1
+    assert(pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("ngramJaccard respects blocking") {
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", "blk", n = 3,
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // (1,2) same block and similar; (1,4) identical but DIFFERENT blocks
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 > 0.8))
+    assert(!pairs.exists(p => p._1 == 1L && p._2 == 4L))
+  }
+
+  test("simhash near-duplicates links only near-identical docs") {
+    val pairs = Dedup.simhashNearDuplicates(docs, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // identical text → hamming 0
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+}

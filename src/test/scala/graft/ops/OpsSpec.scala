@@ -1,0 +1,234 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.core.SeqTable
+import graft.model.CodonTable
+
+class KmersSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private val st = SeqTable.fromReads(spark, Seq(
+    ("r1", "ACGT", null), ("r2", "ACGA", null)))
+
+  test("contiguous k-mers by start position") {
+    val k = Kmers.contiguous(st.reads, 2, st.minPos)
+      .collect().map(r => ((r.getInt(0), r.getString(1)), r.getLong(2))).toMap
+    assert(k((1, "AC")) == 2)
+    assert(k((2, "CG")) == 2)
+    assert(k((3, "GT")) == 1 && k((3, "GA")) == 1)
+  }
+
+  test("gapped k-mers over explicit position combos") {
+    val g = Kmers.gapped(st.reads, Seq(Seq(1, 3), Seq(2, 4)), st.minPos)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(g(("1,3", "AG")) == 2)
+    assert(g(("2,4", "CT")) == 1 && g(("2,4", "CA")) == 1)
+  }
+
+  test("combinations respects the cap and reports drops") {
+    val (kept, dropped) = Kmers.combinations(1 to 10, 3, maxCombos = 20)
+    assert(kept.size == 20)
+    assert(dropped == 120 - 20)
+  }
+}
+
+class MergeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("stackReads unions over the merged window with '-' fill") {
+    val t1 = SeqTable.fromReads(spark, Seq(("a", "ACG", "III")), pos = 1)
+    val t2 = SeqTable.fromReads(spark, Seq(("b", "TT", "55")), pos = 4)
+    val m = Merge.stackReads(Seq(t1, t2))
+    assert(m.minPos == 1 && m.maxPos == 5)
+    val rows = m.reads.orderBy("read_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows(0) == (("a", "ACG--", "III!!")))
+    assert(rows(1) == (("b", "---TT", "!!!55")))
+  }
+
+  test("stackReads renumber keeps colliding ids distinct") {
+    val t1 = SeqTable.fromReads(spark, Seq(("a", "AC", null)))
+    val t2 = SeqTable.fromReads(spark, Seq(("a", "GT", null)))
+    val m = Merge.stackReads(Seq(t1, t2), renumber = true)
+    assert(m.reads.select("read_id").collect().map(_.getString(0)).toSet ==
+      Set("a_t0", "a_t1"))
+  }
+
+  test("alignReads: later table wins over its window span") {
+    val t1 = SeqTable.fromReads(spark, Seq(("a", "AAAA", "1111"), ("only1", "CCCC", "2222")), pos = 1)
+    val t2 = SeqTable.fromReads(spark, Seq(("a", "GG", "88"), ("only2", "TT", "99")), pos = 2)
+    val m = Merge.alignReads(t1, t2)
+    val byId = m.reads.collect().map(r => r.getString(0) ->
+      (r.getString(1), r.getString(2))).toMap
+    // 'a': t2's window [2,3] overwrites → A GG A
+    assert(byId("a")._1 == "AGGA")
+    assert(byId("a")._2 == "1881")
+    // rows only in one table are padded with merge fill
+    assert(byId("only1")._1 == "CCCC")
+    assert(byId("only2")._1 == "-TT-")
+  }
+}
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("languageId picks marker-dominant language, und when none") {
+    val df = Seq(
+      ("en", "the cat sat on the mat and it was happy for a while"),
+      ("de", "der hund und die katze sind nicht das problem mit auf sich"),
+      ("es", "el perro y la casa de los amigos es que un una por con"),
+      ("fr", "le chien et la maison les amis est que une dans pour qui"),
+      ("und", "zzz qqq xxx yyy www")
+    ).toDF("expected", "text")
+    val got = df.select(col("expected"), TextAnalysis.languageId(col("text")))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    got.foreach { case (exp, pred) => assert(pred == exp, s"expected $exp got $pred") }
+  }
+
+  test("token counts: whitespace vs bpe-ish") {
+    val df = Seq(("hello world, it's 42!")).toDF("text")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("text")),
+      TextAnalysis.bpeishTokenCount(col("text"))).head()
+    assert(r.getInt(0) == 4)
+    // [hello][world][,][it]['][s][42][!]
+    assert(r.getInt(1) == 8)
+  }
+
+  test("quality features and composite score") {
+    val df = Seq(
+      ("good", "the quick brown fox jumps over the lazy dog and keeps running through fields of green grass happily today"),
+      ("bad", "!!! ??? ... ;;; :::")
+    ).toDF("id", "text")
+    val f = TextAnalysis.qualityFeatures(df, "text")
+      .select("id", "quality_score", "punct_ratio", "stopword_ratio")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(f("good")._1 > 0.8)
+    assert(f("bad")._1 < 0.4)
+    assert(f("bad")._2 > 0.5) // mostly punctuation
+    assert(f("good")._3 > 0.1) // has stopwords
+  }
+
+  test("fingerprint is stable on identity, differs across content") {
+    val df = Seq(("a", "some long enough document text"), ("b", "some long enough document text"),
+      ("c", "a totally different body here!!")).toDF("id", "text")
+    val fp = df.select(col("id"), TextAnalysis.fingerprint(col("text")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fp("a") == fp("b"))
+    assert(fp("a") != fp("c"))
+  }
+
+  test("rollingHash is order-sensitive") {
+    val df = Seq(("ab"), ("ba")).toDF("text")
+    val h = df.select(TextAnalysis.rollingHash(col("text"))).collect().map(_.getLong(0))
+    assert(h(0) != h(1))
+    // manual: h("ab") = (97*257 + 98) mod p
+    assert(h(0) == (97L * 257 + 98) % 2305843009213693951L)
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 4 unit-ish vectors: v1≈v2 (same direction), v3 orthogonal, v4 opposite
+  private val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Array(0.99f, 0.1f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),
+    (5L, Array(0.9f, 0.2f, 0.1f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by cosine with deterministic ties") {
+    val r = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 1),
+      "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+      .map(x => (x.getLong(1), x.getInt(3)))
+    assert(r.map(_._1).toSeq == Seq(2L, 5L, 3L))
+  }
+
+  test("lsh candidates are a subset but top hit survives") {
+    val brute = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 1),
+      "vec_id", "embedding", k = 1).head().getLong(1)
+    val lsh = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 1),
+      "vec_id", "embedding", k = 1, bits = 8, bands = 8)
+      .collect()
+    assert(lsh.nonEmpty && lsh.head.getLong(1) == brute)
+  }
+
+  test("cosineNearDuplicates finds the near-identical pair") {
+    val pairs = Similarity.cosineNearDuplicates(vecs, "vec_id", "embedding",
+      threshold = 0.95, bits = 8, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 4L))
+  }
+
+  test("ivfTopK returns sane neighbors") {
+    val r = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") === 1),
+      "vec_id", "embedding", k = 2, kCentroids = 5, nProbe = 5)
+      .orderBy("rank").collect()
+    assert(r.nonEmpty)
+    assert(r.head.getLong(1) == 2L)
+  }
+}
+
+class CodonTableSpec extends AnyFunSuite {
+  test("standard translation with frames and padding") {
+    assert(CodonTable.translate("ATGGCC") == "MA")
+    assert(CodonTable.translate("ATGGCCA") == "MAX") // pad 'CA'+N unresolvable... A? -> padded ANN
+    assert(CodonTable.translate("ATGGCC", frame = 1) == "WP") // TGG CCN → W, P
+    assert(CodonTable.translate("TAATAG") == "**")
+    assert(CodonTable.translate("NNN") == "X")
+  }
+
+  test("wildcard codons resolve when unambiguous") {
+    assert(CodonTable.Standard("TCN") == 'S')
+    assert(CodonTable.Standard("GGN") == 'G')
+    assert(!CodonTable.Standard.contains("TAN")) // TAA=* vs TAT=Y → ambiguous
+  }
+
+  test("codons splitter and position mapping") {
+    assert(CodonTable.codons("ATGGCCT") == Seq("ATG", "GCC"))
+    assert(CodonTable.ntPosToResidue(1) == ((1, 0)))
+    assert(CodonTable.ntPosToResidue(6) == ((2, 2)))
+    assert(CodonTable.ntPosToResidue(7, frame = 0) == ((3, 0)))
+  }
+}
+
+class InsertionStatsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val ins = Seq(
+    ("r1", 5, -1, "A", 30), ("r1", 5, -2, "C", 12),
+    ("r2", 5, -1, "A", 35),
+    ("r3", 9, -1, "G", 8)
+  ).toDF("read_id", "position", "loc", "base", "qual")
+
+  test("seqDist with min count filter") {
+    val d = InsertionStats.seqDist(ins, minInsCount = 2)
+      .collect().map(r => ((r.getInt(0), r.getInt(1), r.getString(2)), r.getLong(3))).toMap
+    assert(d((5, -1, "A")) == 2)
+    assert(!d.keys.exists(_._1 == 9)) // only one read there
+  }
+
+  test("events counts distinct reads above quality floor") {
+    val e = InsertionStats.events(ins, minQuality = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(e(5) == 2)
+    assert(!e.contains(9)) // qual 8 < 10
+  }
+
+  test("expectations: mean/max insertion length per position") {
+    val x = InsertionStats.expectations(ins)
+      .collect().map(r => (r.getInt(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(x(5)._1 == 1.5) // r1 has 2 inserted bases, r2 has 1
+    assert(x(5)._2 == 2)
+  }
+}
