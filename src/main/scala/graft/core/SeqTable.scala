@@ -119,6 +119,49 @@ final case class SeqTable(
         else insertions)
   }
 
+  /** V1 `view_with_ins` (ref: seqtables.py:408-564) in the long-form shape
+    * SURVEY §2.7 recommends over the reference's wide pivot: base cells
+    * (loc=0) unioned with insertion cells (loc<0), ordered by the composite
+    * (position, loc) key; insertion slots rarer than `minInsCount` reads
+    * are dropped, like the reference's filter. Reads without a base at an
+    * included insertion slot simply have no row — the dense-matrix
+    * presentation (fill '-') is `viewWithInsertionsWide`.
+    *
+    * Output: (read_id, position, loc, base, qual).
+    */
+  def viewWithInsertions(minInsCount: Long = 0): DataFrame = {
+    val keptSlots =
+      if (minInsCount <= 0) insertions
+      else {
+        val keep = insertions.groupBy(col("position"), col("loc"))
+          .agg(countDistinct(col("read_id")).as("nr"))
+          .filter(col("nr") >= minInsCount)
+          .select("position", "loc")
+        insertions.join(broadcast(keep), Seq("position", "loc"), "left_semi")
+      }
+    long.withColumn("loc", lit(0))
+      .select("read_id", "position", "loc", "base", "qual")
+      .unionByName(keptSlots.select("read_id", "position", "loc", "base", "qual"))
+  }
+
+  /** Wide presentation of V1: per read, the (position, loc)-sorted
+    * concatenation of bases including insertion slots, '-' where a read has
+    * no base at an included slot (ref lowercase option omitted).
+    * Output: (read_id, expanded_seq).
+    */
+  def viewWithInsertionsWide(minInsCount: Long = 0): DataFrame = {
+    val longIns = viewWithInsertions(minInsCount)
+    val slots = longIns.select("position", "loc").distinct()
+    val reads = longIns.select("read_id").distinct()
+    reads.crossJoin(slots)
+      .join(longIns, Seq("read_id", "position", "loc"), "left_outer")
+      .withColumn("base", coalesce(col("base"), lit(Alphabets.Deletion.toString)))
+      .groupBy(col("read_id"))
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("position"), col("loc"), col("base")))),
+        s => s.getField("base"))).as("expanded_seq"))
+  }
+
   /** Re-stringify a position range, padding uncovered flanks with the fill
     * letter (ref: seqtables.py:566-673 slice_sequences). Output:
     * (read_id, subseq, subqual).

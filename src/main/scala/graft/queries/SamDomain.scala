@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.core.SeqTable
+import graft.functions.SeqFunctions
+import graft.ops.{Compare, Distributions, InsertionStats, Merge, QualityDist}
+
+/** Queries that drive the SAM-ingest → CIGAR-realignment → analytics spine
+  * end-to-end against the DuckDB oracle.
+  *
+  * SAM rows are synthesized deterministically from `documents`: the text
+  * maps to an ACGT read, `pos = doc_id % 20 + 1`. For M-only and M/I
+  * cigars the realignment is SQL-expressible (substring placement), so the
+  * oracle checks the WHOLE pipeline — window aggregation, per-read
+  * projection, insertion side-table assembly, long-form explode — not just
+  * the final aggregate. I/D/S/N corner semantics are pinned by AlignSpec.
+  */
+object SamDomain {
+
+  private val NtMap = (" abcdefghijklmnopqrstuvwy", "ACGTACGTACGTACGTACGTACGTA")
+
+  /** documents → (header, rname, pos, cigar, seq, qual) with the given
+    * cigar pattern; read = 20 mapped chars.
+    */
+  private def samFrame(s: SparkSession, dir: String, cigar: String): DataFrame =
+    Tables(s, dir, "documents").select(
+      concat(lit("d"), col("doc_id")).as("header"),
+      lit("ref1").as("rname"),
+      (pmod(col("doc_id"), lit(20)) + 1).cast("int").as("pos"),
+      lit(cigar).as("cigar"),
+      translate(rpad(substring(col("text"), 1, 20), 20, "a"),
+        NtMap._1, NtMap._2).as("seq"),
+      lit("*").as("qual"))
+
+  private val sqlNts =
+    """nts AS (
+      |  SELECT doc_id, doc_id % 20 + 1 AS pos,
+      |    translate(rpad(substring(text, 1, 20), 20, 'a'),
+      |      ' abcdefghijklmnopqrstuvwy', 'ACGTACGTACGTACGTACGTACGTA') AS nt
+      |  FROM documents)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S2+T1+A1: SAM → aligned window → per-position base distribution over
+    // covered cells.
+    "q_sam_dist" -> ((s, dir) => {
+      val st = SeqTable.fromSam(samFrame(s, dir, "20M"))
+      Distributions.seqDist(st.long.filter(col("base") =!= "$"))
+        .orderBy(col("position"), col("base"))
+    }),
+
+    // T1 insertion path + A5: per-(position, loc) insertion letter counts.
+    "q_sam_insertions" -> ((s, dir) => {
+      val st = SeqTable.fromSam(samFrame(s, dir, "5M2I13M"))
+      InsertionStats.seqDist(st.insertions)
+        .orderBy(col("position"), col("loc"), col("base"))
+    }),
+
+    // V1: dense + insertion cells unioned on the (position, loc) key.
+    "q_view_ins_dist" -> ((s, dir) => {
+      val st = SeqTable.fromSam(samFrame(s, dir, "5M2I13M"))
+      st.viewWithInsertions()
+        .groupBy(col("position"), col("loc"), col("base"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("position"), col("loc"), col("base"))
+    }),
+
+    // U1 axis-0 merge: two half-window tables stacked over the union window.
+    "q_merge_stack" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      def half(prefix: String, from: Int, pos: Int) = SeqTable(
+        docs.select(
+          concat(lit(prefix), col("doc_id")).as("read_id"),
+          rpad(substring(col("text"), from, 15), 15, "X").as("seq"),
+          lit("!" * 15).as("qual")),
+        SeqTable.emptyInsertions(s),
+        graft.model.SeqTableMeta("AA"), pos, pos + 14)
+      Merge.stackReads(Seq(half("a", 1, 1), half("b", 16, 16)))
+        .reads.select(col("read_id"), col("seq"))
+        .orderBy(col("read_id"))
+    }),
+
+    // J4 all-pairs hamming on a bounded subset (exact mode; the scale path
+    // is the LSH family in Pipeline).
+    "q_pairwise_hamming" -> ((s, dir) => {
+      val reads = Tables(s, dir, "documents")
+        .filter(col("doc_id") < 40)
+        .select(col("doc_id").cast("string").as("read_id"),
+          rpad(substring(col("text"), 1, 30), 30, "X").as("seq"))
+      Compare.pairwiseHamming(reads)
+        .select(col("read_id_a"), col("read_id_b"), col("dist").cast("long").as("dist"))
+        .orderBy(col("read_id_a"), col("read_id_b"))
+    }),
+
+    // F2 via the registered SQL surface: global codon usage.
+    "q_codon_usage" -> ((s, dir) => {
+      SeqFunctions.register(s)
+      samFrame(s, dir, "20M").createOrReplaceTempView("sam_nt")
+      s.sql("""
+        SELECT codon, COUNT(*) AS cnt FROM (
+          SELECT explode(get_codons(seq)) AS codon FROM sam_nt)
+        GROUP BY codon ORDER BY codon""")
+    }),
+
+    // A2 quality stats per position bin (exact columns only; percentile
+    // fields live on the operator, not the oracle contract).
+    "q_quality_dist" -> ((s, dir) => {
+      val reads = Tables(s, dir, "documents").select(
+        col("doc_id").cast("string").as("read_id"),
+        rpad(substring(col("text"), 1, 30), 30, "X").as("seq"),
+        concat_ws("",
+          transform(sequence(lit(1), lit(30)),
+            p => chr(lit(33) + pmod(col("doc_id") + p, lit(40))))).as("qual"))
+      val st = SeqTable(reads, SeqTable.emptyInsertions(s),
+        graft.model.SeqTableMeta("AA", hasQuality = true), 1, 30)
+      QualityDist(st.long, QualityDist.evenBins(1, 30, 3))
+        .select(col("bin_label"), col("n"), round(col("mean"), 6).as("mean"),
+          col("min"), col("max"))
+        .orderBy(col("bin_label"))
+    }),
+
+    // A9 pLogo statistic over the distribution (binomial log-odds; not
+    // SQL-expressible — rows-only check, pinned by DistributionsSpec).
+    "q_plogo" -> ((s, dir) => {
+      val st = SeqTable.fromSam(samFrame(s, dir, "20M"))
+      Distributions.plogo(st.long.filter(col("base") =!= "$"), backgroundFreq = 0.25)
+        .orderBy(col("position"), col("base"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sam_dist" ->
+      s"""WITH $sqlNts
+         |SELECT pos + gs.i - 1 AS position, substring(nt, gs.i, 1) AS base, COUNT(*) AS cnt
+         |FROM nts CROSS JOIN generate_series(1, 20) AS gs(i)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sam_insertions" ->
+      s"""WITH $sqlNts
+         |SELECT pos + 5 AS position, v.loc, substring(nt, 8 + v.loc, 1) AS base, COUNT(*) AS cnt
+         |FROM nts CROSS JOIN (VALUES (-2), (-1)) AS v(loc)
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_view_ins_dist" ->
+      s"""WITH $sqlNts,
+         |dense AS (
+         |  SELECT gs.p AS position, 0 AS loc,
+         |    CASE WHEN gs.p BETWEEN pos AND pos + 4 THEN substring(nt, gs.p - pos + 1, 1)
+         |         WHEN gs.p BETWEEN pos + 5 AND pos + 17 THEN substring(nt, gs.p - pos + 3, 1)
+         |         ELSE '$$' END AS base
+         |  FROM nts CROSS JOIN generate_series(1, 37) AS gs(p)),
+         |ins AS (
+         |  SELECT pos + 5 AS position, v.loc, substring(nt, 8 + v.loc, 1) AS base
+         |  FROM nts CROSS JOIN (VALUES (-2), (-1)) AS v(loc))
+         |SELECT position, loc, base, COUNT(*) AS cnt FROM (
+         |  SELECT * FROM dense UNION ALL SELECT * FROM ins) t
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_merge_stack" ->
+      """SELECT read_id, seq FROM (
+        |  SELECT 'a' || doc_id AS read_id,
+        |    rpad(substring(text, 1, 15), 15, 'X') || repeat('-', 15) AS seq
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'b' || doc_id AS read_id,
+        |    repeat('-', 15) || rpad(substring(text, 16, 15), 15, 'X') AS seq
+        |  FROM documents) t
+        |ORDER BY read_id""".stripMargin,
+    "q_pairwise_hamming" ->
+      """WITH r AS (
+        |  SELECT doc_id, rpad(substring(text, 1, 30), 30, 'X') AS seq
+        |  FROM documents WHERE doc_id < 40)
+        |SELECT CAST(a.doc_id AS VARCHAR) AS read_id_a,
+        |  CAST(b.doc_id AS VARCHAR) AS read_id_b,
+        |  CAST(SUM(CASE WHEN substring(a.seq, gs.i, 1) <> substring(b.seq, gs.i, 1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS dist
+        |FROM r a JOIN r b ON CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)
+        |CROSS JOIN generate_series(1, 30) AS gs(i)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_codon_usage" ->
+      s"""WITH $sqlNts,
+         |split AS (
+         |  SELECT substring(nt, (gs.i - 1) * 3 + 1, 3) AS codon
+         |  FROM nts CROSS JOIN generate_series(1, 6) AS gs(i))
+         |SELECT codon, COUNT(*) AS cnt FROM split
+         |GROUP BY codon ORDER BY codon""".stripMargin,
+    "q_quality_dist" ->
+      """WITH bins(bin_label, lo, hi) AS (VALUES ('1-10', 1, 10), ('11-20', 11, 20), ('21-30', 21, 30)),
+        |q AS (
+        |  SELECT d.doc_id, gs.p AS position, (d.doc_id + gs.p) % 40 AS qual
+        |  FROM documents d CROSS JOIN generate_series(1, 30) AS gs(p))
+        |SELECT bin_label, COUNT(*) AS n, round(AVG(qual), 6) AS mean,
+        |  MIN(qual) AS min, MAX(qual) AS max
+        |FROM q JOIN bins ON q.position BETWEEN lo AND hi
+        |WHERE qual > 0
+        |GROUP BY bin_label ORDER BY bin_label""".stripMargin
+  )
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming surface (SURVEY §2.10).
+  *
+  * The reference's only streaming-shaped construct is chunked generator
+  * iteration (read_sam(chunks=…) etc.) — its analog here is a file-source
+  * stream whose micro-batch is the "chunk". Beyond parity, the engine keeps
+  * the standard Spark streaming operators available for the events table:
+  * watermarked windowed aggregation and stateful sessionization.
+  *
+  * Every transform is expressed on a plain DataFrame so the SAME code path
+  * serves batch and streaming (run it on `spark.read` output and it is the
+  * batch twin used by the oracle-checked queries).
+  */
+object EventStream {
+
+  /** Hourly per-type counts/sums with a watermark for late data.
+    * In batch mode this is exactly `Relational.q_events_hourly` with
+    * window() instead of date_trunc.
+    */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** Chunked-iteration parity: stream a text/FASTQ-shaped directory as
+    * micro-batches of at most `maxFilesPerTrigger` files — the reference's
+    * `chunks=` contract where one chunk = one micro-batch.
+    */
+  def chunkedText(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(dir)
+
+  // ---- stateful sessionization ----------------------------------------
+
+  case class Event(user_id: Long, ts: Timestamp, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, sum_value: Double)
+
+  /** Gap-based sessionization with explicit state — the streaming twin of
+    * the lag+cumsum batch query (Pipeline.q_sessionize). A session closes
+    * when a later event for the same user arrives past the gap. With
+    * `timeoutClose = true` a processing-time timer also flushes idle
+    * sessions — note that timer registration keeps the micro-batch engine
+    * scheduling batches, so bounded runs (Trigger.AvailableNow) should
+    * leave it off.
+    */
+  def sessionize(
+      events: org.apache.spark.sql.Dataset[Event],
+      gapMinutes: Int = 30,
+      timeoutClose: Boolean = false): org.apache.spark.sql.Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val timeoutMode =
+      if (timeoutClose) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), timeoutMode) {
+        case (user, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.start, s.last, s.n, s.sum))
+          } else {
+            var cur = state.getOption
+            val closed = Iterator.newBuilder[SessionOut]
+            it.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
+              val us = e.ts.getTime * 1000L
+              cur match {
+                case Some(s) if us - s.last <= gapUs =>
+                  cur = Some(s.copy(last = us, n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  closed += SessionOut(user, s.start, s.last, s.n, s.sum)
+                  cur = Some(SessionState(us, us, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(us, us, 1, e.value))
+              }
+            }
+            cur.foreach(state.update)
+            if (timeoutClose) state.setTimeoutDuration(s"$gapMinutes minutes")
+            closed.result()
+          }
+      }
+  }
+}

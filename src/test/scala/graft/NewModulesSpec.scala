@@ -1,0 +1,163 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.SeqTable
+import graft.gen.InSilica
+import graft.ops.Multimodal
+import graft.streaming.EventStream
+
+class StreamingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("hourlyCounts is batch/stream agnostic and matches the batch twin") {
+    val events = Seq(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 10:55:00"), "click", 2.0),
+      (Timestamp.valueOf("2024-01-01 11:05:00"), "view", 3.0)
+    ).toDF("ts", "event_type", "value")
+    val batch = EventStream.hourlyCounts(events)
+      .orderBy("hour", "event_type").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(batch.toSeq == Seq(
+      ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+      ("2024-01-01 11:00:00.0", "view", 1L, 3.0)))
+  }
+
+  test("streaming micro-batches produce the same hourly aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val sdf = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStream.hourlyCounts(sdf)
+      .writeStream.format("memory").queryName("hourly_test")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 10:55:00"), "click", 2.0))
+      q.processAllAvailable()
+      mem.addData((Timestamp.valueOf("2024-01-01 11:05:00"), "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM hourly_test ORDER BY hour, event_type")
+        .collect().map(r => (r.getString(1), r.getLong(2)))
+      assert(rows.toSeq == Seq(("click", 2L), ("view", 1L)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization groups by gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    // All three events in one batch: the in-batch gap scan closes session 1
+    // when the 11:00 event arrives. AvailableNow (not processAllAvailable)
+    // because the processing-time timeout otherwise keeps the engine
+    // running maintenance micro-batches indefinitely.
+    mem.addData(
+      EventStream.Event(1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      EventStream.Event(1L, Timestamp.valueOf("2024-01-01 10:10:00"), 2.0),
+      EventStream.Event(1L, Timestamp.valueOf("2024-01-01 11:00:00"), 4.0))
+    val q = EventStream.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000), "stream did not finish in time")
+      val rows = spark.sql("SELECT * FROM sess_test").as[EventStream.SessionOut].collect()
+      assert(rows.length == 1)
+      assert(rows.head.n_events == 2 && rows.head.sum_value == 3.0)
+    } finally q.stop()
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val media = Multimodal.asMedia(
+    Seq((1L, "abcd"), (2L, ""), (3L, "zzzzzzzz")).toDF("id", "payload"),
+    "id", "payload", "text/plain")
+
+  test("media layout has the contract schema") {
+    assert(media.schema.fieldNames.toSeq ==
+      Seq("media_id", "mime", "payload", "meta"))
+    assert(media.schema("payload").dataType.typeName == "binary")
+  }
+
+  test("features computes byte stats per partition") {
+    val f = Multimodal.features(media).orderBy("media_id").collect()
+    // 'a'=97 'b'=98 'c'=99 'd'=100 → avg 98.5, all in hist bucket 6
+    assert(f(0).getInt(2) == 4)
+    assert(f(0).getDouble(3) == 98.5)
+    assert(f(0).getSeq[Long](4)(6) == 4L)
+    assert(f(1).getInt(2) == 0)
+    assert(f(2).getInt(2) == 8 && f(2).getDouble(3) == 122.0)
+  }
+
+  test("frame sampling emits deterministic offsets and hashes") {
+    val fr = Multimodal.sampleFrames(media.filter(col("media_id") === 3), nFrames = 4)
+      .orderBy("frame_idx").collect()
+    assert(fr.map(_.getInt(2)).toSeq == Seq(0, 2, 4, 6))
+    // all-z payload → every frame window hashes identically except length effects
+    assert(fr.map(_.getLong(3)).distinct.length >= 1)
+    // empty payload yields no frames
+    assert(Multimodal.sampleFrames(media.filter(col("media_id") === 2)).count() == 0)
+  }
+}
+
+class InSilicaSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("generateSequence deterministic per seed") {
+    val s1 = InSilica.generateSequence(50, seed = 1)
+    assert(s1 == InSilica.generateSequence(50, seed = 1))
+    assert(s1 != InSilica.generateSequence(50, seed = 2))
+    assert(s1.forall("ACGT".contains(_)))
+  }
+
+  test("generateLibrary mutates at roughly the requested rate") {
+    val scaffold = InSilica.generateSequence(100, seed = 3)
+    val lib = InSilica.generateLibrary(spark, scaffold, 200, errorRate = 0.1)
+    val rows = lib.collect()
+    assert(rows.length == 200)
+    val dists = rows.map(_.getString(1).zip(scaffold).count(p => p._1 != p._2))
+    val meanErr = dists.sum.toDouble / (200 * 100)
+    assert(meanErr > 0.05 && meanErr < 0.15, s"mean error rate $meanErr")
+    // mutations never produce the original letter
+    assert(rows.forall(_.getString(1).length == 100))
+  }
+
+  test("addQualityScores produces valid phred range and declining means") {
+    val scaffold = InSilica.generateSequence(80, seed = 5)
+    val lib = InSilica.generateLibrary(spark, scaffold, 100, 0.0)
+    val withQ = InSilica.addQualityScores(lib, startMean = 35, endMean = 20)
+    val quals = withQ.collect().map(_.getString(2))
+    assert(quals.forall(_.length == 80))
+    val asNum = quals.map(_.map(_.toInt - 33))
+    assert(asNum.flatten.forall(q => q >= 2 && q <= 40))
+    val firstMean = asNum.map(_.head).sum.toDouble / 100
+    val lastMean = asNum.map(_.last).sum.toDouble / 100
+    assert(firstMean > lastMean + 5)
+  }
+
+  test("viewWithInsertions unions dense and insertion cells") {
+    import spark.implicits._
+    val st0 = SeqTable.fromReads(spark, Seq(("r1", "AC", "II"), ("r2", "GT", "55")))
+    val ins = Seq(("r1", 2, -1, "T", 30)).toDF("read_id", "position", "loc", "base", "qual")
+    val st = st0.copy(insertions = ins)
+    val v = st.viewWithInsertions()
+      .orderBy("read_id", "position", "loc").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(v.toSeq == Seq(
+      ("r1", 1, 0, "A"), ("r1", 2, -1, "T"), ("r1", 2, 0, "C"),
+      ("r2", 1, 0, "G"), ("r2", 2, 0, "T")))
+    val wide = st.viewWithInsertionsWide()
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(wide("r1") == "ATC")
+    assert(wide("r2") == "G-T")
+  }
+}
