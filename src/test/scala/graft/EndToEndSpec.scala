@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.SeqTable
+import graft.io.Fasta
+import graft.ops.{Compare, Distributions, RefSeq}
+
+/** SURVEY §7.2 step-2 end-to-end slice over the reference's own 10k×300nt
+  * fixture: FASTA scan → SeqTable → per-position distribution → consensus →
+  * hamming ranking vs the wild-type reference. Also the domain perf sanity
+  * target from BASELINE.md (single-digit seconds in local mode).
+  * Skipped when the read-only reference checkout is absent.
+  */
+class EndToEndSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val fixture = "/root/reference/tests/files/r1_10k.fa"
+  private val refFasta = "/root/reference/examples/bt_ref.fasta"
+
+  test("r1_10k.fa: distribution, consensus and hamming ranking") {
+    assume(new java.io.File(fixture).exists() && new java.io.File(refFasta).exists())
+    val t0 = System.nanoTime()
+
+    val reads = Fasta.read(spark, fixture)
+      .select(col("read_id"), col("seq"), lit(null).cast("string").as("qual"))
+    val wtref = Fasta.read(spark, refFasta).head()
+    assert(wtref.getString(0) == "wtref")
+    val wt = wtref.getString(1)
+
+    val st = SeqTable(
+      reads.selectExpr("read_id", "seq", "repeat('!', length(seq)) AS qual"),
+      SeqTable.emptyInsertions(spark),
+      graft.model.SeqTableMeta("NT"), 1, wt.length)
+
+    val nReads = st.reads.count()
+    assert(nReads == 10000L)
+
+    // A1: every position must have counts summing to 10k
+    val dist = Distributions.seqDist(st.long)
+    val posTotals = dist.groupBy("position").agg(sum("cnt").as("t"))
+      .select(min("t"), max("t")).head()
+    assert(posTotals.getLong(0) == 10000L && posTotals.getLong(1) == 10000L)
+
+    // A3: the library is an error-prone clone set (reads agree ~96% with
+    // each other), so the consensus must recover the shared scaffold: mean
+    // read→consensus hamming stays near the per-read error rate. (The
+    // shipped bt_ref.fasta is NOT the scaffold these reads came from — the
+    // fixture was evidently regenerated — so wtref only anchors the
+    // ranking query below, not a similarity assertion.)
+    val cons = Distributions.consensusString(st.long)
+    assert(cons.length == wt.length)
+    val toCons = Compare.hammingDistance(st.long, Seq(RefSeq("cons", cons)))
+    val meanDist = toCons.agg(avg(col("dist"))).head().getDouble(0)
+    assert(meanDist < wt.length * 0.1, s"mean read→consensus hamming $meanDist")
+
+    // J3: rank reads by hamming distance to wtref; distances bounded by len
+    val ranked = Compare.hammingDistance(st.long, Seq(RefSeq("wtref", wt)))
+      .orderBy(col("dist"))
+    val top = ranked.head()
+    assert(top.getDouble(2) >= 0 && top.getDouble(2) < wt.length)
+
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"end-to-end slice: $secs%.1f s for 10k×300nt")
+    assert(secs < 60, s"pipeline took $secs s — far off the single-digit target")
+  }
+}

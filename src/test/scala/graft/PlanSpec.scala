@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the properties that make these plans survive a
+  * 100× scale-up, checked against the actual optimized/physical plans so a
+  * regression (lost broadcast, lost pushdown, extra shuffle) fails CI, not
+  * the cluster.
+  */
+class PlanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def physicalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q5 join chain broadcasts every dimension table") {
+    val p = physicalPlan("q5_local_revenue")
+    // dims (customer/nation/region) broadcast; no shuffle on their side
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("CartesianProduct"))
+    // the one fact-side shuffle is the final group-by, plus the
+    // lineitem⋈orders join — count the exchanges
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 5, s"too many shuffles ($exchanges):\n$p")
+  }
+
+  test("q1 filter is pushed into the parquet scan") {
+    val p = physicalPlan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      "shipdate predicate not pushed to parquet:\n" + p.take(800))
+  }
+
+  test("scans prune columns to what the query reads") {
+    val p = physicalPlan("q1_pricing_summary")
+    // lineitem has 16 columns; this query needs 6
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+  }
+
+  test("aggregations are partial (map-side combine) before the shuffle") {
+    val p = physicalPlan("q_seq_dist")
+    // HashAggregate(partial) ... Exchange ... HashAggregate(final)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(400))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"per-position distribution should be one shuffle:\n$p")
+  }
+
+  test("comparison queries broadcast the reference side") {
+    val p = physicalPlan("q_hamming_doc0")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "reference letters should broadcast:\n" + p.take(800))
+  }
+
+  test("whole-stage codegen covers the relational pipeline") {
+    // AQE only materializes WholeStageCodegen nodes in the final plan —
+    // execute, then inspect
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd spans print as "*(n) Operator" in the final adaptive plan
+    val spans = "\\*\\(\\d+\\)".r.findAllIn(p).toList.distinct
+    assert(spans.size >= 2, s"expected codegen spans, found $spans in:\n${p.take(600)}")
+  }
+
+  test("SAM alignment plan has no shuffle beyond the aggregate") {
+    val sam = graft.queries.SamDomain.queries("q_sam_dist")(spark, dir)
+    val p = sam.queryExecution.executedPlan.toString
+    // the kernel flatMap + explode are map-only; groupBy(position, base)
+    // is the only hash exchange (plus the final sort for presentation)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"alignment must stay map-only before the agg:\n$p")
+  }
+}
