@@ -187,6 +187,59 @@ final case class SeqTable(
 
 object SeqTable {
 
+  /** T2 `trim_str` (ref: constructor_ops.py:13-26): pad/trim a pre-aligned
+    * string starting at `pos` into the window [minP, maxP] with `fill`.
+    */
+  def trimStr(seq: String, pos: Int, minP: Int, maxP: Int, fill: Char): String = {
+    val sb = new StringBuilder
+    var p = minP
+    while (p <= maxP) {
+      val i = p - pos
+      sb += (if (i >= 0 && i < seq.length) seq.charAt(i) else fill)
+      p += 1
+    }
+    sb.toString
+  }
+
+  /** S6 with per-read start positions (the reference accepts pos as scalar
+    * or list, constructor_ops.py:430-439): window = [min pos, max pos+len-1],
+    * each read trimmed/padded into it via T2 semantics.
+    */
+  def fromReadsPositioned(
+      spark: SparkSession,
+      rows: Seq[(String, String, String, Int)], // (read_id, seq, qual, pos)
+      seqType: Option[String] = None,
+      phredAdjust: Int = Alphabets.PhredAdjust): SeqTable = {
+    import spark.implicits._
+    require(rows.nonEmpty, "no reads")
+    val st = seqType.getOrElse(
+      Alphabets.guessSeqType(rows.view.take(1000).map(_._2)))
+    val fill = Alphabets.fillFor(st)
+    val minP = rows.map(_._4).min
+    val maxP = rows.map(r => r._4 + r._2.length - 1).max
+    val hasQ = rows.exists(r => r._3 != null && r._3.nonEmpty)
+    val padded = rows.map { case (id, s, q, p) =>
+      val q0 = if (q == null || q.isEmpty) Alphabets.NullQual.toString * s.length else q
+      (id,
+        trimStr(s, p, minP, maxP, fill),
+        trimStr(q0, p, minP, maxP, Alphabets.NullQual))
+    }
+    SeqTable(padded.toDF("read_id", "seq", "qual"), emptyInsertions(spark),
+      SeqTableMeta(st, phredAdjust, hasQuality = hasQ), minP, maxP)
+  }
+
+  /** P8 `_check_positions` (ref: seqtables.py:744-755): split requested
+    * positions into (valid ∩ window, unknown); `setDiff = true` analyzes
+    * the complement of the request instead, like the reference.
+    */
+  def checkPositions(
+      requested: Seq[Int], minPos: Int, maxPos: Int,
+      setDiff: Boolean = false): (Seq[Int], Seq[Int]) = {
+    val window = minPos to maxPos
+    val (in, out) = requested.partition(p => p >= minPos && p <= maxPos)
+    if (setDiff) (window.diff(in), out) else (in, out)
+  }
+
   /** Build from pre-aligned strings (ref: seqtables.py:285-293 ctor +
     * constructor_ops.py:377-516 seqs_to_datarray). Shorter reads are
     * right-padded with the fill letter; the window is [pos, pos+maxLen-1].

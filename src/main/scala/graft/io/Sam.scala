@@ -48,6 +48,15 @@ object Sam {
 
   /** P7/F8 flag helpers as Column expressions. */
   def flagBit(flag: Column, bit: Int): Column = (flag.bitwiseAND(lit(bit))) =!= 0
+
+  /** F8 `breakdown_bits` (ref: custom_sam_utils.py:17-38): SAM FLAG → array
+    * of set bit indices (0-based), e.g. flag 0x13 → [0, 1, 4].
+    * (The Scala `shiftright` only shifts by literals, so the per-element
+    * shift goes through the SQL form.)
+    */
+  def breakdownBits(flagCol: String): Column =
+    expr(s"filter(transform(sequence(0, 11), " +
+      s"b -> IF((shiftright($flagCol, b) & 1) = 1, b, -1)), x -> x >= 0)")
   /** R1/R2 from the 0x10 reverse-strand bit (custom_sam_utils.py:41-48). */
   def readNum(flag: Column): Column = when(flagBit(flag, 0x10), "R2").otherwise("R1")
 

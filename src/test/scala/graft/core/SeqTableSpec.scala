@@ -112,3 +112,37 @@ class SeqTableSpec extends AnyFunSuite {
     assert(st.meta.references == Seq("ref1"))
   }
 }
+
+class SeqTableExtrasSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private val spark = graft.TestSpark.spark
+
+  test("trimStr pads/trims into the window (T2)") {
+    assert(SeqTable.trimStr("ACGT", 3, 1, 8, 'N') == "NNACGTNN")
+    assert(SeqTable.trimStr("ACGT", 1, 2, 3, 'N') == "CG")
+    assert(SeqTable.trimStr("AC", 5, 1, 3, 'N') == "NNN")
+  }
+
+  test("fromReadsPositioned aligns per-read start positions") {
+    val st = SeqTable.fromReadsPositioned(spark, Seq(
+      ("r1", "ACGT", "IIII", 1), ("r2", "GG", "55", 3)))
+    assert(st.minPos == 1 && st.maxPos == 4)
+    val rows = st.reads.orderBy("read_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows(0) == (("r1", "ACGT", "IIII")))
+    assert(rows(1) == (("r2", "NNGG", "!!55")))
+  }
+
+  test("checkPositions partitions valid/unknown with set-diff mode (P8)") {
+    assert(SeqTable.checkPositions(Seq(2, 3, 99), 1, 5) == (Seq(2, 3), Seq(99)))
+    assert(SeqTable.checkPositions(Seq(2, 3, 99), 1, 5, setDiff = true) ==
+      (Seq(1, 4, 5), Seq(99)))
+  }
+
+  test("breakdownBits lists set flag bits (F8)") {
+    import spark.implicits._
+    val got = Seq(0x13, 0, 4).toDF("flag")
+      .select(graft.io.Sam.breakdownBits("flag"))
+      .collect().map(_.getSeq[Int](0).toList)
+    assert(got.toSeq == Seq(List(0, 1, 4), Nil, List(2)))
+  }
+}
