@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale-out utilities: skew-safe aggregation and co-located (bucketed)
+  * joins — the two knobs that matter most when a 100 TB keyspace has hot
+  * keys or a join is repeated across a pipeline.
+  */
+object Scale {
+
+  /** Two-stage salted aggregation for skewed group-by keys: stage 1
+    * aggregates on (keys, salt) — spreading a hot key over `saltBuckets`
+    * reducers — stage 2 merges the partials on the true keys. Only
+    * algebraic aggregates compose this way; `sum`/`count`/`min`/`max` are
+    * provided. AQE's skew handling covers joins; group-by skew still needs
+    * the salt.
+    *
+    * @param aggs (outputName, inputCol, op∈{sum,count,min,max})
+    */
+  def saltedAggregate(
+      df: DataFrame,
+      keys: Seq[String],
+      aggs: Seq[(String, String, String)],
+      saltBuckets: Int = 16): DataFrame = {
+    require(saltBuckets > 0)
+    val salted = df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(saltBuckets)))
+    val stage1 = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(
+        partialAgg(aggs.head),
+        aggs.tail.map(partialAgg): _*)
+    stage1
+      .groupBy(keys.map(col): _*)
+      .agg(
+        mergeAgg(aggs.head),
+        aggs.tail.map(mergeAgg): _*)
+  }
+
+  private def partialAgg(a: (String, String, String)): Column = a match {
+    case (out, in, "sum")   => sum(col(in)).as(out)
+    case (out, _, "count")  => count(lit(1)).as(out)
+    case (out, in, "min")   => min(col(in)).as(out)
+    case (out, in, "max")   => max(col(in)).as(out)
+    case (_, _, op)         => throw new IllegalArgumentException(s"non-algebraic op $op")
+  }
+
+  private def mergeAgg(a: (String, String, String)): Column = a match {
+    case (out, _, "sum")   => sum(col(out)).as(out)
+    case (out, _, "count") => sum(col(out)).as(out)
+    case (out, _, "min")   => min(col(out)).as(out)
+    case (out, _, "max")   => max(col(out)).as(out)
+    case (_, _, op)        => throw new IllegalArgumentException(s"non-algebraic op $op")
+  }
+
+  /** Persist both sides bucketed on the join key so repeated joins read
+    * pre-partitioned data with NO exchange (the bucketing contract Spark's
+    * built-in catalog honors). Returns the re-read, bucket-aware frames.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      key: String,
+      buckets: Int): DataFrame = {
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+    df.sparkSession.table(table)
+  }
+}

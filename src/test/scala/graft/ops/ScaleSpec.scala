@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class ScaleSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("saltedAggregate matches the direct aggregate on skewed keys") {
+    // one hot key with 10k rows, long tail of singletons
+    val df = ((1 to 10000).map(i => ("hot", i.toDouble)) ++
+      (1 to 50).map(i => (s"k$i", i.toDouble))).toDF("k", "v")
+    val direct = df.groupBy("k")
+      .agg(sum("v").as("s"), count(lit(1)).as("c"), min("v").as("mn"), max("v").as("mx"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val salted = Scale.saltedAggregate(df, Seq("k"),
+      Seq(("s", "v", "sum"), ("c", "v", "count"), ("mn", "v", "min"), ("mx", "v", "max")))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(salted == direct)
+  }
+
+  test("bucketed tables join without an exchange") {
+    val left = (1 to 1000).map(i => (i.toLong, s"l$i")).toDF("id", "lv")
+    val right = (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("id", "rv")
+    val bl = Scale.writeBucketed(left, "graft_bucket_l", "id", 4)
+    val br = Scale.writeBucketed(right, "graft_bucket_r", "id", 4)
+    try {
+      val joined = bl.join(br, "id")
+      assert(joined.count() == 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n${plan.take(800)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_l")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_r")
+    }
+  }
+}
