@@ -1,0 +1,119 @@
+package graft
+
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.align.{AlignRead, Cigar}
+import graft.core.SeqTable
+import graft.model.CodonTable
+import graft.ops.HashKernels
+
+/** Property-based invariants (SURVEY §5's test-pyramid layer 2), driven by
+  * ScalaCheck over generated sequences — pure-kernel properties so they run
+  * thousands of cases without Spark jobs.
+  */
+class PropertiesSpec extends AnyFunSuite {
+
+  /** Run a ScalaCheck property with 200 cases (plain scalacheck — the
+    * scalatestplus bridge isn't on the offline classpath).
+    */
+  private def check(p: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val dnaGen: Gen[String] =
+    Gen.chooseNum(1, 80).flatMap(n => Gen.stringOfN(n, Gen.oneOf('A', 'C', 'G', 'T')))
+
+  test("pure-match alignment equals trimStr") {
+    check(Prop.forAll(dnaGen, Gen.chooseNum(1, 50)) { (seq, pos) =>
+      val (mn, mx) = (1, 100)
+      val a = AlignRead.align(seq, "I" * seq.length, pos, s"${seq.length}M", mn, mx).get
+      a.seq == SeqTable.trimStr(seq, pos, mn, mx, '$') && a.insertions.isEmpty
+    })
+  }
+
+  test("aligned length always equals the window width") {
+    val cigarGen = for {
+      m1 <- Gen.chooseNum(1, 20); i <- Gen.chooseNum(0, 5)
+      d <- Gen.chooseNum(0, 5); m2 <- Gen.chooseNum(1, 20)
+    } yield (m1, i, d, m2)
+    check(Prop.forAll(cigarGen, Gen.chooseNum(1, 30)) { case ((m1, i, d, m2), pos) =>
+      val len = m1 + i + m2
+      val seq = "ACGT" * 15
+      val cigar = s"${m1}M" + (if (i > 0) s"${i}I" else "") +
+        (if (d > 0) s"${d}D" else "") + s"${m2}M"
+      val a = AlignRead.align(seq.take(len), "I" * len, pos, cigar, 1, 90).get
+      a.seq.length == 90 && a.qual.length == 90
+    })
+  }
+
+  test("cigar endPos consistency: aligned non-gap span ends at endPos") {
+    check(Prop.forAll(dnaGen, Gen.chooseNum(1, 20)) { (seq, pos) =>
+      val cigar = s"${seq.length}M"
+      val end = Cigar.endPos(pos, seq.length, cigar)
+      end == pos + seq.length - 1
+    })
+  }
+
+  test("hamming(x, x) == 0 and hamming is bounded by length") {
+    check(Prop.forAll(dnaGen, dnaGen) { (a, b) =>
+      val n = math.min(a.length, b.length)
+      var d = 0; var i = 0
+      while (i < n) { if (a(i) != b(i)) d += 1; i += 1 }
+      d >= 0 && d <= n &&
+        (a != b || d == 0)
+    })
+  }
+
+  test("jaccardSorted: identity 1, symmetric, bounded") {
+    check(Prop.forAll(dnaGen, dnaGen) { (a, b) =>
+      val sa = HashKernels.hashedShingles(a, 3)
+      val sb = HashKernels.hashedShingles(b, 3)
+      val j = HashKernels.jaccardSorted(sa, sb)
+      val jr = HashKernels.jaccardSorted(sb, sa)
+      j >= 0.0 && j <= 1.0 && j == jr &&
+        HashKernels.jaccardSorted(sa, sa) == (if (sa.isEmpty) 0.0 else 1.0)
+    })
+  }
+
+  test("minhash signature is permutation-invariant over the shingle set") {
+    check(Prop.forAll(dnaGen) { a =>
+      val sh = HashKernels.hashedShingles(a, 3)
+      val shuffled = scala.util.Random.shuffle(sh.toList).toArray
+      HashKernels.minhashSig(sh, 16).toSeq == HashKernels.minhashSig(shuffled, 16).toSeq
+    })
+  }
+
+  test("simhash of identical text is identical; of disjoint vocab differs in expectation") {
+    check(Prop.forAll(dnaGen) { a =>
+      HashKernels.simhash64(a) == HashKernels.simhash64(a)
+    })
+  }
+
+  test("translate length contract: ceil(len/3) with padding, floor without") {
+    check(Prop.forAll(dnaGen) { nt =>
+      val padded = CodonTable.translate(nt, pad = true)
+      val truncated = CodonTable.translate(nt, pad = false)
+      padded.length == (nt.length + 2) / 3 && truncated.length == nt.length / 3
+    })
+  }
+
+  test("trimStr output always spans the window") {
+    check(Prop.forAll(dnaGen, Gen.chooseNum(-10, 60), Gen.chooseNum(1, 30), Gen.chooseNum(31, 60)) {
+      (seq, pos, mn, mx) =>
+        SeqTable.trimStr(seq, pos, mn, mx, 'N').length == mx - mn + 1
+    })
+  }
+
+  test("checkPositions partitions completely and disjointly") {
+    val posGen = Gen.listOf(Gen.chooseNum(-5, 40))
+    check(Prop.forAll(posGen) { ps =>
+      val (in, out) = SeqTable.checkPositions(ps, 1, 20)
+      in.forall(p => p >= 1 && p <= 20) &&
+        out.forall(p => p < 1 || p > 20) &&
+        in.length + out.length == ps.length
+    })
+  }
+}
