@@ -10,10 +10,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (codegen, parquet footer cache, JIT) on a tiny SF so
-    // the first measured query doesn't absorb startup cost.
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => }
+    // Warm the session (codegen, parquet footer cache, C2 JIT) before
+    // measuring: sf0.001 compiles the plans, sf0.01 runs the hot loops
+    // long enough for the JIT to reach steady state — without it the first
+    // heavy query measures compiler time, not the operator.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { warmDir =>
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => }
+      }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -268,6 +268,36 @@ object SeqTable {
       pos, pos + maxLen - 1)
   }
 
+  /** Distributed S6: build from a DataFrame of pre-aligned reads
+    * (read_id, seq[, qual]) without collecting — the window length comes
+    * from one tiny aggregate and padding is a column expression. This is
+    * the constructor FASTQ/FASTA scans feed at scale; the Seq overload
+    * exists for fixture-sized inputs.
+    */
+  def fromReadsDf(
+      df: DataFrame,
+      pos: Int = 1,
+      seqType: Option[String] = None,
+      phredAdjust: Int = Alphabets.PhredAdjust): SeqTable = {
+    val spark = df.sparkSession
+    val hasQ = df.columns.contains("qual")
+    val st = seqType.getOrElse {
+      val sample = df.select(col("seq")).limit(1000)
+        .collect().map(_.getString(0))
+      Alphabets.guessSeqType(sample)
+    }
+    val fill = Alphabets.fillFor(st)
+    val maxLen = df.agg(max(length(col("seq")))).head().getInt(0)
+    val reads = df.select(
+      col("read_id"),
+      rpad(col("seq"), maxLen, fill.toString).as("seq"),
+      (if (hasQ) rpad(coalesce(col("qual"), lit("")), maxLen, Alphabets.NullQual.toString)
+       else lit(Alphabets.NullQual.toString * maxLen)).as("qual"))
+    SeqTable(reads, emptyInsertions(spark),
+      SeqTableMeta(st, phredAdjust, hasQuality = hasQ),
+      pos, pos + maxLen - 1)
+  }
+
   /** Build from a SAM-shaped DataFrame with columns
     * (header, rname, pos, cigar, seq, qual) — the T1 realignment
     * (ref: constructor_ops.py:189-205 + sam_to_arr.pyx df_to_algn_arr).

@@ -146,3 +146,27 @@ class SeqTableExtrasSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got.toSeq == Seq(List(0, 1, 4), Nil, List(2)))
   }
 }
+
+class FromReadsDfSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  test("fromReadsDf pads distributively and matches the Seq overload") {
+    val df = Seq(("r1", "ACGT", "IIII"), ("r2", "AC", "IJ"))
+      .toDF("read_id", "seq", "qual")
+    val st = SeqTable.fromReadsDf(df)
+    assert(st.minPos == 1 && st.maxPos == 4)
+    assert(st.meta.seqType == "NT" && st.meta.hasQuality)
+    val viaSeq = SeqTable.fromReads(spark, Seq(
+      ("r1", "ACGT", "IIII"), ("r2", "AC", "IJ")))
+    assert(st.reads.orderBy("read_id").collect().toSeq ==
+      viaSeq.reads.orderBy("read_id").collect().toSeq)
+  }
+
+  test("fromReadsDf without qual column synthesizes null quality") {
+    val df = Seq(("r1", "ACGT")).toDF("read_id", "seq")
+    val st = SeqTable.fromReadsDf(df)
+    assert(!st.meta.hasQuality)
+    assert(st.reads.head().getString(2) == "!!!!")
+  }
+}
