@@ -42,6 +42,36 @@ object EventStream {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(dir)
 
+  /** The reference's `from_sam(chunks=…)` / `read_fastq(chunk_size=…)`
+    * pattern (SURVEY §2.10): iterate SeqTables chunk by chunk, where a
+    * chunk is one FASTQ file and arrivals drive the iteration. Each
+    * micro-batch's files are re-read with the record-safe batch reader
+    * (FASTQ's 4-line records need a global line index, which streaming
+    * sources don't provide) and handed to `onChunk` as a SeqTable.
+    * Returns the started query; stop it (or await) from the caller.
+    */
+  def fastqChunks(
+      spark: SparkSession,
+      dir: String,
+      checkpoint: String)(
+      onChunk: graft.core.SeqTable => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.input_file_name
+    chunkedText(spark, dir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val files = batch.select(input_file_name().as("f"))
+          .distinct().collect().map(_.getString(0)).sorted
+        files.foreach { f =>
+          val reads = graft.io.Fastq.read(spark, f)
+          if (!reads.isEmpty) {
+            onChunk(graft.core.SeqTable.fromReadsDf(reads))
+          }
+        }
+      }
+      .start()
+  }
+
   // ---- stateful sessionization ----------------------------------------
 
   case class Event(user_id: Long, ts: Timestamp, value: Double)

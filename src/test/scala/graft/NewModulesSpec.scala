@@ -161,3 +161,25 @@ class InSilicaSpec extends AnyFunSuite {
     assert(wide("r2") == "G-T")
   }
 }
+
+class FastqChunkSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("fastqChunks yields one SeqTable per arriving file") {
+    val dir = java.nio.file.Files.createTempDirectory("fqstream").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("fqckpt").toFile
+    java.nio.file.Files.writeString(new java.io.File(dir, "a.fq").toPath,
+      "@r1\nACGT\n+\nIIII\n@r2\nTTTT\n+\n5555\n")
+    java.nio.file.Files.writeString(new java.io.File(dir, "b.fq").toPath,
+      "@r3\nGGGGGG\n+\nIIIIII\n")
+    val chunks = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int)]()
+    val q = EventStream.fastqChunks(spark, dir.getAbsolutePath, ckpt.getAbsolutePath) { st =>
+      chunks.add((st.reads.count(), st.maxPos - st.minPos + 1))
+    }
+    try {
+      q.processAllAvailable()
+      val got = chunks.toArray(Array.empty[(Long, Int)]).toSet
+      assert(got == Set((2L, 4), (1L, 6)))
+    } finally q.stop()
+  }
+}
