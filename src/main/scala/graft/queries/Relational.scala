@@ -86,6 +86,82 @@ object Relational {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // Q4-style semi-join: orders with at least one returned lineitem.
+    "q4_order_priority" -> ((s, dir) => {
+      val orders = Tables(s, dir, "orders")
+      val returned = Tables(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+      orders.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Anti-join: customers who never placed an URGENT order (plain
+    // no-orders-at-all is empty on this data — every customer orders).
+    "q_cust_no_orders" -> ((s, dir) =>
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))),
+
+    // ROLLUP: revenue at (region, nation), per-region and grand-total
+    // levels in one pass.
+    "q_rollup_revenue" -> ((s, dir) => {
+      val lineitem = Tables(s, dir, "lineitem")
+      val orders = Tables(s, dir, "orders")
+      val customer = Tables(s, dir, "customer")
+      val nation = Tables(s, dir, "nation")
+      val region = Tables(s, dir, "region")
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    }),
+
+    // Q14-style: promo share of revenue (LIKE filter over part join).
+    "q14_promo_share" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val part = Tables(s, dir, "part")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg(
+          (sum(when(col("p_type") === "PROMO",
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+            .otherwise(lit(0).cast("decimal(18,4)"))) * lit(100) /
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")))
+            .cast("double").as("promo_share"))
+        .select(round(col("promo_share"), 6).as("promo_share"))
+    }),
+
+    // Supplier-side join path (supplier ⋈ nation dimension chain).
+    "q_supplier_revenue" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val supp = Tables(s, dir, "supplier")
+      val nation = Tables(s, dir, "nation")
+      li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          countDistinct(col("s_suppkey")).as("n_suppliers"))
+        .orderBy(col("n_name"))
+    }),
+
+    // Exact interpolated percentiles per group (the reference's quality
+    // percentile machinery applied relationally).
+    "q_value_percentiles" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"))
+        .orderBy(col("event_type"))),
+
     // Outer-join surface: orders per customer, zero included for customers
     // with no orders (count(o_orderkey) skips the null-extended rows).
     "q_orders_per_cust" -> ((s, dir) => {
@@ -138,6 +214,49 @@ object Relational {
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_cust_no_orders" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_rollup_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT round(CAST(
+        |  SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |    ELSE CAST(0 AS DECIMAL(18,4)) END) * 100 /
+        |  SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |  AS DOUBLE), 6) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+    "q_supplier_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(DISTINCT s_suppkey) AS n_suppliers
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_value_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_orders_per_cust" ->
       """SELECT c_custkey, c_mktsegment,
         |  COUNT(o_orderkey) AS n_orders,
