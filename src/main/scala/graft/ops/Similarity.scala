@@ -105,22 +105,27 @@ object Similarity {
     require(bits % bands == 0)
     val rowsPerBand = bits / bands
     val mask = (1L << rowsPerBand) - 1
-    def banded(df: DataFrame, id: String, vec: String) =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
+    // Banded frames carry ids only; vectors re-join after the pair dedup so
+    // the candidate shuffle stays narrow (same shape as the dedup family).
+    def banded(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id),
         HashKernels.hyperplaneSigUdf(bits, seed)(col(vecCol)).as("sig"))
-        .select(col(id), col(vec),
+        .select(col(id),
           posexplode(array((0 until bands).map(b =>
             shiftright(col("sig"), b * rowsPerBand).bitwiseAND(lit(mask))): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val c = banded(corpus, "neighbor_id", "cv")
-    val q = banded(queries, "query_id", "qv")
-    val candidates = c.join(broadcast(q), Seq("band", "bucket"))
+    val candidates = banded(corpus, "neighbor_id")
+      .join(broadcast(banded(queries, "query_id")), Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id", "qv", "cv")
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     candidates
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))),
+        Seq("query_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(HashKernels.cosineUdf(col("qv"), col("cv")), 6).as("sim"))
       .withColumn("rank", row_number().over(w))
@@ -158,9 +163,16 @@ object Similarity {
     val q = assign(queries, "query_id", "qv", nProbe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    c.join(broadcast(q), Seq("cell"))
+    // dedup on bare ids, then re-join vectors (narrow candidate shuffle)
+    c.select("cell", "neighbor_id")
+      .join(broadcast(q.select("cell", "query_id")), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))),
+        Seq("query_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(HashKernels.cosineUdf(col("qv"), col("cv")), 6).as("sim"))
       .withColumn("rank", row_number().over(w))
