@@ -53,6 +53,29 @@ object Scale {
     case (_, _, op)        => throw new IllegalArgumentException(s"non-algebraic op $op")
   }
 
+  /** Bloom-filter join pruning: build a Bloom filter over the small side's
+    * key and filter the big side BEFORE its shuffle — the standard way to
+    * cut a fact-table shuffle when the dimension filter is selective but
+    * the dimension is too large to broadcast outright. False positives only
+    * cost wasted shuffle rows; the subsequent join keeps semantics exact.
+    *
+    * @param expectedItems small side's expected distinct keys
+    * @param fpp           false-positive probability
+    */
+  def bloomPrunedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      bigKey: String,
+      smallKey: String,
+      expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val bloom = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+    val bloomBc = big.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bloomBc.value.mightContainLong(k))
+    big.filter(mightContain(col(bigKey)))
+      .join(small, col(bigKey) === col(smallKey))
+  }
+
   /** Persist both sides bucketed on the join key so repeated joins read
     * pre-partitioned data with NO exchange (the bucketing contract Spark's
     * built-in catalog honors). Returns the re-read, bucket-aware frames.

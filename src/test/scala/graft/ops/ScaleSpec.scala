@@ -38,4 +38,18 @@ class ScaleSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_bucket_r")
     }
   }
+
+  test("bloom-pruned join keeps exact semantics and prunes the big side") {
+    val big = (1L to 100000L).map(i => (i, s"v$i")).toDF("id", "v")
+    val small = (1L to 100L).map(i => (i * 1000L, s"s$i")).toDF("sid", "sv")
+    val joined = Scale.bloomPrunedJoin(big, small, "id", "sid",
+      expectedItems = 100, fpp = 0.01)
+    val rows = joined.collect()
+    assert(rows.length == 100)
+    assert(rows.forall(r => r.getLong(0) % 1000L == 0L))
+    // the bloom filter itself prunes nearly everything before the join
+    val bloom = small.stat.bloomFilter("sid", 100, 0.01)
+    val kept = (1L to 100000L).count(bloom.mightContainLong)
+    assert(kept < 2000, s"bloom kept $kept of 100000")
+  }
 }
