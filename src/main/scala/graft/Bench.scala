@@ -10,11 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (codegen, parquet footer cache, C2 JIT) before
-    // measuring: sf0.001 compiles the plans, sf0.01 runs the hot loops
-    // long enough for the JIT to reach steady state — without it the first
-    // heavy query measures compiler time, not the operator.
-    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { warmDir =>
+    // JMH-style warm-up before measuring: the small SFs compile every plan,
+    // then one pass over the target SF drives the hot loops to C2
+    // steady-state — without it the first heavy query measures JIT compile
+    // time, not the operator (observed 2-3x swings on the dedup queries).
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", sfDir).foreach { warmDir =>
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => }
       }
