@@ -127,6 +127,45 @@ object SamDomain {
       val st = SeqTable.fromSam(samFrame(s, dir, "20M"))
       Distributions.plogo(st.long.filter(col("base") =!= "$"), backgroundFreq = 0.25)
         .orderBy(col("position"), col("base"))
+    }),
+
+    // J6 transition/transversion profile vs the doc-0 NT reference.
+    "q_tstv" -> ((s, dir) => {
+      val st = SeqTable.fromSam(samFrame(s, dir, "20M"))
+      val ref0 = samFrame(s, dir, "20M").filter(col("header") === "d0")
+        .select(col("seq"), col("pos")).head()
+      Compare.tsTvProfile(
+        st.long.filter(col("base") =!= "$"),
+        Seq(graft.ops.RefSeq("d0", ref0.getString(0), ref0.getInt(1))))
+        .select(round(col("ts_freq"), 6).as("ts_freq"),
+          round(col("tv_freq"), 6).as("tv_freq"),
+          round(col("ratio"), 6).as("ratio"))
+    }),
+
+    // A6 information content per position (small-sample corrected bits).
+    "q_bits" -> ((s, dir) => {
+      val st = SeqTable.fromSam(samFrame(s, dir, "20M"))
+      Distributions.bits(st.long.filter(col("base") =!= "$"), alphabetSize = 4)
+        .select(col("position"), round(col("bits"), 6).as("bits"))
+        .orderBy(col("position"))
+    }),
+
+    // A8 KL divergence vs the uniform ACGT background.
+    "q_rel_entropy" -> ((s, dir) => {
+      val st = SeqTable.fromSam(samFrame(s, dir, "20M"))
+      Distributions.relativeEntropy(st.long.filter(col("base") =!= "$"), alphabetSize = 4)
+        .select(col("position"), round(col("rel_entropy"), 6).as("rel_entropy"))
+        .orderBy(col("position"))
+    }),
+
+    // F3 IUPAC degenerate-pattern search: reads whose NT matches ACNGT
+    // anywhere (regex expanded by seq_to_regex on both sides).
+    "q_regex_match" -> ((s, dir) => {
+      val pattern = graft.model.Alphabets.seqToRegex("ACNGT")
+      samFrame(s, dir, "20M")
+        .filter(col("seq").rlike(pattern))
+        .select(col("header").as("read_id"))
+        .orderBy(col("read_id"))
     })
   )
 
@@ -183,6 +222,51 @@ object SamDomain {
          |  FROM nts CROSS JOIN generate_series(1, 6) AS gs(i))
          |SELECT codon, COUNT(*) AS cnt FROM split
          |GROUP BY codon ORDER BY codon""".stripMargin,
+    "q_tstv" ->
+      s"""WITH $sqlNts,
+         |ref0 AS (SELECT nt AS rnt FROM nts WHERE doc_id = 0),
+         |cells AS (
+         |  SELECT d.pos + gs.i - 1 AS position, substring(d.nt, gs.i, 1) AS read_base
+         |  FROM nts d CROSS JOIN generate_series(1, 20) AS gs(i)),
+         |ev AS (
+         |  SELECT substring(r.rnt, c.position, 1) AS ref_base, c.read_base
+         |  FROM cells c, ref0 r
+         |  WHERE c.position BETWEEN 1 AND 20
+         |    AND substring(r.rnt, c.position, 1) <> c.read_base),
+         |agg AS (
+         |  SELECT
+         |    SUM(CASE WHEN ref_base || read_base IN ('AG','GA','CT','TC') THEN 1 ELSE 0 END)::DOUBLE AS ts,
+         |    SUM(CASE WHEN ref_base || read_base IN ('AG','GA','CT','TC') THEN 0 ELSE 1 END)::DOUBLE AS tv
+         |  FROM ev)
+         |SELECT round(ts / (ts + tv), 6) AS ts_freq,
+         |  round(tv / (ts + tv), 6) AS tv_freq,
+         |  round((ts / (ts + tv)) / (tv / (ts + tv)), 6) AS ratio
+         |FROM agg""".stripMargin,
+    "q_bits" ->
+      s"""WITH $sqlNts,
+         |c AS (
+         |  SELECT pos + gs.i - 1 AS position, substring(nt, gs.i, 1) AS base, COUNT(*) AS cnt
+         |  FROM nts CROSS JOIN generate_series(1, 20) AS gs(i) GROUP BY 1, 2),
+         |f AS (SELECT position, cnt::DOUBLE / SUM(cnt) OVER (PARTITION BY position) AS freq FROM c),
+         |h AS (SELECT position, -SUM(freq * ln(freq) / ln(2)) AS entropy FROM f GROUP BY position),
+         |n AS (SELECT position, SUM(cnt) AS n FROM c GROUP BY position)
+         |SELECT h.position,
+         |  round(greatest(0.0, 2.0 - (h.entropy + 3.0 / (2 * ln(2) * n.n))), 6) AS bits
+         |FROM h JOIN n ON h.position = n.position
+         |ORDER BY h.position""".stripMargin,
+    "q_rel_entropy" ->
+      s"""WITH $sqlNts,
+         |c AS (
+         |  SELECT pos + gs.i - 1 AS position, substring(nt, gs.i, 1) AS base, COUNT(*) AS cnt
+         |  FROM nts CROSS JOIN generate_series(1, 20) AS gs(i) GROUP BY 1, 2),
+         |f AS (SELECT position, cnt::DOUBLE / SUM(cnt) OVER (PARTITION BY position) AS freq FROM c)
+         |SELECT position, round(SUM(freq * ln(freq / 0.25) / ln(2)), 6) AS rel_entropy
+         |FROM f GROUP BY position ORDER BY position""".stripMargin,
+    "q_regex_match" ->
+      s"""WITH $sqlNts
+         |SELECT 'd' || doc_id AS read_id FROM nts
+         |WHERE regexp_matches(nt, '${graft.model.Alphabets.seqToRegex("ACNGT")}')
+         |ORDER BY read_id""".stripMargin,
     "q_quality_dist" ->
       """WITH bins(bin_label, lo, hi) AS (VALUES ('1-10', 1, 10), ('11-20', 11, 20), ('21-30', 21, 30)),
         |q AS (
