@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract invariants: keeps SparkEntry aligned with what the
+  * harness expects before any round is submitted.
+  */
+class ContractSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("every oracle key has a matching query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
+  }
+
+  test("entry returns rows on the smoke scale factor") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("query names are stable snake_case identifiers") {
+    assert(SparkEntry.queries.keys.forall(_.matches("[a-z0-9_]+")))
+  }
+
+  test("oracle SQL never references tables outside the testdata set") {
+    val tables = Tables.All.toSet
+    val word = "[a-zA-Z_]+".r
+    // crude but effective: every FROM/JOIN target must be a known table or
+    // a CTE defined in the same statement
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val ctes = "(?i)(?:WITH|,)\\s*([a-zA-Z_0-9]+)\\s*(?:\\([a-zA-Z_0-9, ]*\\))?\\s*AS\\s*\\(".r
+        .findAllMatchIn(sql).map(_.group(1)).toSet
+      val targets = "(?i)(?:FROM|JOIN)\\s+([a-zA-Z_][a-zA-Z_0-9]*)".r
+        .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val unknown = targets -- tables -- ctes.map(_.toLowerCase) -
+        "generate_series" - "read_parquet"
+      assert(unknown.isEmpty, s"$name references unknown relations: $unknown")
+    }
+  }
+}
