@@ -28,6 +28,24 @@ class KmersSpec extends AnyFunSuite {
     assert(g(("2,4", "CT")) == 1 && g(("2,4", "CA")) == 1)
   }
 
+  test("reference docstring golden: substrings of ACTW/ATTA at k=3") {
+    // Transcribed from /root/reference/seqtables/core/seqtables.py:961-975:
+    // SeqTable(['ACTW','ATTA']).get_substrings(3) over position combos
+    // (1,2,3) (1,2,4) (1,3,4) (2,3,4).
+    val st2 = graft.core.SeqTable.fromReads(spark, Seq(
+      ("r1", "ACTW", null), ("r2", "ATTA", null)))
+    val (combos, dropped) = Kmers.combinations(1 to 4, 3)
+    assert(dropped == 0 && combos.size == 4)
+    val g = Kmers.gapped(st2.reads, combos, st2.minPos)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val expected = Map(
+      ("1,2,3", "ACT") -> 1L, ("1,2,4", "ACW") -> 1L,
+      ("1,3,4", "ATW") -> 1L, ("2,3,4", "CTW") -> 1L,
+      ("1,2,3", "ATT") -> 1L, ("1,2,4", "ATA") -> 1L,
+      ("1,3,4", "ATA") -> 1L, ("2,3,4", "TTA") -> 1L)
+    assert(g == expected)
+  }
+
   test("combinations respects the cap and reports drops") {
     val (kept, dropped) = Kmers.combinations(1 to 10, 3, maxCombos = 20)
     assert(kept.size == 20)
