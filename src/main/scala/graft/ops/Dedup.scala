@@ -178,6 +178,62 @@ object Dedup {
       .select("id_a", "id_b", "hamming_bits")
   }
 
+  /** Near-duplicate pairs → connected components, by iterative min-label
+    * propagation: every id starts as its own label; each round joins the
+    * (undirected) edge list and takes the minimum neighbor label; stops at
+    * the fixpoint. Near-dup graphs have tiny components (chains of pairs),
+    * so the fixpoint arrives in a handful of rounds — each round is one
+    * join + one aggregate on (id, label) pairs, no driver-side graph.
+    *
+    * Output: (id, component) where component = min id in the component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("component", "nc"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nc")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+      val changed = updated.join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels = updated.localCheckpoint(eager = true) // truncate the iterative lineage
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-duplicate REMOVAL: detect pairs with MinHash+LSH,
+    * cluster them, keep the minimum-id representative of each cluster (plus
+    * every document that paired with nothing). This is the operator a
+    * training-data pipeline actually runs; the pair/cluster forms are
+    * exposed for inspection.
+    *
+    * Output: the input rows minus non-representative near-duplicates.
+    */
+  def dropNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.7): DataFrame = {
+    val pairs = minhashNearDuplicates(df, idCol, textCol, k, numHashes, bands, threshold)
+    val comps = connectedComponents(pairs)
+    val losers = comps.filter(col("id") =!= col("component")).select(col("id"))
+    df.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs produced by a
     * blocking key (never all-pairs). Output: (id_a, id_b, jaccard).
     */

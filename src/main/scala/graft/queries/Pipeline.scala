@@ -43,6 +43,15 @@ object Pipeline {
         "doc_id", "text", k = 3, numHashes = 64, bands = 16, threshold = 0.7)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // End-to-end corpus dedup: near-dup pairs → connected components →
+    // keep one representative per cluster. Rows-only (the pair detection
+    // is the probabilistic MinHash path).
+    "q_dedup_corpus" -> ((s, dir) =>
+      Dedup.dropNearDuplicates(Tables(s, dir, "documents"), "doc_id", "text",
+        k = 3, numHashes = 64, bands = 16, threshold = 0.7)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
     // SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures).
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDuplicates(Tables(s, dir, "documents"), "doc_id", "text")

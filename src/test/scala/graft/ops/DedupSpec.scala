@@ -117,4 +117,20 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 4L))) // identical text → hamming 0
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("connected components group transitive near-dup chains") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dropNearDuplicates keeps one representative per cluster") {
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text",
+      k = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // docs 1, 2, 4 are mutual near-dups -> representative 1 survives;
+    // 3 and 5 are unrelated singletons
+    assert(kept == Set(1L, 3L, 5L))
+  }
 }
