@@ -188,10 +188,15 @@ object Dedup {
     * Output: (id, component) where component = min id in the component.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // Materialize the edge list ONCE: the iterative loop would otherwise
+    // lazily recompute the (expensive) pair-detection lineage on every
+    // join of every round.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(eager = true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
+      .localCheckpoint(eager = true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -200,12 +205,15 @@ object Dedup {
           .withColumnRenamed("component", "nc"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nc")).as("nmin"))
+      // checkpoint BEFORE the convergence probe so the probe and the next
+      // round both read materialized data, not the lineage
       val updated = labels.join(neighborMin, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .localCheckpoint(eager = true)
       val changed = updated.join(labels.withColumnRenamed("component", "old"), Seq("id"))
         .filter(col("component") =!= col("old")).limit(1).count()
-      labels = updated.localCheckpoint(eager = true) // truncate the iterative lineage
+      labels = updated
       converged = changed == 0
       iter += 1
     }
