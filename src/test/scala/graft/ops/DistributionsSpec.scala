@@ -91,6 +91,28 @@ class DistributionsSpec extends AnyFunSuite {
     assert(bins(1) == ("3-4", 4, 35.0))
   }
 
+  test("reference docstring input golden: quality dist over 3 reads, 2 bins") {
+    // Input transcribed from get_quality_dist's docstring
+    // (ref: seqtables.py:1350-1360); quality strings truncated to read
+    // length (the docstring's 11-char qualities are a typo for 10-char
+    // reads). Expectations hand-computed at phred+33.
+    val st = SeqTable.fromReads(spark, Seq(
+      ("r1", "AAAAAAAAAA", "6AA9-C9--6"),
+      ("r2", "AAAAAAAAAC", "6AA!1C9BA6"),
+      ("r3", "CCCCCCCCCC", "6AA!!C9!-6")))
+    val bins = QualityDist(st.long, Seq((1, 5), (6, 10)))
+      .collect().map(r => (r.getString(0),
+        (r.getLong(3), r.getDouble(4), r.getInt(6), r.getInt(7)))).toMap
+    // bin 1-5: 12 non-null quals, sum 307
+    assert(bins("1-5")._1 == 12)
+    assert(math.abs(bins("1-5")._2 - 307.0 / 12) < 1e-9)
+    assert(bins("1-5")._3 == 12 && bins("1-5")._4 == 32)
+    // bin 6-10: 14 non-null quals, sum 338
+    assert(bins("6-10")._1 == 14)
+    assert(math.abs(bins("6-10")._2 - 338.0 / 14) < 1e-9)
+    assert(bins("6-10")._3 == 12 && bins("6-10")._4 == 34)
+  }
+
   test("fastqc bin preset shapes") {
     val b = QualityDist.fastqcBins(320)
     assert(b.take(9) == (1 to 9).map(i => (i, i)))
