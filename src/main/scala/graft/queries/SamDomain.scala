@@ -82,6 +82,23 @@ object SamDomain {
         .orderBy(col("read_id"))
     }),
 
+    // U1 axis-1 merge: outer-align two tables on read_id, later-wins
+    // overlay over the later window — doc text split into [1,20] and
+    // [21,40] slices whose merge reconstructs chars 1-10 + 21-40.
+    "q_merge_align" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      def slice(from: Int, pos: Int) = SeqTable(
+        docs.select(
+          col("doc_id").cast("string").as("read_id"),
+          rpad(substring(col("text"), from, 20), 20, "X").as("seq"),
+          lit("!" * 20).as("qual")),
+        SeqTable.emptyInsertions(s),
+        graft.model.SeqTableMeta("AA"), pos, pos + 19)
+      Merge.alignReads(slice(1, 1), slice(21, 11))
+        .reads.select(col("read_id"), col("seq"))
+        .orderBy(col("read_id"))
+    }),
+
     // J4 all-pairs hamming on a bounded subset (exact mode; the scale path
     // is the LSH family in Pipeline).
     "q_pairwise_hamming" -> ((s, dir) => {
@@ -204,6 +221,11 @@ object SamDomain {
         |    repeat('-', 15) || rpad(substring(text, 16, 15), 15, 'X') AS seq
         |  FROM documents) t
         |ORDER BY read_id""".stripMargin,
+    "q_merge_align" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS read_id,
+        |  substring(rpad(substring(text, 1, 20), 20, 'X'), 1, 10) ||
+        |  rpad(substring(text, 21, 20), 20, 'X') AS seq
+        |FROM documents ORDER BY read_id""".stripMargin,
     "q_pairwise_hamming" ->
       """WITH r AS (
         |  SELECT doc_id, rpad(substring(text, 1, 30), 30, 'X') AS seq
