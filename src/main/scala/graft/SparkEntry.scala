@@ -22,7 +22,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.SeqDomain.queries ++
       graft.queries.Pipeline.queries ++
-      graft.queries.SamDomain.queries
+      graft.queries.SamDomain.queries ++
+      graft.queries.ScaleDomain.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -31,5 +32,6 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
       graft.queries.SeqDomain.oracle ++
       graft.queries.Pipeline.oracle ++
-      graft.queries.SamDomain.oracle
+      graft.queries.SamDomain.oracle ++
+      graft.queries.ScaleDomain.oracle
 }

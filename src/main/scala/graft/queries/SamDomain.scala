@@ -183,7 +183,17 @@ object SamDomain {
         .filter(col("seq").rlike(pattern))
         .select(col("header").as("read_id"))
         .orderBy(col("read_id"))
-    })
+    }),
+
+    // F8 breakdown_bits: synthesized flags (doc_id mod 4096) exploded into
+    // their set SAM flag bits, counted per bit position.
+    "q_flag_bits" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(4096)).cast("int").as("flag"))
+        .select(explode(graft.io.Sam.breakdownBits("flag")).as("bit"))
+        .groupBy(col("bit"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bit")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -298,6 +308,11 @@ object SamDomain {
         |  MIN(qual) AS min, MAX(qual) AS max
         |FROM q JOIN bins ON q.position BETWEEN lo AND hi
         |WHERE qual > 0
-        |GROUP BY bin_label ORDER BY bin_label""".stripMargin
+        |GROUP BY bin_label ORDER BY bin_label""".stripMargin,
+    "q_flag_bits" ->
+      """SELECT CAST(b AS INT) AS bit, COUNT(*) AS n
+        |FROM documents CROSS JOIN range(0, 12) t(b)
+        |WHERE ((doc_id % 4096) >> b) & 1 = 1
+        |GROUP BY b ORDER BY bit""".stripMargin
   )
 }

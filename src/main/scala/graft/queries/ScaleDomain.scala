@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Multimodal, Scale}
+
+/** Driver queries for the scale-out utilities (`ops/Scale.scala`) and the
+  * multimodal column plumbing (`ops/Multimodal.scala`), all DuckDB-oracle
+  * backed: the salted two-stage aggregation and the Bloom-pruned join must
+  * produce EXACTLY the plain-shuffle answer (that is their contract), and
+  * the media feature/frame-sample stubs are deterministic byte arithmetic,
+  * so the oracle can recompute them from the text payloads (testdata
+  * documents are pure ASCII ⇒ UTF-8 bytes == codepoints).
+  */
+object ScaleDomain {
+
+  /** documents wrapped as a binary media frame (text/plain payloads). */
+  private def media(s: SparkSession, dir: String): DataFrame =
+    Multimodal.asMedia(Tables(s, dir, "documents"), "doc_id", "text", "text/plain")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Skew-safe two-stage aggregation == plain groupBy. The summed column
+    // is pre-cast to decimal so the two-stage partial/merge is bit-exact
+    // against the oracle's single-stage sum.
+    "q_salted_agg" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .withColumn("qty_dec", col("l_quantity").cast("decimal(18,4)"))
+      Scale.saltedAggregate(li, Seq("l_returnflag"), Seq(
+        ("sum_qty", "qty_dec", "sum"),
+        ("n_rows", "", "count"),
+        ("min_price", "l_extendedprice", "min"),
+        ("max_price", "l_extendedprice", "max")))
+        .select(col("l_returnflag"),
+          col("sum_qty").cast("double").as("sum_qty"),
+          col("n_rows"), col("min_price"), col("max_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Bloom-pruned fact⋈dim join == plain join (false positives are
+    // re-filtered by the join itself).
+    "q_bloom_join" -> ((s, dir) => {
+      val building = Tables(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      Scale.bloomPrunedJoin(
+        Tables(s, dir, "orders"), building,
+        bigKey = "o_custkey", smallKey = "c_custkey",
+        expectedItems = 10000L)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // Byte-level feature extraction over binary payloads (the decode-stub
+    // path: length + mean byte, per-partition batched).
+    "q_media_features" -> ((s, dir) =>
+      Multimodal.features(media(s, dir))
+        .select(col("media_id"), col("mime"), col("n_bytes"),
+          round(col("avg_byte"), 6).as("avg_byte"))
+        .orderBy(col("media_id"))),
+
+    // Frame sampling: deterministic byte offsets (floor(n*f/4)) standing in
+    // for timestamps. The FNV frame hash is pinned in MultimodalSpec; the
+    // oracle checks the sampling grid.
+    "q_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(media(s, dir), nFrames = 4)
+        .select(col("media_id"), col("frame_idx"),
+          col("offset").as("byte_off"))
+        .orderBy(col("media_id"), col("frame_idx")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows,
+        |  MIN(l_extendedprice) AS min_price,
+        |  MAX(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT c_nationkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_media_features" ->
+      """SELECT doc_id AS media_id, 'text/plain' AS mime,
+        |  length(text) AS n_bytes,
+        |  round(list_sum(list_transform(range(1, length(text) + 1),
+        |    i -> unicode(text[i])))::DOUBLE / length(text), 6) AS avg_byte
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q_frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(length(text) * f // 4 AS INT) AS byte_off
+        |FROM documents CROSS JOIN range(0, 4) t(f)
+        |ORDER BY media_id, frame_idx""".stripMargin
+  )
+}

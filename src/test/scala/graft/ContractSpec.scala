@@ -32,7 +32,7 @@ class ContractSpec extends AnyFunSuite {
       val targets = "(?i)(?:FROM|JOIN)\\s+([a-zA-Z_][a-zA-Z_0-9]*)".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val unknown = targets -- tables -- ctes.map(_.toLowerCase) -
-        "generate_series" - "read_parquet"
+        "generate_series" - "range" - "read_parquet"
       assert(unknown.isEmpty, s"$name references unknown relations: $unknown")
     }
   }
