@@ -66,6 +66,30 @@ class PlanSpec extends AnyFunSuite {
     assert(spans.size >= 2, s"expected codegen spans, found $spans in:\n${p.take(600)}")
   }
 
+  test("bloom-pruned join filters the fact side before its shuffle") {
+    val p = physicalPlan("q_bloom_join")
+    // the bloom predicate must sit under the orders scan side, upstream of
+    // any exchange — i.e. a Filter containing the UDF appears in the plan
+    // and the big-side scan is not shuffled unfiltered
+    assert(p.contains("Filter"), p.take(600))
+    assert("(?i)mightContain|UDF".r.findFirstIn(p).isDefined,
+      "bloom probe not in the physical plan:\n" + p.take(800))
+  }
+
+  test("salted aggregation is two map-side-combined stages") {
+    val df = SparkEntry.queries("q_salted_agg")(spark, dir)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    // the adaptive plan string repeats the tree as Final + Initial —
+    // assert on the final section only
+    val p = full.split("== Initial Plan ==").head
+    // stage 1 groups on (key, salt), stage 2 on the key: two hash
+    // exchanges, each preceded by a partial aggregate
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges >= 2 && exchanges <= 3, s"expected 2-stage agg:\n$p")
+    assert(p.contains("partial_"), "no map-side combine:\n" + p.take(600))
+  }
+
   test("SAM alignment plan has no shuffle beyond the aggregate") {
     val sam = graft.queries.SamDomain.queries("q_sam_dist")(spark, dir)
     val p = sam.queryExecution.executedPlan.toString
