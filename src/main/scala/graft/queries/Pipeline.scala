@@ -52,11 +52,12 @@ object Pipeline {
     // keep one representative per cluster. Rows-only (the pair detection
     // is the probabilistic MinHash path).
     // Lighter LSH config than the pair-listing query: corpus dedup targets
-    // the j>0.9 mass where 8-band/r=4 recall is ≥99%, at ~40% of the
-    // candidate volume.
+    // the j>0.9 mass, where 8-band/r=5 recall is ≥99.9% (midpoint at
+    // (1/8)^(1/5) ≈ 0.66), at roughly half the r=4 candidate volume in the
+    // corpus's pervasive j≈0.5 bulk.
     "q_dedup_corpus" -> ((s, dir) =>
       Dedup.dropNearDuplicates(Tables(s, dir, "documents"), "doc_id", "text",
-        k = 3, numHashes = 32, bands = 8, threshold = 0.7)
+        k = 3, numHashes = 40, bands = 8, threshold = 0.7)
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 
