@@ -60,6 +60,13 @@ object SeqDomain {
       Distributions.consensus(docTable(s, dir).long)
         .orderBy(col("position"))),
 
+    // P1 sel/isel positional slice: restrict the table to window [5, 15],
+    // then the A1 distribution — checks the slice bound propagation
+    // through the wide→long path.
+    "q_slice_dist" -> ((s, dir) =>
+      Distributions.seqDist(docTable(s, dir).slicePositions(5, 15).long)
+        .orderBy(col("position"), col("base"))),
+
     // A7 per-position Shannon entropy (bits).
     "q_entropy" -> ((s, dir) =>
       Distributions.entropy(docTable(s, dir).long)
@@ -135,6 +142,10 @@ object SeqDomain {
     "q_seq_dist" ->
       s"""SELECT gs.pos AS position, substring($sqlSeq, gs.pos, 1) AS base, COUNT(*) AS cnt
          |FROM documents d CROSS JOIN generate_series(1, $W) AS gs(pos)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_slice_dist" ->
+      s"""SELECT gs.pos AS position, substring($sqlSeq, gs.pos, 1) AS base, COUNT(*) AS cnt
+         |FROM documents d CROSS JOIN generate_series(5, 15) AS gs(pos)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_consensus" ->
       s"""WITH c AS (
