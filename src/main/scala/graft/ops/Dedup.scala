@@ -187,13 +187,54 @@ object Dedup {
     *
     * Output: (id, component) where component = min id in the component.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIter: Int = 10,
+      driverSideMaxEdges: Long = 4000000L): DataFrame = {
     // Materialize the edge list ONCE: the iterative loop would otherwise
     // lazily recompute the (expensive) pair-detection lineage on every
     // join of every round.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(eager = true)
+
+    // Near-dup edge lists are tiny relative to the corpus (LSH + exact
+    // verification has already filtered them); below the threshold the
+    // iterative loop's per-round job overhead dominates actual work, so
+    // solve exactly with union-find on the driver instead — same min-id
+    // labels, one job. The distributed loop remains the >threshold path.
+    val longIds = Seq("src", "dst").forall(f =>
+      edges.schema(f).dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && edges.count() <= driverSideMaxEdges) {
+      val es = edges.select(col("src"), col("dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val idx = scala.collection.mutable.HashMap.empty[Long, Int]
+      es.foreach { case (a, b) =>
+        idx.getOrElseUpdate(a, idx.size); idx.getOrElseUpdate(b, idx.size)
+      }
+      val ids = new Array[Long](idx.size)
+      idx.foreach { case (id, i) => ids(i) = id }
+      val parent = Array.tabulate(idx.size)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(idx(a)); val rb = find(idx(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val minId = scala.collection.mutable.HashMap.empty[Int, Long]
+      ids.indices.foreach { i =>
+        val r = find(i)
+        minId.updateWith(r)(m => Some(math.min(m.getOrElse(Long.MaxValue), ids(i))))
+      }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return ids.indices.map(i => (ids(i), minId(find(i)))).toDF("id", "component")
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(eager = true)

@@ -125,6 +125,18 @@ class DedupSpec extends AnyFunSuite {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("distributed label-propagation path matches the union-find path") {
+    // chain + star + singleton pair; force the loop with threshold 0
+    val pairs = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L),
+      (20L, 21L), (20L, 22L), (20L, 23L), (30L, 31L)).toDF("id_a", "id_b")
+    val loop = Dedup.connectedComponents(pairs, driverSideMaxEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val uf = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(loop == uf)
+    assert(loop(5L) == 1L && loop(23L) == 20L && loop(31L) == 30L)
+  }
+
   test("dropNearDuplicates keeps one representative per cluster") {
     val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text",
       k = 3, numHashes = 64, bands = 16, threshold = 0.5)
