@@ -21,18 +21,24 @@ object Bench {
       }
     }
     // two measured iterations, report the per-query min: steady-state
-    // latency, insulated from one-off GC/scheduler hiccups
+    // latency, insulated from one-off GC/scheduler hiccups. A throwing
+    // query reports -1.0 (never its elapsed time) so a broken query can't
+    // masquerade as a fast one; failures are also listed under "errors".
     def once(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val (r1, r2) = (once(), once())
-    val results = r1.map { case (k, v) => k -> math.min(v, r2(k)) }
+    val results = r1.map { case (k, v) =>
+      k -> (if (v < 0 || r2(k) < 0) -1.0 else math.min(v, r2(k)))
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -70,6 +70,17 @@ object Dedup {
   /** MinHash+LSH near-duplicate pairs.
     * shingle→minhash→band→bucket-join→exact-Jaccard verify.
     *
+    * Recall math: a band of r rows collides with probability j^r, so with
+    * B bands P(candidate) = 1 − (1−j^r)^B. Requiring ≥m band collisions
+    * (minBandMatches > 1) changes that to the binomial tail
+    * P(X≥m), X~Bin(B, j^r) — at m=2, B=12, r=5 recall at the j=0.7
+    * boundary drops from 0.89 to ~0.62 (though it stays ≥0.99 at j≥0.85).
+    * The default is therefore m=1 (the plain S-curve, recall as
+    * advertised); pass minBandMatches=2 as an explicit precision/cost
+    * trade on corpora with pervasive mid-range similarity, where the
+    * band-collision count is a free Jaccard estimate that keeps exact
+    * verifies proportional to true near-matches.
+    *
     * @param df        input with (idCol, textCol)
     * @param k         shingle length
     * @param numHashes signature length
@@ -85,7 +96,7 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.7,
-      minBandMatches: Int = 2): DataFrame = {
+      minBandMatches: Int = 1): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val withSh = df.select(
@@ -106,11 +117,9 @@ object Dedup {
 
     // Candidate pruning before any array travels:
     //  - size bound (LOSSLESS): j >= t implies min(|A|,|B|)/max >= t;
-    //  - band-collision count (the free Jaccard estimate — E[collisions] =
-    //    bands * j^rows): pairs colliding in < minBandMatches bands are
-    //    dropped. On corpora with pervasive mid-range similarity, where
-    //    single-band collision prunes almost nothing, this is what keeps
-    //    the exact verifies proportional to true near-matches.
+    //  - band-collision count (opt-in, minBandMatches > 1 — see the recall
+    //    math in the scaladoc): pairs colliding in < minBandMatches bands
+    //    are dropped.
     val candidates = banded
       .select(col("band"), col("band_hash"), col("id").as("id_a"), col("n").as("n_a"))
       .join(banded.select(col("band"), col("band_hash"),
@@ -246,11 +255,21 @@ object Dedup {
           .withColumnRenamed("component", "nc"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nc")).as("nmin"))
-      // checkpoint BEFORE the convergence probe so the probe and the next
-      // round both read materialized data, not the lineage
-      val updated = labels.join(neighborMin, Seq("id"), "left_outer")
+      val propagated = labels.join(neighborMin, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+      // Pointer jumping: follow the component pointer one hop (component
+      // values are themselves ids with label rows). Composing the halved
+      // paths each round turns linear-diameter convergence into
+      // O(log diameter) — a 1000-link chain converges in ~10 rounds, not
+      // 1000, so maxIter is a genuine safety valve, not a silent truncation.
+      // checkpoint BEFORE the convergence probe so the probe and the next
+      // round both read materialized data, not the lineage
+      val updated = propagated.as("a")
+        .join(propagated.select(col("id").as("pid"), col("component").as("pc")),
+          col("a.component") === col("pid"), "left_outer")
+        .select(col("a.id").as("id"),
+          least(col("a.component"), coalesce(col("pc"), col("a.component"))).as("component"))
         .localCheckpoint(eager = true)
       val changed = updated.join(labels.withColumnRenamed("component", "old"), Seq("id"))
         .filter(col("component") =!= col("old")).limit(1).count()
@@ -258,6 +277,12 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // A non-converged exit would silently split components (and a
+    // downstream dropNearDuplicates would RETAIN duplicates) — fail loudly
+    // instead; with pointer jumping this needs diameter > 2^maxIter.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds; raise maxIter")
     labels
   }
 
@@ -276,8 +301,10 @@ object Dedup {
       k: Int = 5,
       numHashes: Int = 32,
       bands: Int = 8,
-      threshold: Double = 0.7): DataFrame = {
-    val pairs = minhashNearDuplicates(df, idCol, textCol, k, numHashes, bands, threshold)
+      threshold: Double = 0.7,
+      minBandMatches: Int = 1): DataFrame = {
+    val pairs = minhashNearDuplicates(df, idCol, textCol, k, numHashes, bands,
+      threshold, minBandMatches)
     val comps = connectedComponents(pairs)
     val losers = comps.filter(col("id") =!= col("component")).select(col("id"))
     df.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
@@ -285,6 +312,16 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity for candidate pairs produced by a
     * blocking key (never all-pairs). Output: (id_a, id_b, jaccard).
+    *
+    * Skew guard: within-block pair generation is quadratic by contract, and
+    * without intervention the quadratic work of one hot block (e.g. a single
+    * dominant (lang, source)) lands in ONE task. Blocks larger than
+    * `maxBlockRows` are grid-split: rows are salted into g =
+    * ceil(size/maxBlockRows) sub-blocks and each of the g(g+1)/2 sub-block
+    * *cells* (lo, hi) becomes its own join task — every pair lands in
+    * exactly one cell, so the result is EXACT (no dropped coverage), while
+    * the hot block's work spreads over ~g²/2 tasks at a g× replication of
+    * its rows. Small blocks take g=1 and are untouched.
     */
   def ngramJaccard(
       df: DataFrame,
@@ -292,16 +329,34 @@ object Dedup {
       textCol: String,
       blockCol: String,
       n: Int = 3,
-      threshold: Double = 0.0): DataFrame = {
+      threshold: Double = 0.0,
+      maxBlockRows: Int = 100000): DataFrame = {
+    require(maxBlockRows > 0, "maxBlockRows must be positive")
     val withSh = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
       HashKernels.hashedShinglesUdf(n)(col(textCol)).as("sh"))
       .withColumn("sz", size(col("sh")))
-    val a = withSh.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"),
-      col("sz").as("sz_a"))
-    val b = withSh.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"),
-      col("sz").as("sz_b"))
-    a.join(b, Seq("blk"))
+      // one count shuffle to size blocks; g=1 for all but oversized blocks
+      .withColumn("g",
+        ceil(count(lit(1)).over(Window.partitionBy(col("blk")))
+          .cast("double") / maxBlockRows).cast("int"))
+      .withColumn("sub", pmod(xxhash64(col("id")), col("g")).cast("int"))
+      // row membership: one cell (least(sub,t), greatest(sub,t)) per t —
+      // a pair (sub_a, sub_b) shares exactly the cell (min, max) when
+      // sub_a != sub_b; equal subs share all g cells and are filtered to
+      // the diagonal cell below.
+      .withColumn("t", explode(sequence(lit(0), col("g") - 1)))
+      .withColumn("lo", least(col("sub"), col("t")))
+      .withColumn("hi", greatest(col("sub"), col("t")))
+    val a = withSh.select(col("blk"), col("lo"), col("hi"), col("sub").as("sub_a"),
+      col("id").as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a"))
+    val b = withSh.select(col("blk"), col("lo"), col("hi"), col("sub").as("sub_b"),
+      col("id").as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b"))
+    a.join(b, Seq("blk", "lo", "hi"))
       .filter(col("id_a") < col("id_b") &&
+        // same-sub pairs co-occur in every cell of the row's probe set:
+        // count them only in their diagonal cell
+        (col("sub_a") =!= col("sub_b") ||
+          (col("lo") === col("sub_a") && col("hi") === col("sub_a"))) &&
         // lossless size bound: j >= t implies min/max >= t — skip the set
         // intersection entirely for pairs that cannot qualify
         least(col("sz_a"), col("sz_b")) >= lit(threshold) * greatest(col("sz_a"), col("sz_b")))

@@ -159,6 +159,82 @@ object HashKernels {
     out
   }
 
+  /** Raw hyperplane projections for global bit indices [0, n): same weight
+    * family as [[hyperplaneSig]], so bucket bits agree across kernels.
+    */
+  private def hyperplaneProjs(v: Array[Float], n: Int, seed: Int): Array[Double] = {
+    val out = new Array[Double](n)
+    var b = 0
+    while (b < n) {
+      var s = 0.0
+      var i = 0
+      while (i < v.length) {
+        val h = mix(seed.toLong * 0x9e3779b97f4a7c15L + b.toLong * 0xbf58476d1ce4e5b9L + i)
+        val w = (((h % 100000L) + 100000L) % 100000L).toDouble / 100000.0 - 0.5
+        s += v(i).toDouble * w
+        i += 1
+      }
+      out(b) = s
+      b += 1
+    }
+    out
+  }
+
+  /** Per-band LSH buckets: band b is the `r`-bit bucket assembled from
+    * global hyperplane bits [b*r, (b+1)*r). Returns `bands` longs. Bands use
+    * disjoint hyperplanes, so band collisions are independent events — the
+    * premise of the 1-(1-p^r)^B S-curve.
+    */
+  def hyperplaneBandBuckets(v: Array[Float], bands: Int, r: Int, seed: Int): Array[Long] = {
+    val projs = hyperplaneProjs(v, bands * r, seed)
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var bucket = 0L
+      var j = 0
+      while (j < r) {
+        if (projs(b * r + j) >= 0) bucket |= (1L << j)
+        j += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    out
+  }
+
+  /** Multi-probe variant: for each band, the exact bucket plus the `r`
+    * single-bit-flip perturbations (full Hamming≤1 cover of the band),
+    * ordered by ascending |projection| (least-confident bit first) so a
+    * caller can truncate to the most promising probes. Layout: entry
+    * `b*(r+1) + p` is probe p of band b (p=0 exact).
+    */
+  def hyperplaneBandBucketsProbed(v: Array[Float], bands: Int, r: Int, seed: Int): Array[Long] = {
+    val projs = hyperplaneProjs(v, bands * r, seed)
+    val out = new Array[Long](bands * (r + 1))
+    val order = new Array[Integer](r)
+    var b = 0
+    while (b < bands) {
+      var bucket = 0L
+      var j = 0
+      while (j < r) {
+        if (projs(b * r + j) >= 0) bucket |= (1L << j)
+        order(j) = j
+        j += 1
+      }
+      val base = b * r
+      java.util.Arrays.sort(order, (x: Integer, y: Integer) =>
+        java.lang.Double.compare(math.abs(projs(base + x)), math.abs(projs(base + y))))
+      out(b * (r + 1)) = bucket
+      j = 0
+      while (j < r) {
+        out(b * (r + 1) + 1 + j) = bucket ^ (1L << order(j).intValue)
+        j += 1
+      }
+      b += 1
+    }
+    out
+  }
+
   // ---- Column-level wrappers -------------------------------------------
 
   def hashedShinglesUdf(k: Int): Column => Column = {
@@ -201,6 +277,16 @@ object HashKernels {
 
   def hyperplaneSigUdf(bits: Int, seed: Int): Column => Column = {
     val f = udf((v: Array[Float]) => hyperplaneSig(v, bits, seed))
+    c => f(c)
+  }
+
+  def bandBucketsUdf(bands: Int, r: Int, seed: Int): Column => Column = {
+    val f = udf((v: Array[Float]) => hyperplaneBandBuckets(v, bands, r, seed))
+    c => f(c)
+  }
+
+  def bandBucketsProbedUdf(bands: Int, r: Int, seed: Int): Column => Column = {
+    val f = udf((v: Array[Float]) => hyperplaneBandBucketsProbed(v, bands, r, seed))
     c => f(c)
   }
 }

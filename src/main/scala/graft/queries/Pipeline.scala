@@ -41,23 +41,29 @@ object Pipeline {
     // 12 bands × r=5 puts the S-curve midpoint at (1/12)^(1/5) ≈ 0.61 —
     // the balanced parameterization for a 0.7 threshold. r=4 banding keys
     // ~64% of the corpus's pervasive j≈0.5 bulk as candidates; r=5 cuts
-    // that to ~32% while keeping ≥89% recall at the threshold boundary
-    // (≥99.9% at j≥0.85), and every surviving pair is exact-verified.
+    // that to ~32%. minBandMatches=2 is an explicit precision/cost trade
+    // for this corpus's mid-range bulk: with X~Bin(12, j^5), recall
+    // P(X≥2) ≈ 0.62 at the j=0.7 boundary, ≥0.99 at j≥0.85 (the plain
+    // ≥1-band S-curve — the operator default — would give 0.89 at the
+    // boundary at ~2× the exact-verify volume). Survivors are
+    // exact-verified, so precision is unaffected.
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashNearDuplicates(Tables(s, dir, "documents"),
-        "doc_id", "text", k = 3, numHashes = 60, bands = 12, threshold = 0.7)
+        "doc_id", "text", k = 3, numHashes = 60, bands = 12, threshold = 0.7,
+        minBandMatches = 2)
         .orderBy(col("id_a"), col("id_b"))),
 
     // End-to-end corpus dedup: near-dup pairs → connected components →
     // keep one representative per cluster. Rows-only (the pair detection
     // is the probabilistic MinHash path).
     // Lighter LSH config than the pair-listing query: corpus dedup targets
-    // the j>0.9 mass, where 8-band/r=5 recall is ≥99.9% (midpoint at
-    // (1/8)^(1/5) ≈ 0.66), at roughly half the r=4 candidate volume in the
-    // corpus's pervasive j≈0.5 bulk.
+    // the j>0.9 mass, where with the explicit minBandMatches=2 prune and
+    // X~Bin(8, j^5) recall P(X≥2) is ≈0.99 at j=0.9 (≈0.80 at j=0.8) at
+    // roughly half the candidate volume in the corpus's pervasive j≈0.5
+    // bulk; the operator default (≥1 band) would give ≥0.999 at j≥0.9.
     "q_dedup_corpus" -> ((s, dir) =>
       Dedup.dropNearDuplicates(Tables(s, dir, "documents"), "doc_id", "text",
-        k = 3, numHashes = 40, bands = 8, threshold = 0.7)
+        k = 3, numHashes = 40, bands = 8, threshold = 0.7, minBandMatches = 2)
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 
@@ -106,11 +112,17 @@ object Pipeline {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // LSH-bucketed approximate variant (the 100 TB path). Rows-only.
+    // LSH-bucketed approximate variant. Rows-only. The testdata embeddings
+    // are random (nearest neighbors sit at s≈0.4, p(bit)=0.63), so the
+    // default 16-bit bands would never collide; this query passes explicit
+    // permissive geometry r=6/B=12 (recall ≈ 1−(1−0.63^6)^12 ≈ 0.55 at
+    // s=0.4, background scan 12·2^−6 ≈ 17% — the honest S-curve limit on
+    // angle-unseparated data). Real corpora keep the defaults: r=16, B=16,
+    // multi-probe ⇒ ~0.4% background scan, ~0.9 recall at s≥0.8.
     "q_ann_lsh" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, bits = 16, bands = 8)
+        "vec_id", "embedding", k = 5, bitsPerBand = 6, bands = 12, multiProbe = false)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -124,11 +136,15 @@ object Pipeline {
 
     // Embedding-cosine near-duplicate pairs. The testdata embeddings are
     // random (max pairwise cosine ≈ 0.5), so the query threshold targets
-    // the top tail; real corpora would use the operator default 0.95.
+    // the top tail and passes explicit permissive geometry r=5/B=12
+    // (recall ≈ 1−(1−0.61^5)^12 ≈ 0.67 at s=0.35, background candidates
+    // ≈ 1−(1−2^−5)^12 ≈ 32% of pairs — the S-curve can't do better at
+    // p≈0.61). Real corpora keep the defaults: threshold 0.95 auto-solves
+    // to 20-bit bands, background 2^−20/band ⇒ ~10^−5·N² candidates.
     // Rows-only.
     "q_cosine_neardup" -> ((s, dir) =>
       Similarity.cosineNearDuplicates(Tables(s, dir, "embeddings"),
-        "vec_id", "embedding", threshold = 0.35)
+        "vec_id", "embedding", threshold = 0.35, bitsPerBand = 5, bands = 12)
         .orderBy(col("id_a"), col("id_b"))),
 
     // ---- events: JSON + sessionization --------------------------------

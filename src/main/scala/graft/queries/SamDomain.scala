@@ -121,8 +121,10 @@ object SamDomain {
         GROUP BY codon ORDER BY codon""")
     }),
 
-    // A2 quality stats per position bin (exact columns only; percentile
-    // fields live on the operator, not the oracle contract).
+    // A2 quality stats per position bin, including the program-required
+    // percentile union {0,10,25,50,75,90,100} (ref numpy_ops.py:246) —
+    // Spark's exact `percentile` interpolates like numpy/DuckDB
+    // quantile_cont, so the percentile columns are oracle-checked too.
     "q_quality_dist" -> ((s, dir) => {
       val reads = Tables(s, dir, "documents").select(
         col("doc_id").cast("string").as("read_id"),
@@ -133,8 +135,10 @@ object SamDomain {
       val st = SeqTable(reads, SeqTable.emptyInsertions(s),
         graft.model.SeqTableMeta("AA", hasQuality = true), 1, 30)
       QualityDist(st.long, QualityDist.evenBins(1, 30, 3))
-        .select(col("bin_label"), col("n"), round(col("mean"), 6).as("mean"),
-          col("min"), col("max"))
+        .select(Seq(col("bin_label"), col("n"), round(col("mean"), 6).as("mean"),
+          col("min"), col("max")) ++
+          QualityDist.ProgramRequired.map(p =>
+            round(col(s"p${p.toInt}"), 6).as(s"p${p.toInt}")): _*)
         .orderBy(col("bin_label"))
     }),
 
@@ -305,7 +309,14 @@ object SamDomain {
         |  SELECT d.doc_id, gs.p AS position, (d.doc_id + gs.p) % 40 AS qual
         |  FROM documents d CROSS JOIN generate_series(1, 30) AS gs(p))
         |SELECT bin_label, COUNT(*) AS n, round(AVG(qual), 6) AS mean,
-        |  MIN(qual) AS min, MAX(qual) AS max
+        |  MIN(qual) AS min, MAX(qual) AS max,
+        |  round(quantile_cont(qual, 0.00), 6) AS p0,
+        |  round(quantile_cont(qual, 0.10), 6) AS p10,
+        |  round(quantile_cont(qual, 0.25), 6) AS p25,
+        |  round(quantile_cont(qual, 0.50), 6) AS p50,
+        |  round(quantile_cont(qual, 0.75), 6) AS p75,
+        |  round(quantile_cont(qual, 0.90), 6) AS p90,
+        |  round(quantile_cont(qual, 1.00), 6) AS p100
         |FROM q JOIN bins ON q.position BETWEEN lo AND hi
         |WHERE qual > 0
         |GROUP BY bin_label ORDER BY bin_label""".stripMargin,

@@ -145,4 +145,34 @@ class DedupSpec extends AnyFunSuite {
     // 3 and 5 are unrelated singletons
     assert(kept == Set(1L, 3L, 5L))
   }
+
+  test("label propagation converges on a long chain within maxIter (pointer jumping)") {
+    // 60-link path: plain min-label propagation needs ~60 rounds; pointer
+    // jumping needs ~log2(60) ≈ 6. maxIter=10 would previously truncate
+    // silently — now it must converge (a non-convergent exit throws).
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(chain, maxIter = 10, driverSideMaxEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(comps.length == 61)
+    assert(comps.forall(_._2 == 0L), "all chain members should label to min id 0")
+  }
+
+  test("ngramJaccard skew guard: grid sub-blocking is exact") {
+    // one pathological hot block (200 rows, all same blk) — force g>1 via a
+    // tiny maxBlockRows and check the pair set is IDENTICAL to the
+    // single-task run (the grid assigns every pair to exactly one cell).
+    val rnd = new scala.util.Random(3)
+    val hot = (0 until 200).map { i =>
+      val base = "shared prefix words here " * 3
+      (i.toLong, base + rnd.alphanumeric.take(10).mkString, "hot")
+    }.toDF("doc_id", "text", "blk")
+    def pairSet(maxBlockRows: Int) =
+      Dedup.ngramJaccard(hot, "doc_id", "text", "blk", n = 3,
+        threshold = 0.5, maxBlockRows = maxBlockRows)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = pairSet(25) // g = ceil(200/25) = 8 → 36 grid cells
+    val plain = pairSet(1000000)
+    assert(salted == plain, s"grid-split changed results: ${salted.size} vs ${plain.size} pairs")
+    assert(plain.nonEmpty)
+  }
 }

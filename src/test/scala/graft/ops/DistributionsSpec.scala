@@ -119,6 +119,40 @@ class DistributionsSpec extends AnyFunSuite {
     assert(b.contains((10, 14)))
     assert(b.contains((300, 309)))
   }
+
+  test("program-required percentiles always present and exact (numpy semantics)") {
+    val st = SeqTable.fromReads(spark, Seq(
+      ("r1", "AAAA", "#$%&"), ("r2", "AAAA", "'()*"))) // quals 2..9
+    val row = QualityDist(st.long, Seq((1, 4))).head()
+    val cols = Seq("p0", "p10", "p25", "p50", "p75", "p90", "p100")
+    val vals = cols.map(c => row.getDouble(row.fieldIndex(c)))
+    // quals are 2,3,4,5,6,7,8,9: numpy linear interpolation percentiles
+    assert(vals(0) == 2.0) // p0 = min
+    assert(math.abs(vals(1) - 2.7) < 1e-9) // p10: 2 + 0.7*(3-2)
+    assert(math.abs(vals(2) - 3.75) < 1e-9) // p25
+    assert(math.abs(vals(3) - 5.5) < 1e-9) // p50
+    assert(math.abs(vals(4) - 7.25) < 1e-9) // p75
+    assert(math.abs(vals(5) - 8.3) < 1e-9) // p90
+    assert(vals(6) == 9.0) // p100 = max
+    // extra user percentile joins the union without displacing required ones
+    val row5 = QualityDist(st.long, Seq((1, 4)), percentiles = Seq(5))
+      .head()
+    assert(math.abs(row5.getDouble(row5.fieldIndex("p5")) - 2.35) < 1e-9)
+  }
+
+  test("boxPlotSample reproduces the reference's 20-point stratum layout") {
+    val st = SeqTable.fromReads(spark, Seq(
+      ("r1", "AAAA", "#$%&"), ("r2", "AAAA", "'()*")))
+    val dist = QualityDist(st.long, Seq((1, 4)))
+    val row = QualityDist.boxPlotSample(dist).head()
+    val sample = row.getSeq[Double](row.fieldIndex("box_sample"))
+    assert(sample.length == 20)
+    def p(c: String) = row.getDouble(row.fieldIndex(c))
+    // [p10 x3, p25 x4, p50 x6, p75 x4, p90 x3] (ref numpy_ops.py:311-325)
+    val expected = Seq.fill(3)(p("p10")) ++ Seq.fill(4)(p("p25")) ++
+      Seq.fill(6)(p("p50")) ++ Seq.fill(4)(p("p75")) ++ Seq.fill(3)(p("p90"))
+    assert(sample == expected)
+  }
 }
 
 class BaseCountsAggregatorSpec extends AnyFunSuite {
