@@ -303,24 +303,40 @@ object SeqTable {
     * (ref: constructor_ops.py:189-205 + sam_to_arr.pyx df_to_algn_arr).
     *
     * Two-pass plan: (1) a tiny per-partition min/max aggregate for the
-    * window unless supplied; (2) a map-only `flatMap` of the pure
-    * AlignRead kernel. The insertion table is derived from the same plan by
-    * exploding the per-read insertion array — no shuffle anywhere.
+    * window unless supplied; (2) a map-only application of the pure
+    * AlignRead kernel (as a UDF so non-core columns ride along untouched).
+    * The insertion table is derived from the same plan by exploding the
+    * per-read insertion array — no shuffle anywhere.
+    *
+    * `keepReadInfo` mirrors the reference's read_info carry-through
+    * (constructor_ops.py:184-187, :362; from_pysam's
+    * store_additional_features): every input column beyond the six core
+    * SAM fields — e.g. `flag`, `mapq`, `opt` from [[graft.io.Sam.read]] /
+    * [[graft.io.Bam.read]] — lands on `reads` alongside (read_id, seq,
+    * qual) and is pruned with reads by every filter (filters copy the
+    * whole row; projections like `long` drop extras by selection).
     */
   def fromSam(
       df: DataFrame,
       window: Option[(Int, Int)] = None,
       seqType: String = "NT",
-      phredAdjust: Int = Alphabets.PhredAdjust): SeqTable = {
+      phredAdjust: Int = Alphabets.PhredAdjust,
+      keepReadInfo: Boolean = true): SeqTable = {
     val spark = df.sparkSession
     import spark.implicits._
+
+    val coreCols = Set("header", "rname", "pos", "cigar", "seq", "qual")
+    val extras =
+      if (keepReadInfo) df.columns.toSeq.filterNot(coreCols.contains)
+      else Nil
 
     val clean = df
       .filter(col("rname").isNotNull && col("rname") =!= "*" &&
         col("cigar").isNotNull && col("cigar") =!= "*")
-      .select(col("header").cast(StringType), col("seq").cast(StringType),
+      .select(Seq(
+        col("header").cast(StringType), col("seq").cast(StringType),
         col("qual").cast(StringType), col("pos").cast(IntegerType),
-        col("cigar").cast(StringType))
+        col("cigar").cast(StringType)) ++ extras.map(col): _*)
 
     val (mn, mx) = window.getOrElse {
       val partials = clean.select(col("pos"), col("seq"), col("cigar"))
@@ -342,19 +358,23 @@ object SeqTable {
     val refs = df.select(col("rname")).filter(col("rname") =!= "*")
       .distinct().limit(100).as[String].collect().toSeq
 
-    val aligned = clean.as[(String, String, String, Int, String)]
-      .flatMap { case (id, s, q, p, c) =>
-        AlignRead.align(s, q, p, c, mn, mx).map { ar =>
-          (id, ar.seq, ar.qual,
-            ar.insertions.map(ib =>
-              (ib.position, ib.loc, ib.base.toString, ib.qual.toInt - phredAdjust)))
-        }
-      }
-      .toDF("read_id", "seq", "qual", "ins")
+    val alignU = udf { (s: String, q: String, p: Int, c: String) =>
+      AlignRead.align(s, q, p, c, mn, mx).map { ar =>
+        (ar.seq, ar.qual,
+          ar.insertions.map(ib =>
+            (ib.position, ib.loc, ib.base.toString, ib.qual.toInt - phredAdjust)))
+      }.getOrElse(null)
+    }
+    val aligned = clean
+      .withColumn("__ar", alignU(col("seq"), col("qual"), col("pos"), col("cigar")))
+      .filter(col("__ar").isNotNull)
 
-    val reads = aligned.select("read_id", "seq", "qual")
+    val reads = aligned.select(Seq(
+      col("header").as("read_id"),
+      col("__ar._1").as("seq"),
+      col("__ar._2").as("qual")) ++ extras.map(col): _*)
     val insertions = aligned
-      .select(col("read_id"), explode(col("ins")).as("i"))
+      .select(col("header").as("read_id"), explode(col("__ar._3")).as("i"))
       .select(col("read_id"), col("i._1").as("position"), col("i._2").as("loc"),
         col("i._3").as("base"), col("i._4").as("qual"))
 

@@ -1,0 +1,304 @@
+package graft.io
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.US_ASCII
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S4 BAM ingest (ref: seqtables/core/seqtables.py:227-283 `from_pysam`) —
+  * binary BAM record decode over BGZF, producing the exact frame
+  * [[Sam.read]] produces from SAM text, so everything downstream
+  * (`SeqTable.fromSam`, filters, distributions) is format-agnostic.
+  *
+  * The pysam contract is preserved: BAM stores 0-based `reference_start`;
+  * the reference adds 1 on ingest ("add 1 to the position because pysam
+  * treats positions from 0 index", seqtables.py:266,280) and this reader
+  * does the same, so SAM-text and BAM paths agree on coordinates.
+  * Unmapped reads (refID −1, pos −1) come out as rname "*", pos 0 — the
+  * SAM text convention.
+  *
+  * Scale shape: the parallel unit is the FILE — `binaryFile` hands each
+  * BAM to one task, which walks its BGZF chain and decodes records;
+  * real-world NGS corpora are many-BAM by construction (per sample / per
+  * lane), so file-level parallelism is the first-order dimension.
+  * Within-file splits are possible because BGZF blocks are independently
+  * inflatable (see [[Bgzf]]) — a record-boundary resync heuristic or
+  * .bai virtual offsets would shard a single huge BAM; that path is
+  * deliberately not taken here to keep ingest dependency-free.
+  * [[write]] is the inverse: one BAM shard per partition, so a decode →
+  * transform → re-encode pipeline never funnels through the driver.
+  */
+object Bam {
+
+  /** One alignment record in SAM-text field conventions (pos 1-based). */
+  case class BamRecord(
+      header: String, flag: Int, rname: String, pos: Int, mapq: Int,
+      cigar: String, rnext: String, pnext: Int, tlen: Int,
+      seq: String, qual: String, opt: Map[String, String])
+
+  private val CigarOps = "MIDNSHP=X"
+  private val SeqNibbles = "=ACMGRSVTWYHKDBN"
+
+  // ---- decode -----------------------------------------------------------
+
+  /** Decode an entire (inflated) BAM payload. */
+  def decode(bam: Array[Byte]): Iterator[BamRecord] = {
+    require(bam.length >= 4 && bam(0) == 'B' && bam(1) == 'A' &&
+      bam(2) == 'M' && bam(3) == 1, "not a BAM payload (bad magic)")
+    var pos = 4
+    val lText = readI32(bam, pos); pos += 4 + lText
+    val nRef = readI32(bam, pos); pos += 4
+    val refNames = new Array[String](nRef)
+    var r = 0
+    while (r < nRef) {
+      val lName = readI32(bam, pos); pos += 4
+      refNames(r) = new String(bam, pos, lName - 1, US_ASCII) // drop NUL
+      pos += lName + 4 // skip l_ref
+      r += 1
+    }
+    val start = pos
+    new Iterator[BamRecord] {
+      private var p = start
+      def hasNext: Boolean = p + 4 <= bam.length
+      def next(): BamRecord = {
+        val blockSize = readI32(bam, p)
+        val rec = decodeRecord(bam, p + 4, blockSize, refNames)
+        p += 4 + blockSize
+        rec
+      }
+    }
+  }
+
+  private def decodeRecord(
+      b: Array[Byte], off: Int, len: Int, refs: Array[String]): BamRecord = {
+    var p = off
+    val refId = readI32(b, p); p += 4
+    val pos0 = readI32(b, p); p += 4
+    val lReadName = b(p) & 0xff; p += 1
+    val mapq = b(p) & 0xff; p += 1
+    p += 2 // bin
+    val nCigar = Bgzf.readU16(b, p); p += 2
+    val flag = Bgzf.readU16(b, p); p += 2
+    val lSeq = readI32(b, p); p += 4
+    val nextRefId = readI32(b, p); p += 4
+    val nextPos0 = readI32(b, p); p += 4
+    val tlen = readI32(b, p); p += 4
+    val name = new String(b, p, lReadName - 1, US_ASCII); p += lReadName
+    val cigar =
+      if (nCigar == 0) "*"
+      else {
+        val sb = new StringBuilder
+        var i = 0
+        while (i < nCigar) {
+          val v = readU32i(b, p + i * 4)
+          sb.append((v >>> 4).toString).append(CigarOps.charAt((v & 0xf).toInt))
+          i += 1
+        }
+        sb.toString
+      }
+    p += nCigar * 4
+    val seq =
+      if (lSeq == 0) "*"
+      else {
+        val sb = new StringBuilder(lSeq)
+        var i = 0
+        while (i < lSeq) {
+          val byte = b(p + i / 2) & 0xff
+          val nib = if (i % 2 == 0) byte >> 4 else byte & 0xf
+          sb.append(SeqNibbles.charAt(nib))
+          i += 1
+        }
+        sb.toString
+      }
+    p += (lSeq + 1) / 2
+    val qual =
+      if (lSeq == 0 || (b(p) & 0xff) == 0xff) "*"
+      else {
+        val sb = new StringBuilder(lSeq)
+        var i = 0
+        while (i < lSeq) { sb.append((33 + (b(p + i) & 0xff)).toChar); i += 1 }
+        sb.toString
+      }
+    p += lSeq
+    val tagEnd = off + len
+    val opt = Map.newBuilder[String, String]
+    while (p < tagEnd) {
+      val tag = new String(b, p, 2, US_ASCII)
+      val typ = b(p + 2).toChar
+      p += 3
+      val (v, np) = decodeTagValue(b, p, typ)
+      opt += tag -> v
+      p = np
+    }
+    def refName(id: Int) = if (id < 0) "*" else refs(id)
+    BamRecord(name, flag, refName(refId), pos0 + 1, mapq, cigar,
+      refName(nextRefId), nextPos0 + 1, tlen, seq, qual, opt.result())
+  }
+
+  /** SAM-text rendering of one typed tag value; returns (value, nextPos). */
+  private def decodeTagValue(b: Array[Byte], p: Int, typ: Char): (String, Int) =
+    typ match {
+      case 'A' => (b(p).toChar.toString, p + 1)
+      case 'c' => (b(p).toString, p + 1)
+      case 'C' => ((b(p) & 0xff).toString, p + 1)
+      case 's' => (Bgzf.readU16(b, p).toShort.toString, p + 2)
+      case 'S' => (Bgzf.readU16(b, p).toString, p + 2)
+      case 'i' => (readI32(b, p).toString, p + 4)
+      case 'I' => (readU32i(b, p).toString, p + 4)
+      case 'f' =>
+        (java.lang.Float.intBitsToFloat(readI32(b, p)).toString, p + 4)
+      case 'Z' | 'H' =>
+        var e = p
+        while (b(e) != 0) e += 1
+        (new String(b, p, e - p, US_ASCII), e + 1)
+      case 'B' =>
+        val sub = b(p).toChar
+        val n = readI32(b, p + 1)
+        val width = sub match {
+          case 'c' | 'C' => 1
+          case 's' | 'S' => 2
+          case _ => 4
+        }
+        val vals = (0 until n).map { i =>
+          decodeTagValue(b, p + 5 + i * width, sub)._1
+        }
+        ((sub +: vals).mkString(","), p + 5 + n * width)
+      case other => throw new IllegalArgumentException(s"unknown tag type $other")
+    }
+
+  /** BAM files/glob/dir → the [[Sam.read]] frame (11 std columns + opt).
+    * One task per file; the BGZF chain inflates block-by-block.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bam").load(path)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap(bytes => decode(Bgzf.inflate(bytes)))
+      .toDF()
+  }
+
+  // ---- encode -----------------------------------------------------------
+
+  /** Encode records (SAM-text conventions, 1-based pos) into one BAM
+    * payload. `refs` is the reference-sequence dictionary; tags are
+    * written as Z (string) values — the decoder handles every typed form,
+    * the encoder's job is round-tripping [[Sam.read]]'s string-valued map.
+    */
+  def encode(records: Iterator[BamRecord], refs: Seq[(String, Int)]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(1 << 20)
+    val header = refs.map { case (n, l) => s"@SQ\tSN:$n\tLN:$l" }
+      .mkString("", "\n", "\n")
+    out.write(Array[Byte]('B', 'A', 'M', 1))
+    writeI32(out, header.length)
+    out.write(header.getBytes(US_ASCII))
+    writeI32(out, refs.size)
+    refs.foreach { case (name, len) =>
+      writeI32(out, name.length + 1)
+      out.write(name.getBytes(US_ASCII)); out.write(0)
+      writeI32(out, len)
+    }
+    val refId = refs.map(_._1).zipWithIndex.toMap
+    records.foreach { rec =>
+      val body = new ByteArrayOutputStream(256)
+      writeI32(body, refId.get(rec.rname).getOrElse(-1))
+      writeI32(body, rec.pos - 1)
+      body.write(rec.header.length + 1)
+      body.write(rec.mapq)
+      writeU16(body, 0) // bin (unused by this reader)
+      val cigarOps: Seq[Int] =
+        if (rec.cigar == "*" || rec.cigar == null) Nil
+        else "(\\d+)([MIDNSHP=X])".r.findAllMatchIn(rec.cigar).map { m =>
+          (m.group(1).toInt << 4) | CigarOps.indexOf(m.group(2).charAt(0))
+        }.toSeq
+      writeU16(body, cigarOps.size)
+      writeU16(body, rec.flag)
+      val seq = if (rec.seq == "*") "" else rec.seq
+      writeI32(body, seq.length)
+      writeI32(body, refId.get(rec.rnext).getOrElse(-1))
+      writeI32(body, rec.pnext - 1)
+      writeI32(body, rec.tlen)
+      body.write(rec.header.getBytes(US_ASCII)); body.write(0)
+      cigarOps.foreach(writeI32(body, _))
+      var i = 0
+      while (i < seq.length) {
+        val hi = nibble(seq.charAt(i))
+        val lo = if (i + 1 < seq.length) nibble(seq.charAt(i + 1)) else 0
+        body.write((hi << 4) | lo)
+        i += 2
+      }
+      if (rec.qual == "*" || rec.qual == null)
+        seq.foreach(_ => body.write(0xff))
+      else rec.qual.foreach(q => body.write(q - 33))
+      rec.opt.toSeq.sortBy(_._1).foreach { case (tag, v) =>
+        body.write(tag.getBytes(US_ASCII))
+        body.write('Z')
+        body.write(v.getBytes(US_ASCII)); body.write(0)
+      }
+      val bytes = body.toByteArray
+      writeI32(out, bytes.length)
+      out.write(bytes)
+    }
+    out.toByteArray
+  }
+
+  private def nibble(c: Char): Int = {
+    val i = SeqNibbles.indexOf(c.toUpper)
+    if (i < 0) 15 else i // unknown base → N
+  }
+
+  /** Distributed BAM sink: one BGZF-compressed shard per partition of `df`
+    * (which must carry [[Sam.StdFields]] (+ optional `opt`)). The
+    * reference-sequence dictionary is the distinct rname set (small by
+    * nature — a genome has dozens of contigs). Returns the shard paths.
+    * Local-filesystem paths only (the test/bench environment); a cluster
+    * deployment would swap `Files.write` for the Hadoop FileSystem API —
+    * the partition-parallel shape is the point.
+    */
+  def write(df: DataFrame, dir: String, refLength: Int = 500000000): Seq[String] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val refs = df.select(col("rname")).where(col("rname") =!= "*").distinct()
+      .collect().map(_.getString(0)).sorted.map(n => (n, refLength)).toSeq
+    val withOpt =
+      if (df.columns.contains("opt")) df
+      else df.withColumn("opt", map().cast("map<string,string>"))
+    withOpt.select(
+      col("header"), col("flag"), col("rname"), col("pos"), col("mapq"),
+      col("cigar"), col("rnext"), col("pnext"), col("tlen"), col("seq"),
+      col("qual"), col("opt"))
+      .as[BamRecord]
+      .mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val path = s"$dir/part-$pid.bam"
+          val payload = encode(it, refs)
+          java.nio.file.Files.write(java.nio.file.Paths.get(path),
+            Bgzf.compress(payload))
+          Iterator.single(path)
+        }
+      }
+      .collect().toSeq
+  }
+
+  // ---- little-endian helpers -------------------------------------------
+
+  private def readI32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def readU32i(b: Array[Byte], off: Int): Long = Bgzf.readU32(b, off)
+
+  private def writeI32(out: ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >> 8) & 0xff)
+    out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+  }
+
+  private def writeU16(out: ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >> 8) & 0xff)
+  }
+}

@@ -51,6 +51,49 @@ object SamDomain {
         .orderBy(col("position"), col("base"))
     }),
 
+    // S4 BAM ingest: the q_sam_dist pipeline, but routed through a real
+    // binary round-trip — SAM frame → distributed BGZF/BAM sink (one shard
+    // per partition) → binary BAM source → fromSam. Shares q_sam_dist's
+    // oracle, so the decoder's coordinate contract (BAM 0-based pos + 1 on
+    // ingest, seqtables.py:266) is hash-checked, not just unit-tested.
+    "q_bam_dist" -> ((s, dir) => {
+      val sam = samFrame(s, dir, "20M")
+        .withColumn("flag", lit(0)).withColumn("mapq", lit(60))
+        .withColumn("rnext", lit("*")).withColumn("pnext", lit(0))
+        .withColumn("tlen", lit(0))
+      val tmp = s"/tmp/graft_bam_fixture/${new java.io.File(dir).getName}"
+      val d = new java.io.File(tmp)
+      if (d.exists) d.listFiles.foreach(_.delete())
+      graft.io.Bam.write(sam, tmp)
+      val st = SeqTable.fromSam(graft.io.Bam.read(s, tmp))
+      Distributions.seqDist(st.long.filter(col("base") =!= "$"))
+        .orderBy(col("position"), col("base"))
+    }),
+
+    // read_info carry-through (constructor_ops.py:184-187): optional SAM
+    // fields (mapq, TAG:TYPE:VALUE map) ride through fromSam on the reads
+    // frame and are filterable/aggregatable downstream.
+    "q_sam_read_info" -> ((s, dir) => {
+      val sam = Tables(s, dir, "documents").select(
+        concat(lit("d"), col("doc_id")).as("header"),
+        lit("ref1").as("rname"),
+        (pmod(col("doc_id"), lit(20)) + 1).cast("int").as("pos"),
+        lit("20M").as("cigar"),
+        translate(rpad(substring(col("text"), 1, 20), 20, "a"),
+          NtMap._1, NtMap._2).as("seq"),
+        lit("*").as("qual"),
+        (pmod(col("doc_id"), lit(60)) + 1).cast("int").as("mapq"),
+        map(lit("NM"), pmod(col("doc_id"), lit(7)).cast("string")).as("opt"))
+      val st = SeqTable.fromSam(sam)
+      st.reads
+        .withColumn("nm", element_at(col("opt"), "NM").cast("bigint"))
+        .filter(col("nm") <= 3)
+        .groupBy(col("nm"))
+        .agg(count(lit(1)).as("n_reads"), min(col("read_id")).as("first_read"),
+          round(avg(col("mapq")), 6).as("avg_mapq"))
+        .orderBy(col("nm"))
+    }),
+
     // T1 insertion path + A5: per-(position, loc) insertion letter counts.
     "q_sam_insertions" -> ((s, dir) => {
       val st = SeqTable.fromSam(samFrame(s, dir, "5M2I13M"))
@@ -202,6 +245,18 @@ object SamDomain {
 
   val oracle: Map[String, String] = Map(
     "q_sam_dist" ->
+      s"""WITH $sqlNts
+         |SELECT pos + gs.i - 1 AS position, substring(nt, gs.i, 1) AS base, COUNT(*) AS cnt
+         |FROM nts CROSS JOIN generate_series(1, 20) AS gs(i)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sam_read_info" ->
+      """SELECT doc_id % 7 AS nm, COUNT(*) AS n_reads,
+        |  MIN('d' || doc_id) AS first_read,
+        |  round(AVG(doc_id % 60 + 1), 6) AS avg_mapq
+        |FROM documents WHERE doc_id % 7 <= 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical to q_sam_dist: the BAM binary round-trip must be invisible
+    "q_bam_dist" ->
       s"""WITH $sqlNts
          |SELECT pos + gs.i - 1 AS position, substring(nt, gs.i, 1) AS base, COUNT(*) AS cnt
          |FROM nts CROSS JOIN generate_series(1, 20) AS gs(i)

@@ -111,6 +111,29 @@ class SeqTableSpec extends AnyFunSuite {
     assert(ins.toSeq == Seq(("B", 4, -2, "G", 19), ("B", 4, -1, "G", 20)))
     assert(st.meta.references == Seq("ref1"))
   }
+
+  test("fromSam carries read_info columns and prunes them with reads") {
+    import spark.implicits._
+    val df = Seq(
+      ("A", "ref1", 1, "4M", "ACGT", "IIII", 60, Map("NM" -> "0")),
+      ("B", "ref1", 1, "4M", "CCCC", "####", 10, Map("NM" -> "3")), // phred 2
+      ("C", "*", 0, "*", "TTTT", "IIII", 0, Map("NM" -> "9"))) // dropped
+      .toDF("header", "rname", "pos", "cigar", "seq", "qual", "mapq", "opt")
+    val st = SeqTable.fromSam(df)
+    assert(st.reads.columns.toSeq ==
+      Seq("read_id", "seq", "qual", "mapq", "opt"))
+    val byId = st.reads.collect()
+      .map(r => r.getString(0) -> (r.getInt(3), r.getMap[String, String](4)("NM")))
+      .toMap
+    assert(byId == Map("A" -> ((60, "0")), "B" -> ((10, "3"))))
+    // filters prune the carried columns with the reads they belong to
+    val filtered = st.qualityFilter(q = 20, p = 100.0)
+    assert(filtered.reads.select("read_id", "mapq").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq == Seq(("A", 60)))
+    // keepReadInfo = false restores the bare frame
+    assert(SeqTable.fromSam(df, keepReadInfo = false).reads.columns.toSeq ==
+      Seq("read_id", "seq", "qual"))
+  }
 }
 
 class SeqTableExtrasSpec extends org.scalatest.funsuite.AnyFunSuite {

@@ -98,3 +98,120 @@ class SamSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("R1", "R2", "R1"))
   }
 }
+
+class BgzfSpec extends AnyFunSuite {
+
+  test("block codec round-trips and stays stock-gzip compatible") {
+    val rnd = new scala.util.Random(5)
+    val data = (Array.fill(150000)(rnd.nextPrintableChar().toByte))
+    val gz = Bgzf.compress(data)
+    assert(Bgzf.inflate(gz).toSeq == data.toSeq)
+    // BGZF is concatenated gzip members: stock GZIPInputStream must agree
+    val stock = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(gz)).readAllBytes()
+    assert(stock.toSeq == data.toSeq)
+    // terminal EOF marker present
+    assert(gz.takeRight(28).toSeq == Bgzf.EofMarker.toSeq)
+  }
+
+  test("empty payload is just the EOF marker; inflate survives it") {
+    val gz = Bgzf.compress(Array.emptyByteArray)
+    assert(gz.toSeq == Bgzf.EofMarker.toSeq)
+    assert(Bgzf.inflate(gz).isEmpty)
+  }
+}
+
+class BamSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def rec(
+      name: String, pos: Int, seq: String, qual: String,
+      cigar: String = "4M", flag: Int = 0,
+      opt: Map[String, String] = Map.empty) =
+    Bam.BamRecord(name, flag, "chr1", pos, 60, cigar, "*", 0, 0, seq, qual, opt)
+
+  test("record codec round-trips all fields including typed-ish tags") {
+    val recs = Seq(
+      rec("r1", 5, "ACGT", "IIII", opt = Map("NM" -> "3", "XS" -> "hello:world")),
+      rec("r2", 1, "TTGGA", "!#@AB", cigar = "2M1I2M", flag = 16),
+      rec("r3", 9, "NNNN", "*")) // missing quality -> 0xFF bytes
+    val payload = Bam.encode(recs.iterator, Seq(("chr1", 1000)))
+    val back = Bam.decode(payload).toSeq
+    assert(back.map(r => (r.header, r.flag, r.rname, r.pos, r.cigar, r.seq, r.qual)) ==
+      recs.map(r => (r.header, r.flag, r.rname, r.pos, r.cigar, r.seq, r.qual)))
+    assert(back.head.opt == Map("NM" -> "3", "XS" -> "hello:world"))
+  }
+
+  test("pysam pos contract: BAM stores 0-based, reader emits 1-based") {
+    // seqtables.py:266 adds 1 to pysam's reference_start on ingest
+    val payload = Bam.encode(Iterator(rec("r1", 5, "ACGT", "IIII")), Seq(("chr1", 1000)))
+    // locate the record: after magic+header-text+refs; block starts with
+    // block_size i32, then refID i32, then pos i32
+    val headerText = "@SQ\tSN:chr1\tLN:1000\n"
+    val refBlock = 4 + 4 + "chr1".length + 1 + 4
+    val recStart = 4 + 4 + headerText.length + refBlock
+    val rawPos = (payload(recStart + 8) & 0xff) | ((payload(recStart + 9) & 0xff) << 8) |
+      ((payload(recStart + 10) & 0xff) << 16) | ((payload(recStart + 11) & 0xff) << 24)
+    assert(rawPos == 4, s"BAM body must store 0-based pos (got $rawPos)")
+    assert(Bam.decode(payload).next().pos == 5)
+  }
+
+  test("typed tag decode: int and B-array branches via a crafted payload") {
+    // hand-built record with NM:i:42 and XB:B:c,1,2 — branches the string-
+    // writing encoder never emits
+    def fi32(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >> 8) & 0xff)
+      o.write((v >> 16) & 0xff); o.write((v >> 24) & 0xff)
+    }
+    val body = new java.io.ByteArrayOutputStream()
+    fi32(body, 0); fi32(body, 0) // refID, pos (0-based 0)
+    body.write(3); body.write(60) // l_read_name "r1\0", mapq
+    body.write(0); body.write(0) // bin
+    body.write(0); body.write(0) // n_cigar
+    body.write(0); body.write(0) // flag
+    fi32(body, 0) // l_seq
+    fi32(body, -1); fi32(body, -1); fi32(body, 0) // next_refID, next_pos, tlen
+    body.write('r'); body.write('1'); body.write(0)
+    body.write('N'); body.write('M'); body.write('i'); fi32(body, 42)
+    body.write('X'); body.write('B'); body.write('B'); body.write('c')
+    fi32(body, 2); body.write(1); body.write(2)
+    val recBytes = body.toByteArray
+    val full = new java.io.ByteArrayOutputStream()
+    full.write(Array[Byte]('B', 'A', 'M', 1))
+    fi32(full, 0) // l_text
+    fi32(full, 1) // n_ref
+    fi32(full, 5) // l_name "chr1\0"
+    full.write("chr1".getBytes); full.write(0)
+    fi32(full, 1000) // l_ref
+    fi32(full, recBytes.length)
+    full.write(recBytes)
+    val r = Bam.decode(full.toByteArray).next()
+    assert(r.pos == 1) // stored 0 -> 1-based 1
+    assert(r.rnext == "*") // next_refID -1
+    assert(r.opt("NM") == "42")
+    assert(r.opt("XB") == "c,1,2")
+    assert(r.qual == "*" && r.seq == "*" && r.cigar == "*")
+  }
+
+  test("distributed sink + source round-trip through Spark") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bam").toFile.getAbsolutePath
+    val df = Seq(
+      ("r1", 0, "chr1", 5, 60, "4M", "*", 0, 0, "ACGT", "IIII", Map("NM" -> "1")),
+      ("r2", 16, "chr2", 1, 30, "2M2S", "*", 0, 0, "TTGG", "@@II", Map.empty[String, String]),
+      ("r3", 0, "chr1", 9, 60, "4M", "*", 0, 0, "GGCC", "!!!!", Map.empty[String, String]))
+      .toDF("header", "flag", "rname", "pos", "mapq", "cigar", "rnext",
+        "pnext", "tlen", "seq", "qual", "opt")
+    val paths = Bam.write(df.repartition(2), dir)
+    assert(paths.nonEmpty && paths.forall(_.endsWith(".bam")))
+    val back = Bam.read(spark, dir).orderBy("header")
+    val rows = back.collect()
+    assert(rows.length == 3)
+    assert(rows.map(r => (r.getString(0), r.getInt(3), r.getString(9), r.getString(10))).toSeq ==
+      Seq(("r1", 5, "ACGT", "IIII"), ("r2", 1, "TTGG", "@@II"), ("r3", 9, "GGCC", "!!!!")))
+    assert(rows.head.getMap[String, String](11).toMap == Map("NM" -> "1"))
+    // the frame is Sam.read-shaped: fromSam accepts it unchanged
+    val st = graft.core.SeqTable.fromSam(back.filter(col("cigar") === "4M"))
+    assert(st.reads.count() == 2)
+  }
+}
