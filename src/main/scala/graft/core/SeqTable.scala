@@ -84,6 +84,50 @@ final case class SeqTable(
       insertions = insertions.join(picked.select("read_id"), Seq("read_id"), "left_semi"))
   }
 
+  /** Exactly-n subsample (ref: seqtables.py:675-686 draws `numseqs` with
+    * `random.choice`, replace optional). Ordering by a seeded hash of the
+    * read id is deterministic AND partition-invariant — unlike `rand(seed)`,
+    * whose stream depends on the partition layout. Without replacement this
+    * is a top-n (distributed partial sort, then n rows to one task — n is
+    * fixture-scale by the reference's own contract; the 100 TB path is the
+    * fraction-based [[subsample]]). With replacement, draw multiplicities
+    * are computed driver-side from the seeded RNG and applied by joining a
+    * broadcast multiplicity table against a hash-ranked read index; like
+    * the reference, drawn-twice reads appear twice (same read_id), while
+    * the insertion table keeps one copy per distinct read.
+    */
+  def subsampleExact(
+      n: Int,
+      withReplacement: Boolean = false,
+      seed: Long = 42L): SeqTable = {
+    val ordered = Seq(xxhash64(lit(seed), col("read_id")), col("read_id"))
+    if (!withReplacement) {
+      val picked = reads.orderBy(ordered: _*).limit(n)
+      copy(
+        reads = picked,
+        insertions = insertions.join(picked.select("read_id"), Seq("read_id"), "left_semi"))
+    } else {
+      val total = reads.count()
+      require(total > 0, "subsampleExact on an empty table")
+      val rnd = new scala.util.Random(seed)
+      val mult = Seq.fill(n)((rnd.nextLong() % total + total) % total)
+        .groupBy(identity).map { case (idx, ds) => (idx, ds.size) }.toSeq
+      val spark = reads.sparkSession
+      import spark.implicits._
+      val multDf = broadcast(mult.toDF("__idx", "__mult"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(ordered: _*)
+      val picked = reads
+        .withColumn("__idx", row_number().over(w).cast("long") - 1)
+        .join(multDf, Seq("__idx"))
+        .withColumn("__copy", explode(sequence(lit(1), col("__mult"))))
+        .drop("__idx", "__mult", "__copy")
+      copy(
+        reads = picked,
+        insertions = insertions.join(
+          picked.select("read_id").distinct(), Seq("read_id"), "left_semi"))
+    }
+  }
+
   /** Keep reads where ≥ p% of non-null-quality bases have phred ≥ q
     * (ref: seqtables.py:1223-1258 quality_filter). Wide-form array math —
     * map-side only, plus a semi-join to prune the insertion table.
@@ -129,7 +173,9 @@ final case class SeqTable(
     *
     * Output: (read_id, position, loc, base, qual).
     */
-  def viewWithInsertions(minInsCount: Long = 0): DataFrame = {
+  def viewWithInsertions(
+      minInsCount: Long = 0,
+      lowercaseInsertions: Boolean = false): DataFrame = {
     val keptSlots =
       if (minInsCount <= 0) insertions
       else {
@@ -139,18 +185,25 @@ final case class SeqTable(
           .select("position", "loc")
         insertions.join(broadcast(keep), Seq("position", "loc"), "left_semi")
       }
+    // lowercase = the reference's ascii+32 insertion rendering
+    // (seqtables.py:479) so insertions are visually distinct in the view
+    val insBase = if (lowercaseInsertions) lower(col("base")) else col("base")
     long.withColumn("loc", lit(0))
       .select("read_id", "position", "loc", "base", "qual")
-      .unionByName(keptSlots.select("read_id", "position", "loc", "base", "qual"))
+      .unionByName(keptSlots.select(col("read_id"), col("position"), col("loc"),
+        insBase.as("base"), col("qual")))
   }
 
   /** Wide presentation of V1: per read, the (position, loc)-sorted
     * concatenation of bases including insertion slots, '-' where a read has
-    * no base at an included slot (ref lowercase option omitted).
+    * no base at an included slot; `lowercaseInsertions` renders insertion
+    * bases lowercase like the reference (seqtables.py:479, ascii+32).
     * Output: (read_id, expanded_seq).
     */
-  def viewWithInsertionsWide(minInsCount: Long = 0): DataFrame = {
-    val longIns = viewWithInsertions(minInsCount)
+  def viewWithInsertionsWide(
+      minInsCount: Long = 0,
+      lowercaseInsertions: Boolean = false): DataFrame = {
+    val longIns = viewWithInsertions(minInsCount, lowercaseInsertions)
     val slots = longIns.select("position", "loc").distinct()
     val reads = longIns.select("read_id").distinct()
     reads.crossJoin(slots)

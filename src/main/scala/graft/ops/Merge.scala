@@ -99,4 +99,14 @@ object Merge {
       references = (first.meta.references ++ later.meta.references).distinct),
       minPos, maxPos)
   }
+
+  /** N-table axis-1 merge (ref st_merge.py:63 accepts a table list): the
+    * later-wins pairwise overlay folded left, so precedence is list order —
+    * table i+1 overwrites table i wherever both cover a read's window,
+    * matching the reference's sequential merge.
+    */
+  def alignReadsMulti(tables: Seq[SeqTable], dupInsertions: String = "drop"): SeqTable = {
+    require(tables.nonEmpty, "alignReadsMulti: no tables")
+    tables.reduceLeft(alignReads(_, _, dupInsertions))
+  }
 }

@@ -112,6 +112,59 @@ class SeqTableSpec extends AnyFunSuite {
     assert(st.meta.references == Seq("ref1"))
   }
 
+  test("subsampleExact: exact count, seeded determinism, insertions pruned") {
+    import spark.implicits._
+    val df = (0 until 50).map(i => (s"r$i", "ref1", 1,
+      if (i % 10 == 0) "2M1I2M" else "5M", "ACGTT", "IIIII"))
+      .toDF("header", "rname", "pos", "cigar", "seq", "qual")
+    val st = SeqTable.fromSam(df)
+    val s1 = st.subsampleExact(12, seed = 7L)
+    val s2 = st.subsampleExact(12, seed = 7L)
+    assert(s1.reads.count() == 12)
+    val ids1 = s1.reads.select("read_id").collect().map(_.getString(0)).toSet
+    val ids2 = s2.reads.select("read_id").collect().map(_.getString(0)).toSet
+    assert(ids1 == ids2, "same seed must draw the same reads")
+    assert(ids1 != st.subsampleExact(12, seed = 8L)
+      .reads.select("read_id").collect().map(_.getString(0)).toSet ||
+      true) // different seeds usually differ; no hard guarantee
+    // insertion table only holds insertions of surviving reads
+    val insIds = s1.insertions.select("read_id").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(insIds.subsetOf(ids1))
+    // partition-invariance of the hash order
+    val repart = SeqTable(st.reads.repartition(7), st.insertions, st.meta,
+      st.minPos, st.maxPos).subsampleExact(12, seed = 7L)
+    assert(repart.reads.select("read_id").collect().map(_.getString(0)).toSet == ids1)
+  }
+
+  test("subsampleExact with replacement draws a multiset of size n") {
+    import spark.implicits._
+    val df = (0 until 5).map(i => (s"r$i", "ACGT", "IIII"))
+    val st = SeqTable.fromReads(spark, df)
+    val s = st.subsampleExact(20, withReplacement = true, seed = 3L)
+    assert(s.reads.count() == 20) // exact n, duplicates allowed
+    val distinct = s.reads.select("read_id").distinct().count()
+    assert(distinct <= 5 && distinct >= 1)
+    assert(s.subsampleExact(20, withReplacement = true, seed = 3L)
+      .reads.count() == 20) // deterministic re-draw
+  }
+
+  test("viewWithInsertions lowercase option renders insertion bases ascii+32") {
+    import spark.implicits._
+    val df = Seq(("B", "ref1", 1, "3M2I2M", "AAAGGTT", "1234567"))
+      .toDF("header", "rname", "pos", "cigar", "seq", "qual")
+    val st = SeqTable.fromSam(df)
+    val v = st.viewWithInsertions(lowercaseInsertions = true)
+      .filter(col("loc") < 0).orderBy("loc").collect()
+    assert(v.map(_.getString(3)).toSeq == Seq("g", "g"))
+    // dense cells stay uppercase
+    val dense = st.viewWithInsertions(lowercaseInsertions = true)
+      .filter(col("loc") === 0 && col("base") === "A")
+    assert(dense.count() == 3)
+    val wide = st.viewWithInsertionsWide(lowercaseInsertions = true).head()
+    assert(wide.getString(1) == "AAAggTT")
+  }
+
   test("fromSam carries read_info columns and prunes them with reads") {
     import spark.implicits._
     val df = Seq(

@@ -49,6 +49,68 @@ class FastqSpec extends AnyFunSuite {
     val back = Fastq.read(spark, out).collect()
     assert(back.head.getString(1) == "ACGT" && back.head.getString(2) == "IIII")
   }
+
+  test("split boundaries never duplicate or drop records ('@' quality traps included)") {
+    val dir = Files.createTempDirectory("fastq3").toFile
+    val f = new java.io.File(dir, "many.fq")
+    // every quality line starts with '@' to stress the resync check
+    val recs = (0 until 200).map(i => s"@r$i desc\nACGTACGTAC\n+\n@@IIIIIII${(33 + i % 60).toChar}")
+    Files.writeString(f.toPath, recs.mkString("", "\n", "\n"))
+    val whole = Fastq.read(spark, f.getAbsolutePath).orderBy("read_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(whole.size == 200)
+    // tiny splits force many mid-record entries; result must be identical
+    for (splitSize <- Seq(7L, 31L, 64L, 1000L)) {
+      val split = Fastq.read(spark, f.getAbsolutePath, splitSize = splitSize)
+        .orderBy("read_id").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+      assert(split == whole, s"splitSize=$splitSize mismatch: ${split.size} records")
+    }
+  }
+
+  test("multi-file reads assemble per file (no cross-file line-index shift)") {
+    val dir = Files.createTempDirectory("fastq4").toFile
+    // file a ends with a trailing blank line (line count % 4 != 0 globally)
+    Files.writeString(new java.io.File(dir, "a.fq").toPath,
+      "@a1\nAAAA\n+\nIIII\n\n")
+    Files.writeString(new java.io.File(dir, "b.fq").toPath,
+      "@b1\nCCCC\n+\nIIII\n@b2\nGGGG\n+\nIIII\n")
+    val rows = Fastq.read(spark, dir.getAbsolutePath).orderBy("read_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq(("a1", "AAAA"), ("b1", "CCCC"), ("b2", "GGGG")))
+  }
+
+  test("truncated trailing record fails loudly") {
+    val dir = Files.createTempDirectory("fastq5").toFile
+    val f = new java.io.File(dir, "bad.fq")
+    Files.writeString(f.toPath, "@r1\nACGT\n+\nIIII\n@r2\nTTTT\n+\n")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Fastq.read(spark, f.getAbsolutePath).collect()
+    }
+    assert(ex.getMessage.contains("truncated FASTQ") ||
+      Option(ex.getCause).exists(_.getMessage.contains("truncated FASTQ")))
+  }
+
+  test("gzipped fastq reads as a single-split file") {
+    val dir = Files.createTempDirectory("fastq6").toFile
+    val f = new java.io.File(dir, "a.fq.gz")
+    val out = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(f))
+    out.write("@g1\nACGT\n+\nIIII\n@g2\nTTGG\n+\n@@II\n".getBytes)
+    out.close()
+    val rows = Fastq.read(spark, f.getAbsolutePath).orderBy("read_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows == Seq(("g1", "ACGT", "IIII"), ("g2", "TTGG", "@@II")))
+  }
+
+  test("fastq scan plan has zero exchanges") {
+    val dir = Files.createTempDirectory("fastq7").toFile
+    val f = new java.io.File(dir, "a.fq")
+    Files.writeString(f.toPath, "@r1\nACGT\n+\nIIII\n")
+    val plan = Fastq.read(spark, f.getAbsolutePath)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"FASTQ scan must be shuffle-free:\n$plan")
+  }
 }
 
 class SamSpec extends AnyFunSuite {

@@ -88,6 +88,18 @@ class MergeSpec extends AnyFunSuite {
     assert(byId("only1")._1 == "CCCC")
     assert(byId("only2")._1 == "-TT-")
   }
+
+  test("alignReadsMulti: 3-table later-wins precedence chain (st_merge.py:63)") {
+    val t1 = SeqTable.fromReads(spark, Seq(("a", "AAAAAA", "111111")), pos = 1)
+    val t2 = SeqTable.fromReads(spark, Seq(("a", "GGG", "888")), pos = 2)
+    val t3 = SeqTable.fromReads(spark, Seq(("a", "TT", "99")), pos = 3)
+    val m = Merge.alignReadsMulti(Seq(t1, t2, t3))
+    val row = m.reads.head()
+    // t2 overwrites [2,4] -> AGGGAA; t3 overwrites [3,4] -> AGTTAA
+    assert(row.getString(1) == "AGTTAA")
+    assert(row.getString(2) == "189911") // t3 quals at [3,4]
+    assert(m.minPos == 1 && m.maxPos == 6)
+  }
 }
 
 class TextAnalysisSpec extends AnyFunSuite {
