@@ -199,20 +199,34 @@ final case class SeqTable(
     * no base at an included slot; `lowercaseInsertions` renders insertion
     * bases lowercase like the reference (seqtables.py:479, ascii+32).
     * Output: (read_id, expanded_seq).
+    *
+    * The dense matrix is inherently reads × slots, but it's assembled with
+    * ONE groupBy(read_id) against a driver-collected slot list (slot
+    * cardinality = window length + observed insertion slots — bounded and
+    * small by nature), not a reads×slots crossJoin: each read's cells
+    * aggregate into a slot-key→base map, and a literal slot array is
+    * mapped over it, filling '-' for absent slots.
     */
   def viewWithInsertionsWide(
       minInsCount: Long = 0,
       lowercaseInsertions: Boolean = false): DataFrame = {
     val longIns = viewWithInsertions(minInsCount, lowercaseInsertions)
-    val slots = longIns.select("position", "loc").distinct()
-    val reads = longIns.select("read_id").distinct()
-    reads.crossJoin(slots)
-      .join(longIns, Seq("read_id", "position", "loc"), "left_outer")
-      .withColumn("base", coalesce(col("base"), lit(Alphabets.Deletion.toString)))
+    // slot key packs (position, loc) into one long, preserving sort order
+    def slotKey(position: Long, loc: Long): Long = (position << 20) + (loc + (1L << 19))
+    val slotKeys: Seq[Long] = longIns.select("position", "loc").distinct()
+      .collect().map(r => slotKey(r.getInt(0).toLong, r.getInt(1).toLong))
+      .sorted.toSeq
+    val keyCol = (col("position").cast("long") * lit(1L << 20)) +
+      (col("loc").cast("long") + lit(1L << 19))
+    longIns
       .groupBy(col("read_id"))
-      .agg(concat_ws("", transform(
-        array_sort(collect_list(struct(col("position"), col("loc"), col("base")))),
-        s => s.getField("base"))).as("expanded_seq"))
+      .agg(map_from_entries(
+        collect_list(struct(keyCol.as("k"), col("base").as("v")))).as("m"))
+      .select(col("read_id"),
+        array_join(
+          transform(typedLit(slotKeys),
+            k => coalesce(element_at(col("m"), k), lit(Alphabets.Deletion.toString))),
+          "").as("expanded_seq"))
   }
 
   /** Re-stringify a position range, padding uncovered flanks with the fill

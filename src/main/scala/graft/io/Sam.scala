@@ -19,7 +19,13 @@ object Sam {
     "rnext", "pnext", "tlen", "seq", "qual")
 
   /** Output: 11 standard SAM columns (typed) + `opt MAP<STRING,STRING>`. */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String): DataFrame =
+    fromLines(spark.read.text(path))
+
+  /** Parse a DataFrame of raw SAM text lines (column `value`) — the shared
+    * backend of [[read]] and the [[AlignerBridge]] pipe output.
+    */
+  def fromLines(lines: DataFrame): DataFrame = {
     val parts = split(col("value"), "\t")
     val std = Seq(
       element_at(parts, 1).as("header"),
@@ -41,7 +47,7 @@ object Sam {
         f => struct(
           element_at(split(f, ":", 3), 1).as("key"),
           element_at(split(f, ":", 3), 3).as("value"))))
-    spark.read.text(path)
+    lines
       .filter(!col("value").startsWith("@") && length(col("value")) > 0)
       .select(std :+ opt.as("opt"): _*)
   }

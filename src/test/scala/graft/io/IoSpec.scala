@@ -277,3 +277,41 @@ class BamSpec extends AnyFunSuite {
     assert(st.reads.count() == 2)
   }
 }
+
+class AlignerBridgeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("pipes FASTQ through an external process and parses the SAM it emits") {
+    import spark.implicits._
+    // stand-in aligner: awk turning each FASTQ record into an aligned SAM
+    // line (pos 1, full-length match), plus header lines the parser drops
+    val fakeAligner = Seq("awk",
+      """BEGIN { print "@HD\tVN:1.6"; print "@SQ\tSN:ref1\tLN:100" }
+        |NR%4==1 { h = substr($1, 2) }
+        |NR%4==2 { s = $0 }
+        |NR%4==0 { print h"\t0\tref1\t1\t60\t"length(s)"M\t*\t0\t0\t"s"\t"$0"\tNM:i:0" }""".stripMargin)
+    val reads = Seq(
+      ("r1", "ACGT", "IIII"),
+      ("r2", "TTGGAA", "@@IIII"),
+      ("r3", "CCC", "!!!")).toDF("read_id", "seq", "qual")
+    val sam = AlignerBridge.alignWith(reads.repartition(2), fakeAligner)
+    val rows = sam.orderBy("header").collect()
+    assert(rows.length == 3)
+    assert(rows.map(r => (r.getString(0), r.getInt(3), r.getString(5), r.getString(9))).toSeq ==
+      Seq(("r1", 1, "4M", "ACGT"), ("r2", 1, "6M", "TTGGAA"), ("r3", 1, "3M", "CCC")))
+    assert(rows.head.getMap[String, String](11).toMap == Map("NM" -> "0"))
+    // the bridge output feeds the standard spine unchanged
+    val st = graft.core.SeqTable.fromSam(sam)
+    assert(st.reads.count() == 3 && st.minPos == 1)
+  }
+
+  test("writeReferenceFasta materializes the (name, seq) list") {
+    val dir = Files.createTempDirectory("refs").toFile
+    val p = AlignerBridge.writeReferenceFasta(
+      Seq(("ref1", "ACGTACGT"), ("phix", "GGGG")),
+      new java.io.File(dir, "refs.fasta").getAbsolutePath)
+    val back = Fasta.read(spark, p).orderBy("read_id").collect()
+    assert(back.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("phix", "GGGG"), ("ref1", "ACGTACGT")))
+  }
+}
