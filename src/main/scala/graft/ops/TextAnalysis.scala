@@ -117,4 +117,114 @@ object TextAnalysis {
       split(text, ""),
       lit(0L),
       (acc, c) => pmod(acc * lit(257L) + ascii(c), lit(2305843009213693951L)))
+
+  // ---- repetition / document-filter rules (Gopher-style) ----------------
+  // Single-pass Scala kernels rather than higher-order Column lambdas: the
+  // per-document counting is O(tokens) in a JIT'd loop, where the HOF
+  // form would be interpreted per element (see HashKernels' rationale).
+  // Map-only — no shuffle, linear scale-out.
+
+  /** Lowercased whitespace tokens of a trimmed string (kernel-side twin of
+    * [[tokens]]; empty input → no tokens).
+    */
+  private def tokenize(text: String): Array[String] = {
+    val t = text.toLowerCase.trim
+    if (t.isEmpty) Array.empty else t.split("\\s+")
+  }
+
+  /** (dup_line_frac, dup_line_char_frac, top_word_frac, top_2gram_frac):
+    * the repetition signals of the Gopher quality rules — fraction of
+    * repeated lines, fraction of characters in repeated lines, and the
+    * count fraction of the most frequent word / word 2-gram.
+    */
+  private def repetitionKernel(text: String): (Double, Double, Double, Double) = {
+    if (text == null) return (0.0, 0.0, 0.0, 0.0)
+    val lines = text.split("\n", -1)
+    val lineCounts = new scala.collection.mutable.HashMap[String, Int]()
+    var totalChars = 0L
+    lines.foreach { l => lineCounts.updateWith(l)(c => Some(c.getOrElse(0) + 1)); totalChars += l.length }
+    val nLines = lines.length
+    val dupLines = nLines - lineCounts.size
+    val dupChars = lineCounts.iterator.map { case (l, c) => (c - 1).toLong * l.length }.sum
+    val dupLineFrac = if (nLines > 0) dupLines.toDouble / nLines else 0.0
+    val dupCharFrac = if (totalChars > 0) dupChars.toDouble / totalChars else 0.0
+    val toks = tokenize(text)
+    val wc = new scala.collection.mutable.HashMap[String, Int]()
+    toks.foreach(t => wc.updateWith(t)(c => Some(c.getOrElse(0) + 1)))
+    val topWordFrac =
+      if (toks.nonEmpty) wc.valuesIterator.max.toDouble / toks.length else 0.0
+    val bc = new scala.collection.mutable.HashMap[String, Int]()
+    var i = 0
+    while (i + 1 < toks.length) {
+      bc.updateWith(toks(i) + " " + toks(i + 1))(c => Some(c.getOrElse(0) + 1))
+      i += 1
+    }
+    val top2gramFrac =
+      if (toks.length >= 2) bc.valuesIterator.max.toDouble / (toks.length - 1) else 0.0
+    (dupLineFrac, dupCharFrac, topWordFrac, top2gramFrac)
+  }
+
+  /** Append dup_line_frac, dup_line_char_frac, top_word_frac,
+    * top_2gram_frac (exact ratios; round at presentation time).
+    */
+  def repetitionSignals(df: DataFrame, textCol: String): DataFrame = {
+    val k = udf(repetitionKernel _)
+    df.withColumn("__rep", k(col(textCol)))
+      .withColumn("dup_line_frac", col("__rep._1"))
+      .withColumn("dup_line_char_frac", col("__rep._2"))
+      .withColumn("top_word_frac", col("__rep._3"))
+      .withColumn("top_2gram_frac", col("__rep._4"))
+      .drop("__rep")
+  }
+
+  /** (n_words, sum_word_len, n_alpha_words, n_stopwords, n_symbols) — the
+    * integer inputs of [[gopherFilter]]'s rules, one pass per document.
+    * n_symbols counts '#' characters plus non-overlapping '...' runs.
+    */
+  private def gopherKernel(stopwords: Set[String])(text: String): (Int, Int, Int, Int, Int) = {
+    if (text == null) return (0, 0, 0, 0, 0)
+    val toks = tokenize(text)
+    var sumLen = 0; var alpha = 0; var stops = 0
+    toks.foreach { t =>
+      sumLen += t.length
+      if (t.exists(c => c >= 'a' && c <= 'z')) alpha += 1
+      if (stopwords.contains(t)) stops += 1
+    }
+    val hashes = text.count(_ == '#')
+    val ellipses = (text.length - text.replace("...", "").length) / 3
+    (toks.length, sumLen, alpha, stops, hashes + ellipses)
+  }
+
+  /** Gopher-style document filter: integer-exact threshold rules (ratio
+    * thresholds are evaluated as cross-multiplied integer comparisons, so
+    * engines agree bit-for-bit — no float boundary). `drop_reason` is the
+    * FIRST failing rule in a fixed order, NULL when the document passes;
+    * `keep` = drop_reason IS NULL.
+    *
+    * Rules (defaults): word count in [minWords, maxWords]; mean word
+    * length in [2, 12]; symbol-to-word ratio ('#' + '...') ≤ 1/10;
+    * alphabetic-word fraction ≥ 7/10; ≥ 2 stopword hits.
+    */
+  def gopherFilter(
+      df: DataFrame,
+      textCol: String,
+      minWords: Int = 10,
+      maxWords: Int = 100000): DataFrame = {
+    val stopwords = MarkerWords.flatMap(_._2).distinct.toSet
+    val k = udf(gopherKernel(stopwords) _)
+    val n = col("__g._1"); val sumLen = col("__g._2"); val alpha = col("__g._3")
+    val stops = col("__g._4"); val symbols = col("__g._5")
+    df.withColumn("__g", k(col(textCol)))
+      .withColumn("drop_reason",
+        when(n < minWords, "too_few_words")
+          .when(n > maxWords, "too_many_words")
+          .when(sumLen < n * 2 || sumLen > n * 12, "mean_word_len")
+          .when(symbols * 10 > n, "symbol_ratio")
+          .when(alpha * 10 < n * 7, "alpha_frac")
+          .when(stops < 2, "stopwords")
+          .otherwise(lit(null).cast("string")))
+      .withColumn("keep", col("drop_reason").isNull)
+      .withColumn("n_words", n)
+      .drop("__g")
+  }
 }

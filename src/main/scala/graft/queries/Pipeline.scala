@@ -102,6 +102,24 @@ object Pipeline {
         TextAnalysis.fingerprint(col("text"), 8).as("fp"))
         .orderBy(col("doc_id"))),
 
+    // Gopher-style repetition signals (dup lines, top word / 2-gram count
+    // fractions) — exact ratios, rounded identically on both sides.
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(Tables(s, dir, "documents"), "text")
+        .select(col("doc_id"),
+          round(col("dup_line_frac"), 6).as("dup_line_frac"),
+          round(col("dup_line_char_frac"), 6).as("dup_line_char_frac"),
+          round(col("top_word_frac"), 6).as("top_word_frac"),
+          round(col("top_2gram_frac"), 6).as("top_2gram_frac"))
+        .orderBy(col("doc_id"))),
+
+    // Gopher-style document filter: integer-exact rule thresholds, first
+    // failing rule as the drop reason.
+    "q_gopher_filter" -> ((s, dir) =>
+      TextAnalysis.gopherFilter(Tables(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("keep"), col("drop_reason"), col("n_words"))
+        .orderBy(col("doc_id"))),
+
     // ---- similarity search over embeddings ----------------------------
     // Exact brute-force cosine top-5 for the first 10 vectors as queries.
     "q_ann_bruteforce" -> ((s, dir) => {
@@ -215,7 +233,7 @@ object Pipeline {
         |      ELSE 0.0 END AS avg_token_len,
         |    punct::DOUBLE / greatest(nc, 1) AS punct_ratio,
         |    CASE WHEN len(toks) > 0
-        |      THEN len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','it','for','was','der','die','und','das','ist','nicht','ein','mit','auf','sich','el','la','de','los','es','que','un','una','por','con','le','les','et','est','dans','pour','qui')))::DOUBLE / len(toks)
+        |      THEN len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','it','for','was','der','die','und','das','ist','nicht','ein','mit','auf','sich','el','la','de','los','es','que','un','una','por','con','le','les','et','est','une','dans','pour','qui')))::DOUBLE / len(toks)
         |      ELSE 0.0 END AS stopword_ratio,
         |    alpha::DOUBLE / greatest(nc, 1) AS alpha_ratio
         |  FROM t)
@@ -251,6 +269,63 @@ object Pipeline {
         |    list_distinct([substring(text, i, 8) FOR i IN range(1, greatest(length(text) - 7, 1) + 1)]),
         |    s -> md5(s))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH l AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS lines,
+        |    regexp_extract_all(lower(trim(text)), '\S+') AS toks
+        |  FROM documents),
+        |lc AS (
+        |  SELECT doc_id, line, COUNT(*) AS c, length(line) AS len
+        |  FROM (SELECT doc_id, unnest(lines) AS line FROM l) GROUP BY doc_id, line),
+        |lstats AS (
+        |  SELECT doc_id, SUM(c) AS n_lines, COUNT(*) AS n_distinct,
+        |    SUM((c - 1) * len) AS dup_chars, SUM(c * len) AS total_chars
+        |  FROM lc GROUP BY doc_id),
+        |wc AS (
+        |  SELECT doc_id, w, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(toks) AS w FROM l) GROUP BY doc_id, w),
+        |wstats AS (SELECT doc_id, MAX(c) AS maxw, SUM(c) AS nw FROM wc GROUP BY doc_id),
+        |bc AS (
+        |  SELECT doc_id, b, COUNT(*) AS c
+        |  FROM (SELECT doc_id,
+        |          unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS b
+        |        FROM l) GROUP BY doc_id, b),
+        |bstats AS (SELECT doc_id, MAX(c) AS maxb, SUM(c) AS nb FROM bc GROUP BY doc_id)
+        |SELECT l.doc_id,
+        |  round((lstats.n_lines - lstats.n_distinct) * 1.0 / lstats.n_lines, 6) AS dup_line_frac,
+        |  round(CASE WHEN lstats.total_chars > 0
+        |    THEN lstats.dup_chars * 1.0 / lstats.total_chars ELSE 0 END, 6) AS dup_line_char_frac,
+        |  round(COALESCE(wstats.maxw * 1.0 / wstats.nw, 0), 6) AS top_word_frac,
+        |  round(COALESCE(bstats.maxb * 1.0 / bstats.nb, 0), 6) AS top_2gram_frac
+        |FROM l LEFT JOIN lstats USING (doc_id) LEFT JOIN wstats USING (doc_id)
+        |  LEFT JOIN bstats USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_gopher_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    regexp_extract_all(lower(trim(text)), '\S+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(toks) AS n,
+        |    COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS sum_len,
+        |    len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+        |    len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','it','for','was','der','die','und','das','ist','nicht','ein','mit','auf','sich','el','la','de','los','es','que','un','una','por','con','le','les','et','est','une','dans','pour','qui'))) AS stops,
+        |    (length(text) - length(replace(text, '#', ''))) +
+        |    (length(text) - length(replace(text, '...', ''))) // 3 AS symbols
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN n < 10 THEN 'too_few_words'
+        |         WHEN n > 100000 THEN 'too_many_words'
+        |         WHEN sum_len < n * 2 OR sum_len > n * 12 THEN 'mean_word_len'
+        |         WHEN symbols * 10 > n THEN 'symbol_ratio'
+        |         WHEN alpha * 10 < n * 7 THEN 'alpha_frac'
+        |         WHEN stops < 2 THEN 'stopwords'
+        |         ELSE NULL END AS drop_reason
+        |  FROM s)
+        |SELECT doc_id, drop_reason IS NULL AS keep, drop_reason, n AS n_words
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q_ann_bruteforce" ->
       """WITH pairs AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -159,6 +159,49 @@ class TextAnalysisSpec extends AnyFunSuite {
     // manual: h("ab") = (97*257 + 98) mod p
     assert(h(0) == (97L * 257 + 98) % 2305843009213693951L)
   }
+
+  test("repetitionSignals: hand-computed fractions") {
+    val df = Seq(
+      ("rep", "same line\nsame line\nother\nsame line"),
+      ("uniq", "all words differ here"),
+      ("loop", "go go go go")).toDF("id", "text")
+    val r = TextAnalysis.repetitionSignals(df, "text").collect()
+      .map(x => x.getString(0) -> (
+        x.getDouble(x.fieldIndex("dup_line_frac")),
+        x.getDouble(x.fieldIndex("dup_line_char_frac")),
+        x.getDouble(x.fieldIndex("top_word_frac")),
+        x.getDouble(x.fieldIndex("top_2gram_frac")))).toMap
+    // "rep": 4 lines, 2 distinct -> dup 2/4; dup chars = 2*9 of 9*3+5=32
+    assert(r("rep")._1 == 0.5)
+    assert(math.abs(r("rep")._2 - 18.0 / 32.0) < 1e-12)
+    // "same" and "line" each appear 3 times of 7 tokens
+    assert(math.abs(r("rep")._3 - 3.0 / 7.0) < 1e-12)
+    assert(r("uniq")._1 == 0.0 && r("uniq")._3 == 0.25)
+    // "go go" 2-gram appears 3 of 3 bigrams
+    assert(r("loop")._4 == 1.0)
+  }
+
+  test("gopherFilter: first failing rule wins; integer-exact thresholds") {
+    val good = "the quick brown fox and the lazy dog ran to the old mill for fun"
+    val df = Seq(
+      ("ok", good),
+      ("short", "too short"),
+      ("longwords", Seq.fill(12)("supercalifragilistic").mkString(" ")),
+      ("symbols", "# # # the and of to in is that it for was okay"),
+      ("nonalpha", "111 222 333 444 555 666 777 888 999 000 123 456 the and"),
+      ("nostops", "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"))
+      .toDF("id", "text")
+    val r = TextAnalysis.gopherFilter(df, "text").collect()
+      .map(x => x.getString(0) ->
+        (x.getBoolean(x.fieldIndex("keep")), x.getString(x.fieldIndex("drop_reason"))))
+      .toMap
+    assert(r("ok") == ((true, null)))
+    assert(r("short") == ((false, "too_few_words")))
+    assert(r("longwords") == ((false, "mean_word_len")))
+    assert(r("symbols") == ((false, "symbol_ratio")))
+    assert(r("nonalpha") == ((false, "alpha_frac")))
+    assert(r("nostops") == ((false, "stopwords")))
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
