@@ -45,9 +45,9 @@ object EventStream {
   /** The reference's `from_sam(chunks=…)` / `read_fastq(chunk_size=…)`
     * pattern (SURVEY §2.10): iterate SeqTables chunk by chunk, where a
     * chunk is one FASTQ file and arrivals drive the iteration. Each
-    * micro-batch's files are re-read with the record-safe batch reader
-    * (FASTQ's 4-line records need a global line index, which streaming
-    * sources don't provide) and handed to `onChunk` as a SeqTable.
+    * micro-batch's files are re-read with the record-boundary batch reader
+    * (which owns the '@'-quality resync logic a raw line stream lacks)
+    * and handed to `onChunk` as a SeqTable.
     * Returns the started query; stop it (or await) from the caller.
     */
   def fastqChunks(
@@ -70,6 +70,72 @@ object EventStream {
         }
       }
       .start()
+  }
+
+  // ---- streaming dedup -------------------------------------------------
+
+  /** Exact streaming dedup on a 64-bit content hash. State is BOUNDED by
+    * the watermark (`dropDuplicatesWithinWatermark`): a duplicate arriving
+    * within the horizon is dropped, one arriving later is a new document —
+    * the standard trade for infinite streams. In batch mode this
+    * degenerates to a plain dropDuplicates on the hash (the batch twin of
+    * `Dedup.exact`'s key).
+    */
+  def dedupExactStream(
+      docs: DataFrame,
+      textCol: String,
+      tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame = {
+    val hashed = docs.withColumn("content_hash", xxhash64(col(textCol)))
+    if (docs.isStreaming)
+      hashed.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark("content_hash")
+    else hashed.dropDuplicates("content_hash")
+  }
+
+  case class SimDoc(doc_id: Long, text: String)
+  case class NearDupHit(doc_id: Long, matches_doc_id: Long, hamming_bits: Int)
+
+  /** Streaming SimHash near-dup detection: every doc keys into its 4
+    * 16-bit signature chunks (guaranteed recall at hamming ≤ 3, same
+    * blocking as the batch `Dedup.simhashNearDuplicates`); per chunk-key
+    * state holds the last `maxStatePerBucket` (signature, id) pairs, so
+    * state is bounded per bucket no matter the stream length. Emits one
+    * hit per (new doc, prior doc) pair found in any shared bucket — dedup
+    * downstream if a pair can share several chunks.
+    */
+  def simhashNearDupStream(
+      docs: org.apache.spark.sql.Dataset[SimDoc],
+      maxHamming: Int = 3,
+      maxStatePerBucket: Int = 1000): org.apache.spark.sql.Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    docs
+      .map { d =>
+        val sig = graft.ops.HashKernels.simhash64(d.text)
+        (d.doc_id, sig)
+      }
+      .flatMap { case (id, sig) =>
+        (0 until 4).map(c => (c.toLong << 32 | ((sig >>> (c * 16)) & 0xffffL), id, sig))
+      }
+      .toDF("bucket", "doc_id", "sig")
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Long)], NearDupHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, it, state: GroupState[List[(Long, Long)]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val hits = Iterator.newBuilder[NearDupHit]
+          // deterministic order within the batch
+          it.toSeq.sortBy(_._2).foreach { case (_, id, sig) =>
+            seen.foreach { case (pid, psig) =>
+              val hd = java.lang.Long.bitCount(sig ^ psig)
+              if (hd <= maxHamming && pid != id) hits += NearDupHit(id, pid, hd)
+            }
+            seen = ((id, sig) :: seen).take(maxStatePerBucket)
+          }
+          state.update(seen)
+          hits.result()
+      }
   }
 
   // ---- stateful sessionization ----------------------------------------

@@ -72,6 +72,53 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.head.n_events == 2 && rows.head.sum_value == 3.0)
     } finally q.stop()
   }
+
+  test("streaming exact dedup drops in-watermark duplicates; batch twin agrees") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val sdf = mem.toDF().toDF("ts", "text")
+    val q = EventStream.dedupExactStream(sdf, "text")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), "doc one"),
+        (Timestamp.valueOf("2024-01-01 10:01:00"), "doc two"),
+        (Timestamp.valueOf("2024-01-01 10:02:00"), "doc one")) // dup
+      q.processAllAvailable()
+      mem.addData((Timestamp.valueOf("2024-01-01 10:30:00"), "doc one")) // still in watermark
+      q.processAllAvailable()
+      val texts = spark.sql("SELECT text FROM dedup_test").collect().map(_.getString(0))
+      assert(texts.sorted.toSeq == Seq("doc one", "doc two"))
+    } finally q.stop()
+    // batch twin: same helper, plain dropDuplicates on the hash
+    val batch = EventStream.dedupExactStream(
+      Seq((Timestamp.valueOf("2024-01-01 10:00:00"), "a"),
+        (Timestamp.valueOf("2024-01-01 10:01:00"), "a")).toDF("ts", "text"), "text")
+    assert(batch.count() == 1)
+  }
+
+  test("streaming simhash near-dup flags cross-batch near-identical docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.SimDoc]
+    val q = EventStream.simhashNearDupStream(mem.toDS())
+      .writeStream.format("memory").queryName("neardup_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(EventStream.SimDoc(1L,
+        "the quick brown fox jumps over the lazy dog again and again today"))
+      q.processAllAvailable()
+      mem.addData(
+        EventStream.SimDoc(2L,
+          "the quick brown fox jumps over the lazy dog again and again today"), // exact dup
+        EventStream.SimDoc(3L, "completely different content with nothing shared at all"))
+      q.processAllAvailable()
+      val hits = spark.sql("SELECT DISTINCT doc_id, matches_doc_id FROM neardup_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits.contains((2L, 1L)), s"exact dup must be flagged, got $hits")
+      assert(!hits.exists(h => h._1 == 3L || h._2 == 3L))
+    } finally q.stop()
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {

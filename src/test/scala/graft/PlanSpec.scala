@@ -98,4 +98,32 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges <= 1, s"alignment must stay map-only before the agg:\n$p")
   }
+
+  test("LSH similarity plans are bucketed joins, never cartesian") {
+    for (q <- Seq("q_ann_lsh", "q_cosine_neardup")) {
+      val p = physicalPlan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q must join on (band, bucket), not all-pairs:\n${p.take(800)}")
+    }
+  }
+
+  test("wide insertion view assembles without a cross join (round-2 rework)") {
+    import spark.implicits._
+    val st = graft.core.SeqTable.fromSam(Seq(
+      ("A", "ref1", 1, "2M1I2M", "ACGTT", "IIIII"),
+      ("B", "ref1", 1, "5M", "AACCG", "IIIII")).toDF(
+      "header", "rname", "pos", "cigar", "seq", "qual"))
+    val p = st.viewWithInsertionsWide().queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"wide view must be a single groupBy, not reads x slots:\n${p.take(800)}")
+  }
+
+  test("text-quality kernels stay map-only before the presentation sort") {
+    for (q <- Seq("q_repetition", "q_gopher_filter", "q_lang_id", "q_token_stats")) {
+      val p = physicalPlan(q)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges == 0,
+        s"$q is per-document — no hash shuffle expected:\n${p.take(600)}")
+    }
+  }
 }
