@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Embeddings, Similarity, TextAnalysis}
 
 /** Training-data-pipeline operators over `documents` / `embeddings` /
   * `events`: dedup family, text analysis, similarity search, sessionization.
@@ -164,6 +164,22 @@ object Pipeline {
       Similarity.cosineNearDuplicates(Tables(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.35, bitsPerBand = 5, bands = 12)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // Symmetric int8 quantization contract: per-vector scale and the max
+    // reconstruction error (bounded by scale/2 per dimension). Double-
+    // precision math with floor(x+0.5) rounding on BOTH engines, so the
+    // oracle hash-checks the quantizer bit-for-bit.
+    "q_embed_quant" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      emb.select(col("vec_id"), col("embedding"),
+        Embeddings.quantizeInt8(col("embedding")).as("q"))
+        .select(col("vec_id"),
+          round(col("q.scale"), 6).as("scale"),
+          round(array_max(zip_with(col("embedding"), col("q.codes"),
+            (x, c) => abs(x.cast("double") - c.cast("double") * col("q.scale")))), 6)
+            .as("max_err"))
+        .orderBy(col("vec_id"))
+    }),
 
     // ---- events: JSON + sessionization --------------------------------
     "q_events_json" -> ((s, dir) =>
@@ -346,6 +362,22 @@ object Pipeline {
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_embed_quant" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, scale, embedding,
+        |    CASE WHEN scale > 0 THEN
+        |      list_transform(embedding, x ->
+        |        CAST(greatest(-127.0, least(127.0, floor(x::DOUBLE / scale + 0.5))) AS INT))
+        |    ELSE list_transform(embedding, x -> 0) END AS codes
+        |  FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  round(list_max([abs(embedding[i]::DOUBLE - codes[i]::DOUBLE * scale)
+        |    FOR i IN range(1, len(embedding) + 1)]), 6) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
     "q_events_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
         |  COUNT(*) AS n,

@@ -309,6 +309,47 @@ class SimilaritySpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("int8 quantization: error bound, cosine preservation, zero guard") {
+    val rnd = new scala.util.Random(17)
+    val df = ((0 until 20).map(i => (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat))) :+
+      (99L, Array.fill(32)(0.0f))).toDF("vec_id", "embedding")
+    val q = df.select(col("vec_id"), col("embedding"),
+      Embeddings.quantizeInt8(col("embedding")).as("q"))
+    // per-dim reconstruction error <= scale/2 (+ eps for clamping edge)
+    val errs = q.select(col("q.scale"),
+      array_max(zip_with(col("embedding"), col("q.codes"),
+        (x, c) => abs(x.cast("double") - c.cast("double") * col("q.scale")))))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    errs.foreach { case (scale, err) =>
+      assert(err <= scale / 2 + 1e-12, s"err $err > scale/2 ${scale / 2}")
+    }
+    // zero vector: scale 0, codes all zero, dequantize returns zeros
+    val z = q.filter(col("vec_id") === 99L)
+      .select(col("q.scale"), col("q.codes"),
+        Embeddings.dequantizeInt8(col("q")))
+      .head()
+    assert(z.getDouble(0) == 0.0)
+    assert(z.getSeq[Int](1).forall(_ == 0))
+    assert(z.getSeq[Float](2).forall(_ == 0.0f))
+    // quantized cosine tracks the float cosine within ~1%
+    val pairs = q.as("a").crossJoin(q.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id") && col("b.vec_id") =!= 99L)
+      .select(
+        Similarity.cosine(col("a.embedding"), col("b.embedding")),
+        Embeddings.quantizedCosine(col("a.q"), col("b.q")))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    pairs.foreach { case (c, qc) =>
+      assert(math.abs(c - qc) < 0.01, s"cosine $c vs quantized $qc")
+    }
+    // l2Normalize: unit norm, direction preserved
+    val n = df.filter(col("vec_id") === 0L)
+      .select(Embeddings.l2Normalize(col("embedding")).as("nv"), col("embedding"))
+    val nr = n.select(Similarity.norm(col("nv")),
+      Similarity.cosine(col("nv"), col("embedding"))).head()
+    assert(math.abs(nr.getDouble(0) - 1.0) < 1e-6)
+    assert(math.abs(nr.getDouble(1) - 1.0) < 1e-6)
+  }
+
   test("ivfTopK Lloyd iterations do not hurt recall@5 on clustered data") {
     // 5 well-separated clusters in 32-d: centers are scaled unit axes mixed
     // with noise; recall is measured against brute force.
