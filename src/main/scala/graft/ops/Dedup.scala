@@ -105,7 +105,12 @@ object Dedup {
       .withColumn("n", size(col("sh")))
 
     // The banded frame carries ONLY (band, band_hash, id, n): the candidate
-    // self-join shuffles ~20-byte rows, never arrays.
+    // self-join shuffles ~20-byte rows, never arrays. Signatures are the
+    // classic k-permutation MinHash: one-permutation hashing (see
+    // HashKernels.minhashSigOPH) was measured on this corpus (median ~150
+    // shingles, 40 bins → ~4/bin) to inflate candidates 2× raw / 4× at the
+    // ≥2-band prune because sparse bins + rotation densification correlate
+    // adjacent bins; OPH only pays when |shingles| ≫ numHashes.
     val banded = withSh
       .select(col("id"), col("n"), HashKernels.minhashSigUdf(numHashes)(col("sh")).as("sig"))
       .select(col("id"), col("n"),

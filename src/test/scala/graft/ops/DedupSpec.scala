@@ -41,6 +41,28 @@ class HashKernelsSpec extends AnyFunSuite {
     assert(HashKernels.minhashSig(a, 64).toSeq == HashKernels.minhashSig(a, 64).toSeq)
   }
 
+  test("one-permutation minhash estimates jaccard and densifies empty bins") {
+    val rnd = new scala.util.Random(23)
+    // two large random sets with engineered ~0.5 overlap
+    val shared = Array.fill(2000)(rnd.nextLong())
+    val a = (shared ++ Array.fill(1000)(rnd.nextLong())).distinct.sorted
+    val b = (shared ++ Array.fill(1000)(rnd.nextLong())).distinct.sorted
+    val truth = HashKernels.jaccardSorted(a, b)
+    val sa = HashKernels.minhashSigOPH(a, 64)
+    val sb = HashKernels.minhashSigOPH(b, 64)
+    val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / 64
+    assert(math.abs(est - truth) < 0.2, s"OPH estimate $est vs truth $truth")
+    // small set (fewer shingles than bins): every bin still defined
+    val tiny = HashKernels.hashedShingles("abcdefg", 3)
+    val st = HashKernels.minhashSigOPH(tiny, 64)
+    assert(tiny.length < 64 && st.forall(_ != Long.MaxValue))
+    // determinism
+    assert(HashKernels.minhashSigOPH(a, 32).toSeq == HashKernels.minhashSigOPH(a, 32).toSeq)
+    // empty input stays all-sentinel (no fabricated matches with another empty?
+    // verification filters empties; just pin the shape)
+    assert(HashKernels.minhashSigOPH(Array.emptyLongArray, 8).forall(_ == Long.MaxValue))
+  }
+
   test("simhash: small edits stay within small hamming distance") {
     val s1 = HashKernels.simhash64("the quick brown fox jumps over the lazy dog again and again")
     val s2 = HashKernels.simhash64("the quick brown fox jumps over the lazy cat again and again")
