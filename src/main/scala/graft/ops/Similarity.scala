@@ -100,10 +100,21 @@ object Similarity {
   }
 
   /** Cosine from a precomputed-norm pair: dot/(na*nb). Precomputing norms
-    * once per vector (instead of per pair) cuts the per-pair flops 3×.
+    * once per vector (instead of per pair) cuts the per-pair flops 3×. The
+    * dot is the native codegen expression (plans.DotProductFloat) — it
+    * reads ArrayData in place, where the UDF form copies both arrays per
+    * scored pair.
     */
   private def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
-    when(na * nb > 0, HashKernels.dotUdf(a, b) / (na * nb)).otherwise(lit(0.0))
+    when(na * nb > 0, call_function("dot_f", a, b) / (na * nb)).otherwise(lit(0.0))
+
+  /** Native one-pass cosine (plans.CosineSimFloat); bit-identical to the
+    * UDF form, zero per-pair array copies.
+    */
+  private def cosNative(a: Column, b: Column): Column = call_function("cosine_f", a, b)
+
+  private def ensureNative(df: DataFrame): Unit =
+    graft.plans.GraftExtensions.register(df.sparkSession)
 
   /** Exact top-k cosine neighbors of each query vector.
     *
@@ -118,6 +129,7 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int = 10): DataFrame = {
+    ensureNative(corpus)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       HashKernels.normUdf(col(vecCol)).as("qn"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
@@ -154,6 +166,7 @@ object Similarity {
       bands: Int,
       multiProbe: Boolean,
       seed: Int = 42): DataFrame = {
+    ensureNative(corpus)
     val c = bandedExact(corpus, idCol, "neighbor_id", vecCol, bitsPerBand, bands, seed)
     val q =
       if (multiProbe)
@@ -187,6 +200,7 @@ object Similarity {
       bands: Int = 16,
       multiProbe: Boolean = true,
       seed: Int = 42): DataFrame = {
+    ensureNative(corpus)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     lshCandidates(corpus, queries, idCol, vecCol, bitsPerBand, bands, multiProbe, seed)
@@ -195,7 +209,7 @@ object Similarity {
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
         Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(HashKernels.cosineUdf(col("qv"), col("cv")), 6).as("sim"))
+        round(cosNative(col("qv"), col("cv")), 6).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -269,13 +283,14 @@ object Similarity {
       kCentroids: Int = 16,
       nProbe: Int = 4,
       lloydIters: Int = 3): DataFrame = {
+    ensureNative(corpus)
     val cent = trainCentroids(corpus, idCol, vecCol, kCentroids, lloydIters)
 
     def assign(df: DataFrame, id: String, keep: Int) = {
       val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("cell"))
       df.select(col(idCol).as(id), col(vecCol).as("v"))
         .crossJoin(broadcast(cent))
-        .withColumn("csim", HashKernels.cosineUdf(col("v"), col("cent_vec")))
+        .withColumn("csim", cosNative(col("v"), col("cent_vec")))
         .withColumn("crank", row_number().over(w))
         .filter(col("crank") <= keep)
         .select(col(id), col("cell"))
@@ -294,7 +309,7 @@ object Similarity {
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
         Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(HashKernels.cosineUdf(col("qv"), col("cv")), 6).as("sim"))
+        round(cosNative(col("qv"), col("cv")), 6).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -340,6 +355,7 @@ object Similarity {
       bands: Int = -1,
       targetRecall: Double = 0.95,
       seed: Int = 42): DataFrame = {
+    ensureNative(df)
     val (r, b) =
       if (bitsPerBand > 0 && bands > 0) (bitsPerBand, bands)
       else bandGeometry(threshold, targetRecall)

@@ -17,24 +17,34 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.hammingDescriptor)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
 
-  private[plans] val hammingDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("hamming_distance"),
-    new ExpressionInfo(classOf[HammingDistance].getName, "hamming_distance"),
+  private type Descriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def binary(
+      name: String, cls: Class[_],
+      build: (Expression, Expression) => Expression): Descriptor = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(cls.getName, name),
     (children: Seq[Expression]) => {
-      require(children.size == 2, "hamming_distance(a, b) takes two arguments")
-      HammingDistance(children.head, children(1))
+      require(children.size == 2, s"$name(a, b) takes two arguments")
+      build(children.head, children(1))
     })
 
-  /** Register on an existing session (tests, notebooks). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = hammingDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  private[plans] val descriptors: Seq[Descriptor] = Seq(
+    binary("hamming_distance", classOf[HammingDistance], HammingDistance.apply),
+    binary("dot_f", classOf[DotProductFloat], DotProductFloat.apply),
+    binary("cosine_f", classOf[CosineSimFloat], CosineSimFloat.apply))
+
+  /** Register on an existing session (tests, notebooks); idempotent. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    descriptors.foreach { case (id, info, builder) =>
+      if (!spark.sessionState.functionRegistry.functionExists(id))
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

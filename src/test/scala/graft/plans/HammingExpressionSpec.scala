@@ -52,3 +52,45 @@ class HammingExpressionSpec extends AnyFunSuite {
     } finally ()
   }
 }
+
+class VectorExpressionsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private val spark = graft.TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("native dot/cosine are bit-identical to the UDF kernels") {
+    GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(29)
+    val df = (0 until 200).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat),
+        Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "a", "b")
+    val rows = df.select(
+      call_function("dot_f", col("a"), col("b")),
+      graft.ops.HashKernels.dotUdf(col("a"), col("b")),
+      call_function("cosine_f", col("a"), col("b")),
+      graft.ops.HashKernels.cosineUdf(col("a"), col("b"))).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "dot_f != dotUdf (must be bit-identical)")
+      assert(r.getDouble(2) == r.getDouble(3), "cosine_f != cosineUdf (must be bit-identical)")
+    }
+    // zero-vector guard
+    val z = Seq((Array.fill(4)(0.0f), Array(1.0f, 0f, 0f, 0f))).toDF("a", "b")
+      .select(call_function("cosine_f", col("a"), col("b"))).head()
+    assert(z.getDouble(0) == 0.0)
+  }
+
+  test("vector expressions stay inside whole-stage codegen") {
+    GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(31)
+    val df = (0 until 500).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "v")
+      .select(round(call_function("cosine_f", col("v"), col("v")), 4).as("c"))
+      .groupBy("c").count()
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\)".r.findAllIn(plan).nonEmpty,
+      s"cosine_f fell out of codegen:\n${plan.take(600)}")
+  }
+}
