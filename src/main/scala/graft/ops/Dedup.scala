@@ -98,6 +98,7 @@ object Dedup {
       threshold: Double = 0.7,
       minBandMatches: Int = 1): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    graft.plans.GraftExtensions.register(df.sparkSession)
     val rows = numHashes / bands
     val withSh = df.select(
       col(idCol).as("id"),
@@ -140,7 +141,8 @@ object Dedup {
     candidates
       .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", HashKernels.jaccardUdf(col("sh_a"), col("sh_b")))
+      // native codegen merge (plans.JaccardSortedLong): no per-pair array copy
+      .withColumn("jaccard", call_function("jaccard_sorted", col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -337,6 +339,7 @@ object Dedup {
       threshold: Double = 0.0,
       maxBlockRows: Int = 100000): DataFrame = {
     require(maxBlockRows > 0, "maxBlockRows must be positive")
+    graft.plans.GraftExtensions.register(df.sparkSession)
     val withSh = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
       HashKernels.hashedShinglesUdf(n)(col(textCol)).as("sh"))
       .withColumn("sz", size(col("sh")))
@@ -366,7 +369,7 @@ object Dedup {
         // intersection entirely for pairs that cannot qualify
         least(col("sz_a"), col("sz_b")) >= lit(threshold) * greatest(col("sz_a"), col("sz_b")))
       .select(col("id_a"), col("id_b"),
-        HashKernels.jaccardUdf(col("sh_a"), col("sh_b")).as("jaccard"))
+        call_function("jaccard_sorted", col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

@@ -39,7 +39,8 @@ object GraftExtensions {
   private[plans] val descriptors: Seq[Descriptor] = Seq(
     binary("hamming_distance", classOf[HammingDistance], HammingDistance.apply),
     binary("dot_f", classOf[DotProductFloat], DotProductFloat.apply),
-    binary("cosine_f", classOf[CosineSimFloat], CosineSimFloat.apply))
+    binary("cosine_f", classOf[CosineSimFloat], CosineSimFloat.apply),
+    binary("jaccard_sorted", classOf[JaccardSortedLong], JaccardSortedLong.apply))
 
   /** Register on an existing session (tests, notebooks); idempotent. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -94,3 +94,25 @@ class VectorExpressionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"cosine_f fell out of codegen:\n${plan.take(600)}")
   }
 }
+
+class JaccardExpressionSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private val spark = graft.TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("native jaccard_sorted is bit-identical to the UDF kernel") {
+    GraftExtensions.register(spark)
+    val texts = Seq(
+      ("the quick brown fox jumps over the lazy dog", "the quick brown fox jumps over the lazy cat"),
+      ("aaaa", "aaaa"),
+      ("", "something"),
+      ("", ""))
+    val df = texts.toDF("ta", "tb").select(
+      graft.ops.HashKernels.hashedShinglesUdf(3)(col("ta")).as("a"),
+      graft.ops.HashKernels.hashedShinglesUdf(3)(col("tb")).as("b"))
+    val rows = df.select(
+      call_function("jaccard_sorted", col("a"), col("b")),
+      graft.ops.HashKernels.jaccardUdf(col("a"), col("b"))).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+}
