@@ -317,6 +317,45 @@ object Dedup {
     df.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** Cross-document shared-substring detection via winnowed fingerprints
+    * (the MOSS scheme — HashKernels.winnowedFingerprints): documents
+    * sharing ANY substring of length ≥ window + k − 1 share at least one
+    * fingerprint, so grouping by fingerprint finds exact long-overlap
+    * pairs (the "repeated passage" dedup of LLM training corpora) without
+    * suffix arrays or all-pairs work.
+    *
+    * Scale shape: explode each doc's ~len/window fingerprints, self-join
+    * on the 8-byte fingerprint, count shared prints per pair. Fingerprints
+    * occurring in more than `maxDocFreq` documents are boilerplate (common
+    * headers, licenses) and would create quadratic hot groups — they are
+    * dropped (standard document-frequency pruning; the pairs they would
+    * contribute are, by definition, pairs sharing only ubiquitous text).
+    *
+    * Output: (id_a, id_b, n_shared), id_a < id_b, n_shared ≥ minShared.
+    */
+  def sharedSubstringPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      window: Int = 16,
+      minShared: Int = 1,
+      maxDocFreq: Int = 1000): DataFrame = {
+    val fps = df.select(col(idCol).as("id"),
+      explode(HashKernels.winnowedFingerprintsUdf(k, window)(col(textCol))).as("fp"))
+    val rare = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") <= maxDocFreq && col("df_count") >= 2)
+      .select("fp")
+    val pruned = fps.join(rare, Seq("fp"), "left_semi")
+    pruned.select(col("fp"), col("id").as("id_a"))
+      .join(pruned.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs produced by a
     * blocking key (never all-pairs). Output: (id_a, id_b, jaccard).
     *

@@ -126,6 +126,49 @@ object HashKernels {
     sig
   }
 
+  /** Winnowed fingerprints (Schleimer, Wilkerson & Aiken 2003, the MOSS
+    * scheme): hash every k-gram, slide a window of `w` consecutive hashes,
+    * record each window's minimum (rightmost on ties — the "robust"
+    * variant). GUARANTEE: two documents sharing any substring of length
+    * ≥ w + k − 1 share at least one fingerprint; density is ~2/(w+1) of
+    * positions, so the fingerprint set is ~n/w longs per document.
+    * Returns distinct fingerprints sorted ascending.
+    */
+  def winnowedFingerprints(text: String, k: Int, w: Int): Array[Long] = {
+    if (text == null || text.length < k) return Array.emptyLongArray
+    val n = text.length - k + 1
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = mix(fnv1a(text, i, k)); i += 1 }
+    if (n <= w) {
+      // document shorter than one window: one global min
+      var m = hs(0); i = 1
+      while (i < n) { if (hs(i) <= m) m = hs(i); i += 1 }
+      return Array(m)
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Long](n / w + 2)
+    var lastPos = -1
+    i = 0
+    while (i + w <= n) {
+      // rightmost min of hs[i, i+w) — O(n·w) scan; w is small (≤64) so a
+      // monotonic-deque O(n) variant isn't worth its constant factor here
+      var mPos = i
+      var j = i + 1
+      while (j < i + w) { if (hs(j) <= hs(mPos)) mPos = j; j += 1 }
+      if (mPos != lastPos) { out += hs(mPos); lastPos = mPos }
+      i += 1
+    }
+    val arr = out.toArray
+    java.util.Arrays.sort(arr)
+    var wr = 0
+    i = 0
+    while (i < arr.length) {
+      if (wr == 0 || arr(i) != arr(wr - 1)) { arr(wr) = arr(i); wr += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOfRange(arr, 0, wr)
+  }
+
   /** Jaccard of two sorted long arrays via linear merge. */
   def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
     if (a.isEmpty && b.isEmpty) return 0.0
@@ -290,6 +333,11 @@ object HashKernels {
 
   def minhashSigOPHUdf(numHashes: Int): Column => Column = {
     val f = udf((sh: Array[Long]) => minhashSigOPH(sh, numHashes))
+    c => f(c)
+  }
+
+  def winnowedFingerprintsUdf(k: Int, w: Int): Column => Column = {
+    val f = udf((t: String) => winnowedFingerprints(t, k, w))
     c => f(c)
   }
 

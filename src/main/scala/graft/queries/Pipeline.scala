@@ -67,6 +67,19 @@ object Pipeline {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // Winnowed-fingerprint shared-substring pairs (MOSS scheme): documents
+    // sharing any substring of length >= window+k-1 = 19 chars. The
+    // synthetic corpus is heavily templated (63% of doc pairs share >=2
+    // prints at sf0.01), so the query keeps only substantial overlap
+    // (minShared=10 ≈ shared passages of hundreds of chars); real corpora
+    // would drop boilerplate via maxDocFreq instead. Rows-only (the
+    // fingerprint sampling is position-dependent; pinned by the guarantee
+    // tests in DedupSpec).
+    "q_substring_pairs" -> ((s, dir) =>
+      Dedup.sharedSubstringPairs(Tables(s, dir, "documents"),
+        "doc_id", "text", k = 8, window = 12, minShared = 10)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures).
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDuplicates(Tables(s, dir, "documents"), "doc_id", "text")

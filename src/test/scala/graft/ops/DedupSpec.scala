@@ -179,6 +179,50 @@ class DedupSpec extends AnyFunSuite {
     assert(comps.forall(_._2 == 0L), "all chain members should label to min id 0")
   }
 
+  test("winnowed fingerprints: guarantee, density, determinism") {
+    val rnd = new scala.util.Random(41)
+    def randStr(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val k = 8; val w = 16
+    // guarantee: any shared substring of length >= w+k-1 shares a print
+    val shared = randStr(w + k - 1) // exactly the guarantee boundary
+    for (_ <- 0 until 20) {
+      val a = randStr(100) + shared + randStr(100)
+      val b = randStr(120) + shared + randStr(80)
+      val fa = HashKernels.winnowedFingerprints(a, k, w).toSet
+      val fb = HashKernels.winnowedFingerprints(b, k, w).toSet
+      assert(fa.intersect(fb).nonEmpty,
+        "winnowing guarantee violated: shared 23-char substring, no shared print")
+    }
+    // density ~ 2/(w+1): a 10k doc should produce far fewer prints than k-grams
+    val big = randStr(10000)
+    val prints = HashKernels.winnowedFingerprints(big, k, w)
+    assert(prints.length < 10000 / 4, s"density too high: ${prints.length}")
+    assert(prints.length > 10000 / (4 * w), s"density too low: ${prints.length}")
+    // determinism + short-input handling
+    assert(HashKernels.winnowedFingerprints(big, k, w).toSeq == prints.toSeq)
+    assert(HashKernels.winnowedFingerprints("abc", 8, 16).isEmpty)
+    assert(HashKernels.winnowedFingerprints("abcdefgh", 8, 16).length == 1)
+  }
+
+  test("sharedSubstringPairs finds planted long overlaps, prunes boilerplate") {
+    val rnd = new scala.util.Random(43)
+    def randStr(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val passage = randStr(80) // long shared passage between docs 1 and 2
+    val boiler = randStr(40) // "license header" present in EVERY doc
+    val rows = Seq(
+      (1L, boiler + randStr(200) + passage),
+      (2L, boiler + passage + randStr(150)),
+      (3L, boiler + randStr(250)),
+      (4L, boiler + randStr(250)),
+      (5L, boiler + randStr(250))).toDF("doc_id", "text")
+    val pairs = Dedup.sharedSubstringPairs(rows, "doc_id", "text",
+      k = 8, window = 16, maxDocFreq = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"planted 80-char passage not found: $pairs")
+    // boilerplate prints occur in 5 docs > maxDocFreq=3 → no pair from them
+    assert(!pairs.contains((3L, 4L)), s"boilerplate-only pair leaked: $pairs")
+  }
+
   test("ngramJaccard skew guard: grid sub-blocking is exact") {
     // one pathological hot block (200 rows, all same blk) — force g>1 via a
     // tiny maxBlockRows and check the pair set is IDENTICAL to the
