@@ -65,3 +65,33 @@ class EndToEndSpec extends AnyFunSuite {
     assert(secs < 60, s"pipeline took $secs s — far off the single-digit target")
   }
 }
+
+class CorpusCleanSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private val spark = graft.TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("clean: filter first, then dedup; stats account for every drop") {
+    val good = "the quick brown fox and the lazy dog ran to the old mill for fun today"
+    val rows = Seq(
+      (1L, good + " plus unique suffix alpha beta gamma"),
+      (2L, good + " plus unique suffix alpha beta gamma"), // near-dup of 1
+      (3L, "too short"), // filtered: too_few_words
+      (4L, good + " a completely different tail that it was for nothing else whatsoever"),
+      (5L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod")) // no stopwords
+      .toDF("doc_id", "text")
+    val cleaned = graft.ops.Corpus.clean(rows, "doc_id", "text",
+      k = 3, numHashes = 64, bands = 16, threshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cleaned == Set(1L, 4L), s"got $cleaned")
+    val stats = graft.ops.Corpus.cleanStats(rows, "doc_id", "text",
+      k = 3, numHashes = 64, bands = 16, threshold = 0.7)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats("too_few_words") == 1)
+    assert(stats("stopwords") == 1)
+    assert(stats("near_duplicate") == 1)
+    assert(stats("kept") == 2)
+    // accounting is complete: drops + kept == input
+    assert(stats.values.sum == 5)
+  }
+}

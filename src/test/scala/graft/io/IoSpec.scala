@@ -102,6 +102,26 @@ class FastqSpec extends AnyFunSuite {
     assert(rows == Seq(("g1", "ACGT", "IIII"), ("g2", "TTGG", "@@II")))
   }
 
+  test("fuzzed round-trip: random reads with adversarial quality strings") {
+    import spark.implicits._
+    for (seed <- Seq(3, 7, 11)) {
+      val rnd = new scala.util.Random(seed)
+      val recs = (0 until 40).map { i =>
+        val len = 1 + rnd.nextInt(50)
+        val seq = Seq.fill(len)("ACGTN"(rnd.nextInt(5))).mkString
+        // quality: any printable char incl. '@' and '+' — the parser traps
+        val qual = Seq.fill(len)((33 + rnd.nextInt(94)).toChar).mkString
+        (s"read_${seed}_$i", seq, qual)
+      }
+      val dir = Files.createTempDirectory(s"fqfuzz$seed").toFile
+      val out = new java.io.File(dir, "out").getAbsolutePath
+      Fastq.write(recs.toDF("read_id", "seq", "qual"), out)
+      val back = Fastq.read(spark, out).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(back == recs.toSet, s"seed $seed: round-trip mismatch")
+    }
+  }
+
   test("fastq scan plan has zero exchanges") {
     val dir = Files.createTempDirectory("fastq7").toFile
     val f = new java.io.File(dir, "a.fq")
