@@ -92,7 +92,9 @@ final case class SeqTable(
     * fixture-scale by the reference's own contract; the 100 TB path is the
     * fraction-based [[subsample]]). With replacement, draw multiplicities
     * are computed driver-side from the seeded RNG and applied by joining a
-    * broadcast multiplicity table against a hash-ranked read index; like
+    * broadcast multiplicity table against a hash-ranked read index — NOTE
+    * the rank comes from an un-partitioned window, i.e. a single-task
+    * global sort: strictly fixture-scale, by the same contract; like
     * the reference, drawn-twice reads appear twice (same read_id), while
     * the insertion table keeps one copy per distinct read.
     */
@@ -219,9 +221,14 @@ final case class SeqTable(
     val keyCol = (col("position").cast("long") * lit(1L << 20)) +
       (col("loc").cast("long") + lit(1L << 19))
     longIns
+      // duplicate read_ids (stackReads collisions, with-replacement draws)
+      // would abort map_from_entries under the default EXCEPTION dedup
+      // policy — merge their cells first, min(base) for determinism
+      .groupBy(col("read_id"), keyCol.as("k"))
+      .agg(min(col("base")).as("v"))
       .groupBy(col("read_id"))
       .agg(map_from_entries(
-        collect_list(struct(keyCol.as("k"), col("base").as("v")))).as("m"))
+        collect_list(struct(col("k"), col("v")))).as("m"))
       .select(col("read_id"),
         array_join(
           transform(typedLit(slotKeys),

@@ -33,8 +33,14 @@ object AlignerBridge {
     val spark = reads.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val fastq = reads.select(concat_ws("\n",
-      concat(lit("@"), col("read_id")), col("seq"), lit("+"), col("qual")))
+    // concat_ws silently SKIPS nulls — a null seq/qual would emit a 3-line
+    // record and misframe every later record on the aligner's stdin, so
+    // fail loudly instead
+    val fastq = reads.select(
+      when(col("read_id").isNull || col("seq").isNull || col("qual").isNull,
+        raise_error(lit("AlignerBridge: null read_id/seq/qual would desync the FASTQ stream")))
+        .otherwise(concat_ws("\n",
+          concat(lit("@"), col("read_id")), col("seq"), lit("+"), col("qual"))))
       .as[String]
     val samLines = fastq.rdd.pipe(command)
     Sam.fromLines(spark.createDataset(samLines).toDF("value"))

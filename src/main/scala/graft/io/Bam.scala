@@ -202,6 +202,13 @@ object Bam {
     }
     val refId = refs.map(_._1).zipWithIndex.toMap
     records.foreach { rec =>
+      // l_read_name is a single byte; an unchecked write would silently
+      // truncate modulo 256 and desynchronize every following field
+      require(rec.header.length <= 254,
+        s"BAM read name exceeds 254 chars: ${rec.header.take(40)}…")
+      require(rec.qual == "*" || rec.qual == null ||
+        rec.qual.length == (if (rec.seq == "*") 0 else rec.seq.length),
+        s"qual length ${rec.qual.length} != seq length for ${rec.header}")
       val body = new ByteArrayOutputStream(256)
       writeI32(body, refId.get(rec.rname).getOrElse(-1))
       writeI32(body, rec.pos - 1)

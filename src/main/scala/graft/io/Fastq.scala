@@ -58,13 +58,16 @@ object Fastq {
         (p, off, math.min(off + splitSize, len), false)
       }
     }
+    // ship the SESSION Hadoop conf to executors (a bare new Configuration()
+    // would drop spark.hadoop.* settings — object-store credentials,
+    // custom filesystems — so listing would work and opening would not)
+    val serConf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
     val rdd = spark.sparkContext
       .parallelize(splits, math.max(splits.size, 1))
       .mapPartitions { it =>
         it.flatMap { case (p, start, end, gz) =>
-          val conf = new Configuration()
           val hp = new Path(p)
-          val stream = hp.getFileSystem(conf).open(hp)
+          val stream = hp.getFileSystem(serConf.value).open(hp)
           if (gz) {
             val in = new java.util.zip.GZIPInputStream(stream)
             splitRecords(in, 0L, Long.MaxValue, 0L)
@@ -110,12 +113,19 @@ object Fastq {
     new Iterator[(String, String, String)] {
       def hasNext: Boolean = {
         fill(4)
-        if (buf.isEmpty || buf.head._1 >= splitEnd) false
-        else if (buf.size < 4) {
-          if (buf.forall(_._2.isEmpty)) false // trailing blank line(s)
-          else throw new IllegalStateException(
-            s"truncated FASTQ record at offset ${buf.head._1}: " +
-              buf.map(_._2).mkString("|"))
+        if (buf.isEmpty || buf.head._1 >= splitEnd) {
+          // non-final splits stop mid-file and never reach EOF — close the
+          // stream here or every split task leaks one fd/connection
+          r.close()
+          false
+        } else if (buf.size < 4) {
+          if (buf.forall(_._2.isEmpty)) { r.close(); false } // trailing blank line(s)
+          else {
+            r.close()
+            throw new IllegalStateException(
+              s"truncated FASTQ record at offset ${buf.head._1}: " +
+                buf.map(_._2).mkString("|"))
+          }
         } else true
       }
       def next(): (String, String, String) = {
@@ -128,6 +138,24 @@ object Fastq {
     }
   }
 
+  /** Hadoop Configuration is not Serializable; this wrapper round-trips it
+    * through its own write/readFields wire format so tasks see the exact
+    * session configuration.
+    */
+  private final class SerializableHadoopConf(@transient private var conf: Configuration)
+      extends Serializable {
+    def value: Configuration = conf
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
   /** Byte-offset-tracking ASCII line reader ('\n' terminated, '\r' stripped). */
   private final class OffsetLineReader(in: InputStream, startPos: Long) {
     private var pos = startPos
@@ -135,6 +163,11 @@ object Fastq {
     private var bufLen = 0
     private var bufPos = 0
     private var eof = false
+
+    /** Idempotent; latches EOF so later readLine() calls stay null. */
+    def close(): Unit = {
+      if (!eof) { eof = true; try in.close() catch { case _: java.io.IOException => } }
+    }
 
     /** (lineStartOffset, line) or null at EOF (latched — safe to re-call). */
     def readLine(): (Long, String) = {

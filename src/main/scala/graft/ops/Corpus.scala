@@ -44,18 +44,23 @@ object Corpus {
       numHashes: Int = 40,
       bands: Int = 8,
       threshold: Double = 0.8): DataFrame = {
-    val flagged = TextAnalysis.gopherFilter(df, textCol, minWords = minWords)
-    val filterStats = flagged.filter(!col("keep"))
-      .groupBy(col("drop_reason").as("stage")).agg(count(lit(1)).as("n"))
-    val kept = flagged.filter(col("keep")).select(df.columns.map(col): _*)
-    val survivors = Dedup.dropNearDuplicates(kept, idCol, textCol,
-      k = k, numHashes = numHashes, bands = bands, threshold = threshold)
-    val nKept = kept.count()
-    val nSurvive = survivors.count()
-    val spark = df.sparkSession
-    import spark.implicits._
-    filterStats.unionByName(Seq(
-      ("near_duplicate", nKept - nSurvive),
-      ("kept", nSurvive)).toDF("stage", "n"))
+    // cache the filter stage: three downstream actions (reason counts,
+    // kept count, dedup-survivor count) would otherwise re-run the
+    // per-document kernel three times over the full corpus
+    val flagged = TextAnalysis.gopherFilter(df, textCol, minWords = minWords).cache()
+    try {
+      val reasonCounts: Seq[(String, Long)] = flagged.filter(!col("keep"))
+        .groupBy(col("drop_reason")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val kept = flagged.filter(col("keep")).select(df.columns.map(col): _*)
+      val nKept = kept.count()
+      val nSurvive = Dedup.dropNearDuplicates(kept, idCol, textCol,
+        k = k, numHashes = numHashes, bands = bands, threshold = threshold).count()
+      val spark = df.sparkSession
+      import spark.implicits._
+      (reasonCounts ++ Seq(
+        ("near_duplicate", nKept - nSurvive),
+        ("kept", nSurvive))).toDF("stage", "n")
+    } finally flagged.unpersist()
   }
 }

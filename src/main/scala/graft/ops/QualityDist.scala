@@ -58,6 +58,9 @@ object QualityDist {
       bins.map { case (a, b) => (s"$a-$b", a, b) }
         .toDF("bin_label", "bin_start", "bin_end"))
     val base = if (excludeNullQuality) long.filter(col("qual") > 0) else long
+    // user percentiles round to integers BY THE REFERENCE'S CONTRACT
+    // (numpy_ops.py:243 `[round(p, 0) for p in percentiles]`): requesting
+    // 12.5 computes (and labels) p13, exactly like the reference
     val per = (percentiles.map(p => math.round(p).toDouble) ++ ProgramRequired)
       .distinct.sorted
     val pctExprs = per.map(p =>

@@ -125,10 +125,12 @@ object TextAnalysis {
   // Map-only — no shuffle, linear scale-out.
 
   /** Lowercased whitespace tokens of a trimmed string (kernel-side twin of
-    * [[tokens]]; empty input → no tokens).
+    * [[tokens]]; empty input → no tokens). Locale.ROOT: the default-locale
+    * toLowerCase would diverge from Spark's lower() and the SQL oracle on
+    * e.g. a tr_TR JVM (dotless-ı for 'I').
     */
   private def tokenize(text: String): Array[String] = {
-    val t = text.toLowerCase.trim
+    val t = text.toLowerCase(java.util.Locale.ROOT).trim
     if (t.isEmpty) Array.empty else t.split("\\s+")
   }
 
