@@ -71,14 +71,19 @@ object Pipeline {
     // sharing any substring of length >= window+k-1 = 19 chars. The
     // synthetic corpus is heavily templated (63% of doc pairs share >=2
     // prints at sf0.01), so the query keeps only substantial overlap
-    // (minShared=10 ≈ shared passages of hundreds of chars); real corpora
-    // would drop boilerplate via maxDocFreq instead. Rows-only (the
-    // fingerprint sampling is position-dependent; pinned by the guarantee
-    // tests in DedupSpec).
-    "q_substring_pairs" -> ((s, dir) =>
-      Dedup.sharedSubstringPairs(Tables(s, dir, "documents"),
-        "doc_id", "text", k = 8, window = 12, minShared = 10)
-        .orderBy(col("id_a"), col("id_b"))),
+    // (minShared=10 ≈ shared passages of hundreds of chars) and treats
+    // prints in >2% of the corpus as boilerplate (maxDocFreq — each
+    // surviving print contributes ≤ df² pairs, so this cap IS the
+    // quadratic-work bound; true near-dup pairs share rare prints from
+    // their unique text). Rows-only (the fingerprint sampling is
+    // position-dependent; pinned by the guarantee tests in DedupSpec).
+    "q_substring_pairs" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val cap = math.max(50, (docs.count() / 50).toInt) // ~2% of corpus
+      Dedup.sharedSubstringPairs(docs,
+        "doc_id", "text", k = 8, window = 12, minShared = 10, maxDocFreq = cap)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     // SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures).
     "q_dedup_simhash" -> ((s, dir) =>
