@@ -116,4 +116,40 @@ class PropertiesSpec extends AnyFunSuite {
         in.length + out.length == ps.length
     })
   }
+
+  test("bandGeometry always meets the recall target it was solved for") {
+    import graft.ops.Similarity
+    val tGen = Gen.chooseNum(0.05, 0.99)
+    val rGen = Gen.chooseNum(0.5, 0.995)
+    check(Prop.forAll(tGen, rGen) { (threshold, targetRecall) =>
+      val (r, b) = Similarity.bandGeometry(threshold, targetRecall)
+      r >= 1 && b >= 1 &&
+        Similarity.candidateProb(threshold, r, b) >= targetRecall - 1e-9
+    })
+  }
+
+  test("bandGeometry background pruning is monotone in threshold") {
+    import graft.ops.Similarity
+    // a HIGHER threshold must never get WORSE background pruning: the
+    // solver prefers the largest bits/band that fits the band budget
+    check(Prop.forAll(Gen.chooseNum(0.5, 0.93)) { t =>
+      val (r1, b1) = Similarity.bandGeometry(t)
+      val (r2, b2) = Similarity.bandGeometry(math.min(t + 0.05, 0.99))
+      Similarity.candidateProb(0.0, r2, b2) <=
+        Similarity.candidateProb(0.0, r1, b1) + 1e-9
+    })
+  }
+
+  test("winnowing guarantee: planted shared substring always detected") {
+    import graft.ops.HashKernels
+    val strGen = Gen.chooseNum(20, 200).flatMap(n =>
+      Gen.stringOfN(n, Gen.alphaLowerChar))
+    val k = 8; val w = 16
+    check(Prop.forAll(strGen, strGen, Gen.stringOfN(w + k - 1, Gen.alphaLowerChar)) {
+      (pre, post, shared) =>
+        val fa = HashKernels.winnowedFingerprints(pre + shared, k, w).toSet
+        val fb = HashKernels.winnowedFingerprints(shared + post, k, w).toSet
+        fa.intersect(fb).nonEmpty
+    })
+  }
 }
