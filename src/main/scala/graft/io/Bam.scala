@@ -169,15 +169,21 @@ object Bam {
 
   /** BAM files/glob/dir → the [[Sam.read]] frame (11 std columns + opt).
     * One task per file; the BGZF chain inflates block-by-block.
+    * `minMapq` mirrors the reference's `min_mapping_quality`
+    * (seqtables.py:254-256: reads below it are skipped on ingest);
+    * region fetch (`fetch_args`) is a plain rname/pos filter downstream —
+    * Catalyst pushes it into the decode's output, no index needed at
+    * these scan shapes.
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String, minMapq: Int = -1): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile")
+    val df = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.bam").load(path)
       .select(col("content"))
       .as[Array[Byte]]
       .flatMap(bytes => decode(Bgzf.inflate(bytes)))
       .toDF()
+    if (minMapq >= 0) df.filter(col("mapq") >= minMapq) else df
   }
 
   // ---- encode -----------------------------------------------------------

@@ -275,6 +275,20 @@ class BamSpec extends AnyFunSuite {
     assert(r.qual == "*" && r.seq == "*" && r.cigar == "*")
   }
 
+  test("minMapq mirrors the reference's min_mapping_quality ingest filter") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bamq").toFile.getAbsolutePath
+    val df = Seq(
+      ("hi", 0, "chr1", 1, 60, "4M", "*", 0, 0, "ACGT", "IIII", Map.empty[String, String]),
+      ("lo", 0, "chr1", 2, 5, "4M", "*", 0, 0, "TTTT", "IIII", Map.empty[String, String]))
+      .toDF("header", "flag", "rname", "pos", "mapq", "cigar", "rnext",
+        "pnext", "tlen", "seq", "qual", "opt")
+    Bam.write(df, dir)
+    assert(Bam.read(spark, dir).count() == 2)
+    val kept = Bam.read(spark, dir, minMapq = 20).collect()
+    assert(kept.map(_.getString(0)).toSeq == Seq("hi"))
+  }
+
   test("distributed sink + source round-trip through Spark") {
     import spark.implicits._
     val dir = Files.createTempDirectory("bam").toFile.getAbsolutePath
