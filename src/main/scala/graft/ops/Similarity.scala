@@ -2,13 +2,16 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over embedding columns (ARRAY<FLOAT>).
   *
   * Three tiers, same output contract (query_id, neighbor_id, sim, rank):
   *  - `bruteForceTopK`: exact; broadcast the (small) query set against the
   *    corpus — map-side cosine + per-query top-k. Correct baseline.
+  *
+  * All three rank candidates through `TopKAggregator.topKByGroup` — a
+  * bounded-heap aggregate with map-side combine — never a per-query
+  * window sort (each query's full candidate set through one task).
   *  - `lshTopK`: random-hyperplane LSH — corpus is bucketed by per-band
   *    sign-bit buckets, candidates come from matching buckets only; the
   *    shuffle is keyed by (band, bucket), never all-pairs.
@@ -138,10 +141,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosinePre(col("qv"), col("cv"), col("qn"), col("cn")), 6).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    TopKAggregator.topKByGroup(scored, "query_id", "neighbor_id", "sim", k)
   }
 
   /** (band, bucket, <id>) banding frame: exact buckets only. */
@@ -201,17 +201,14 @@ object Similarity {
       multiProbe: Boolean = true,
       seed: Int = 42): DataFrame = {
     ensureNative(corpus)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    lshCandidates(corpus, queries, idCol, vecCol, bitsPerBand, bands, multiProbe, seed)
+    val scored = lshCandidates(corpus, queries, idCol, vecCol, bitsPerBand, bands, multiProbe, seed)
       .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))),
         Seq("query_id"))
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
         Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosNative(col("qv"), col("cv")), 6).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    TopKAggregator.topKByGroup(scored, "query_id", "neighbor_id", "sim", k)
   }
 
   /** Spherical-k-means centroids trained driver-side on a bounded,
@@ -241,7 +238,30 @@ object Similarity {
       if (n == 0) v else v.map(x => (x / n).toFloat)
     }
     val unit = sample.map(normalize)
-    var cents: Array[Array[Float]] = unit.take(k)
+    // k-means++ seeding (deterministic: hash-ordered sample + fixed-seed
+    // RNG): next centroid drawn ∝ D², D = spherical distance to the
+    // nearest chosen centroid. Spreads centroids so clustered samples
+    // don't waste cells — first-k-rows init put multiple centroids inside
+    // one dense cluster and left other regions unprobed.
+    var cents: Array[Array[Float]] = {
+      val rnd = new scala.util.Random(42)
+      val picked = scala.collection.mutable.ArrayBuffer(unit(0))
+      val minD = unit.map(v => math.max(0.0, 1.0 - HashKernels.dotD(v, unit(0))))
+      while (picked.length < math.min(k, unit.length) && minD.exists(_ > 0)) {
+        val w = minD.map(d => d * d)
+        var target = rnd.nextDouble() * w.sum
+        var i = 0
+        while (i < w.length - 1 && target >= w(i)) { target -= w(i); i += 1 }
+        picked += unit(i)
+        var j = 0
+        while (j < unit.length) {
+          val d = math.max(0.0, 1.0 - HashKernels.dotD(unit(j), unit(i)))
+          if (d < minD(j)) minD(j) = d
+          j += 1
+        }
+      }
+      picked.toArray
+    }
     var it = 0
     while (it < lloydIters) {
       val dim = cents(0).length
@@ -286,21 +306,25 @@ object Similarity {
     ensureNative(corpus)
     val cent = trainCentroids(corpus, idCol, vecCol, kCentroids, lloydIters)
 
-    def assign(df: DataFrame, id: String, keep: Int) = {
-      val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("cell"))
+    def cellScores(df: DataFrame, id: String) =
       df.select(col(idCol).as(id), col(vecCol).as("v"))
         .crossJoin(broadcast(cent))
-        .withColumn("csim", cosNative(col("v"), col("cent_vec")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .select(col(id), col("cell"))
-    }
-    val c = assign(corpus, "neighbor_id", 1)
-    val q = assign(queries, "query_id", nProbe)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
+        .select(col(id), col("cell"), cosNative(col("v"), col("cent_vec")).as("csim"))
+
+    // Corpus→cell is an argmax, not a ranking: max_by with a (csim, −cell)
+    // order key computes it with map-side combine — same result as the
+    // old per-id window (ties → smallest cell), none of its N·k-row sort.
+    val c = cellScores(corpus, "neighbor_id")
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(col("cell"), struct(col("csim"), -col("cell"))).as("cell"))
+    // Query side keeps nProbe cells — the same bounded top-k aggregate the
+    // selection step uses.
+    val q = TopKAggregator.topKByGroup(
+      cellScores(queries, "query_id"), "query_id", "cell", "csim", nProbe,
+      outId = "cell")
+      .select("query_id", "cell")
     // dedup on bare ids, then re-join vectors (narrow candidate shuffle)
-    c.join(broadcast(q), Seq("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
@@ -310,8 +334,7 @@ object Similarity {
         Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosNative(col("qv"), col("cv")), 6).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    TopKAggregator.topKByGroup(scored, "query_id", "neighbor_id", "sim", k)
   }
 
   /** Candidate (id_a, id_b) pairs for the self-join near-dup path: both

@@ -118,6 +118,23 @@ class PlanSpec extends AnyFunSuite {
       s"wide view must be a single groupBy, not reads x slots:\n${p.take(800)}")
   }
 
+  test("ANN top-k selection is a partial aggregate, never a per-query window sort") {
+    // round-2 verdict: row_number over Window.partitionBy(query_id) funnels
+    // each query's whole candidate set through one task. The bounded-heap
+    // aggregate must show up as ObjectHashAggregate with a partial stage,
+    // and no Window operator may appear anywhere in the three ANN plans
+    // (ivf's cell assignment windows included).
+    for (q <- Seq("q_ann_bruteforce", "q_ann_lsh", "q_ann_ivf")) {
+      val p = physicalPlan(q)
+      assert(!p.contains("Window"),
+        s"$q still ranks through a window sort:\n${p.take(800)}")
+      assert(p.contains("ObjectHashAggregate"),
+        s"$q top-k is not an object-hash aggregate:\n${p.take(800)}")
+      assert(p.contains("partial_"),
+        s"$q top-k has no map-side partial stage:\n${p.take(800)}")
+    }
+  }
+
   test("text-quality kernels stay map-only before the presentation sort") {
     for (q <- Seq("q_repetition", "q_gopher_filter", "q_lang_id", "q_token_stats")) {
       val p = physicalPlan(q)

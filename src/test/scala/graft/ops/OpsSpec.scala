@@ -250,6 +250,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.head.getLong(1) == 2L)
   }
 
+  test("topKByGroup equals the window-sort ranking it replaced (ties included)") {
+    // Random scores with forced duplicates so sim-ties exercise the id
+    // tie-break; compare against an explicit row_number window.
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 400).map { i =>
+      (i % 7L, (i * 31 % 57).toLong, math.rint(rnd.nextDouble() * 8) / 8.0)
+    }
+    val df = rows.toDF("query_id", "neighbor_id", "sim").dropDuplicates("query_id", "neighbor_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    val expected = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val got = TopKAggregator.topKByGroup(df, "query_id", "neighbor_id", "sim", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == expected)
+    // string ids tie-break lexically, like the window's ORDER BY would
+    val sdf = Seq(("q", "a10", 1.0), ("q", "a2", 1.0), ("q", "a1", 0.5))
+      .toDF("query_id", "neighbor_id", "sim")
+    val sGot = TopKAggregator.topKByGroup(sdf, "query_id", "neighbor_id", "sim", 2)
+      .orderBy("rank").collect().map(_.getString(1)).toSeq
+    assert(sGot == Seq("a10", "a2"))
+  }
+
   test("bandGeometry solves the S-curve: >=16-bit bands at high thresholds") {
     val (r95, b95) = Similarity.bandGeometry(0.95)
     assert(r95 >= 16, s"expected >=16 bits/band at threshold 0.95, got $r95")
