@@ -57,4 +57,13 @@ object Cigar {
   /** Total matched bases, sum of M events (ref: custom_sam_utils.py:115-121). */
   def baseHits(cigar: String): Int =
     parse(cigar).collect { case CigarOp('M', n) => n }.sum
+
+  /** Reference-consumed span: sum of M/D/N/=/X events (SAM spec §1.4) —
+    * the alignment's footprint on the reference, used for BAI binning and
+    * region-overlap tests.
+    */
+  def refConsumed(cigar: String): Int =
+    parse(cigar).collect {
+      case CigarOp(op, n) if op == 'M' || op == 'D' || op == 'N' || op == '=' || op == 'X' => n
+    }.sum
 }

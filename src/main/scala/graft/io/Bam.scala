@@ -18,14 +18,13 @@ import org.apache.spark.sql.functions._
   * Unmapped reads (refID −1, pos −1) come out as rname "*", pos 0 — the
   * SAM text convention.
   *
-  * Scale shape: the parallel unit is the FILE — `binaryFile` hands each
-  * BAM to one task, which walks its BGZF chain and decodes records;
-  * real-world NGS corpora are many-BAM by construction (per sample / per
-  * lane), so file-level parallelism is the first-order dimension.
-  * Within-file splits are possible because BGZF blocks are independently
-  * inflatable (see [[Bgzf]]) — a record-boundary resync heuristic or
-  * .bai virtual offsets would shard a single huge BAM; that path is
-  * deliberately not taken here to keep ingest dependency-free.
+  * Scale shape: the parallel unit is the BYTE RANGE, like a text scan —
+  * each file is cut into `splitSize` splits and every task block-syncs +
+  * record-resyncs inside its range (see [[BamScan]]), so one huge BAM
+  * shards exactly as a huge CSV does; many-BAM corpora parallelize across
+  * files AND within them. [[fetch]] is the random-access path: a .bai
+  * index ([[Bai]]) maps a genomic region to the handful of BGZF blocks
+  * holding overlapping reads — pysam `fetch(region)` parity.
   * [[write]] is the inverse: one BAM shard per partition, so a decode →
   * transform → re-encode pipeline never funnels through the driver.
   */
@@ -70,7 +69,7 @@ object Bam {
     }
   }
 
-  private def decodeRecord(
+  private[io] def decodeRecord(
       b: Array[Byte], off: Int, len: Int, refs: Array[String]): BamRecord = {
     var p = off
     val refId = readI32(b, p); p += 4
@@ -168,22 +167,90 @@ object Bam {
     }
 
   /** BAM files/glob/dir → the [[Sam.read]] frame (11 std columns + opt).
-    * One task per file; the BGZF chain inflates block-by-block.
+    * Each file is cut into `splitSize` byte ranges and scanned in
+    * parallel with block + record resync ([[BamScan.splitRecords]]) —
+    * a single huge BAM gets bytes/`splitSize` tasks, not one.
     * `minMapq` mirrors the reference's `min_mapping_quality`
-    * (seqtables.py:254-256: reads below it are skipped on ingest);
-    * region fetch (`fetch_args`) is a plain rname/pos filter downstream —
-    * Catalyst pushes it into the decode's output, no index needed at
-    * these scan shapes.
+    * (seqtables.py:254-256: reads below it are skipped on ingest).
     */
-  def read(spark: SparkSession, path: String, minMapq: Int = -1): DataFrame = {
+  def read(
+      spark: SparkSession,
+      path: String,
+      minMapq: Int = -1,
+      splitSize: Long = 64L * 1024 * 1024): DataFrame = {
     import spark.implicits._
-    val df = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.bam").load(path)
-      .select(col("content"))
-      .as[Array[Byte]]
-      .flatMap(bytes => decode(Bgzf.inflate(bytes)))
-      .toDF()
+    require(splitSize > 0, s"splitSize must be positive, got $splitSize")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val statuses = Option(fs.globStatus(hPath)).getOrElse(Array.empty)
+      .flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile).toSeq
+        else Seq(st)
+      }
+      .filter(_.getPath.getName.endsWith(".bam"))
+    val splits: Seq[(String, Long, Long, Long)] = statuses.toSeq.flatMap { st =>
+      val p = st.getPath.toString
+      val len = st.getLen
+      (0L until math.max(len, 1L) by splitSize).map { off =>
+        (p, off, math.min(off + splitSize, len), len)
+      }
+    }
+    val serConf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val rdd = spark.sparkContext
+      .parallelize(splits, math.max(splits.size, 1))
+      .flatMap { case (p, start, end, fileLen) =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        BamScan.splitRecords(hp.getFileSystem(serConf.value), hp, fileLen, start, end)
+      }
+    val df = rdd.toDF()
     if (minMapq >= 0) df.filter(col("mapq") >= minMapq) else df
+  }
+
+  /** pysam-`fetch(contig, start, stop)` parity
+    * (ref: seqtables.py:233-246 passes `fetch_args` to `Samfile.fetch`):
+    * region-restricted read of ONE coordinate-sorted, indexed BAM.
+    * `beg1`/`end1` are 1-based inclusive, matching the frame's `pos`.
+    * Only the BGZF blocks whose .bai chunks overlap the region are read —
+    * the point of the index; everything else of the file stays untouched.
+    * The .bai is searched at `<path>.bai` unless `baiPath` overrides; use
+    * [[Bai.build]] + [[Bai.write]] to index a BAM this library wrote.
+    * Returned reads OVERLAP the region (pysam semantics) — their span
+    * `[pos, pos+refConsumed-1]` intersects `[beg1, end1]`.
+    */
+  def fetch(
+      spark: SparkSession,
+      path: String,
+      rname: String,
+      beg1: Int,
+      end1: Int,
+      baiPath: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    require(beg1 >= 1 && end1 >= beg1, s"bad region $rname:$beg1-$end1")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val hdr = {
+      val in = fs.open(hPath)
+      try BamScan.readHeader(in) finally in.close()
+    }
+    val refId = hdr.refs.indexOf(rname)
+    require(refId >= 0, s"reference '$rname' not in $path header " +
+      s"(has ${hdr.refs.take(5).mkString(", ")}${if (hdr.refs.length > 5) ", …" else ""})")
+    val idx = Bai.read(fs, new org.apache.hadoop.fs.Path(baiPath.getOrElse(path + ".bai")))
+    val chunks = Bai.chunksFor(idx, refId, beg1 - 1, end1)
+    val serConf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val refs = hdr.refs
+    val pathStr = path
+    val rdd = spark.sparkContext
+      .parallelize(chunks, math.max(chunks.size, 1))
+      .flatMap { c =>
+        val hp = new org.apache.hadoop.fs.Path(pathStr)
+        BamScan.chunkRecords(hp.getFileSystem(serConf.value), hp, refs, c.beg, c.end)
+          .filter { r =>
+            r.rname == rname && r.pos <= end1 &&
+              r.pos + math.max(1, graft.align.Cigar.refConsumed(r.cigar)) - 1 >= beg1
+          }
+      }
+    rdd.toDF()
   }
 
   // ---- encode -----------------------------------------------------------
@@ -270,7 +337,9 @@ object Bam {
     * deployment would swap `Files.write` for the Hadoop FileSystem API —
     * the partition-parallel shape is the point.
     */
-  def write(df: DataFrame, dir: String, refLength: Int = 500000000): Seq[String] = {
+  def write(
+      df: DataFrame, dir: String, refLength: Int = 500000000,
+      blockData: Int = Bgzf.MaxBlockData): Seq[String] = {
     val spark = df.sparkSession
     import spark.implicits._
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
@@ -291,7 +360,7 @@ object Bam {
           val path = s"$dir/part-$pid.bam"
           val payload = encode(it, refs)
           java.nio.file.Files.write(java.nio.file.Paths.get(path),
-            Bgzf.compress(payload))
+            Bgzf.compress(payload, blockData))
           Iterator.single(path)
         }
       }

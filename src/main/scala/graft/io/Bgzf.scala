@@ -61,12 +61,17 @@ object Bgzf {
     out
   }
 
-  /** Whole-payload compress: chunk into ≤MaxBlockData blocks + EOF marker. */
-  def compress(data: Array[Byte]): Array[Byte] = {
+  /** Whole-payload compress: chunk into ≤`blockData` blocks + EOF marker.
+    * `blockData` below the default shrinks blocks — more of them per file,
+    * which is how tests force records to straddle block boundaries.
+    */
+  def compress(data: Array[Byte], blockData: Int = MaxBlockData): Array[Byte] = {
+    require(blockData > 0 && blockData <= MaxBlockData,
+      s"blockData must be in (0, $MaxBlockData], got $blockData")
     val out = new ByteArrayOutputStream(data.length / 2 + 64)
     var off = 0
     while (off < data.length) {
-      val len = math.min(MaxBlockData, data.length - off)
+      val len = math.min(blockData, data.length - off)
       out.write(deflateBlock(data, off, len))
       off += len
     }
@@ -74,46 +79,114 @@ object Bgzf {
     out.toByteArray
   }
 
+  /** Parse + inflate ONE member at `off`; returns (payload, blockLength).
+    * Validates the BSIZE chain arithmetic, ISIZE, and the CRC32 footer, so
+    * a false sync candidate (gzip magic appearing inside compressed data)
+    * is rejected with overwhelming probability.
+    */
+  def inflateBlockAt(data: Array[Byte], off: Int): (Array[Byte], Int) = {
+    require(data.length - off >= 18, s"truncated BGZF block at $off")
+    require((data(off) & 0xff) == 0x1f && (data(off + 1) & 0xff) == 0x8b,
+      s"bad gzip magic at $off")
+    val xlen = readU16(data, off + 10)
+    // scan extra subfields for BC
+    var sf = off + 12
+    val sfEnd = off + 12 + xlen
+    var bsize = -1
+    while (sf < sfEnd && bsize < 0) {
+      require(sf + 4 <= data.length, s"truncated BGZF extra field at $off")
+      val slen = readU16(data, sf + 2)
+      if (data(sf) == 'B' && data(sf + 1) == 'C') bsize = readU16(data, sf + 4)
+      sf += 4 + slen
+    }
+    require(bsize >= 0, s"BGZF BC subfield missing at $off")
+    val blockLen = bsize + 1
+    require(off + blockLen <= data.length, s"BGZF block at $off overruns input")
+    val cdataOff = off + 12 + xlen
+    val cdataLen = blockLen - 12 - xlen - 8
+    require(cdataLen >= 0, s"BGZF block at $off has negative cdata length")
+    val isize = readU32(data, off + blockLen - 4).toInt
+    val ubuf =
+      if (isize == 0) Array.emptyByteArray
+      else {
+        val inflater = new Inflater(true)
+        inflater.setInput(data, cdataOff, cdataLen)
+        val b = new Array[Byte](isize)
+        var got = 0
+        while (got < isize && !inflater.finished())
+          got += inflater.inflate(b, got, isize - got)
+        inflater.end()
+        require(got == isize, s"BGZF block at $off inflated $got != ISIZE $isize")
+        b
+      }
+    val crc = new CRC32
+    crc.update(ubuf)
+    require(crc.getValue == readU32(data, off + blockLen - 8),
+      s"BGZF block at $off fails CRC")
+    (ubuf, blockLen)
+  }
+
   /** Inflate every member block back-to-back. Walks the BC/BSIZE chain —
-    * the same hop a future virtual-offset splitter would take — rather than
+    * the same hop the virtual-offset splitter takes — rather than
     * streaming through GZIPInputStream, so malformed chains fail loudly.
     */
   def inflate(data: Array[Byte]): Array[Byte] = {
     val out = new ByteArrayOutputStream(data.length * 3)
     var pos = 0
     while (pos < data.length) {
-      require(data.length - pos >= 18, s"truncated BGZF block at $pos")
-      require((data(pos) & 0xff) == 0x1f && (data(pos + 1) & 0xff) == 0x8b,
-        s"bad gzip magic at $pos")
-      val xlen = readU16(data, pos + 10)
-      // scan extra subfields for BC
-      var sf = pos + 12
-      val sfEnd = pos + 12 + xlen
-      var bsize = -1
-      while (sf < sfEnd && bsize < 0) {
-        val slen = readU16(data, sf + 2)
-        if (data(sf) == 'B' && data(sf + 1) == 'C') bsize = readU16(data, sf + 4)
-        sf += 4 + slen
-      }
-      require(bsize >= 0, s"BGZF BC subfield missing at $pos")
-      val blockLen = bsize + 1
-      val cdataOff = pos + 12 + xlen
-      val cdataLen = blockLen - 12 - xlen - 8
-      val isize = readU32(data, pos + blockLen - 4).toInt
-      if (isize > 0) {
-        val inflater = new Inflater(true)
-        inflater.setInput(data, cdataOff, cdataLen)
-        val ubuf = new Array[Byte](isize)
-        var got = 0
-        while (got < isize && !inflater.finished())
-          got += inflater.inflate(ubuf, got, isize - got)
-        inflater.end()
-        require(got == isize, s"BGZF block at $pos inflated $got != ISIZE $isize")
-        out.write(ubuf)
-      }
+      val (ubuf, blockLen) = inflateBlockAt(data, pos)
+      out.write(ubuf)
       pos += blockLen
     }
     out.toByteArray
+  }
+
+  /** Read ONE member from a stream positioned at a block boundary; None at
+    * clean EOF (zero bytes available). Reads exactly the block's bytes, so
+    * the stream lands on the next boundary.
+    */
+  def readBlockFrom(in: java.io.InputStream): Option[(Array[Byte], Int)] = {
+    val head = new Array[Byte](12)
+    if (!readFully(in, head, 0, 12)) None
+    else {
+      require((head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b,
+        "bad gzip magic mid-stream")
+      val xlen = readU16(head, 10)
+      val blockHead = java.util.Arrays.copyOf(head, 12 + xlen)
+      require(readFully(in, blockHead, 12, xlen), "truncated BGZF extra field")
+      var sf = 12
+      var bsize = -1
+      while (sf < 12 + xlen && bsize < 0) {
+        val slen = readU16(blockHead, sf + 2)
+        if (blockHead(sf) == 'B' && blockHead(sf + 1) == 'C')
+          bsize = readU16(blockHead, sf + 4)
+        sf += 4 + slen
+      }
+      require(bsize >= 0, "BGZF BC subfield missing mid-stream")
+      val blockLen = bsize + 1
+      val block = java.util.Arrays.copyOf(blockHead, blockLen)
+      require(readFully(in, block, 12 + xlen, blockLen - 12 - xlen),
+        "truncated BGZF block body")
+      Some(inflateBlockAt(block, 0))
+    }
+  }
+
+  /** Fill buf[off, off+len); true on success, false if the stream was at
+    * EOF before the first byte, error on a partial read.
+    */
+  private def readFully(
+      in: java.io.InputStream, buf: Array[Byte], off: Int, len: Int): Boolean = {
+    var got = 0
+    while (got < len) {
+      val n = in.read(buf, off + got, len - got)
+      if (n < 0) {
+        if (got == 0) return false
+        throw new IllegalStateException(
+          s"stream ended $got bytes into a $len-byte BGZF read")
+      }
+      got += n
+    }
+    true
   }
 
   private def writeU16(b: Array[Byte], off: Int, v: Int): Unit = {

@@ -2,7 +2,6 @@ package graft.io
 
 import java.io.InputStream
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -135,24 +134,6 @@ object Fastq {
         val q = buf.dequeue()._2
         (h.stripPrefix("@").split("\\s+", 2)(0), s, q)
       }
-    }
-  }
-
-  /** Hadoop Configuration is not Serializable; this wrapper round-trips it
-    * through its own write/readFields wire format so tasks see the exact
-    * session configuration.
-    */
-  private final class SerializableHadoopConf(@transient private var conf: Configuration)
-      extends Serializable {
-    def value: Configuration = conf
-    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-      out.defaultWriteObject()
-      conf.write(out)
-    }
-    private def readObject(in: java.io.ObjectInputStream): Unit = {
-      in.defaultReadObject()
-      conf = new Configuration(false)
-      conf.readFields(in)
     }
   }
 

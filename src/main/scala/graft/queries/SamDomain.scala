@@ -64,8 +64,11 @@ object SamDomain {
       val tmp = s"/tmp/graft_bam_fixture/${new java.io.File(dir).getName}"
       val d = new java.io.File(tmp)
       if (d.exists) d.listFiles.foreach(_.delete())
-      graft.io.Bam.write(sam, tmp)
-      val st = SeqTable.fromSam(graft.io.Bam.read(s, tmp))
+      // small blocks + small splits force the within-file split path (block
+      // sync + record resync) through the oracle gate at every sf, not just
+      // the happy single-split case
+      graft.io.Bam.write(sam, tmp, blockData = 4096)
+      val st = SeqTable.fromSam(graft.io.Bam.read(s, tmp, splitSize = 4096))
       Distributions.seqDist(st.long.filter(col("base") =!= "$"))
         .orderBy(col("position"), col("base"))
     }),

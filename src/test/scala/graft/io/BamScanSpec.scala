@@ -1,0 +1,155 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Within-file BAM splits (round-3 verdict #2) and .bai region fetch
+  * (verdict #3). Mirrors FastqSpec's split-boundary stress: every split
+  * size must produce exactly the whole-file record set — no duplicates,
+  * no drops — even when records straddle BGZF block boundaries.
+  */
+class BamScanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private val rnd = new scala.util.Random(11)
+  private val bases = "ACGT"
+
+  /** Coordinate-sorted synthetic records across three references. */
+  private def mkRecords(n: Int): Seq[Bam.BamRecord] = {
+    var pos = Map("chr1" -> 1, "chr2" -> 1, "chr3" -> 1)
+    (0 until n).map { i =>
+      val rname = s"chr${i * 3 / n + 1}" // sorted: chr1 block, then chr2, chr3
+      val p = pos(rname) + rnd.nextInt(900)
+      pos = pos.updated(rname, p)
+      val len = 20 + rnd.nextInt(61)
+      val seq = Array.fill(len)(bases(rnd.nextInt(4))).mkString
+      val qual = Array.fill(len)((33 + rnd.nextInt(60)).toChar).mkString
+      val cigar =
+        if (i % 7 == 0 && len > 12) s"5S${len - 10}M5S"
+        else if (i % 5 == 0 && len > 8) s"${len - 4}M2D4M"
+        else s"${len}M"
+      val opt: Map[String, String] =
+        if (i % 3 == 0) Map("NM" -> (i % 9).toString) else Map.empty
+      Bam.BamRecord(f"r$i%05d", 0, rname, p, 60, cigar, "*", 0, 0, seq, qual, opt)
+    }
+  }
+
+  private def writeBam(recs: Seq[Bam.BamRecord], blockData: Int): String = {
+    val refs = Seq(("chr1", 1 << 20), ("chr2", 1 << 20), ("chr3", 1 << 20))
+    val payload = Bam.encode(recs.iterator, refs)
+    val f = Files.createTempFile("bamscan", ".bam")
+    Files.write(f, Bgzf.compress(payload, blockData))
+    f.toFile.getAbsolutePath
+  }
+
+  private def key(r: org.apache.spark.sql.Row) =
+    (r.getString(0), r.getString(2), r.getInt(3), r.getString(5), r.getString(9), r.getString(10))
+
+  test("split reads equal the whole-file decode at every boundary (records straddle blocks)") {
+    val recs = mkRecords(800)
+    val path = writeBam(recs, blockData = 2048) // ~50 blocks, records straddle
+    val whole = Bam.decode(
+      Bgzf.inflate(Files.readAllBytes(java.nio.file.Paths.get(path)))).toSeq
+    assert(whole.size == 800)
+    val fileLen = new java.io.File(path).length()
+    for (splitSize <- Seq(1024L, 3000L, 4096L, 7777L, fileLen - 1, fileLen, 10 * fileLen)) {
+      val df = Bam.read(spark, path, splitSize = splitSize)
+      if (splitSize <= fileLen / 4)
+        assert(df.rdd.getNumPartitions >= 4,
+          s"splitSize=$splitSize must shard the single file into >=4 tasks")
+      val got = df.collect().map(key).toSeq.sorted
+      val want = whole.map(r => (r.header, r.rname, r.pos, r.cigar, r.seq, r.qual)).sorted
+      assert(got == want, s"splitSize=$splitSize lost or duplicated records")
+    }
+  }
+
+  test("mid-file record resync: a split that opens inside a record finds the next one") {
+    // tiny blocks + tiny splits put nearly every split boundary inside a
+    // record; equality is only possible if resync lands exactly on record
+    // starts (a single off-by-one would desync every following field)
+    val recs = mkRecords(300)
+    val path = writeBam(recs, blockData = 512)
+    val got = Bam.read(spark, path, splitSize = 700).collect()
+    assert(got.length == 300)
+    assert(got.map(_.getString(0)).sorted.toSeq == recs.map(_.header).sorted)
+    // opt map survives the split path too
+    val withNm = got.filter(r => !r.isNullAt(11) && r.getMap[String, String](11).contains("NM"))
+    assert(withNm.length == recs.count(_.opt.contains("NM")))
+  }
+
+  test("truncated BAM fails loudly through the split reader") {
+    val recs = mkRecords(100)
+    val path = writeBam(recs, blockData = 2048)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    val cut = java.util.Arrays.copyOf(bytes, bytes.length - 40) // rips the EOF + part of last block
+    val f = Files.createTempFile("bamtrunc", ".bam")
+    Files.write(f, cut)
+    val e = intercept[org.apache.spark.SparkException] {
+      Bam.read(spark, f.toFile.getAbsolutePath).collect()
+    }
+    assert(e.getMessage.contains("BGZF") || e.getMessage.contains("truncated") ||
+      Option(e.getCause).exists(c => c.getMessage.contains("BGZF") || c.getMessage.contains("truncated")))
+  }
+
+  test("reg2bin/reg2bins match the SAM-spec binning scheme") {
+    assert(Bai.reg2bin(0, 1) == 4681) // first 16 Kbp leaf
+    assert(Bai.reg2bin(16384, 16385) == 4682)
+    assert(Bai.reg2bin(0, 16385) == 585) // spans two leaves -> 128 Kbp level
+    assert(Bai.reg2bin(0, 1 << 29) == 0) // whole range -> root
+    val bins = Bai.reg2bins(100000, 200000)
+    assert(bins.contains(0) && bins.contains(Bai.reg2bin(100000, 100001)))
+    // every record bin for a position inside the query must be probed
+    for (p <- Seq(100000, 150000, 199999))
+      assert(bins.contains(Bai.reg2bin(p, p + 50)),
+        s"bin of record at $p missing from query bins")
+  }
+
+  test("bai round-trip + region fetch: identical rows to a full-scan filter, tiny byte footprint") {
+    val recs = mkRecords(2000)
+    val path = writeBam(recs, blockData = 2048)
+    val conf = new Configuration()
+    val fs = new Path(path).getFileSystem(conf)
+    val idx = Bai.build(fs, new Path(path))
+    Bai.write(idx, fs, new Path(path + ".bai"))
+    val back = Bai.read(fs, new Path(path + ".bai"))
+    assert(back == idx, ".bai write/read round-trip")
+
+    val (rname, beg, end) = ("chr2", 2000, 9000)
+    val fetched = Bam.fetch(spark, path, rname, beg, end).collect().map(key).toSeq.sorted
+    val full = Bam.read(spark, path).collect()
+      .filter { r =>
+        r.getString(2) == rname && r.getInt(3) <= end &&
+          r.getInt(3) + math.max(1, graft.align.Cigar.refConsumed(r.getString(5))) - 1 >= beg
+      }
+      .map(key).toSeq.sorted
+    assert(fetched.nonEmpty, "fixture must contain reads in the queried region")
+    assert(fetched == full, "indexed fetch must equal full-scan + overlap filter")
+
+    // the point of the index: the fetch touches a small corner of the file
+    // (blockLenHint 4 KiB: the fixture's 2 KiB-payload blocks compress
+    // well under that)
+    val refId = 1 // chr2
+    val chunks = Bai.chunksFor(idx, refId, beg - 1, end)
+    val fileLen = new java.io.File(path).length()
+    val touched = Bai.compressedBytesTouched(chunks, blockLenHint = 4096L)
+    assert(touched < fileLen / 4,
+      s"fetch reads $touched of $fileLen bytes — index isn't pruning")
+  }
+
+  test("bai build rejects an unsorted BAM") {
+    val recs = mkRecords(50)
+    val shuffled = recs.reverse // descending positions
+    val path = writeBam(shuffled, blockData = 2048)
+    val fs = new Path(path).getFileSystem(new Configuration())
+    val e = intercept[IllegalArgumentException] {
+      Bai.build(fs, new Path(path))
+    }
+    assert(e.getMessage.contains("coordinate-sorted"))
+  }
+}
