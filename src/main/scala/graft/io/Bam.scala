@@ -62,6 +62,11 @@ object Bam {
       def hasNext: Boolean = p + 4 <= bam.length
       def next(): BamRecord = {
         val blockSize = readI32(bam, p)
+        // unchecked, a corrupt final record would surface as a raw
+        // ArrayIndexOutOfBounds deep in decodeRecord
+        require(blockSize >= 32 && p + 4 + blockSize <= bam.length,
+          s"truncated BAM record at offset $p: block_size $blockSize with " +
+            s"${bam.length - p - 4} bytes remaining")
         val rec = decodeRecord(bam, p + 4, blockSize, refNames)
         p += 4 + blockSize
         rec
@@ -259,6 +264,13 @@ object Bam {
     * payload. `refs` is the reference-sequence dictionary; tags are
     * written as Z (string) values — the decoder handles every typed form,
     * the encoder's job is round-tripping [[Sam.read]]'s string-valued map.
+    *
+    * LIMITATION: because every tag re-emits as 'Z', a decode→re-encode of
+    * a foreign BAM rewrites typed tags (NM:i, AS:i, B arrays) as strings.
+    * Internal round-trips are unaffected (this library's readers parse
+    * both forms identically), but strict external validators
+    * (pysam/samtools) may reject the predefined-tag types; emit SAM text
+    * via [[Sam]] when interchange fidelity of tag TYPES matters.
     */
   def encode(records: Iterator[BamRecord], refs: Seq[(String, Int)]): Array[Byte] = {
     val out = new ByteArrayOutputStream(1 << 20)

@@ -92,6 +92,10 @@ object Fastq {
       splitEnd: Long,
       streamPos: Long): Iterator[(String, String, String)] = {
     val r = new OffsetLineReader(in, streamPos)
+    // abandoned iterators (limit/take over many splits) never reach the
+    // close() below — release the stream at task end regardless
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => r.close()))
     if (splitStart > 0) r.readLine() // discard the partial line
     val buf = scala.collection.mutable.Queue.empty[(Long, String)]
     def fill(n: Int): Unit = {

@@ -60,20 +60,53 @@ object Alphabets {
   def fillFor(seqType: String): Char =
     if (seqType == "AA") FillAa else FillNt
 
-  /** Infer NT vs AA from the alphabet of the sampled sequences
-    * (ref: constructor_ops.py:39-78 `guess_seqtype`). Decision tree:
-    * pure ACGTN(-$.) → NT; letters outside the degenerate-DNA alphabet → AA;
-    * in between (degenerate DNA ⊂ AA alphabet) → NT with a warning in the
-    * reference; we return NT.
+  /** Confidence tier of a [[guessSeqType]] call — the reference's warning
+    * contract (constructor_ops.py:64-78): the middle tiers `warnings.warn`
+    * because degenerate-DNA letters are a subset of the AA alphabet (the
+    * guess could be a constricted AA set), and letters outside both
+    * alphabets make the AA default a shrug. `warning` carries the
+    * reference's rationale so call sites can log or surface it.
     */
-  def guessSeqType(samples: Iterable[String]): String = {
+  sealed abstract class GuessTier(val warning: Option[String])
+  object GuessTier {
+    /** Letters identify the type unambiguously (tiers 1 and 3). */
+    case object Unambiguous extends GuessTier(None)
+    /** Only DNA + degenerate-DNA letters — assumed NT, but could be a
+      * constricted AA residue set (constructor_ops.py:67-69).
+      */
+    case object DegenerateDna extends GuessTier(Some(
+      "sequences contain only DNA and degenerate-DNA letters; assuming NT — " +
+        "set the sequence type explicitly if they are amino acids"))
+    /** Letters outside both alphabets — defaulted to AA
+      * (constructor_ops.py:75-78).
+      */
+    case object OutsideAlphabet extends GuessTier(Some(
+      "sequences contain letters outside the known NT and AA alphabets; " +
+        "defaulting to AA — set the sequence type explicitly if wrong"))
+  }
+
+  /** Infer NT vs AA from the alphabet of the sampled sequences, with the
+    * reference's confidence tier (ref: constructor_ops.py:39-78
+    * `guess_seqtype`). Decision tree, after stripping sentinels ($-.*):
+    * pure ACTG → (NT, unambiguous); within degenerate DNA (incl. N/U) →
+    * (NT, [[GuessTier.DegenerateDna]]); within the AA alphabet (incl. X) →
+    * (AA, unambiguous); anything else → (AA,
+    * [[GuessTier.OutsideAlphabet]]).
+    */
+  def guessSeqTypeTiered(samples: Iterable[String]): (String, GuessTier) = {
     val letters: Set[Char] =
       samples.iterator.flatMap(_.iterator).map(_.toUpper).toSet --
         Set(EdgeGap, Deletion, Skip, '*')
-    val dnaStrict = Set('A', 'C', 'G', 'T', 'N', 'U')
-    val dnaDegenerate = IupacDna.keySet ++ Set('U')
-    if (letters.subsetOf(dnaStrict)) "NT"
-    else if (letters.subsetOf(dnaDegenerate)) "NT"
-    else "AA"
+    val dnaStrict = Set('A', 'C', 'G', 'T')
+    val dnaDegenerate = IupacDna.keySet ++ Set('U') // reference all_dna
+    val aaAll = AminoAcidsExtended.toSet // reference all_aa (incl. X)
+    if (letters.subsetOf(dnaStrict)) ("NT", GuessTier.Unambiguous)
+    else if (letters.subsetOf(dnaDegenerate)) ("NT", GuessTier.DegenerateDna)
+    else if (letters.subsetOf(aaAll)) ("AA", GuessTier.Unambiguous)
+    else ("AA", GuessTier.OutsideAlphabet)
   }
+
+  /** [[guessSeqTypeTiered]] without the tier — the common call shape. */
+  def guessSeqType(samples: Iterable[String]): String =
+    guessSeqTypeTiered(samples)._1
 }

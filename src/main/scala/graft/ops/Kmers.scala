@@ -59,6 +59,63 @@ object Kmers {
     }
   }
 
+  /** Insertion-aware + subsampled substrings — the reference's
+    * `include_insertions=True` branch (seqtables.py:999-1004 routes
+    * through `view_with_ins`; `subsample_seqs` at :1006 subsamples before
+    * counting). The combination alphabet interleaves insertion slots
+    * between reference positions in (position, loc) order; slot labels
+    * follow the reference's `col_to_str` ("p5", "p5_ins_1",
+    * seqtables.py:1000-1006), insertion bases render lowercase and absent
+    * slots '-' exactly like the wide view. Subsampling uses the
+    * deterministic, partition-invariant hash order of
+    * [[graft.core.SeqTable.subsampleExact]] rather than the reference's
+    * `np.random.choice`.
+    *
+    * Output: ((combo "p1,p2_ins_1,..", kmer, cnt), droppedCombos).
+    * Scale note: inherits the wide view's driver-collected slot list
+    * (bounded: window length + observed insertion slots); the count
+    * itself is the same (combo, kmer)-keyed partial aggregate as
+    * [[gapped]].
+    */
+  def gappedWithInsertions(
+      st: graft.core.SeqTable,
+      k: Int,
+      minInsCount: Long = 0,
+      lowercaseInsertions: Boolean = true,
+      subsampleSeqs: Option[Int] = None,
+      maxCombos: Int = 5000,
+      seed: Long = 42L): (DataFrame, Long) = {
+    val base = subsampleSeqs.fold(st)(n => st.subsampleExact(n, seed = seed))
+    // the wide view's column axis, driver-side (same (position, loc) sort
+    // order as its slot keys)
+    val slots = base.viewWithInsertions(minInsCount, lowercaseInsertions)
+      .select("position", "loc").distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+      .sortBy { case (p, l) => (p, l) }
+    require(slots.length >= k,
+      s"word_length $k exceeds the ${slots.length} available slots")
+    val labels = slots.map { case (p, l) =>
+      if (l == 0) s"p$p" else s"p${p}_ins_${-l}"
+    }.toSeq
+    val combos = slots.indices.combinations(k).take(maxCombos)
+      .map(_.toArray).toArray
+    val dropped = math.max(0L, binomial(slots.length, k) - combos.length)
+    val labelsLit = typedLit(labels)
+    val counted = base.viewWithInsertionsWide(minInsCount, lowercaseInsertions)
+      .select(
+        split(col("expanded_seq"), "").as("chars"),
+        explode(lit(combos)).as("idx"))
+      .select(
+        array_join(
+          transform(col("idx"), i => element_at(labelsLit, i + lit(1))),
+          ",").as("combo"),
+        concat_ws("",
+          transform(col("idx"), i => element_at(col("chars"), i + lit(1)))).as("kmer"))
+      .groupBy(col("combo"), col("kmer"))
+      .agg(count(lit(1)).as("cnt"))
+    (counted, dropped)
+  }
+
   /** All C(positions, k) combinations with a hard cap; returns (kept,
     * droppedCount) so callers can log dropped coverage.
     */

@@ -59,9 +59,10 @@ object QualityDist {
         .toDF("bin_label", "bin_start", "bin_end"))
     val base = if (excludeNullQuality) long.filter(col("qual") > 0) else long
     // user percentiles round to integers BY THE REFERENCE'S CONTRACT
-    // (numpy_ops.py:243 `[round(p, 0) for p in percentiles]`): requesting
-    // 12.5 computes (and labels) p13, exactly like the reference
-    val per = (percentiles.map(p => math.round(p).toDouble) ++ ProgramRequired)
+    // (numpy_ops.py:243 `[round(p, 0) for p in percentiles]`); Python
+    // round() is half-to-even — round(12.5) = 12 — so math.rint, not
+    // math.round (half-up), keeps half-integer requests reference-equal
+    val per = (percentiles.map(math.rint) ++ ProgramRequired)
       .distinct.sorted
     val pctExprs = per.map(p =>
       percentile(col("qual"), lit(p / 100.0)).as(s"p${p.toInt}"))

@@ -134,6 +134,12 @@ object TextAnalysis {
     if (t.isEmpty) Array.empty else t.split("\\s+")
   }
 
+  /** Code-point length — the oracle's `length()` counts code points, so
+    * the kernels must too or non-BMP text (emoji) drifts on length-ratio
+    * boundaries (String.length counts UTF-16 units).
+    */
+  private def cp(s: String): Int = s.codePointCount(0, s.length)
+
   /** (dup_line_frac, dup_line_char_frac, top_word_frac, top_2gram_frac):
     * the repetition signals of the Gopher quality rules — fraction of
     * repeated lines, fraction of characters in repeated lines, and the
@@ -144,10 +150,10 @@ object TextAnalysis {
     val lines = text.split("\n", -1)
     val lineCounts = new scala.collection.mutable.HashMap[String, Int]()
     var totalChars = 0L
-    lines.foreach { l => lineCounts.updateWith(l)(c => Some(c.getOrElse(0) + 1)); totalChars += l.length }
+    lines.foreach { l => lineCounts.updateWith(l)(c => Some(c.getOrElse(0) + 1)); totalChars += cp(l) }
     val nLines = lines.length
     val dupLines = nLines - lineCounts.size
-    val dupChars = lineCounts.iterator.map { case (l, c) => (c - 1).toLong * l.length }.sum
+    val dupChars = lineCounts.iterator.map { case (l, c) => (c - 1).toLong * cp(l) }.sum
     val dupLineFrac = if (nLines > 0) dupLines.toDouble / nLines else 0.0
     val dupCharFrac = if (totalChars > 0) dupChars.toDouble / totalChars else 0.0
     val toks = tokenize(text)
@@ -188,7 +194,7 @@ object TextAnalysis {
     val toks = tokenize(text)
     var sumLen = 0; var alpha = 0; var stops = 0
     toks.foreach { t =>
-      sumLen += t.length
+      sumLen += cp(t)
       if (t.exists(c => c >= 'a' && c <= 'z')) alpha += 1
       if (stopwords.contains(t)) stops += 1
     }

@@ -98,6 +98,17 @@ object Pipeline {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // The deterministic stage of q_clean_corpus, oracle-anchored: the
+    // exact post-Gopher-filter survivor frame Corpus.clean hands to the
+    // dedup stage. Hash-matching this pins the composite pipeline's
+    // integer-exact half; only the probabilistic dedup stage stays
+    // rows-only.
+    "q_clean_survivors" -> ((s, dir) =>
+      graft.ops.TextAnalysis.gopherFilter(Tables(s, dir, "documents"), "text")
+        .filter(col("keep"))
+        .select(col("doc_id"), col("n_words"))
+        .orderBy(col("doc_id"))),
+
     // ---- text analysis ------------------------------------------------
     "q_token_stats" -> ((s, dir) =>
       Tables(s, dir, "documents").select(
@@ -368,6 +379,32 @@ object Pipeline {
         |  FROM s)
         |SELECT doc_id, drop_reason IS NULL AS keep, drop_reason, n AS n_words
         |FROM r ORDER BY doc_id""".stripMargin,
+    "q_clean_survivors" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    regexp_extract_all(lower(trim(text)), '\S+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(toks) AS n,
+        |    COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS sum_len,
+        |    len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+        |    len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','it','for','was','der','die','und','das','ist','nicht','ein','mit','auf','sich','el','la','de','los','es','que','un','una','por','con','le','les','et','est','une','dans','pour','qui'))) AS stops,
+        |    (length(text) - length(replace(text, '#', ''))) +
+        |    (length(text) - length(replace(text, '...', ''))) // 3 AS symbols
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN n < 10 THEN 'too_few_words'
+        |         WHEN n > 100000 THEN 'too_many_words'
+        |         WHEN sum_len < n * 2 OR sum_len > n * 12 THEN 'mean_word_len'
+        |         WHEN symbols * 10 > n THEN 'symbol_ratio'
+        |         WHEN alpha * 10 < n * 7 THEN 'alpha_frac'
+        |         WHEN stops < 2 THEN 'stopwords'
+        |         ELSE NULL END AS drop_reason
+        |  FROM s)
+        |SELECT doc_id, n AS n_words FROM r
+        |WHERE drop_reason IS NULL ORDER BY doc_id""".stripMargin,
     "q_ann_bruteforce" ->
       """WITH pairs AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -51,6 +51,36 @@ class KmersSpec extends AnyFunSuite {
     assert(kept.size == 20)
     assert(dropped == 120 - 20)
   }
+
+  test("insertion-aware substrings interleave slots, lowercase ins bases, '-' gaps") {
+    // reference include_insertions branch (seqtables.py:999-1006): the
+    // docstring fixture ACTW/ATTA, with r1 carrying an insertion G between
+    // pos1 and pos2 → slot axis p1, p2_ins_1, p2, p3, p4 and expanded
+    // rows "AgCTW" / "A-TTA"
+    import spark.implicits._
+    val sam = Seq(
+      ("r1", "chr1", 1, "1M1I3M", "AGCTW", "IIIII"),
+      ("r2", "chr1", 1, "4M", "ATTA", "IIII"))
+      .toDF("header", "rname", "pos", "cigar", "seq", "qual")
+    val st3 = SeqTable.fromSam(sam)
+    val (df, dropped) = Kmers.gappedWithInsertions(st3, 3)
+    assert(dropped == 0) // C(5,3)=10 under the cap
+    val g = df.collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(g.keys.map(_._1).toSet.size == 10)
+    assert(g(("p1,p2_ins_1,p2", "AgC")) == 1)
+    assert(g(("p1,p2_ins_1,p2", "A-T")) == 1)
+    assert(g(("p1,p2,p3", "ACT")) == 1 && g(("p1,p2,p3", "ATT")) == 1)
+    assert(g(("p2,p3,p4", "CTW")) == 1 && g(("p2,p3,p4", "TTA")) == 1)
+    assert(g(("p1,p2_ins_1,p4", "AgW")) == 1 && g(("p1,p2_ins_1,p4", "A-A")) == 1)
+    // every combo's counts sum to the number of reads
+    val sums = df.groupBy("combo").agg(sum("cnt").as("s")).collect()
+    assert(sums.forall(_.getLong(1) == 2), "reference contract: rows sum to n_seqs")
+
+    // subsample_seqs: deterministic pre-count subsample of 1 read
+    val (one, _) = Kmers.gappedWithInsertions(st3, 3, subsampleSeqs = Some(1))
+    val oneSums = one.groupBy("combo").agg(sum("cnt").as("s")).collect()
+    assert(oneSums.forall(_.getLong(1) == 1))
+  }
 }
 
 class MergeSpec extends AnyFunSuite {
@@ -201,6 +231,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r("symbols") == ((false, "symbol_ratio")))
     assert(r("nonalpha") == ((false, "alpha_frac")))
     assert(r("nostops") == ((false, "stopwords")))
+  }
+
+  test("length kernels count code points, not UTF-16 units (non-BMP parity)") {
+    // "🙂🙂" is 2 code points / 4 UTF-16 units; a unit-counting kernel
+    // would see dup-line chars 4 of 4+5=9 instead of 2 of 2+5=7
+    val df = Seq(("emoji", "🙂🙂\n🙂🙂\nplain")).toDF("id", "text")
+    val r = TextAnalysis.repetitionSignals(df, "text").head()
+    assert(math.abs(r.getDouble(r.fieldIndex("dup_line_char_frac")) - 2.0 / 9.0) < 1e-12)
+    // mean word len: emoji token is 2 code points, so 10 words of 2 cp
+    // pass the >= 2 rule; UTF-16 counting (4 units) would also pass but a
+    // 1-cp astral char (e.g. 𝐀) would read as len 2 and flip mean_word_len
+    val one = Seq(("astral",
+      Array.fill(12)("𝐀").mkString(" ") + " the and")).toDF("id", "text")
+    val g = TextAnalysis.gopherFilter(one, "text").head()
+    // 14 words, sum_len = 12*1 + 3 + 3 = 18 < 14*2 -> mean_word_len drop;
+    // unit counting would give 12*2+6 = 30 >= 28 and keep it
+    assert(g.getString(g.fieldIndex("drop_reason")) == "mean_word_len")
   }
 }
 
