@@ -432,25 +432,26 @@ object SeqTable {
     val refs = df.select(col("rname")).filter(col("rname") =!= "*")
       .distinct().limit(100).as[String].collect().toSeq
 
-    val alignU = udf { (s: String, q: String, p: Int, c: String) =>
-      AlignRead.align(s, q, p, c, mn, mx).map { ar =>
-        (ar.seq, ar.qual,
-          ar.insertions.map(ib =>
-            (ib.position, ib.loc, ib.base.toString, ib.qual.toInt - phredAdjust)))
-      }.getOrElse(null)
-    }
+    // native codegen realignment (plans.AlignReadExpr) — delegates to the
+    // same AlignRead.align kernel the old UDF wrapped (bit-identical), but
+    // builds the output InternalRow directly: no Catalyst↔Scala converters,
+    // no encoder round-trip, and the ingest projection stays inside
+    // whole-stage codegen
+    graft.plans.GraftExtensions.register(spark)
     val aligned = clean
-      .withColumn("__ar", alignU(col("seq"), col("qual"), col("pos"), col("cigar")))
+      .withColumn("__ar", call_function("align_read",
+        col("seq"), col("qual"), col("pos"), col("cigar"),
+        lit(mn), lit(mx), lit(phredAdjust)))
       .filter(col("__ar").isNotNull)
 
     val reads = aligned.select(Seq(
       col("header").as("read_id"),
-      col("__ar._1").as("seq"),
-      col("__ar._2").as("qual")) ++ extras.map(col): _*)
+      col("__ar.seq").as("seq"),
+      col("__ar.qual").as("qual")) ++ extras.map(col): _*)
     val insertions = aligned
-      .select(col("header").as("read_id"), explode(col("__ar._3")).as("i"))
-      .select(col("read_id"), col("i._1").as("position"), col("i._2").as("loc"),
-        col("i._3").as("base"), col("i._4").as("qual"))
+      .select(col("header").as("read_id"), explode(col("__ar.ins")).as("i"))
+      .select(col("read_id"), col("i.position").as("position"), col("i.loc").as("loc"),
+        col("i.base").as("base"), col("i.qual").as("qual"))
 
     SeqTable(reads, insertions,
       SeqTableMeta(seqType, phredAdjust, hasQuality = true, references = refs),

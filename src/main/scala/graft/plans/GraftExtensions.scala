@@ -36,11 +36,32 @@ object GraftExtensions {
       build(children.head, children(1))
     })
 
+  /** align_read(seq, qual, pos, cigar, minPos, maxPos, phredAdjust) —
+    * the window bounds and phred offset must be integer literals (they
+    * parameterize the kernel, not the row).
+    */
+  private def alignDescriptor: Descriptor = (
+    FunctionIdentifier("align_read"),
+    new ExpressionInfo(classOf[AlignReadExpr].getName, "align_read"),
+    (children: Seq[Expression]) => {
+      require(children.size == 7,
+        "align_read(seq, qual, pos, cigar, minPos, maxPos, phredAdjust) takes 7 arguments")
+      def lint(e: Expression, n: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case _ => throw new IllegalArgumentException(
+          s"align_read: $n must be an integer literal")
+      }
+      AlignReadExpr(children(0), children(1), children(2), children(3),
+        lint(children(4), "minPos"), lint(children(5), "maxPos"),
+        lint(children(6), "phredAdjust"))
+    })
+
   private[plans] val descriptors: Seq[Descriptor] = Seq(
     binary("hamming_distance", classOf[HammingDistance], HammingDistance.apply),
     binary("dot_f", classOf[DotProductFloat], DotProductFloat.apply),
     binary("cosine_f", classOf[CosineSimFloat], CosineSimFloat.apply),
-    binary("jaccard_sorted", classOf[JaccardSortedLong], JaccardSortedLong.apply))
+    binary("jaccard_sorted", classOf[JaccardSortedLong], JaccardSortedLong.apply),
+    alignDescriptor)
 
   /** Register on an existing session (tests, notebooks); idempotent. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -36,6 +36,23 @@ object Pipeline {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Skew-stress twin of q_neardup_jaccard (round-3 verdict #9): 20% of
+    // the corpus is forced into ONE hot block, and maxBlockRows=50 makes
+    // the grid guard split it (g=2 at sf0.01, g=20 at sf0.1 → 210 cells)
+    // — the quadratic hot-block work spreads across tasks instead of
+    // landing in one. Exact op → oracle-backed; the per-task load bound
+    // is pinned by SkewStressSpec.
+    "q_skew_jaccard" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .withColumn("blk",
+          when(col("doc_id") % 5 === 0, lit("hot"))
+            .otherwise(concat_ws("|", col("lang"), col("source"))))
+      Dedup.ngramJaccard(docs, "doc_id", "text", "blk", n = 3, threshold = 0.5,
+        maxBlockRows = 50)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // MinHash+LSH near-dup pairs over the whole corpus (probabilistic
     // candidate generation; exact-Jaccard verified). Rows-only check.
     // 12 bands × r=5 puts the S-curve midpoint at (1/12)^(1/5) ≈ 0.61 —
@@ -256,6 +273,19 @@ object Pipeline {
     "q_neardup_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, lang || '|' || source AS blk,
+        |    list_distinct([substring(text, i, 3) FOR i IN range(1, greatest(length(text) - 2, 1) + 1)]) AS s
+        |  FROM documents)
+        |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s))::DOUBLE /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id) t
+        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "q_skew_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'hot'
+        |         ELSE lang || '|' || source END AS blk,
         |    list_distinct([substring(text, i, 3) FOR i IN range(1, greatest(length(text) - 2, 1) + 1)]) AS s
         |  FROM documents)
         |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (

@@ -97,6 +97,11 @@ class PlanSpec extends AnyFunSuite {
     // is the only hash exchange (plus the final sort for presentation)
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges <= 1, s"alignment must stay map-only before the agg:\n$p")
+    // round-3: realignment is the native align_read expression inside the
+    // codegen stage, not a ScalaUDF (which would show as a black-box
+    // `UDF(...)` projection with converter overhead per read)
+    assert(p.contains("align_read"), s"ingest must use the native expression:\n${p.take(800)}")
+    assert(!p.contains("UDF("), s"no ScalaUDF may remain on the ingest path:\n${p.take(800)}")
   }
 
   test("LSH similarity plans are bucketed joins, never cartesian") {
