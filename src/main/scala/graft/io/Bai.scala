@@ -172,6 +172,34 @@ object Bai {
   def compressedBytesTouched(chunks: Seq[Chunk], blockLenHint: Long = 65536L): Long =
     chunks.map(c => ((c.end >> 16) - (c.beg >> 16)) + blockLenHint).sum
 
+  /** Index every `.bam` under `path` (file/glob/dir), one task per file —
+    * index construction is inherently sequential WITHIN a file (virtual
+    * offsets accumulate along the block chain) but embarrassingly parallel
+    * ACROSS files, which is the shape of real many-BAM corpora. Writes
+    * `<file>.bai` next to each input; returns the .bai paths.
+    */
+  def buildAll(spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] = {
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = Option(fs.globStatus(hPath)).getOrElse(Array.empty)
+      .flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile).toSeq
+        else Seq(st)
+      }
+      .filter(_.getPath.getName.endsWith(".bam"))
+      .map(_.getPath.toString).toSeq
+    val serConf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    spark.sparkContext
+      .parallelize(files, math.max(files.size, 1))
+      .map { p =>
+        val hp = new Path(p)
+        val f = hp.getFileSystem(serConf.value)
+        write(build(f, hp), f, new Path(p + ".bai"))
+        p + ".bai"
+      }
+      .collect().toSeq
+  }
+
   // ---- .bai file format (little-endian) ---------------------------------
 
   def write(idx: Index, fs: FileSystem, path: Path): Unit = {

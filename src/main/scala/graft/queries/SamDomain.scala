@@ -64,11 +64,14 @@ object SamDomain {
       val tmp = s"/tmp/graft_bam_fixture/${new java.io.File(dir).getName}"
       val d = new java.io.File(tmp)
       if (d.exists) d.listFiles.foreach(_.delete())
-      // small blocks + small splits force the within-file split path (block
-      // sync + record resync) through the oracle gate at every sf, not just
-      // the happy single-split case
-      graft.io.Bam.write(sam, tmp, blockData = 4096)
-      val st = SeqTable.fromSam(graft.io.Bam.read(s, tmp, splitSize = 4096))
+      // two big shards with small (4 KiB) BGZF blocks, read through 16 KiB
+      // splits: at the sf0.01 gate each shard spans >=4 splits, so block
+      // sync + record resync run under the oracle hash — not just the
+      // happy single-split case. (32 tiny default shards would each fit
+      // one split and never exercise the path; 4 KiB splits at sf0.1 paid
+      // ~5 ms/task overhead for no extra coverage.)
+      graft.io.Bam.write(sam.coalesce(2), tmp, blockData = 4096)
+      val st = SeqTable.fromSam(graft.io.Bam.read(s, tmp, splitSize = 16384))
       Distributions.seqDist(st.long.filter(col("base") =!= "$"))
         .orderBy(col("position"), col("base"))
     }),

@@ -142,6 +142,23 @@ class BamScanSpec extends AnyFunSuite {
       s"fetch reads $touched of $fileLen bytes — index isn't pruning")
   }
 
+  test("buildAll indexes every .bam in a directory, one task per file") {
+    val dir = Files.createTempDirectory("baidir")
+    for (i <- 0 until 3) {
+      val recs = mkRecords(100)
+      val payload = Bam.encode(recs.iterator,
+        Seq(("chr1", 1 << 20), ("chr2", 1 << 20), ("chr3", 1 << 20)))
+      Files.write(dir.resolve(s"s$i.bam"), Bgzf.compress(payload, 2048))
+    }
+    val bais = Bai.buildAll(spark, dir.toFile.getAbsolutePath)
+    assert(bais.size == 3 && bais.forall(_.endsWith(".bai")))
+    for (i <- 0 until 3) // paths come back scheme-qualified; stat the files
+      assert(dir.resolve(s"s$i.bam.bai").toFile.length() > 0)
+    // and the written indexes drive a real fetch
+    val bam = dir.resolve("s0.bam").toFile.getAbsolutePath
+    assert(Bam.fetch(spark, bam, "chr1", 1, 100000).count() > 0)
+  }
+
   test("bai build rejects an unsorted BAM") {
     val recs = mkRecords(50)
     val shuffled = recs.reverse // descending positions
