@@ -345,18 +345,21 @@ object Bam {
     * (which must carry [[Sam.StdFields]] (+ optional `opt`)). The
     * reference-sequence dictionary is the distinct rname set (small by
     * nature — a genome has dozens of contigs). Returns the shard paths.
-    * Local-filesystem paths only (the test/bench environment); a cluster
-    * deployment would swap `Files.write` for the Hadoop FileSystem API —
-    * the partition-parallel shape is the point.
+    * Writes through the Hadoop FileSystem API, so any configured scheme
+    * (local, HDFS, object stores) works; the partition-parallel shape —
+    * no driver funnel — is the point.
     */
   def write(
       df: DataFrame, dir: String, refLength: Int = 500000000,
       blockData: Int = Bgzf.MaxBlockData): Seq[String] = {
     val spark = df.sparkSession
     import spark.implicits._
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val dirFs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    dirFs.mkdirs(dirPath)
     val refs = df.select(col("rname")).where(col("rname") =!= "*").distinct()
       .collect().map(_.getString(0)).sorted.map(n => (n, refLength)).toSeq
+    val serConf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
     val withOpt =
       if (df.columns.contains("opt")) df
       else df.withColumn("opt", map().cast("map<string,string>"))
@@ -369,11 +372,11 @@ object Bam {
         if (it.isEmpty) Iterator.empty
         else {
           val pid = org.apache.spark.TaskContext.getPartitionId()
-          val path = s"$dir/part-$pid.bam"
+          val shard = new org.apache.hadoop.fs.Path(s"$dir/part-$pid.bam")
           val payload = encode(it, refs)
-          java.nio.file.Files.write(java.nio.file.Paths.get(path),
-            Bgzf.compress(payload, blockData))
-          Iterator.single(path)
+          val out = shard.getFileSystem(serConf.value).create(shard, true)
+          try out.write(Bgzf.compress(payload, blockData)) finally out.close()
+          Iterator.single(shard.toString)
         }
       }
       .collect().toSeq

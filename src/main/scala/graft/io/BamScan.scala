@@ -166,6 +166,24 @@ private[io] object BamScan {
     else BamHeader(refs, w.ownerFileOffset(p), (w.voffset(p) & 0xffff).toInt)
   }
 
+  /** Executor-local header memo keyed by (path, fileLen): with
+    * `splitSize`-grained sharding every task of the same file needs the
+    * same header, and a reference with many contigs (some assemblies have
+    * 100k+) makes each re-parse megabytes of inflation. computeIfAbsent
+    * parses once per executor; the crude size guard only matters if one
+    * executor cycles through very many distinct BAMs.
+    */
+  private val headerCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), BamHeader]()
+
+  def cachedHeader(fs: FileSystem, path: Path, fileLen: Long): BamHeader = {
+    if (headerCache.size > 64) headerCache.clear()
+    headerCache.computeIfAbsent((path.toString, fileLen), _ => {
+      val in = fs.open(path)
+      try readHeader(in) finally in.close()
+    })
+  }
+
   /** Smallest validated BGZF block boundary ≥ `from`; `fileLen` if none.
     * Validation = full inflate with CRC (see [[Bgzf.inflateBlockAt]]).
     */
@@ -227,17 +245,15 @@ private[io] object BamScan {
   def splitRecords(
       fs: FileSystem, path: Path, fileLen: Long,
       start: Long, end: Long): Iterator[Bam.BamRecord] = {
+    val hdr = cachedHeader(fs, path, fileLen)
+    if (hdr.firstRecBlock >= end || hdr.firstRecBlock >= fileLen)
+      return Iterator.empty
+
     val in = fs.open(path)
     Option(TaskContext.get()).foreach(
       _.addTaskCompletionListener[Unit](_ => in.close()))
     def closeNow(): Unit = try in.close() catch { case _: java.io.IOException => () }
 
-    val hdr =
-      try readHeader(in)
-      catch { case e: Throwable => closeNow(); throw e }
-    if (hdr.firstRecBlock >= end || hdr.firstRecBlock >= fileLen) {
-      closeNow(); return Iterator.empty
-    }
     val b0 =
       if (hdr.firstRecBlock >= start) hdr.firstRecBlock
       else
