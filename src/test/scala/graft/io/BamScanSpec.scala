@@ -159,6 +159,54 @@ class BamScanSpec extends AnyFunSuite {
     assert(Bam.fetch(spark, bam, "chr1", 1, 100000).count() > 0)
   }
 
+  test("property: random records/blocks/split grids never lose or duplicate a record") {
+    // Spark-free: drive BamScan.splitRecords directly over randomized
+    // (record count, block size, split size) triples — the union of all
+    // splits must be exactly the whole-file decode, every time. This is
+    // the ownership contract under fuzz, not just at hand-picked sizes.
+    val conf = new Configuration()
+    for (c <- 1 to 25) {
+      val recs = mkRecords(20 + rnd.nextInt(150))
+      val blockData = 256 + rnd.nextInt(4000)
+      val path = writeBam(recs, blockData)
+      val fileLen = new java.io.File(path).length()
+      val splitSize = 200L + rnd.nextInt(math.max(1, fileLen.toInt))
+      val fs = new Path(path).getFileSystem(conf)
+      val got = (0L until fileLen by splitSize).flatMap { off =>
+        BamScan.splitRecords(fs, new Path(path), fileLen,
+          off, math.min(off + splitSize, fileLen)).toSeq
+      }
+      val want = Bam.decode(
+        Bgzf.inflate(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))).toSeq
+      assert(got.map(_.header).sorted == want.map(_.header).sorted,
+        s"case $c: n=${recs.size} blockData=$blockData splitSize=$splitSize " +
+          s"fileLen=$fileLen → ${got.size} records, expected ${want.size}")
+      assert(got.sortBy(_.header) == want.sortBy(_.header),
+        s"case $c: record content drifted through the split path")
+      new java.io.File(path).delete()
+    }
+  }
+
+  test("property: syncToBlock always lands on the next true block boundary") {
+    val recs = mkRecords(200)
+    val path = writeBam(recs, blockData = 1024)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    // ground truth: walk the BSIZE chain
+    val boundaries = Iterator.iterate(0L) { p =>
+      p + Bgzf.inflateBlockAt(bytes, p.toInt)._2
+    }.takeWhile(_ < bytes.length).toVector
+    val fs = new Path(path).getFileSystem(new Configuration())
+    val in = fs.open(new Path(path))
+    try {
+      for (_ <- 1 to 50) {
+        val from = rnd.nextInt(bytes.length).toLong
+        val got = BamScan.syncToBlock(in, from, bytes.length.toLong)
+        val want = boundaries.find(_ >= from).getOrElse(bytes.length.toLong)
+        assert(got == want, s"sync from $from gave $got, true boundary $want")
+      }
+    } finally in.close()
+  }
+
   test("bai build rejects an unsorted BAM") {
     val recs = mkRecords(50)
     val shuffled = recs.reverse // descending positions
