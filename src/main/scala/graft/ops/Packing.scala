@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-data assembly: documents, ordered by id,
+  * fill fixed-token-capacity bins ("packs") that a trainer consumes as
+  * contiguous batches. The core primitive is an EXACT global running
+  * total — and the naive spelling, `sum(x).over(Window.orderBy(id))`,
+  * funnels the whole corpus through ONE task (Spark plans an
+  * `Exchange SinglePartition` for an un-partitioned ordered window).
+  *
+  * [[runningTotal]] computes the same number in two phases, both
+  * parallel: range-repartition by the order key, cumsum WITHIN each
+  * partition (a partition-local window — no single-task exchange), then
+  * add each partition's broadcast prefix offset (one tiny collect of
+  * numPartitions totals). The plan is pinned by a PlanSpec regression
+  * asserting no SinglePartition exchange.
+  *
+  * Assignment semantics: a document goes to the bin containing its START
+  * offset (`floor((cum − tokens) / capacity)`) — the standard contiguous
+  * "waterfall" layout; a document longer than the capacity occupies its
+  * own bin(s). Deterministic given the id order, partition-invariant,
+  * and exactly SQL-expressible, so the driver oracle hash-checks it.
+  */
+object Packing {
+
+  /** Exact running total of `valCol` ordered by `ordCol` (inclusive), as
+    * column `outCol`. Two-phase: local cumsum per range partition +
+    * broadcast prefix offsets. `numPartitions` bounds the driver-side
+    * offsets collect (one long per partition).
+    */
+  def runningTotal(
+      df: DataFrame,
+      ordCol: String,
+      valCol: String,
+      outCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    // localCheckpoint pins the partition layout: the offsets job and the
+    // main frame must see the SAME pid assignment, and a re-planned
+    // range exchange (resampled boundaries, AQE coalescing) could differ
+    // between the two computations
+    val ranged = df
+      .repartitionByRange(n, col(ordCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val localWin = Window.partitionBy(col("__pid")).orderBy(col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets: Map[Int, Long] = {
+      val totals = ranged.groupBy(col("__pid"))
+        .agg(sum(col(valCol)).cast("long").as("t"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      // prefix-exclusive scan over the (tiny) per-partition totals
+      var acc = 0L
+      val m = Map.newBuilder[Int, Long]
+      totals.foreach { case (pid, t) => m += pid -> acc; acc += t }
+      m.result()
+    }
+    val offCol: Column = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+      when(col("__pid") === pid, lit(off)).otherwise(acc)
+    }
+    ranged
+      .withColumn(outCol, sum(col(valCol)).over(localWin).cast("long") + offCol)
+      .drop("__pid")
+  }
+
+  /** Assign each row to a fixed-capacity pack by its start offset in the
+    * id-ordered token stream. Output: input columns + `cum_tokens`
+    * (inclusive running total) + `bin` (0-based pack id).
+    */
+  def packBySize(
+      df: DataFrame,
+      ordCol: String,
+      tokensCol: String,
+      capacity: Long,
+      numPartitions: Int = 0): DataFrame = {
+    require(capacity > 0, s"pack capacity must be positive, got $capacity")
+    runningTotal(df, ordCol, tokensCol, "cum_tokens", numPartitions)
+      .withColumn("bin",
+        floor((col("cum_tokens") - col(tokensCol)) / capacity).cast("long"))
+  }
+
+  /** Per-pack summary of a [[packBySize]] frame: row count, token total,
+    * fill ratio against the capacity. Map-side combinable aggregate.
+    */
+  def packStats(packed: DataFrame, tokensCol: String, capacity: Long): DataFrame =
+    packed.groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokensCol)).cast("long").as("tokens"),
+        round(sum(col(tokensCol)) / lit(capacity.toDouble), 6).as("fill"))
+}

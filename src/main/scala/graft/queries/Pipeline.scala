@@ -174,6 +174,18 @@ object Pipeline {
         .select(col("doc_id"), col("keep"), col("drop_reason"), col("n_words"))
         .orderBy(col("doc_id"))),
 
+    // Sequence packing (round 3): docs fill 2048-token training packs in
+    // doc_id order. The running total is the two-phase scalable cumsum —
+    // PlanSpec pins that no Exchange SinglePartition appears (the naive
+    // global ordered window would plan one). Exact → oracle-backed.
+    "q_pack_sequences" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      graft.ops.Packing.packBySize(toks, "doc_id", "n_tokens", capacity = 2048)
+        .select(col("doc_id"), col("n_tokens"), col("cum_tokens"), col("bin"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- similarity search over embeddings ----------------------------
     // Exact brute-force cosine top-5 for the first 10 vectors as queries.
     "q_ann_bruteforce" -> ((s, dir) => {
@@ -435,6 +447,18 @@ object Pipeline {
         |  FROM s)
         |SELECT doc_id, n AS n_words FROM r
         |WHERE drop_reason IS NULL ORDER BY doc_id""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(regexp_extract_all(trim(text), '\S+')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |  CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS bin
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_ann_bruteforce" ->
       """WITH pairs AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -140,6 +140,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("packing's running total never plans a single-partition exchange") {
+    // the naive global ordered window funnels the corpus through one
+    // task; the two-phase cumsum must keep every stage partitioned
+    val p = physicalPlan("q_pack_sequences")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global cumsum collapsed to one task:\n${p.take(800)}")
+    assert(p.contains("Window"),
+      s"expected the partition-local cumsum window:\n${p.take(800)}")
+  }
+
   test("text-quality kernels stay map-only before the presentation sort") {
     for (q <- Seq("q_repetition", "q_gopher_filter", "q_lang_id", "q_token_stats")) {
       val p = physicalPlan(q)

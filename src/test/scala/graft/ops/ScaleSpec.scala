@@ -53,3 +53,49 @@ class ScaleSpec extends AnyFunSuite {
     assert(kept < 2000, s"bloom kept $kept of 100000")
   }
 }
+
+class PackingSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private val spark = graft.TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("two-phase running total equals the naive global window exactly") {
+    val rnd = new scala.util.Random(21)
+    val df = (0 until 5000).map(i => (i.toLong, rnd.nextInt(500).toLong))
+      .toDF("id", "v").repartition(8) // scrambled input partitions
+    val got = Packing.runningTotal(df, "id", "v", "cum")
+      .select("id", "cum").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val want = df.withColumn("cum", sum(col("v")).over(w))
+      .select("id", "cum").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
+
+  test("packBySize: waterfall layout, oversized docs own their bins, stats fill") {
+    val df = Seq(
+      (1L, 500L), (2L, 400L), (3L, 300L), // cum 500, 900, 1200
+      (4L, 2500L),                        // oversized: cum 3700, starts in bin 1
+      (5L, 100L)                          // cum 3800, starts bin 3 (3700/1024...)
+    ).toDF("id", "tok")
+    val packed = Packing.packBySize(df, "id", "tok", capacity = 1000)
+      .orderBy("id").collect().map(r =>
+        (r.getLong(0), r.getLong(r.fieldIndex("cum_tokens")), r.getLong(r.fieldIndex("bin"))))
+    assert(packed.map(_._2).toSeq == Seq(500L, 900L, 1200L, 3700L, 3800L))
+    // bin = floor(startOffset / capacity)
+    assert(packed.map(_._3).toSeq == Seq(0L, 0L, 0L, 1L, 3L))
+    val stats = Packing.packStats(
+      Packing.packBySize(df, "id", "tok", capacity = 1000), "tok", 1000)
+      .orderBy("bin").collect()
+    assert(stats.map(_.getLong(0)).toSeq == Seq(0L, 1L, 3L))
+    assert(stats.map(_.getLong(1)).toSeq == Seq(3L, 1L, 1L)) // n_docs per bin
+  }
+
+  test("runningTotal survives empty frames and single rows") {
+    val empty = Seq.empty[(Long, Long)].toDF("id", "v")
+    assert(Packing.runningTotal(empty, "id", "v", "cum").count() == 0)
+    val one = Seq((7L, 42L)).toDF("id", "v")
+    val r = Packing.runningTotal(one, "id", "v", "cum").head()
+    assert(r.getLong(r.fieldIndex("cum")) == 42L)
+  }
+}
