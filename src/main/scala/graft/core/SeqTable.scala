@@ -209,15 +209,28 @@ final case class SeqTable(
     * aggregate into a slot-key→base map, and a literal slot array is
     * mapped over it, filling '-' for absent slots.
     */
+  /** The (position, loc) slot axis of the insertion views, (p, l)-sorted —
+    * the ONE source of truth for slot ordering, shared by
+    * [[viewWithInsertionsWide]] and the insertion-aware substring counter
+    * (`Kmers.gappedWithInsertions`) so column order and labels can never
+    * drift apart. Driver-side by design: slot cardinality = window length
+    * + observed insertion slots, bounded and small.
+    */
+  def insertionSlots(minInsCount: Long = 0): Seq[(Int, Int)] =
+    viewWithInsertions(minInsCount)
+      .select("position", "loc").distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+      .sortBy(identity).toSeq
+
   def viewWithInsertionsWide(
       minInsCount: Long = 0,
       lowercaseInsertions: Boolean = false): DataFrame = {
     val longIns = viewWithInsertions(minInsCount, lowercaseInsertions)
-    // slot key packs (position, loc) into one long, preserving sort order
+    // slot key packs (position, loc) into one long; keyed in the
+    // insertionSlots order ((p, l) lexicographic == key order)
     def slotKey(position: Long, loc: Long): Long = (position << 20) + (loc + (1L << 19))
-    val slotKeys: Seq[Long] = longIns.select("position", "loc").distinct()
-      .collect().map(r => slotKey(r.getInt(0).toLong, r.getInt(1).toLong))
-      .sorted.toSeq
+    val slotKeys: Seq[Long] = insertionSlots(minInsCount)
+      .map { case (p, l) => slotKey(p.toLong, l.toLong) }
     val keyCol = (col("position").cast("long") * lit(1L << 20)) +
       (col("loc").cast("long") + lit(1L << 19))
     longIns

@@ -179,15 +179,8 @@ object Bai {
     * `<file>.bai` next to each input; returns the .bai paths.
     */
   def buildAll(spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] = {
-    val hPath = new Path(path)
-    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val files = Option(fs.globStatus(hPath)).getOrElse(Array.empty)
-      .flatMap { st =>
-        if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile).toSeq
-        else Seq(st)
-      }
-      .filter(_.getPath.getName.endsWith(".bam"))
-      .map(_.getPath.toString).toSeq
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val files = Bam.listBams(fs, path).map(_.getPath.toString)
     val serConf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
     spark.sparkContext
       .parallelize(files, math.max(files.size, 1))

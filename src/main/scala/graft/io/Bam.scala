@@ -185,15 +185,9 @@ object Bam {
       splitSize: Long = 64L * 1024 * 1024): DataFrame = {
     import spark.implicits._
     require(splitSize > 0, s"splitSize must be positive, got $splitSize")
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val statuses = Option(fs.globStatus(hPath)).getOrElse(Array.empty)
-      .flatMap { st =>
-        if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile).toSeq
-        else Seq(st)
-      }
-      .filter(_.getPath.getName.endsWith(".bam"))
-    val splits: Seq[(String, Long, Long, Long)] = statuses.toSeq.flatMap { st =>
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val splits: Seq[(String, Long, Long, Long)] = listBams(fs, path).flatMap { st =>
       val p = st.getPath.toString
       val len = st.getLen
       (0L until math.max(len, 1L) by splitSize).map { off =>
@@ -381,6 +375,22 @@ object Bam {
       }
       .collect().toSeq
   }
+
+  /** `.bam` files under a file/glob/dir path — the one listing rule shared
+    * by [[read]] and [[Bai.buildAll]] so their notion of "which files
+    * exist" can't drift.
+    */
+  private[io] def listBams(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[org.apache.hadoop.fs.FileStatus] =
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(path)))
+      .getOrElse(Array.empty)
+      .flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile).toSeq
+        else Seq(st)
+      }
+      .filter(_.getPath.getName.endsWith(".bam"))
+      .toSeq
 
   // ---- little-endian helpers -------------------------------------------
 

@@ -234,9 +234,12 @@ private[io] object BamScan {
     -1
   }
 
-  // sanity bounds for the record-resync heuristic
-  private val MaxRecordBytes = 1 << 26 // 64 MiB — far above any real read
-  private val MaxSeqLen = 1 << 28
+  // sanity bounds for the record-resync heuristic: generous against real
+  // data (long-read records run single-digit MiB) but tight enough that a
+  // false candidate's block_size can't make validAt inflate tens of MiB
+  // of lookahead just to reject it
+  private val MaxRecordBytes = 1 << 24 // 16 MiB
+  private val MaxSeqLen = 1 << 23
 
   /** Decode the records of one byte-range split [start, end) of a BAM
     * file. Registers stream close on task completion (abandoned iterators

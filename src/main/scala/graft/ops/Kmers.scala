@@ -86,12 +86,11 @@ object Kmers {
       maxCombos: Int = 5000,
       seed: Long = 42L): (DataFrame, Long) = {
     val base = subsampleSeqs.fold(st)(n => st.subsampleExact(n, seed = seed))
-    // the wide view's column axis, driver-side (same (position, loc) sort
-    // order as its slot keys)
-    val slots = base.viewWithInsertions(minInsCount, lowercaseInsertions)
-      .select("position", "loc").distinct()
-      .collect().map(r => (r.getInt(0), r.getInt(1)))
-      .sortBy { case (p, l) => (p, l) }
+    // the wide view's column axis — SeqTable.insertionSlots is the shared
+    // source of truth, so label order can't drift from the view's columns
+    // (the wide view re-derives the same small distinct internally; one
+    // extra driver-side job, bounded by the slot cardinality)
+    val slots = base.insertionSlots(minInsCount)
     require(slots.length >= k,
       s"word_length $k exceeds the ${slots.length} available slots")
     val labels = slots.map { case (p, l) =>

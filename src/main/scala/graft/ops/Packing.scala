@@ -49,19 +49,22 @@ object Packing {
       .localCheckpoint()
     val localWin = Window.partitionBy(col("__pid")).orderBy(col(ordCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets: Map[Int, Long] = {
+    // prefix-exclusive scan over the (tiny) per-partition totals, shipped
+    // as ONE array literal indexed by pid — a chained when/otherwise per
+    // partition would be O(numPartitions) branch tests per row and blow
+    // the codegen method limit at cluster partition counts
+    val offsetsByPid: Seq[Long] = {
       val totals = ranged.groupBy(col("__pid"))
         .agg(sum(col(valCol)).cast("long").as("t"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-      // prefix-exclusive scan over the (tiny) per-partition totals
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
       var acc = 0L
-      val m = Map.newBuilder[Int, Long]
-      totals.foreach { case (pid, t) => m += pid -> acc; acc += t }
-      m.result()
+      (0 until n).map { pid =>
+        val off = acc
+        acc += totals.getOrElse(pid, 0L)
+        off
+      }
     }
-    val offCol: Column = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-      when(col("__pid") === pid, lit(off)).otherwise(acc)
-    }
+    val offCol: Column = element_at(typedLit(offsetsByPid), col("__pid") + 1)
     ranged
       .withColumn(outCol, sum(col(valCol)).over(localWin).cast("long") + offCol)
       .drop("__pid")

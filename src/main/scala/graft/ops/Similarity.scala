@@ -252,6 +252,10 @@ object Similarity {
         var target = rnd.nextDouble() * w.sum
         var i = 0
         while (i < w.length - 1 && target >= w(i)) { target -= w(i); i += 1 }
+        // float summation can overshoot past the last positive weight and
+        // land on a zero-weight (already-chosen) point — redirect to the
+        // farthest point instead of wasting a centroid on a duplicate
+        if (w(i) == 0.0) i = minD.indices.maxBy(minD)
         picked += unit(i)
         var j = 0
         while (j < unit.length) {

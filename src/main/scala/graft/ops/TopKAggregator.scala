@@ -60,12 +60,35 @@ object TopKAggregator {
     * group, groups with no input rows absent — exactly the frame
     * `row_number <= k` produces, without the per-group sort.
     *
-    * The id column's native type drives the tie-break ordering (numeric ids
-    * compare numerically, strings lexically — matching the window's
-    * ORDER BY) and is restored on output.
+    * The id column's native type drives the tie-break ordering (numeric
+    * ids compare numerically; strings by CODE POINT, matching UTF8String's
+    * binary order in the window's ORDER BY — Ordering.String compares
+    * UTF-16 units, which disagrees beyond the BMP) and is restored on
+    * output. NULL sims are dropped before aggregation (unknown similarity
+    * can't rank; the window it replaces sorted them last, so results only
+    * differ for groups with fewer than k non-null candidates).
     */
+  /** Code-point string order = UTF8String binary order (what a window's
+    * ORDER BY on a string column uses); Ordering.String (UTF-16 units)
+    * sorts supplementary-plane characters before U+E000..U+FFFF.
+    */
+  private val codePointOrdering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      var i = 0
+      var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.codePointAt(i)
+        val cb = b.codePointAt(j)
+        if (ca != cb) return Integer.compare(ca, cb)
+        i += Character.charCount(ca)
+        j += Character.charCount(cb)
+      }
+      Integer.compare(a.length - i, b.length - j)
+    }
+  }
+
   def topKByGroup(
-      scored: DataFrame,
+      scored0: DataFrame,
       groupCol: String,
       idCol: String,
       simCol: String,
@@ -73,6 +96,8 @@ object TopKAggregator {
       outId: String = "neighbor_id",
       outSim: String = "sim",
       outRank: String = "rank"): DataFrame = {
+    // a null sim would crash the non-nullable Double input encoder
+    val scored = scored0.filter(col(simCol).isNotNull)
     val idType = scored.schema(idCol).dataType
 
     def run[I: TypeTag: Ordering](df: DataFrame): DataFrame = {
@@ -91,7 +116,7 @@ object TopKAggregator {
         run[Long](scored.withColumn(idCol, col(idCol).cast(LongType)))
       case FloatType | DoubleType =>
         run[Double](scored.withColumn(idCol, col(idCol).cast(DoubleType)))
-      case StringType => run[String](scored)
+      case StringType => run[String](scored)(implicitly, codePointOrdering)
       case t => throw new IllegalArgumentException(
         s"topKByGroup: unsupported id type $t (need integral, floating, or string)")
     }

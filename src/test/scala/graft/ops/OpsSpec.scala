@@ -319,6 +319,21 @@ class SimilaritySpec extends AnyFunSuite {
     val sGot = TopKAggregator.topKByGroup(sdf, "query_id", "neighbor_id", "sim", 2)
       .orderBy("rank").collect().map(_.getString(1)).toSeq
     assert(sGot == Seq("a10", "a2"))
+    // non-BMP ids: the window orders UTF8String binary (= code points);
+    // UTF-16 Ordering.String would put the emoji's surrogate first
+    val edf = Seq(("q", "😀x", 1.0), ("q", "�x", 1.0))
+      .toDF("query_id", "neighbor_id", "sim")
+    val wWant = edf.withColumn("rank", row_number().over(w)).filter(col("rank") <= 1)
+      .head().getString(1)
+    val eGot = TopKAggregator.topKByGroup(edf, "query_id", "neighbor_id", "sim", 1)
+      .head().getString(1)
+    assert(eGot == wWant && eGot == "�x")
+    // null sims are dropped (the window ranked them last — see scaladoc)
+    val ndf = Seq(("q", 1L, Some(0.5)), ("q", 2L, None))
+      .toDF("query_id", "neighbor_id", "sim")
+    val nGot = TopKAggregator.topKByGroup(ndf, "query_id", "neighbor_id", "sim", 5)
+      .collect().map(_.getLong(1)).toSeq
+    assert(nGot == Seq(1L))
   }
 
   test("bandGeometry solves the S-curve: >=16-bit bands at high thresholds") {
