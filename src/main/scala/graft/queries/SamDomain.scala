@@ -76,6 +76,33 @@ object SamDomain {
         .orderBy(col("position"), col("base"))
     }),
 
+    // Indexed region fetch under the oracle (round 3): coordinate-sorted
+    // single-shard BAM → Bai.build → Bam.fetch("ref1", 1, 12) → the
+    // q_sam_dist pipeline over only the overlapping reads. Every read
+    // spans 20 bases, so "overlaps [1,12]" is exactly pos <= 12 — the
+    // oracle filters the same predicate, hash-checking the whole
+    // .bai path (binning, chunk merge, virtual-offset seek, overlap
+    // filter), not just its unit tests.
+    "q_bam_fetch" -> ((s, dir) => {
+      val sam = samFrame(s, dir, "20M")
+        .withColumn("flag", lit(0)).withColumn("mapq", lit(60))
+        .withColumn("rnext", lit("*")).withColumn("pnext", lit(0))
+        .withColumn("tlen", lit(0))
+      val tmp = s"/tmp/graft_bam_fetch/${new java.io.File(dir).getName}"
+      val d = new java.io.File(tmp)
+      if (d.exists) d.listFiles.foreach(_.delete())
+      // .bai requires coordinate order; one shard keeps the walk simple
+      graft.io.Bam.write(
+        sam.coalesce(1).sortWithinPartitions("rname", "pos"),
+        tmp, blockData = 4096)
+      graft.io.Bai.buildAll(s, tmp)
+      val bam = new java.io.File(tmp).listFiles()
+        .map(_.getAbsolutePath).filter(_.endsWith(".bam")).head
+      val st = SeqTable.fromSam(graft.io.Bam.fetch(s, bam, "ref1", 1, 12))
+      Distributions.seqDist(st.long.filter(col("base") =!= "$"))
+        .orderBy(col("position"), col("base"))
+    }),
+
     // read_info carry-through (constructor_ops.py:184-187): optional SAM
     // fields (mapq, TAG:TYPE:VALUE map) ride through fromSam on the reads
     // frame and are filterable/aggregatable downstream.
@@ -266,6 +293,14 @@ object SamDomain {
       s"""WITH $sqlNts
          |SELECT pos + gs.i - 1 AS position, substring(nt, gs.i, 1) AS base, COUNT(*) AS cnt
          |FROM nts CROSS JOIN generate_series(1, 20) AS gs(i)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q_sam_dist restricted to the fetched region: 20-base reads overlap
+    // [1,12] iff pos <= 12, so the .bai fetch must reproduce exactly this
+    "q_bam_fetch" ->
+      s"""WITH $sqlNts
+         |SELECT pos + gs.i - 1 AS position, substring(nt, gs.i, 1) AS base, COUNT(*) AS cnt
+         |FROM nts CROSS JOIN generate_series(1, 20) AS gs(i)
+         |WHERE pos <= 12
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_sam_insertions" ->
       s"""WITH $sqlNts
