@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operators — A10 `filter_by_count`
   * (ref: numpy_ops.py:374-405) generalized to the dataset-dedup family a
@@ -21,22 +20,36 @@ import org.apache.spark.sql.expressions.Window
 object Dedup {
 
   /** A10 `filter_by_count`: keep rows whose duplicate count on `key`
-    * exceeds `cutoff`. Window count — one shuffle on the key.
+    * exceeds `cutoff`. Map-side-combined count of the (few) heavy keys +
+    * a semi-join — NOT a `count().over(partitionBy(key))` window, which
+    * buffers each key's rows in one task and makes a hot key (a
+    * boilerplate document duplicated millions of times) a single-task
+    * spill; the semi-join's build side is only the above-cutoff keys
+    * (usually tiny → AQE broadcasts it), and skewed probes split under
+    * AQE skew-join.
     */
-  def filterByCount(df: DataFrame, key: String, cutoff: Long): DataFrame =
-    df.withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col(key))))
+  def filterByCount(df: DataFrame, key: String, cutoff: Long): DataFrame = {
+    val heavy = df.groupBy(col(key))
+      .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > cutoff)
-      .drop("__cnt")
+      .select(col(key))
+    df.join(heavy, Seq(key), "left_semi")
+  }
 
   /** Exact dedup: keep one representative row per distinct `key` value
-    * (deterministic: the minimum `idCol`). Output adds `dup_count`.
+    * (the minimum `idCol` — deterministic when ids are unique, as any
+    * ordering tie-break would be). Output adds `dup_count`. One
+    * map-side-combined aggregate: `min_by` carries the whole
+    * representative row, so no window ever buffers a hot key's
+    * duplicates in one task.
     */
   def exact(df: DataFrame, key: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(xxhash64(col(key)), col(key))
-    df.withColumn("dup_count", count(lit(1)).over(w))
-      .withColumn("__rn", row_number().over(w.orderBy(col(idCol))))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val cols = df.columns
+    df.groupBy(col(key).as("__k"))
+      .agg(
+        min_by(struct(cols.map(col): _*), col(idCol)).as("__rep"),
+        count(lit(1)).as("dup_count"))
+      .select(cols.map(c => col(s"__rep.`$c`")) :+ col("dup_count"): _*)
   }
 
   /** Distinct k-char shingles via array slice (codegen'd, no UDF). */
@@ -379,13 +392,20 @@ object Dedup {
       maxBlockRows: Int = 100000): DataFrame = {
     require(maxBlockRows > 0, "maxBlockRows must be positive")
     graft.plans.GraftExtensions.register(df.sparkSession)
-    val withSh = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      HashKernels.hashedShinglesUdf(n)(col(textCol)).as("sh"))
+    // block sizing as a map-side-combined count joined back — a
+    // `count().over(partitionBy(blk))` window would shuffle every row to
+    // its block AND buffer the hot block in one task, precisely the skew
+    // this operator guards against. The sizes frame is tiny (one row per
+    // block) so AQE broadcasts the join; shingles are computed AFTER the
+    // join so even a non-broadcast fallback shuffles text rows, not
+    // 8-bytes-per-shingle arrays.
+    val sizes = df.groupBy(col(blockCol).as("blk"))
+      .agg(ceil(count(lit(1)).cast("double") / maxBlockRows).cast("int").as("g"))
+    val withSh = df.withColumn("blk", col(blockCol))
+      .join(sizes, Seq("blk"))
+      .select(col("blk"), col(idCol).as("id"),
+        HashKernels.hashedShinglesUdf(n)(col(textCol)).as("sh"), col("g"))
       .withColumn("sz", size(col("sh")))
-      // one count shuffle to size blocks; g=1 for all but oversized blocks
-      .withColumn("g",
-        ceil(count(lit(1)).over(Window.partitionBy(col("blk")))
-          .cast("double") / maxBlockRows).cast("int"))
       .withColumn("sub", pmod(xxhash64(col("id")), col("g")).cast("int"))
       // row membership: one cell (least(sub,t), greatest(sub,t)) per t —
       // a pair (sub_a, sub_b) shares exactly the cell (min, max) when
