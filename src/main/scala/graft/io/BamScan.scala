@@ -234,12 +234,15 @@ private[io] object BamScan {
     -1
   }
 
-  // sanity bounds for the record-resync heuristic: generous against real
-  // data (long-read records run single-digit MiB) but tight enough that a
-  // false candidate's block_size can't make validAt inflate tens of MiB
-  // of lookahead just to reject it
-  private val MaxRecordBytes = 1 << 24 // 16 MiB
-  private val MaxSeqLen = 1 << 23
+  // sanity bounds for the record-resync heuristic. Deliberately GENEROUS:
+  // a true record above the bound at a resync point would be silently
+  // skipped (data loss), so the bound must clear any conceivable record —
+  // 64 MiB covers multi-Mbp long reads with large B-array tags several
+  // times over. The cost of generosity is bounded lookahead inflation on
+  // a false candidate, and false candidates are vanishingly rare (the
+  // field conjunction over random bytes passes at ~2^-40).
+  private val MaxRecordBytes = 1 << 26 // 64 MiB
+  private val MaxSeqLen = 1 << 28
 
   /** Decode the records of one byte-range split [start, end) of a BAM
     * file. Registers stream close on task completion (abandoned iterators

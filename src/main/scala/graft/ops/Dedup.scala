@@ -32,22 +32,30 @@ object Dedup {
     val heavy = df.groupBy(col(key))
       .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > cutoff)
-      .select(col(key))
-    df.join(heavy, Seq(key), "left_semi")
+      .select(col(key).as("__heavy_key"))
+    // null-safe equality: NULL keys form a duplicate group like any other
+    // (the window this replaces counted them together)
+    df.join(heavy, col(key) <=> col("__heavy_key"), "left_semi")
   }
 
   /** Exact dedup: keep one representative row per distinct `key` value
-    * (the minimum `idCol` — deterministic when ids are unique, as any
-    * ordering tie-break would be). Output adds `dup_count`. One
+    * (the minimum `idCol`, NULL ids first — matching the ascending
+    * nulls-first order of the `row_number` window this replaces;
+    * deterministic when ids are unique, as any ordering tie-break would
+    * be). Output replaces any pre-existing `dup_count` column. One
     * map-side-combined aggregate: `min_by` carries the whole
     * representative row, so no window ever buffers a hot key's
     * duplicates in one task.
     */
   def exact(df: DataFrame, key: String, idCol: String): DataFrame = {
-    val cols = df.columns
+    val cols = df.columns.filterNot(_ == "dup_count").toSeq
+    // the ordering key wraps idCol in a never-null struct: bare min_by
+    // would SKIP null-id rows (null ordering key), yielding an all-null
+    // representative for an all-null-id group
+    val ord = struct(col(idCol).isNotNull, col(idCol))
     df.groupBy(col(key).as("__k"))
       .agg(
-        min_by(struct(cols.map(col): _*), col(idCol)).as("__rep"),
+        min_by(struct(cols.map(col): _*), ord).as("__rep"),
         count(lit(1)).as("dup_count"))
       .select(cols.map(c => col(s"__rep.`$c`")) :+ col("dup_count"): _*)
   }

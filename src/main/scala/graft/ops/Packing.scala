@@ -30,6 +30,11 @@ object Packing {
     * column `outCol`. Two-phase: local cumsum per range partition +
     * broadcast prefix offsets. `numPartitions` bounds the driver-side
     * offsets collect (one long per partition).
+    *
+    * Contract: `valCol` must be integral (token counts are; a long cumsum
+    * of doubles would silently truncate, so non-integral input throws)
+    * and `ordCol` values must be unique (duplicate order keys make any
+    * "running" total order-dependent; they also key the final join).
     */
   def runningTotal(
       df: DataFrame,
@@ -37,13 +42,22 @@ object Packing {
       valCol: String,
       outCol: String,
       numPartitions: Int = 0): DataFrame = {
+    df.schema(valCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+        org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case t => throw new IllegalArgumentException(
+        s"runningTotal needs an integral value column, got $valCol: $t")
+    }
     val n = if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    // localCheckpoint pins the partition layout: the offsets job and the
-    // main frame must see the SAME pid assignment, and a re-planned
-    // range exchange (resampled boundaries, AQE coalescing) could differ
-    // between the two computations
+    // only the NARROW (ord, val) projection is pinned: localCheckpoint
+    // keeps the offsets job and the cumsum job on the SAME pid layout (a
+    // re-planned range exchange could resample boundaries between them),
+    // and pinning 8-16 bytes/row instead of the whole frame keeps the
+    // materialization negligible at corpus scale; the result joins back
+    // on the unique order key
     val ranged = df
+      .select(col(ordCol), col(valCol))
       .repartitionByRange(n, col(ordCol))
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
@@ -65,9 +79,10 @@ object Packing {
       }
     }
     val offCol: Column = element_at(typedLit(offsetsByPid), col("__pid") + 1)
-    ranged
+    val cum = ranged
       .withColumn(outCol, sum(col(valCol)).over(localWin).cast("long") + offCol)
-      .drop("__pid")
+      .select(col(ordCol), col(outCol))
+    df.join(cum, Seq(ordCol))
   }
 
   /** Assign each row to a fixed-capacity pack by its start offset in the

@@ -96,8 +96,11 @@ object TopKAggregator {
       outId: String = "neighbor_id",
       outSim: String = "sim",
       outRank: String = "rank"): DataFrame = {
-    // a null sim would crash the non-nullable Double input encoder
-    val scored = scored0.filter(col(simCol).isNotNull)
+    // null sims/ids would crash the non-nullable tuple encoder (and a
+    // null id can't be a neighbor); the window this replaces ranked them
+    // last / without error — results differ only for groups with fewer
+    // than k well-formed candidates
+    val scored = scored0.filter(col(simCol).isNotNull && col(idCol).isNotNull)
     val idType = scored.schema(idCol).dataType
 
     def run[I: TypeTag: Ordering](df: DataFrame): DataFrame = {

@@ -102,6 +102,9 @@ class DedupSpec extends AnyFunSuite {
     val df = Seq("a", "a", "a", "b").toDF("v")
     assert(Dedup.filterByCount(df, "v", 2).count() == 3)
     assert(Dedup.filterByCount(df, "v", 3).count() == 0)
+    // NULL keys form a duplicate group like any other (null-safe join)
+    val withNulls = Seq(Some("a"), None, None, None, Some("b")).toDF("v")
+    assert(Dedup.filterByCount(withNulls, "v", 2).count() == 3)
   }
 
   test("exact dedup keeps min-id representative with group size") {
@@ -111,6 +114,22 @@ class DedupSpec extends AnyFunSuite {
     assert(r(1L) == 2) // ids 1 and 4 share text; representative = 1
     assert(!r.contains(4L))
     assert(r(2L) == 1 && r(3L) == 1 && r(5L) == 1)
+  }
+
+  test("exact dedup: null ids sort first and never null out the representative") {
+    val df = Seq(
+      (Some(7L), "x", "keep7"),
+      (None, "x", "keepNull"), // null id sorts before 7 (window parity)
+      (None, "y", "onlyNull")) // all-null-id group must keep its row
+      .toDF("doc_id", "text", "payload")
+    val r = Dedup.exact(df, "text", "doc_id").collect()
+      .map(x => x.getString(1) ->
+        ((x.getString(2), x.getLong(x.fieldIndex("dup_count"))))).toMap
+    assert(r("x") == (("keepNull", 2L)))
+    assert(r("y") == (("onlyNull", 1L)))
+    // a pre-existing dup_count column is replaced, not duplicated
+    val again = Dedup.exact(Dedup.exact(df, "text", "doc_id"), "text", "doc_id")
+    assert(again.columns.count(_ == "dup_count") == 1)
   }
 
   test("minhash near-duplicates finds the near pair, not the unrelated") {

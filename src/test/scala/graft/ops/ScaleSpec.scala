@@ -98,4 +98,12 @@ class PackingSpec extends org.scalatest.funsuite.AnyFunSuite {
     val r = Packing.runningTotal(one, "id", "v", "cum").head()
     assert(r.getLong(r.fieldIndex("cum")) == 42L)
   }
+
+  test("runningTotal rejects non-integral value columns instead of truncating") {
+    val doubles = Seq((1L, 0.5), (2L, 1.5)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Packing.runningTotal(doubles, "id", "v", "cum")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }
