@@ -471,6 +471,32 @@ object SeqTable {
       mn, mx)
   }
 
+  /** S4 `from_pysam` as a one-call constructor (ref: seqtables.py:227-283
+    * — `from_pysam(alignment_file, fetch_args, …, min_mapping_quality)`):
+    * BAM → realigned SeqTable. `region` mirrors `fetch_args`
+    * ((contig, start, stop), 1-based inclusive like the frame's `pos`) and
+    * routes through the .bai index ([[graft.io.Bam.fetch]] — only
+    * overlapping BGZF blocks are read); without it the whole corpus
+    * streams through the byte-range split reader. `minMapq` is the
+    * reference's ingest-time `min_mapping_quality` filter.
+    */
+  def fromBam(
+      spark: SparkSession,
+      path: String,
+      region: Option[(String, Int, Int)] = None,
+      minMapq: Int = -1,
+      window: Option[(Int, Int)] = None,
+      seqType: String = "NT",
+      phredAdjust: Int = Alphabets.PhredAdjust): SeqTable = {
+    val frame = region match {
+      case Some((rname, beg, end)) =>
+        val fetched = graft.io.Bam.fetch(spark, path, rname, beg, end)
+        if (minMapq >= 0) fetched.filter(col("mapq") >= minMapq) else fetched
+      case None => graft.io.Bam.read(spark, path, minMapq)
+    }
+    fromSam(frame, window, seqType, phredAdjust)
+  }
+
   def emptyInsertions(spark: SparkSession): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -207,6 +207,27 @@ class BamScanSpec extends AnyFunSuite {
     } finally in.close()
   }
 
+  test("SeqTable.fromBam: one-call from_pysam parity, with and without a region") {
+    // sorted fixture with an index: region fetch must feed the same
+    // realignment pipeline as a full read
+    val recs = mkRecords(300).sortBy(r => (r.rname, r.pos))
+      .map(_.copy(cigar = "20M", seq = "ACGTACGTACGTACGTACGT", qual = "IIIIIIIIIIIIIIIIIIII"))
+    val path = writeBam(recs, blockData = 2048)
+    val fs = new Path(path).getFileSystem(new Configuration())
+    Bai.write(Bai.build(fs, new Path(path)), fs, new Path(path + ".bai"))
+    val full = graft.core.SeqTable.fromBam(spark, path)
+    assert(full.reads.count() == 300)
+    val chr2 = recs.filter(r => r.rname == "chr2" && r.pos <= 5000)
+    val sliced = graft.core.SeqTable.fromBam(spark, path, region = Some(("chr2", 1, 5000)))
+    assert(sliced.reads.count() == chr2.size && chr2.nonEmpty)
+    // minMapq composes with the region path (all fixture reads are mapq
+    // 60); the explicit window sidesteps fromSam's can't-infer-a-window-
+    // from-zero-reads contract
+    assert(graft.core.SeqTable.fromBam(spark, path,
+      region = Some(("chr2", 1, 5000)), minMapq = 61,
+      window = Some((1, 100))).reads.isEmpty)
+  }
+
   test("bai build rejects an unsorted BAM") {
     val recs = mkRecords(50)
     val shuffled = recs.reverse // descending positions
