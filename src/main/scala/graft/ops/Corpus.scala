@@ -26,7 +26,7 @@ object Corpus {
       threshold: Double = 0.8): DataFrame = {
     val kept = TextAnalysis.gopherFilter(df, textCol, minWords = minWords)
       .filter(col("keep"))
-      .select(df.columns.map(col): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*)
     Dedup.dropNearDuplicates(kept, idCol, textCol,
       k = k, numHashes = numHashes, bands = bands, threshold = threshold)
   }
@@ -52,7 +52,7 @@ object Corpus {
       val reasonCounts: Seq[(String, Long)] = flagged.filter(!col("keep"))
         .groupBy(col("drop_reason")).agg(count(lit(1)).as("n"))
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-      val kept = flagged.filter(col("keep")).select(df.columns.map(col): _*)
+      val kept = flagged.filter(col("keep")).select(df.columns.toIndexedSeq.map(col): _*)
       val nKept = kept.count()
       val nSurvive = Dedup.dropNearDuplicates(kept, idCol, textCol,
         k = k, numHashes = numHashes, bands = bands, threshold = threshold).count()
