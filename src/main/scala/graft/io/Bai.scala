@@ -111,6 +111,15 @@ object Bai {
           lastPos = rec.pos
           val beg0 = rec.pos - 1
           val end0 = beg0 + math.max(1, Cigar.refConsumed(rec.cigar))
+          // BAI addresses at most 512 Mbp: beyond 1<<29 the level-1 bin
+          // numbers alias into the level-2 range (beg>>26 == 8 → bin 9)
+          // and external readers (htslib/pysam) misread the index.
+          // htslib refuses to write a .bai for such contigs; CSI is the
+          // format for them.
+          require(end0 <= (1 << 29),
+            s"BAI cannot index positions beyond 512 Mbp (record " +
+              s"${rec.rname}:${rec.pos} spans to $end0 in $path); " +
+              "use a CSI-capable indexer for long contigs")
           val bin = reg2bin(beg0, end0)
           val bucket = bins(refId).getOrElseUpdate(
             bin, scala.collection.mutable.ArrayBuffer.empty[Chunk])

@@ -187,19 +187,19 @@ object Bam {
     require(splitSize > 0, s"splitSize must be positive, got $splitSize")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val splits: Seq[(String, Long, Long, Long)] = listBams(fs, path).flatMap { st =>
+    val splits: Seq[(String, Long, Long, Long, Long)] = listBams(fs, path).flatMap { st =>
       val p = st.getPath.toString
       val len = st.getLen
       (0L until math.max(len, 1L) by splitSize).map { off =>
-        (p, off, math.min(off + splitSize, len), len)
+        (p, off, math.min(off + splitSize, len), len, st.getModificationTime)
       }
     }
     val serConf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
     val rdd = spark.sparkContext
       .parallelize(splits, math.max(splits.size, 1))
-      .flatMap { case (p, start, end, fileLen) =>
+      .flatMap { case (p, start, end, fileLen, mtime) =>
         val hp = new org.apache.hadoop.fs.Path(p)
-        BamScan.splitRecords(hp.getFileSystem(serConf.value), hp, fileLen, start, end)
+        BamScan.splitRecords(hp.getFileSystem(serConf.value), hp, fileLen, start, end, mtime)
       }
     val df = rdd.toDF()
     if (minMapq >= 0) df.filter(col("mapq") >= minMapq) else df
@@ -378,7 +378,10 @@ object Bam {
 
   /** `.bam` files under a file/glob/dir path — the one listing rule shared
     * by [[read]] and [[Bai.buildAll]] so their notion of "which files
-    * exist" can't drift.
+    * exist" can't drift. Zero-length files are skipped here: they hold no
+    * records (a valid empty BAM still has a header + EOF block) and are
+    * usually in-flight writes or touch artifacts — letting one through
+    * would abort the whole job deep inside readHeader's magic check.
     */
   private[io] def listBams(
       fs: org.apache.hadoop.fs.FileSystem,
@@ -389,7 +392,7 @@ object Bam {
         if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile).toSeq
         else Seq(st)
       }
-      .filter(_.getPath.getName.endsWith(".bam"))
+      .filter(st => st.getPath.getName.endsWith(".bam") && st.getLen > 0)
       .toSeq
 
   // ---- little-endian helpers -------------------------------------------

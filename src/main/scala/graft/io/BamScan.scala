@@ -166,19 +166,22 @@ private[io] object BamScan {
     else BamHeader(refs, w.ownerFileOffset(p), (w.voffset(p) & 0xffff).toInt)
   }
 
-  /** Executor-local header memo keyed by (path, fileLen): with
+  /** Executor-local header memo keyed by (path, fileLen, mtime): with
     * `splitSize`-grained sharding every task of the same file needs the
     * same header, and a reference with many contigs (some assemblies have
     * 100k+) makes each re-parse megabytes of inflation. computeIfAbsent
     * parses once per executor; the crude size guard only matters if one
-    * executor cycles through very many distinct BAMs.
+    * executor cycles through very many distinct BAMs. The modification
+    * time (already in hand from split planning's FileStatus) is part of
+    * the key so a BAM rewritten in place with an identical length can't
+    * serve a stale header for the executor JVM's lifetime.
     */
   private val headerCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), BamHeader]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), BamHeader]()
 
-  def cachedHeader(fs: FileSystem, path: Path, fileLen: Long): BamHeader = {
+  def cachedHeader(fs: FileSystem, path: Path, fileLen: Long, mtime: Long): BamHeader = {
     if (headerCache.size > 64) headerCache.clear()
-    headerCache.computeIfAbsent((path.toString, fileLen), _ => {
+    headerCache.computeIfAbsent((path.toString, fileLen, mtime), _ => {
       val in = fs.open(path)
       try readHeader(in) finally in.close()
     })
@@ -250,8 +253,8 @@ private[io] object BamScan {
     */
   def splitRecords(
       fs: FileSystem, path: Path, fileLen: Long,
-      start: Long, end: Long): Iterator[Bam.BamRecord] = {
-    val hdr = cachedHeader(fs, path, fileLen)
+      start: Long, end: Long, mtime: Long = 0L): Iterator[Bam.BamRecord] = {
+    val hdr = cachedHeader(fs, path, fileLen, mtime)
     if (hdr.firstRecBlock >= end || hdr.firstRecBlock >= fileLen)
       return Iterator.empty
 

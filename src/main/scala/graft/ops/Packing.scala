@@ -66,11 +66,31 @@ object Packing {
     // prefix-exclusive scan over the (tiny) per-partition totals, shipped
     // as ONE array literal indexed by pid — a chained when/otherwise per
     // partition would be O(numPartitions) branch tests per row and blow
-    // the codegen method limit at cluster partition counts
+    // the codegen method limit at cluster partition counts.
+    //
+    // The same (already-materialized) pass also ENFORCES the documented
+    // contract instead of trusting it: a NULL order key would silently
+    // vanish in the join back, and a duplicate would duplicate rows and
+    // corrupt cum_tokens. Range partitioning colocates equal (and null)
+    // keys, so per-partition count/count(ord)/count_distinct(ord) sum to
+    // their global values — the check rides the offsets job for free.
     val offsetsByPid: Seq[Long] = {
-      val totals = ranged.groupBy(col("__pid"))
-        .agg(sum(col(valCol)).cast("long").as("t"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      val rows = ranged.groupBy(col("__pid"))
+        .agg(sum(col(valCol)).cast("long").as("t"),
+          count(lit(1)).as("cnt"),
+          count(col(ordCol)).as("nonnull"),
+          count_distinct(col(ordCol)).as("dist"))
+        .collect()
+      val nulls = rows.map(r => r.getLong(2) - r.getLong(3)).sum
+      require(nulls == 0L,
+        s"runningTotal: order column $ordCol has $nulls NULL value(s); " +
+          "null keys cannot be ordered and would be dropped by the join back")
+      val dups = rows.map(r => r.getLong(3) - r.getLong(4)).sum
+      require(dups == 0L,
+        s"runningTotal: order column $ordCol has $dups duplicate value(s); " +
+          "a running total over duplicate keys is order-dependent and the " +
+          "join back would duplicate rows")
+      val totals = rows.map(r => (r.getInt(0), r.getLong(1))).toMap
       var acc = 0L
       (0 until n).map { pid =>
         val off = acc

@@ -97,10 +97,16 @@ object TopKAggregator {
       outSim: String = "sim",
       outRank: String = "rank"): DataFrame = {
     // null sims/ids would crash the non-nullable tuple encoder (and a
-    // null id can't be a neighbor); the window this replaces ranked them
-    // last / without error — results differ only for groups with fewer
-    // than k well-formed candidates
-    val scored = scored0.filter(col(simCol).isNotNull && col(idCol).isNotNull)
+    // null id can't be a neighbor); NaN sims would break the sorted-buffer
+    // invariant (beats() is false both ways for NaN, so a NaN row inserts
+    // at the head while the buffer is short yet drops once it's full —
+    // partition-order-dependent output). Both are filtered: an unknown
+    // similarity can't rank. The window this replaces ranked NULL last and
+    // NaN FIRST (Spark orders NaN as largest) — results differ only for
+    // groups with fewer than k well-formed candidates, documented here.
+    val scored = scored0.filter(
+      col(simCol).isNotNull && col(idCol).isNotNull &&
+        !col(simCol).cast("double").isNaN)
     val idType = scored.schema(idCol).dataType
 
     def run[I: TypeTag: Ordering](df: DataFrame): DataFrame = {

@@ -238,4 +238,29 @@ class BamScanSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("coordinate-sorted"))
   }
+
+  test("bai build rejects records beyond the 512 Mbp BAI limit (advice r3)") {
+    // beyond 1<<29 reg2bin's level-1 bins alias into the level-2 range
+    // (beg>>26 == 8 -> bin 9) — htslib refuses such files; so do we
+    val far = Bam.BamRecord("rFar", 0, "chrBig", (1 << 29) + 1, 60,
+      "20M", "*", 0, 0, "A" * 20, "I" * 20, Map.empty)
+    val payload = Bam.encode(Iterator(far), Seq(("chrBig", (1 << 30))))
+    val f = Files.createTempFile("bambig", ".bam")
+    Files.write(f, Bgzf.compress(payload, 4096))
+    val fs = new Path(f.toString).getFileSystem(new Configuration())
+    val e = intercept[IllegalArgumentException] {
+      Bai.build(fs, new Path(f.toString))
+    }
+    assert(e.getMessage.contains("512 Mbp"))
+  }
+
+  test("zero-length .bam files are skipped at listing, not aborted on (advice r3)") {
+    val dir = Files.createTempDirectory("bamdir")
+    val recs = mkRecords(40)
+    val good = dir.resolve("good.bam")
+    Files.copy(java.nio.file.Paths.get(writeBam(recs, 2048)), good)
+    Files.createFile(dir.resolve("inflight.bam")) // zero bytes — e.g. an in-progress write
+    val df = Bam.read(spark, dir.toString)
+    assert(df.count() == 40, "valid file must still be read, empty one skipped")
+  }
 }

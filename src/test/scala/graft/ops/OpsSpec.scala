@@ -1,6 +1,8 @@
 package graft.ops
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -334,6 +336,20 @@ class SimilaritySpec extends AnyFunSuite {
     val nGot = TopKAggregator.topKByGroup(ndf, "query_id", "neighbor_id", "sim", 5)
       .collect().map(_.getLong(1)).toSeq
     assert(nGot == Seq(1L))
+    // NaN sims are dropped too: beats() is false both ways for NaN, so an
+    // unfiltered NaN would enter the buffer while it's short yet be
+    // refused once full — partition-order-dependent output (advice r3)
+    val nanRows = Seq(("q", 9L, Double.NaN), ("q", 1L, 0.9), ("q", 2L, 0.8),
+      ("q", 3L, Double.NaN), ("q", 4L, 0.7))
+    for (parts <- Seq(1, 2, 5)) {
+      val nanDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(nanRows.map(Row.fromTuple), parts),
+        new StructType().add("query_id", "string")
+          .add("neighbor_id", "long").add("sim", "double"))
+      val got = TopKAggregator.topKByGroup(nanDf, "query_id", "neighbor_id", "sim", 2)
+        .orderBy("rank").collect().map(_.getLong(1)).toSeq
+      assert(got == Seq(1L, 2L), s"NaN leak at $parts partitions: $got")
+    }
   }
 
   test("bandGeometry solves the S-curve: >=16-bit bands at high thresholds") {

@@ -106,4 +106,21 @@ class PackingSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
     assert(e.getMessage.contains("integral"))
   }
+
+  test("runningTotal fails fast on NULL and duplicate order keys (advice r3)") {
+    // a NULL key would silently vanish in the join back; a duplicate
+    // would duplicate rows and corrupt cum_tokens — both now throw
+    val withNull = Seq((Some(1L), 10L), (None, 20L), (Some(3L), 30L))
+      .toDF("id", "v")
+    val eN = intercept[IllegalArgumentException] {
+      Packing.runningTotal(withNull, "id", "v", "cum").collect()
+    }
+    assert(eN.getMessage.contains("NULL"))
+    val withDup = Seq((1L, 10L), (2L, 20L), (2L, 30L), (3L, 40L))
+      .toDF("id", "v")
+    val eD = intercept[IllegalArgumentException] {
+      Packing.runningTotal(withDup, "id", "v", "cum").collect()
+    }
+    assert(eD.getMessage.contains("duplicate"))
+  }
 }
