@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: find training documents that overlap an
+  * evaluation set, the standard pre-training hygiene step (the GPT-3 /
+  * PaLM appendices scan for shared word n-grams between each training
+  * document and every benchmark example; contaminated documents are
+  * dropped or flagged before training).
+  *
+  * Scale shape: the eval set is tiny next to a 100 TB corpus, so its
+  * exploded (bench_id, gram) table is BROADCAST — the corpus side never
+  * shuffles. Each document explodes to its distinct n-grams, map-side
+  * joins the broadcast benchmark grams, and the per-(doc, bench) overlap
+  * count partial-aggregates before the one narrow shuffle of matching
+  * pairs (a vanishing fraction of the corpus). No all-pairs work, no
+  * corpus-sized shuffle, no window.
+  *
+  * Everything is exact and deterministic, so the driver oracle
+  * hash-checks it end to end (unlike the probabilistic MinHash family).
+  */
+object Decontaminate {
+
+  /** Distinct word `n`-grams of `text` (whitespace tokens, lowercased —
+    * the same normalization as [[TextAnalysis.tokens]], so overlap counts
+    * agree with the text-analysis family). Shorter-than-n documents have
+    * no n-grams: `sequence(1, size-n+1)` would count DOWN for them (Spark
+    * generates descending sequences when stop < start), so the guard is
+    * semantic, not just cosmetic.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) >= n,
+      array_distinct(
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** (doc_id, bench_id, n_shared) for every corpus document sharing at
+    * least `minShared` distinct word n-grams with a benchmark document.
+    * Self-pairs (a document that IS a benchmark row, joined to itself)
+    * are excluded when the id spaces coincide — they trivially share
+    * everything and say nothing about contamination.
+    */
+  def overlapPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      n: Int = 8,
+      minShared: Int = 1): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val benchGrams = bench
+      .select(col(benchIdCol).as("bench_id"),
+        explode(wordNgrams(col(benchTextCol), n)).as("gram"))
+      .distinct()
+    val docGrams = docs
+      .select(col(idCol).as("__did"),
+        explode(wordNgrams(col(textCol), n)).as("gram"))
+    // grams are distinct per doc AND per bench row, so count(*) per pair
+    // IS the distinct shared-gram count — no count_distinct shuffle state
+    docGrams.join(broadcast(benchGrams), Seq("gram"))
+      .filter(col("__did") =!= col("bench_id"))
+      .groupBy(col("__did"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .withColumnRenamed("__did", idCol)
+  }
+
+  /** The corpus minus every document contaminated against `bench` —
+    * [[overlapPairs]] distilled to the flagged id set, anti-joined back.
+    * The flagged set is small (it's bounded by the benchmark's reach), so
+    * the anti-join broadcasts.
+    */
+  def decontaminate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      n: Int = 8,
+      minShared: Int = 1): DataFrame = {
+    val flagged = overlapPairs(docs, idCol, textCol,
+      bench, benchIdCol, benchTextCol, n, minShared)
+      .select(col(idCol)).distinct()
+    docs.join(broadcast(flagged), Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and ordering for training-data assembly: quota
+  * sampling per stratum, fraction sampling, a reproducible global
+  * shuffle, and domain mixture re-weighting.
+  *
+  * Everything here keys on `md5(id)` rather than an RNG: the sample is a
+  * pure function of the data, so reruns, retries, and other engines (the
+  * DuckDB oracle) produce the identical sample — the property training
+  * pipelines actually need from "random" sampling. `rand(seed)` would be
+  * partition-order-dependent in Spark and unavailable to the oracle.
+  *
+  * Scale notes: quota sampling reuses the bounded-heap
+  * [[TopKAggregator]] (map-side combine; a hot stratum never funnels
+  * through one window task), the global shuffle reuses
+  * [[Packing.runningTotal]] (two-phase cumsum; no Exchange
+  * SinglePartition), and fraction sampling is a stateless filter.
+  */
+object Sampling {
+
+  /** Deterministic pseudo-random rank key: 32 hex chars of md5(id), with
+    * the id appended so the key stays unique even under (astronomically
+    * unlikely) digest collisions. Uniform, reproducible, engine-agnostic.
+    */
+  def rankKey(id: Column): Column =
+    concat(md5(id.cast("string")), lit("|"), id.cast("string"))
+
+  /** Up to `quota` rows per group, chosen by ascending md5 order —
+    * deterministic stratified sampling ("200k documents per language").
+    * Output: (groupCol, idCol, sample_rank 1-based). Selection runs
+    * through the bounded-heap top-k aggregate: each map task reduces its
+    * slice of a stratum to `quota` keys before the shuffle, so a stratum
+    * with a billion rows costs the same shuffle as one with a thousand.
+    */
+  def quotaSample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      quota: Int): DataFrame = {
+    require(quota > 0, s"quota must be positive, got $quota")
+    val idType = df.schema(idCol).dataType
+    val keyed = df.select(col(groupCol),
+      rankKey(col(idCol)).as("__rk"), lit(0.0).as("__sim"))
+    // all sims equal -> the aggregator's id-ascending tie-break IS the
+    // md5 order; rank = position in that order, like row_number would give
+    TopKAggregator.topKByGroup(keyed, groupCol, "__rk", "__sim", quota,
+      outId = "__rk", outSim = "__sim", outRank = "sample_rank")
+      // the digest is exactly 32 hex chars, so the id starts at char 34
+      .select(col(groupCol),
+        substring(col("__rk"), 34, Int.MaxValue).cast(idType).as(idCol),
+        col("sample_rank"))
+  }
+
+  /** Deterministic Bernoulli sample: keep a row iff md5(id) falls in the
+    * first `fraction` of digest space. The threshold is a 32-hex-char
+    * string compare — exact, portable, no float math.
+    */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"fraction must be in [0, 1], got $fraction")
+    df.filter(md5(col(idCol).cast("string")) < lit(hexThreshold(fraction)))
+  }
+
+  /** `fraction` scaled into 128-bit digest space as 32 lowercase hex
+    * chars (the exact cut point for [[hashSample]]'s string compare).
+    */
+  def hexThreshold(fraction: Double): String = {
+    val full = BigInt(1) << 128
+    val cut = (BigDecimal(full) * BigDecimal(fraction))
+      .setScale(0, BigDecimal.RoundingMode.FLOOR).toBigInt.min(full)
+    if (cut >= full) "g" // sorts after every hex digest: keep everything
+    else f"${cut}%032x"
+  }
+
+  /** Reproducible global shuffle: every row's 1-based position in the
+    * md5-of-id order, as `posCol`. Training-data loaders consume this as
+    * the epoch order. The exact global rank is [[Packing.runningTotal]]
+    * of 1 over the rank key — two parallel phases, never a
+    * single-partition exchange (PlanSpec pins that for runningTotal).
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+      posCol: String = "shuffle_pos"): DataFrame = {
+    val keyed = df.withColumn("__rk", rankKey(col(idCol)))
+      .withColumn("__one", lit(1L))
+    Packing.runningTotal(keyed, "__rk", "__one", posCol)
+      .drop("__rk", "__one")
+  }
+
+  /** Domain mixture re-weighting: given target shares per domain (e.g.
+    * the DoReMi / Pile-style recipe "40% en, 15% each of the rest"),
+    * compute each domain's CURRENT share of `weightCol` mass and the
+    * sampling weight (target / current) that reshapes the corpus to the
+    * target mixture. weight > 1 means the domain must be up-sampled
+    * (repeated ~weight times per epoch), < 1 down-sampled.
+    *
+    * One map-side-combined aggregate over the corpus; the per-domain
+    * frame is tiny. Domains absent from `targets` get target share 0.
+    */
+  def mixtureWeights(
+      df: DataFrame,
+      domainCol: String,
+      weightCol: String,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty, "mixtureWeights needs at least one target share")
+    df.schema(weightCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+        org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case t => throw new IllegalArgumentException(
+        s"mixtureWeights needs an integral mass column (token/byte counts), got $weightCol: $t")
+    }
+    val tot = math.abs(targets.values.sum)
+    require(tot > 0, "target shares must sum to a positive mass")
+    val norm = targets.view.mapValues(_ / tot).toMap
+    val targetCol: Column = norm.foldLeft(lit(0.0)) { case (acc, (d, s)) =>
+      when(col(domainCol) === d, lit(s)).otherwise(acc)
+    }
+    val perDomain = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(weightCol)).cast("long").as("mass"),
+        first(targetCol).as("target_share"))
+    val total = perDomain.agg(sum(col("mass")).as("__total"))
+    perDomain.crossJoin(broadcast(total))
+      .select(col(domainCol), col("n_docs"), col("mass"),
+        round(col("mass") / col("__total"), 6).as("share"),
+        round(col("target_share"), 6).as("target_share"),
+        round(col("target_share") / (col("mass") / col("__total")), 6)
+          .as("weight"))
+  }
+}

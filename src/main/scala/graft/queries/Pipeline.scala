@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.ops.{Dedup, Embeddings, Similarity, TextAnalysis}
+import graft.ops.{Decontaminate, Dedup, Embeddings, Sampling, SemDedup, Similarity, TextAnalysis}
 
 /** Training-data-pipeline operators over `documents` / `embeddings` /
   * `events`: dedup family, text analysis, similarity search, sessionization.
@@ -125,6 +125,76 @@ object Pipeline {
         .filter(col("keep"))
         .select(col("doc_id"), col("n_words"))
         .orderBy(col("doc_id"))),
+
+    // ---- decontamination ----------------------------------------------
+    // Benchmark-overlap scan (GPT-3/PaLM-style n-gram decontamination):
+    // the "eval set" is the deterministic doc_id % 53 slice of the corpus,
+    // so the whole pipeline — tokenize → distinct word 3-grams → broadcast
+    // join → overlap count — is exact and oracle-backed. The bench side is
+    // broadcast; the corpus side never shuffles before the pair aggregate.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 53 === 0)
+      Decontaminate.overlapPairs(docs, "doc_id", "text",
+        bench, "doc_id", "text", n = 3, minShared = 2)
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
+    // The anti-join half of decontamination: the corpus minus every
+    // contaminated document. Oracle-backed (set difference is exact SQL).
+    "q_decontam_survivors" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 53 === 0)
+      Decontaminate.decontaminate(docs, "doc_id", "text",
+        bench, "doc_id", "text", n = 3, minShared = 2)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- deterministic sampling & mixture ------------------------------
+    // Quota sampling per language stratum by md5 order — runs through the
+    // bounded-heap top-k aggregate (map-side combine), never a per-stratum
+    // window sort; the oracle reproduces it with row_number over md5.
+    "q_quota_sample" -> ((s, dir) =>
+      Sampling.quotaSample(Tables(s, dir, "documents"), "lang", "doc_id", 40)
+        .orderBy(col("lang"), col("sample_rank"))),
+
+    // Deterministic Bernoulli sample: md5-threshold string compare, a
+    // stateless map-only filter — reproducible across engines and runs.
+    "q_hash_sample" -> ((s, dir) =>
+      Sampling.hashSample(Tables(s, dir, "documents"), "doc_id", 0.25)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // Reproducible global shuffle: exact 1-based position in md5 order via
+    // the two-phase running total (no Exchange SinglePartition — the naive
+    // row_number() over a global ORDER BY would plan one).
+    "q_shuffle_det" -> ((s, dir) =>
+      Sampling.deterministicShuffle(Tables(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("shuffle_pos"))
+        .orderBy(col("doc_id"))),
+
+    // Domain mixture re-weighting (DoReMi/Pile-style recipe): per-language
+    // char-mass share vs a target mixture → per-domain sampling weight.
+    "q_mixture_weights" -> ((s, dir) =>
+      Sampling.mixtureWeights(Tables(s, dir, "documents"), "lang", "n_chars",
+        Map("en" -> 0.40, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15))
+        .orderBy(col("lang"))),
+
+    // ---- semantic dedup -------------------------------------------------
+    // SemDeDup over the embeddings table: k-means cells → within-cell
+    // cosine pairs (grid-split against cluster skew) → connected
+    // components → keep min-id representative. Rows-only (cluster geometry
+    // is not SQL-expressible); planted-duplicate recall and the grid
+    // guard are pinned by SemDedupSpec. The testdata embeddings are
+    // random (cosine mass near 0.35-0.5), so the threshold targets the
+    // top tail, like q_cosine_neardup; real corpora use ~0.95.
+    "q_semantic_dedup" -> ((s, dir) =>
+      SemDedup.dropSemanticDuplicates(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.35, kCentroids = 8,
+        lloydIters = 2, maxCellRows = 200)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))),
 
     // ---- text analysis ------------------------------------------------
     "q_token_stats" -> ((s, dir) =>
