@@ -253,7 +253,7 @@ private[io] object BamScan {
     */
   def splitRecords(
       fs: FileSystem, path: Path, fileLen: Long,
-      start: Long, end: Long, mtime: Long = 0L): Iterator[Bam.BamRecord] = {
+      start: Long, end: Long, mtime: Long): Iterator[Bam.BamRecord] = {
     val hdr = cachedHeader(fs, path, fileLen, mtime)
     if (hdr.firstRecBlock >= end || hdr.firstRecBlock >= fileLen)
       return Iterator.empty

@@ -35,15 +35,20 @@ object Decontaminate {
     when(size(toks) >= n,
       array_distinct(
         transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, n)))))
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
       .otherwise(array().cast("array<string>"))
   }
 
   /** (doc_id, bench_id, n_shared) for every corpus document sharing at
     * least `minShared` distinct word n-grams with a benchmark document.
-    * Self-pairs (a document that IS a benchmark row, joined to itself)
-    * are excluded when the id spaces coincide — they trivially share
-    * everything and say nothing about contamination.
+    *
+    * `sameIdSpace = true` (the default, matching the common "bench is a
+    * subset of the corpus" setup) excludes self-pairs — a document that IS
+    * a benchmark row trivially shares everything with itself and says
+    * nothing about contamination. Pass `sameIdSpace = false` when the
+    * benchmark is a separate table whose ids could coincidentally collide
+    * with corpus ids: there a value collision is NOT a self-pair, and
+    * filtering it would silently drop a genuine contamination hit.
     */
   def overlapPairs(
       docs: DataFrame,
@@ -53,7 +58,8 @@ object Decontaminate {
       benchIdCol: String,
       benchTextCol: String,
       n: Int = 8,
-      minShared: Int = 1): DataFrame = {
+      minShared: Int = 1,
+      sameIdSpace: Boolean = true): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val benchGrams = bench
       .select(col(benchIdCol).as("bench_id"),
@@ -64,8 +70,9 @@ object Decontaminate {
         explode(wordNgrams(col(textCol), n)).as("gram"))
     // grams are distinct per doc AND per bench row, so count(*) per pair
     // IS the distinct shared-gram count — no count_distinct shuffle state
-    docGrams.join(broadcast(benchGrams), Seq("gram"))
-      .filter(col("__did") =!= col("bench_id"))
+    val joined = docGrams.join(broadcast(benchGrams), Seq("gram"))
+    val paired = if (sameIdSpace) joined.filter(col("__did") =!= col("bench_id")) else joined
+    paired
       .groupBy(col("__did"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -85,9 +92,10 @@ object Decontaminate {
       benchIdCol: String,
       benchTextCol: String,
       n: Int = 8,
-      minShared: Int = 1): DataFrame = {
+      minShared: Int = 1,
+      sameIdSpace: Boolean = true): DataFrame = {
     val flagged = overlapPairs(docs, idCol, textCol,
-      bench, benchIdCol, benchTextCol, n, minShared)
+      bench, benchIdCol, benchTextCol, n, minShared, sameIdSpace)
       .select(col(idCol)).distinct()
     docs.join(broadcast(flagged), Seq(idCol), "left_anti")
   }

@@ -517,6 +517,65 @@ object Pipeline {
         |  FROM s)
         |SELECT doc_id, n AS n_words FROM r
         |WHERE drop_reason IS NULL ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(list_slice(toks, i, i + 2), ' ')
+        |     FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)])) AS gram
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS toks
+        |        FROM documents))
+        |SELECT d.doc_id AS doc_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
+        |FROM g d JOIN g b ON d.gram = b.gram
+        |WHERE b.doc_id % 53 = 0 AND d.doc_id <> b.doc_id
+        |GROUP BY d.doc_id, b.doc_id
+        |HAVING COUNT(*) >= 2
+        |ORDER BY doc_id, bench_id""".stripMargin,
+    "q_decontam_survivors" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(list_slice(toks, i, i + 2), ' ')
+        |     FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)])) AS gram
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS toks
+        |        FROM documents)),
+        |flagged AS (
+        |  SELECT d.doc_id
+        |  FROM g d JOIN g b ON d.gram = b.gram
+        |  WHERE b.doc_id % 53 = 0 AND d.doc_id <> b.doc_id
+        |  GROUP BY d.doc_id, b.doc_id
+        |  HAVING COUNT(*) >= 2)
+        |SELECT doc_id, lang FROM documents
+        |WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM flagged)
+        |ORDER BY doc_id""".stripMargin,
+    "q_quota_sample" ->
+      """SELECT lang, doc_id, sample_rank FROM (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)) || '|' || CAST(doc_id AS VARCHAR))
+        |      AS sample_rank
+        |  FROM documents) t
+        |WHERE sample_rank <= 40 ORDER BY lang, sample_rank""".stripMargin,
+    "q_hash_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE md5(CAST(doc_id AS VARCHAR)) < '40000000000000000000000000000000'
+        |ORDER BY doc_id""".stripMargin,
+    "q_shuffle_det" ->
+      """SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)) || '|' || CAST(doc_id AS VARCHAR))
+        |  AS BIGINT) AS shuffle_pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_mixture_weights" ->
+      """WITH d AS (
+        |  SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS mass
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT SUM(mass) AS total FROM d)
+        |SELECT lang, n_docs, mass,
+        |  round(mass * 1.0 / total, 6) AS share,
+        |  round(CASE lang WHEN 'en' THEN 0.40 WHEN 'de' THEN 0.15 WHEN 'es' THEN 0.15
+        |        WHEN 'fr' THEN 0.15 WHEN 'zh' THEN 0.15 ELSE 0.0 END, 6) AS target_share,
+        |  round((CASE lang WHEN 'en' THEN 0.40 WHEN 'de' THEN 0.15 WHEN 'es' THEN 0.15
+        |         WHEN 'fr' THEN 0.15 WHEN 'zh' THEN 0.15 ELSE 0.0 END)
+        |        / (mass * 1.0 / total), 6) AS weight
+        |FROM d, t ORDER BY lang""".stripMargin,
     "q_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, len(regexp_extract_all(trim(text), '\S+')) AS n_tokens

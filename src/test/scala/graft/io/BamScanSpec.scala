@@ -174,7 +174,8 @@ class BamScanSpec extends AnyFunSuite {
       val fs = new Path(path).getFileSystem(conf)
       val got = (0L until fileLen by splitSize).flatMap { off =>
         BamScan.splitRecords(fs, new Path(path), fileLen,
-          off, math.min(off + splitSize, fileLen)).toSeq
+          off, math.min(off + splitSize, fileLen),
+          new java.io.File(path).lastModified()).toSeq
       }
       val want = Bam.decode(
         Bgzf.inflate(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))).toSeq
