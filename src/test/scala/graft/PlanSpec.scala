@@ -150,6 +150,34 @@ class PlanSpec extends AnyFunSuite {
       s"expected the partition-local cumsum window:\n${p.take(800)}")
   }
 
+  test("decontamination broadcasts the benchmark side, corpus never pre-shuffles") {
+    // the corpus explodes map-side into the broadcast join; the only hash
+    // exchanges are the tiny bench-side distinct and the matching-pair
+    // aggregate — never a corpus-sized sort-merge join
+    val p = physicalPlan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bench grams must broadcast:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus side must not shuffle into the join:\n${p.take(800)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2,
+      s"expected only the bench distinct + pair aggregate shuffles, got $exchanges:\n$p")
+  }
+
+  test("quota sampling is a partial top-k aggregate, never a per-stratum window") {
+    val p = physicalPlan("q_quota_sample")
+    assert(!p.contains("Window"),
+      s"quota selection fell back to a window sort:\n${p.take(800)}")
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_"),
+      s"bounded-heap top-k must partial-aggregate map-side:\n${p.take(800)}")
+  }
+
+  test("deterministic shuffle position never funnels through one task") {
+    val p = physicalPlan("q_shuffle_det")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global rank collapsed to a single partition:\n${p.take(800)}")
+  }
+
   test("text-quality kernels stay map-only before the presentation sort") {
     for (q <- Seq("q_repetition", "q_gopher_filter", "q_lang_id", "q_token_stats")) {
       val p = physicalPlan(q)

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins [[Sampling]]: the 128-bit hexThreshold cut, md5-exact Bernoulli
+  * membership, quota ranks equal to md5 order, the shuffle-position
+  * permutation (and its partition-count invariance — the property that
+  * makes the sample a pure function of the data), and mixture weights.
+  * The driver oracle re-checks all four on the documents table.
+  */
+class SamplingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def rankKey(id: Long): String = md5hex(id.toString) + "|" + id
+
+  test("hexThreshold: exact edge cuts and monotonicity") {
+    assert(Sampling.hexThreshold(0.0) == "0" * 32)
+    assert(Sampling.hexThreshold(1.0) == "g") // sorts after every hex digest
+    assert(Sampling.hexThreshold(0.5) == "8" + "0" * 31)
+    assert(Sampling.hexThreshold(0.25) == "4" + "0" * 31)
+    assert(Sampling.hexThreshold(1e-40) == "0" * 32) // floors, never negative
+    val fs = Seq(0.0, 1e-9, 0.1, 0.25, 0.5, 0.75, 0.999, 1.0)
+    val ts = fs.map(Sampling.hexThreshold)
+    assert(ts == ts.sorted, s"thresholds must be monotone in fraction: $ts")
+  }
+
+  test("hashSample: all at 1.0, none at 0.0, md5-exact membership between") {
+    val df = (0L until 200L).toDF("id")
+    assert(Sampling.hashSample(df, "id", 1.0).count() == 200)
+    assert(Sampling.hashSample(df, "id", 0.0).count() == 0)
+    val got = Sampling.hashSample(df, "id", 0.25)
+      .select("id").as[Long].collect().toSet
+    val cut = Sampling.hexThreshold(0.25)
+    val want = (0L until 200L).filter(i => md5hex(i.toString) < cut).toSet
+    assert(got == want)
+    // sanity: the 25% cut lands in a plausible band, not degenerate
+    assert(got.size > 20 && got.size < 80, s"got ${got.size} of 200")
+  }
+
+  test("hashSample rejects fractions outside [0, 1]") {
+    val df = (0L until 5L).toDF("id")
+    intercept[IllegalArgumentException] { Sampling.hashSample(df, "id", -0.1) }
+    intercept[IllegalArgumentException] { Sampling.hashSample(df, "id", 1.1) }
+  }
+
+  test("quotaSample: rank IS the md5 order, capped at the quota") {
+    val rows = (0L until 60L).map { i =>
+      (Seq("en", "de", "fr")((i % 3).toInt), i)
+    }
+    val got = Sampling.quotaSample(rows.toDF("lang", "id"), "lang", "id", 5)
+      .as[(String, Long, Int)].collect()
+    val byLang = got.groupBy(_._1)
+      .view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val want = rows.groupBy(_._1)
+      .view.mapValues(_.map(_._2).sortBy(rankKey).take(5).toSeq).toMap
+    assert(byLang == want)
+    // ranks are 1..quota with no gaps
+    assert(got.groupBy(_._1).values.forall(_.map(_._3).sorted.toSeq == (1 to 5)))
+  }
+
+  test("quotaSample with quota >= stratum size keeps every row, still ranked") {
+    val rows = (0L until 7L).map(i => ("en", i))
+    val got = Sampling.quotaSample(rows.toDF("lang", "id"), "lang", "id", 100)
+      .as[(String, Long, Int)].collect().sortBy(_._3).map(_._2).toSeq
+    assert(got == (0L until 7L).sortBy(rankKey))
+  }
+
+  test("deterministicShuffle: a permutation, invariant to partitioning") {
+    val df = (0L until 100L).toDF("id")
+    def run(parts: Int): Map[Long, Long] =
+      Sampling.deterministicShuffle(df.repartition(parts), "id")
+        .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    val p1 = run(1)
+    assert(run(7) == p1, "shuffle_pos must not depend on partitioning")
+    assert(p1.values.toSeq.sorted == (1L to 100L), "positions must be 1..N")
+    val want = (0L until 100L).sortBy(rankKey).zipWithIndex
+      .map { case (id, ix) => id -> (ix + 1L) }.toMap
+    assert(p1 == want, "position must be the md5 rank-key order")
+  }
+
+  test("mixtureWeights: shares and target/current re-weighting") {
+    val df = Seq(
+      ("en", 600L), ("en", 400L), // mass 1000 = 50%
+      ("de", 500L), // 25%
+      ("pt", 500L) // 25%, absent from targets -> weight 0
+    ).toDF("lang", "n_chars")
+    val got = Sampling
+      .mixtureWeights(df, "lang", "n_chars",
+        Map("en" -> 0.5, "de" -> 0.5))
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("en") == (("en", 2L, 1000L, 0.5, 0.5, 1.0)))
+    assert(got("de") == (("de", 1L, 500L, 0.25, 0.5, 2.0))) // up-sample 2x
+    assert(got("pt") == (("pt", 1L, 500L, 0.25, 0.0, 0.0))) // not targeted
+  }
+
+  test("mixtureWeights rejects a non-integral mass column") {
+    val df = Seq(("en", 1.5)).toDF("lang", "mass")
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureWeights(df, "lang", "mass", Map("en" -> 1.0))
+    }
+  }
+}
