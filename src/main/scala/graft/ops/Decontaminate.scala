@@ -49,6 +49,17 @@ object Decontaminate {
     * benchmark is a separate table whose ids could coincidentally collide
     * with corpus ids: there a value collision is NOT a self-pair, and
     * filtering it would silently drop a genuine contamination hit.
+    *
+    * `hashGrams = true` is the 100 TB default: grams hash to int64
+    * (xxhash64) before the join, so the exploded corpus frame carries
+    * 8-byte keys instead of ~50-byte 8-gram strings (~5× narrower) and the
+    * broadcast bench table shrinks the same way. A 64-bit collision
+    * between one of the benchmark's grams and an unrelated corpus gram
+    * inflates one overlap count by one (possible false flag, never a
+    * missed hit) — at P ≈ |bench grams|·|corpus grams|/2^64 per pair it is
+    * negligible, and decontamination errs on the side of dropping anyway.
+    * Keep the string path where exact auditability matters (it is the
+    * oracle-checked one).
     */
   def overlapPairs(
       docs: DataFrame,
@@ -59,15 +70,20 @@ object Decontaminate {
       benchTextCol: String,
       n: Int = 8,
       minShared: Int = 1,
-      sameIdSpace: Boolean = true): DataFrame = {
+      sameIdSpace: Boolean = true,
+      hashGrams: Boolean = false): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    def grams(text: Column): Column = {
+      val g = wordNgrams(text, n)
+      if (hashGrams) transform(g, x => xxhash64(x)) else g
+    }
     val benchGrams = bench
       .select(col(benchIdCol).as("bench_id"),
-        explode(wordNgrams(col(benchTextCol), n)).as("gram"))
+        explode(grams(col(benchTextCol))).as("gram"))
       .distinct()
     val docGrams = docs
       .select(col(idCol).as("__did"),
-        explode(wordNgrams(col(textCol), n)).as("gram"))
+        explode(grams(col(textCol))).as("gram"))
     // grams are distinct per doc AND per bench row, so count(*) per pair
     // IS the distinct shared-gram count — no count_distinct shuffle state
     val joined = docGrams.join(broadcast(benchGrams), Seq("gram"))
@@ -93,9 +109,10 @@ object Decontaminate {
       benchTextCol: String,
       n: Int = 8,
       minShared: Int = 1,
-      sameIdSpace: Boolean = true): DataFrame = {
+      sameIdSpace: Boolean = true,
+      hashGrams: Boolean = false): DataFrame = {
     val flagged = overlapPairs(docs, idCol, textCol,
-      bench, benchIdCol, benchTextCol, n, minShared, sameIdSpace)
+      bench, benchIdCol, benchTextCol, n, minShared, sameIdSpace, hashGrams)
       .select(col(idCol)).distinct()
     docs.join(broadcast(flagged), Seq(idCol), "left_anti")
   }

@@ -151,6 +151,18 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // The 100 TB variant of q_decontaminate: grams ride the join as
+    // xxhash64 int64s (~5x narrower exploded frame) instead of strings.
+    // Same oracle SQL as q_decontaminate — a 64-bit gram collision inside
+    // this fixed dataset would be the only divergence, and there is none.
+    "q_decontam_hashed" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 53 === 0)
+      Decontaminate.overlapPairs(docs, "doc_id", "text",
+        bench, "doc_id", "text", n = 3, minShared = 2, hashGrams = true)
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
     // ---- deterministic sampling & mixture ------------------------------
     // Quota sampling per language stratum by md5 order — runs through the
     // bounded-heap top-k aggregate (map-side combine), never a per-stratum
@@ -518,6 +530,21 @@ object Pipeline {
         |SELECT doc_id, n AS n_words FROM r
         |WHERE drop_reason IS NULL ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(list_slice(toks, i, i + 2), ' ')
+        |     FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)])) AS gram
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS toks
+        |        FROM documents))
+        |SELECT d.doc_id AS doc_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
+        |FROM g d JOIN g b ON d.gram = b.gram
+        |WHERE b.doc_id % 53 = 0 AND d.doc_id <> b.doc_id
+        |GROUP BY d.doc_id, b.doc_id
+        |HAVING COUNT(*) >= 2
+        |ORDER BY doc_id, bench_id""".stripMargin,
+    // identical result contract to q_decontaminate: hashing the grams must
+    // not change the pair set (64-bit collisions are absent in this data)
+    "q_decontam_hashed" ->
       """WITH g AS (
         |  SELECT doc_id, unnest(list_distinct(
         |    [array_to_string(list_slice(toks, i, i + 2), ' ')

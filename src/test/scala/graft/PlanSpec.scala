@@ -154,14 +154,16 @@ class PlanSpec extends AnyFunSuite {
     // the corpus explodes map-side into the broadcast join; the only hash
     // exchanges are the tiny bench-side distinct and the matching-pair
     // aggregate — never a corpus-sized sort-merge join
-    val p = physicalPlan("q_decontaminate")
-    assert(p.contains("BroadcastHashJoin"),
-      s"bench grams must broadcast:\n${p.take(800)}")
-    assert(!p.contains("SortMergeJoin"),
-      s"corpus side must not shuffle into the join:\n${p.take(800)}")
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges <= 2,
-      s"expected only the bench distinct + pair aggregate shuffles, got $exchanges:\n$p")
+    for (q <- Seq("q_decontaminate", "q_decontam_hashed")) {
+      val p = physicalPlan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: bench grams must broadcast:\n${p.take(800)}")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: corpus side must not shuffle into the join:\n${p.take(800)}")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges <= 2,
+        s"$q: expected only the bench distinct + pair aggregate shuffles, got $exchanges:\n$p")
+    }
   }
 
   test("quota sampling is a partial top-k aggregate, never a per-stratum window") {

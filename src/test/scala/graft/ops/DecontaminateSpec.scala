@@ -78,6 +78,15 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(disjoint == Set((1L, 1L, 1L), (2L, 1L, 1L)))
   }
 
+  test("hashed-gram path reports the same pairs as the string path") {
+    def run(hashed: Boolean) = Decontaminate
+      .overlapPairs(docs, "doc_id", "text", bench, "bench_id", "text",
+        n = 3, minShared = 1, hashGrams = hashed)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(run(hashed = true) == run(hashed = false))
+    assert(run(hashed = true).nonEmpty)
+  }
+
   test("decontaminate anti-joins every flagged document, keeps the rest") {
     val survivors = Decontaminate
       .decontaminate(docs, "doc_id", "text", bench, "bench_id", "text",
