@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Destructive text-cleaning operators for pre-training corpora: PII
+  * scrubbing and C4-style line filtering (Raffel et al. 2020, the C4
+  * appendix rules; Dolma and RefinedWeb run the same shapes). Both are
+  * stateless per-row column transforms — map-only at any scale, no
+  * shuffle, whole-stage-codegen'd regex/array kernels — and exact, so the
+  * driver oracle hash-checks them end to end.
+  *
+  * Regexes deliberately use the common subset of Java regex and RE2
+  * (no lookarounds, no possessive quantifiers) so the DuckDB oracle runs
+  * the very same patterns.
+  */
+object TextCleanse {
+
+  /** `[EMAIL]` / `[PHONE]` / `[IP]` replacement patterns. Intentionally
+    * high-recall/simple — the standard corpus-scrub tradeoff (a few false
+    * positives beat leaked contact data in a trained model).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val IpRe = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  // international-ish phone: +cc or digit start, then 7+ of digit/space/()/-
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+  /** `text` with emails, IPs, then phone-shaped runs replaced by typed
+    * placeholder tokens. Order matters: emails can contain digit runs and
+    * IPs are phone-shaped, so the more specific patterns scrub first.
+    */
+  def scrubPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailRe, "[EMAIL]")
+    val noIp = regexp_replace(noEmail, IpRe, "[IP]")
+    regexp_replace(noIp, PhoneRe, "[PHONE]")
+  }
+
+  /** Per-document scrub accounting: the cleaned text plus how many of
+    * each PII class were replaced (pipeline dashboards track these rates;
+    * a spike is a crawl-quality alarm).
+    */
+  def piiScrub(df: DataFrame, textCol: String): DataFrame = {
+    def hits(re: String): Column =
+      size(regexp_extract_all(col(textCol), lit(re), lit(0)))
+    // email hits count first, then ips on the email-scrubbed text, then
+    // phones on the ip-scrubbed text — mirrors the replacement cascade so
+    // counts agree with what scrubPii actually replaced
+    val noEmail = regexp_replace(col(textCol), EmailRe, "[EMAIL]")
+    val noIp = regexp_replace(noEmail, IpRe, "[IP]")
+    df.withColumn("n_emails", hits(EmailRe))
+      .withColumn("n_ips", size(regexp_extract_all(noEmail, lit(IpRe), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(noIp, lit(PhoneRe), lit(0))))
+      .withColumn(textCol, scrubPii(col(textCol)))
+  }
+
+  /** C4's terminal-punctuation rule set, per line: keep a line iff it has
+    * at least `minWords` whitespace words, ends in . ! ? or a closing
+    * quote after one of those, and carries none of the boilerplate
+    * markers (javascript/cookie/lorem ipsum/curly brace).
+    */
+  def keepLine(line: Column, minWords: Int = 4): Column = {
+    val words = size(filter(split(trim(line), "\\s+"), t => length(t) > 0))
+    val terminal = trim(line).rlike("[.!?][\"']?$")
+    val lower = lowerCaseMarkersFree(line)
+    words >= minWords && terminal && lower
+  }
+
+  private def lowerCaseMarkersFree(line: Column): Column = {
+    val l = lower(line)
+    !l.contains("javascript") && !l.contains("cookie") &&
+      !l.contains("lorem ipsum") && !l.contains("{")
+  }
+
+  /** C4-style line filtering: `textCol` rebuilt from only the lines
+    * [[keepLine]] accepts, plus kept/dropped line counts. Documents whose
+    * every line drops come out with empty text (downstream length filters
+    * — gopherFilter — remove them); the accounting keeps that visible.
+    */
+  def c4LineFilter(df: DataFrame, textCol: String, minWords: Int = 4): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l => keepLine(l, minWords))
+    df.withColumn("n_lines", size(lines))
+      .withColumn("n_lines_kept", size(kept))
+      .withColumn(textCol, concat_ws("\n", kept))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.ops.{Decontaminate, Dedup, Embeddings, Sampling, SemDedup, Similarity, TextAnalysis}
+import graft.ops.{Decontaminate, Dedup, Embeddings, Sampling, SemDedup, Similarity, TextAnalysis, TextCleanse}
 
 /** Training-data-pipeline operators over `documents` / `embeddings` /
   * `events`: dedup family, text analysis, similarity search, sessionization.
@@ -208,6 +208,25 @@ object Pipeline {
         .select(col("vec_id"))
         .orderBy(col("vec_id"))),
 
+    // ---- text cleansing -------------------------------------------------
+    // PII scrub (emails/IPs/phones -> typed placeholders) with per-class
+    // replacement accounting. Map-only regex kernels; oracle-backed (the
+    // patterns are the RE2/Java-regex common subset, so DuckDB runs the
+    // same ones).
+    "q_pii_scrub" -> ((s, dir) =>
+      TextCleanse.piiScrub(Tables(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("text"),
+          col("n_emails"), col("n_ips"), col("n_phones"))
+        .orderBy(col("doc_id"))),
+
+    // C4-style line filtering: terminal punctuation + >= 4 words + no
+    // boilerplate markers, text rebuilt from the surviving lines. Map-only;
+    // oracle-backed.
+    "q_c4_filter" -> ((s, dir) =>
+      TextCleanse.c4LineFilter(Tables(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("text"), col("n_lines"), col("n_lines_kept"))
+        .orderBy(col("doc_id"))),
+
     // ---- text analysis ------------------------------------------------
     "q_token_stats" -> ((s, dir) =>
       Tables(s, dir, "documents").select(
@@ -388,6 +407,37 @@ object Pipeline {
         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
         |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id) t
         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "q_pii_scrub" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '[EMAIL]', 'g') AS no_email
+        |  FROM documents),
+        |s2 AS (
+        |  SELECT doc_id, text, no_email,
+        |    regexp_replace(no_email, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g') AS no_ip
+        |  FROM s)
+        |SELECT doc_id,
+        |  regexp_replace(no_ip, '\+?[0-9][0-9()\- ]{7,}[0-9]', '[PHONE]', 'g') AS text,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(no_email, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips,
+        |  len(regexp_extract_all(no_ip, '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS n_phones
+        |FROM s2 ORDER BY doc_id""".stripMargin,
+    "q_c4_filter" ->
+      """WITH l AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents),
+        |k AS (
+        |  SELECT doc_id, lines, list_filter(lines, x ->
+        |    len(regexp_extract_all(trim(x), '\S+')) >= 4
+        |    AND regexp_matches(trim(x), '[.!?]["'']?$')
+        |    AND NOT contains(lower(x), 'javascript')
+        |    AND NOT contains(lower(x), 'cookie')
+        |    AND NOT contains(lower(x), 'lorem ipsum')
+        |    AND NOT contains(lower(x), '{')) AS kept
+        |  FROM l)
+        |SELECT doc_id, array_to_string(kept, chr(10)) AS text,
+        |  len(lines) AS n_lines, len(kept) AS n_lines_kept
+        |FROM k ORDER BY doc_id""".stripMargin,
     "q_token_stats" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(trim(text), '\S+')) AS n_tokens,
