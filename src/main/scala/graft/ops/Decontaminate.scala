@@ -24,19 +24,16 @@ object Decontaminate {
 
   /** Distinct word `n`-grams of `text` (whitespace tokens, lowercased —
     * the same normalization as [[TextAnalysis.tokens]], so overlap counts
-    * agree with the text-analysis family). Shorter-than-n documents have
-    * no n-grams: `sequence(1, size-n+1)` would count DOWN for them (Spark
-    * generates descending sequences when stop < start), so the guard is
-    * semantic, not just cosmetic.
+    * agree with the text-analysis family), in first-occurrence order;
+    * shorter-than-n documents have no n-grams. Runs through the compiled
+    * [[HashKernels.wordNgrams]] kernel: the equivalent expression chain
+    * (`transform(sequence(...), slice + concat_ws)` + `array_distinct`)
+    * is interpreted, and profiling at sf0.1 put ~95% of the decontaminate
+    * queries' wall-clock into it.
     */
   def wordNgrams(text: Column, n: Int): Column = {
     require(n >= 1, s"n-gram order must be >= 1, got $n")
-    val toks = TextAnalysis.tokens(text)
-    when(size(toks) >= n,
-      array_distinct(
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n))))))
-      .otherwise(array().cast("array<string>"))
+    HashKernels.wordNgramsUdf(n)(text)
   }
 
   /** (doc_id, bench_id, n_shared) for every corpus document sharing at
@@ -50,16 +47,17 @@ object Decontaminate {
     * with corpus ids: there a value collision is NOT a self-pair, and
     * filtering it would silently drop a genuine contamination hit.
     *
-    * `hashGrams = true` is the 100 TB default: grams hash to int64
-    * (xxhash64) before the join, so the exploded corpus frame carries
-    * 8-byte keys instead of ~50-byte 8-gram strings (~5× narrower) and the
-    * broadcast bench table shrinks the same way. A 64-bit collision
-    * between one of the benchmark's grams and an unrelated corpus gram
-    * inflates one overlap count by one (possible false flag, never a
-    * missed hit) — at P ≈ |bench grams|·|corpus grams|/2^64 per pair it is
-    * negligible, and decontamination errs on the side of dropping anyway.
-    * Keep the string path where exact auditability matters (it is the
-    * oracle-checked one).
+    * `hashGrams = true` is the recommended setting at 100 TB scale (the
+    * code default stays `false` — the string path is the oracle-checked,
+    * exactly-auditable one): grams ride the join as FNV-1a int64s of the
+    * gram chars, so the exploded corpus frame carries 8-byte keys instead
+    * of ~50-byte 8-gram strings (~5× narrower), the broadcast bench table
+    * shrinks the same way, and no gram string is ever materialized. A
+    * 64-bit collision between one of the benchmark's grams and an
+    * unrelated corpus gram inflates one overlap count by one (possible
+    * false flag, never a missed hit) — at P ≈ |bench grams|·|corpus
+    * grams|/2^64 per pair it is negligible, and decontamination errs on
+    * the side of dropping anyway.
     */
   def overlapPairs(
       docs: DataFrame,
@@ -72,11 +70,11 @@ object Decontaminate {
       minShared: Int = 1,
       sameIdSpace: Boolean = true,
       hashGrams: Boolean = false): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    def grams(text: Column): Column = {
-      val g = wordNgrams(text, n)
-      if (hashGrams) transform(g, x => xxhash64(x)) else g
-    }
+    def grams(text: Column): Column =
+      if (hashGrams) HashKernels.wordNgramHashesUdf(n)(text)
+      else wordNgrams(text, n)
     val benchGrams = bench
       .select(col(benchIdCol).as("bench_id"),
         explode(grams(col(benchTextCol))).as("gram"))

@@ -169,6 +169,98 @@ object HashKernels {
     java.util.Arrays.copyOfRange(arr, 0, wr)
   }
 
+  /** Exactly Java-regex `\s` — the class `split(text, "\\s+")` matches.
+    * NOT `Character.isWhitespace` (which adds U+001C-001F, U+2028…): the
+    * kernel must tokenize identically to the expression pipeline it
+    * replaces, or gram sets would drift from the DuckDB oracle's `\S+`.
+    */
+  private def isRegexSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Whitespace tokens of `lower(trim(text))` — the compiled twin of
+    * TextAnalysis.tokens. Lowercasing goes through UTF8String so the
+    * result is byte-identical to Spark's `lower()` on every code point,
+    * not just ASCII.
+    */
+  private def tokensOf(text: String): Array[String] = {
+    if (text == null) return Array.empty[String]
+    val s = org.apache.spark.unsafe.types.UTF8String.fromString(text)
+      .toLowerCase.toString
+    val out = new scala.collection.mutable.ArrayBuffer[String](s.length / 5 + 1)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && isRegexSpace(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isRegexSpace(s.charAt(i))) i += 1
+      if (i > start) out += s.substring(start, i)
+    }
+    out.toArray
+  }
+
+  /** Distinct word `n`-grams (space-joined) in first-occurrence order —
+    * the compiled form of the Decontaminate gram pipeline. The
+    * expression chain it replaces (`transform(sequence(...), slice +
+    * concat_ws)` + `array_distinct`) runs interpreted — profiled at
+    * sf0.1 it was ~95% of the decontaminate queries' time.
+    */
+  def wordNgrams(text: String, n: Int): Array[String] = {
+    val toks = tokensOf(text)
+    if (toks.length < n) return Array.empty[String]
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    val last = toks.length - n
+    val sb = new java.lang.StringBuilder(64)
+    while (i <= last) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  /** Distinct hashed word `n`-grams, sorted ascending: FNV-1a 64 over the
+    * gram's chars (separator included, i.e. `fnv1a(gram string)`) — no
+    * gram string is ever materialized. Any collision-free 64-bit hash
+    * serves the hashed decontamination path (only the PAIR SET matters,
+    * pinned equal to the string path by DecontaminateSpec); FNV keeps the
+    * kernel self-contained and allocation-free.
+    */
+  def wordNgramHashes(text: String, n: Int): Array[Long] = {
+    val toks = tokensOf(text)
+    if (toks.length < n) return Array.emptyLongArray
+    val m = toks.length - n + 1
+    val all = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < n) {
+        if (j > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+        val t = toks(i + j)
+        var p = 0
+        while (p < t.length) { h ^= t.charAt(p).toLong; h *= 0x100000001b3L; p += 1 }
+        j += 1
+      }
+      all(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(all)
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || all(i) != all(w - 1)) { all(w) = all(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOfRange(all, 0, w)
+  }
+
   /** Jaccard of two sorted long arrays via linear merge. */
   def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
     if (a.isEmpty && b.isEmpty) return 0.0
@@ -333,6 +425,16 @@ object HashKernels {
 
   def minhashSigOPHUdf(numHashes: Int): Column => Column = {
     val f = udf((sh: Array[Long]) => minhashSigOPH(sh, numHashes))
+    c => f(c)
+  }
+
+  def wordNgramsUdf(n: Int): Column => Column = {
+    val f = udf((t: String) => wordNgrams(t, n))
+    c => f(c)
+  }
+
+  def wordNgramHashesUdf(n: Int): Column => Column = {
+    val f = udf((t: String) => wordNgramHashes(t, n))
     c => f(c)
   }
 

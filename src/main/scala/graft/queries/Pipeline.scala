@@ -152,7 +152,7 @@ object Pipeline {
     }),
 
     // The 100 TB variant of q_decontaminate: grams ride the join as
-    // xxhash64 int64s (~5x narrower exploded frame) instead of strings.
+    // FNV-1a int64s (~5x narrower exploded frame) instead of strings.
     // Same oracle SQL as q_decontaminate — a 64-bit gram collision inside
     // this fixed dataset would be the only divergence, and there is none.
     "q_decontam_hashed" -> ((s, dir) => {
@@ -435,7 +435,7 @@ object Pipeline {
         |    AND NOT contains(lower(x), 'lorem ipsum')
         |    AND NOT contains(lower(x), '{')) AS kept
         |  FROM l)
-        |SELECT doc_id, array_to_string(kept, chr(10)) AS text,
+        |SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') AS text,
         |  len(lines) AS n_lines, len(kept) AS n_lines_kept
         |FROM k ORDER BY doc_id""".stripMargin,
     "q_token_stats" ->
