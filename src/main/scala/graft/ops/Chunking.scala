@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Token-window chunking: split each document into overlapping windows of
+  * `window` tokens advancing by `stride` — the standard pre-tokenization
+  * step for fixed-context training (stride < window keeps cross-boundary
+  * context; [[Packing]] then bins the chunks into context budgets).
+  *
+  * Map-only: one compiled kernel call per document emits the chunk
+  * structs, `posexplode` flattens them. No shuffle anywhere — at 100 TB
+  * this is pure scan→generate throughput. Chunk text re-joins the
+  * NORMALIZED tokens (lowercased, whitespace-collapsed — the same
+  * [[TextAnalysis.tokens]] normalization as the rest of the text family),
+  * not raw character offsets.
+  *
+  * Chunk layout: starts at 0, stride, 2·stride, … while start < nTokens;
+  * the last chunk may be shorter than `window`. Empty/whitespace-only
+  * documents produce no chunks.
+  */
+object Chunking {
+
+  /** (n_tokens, chunk_text) per window of one document. */
+  def chunks(text: String, window: Int, stride: Int): Array[(Int, String)] = {
+    val toks = HashKernels.tokensOf(text)
+    if (toks.length == 0) return Array.empty[(Int, String)]
+    val n = toks.length
+    val out = new scala.collection.mutable.ArrayBuffer[(Int, String)]((n + stride - 1) / stride)
+    var start = 0
+    while (start < n) {
+      val end = math.min(start + window, n)
+      val sb = new java.lang.StringBuilder((end - start) * 8)
+      var i = start
+      while (i < end) {
+        if (i > start) sb.append(' ')
+        sb.append(toks(i))
+        i += 1
+      }
+      out += ((end - start, sb.toString))
+      start += stride
+    }
+    out.toArray
+  }
+
+  /** Long form (idCol, chunk_idx 0-based, n_tokens, chunk_text). */
+  def chunkByTokens(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      stride: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window], got $stride (window $window)")
+    val f = udf((t: String) => chunks(t, window, stride))
+    df.select(col(idCol), posexplode(f(col(textCol))).as(Seq("chunk_idx", "c")))
+      .select(col(idCol), col("chunk_idx").cast("int").as("chunk_idx"),
+        col("c._1").as("n_tokens"), col("c._2").as("chunk_text"))
+  }
+}

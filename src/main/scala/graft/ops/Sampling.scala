@@ -75,6 +75,45 @@ object Sampling {
     else f"${cut}%032x"
   }
 
+  /** Deterministic train/validation/test assignment: each row lands in
+    * the first split whose cumulative md5-digest-space share covers its
+    * digest — the standard hash-split (every engine, every rerun, every
+    * subset of the data agrees on each row's split; growing the corpus
+    * never reassigns an existing row). `splits` are (name, fraction) in
+    * order; the LAST split absorbs any rounding remainder so every row is
+    * assigned even if the fractions don't sum to exactly 1. Map-only —
+    * a pure function of the id column, no shuffle.
+    */
+  def hashSplit(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      splitCol: String = "split"): DataFrame = {
+    require(splits.size >= 2, s"hashSplit needs >= 2 splits, got $splits")
+    require(splits.forall(_._2 > 0), s"split fractions must be positive: $splits")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9,
+      s"split fractions exceed 1: $splits")
+    val digest = md5(col(idCol).cast("string"))
+    val cum = splits.init.scanLeft(0.0)(_ + _._2).tail // cut after each non-last split
+    val assigned = splits.init.zip(cum).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), cumFrac), rest) =>
+        when(digest < lit(hexThreshold(cumFrac)), lit(name)).otherwise(rest)
+    }
+    df.withColumn(splitCol, assigned)
+  }
+
+  /** The exact CASE expression [[hashSplit]] evaluates, as DuckDB SQL —
+    * thresholds come from the same [[hexThreshold]] values, so the oracle
+    * is identical by construction.
+    */
+  def hashSplitOracleCase(idCol: String, splits: Seq[(String, Double)]): String = {
+    val cum = splits.init.scanLeft(0.0)(_ + _._2).tail
+    val whens = splits.init.zip(cum).map { case ((name, _), cumFrac) =>
+      s"WHEN md5(CAST($idCol AS VARCHAR)) < '${hexThreshold(cumFrac)}' THEN '$name'"
+    }
+    s"CASE ${whens.mkString(" ")} ELSE '${splits.last._1}' END"
+  }
+
   /** Reproducible global shuffle: every row's 1-based position in the
     * md5-of-id order, as `posCol`. Training-data loaders consume this as
     * the epoch order. The exact global rank is [[Packing.runningTotal]]

@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword retrieval over a document corpus (Robertson/Spärck Jones
+  * probabilistic relevance — the lexical-search baseline every corpus
+  * tooling stack needs next to the embedding ANN family).
+  *
+  * Two-phase job, like the IVF trainer: (1) two light aggregates compute
+  * the corpus constants — N, average document length, per-query-term
+  * document frequency (|terms| rows collected to the driver; the corpus
+  * never shuffles); (2) scoring is a MAP-ONLY compiled kernel over each
+  * document's tokens, followed by bounded-heap top-k selection
+  * ([[TopKAggregator]] — no global sort, each map task forwards ≤ k
+  * candidates). At 100 TB phase 1 is map-side-combined aggregation and
+  * phase 2 is embarrassingly parallel.
+  *
+  * DETERMINISM CONTRACT: per-term contributions are summed in the
+  * caller's term order, both engines evaluate the same expression tree
+  * on the same inputs, and the presented score is `round(score, 6)` on
+  * both sides (the house float convention — q_entropy pins that log
+  * parity holds within it). Ranking uses the ROUNDED score (desc, id
+  * asc) so the top-k cut is stable across engines.
+  */
+object Search {
+
+  /** Per-term BM25 constants, driver-computed. */
+  final case class TermStat(term: String, docFreq: Long, idf: Double)
+
+  /** Corpus constants for one query: document count, average token
+    * length, per-term stats (terms keep the caller's order — it is the
+    * summation order of the score).
+    */
+  final case class Bm25Stats(nDocs: Long, avgdl: Double, terms: Seq[TermStat])
+
+  /** Phase 1: N, avgdl, and document frequency for each query term. */
+  def bm25Stats(
+      docs: DataFrame,
+      textCol: String,
+      terms: Seq[String]): Bm25Stats = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    require(terms.distinct == terms, s"duplicate query terms: $terms")
+    val row = docs.select(
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
+      .agg(count(lit(1)), sum(col("dl"))).collect()(0)
+    val n = row.getLong(0)
+    val totalTokens = if (row.isNullAt(1)) 0L else row.getLong(1)
+    require(n > 0, "bm25 over an empty corpus")
+    val avgdl = totalTokens.toDouble / n.toDouble
+    val dfByTerm = Vocabulary.docTermFrequencies(
+      docs.select(col(textCol)).withColumn("__id", lit(1)), "__id", textCol)
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stats = terms.map { t =>
+      val df = dfByTerm.getOrElse(t, 0L)
+      // Robertson's "+1" idf: always positive, no branch for df > N/2.
+      // (n - df) in LONG then + 0.5 — the oracle mirrors this exactly.
+      TermStat(t, df, math.log(1.0 + ((n - df) + 0.5) / (df + 0.5)))
+    }
+    Bm25Stats(n, avgdl, stats)
+  }
+
+  /** Compiled scoring kernel: Σ over terms (caller's order) of
+    * idf · tf·(k1+1) / (tf + k1·((1−b) + b·(dl/avgdl))). All double
+    * constants are precomputed; `tf` counts exact token matches.
+    */
+  private def score(
+      toks: Array[String],
+      terms: Array[String],
+      idfs: Array[Double],
+      k1: Double, k1p1: Double, oneMinusB: Double, b: Double,
+      avgdl: Double): Double = {
+    val dl = toks.length.toDouble
+    var s = 0.0
+    var t = 0
+    while (t < terms.length) {
+      var tf = 0
+      var i = 0
+      while (i < toks.length) {
+        if (toks(i) == terms(t)) tf += 1
+        i += 1
+      }
+      s += idfs(t) * ((tf * k1p1) / (tf + k1 * (oneMinusB + b * (dl / avgdl))))
+      t += 1
+    }
+    s
+  }
+
+  /** Phase 2: top-k documents by BM25 score (rounded-score DESC, id ASC
+    * ties), columns (idCol, score, rank) with score rounded to 6 dp.
+    * Map-only scoring + bounded-heap selection.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      precomputed: Option[Bm25Stats] = None): DataFrame = {
+    val st = precomputed.getOrElse(bm25Stats(docs, textCol, terms))
+    val termArr = st.terms.map(_.term).toArray
+    val idfArr = st.terms.map(_.idf).toArray
+    val (k1v, k1p1, oneMinusB, bv, avgdl) = (k1, k1 + 1.0, 1.0 - b, b, st.avgdl)
+    val scoreUdf = udf((text: String) =>
+      score(HashKernels.tokensOf(text), termArr, idfArr,
+        k1v, k1p1, oneMinusB, bv, avgdl))
+    val scored = docs.select(col(idCol),
+      round(scoreUdf(col(textCol)), 6).as("__score"), lit(1).as("__g"))
+    TopKAggregator.topKByGroup(scored, "__g", idCol, "__score", k,
+      outId = idCol, outSim = "score", outRank = "rank")
+      .drop("__g")
+  }
+
+  /** The DuckDB oracle for [[bm25TopK]] — generated but fully
+    * self-contained (N, avgdl, document frequencies, idf are computed IN
+    * SQL with the identical expression tree the Scala side evaluates),
+    * so one string serves every scale factor. `k1` / `b` and their
+    * derived constants are inlined via Double.toString round-trip
+    * literals so both engines start from the same bit patterns.
+    */
+  def bm25OracleSql(
+      table: String,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): String = {
+    def lit17(d: Double): String = java.lang.Double.toString(d)
+    val k1L = lit17(k1)
+    val k1p1 = lit17(k1 + 1.0)
+    val oneMinusB = lit17(1.0 - b)
+    val bL = lit17(b)
+    val dfSelects = terms.zipWithIndex.map { case (t, i) =>
+      s"(SELECT count(*) FROM t WHERE list_contains(toks, '$t')) AS df$i"
+    }
+    val contribs = terms.zipWithIndex.map { case (t, i) =>
+      val tf = s"len([x FOR x IN toks IF x = '$t'])"
+      val idf = s"ln(1.0 + ((c.n - c.df$i) + 0.5) / (c.df$i + 0.5))"
+      s"$idf * (($tf * $k1p1) / ($tf + $k1L * ($oneMinusB + $bL * (CAST(len(toks) AS DOUBLE) / c.avgdl))))"
+    }
+    s"""WITH t AS (
+       |  SELECT $idCol, regexp_extract_all(lower(trim($textCol)), '\\S+') AS toks
+       |  FROM $table),
+       |c AS (
+       |  SELECT count(*) AS n,
+       |    CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+       |    ${dfSelects.mkString(",\n    ")}
+       |  FROM t),
+       |scored AS (
+       |  SELECT $idCol, round(${contribs.mkString("\n    + ")}, 6) AS score
+       |  FROM t CROSS JOIN c)
+       |SELECT $idCol, score,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, $idCol) AS INT) AS rank
+       |FROM scored ORDER BY score DESC, $idCol LIMIT $k""".stripMargin
+  }
+}

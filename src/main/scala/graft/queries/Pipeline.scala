@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.ops.{Decontaminate, Dedup, Embeddings, Sampling, SemDedup, Similarity, TextAnalysis, TextCleanse}
+import graft.ops.{Chunking, Decontaminate, Dedup, Embeddings, Sampling, Search, SemDedup, Similarity, TextAnalysis, TextCleanse, Vocabulary}
 
 /** Training-data-pipeline operators over `documents` / `embeddings` /
   * `events`: dedup family, text analysis, similarity search, sessionization.
@@ -376,8 +376,48 @@ object Pipeline {
           unix_micros(max(col("ts"))).as("end_us"),
           dsum(col("value")).as("sum_value"))
         .orderBy(col("user_id"), col("session_idx"))
-    })
+    }),
+
+    // ---- vocabulary / retrieval / assembly ------------------------------
+    // Exact global top-50 of the corpus vocabulary by collection
+    // frequency: per-doc (token, tf) kernel -> one token-keyed aggregate
+    // -> bounded-heap top-k (no global sort of the vocabulary).
+    "q_vocab_topk" -> ((s, dir) =>
+      Vocabulary.topVocabulary(Tables(s, dir, "documents"), "doc_id", "text", 50)
+        .orderBy(col("rank"))),
+
+    // BM25 keyword retrieval, top 50 for a fixed 3-term query. Corpus
+    // constants (N, avgdl, df/idf) come from two light aggregates; scoring
+    // is map-only; selection is the bounded-heap top-k. Oracle-backed: the
+    // generated SQL evaluates the identical expression tree and both
+    // sides rank on round(score, 6).
+    "q_bm25" -> ((s, dir) =>
+      Search.bm25TopK(Tables(s, dir, "documents"), "doc_id", "text",
+        Bm25Terms, 50)
+        .orderBy(col("rank"))),
+
+    // Deterministic 80/10/10 train/val/test assignment by md5 digest
+    // space — map-only, reproducible across engines and reruns.
+    "q_split_assign" -> ((s, dir) =>
+      Sampling.hashSplit(Tables(s, dir, "documents"), "doc_id", SplitSpec)
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy(col("doc_id"))),
+
+    // Token-window chunking (window 32, stride 16): the fixed-context
+    // assembly step. Map-only scan->generate; no shuffle.
+    "q_chunk_windows" -> ((s, dir) =>
+      Chunking.chunkByTokens(Tables(s, dir, "documents"), "doc_id", "text",
+        window = 32, stride = 16)
+        .orderBy(col("doc_id"), col("chunk_idx")))
   )
+
+  /** Fixed BM25 query terms (drawn from the synthetic corpus vocabulary;
+    * order = score summation order, mirrored by the oracle).
+    */
+  private val Bm25Terms = Seq("spark", "table", "query")
+
+  /** Fixed 80/10/10 split recipe shared by query and oracle. */
+  private val SplitSpec = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -724,6 +764,33 @@ object Pipeline {
         |  epoch_us(max(ts)) AS end_us,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, session_idx
-        |ORDER BY user_id, session_idx""".stripMargin
+        |ORDER BY user_id, session_idx""".stripMargin,
+    "q_vocab_topk" ->
+      """WITH occ AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS token
+        |  FROM documents),
+        |v AS (
+        |  SELECT token, count(*) AS total_count, count(DISTINCT doc_id) AS doc_freq
+        |  FROM occ GROUP BY token)
+        |SELECT token, total_count, doc_freq,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY total_count DESC, token) AS INT) AS rank
+        |FROM v ORDER BY rank LIMIT 50""".stripMargin,
+    "q_bm25" ->
+      Search.bm25OracleSql("documents", "doc_id", "text", Bm25Terms, 50),
+    "q_split_assign" ->
+      s"""SELECT doc_id, lang,
+         |  ${Sampling.hashSplitOracleCase("doc_id", SplitSpec)} AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_chunk_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks, unnest(range(0, len(toks), 16)) AS start FROM t)
+        |SELECT doc_id, CAST(start // 16 AS INT) AS chunk_idx,
+        |  CAST(least(start + 32, len(toks)) - start AS INT) AS n_tokens,
+        |  array_to_string(list_slice(toks, start + 1, least(start + 32, len(toks))), ' ')
+        |    AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
   )
 }

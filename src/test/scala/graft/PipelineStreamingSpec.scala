@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Chunking, Sampling}
+
+/** The stateless pipeline operators (hash split, token chunking) are pure
+  * per-row expressions, so the SAME code must run unchanged on a
+  * Structured Streaming frame and agree with its batch twin — the
+  * property that lets an ingest firehose be split/chunked on the fly
+  * while the nightly batch job reproduces it bit-for-bit.
+  */
+class PipelineStreamingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon"),
+    (2L, "zeta eta"),
+    (3L, "theta iota kappa LAMBDA mu nu xi")
+  )
+
+  test("hashSplit on a stream matches the batch assignment") {
+    implicit val sqlCtx = spark.sqlContext
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val batch = Sampling.hashSplit(docs.toDF("doc_id", "text"), "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+
+    val mem = MemoryStream[(Long, String)]
+    val q = Sampling.hashSplit(mem.toDF().toDF("doc_id", "text"), "doc_id", splits)
+      .writeStream.format("memory").queryName("split_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, split FROM split_stream")
+        .as[(Long, String)].collect().toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
+  test("chunkByTokens on a stream matches the batch chunks") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch = Chunking.chunkByTokens(
+      docs.toDF("doc_id", "text"), "doc_id", "text", window = 3, stride = 2)
+      .as[(Long, Int, Int, String)].collect().toSet
+
+    val mem = MemoryStream[(Long, String)]
+    val q = Chunking.chunkByTokens(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", window = 3, stride = 2)
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    try {
+      docs.foreach { d => mem.addData(d); q.processAllAvailable() }
+      val got = spark.sql("SELECT * FROM chunk_stream")
+        .as[(Long, Int, Int, String)].collect().toSet
+      assert(got == batch)
+      assert(got.exists(_._4 == "theta iota kappa")) // normalization applied mid-stream
+    } finally q.stop()
+  }
+}

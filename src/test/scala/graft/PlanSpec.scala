@@ -188,4 +188,35 @@ class PlanSpec extends AnyFunSuite {
         s"$q is per-document — no hash shuffle expected:\n${p.take(600)}")
     }
   }
+
+  test("vocabulary top-k: one token shuffle + heap selection, no window, k-side broadcast") {
+    val p = physicalPlan("q_vocab_topk")
+    assert(!p.contains("Window"),
+      s"top-k fell back to a window sort over the vocabulary:\n${p.take(800)}")
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_"),
+      s"bounded-heap top-k must partial-aggregate map-side:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the k winners must broadcast back onto the vocabulary frame:\n${p.take(800)}")
+  }
+
+  test("bm25 scoring is map-only into the bounded-heap selection") {
+    val p = physicalPlan("q_bm25")
+    assert(!p.contains("Window"),
+      s"bm25 selection fell back to a window sort:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"bm25 must not join the corpus:\n${p.take(800)}")
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_"),
+      s"bounded-heap top-k must partial-aggregate map-side:\n${p.take(800)}")
+  }
+
+  test("hash split and chunking are pure map plans (no shuffle at all)") {
+    for (q <- Seq("q_split_assign", "q_chunk_windows")) {
+      val p = physicalPlan(q)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges == 0,
+        s"$q is per-document — no hash shuffle expected:\n${p.take(600)}")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q funnelled through one task:\n${p.take(600)}")
+    }
+  }
 }

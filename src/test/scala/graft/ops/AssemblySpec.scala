@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins the corpus-assembly family: [[Vocabulary]] (term/doc frequencies,
+  * exact top-k), [[Search]] (BM25 against hand-computed scores), and
+  * [[Chunking]] (window/stride layout, tail chunk, empty-doc guard). The
+  * driver oracle re-checks all three end to end on the documents table
+  * (q_vocab_topk / q_bm25 / q_chunk_windows).
+  */
+class AssemblySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the dog"),
+    (3L, "cat CAT cat"),
+    (4L, "   "),
+    (5L, "mat dog")
+  ).toDF("doc_id", "text")
+
+  // ---- Vocabulary ------------------------------------------------------
+
+  test("termFreqs: per-doc counts, lowercased, first-occurrence order") {
+    assert(Vocabulary.termFreqs("the cat sat on the mat").toSeq ==
+      Seq(("the", 2), ("cat", 1), ("sat", 1), ("on", 1), ("mat", 1)))
+    assert(Vocabulary.termFreqs("cat CAT cat").toSeq == Seq(("cat", 3)))
+    assert(Vocabulary.termFreqs("   ").isEmpty)
+    assert(Vocabulary.termFreqs(null).isEmpty)
+  }
+
+  test("vocabulary: collection frequency and document frequency") {
+    val got = Vocabulary.vocabulary(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect()
+      .map { case (t, tc, df) => t -> ((tc, df)) }.toMap
+    assert(got("the") == ((3L, 2L)))  // docs 1 (x2) and 2
+    assert(got("cat") == ((4L, 2L)))  // doc 1 (x1) + doc 3 (x3)
+    assert(got("mat") == ((2L, 2L)))
+    assert(got("dog") == ((2L, 2L)))
+    assert(got("sat") == ((1L, 1L)))
+    assert(!got.contains(""))
+  }
+
+  test("topVocabulary: exact top-k, count-desc then token-asc, 1-based rank") {
+    val got = Vocabulary.topVocabulary(docs, "doc_id", "text", 3)
+      .orderBy(col("rank"))
+      .as[(String, Long, Long, Int)].collect().toSeq
+    // counts: cat=4, the=3, dog=2, mat=2, on=1, sat=1
+    assert(got.map(_._1) == Seq("cat", "the", "dog")) // dog beats mat on token asc
+    assert(got.map(_._4) == Seq(1, 2, 3))
+    assert(got.head._2 == 4L && got.head._3 == 2L)
+  }
+
+  // ---- BM25 ------------------------------------------------------------
+
+  test("bm25Stats: N, avgdl, df, Robertson idf") {
+    val st = Search.bm25Stats(docs, "text", Seq("cat", "zebra"))
+    assert(st.nDocs == 5)
+    // token counts: 6 + 2 + 3 + 0 + 2 = 13
+    assert(st.avgdl == 13.0 / 5.0)
+    val cat = st.terms.head
+    assert(cat.docFreq == 2)
+    assert(cat.idf == math.log(1.0 + (3L + 0.5) / (2L + 0.5)))
+    val zebra = st.terms(1)
+    assert(zebra.docFreq == 0) // absent term: df 0, idf defined, tf 0 everywhere
+    assert(zebra.idf == math.log(1.0 + (5L + 0.5) / 0.5))
+  }
+
+  test("bm25TopK matches a hand-computed score and ranks desc") {
+    val k1 = 1.2; val b = 0.75
+    val st = Search.bm25Stats(docs, "text", Seq("cat"))
+    def expected(tf: Int, dl: Int): Double = {
+      val raw = st.terms.head.idf *
+        ((tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * (dl / st.avgdl))))
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = Search.bm25TopK(docs, "doc_id", "text", Seq("cat"), 3)
+      .as[(Long, Double, Int)].collect().toSeq
+    // doc 3: tf=3, dl=3 (shortest, most hits) must outrank doc 1: tf=1, dl=6
+    assert(got.map(_._1) == Seq(3L, 1L, 2L),
+      s"expected docs 3,1 then any zero-score doc; got $got")
+    assert(got(0)._2 == expected(3, 3))
+    assert(got(1)._2 == expected(1, 6))
+    assert(got(2)._2 == 0.0) // no 'cat': score exactly 0
+    assert(got.map(_._3) == Seq(1, 2, 3))
+  }
+
+  test("bm25 rejects empty or duplicate term lists") {
+    intercept[IllegalArgumentException] { Search.bm25Stats(docs, "text", Nil) }
+    intercept[IllegalArgumentException] {
+      Search.bm25Stats(docs, "text", Seq("cat", "cat"))
+    }
+  }
+
+  // ---- Chunking --------------------------------------------------------
+
+  test("chunks: window/stride layout with a short tail") {
+    // 7 tokens, window 3, stride 2 -> starts 0,2,4,6
+    val got = Chunking.chunks("a b c d e f g", 3, 2).toSeq
+    assert(got == Seq((3, "a b c"), (3, "c d e"), (3, "e f g"), (1, "g")))
+    assert(Chunking.chunks("", 3, 2).isEmpty)
+    assert(Chunking.chunks("  ", 3, 2).isEmpty)
+    assert(Chunking.chunks("one two", 5, 5).toSeq == Seq((2, "one two")))
+  }
+
+  test("chunkByTokens: long form with 0-based chunk_idx, normalized text") {
+    val got = Chunking.chunkByTokens(
+      Seq((9L, "A b C d")).toDF("doc_id", "text"), "doc_id", "text", 2, 2)
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(got == Seq((9L, 0, 2, "a b"), (9L, 1, 2, "c d")))
+  }
+
+  test("chunkByTokens rejects bad window/stride") {
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Chunking.chunkByTokens(df, "doc_id", "text", 0, 1)
+    }
+    intercept[IllegalArgumentException] {
+      Chunking.chunkByTokens(df, "doc_id", "text", 4, 5) // stride > window
+    }
+    intercept[IllegalArgumentException] {
+      Chunking.chunkByTokens(df, "doc_id", "text", 4, 0)
+    }
+  }
+}

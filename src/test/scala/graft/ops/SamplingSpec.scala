@@ -107,4 +107,48 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.mixtureWeights(df, "lang", "mass", Map("en" -> 1.0))
     }
   }
+
+  test("hashSplit: every row assigned, md5-exact boundaries, subset-stable") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val df = (0L until 500L).toDF("id")
+    val got = Sampling.hashSplit(df, "id", splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(got.size == 500)
+    // exact membership: the digest decides, thresholds cumulative
+    val c1 = Sampling.hexThreshold(0.8)
+    val c2 = Sampling.hexThreshold(0.9)
+    got.foreach { case (id, split) =>
+      val d = md5hex(id.toString)
+      val want = if (d < c1) "train" else if (d < c2) "val" else "test"
+      assert(split == want, s"id $id digest $d: got $split want $want")
+    }
+    // subset stability: assignment of a row never depends on other rows
+    val sub = Sampling.hashSplit(df.filter($"id" % 7 === 0), "id", splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    sub.foreach { case (id, split) => assert(got(id) == split) }
+    // roughly the requested proportions (md5 is uniform)
+    val n = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(n("train") > 350 && n("val") > 20 && n("test") > 20, n.toString)
+  }
+
+  test("hashSplit oracle CASE mirrors the Spark assignment thresholds") {
+    val splits = Seq("a" -> 0.5, "b" -> 0.25, "c" -> 0.25)
+    val sql = Sampling.hashSplitOracleCase("id", splits)
+    assert(sql.contains(Sampling.hexThreshold(0.5)))
+    assert(sql.contains(Sampling.hexThreshold(0.75)))
+    assert(sql.endsWith("ELSE 'c' END"))
+  }
+
+  test("hashSplit rejects bad split specs") {
+    val df = (0L until 5L).toDF("id")
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(df, "id", Seq("only" -> 1.0))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(df, "id", Seq("a" -> 0.8, "b" -> 0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(df, "id", Seq("a" -> 0.8, "b" -> -0.1))
+    }
+  }
 }
