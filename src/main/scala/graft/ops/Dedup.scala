@@ -120,11 +120,18 @@ object Dedup {
       minBandMatches: Int = 1): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     graft.plans.GraftExtensions.register(df.sparkSession)
-    val rows = numHashes / bands
+    // The shingle frame feeds THREE consumers (banding, and both sides of
+    // the verify join). It is map-only, so without an Exchange in the
+    // subtree Spark's ReuseExchange rule has nothing to dedupe and the
+    // whole scan+shingle kernel would run three times (measured: the
+    // dominant cost at sf0.1). repartition(id) materializes it ONCE as a
+    // disk-backed shuffle all three consumers re-read — no memory cache,
+    // and the verify joins arrive co-partitioned on id.
     val withSh = df.select(
       col(idCol).as("id"),
       HashKernels.hashedShinglesUdf(k)(col(textCol)).as("sh"))
       .withColumn("n", size(col("sh")))
+      .repartition(col("id"))
 
     // The banded frame carries ONLY (band, band_hash, id, n): the candidate
     // self-join shuffles ~20-byte rows, never arrays. Signatures are the
@@ -134,11 +141,9 @@ object Dedup {
     // ≥2-band prune because sparse bins + rotation densification correlate
     // adjacent bins; OPH only pays when |shingles| ≫ numHashes.
     val banded = withSh
-      .select(col("id"), col("n"), HashKernels.minhashSigUdf(numHashes)(col("sh")).as("sig"))
       .select(col("id"), col("n"),
         posexplode(
-          transform(sequence(lit(0), lit(bands - 1)),
-            b => xxhash64(array_join(slice(col("sig"), b * rows + 1, lit(rows)), ",")))))
+          HashKernels.minhashBandBucketsUdf(numHashes, bands)(col("sh"))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
 

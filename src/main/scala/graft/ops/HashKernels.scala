@@ -126,6 +126,35 @@ object HashKernels {
     sig
   }
 
+  /** Classic-MinHash band buckets, fused: signature + per-band bucket
+    * hash in one compiled pass (band b = FNV-1a over its `numHashes /
+    * bands` signature longs, avalanched). Only bucket EQUALITY matters
+    * downstream — two documents collide in band b iff their signature
+    * rows for that band are identical (modulo a ~2^-64 hash collision) —
+    * so this replaces the interpreted expression chain
+    * `transform(sequence, xxhash64(array_join(slice(sig, ...))))` without
+    * changing the candidate set.
+    */
+  def minhashBandBuckets(shingles: Array[Long], numHashes: Int, bands: Int): Array[Long] = {
+    val sig = minhashSig(shingles, numHashes)
+    val rows = numHashes / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0xcbf29ce484222325L
+      var r = 0
+      while (r < rows) {
+        val v = sig(b * rows + r)
+        var s = 0
+        while (s < 64) { h ^= (v >>> s) & 0xffL; h *= 0x100000001b3L; s += 8 }
+        r += 1
+      }
+      out(b) = mix(h)
+      b += 1
+    }
+    out
+  }
+
   /** Winnowed fingerprints (Schleimer, Wilkerson & Aiken 2003, the MOSS
     * scheme): hash every k-gram, slide a window of `w` consecutive hashes,
     * record each window's minimum (rightmost on ties — the "robust"
@@ -182,7 +211,7 @@ object HashKernels {
     * result is byte-identical to Spark's `lower()` on every code point,
     * not just ASCII.
     */
-  private def tokensOf(text: String): Array[String] = {
+  private[ops] def tokensOf(text: String): Array[String] = {
     if (text == null) return Array.empty[String]
     val s = org.apache.spark.unsafe.types.UTF8String.fromString(text)
       .toLowerCase.toString
@@ -425,6 +454,11 @@ object HashKernels {
 
   def minhashSigOPHUdf(numHashes: Int): Column => Column = {
     val f = udf((sh: Array[Long]) => minhashSigOPH(sh, numHashes))
+    c => f(c)
+  }
+
+  def minhashBandBucketsUdf(numHashes: Int, bands: Int): Column => Column = {
+    val f = udf((sh: Array[Long]) => minhashBandBuckets(sh, numHashes, bands))
     c => f(c)
   }
 

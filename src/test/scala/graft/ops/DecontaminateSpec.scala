@@ -87,6 +87,26 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(run(hashed = true).nonEmpty)
   }
 
+  test("hashed == string pair set on the REAL documents table (sf0.001)") {
+    // q_decontam_hashed reuses q_decontaminate's string-path oracle SQL,
+    // so a gram-hash collision in the testdata would surface at the gate
+    // as an unexplained hash mismatch. This pin runs both paths on the
+    // actual driver fixture: if testdata regeneration ever introduced a
+    // collision, THIS test names the cause instead.
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = real.filter(col("doc_id") % 53 === 0)
+    def pairs(hashed: Boolean) = Decontaminate
+      .overlapPairs(real, "doc_id", "text", bench, "doc_id", "text",
+        n = 3, minShared = 2, hashGrams = hashed)
+      .as[(Long, Long, Long)].collect().toSet
+    val s = pairs(hashed = false)
+    assert(s.nonEmpty, "fixture produced no contamination pairs — bench slice empty?")
+    assert(pairs(hashed = true) == s,
+      "hashed-gram pair set diverged from the string path: 64-bit gram " +
+        "collision in the current testdata — q_decontam_hashed's oracle " +
+        "reuse is no longer sound")
+  }
+
   test("decontaminate anti-joins every flagged document, keeps the rest") {
     val survivors = Decontaminate
       .decontaminate(docs, "doc_id", "text", bench, "bench_id", "text",

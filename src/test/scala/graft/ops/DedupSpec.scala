@@ -260,4 +260,27 @@ class DedupSpec extends AnyFunSuite {
     assert(salted == plain, s"grid-split changed results: ${salted.size} vs ${plain.size} pairs")
     assert(plain.nonEmpty)
   }
+
+  test("minhashBandBuckets: bucket equality iff the band's signature rows agree") {
+    // the fused kernel must preserve exactly the LSH collision structure of
+    // banding the classic signature: band b collides iff sig rows agree
+    val rnd = new scala.util.Random(7)
+    val numHashes = 32; val bands = 8; val rows = numHashes / bands
+    (0 until 50).foreach { _ =>
+      val a = Array.fill(rnd.nextInt(60) + 5)(rnd.nextLong())
+      // b shares a's tail — some bands will agree, some won't
+      val b = a.take(rnd.nextInt(a.length)) ++
+        Array.fill(rnd.nextInt(30))(rnd.nextLong())
+      val (sa, sb) = (HashKernels.minhashSig(a.distinct.sorted, numHashes),
+        HashKernels.minhashSig(b.distinct.sorted, numHashes))
+      val (ba, bb) = (HashKernels.minhashBandBuckets(a.distinct.sorted, numHashes, bands),
+        HashKernels.minhashBandBuckets(b.distinct.sorted, numHashes, bands))
+      (0 until bands).foreach { band =>
+        val sigRowsEqual = (0 until rows).forall(r =>
+          sa(band * rows + r) == sb(band * rows + r))
+        assert((ba(band) == bb(band)) == sigRowsEqual,
+          s"band $band: bucket collision disagrees with signature-row equality")
+      }
+    }
+  }
 }
