@@ -48,5 +48,13 @@ object SeqFunctions {
     spark.udf.register("jaccard_shingles", (a: String, b: String, k: Int) =>
       HashKernels.jaccardSorted(
         HashKernels.hashedShingles(a, k), HashKernels.hashedShingles(b, k)))
+    // text-pipeline kernels (same compiled paths the operators use, so a
+    // SQL user's counts agree with Decontaminate/Vocabulary exactly)
+    spark.udf.register("word_ngrams", (t: String, n: Int) =>
+      HashKernels.wordNgrams(t, n))
+    spark.udf.register("word_ngram_hashes", (t: String, n: Int) =>
+      HashKernels.wordNgramHashes(t, n))
+    spark.udf.register("term_freqs", (t: String) =>
+      graft.ops.Vocabulary.termFreqs(t))
   }
 }

@@ -121,17 +121,30 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     graft.plans.GraftExtensions.register(df.sparkSession)
     // The shingle frame feeds THREE consumers (banding, and both sides of
-    // the verify join). It is map-only, so without an Exchange in the
-    // subtree Spark's ReuseExchange rule has nothing to dedupe and the
-    // whole scan+shingle kernel would run three times (measured: the
-    // dominant cost at sf0.1). repartition(id) materializes it ONCE as a
-    // disk-backed shuffle all three consumers re-read — no memory cache,
-    // and the verify joins arrive co-partitioned on id.
+    // the verify join) and is otherwise map-only: every consumer would
+    // re-run the scan+shingle kernel at the INPUT split parallelism (a
+    // single-row-group parquet file = one task). repartition(id) puts an
+    // Exchange here, which (a) spreads all downstream work over the
+    // shuffle partitions regardless of input splits, (b) makes the three
+    // identical subtrees stage-reuse-ELIGIBLE for AQE (canonically equal
+    // exchanges; whether the scheduler reuses is runtime-dependent), and
+    // (c) lands the verify joins co-partitioned on id. Measured at sf0.1:
+    // 3.2s -> 1.2s same-session for the minhash query.
+    // `n` is computed AFTER the exchange: the verify branches don't read
+    // it, and if it sat below the repartition, column pruning would strip
+    // it from their subtrees and the three exchanges would no longer be
+    // canonically identical (= never stage-reused).
+    // The explicit isNotNull mirrors the constraint the optimizer infers
+    // for the verify branches from the null-intolerant jaccard filter —
+    // without it their subtrees carry an extra pushed-down filter the
+    // banding branch lacks, and the exchanges stop being identical.
+    // (The kernel never returns null; the filter is a no-op at runtime.)
     val withSh = df.select(
       col(idCol).as("id"),
       HashKernels.hashedShinglesUdf(k)(col(textCol)).as("sh"))
-      .withColumn("n", size(col("sh")))
+      .filter(col("sh").isNotNull)
       .repartition(col("id"))
+      .withColumn("n", size(col("sh")))
 
     // The banded frame carries ONLY (band, band_hash, id, n): the candidate
     // self-join shuffles ~20-byte rows, never arrays. Signatures are the

@@ -386,8 +386,13 @@ object Similarity {
     val (r, b) =
       if (bitsPerBand > 0 && bands > 0) (bitsPerBand, bands)
       else bandGeometry(threshold, targetRecall)
+    // both verify-join sides read this map-only frame; repartition(id)
+    // materializes it once as a reusable disk-backed exchange (same
+    // ReuseExchange rationale as Dedup.minhashNearDuplicates) and lands
+    // the joins co-partitioned
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       HashKernels.normUdf(col(vecCol)).as("nrm"))
+      .repartition(col("id"))
     cosineCandidates(df, idCol, vecCol, r, b, seed)
       .join(vecs.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))

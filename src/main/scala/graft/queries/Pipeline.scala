@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.ops.{Chunking, Decontaminate, Dedup, Embeddings, Sampling, Search, SemDedup, Similarity, TextAnalysis, TextCleanse, Vocabulary}
+import graft.ops.{Chunking, Decontaminate, Dedup, Embeddings, ProductQuantizer, Sampling, Search, SemDedup, Similarity, TextAnalysis, TextCleanse, Vocabulary}
 
 /** Training-data-pipeline operators over `documents` / `embeddings` /
   * `events`: dedup family, text analysis, similarity search, sessionization.
@@ -316,6 +316,17 @@ object Pipeline {
       val emb = Tables(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, kCentroids = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Product-quantization ADC variant (Jégou et al. 2011): vectors
+    // compress to 8 one-byte codes, the scan is table lookups, the ADC
+    // shortlist re-ranks exactly. Rows-only (k-means geometry); recall
+    // and determinism are pinned by ProductQuantizerSpec.
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      ProductQuantizer.pqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, m = 8, ksub = 64)
         .orderBy(col("query_id"), col("rank"))
     }),
 

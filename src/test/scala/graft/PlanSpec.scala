@@ -209,6 +209,26 @@ class PlanSpec extends AnyFunSuite {
       s"bounded-heap top-k must partial-aggregate map-side:\n${p.take(800)}")
   }
 
+  test("minhash shingle frame: repartition present and stage-reuse-eligible") {
+    // the shingle frame feeds banding + both verify-join sides; the
+    // repartition(id) exists so downstream work parallelizes beyond the
+    // input split count and so the three identical subtrees are
+    // reuse-ELIGIBLE for AQE (whether the scheduler reuses is
+    // runtime-dependent, so the pin checks canonical equality, not
+    // ReusedQueryStage markers). If this fails, the scan+shingle kernel
+    // silently serializes on one input split again (the round-6 hot spot).
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = SparkEntry.queries("q_dedup_minhash")(spark, dir)
+    val reparts = df.queryExecution.sparkPlan.collect {
+      case e: ShuffleExchangeExec if e.shuffleOrigin.toString == "REPARTITION_BY_COL" =>
+        e.canonicalized
+    }
+    assert(reparts.size >= 3,
+      s"expected the shingle repartition in all three consumer subtrees, got ${reparts.size}")
+    assert(reparts.distinct.size == 1,
+      "the three shingle exchanges must be canonically identical (reuse-eligible)")
+  }
+
   test("hash split and chunking are pure map plans (no shuffle at all)") {
     for (q <- Seq("q_split_assign", "q_chunk_windows")) {
       val p = physicalPlan(q)
