@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unigram language-model scoring — the CCNet-style "perplexity filter"
+  * step of a corpus pipeline (CCNet scores documents with a KenLM model
+  * and drops the worst tail; the unigram variant is the
+  * model-free version: a document whose tokens are corpus-typical scores
+  * low average negative log-likelihood, gibberish scores high).
+  *
+  * Two-phase, like [[Search.bm25Stats]]: (1) one token-keyed aggregate
+  * builds the unigram table, collected to the driver — bounded by the
+  * VOCABULARY size, not the corpus (document collections plateau at
+  * ~100k-1M distinct tokens; at 1M entries the broadcast is ~30 MB). (2)
+  * scoring is a map-only compiled kernel: per token, add-one-smoothed
+  * −ln((count+1)/(total+|V|)), summed in document order, divided by
+  * document length. Tokens unseen in training (possible when `train` is
+  * a different frame than `docs`) fall back to the smoothing floor
+  * −ln(1/(total+|V|)).
+  *
+  * The presented score is round(avg_nll, 6) — the house float convention
+  * (q_entropy pins that ln parity holds within it), so the DuckDB oracle
+  * hash-matches.
+  */
+object LanguageModel {
+
+  /** Unigram table: token → count, plus the totals the smoother needs. */
+  final case class Unigrams(counts: Map[String, Long], total: Long, vocabSize: Long)
+
+  /** Phase 1: token counts over `train` (one map-side-combined
+    * aggregate; result bounded by |vocab|).
+    */
+  def trainUnigrams(train: DataFrame, idCol: String, textCol: String): Unigrams = {
+    val rows = Vocabulary.docTermFrequencies(train, idCol, textCol)
+      .groupBy(col("token")).agg(sum(col("tf")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(rows.nonEmpty, "trainUnigrams: empty corpus")
+    Unigrams(rows.toMap, rows.map(_._2).sum, rows.length.toLong)
+  }
+
+  /** Phase 2: (idCol, n_tokens, avg_nll) per document with at least one
+    * token — map-only. avg_nll is the add-one-smoothed mean negative
+    * log-likelihood, rounded to 6 dp; lower = more corpus-typical.
+    */
+  def scoreDocs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: Unigrams): DataFrame = {
+    val denom = (model.total + model.vocabSize).toDouble
+    val counts = model.counts
+    val f = udf((text: String) => {
+      val toks = HashKernels.tokensOf(text)
+      if (toks.isEmpty) null
+      else {
+        var nll = 0.0
+        var i = 0
+        while (i < toks.length) {
+          val c = counts.getOrElse(toks(i), 0L)
+          nll += -math.log((c + 1.0) / denom)
+          i += 1
+        }
+        (toks.length, nll / toks.length)
+      }
+    })
+    docs.select(col(idCol), f(col(textCol)).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col(idCol), col("s._1").as("n_tokens"),
+        round(col("s._2"), 6).as("avg_nll"))
+  }
+
+  /** Self-scoring convenience: train on `docs`, score `docs`. */
+  def unigramScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    scoreDocs(docs, idCol, textCol, trainUnigrams(docs, idCol, textCol))
+}

@@ -419,7 +419,15 @@ object Pipeline {
     "q_chunk_windows" -> ((s, dir) =>
       Chunking.chunkByTokens(Tables(s, dir, "documents"), "doc_id", "text",
         window = 32, stride = 16)
-        .orderBy(col("doc_id"), col("chunk_idx")))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // CCNet-style unigram LM scoring: one vocab aggregate (bounded by
+    // |vocab|, collected like the BM25 stats), then map-only per-doc mean
+    // negative log-likelihood. Oracle-backed at round(avg_nll, 6).
+    "q_lm_score" -> ((s, dir) =>
+      graft.ops.LanguageModel.unigramScore(
+        Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")))
   )
 
   /** Fixed BM25 query terms (drawn from the synthetic corpus vocabulary;
@@ -802,6 +810,21 @@ object Pipeline {
         |  CAST(least(start + 32, len(toks)) - start AS INT) AS n_tokens,
         |  array_to_string(list_slice(toks, start + 1, least(start + 32, len(toks))), ' ')
         |    AS chunk_text
-        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        |v AS (SELECT token, count(*) AS c FROM p GROUP BY token),
+        |tot AS (SELECT sum(c) AS t, count(*) AS vsz FROM v),
+        |s AS (
+        |  SELECT p.doc_id,
+        |    sum(-ln((v.c + 1.0) / (tot.t + tot.vsz))) AS nll,
+        |    count(*) AS n
+        |  FROM p JOIN v USING (token) CROSS JOIN tot
+        |  GROUP BY p.doc_id)
+        |SELECT doc_id, CAST(n AS INT) AS n_tokens, round(nll / n, 6) AS avg_nll
+        |FROM s ORDER BY doc_id""".stripMargin
   )
 }

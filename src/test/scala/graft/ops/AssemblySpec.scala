@@ -96,6 +96,44 @@ class AssemblySpec extends AnyFunSuite {
     }
   }
 
+  // ---- unigram LM scoring ---------------------------------------------
+
+  test("trainUnigrams: counts, total, vocab size") {
+    val m = LanguageModel.trainUnigrams(docs, "doc_id", "text")
+    // corpus tokens: the(3) cat(4) sat(1) on(1) mat(2) dog(2) -> total 13
+    assert(m.total == 13)
+    assert(m.vocabSize == 6)
+    assert(m.counts("cat") == 4 && m.counts("the") == 3)
+  }
+
+  test("scoreDocs: hand-computed smoothed NLL, doc-order sum, empty-doc drop") {
+    val m = LanguageModel.trainUnigrams(docs, "doc_id", "text")
+    val denom = (13 + 6).toDouble
+    def nll(c: Long): Double = -math.log((c + 1.0) / denom)
+    val got = LanguageModel.scoreDocs(docs, "doc_id", "text", m)
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!got.contains(4L)) // whitespace-only doc: no tokens, dropped
+    val exp2raw = (nll(3) + nll(2)) / 2 // "the dog"
+    val exp2 = BigDecimal(exp2raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(2L) == ((2, exp2)))
+    // doc 3 = "cat cat cat": avg = nll(4)
+    val exp3 = BigDecimal(nll(4)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(3L) == ((3, exp3)))
+  }
+
+  test("scoreDocs: unseen tokens fall back to the smoothing floor") {
+    val m = LanguageModel.trainUnigrams(docs, "doc_id", "text")
+    val other = Seq((7L, "zebra zebra")).toDF("doc_id", "text")
+    val got = LanguageModel.scoreDocs(other, "doc_id", "text", m)
+      .as[(Long, Int, Double)].collect().head
+    val floor = -math.log(1.0 / (13 + 6))
+    assert(got._3 == BigDecimal(floor).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // gibberish scores strictly worse than a typical doc
+    val typical = LanguageModel.scoreDocs(docs, "doc_id", "text", m)
+      .as[(Long, Int, Double)].collect().map(_._3).min
+    assert(got._3 > typical)
+  }
+
   // ---- Chunking --------------------------------------------------------
 
   test("chunks: window/stride layout with a short tail") {
