@@ -427,7 +427,19 @@ object Pipeline {
     "q_lm_score" -> ((s, dir) =>
       graft.ops.LanguageModel.unigramScore(
         Tables(s, dir, "documents"), "doc_id", "text")
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // BPE tokenizer training + application: one corpus-scale word-count
+    // aggregate, vocabulary-bounded merge loop on the driver, map-only
+    // tokenization. Rows-only (the merge loop is not SQL-expressible);
+    // the paper example and determinism are pinned by BpeSpec.
+    "q_bpe_tokenize" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val merges = graft.ops.BpeTrainer.train(docs, "doc_id", "text", numMerges = 50)
+      graft.ops.BpeTrainer.tokenize(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_tokens"), col("n_subwords"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** Fixed BM25 query terms (drawn from the synthetic corpus vocabulary;
