@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins [[TextCleanse]]: the PII scrub cascade (emails before IPs before
+  * phones, counts agreeing with what was actually replaced) and the C4
+  * line-filter rules. The driver oracle re-checks both end to end
+  * (q_pii_scrub / q_c4_filter).
+  */
+class TextCleanseSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def scrubRow(text: String): (String, Int, Int, Int) = {
+    val r = TextCleanse.piiScrub(Seq(Tuple1(text)).toDF("text"), "text")
+      .select("text", "n_emails", "n_ips", "n_phones").head()
+    (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3))
+  }
+
+  test("piiScrub replaces each class with its typed placeholder") {
+    val (t, e, i, p) = scrubRow(
+      "mail bob.smith+x@example.co.uk from 10.0.0.1 or call +1 (555) 123-4567 now")
+    assert(t == "mail [EMAIL] from [IP] or call [PHONE] now")
+    assert((e, i, p) == ((1, 1, 1)))
+  }
+
+  test("cascade order: email hostnames are not re-counted as phones/IPs") {
+    // the digits-and-dots tail of an email must not surface as an IP hit,
+    // and a scrubbed [IP] must not count again as a phone
+    val (t, e, i, p) = scrubRow("x@4.2.168.192.in-addr.arpa and 192.168.2.4")
+    assert(t == "[EMAIL] and [IP]")
+    assert((e, i, p) == ((1, 1, 0)))
+  }
+
+  test("phone matching wants 9+ total digits-ish chars, not any number") {
+    val (t, _, _, p) = scrubRow("year 2024 and id 12345 stay; 555-123-4567 goes")
+    assert(t == "year 2024 and id 12345 stay; [PHONE] goes")
+    assert(p == 1)
+  }
+
+  test("clean text passes through untouched with zero counts") {
+    val (t, e, i, p) = scrubRow("no contact data at all here.")
+    assert(t == "no contact data at all here.")
+    assert((e, i, p) == ((0, 0, 0)))
+  }
+
+  test("c4LineFilter keeps terminal-punctuated >=4-word lines, drops boilerplate") {
+    val doc = Seq(
+      "This is a proper sentence.",        // keep
+      "Too short.",                        // drop: < 4 words
+      "No terminal punctuation here",      // drop: no . ! ?
+      "Enable javascript to view this page.", // drop: boilerplate marker
+      "He said \"stop right there!\"",     // keep: quote after !
+      "if (x) { return; }"                 // drop: curly brace
+    ).mkString("\n")
+    val r = TextCleanse.c4LineFilter(Seq((1L, doc)).toDF("doc_id", "text"), "text")
+      .select("text", "n_lines", "n_lines_kept").head()
+    assert(r.getString(0) ==
+      "This is a proper sentence.\nHe said \"stop right there!\"")
+    assert(r.getInt(1) == 6 && r.getInt(2) == 2)
+  }
+
+  test("c4LineFilter: a fully-boilerplate document keeps empty text, visible counts") {
+    val r = TextCleanse.c4LineFilter(
+      Seq((1L, "cookie banner\nshort")).toDF("doc_id", "text"), "text")
+      .select("text", "n_lines", "n_lines_kept").head()
+    assert(r.getString(0) == "")
+    assert(r.getInt(1) == 2 && r.getInt(2) == 0)
+  }
+}
