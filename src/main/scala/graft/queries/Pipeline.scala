@@ -102,6 +102,17 @@ object Pipeline {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Oracle anchor for the MinHash/Jaccard family: per-document distinct
+    // k-shingle counts. The kernel dedups 64-bit shingle HASHES, the
+    // oracle dedups the STRINGS — a hash-match therefore also certifies
+    // the no-collision assumption the whole hashed-shingle family rests
+    // on, turning a silent probabilistic caveat into a gate-checked fact.
+    "q_shingle_stats" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(col("doc_id"),
+        size(graft.ops.HashKernels.hashedShinglesUdf(5)(col("text")))
+          .as("n_shingles"))
+        .orderBy(col("doc_id"))),
+
     // SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures).
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDuplicates(Tables(s, dir, "documents"), "doc_id", "text")
@@ -823,6 +834,14 @@ object Pipeline {
         |  array_to_string(list_slice(toks, start + 1, least(start + 32, len(toks))), ' ')
         |    AS chunk_text
         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_shingle_stats" ->
+      """SELECT doc_id,
+        |  CASE WHEN text IS NULL OR len(text) = 0 THEN 0
+        |    ELSE CAST(len(list_distinct(
+        |      [substr(text, i, 5)
+        |       FOR i IN range(1, greatest(len(text) - 4, 1) + 1)])) AS INT)
+        |  END AS n_shingles
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_lm_score" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS toks
