@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   * [[TextAnalysis.tokens]] normalization as the rest of the text family),
   * not raw character offsets.
   *
-  * Chunk layout: starts at 0, stride, 2·stride, … while start < nTokens;
-  * the last chunk may be shorter than `window`. Empty/whitespace-only
-  * documents produce no chunks.
+  * Chunk layout: starts at 0, stride, 2·stride, …; emission STOPS after
+  * the first window that reaches the document end (the standard chunker
+  * contract, e.g. HF `return_overflowing_tokens`) — continuing would
+  * emit trailing chunks fully contained in the previous one, duplicating
+  * tail content into the training set. The last chunk may be shorter
+  * than `window`. Empty/whitespace-only documents produce no chunks.
   */
 object Chunking {
 
@@ -28,7 +31,8 @@ object Chunking {
     val n = toks.length
     val out = new scala.collection.mutable.ArrayBuffer[(Int, String)]((n + stride - 1) / stride)
     var start = 0
-    while (start < n) {
+    var reachedEnd = false
+    while (!reachedEnd) {
       val end = math.min(start + window, n)
       val sb = new java.lang.StringBuilder((end - start) * 8)
       var i = start
@@ -38,6 +42,7 @@ object Chunking {
         i += 1
       }
       out += ((end - start, sb.toString))
+      reachedEnd = end == n
       start += stride
     }
     out.toArray

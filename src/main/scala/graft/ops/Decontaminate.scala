@@ -52,12 +52,14 @@ object Decontaminate {
     * exactly-auditable one): grams ride the join as FNV-1a int64s of the
     * gram chars, so the exploded corpus frame carries 8-byte keys instead
     * of ~50-byte 8-gram strings (~5× narrower), the broadcast bench table
-    * shrinks the same way, and no gram string is ever materialized. A
-    * 64-bit collision between one of the benchmark's grams and an
-    * unrelated corpus gram inflates one overlap count by one (possible
-    * false flag, never a missed hit) — at P ≈ |bench grams|·|corpus
-    * grams|/2^64 per pair it is negligible, and decontamination errs on
-    * the side of dropping anyway.
+    * shrinks the same way, and no gram string is ever materialized.
+    * 64-bit collisions (P ≈ |grams|²/2^64 — negligible, and gate-checked
+    * absent in the testdata by DecontaminateSpec's hashed==string pin)
+    * can perturb a pair's count in either direction: a cross-document
+    * collision inflates it by one (false flag), while a collision
+    * between two distinct grams WITHIN one document dedups them to one
+    * key and undercounts by one (potentially a missed hit at exactly
+    * minShared). Decontamination errs toward dropping anyway.
     */
   def overlapPairs(
       docs: DataFrame,

@@ -19,9 +19,14 @@ import org.apache.spark.sql.functions._
   * a different frame than `docs`) fall back to the smoothing floor
   * −ln(1/(total+|V|)).
   *
-  * The presented score is round(avg_nll, 6) — the house float convention
-  * (q_entropy pins that ln parity holds within it), so the DuckDB oracle
-  * hash-matches.
+  * ORDER-INSENSITIVE SUM: each token's −ln term is quantized to 1e-9
+  * (half-up) and accumulated as a Long, so the per-document total is
+  * exact integer addition — the oracle's hash aggregate may sum the
+  * joined rows in any order and still lands on the identical value
+  * (it sums the same DECIMAL(38,9) terms). A raw Double sum would make
+  * the gate depend on floating-point summation ORDER across engines.
+  * The presented score is round(avg_nll, 6) — the house float
+  * convention (q_entropy pins that ln parity holds within it).
   */
 object LanguageModel {
 
@@ -54,14 +59,17 @@ object LanguageModel {
       val toks = HashKernels.tokensOf(text)
       if (toks.isEmpty) null
       else {
-        var nll = 0.0
+        // Long accumulator of 1e-9-quantized terms: terms are < ~50, so
+        // even 10M-token documents stay far under 2^53 — exact
+        var nanos = 0L
         var i = 0
         while (i < toks.length) {
           val c = counts.getOrElse(toks(i), 0L)
-          nll += -math.log((c + 1.0) / denom)
+          val term = -math.log((c + 1.0) / denom)
+          nanos += math.floor(term * 1e9 + 0.5).toLong
           i += 1
         }
-        (toks.length, nll / toks.length)
+        (toks.length, (nanos.toDouble / 1e9) / toks.length)
       }
     })
     docs.select(col(idCol), f(col(textCol)).as("s"))

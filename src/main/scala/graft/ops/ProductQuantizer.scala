@@ -86,9 +86,13 @@ object ProductQuantizer {
       // k-means++ seeding, deterministic per subspace
       val rnd = new scala.util.Random(42L + j)
       val picked = scala.collection.mutable.ArrayBuffer(subs(0))
+      // minD already holds SQUARED L2 distances (l2sq), so it IS the
+      // k-means++ D² weight — unlike Similarity.trainCentroids, whose
+      // minD holds plain (1 − cos) distances and must square. Squaring
+      // again here would sample ∝ D⁴ and overweight outliers.
       val minD = subs.map(l2sq(_, subs(0)))
       while (picked.length < math.min(ksub, subs.length) && minD.exists(_ > 0)) {
-        val w = minD.map(d => d * d)
+        val w = minD
         var target = rnd.nextDouble() * w.sum
         var i = 0
         while (i < w.length - 1 && target >= w(i)) { target -= w(i); i += 1 }

@@ -84,6 +84,17 @@ object Sampling {
     * assigned even if the fractions don't sum to exactly 1. Map-only —
     * a pure function of the id column, no shuffle.
     */
+  /** Cumulative cut fractions after each non-last split, accumulated in
+    * DECIMAL so 0.8 + 0.1 is exactly 0.9 (a Double fold yields
+    * 0.9000000000000001, whose hexThreshold differs from
+    * hexThreshold(0.9) by a sliver of digest space — a latent
+    * disagreement with anything that derives the boundary independently).
+    */
+  private def cumCuts(splits: Seq[(String, Double)]): Seq[Double] =
+    splits.init
+      .scanLeft(BigDecimal(0))((acc, s) => acc + BigDecimal.valueOf(s._2))
+      .tail.map(_.toDouble)
+
   def hashSplit(
       df: DataFrame,
       idCol: String,
@@ -91,11 +102,10 @@ object Sampling {
       splitCol: String = "split"): DataFrame = {
     require(splits.size >= 2, s"hashSplit needs >= 2 splits, got $splits")
     require(splits.forall(_._2 > 0), s"split fractions must be positive: $splits")
-    require(splits.map(_._2).sum <= 1.0 + 1e-9,
+    require(splits.map(s => BigDecimal.valueOf(s._2)).sum <= 1,
       s"split fractions exceed 1: $splits")
     val digest = md5(col(idCol).cast("string"))
-    val cum = splits.init.scanLeft(0.0)(_ + _._2).tail // cut after each non-last split
-    val assigned = splits.init.zip(cum).foldRight(lit(splits.last._1): Column) {
+    val assigned = splits.init.zip(cumCuts(splits)).foldRight(lit(splits.last._1): Column) {
       case (((name, _), cumFrac), rest) =>
         when(digest < lit(hexThreshold(cumFrac)), lit(name)).otherwise(rest)
     }
@@ -104,11 +114,13 @@ object Sampling {
 
   /** The exact CASE expression [[hashSplit]] evaluates, as DuckDB SQL —
     * thresholds come from the same [[hexThreshold]] values, so the oracle
-    * is identical by construction.
+    * is identical by construction. Split names are validated: they are
+    * interpolated into SQL string literals.
     */
   def hashSplitOracleCase(idCol: String, splits: Seq[(String, Double)]): String = {
-    val cum = splits.init.scanLeft(0.0)(_ + _._2).tail
-    val whens = splits.init.zip(cum).map { case ((name, _), cumFrac) =>
+    require(splits.forall(_._1.matches("[A-Za-z0-9_-]+")),
+      s"split names must be [A-Za-z0-9_-]+ (they embed in SQL literals): $splits")
+    val whens = splits.init.zip(cumCuts(splits)).map { case ((name, _), cumFrac) =>
       s"WHEN md5(CAST($idCol AS VARCHAR)) < '${hexThreshold(cumFrac)}' THEN '$name'"
     }
     s"CASE ${whens.mkString(" ")} ELSE '${splits.last._1}' END"

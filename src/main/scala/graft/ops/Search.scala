@@ -130,6 +130,8 @@ object Search {
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75): String = {
+    require(terms.forall(_.matches("[A-Za-z0-9_-]+")),
+      s"query terms must be [A-Za-z0-9_-]+ (they embed in SQL literals): $terms")
     def lit17(d: Double): String = java.lang.Double.toString(d)
     val k1L = lit17(k1)
     val k1p1 = lit17(k1 + 1.0)

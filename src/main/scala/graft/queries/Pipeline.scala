@@ -824,6 +824,9 @@ object Pipeline {
          |  ${Sampling.hashSplitOracleCase("doc_id", SplitSpec)} AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_chunk_windows" ->
+      // a start s > 0 is emitted iff the previous chunk (s - stride) did
+      // not reach the document end: s + (window - stride) < n — mirrors
+      // the kernel's stop-after-end contract
       """WITH t AS (
         |  SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS toks
         |  FROM documents),
@@ -833,7 +836,9 @@ object Pipeline {
         |  CAST(least(start + 32, len(toks)) - start AS INT) AS n_tokens,
         |  array_to_string(list_slice(toks, start + 1, least(start + 32, len(toks))), ' ')
         |    AS chunk_text
-        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+        |FROM s
+        |WHERE start = 0 OR start + 16 < len(toks)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_shingle_stats" ->
       """SELECT doc_id,
         |  CASE WHEN text IS NULL OR len(text) = 0 THEN 0
@@ -851,11 +856,13 @@ object Pipeline {
         |tot AS (SELECT sum(c) AS t, count(*) AS vsz FROM v),
         |s AS (
         |  SELECT p.doc_id,
-        |    sum(-ln((v.c + 1.0) / (tot.t + tot.vsz))) AS nll,
+        |    sum(CAST(round(-ln((v.c + 1.0) / (tot.t + tot.vsz)), 9)
+        |      AS DECIMAL(38,9))) AS nll,
         |    count(*) AS n
         |  FROM p JOIN v USING (token) CROSS JOIN tot
         |  GROUP BY p.doc_id)
-        |SELECT doc_id, CAST(n AS INT) AS n_tokens, round(nll / n, 6) AS avg_nll
+        |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+        |  round(CAST(nll AS DOUBLE) / n, 6) AS avg_nll
         |FROM s ORDER BY doc_id""".stripMargin
   )
 }

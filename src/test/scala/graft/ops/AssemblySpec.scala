@@ -106,19 +106,21 @@ class AssemblySpec extends AnyFunSuite {
     assert(m.counts("cat") == 4 && m.counts("the") == 3)
   }
 
-  test("scoreDocs: hand-computed smoothed NLL, doc-order sum, empty-doc drop") {
+  test("scoreDocs: hand-computed smoothed NLL, exact quantized sum, empty-doc drop") {
     val m = LanguageModel.trainUnigrams(docs, "doc_id", "text")
     val denom = (13 + 6).toDouble
     def nll(c: Long): Double = -math.log((c + 1.0) / denom)
+    // the kernel accumulates 1e-9-quantized terms as exact Longs
+    def nanos(x: Double): Long = math.floor(x * 1e9 + 0.5).toLong
+    def avg(terms: Double*): Double = {
+      val raw = (terms.map(nanos).sum.toDouble / 1e9) / terms.length
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
     val got = LanguageModel.scoreDocs(docs, "doc_id", "text", m)
       .as[(Long, Int, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(!got.contains(4L)) // whitespace-only doc: no tokens, dropped
-    val exp2raw = (nll(3) + nll(2)) / 2 // "the dog"
-    val exp2 = BigDecimal(exp2raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    assert(got(2L) == ((2, exp2)))
-    // doc 3 = "cat cat cat": avg = nll(4)
-    val exp3 = BigDecimal(nll(4)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    assert(got(3L) == ((3, exp3)))
+    assert(got(2L) == ((2, avg(nll(3), nll(2))))) // "the dog"
+    assert(got(3L) == ((3, avg(nll(4), nll(4), nll(4))))) // "cat cat cat"
   }
 
   test("scoreDocs: unseen tokens fall back to the smoothing floor") {
@@ -127,7 +129,8 @@ class AssemblySpec extends AnyFunSuite {
     val got = LanguageModel.scoreDocs(other, "doc_id", "text", m)
       .as[(Long, Int, Double)].collect().head
     val floor = -math.log(1.0 / (13 + 6))
-    assert(got._3 == BigDecimal(floor).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val qFloor = math.floor(floor * 1e9 + 0.5) / 1e9
+    assert(got._3 == BigDecimal(qFloor).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     // gibberish scores strictly worse than a typical doc
     val typical = LanguageModel.scoreDocs(docs, "doc_id", "text", m)
       .as[(Long, Int, Double)].collect().map(_._3).min
@@ -136,10 +139,14 @@ class AssemblySpec extends AnyFunSuite {
 
   // ---- Chunking --------------------------------------------------------
 
-  test("chunks: window/stride layout with a short tail") {
-    // 7 tokens, window 3, stride 2 -> starts 0,2,4,6
+  test("chunks: window/stride layout, stop at the window that reaches the end") {
+    // 7 tokens, window 3, stride 2 -> starts 0,2,4; the chunk at 4 reaches
+    // the end, so no degenerate fully-contained tail chunk at start 6
     val got = Chunking.chunks("a b c d e f g", 3, 2).toSeq
-    assert(got == Seq((3, "a b c"), (3, "c d e"), (3, "e f g"), (1, "g")))
+    assert(got == Seq((3, "a b c"), (3, "c d e"), (3, "e f g")))
+    // 8 tokens: starts 0,2,4,6 — the last chunk IS short (tokens 6..7)
+    assert(Chunking.chunks("a b c d e f g h", 3, 2).toSeq ==
+      Seq((3, "a b c"), (3, "c d e"), (3, "e f g"), (2, "g h")))
     assert(Chunking.chunks("", 3, 2).isEmpty)
     assert(Chunking.chunks("  ", 3, 2).isEmpty)
     assert(Chunking.chunks("one two", 5, 5).toSeq == Seq((2, "one two")))
