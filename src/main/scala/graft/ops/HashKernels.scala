@@ -207,14 +207,20 @@ object HashKernels {
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   /** Whitespace tokens of `lower(trim(text))` — the compiled twin of
-    * TextAnalysis.tokens. Lowercasing goes through UTF8String so the
-    * result is byte-identical to Spark's `lower()` on every code point,
-    * not just ASCII.
+    * TextAnalysis.tokens. Lowercasing calls the EXACT routine Spark 4's
+    * `lower()` dispatches to under the default config
+    * (CollationSupport.Lower.execBinaryICU — ICU full case mapping):
+    * neither `UTF8String.toLowerCase` nor Java's `toLowerCase(ROOT)`
+    * agrees with it on contextual mappings (ICU applies the Greek
+    * final-sigma rule where a digit follows; Java does not) —
+    * KernelParitySpec caught the divergence on generated Greek text and
+    * pins the parity.
     */
   private[ops] def tokensOf(text: String): Array[String] = {
     if (text == null) return Array.empty[String]
-    val s = org.apache.spark.unsafe.types.UTF8String.fromString(text)
-      .toLowerCase.toString
+    val s = org.apache.spark.sql.catalyst.util.CollationSupport.Lower
+      .execBinaryICU(org.apache.spark.unsafe.types.UTF8String.fromString(text))
+      .toString
     val out = new scala.collection.mutable.ArrayBuffer[String](s.length / 5 + 1)
     var i = 0
     val n = s.length
