@@ -126,6 +126,44 @@ object Sampling {
     s"CASE ${whens.mkString(" ")} ELSE '${splits.last._1}' END"
   }
 
+  /** Leakage-safe split: like [[hashSplit]], but near-duplicate documents
+    * are FORCED into the same split — the eval-leakage guard (a test
+    * document with a near-copy in train silently inflates benchmark
+    * scores; Lee et al. 2022 measured the effect on C4). `pairs` is an
+    * (id_a, id_b) near-duplicate edge list from any detector in the dedup
+    * family; each connected component splits by the md5 of its min-id
+    * representative, so every member lands together. Documents in no
+    * pair keep their own id as representative — identical to plain
+    * [[hashSplit]] for them.
+    *
+    * Scale shape: components come from [[Dedup.connectedComponents]]
+    * (bounded driver union-find for small edge lists, distributed label
+    * propagation above that); the component frame is bounded by the
+    * near-duplicate population, so the join back broadcasts.
+    */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      splits: Seq[(String, Double)],
+      splitCol: String = "split"): DataFrame = {
+    require(splits.size >= 2, s"leakageSafeSplit needs >= 2 splits, got $splits")
+    require(splits.forall(_._2 > 0), s"split fractions must be positive: $splits")
+    require(splits.map(s => BigDecimal.valueOf(s._2)).sum <= 1,
+      s"split fractions exceed 1: $splits")
+    val comps = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", idCol)
+    val withRep = df.join(broadcast(comps), Seq(idCol), "left")
+      .withColumn("__rep", coalesce(col("component"), col(idCol)))
+      .drop("component")
+    val digest = md5(col("__rep").cast("string"))
+    val assigned = splits.init.zip(cumCuts(splits)).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), cumFrac), rest) =>
+        when(digest < lit(hexThreshold(cumFrac)), lit(name)).otherwise(rest)
+    }
+    withRep.withColumn(splitCol, assigned).drop("__rep")
+  }
+
   /** Reproducible global shuffle: every row's 1-based position in the
     * md5-of-id order, as `posCol`. Training-data loaders consume this as
     * the epoch order. The exact global rank is [[Packing.runningTotal]]

@@ -425,6 +425,21 @@ object Pipeline {
         .select(col("doc_id"), col("lang"), col("split"))
         .orderBy(col("doc_id"))),
 
+    // Leakage-safe split: near-duplicate documents (exact n-gram Jaccard
+    // pairs, the deterministic detector) are forced into the same
+    // train/val/test split via their connected-component representative.
+    // Rows-only (connected components are not SQL-expressible); the
+    // same-split guarantee and singleton-equals-hashSplit are pinned by
+    // SamplingSpec.
+    "q_split_leakage_safe" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", "lang",
+        n = 3, threshold = 0.5)
+      Sampling.leakageSafeSplit(docs, "doc_id", pairs, SplitSpec)
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token-window chunking (window 32, stride 16): the fixed-context
     // assembly step. Map-only scan->generate; no shuffle.
     "q_chunk_windows" -> ((s, dir) =>

@@ -139,6 +139,28 @@ class SamplingSpec extends AnyFunSuite {
     assert(sql.endsWith("ELSE 'c' END"))
   }
 
+  test("leakageSafeSplit: near-dup pairs land together, singletons match hashSplit") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val docs = (0L until 100L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")
+    // a chain component {1,2,3}, a pair {40,77}, rest singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (40L, 77L)).toDF("id_a", "id_b")
+    val got = Sampling.leakageSafeSplit(docs, "doc_id", pairs, splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got.size == 100)
+    // every member of a component shares its split
+    assert(Set(got(1L), got(2L), got(3L)).size == 1)
+    assert(got(40L) == got(77L))
+    // the shared split is the representative's (min id) hashSplit outcome,
+    // and singletons are assigned exactly as plain hashSplit would
+    val plain = Sampling.hashSplit(docs, "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got(3L) == plain(1L))
+    assert(got(77L) == plain(40L))
+    ((0L until 100L).toSet -- Set(1L, 2L, 3L, 40L, 77L)).foreach { id =>
+      assert(got(id) == plain(id), s"singleton $id diverged from hashSplit")
+    }
+  }
+
   test("hashSplit rejects bad split specs") {
     val df = (0L until 5L).toDF("id")
     intercept[IllegalArgumentException] {
