@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.ops.{Chunking, Decontaminate, Dedup, Embeddings, ProductQuantizer, Sampling, Search, SemDedup, Similarity, TextAnalysis, TextCleanse, Vocabulary}
+import graft.ops.{Chunking, Decontaminate, Dedup, Embeddings, ProductQuantizer, Sampling, Search, SegmentDedup, SemDedup, Similarity, TextAnalysis, TextCleanse, Vocabulary}
 
 /** Training-data-pipeline operators over `documents` / `embeddings` /
   * `events`: dedup family, text analysis, similarity search, sessionization.
@@ -111,6 +111,17 @@ object Pipeline {
       Tables(s, dir, "documents").select(col("doc_id"),
         size(graft.ops.HashKernels.hashedShinglesUdf(5)(col("text")))
           .as("n_shingles"))
+        .orderBy(col("doc_id"))),
+
+    // Segment-level exact dedup (CCNet paragraph dedup; token-window
+    // segmenter since the corpus is single-line): corpus-wide
+    // first-occurrence election per distinct 8-token segment, documents
+    // reassembled from their surviving segments. Exact → oracle-backed.
+    "q_segment_dedup" -> ((s, dir) =>
+      SegmentDedup.dedupSegments(Tables(s, dir, "documents"), "doc_id",
+        SegmentDedup.tokenWindowSegments(col("text"), 8))
+        .select(col("doc_id"), col("n_segments").cast("long").as("n_segments"),
+          col("n_kept"), col("text_kept"))
         .orderBy(col("doc_id"))),
 
     // SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures).
@@ -862,6 +873,28 @@ object Pipeline {
         |       FOR i IN range(1, greatest(len(text) - 4, 1) + 1)])) AS INT)
         |  END AS n_shingles
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_segment_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+        |seg AS (
+        |  SELECT doc_id, i - 1 AS idx,
+        |    array_to_string(list_slice(toks, (i - 1) * 8 + 1, (i - 1) * 8 + 8), ' ') AS seg
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(1, CAST(ceil(len(toks) / 8.0) AS BIGINT) + 1)) AS i
+        |        FROM t WHERE len(toks) > 0)),
+        |win AS (
+        |  SELECT doc_id, idx, seg FROM (
+        |    SELECT doc_id, idx, seg,
+        |      row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) AS rn
+        |    FROM seg) WHERE rn = 1),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(seg, ' ' ORDER BY idx) AS text_kept
+        |  FROM win GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_segments FROM seg GROUP BY doc_id)
+        |SELECT tot.doc_id, tot.n_segments, coalesce(agg.n_kept, 0) AS n_kept,
+        |  coalesce(agg.text_kept, '') AS text_kept
+        |FROM tot LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_lm_score" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS toks
