@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.ops.{Chunking, Decontaminate, Dedup, Embeddings, ProductQuantizer, Sampling, Search, SegmentDedup, SemDedup, Similarity, TextAnalysis, TextCleanse, Vocabulary}
+import graft.ops.{Chunking, Classifier, Decontaminate, Dedup, Embeddings, ProductQuantizer, Sampling, Search, SegmentDedup, SemDedup, Similarity, TextAnalysis, TextCleanse, Vocabulary}
 
 /** Training-data-pipeline operators over `documents` / `embeddings` /
   * `events`: dedup family, text analysis, similarity search, sessionization.
@@ -461,6 +461,15 @@ object Pipeline {
     // CCNet-style unigram LM scoring: one vocab aggregate (bounded by
     // |vocab|, collected like the BM25 stats), then map-only per-doc mean
     // negative log-likelihood. Oracle-backed at round(avg_nll, 6).
+    // Multinomial Naive Bayes self-classification (lang from text):
+    // training is ONE (label, token)-keyed aggregate, scoring is
+    // map-only with the broadcast model. Quantized-Long nll sums (the
+    // q_lm_score convention) make train+score exactly SQL-replayable.
+    "q_nb_lang" -> ((s, dir) =>
+      Classifier.naiveBayesSelf(Tables(s, dir, "documents"),
+        "lang", "doc_id", "text", outCol = "lang_pred")
+        .orderBy(col("doc_id"))),
+
     "q_lm_score" -> ((s, dir) =>
       graft.ops.LanguageModel.unigramScore(
         Tables(s, dir, "documents"), "doc_id", "text")
@@ -895,6 +904,41 @@ object Pipeline {
         |SELECT tot.doc_id, tot.n_segments, coalesce(agg.n_kept, 0) AS n_kept,
         |  coalesce(agg.text_kept, '') AS text_kept
         |FROM tot LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_nb_lang" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, regexp_extract_all(lower(trim(text)), '\S+') AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        |lab AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |tc AS (
+        |  SELECT d.lang, p.token, count(*) AS c
+        |  FROM p JOIN (SELECT doc_id, lang FROM documents) d USING (doc_id)
+        |  GROUP BY d.lang, p.token),
+        |tot AS (SELECT lang, sum(c) AS tl FROM tc GROUP BY lang),
+        |v AS (SELECT count(DISTINCT token) AS vsz FROM p),
+        |terms AS (
+        |  SELECT p.doc_id, l.lang AS label,
+        |    sum(CAST(round(-ln((COALESCE(tc.c, 0) + 1.0) / (tot.tl + v.vsz)), 9)
+        |      AS DECIMAL(38,9))) AS tok_nll,
+        |    count(*) AS n
+        |  FROM p CROSS JOIN lab l
+        |  LEFT JOIN tc ON tc.lang = l.lang AND tc.token = p.token
+        |  JOIN tot ON tot.lang = l.lang
+        |  CROSS JOIN v
+        |  GROUP BY p.doc_id, l.lang),
+        |scored AS (
+        |  SELECT terms.doc_id, terms.label, terms.n,
+        |    CAST(round(-ln(lab.n_docs * 1.0 / nd.n), 9) AS DECIMAL(38,9))
+        |      + terms.tok_nll AS nll
+        |  FROM terms JOIN lab ON lab.lang = terms.label CROSS JOIN nd),
+        |best AS (
+        |  SELECT doc_id, label, n, nll,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY nll, label) AS rn
+        |  FROM scored)
+        |SELECT doc_id, label AS lang_pred, CAST(n AS INT) AS n_tokens,
+        |  round(CAST(nll AS DOUBLE), 6) AS nll
+        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q_lm_score" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS toks
