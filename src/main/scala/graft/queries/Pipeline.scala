@@ -470,6 +470,17 @@ object Pipeline {
         "lang", "doc_id", "text", outCol = "lang_pred")
         .orderBy(col("doc_id"))),
 
+    // DSIR importance weights (target = the English slice, raw = the
+    // whole corpus): two vocab-bounded aggregates fit the log-ratio
+    // model, scoring is map-only. Exact unigram path → oracle-backed;
+    // the hashed-bucket scale variant is pinned by DsirSpec.
+    "q_dsir_weights" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.ops.Dsir.importanceWeights(
+        docs.filter(col("lang") === "en"), docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "q_lm_score" -> ((s, dir) =>
       graft.ops.LanguageModel.unigramScore(
         Tables(s, dir, "documents"), "doc_id", "text")
@@ -904,6 +915,31 @@ object Pipeline {
         |SELECT tot.doc_id, tot.n_segments, coalesce(agg.n_kept, 0) AS n_kept,
         |  coalesce(agg.text_kept, '') AS text_kept
         |FROM tot LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_dsir_weights" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, regexp_extract_all(lower(trim(text)), '\S+') AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        |tgt AS (
+        |  SELECT p.token, count(*) AS c
+        |  FROM p JOIN documents d USING (doc_id)
+        |  WHERE d.lang = 'en' GROUP BY p.token),
+        |raw AS (SELECT token, count(*) AS c FROM p GROUP BY token),
+        |v AS (SELECT count(*) AS vsz FROM raw),
+        |tt AS (SELECT sum(c) AS s FROM tgt),
+        |tr AS (SELECT sum(c) AS s FROM raw),
+        |terms AS (
+        |  SELECT p.doc_id,
+        |    sum(CAST(round(-ln((raw.c + 1.0) / (tr.s + v.vsz)), 9) AS DECIMAL(38,9))
+        |      - CAST(round(-ln((COALESCE(tgt.c, 0) + 1.0) / (tt.s + v.vsz)), 9)
+        |          AS DECIMAL(38,9))) AS w,
+        |    count(*) AS n
+        |  FROM p JOIN raw USING (token) LEFT JOIN tgt USING (token)
+        |  CROSS JOIN v CROSS JOIN tt CROSS JOIN tr
+        |  GROUP BY p.doc_id)
+        |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+        |  round(CAST(w AS DOUBLE), 6) AS log_weight
+        |FROM terms ORDER BY doc_id""".stripMargin,
     "q_nb_lang" ->
       """WITH t AS (
         |  SELECT doc_id, lang, regexp_extract_all(lower(trim(text)), '\S+') AS toks
