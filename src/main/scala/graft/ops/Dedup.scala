@@ -186,6 +186,125 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** A reusable MinHash LSH index of an existing corpus — the
+    * incremental-ingest counterpart of [[minhashNearDuplicates]]: build
+    * once over the accumulated corpus, probe every new batch against it
+    * without ever self-joining the corpus again. In a real pipeline both
+    * frames persist as parquet keyed by (band, band_hash) / id, so a
+    * daily increment reads only the bucket partitions it collides with.
+    *
+    * `banded` carries ONLY (band, band_hash, id, n) — ~20-byte rows;
+    * `shingled` (id, sh, n) feeds the exact-verify join.
+    */
+  final case class MinhashIndex(
+      banded: DataFrame,
+      shingled: DataFrame,
+      k: Int,
+      numHashes: Int,
+      bands: Int)
+
+  /** Build the LSH index (same shingle/signature/banding pipeline as
+    * [[minhashNearDuplicates]], minus the self-join).
+    */
+  def minhashBuildIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      numHashes: Int = 32,
+      bands: Int = 8): MinhashIndex = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    val withSh = df.select(
+      col(idCol).as("id"),
+      HashKernels.hashedShinglesUdf(k)(col(textCol)).as("sh"))
+      .filter(col("sh").isNotNull)
+      .repartition(col("id"))
+      .withColumn("n", size(col("sh")))
+    val banded = withSh
+      .select(col("id"), col("n"),
+        posexplode(
+          HashKernels.minhashBandBucketsUdf(numHashes, bands)(col("sh"))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+      .select("band", "band_hash", "id", "n")
+    MinhashIndex(banded, withSh.select("id", "sh", "n"), k, numHashes, bands)
+  }
+
+  /** Near-duplicate pairs between a NEW batch and an indexed corpus:
+    * `(id_new, id_old, jaccard)` for every new document whose Jaccard
+    * with an indexed document reaches `threshold` (LSH candidates,
+    * exact-verified — same recall S-curve as [[minhashNearDuplicates]]).
+    *
+    * Scale shape: the new batch's banded frame joins the index on
+    * (band, band_hash) — a daily increment is orders of magnitude
+    * smaller than the corpus, so AQE turns this into a broadcast of the
+    * new side against the bucket-partitioned index; the corpus is never
+    * re-shuffled and never self-joined. The same size-lossless bound as
+    * the batch operator prunes candidates before any shingle array
+    * travels.
+    */
+  def minhashProbe(
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: MinhashIndex,
+      threshold: Double = 0.7,
+      minBandMatches: Int = 1): DataFrame = {
+    graft.plans.GraftExtensions.register(newDf.sparkSession)
+    val withSh = newDf.select(
+      col(idCol).as("id"),
+      HashKernels.hashedShinglesUdf(index.k)(col(textCol)).as("sh"))
+      .filter(col("sh").isNotNull)
+      .repartition(col("id"))
+      .withColumn("n", size(col("sh")))
+    val banded = withSh
+      .select(col("id"), col("n"),
+        posexplode(HashKernels.minhashBandBucketsUdf(
+          index.numHashes, index.bands)(col("sh"))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    val candidates = banded
+      .select(col("band"), col("band_hash"),
+        col("id").as("id_new"), col("n").as("n_new"))
+      .join(index.banded.select(col("band"), col("band_hash"),
+        col("id").as("id_old"), col("n").as("n_old")),
+        Seq("band", "band_hash"))
+      .filter(least(col("n_new"), col("n_old")) >=
+        lit(threshold) * greatest(col("n_new"), col("n_old")))
+      .groupBy(col("id_new"), col("id_old"))
+      .agg(count(lit(1)).as("n_band_matches"))
+      .filter(col("n_band_matches") >=
+        lit(math.min(minBandMatches, index.bands)))
+      .select("id_new", "id_old")
+    candidates
+      .join(withSh.select(col("id").as("id_new"), col("sh").as("sh_new")),
+        Seq("id_new"))
+      .join(index.shingled.select(col("id").as("id_old"), col("sh").as("sh_old")),
+        Seq("id_old"))
+      .withColumn("jaccard",
+        call_function("jaccard_sorted", col("sh_new"), col("sh_old")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_new", "id_old", "jaccard")
+  }
+
+  /** Incremental ingest filter: the rows of `newDf` that are NOT
+    * near-duplicates of any indexed document (left-anti on the probe) —
+    * compose with [[minhashNearDuplicates]] + [[dropNearDuplicates]] on
+    * the batch itself to also collapse within-batch duplicates.
+    */
+  def minhashIncrementalFilter(
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: MinhashIndex,
+      threshold: Double = 0.7,
+      minBandMatches: Int = 1): DataFrame = {
+    val dups = minhashProbe(newDf, idCol, textCol, index, threshold, minBandMatches)
+      .select(col("id_new"))
+    newDf.join(dups, newDf(idCol) === dups("id_new"), "left_anti")
+  }
+
   /** 64-bit SimHash over whitespace tokens: per bit, sign of the sum of
     * ±1 contributions from each token's xxhash64. Expression-only; tokens
     * are hashed ONCE and the 64 per-bit votes run over the long array

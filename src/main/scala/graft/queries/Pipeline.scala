@@ -84,6 +84,23 @@ object Pipeline {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // Incremental ingest dedup: the even-id half plays the accumulated
+    // corpus (LSH index built once), the odd-id half plays the daily
+    // increment probed against it — no corpus self-join. Rows-only (the
+    // candidate generation is the probabilistic MinHash path); planted
+    // cross-batch recall and batch-operator agreement are pinned by
+    // IncrementalDedupSpec.
+    "q_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val idx = Dedup.minhashBuildIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", k = 3, numHashes = 40, bands = 8)
+      Dedup.minhashProbe(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", idx, threshold = 0.7, minBandMatches = 2)
+        .select(col("id_new"), col("id_old"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_new"), col("id_old"))
+    }),
+
     // Winnowed-fingerprint shared-substring pairs (MOSS scheme): documents
     // sharing any substring of length >= window+k-1 = 19 chars. The
     // synthetic corpus is heavily templated (63% of doc pairs share >=2
