@@ -202,6 +202,34 @@ object Pipeline {
         .orderBy(col("doc_id"), col("bench_id"))
     }),
 
+    // Self-check making the hashed==string decontamination contract a
+    // first-class gate row (round-5 ADVICE): full-outer-diff the two
+    // paths' (doc_id, bench_id, n_shared) sets in Spark; the oracle says
+    // both sides must be empty. A future 64-bit gram collision now fails
+    // HERE with a self-explanatory row count instead of as a confusing
+    // q_decontam_hashed hash mismatch.
+    "q_decontam_hash_agree" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 53 === 0)
+      def run(hashed: Boolean) =
+        Decontaminate.overlapPairs(docs, "doc_id", "text",
+          bench, "doc_id", "text", n = 3, minShared = 2, hashGrams = hashed)
+      val str = run(false).withColumnRenamed("n_shared", "n_s")
+      val hsh = run(true).withColumnRenamed("n_shared", "n_h")
+      val diff = str.join(hsh, Seq("doc_id", "bench_id"), "full_outer")
+        .filter(col("n_s").isNull || col("n_h").isNull ||
+          col("n_s") =!= col("n_h"))
+      diff.agg(
+        sum(when(col("n_h").isNull, 1).otherwise(0)).as("string_only"),
+        sum(when(col("n_s").isNull, 1).otherwise(0)).as("hashed_only"),
+        sum(when(col("n_s").isNotNull && col("n_h").isNotNull, 1)
+          .otherwise(0)).as("count_mismatch"))
+        .select(
+          coalesce(col("string_only"), lit(0L)).as("string_only"),
+          coalesce(col("hashed_only"), lit(0L)).as("hashed_only"),
+          coalesce(col("count_mismatch"), lit(0L)).as("count_mismatch"))
+    }),
+
     // ---- deterministic sampling & mixture ------------------------------
     // Quota sampling per language stratum by md5 order — runs through the
     // bounded-heap top-k aggregate (map-side combine), never a per-stratum
@@ -513,6 +541,25 @@ object Pipeline {
       graft.ops.BpeTrainer.tokenize(docs, "doc_id", "text", merges)
         .select(col("doc_id"), col("n_tokens"), col("n_subwords"))
         .orderBy(col("doc_id"))
+    }),
+
+    // End-to-end assembly spine: BPE-tokenize → disjoint 32-subword
+    // chunks → pack into 256-token bins (two-phase running total, no
+    // single-partition exchange). Rows-only; token conservation across
+    // all three stages is pinned by AssemblySpec.
+    "q_tokenize_pack" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val merges = graft.ops.BpeTrainer.train(docs, "doc_id", "text", numMerges = 50)
+      val tok = graft.ops.BpeTrainer.tokenize(docs, "doc_id", "text", merges)
+      val chunks = Chunking.chunkByTokens(
+        tok.select(col("doc_id"), array_join(col("subwords"), " ").as("sub_text")),
+        "doc_id", "sub_text", window = 32, stride = 32)
+      // ord must be unique + (doc, chunk)-ordered; chunk_idx < 1000 holds
+      // by orders of magnitude (docs are tens of subwords)
+      val ord = chunks.withColumn("ord", col("doc_id") * 1000 + col("chunk_idx"))
+      val packed = graft.ops.Packing.packBySize(ord, "ord", "n_tokens", capacity = 256)
+      graft.ops.Packing.packStats(packed, "n_tokens", 256)
+        .orderBy(col("bin"))
     })
   )
 
@@ -932,6 +979,13 @@ object Pipeline {
         |SELECT tot.doc_id, tot.n_segments, coalesce(agg.n_kept, 0) AS n_kept,
         |  coalesce(agg.text_kept, '') AS text_kept
         |FROM tot LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // the contract IS the constant: both decontamination paths must
+    // produce identical pair sets (the Spark side computes the real
+    // full-outer diff; any collision-induced divergence lands here)
+    "q_decontam_hash_agree" ->
+      """SELECT CAST(0 AS BIGINT) AS string_only,
+        |  CAST(0 AS BIGINT) AS hashed_only,
+        |  CAST(0 AS BIGINT) AS count_mismatch""".stripMargin,
     "q_dsir_weights" ->
       """WITH t AS (
         |  SELECT doc_id, lang, regexp_extract_all(lower(trim(text)), '\S+') AS toks

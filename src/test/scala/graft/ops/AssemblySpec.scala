@@ -171,4 +171,36 @@ class AssemblySpec extends AnyFunSuite {
       Chunking.chunkByTokens(df, "doc_id", "text", 4, 0)
     }
   }
+
+  // ---- tokenize → chunk → pack spine (q_tokenize_pack) -----------------
+
+  test("tokenize->chunk->pack conserves every subword and bounds bin starts") {
+    val corpus = (1L to 30L)
+      .map(i => (i, (0 until 20).map(w => s"word${(i + w) % 9}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val merges = BpeTrainer.train(corpus, "doc_id", "text", numMerges = 10)
+    val tok = BpeTrainer.tokenize(corpus, "doc_id", "text", merges)
+    val totalSubwords = tok.agg(org.apache.spark.sql.functions.sum("n_subwords"))
+      .head().getLong(0)
+    val chunks = Chunking.chunkByTokens(
+      tok.select($"doc_id",
+        org.apache.spark.sql.functions.array_join($"subwords", " ").as("sub_text")),
+      "doc_id", "sub_text", window = 16, stride = 16)
+    // disjoint chunks cover the stream exactly
+    assert(chunks.agg(org.apache.spark.sql.functions.sum("n_tokens"))
+      .head().getLong(0) == totalSubwords)
+    val ord = chunks.withColumn("ord", $"doc_id" * 1000 + $"chunk_idx")
+    val packed = Packing.packBySize(ord, "ord", "n_tokens", capacity = 64)
+    val stats = Packing.packStats(packed, "n_tokens", 64).collect()
+    // packing loses nothing
+    assert(stats.map(_.getLong(2)).sum == totalSubwords)
+    // waterfall contract: every row STARTS inside its bin
+    val bad = packed.filter(
+      org.apache.spark.sql.functions.floor(($"cum_tokens" - $"n_tokens") / 64) =!= $"bin")
+      .count()
+    assert(bad == 0)
+    // bins are contiguous 0..max
+    val bins = stats.map(_.getLong(0)).sorted
+    assert(bins.toSeq == (0L to bins.max).toSeq)
+  }
 }
