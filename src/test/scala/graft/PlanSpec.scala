@@ -239,4 +239,46 @@ class PlanSpec extends AnyFunSuite {
         s"$q funnelled through one task:\n${p.take(600)}")
     }
   }
+
+  test("broadcast-model scoring (NB, DSIR) is map-only over the corpus") {
+    // training collects vocab-bounded aggregates at plan-build time; the
+    // SCORED frame must then see zero hash shuffles and no window — the
+    // only exchange is the presentation sort's range partitioning
+    for (q <- Seq("q_nb_lang", "q_dsir_weights")) {
+      val p = physicalPlan(q)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges == 0,
+        s"$q scoring is per-document — no hash shuffle expected:\n${p.take(600)}")
+      assert(!p.contains("Window"), s"$q must not sort per document:\n${p.take(600)}")
+    }
+  }
+
+  test("segment dedup: two keyed aggregates + id join, no window, no cartesian") {
+    val p = physicalPlan("q_segment_dedup")
+    assert(!p.contains("Window"),
+      s"first-occurrence election must be an aggregate, not a window:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"segment dedup must stay keyed:\n${p.take(800)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 4,
+      s"segment dedup grew extra shuffles ($exchanges):\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_"),
+      s"the election aggregate must combine map-side:\n${p.take(800)}")
+  }
+
+  test("incremental minhash probe joins bucketed, never cartesian, no window") {
+    val p = physicalPlan("q_incremental_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"probe must join on (band, band_hash):\n${p.take(800)}")
+    assert(!p.contains("Window"), p.take(800))
+  }
+
+  test("tokenize-chunk-pack never plans a single-partition exchange") {
+    val p = physicalPlan("q_tokenize_pack")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"packing's running total must stay two-phase:\n${p.take(800)}")
+    // the partition-local cumsum window is expected; a global one is not
+    assert(p.contains("Window"),
+      s"expected the partition-local cumsum window:\n${p.take(800)}")
+  }
 }
