@@ -119,15 +119,40 @@ object BpeTrainer {
     syms
   }
 
+  /** Merge-list applier with a per-executor word→subwords memo: word
+    * frequencies are Zipfian, so the greedy merge scan (O(|merges| ×
+    * |word|) per call) runs once per DISTINCT word per executor instead
+    * of once per occurrence. `@transient lazy` re-materializes the map
+    * after deserialization; ConcurrentHashMap because one deserialized
+    * closure instance is shared across a JVM's task threads. The size
+    * cap keeps a pathological unbounded vocabulary from pinning executor
+    * memory — beyond it, rare words just encode uncached.
+    */
+  private final class CachedEncoder(ms: IndexedSeq[Merge]) extends Serializable {
+    @transient private lazy val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+    private val MaxEntries = 1 << 20
+    def encode(word: String): Array[String] = {
+      val hit = cache.get(word)
+      if (hit != null) hit
+      else {
+        val enc = encodeWord(word, ms)
+        if (cache.size < MaxEntries) cache.put(word, enc)
+        enc
+      }
+    }
+  }
+
   /** (idCol, n_tokens, n_subwords, subwords) per document — map-only
-    * application of a trained merge list (broadcast in the closure).
+    * application of a trained merge list (broadcast in the closure,
+    * memoized per distinct word).
     */
   def tokenize(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[Merge]): DataFrame = {
-    val ms = merges.toIndexedSeq
+    val enc = new CachedEncoder(merges.toIndexedSeq)
     val f = udf((text: String) => {
       val toks = HashKernels.tokensOf(text)
-      val sub = toks.flatMap(encodeWord(_, ms))
+      val sub = toks.flatMap(enc.encode)
       (toks.length, sub.length, sub)
     })
     docs.select(col(idCol), f(col(textCol)).as("s"))

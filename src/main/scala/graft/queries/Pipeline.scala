@@ -489,9 +489,14 @@ object Pipeline {
     // SamplingSpec.
     "q_split_leakage_safe" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", "lang",
+        .withColumn("blk", concat_ws("|", col("lang"), col("source")))
+      // same (lang, source) blocking as q_neardup_jaccard: lang-only
+      // blocks are 20× coarser and their within-block quadratic work was
+      // the #1 bench line (5.7 s) — and 5 corpus-sized blocks is exactly
+      // the shape that does NOT survive a 100× scale-up
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", "blk",
         n = 3, threshold = 0.5)
-      Sampling.leakageSafeSplit(docs, "doc_id", pairs, SplitSpec)
+      Sampling.leakageSafeSplit(docs.drop("blk"), "doc_id", pairs, SplitSpec)
         .select(col("doc_id"), col("split"))
         .orderBy(col("doc_id"))
     }),
@@ -551,9 +556,13 @@ object Pipeline {
       val docs = Tables(s, dir, "documents")
       val merges = graft.ops.BpeTrainer.train(docs, "doc_id", "text", numMerges = 50)
       val tok = graft.ops.BpeTrainer.tokenize(docs, "doc_id", "text", merges)
+      // pin the chunk frame: packBySize walks its input twice (the
+      // narrow running-total projection and the join back) and the
+      // tokenize+chunk kernel chain is the expensive part of this spine
       val chunks = Chunking.chunkByTokens(
         tok.select(col("doc_id"), array_join(col("subwords"), " ").as("sub_text")),
         "doc_id", "sub_text", window = 32, stride = 32)
+        .localCheckpoint()
       // ord must be unique + (doc, chunk)-ordered; chunk_idx < 1000 holds
       // by orders of magnitude (docs are tens of subwords)
       val ord = chunks.withColumn("ord", col("doc_id") * 1000 + col("chunk_idx"))
