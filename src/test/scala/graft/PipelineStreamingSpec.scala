@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Chunking, Sampling}
+import graft.ops.{Chunking, Classifier, Dsir, Sampling}
 
 /** The stateless pipeline operators (hash split, token chunking) are pure
   * per-row expressions, so the SAME code must run unchanged on a
@@ -59,6 +59,50 @@ class PipelineStreamingSpec extends AnyFunSuite {
         .as[(Long, Int, Int, String)].collect().toSet
       assert(got == batch)
       assert(got.exists(_._4 == "theta iota kappa")) // normalization applied mid-stream
+    } finally q.stop()
+  }
+
+  test("Naive Bayes scoring on a stream matches the batch scores") {
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq(
+      (100L, "greek", "alpha beta gamma"),
+      (101L, "latin", "unus duo tres")).toDF("doc_id", "label", "text")
+    val model = Classifier.trainNaiveBayes(train, "label", "doc_id", "text")
+    val batch = Classifier.scoreNaiveBayes(
+      docs.toDF("doc_id", "text"), "doc_id", "text", model)
+      .as[(Long, String, Int, Double)].collect().toSet
+
+    val mem = MemoryStream[(Long, String)]
+    val q = Classifier.scoreNaiveBayes(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", model)
+      .writeStream.format("memory").queryName("nb_stream")
+      .outputMode("append").start()
+    try {
+      docs.foreach { d => mem.addData(d); q.processAllAvailable() }
+      val got = spark.sql("SELECT * FROM nb_stream")
+        .as[(Long, String, Int, Double)].collect().toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
+  test("DSIR scoring on a stream matches the batch weights") {
+    implicit val sqlCtx = spark.sqlContext
+    val target = Seq((100L, "alpha beta alpha")).toDF("doc_id", "text")
+    val raw = docs.toDF("doc_id", "text")
+    val model = Dsir.trainImportance(target, raw, "doc_id", "text")
+    val batch = Dsir.scoreImportance(raw, "doc_id", "text", model)
+      .as[(Long, Int, Double)].collect().toSet
+
+    val mem = MemoryStream[(Long, String)]
+    val q = Dsir.scoreImportance(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", model)
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    try {
+      docs.foreach { d => mem.addData(d); q.processAllAvailable() }
+      val got = spark.sql("SELECT * FROM dsir_stream")
+        .as[(Long, Int, Double)].collect().toSet
+      assert(got == batch)
     } finally q.stop()
   }
 }
