@@ -84,6 +84,16 @@ object Pipeline {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // Exact substring dedup (Lee et al. 2107.06499 semantics via the
+    // window-cover identity — no suffix array): every char inside a
+    // ≥25-char substring occurring twice corpus-wide is removed from
+    // ALL occurrences; flagged windows merge to maximal spans and the
+    // cleaned text is rebuilt. Exact, string-keyed → oracle-backed.
+    "q_exact_substrings" -> ((s, dir) =>
+      graft.ops.ExactSubstrings.removeDuplicatedSubstrings(
+        Tables(s, dir, "documents"), "doc_id", "text", L = 25)
+        .orderBy(col("doc_id"))),
+
     // Incremental ingest dedup: the even-id half plays the accumulated
     // corpus (LSH index built once), the odd-id half plays the daily
     // increment probed against it — no corpus self-join. Rows-only (the
@@ -988,6 +998,51 @@ object Pipeline {
         |SELECT tot.doc_id, tot.n_segments, coalesce(agg.n_kept, 0) AS n_kept,
         |  coalesce(agg.text_kept, '') AS text_kept
         |FROM tot LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_exact_substrings" ->
+      """WITH w AS (
+        |  SELECT doc_id, i AS pos, substring(text, i, 25) AS w
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, greatest(length(text) - 25 + 1, 0) + 1)) AS i
+        |        FROM documents WHERE length(text) >= 25)),
+        |dup AS (SELECT w FROM w GROUP BY w HAVING count(*) >= 2),
+        |f AS (SELECT doc_id, pos FROM w JOIN dup USING (w)),
+        |ord AS (
+        |  SELECT doc_id, pos,
+        |    max(pos + 25) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM f),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(CASE WHEN prev_max IS NULL OR pos > prev_max THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM ord),
+        |spans AS (
+        |  SELECT doc_id, island, min(pos) AS s, max(pos + 25) AS e
+        |  FROM isl GROUP BY doc_id, island),
+        |segs AS (
+        |  SELECT doc_id, s, e,
+        |    lag(e, 1, 1) OVER (PARTITION BY doc_id ORDER BY s) AS prev_e
+        |  FROM spans),
+        |pieces AS (
+        |  SELECT g.doc_id,
+        |    string_agg(substring(d.text, g.prev_e, g.s - g.prev_e), ''
+        |      ORDER BY g.s) AS mid,
+        |    max(g.e) AS last_e, count(*) AS n_spans,
+        |    sum(g.e - g.s) AS dup_chars
+        |  FROM segs g JOIN documents d USING (doc_id)
+        |  GROUP BY g.doc_id),
+        |cleaned AS (
+        |  SELECT p.doc_id,
+        |    p.mid || substring(d.text, p.last_e,
+        |      greatest(length(d.text) - p.last_e + 1, 0)) AS cleaned_text,
+        |    p.n_spans, p.dup_chars
+        |  FROM pieces p JOIN documents d USING (doc_id))
+        |SELECT d.doc_id, CAST(length(d.text) AS INT) AS n_chars,
+        |  CAST(COALESCE(c.dup_chars, 0) AS INT) AS n_dup_chars,
+        |  CAST(COALESCE(c.n_spans, 0) AS INT) AS n_spans,
+        |  COALESCE(c.cleaned_text, d.text) AS cleaned_text
+        |FROM documents d LEFT JOIN cleaned c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // the contract IS the constant: both decontamination paths must
     // produce identical pair sets (the Spark side computes the real
     // full-outer diff; any collision-induced divergence lands here)
