@@ -83,4 +83,48 @@ object TextCleanse {
       .withColumn("n_lines_kept", size(kept))
       .withColumn(textCol, concat_ws("\n", kept))
   }
+
+  // ---- Unicode normalization (UAX #15) --------------------------------
+  // Web crawl text mixes precomposed and combining-mark encodings of the
+  // same glyphs; every hash-keyed operator upstream (shingles, grams,
+  // segments, exact windows) treats them as DIFFERENT bytes, so corpora
+  // are NFC-normalized before dedup (CCNet normalizes before hashing).
+  // Kernels are java.text.Normalizer (the JDK's UAX #15 implementation);
+  // DuckDB's nfc_normalize/strip_accents implement the same standard,
+  // which the driver oracle exercises on genuinely non-ASCII input
+  // (q_unicode_nfc injects combining marks on both sides and checks the
+  // compose→strip round-trip) — cross-engine normalization parity is a
+  // gate row, not an assumption. Map-only, streaming-safe.
+
+  /** NFC (canonical composition) of `textCol`. */
+  def nfcNormalize(textCol: Column): Column = {
+    val f = udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    f(textCol)
+  }
+
+  /** NFKC (compatibility composition — also folds ligatures, full-width
+    * forms, superscripts): the aggressive variant used before
+    * tokenization in many pipelines.
+    */
+  def nfkcNormalize(textCol: Column): Column = {
+    val f = udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC))
+    f(textCol)
+  }
+
+  /** Accent stripping: NFD decomposition, then all combining marks
+    * (\p{M}) removed. `é → e`, `ü → u`; base letters without canonical
+    * decompositions (`ø`, `ß`) pass through — same contract as DuckDB's
+    * `strip_accents`.
+    */
+  def stripAccents(textCol: Column): Column = {
+    val f = udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+        .replaceAll("\\p{M}+", ""))
+    f(textCol)
+  }
 }

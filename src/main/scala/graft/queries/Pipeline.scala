@@ -84,6 +84,22 @@ object Pipeline {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    // Cross-engine Unicode-normalization parity as a gate row: inject a
+    // combining acute after every 'a' (making the input genuinely
+    // non-ASCII in BOTH engines), NFC-compose, strip accents, and check
+    // the round-trip restores the original. JDK Normalizer and DuckDB
+    // nfc_normalize/strip_accents must agree on every document.
+    "q_unicode_nfc" -> ((s, dir) => {
+      val injected = regexp_replace(col("text"), "a", "a\u0301")
+      val norm = TextCleanse.nfcNormalize(injected)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          length(injected).as("n_src_chars"),
+          length(norm).as("n_norm_chars"),
+          (TextCleanse.stripAccents(norm) === col("text")).as("restored_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact substring dedup (Lee et al. 2107.06499 semantics via the
     // window-cover identity — no suffix array): every char inside a
     // ≥25-char substring occurring twice corpus-wide is removed from
@@ -998,6 +1014,17 @@ object Pipeline {
         |SELECT tot.doc_id, tot.n_segments, coalesce(agg.n_kept, 0) AS n_kept,
         |  coalesce(agg.text_kept, '') AS text_kept
         |FROM tot LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_unicode_nfc" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    replace(text, 'a', 'a' || chr(769)) AS injected
+        |  FROM documents),
+        |n AS (SELECT doc_id, text, injected,
+        |        nfc_normalize(injected) AS norm FROM s)
+        |SELECT doc_id, CAST(length(injected) AS INT) AS n_src_chars,
+        |  CAST(length(norm) AS INT) AS n_norm_chars,
+        |  strip_accents(norm) = text AS restored_ok
+        |FROM n ORDER BY doc_id""".stripMargin,
     "q_exact_substrings" ->
       """WITH w AS (
         |  SELECT doc_id, i AS pos, substring(text, i, 25) AS w

@@ -273,6 +273,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(800))
   }
 
+  test("exact substring dedup: count aggregate + joins, no window, no cartesian") {
+    // the ORACLE does gaps-and-islands with SQL windows; the Spark plan
+    // must instead be the two keyed aggregates + joins the scaladoc
+    // promises — a Window here would mean the span merge fell out of the
+    // compiled kernel into a per-doc sort
+    val p = physicalPlan("q_exact_substrings")
+    assert(!p.contains("Window"), s"span merge must stay in the kernel:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"duplicated-window detection must combine map-side:\n${p.take(800)}")
+  }
+
   test("tokenize-chunk-pack never plans a single-partition exchange") {
     val p = physicalPlan("q_tokenize_pack")
     assert(!p.contains("Exchange SinglePartition"),

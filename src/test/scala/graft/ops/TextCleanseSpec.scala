@@ -47,6 +47,41 @@ class TextCleanseSpec extends AnyFunSuite {
     assert((e, i, p) == ((0, 0, 0)))
   }
 
+  test("nfcNormalize composes combining marks; idempotent on composed text") {
+    import spark.implicits._
+    val decomposed = "e\u0301te\u0301" // e + combining acute, twice
+    val composed = "\u00e9t\u00e9"
+    val got = Seq(Tuple1(decomposed)).toDF("text")
+      .select(TextCleanse.nfcNormalize(col("text")).as("n"))
+      .head().getString(0)
+    assert(got == composed)
+    val again = Seq(Tuple1(got)).toDF("text")
+      .select(TextCleanse.nfcNormalize(col("text")).as("n"))
+      .head().getString(0)
+    assert(again == composed)
+  }
+
+  test("nfkcNormalize also folds compatibility forms") {
+    import spark.implicits._
+    // fi-ligature U+FB01 and circled one U+2460
+    val got = Seq(Tuple1("\ufb01le \u2460")).toDF("text")
+      .select(TextCleanse.nfkcNormalize(col("text")).as("n"))
+      .head().getString(0)
+    assert(got == "file 1")
+  }
+
+  test("stripAccents removes marks, keeps undecomposable base letters") {
+    import spark.implicits._
+    // creme/brulee/uber precomposed; o-slash and sharp-s have no
+    // canonical decomposition and must survive
+    val in = "cr\u00e8me br\u00fbl\u00e9e \u00fcber \u00f8 stra\u00dfe"
+    val got = Seq(Tuple1(in)).toDF("text")
+      .select(TextCleanse.stripAccents(col("text")).as("n"))
+      .head().getString(0)
+    assert(got == "creme brulee uber \u00f8 stra\u00dfe")
+  }
+
+
   test("c4LineFilter keeps terminal-punctuated >=4-word lines, drops boilerplate") {
     val doc = Seq(
       "This is a proper sentence.",        // keep
