@@ -63,4 +63,33 @@ object Chunking {
       .select(col(idCol), col("chunk_idx").cast("int").as("chunk_idx"),
         col("c._1").as("n_tokens"), col("c._2").as("chunk_text"))
   }
+
+  /** Fill-in-the-middle example assembly (Bavarian et al.,
+    * arXiv:2207.14255): split each document into (prefix, middle,
+    * suffix) at two cut points and emit the PSM permutation
+    * `<PRE>prefix<SUF>suffix<MID>middle` — the transformation that
+    * teaches causal LMs to infill. The paper cuts uniformly at random;
+    * here the cuts derive from id arithmetic (`id mod 97`, `7·id mod
+    * 89` scaled by length), so the split is a pure function of the row —
+    * deterministic across reruns, engines (the DuckDB oracle replays
+    * it), and partitionings, while still varying per document. Character
+    * cuts, like the paper's default. Map-only, no shuffle; expression
+    * arithmetic only (codegen'd, no UDF).
+    *
+    * Output: `(idCol, n_prefix, n_middle, n_suffix, psm_text)`.
+    */
+  def fimSplit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = length(col(textCol))
+    val c1 = floor(n * (col(idCol) % 97) / lit(97.0)).cast("int")
+    val c2 = floor(n * ((col(idCol) * 7) % 89) / lit(89.0)).cast("int")
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    df.select(col(idCol),
+      lo.as("n_prefix"),
+      (hi - lo).as("n_middle"),
+      (n - hi).as("n_suffix"),
+      concat(lit("<PRE>"), col(textCol).substr(lit(1), lo),
+        lit("<SUF>"), col(textCol).substr(hi + 1, n - hi),
+        lit("<MID>"), col(textCol).substr(lo + 1, hi - lo)).as("psm_text"))
+  }
 }

@@ -64,6 +64,29 @@ object Sampling {
     df.filter(md5(col(idCol).cast("string")) < lit(hexThreshold(fraction)))
   }
 
+  /** Token-budget sampling: the greedy prefix of the corpus in md5(id)
+    * order whose running token total stays within `budget` — pretraining
+    * mixes are drawn to a TOKEN budget, not a document count ("sample
+    * 300B tokens of web"), and hash order makes the drawn set a pure
+    * function of the data (reruns, other engines, and corpus subsets
+    * agree). A document is included only if it fits entirely.
+    *
+    * The running total is [[Packing.runningTotal]] — two-phase cumsum,
+    * no single-partition exchange; everything else is map-only. Output:
+    * input columns + `cum_tokens` (inclusive running total ≤ budget).
+    */
+  def tokenBudgetSample(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val keyed = df.withColumn("__rk", rankKey(col(idCol)))
+    Packing.runningTotal(keyed, "__rk", tokensCol, "cum_tokens")
+      .filter(col("cum_tokens") <= budget)
+      .drop("__rk")
+  }
+
   /** `fraction` scaled into 128-bit digest space as 32 lowercase hex
     * chars (the exact cut point for [[hashSample]]'s string compare).
     */

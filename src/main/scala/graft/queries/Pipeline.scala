@@ -527,6 +527,26 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // Token-budget sampling: greedy md5-order prefix within a 60k-token
+    // budget (pretraining mixes are drawn to token budgets, not doc
+    // counts). Exact running total -> oracle-backed.
+    "q_token_budget" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .withColumn("n_tokens",
+          size(filter(split(lower(trim(col("text"))), "\\s+"),
+            t => length(t) > lit(0))))
+      Sampling.tokenBudgetSample(docs, "doc_id", "n_tokens", budget = 60000L)
+        .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic FIM (fill-in-the-middle) assembly: PSM permutation
+    // with id-arithmetic cut points — pure expression math, map-only,
+    // exactly SQL-replayable.
+    "q_fim_split" -> ((s, dir) =>
+      Chunking.fimSplit(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // Token-window chunking (window 32, stride 16): the fixed-context
     // assembly step. Map-only scan->generate; no shuffle.
     "q_chunk_windows" -> ((s, dir) =>
@@ -1014,6 +1034,33 @@ object Pipeline {
         |SELECT tot.doc_id, tot.n_segments, coalesce(agg.n_kept, 0) AS n_kept,
         |  coalesce(agg.text_kept, '') AS text_kept
         |FROM tot LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(lower(trim(text)), '\S+')) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) || '|' || CAST(doc_id AS VARCHAR) AS rk
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY rk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum_tokens <= 60000 ORDER BY doc_id""".stripMargin,
+    "q_fim_split" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, CAST(length(text) AS INT) AS n,
+        |    CAST(floor(length(text) * (doc_id % 97) / 97.0) AS INT) AS c1,
+        |    CAST(floor(length(text) * ((doc_id * 7) % 89) / 89.0) AS INT) AS c2
+        |  FROM documents),
+        |s AS (SELECT doc_id, text, n,
+        |        least(c1, c2) AS lo, greatest(c1, c2) AS hi FROM t)
+        |SELECT doc_id, lo AS n_prefix, hi - lo AS n_middle, n - hi AS n_suffix,
+        |  '<PRE>' || substring(text, 1, lo) ||
+        |  '<SUF>' || substring(text, hi + 1, n - hi) ||
+        |  '<MID>' || substring(text, lo + 1, hi - lo) AS psm_text
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q_unicode_nfc" ->
       """WITH s AS (
         |  SELECT doc_id, text,

@@ -172,6 +172,29 @@ class AssemblySpec extends AnyFunSuite {
     }
   }
 
+  // ---- FIM split -------------------------------------------------------
+
+  test("fimSplit: PSM reconstruction, exact lengths, deterministic variety") {
+    val in = (1L to 120L).map(i => (i, s"document number $i with some text body"))
+      .toDF("doc_id", "text")
+    val rows = Chunking.fimSplit(in, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val texts = (1L to 120L).map(i => s"document number $i with some text body")
+    rows.zip(texts).foreach { case (r, t) =>
+      val (np, nm, ns, psm) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))
+      assert(np + nm + ns == t.length)
+      // parse PSM back and reassemble the original
+      val p = psm.indexOf("<SUF>"); val m = psm.indexOf("<MID>")
+      val prefix = psm.substring(5, p)
+      val suffix = psm.substring(p + 5, m)
+      val middle = psm.substring(m + 5)
+      assert(prefix.length == np && middle.length == nm && suffix.length == ns)
+      assert(prefix + middle + suffix == t)
+    }
+    // cuts vary across documents (id arithmetic, not a constant split)
+    assert(rows.map(_.getInt(1)).distinct.length > 10)
+  }
+
   // ---- tokenize → chunk → pack spine (q_tokenize_pack) -----------------
 
   test("tokenize->chunk->pack conserves every subword and bounds bin starts") {

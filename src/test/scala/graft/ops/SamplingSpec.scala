@@ -173,4 +173,35 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.hashSplit(df, "id", Seq("a" -> 0.8, "b" -> -0.1))
     }
   }
+
+  test("tokenBudgetSample: greedy md5-order prefix, whole-docs-only, invariant") {
+    import org.apache.spark.sql.functions.{col, md5, concat, lit}
+    val docs = (1L to 50L).map(i => (i, (i % 7 + 1) * 10)) // 10..70 tokens
+    val df = docs.toDF("id", "n_tokens")
+    val budget = 800L
+    val got = Sampling.tokenBudgetSample(df, "id", "n_tokens", budget)
+      .select("id", "cum_tokens").as[(Long, Long)].collect().toMap
+    // reference: sort by md5 key on the driver, take the greedy prefix
+    val ordered = docs.sortBy { case (i, _) =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString + "|" + i
+    }
+    var cum = 0L
+    val expect = scala.collection.mutable.Map[Long, Long]()
+    for ((i, t) <- ordered) {
+      cum += t
+      if (cum <= budget) expect(i) = cum
+    }
+    // greedy prefix semantics: everything after the first overflow is out
+    val firstOverflow = ordered.map(_._2).scanLeft(0L)(_ + _).tail
+      .indexWhere(_ > budget)
+    assert(got == expect.toMap.filter(_._2 <= budget))
+    assert(got.size == firstOverflow)
+    // partition invariance
+    val got7 = Sampling.tokenBudgetSample(
+      df.repartition(7), "id", "n_tokens", budget)
+      .select("id", "cum_tokens").as[(Long, Long)].collect().toMap
+    assert(got7 == got)
+  }
 }
