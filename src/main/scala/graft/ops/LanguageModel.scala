@@ -81,4 +81,28 @@ object LanguageModel {
   /** Self-scoring convenience: train on `docs`, score `docs`. */
   def unigramScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     scoreDocs(docs, idCol, textCol, trainUnigrams(docs, idCol, textCol))
+
+  /** CCNet's selection step: bucket documents into head / middle / tail
+    * by perplexity terciles (CCNet trains on the head, optionally the
+    * middle, and drops the tail). Cuts are EXACT interpolated
+    * percentiles of the rounded scores — a one-row aggregate broadcast
+    * back over the scored frame, so the corpus is never re-shuffled.
+    * Bucket boundaries are engine-stable: both engines interpolate
+    * inside the same sorted bracket, so even last-bit differences in
+    * the cut value cannot reclassify a document (the cut lands strictly
+    * between two distinct 6-dp scores, or exactly on one in both).
+    * Output: `(idCol, n_tokens, avg_nll, bucket)`.
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scored = unigramScore(docs, idCol, textCol)
+    val cuts = scored.agg(
+      expr("percentile(avg_nll, CAST(1.0/3 AS DOUBLE))").as("__q1"),
+      expr("percentile(avg_nll, CAST(2.0/3 AS DOUBLE))").as("__q2"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("avg_nll") <= col("__q1"), lit("head"))
+          .when(col("avg_nll") <= col("__q2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(idCol), col("n_tokens"), col("avg_nll"), col("bucket"))
+  }
 }

@@ -582,6 +582,13 @@ object Pipeline {
         Tables(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // CCNet head/middle/tail selection by exact perplexity terciles —
+    // one broadcast cut row over the scored frame, oracle-backed.
+    "q_ccnet_buckets" -> ((s, dir) =>
+      graft.ops.LanguageModel.perplexityBuckets(
+        Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // BPE tokenizer training + application: one corpus-scale word-count
     // aggregate, vocabulary-bounded merge loop on the driver, map-only
     // tokenization. Rows-only (the merge loop is not SQL-expressible);
@@ -1184,6 +1191,31 @@ object Pipeline {
         |SELECT doc_id, label AS lang_pred, CAST(n AS INT) AS n_tokens,
         |  round(CAST(nll AS DOUBLE), 6) AS nll
         |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_ccnet_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        |v AS (SELECT token, count(*) AS c FROM p GROUP BY token),
+        |tot AS (SELECT sum(c) AS t, count(*) AS vsz FROM v),
+        |s AS (
+        |  SELECT p.doc_id,
+        |    sum(CAST(round(-ln((v.c + 1.0) / (tot.t + tot.vsz)), 9)
+        |      AS DECIMAL(38,9))) AS nll,
+        |    count(*) AS n
+        |  FROM p JOIN v USING (token) CROSS JOIN tot
+        |  GROUP BY p.doc_id),
+        |sc AS (
+        |  SELECT doc_id, CAST(n AS INT) AS n_tokens,
+        |    round(CAST(nll AS DOUBLE) / n, 6) AS avg_nll
+        |  FROM s),
+        |q AS (SELECT quantile_cont(avg_nll, CAST(1.0/3 AS DOUBLE)) AS q1,
+        |        quantile_cont(avg_nll, CAST(2.0/3 AS DOUBLE)) AS q2 FROM sc)
+        |SELECT doc_id, n_tokens, avg_nll,
+        |  CASE WHEN avg_nll <= q.q1 THEN 'head'
+        |       WHEN avg_nll <= q.q2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM sc CROSS JOIN q ORDER BY doc_id""".stripMargin,
     "q_lm_score" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS toks

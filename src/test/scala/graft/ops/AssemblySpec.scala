@@ -137,6 +137,23 @@ class AssemblySpec extends AnyFunSuite {
     assert(got._3 > typical)
   }
 
+  test("perplexityBuckets: tercile counts, score-ordered buckets") {
+    // 30 docs in three clearly-separated perplexity bands: corpus-typical
+    // (common words), mixed, and rare-word gibberish
+    val corpus = ((1L to 10L).map(i => (i, "the cat sat on the mat")) ++
+      (11L to 20L).map(i => (i, s"the cat rare$i mat")) ++
+      (21L to 30L).map(i => (i, s"zz$i qq$i ww$i xx$i"))).toDF("doc_id", "text")
+    val got = LanguageModel.perplexityBuckets(corpus, "doc_id", "text")
+      .as[(Long, Int, Double, String)].collect()
+    val byBucket = got.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    assert(byBucket("head").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("tail").min)
+    assert(byBucket("head").length == 10 && byBucket("tail").length == 10)
+    val expectedHead = (1L to 10L).toSet
+    assert(got.filter(_._4 == "head").map(_._1).toSet == expectedHead)
+  }
+
   // ---- Chunking --------------------------------------------------------
 
   test("chunks: window/stride layout, stop at the window that reaches the end") {
