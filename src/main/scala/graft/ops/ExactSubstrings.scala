@@ -67,6 +67,38 @@ object ExactSubstrings {
     exploded.join(dups, Seq("w")).select(col(idCol), col("pos"))
   }
 
+  /** Boilerplate forensics: for every pair of groups (sources, domains,
+    * shards) the number of DISTINCT length-`L` windows occurring in
+    * both — "which sources share templated text" is the first question
+    * after exact-substring dedup reports a high removal rate. Two keyed
+    * aggregates + one window-keyed self-join of the DISTINCT (group,
+    * window) frame; with G groups a window contributes at most G(G−1)/2
+    * pair rows, so the join output is bounded by G², not the corpus.
+    * Output: `(group_a, group_b, n_shared_windows)`, group_a < group_b.
+    */
+  def sharedWindowMatrix(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      L: Int,
+      hashKey: Boolean = false): DataFrame = {
+    require(L >= 2, s"sharedWindowMatrix: L must be >= 2, got $L")
+    val exploded = df
+      .filter(length(col(textCol)) >= L)
+      .select(col(groupCol),
+        explode(transform(
+          sequence(lit(1), length(col(textCol)) - L + 1),
+          i => col(textCol).substr(i, lit(L)))).as("w"))
+    val keyed =
+      (if (hashKey) exploded.withColumn("w", xxhash64(col("w"))) else exploded)
+        .distinct()
+    keyed.select(col(groupCol).as("group_a"), col("w"))
+      .join(keyed.select(col(groupCol).as("group_b"), col("w")), Seq("w"))
+      .filter(col("group_a") < col("group_b"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(count(lit(1)).as("n_shared_windows"))
+  }
+
   /** Per-document removal result: `(idCol, n_chars, n_dup_chars,
     * n_spans, cleaned_text)`. Flagged windows merge into maximal
     * [pos, pos+L) spans; `cleaned_text` is the concatenation of the

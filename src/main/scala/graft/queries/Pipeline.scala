@@ -110,6 +110,14 @@ object Pipeline {
         Tables(s, dir, "documents"), "doc_id", "text", L = 25)
         .orderBy(col("doc_id"))),
 
+    // Boilerplate forensics: distinct ≥25-char windows shared between
+    // each pair of sources — the "where is the templated text coming
+    // from" view over the exact-substring family. Exact → oracle-backed.
+    "q_boilerplate_matrix" -> ((s, dir) =>
+      graft.ops.ExactSubstrings.sharedWindowMatrix(
+        Tables(s, dir, "documents"), "source", "text", L = 25)
+        .orderBy(col("group_a"), col("group_b"))),
+
     // Incremental ingest dedup: the even-id half plays the accumulated
     // corpus (LSH index built once), the odd-id half plays the daily
     // increment probed against it — no corpus self-join. Rows-only (the
@@ -1079,6 +1087,15 @@ object Pipeline {
         |  CAST(length(norm) AS INT) AS n_norm_chars,
         |  strip_accents(norm) = text AS restored_ok
         |FROM n ORDER BY doc_id""".stripMargin,
+    "q_boilerplate_matrix" ->
+      """WITH w AS (
+        |  SELECT DISTINCT source AS g, substring(text, i, 25) AS w
+        |  FROM (SELECT source, text,
+        |          unnest(range(1, greatest(length(text) - 25 + 1, 0) + 1)) AS i
+        |        FROM documents WHERE length(text) >= 25))
+        |SELECT a.g AS group_a, b.g AS group_b, count(*) AS n_shared_windows
+        |FROM w a JOIN w b ON a.w = b.w AND a.g < b.g
+        |GROUP BY a.g, b.g ORDER BY group_a, group_b""".stripMargin,
     "q_exact_substrings" ->
       """WITH w AS (
         |  SELECT doc_id, i AS pos, substring(text, i, 25) AS w

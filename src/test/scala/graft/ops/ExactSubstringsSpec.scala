@@ -85,6 +85,19 @@ class ExactSubstringsSpec extends AnyFunSuite {
     assert(run(docs, L = 15, hashKey = true) === run(docs, L = 15))
   }
 
+  test("sharedWindowMatrix counts distinct cross-group windows, ordered pairs") {
+    // groups x and y share exactly the 10-char run "0123456789" (3 distinct
+    // 8-windows); z shares nothing
+    val docs = Seq(
+      (1L, "x", "aa0123456789bb"),
+      (2L, "y", "cc0123456789dd"),
+      (3L, "y", "ee0123456789ff"), // same shared windows again: still distinct-counted once
+      (4L, "z", "completely-unrelated-text")).toDF("doc_id", "grp", "text")
+    val got = ExactSubstrings.sharedWindowMatrix(docs, "grp", "text", L = 8)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("x", "y", 3L)))
+  }
+
   test("result is partition-count invariant") {
     val docs = (1L to 30L).map(i =>
       i -> s"doc$i common-boilerplate-license-header-text body-$i")
