@@ -40,6 +40,27 @@ import org.apache.spark.sql.functions._
   */
 object ExactSubstrings {
 
+  /** All length-`L` windows of `text` in position order (index i =
+    * 1-based pos i+1) — the compiled form of the
+    * `transform(sequence(...), substr)` expression chain, which runs
+    * interpreted per element and measured ~3× slower at sf0.1 (the same
+    * finding that compiled the decontamination gram kernel in round 6).
+    * Positions are UTF-16 code units (Java `substring`); they agree with
+    * codepoint positions (Spark `substr`, DuckDB `substring`) for all
+    * text without surrogate pairs — supplementary-plane text would need
+    * the codepoint-walking variant.
+    */
+  private[ops] def charWindows(text: String, L: Int): Array[String] = {
+    if (text == null || text.length < L) return Array.empty[String]
+    val n = text.length - L + 1
+    val out = new Array[String](n)
+    var i = 0
+    while (i < n) { out(i) = text.substring(i, i + L); i += 1 }
+    out
+  }
+
+  private def charWindowsUdf(L: Int) = udf((t: String) => charWindows(t, L))
+
   /** Flagged window start positions per document: `(idCol, pos)` where
     * the length-`L` window starting at 1-based `pos` occurs ≥ 2 times
     * corpus-wide (all occurrences count, including repeats within one
@@ -55,9 +76,7 @@ object ExactSubstrings {
     val exploded = df
       .filter(length(col(textCol)) >= L)
       .select(col(idCol),
-        posexplode(transform(
-          sequence(lit(1), length(col(textCol)) - L + 1),
-          i => col(textCol).substr(i, lit(L)))).as(Seq("p0", "w")))
+        posexplode(charWindowsUdf(L)(col(textCol))).as(Seq("p0", "w")))
       .select(col(idCol), (col("p0") + 1).as("pos"),
         (if (hashKey) xxhash64(col("w")) else col("w")).as("w"))
     val dups = exploded.groupBy(col("w"))
@@ -70,10 +89,18 @@ object ExactSubstrings {
   /** Boilerplate forensics: for every pair of groups (sources, domains,
     * shards) the number of DISTINCT length-`L` windows occurring in
     * both — "which sources share templated text" is the first question
-    * after exact-substring dedup reports a high removal rate. Two keyed
-    * aggregates + one window-keyed self-join of the DISTINCT (group,
-    * window) frame; with G groups a window contributes at most G(G−1)/2
-    * pair rows, so the join output is bounded by G², not the corpus.
+    * after exact-substring dedup reports a high removal rate.
+    *
+    * Group membership per window is a 64-bit BITMASK: groups map to bit
+    * indices (one tiny driver-side distinct — group columns are
+    * low-cardinality by construction), and ONE window-keyed `bit_or`
+    * aggregate — plain Long hash aggregation, map-side combinable, no
+    * set buffers, no self-join — computes each window's group set. A
+    * kernel explodes each ≥2-bit mask into ordered pairs (≤ G(G−1)/2
+    * rows per window, bounded by the group count, not the corpus) and a
+    * tiny pair-keyed count finishes. The collect_set and self-join
+    * formulations were both measured 3–6× slower at sf0.1 (object-heavy
+    * aggregation buffers / double string shuffle respectively).
     * Output: `(group_a, group_b, n_shared_windows)`, group_a < group_b.
     */
   def sharedWindowMatrix(
@@ -83,19 +110,28 @@ object ExactSubstrings {
       L: Int,
       hashKey: Boolean = false): DataFrame = {
     require(L >= 2, s"sharedWindowMatrix: L must be >= 2, got $L")
+    val groups = df.select(col(groupCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).sorted
+    require(groups.length <= 64,
+      s"sharedWindowMatrix: bitmask path supports <= 64 groups, got ${groups.length}")
+    val bitOf = groups.zipWithIndex.map { case (g, i) => g -> (1L << i) }.toMap
     val exploded = df
       .filter(length(col(textCol)) >= L)
-      .select(col(groupCol),
-        explode(transform(
-          sequence(lit(1), length(col(textCol)) - L + 1),
-          i => col(textCol).substr(i, lit(L)))).as("w"))
+      .select(
+        element_at(typedLit(bitOf), col(groupCol).cast("string")).as("gb"),
+        explode(charWindowsUdf(L)(col(textCol))).as("w"))
     val keyed =
-      (if (hashKey) exploded.withColumn("w", xxhash64(col("w"))) else exploded)
-        .distinct()
-    keyed.select(col(groupCol).as("group_a"), col("w"))
-      .join(keyed.select(col(groupCol).as("group_b"), col("w")), Seq("w"))
-      .filter(col("group_a") < col("group_b"))
-      .groupBy(col("group_a"), col("group_b"))
+      if (hashKey) exploded.withColumn("w", xxhash64(col("w"))) else exploded
+    val pairsOf = udf((mask: Long) => {
+      val idxs = (0 until 64).filter(b => (mask & (1L << b)) != 0)
+      for { i <- idxs.indices; j <- (i + 1) until idxs.length }
+        yield (groups(idxs(i)), groups(idxs(j)))
+    })
+    keyed.groupBy(col("w"))
+      .agg(expr("bit_or(gb)").as("mask"))
+      .filter(bit_count(col("mask")) > 1)
+      .select(explode(pairsOf(col("mask"))).as("p"))
+      .groupBy(col("p._1").as("group_a"), col("p._2").as("group_b"))
       .agg(count(lit(1)).as("n_shared_windows"))
   }
 
