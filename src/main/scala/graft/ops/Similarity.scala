@@ -144,6 +144,38 @@ object Similarity {
     TopKAggregator.topKByGroup(scored, "query_id", "neighbor_id", "sim", k)
   }
 
+  /** Hard-negative mining for contrastive training: each query's top-k
+    * most-similar corpus vectors carrying a DIFFERENT label (the
+    * "hardest" negatives — near the query in embedding space but of
+    * another class; random negatives are too easy to teach a margin).
+    * Brute-force scoring with the label inequality fused into the scan
+    * filter, selection through the bounded-heap aggregate — same scale
+    * shape as [[bruteForceTopK]]; for corpus-scale mining compose the
+    * LSH/IVF candidate generators with the same label filter instead.
+    * Output: (query_id, neighbor_id, sim, rank).
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int = 10): DataFrame = {
+    ensureNative(corpus)
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("q_label"), col(vecCol).as("qv"),
+      HashKernels.normUdf(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("c_label"), col(vecCol).as("cv"),
+      HashKernels.normUdf(col(vecCol)).as("cn"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        col("q_label") =!= col("c_label"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosinePre(col("qv"), col("cv"), col("qn"), col("cn")), 6).as("sim"))
+    TopKAggregator.topKByGroup(scored, "query_id", "neighbor_id", "sim", k)
+  }
+
   /** (band, bucket, <id>) banding frame: exact buckets only. */
   private def bandedExact(
       df: DataFrame, idCol: String, outId: String, vecCol: String,

@@ -398,6 +398,17 @@ object Pipeline {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Hard-negative mining: top-5 nearest DIFFERENT-label vectors per
+    // query — the contrastive-training negative sampler. Exact scoring
+    // with the label filter fused into the scan; oracle-backed.
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "label", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // LSH-bucketed approximate variant. Rows-only. The testdata embeddings
     // are random (nearest neighbors sit at s≈0.4, p(bit)=0.63), so the
     // default 16-bit bands would never collide; this query passes explicit
@@ -938,6 +949,27 @@ object Pipeline {
         |      i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))) AS den
         |  FROM embeddings q, embeddings c
         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    round(CASE WHEN den > 0 THEN num / den ELSE 0 END, 6) AS sim
+        |  FROM pairs)
+        |SELECT query_id, neighbor_id, sim, rank FROM (
+        |  SELECT query_id, neighbor_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_hard_negatives" ->
+      """WITH pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) AS num,
+        |    sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))) *
+        |    sqrt(list_sum(list_transform(generate_series(1, 64),
+        |      i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))) AS den
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |    AND q.label <> c.label),
         |scored AS (
         |  SELECT query_id, neighbor_id,
         |    round(CASE WHEN den > 0 THEN num / den ELSE 0 END, 6) AS sim

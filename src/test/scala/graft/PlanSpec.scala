@@ -286,6 +286,16 @@ class PlanSpec extends AnyFunSuite {
       s"duplicated-window detection must combine map-side:\n${p.take(800)}")
   }
 
+  test("boilerplate matrix: one bitmask aggregate, no self-join, no window") {
+    val p = physicalPlan("q_boilerplate_matrix")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"group membership must aggregate as a bitmask, not join:\n${p.take(800)}")
+    assert(!p.contains("Window"), p.take(800))
+    assert(p.contains("partial_bit_or"),
+      s"the bit_or must combine map-side:\n${p.take(800)}")
+  }
+
   test("tokenize-chunk-pack never plans a single-partition exchange") {
     val p = physicalPlan("q_tokenize_pack")
     assert(!p.contains("Exchange SinglePartition"),

@@ -299,6 +299,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.head.getLong(1) == 2L)
   }
 
+  test("hardNegatives returns the nearest DIFFERENT-label vectors only") {
+    // labels: v1,v2,v5 = class 0 (mutually nearest); v3,v4 = class 1.
+    // for query v1 the same-class near neighbors v2/v5 must be excluded:
+    // hardest negative is the orthogonal v3 (sim 0), then opposite v4 (-1)
+    val labeled = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.1f, 0.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),
+      (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 1),
+      (5L, Array(0.9f, 0.2f, 0.1f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.hardNegatives(labeled, labeled.filter(col("vec_id") === 1),
+      "vec_id", "embedding", "label", k = 3)
+      .orderBy("rank").collect().map(x => (x.getLong(1), x.getInt(3)))
+    assert(r.map(_._1).toSeq == Seq(3L, 4L)) // only the two class-1 vectors exist
+    // and they agree with brute-force ranking restricted to class 1
+    val brute = Similarity.bruteForceTopK(
+      labeled.filter(col("label") === 1), labeled.filter(col("vec_id") === 1),
+      "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(r.map(_._1).toSeq == brute.toSeq)
+  }
+
   test("topKByGroup equals the window-sort ranking it replaced (ties included)") {
     // Random scores with forced duplicates so sim-ties exercise the id
     // tie-break; compare against an explicit row_number window.
