@@ -82,6 +82,91 @@ object LanguageModel {
   def unigramScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     scoreDocs(docs, idCol, textCol, trainUnigrams(docs, idCol, textCol))
 
+  /** Bigram model: unigram table plus `"w1 w2"`-keyed bigram counts and
+    * per-prefix continuation totals. Bounded by the distinct-BIGRAM
+    * count; at web scale prune with `minCount` (rare bigrams fall back
+    * to the same smoothing floor as unseen ones — the standard
+    * count-cutoff LM compression).
+    */
+  final case class Bigrams(
+      uni: Unigrams,
+      bi: Map[String, Long],
+      prefix: Map[String, Long])
+
+  /** Train a bigram model: the unigram aggregate plus ONE bigram-keyed
+    * map-side-combined aggregate (a per-doc kernel emits adjacent
+    * pairs). `minCount` drops rare bigrams from the broadcast model.
+    */
+  def trainBigrams(
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long = 1L): Bigrams = {
+    val uni = trainUnigrams(train, idCol, textCol)
+    val pairsUdf = udf((text: String) => {
+      val toks = HashKernels.tokensOf(text)
+      if (toks.length < 2) Array.empty[String]
+      else Array.tabulate(toks.length - 1)(i => toks(i) + " " + toks(i + 1))
+    })
+    val rows = train.select(explode(pairsUdf(col(textCol))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val prefix = new scala.collection.mutable.HashMap[String, Long]()
+    rows.foreach { case (bg, c) =>
+      val w1 = bg.substring(0, bg.indexOf(' '))
+      prefix.update(w1, prefix.getOrElse(w1, 0L) + c)
+    }
+    Bigrams(uni, rows.toMap, prefix.toMap)
+  }
+
+  /** Bigram scoring: the first token takes its add-one unigram NLL, each
+    * following token the Laplace-smoothed conditional
+    * `−ln((c(w₁w₂)+1)/(c(w₁·)+|V|))`. Same quantized-Long accumulation
+    * as [[scoreDocs]] — exactly SQL-replayable (q_bigram_score). A
+    * document whose every adjacent pair is corpus-typical scores low;
+    * shuffled or templated word soup scores high even when its
+    * UNIGRAMS are typical — the signal the unigram filter cannot see.
+    * Map-only; output `(idCol, n_tokens, round(avg_nll, 6))`.
+    */
+  def scoreBigrams(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: Bigrams): DataFrame = {
+    val uniDenom = (model.uni.total + model.uni.vocabSize).toDouble
+    val vsz = model.uni.vocabSize.toDouble
+    val uniCounts = model.uni.counts
+    val bi = model.bi
+    val prefix = model.prefix
+    val f = udf((text: String) => {
+      val toks = HashKernels.tokensOf(text)
+      if (toks.isEmpty) null
+      else {
+        var nanos = 0L
+        val first = -math.log((uniCounts.getOrElse(toks(0), 0L) + 1.0) / uniDenom)
+        nanos += math.floor(first * 1e9 + 0.5).toLong
+        var i = 1
+        while (i < toks.length) {
+          val c = bi.getOrElse(toks(i - 1) + " " + toks(i), 0L)
+          val cp = prefix.getOrElse(toks(i - 1), 0L)
+          val term = -math.log((c + 1.0) / (cp + vsz))
+          nanos += math.floor(term * 1e9 + 0.5).toLong
+          i += 1
+        }
+        (toks.length, (nanos.toDouble / 1e9) / toks.length)
+      }
+    })
+    docs.select(col(idCol), f(col(textCol)).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col(idCol), col("s._1").as("n_tokens"),
+        round(col("s._2"), 6).as("avg_nll"))
+  }
+
+  /** Self-scoring convenience: train bigrams on `docs`, score `docs`. */
+  def bigramScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    scoreBigrams(docs, idCol, textCol, trainBigrams(docs, idCol, textCol))
+
   /** CCNet's selection step: bucket documents into head / middle / tail
     * by perplexity terciles (CCNet trains on the head, optionally the
     * middle, and drops the tail). Cuts are EXACT interpolated

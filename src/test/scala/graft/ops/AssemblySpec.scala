@@ -137,6 +137,34 @@ class AssemblySpec extends AnyFunSuite {
     assert(got._3 > typical)
   }
 
+  test("trainBigrams + scoreBigrams: hand-computed conditional NLL") {
+    // bigrams: the-cat, cat-sat, sat-on, on-the, the-mat, the-dog,
+    // cat-cat(x2), mat-dog; prefix totals: the=3, cat=3, sat=1, on=1, mat=1
+    val m = LanguageModel.trainBigrams(docs, "doc_id", "text")
+    assert(m.bi("cat cat") == 2 && m.bi("the dog") == 1)
+    assert(m.prefix("the") == 3 && m.prefix("cat") == 3)
+    def nanos(x: Double): Long = math.floor(x * 1e9 + 0.5).toLong
+    val first = -math.log(4.0 / 19) // the: (3+1)/(13+6)
+    val cond = -math.log(2.0 / 9) // the->dog: (1+1)/(3+6)
+    val expect = BigDecimal((nanos(first) + nanos(cond)).toDouble / 1e9 / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = LanguageModel.scoreBigrams(
+      Seq((9L, "the dog")).toDF("doc_id", "text"), "doc_id", "text", m)
+      .as[(Long, Int, Double)].collect().head
+    assert(got == ((9L, 2, expect)))
+  }
+
+  test("bigram score separates natural order from shuffled word soup") {
+    val m = LanguageModel.trainBigrams(docs, "doc_id", "text")
+    val scored = LanguageModel.scoreBigrams(
+      Seq((1L, "the cat sat on the mat"),
+        (2L, "mat the on sat cat the")).toDF("doc_id", "text"),
+      "doc_id", "text", m)
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> r._3).toMap
+    // identical unigram bag — only the bigram structure differs
+    assert(scored(1L) < scored(2L))
+  }
+
   test("perplexityBuckets: tercile counts, score-ordered buckets") {
     // 30 docs in three clearly-separated perplexity bands: corpus-typical
     // (common words), mixed, and rare-word gibberish
