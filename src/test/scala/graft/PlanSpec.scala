@@ -240,11 +240,11 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("broadcast-model scoring (NB, DSIR) is map-only over the corpus") {
+  test("broadcast-model scoring (NB, DSIR, LM) is map-only over the corpus") {
     // training collects vocab-bounded aggregates at plan-build time; the
     // SCORED frame must then see zero hash shuffles and no window — the
     // only exchange is the presentation sort's range partitioning
-    for (q <- Seq("q_nb_lang", "q_dsir_weights")) {
+    for (q <- Seq("q_nb_lang", "q_dsir_weights", "q_lm_score", "q_bigram_score")) {
       val p = physicalPlan(q)
       val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
       assert(exchanges == 0,
