@@ -23,7 +23,9 @@ object SparkEntry {
       graft.queries.SeqDomain.queries ++
       graft.queries.Pipeline.queries ++
       graft.queries.SamDomain.queries ++
-      graft.queries.ScaleDomain.queries
+      graft.queries.ScaleDomain.queries ++
+      graft.queries.Events.queries ++
+      graft.queries.Mining.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -33,5 +35,7 @@ object SparkEntry {
       graft.queries.SeqDomain.oracle ++
       graft.queries.Pipeline.oracle ++
       graft.queries.SamDomain.oracle ++
-      graft.queries.ScaleDomain.oracle
+      graft.queries.ScaleDomain.oracle ++
+      graft.queries.Events.oracle ++
+      graft.queries.Mining.oracle
 }

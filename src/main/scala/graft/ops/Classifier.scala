@@ -120,6 +120,144 @@ object Classifier {
         col("s._2").as("n_tokens"), round(col("s._3"), 6).as("nll"))
   }
 
+  // ---- logistic regression (fastText-style quality classifier) --------
+
+  /** Hashed-bag-of-words logistic regression, the gradient-trained half
+    * of the web-quality-classifier family (GPT-3's quality filter is a
+    * linear classifier over text features). Weights are kept QUANTIZED
+    * (1e-9 Longs): per-row gradient contributions quantize before the
+    * per-bucket sum, so each training step is exact integer addition —
+    * partition-order-invariant and bit-reproducible across reruns.
+    */
+  final case class LogisticModel(
+      dim: Int,
+      biasNano: Long,
+      weightNanos: Array[Long])
+
+  /** Sparse hashed features of one document: (bucket, 1.0) for each
+    * occupied bucket (binary presence — unit-scale features keep
+    * gradients strong enough for batch GD to converge in tens of
+    * passes; tf/len values at ~1/len crawl). Buckets ascending.
+    * MurmurHash3 is a pure function of the token — stable across JVMs,
+    * executors, and reruns.
+    */
+  def hashFeatures(text: String, dim: Int): Array[(Int, Double)] = {
+    val toks = HashKernels.tokensOf(text)
+    if (toks.isEmpty) Array.empty
+    else {
+      val counts = new java.util.TreeMap[Int, Int]()
+      var i = 0
+      while (i < toks.length) {
+        val h = scala.util.hashing.MurmurHash3.stringHash(toks(i), 42)
+        counts.merge(((h % dim) + dim) % dim, 1, (a, b) => a + b)
+        i += 1
+      }
+      val out = new Array[(Int, Double)](counts.size)
+      val it = counts.entrySet().iterator()
+      var j = 0
+      while (it.hasNext) {
+        out(j) = (it.next().getKey, 1.0)
+        j += 1
+      }
+      out
+    }
+  }
+
+  private def margin(model: LogisticModel, feats: Array[(Int, Double)]): Double = {
+    var z = model.biasNano / 1e9
+    var i = 0
+    while (i < feats.length) {
+      z += (model.weightNanos(feats(i)._1) / 1e9) * feats(i)._2
+      i += 1
+    }
+    z
+  }
+
+  /** Batch gradient descent, `iters` full passes at rate `lr`. Each pass
+    * is ONE map-side-combined aggregate: every row emits (bucket,
+    * quantized residual·x_b) pairs — ≤ |distinct tokens of the row| + 1
+    * of them — and a `groupBy(bucket).sum` reduces them to `dim`+1 rows
+    * collected to the driver. No window, no full-vocabulary state, no
+    * driver-side row loop; the cached feature frame is scanned once per
+    * iteration. Labels must be 0/1.
+    */
+  def trainLogistic(
+      train: DataFrame,
+      labelCol: String,
+      textCol: String,
+      dim: Int = 256,
+      iters: Int = 60,
+      lr: Double = 1.0): LogisticModel = {
+    require(dim > 0 && iters >= 0, s"bad dim=$dim / iters=$iters")
+    // parallel arrays (buckets, values) rather than an array-of-struct so
+    // the per-iteration UDF takes plain primitive-array inputs
+    val featUdf = udf((t: String) => {
+      val fa = hashFeatures(t, dim)
+      (fa.map(_._1), fa.map(_._2))
+    })
+    val feats = train
+      .select(col(labelCol).cast("double").as("y"), featUdf(col(textCol)).as("x"))
+      .select(col("y"), col("x._1").as("xb"), col("x._2").as("xv"))
+      .filter(size(col("xb")) > 0)
+      .cache()
+    val n = feats.count()
+    require(n > 0, "trainLogistic: no non-empty documents")
+    var model = LogisticModel(dim, 0L, new Array[Long](dim))
+    var it = 0
+    while (it < iters) {
+      val m = model
+      val gradUdf = udf((y: Double, xb: Seq[Int], xv: Seq[Double]) => {
+        var z = m.biasNano / 1e9
+        var i = 0
+        while (i < xb.length) {
+          z += (m.weightNanos(xb(i)) / 1e9) * xv(i)
+          i += 1
+        }
+        val r = 1.0 / (1.0 + math.exp(-z)) - y
+        val out = new Array[(Int, Long)](xb.length + 1)
+        i = 0
+        while (i < xb.length) {
+          out(i) = (xb(i), quantize(r * xv(i)))
+          i += 1
+        }
+        out(xb.length) = (dim, quantize(r))
+        out
+      })
+      val grad = feats
+        .select(explode(gradUdf(col("y"), col("xb"), col("xv"))).as("g"))
+        .groupBy(col("g._1").as("bucket"))
+        .agg(sum(col("g._2")).as("nano"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val w = model.weightNanos.clone()
+      var b = 0
+      while (b < dim) {
+        w(b) = w(b) - quantize(lr * (grad.getOrElse(b, 0L) / 1e9) / n)
+        b += 1
+      }
+      val bias = model.biasNano - quantize(lr * (grad.getOrElse(dim, 0L) / 1e9) / n)
+      model = LogisticModel(dim, bias, w)
+      it += 1
+    }
+    feats.unpersist()
+    model
+  }
+
+  /** Map-only scoring: (idCol, round(σ(w·x+b), 6) score, pred 0/1).
+    * Empty documents score at the bias alone.
+    */
+  def scoreLogistic(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: LogisticModel,
+      outCol: String = "quality_score"): DataFrame = {
+    val m = model
+    val f = udf((t: String) =>
+      1.0 / (1.0 + math.exp(-margin(m, hashFeatures(t, m.dim)))))
+    docs.select(col(idCol), round(f(col(textCol)), 6).as(outCol))
+      .withColumn("pred", (col(outCol) >= 0.5).cast("int"))
+  }
+
   /** Self-classification convenience: train on `(labelCol, textCol)`,
     * score the same frame.
     */

@@ -241,4 +241,61 @@ object Sampling {
         round(col("target_share") / (col("mass") / col("__total")), 6)
           .as("weight"))
   }
+
+  /** Temperature-scaled (τ = 0.5) sampling allocation: each group's draw
+    * weight is sqrt of its size (the GPT-3 / multilingual-BERT "flatten
+    * the head, keep the tail" recipe — p_i ∝ n_i^τ), and the document
+    * `budget` is split by integer-exact largest-floor shares.
+    *
+    * Cross-engine determinism is why τ is 0.5 and not a free parameter
+    * here: IEEE-754 `sqrt` and `*` are correctly rounded in every engine
+    * (an arbitrary `pow(n, τ)` is NOT), so `w = floor(sqrt(n)·1e9)` is
+    * bit-identical in Spark and the DuckDB oracle, and everything after
+    * it is deterministic on both engines: target_i =
+    * floor(budget · w_i / Σw) evaluated in correctly-rounded double ops
+    * (identical bit patterns on every IEEE-754 engine even past 2^53 —
+    * parity matters here, not exactness to the rational). One tiny
+    * aggregate; output (groupCol, n_docs, w_quant, target).
+    */
+  def temperatureAllocation(
+      df: DataFrame,
+      groupCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val g = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_quant",
+        floor(sqrt(col("n_docs").cast("double")) * lit(1e9)).cast("long"))
+    val tot = g.agg(sum(col("w_quant")).as("__tot"))
+    g.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_docs"), col("w_quant"),
+        floor(lit(budget).cast("double") * col("w_quant") / col("__tot"))
+          .cast("long").as("target"))
+  }
+
+  /** Draw the [[temperatureAllocation]] sample: within each group, the
+    * first `target_group` rows in md5(id) order. Selection reuses the
+    * bounded-heap quota machinery with k = max target (each map task
+    * reduces its slice of a group to ≤ k keys pre-shuffle); the per-group
+    * cutoff is then a broadcast join against the tiny allocation frame.
+    * Output: (groupCol, idCol, sample_rank, target), ≤ target rows/group.
+    */
+  def temperatureSample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      budget: Long): DataFrame = {
+    val alloc = temperatureAllocation(df, groupCol, budget)
+    val targets = alloc.select(col(groupCol), col("target")).collect()
+    val maxTarget = targets.map(_.getLong(1)).foldLeft(0L)(math.max)
+    if (maxTarget == 0) {
+      df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        quotaSample(df.limit(1), groupCol, idCol, 1)
+          .withColumn("target", lit(0L)).schema)
+    } else {
+      quotaSample(df, groupCol, idCol, maxTarget.toInt)
+        .join(broadcast(alloc.select(col(groupCol), col("target"))), Seq(groupCol))
+        .filter(col("sample_rank") <= col("target"))
+    }
+  }
 }

@@ -83,4 +83,58 @@ class ClassifierSpec extends AnyFunSuite {
       assert(pred == (if (id % 2 == 0) "de" else "en"), s"doc $id")
     }
   }
+
+  test("trainLogistic: one GD step matches the closed-form hand computation") {
+    // dim 4, two docs, disjoint single-token texts -> separate buckets
+    // (murmur buckets of "aa" and "bb" under dim=4 may collide; use the
+    // computed buckets so the reference adapts)
+    val docs = Seq((1, "aa"), (0, "bb")).toDF("y", "text")
+    val m = Classifier.trainLogistic(docs, "y", "text", dim = 4, iters = 1, lr = 1.0)
+    val bA = Classifier.hashFeatures("aa", 4).head._1
+    val bB = Classifier.hashFeatures("bb", 4).head._1
+    // with w=0,b=0: sigma(0)=0.5 -> residuals -0.5 (y=1) and +0.5 (y=0)
+    // grad: bucket(aa) = -0.5, bucket(bb) = +0.5, bias = 0
+    // step lr=1, n=2: w(aa) = +0.25, w(bb) = -0.25, bias = 0
+    if (bA != bB) {
+      assert(m.weightNanos(bA) == 250000000L)
+      assert(m.weightNanos(bB) == -250000000L)
+      assert(m.biasNano == 0L)
+    } else {
+      // collision: both residuals hit one bucket and cancel exactly
+      assert(m.weightNanos(bA) == 0L)
+    }
+  }
+
+  test("trainLogistic learns a lexical rule; scoring separates and is invariant") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docs = (0 until 120).map { i =>
+      val base = Seq.fill(6)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val y = i % 3 == 0
+      (i.toLong, if (y) base + " marker" else base, if (y) 1 else 0)
+    }.toDF("doc_id", "text", "y")
+    val m = Classifier.trainLogistic(docs, "y", "text", dim = 64, iters = 60, lr = 1.0)
+    val scored = Classifier.scoreLogistic(docs, "doc_id", "text", m)
+      .join(docs.select($"doc_id", $"y"), "doc_id")
+      .select($"y", $"quality_score", $"pred").collect()
+    val pos = scored.filter(_.getInt(0) == 1).map(_.getDouble(1))
+    val neg = scored.filter(_.getInt(0) == 0).map(_.getDouble(1))
+    assert(pos.min > neg.max, "positive scores must fully separate negatives")
+    assert(scored.forall(r => r.getInt(2) == r.getInt(0)), "perfect preds expected")
+
+    // bit-identical model under different partitioning (quantized sums)
+    val m7 = Classifier.trainLogistic(
+      docs.repartition(7, $"doc_id"), "y", "text", dim = 64, iters = 60, lr = 1.0)
+    assert(m7.biasNano == m.biasNano)
+    assert(m7.weightNanos.toSeq == m.weightNanos.toSeq)
+  }
+
+  test("scoreLogistic: empty text scores at the bias alone") {
+    val m = Classifier.LogisticModel(8, 693147181L, new Array[Long](8)) // ln(2)
+    val out = Classifier.scoreLogistic(
+      Seq((1L, "")).toDF("doc_id", "text"), "doc_id", "text", m)
+      .select("quality_score").collect().head.getDouble(0)
+    // sigma(0.693147181) = 2/(1+2) ~ 0.666667
+    assert(math.abs(out - 0.666667) < 1e-6)
+  }
 }

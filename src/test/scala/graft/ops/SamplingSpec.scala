@@ -204,4 +204,39 @@ class SamplingSpec extends AnyFunSuite {
       .select("id", "cum_tokens").as[(Long, Long)].collect().toMap
     assert(got7 == got)
   }
+
+  test("temperatureAllocation: sqrt weights, floor split, budget respected") {
+    val df = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 125).map(i => (i.toLong, "mid")) ++
+      (126 to 129).map(i => (i.toLong, "tiny")))
+      .toDF("id", "g")
+    val alloc = Sampling.temperatureAllocation(df, "g", 60L)
+      .orderBy("g").as[(String, Long, Long, Long)].collect().toSeq
+    // weights: sqrt(100)=10, sqrt(25)=5, sqrt(4)=2 -> quantized 1e9
+    assert(alloc.map(_._3) == Seq(10000000000L, 5000000000L, 2000000000L))
+    // targets: floor(60*10/17)=35, floor(60*5/17)=17, floor(60*2/17)=7
+    assert(alloc.map(_._4) == Seq(35L, 17L, 7L))
+    assert(alloc.map(_._4).sum <= 60L)
+    // raw counts: temperature flattens (100/129=78% of mass -> 35/59=59%)
+    assert(alloc.head._2 == 100L)
+  }
+
+  test("temperatureSample: per-group md5 prefix of exactly target size") {
+    val df = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 125).map(i => (i.toLong, "mid")))
+      .toDF("id", "g")
+    val out = Sampling.temperatureSample(df, "g", "id", 40L).collect()
+    val byG = out.groupBy(_.getString(0))
+    // w: 1e10 and 5e9 -> targets floor(40*2/3)=26, floor(40/3)=13
+    assert(byG("big").length == 26 && byG("mid").length == 13)
+    // selected ids = first `target` in md5 order, rank contiguous from 1
+    val expectBig = (1 to 100).map(_.toLong)
+      .sortBy(rankKey).take(26).toSet
+    assert(byG("big").map(_.getLong(1)).toSet == expectBig)
+    assert(byG("big").map(_.getInt(2)).sorted.toSeq == (1 to 26).toSeq)
+    // partition invariance
+    val out7 = Sampling.temperatureSample(df.repartition(7), "g", "id", 40L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out7 == out.map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet)
+  }
 }

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins [[Sketches]]: the Misra-Gries superset guarantee under
+  * adversarial partitioning, trim correctness, and exact equality of the
+  * two-pass heavy hitters with a naive full groupBy.
+  */
+class SketchesSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("trim subtracts the (k+1)-th largest and keeps at most k entries") {
+    val m = Map("a" -> 10L, "b" -> 7L, "c" -> 3L, "d" -> 2L)
+    val t = Sketches.trim(m, 2)
+    // d = 3 (3rd largest) -> a:7, b:4
+    assert(t == Map("a" -> 7L, "b" -> 4L))
+    assert(Sketches.trim(m, 4) == m)
+  }
+
+  test("MG candidates are a superset of true heavy hitters under adversarial splits") {
+    // skewed stream: "hot" is 30% of 1000 weighted occurrences, the rest
+    // spread over 200 cold tokens; repartition(1..7) changes merge order
+    val rows = (Seq.fill(300)("hot") ++ (0 until 700).map(i => s"cold${i % 200}"))
+      .zipWithIndex.map { case (t, i) => (t, 1L, i) }
+    for (parts <- Seq(1, 3, 7)) {
+      val df = rows.toDF("token", "w", "i").repartition(parts, col("i"))
+      val cands = Sketches.mgCandidates(df, "token", "w", 10).toSet
+      assert(cands.size <= 10)
+      assert(cands.contains("hot"), s"parts=$parts lost a 30% heavy hitter")
+    }
+  }
+
+  test("heavyHitters equals the naive exact computation") {
+    val docs = Seq(
+      (1L, "x x x y z"),
+      (2L, "x y y q r s"),
+      (3L, "x t u v w a b c")).toDF("doc_id", "text")
+    val tf = Vocabulary.docTermFrequencies(docs, "doc_id", "text")
+    val total = tf.agg(sum($"tf")).as[Long].collect().head
+    val naive = tf.groupBy($"token").agg(sum($"tf").as("cnt"))
+      .filter($"cnt" * 4 > total)
+      .select($"token", $"cnt").as[(String, Long)].collect().toMap
+    val got = Sketches.heavyHitters(docs, "doc_id", "text", 4)
+      .select($"token", $"cnt").as[(String, Long)].collect()
+    assert(got.toMap == naive)
+    assert(naive.contains("x")) // 5/19 > 1/4? 5*4=20 > 19 — yes
+    // sorted by cnt desc, token asc
+    assert(got.sortBy { case (t, c) => (-c, t) }.toSeq == got.toSeq)
+  }
+
+  test("heavyHitters on an empty corpus is empty") {
+    val docs = Seq((1L, "")).toDF("doc_id", "text")
+    assert(Sketches.heavyHitters(docs, "doc_id", "text", 4).count() == 0)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins [[Temporal]]: as-of join semantics (<=, tie to largest tie-break,
+  * null when nothing precedes), interval-join exactness vs a naive
+  * cross-product reference across bin widths, and funnel strict-ordering.
+  */
+class TemporalSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("asOfJoin: most recent right row at or before each left row") {
+    val left = Seq(
+      (1L, 100L, "p1"), // after r@90 -> match 90
+      (1L, 90L, "p2"),  // equal ts  -> <= includes it
+      (1L, 10L, "p3"),  // before every right row -> null
+      (2L, 500L, "p4")  // key with no right rows -> null
+    ).toDF("k", "ts", "name")
+    val right = Seq(
+      (1L, 50L, 7L, 1.5),
+      (1L, 90L, 9L, 2.5)
+    ).toDF("k", "rts", "rid", "v")
+
+    val out = Temporal.asOfJoin(left, right, Seq("k"), "ts", "rts", "rid")
+      .select("name", "r_rts", "r_rid", "r_v")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out("p1") == ((90L, 9L, 2.5)))
+    assert(out("p2") == ((90L, 9L, 2.5)))
+    assert(out("p3") == null)
+    assert(out("p4") == null)
+  }
+
+  test("asOfJoin: timestamp ties on the right resolve to the largest tie-break") {
+    val left = Seq((1L, 100L)).toDF("k", "ts")
+    val right = Seq((1L, 100L, 1L), (1L, 100L, 5L), (1L, 100L, 3L))
+      .toDF("k", "rts", "rid")
+    val out = Temporal.asOfJoin(left, right, Seq("k"), "ts", "rts", "rid")
+      .select("r_rid").as[Long].collect()
+    assert(out.toSeq == Seq(5L))
+  }
+
+  test("intervalJoin matches the naive cross-product across bin widths") {
+    val rnd = new scala.util.Random(7)
+    val intervals = (0 until 40).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      (i.toLong, (i % 3).toLong, s, s + 1 + rnd.nextInt(300))
+    }.toDF("iid", "k", "lo", "hi")
+    val events = (0 until 200).map { i =>
+      (100L + i, (i % 3).toLong, rnd.nextInt(1300).toLong)
+    }.toDF("eid", "k", "ts")
+
+    val expected = intervals.as("i")
+      .join(events.as("e"), $"i.k" === $"e.k" && $"ts" >= $"lo" && $"ts" < $"hi")
+      .select($"iid", $"eid").as[(Long, Long)].collect().toSet
+    assert(expected.nonEmpty)
+
+    for (width <- Seq(7L, 64L, 150L, 1000L)) {
+      val got = Temporal.intervalJoin(
+        intervals, events, Seq("k"), "lo", "hi", "ts", width)
+        .select($"iid", $"eid").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"width=$width emitted duplicates")
+      assert(got.toSet == expected, s"width=$width diverged from naive join")
+    }
+  }
+
+  test("funnel: strictly-after ordering, users counted once per stage") {
+    val events = Seq(
+      // u1 completes a->b->c in order
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"),
+      // u2: b BEFORE first a -> never reaches stage 2
+      (2L, 10L, "b"), (2L, 20L, "a"),
+      // u3: b at the SAME time as a -> strict > excludes it
+      (3L, 10L, "a"), (3L, 10L, "b"),
+      // u4: a->b but c missing
+      (4L, 5L, "a"), (4L, 6L, "b"), (4L, 7L, "b")
+    ).toDF("u", "ts", "t")
+    val out = Temporal.funnel(events, "u", "ts", Seq(
+      "a" -> (col("t") === "a"),
+      "b" -> (col("t") === "b"),
+      "c" -> (col("t") === "c")))
+      .orderBy("step").as[(Int, String, Long)].collect().toSeq
+    assert(out == Seq((1, "a", 4L), (2, "b", 2L), (3, "c", 1L)))
+  }
+}
