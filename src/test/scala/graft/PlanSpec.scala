@@ -304,4 +304,48 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"),
       s"expected the partition-local cumsum window:\n${p.take(800)}")
   }
+
+  test("as-of join is one union-merge window, never an inequality join") {
+    val p = physicalPlan("q_asof_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not plan an inequality join:\n${p.take(800)}")
+    assert(p.contains("Window"), s"expected the running last() window:\n${p.take(800)}")
+    assert(p.contains("Union"), s"expected the tagged union:\n${p.take(800)}")
+  }
+
+  test("interval join is a binned equi-join, never a cartesian") {
+    val p = physicalPlan("q_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join must meet on (keys, bin):\n${p.take(800)}")
+    assert(p.contains("Generate explode") || p.contains("Generate"),
+      s"expected the interval bin explode:\n${p.take(800)}")
+  }
+
+  test("heavy hitters recount filters to sketch candidates before the shuffle") {
+    val df = SparkEntry.queries("q_heavy_hitters")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // pass 2 is a filtered partial aggregate — the candidate IN-filter must
+    // sit below the exchange so only candidate tokens shuffle
+    assert(p.contains("partial_"), s"recount must combine map-side:\n${p.take(800)}")
+    assert(!p.contains("Window"), p.take(800))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"recount should be one token shuffle:\n$p")
+  }
+
+  test("temperature sample is heap top-k + broadcast allocation, no window") {
+    val p = physicalPlan("q_temperature_mix")
+    assert(!p.contains("Window"),
+      s"per-group selection must stay in the bounded heap:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the 5-row allocation frame must broadcast:\n${p.take(800)}")
+  }
+
+  test("funnel stages reuse the user_id partitioning (no excess exchanges)") {
+    val p = physicalPlan("q_funnel")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // 3 stage aggregates + 2 survivor joins + 3 scalar counts; each stage
+    // keys on user_id so AQE can reuse/align the exchanges
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 8, s"funnel planned too many shuffles ($exchanges):\n$p")
+  }
 }
