@@ -160,4 +160,38 @@ object Search {
        |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, $idCol) AS INT) AS rank
        |FROM scored ORDER BY score DESC, $idCol LIMIT $k""".stripMargin
   }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N ranked lists:
+    * rrf(d) = Σ_lists 1/(c + rank_list(d)), the standard way to combine a
+    * lexical (BM25) and a semantic (embedding) retriever without score
+    * calibration. Each input needs (idCol, rank); absent docs contribute
+    * nothing. Contributions are rounded to 1e-9 and summed as
+    * DECIMAL(38,9) — order-insensitive exact addition, so the fused score
+    * is reproducible and SQL-replayable. Selection of the fused top-k is
+    * the bounded-heap aggregate (ties: id ascending). Output: (idCol,
+    * rrf, n_lists, rank). The inputs are top-k frames (tiny); everything
+    * here is driver-scale-free and shuffles at most Σ|lists| rows.
+    */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      idCol: String,
+      k: Int,
+      c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(c >= 0, s"rrf constant must be >= 0, got $c")
+    val contribs = rankings.map(_.select(col(idCol),
+      round(lit(1.0) / (lit(c) + col("rank")), 9)
+        .cast("decimal(38,9)").as("__contrib")))
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(
+        round(sum(col("__contrib")).cast("double"), 6).as("__rrf"),
+        count(lit(1)).as("n_lists"))
+    TopKAggregator.topKByGroup(
+      fused.withColumn("__g", lit(1)), "__g", idCol, "__rrf", k,
+      outId = idCol, outSim = "rrf", outRank = "rank")
+      .drop("__g")
+      .join(fused.select(col(idCol), col("n_lists")), Seq(idCol))
+      .select(col(idCol), col("rrf"), col("n_lists"), col("rank"))
+  }
 }

@@ -62,6 +62,78 @@ object Sketches {
       .collect().map(_.getString(0))
   }
 
+  // ---- HyperLogLog distinct counting ---------------------------------
+
+  /** HyperLogLog with 2^p registers over pre-hashed 64-bit values.
+    * The register array is a pure max-merge — order- and
+    * partition-invariant, so the estimate is a deterministic function of
+    * the SET of inputs (reruns and re-partitionings agree bit-for-bit).
+    * Standard estimator with the small-range linear-counting correction
+    * (Flajolet et al. 2007); typical relative error ≈ 1.04/√(2^p).
+    */
+  private[ops] class HllAggregator(p: Int)
+      extends Aggregator[Long, Array[Byte], Double] {
+    private val m = 1 << p
+
+    override def zero: Array[Byte] = new Array[Byte](m)
+
+    override def reduce(regs: Array[Byte], hash: Long): Array[Byte] = {
+      val idx = (hash >>> (64 - p)).toInt
+      // rank = leading zeros of the remaining 64-p bits, +1; capped there
+      val rest = hash << p
+      val rank = (if (rest == 0L) (64 - p) else java.lang.Long.numberOfLeadingZeros(rest)) + 1
+      if (rank > (regs(idx) & 0xff)) regs(idx) = rank.toByte
+      regs
+    }
+
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < m) {
+        if ((b(i) & 0xff) > (a(i) & 0xff)) a(i) = b(i)
+        i += 1
+      }
+      a
+    }
+
+    override def finish(regs: Array[Byte]): Double = {
+      val alpha = m match {
+        case 16 => 0.673
+        case 32 => 0.697
+        case 64 => 0.709
+        case _ => 0.7213 / (1.0 + 1.079 / m)
+      }
+      var invSum = 0.0
+      var zeros = 0
+      var i = 0
+      while (i < m) {
+        val r = regs(i) & 0xff
+        invSum += 1.0 / (1L << r)
+        if (r == 0) zeros += 1
+        i += 1
+      }
+      val raw = alpha * m * m / invSum
+      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+      else raw
+    }
+
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Per-group approximate distinct count of `valueCol`: (groupCols...,
+    * hll_estimate DOUBLE). One map-side-combined aggregate whose state is
+    * a fixed 2^p bytes per group REGARDLESS of cardinality — the shuffle
+    * carries one register array per (task, group), never the values.
+    * `xxhash64` feeds the sketch, so any value type works.
+    */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      p: Int = 12): DataFrame = {
+    require(p >= 4 && p <= 18, s"p must be in [4, 18], got $p")
+    val agg = udaf(new HllAggregator(p))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(agg(xxhash64(col(valueCol))).as("hll_estimate"))
+  }
+
   /** Exact tokens with frequency strictly greater than 1/k of all token
     * occurrences in `textCol` ([[HashKernels.tokensOf]] tokenization).
     * Output: (token, cnt, share=round(cnt/W, 6)), by cnt desc / token.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Classifier, Sampling, Sketches}
+import graft.ops.{Classifier, CorpusStats, Sampling, Search, Similarity, Sketches}
 
 /** Corpus-mining queries: sketch-based heavy hitters, temperature-scaled
   * mixture sampling, and the gradient-trained quality classifier.
@@ -42,10 +42,50 @@ object Mining {
     "q_lr_quality" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
         .withColumn("y", col("text").contains("spark").cast("int"))
-      val model = Classifier.trainLogistic(docs, "y", "text", dim = 256, iters = 60)
+      val model = Classifier.trainLogistic(docs, "y", "text", dim = 256,
+        iters = 30, lr = 2.0)
       Classifier.scoreLogistic(docs, "doc_id", "text", model)
         .orderBy(col("doc_id"))
+    }),
+
+    // Hybrid retrieval: BM25 top-50 fused with embedding-cosine top-50
+    // (query = vec 0) by reciprocal-rank fusion — no score calibration,
+    // quantized-decimal contribution sums, heap-selected fused top-20.
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val emb = Tables(s, dir, "embeddings")
+      val lex = Search.bm25TopK(docs, "doc_id", "text", RrfTerms, 50)
+        .select(col("doc_id"), col("rank"))
+      val sem = Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") === 0L), "vec_id", "embedding", 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Search.rrfFuse(Seq(lex, sem), "doc_id", 20)
+        .orderBy(col("rank"))
+    }),
+
+    // Distribution drift: KL(source-slice token distribution || corpus
+    // distribution) per source — quantized-Long log-term sums, exactly
+    // replayed by the oracle's DECIMAL(38,9) accumulation.
+    "q_kl_sources" -> ((s, dir) =>
+      CorpusStats.klBySource(Tables(s, dir, "documents"), "source", "text")
+        .orderBy(col("source"))),
+
+    // HyperLogLog distinct users per event type, gated against the exact
+    // count: the sketch is deterministic (max-merge registers), so the
+    // 5%-relative-error contract either always holds on this data or
+    // fails the gate self-explanatorily. n_exact is oracle-exact.
+    "q_hll_distinct" -> ((s, dir) => {
+      val events = Tables(s, dir, "events")
+      val est = Sketches.hllDistinct(events, Seq("event_type"), "user_id")
+      val exact = events.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      exact.join(est, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("hll_estimate") / col("n_exact") - 1.0) < 0.05).as("hll_ok"))
+        .orderBy(col("event_type"))
     }))
+
+  private val RrfTerms = Seq("spark", "table", "query")
 
   val oracle: Map[String, String] = Map(
     "q_heavy_hitters" ->
@@ -83,5 +123,49 @@ object Mining {
         |SELECT r.lang, r.doc_id, r.sample_rank, alloc.target
         |FROM r JOIN alloc ON r.lang = alloc.lang
         |WHERE r.sample_rank <= alloc.target
-        |ORDER BY r.lang, r.sample_rank""".stripMargin)
+        |ORDER BY r.lang, r.sample_rank""".stripMargin,
+    "q_hybrid_rrf" ->
+      s"""WITH lex AS (
+         |${graft.ops.Search.bm25OracleSql("documents", "doc_id", "text", Seq("spark", "table", "query"), 50)}
+         |),
+         |sem AS (
+         |  WITH pairs AS (
+         |    SELECT c.vec_id AS doc_id,
+         |      list_sum(list_transform(generate_series(1, 64),
+         |        i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) AS num,
+         |      sqrt(list_sum(list_transform(generate_series(1, 64),
+         |        i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))) *
+         |      sqrt(list_sum(list_transform(generate_series(1, 64),
+         |        i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))) AS den
+         |    FROM embeddings q, embeddings c
+         |    WHERE q.vec_id = 0 AND q.vec_id <> c.vec_id),
+         |  s2 AS (
+         |    SELECT doc_id,
+         |      round(CASE WHEN den > 0 THEN num / den ELSE 0 END, 6) AS sim
+         |    FROM pairs)
+         |  SELECT doc_id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS INT) AS rank
+         |  FROM s2 ORDER BY sim DESC, doc_id LIMIT 50
+         |),
+         |u AS (
+         |  SELECT doc_id,
+         |    CAST(round(CAST(1.0 AS DOUBLE) / (60 + rank), 9) AS DECIMAL(38,9))
+         |      AS contrib FROM lex
+         |  UNION ALL
+         |  SELECT doc_id,
+         |    CAST(round(CAST(1.0 AS DOUBLE) / (60 + rank), 9) AS DECIMAL(38,9))
+         |      AS contrib FROM sem),
+         |f AS (
+         |  SELECT doc_id, round(CAST(sum(contrib) AS DOUBLE), 6) AS rrf,
+         |    count(*) AS n_lists
+         |  FROM u GROUP BY doc_id)
+         |SELECT doc_id, rrf, n_lists,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+    "q_kl_sources" ->
+      graft.ops.CorpusStats.klOracleSql("documents", "source", "text"),
+    "q_hll_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |  TRUE AS hll_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

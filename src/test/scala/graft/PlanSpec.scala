@@ -348,4 +348,25 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges <= 8, s"funnel planned too many shuffles ($exchanges):\n$p")
   }
+
+  test("hybrid RRF fusion: heap-selected, no window anywhere in the fused plan") {
+    val p = physicalPlan("q_hybrid_rrf")
+    assert(!p.contains("Window"),
+      s"both retrievers and the fusion must select via the bounded heap:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("KL drift: keyed aggregates with map-side combine, no window") {
+    val p = physicalPlan("q_kl_sources")
+    assert(!p.contains("Window"), p.take(800))
+    assert(p.contains("partial_"),
+      s"token counting must combine map-side:\n${p.take(800)}")
+  }
+
+  test("HLL distinct: one partial-combined aggregate, values never shuffle raw") {
+    val p = physicalPlan("q_hll_distinct")
+    assert(!p.contains("Window"), p.take(800))
+    assert(p.contains("partial_"),
+      s"register arrays must merge map-side:\n${p.take(800)}")
+  }
 }

@@ -271,4 +271,26 @@ class AssemblySpec extends AnyFunSuite {
     val bins = stats.map(_.getLong(0)).sorted
     assert(bins.toSeq == (0L to bins.max).toSeq)
   }
+
+  test("rrfFuse: hand-computed fusion, both-list docs outrank, ties to smaller id") {
+    import org.apache.spark.sql.functions._
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val sem = Seq((20L, 1), (40L, 2), (50L, 3)).toDF("doc_id", "rank")
+    val out = Search.rrfFuse(Seq(lex, sem), "doc_id", 10)
+      .orderBy($"rank").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3)))
+    def c(r: Int) = math.rint(1e9 / (60.0 + r)) / 1e9
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // doc 20: lists rank 2 (lex) + rank 1 (sem) — must fuse to the top
+    assert(out.head._1 == 20L && out.head._3 == 2L)
+    assert(out.head._2 == r6(c(2) + c(1)))
+    // docs 10 (lex#1) and 40 (sem#2): 1/(60+1) > 1/(60+2)
+    assert(out(1)._1 == 10L && out(1)._2 == r6(c(1)))
+    // tie: 30 (lex#3) and 50 (sem#3) share a score -> smaller id first
+    val tied = out.filter(_._2 == r6(c(3)))
+    assert(tied.map(_._1).toSeq == Seq(30L, 50L))
+    assert(tied.map(_._4).toSeq.sorted == tied.map(_._4).toSeq)
+    // every fused row reports how many lists carried the doc
+    assert(out.forall(r => r._3 == (if (r._1 == 20L) 2L else 1L)))
+  }
 }

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins [[CorpusStats.klBySource]]: hand-computed KL on a tiny corpus,
+  * the zero lower bound for an unskewed slice, ordering of drifted vs
+  * conforming slices, and partition invariance of the quantized sum.
+  */
+class CorpusStatsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("hand-computed KL on a two-source corpus") {
+    // src a: tokens x x y (p = 2/3, 1/3); src b: tokens y y y
+    // global: x 2/6, y 4/6
+    val docs = Seq(("a", "x x y"), ("b", "y y y")).toDF("source", "text")
+    val out = CorpusStats.klBySource(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    def q(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    val pAx = 2.0 / 3; val pAy = 1.0 / 3
+    val klA = q(pAx * math.log(pAx / (2.0 / 6))) + q(pAy * math.log(pAy / (4.0 / 6)))
+    val klB = q(1.0 * math.log(1.0 / (4.0 / 6)))
+    assert(out("a")._1 == 3L && out("a")._2 == 2L)
+    assert(math.abs(out("a")._3 - math.rint(klA * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(out("b")._3 - math.rint(klB * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("a slice matching the global mix has KL ~ 0; drifted slices rank above") {
+    val conforming = (0 until 50).map(i => ("conf", "alpha beta gamma delta"))
+    val drifted = (0 until 50).map(i => ("drift", "alpha alpha alpha alpha"))
+    val docs = (conforming ++ drifted).toDF("source", "text")
+    val out = CorpusStats.klBySource(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("drift") > out("conf"))
+    assert(out.values.forall(_ >= 0.0), "KL must be non-negative")
+  }
+
+  test("quantized sum is partition-invariant") {
+    val rnd = new scala.util.Random(3)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docs = (0 until 200).map { i =>
+      (s"s${i % 4}", Seq.fill(20)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("source", "text")
+    val one = CorpusStats.klBySource(docs.repartition(1), "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val many = CorpusStats.klBySource(docs.repartition(11), "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(one == many)
+  }
+}

@@ -56,4 +56,30 @@ class SketchesSpec extends AnyFunSuite {
     val docs = Seq((1L, "")).toDF("doc_id", "text")
     assert(Sketches.heavyHitters(docs, "doc_id", "text", 4).count() == 0)
   }
+
+  test("HLL estimate is within 5% at 10k cardinality and near-exact when tiny") {
+    import org.apache.spark.sql.functions._
+    val big = (0L until 30000L).map(i => (i % 10000, "g")).toDF("v", "g")
+    val e1 = Sketches.hllDistinct(big, Seq("g"), "v")
+      .select($"hll_estimate").as[Double].collect().head
+    assert(math.abs(e1 / 10000.0 - 1.0) < 0.05, s"estimate $e1 off by >5%")
+    // small cardinality -> linear-counting regime, much tighter
+    val small = (0L until 500L).map(i => (i % 37, "g")).toDF("v", "g")
+    val e2 = Sketches.hllDistinct(small, Seq("g"), "v")
+      .select($"hll_estimate").as[Double].collect().head
+    assert(math.abs(e2 - 37.0) < 1.0, s"linear counting should be near-exact: $e2")
+  }
+
+  test("HLL is partition-invariant and insensitive to duplication") {
+    import org.apache.spark.sql.functions._
+    val base = (0L until 2000L).map(i => (i, "g")).toDF("v", "g")
+    def run(df: org.apache.spark.sql.DataFrame): Double =
+      Sketches.hllDistinct(df, Seq("g"), "v")
+        .select($"hll_estimate").as[Double].collect().head
+    val a = run(base.repartition(1))
+    val b = run(base.repartition(13))
+    val c = run(base.union(base).repartition(5)) // duplicates must not move it
+    assert(a == b, "register max-merge must be partition-invariant")
+    assert(a == c, "duplicates must not change the register state")
+  }
 }
