@@ -134,6 +134,100 @@ object Sketches {
       .agg(agg(xxhash64(col(valueCol))).as("hll_estimate"))
   }
 
+  // ---- Count-Min frequency sketching ---------------------------------
+
+  /** Row-`row` probe index for a 64-bit hash: Kirsch-Mitzenmacher double
+    * hashing, (h1 + row·h2) mod width with h2 forced odd — `depth`
+    * pairwise-distinct hash functions from ONE xxhash64 evaluation.
+    */
+  private[ops] def cmIndex(hash: Long, row: Int, width: Int): Int = {
+    val h1 = hash & 0xffffffffL
+    val h2 = (hash >>> 32) | 1L
+    java.lang.Math.floorMod(h1 + row.toLong * h2, width.toLong).toInt
+  }
+
+  /** Point estimate = min over the depth probed counters; never below
+    * the true weight (every row only ever ADDS collisions on top of it).
+    */
+  private[ops] def cmEstimate(sketch: Array[Long], depth: Int, width: Int,
+      hash: Long): Long = {
+    var best = Long.MaxValue
+    var i = 0
+    while (i < depth) {
+      val v = sketch(i * width + cmIndex(hash, i, width))
+      if (v < best) best = v
+      i += 1
+    }
+    best
+  }
+
+  /** Count-Min sketch over (hash, weight) rows: depth×width Long
+    * counters flattened row-major. `reduce` and `merge` are pure
+    * element-wise adds — fully mergeable and commutative, so the final
+    * state is a deterministic function of the input MULTISET (reruns
+    * and re-partitionings agree bit-for-bit). Overestimate per probe is
+    * ≤ e·W/width with probability 1−e^−depth (Cormode & Muthukrishnan,
+    * J. Algorithms 2005).
+    */
+  private[graft] class CountMinAggregator(depth: Int, width: Int)
+      extends Aggregator[(Long, Long), Array[Long], Array[Long]] {
+    override def zero: Array[Long] = new Array[Long](depth * width)
+    override def reduce(b: Array[Long], row: (Long, Long)): Array[Long] = {
+      var i = 0
+      while (i < depth) {
+        b(i * width + cmIndex(row._1, i, width)) += row._2
+        i += 1
+      }
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  }
+
+  /** Count-Min probe of token frequencies in `textCol`: one row per
+    * probe token — (token, cnt, cm_ok) where `cnt` is the EXACT count
+    * and `cm_ok` asserts the sketch contract (estimate ≥ cnt, and over
+    * by ≤ ⌈e·W/width⌉). The sketch pass is ONE aggregate with map-side
+    * combine and a fixed depth·width·8-byte state per task regardless
+    * of vocabulary size — at 100 TB the shuffle carries one ≤64 KiB
+    * array per task, never the tokens. The exact recount shuffles only
+    * the ≤|probes| candidate tokens. Spark's own `xxhash64` feeds the
+    * double hashing for BOTH the sketch and the probes (evaluated
+    * in-plan, so driver and executors can never disagree on the hash).
+    */
+  def countMinProbe(df: DataFrame, idCol: String, textCol: String,
+      probes: Seq[String], depth: Int = 4, width: Int = 2048): DataFrame = {
+    require(depth >= 1 && width >= 2, s"need depth>=1, width>=2; got $depth x $width")
+    require(probes.nonEmpty, "need at least one probe token")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tf = Vocabulary.docTermFrequencies(df, idCol, textCol)
+    val agg = udaf(new CountMinAggregator(depth, width))
+    val skRow = tf.agg(
+      agg(xxhash64(col("token")), col("tf").cast("long")).as("cm"),
+      coalesce(sum(col("tf")), lit(0L)).cast("long").as("w")).collect()(0)
+    val sketch = skRow.getSeq[Long](0).toArray
+    val bound = math.ceil(math.E * skRow.getLong(1) / width).toLong
+    val hashes = probes.toDF("token")
+      .withColumn("h", xxhash64(col("token")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = probes.map(t => (t, cmEstimate(sketch, depth, width, hashes(t))))
+      .toDF("token", "cm_est")
+    val exact = tf.filter(col("token").isInCollection(probes))
+      .groupBy(col("token")).agg(sum(col("tf")).cast("long").as("cnt"))
+    est.join(exact, Seq("token"), "left")
+      .select(col("token"), coalesce(col("cnt"), lit(0L)).as("cnt"),
+        (col("cm_est") >= coalesce(col("cnt"), lit(0L)) &&
+          col("cm_est") - coalesce(col("cnt"), lit(0L)) <= bound).as("cm_ok"))
+      .orderBy(col("token"))
+  }
+
   /** Exact tokens with frequency strictly greater than 1/k of all token
     * occurrences in `textCol` ([[HashKernels.tokensOf]] tokenization).
     * Output: (token, cnt, share=round(cnt/W, 6)), by cnt desc / token.

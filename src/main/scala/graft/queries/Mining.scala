@@ -74,6 +74,16 @@ object Mining {
     // count: the sketch is deterministic (max-merge registers), so the
     // 5%-relative-error contract either always holds on this data or
     // fails the gate self-explanatorily. n_exact is oracle-exact.
+    // Count-Min frequency probes gated against the exact counts: cnt is
+    // oracle-exact; cm_ok asserts the one-sided estimate contract
+    // (never under, over by <= ceil(e*W/width)). The sketch itself is
+    // deterministic (fixed double hashing, commutative adds), so the
+    // contract either always holds on this data or fails the gate
+    // self-explanatorily — same pattern as q_hll_distinct.
+    "q_countmin" -> ((s, dir) =>
+      Sketches.countMinProbe(Tables(s, dir, "documents"), "doc_id", "text",
+        CmProbes)),
+
     "q_hll_distinct" -> ((s, dir) => {
       val events = Tables(s, dir, "events")
       val est = Sketches.hllDistinct(events, Seq("event_type"), "user_id")
@@ -86,6 +96,9 @@ object Mining {
     }))
 
   private val RrfTerms = Seq("spark", "table", "query")
+
+  // high / mid / low-frequency probes plus a guaranteed-absent token
+  private val CmProbes = Seq("join", "hash", "scan", "customer", "zz_absent")
 
   val oracle: Map[String, String] = Map(
     "q_heavy_hitters" ->
@@ -164,6 +177,17 @@ object Mining {
          |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
     "q_kl_sources" ->
       graft.ops.CorpusStats.klOracleSql("documents", "source", "text"),
+    "q_countmin" ->
+      """WITH occ AS (
+        |  SELECT unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM occ GROUP BY token)
+        |SELECT p.token, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt,
+        |  TRUE AS cm_ok
+        |FROM (VALUES ('join'),('hash'),('scan'),('customer'),('zz_absent'))
+        |  p(token)
+        |LEFT JOIN c USING (token)
+        |ORDER BY token""".stripMargin,
     "q_hll_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |  TRUE AS hll_ok

@@ -369,4 +369,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"),
       s"register arrays must merge map-side:\n${p.take(800)}")
   }
+
+  test("Count-Min probe: partial-combined sketch, probe join broadcast, no window") {
+    val p = physicalPlan("q_countmin")
+    assert(!p.contains("Window"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"tiny probe/exact frames must broadcast-join:\n${p.take(800)}")
+    // the sketch pass itself runs before this plan (collected aggregate);
+    // assert it map-side-combines by building it directly
+    val tf = ops.Vocabulary.docTermFrequencies(
+      Tables(spark, dir, "documents"), "doc_id", "text")
+    val agg = org.apache.spark.sql.functions.udaf(
+      new ops.Sketches.CountMinAggregator(4, 2048))
+    val sk = tf.agg(agg(
+      org.apache.spark.sql.functions.xxhash64(
+        org.apache.spark.sql.functions.col("token")),
+      org.apache.spark.sql.functions.col("tf").cast("long")))
+    val sp = sk.queryExecution.executedPlan.toString
+    assert(sp.contains("partial_"),
+      s"sketch arrays must merge map-side:\n${sp.take(800)}")
+  }
 }

@@ -70,6 +70,39 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(e2 - 37.0) < 1.0, s"linear counting should be near-exact: $e2")
   }
 
+  test("Count-Min never underestimates and is partition-invariant") {
+    // tiny width forces collisions; estimate >= truth must still hold
+    val docs = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(i % 5 + 1)(s"t${i % 23}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val tf = Vocabulary.docTermFrequencies(docs, "doc_id", "text")
+    val truth = tf.groupBy($"token").agg(sum($"tf").as("cnt"))
+      .as[(String, Long)].collect().toMap
+    val probes = truth.keys.toSeq.sorted :+ "never_seen"
+    def run(parts: Int): Map[String, (Long, Boolean)] =
+      Sketches.countMinProbe(docs.repartition(parts, $"doc_id"), "doc_id",
+          "text", probes, depth = 3, width = 16)
+        .as[(String, Long, Boolean)].collect()
+        .map { case (t, c, ok) => t -> (c, ok) }.toMap
+    val one = run(1)
+    for ((t, c) <- truth) {
+      assert(one(t)._1 == c, s"exact column wrong for $t")
+      assert(one(t)._2, s"cm contract violated for $t at width=16")
+    }
+    assert(one("never_seen")._1 == 0L)
+    assert(run(7) == one, "element-wise-add merge must be partition-invariant")
+  }
+
+  test("Count-Min estimate is exact when the sketch is collision-free") {
+    val docs = Seq((1L, "a a a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val got = Sketches.countMinProbe(docs, "doc_id", "text",
+        Seq("a", "b", "c", "d", "zz"), depth = 4, width = 2048)
+      .as[(String, Long, Boolean)].collect()
+      .map { case (t, c, ok) => t -> (c, ok) }.toMap
+    assert(got == Map("a" -> (4L, true), "b" -> (2L, true), "c" -> (1L, true),
+      "d" -> (1L, true), "zz" -> (0L, true)))
+  }
+
   test("HLL is partition-invariant and insensitive to duplication") {
     import org.apache.spark.sql.functions._
     val base = (0L until 2000L).map(i => (i, "g")).toDF("v", "g")
