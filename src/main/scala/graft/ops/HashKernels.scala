@@ -38,7 +38,7 @@ object HashKernels {
   }
 
   /** splitmix64 finalizer — cheap avalanche for deriving hash families. */
-  private def mix(z0: Long): Long = {
+  private[ops] def mix(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL

@@ -228,6 +228,93 @@ object Sketches {
       .orderBy(col("token"))
   }
 
+  // ---- MinHash set-overlap estimation --------------------------------
+
+  /** Per-group MinHash SET signature over pre-hashed 64-bit elements:
+    * component i tracks the minimum of splitmix64(h ^ seed_i) over all
+    * elements. `reduce`/`merge` are element-wise mins — mergeable,
+    * commutative, and duplicate-insensitive (it sketches the SET, so
+    * the token multiset never needs a distinct pass first). The
+    * matching-component fraction between two group signatures is the
+    * classic unbiased Jaccard estimator, std err √(J(1−J)/k)
+    * (Broder, "On the resemblance and containment of documents", 1997).
+    */
+  private[graft] class MinHashSetAggregator(k: Int)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
+    override def reduce(b: Array[Long], h: Long): Array[Long] = {
+      var i = 0
+      while (i < k) {
+        val v = HashKernels.mix(h ^ (i.toLong * 0x9e3779b97f4a7c15L))
+        if (v < b(i)) b(i) = v
+        i += 1
+      }
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < k) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  }
+
+  /** Pairwise token-set overlap between groups of `groupCol` (e.g.
+    * corpus sources): (source_a, source_b, j_exact, mh_ok) for every
+    * unordered pair, where `j_exact` is the EXACT Jaccard of the two
+    * distinct-token sets and `mh_ok` asserts the signature estimate is
+    * within `tol` of it. At 100 TB the signature side is the product:
+    * per-group state is k longs REGARDLESS of corpus size, one
+    * map-side-combined aggregate, pairs compared driver-side over
+    * |groups| signatures — no token-level join anywhere. The exact
+    * side (distinct + self-join on token) exists to GATE the sketch
+    * and is itself bounded by vocabulary, not corpus, size. The
+    * estimator is deterministic (fixed seeds, min-merge), so `mh_ok`
+    * either always holds on this data or fails self-explanatorily.
+    */
+  def sourceOverlap(df: DataFrame, groupCol: String, textCol: String,
+      k: Int = 256, tol: Double = 0.1): DataFrame = {
+    require(k >= 16, s"need k >= 16 signature components, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tf = Vocabulary.docTermFrequencies(df, groupCol, textCol)
+      .select(col(groupCol).as("g"), col("token"))
+    val agg = udaf(new MinHashSetAggregator(k))
+    val sigs = tf.groupBy(col("g"))
+      .agg(agg(xxhash64(col("token"))).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    val est = sigs.keys.toSeq.sorted.combinations(2).map { case Seq(a, b) =>
+      val (sa, sb) = (sigs(a), sigs(b))
+      var m = 0
+      var i = 0
+      while (i < k) { if (sa(i) == sb(i)) m += 1; i += 1 }
+      (a, b, m.toDouble / k)
+    }.toSeq.toDF("source_a", "source_b", "j_est")
+    val sets = tf.distinct()
+    val sizes = sets.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val inter = sets.as("a")
+      .join(sets.as("b"),
+        col("a.token") === col("b.token") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("source_a"), col("b.g").as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    est.join(inter, Seq("source_a", "source_b"), "left")
+      .join(sizes.withColumnRenamed("g", "source_a")
+        .withColumnRenamed("n", "n_a"), Seq("source_a"))
+      .join(sizes.withColumnRenamed("g", "source_b")
+        .withColumnRenamed("n", "n_b"), Seq("source_b"))
+      .select(col("source_a"), col("source_b"),
+        round(coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L))), 6)
+          .as("j_exact"),
+        (abs(col("j_est") -
+          coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L))))
+          <= tol).as("mh_ok"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Exact tokens with frequency strictly greater than 1/k of all token
     * occurrences in `textCol` ([[HashKernels.tokensOf]] tokenization).
     * Output: (token, cnt, share=round(cnt/W, 6)), by cnt desc / token.

@@ -84,6 +84,13 @@ object Mining {
       Sketches.countMinProbe(Tables(s, dir, "documents"), "doc_id", "text",
         CmProbes)),
 
+    // Cross-source token-set overlap: exact pairwise Jaccard (oracle-
+    // checked) gated against the per-source MinHash signature estimate.
+    // The signature side is the 100 TB product — k longs per source,
+    // one map-side-combined aggregate, no token-level join.
+    "q_source_overlap" -> ((s, dir) =>
+      Sketches.sourceOverlap(Tables(s, dir, "documents"), "source", "text")),
+
     "q_hll_distinct" -> ((s, dir) => {
       val events = Tables(s, dir, "events")
       val est = Sketches.hllDistinct(events, Seq("event_type"), "user_id")
@@ -188,6 +195,27 @@ object Mining {
         |  p(token)
         |LEFT JOIN c USING (token)
         |ORDER BY token""".stripMargin,
+    "q_source_overlap" ->
+      """WITH tok AS (
+        |  SELECT source AS g,
+        |    unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS token
+        |  FROM documents),
+        |st AS (SELECT DISTINCT g, token FROM tok),
+        |sz AS (SELECT g, count(*) AS n FROM st GROUP BY g),
+        |pairs AS (SELECT a.g AS ga, b.g AS gb FROM sz a, sz b WHERE a.g < b.g),
+        |inter AS (
+        |  SELECT a.g AS ga, b.g AS gb, count(*) AS n_inter
+        |  FROM st a JOIN st b ON a.token = b.token AND a.g < b.g
+        |  GROUP BY 1, 2)
+        |SELECT p.ga AS source_a, p.gb AS source_b,
+        |  round(CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
+        |    (sa.n + sb.n - coalesce(i.n_inter, 0)), 6) AS j_exact,
+        |  TRUE AS mh_ok
+        |FROM pairs p
+        |JOIN sz sa ON sa.g = p.ga
+        |JOIN sz sb ON sb.g = p.gb
+        |LEFT JOIN inter i ON i.ga = p.ga AND i.gb = p.gb
+        |ORDER BY source_a, source_b""".stripMargin,
     "q_hll_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |  TRUE AS hll_ok

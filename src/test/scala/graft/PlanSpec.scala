@@ -370,6 +370,15 @@ class PlanSpec extends AnyFunSuite {
       s"register arrays must merge map-side:\n${p.take(800)}")
   }
 
+  test("source overlap: no cartesian, no window; token intersection is an equi-join") {
+    val p = physicalPlan("q_source_overlap")
+    assert(!p.contains("CartesianProduct"),
+      s"pair enumeration must never cross-join raw frames:\n${p.take(800)}")
+    assert(!p.contains("Window"), p.take(800))
+    assert(p.contains("partial_"),
+      s"distinct/size aggregates must map-side combine:\n${p.take(800)}")
+  }
+
   test("Count-Min probe: partial-combined sketch, probe join broadcast, no window") {
     val p = physicalPlan("q_countmin")
     assert(!p.contains("Window"), p.take(800))

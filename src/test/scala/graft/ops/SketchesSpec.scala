@@ -103,6 +103,36 @@ class SketchesSpec extends AnyFunSuite {
       "d" -> (1L, true), "zz" -> (0L, true)))
   }
 
+  test("sourceOverlap: exact Jaccard right, estimate within tol, pairs complete") {
+    // s1 and s2 share 2 of 6 distinct tokens (J = 1/3); s3 is disjoint
+    val docs = Seq(
+      ("s1", "a b c d"), ("s1", "a b"),
+      ("s2", "c d e f"), ("s2", "e f"),
+      ("s3", "x y z")).toDF("source", "text")
+    val got = Sketches.sourceOverlap(docs, "source", "text", k = 512, tol = 0.15)
+      .as[(String, String, Double, Boolean)].collect()
+    assert(got.map(r => (r._1, r._2)).toSeq ==
+      Seq(("s1", "s2"), ("s1", "s3"), ("s2", "s3")), "all unordered pairs, sorted")
+    val m = got.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(m(("s1", "s2"))._1 == math.floor(2.0 / 6.0 * 1e6 + 0.5) / 1e6)
+    assert(m(("s1", "s3"))._1 == 0.0)
+    assert(got.forall(_._4), s"estimate outside tol: ${got.mkString(", ")}")
+  }
+
+  test("sourceOverlap is partition-invariant and duplicate-insensitive") {
+    val docs = (0 until 120).map { i =>
+      (s"s${i % 3}", s"tok${i % 40} tok${(i * 7) % 40} shared0 shared1")
+    }.toDF("source", "text")
+    def run(df: org.apache.spark.sql.DataFrame): Seq[(String, String, Double, Boolean)] =
+      Sketches.sourceOverlap(df, "source", "text", k = 128)
+        .as[(String, String, Double, Boolean)].collect().toSeq
+    val base = run(docs.repartition(1))
+    assert(run(docs.repartition(11, $"text")) == base,
+      "min-merge signature must be partition-invariant")
+    assert(run(docs.union(docs).repartition(5)) == base,
+      "set semantics: duplicated docs must not move any number")
+  }
+
   test("HLL is partition-invariant and insensitive to duplication") {
     import org.apache.spark.sql.functions._
     val base = (0L until 2000L).map(i => (i, "g")).toDF("v", "g")
