@@ -162,6 +162,44 @@ object Relational {
           round(expr("percentile(value, 0.99)"), 6).as("p99"))
         .orderBy(col("event_type"))),
 
+    // Quantile SKETCH path gated against exact ranks: percentile_approx
+    // is Spark's mergeable quantile summary — one map-side-combined
+    // aggregate, bounded state per group, no sort. At 100 TB it IS the
+    // product (exact percentile needs a full per-group sort); here the
+    // exact side both feeds the oracle columns and gates the sketch:
+    // each approx cut point's true rank must sit within 0.005 of its
+    // target (guarantee is 1/accuracy = 1e-4, 50x slack). The output
+    // exposes only exact values + the gate bit, so sketch merge-order
+    // jitter cannot touch the hash.
+    "q_quantile_sketch" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val approx = li.groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_extendedprice"),
+            array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ap"),
+          count(lit(1)).as("n"))
+      val ranks = li.join(broadcast(approx), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          (sum(when(col("l_extendedprice") <= col("ap")(0), 1L).otherwise(0L))
+            .cast("double") / first(col("n"))).as("r50"),
+          (sum(when(col("l_extendedprice") <= col("ap")(1), 1L).otherwise(0L))
+            .cast("double") / first(col("n"))).as("r90"),
+          (sum(when(col("l_extendedprice") <= col("ap")(2), 1L).otherwise(0L))
+            .cast("double") / first(col("n"))).as("r99"))
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"))
+        .join(broadcast(ranks), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("p50"), col("p90"), col("p99"),
+          (abs(col("r50") - 0.5) <= 0.005 &&
+            abs(col("r90") - 0.9) <= 0.005 &&
+            abs(col("r99") - 0.99) <= 0.005).as("qs_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Outer-join surface: orders per customer, zero included for customers
     // with no orders (count(o_orderkey) skips the null-extended rows).
     "q_orders_per_cust" -> ((s, dir) => {
@@ -257,6 +295,13 @@ object Relational {
         |  round(quantile_cont(value, 0.9), 6) AS p90,
         |  round(quantile_cont(value, 0.99), 6) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_quantile_sketch" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+        |  TRUE AS qs_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_orders_per_cust" ->
       """SELECT c_custkey, c_mktsegment,
         |  COUNT(o_orderkey) AS n_orders,

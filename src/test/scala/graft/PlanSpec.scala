@@ -379,6 +379,16 @@ class PlanSpec extends AnyFunSuite {
       s"distinct/size aggregates must map-side combine:\n${p.take(800)}")
   }
 
+  test("quantile sketch: partial-combined aggregates, broadcast gate joins, no window") {
+    val p = physicalPlan("q_quantile_sketch")
+    assert(!p.contains("Window"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("partial_"),
+      s"percentile_approx state must merge map-side:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"3-row approx/rank frames must broadcast back onto lineitem:\n${p.take(800)}")
+  }
+
   test("Count-Min probe: partial-combined sketch, probe join broadcast, no window") {
     val p = physicalPlan("q_countmin")
     assert(!p.contains("Window"), p.take(800))
