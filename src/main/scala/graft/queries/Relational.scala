@@ -15,6 +15,9 @@ import graft.Tables
   */
 object Relational {
 
+  private val ProfileCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
   /** sum(double) made order-insensitive: exact decimal accumulate, then one
     * deterministic conversion back to double.
     */
@@ -162,6 +165,13 @@ object Relational {
           round(expr("percentile(value, 0.99)"), 6).as("p99"))
         .orderBy(col("event_type"))),
 
+    // One-pass numeric profile of the fact table: exact counts / nulls /
+    // min / max / DECIMAL-exact mean / distinct per column from a single
+    // aggregate, with approx_count_distinct gated at 5% relative error.
+    "q_column_profile" -> ((s, dir) =>
+      graft.ops.CorpusStats.profileNumeric(Tables(s, dir, "lineitem"),
+        ProfileCols)),
+
     // Quantile SKETCH path gated against exact ranks: percentile_approx
     // is Spark's mergeable quantile summary — one map-side-combined
     // aggregate, bounded state per group, no sort. At 100 TB it IS the
@@ -295,6 +305,8 @@ object Relational {
         |  round(quantile_cont(value, 0.9), 6) AS p90,
         |  round(quantile_cont(value, 0.99), 6) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_column_profile" ->
+      graft.ops.CorpusStats.profileOracleSql("lineitem", ProfileCols),
     "q_quantile_sketch" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,

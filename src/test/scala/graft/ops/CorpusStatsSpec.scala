@@ -50,4 +50,24 @@ class CorpusStatsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(one == many)
   }
+
+  test("profileNumeric: hand-computed stats, null accounting, partition invariance") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 10.0), (2.0, 20.0), (3.0, null), (2.0, 30.0))
+      .toDF("a", "b")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      CorpusStats.profileNumeric(d, Seq("a", "b"))
+        .as[(String, Long, Long, Double, Double, Double, Long, Boolean)]
+        .collect().toSeq
+    val got = run(df)
+    assert(got.map(_._1) == Seq("a", "b"), "rows sorted by column name")
+    val a = got.head
+    // a: 4 non-null, 0 null, min 1, max 3, mean 2.0, 3 distinct
+    assert((a._2, a._3, a._4, a._5, a._6, a._7) == ((4L, 0L, 1.0, 3.0, 2.0, 3L)))
+    val b = got(1)
+    // b: 3 non-null, 1 null, mean (10+20+30)/3 = 20.0, 3 distinct
+    assert((b._2, b._3, b._4, b._5, b._6, b._7) == ((3L, 1L, 10.0, 30.0, 20.0, 3L)))
+    assert(got.forall(_._8), "HLL++ must be within 5% at tiny cardinality")
+    assert(run(df.repartition(7)) == got, "one-pass profile must be partition-invariant")
+  }
 }
