@@ -379,6 +379,19 @@ class PlanSpec extends AnyFunSuite {
       s"distinct/size aggregates must map-side combine:\n${p.take(800)}")
   }
 
+  test("column profile: no Expand (distinct isolated from sketch buffers), no window") {
+    val p = physicalPlan("q_column_profile")
+    // mixing countDistinct into the stats aggregate re-plans as an Expand
+    // and/or drags the 16 KiB HLL++ buffer onto millions of distinct keys
+    // (measured 45x at sf0.1) — pin the melted two-aggregate shape
+    assert(!p.contains("Expand"),
+      s"exact distinct must stay isolated from the stats aggregate:\n${p.take(800)}")
+    assert(!p.contains("Window"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("partial_"),
+      s"both aggregates must map-side combine:\n${p.take(800)}")
+  }
+
   test("quantile sketch: partial-combined aggregates, broadcast gate joins, no window") {
     val p = physicalPlan("q_quantile_sketch")
     assert(!p.contains("Window"), p.take(800))
