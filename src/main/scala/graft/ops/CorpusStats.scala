@@ -119,6 +119,87 @@ object CorpusStats {
       .orderBy(col("column_name"))
   }
 
+  /** One-pass Pearson correlation matrix over a fixed numeric column
+    * list: one row per unordered pair — (col_a, col_b, corr). ONE
+    * aggregate over the table computes every co-moment (n, Σx, Σx²,
+    * Σxy per pair) — no self-join, no second scan; the |cols|²/2 corr
+    * values assemble driver-side from that single collected row.
+    *
+    * Cross-engine determinism: inputs are quantized to DECIMAL(18,4),
+    * so every sum and product-sum is EXACT scaled-integer arithmetic —
+    * order- and partition-invariant, bit-identical to the oracle's
+    * DECIMAL accumulation. Only the final closed-form
+    * (n·Σxy − ΣxΣy)/(√(n·Σx²−Σx²)·√(n·Σy²−Σy²)) runs in doubles, on
+    * identical operands in identical order, rounded HALF_UP to 6
+    * places on both sides. Complete-case semantics: rows with a null
+    * in ANY profiled column are dropped first (documented contract).
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns to correlate")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def d(c: String) = col(c).cast("decimal(18,4)")
+    val pairs =
+      for { i <- cols.indices; j <- i + 1 until cols.size }
+        yield (cols(i), cols(j))
+    val aggs: Seq[Column] = Seq(count(lit(1)).as("n")) ++
+      cols.flatMap(c => Seq(
+        sum(d(c)).as(s"sx__$c"),
+        sum(d(c) * d(c)).as(s"sxx__$c"))) ++
+      pairs.map { case (a, b) => sum(d(a) * d(b)).as(s"sxy__${a}__${b}") }
+    val r = df.na.drop(cols).agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = r.getLong(0).toDouble
+    def dbl(name: String): Double =
+      r.getDecimal(r.fieldIndex(name)).doubleValue
+    val rows = pairs.map { case (a, b) =>
+      val (sx, sy) = (dbl(s"sx__$a"), dbl(s"sx__$b"))
+      val (sxx, syy) = (dbl(s"sxx__$a"), dbl(s"sxx__$b"))
+      val sxy = dbl(s"sxy__${a}__${b}")
+      val den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+      val corr = if (den > 0) (n * sxy - sx * sy) / den else 0.0
+      (a, b, BigDecimal(corr)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    rows.toDF("col_a", "col_b", "corr").orderBy(col("col_a"), col("col_b"))
+  }
+
+  /** The DuckDB oracle for [[correlationMatrix]] — the same co-moment
+    * sums in DECIMAL(18,4)-exact arithmetic, the same double closed
+    * form in the same operation order.
+    */
+  def corrOracleSql(table: String, cols: Seq[String]): String = {
+    val pairs =
+      for { i <- cols.indices; j <- i + 1 until cols.size }
+        yield (cols(i), cols(j))
+    val notNull = cols.map(c => s"$c IS NOT NULL").mkString(" AND ")
+    // DECIMAL(19,4) operands force DuckDB's int128 multiply path (the
+    // int64 (18,4) product overflows); the VALUES are identical to
+    // Spark's (18,4)x(18,4) -> DECIMAL(37,8) exact products.
+    val sumSel = (Seq("count(*) AS n") ++
+      cols.flatMap(c => Seq(
+        s"sum(CAST($c AS DECIMAL(18,4))) AS sx__$c",
+        s"sum(CAST($c AS DECIMAL(19,4)) * CAST($c AS DECIMAL(19,4))) AS sxx__$c")) ++
+      pairs.map { case (a, b) =>
+        s"sum(CAST($a AS DECIMAL(19,4)) * CAST($b AS DECIMAL(19,4))) AS sxy__${a}__${b}"
+      }).mkString(",\n    ")
+    val pairSelects = pairs.map { case (a, b) =>
+      val nn = "CAST(n AS DOUBLE)"
+      val sx = s"CAST(sx__$a AS DOUBLE)"
+      val sy = s"CAST(sx__$b AS DOUBLE)"
+      val sxx = s"CAST(sxx__$a AS DOUBLE)"
+      val syy = s"CAST(sxx__$b AS DOUBLE)"
+      val sxy = s"CAST(sxy__${a}__${b} AS DOUBLE)"
+      val den = s"sqrt($nn * $sxx - $sx * $sx) * sqrt($nn * $syy - $sy * $sy)"
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         |  round(CASE WHEN $den > 0
+         |    THEN ($nn * $sxy - $sx * $sy) / ($den)
+         |    ELSE 0 END, 6) AS corr
+         |FROM s""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH s AS (\n  SELECT $sumSel\n  FROM $table WHERE $notNull)\n" +
+      s"$pairSelects\nORDER BY col_a, col_b"
+  }
+
   /** The DuckDB oracle for [[profileNumeric]] — self-contained, any scale. */
   def profileOracleSql(table: String, cols: Seq[String]): String =
     cols.sorted.map { c =>

@@ -172,6 +172,14 @@ object Relational {
       graft.ops.CorpusStats.profileNumeric(Tables(s, dir, "lineitem"),
         ProfileCols)),
 
+    // One-pass Pearson correlation matrix: every co-moment (n, sums,
+    // product-sums per pair) from a single DECIMAL-exact aggregate —
+    // no self-join, no second scan; closed form in doubles on
+    // identical operands both engines.
+    "q_corr_matrix" -> ((s, dir) =>
+      graft.ops.CorpusStats.correlationMatrix(Tables(s, dir, "lineitem"),
+        ProfileCols)),
+
     // Quantile SKETCH path gated against exact ranks: percentile_approx
     // is Spark's mergeable quantile summary — one map-side-combined
     // aggregate, bounded state per group, no sort. At 100 TB it IS the
@@ -307,6 +315,8 @@ object Relational {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_column_profile" ->
       graft.ops.CorpusStats.profileOracleSql("lineitem", ProfileCols),
+    "q_corr_matrix" ->
+      graft.ops.CorpusStats.corrOracleSql("lineitem", ProfileCols),
     "q_quantile_sketch" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,

@@ -70,4 +70,42 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got.forall(_._8), "HLL++ must be within 5% at tiny cardinality")
     assert(run(df.repartition(7)) == got, "one-pass profile must be partition-invariant")
   }
+
+  test("correlationMatrix: exact +1/-1 on linear columns, hand-checked mid pair") {
+    // b = 2a (corr +1), c = -a (corr -1); d uncorrelated-ish with a
+    val df = Seq(
+      (1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 1.0),
+      (3.0, 6.0, -3.0, 4.0), (4.0, 8.0, -4.0, 2.0))
+      .toDF("a", "b", "c", "d")
+    def run(d2: org.apache.spark.sql.DataFrame) =
+      CorpusStats.correlationMatrix(d2, Seq("a", "b", "c", "d"))
+        .as[(String, String, Double)].collect().toSeq
+    val got = run(df)
+    val m = got.map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.map(r => (r._1, r._2)) ==
+      Seq(("a","b"),("a","c"),("a","d"),("b","c"),("b","d"),("c","d")),
+      "all unordered pairs in declaration order, sorted by name")
+    assert(m(("a", "b")) == 1.0)
+    assert(m(("a", "c")) == -1.0)
+    assert(m(("b", "c")) == -1.0)
+    // hand-computed corr(a, d): n=4, sx=10, sxx=30, sy=12, syy=46, sxy=27
+    val expected = {
+      val (n, sx, sxx, sy, syy, sxy) = (4.0, 10.0, 30.0, 12.0, 46.0, 27.0)
+      val den = math.sqrt(n*sxx - sx*sx) * math.sqrt(n*syy - sy*sy)
+      BigDecimal((n*sxy - sx*sy) / den)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(m(("a", "d")) == expected)
+    assert(run(df.repartition(5)) == got,
+      "DECIMAL co-moments must be partition-invariant")
+  }
+
+  test("correlationMatrix drops rows with a null in any profiled column") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 2.0), (2.0, 4.0), (3.0, null), (4.0, 8.0))
+      .toDF("a", "b")
+    val got = CorpusStats.correlationMatrix(df, Seq("a", "b"))
+      .as[(String, String, Double)].collect()
+    assert(got.toSeq == Seq(("a", "b", 1.0)), "complete-case: b=2a on surviving rows")
+  }
 }
