@@ -85,6 +85,44 @@ class PipelineStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("HLL and Count-Min sketches accumulate as streaming state (complete == batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // mergeable register/counter state IS streaming aggregation state:
+    // the same udaf runs unchanged under complete-mode micro-batches
+    val rows = (0L until 300L).map(i => (s"e${i % 2}", i % 97))
+    val batchHll = ops.Sketches.hllDistinct(
+      rows.toDF("event_type", "user_id"), Seq("event_type"), "user_id")
+      .as[(String, Double)].collect().toMap
+    val mem = MemoryStream[(String, Long)]
+    val q = ops.Sketches.hllDistinct(
+      mem.toDF().toDF("event_type", "user_id"), Seq("event_type"), "user_id")
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows.take(120): _*); q.processAllAvailable()
+      mem.addData(rows.drop(120): _*); q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM hll_stream")
+        .as[(String, Double)].collect().toMap
+      assert(got == batchHll, "HLL registers must accumulate across micro-batches")
+    } finally q.stop()
+
+    val cmAgg = udaf(new ops.Sketches.CountMinAggregator(3, 32))
+    val toks = (0 until 200).map(i => (s"t${i % 17}", 1L))
+    val batchCm = toks.toDF("token", "w")
+      .agg(cmAgg(xxhash64($"token"), $"w")).as[Seq[Long]].collect().head
+    val mem2 = MemoryStream[(String, Long)]
+    val q2 = mem2.toDF().toDF("token", "w")
+      .agg(cmAgg(xxhash64($"token"), $"w").as("cm"))
+      .writeStream.format("memory").queryName("cm_stream")
+      .outputMode("complete").start()
+    try {
+      toks.grouped(70).foreach { g => mem2.addData(g: _*); q2.processAllAvailable() }
+      val got = spark.sql("SELECT cm FROM cm_stream").as[Seq[Long]].collect().head
+      assert(got == batchCm, "Count-Min counters must accumulate across micro-batches")
+    } finally q2.stop()
+  }
+
   test("DSIR scoring on a stream matches the batch weights") {
     implicit val sqlCtx = spark.sqlContext
     val target = Seq((100L, "alpha beta alpha")).toDF("doc_id", "text")
