@@ -92,4 +92,25 @@ object Scale {
       .saveAsTable(table)
     df.sparkSession.table(table)
   }
+
+  /** Hive-style partitioned parquet layout: one directory per `partCol`
+    * value, rows sorted within files by `sortCol` (run-length-friendly
+    * encodings, monotone row groups). The `repartition(partCol)` first
+    * co-locates each partition value into one task so the layout is
+    * one-file-per-value, not tasks×values small files. A reader that
+    * filters on `partCol` then scans ONLY the matching directories —
+    * pruning happens at file LISTING (`PartitionFilters` in the scan,
+    * before any I/O), which at 100 TB is the difference between
+    * touching one language's shard and walking the whole corpus.
+    * Returns the re-read frame rooted at `path`.
+    */
+  def writePartitioned(df: DataFrame, path: String, partCol: String,
+      sortCol: String): DataFrame = {
+    df.repartition(col(partCol))
+      .sortWithinPartitions(col(partCol), col(sortCol))
+      .write.mode("overwrite")
+      .partitionBy(partCol)
+      .parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
 }

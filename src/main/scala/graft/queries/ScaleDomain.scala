@@ -54,6 +54,22 @@ object ScaleDomain {
         .orderBy(col("c_nationkey"))
     }),
 
+    // Hive-partitioned round-trip: documents written partitionBy(lang)
+    // (one co-located file per language, sorted by doc_id), re-read with
+    // a lang filter that must prune at file listing (PartitionFilters —
+    // pinned in PlanSpec), then aggregated. The oracle recomputes from
+    // the ORIGINAL table: content parity proves the layout is lossless.
+    "q_partition_prune" -> ((s, dir) => {
+      val path = s"/tmp/graft_part/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val reread = Scale.writePartitioned(
+        Tables(s, dir, "documents"), path, "lang", "doc_id")
+      reread.filter(col("lang") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy(col("source"))
+    }),
+
     // Byte-level feature extraction over binary payloads (the decode-stub
     // path: length + mean byte, per-partition batched).
     "q_media_features" -> ((s, dir) =>
@@ -86,6 +102,11 @@ object ScaleDomain {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_partition_prune" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q_media_features" ->
       """SELECT doc_id AS media_id, 'text/plain' AS mime,
         |  length(text) AS n_bytes,

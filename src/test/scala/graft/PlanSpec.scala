@@ -379,6 +379,16 @@ class PlanSpec extends AnyFunSuite {
       s"distinct/size aggregates must map-side combine:\n${p.take(800)}")
   }
 
+  test("partitioned layout prunes at file listing (PartitionFilters on lang)") {
+    val p = physicalPlan("q_partition_prune")
+    assert(p.contains("PartitionFilters: [") &&
+      p.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("lang"),
+      s"lang filter must prune directories before I/O:\n${p.take(1200)}")
+    assert(!p.contains("PushedFilters: [IsNotNull(lang)"),
+      "lang must be a partition column, not a data-filter column")
+  }
+
   test("column profile: no Expand (distinct isolated from sketch buffers), no window") {
     val p = physicalPlan("q_column_profile")
     // mixing countDistinct into the stats aggregate re-plans as an Expand
