@@ -95,29 +95,88 @@ object Sketches {
       a
     }
 
-    override def finish(regs: Array[Byte]): Double = {
-      val alpha = m match {
-        case 16 => 0.673
-        case 32 => 0.697
-        case 64 => 0.709
-        case _ => 0.7213 / (1.0 + 1.079 / m)
-      }
-      var invSum = 0.0
-      var zeros = 0
-      var i = 0
-      while (i < m) {
-        val r = regs(i) & 0xff
-        invSum += 1.0 / (1L << r)
-        if (r == 0) zeros += 1
-        i += 1
-      }
-      val raw = alpha * m * m / invSum
-      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
-      else raw
-    }
+    override def finish(regs: Array[Byte]): Double = hllEstimate(regs)
 
     override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Standard HLL estimator over a register array (m = regs.length). */
+  private[ops] def hllEstimate(regs: Array[Byte]): Double = {
+    val m = regs.length
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    var invSum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      val r = regs(i) & 0xff
+      invSum += 1.0 / (1L << r)
+      if (r == 0) zeros += 1
+      i += 1
+    }
+    val raw = alpha * m * m / invSum
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+    else raw
+  }
+
+  /** [[HllAggregator]] that RETURNS the register array instead of the
+    * estimate — the persistable per-slice summary for roll-ups.
+    */
+  private[graft] class HllRegistersAggregator(p: Int)
+      extends Aggregator[Long, Array[Byte], Array[Byte]] {
+    private val inner = new HllAggregator(p)
+    override def zero: Array[Byte] = inner.zero
+    override def reduce(b: Array[Byte], h: Long): Array[Byte] = inner.reduce(b, h)
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = inner.merge(a, b)
+    override def finish(b: Array[Byte]): Array[Byte] = b
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Second-level merge of stored register arrays (element-wise max),
+    * finishing to the estimate. Because max-merge is associative and
+    * commutative, a roll-up over ANY partitioning of the data (days,
+    * shards, years) finishes to the BIT-IDENTICAL estimate the direct
+    * one-pass sketch produces — that equality is the gate contract.
+    */
+  private[graft] class HllMergeAggregator(p: Int)
+      extends Aggregator[Array[Byte], Array[Byte], Double] {
+    private val inner = new HllAggregator(p)
+    override def zero: Array[Byte] = inner.zero
+    override def reduce(b: Array[Byte], regs: Array[Byte]): Array[Byte] =
+      inner.merge(b, regs)
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = inner.merge(a, b)
+    override def finish(b: Array[Byte]): Double = hllEstimate(b)
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Pre-aggregated distinct-count summaries: one register array per
+    * (sliceCols) group — the thing a 100 TB pipeline PERSISTS per
+    * day/shard so totals never rescan raw data.
+    */
+  def hllSummaries(df: DataFrame, sliceCols: Seq[String], valueCol: String,
+      p: Int = 12): DataFrame = {
+    require(p >= 4 && p <= 18, s"p must be in [4, 18], got $p")
+    val agg = udaf(new HllRegistersAggregator(p))
+    df.groupBy(sliceCols.map(col): _*)
+      .agg(agg(xxhash64(col(valueCol))).as("hll_regs"))
+  }
+
+  /** Roll stored summaries up to `finalCols` granularity: merges the
+    * register arrays (element-wise max — no raw data touched) and
+    * finishes to `hll_estimate`, bit-identical to the direct sketch.
+    */
+  def hllRollup(summaries: DataFrame, finalCols: Seq[String],
+      p: Int = 12): DataFrame = {
+    val agg = udaf(new HllMergeAggregator(p))
+    summaries.groupBy(finalCols.map(col): _*)
+      .agg(agg(col("hll_regs")).as("hll_estimate"))
   }
 
   /** Per-group approximate distinct count of `valueCol`: (groupCols...,

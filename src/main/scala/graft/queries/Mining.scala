@@ -80,6 +80,28 @@ object Mining {
     // deterministic (fixed double hashing, commutative adds), so the
     // contract either always holds on this data or fails the gate
     // self-explanatorily — same pattern as q_hll_distinct.
+    // HLL ROLL-UP: per-(event_type, day) register arrays — the summary a
+    // 100 TB pipeline persists per slice — merged (element-wise max, no
+    // raw rescans) up to event_type. Max-merge associativity makes the
+    // rolled-up estimate BIT-IDENTICAL to the direct one-pass sketch;
+    // rollup_eq_direct pins that equality, hll_ok the 5% contract.
+    "q_hll_rollup" -> ((s, dir) => {
+      val events = Tables(s, dir, "events")
+      val slices = Sketches.hllSummaries(
+        events.withColumn("day", to_date(col("ts"))),
+        Seq("event_type", "day"), "user_id")
+      val rolled = Sketches.hllRollup(slices, Seq("event_type"))
+      val direct = Sketches.hllDistinct(events, Seq("event_type"), "user_id")
+        .withColumnRenamed("hll_estimate", "direct_estimate")
+      val exact = events.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      exact.join(rolled, Seq("event_type")).join(direct, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"),
+          (col("hll_estimate") === col("direct_estimate")).as("rollup_eq_direct"),
+          (abs(col("hll_estimate") / col("n_exact") - 1.0) < 0.05).as("hll_ok"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_countmin" -> ((s, dir) =>
       Sketches.countMinProbe(Tables(s, dir, "documents"), "doc_id", "text",
         CmProbes)),
@@ -184,6 +206,10 @@ object Mining {
          |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
     "q_kl_sources" ->
       graft.ops.CorpusStats.klOracleSql("documents", "source", "text"),
+    "q_hll_rollup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |  TRUE AS rollup_eq_direct, TRUE AS hll_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_countmin" ->
       """WITH occ AS (
         |  SELECT unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS token

@@ -133,6 +133,24 @@ class SketchesSpec extends AnyFunSuite {
       "set semantics: duplicated docs must not move any number")
   }
 
+  test("HLL rollup of slice summaries equals the direct sketch bit-for-bit") {
+    val rows = (0L until 4000L).map(i => (i % 701, s"d${i % 9}", "g"))
+      .toDF("v", "slice", "g")
+    val direct = Sketches.hllDistinct(rows, Seq("g"), "v")
+      .select($"hll_estimate").as[Double].collect().head
+    // summaries per (g, slice) — 9 register arrays — rolled up to g
+    val rolled = Sketches.hllRollup(
+      Sketches.hllSummaries(rows, Seq("g", "slice"), "v"), Seq("g"))
+      .select($"hll_estimate").as[Double].collect().head
+    assert(rolled == direct, "max-merge rollup must equal the one-pass sketch exactly")
+    // a DIFFERENT slicing must also agree — associativity, not luck
+    val rolled2 = Sketches.hllRollup(
+      Sketches.hllSummaries(rows.withColumn("slice", ($"v" % 4).cast("string")),
+        Seq("g", "slice"), "v"), Seq("g"))
+      .select($"hll_estimate").as[Double].collect().head
+    assert(rolled2 == direct)
+  }
+
   test("HLL is partition-invariant and insensitive to duplication") {
     import org.apache.spark.sql.functions._
     val base = (0L until 2000L).map(i => (i, "g")).toDF("v", "g")
