@@ -40,8 +40,7 @@ object Classifier {
     require(labels.sameElements(labels.sorted), "labels must be sorted")
   }
 
-  private[ops] def quantize(x: Double): Long =
-    math.floor(x * 1e9 + 0.5).toLong
+  private[ops] def quantize(x: Double): Long = HashKernels.nanoQuant(x)
 
   /** Train on `(labelCol, textCol)` rows. Three aggregates: (label,
     * token) counts [vocab-bounded], per-label doc counts [|labels|
@@ -145,18 +144,18 @@ object Classifier {
     val toks = HashKernels.tokensOf(text)
     if (toks.isEmpty) Array.empty
     else {
-      val counts = new java.util.TreeMap[Int, Int]()
+      val buckets = new java.util.TreeSet[Integer]()
       var i = 0
       while (i < toks.length) {
         val h = scala.util.hashing.MurmurHash3.stringHash(toks(i), 42)
-        counts.merge(((h % dim) + dim) % dim, 1, (a, b) => a + b)
+        buckets.add(((h % dim) + dim) % dim)
         i += 1
       }
-      val out = new Array[(Int, Double)](counts.size)
-      val it = counts.entrySet().iterator()
+      val out = new Array[(Int, Double)](buckets.size)
+      val it = buckets.iterator()
       var j = 0
       while (it.hasNext) {
-        out(j) = (it.next().getKey, 1.0)
+        out(j) = (it.next().intValue(), 1.0)
         j += 1
       }
       out

@@ -48,7 +48,12 @@ object CorpusStats {
       .agg(
         sum(col("c")).as("n_tokens"),
         count(lit(1)).as("n_types"),
-        round((sum(floor(term * 1e9 + 0.5).cast("long")) / 1e9), 6).as("kl"))
+        // Half-AWAY-FROM-ZERO quantization (matches DuckDB round(term, 9)):
+        // KL terms are the one quantized family with reachable negatives,
+        // where plain floor(x*1e9+0.5) (half-up) would disagree on ties.
+        round((sum(when(term >= 0, floor(term * 1e9 + 0.5))
+          .otherwise(-floor(-term * 1e9 + 0.5)).cast("long")) / 1e9), 6)
+          .as("kl"))
   }
 
   /** The DuckDB oracle for [[klBySource]] — self-contained, any scale. */
@@ -113,9 +118,11 @@ object CorpusStats {
     stats.join(nd, Seq("column_name"))
       .select(col("column_name"), col("n"), col("n_null"), col("vmin"),
         col("vmax"), col("mean"), col("n_distinct"),
-        (col("n_distinct") > 0 &&
-          abs(col("approx_nd").cast("double") / col("n_distinct") - 1.0)
-            <= 0.05).as("nd_ok"))
+        // An all-null column has 0 exact distinct AND a 0 sketch estimate —
+        // that's a perfect sketch, not a gate failure (oracle emits TRUE).
+        when(col("n_distinct") === 0, col("approx_nd") === 0)
+          .otherwise(abs(col("approx_nd").cast("double") / col("n_distinct")
+            - 1.0) <= 0.05).as("nd_ok"))
       .orderBy(col("column_name"))
   }
 
@@ -149,8 +156,13 @@ object CorpusStats {
       pairs.map { case (a, b) => sum(d(a) * d(b)).as(s"sxy__${a}__${b}") }
     val r = df.na.drop(cols).agg(aggs.head, aggs.tail: _*).collect()(0)
     val n = r.getLong(0).toDouble
-    def dbl(name: String): Double =
-      r.getDecimal(r.fieldIndex(name)).doubleValue
+    // Zero surviving rows (empty frame / a fully-null column) leaves the
+    // decimal sums NULL; treat as 0 so den = 0 -> corr 0.0, matching the
+    // oracle's CASE WHEN NULL > 0 -> ELSE 0 path instead of an NPE.
+    def dbl(name: String): Double = {
+      val v = r.getDecimal(r.fieldIndex(name))
+      if (v == null) 0.0 else v.doubleValue
+    }
     val rows = pairs.map { case (a, b) =>
       val (sx, sy) = (dbl(s"sx__$a"), dbl(s"sx__$b"))
       val (sxx, syy) = (dbl(s"sxx__$a"), dbl(s"sxx__$b"))

@@ -36,7 +36,7 @@ object Dsir {
     */
   final case class ImportanceModel(deltaNanos: Map[String, Long], unseenNanos: Long)
 
-  private def quantize(x: Double): Long = math.floor(x * 1e9 + 0.5).toLong
+  private def quantize(x: Double): Long = HashKernels.nanoQuant(x)
 
   private val Fnv64Offset = 0xcbf29ce484222325L
   private val Fnv64Prime = 0x100000001b3L

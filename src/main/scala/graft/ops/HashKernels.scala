@@ -25,6 +25,18 @@ import org.apache.spark.sql.functions.udf
   */
 object HashKernels {
 
+  /** THE 1e-9 half-up quantizer — the load-bearing cross-engine parity
+    * primitive: per-term scores quantize to integer nanos before summing
+    * so Spark and the DuckDB oracle both do exact Long addition
+    * (order-insensitive, partition-invariant). One definition on purpose:
+    * Classifier, Dsir, and LanguageModel all route here so the rounding
+    * mode can never drift between operators. Oracle-replayed callers feed
+    * NON-NEGATIVE terms (NLL values), where half-up equals SQL
+    * `round()`'s half-away-from-zero; for signed oracle-replayed terms
+    * use the explicit sign split (see [[CorpusStats.klBySource]]).
+    */
+  @inline def nanoQuant(x: Double): Long = math.floor(x * 1e9 + 0.5).toLong
+
   /** FNV-1a 64-bit over a char window. */
   private def fnv1a(s: String, from: Int, len: Int): Long = {
     var h = 0xcbf29ce484222325L

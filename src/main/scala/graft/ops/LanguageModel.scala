@@ -66,7 +66,7 @@ object LanguageModel {
         while (i < toks.length) {
           val c = counts.getOrElse(toks(i), 0L)
           val term = -math.log((c + 1.0) / denom)
-          nanos += math.floor(term * 1e9 + 0.5).toLong
+          nanos += HashKernels.nanoQuant(term)
           i += 1
         }
         (toks.length, (nanos.toDouble / 1e9) / toks.length)
@@ -145,13 +145,13 @@ object LanguageModel {
       else {
         var nanos = 0L
         val first = -math.log((uniCounts.getOrElse(toks(0), 0L) + 1.0) / uniDenom)
-        nanos += math.floor(first * 1e9 + 0.5).toLong
+        nanos += HashKernels.nanoQuant(first)
         var i = 1
         while (i < toks.length) {
           val c = bi.getOrElse(toks(i - 1) + " " + toks(i), 0L)
           val cp = prefix.getOrElse(toks(i - 1), 0L)
           val term = -math.log((c + 1.0) / (cp + vsz))
-          nanos += math.floor(term * 1e9 + 0.5).toLong
+          nanos += HashKernels.nanoQuant(term)
           i += 1
         }
         (toks.length, (nanos.toDouble / 1e9) / toks.length)

@@ -285,15 +285,24 @@ object Sampling {
       idCol: String,
       budget: Long): DataFrame = {
     val alloc = temperatureAllocation(df, groupCol, budget)
-    val targets = alloc.select(col(groupCol), col("target")).collect()
-    val maxTarget = targets.map(_.getLong(1)).foldLeft(0L)(math.max)
+    val targets = alloc.select(col("target"), col("n_docs")).collect()
+    // The heap only ever needs min(target, group size) slots per group: a
+    // target beyond the group's row count keeps the whole group anyway.
+    // This also keeps Long-scale budgets exact — maxTarget can exceed
+    // Int.MaxValue while the needed heap stays small.
+    val maxTarget = targets.map(_.getLong(0)).foldLeft(0L)(math.max)
+    val kNeeded = targets
+      .map(r => math.min(r.getLong(0), r.getLong(1))).foldLeft(0L)(math.max)
+    require(kNeeded <= Int.MaxValue,
+      s"per-group selection of $kNeeded rows exceeds the bounded-heap range; " +
+        "at this scale use hashSample/tokenBudgetSample (threshold cut), not a top-k draw")
     if (maxTarget == 0) {
       df.sparkSession.createDataFrame(
         df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         quotaSample(df.limit(1), groupCol, idCol, 1)
           .withColumn("target", lit(0L)).schema)
     } else {
-      quotaSample(df, groupCol, idCol, maxTarget.toInt)
+      quotaSample(df, groupCol, idCol, kNeeded.toInt)
         .join(broadcast(alloc.select(col(groupCol), col("target"))), Seq(groupCol))
         .filter(col("sample_rank") <= col("target"))
     }

@@ -143,15 +143,35 @@ object Sketches {
     * commutative, a roll-up over ANY partitioning of the data (days,
     * shards, years) finishes to the BIT-IDENTICAL estimate the direct
     * one-pass sketch produces — that equality is the gate contract.
+    *
+    * The register count m (= 2^p) is DERIVED from the stored arrays, not
+    * configured: summaries are a persisted cross-session format, and a
+    * mis-supplied p would either crash mid-merge or silently merge a
+    * prefix of the registers. Mixing summaries of different p in one
+    * group is a hard error (the sketches are not mergeable).
     */
-  private[graft] class HllMergeAggregator(p: Int)
+  private[graft] class HllMergeAggregator
       extends Aggregator[Array[Byte], Array[Byte], Double] {
-    private val inner = new HllAggregator(p)
-    override def zero: Array[Byte] = inner.zero
+    override def zero: Array[Byte] = Array.emptyByteArray
+    // clone on first adoption: the buffer must own its registers, not
+    // alias an input row's array
     override def reduce(b: Array[Byte], regs: Array[Byte]): Array[Byte] =
-      inner.merge(b, regs)
-    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = inner.merge(a, b)
-    override def finish(b: Array[Byte]): Double = hllEstimate(b)
+      if (b.isEmpty) regs.clone() else merge(b, regs)
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        require(a.length == b.length,
+          s"cannot merge HLL summaries of different p: 2^p register counts ${a.length} vs ${b.length}")
+        var i = 0
+        while (i < a.length) {
+          if ((b(i) & 0xff) > (a(i) & 0xff)) a(i) = b(i)
+          i += 1
+        }
+        a
+      }
+    override def finish(b: Array[Byte]): Double =
+      if (b.isEmpty) 0.0 else hllEstimate(b)
     override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
@@ -171,10 +191,11 @@ object Sketches {
   /** Roll stored summaries up to `finalCols` granularity: merges the
     * register arrays (element-wise max — no raw data touched) and
     * finishes to `hll_estimate`, bit-identical to the direct sketch.
+    * p is read off the stored arrays themselves — no parameter to
+    * mis-supply against a persisted format.
     */
-  def hllRollup(summaries: DataFrame, finalCols: Seq[String],
-      p: Int = 12): DataFrame = {
-    val agg = udaf(new HllMergeAggregator(p))
+  def hllRollup(summaries: DataFrame, finalCols: Seq[String]): DataFrame = {
+    val agg = udaf(new HllMergeAggregator)
     summaries.groupBy(finalCols.map(col): _*)
       .agg(agg(col("hll_regs")).as("hll_estimate"))
   }
@@ -344,7 +365,22 @@ object Sketches {
     val sigs = tf.groupBy(col("g"))
       .agg(agg(xxhash64(col("token"))).as("sig"))
       .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
-    val est = sigs.keys.toSeq.sorted.combinations(2).map { case Seq(a, b) =>
+    // Pair orientation must match the exact side's Spark `<` (UTF-8
+    // binary = code-point order). Scala's default String sort is UTF-16
+    // code-unit order, which flips supplementary-plane names against
+    // [U+E000, U+FFFF] — so sort by UTF-8 bytes explicitly.
+    val utf8Order: Ordering[String] = Ordering.fromLessThan { (a, b) =>
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      var r = 0
+      while (r == 0 && i < math.min(x.length, y.length)) {
+        r = (x(i) & 0xff) - (y(i) & 0xff)
+        i += 1
+      }
+      if (r != 0) r < 0 else x.length < y.length
+    }
+    val est = sigs.keys.toSeq.sorted(utf8Order).combinations(2).map { case Seq(a, b) =>
       val (sa, sb) = (sigs(a), sigs(b))
       var m = 0
       var i = 0

@@ -108,4 +108,26 @@ class CorpusStatsSpec extends AnyFunSuite {
       .as[(String, String, Double)].collect()
     assert(got.toSeq == Seq(("a", "b", 1.0)), "complete-case: b=2a on surviving rows")
   }
+
+  test("correlationMatrix: zero surviving rows degrades to corr 0.0, no NPE") {
+    // an entirely-null column means na.drop leaves nothing: the decimal
+    // sums come back NULL and must read as 0 (den = 0 -> corr 0.0),
+    // matching the oracle's CASE WHEN NULL > 0 -> ELSE 0 path
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, null), (2.0, null)).toDF("a", "b")
+    val got = CorpusStats.correlationMatrix(df, Seq("a", "b"))
+      .as[(String, String, Double)].collect()
+    assert(got.toSeq == Seq(("a", "b", 0.0)))
+  }
+
+  test("profileNumeric: an all-null column passes nd_ok (0 exact, 0 sketch)") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, null), (2.0, null), (2.0, null)).toDF("a", "b")
+    val rows = CorpusStats.profileNumeric(df, Seq("a", "b"))
+      .select($"column_name", $"n", $"n_distinct", $"nd_ok")
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rows("b") == ((0L, 0L, true)), "perfect empty sketch is not a gate failure")
+    assert(rows("a") == ((3L, 2L, true)))
+  }
 }

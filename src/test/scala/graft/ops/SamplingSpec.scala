@@ -239,4 +239,16 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
     assert(out7 == out.map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet)
   }
+
+  test("temperatureSample: Long-scale budget keeps whole groups (heap sized by group, not target)") {
+    // budget >> Int.MaxValue: targets overflow an Int, but the bounded
+    // heap only needs min(target, group size) slots — every group is
+    // kept whole instead of wrapping to a garbage quota
+    val df = ((1 to 20).map(i => (i.toLong, "a")) ++
+      (21 to 30).map(i => (i.toLong, "b"))).toDF("id", "g")
+    val out = Sampling.temperatureSample(df, "g", "id", 5_000_000_000L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == ((1 to 20).map(i => ("a", i.toLong)) ++
+      (21 to 30).map(i => ("b", i.toLong))).toSet)
+  }
 }

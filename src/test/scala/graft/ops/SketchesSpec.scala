@@ -149,6 +149,22 @@ class SketchesSpec extends AnyFunSuite {
         Seq("g", "slice"), "v"), Seq("g"))
       .select($"hll_estimate").as[Double].collect().head
     assert(rolled2 == direct)
+    // p is derived FROM the stored arrays (persisted format): p=10
+    // summaries roll up correctly with no parameter to mis-supply
+    val direct10 = Sketches.hllDistinct(rows, Seq("g"), "v", p = 10)
+      .select($"hll_estimate").as[Double].collect().head
+    val rolled10 = Sketches.hllRollup(
+      Sketches.hllSummaries(rows, Seq("g", "slice"), "v", p = 10), Seq("g"))
+      .select($"hll_estimate").as[Double].collect().head
+    assert(rolled10 == direct10)
+    // mixing summaries of different p in one group is a hard error, not
+    // a silent prefix merge
+    val mixed = Sketches.hllSummaries(rows, Seq("g", "slice"), "v", p = 10)
+      .union(Sketches.hllSummaries(rows, Seq("g", "slice"), "v", p = 12))
+    val err = intercept[org.apache.spark.SparkException] {
+      Sketches.hllRollup(mixed, Seq("g")).collect()
+    }
+    assert(err.getMessage != null)
   }
 
   test("HLL is partition-invariant and insensitive to duplication") {
