@@ -107,6 +107,17 @@ object Dedup {
     * @param numHashes signature length
     * @param bands     LSH bands (rows per band = numHashes/bands)
     * @param threshold Jaccard threshold for verified pairs
+    * @param maxBucketSize drop band buckets holding more than this many
+    *        documents before the self-join (0 = uncapped). A bucket of B
+    *        docs contributes B(B−1)/2 candidate pairs, so one degenerate
+    *        bucket (boilerplate text, near-empty docs, an adversarial
+    *        collision) turns LSH quadratic — the cap is the standard
+    *        large-corpus guard, and the pairs it drops are exactly the
+    *        ones found through a band that stopped discriminating. A true
+    *        near-duplicate pair is missed only if EVERY band it collides
+    *        in is over-cap: at j ≥ 0.85 a pair collides in most of the
+    *        B bands (E[X] = B·j^r), so unless the pair is itself
+    *        boilerplate all bands would have to degenerate at once.
     * Output: (id_a, id_b, jaccard DOUBLE), id_a < id_b.
     */
   def minhashNearDuplicates(
@@ -117,7 +128,8 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.7,
-      minBandMatches: Int = 1): DataFrame = {
+      minBandMatches: Int = 1,
+      maxBucketSize: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     graft.plans.GraftExtensions.register(df.sparkSession)
     // The shingle frame feeds THREE consumers (banding, and both sides of
@@ -134,15 +146,19 @@ object Dedup {
     // it, and if it sat below the repartition, column pruning would strip
     // it from their subtrees and the three exchanges would no longer be
     // canonically identical (= never stage-reused).
-    // The explicit isNotNull mirrors the constraint the optimizer infers
-    // for the verify branches from the null-intolerant jaccard filter —
-    // without it their subtrees carry an extra pushed-down filter the
-    // banding branch lacks, and the exchanges stop being identical.
-    // (The kernel never returns null; the filter is a no-op at runtime.)
+    // The explicit isNotNulls mirror the constraints the optimizer infers
+    // for SOME consumers but not others — `sh` from the null-intolerant
+    // jaccard filter in the verify branches, `id` from the equi-joins on
+    // id_a/id_b (the bucket-cap aggregate joins on (band, band_hash)
+    // only, so its subtree would lack the id constraint) — without them
+    // the subtrees carry different pushed-down filters and the exchanges
+    // stop being canonically identical (= never stage-reused). Both
+    // filters are runtime no-ops: the kernel never returns null, and a
+    // null id can't reach a verified pair anyway.
     val withSh = df.select(
       col(idCol).as("id"),
       HashKernels.hashedShinglesUdf(k)(col(textCol)).as("sh"))
-      .filter(col("sh").isNotNull)
+      .filter(col("sh").isNotNull && col("id").isNotNull)
       .repartition(col("id"))
       .withColumn("n", size(col("sh")))
 
@@ -160,14 +176,27 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
 
+    // Optional bucket-size cap (see scaladoc): one small aggregate over
+    // the ~20-byte banded rows decides which buckets survive; singleton
+    // buckets are pruned in the same pass (they can't produce a pair, so
+    // dropping them before the shuffle is free). The semi-join stays on
+    // the narrow frame — no shingle array is in flight yet.
+    val bucketed = if (maxBucketSize > 0) {
+      val keep = banded.groupBy(col("band"), col("band_hash"))
+        .agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") >= 2 && col("bucket_n") <= maxBucketSize)
+        .select("band", "band_hash")
+      banded.join(keep, Seq("band", "band_hash"), "left_semi")
+    } else banded
+
     // Candidate pruning before any array travels:
     //  - size bound (LOSSLESS): j >= t implies min(|A|,|B|)/max >= t;
     //  - band-collision count (opt-in, minBandMatches > 1 — see the recall
     //    math in the scaladoc): pairs colliding in < minBandMatches bands
     //    are dropped.
-    val candidates = banded
+    val candidates = bucketed
       .select(col("band"), col("band_hash"), col("id").as("id_a"), col("n").as("n_a"))
-      .join(banded.select(col("band"), col("band_hash"),
+      .join(bucketed.select(col("band"), col("band_hash"),
         col("id").as("id_b"), col("n").as("n_b")),
         Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b") &&
@@ -204,7 +233,11 @@ object Dedup {
       bands: Int)
 
   /** Build the LSH index (same shingle/signature/banding pipeline as
-    * [[minhashNearDuplicates]], minus the self-join).
+    * [[minhashNearDuplicates]], minus the self-join). `maxBucketSize > 0`
+    * drops over-cap band buckets from the index at build time — the same
+    * degenerate-bucket guard as the batch operator (a boilerplate bucket
+    * of B index docs costs every future probe B joins per colliding row;
+    * singleton buckets stay, since a probe row can pair with one doc).
     */
   def minhashBuildIndex(
       df: DataFrame,
@@ -212,7 +245,8 @@ object Dedup {
       textCol: String,
       k: Int = 5,
       numHashes: Int = 32,
-      bands: Int = 8): MinhashIndex = {
+      bands: Int = 8,
+      maxBucketSize: Int = 0): MinhashIndex = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     graft.plans.GraftExtensions.register(df.sparkSession)
     val withSh = df.select(
@@ -228,7 +262,14 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
       .select("band", "band_hash", "id", "n")
-    MinhashIndex(banded, withSh.select("id", "sh", "n"), k, numHashes, bands)
+    val capped = if (maxBucketSize > 0) {
+      val keep = banded.groupBy(col("band"), col("band_hash"))
+        .agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") <= maxBucketSize)
+        .select("band", "band_hash")
+      banded.join(keep, Seq("band", "band_hash"), "left_semi")
+    } else banded
+    MinhashIndex(capped, withSh.select("id", "sh", "n"), k, numHashes, bands)
   }
 
   /** Near-duplicate pairs between a NEW batch and an indexed corpus:
@@ -467,9 +508,10 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.7,
-      minBandMatches: Int = 1): DataFrame = {
+      minBandMatches: Int = 1,
+      maxBucketSize: Int = 0): DataFrame = {
     val pairs = minhashNearDuplicates(df, idCol, textCol, k, numHashes, bands,
-      threshold, minBandMatches)
+      threshold, minBandMatches, maxBucketSize)
     val comps = connectedComponents(pairs)
     val losers = comps.filter(col("id") =!= col("component")).select(col("id"))
     df.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")

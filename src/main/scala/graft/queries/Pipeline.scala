@@ -55,32 +55,37 @@ object Pipeline {
 
     // MinHash+LSH near-dup pairs over the whole corpus (probabilistic
     // candidate generation; exact-Jaccard verified). Rows-only check.
-    // 12 bands × r=5 puts the S-curve midpoint at (1/12)^(1/5) ≈ 0.61 —
-    // the balanced parameterization for a 0.7 threshold. r=4 banding keys
-    // ~64% of the corpus's pervasive j≈0.5 bulk as candidates; r=5 cuts
-    // that to ~32%. minBandMatches=2 is an explicit precision/cost trade
-    // for this corpus's mid-range bulk: with X~Bin(12, j^5), recall
-    // P(X≥2) ≈ 0.62 at the j=0.7 boundary, ≥0.99 at j≥0.85 (the plain
-    // ≥1-band S-curve — the operator default — would give 0.89 at the
-    // boundary at ~2× the exact-verify volume). Survivors are
-    // exact-verified, so precision is unaffected.
+    // 12 bands × r=5 puts the S-curve midpoint at (1/12)^(1/5) ≈ 0.61;
+    // recall at the j=0.7 boundary is 1−(1−0.7^5)^12 ≈ 0.89, ≥0.999 at
+    // j ≥ 0.85. k=5 char shingles, NOT 3: trigram sets of same-language
+    // ~300-char docs are pervasively similar (bulk j ≈ 0.5), and at that
+    // bulk r=5 banding keyed 4.7M of the 12.5M possible pairs as
+    // candidates — LSH degenerated to 38% of all-pairs, the shape that
+    // dies quadratically at corpus scale (measured here: 8-10 s vs 1.2 s
+    // for the identical plan at k=5). 5-char shingles push the unrelated
+    // bulk down the S-curve cliff so the candidate set is dominated by
+    // true near-dups; the verified pairs are accordingly the strong
+    // (j_k5 ≥ 0.7) subset of what trigram Jaccard at 0.7 would accept.
+    // maxBucketSize=200 is the degenerate-bucket guard at its intended
+    // setting — a no-op on healthy buckets (pinned by DedupSpec), it
+    // bounds any one band bucket's pair contribution at scale.
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashNearDuplicates(Tables(s, dir, "documents"),
-        "doc_id", "text", k = 3, numHashes = 60, bands = 12, threshold = 0.7,
-        minBandMatches = 2)
+        "doc_id", "text", k = 5, numHashes = 60, bands = 12, threshold = 0.7,
+        maxBucketSize = 200)
         .orderBy(col("id_a"), col("id_b"))),
 
     // End-to-end corpus dedup: near-dup pairs → connected components →
     // keep one representative per cluster. Rows-only (the pair detection
     // is the probabilistic MinHash path).
-    // Lighter LSH config than the pair-listing query: corpus dedup targets
-    // the j>0.9 mass, where with the explicit minBandMatches=2 prune and
-    // X~Bin(8, j^5) recall P(X≥2) is ≈0.99 at j=0.9 (≈0.80 at j=0.8) at
-    // roughly half the candidate volume in the corpus's pervasive j≈0.5
-    // bulk; the operator default (≥1 band) would give ≥0.999 at j≥0.9.
+    // Lighter LSH config than the pair-listing query (40 hashes, 8 bands,
+    // r=5): corpus dedup targets the j>0.9 mass, where recall
+    // 1−(1−j^5)^8 is ≥0.999 at j=0.9 and ≈0.96 at j=0.8. k=5 shingles
+    // for the same reason as q_dedup_minhash — trigrams make the corpus's
+    // unrelated bulk collide pervasively and the self-join quadratic.
     "q_dedup_corpus" -> ((s, dir) =>
       Dedup.dropNearDuplicates(Tables(s, dir, "documents"), "doc_id", "text",
-        k = 3, numHashes = 40, bands = 8, threshold = 0.7, minBandMatches = 2)
+        k = 5, numHashes = 40, bands = 8, threshold = 0.7)
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 

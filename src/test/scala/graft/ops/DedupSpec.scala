@@ -143,6 +143,31 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("minhash bucket cap: no-op on healthy buckets, bounds a boilerplate clique") {
+    // Healthy corpus: a generous cap must not change the verified pair set.
+    def pairSet(df: org.apache.spark.sql.DataFrame, cap: Int) =
+      Dedup.minhashNearDuplicates(df, "doc_id", "text",
+        k = 3, numHashes = 64, bands = 16, threshold = 0.5, maxBucketSize = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(docs, 100) == pairSet(docs, 0))
+
+    // Degenerate corpus: 40 identical boilerplate docs (a clique — every
+    // band bucket holds all 40) plus the planted near-dup pair. A cap of
+    // 10 must kill the clique's 780 pairs (every one of its buckets is
+    // over-cap) while the distinct near-dup pair is still found through
+    // its own under-cap buckets.
+    val boiler = (100L until 140L).map(i =>
+      (i, "identical boilerplate license header repeated across the corpus", "b9"))
+    val poisoned = docs.union(boiler.toDF("doc_id", "text", "blk"))
+    val capped = pairSet(poisoned, 10)
+    assert(capped.contains((1L, 2L)), "planted near-dup must survive the cap")
+    assert(!capped.exists(p => p._1 >= 100L || p._2 >= 100L),
+      "over-cap boilerplate clique must contribute no pairs")
+    val uncapped = pairSet(poisoned, 0)
+    assert(uncapped.count(p => p._1 >= 100L && p._2 >= 100L) == 40 * 39 / 2,
+      "sanity: without the cap the clique is quadratic")
+  }
+
   test("ngramJaccard respects blocking") {
     val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", "blk", n = 3,
       threshold = 0.5)
