@@ -112,6 +112,43 @@ object Temporal {
       .drop("__bin")
   }
 
+  /** Per-row trailing-window features: each row of `df` gains one column
+    * per `(name, agg)` entry, the aggregate evaluated over the rows of the
+    * same key whose `tsCol` lies in `[ts - windowLen, ts]` (inclusive both
+    * ends — RANGE frame semantics, so timestamp ties are all peers and the
+    * result is deterministic under any physical row order).
+    *
+    * The canonical feature-engineering shape ("events this user fired in
+    * the last hour"): ONE exchange on the keys, ONE sort by (keys, ts),
+    * and every requested aggregate shares that frame — Spark evaluates
+    * all of them in a single Window operator, so adding a feature costs
+    * no extra shuffle or sort. `tsCol` must be an integer epoch (e.g.
+    * `unix_micros`) in the same unit as `windowLen`.
+    *
+    * Scale note: the frame is bounded by time, not row count, so state is
+    * O(rows inside the window) per key; a key hot enough to overflow one
+    * task (a bot user at 100 TB) needs an upstream per-(key, coarse-bin)
+    * pre-aggregation — compose with [[intervalJoin]]'s binning — rather
+    * than salting, which a running window can't absorb.
+    */
+  def trailingWindow(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      windowLen: Long,
+      aggs: Seq[(String, Column)]): DataFrame = {
+    require(keys.nonEmpty, "trailingWindow needs at least one key column")
+    require(windowLen >= 0, s"windowLen must be >= 0, got $windowLen")
+    require(aggs.nonEmpty, "trailingWindow needs at least one aggregate")
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol))
+      .rangeBetween(-windowLen, Window.currentRow)
+    aggs.foldLeft(df) { case (d, (name, agg)) =>
+      d.withColumn(name, agg.over(w))
+    }
+  }
+
   /** Funnel counting: how many entities complete step 1, step 1→2 (with
     * step 2 STRICTLY after their step-1 time), step 1→2→3, … Steps are
     * (name, predicate) in order. Returns (step INT, name, n_users).

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -81,6 +82,34 @@ object Events {
 
     // Funnel: users who viewed, then clicked strictly after their first
     // view, then purchased strictly after that first qualifying click.
+    // Trailing time-range features: per event, the user's activity count,
+    // exact (decimal) value sum, and max value over the preceding hour
+    // (RANGE frame, inclusive), plus the gap to the user's previous event
+    // (lag over a tie-broken total order). One exchange on user_id; the
+    // lag's (us, event_id) sort satisfies the RANGE frame's (us) ordering
+    // prefix, so both windows ride a single sort.
+    "q_rolling_features" -> ((s, dir) => {
+      val events = Tables(s, dir, "events")
+        .select(
+          col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+      val lagW = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      Temporal.trailingWindow(
+        events.withColumn("gap_us", col("us") - lag(col("us"), 1).over(lagW)),
+        keys = Seq("user_id"), tsCol = "us", windowLen = 3600000000L,
+        aggs = Seq(
+          "n_1h" -> count(lit(1)),
+          // decimal sum inside the frame, cast outside it (`.over` must
+          // attach to the aggregate itself, not a cast around it)
+          "sum_1h" -> sum(col("value").cast("decimal(18,4)")),
+          "max_1h" -> max(col("value"))))
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("n_1h"), col("sum_1h").cast("double").as("sum_1h"),
+          col("max_1h"), col("gap_us"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_funnel" -> ((s, dir) => {
       val events = Tables(s, dir, "events")
         .withColumn("us", unix_micros(col("ts")))
@@ -122,6 +151,19 @@ object Events {
         |  ON e.user_id = p.user_id AND p.us >= e.start_us AND p.us < e.end_us
         |GROUP BY e.err_id, e.user_id, e.start_us
         |ORDER BY e.err_id""".stripMargin,
+    "q_rolling_features" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events)
+        |SELECT event_id, user_id, us,
+        |  count(*) OVER tw AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER tw AS DOUBLE) AS sum_1h,
+        |  max(value) OVER tw AS max_1h,
+        |  us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |    AS gap_us
+        |FROM e
+        |WINDOW tw AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, min(epoch_us(ts)) AS t FROM events

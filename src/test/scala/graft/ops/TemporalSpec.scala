@@ -69,6 +69,30 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("trailingWindow matches a naive per-row scan; ties are peers") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300).map { i =>
+      (i.toLong, (i % 5).toLong, rnd.nextInt(100).toLong, rnd.nextInt(50).toDouble)
+    }
+    val df = rows.toDF("id", "k", "ts", "v")
+    val got = Temporal.trailingWindow(df, Seq("k"), "ts", 10L, Seq(
+      "n" -> count(lit(1)),
+      "s" -> sum(col("v"))))
+      .select($"id", $"n", $"s").as[(Long, Long, Double)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+
+    rows.foreach { case (id, k, ts, _) =>
+      val in = rows.filter(r => r._2 == k && r._3 >= ts - 10L && r._3 <= ts)
+      val (n, s) = got(id)
+      assert(n == in.length, s"id=$id count")
+      assert(math.abs(s - in.map(_._4).sum) < 1e-9, s"id=$id sum")
+    }
+    // A row tied on ts with another row of the same key must include it
+    // (RANGE peers) — guaranteed by the scan above if any tie exists.
+    assert(rows.groupBy(r => (r._2, r._3)).exists(_._2.size > 1),
+      "fixture should contain timestamp ties")
+  }
+
   test("funnel: strictly-after ordering, users counted once per stage") {
     val events = Seq(
       // u1 completes a->b->c in order
