@@ -161,6 +161,45 @@ object Search {
        |FROM scored ORDER BY score DESC, $idCol LIMIT $k""".stripMargin
   }
 
+  /** TF-IDF top-m terms per document — the classic keyword extractor /
+    * sparse-vectorizer step (Spärck Jones idf; reference analogue: the
+    * per-position frequency tables of `seq_tables.py`'s distribution
+    * family, generalized to free text).
+    *
+    * Scale shape: (1) per-doc (token, tf) pairs from the compiled
+    * [[Vocabulary.termFreqs]] kernel — map-only, minimal exchange
+    * payload; (2) document frequency = ONE token-keyed aggregate with
+    * map-side combine (per-task state bounded by |vocab slice|, head
+    * tokens collapse to one partial row each); (3) the tf frame joins df
+    * on token — vocabulary plateaus under Heaps' law, so AQE broadcasts
+    * it when small and falls back to a token-keyed shuffle join when
+    * not; (4) per-doc top-m via the bounded-heap [[TopKAggregator]] (no
+    * window, each map task forwards ≤ m candidates per doc).
+    *
+    * DETERMINISM CONTRACT: idf = ln(N / df) evaluated in doubles with
+    * the identical expression tree on both engines; the presented score
+    * is `round(tf · idf, 6)` and ranking uses the ROUNDED score
+    * (desc, token asc) so the top-m cut is engine-stable. Documents with
+    * no tokens emit no rows.
+    */
+  def tfidfTopTerms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      m: Int): DataFrame = {
+    require(m > 0, s"tfidf top-m needs m > 0, got $m")
+    val n = docs.count()
+    require(n > 0, "tfidf over an empty corpus")
+    val tf = Vocabulary.docTermFrequencies(docs, idCol, textCol)
+    val docFreq = tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+    val scored = tf.join(docFreq, Seq("token"))
+      .select(col(idCol), col("token"),
+        round(col("tf") * log(lit(n.toDouble) / col("__df")), 6)
+          .as("__score"))
+    TopKAggregator.topKByGroup(scored, idCol, "token", "__score", m,
+      outId = "token", outSim = "tfidf", outRank = "rank")
+  }
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N ranked lists:
     * rrf(d) = Σ_lists 1/(c + rank_list(d)), the standard way to combine a
     * lexical (BM25) and a semantic (embedding) retriever without score

@@ -514,6 +514,14 @@ object Pipeline {
       Vocabulary.topVocabulary(Tables(s, dir, "documents"), "doc_id", "text", 50)
         .orderBy(col("rank"))),
 
+    // TF-IDF top-5 terms per document: per-doc tf kernel -> one
+    // token-keyed df aggregate -> token join (AQE-broadcast when the
+    // vocabulary is small) -> per-doc bounded-heap top-5. Both engines
+    // rank on round(tf*ln(N/df), 6), ties token-ascending.
+    "q_tfidf_topterms" -> ((s, dir) =>
+      Search.tfidfTopTerms(Tables(s, dir, "documents"), "doc_id", "text", 5)
+        .orderBy(col("doc_id"), col("rank"))),
+
     // BM25 keyword retrieval, top 50 for a fixed 3-term query. Corpus
     // constants (N, avgdl, df/idf) come from two light aggregates; scoring
     // is map-only; selection is the bounded-heap top-k. Oracle-backed: the
@@ -1042,6 +1050,23 @@ object Pipeline {
         |SELECT token, total_count, doc_freq,
         |  CAST(ROW_NUMBER() OVER (ORDER BY total_count DESC, token) AS INT) AS rank
         |FROM v ORDER BY rank LIMIT 50""".stripMargin,
+    "q_tfidf_topterms" ->
+      """WITH occ AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(trim(text)), '\S+')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM occ GROUP BY doc_id, token),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token,
+        |    round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+        |  FROM tf JOIN df USING (token) CROSS JOIN n)
+        |SELECT doc_id, token, tfidf,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, token) AS INT) AS rank
+        |FROM scored QUALIFY rank <= 5
+        |ORDER BY doc_id, rank""".stripMargin,
     "q_bm25" ->
       Search.bm25OracleSql("documents", "doc_id", "text", Bm25Terms, 50),
     "q_split_assign" ->

@@ -356,6 +356,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("tfidf: df side broadcast at this scale, heap top-m, no window") {
+    val p = physicalPlan("q_tfidf_topterms")
+    assert(!p.contains("Window"),
+      s"per-doc top-m must be the bounded-heap aggregate:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocabulary df frame should broadcast at sf0.001:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("KL drift: keyed aggregates with map-side combine, no window") {
     val p = physicalPlan("q_kl_sources")
     assert(!p.contains("Window"), p.take(800))

@@ -55,6 +55,31 @@ class AssemblySpec extends AnyFunSuite {
     assert(got.head._2 == 4L && got.head._3 == 2L)
   }
 
+  test("tfidfTopTerms: hand-computed scores, rounded-score rank, token tie-break") {
+    val got = Search.tfidfTopTerms(docs, "doc_id", "text", 2)
+      .orderBy(col("doc_id"), col("rank"))
+      .as[(Long, String, Double, Int)].collect().toSeq
+    // N=5; df: the/cat/mat/dog=2, sat/on=1 -> idf ln(5/2)=0.916291,
+    // ln(5/1)=1.609438 (6dp).
+    assert(got == Seq(
+      (1L, "the", 1.832581, 1),   // tf=2 beats the tied singles
+      (1L, "on", 1.609438, 2),    // on/sat tie -> token asc
+      (2L, "dog", 0.916291, 1),   // dog/the tie -> token asc
+      (2L, "the", 0.916291, 2),
+      (3L, "cat", 2.748872, 1),   // tf=3; doc 4 (no tokens) emits nothing
+      (5L, "dog", 0.916291, 1),
+      (5L, "mat", 0.916291, 2)))
+  }
+
+  test("tfidfTopTerms rejects m <= 0 and an empty corpus") {
+    intercept[IllegalArgumentException] {
+      Search.tfidfTopTerms(docs, "doc_id", "text", 0)
+    }
+    intercept[IllegalArgumentException] {
+      Search.tfidfTopTerms(docs.limit(0), "doc_id", "text", 2)
+    }
+  }
+
   // ---- BM25 ------------------------------------------------------------
 
   test("bm25Stats: N, avgdl, df, Robertson idf") {
