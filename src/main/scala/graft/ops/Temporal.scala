@@ -149,6 +149,37 @@ object Temporal {
     }
   }
 
+  /** Cohort retention matrix: users are cohorted by the time bin of
+    * their FIRST event (`bin = ts div binLen`), and each (cohort_bin,
+    * period) cell counts the users of that cohort active `period` bins
+    * after their first one. The product-analytics staple ("of the users
+    * acquired in week W, how many came back in week W+k").
+    *
+    * Scale shape: ONE exchange on the user key — a single aggregate
+    * computes `min(bin)` and `collect_set(bin)` together (per-user state
+    * is bounded by the number of calendar bins in the dataset's time
+    * span, not by event count, so a bot user with 10^9 events still
+    * holds ≤ #periods entries); explode + the (cohort, period) count is
+    * a second, cardinality-#cells exchange. No distinct pre-pass, no
+    * join, no window. `tsCol` must be a non-negative integer epoch in
+    * the same unit as `binLen` (div truncation == floor only for ≥ 0).
+    *
+    * Output: (cohort_bin, period, n_users); period 0 is the cohort size.
+    */
+  def cohortRetention(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      binLen: Long): DataFrame = {
+    require(binLen > 0, s"binLen must be > 0, got $binLen")
+    df.select(col(userCol), expr(s"$tsCol div ${binLen}L").as("bin"))
+      .groupBy(col(userCol))
+      .agg(min(col("bin")).as("cohort_bin"), collect_set(col("bin")).as("__bins"))
+      .select(col("cohort_bin"), explode(col("__bins")).as("bin"))
+      .groupBy(col("cohort_bin"), (col("bin") - col("cohort_bin")).as("period"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Funnel counting: how many entities complete step 1, step 1→2 (with
     * step 2 STRICTLY after their step-1 time), step 1→2→3, … Steps are
     * (name, predicate) in order. Returns (step INT, name, n_users).

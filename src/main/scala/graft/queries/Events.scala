@@ -110,6 +110,17 @@ object Events {
         .orderBy(col("event_id"))
     }),
 
+    // Weekly cohort retention: cohort = week of a user's first event;
+    // each (cohort_week, period) cell counts that cohort's users active
+    // `period` weeks later. One user-keyed aggregate (min + bounded
+    // bin set), no distinct pre-pass, no join, no window.
+    "q_cohort_retention" -> ((s, dir) =>
+      Temporal.cohortRetention(
+        Tables(s, dir, "events").withColumn("us", unix_micros(col("ts"))),
+        "user_id", "us", 604800000000L)
+        .withColumnRenamed("cohort_bin", "cohort_week")
+        .orderBy(col("cohort_week"), col("period"))),
+
     "q_funnel" -> ((s, dir) => {
       val events = Tables(s, dir, "events")
         .withColumn("us", unix_micros(col("ts")))
@@ -164,6 +175,16 @@ object Events {
         |WINDOW tw AS (PARTITION BY user_id ORDER BY us
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH ub AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS bin
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, min(bin) AS cohort_week FROM ub GROUP BY user_id)
+        |SELECT c.cohort_week, ub.bin - c.cohort_week AS period,
+        |  count(*) AS n_users
+        |FROM ub JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, min(epoch_us(ts)) AS t FROM events

@@ -340,6 +340,15 @@ class PlanSpec extends AnyFunSuite {
       s"the 5-row allocation frame must broadcast:\n${p.take(800)}")
   }
 
+  test("cohort retention: one user-keyed aggregate, no join, no window") {
+    val p = physicalPlan("q_cohort_retention")
+    assert(!p.contains("Window"), p.take(800))
+    assert(!p.contains("Join"),
+      s"cohort must ride the single user aggregate, not a join-back:\n${p.take(800)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected user + cell exchanges only ($exchanges):\n$p")
+  }
+
   test("funnel stages reuse the user_id partitioning (no excess exchanges)") {
     val p = physicalPlan("q_funnel")
     assert(!p.contains("CartesianProduct"), p.take(800))

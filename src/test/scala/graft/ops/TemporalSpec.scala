@@ -93,6 +93,26 @@ class TemporalSpec extends AnyFunSuite {
       "fixture should contain timestamp ties")
   }
 
+  test("cohortRetention matches a naive reference; period 0 is cohort size") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map { _ =>
+      ((rnd.nextInt(40) + 1).toLong, rnd.nextInt(100).toLong)
+    }
+    val got = Temporal.cohortRetention(
+      rows.toDF("u", "ts"), "u", "ts", 10L)
+      .as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+
+    val bins = rows.map { case (u, ts) => (u, ts / 10L) }.distinct
+    val cohort = bins.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expect = bins.groupBy { case (u, b) => (cohort(u), b - cohort(u)) }
+      .view.mapValues(_.size.toLong).toMap
+    assert(got == expect)
+    // period 0 row of each cohort = number of users first seen in it
+    val sizes = cohort.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    sizes.foreach { case (c, n) => assert(got((c, 0L)) == n, s"cohort $c") }
+  }
+
   test("funnel: strictly-after ordering, users counted once per stage") {
     val events = Seq(
       // u1 completes a->b->c in order
