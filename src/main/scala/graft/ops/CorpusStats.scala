@@ -212,6 +212,97 @@ object CorpusStats {
       s"$pairSelects\nORDER BY col_a, col_b"
   }
 
+  /** Per-row feature scaling — z-score and min-max, the normalization
+    * step in front of any model- or embedding-training job. For each
+    * requested column the output gains `<c>_z = (x − mean)/std`
+    * (population std) and `<c>_mm = (x − min)/(max − min)`, both
+    * `round(…, 6)`; a null input stays null, a zero-variance /
+    * zero-range column yields nulls (mirrored by `nullif` on the oracle
+    * side).
+    *
+    * Scale shape: ONE map-side-combined aggregate computes every
+    * column's (n, Σx, Σx², min, max) — sums in DECIMAL(18,4)-exact
+    * arithmetic like [[correlationMatrix]] so the constants are
+    * partition-order independent; the scaled projection is MAP-ONLY
+    * with the constants inlined as literals (no broadcast, no join, no
+    * second pass over the data).
+    *
+    * DETERMINISM CONTRACT: mean/var/std are derived from the exact
+    * decimal sums with the identical double expression tree the oracle
+    * evaluates (`sxx/n − (sx/n)·(sx/n)`, clamped at 0, IEEE sqrt), so
+    * the scaled values are bit-stable across engines and partitionings.
+    */
+  def scaleFeatures(
+      df: DataFrame,
+      idCols: Seq[String],
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to scale")
+    def d(c: String) = col(c).cast("decimal(18,4)")
+    val aggs: Seq[Column] = cols.flatMap(c => Seq(
+      count(col(c)).as(s"n__$c"),
+      sum(d(c)).as(s"sx__$c"),
+      sum(d(c) * d(c)).as(s"sxx__$c"),
+      min(col(c).cast("double")).as(s"min__$c"),
+      max(col(c).cast("double")).as(s"max__$c")))
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def dbl(name: String): Double = {
+      val v = r.getDecimal(r.fieldIndex(name))
+      if (v == null) 0.0 else v.doubleValue
+    }
+    val out: Seq[Column] = idCols.map(col) ++ cols.flatMap { c =>
+      val n = r.getLong(r.fieldIndex(s"n__$c")).toDouble
+      val nullCol = lit(null).cast("double")
+      if (n == 0) Seq(nullCol.as(s"${c}_z"), nullCol.as(s"${c}_mm"))
+      else {
+        val mean = dbl(s"sx__$c") / n
+        val std = math.sqrt(math.max(dbl(s"sxx__$c") / n - mean * mean, 0.0))
+        val vmin = r.getDouble(r.fieldIndex(s"min__$c"))
+        val vmax = r.getDouble(r.fieldIndex(s"max__$c"))
+        val z =
+          if (std == 0.0) nullCol
+          else round((col(c).cast("double") - mean) / std, 6)
+        val mm =
+          if (vmax == vmin) nullCol
+          else round((col(c).cast("double") - vmin) / (vmax - vmin), 6)
+        Seq(z.as(s"${c}_z"), mm.as(s"${c}_mm"))
+      }
+    }
+    df.select(out: _*)
+  }
+
+  /** The DuckDB oracle for [[scaleFeatures]] — same DECIMAL-exact sums,
+    * same double closed form in the same operation order; any scale.
+    */
+  def scaleOracleSql(
+      table: String,
+      idCols: Seq[String],
+      cols: Seq[String]): String = {
+    val sumSel = cols.flatMap(c => Seq(
+      s"count($c) AS n__$c",
+      s"CAST(sum(CAST($c AS DECIMAL(18,4))) AS DOUBLE) AS sx__$c",
+      // DECIMAL(19,4) operands force DuckDB's int128 multiply path;
+      // values match Spark's (18,4)x(18,4) -> DECIMAL(37,8) products.
+      s"CAST(sum(CAST($c AS DECIMAL(19,4)) * CAST($c AS DECIMAL(19,4))) AS DOUBLE) AS sxx__$c",
+      s"CAST(min($c) AS DOUBLE) AS min__$c",
+      s"CAST(max($c) AS DOUBLE) AS max__$c")).mkString(",\n    ")
+    val scaled = cols.flatMap { c =>
+      val mean = s"(sx__$c / CAST(n__$c AS DOUBLE))"
+      val std =
+        s"sqrt(greatest(sxx__$c / CAST(n__$c AS DOUBLE) - $mean * $mean, 0))"
+      Seq(
+        s"round((CAST(t.$c AS DOUBLE) - $mean) / nullif($std, 0), 6) AS ${c}_z",
+        s"round((CAST(t.$c AS DOUBLE) - min__$c) / nullif(max__$c - min__$c, 0), 6) AS ${c}_mm")
+    }.mkString(",\n  ")
+    val ids = idCols.map(c => s"t.$c").mkString(", ")
+    s"""WITH s AS (
+       |  SELECT $sumSel
+       |  FROM $table)
+       |SELECT $ids,
+       |  $scaled
+       |FROM $table t CROSS JOIN s
+       |ORDER BY $ids""".stripMargin
+  }
+
   /** The DuckDB oracle for [[profileNumeric]] — self-contained, any scale. */
   def profileOracleSql(table: String, cols: Seq[String]): String =
     cols.sorted.map { c =>

@@ -172,6 +172,14 @@ object Relational {
       graft.ops.CorpusStats.profileNumeric(Tables(s, dir, "lineitem"),
         ProfileCols)),
 
+    // Per-row z-score + min-max feature scaling: one DECIMAL-exact
+    // stats aggregate, constants inlined as literals, map-only scaled
+    // projection — no broadcast, no join, no second scan.
+    "q_feature_scale" -> ((s, dir) =>
+      graft.ops.CorpusStats.scaleFeatures(Tables(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber"), ProfileCols)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
     // One-pass Pearson correlation matrix: every co-moment (n, sums,
     // product-sums per pair) from a single DECIMAL-exact aggregate —
     // no self-join, no second scan; closed form in doubles on
@@ -315,6 +323,9 @@ object Relational {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_column_profile" ->
       graft.ops.CorpusStats.profileOracleSql("lineitem", ProfileCols),
+    "q_feature_scale" ->
+      graft.ops.CorpusStats.scaleOracleSql("lineitem",
+        Seq("l_orderkey", "l_linenumber"), ProfileCols),
     "q_corr_matrix" ->
       graft.ops.CorpusStats.corrOracleSql("lineitem", ProfileCols),
     "q_quantile_sketch" ->

@@ -71,6 +71,35 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(run(df.repartition(7)) == got, "one-pass profile must be partition-invariant")
   }
 
+  test("scaleFeatures: hand-computed z/min-max, nulls stay null, partition invariance") {
+    val df = Seq[(Long, java.lang.Double, java.lang.Double)](
+      (1L, 1.0, 5.0), (2L, 2.0, null), (3L, 3.0, 5.0), (4L, 2.0, 5.0))
+      .toDF("id", "a", "c")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      CorpusStats.scaleFeatures(d, Seq("id"), Seq("a", "c"))
+        .orderBy($"id")
+        .as[(Long, Option[Double], Option[Double], Option[Double], Option[Double])]
+        .collect().toSeq
+    val got = run(df)
+    // a: mean 2, var (1+4+9+4)/4 - 4 = 0.5, std = sqrt(0.5)
+    val std = math.sqrt(0.5)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got.map(_._2) == Seq(
+      Some(r6(-1 / std)), Some(0.0), Some(r6(1 / std)), Some(0.0)))
+    assert(got.map(_._3) == Seq(Some(0.0), Some(0.5), Some(1.0), Some(0.5)))
+    // c: null input -> null output; zero variance/range -> all null
+    assert(got.map(_._4) == Seq(None, None, None, None))
+    assert(got.map(_._5) == Seq(None, None, None, None))
+    assert(run(df.repartition(5)) == got, "constants must be partition-invariant")
+  }
+
+  test("scaleFeatures: empty frame yields null scaled columns, no NPE") {
+    val df = Seq((1L, 1.0)).toDF("id", "a").limit(0)
+    val got = CorpusStats.scaleFeatures(df, Seq("id"), Seq("a"))
+    assert(got.columns.toSeq == Seq("id", "a_z", "a_mm"))
+    assert(got.count() == 0L)
+  }
+
   test("correlationMatrix: exact +1/-1 on linear columns, hand-checked mid pair") {
     // b = 2a (corr +1), c = -a (corr -1); d uncorrelated-ish with a
     val df = Seq(
