@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loader for the driver-provided parquet tables (TESTDATA.md). */
 object Tables {
@@ -11,13 +12,25 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-      // to TimestampType. Read it as raw nanos and convert with integer
-      // division (a double-valued division would lose precision on ~1.7e18
-      // nanosecond epochs). DuckDB truncates ns→µs the same way.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      // events.ts is parquet TIMESTAMP_MICROS with isAdjustedToUTC=false,
+      // which Spark 4 decodes as TIMESTAMP_NTZ. Every consumer (date_trunc,
+      // unix_micros, to_date, the streaming twin) wants TimestampType, so
+      // normalize here, branching on the actual decoded type to stay robust
+      // against a driver re-encode (raw int64 nanos, or UTC-adjusted micros).
+      // The NTZ→timestamp cast reads the wall-clock in the session timezone;
+      // pin UTC so the underlying micros are preserved bit-for-bit and
+      // Spark's unix_micros agrees exactly with DuckDB's epoch_us.
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      df.schema("ts").dataType match {
+        case LongType =>
+          // raw int64 nanosecond epoch: integer-truncate to µs (a double
+          // division would lose precision on ~1.7e18 ns epochs); DuckDB
+          // truncates ns→µs the same way.
+          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case _                => df
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

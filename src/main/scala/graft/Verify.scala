@@ -19,15 +19,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -40,6 +31,28 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
+    // Gate self-check: a registered query that produced no parquet is a
+    // silently-invisible hole in the round's correctness record (round 6
+    // shipped 11 of them). Persist the hole list as a machine-readable
+    // artifact and scream on stderr; rc stays 0 so the driver still
+    // compares every query that DID produce output.
+    Files.writeString(Paths.get(s"$outDir/_missing.json"),
+      failed.map(q).mkString("[", ",", "]"))
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] GATE HOLE: ${failed.size} of ${SparkEntry.queries.size} " +
+        s"registered queries produced no result: ${failed.mkString(", ")}")
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

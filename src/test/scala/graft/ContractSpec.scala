@@ -21,6 +21,21 @@ class ContractSpec extends AnyFunSuite {
     assert(SparkEntry.queries.keys.forall(_.matches("[a-z0-9_]+")))
   }
 
+  test("every registered query analyzes against the real testdata schemas") {
+    // Round-6 regression guard: a loader-level schema break (events.ts
+    // decoding as TIMESTAMP_NTZ) silently dropped 11 queries from the gate
+    // because nothing forced analysis of every registered plan. Building
+    // the DataFrame + touching queryExecution.analyzed catches any
+    // analysis-time failure for every query without executing them.
+    val dir = "/root/testdata/sf0.001"
+    val broken = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, dir).queryExecution.analyzed; None }
+        catch { case e: Throwable => Some(s"$name: ${e.getMessage.linesIterator.next()}") }
+    }
+    assert(broken.isEmpty, s"queries failing analysis:\n${broken.mkString("\n")}")
+  }
+
   test("oracle SQL never references tables outside the testdata set") {
     val tables = Tables.All.toSet
     val word = "[a-zA-Z_]+".r
