@@ -96,22 +96,35 @@ object LanguageModel {
   /** Train a bigram model: the unigram aggregate plus ONE bigram-keyed
     * map-side-combined aggregate (a per-doc kernel emits adjacent
     * pairs). `minCount` drops rare bigrams from the broadcast model.
+    *
+    * DRIVER-COLLECT PATH — the bigram vocabulary grows far faster than
+    * the unigram one (billions of entries at web scale), so the collect
+    * is gated by a MANDATORY `maxEntries` cap, checked with a cheap
+    * count aggregate BEFORE anything is collected. Past the cap, use
+    * [[scoreBigramsJoined]]: same numbers, bigram table never leaves
+    * the cluster.
     */
   def trainBigrams(
       train: DataFrame,
       idCol: String,
       textCol: String,
-      minCount: Long = 1L): Bigrams = {
+      minCount: Long = 1L,
+      maxEntries: Long = 20000000L): Bigrams = {
     val uni = trainUnigrams(train, idCol, textCol)
     val pairsUdf = udf((text: String) => {
       val toks = HashKernels.tokensOf(text)
       if (toks.length < 2) Array.empty[String]
       else Array.tabulate(toks.length - 1)(i => toks(i) + " " + toks(i + 1))
     })
-    val rows = train.select(explode(pairsUdf(col(textCol))).as("bg"))
+    val agg = train.select(explode(pairsUdf(col(textCol))).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount)
-      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val n = agg.count()
+    require(n <= maxEntries,
+      s"trainBigrams: $n distinct bigrams exceed the driver-collect cap " +
+      s"($maxEntries) — raise minCount or use scoreBigramsJoined, which keeps " +
+      "the bigram table distributed")
+    val rows = agg.collect().map(r => r.getString(0) -> r.getLong(1))
     val prefix = new scala.collection.mutable.HashMap[String, Long]()
     rows.foreach { case (bg, c) =>
       val w1 = bg.substring(0, bg.indexOf(' '))
@@ -166,6 +179,81 @@ object LanguageModel {
   /** Self-scoring convenience: train bigrams on `docs`, score `docs`. */
   def bigramScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     scoreBigrams(docs, idCol, textCol, trainBigrams(docs, idCol, textCol))
+
+  /** Bigram scoring with the model kept DISTRIBUTED — the 100 TB path.
+    * No bigram table ever reaches the driver: documents explode to one
+    * `(id, pos, prev, cur)` row per token, the bigram and per-prefix
+    * counts arrive via token-keyed shuffle joins (first-token rows — one
+    * per document — take their unigram count through a separate tiny
+    * join), and each row's NLL term goes through the SAME `math.log` +
+    * [[HashKernels.nanoQuant]] kernel as [[scoreBigrams]], so the
+    * per-document integer `sum` lands on the bit-identical Long no
+    * matter how the shuffle orders the rows. LanguageModelSpec pins
+    * joined == collected bit-for-bit; `q_bigram_score_dist` pins it
+    * against the DuckDB oracle. Only the two scalars (total token
+    * count, vocab size) are driver-side — one 1-row aggregate.
+    */
+  def scoreBigramsJoined(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      train: DataFrame): DataFrame = {
+    val uni = Vocabulary.docTermFrequencies(train, idCol, textCol)
+      .groupBy(col("token")).agg(sum(col("tf")).as("uc"))
+    val head = uni.agg(sum(col("uc")), count(lit(1))).head()
+    val total = head.getLong(0)
+    val vsz = head.getLong(1)
+    require(total > 0, "scoreBigramsJoined: empty corpus")
+    val uniDenom = (total + vsz).toDouble
+    val vszD = vsz.toDouble
+
+    // one row per token: (pos, prev-token-or-null, token)
+    val pairUdf = udf((text: String) => {
+      val toks = HashKernels.tokensOf(text)
+      Array.tabulate(toks.length)(i =>
+        (i, if (i == 0) null else toks(i - 1), toks(i)))
+    })
+    val trainPairs = train
+      .select(explode(pairUdf(col(textCol))).as("p"))
+      .select(col("p._2").as("w1"), col("p._3").as("w2"))
+      .filter(col("w1").isNotNull)
+    val bigrams = trainPairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("bc"))
+    val prefixes = bigrams.groupBy(col("w1")).agg(sum(col("bc")).as("pc"))
+
+    val docPairs = docs
+      .select(col(idCol), explode(pairUdf(col(textCol))).as("p"))
+      .select(col(idCol), col("p._1").as("pos"),
+        col("p._2").as("prev"), col("p._3").as("cur"))
+
+    // first-token rows: one per doc, unigram-smoothed
+    val firstUdf = udf((uc: Long) =>
+      HashKernels.nanoQuant(-math.log((uc + 1.0) / uniDenom)))
+    val first = docPairs.filter(col("pos") === 0)
+      .join(uni, docPairs("cur") === uni("token"), "left")
+      .select(col(idCol),
+        firstUdf(coalesce(col("uc"), lit(0L))).as("nanos"))
+
+    // rest: Laplace-smoothed conditional via two token-keyed joins
+    val restUdf = udf((bc: Long, pc: Long) =>
+      HashKernels.nanoQuant(-math.log((bc + 1.0) / (pc + vszD))))
+    val rest = docPairs.filter(col("pos") > 0)
+      .join(bigrams,
+        docPairs("prev") === bigrams("w1") && docPairs("cur") === bigrams("w2"),
+        "left")
+      .drop("w1", "w2")
+      .join(prefixes, docPairs("prev") === prefixes("w1"), "left")
+      .select(col(idCol),
+        restUdf(coalesce(col("bc"), lit(0L)), coalesce(col("pc"), lit(0L)))
+          .as("nanos"))
+
+    first.unionByName(rest)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n"), sum(col("nanos")).as("nanos"))
+      .select(col(idCol), col("n").cast("int").as("n_tokens"),
+        round(col("nanos").cast("double") / lit(1e9) / col("n").cast("double"), 6)
+          .as("avg_nll"))
+  }
 
   /** CCNet's selection step: bucket documents into head / middle / tail
     * by perplexity terciles (CCNet trains on the head, optionally the

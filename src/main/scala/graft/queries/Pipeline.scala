@@ -622,6 +622,15 @@ object Pipeline {
         Tables(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Same numbers, model kept distributed (token-keyed joins instead of
+    // a driver-collected broadcast map) — the path a 100 TB corpus takes,
+    // pinned against the identical oracle as q_bigram_score.
+    "q_bigram_score_dist" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.ops.LanguageModel.scoreBigramsJoined(docs, "doc_id", "text", docs)
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet head/middle/tail selection by exact perplexity terciles —
     // one broadcast cut row over the scored frame, oracle-backed.
     "q_ccnet_buckets" -> ((s, dir) =>
@@ -1279,6 +1288,36 @@ object Pipeline {
         |  round(CAST(nll AS DOUBLE), 6) AS nll
         |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q_bigram_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        |v AS (SELECT token, count(*) AS c FROM p GROUP BY token),
+        |tot AS (SELECT sum(c) AS t, count(*) AS vsz FROM v),
+        |bg AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)),
+        |bic AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+        |pre AS (SELECT w1, sum(c) AS cp FROM bic GROUP BY w1),
+        |bterms AS (
+        |  SELECT bg.doc_id,
+        |    sum(CAST(round(-ln((COALESCE(bic.c, 0) + 1.0)
+        |      / (COALESCE(pre.cp, 0) + tot.vsz)), 9) AS DECIMAL(38,9))) AS bnll
+        |  FROM bg LEFT JOIN bic ON bg.w1 = bic.w1 AND bg.w2 = bic.w2
+        |  LEFT JOIN pre ON bg.w1 = pre.w1 CROSS JOIN tot
+        |  GROUP BY bg.doc_id),
+        |fterm AS (
+        |  SELECT t.doc_id, len(t.toks) AS n,
+        |    CAST(round(-ln((COALESCE(v.c, 0) + 1.0) / (tot.t + tot.vsz)), 9)
+        |      AS DECIMAL(38,9)) AS fnll
+        |  FROM t LEFT JOIN v ON t.toks[1] = v.token CROSS JOIN tot
+        |  WHERE len(t.toks) >= 1)
+        |SELECT f.doc_id, CAST(f.n AS INT) AS n_tokens,
+        |  round(CAST(f.fnll + COALESCE(b.bnll, 0) AS DOUBLE) / f.n, 6) AS avg_nll
+        |FROM fterm f LEFT JOIN bterms b USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // identical semantics to q_bigram_score — only the Spark-side plan differs
+    "q_bigram_score_dist" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS toks
         |  FROM documents),

@@ -55,6 +55,13 @@ class PlanSpec extends AnyFunSuite {
       "reference letters should broadcast:\n" + p.take(800))
   }
 
+  test("distributed bigram scoring: token-keyed joins, no cartesian, no window") {
+    val p = physicalPlan("q_bigram_score_dist")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("Window"), "no window function belongs in this plan:\n" + p.take(800))
+  }
+
   test("whole-stage codegen covers the relational pipeline") {
     // AQE only materializes WholeStageCodegen nodes in the final plan —
     // execute, then inspect

@@ -190,6 +190,27 @@ class AssemblySpec extends AnyFunSuite {
     assert(scored(1L) < scored(2L))
   }
 
+  test("scoreBigramsJoined matches the collected path bit-for-bit") {
+    // the distributed (join-based) path must land on the IDENTICAL rounded
+    // doubles as the driver-collected broadcast path — the quantized-Long
+    // sum makes the result independent of join/shuffle order
+    val corpus = (docs.collect().map(r => (r.getLong(0), r.getString(1))) ++
+      Seq((7L, "zebra"), (8L, "the cat sat on the mat the cat")))
+      .toSeq.toDF("doc_id", "text")
+    val collected = LanguageModel.bigramScore(corpus, "doc_id", "text")
+      .as[(Long, Int, Double)].collect().sortBy(_._1)
+    val joined = LanguageModel
+      .scoreBigramsJoined(corpus, "doc_id", "text", corpus)
+      .as[(Long, Int, Double)].collect().sortBy(_._1)
+    assert(joined.toSeq == collected.toSeq)
+  }
+
+  test("trainBigrams refuses to collect past the maxEntries cap") {
+    assertThrows[IllegalArgumentException] {
+      LanguageModel.trainBigrams(docs, "doc_id", "text", maxEntries = 2L)
+    }
+  }
+
   test("perplexityBuckets: tercile counts, score-ordered buckets") {
     // 30 docs in three clearly-separated perplexity bands: corpus-typical
     // (common words), mixed, and rare-word gibberish
