@@ -91,10 +91,16 @@ final case class SeqTable(
     * is a top-n (distributed partial sort, then n rows to one task — n is
     * fixture-scale by the reference's own contract; the 100 TB path is the
     * fraction-based [[subsample]]). With replacement, draw multiplicities
-    * are computed driver-side from the seeded RNG and applied by joining a
-    * broadcast multiplicity table against a hash-ranked read index — NOTE
-    * the rank comes from an un-partitioned window, i.e. a single-task
-    * global sort: strictly fixture-scale, by the same contract; like
+    * are computed driver-side from the seeded RNG (bounded by n, not the
+    * corpus) and applied by joining a broadcast multiplicity table against
+    * a hash-ranked read index. The rank is the two-phase pattern from
+    * [[graft.ops.Packing.runningTotal]]: range-repartition distinct
+    * (hash, read_id) keys, cumsum of copy counts WITHIN each partition
+    * (partition-local window — no single-task exchange; a spec pins it),
+    * plus each partition's broadcast prefix total; the sorted draw list
+    * is mapped onto the resulting rank intervals by binary search. Range
+    * boundaries may vary run-to-run, but the global rank is
+    * boundary-invariant, so the drawn multiset is deterministic. Like
     * the reference, drawn-twice reads appear twice (same read_id), while
     * the insertion table keeps one copy per distinct read.
     */
@@ -109,20 +115,65 @@ final case class SeqTable(
         reads = picked,
         insertions = insertions.join(picked.select("read_id"), Seq("read_id"), "left_semi"))
     } else {
-      val total = reads.count()
-      require(total > 0, "subsampleExact on an empty table")
-      val rnd = new scala.util.Random(seed)
-      val mult = Seq.fill(n)((rnd.nextLong() % total + total) % total)
-        .groupBy(identity).map { case (idx, ds) => (idx, ds.size) }.toSeq
       val spark = reads.sparkSession
       import spark.implicits._
-      val multDf = broadcast(mult.toDF("__idx", "__mult"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy(ordered: _*)
-      val picked = reads
-        .withColumn("__idx", row_number().over(w).cast("long") - 1)
-        .join(multDf, Seq("__idx"))
+      // Narrow projection: one row per DISTINCT (hash, read_id) with its
+      // physical copy count __k — a read that appears k times (a prior
+      // with-replacement sample) owns a rank interval of width k, exactly
+      // as if its copies held adjacent ranks. Range-partitioned on the
+      // hash order; localCheckpoint pins ONE partition layout across the
+      // totals job and the cumsum job (a re-planned range exchange could
+      // resample its boundaries between them).
+      val nPart = spark.sessionState.conf.numShufflePartitions
+      val narrow = reads.select(col("read_id"))
+        .withColumn("__h", xxhash64(lit(seed), col("read_id")))
+        .groupBy(col("__h"), col("read_id")).agg(count(lit(1)).as("__k"))
+        .repartitionByRange(nPart, col("__h"), col("read_id"))
+        .withColumn("__pid", spark_partition_id())
+        .localCheckpoint()
+      val perPid = narrow.groupBy(col("__pid"))
+        .agg(sum(col("__k")).cast("long").as("t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val total = perPid.values.sum
+      require(total > 0, "subsampleExact on an empty table")
+      // exclusive prefix totals, one long per partition, shipped as a
+      // single array literal indexed by pid
+      val offsets: Seq[Long] = (0 until nPart)
+        .map(p => perPid.getOrElse(p, 0L))
+        .scanLeft(0L)(_ + _).dropRight(1)
+      // driver-side seeded draws (bounded by n), sorted once; each read's
+      // multiplicity is the number of draws inside its rank interval,
+      // found by binary search over the broadcast-captured array — O(log n)
+      // per distinct read, never a range join
+      val rnd = new scala.util.Random(seed)
+      val draws: Array[Long] = Array.fill(n)((rnd.nextLong() % total + total) % total).sorted
+      val multOf = udf((lo: Long, hi: Long) => {
+        def lb(x: Long): Int = {
+          var l = 0; var r = draws.length
+          while (l < r) { val m = (l + r) >>> 1; if (draws(m) < x) l = m + 1 else r = m }
+          l
+        }
+        lb(hi) - lb(lo)
+      })
+      val localWin = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__pid")).orderBy(col("__h"), col("read_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val pickedMult = narrow
+        .withColumn("__cum", sum(col("__k")).over(localWin) +
+          element_at(typedLit(offsets), col("__pid") + 1))
+        .withColumn("__mult", multOf(col("__cum") - col("__k"), col("__cum")))
+        .filter(col("__mult") > 0)
+        .select(col("read_id"), col("__mult"))
+      // ≤ n picked ids → broadcast; one representative row per read_id
+      // (copies are identical by construction), then explode multiplicity
+      val repWin = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("read_id")).orderBy(col("read_id"))
+      val picked = reads.join(broadcast(pickedMult), Seq("read_id"))
+        .withColumn("__rep", row_number().over(repWin))
+        .filter(col("__rep") === 1)
         .withColumn("__copy", explode(sequence(lit(1), col("__mult"))))
-        .drop("__idx", "__mult", "__copy")
+        .select(reads.columns.map(col): _*)
       copy(
         reads = picked,
         insertions = insertions.join(

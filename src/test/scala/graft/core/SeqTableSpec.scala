@@ -149,6 +149,39 @@ class SeqTableSpec extends AnyFunSuite {
       .reads.count() == 20) // deterministic re-draw
   }
 
+  test("subsampleExact with replacement: exact multiset pinned to the seeded RNG") {
+    import spark.implicits._
+    // independent oracle: rank reads by (xxhash64(seed, read_id), read_id)
+    // driver-side, replay the same scala.util.Random index stream, and the
+    // drawn multiset must match subsampleExact's output exactly — this pin
+    // must survive any re-implementation of the ranking plan
+    val df = (0 until 37).map(i => (s"r$i", "ACGT", "IIII"))
+    val st = SeqTable.fromReads(spark, df)
+    val seed = 42L
+    val ordered = st.reads
+      .select(col("read_id"), xxhash64(lit(seed), col("read_id")).as("h"))
+      .orderBy(col("h"), col("read_id"))
+      .collect().map(_.getString(0))
+    val rnd = new scala.util.Random(seed)
+    val expected = Seq.fill(100)((rnd.nextLong() % 37 + 37) % 37)
+      .map(i => ordered(i.toInt))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val got = st.subsampleExact(100, withReplacement = true, seed = seed)
+      .reads.groupBy("read_id").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+    assert(got == expected)
+  }
+
+  test("subsampleExact with replacement never plans a single-partition exchange") {
+    import spark.implicits._
+    val df = (0 until 40).map(i => (s"r$i", "ACGT", "IIII"))
+    val st = SeqTable.fromReads(spark, df)
+    val plan = st.subsampleExact(10, withReplacement = true, seed = 1L)
+      .reads.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global rank collapsed to one task:\n${plan.take(800)}")
+  }
+
   test("viewWithInsertions lowercase option renders insertion bases ascii+32") {
     import spark.implicits._
     val df = Seq(("B", "ref1", 1, "3M2I2M", "AAAGGTT", "1234567"))
