@@ -34,13 +34,23 @@ object LanguageModel {
   final case class Unigrams(counts: Map[String, Long], total: Long, vocabSize: Long)
 
   /** Phase 1: token counts over `train` (one map-side-combined
-    * aggregate; result bounded by |vocab|).
+    * aggregate; result bounded by |vocab|, which plateaus at ~100k–1M
+    * for natural-language corpora — ~30 MB broadcast at 1M). The
+    * `maxVocab` cap makes that driver contract explicit: a corpus whose
+    * "vocabulary" grows with size (binary soup, unsegmented text) fails
+    * loudly instead of creeping toward a driver OOM.
     */
-  def trainUnigrams(train: DataFrame, idCol: String, textCol: String): Unigrams = {
+  def trainUnigrams(
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxVocab: Long = 50000000L): Unigrams = {
     val rows = Vocabulary.docTermFrequencies(train, idCol, textCol)
       .groupBy(col("token")).agg(sum(col("tf")).as("c"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
     require(rows.nonEmpty, "trainUnigrams: empty corpus")
+    require(rows.length <= maxVocab,
+      s"trainUnigrams: ${rows.length} distinct tokens exceed maxVocab=$maxVocab")
     Unigrams(rows.toMap, rows.map(_._2).sum, rows.length.toLong)
   }
 

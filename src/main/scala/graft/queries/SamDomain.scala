@@ -91,7 +91,13 @@ object SamDomain {
       val tmp = s"/tmp/graft_bam_fetch/${new java.io.File(dir).getName}"
       val d = new java.io.File(tmp)
       if (d.exists) d.listFiles.foreach(_.delete())
-      // .bai requires coordinate order; one shard keeps the walk simple
+      // .bai requires coordinate order. coalesce(1) is the single-shard
+      // FIXTURE path only — at scale, write many coordinate-sorted shards
+      // (repartitionByRange on (rname, pos) + sortWithinPartitions, as
+      // samtools-style region sharding does), build one .bai per shard
+      // with Bai.buildAll, and fan fetch() out over the shard list; the
+      // byte-range fetch itself is already per-file. Do NOT copy this
+      // coalesce into a production layout.
       graft.io.Bam.write(
         sam.coalesce(1).sortWithinPartitions("rname", "pos"),
         tmp, blockData = 4096)

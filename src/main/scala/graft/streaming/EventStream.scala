@@ -138,6 +138,59 @@ object EventStream {
       }
   }
 
+  // ---- streaming trailing-window features ------------------------------
+
+  case class TrailEvent(event_id: Long, user_id: Long, us: Long, value: Double)
+  case class TrailState(win: Seq[(Long, Double)]) // (us, value), ascending us
+  case class TrailOut(event_id: Long, user_id: Long, us: Long,
+      n_win: Long, sum_win: Double, max_win: Double)
+
+  /** Streaming twin of [[graft.ops.Temporal.trailingWindow]]: per event,
+    * count / exact sum / max over the same user's events with timestamp
+    * in `[us − windowLenUs, us]`, inclusive both ends — RANGE-frame
+    * semantics, so all timestamp TIES are peers of each other (a whole
+    * tie group enters the buffer before any of its members emits).
+    *
+    * State per user is only the events inside the trailing window of the
+    * newest timestamp seen — time-bounded, like the batch operator's
+    * frame, not event-count-bounded. Events are sorted by (us, event_id)
+    * within a micro-batch; ACROSS batches each user's events must arrive
+    * in nondecreasing event time (the usual watermarked-source contract —
+    * an older event would need already-evicted state).
+    *
+    * The sum quantizes each value to DECIMAL(18,4) half-up and adds
+    * exactly, matching the batch query's `sum(cast(value as
+    * decimal(18,4)))` bit-for-bit regardless of arrival order
+    * (PipelineStreamingSpec pins stream == batch).
+    */
+  def trailingFeatures(
+      events: org.apache.spark.sql.Dataset[TrailEvent],
+      windowLenUs: Long): org.apache.spark.sql.Dataset[TrailOut] = {
+    import events.sparkSession.implicits._
+    require(windowLenUs >= 0, s"windowLenUs must be >= 0, got $windowLenUs")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TrailState, TrailOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, it, state: GroupState[TrailState]) =>
+          var buf = state.getOption.map(_.win.toList).getOrElse(Nil)
+          val out = List.newBuilder[TrailOut]
+          it.toSeq.sortBy(e => (e.us, e.event_id))
+            .groupBy(_.us).toSeq.sortBy(_._1)
+            .foreach { case (us, group) =>
+              buf = (buf ++ group.map(e => (e.us, e.value)))
+                .dropWhile(_._1 < us - windowLenUs)
+              val n = buf.size.toLong
+              val sum = buf.iterator
+                .map(p => BigDecimal(p._2).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+                .sum.toDouble
+              val mx = buf.iterator.map(_._2).max
+              group.foreach(e => out += TrailOut(e.event_id, user, us, n, sum, mx))
+            }
+          state.update(TrailState(buf))
+          out.result().iterator
+      }
+  }
+
   // ---- stateful sessionization ----------------------------------------
 
   case class Event(user_id: Long, ts: Timestamp, value: Double)

@@ -123,6 +123,48 @@ class PipelineStreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("trailing-window features on a stream match the batch RANGE frame") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.streaming.EventStream
+    import graft.streaming.EventStream.TrailEvent
+    // three users, timestamp ties included (events 5/6 share user 1, us=2500)
+    val events = Seq(
+      TrailEvent(1L, 1L, 1000L, 1.55),
+      TrailEvent(2L, 2L, 1100L, -3.0),
+      TrailEvent(3L, 1L, 1900L, 2.25),
+      TrailEvent(4L, 2L, 2400L, 0.125),
+      TrailEvent(5L, 1L, 2500L, 7.5),
+      TrailEvent(6L, 1L, 2500L, 0.0625),
+      TrailEvent(7L, 1L, 3100L, -0.5),
+      TrailEvent(8L, 3L, 9000L, 4.0))
+    val windowLen = 1000L
+    val batch = graft.ops.Temporal.trailingWindow(
+      events.toDF(), keys = Seq("user_id"), tsCol = "us", windowLen = windowLen,
+      aggs = Seq(
+        "n_win" -> count(lit(1)),
+        "sum_win" -> sum(col("value").cast("decimal(18,4)")),
+        "max_win" -> max(col("value"))))
+      .select(col("event_id"), col("user_id"), col("us"), col("n_win"),
+        col("sum_win").cast("double").as("sum_win"), col("max_win"))
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSet
+
+    val mem = MemoryStream[TrailEvent]
+    val q = EventStream.trailingFeatures(mem.toDS(), windowLen)
+      .writeStream.format("memory").queryName("trail_stream")
+      .outputMode("append").start()
+    try {
+      // split MID-TIE-GROUP per the arrival contract's edge: events 5 and 6
+      // share (user 1, us=2500) and arrive in the same batch; batch 2 opens
+      // with a later event for the same user
+      mem.addData(events.take(6): _*); q.processAllAvailable()
+      mem.addData(events.drop(6): _*); q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM trail_stream")
+        .as[(Long, Long, Long, Long, Double, Double)].collect().toSet
+      assert(got == batch, "stream must reproduce the batch RANGE frame exactly")
+    } finally q.stop()
+  }
+
   test("DSIR scoring on a stream matches the batch weights") {
     implicit val sqlCtx = spark.sqlContext
     val target = Seq((100L, "alpha beta alpha")).toDF("doc_id", "text")
