@@ -191,6 +191,56 @@ object EventStream {
       }
   }
 
+  // ---- streaming as-of join -------------------------------------------
+
+  /** One element of the unioned as-of stream: `side` 0 = right (the
+    * lookup table's change feed), 1 = left (the probe); `tie` breaks
+    * right-side timestamp ties (largest wins), ignored on the left.
+    */
+  case class AsOfEvent(key: Long, us: Long, side: Int, id: Long, tie: Long)
+  case class AsOfState(rightUs: Long, rightTie: Long)
+  case class AsOfMatch(id: Long, key: Long, us: Long,
+      right_us: Option[Long], right_tie: Option[Long])
+
+  /** Streaming twin of [[graft.ops.Temporal.asOfJoin]]: each left event
+    * is matched to the most recent right event of the same key with
+    * `right.us <= left.us` (ties on the timestamp resolve to the largest
+    * `tie`, exactly like the batch union-merge's sort order — a right
+    * event at the SAME microsecond as a left probe does match it).
+    *
+    * State per key is one row — the best (us, tie) right event seen —
+    * which is the as-of invariant that makes the operator streamable at
+    * all: the batch version's running `last(ignoreNulls)` carries
+    * exactly this much information forward. Within a micro-batch events
+    * are sorted by (us, side, tie); across batches each key's events
+    * must arrive in nondecreasing event time (watermarked-source
+    * contract), or a late left probe would see a too-new right row.
+    */
+  def asOfStream(
+      events: org.apache.spark.sql.Dataset[AsOfEvent])
+      : org.apache.spark.sql.Dataset[AsOfMatch] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfState, AsOfMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, it, state: GroupState[AsOfState]) =>
+          var best = state.getOption
+          val out = List.newBuilder[AsOfMatch]
+          it.toSeq.sortBy(e => (e.us, e.side, e.tie)).foreach { e =>
+            if (e.side == 0) {
+              val newer = best.forall(b =>
+                e.us > b.rightUs || (e.us == b.rightUs && e.tie > b.rightTie))
+              if (newer) best = Some(AsOfState(e.us, e.tie))
+            } else {
+              out += AsOfMatch(e.id, key, e.us,
+                best.map(_.rightUs), best.map(_.rightTie))
+            }
+          }
+          best.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   // ---- stateful sessionization ----------------------------------------
 
   case class Event(user_id: Long, ts: Timestamp, value: Double)

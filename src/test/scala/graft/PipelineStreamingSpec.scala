@@ -165,6 +165,46 @@ class PipelineStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("as-of join on a stream matches the batch union-merge") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.streaming.EventStream
+    import graft.streaming.EventStream.AsOfEvent
+    // rights (side 0) and lefts (side 1) interleaved; includes an
+    // equal-timestamp probe (us=2000 both sides), a right-side tie
+    // (us=1000, ties 3 and 9), and a key with no preceding right
+    val evs = Seq(
+      AsOfEvent(1L, 1000L, 0, 100L, 3L),
+      AsOfEvent(1L, 1000L, 0, 101L, 9L),
+      AsOfEvent(1L, 1500L, 1, 500L, 0L),
+      AsOfEvent(1L, 2000L, 0, 102L, 1L),
+      AsOfEvent(1L, 2000L, 1, 501L, 0L),
+      AsOfEvent(2L, 3000L, 1, 502L, 0L),
+      AsOfEvent(2L, 3500L, 0, 103L, 7L),
+      AsOfEvent(2L, 4000L, 1, 503L, 0L))
+    val left = evs.filter(_.side == 1)
+      .map(e => (e.id, e.key, e.us)).toDF("id", "key", "us")
+    val right = evs.filter(_.side == 0)
+      .map(e => (e.key, e.us, e.tie)).toDF("key", "r_us", "tie")
+    val batch = graft.ops.Temporal.asOfJoin(
+      left, right, keys = Seq("key"),
+      leftTs = "us", rightTs = "r_us", rightTie = "tie", rightPrefix = "m_")
+      .select(col("id"), col("key"), col("us"), col("m_r_us"), col("m_tie"))
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSet
+
+    val mem = MemoryStream[AsOfEvent]
+    val q = EventStream.asOfStream(mem.toDS())
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(evs.take(5): _*); q.processAllAvailable()
+      mem.addData(evs.drop(5): _*); q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM asof_stream")
+        .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSet
+      assert(got == batch, "stream must reproduce the batch as-of matches")
+    } finally q.stop()
+  }
+
   test("DSIR scoring on a stream matches the batch weights") {
     implicit val sqlCtx = spark.sqlContext
     val target = Seq((100L, "alpha beta alpha")).toDF("doc_id", "text")
