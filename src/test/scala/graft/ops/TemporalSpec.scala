@@ -45,6 +45,31 @@ class TemporalSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(5L))
   }
 
+  test("asOfJoin matches a naive per-left-row scan on random data") {
+    val rnd = new scala.util.Random(13)
+    // heavy tie density: timestamps from a small range so <=-boundary and
+    // tie-break paths are exercised constantly
+    val left = (0 until 250).map { i =>
+      (i.toLong, (i % 7).toLong, rnd.nextInt(60).toLong)
+    }
+    val right = (0 until 120).map { i =>
+      (1000L + i, (i % 7).toLong, rnd.nextInt(60).toLong)
+    }.map { case (rid, k, ts) => (k, ts, rid) }
+      // unique (k, ts): keep the max rid, mirroring the documented
+      // pre-aggregation contract
+      .groupBy(t => (t._1, t._2)).map(_._2.maxBy(_._3)).toSeq
+    val got = Temporal.asOfJoin(
+      left.toDF("id", "k", "ts"), right.toDF("k", "rts", "rid"),
+      Seq("k"), "ts", "rts", "rid")
+      .select($"id", $"r_rid").as[(Long, Option[Long])]
+      .collect().toMap
+    left.foreach { case (id, k, ts) =>
+      val best = right.filter(r => r._1 == k && r._2 <= ts)
+        .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+      assert(got(id) == best, s"id=$id k=$k ts=$ts")
+    }
+  }
+
   test("intervalJoin matches the naive cross-product across bin widths") {
     val rnd = new scala.util.Random(7)
     val intervals = (0 until 40).map { i =>
