@@ -36,6 +36,40 @@ class ContractSpec extends AnyFunSuite {
     assert(broken.isEmpty, s"queries failing analysis:\n${broken.mkString("\n")}")
   }
 
+  test("events loader normalizes ts across all three parquet encodings") {
+    // the round-6 gate lost 11 queries because the loader assumed one
+    // specific parquet encoding of ts; pin all three branches against
+    // synthetic fixtures: TIMESTAMP_NTZ (what the driver actually
+    // writes), raw int64 nanos, and plain TIMESTAMP
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val us = 1700000000123456L // µs epoch with sub-second precision
+    val base = java.nio.file.Files.createTempDirectory("graft_tables_spec").toString
+
+    // branch 1: TIMESTAMP_NTZ
+    val ntzDir = s"$base/ntz"
+    Seq(Tuple1(us)).toDF("raw")
+      .select(timestamp_micros(col("raw")).cast(TimestampNTZType).as("ts"))
+      .write.parquet(s"$ntzDir/events.parquet")
+    // branch 2: raw int64 nanoseconds
+    val longDir = s"$base/long"
+    Seq(Tuple1(us * 1000L + 789L)).toDF("ts") // extra ns must truncate away
+      .write.parquet(s"$longDir/events.parquet")
+    // branch 3: plain TIMESTAMP (already what consumers want)
+    val tsDir = s"$base/ts"
+    Seq(Tuple1(us)).toDF("raw")
+      .select(timestamp_micros(col("raw")).as("ts"))
+      .write.parquet(s"$tsDir/events.parquet")
+
+    for (dir <- Seq(ntzDir, longDir, tsDir)) {
+      val df = Tables(spark, dir, "events")
+      assert(df.schema("ts").dataType == TimestampType, s"$dir: wrong type")
+      assert(df.select(unix_micros(col("ts"))).as[Long].head() == us,
+        s"$dir: µs value not preserved")
+    }
+  }
+
   test("oracle SQL never references tables outside the testdata set") {
     val tables = Tables.All.toSet
     val word = "[a-zA-Z_]+".r

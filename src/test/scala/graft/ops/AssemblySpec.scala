@@ -205,6 +205,22 @@ class AssemblySpec extends AnyFunSuite {
     assert(joined.toSeq == collected.toSeq)
   }
 
+  test("scoreBigramsJoined == collected on random corpora (3 seeds)") {
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "bb", "ccc", "Dd", "e", "ff", "g")
+      val corpus = (1L to 30L).map { i =>
+        (i, Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val collected = LanguageModel.bigramScore(corpus, "doc_id", "text")
+        .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+      val joined = LanguageModel
+        .scoreBigramsJoined(corpus, "doc_id", "text", corpus)
+        .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+      assert(joined == collected, s"seed=$seed diverged")
+    }
+  }
+
   test("trainBigrams refuses to collect past the maxEntries cap") {
     assertThrows[IllegalArgumentException] {
       LanguageModel.trainBigrams(docs, "doc_id", "text", maxEntries = 2L)
