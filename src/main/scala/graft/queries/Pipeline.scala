@@ -247,6 +247,26 @@ object Pipeline {
     // both sides must be empty. A future 64-bit gram collision now fails
     // HERE with a self-explanatory row count instead of as a confusing
     // q_decontam_hashed hash mismatch.
+    // Same collision gate for the exact-substring family: its hashKey
+    // scale path (xxhash64 window keys — the shuffle narrows from L-char
+    // strings to 8 bytes at corpus scale) must flag the IDENTICAL
+    // (doc, pos) set as the exact string path at this SF. Oracle = the
+    // all-zeros row, like q_decontam_hash_agree.
+    "q_substr_hash_agree" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      def run(h: Boolean) = graft.ops.ExactSubstrings
+        .duplicatedWindows(docs, "doc_id", "text", L = 25, hashKey = h)
+      val str = run(false).withColumn("s", lit(1))
+      val hsh = run(true).withColumn("h", lit(1))
+      str.join(hsh, Seq("doc_id", "pos"), "full_outer")
+        .agg(
+          sum(when(col("h").isNull, 1).otherwise(0)).as("string_only"),
+          sum(when(col("s").isNull, 1).otherwise(0)).as("hashed_only"))
+        .select(
+          coalesce(col("string_only"), lit(0L)).cast("long").as("string_only"),
+          coalesce(col("hashed_only"), lit(0L)).cast("long").as("hashed_only"))
+    }),
+
     "q_decontam_hash_agree" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       val bench = docs.filter(col("doc_id") % 53 === 0)
@@ -1227,6 +1247,9 @@ object Pipeline {
       """SELECT CAST(0 AS BIGINT) AS string_only,
         |  CAST(0 AS BIGINT) AS hashed_only,
         |  CAST(0 AS BIGINT) AS count_mismatch""".stripMargin,
+    "q_substr_hash_agree" ->
+      """SELECT CAST(0 AS BIGINT) AS string_only,
+        |  CAST(0 AS BIGINT) AS hashed_only""".stripMargin,
     "q_dsir_weights" ->
       """WITH t AS (
         |  SELECT doc_id, lang, regexp_extract_all(lower(trim(text)), '\S+') AS toks
