@@ -138,6 +138,39 @@ class TemporalSpec extends AnyFunSuite {
     sizes.foreach { case (c, n) => assert(got((c, 0L)) == n, s"cohort $c") }
   }
 
+  test("funnel matches a naive per-user replay on random data") {
+    val rnd = new scala.util.Random(19)
+    val types = Vector("a", "b", "c")
+    val rows = (0 until 600).map { _ =>
+      ((rnd.nextInt(25) + 1).toLong, rnd.nextInt(40).toLong, types(rnd.nextInt(3)))
+    }
+    val got = Temporal.funnel(rows.toDF("u", "ts", "t"), "u", "ts", Seq(
+      "a" -> (col("t") === "a"),
+      "b" -> (col("t") === "b"),
+      "c" -> (col("t") === "c")))
+      .orderBy("step").as[(Int, String, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    // naive: per user, chain min-ts of each stage strictly after the prior
+    val byUser = rows.groupBy(_._1)
+    def stageTime(evs: Seq[(Long, Long, String)], t: String, after: Option[Long]): Option[Long] =
+      evs.filter(e => e._3 == t && after.forall(e._2 > _)).map(_._2).minOption
+    var expected = Map.empty[Int, Long]
+    for ((_, evs) <- byUser) {
+      var prev: Option[Long] = None
+      var alive = true
+      for ((t, step) <- types.zipWithIndex if alive) {
+        stageTime(evs, t, if (step == 0) None else prev) match {
+          case Some(ts) =>
+            expected = expected.updated(step + 1, expected.getOrElse(step + 1, 0L) + 1)
+            prev = Some(ts)
+          case None => alive = false
+        }
+      }
+    }
+    assert((1 to 3).forall(s => got.getOrElse(s, 0L) == expected.getOrElse(s, 0L)),
+      s"got=$got expected=$expected")
+  }
+
   test("funnel: strictly-after ordering, users counted once per stage") {
     val events = Seq(
       // u1 completes a->b->c in order
