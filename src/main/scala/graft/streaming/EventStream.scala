@@ -241,6 +241,54 @@ object EventStream {
       }
   }
 
+  // ---- streaming funnel ------------------------------------------------
+
+  /** Pre-classified funnel event: `step` is the 0-based stage index the
+    * event would satisfy (classify with the same predicates the batch
+    * operator takes).
+    */
+  case class FunnelEvent(user_id: Long, us: Long, step: Int)
+  /** `next` = the stage the user needs next; `lastUs` = time of the last
+    * advance (strict-after comparisons run against it).
+    */
+  case class FunnelState(next: Int, lastUs: Long)
+  /** One row per stage ADVANCE: user reached `step` (0-based) at `us`.
+    * `count(*) group by step` over all deltas equals the batch funnel's
+    * n_users per stage.
+    */
+  case class FunnelDelta(user_id: Long, step: Int, us: Long)
+
+  /** Streaming twin of [[graft.ops.Temporal.funnel]]: processed in event
+    * order, the FIRST stage-k event strictly after the user's stage-(k−1)
+    * time IS the `min(ts)` the batch chain of aggregates selects, so a
+    * greedy one-pass advance emits exactly the batch stages. State per
+    * user is two numbers. Same arrival contract as the other twins:
+    * in-batch disorder is sorted away, across batches each user's events
+    * must arrive in nondecreasing event time.
+    */
+  def funnelStream(
+      events: org.apache.spark.sql.Dataset[FunnelEvent],
+      nSteps: Int): org.apache.spark.sql.Dataset[FunnelDelta] = {
+    import events.sparkSession.implicits._
+    require(nSteps >= 1, s"nSteps must be >= 1, got $nSteps")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, it, state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val out = List.newBuilder[FunnelDelta]
+          it.toSeq.sortBy(e => (e.us, e.step)).foreach { e =>
+            if (st.next < nSteps && e.step == st.next &&
+              (st.next == 0 || e.us > st.lastUs)) {
+              out += FunnelDelta(user, st.next, e.us)
+              st = FunnelState(st.next + 1, e.us)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   // ---- stateful sessionization ----------------------------------------
 
   case class Event(user_id: Long, ts: Timestamp, value: Double)

@@ -205,6 +205,35 @@ class PipelineStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnel on a stream matches the batch chained-min aggregates") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.streaming.EventStream
+    import graft.streaming.EventStream.FunnelEvent
+    val rnd = new scala.util.Random(23)
+    val evs = (0 until 300).map { _ =>
+      FunnelEvent((rnd.nextInt(20) + 1).toLong, rnd.nextInt(50).toLong, rnd.nextInt(3))
+    }.sortBy(e => (e.us, e.step)) // feed in event-time order (arrival contract)
+    val types = Vector("a", "b", "c")
+    val batch = graft.ops.Temporal.funnel(
+      evs.map(e => (e.user_id, e.us, types(e.step))).toDF("u", "us", "t"),
+      "u", "us", types.map(t => t -> (col("t") === t)))
+      .as[(Int, String, Long)].collect()
+      .map(r => (r._1 - 1) -> r._3).toMap // batch steps are 1-based
+
+    val mem = MemoryStream[FunnelEvent]
+    val q = EventStream.funnelStream(mem.toDS(), nSteps = 3)
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    try {
+      evs.grouped(100).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+      val got = spark.sql("SELECT step, count(*) AS n FROM funnel_stream GROUP BY step")
+        .as[(Int, Long)].collect().toMap
+      assert((0 until 3).forall(s => got.getOrElse(s, 0L) == batch.getOrElse(s, 0L)),
+        s"got=$got batch=$batch")
+    } finally q.stop()
+  }
+
   test("DSIR scoring on a stream matches the batch weights") {
     implicit val sqlCtx = spark.sqlContext
     val target = Seq((100L, "alpha beta alpha")).toDF("doc_id", "text")
