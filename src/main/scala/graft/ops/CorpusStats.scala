@@ -126,6 +126,95 @@ object CorpusStats {
       .orderBy(col("column_name"))
   }
 
+  /** Zipf power-law fit over the top-`k` token frequencies: OLS of
+    * ln(count) on ln(rank) — the standard corpus-health probe (natural
+    * language sits near slope −1; templated/boilerplate-heavy or
+    * synthetic corpora drift off it, so the fit belongs next to the
+    * repetition and Gopher filters in a pipeline's profiling pass).
+    *
+    * Shape: the corpus-scale work is [[Vocabulary.topVocabulary]]'s
+    * bounded-heap selection (map tasks reduce their vocabulary slice to
+    * k candidates before one exchange — never a global sort); the fit
+    * itself runs driver-side over ≤ k rows, like the BM25 constants.
+    *
+    * Cross-engine determinism, house convention: ln values quantize to
+    * 1e-9 (half-up) and the five OLS sums accumulate as exact scaled
+    * decimals (products of two 9-dp decimals are 18-dp exact); only the
+    * closed form runs in doubles, on identical operands in identical
+    * order on both engines, rounded HALF_UP to 6. Degenerate fits
+    * (k = 1, or all counts equal ⇒ zero x-variance is impossible since
+    * ranks differ, but zero y-variance isn't) report r2 = 0 via the
+    * same CASE guard on both sides.
+    *
+    * Output: one row — (n_tokens_fit, slope, intercept, r2).
+    */
+  def zipfFit(df: DataFrame, idCol: String, textCol: String, k: Int = 1000): DataFrame = {
+    require(k >= 1, s"zipfFit: k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val top = Vocabulary.topVocabulary(df, idCol, textCol, k)
+      .select(col("rank").cast("long"), col("total_count").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(top.nonEmpty, "zipfFit: empty vocabulary")
+    def q(x: Double): BigDecimal = BigDecimal(HashKernels.nanoQuant(x), 9)
+    val lx = top.map { case (r, _) => q(math.log(r.toDouble)) }
+    val ly = top.map { case (_, c) => q(math.log(c.toDouble)) }
+    val n = top.length.toDouble
+    val sx = lx.sum.doubleValue
+    val sy = ly.sum.doubleValue
+    val sxy = lx.zip(ly).map { case (a, b) => a * b }.sum.doubleValue
+    val sxx = lx.map(a => a * a).sum.doubleValue
+    val syy = ly.map(a => a * a).sum.doubleValue
+    val denx = n * sxx - sx * sx
+    val deny = n * syy - sy * sy
+    val num = n * sxy - sx * sy
+    val slopeRaw = if (denx > 0) num / denx else 0.0
+    val intercept = (sy - slopeRaw * sx) / n
+    val r2 = if (denx > 0 && deny > 0) num * num / (denx * deny) else 0.0
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((top.length.toLong, r6(slopeRaw), r6(intercept), r6(r2)))
+      .toDF("n_tokens_fit", "slope", "intercept", "r2")
+  }
+
+  /** The DuckDB oracle for [[zipfFit]] — same quantized-decimal sums,
+    * same double closed form in the same operation order.
+    */
+  def zipfOracleSql(table: String, textCol: String, k: Int): String =
+    s"""WITH occ AS (
+       |  SELECT unnest(regexp_extract_all(lower(trim($textCol)), '\\S+')) AS token
+       |  FROM $table),
+       |v AS (SELECT token, count(*) AS c FROM occ GROUP BY token),
+       |top AS (
+       |  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, token) AS r
+       |  FROM v ORDER BY c DESC, token LIMIT $k),
+       |qq AS (
+       |  SELECT CAST(round(ln(r), 9) AS DECIMAL(19,9)) AS lx,
+       |         CAST(round(ln(c), 9) AS DECIMAL(19,9)) AS ly
+       |  FROM top),
+       |s AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n, count(*) AS cnt,
+       |    CAST(sum(lx) AS DOUBLE) AS sx, CAST(sum(ly) AS DOUBLE) AS sy,
+       |    CAST(sum(lx * ly) AS DOUBLE) AS sxy,
+       |    CAST(sum(lx * lx) AS DOUBLE) AS sxx,
+       |    CAST(sum(ly * ly) AS DOUBLE) AS syy
+       |  FROM qq),
+       |g AS (
+       |  SELECT cnt, n, sx, sy,
+       |    n * sxx - sx * sx AS denx,
+       |    n * syy - sy * sy AS deny,
+       |    n * sxy - sx * sy AS num
+       |  FROM s),
+       |h AS (
+       |  SELECT cnt, n, sx, sy, denx, deny, num,
+       |    CASE WHEN denx > 0 THEN num / denx ELSE 0 END AS slope_raw
+       |  FROM g)
+       |SELECT CAST(cnt AS BIGINT) AS n_tokens_fit,
+       |  round(slope_raw, 6) AS slope,
+       |  round((sy - slope_raw * sx) / n, 6) AS intercept,
+       |  round(CASE WHEN denx > 0 AND deny > 0
+       |    THEN num * num / (denx * deny) ELSE 0 END, 6) AS r2
+       |FROM h""".stripMargin
+
   /** One-pass Pearson correlation matrix over a fixed numeric column
     * list: one row per unordered pair — (col_a, col_b, corr). ONE
     * aggregate over the table computes every co-moment (n, Σx, Σx²,

@@ -70,6 +70,12 @@ object Mining {
       CorpusStats.klBySource(Tables(s, dir, "documents"), "source", "text")
         .orderBy(col("source"))),
 
+    // Zipf power-law fit of the top-500 token frequencies — corpus-health
+    // probe (natural text ~ slope -1). Bounded-heap top-k selection, then
+    // a driver-side OLS over <= 500 quantized-decimal ln terms.
+    "q_zipf_fit" -> ((s, dir) =>
+      CorpusStats.zipfFit(Tables(s, dir, "documents"), "doc_id", "text", 500)),
+
     // HyperLogLog distinct users per event type, gated against the exact
     // count: the sketch is deterministic (max-merge registers), so the
     // 5%-relative-error contract either always holds on this data or
@@ -206,6 +212,8 @@ object Mining {
          |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
     "q_kl_sources" ->
       graft.ops.CorpusStats.klOracleSql("documents", "source", "text"),
+    "q_zipf_fit" ->
+      graft.ops.CorpusStats.zipfOracleSql("documents", "text", 500),
     "q_hll_rollup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |  TRUE AS rollup_eq_direct, TRUE AS hll_ok

@@ -149,6 +149,47 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("a", "b", 0.0)))
   }
 
+  test("zipfFit matches an independent OLS over the same quantized terms") {
+    // tokens with counts (16, 8, 4, 2, 1) at ranks (1..5): verify the
+    // whole output row against a reference OLS computed independently
+    // from the identical quantized ln terms, then sanity-check the
+    // power-law reading (strongly negative slope, high r2)
+    val words = Seq("a" -> 16, "b" -> 8, "c" -> 4, "d" -> 2, "e" -> 1)
+    val text = words.flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val got = CorpusStats.zipfFit(docs, "doc_id", "text", 500)
+      .as[(Long, Double, Double, Double)].collect().head
+    // independent reference OLS over the identical quantized ln terms
+    def q(x: Double) = BigDecimal(HashKernels.nanoQuant(x), 9)
+    val xs = (1 to 5).map(r => q(math.log(r.toDouble)))
+    val ys = words.map(_._2).map(c => q(math.log(c.toDouble)))
+    val n = 5.0
+    val (sx, sy) = (xs.sum.doubleValue, ys.sum.doubleValue)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum.doubleValue
+    val sxx = xs.map(a => a * a).sum.doubleValue
+    val syy = ys.map(a => a * a).sum.doubleValue
+    val denx = n * sxx - sx * sx
+    val slope = (n * sxy - sx * sy) / denx
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._1 == 5L)
+    assert(got._2 == r6(slope))
+    assert(got._3 == r6((sy - slope * sx) / n))
+    val num = n * sxy - sx * sy
+    assert(got._4 == r6(num * num / (denx * (n * syy - sy * sy))))
+    // the counts follow ~1/r^1.3ish on this tiny grid; slope must be
+    // negative and the fit strong
+    assert(got._2 < -0.5 && got._4 > 0.9)
+  }
+
+  test("zipfFit: single-token corpus degrades to slope 0, r2 0") {
+    val docs = Seq((1L, "solo solo solo")).toDF("doc_id", "text")
+    val got = CorpusStats.zipfFit(docs, "doc_id", "text", 10)
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(got._1 == 1L && got._2 == 0.0 && got._4 == 0.0)
+    // zero slope => intercept is the mean of ln(count), i.e. ln(3)
+    assert(math.abs(got._3 - math.log(3.0)) < 1e-6)
+  }
+
   test("profileNumeric: an all-null column passes nd_ok (0 exact, 0 sketch)") {
     val df = Seq[(java.lang.Double, java.lang.Double)](
       (1.0, null), (2.0, null), (2.0, null)).toDF("a", "b")
