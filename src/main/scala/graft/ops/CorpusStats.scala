@@ -176,6 +176,129 @@ object CorpusStats {
       .toDF("n_tokens_fit", "slope", "intercept", "r2")
   }
 
+  /** Heaps' law fit — vocabulary growth V(N) ≈ K·N^β over the corpus in
+    * deterministic md5 document order (the same rank-key convention every
+    * deterministic-shuffle op uses, so "growth" is well-defined and
+    * partition-invariant). The companion probe to [[zipfFit]]: natural
+    * corpora grow sub-linearly (β ≈ 0.4–0.6); a corpus whose vocabulary
+    * grows linearly (β → 1) is ID-soup or binary noise, one that
+    * plateaus hard is templated.
+    *
+    * Fully distributed, unlike the top-k-bounded Zipf fit: per-doc token
+    * counts cumsum to N_d via [[Packing.runningTotal]] (range partition +
+    * partition-local window + broadcast prefix offsets — no single-task
+    * exchange); each token's FIRST document is one token-keyed `min`
+    * aggregate, the per-doc new-token counts cumsum the same way to V_d;
+    * and the OLS of ln V on ln N runs as ONE map-side-combined aggregate
+    * of 1e-9-quantized terms (Long sums for the linear terms, exact
+    * DECIMAL sums for the three product terms). Only the closed form
+    * touches the driver. Every document with ≥ 1 token contributes one
+    * (N_d, V_d) point.
+    *
+    * Output: one row — (n_points, beta, ln_k, r2).
+    */
+  def heapsFit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tf = Vocabulary.docTermFrequencies(df, idCol, textCol)
+    val perDoc = tf.groupBy(col(idCol))
+      .agg(sum(col("tf")).cast("long").as("n_toks"))
+      .withColumn("__rk", Sampling.rankKey(col(idCol)))
+      .select(col("__rk"), col("n_toks"))
+    val withN = Packing.runningTotal(perDoc, "__rk", "n_toks", "N")
+    val newPerDoc = tf
+      .withColumn("__rk", Sampling.rankKey(col(idCol)))
+      .groupBy(col("token")).agg(min(col("__rk")).as("__frk"))
+      .groupBy(col("__frk")).agg(count(lit(1)).as("n_new"))
+    val withV = Packing.runningTotal(
+      withN.join(newPerDoc, withN("__rk") === newPerDoc("__frk"), "left")
+        .select(col("__rk"), col("N"),
+          coalesce(col("n_new"), lit(0L)).as("n_new")),
+      "__rk", "n_new", "V")
+    val termUdf = udf((n: Long, v: Long) =>
+      (HashKernels.nanoQuant(math.log(n.toDouble)),
+        HashKernels.nanoQuant(math.log(v.toDouble))))
+    val pts = withV.filter(col("N") >= 1 && col("V") >= 1)
+      .select(termUdf(col("N"), col("V")).as("t"))
+      .select(col("t._1").as("lxn"), col("t._2").as("lyn"))
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val r = pts.agg(
+      count(lit(1)).as("n"),
+      sum(col("lxn").cast("decimal(28,0)")).as("sx"),
+      sum(col("lyn").cast("decimal(28,0)")).as("sy"),
+      sum(dec(col("lxn")) * dec(col("lyn"))).as("sxy"),
+      sum(dec(col("lxn")) * dec(col("lxn"))).as("sxx"),
+      sum(dec(col("lyn")) * dec(col("lyn"))).as("syy")).head()
+    val cnt = r.getLong(0)
+    require(cnt > 0, "heapsFit: no documents with tokens")
+    val nd = cnt.toDouble
+    def d9(i: Int) = r.getDecimal(i).doubleValue / 1e9
+    def d18(i: Int) = r.getDecimal(i).doubleValue / 1e18
+    val (sx, sy) = (d9(1), d9(2))
+    val (sxy, sxx, syy) = (d18(3), d18(4), d18(5))
+    val denx = nd * sxx - sx * sx
+    val deny = nd * syy - sy * sy
+    val num = nd * sxy - sx * sy
+    val slopeRaw = if (denx > 0) num / denx else 0.0
+    val lnK = (sy - slopeRaw * sx) / nd
+    val r2 = if (denx > 0 && deny > 0) num * num / (denx * deny) else 0.0
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((cnt, r6(slopeRaw), r6(lnK), r6(r2)))
+      .toDF("n_points", "beta", "ln_k", "r2")
+  }
+
+  /** The DuckDB oracle for [[heapsFit]] — identical md5 order, cumsums,
+    * quantization, and closed-form operation order.
+    */
+  def heapsOracleSql(table: String, idCol: String, textCol: String): String =
+    s"""WITH occ AS (
+       |  SELECT $idCol,
+       |    unnest(regexp_extract_all(lower(trim($textCol)), '\\S+')) AS token
+       |  FROM $table),
+       |pd AS (
+       |  SELECT md5(CAST($idCol AS VARCHAR)) || '|' || CAST($idCol AS VARCHAR) AS rk,
+       |    count(*) AS n_toks
+       |  FROM occ GROUP BY 1),
+       |fo AS (
+       |  SELECT token,
+       |    min(md5(CAST($idCol AS VARCHAR)) || '|' || CAST($idCol AS VARCHAR)) AS frk
+       |  FROM occ GROUP BY token),
+       |nn AS (SELECT frk AS rk, count(*) AS n_new FROM fo GROUP BY frk),
+       |cum AS (
+       |  SELECT pd.rk,
+       |    sum(pd.n_toks) OVER (ORDER BY pd.rk) AS N,
+       |    sum(COALESCE(nn.n_new, 0)) OVER (ORDER BY pd.rk) AS V
+       |  FROM pd LEFT JOIN nn USING (rk)),
+       |qq AS (
+       |  SELECT
+       |    CAST(CAST(round(ln(N), 9) AS DECIMAL(19,9)) * 1000000000 AS BIGINT) AS lxn,
+       |    CAST(CAST(round(ln(V), 9) AS DECIMAL(19,9)) * 1000000000 AS BIGINT) AS lyn
+       |  FROM cum WHERE N >= 1 AND V >= 1),
+       |s AS (
+       |  SELECT count(*) AS cnt, CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(lxn) AS DOUBLE) / 1e9 AS sx,
+       |    CAST(sum(lyn) AS DOUBLE) / 1e9 AS sy,
+       |    CAST(sum(CAST(lxn AS HUGEINT) * lyn) AS DOUBLE) / 1e18 AS sxy,
+       |    CAST(sum(CAST(lxn AS HUGEINT) * lxn) AS DOUBLE) / 1e18 AS sxx,
+       |    CAST(sum(CAST(lyn AS HUGEINT) * lyn) AS DOUBLE) / 1e18 AS syy
+       |  FROM qq),
+       |g AS (
+       |  SELECT cnt, n, sx, sy,
+       |    n * sxx - sx * sx AS denx,
+       |    n * syy - sy * sy AS deny,
+       |    n * sxy - sx * sy AS num
+       |  FROM s),
+       |h AS (
+       |  SELECT cnt, n, sx, sy, denx, deny, num,
+       |    CASE WHEN denx > 0 THEN num / denx ELSE 0 END AS slope_raw
+       |  FROM g)
+       |SELECT CAST(cnt AS BIGINT) AS n_points,
+       |  round(slope_raw, 6) AS beta,
+       |  round((sy - slope_raw * sx) / n, 6) AS ln_k,
+       |  round(CASE WHEN denx > 0 AND deny > 0
+       |    THEN num * num / (denx * deny) ELSE 0 END, 6) AS r2
+       |FROM h""".stripMargin
+
   /** The DuckDB oracle for [[zipfFit]] — same quantized-decimal sums,
     * same double closed form in the same operation order.
     */

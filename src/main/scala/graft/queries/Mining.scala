@@ -76,6 +76,12 @@ object Mining {
     "q_zipf_fit" -> ((s, dir) =>
       CorpusStats.zipfFit(Tables(s, dir, "documents"), "doc_id", "text", 500)),
 
+    // Heaps' law vocabulary-growth fit over the md5-ordered corpus —
+    // two-phase running totals (never a global window), one token-keyed
+    // first-occurrence aggregate, one quantized-sum OLS aggregate.
+    "q_heaps_fit" -> ((s, dir) =>
+      CorpusStats.heapsFit(Tables(s, dir, "documents"), "doc_id", "text")),
+
     // HyperLogLog distinct users per event type, gated against the exact
     // count: the sketch is deterministic (max-merge registers), so the
     // 5%-relative-error contract either always holds on this data or
@@ -214,6 +220,8 @@ object Mining {
       graft.ops.CorpusStats.klOracleSql("documents", "source", "text"),
     "q_zipf_fit" ->
       graft.ops.CorpusStats.zipfOracleSql("documents", "text", 500),
+    "q_heaps_fit" ->
+      graft.ops.CorpusStats.heapsOracleSql("documents", "doc_id", "text"),
     "q_hll_rollup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |  TRUE AS rollup_eq_direct, TRUE AS hll_ok

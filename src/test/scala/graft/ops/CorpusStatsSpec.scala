@@ -190,6 +190,52 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(math.abs(got._3 - math.log(3.0)) < 1e-6)
   }
 
+  test("heapsFit matches a naive driver replay of the definition") {
+    // random corpus; reference: sort docs by the md5 rank key, replay
+    // cumulative token count and cumulative distinct vocabulary, then the
+    // same quantized OLS — heapsFit's two-phase cumsums and one-pass sums
+    // must land on the identical rounded row
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector.tabulate(40)(i => s"w$i")
+    val docs = (1L to 60L).map { i =>
+      (i, Seq.fill(rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = CorpusStats.heapsFit(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Double, Double, Double)].collect().head
+
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ordered = docs
+      .map { case (id, t) => (md5hex(id.toString) + "|" + id, t) }
+      .sortBy(_._1)
+      .map(_._2).map(t => graft.ops.HashKernels.tokensOf(t).toSeq)
+      .filter(_.nonEmpty)
+    var (nCum, seen) = (0L, scala.collection.mutable.Set.empty[String])
+    val points = ordered.map { toks =>
+      nCum += toks.length; seen ++= toks; (nCum, seen.size.toLong)
+    }
+    // mirror the implementation's rounding order exactly: exact integer
+    // nano sums -> double -> descale (two roundings, same both engines)
+    val xs = points.map(p => BigInt(HashKernels.nanoQuant(math.log(p._1.toDouble))))
+    val ys = points.map(p => BigInt(HashKernels.nanoQuant(math.log(p._2.toDouble))))
+    val n = points.length.toDouble
+    val sx = xs.sum.toDouble / 1e9
+    val sy = ys.sum.toDouble / 1e9
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum.toDouble / 1e18
+    val sxx = xs.map(a => a * a).sum.toDouble / 1e18
+    val syy = ys.map(a => a * a).sum.toDouble / 1e18
+    val denx = n * sxx - sx * sx
+    val num = n * sxy - sx * sy
+    val slope = num / denx
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._1 == points.length.toLong)
+    assert(got._2 == r6(slope))
+    assert(got._3 == r6((sy - slope * sx) / n))
+    assert(got._4 == r6(num * num / (denx * (n * syy - sy * sy))))
+    // vocabulary growth on random draws is sublinear but real
+    assert(got._2 > 0.1 && got._2 < 1.0 && got._4 > 0.5)
+  }
+
   test("profileNumeric: an all-null column passes nd_ok (0 exact, 0 sketch)") {
     val df = Seq[(java.lang.Double, java.lang.Double)](
       (1.0, null), (2.0, null), (2.0, null)).toDF("a", "b")
