@@ -200,6 +200,10 @@ object CorpusStats {
   def heapsFit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // the (doc, token, tf) stream feeds both the per-doc count and the
+    // first-occurrence aggregate; recomputing the compiled tokenizer per
+    // consumer MEASURED faster than persisting the token stream
+    // (2.5 s vs 3.1 s at sf0.1) — don't "optimize" this into a cache
     val tf = Vocabulary.docTermFrequencies(df, idCol, textCol)
     val perDoc = tf.groupBy(col(idCol))
       .agg(sum(col("tf")).cast("long").as("n_toks"))
