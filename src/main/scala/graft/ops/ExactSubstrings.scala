@@ -45,6 +45,10 @@ object ExactSubstrings {
     * `transform(sequence(...), substr)` expression chain, which runs
     * interpreted per element and measured ~3× slower at sf0.1 (the same
     * finding that compiled the decontamination gram kernel in round 6).
+    * A codegen'd `explode(sequence) + substr(pos, L)` row-wise variant
+    * (no array at all) was ALSO measured and lost: 2.57 s → 3.39 s on
+    * q_boilerplate_matrix at sf0.1 — the Generate carries the full text
+    * per output row where this kernel shares one char buffer.
     * Positions are UTF-16 code units (Java `substring`); they agree with
     * codepoint positions (Spark `substr`, DuckDB `substring`) for all
     * text without surrogate pairs — supplementary-plane text would need
