@@ -289,6 +289,96 @@ object EventStream {
       }
   }
 
+  // ---- streaming interval join -----------------------------------------
+
+  case class IntervalSide(key: Long, iid: Long, start_us: Long, end_us: Long)
+  case class PointSide(key: Long, event_id: Long, us: Long)
+
+  /** Streaming twin of [[graft.ops.Temporal.intervalJoin]] — and the one
+    * temporal twin that is NOT hand-built state: Structured Streaming
+    * already ships a stream-stream inner join with event-time range
+    * conditions, which is exactly the interval-join shape. The batch
+    * operator avoids the inequality join because in batch Spark it plans
+    * as a cartesian; in streaming, the range condition on two WATERMARKED
+    * event-time columns is instead what lets the engine BOUND the join
+    * state (each side's buffer evicts once the other side's watermark
+    * passes `maxIntervalUs + delay`). Both formulations emit each
+    * qualifying (interval, event) pair exactly once.
+    *
+    * `maxIntervalUs` must bound `end_us − start_us`; `delayThreshold`
+    * is the usual late-data allowance on both inputs.
+    */
+  def intervalStream(
+      intervals: org.apache.spark.sql.Dataset[IntervalSide],
+      points: org.apache.spark.sql.Dataset[PointSide],
+      maxIntervalUs: Long,
+      delayThreshold: String = "1 minute"): DataFrame = {
+    require(maxIntervalUs > 0, s"maxIntervalUs must be > 0, got $maxIntervalUs")
+    val i = intervals.toDF()
+      .withColumn("__its", timestamp_micros(col("start_us")))
+      .withWatermark("__its", delayThreshold)
+      .alias("i")
+    val p = points.toDF()
+      .withColumn("__pts", timestamp_micros(col("us")))
+      .withWatermark("__pts", delayThreshold)
+      .alias("p")
+    i.join(p,
+      col("i.key") === col("p.key") &&
+        col("p.us") >= col("i.start_us") && col("p.us") < col("i.end_us") &&
+        col("p.__pts") >= col("i.__its") &&
+        col("p.__pts") <= col("i.__its") + expr(s"INTERVAL ${maxIntervalUs} MICROSECOND"))
+      .select(col("i.iid"), col("i.key").as("key"), col("p.event_id"), col("p.us"))
+  }
+
+  // ---- streaming cohort retention --------------------------------------
+
+  /** Pre-binned retention event: `bin` = event time div the cohort bin
+    * length (week, day, …), computed upstream exactly like the batch
+    * operator's `ts div binLen`.
+    */
+  case class RetentionEvent(user_id: Long, bin: Long)
+  case class RetentionState(cohort: Long, seen: Seq[Long])
+  /** One row per (user, first-time-seen bin): the user's cohort and the
+    * period offset. `count(*) GROUP BY cohort_bin, period` over all
+    * deltas equals the batch retention matrix's n_users.
+    */
+  case class RetentionDelta(user_id: Long, cohort_bin: Long, period: Long)
+
+  /** Streaming twin of [[graft.ops.Temporal.cohortRetention]]: the first
+    * event's bin IS the user's cohort under the nondecreasing-event-time
+    * arrival contract (it is the min), and each bin seen for the first
+    * time emits one (cohort, period) delta — exactly the rows the batch
+    * operator's collect_set explode produces, so the aggregated counts
+    * match. State per user is the cohort plus the distinct bins seen:
+    * bounded by the calendar span like the batch aggregate's buffer,
+    * not by event count.
+    */
+  def retentionStream(
+      events: org.apache.spark.sql.Dataset[RetentionEvent])
+      : org.apache.spark.sql.Dataset[RetentionDelta] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetentionState, RetentionDelta](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, it, state: GroupState[RetentionState]) =>
+          val out = List.newBuilder[RetentionDelta]
+          var st = state.getOption
+          it.toSeq.sortBy(_.bin).foreach { e =>
+            st match {
+              case None =>
+                st = Some(RetentionState(e.bin, Seq(e.bin)))
+                out += RetentionDelta(user, e.bin, 0L)
+              case Some(s) if !s.seen.contains(e.bin) =>
+                st = Some(s.copy(seen = s.seen :+ e.bin))
+                out += RetentionDelta(user, s.cohort, e.bin - s.cohort)
+              case _ => ()
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   // ---- stateful sessionization ----------------------------------------
 
   case class Event(user_id: Long, ts: Timestamp, value: Double)

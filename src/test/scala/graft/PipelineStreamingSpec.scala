@@ -234,6 +234,76 @@ class PipelineStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("interval join on a stream matches the batch binned equi-join") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.streaming.EventStream
+    import graft.streaming.EventStream.{IntervalSide, PointSide}
+    val rnd = new scala.util.Random(37)
+    val intervals = (0 until 40).map { i =>
+      val s = rnd.nextInt(1000).toLong * 1000000L
+      IntervalSide((i % 3).toLong, i.toLong, s, s + (1 + rnd.nextInt(200)).toLong * 1000000L)
+    }
+    val points = (0 until 200).map { i =>
+      PointSide((i % 3).toLong, 100L + i, rnd.nextInt(1300).toLong * 1000000L)
+    }
+    val batch = graft.ops.Temporal.intervalJoin(
+      intervals.toDF(), points.toDF(), Seq("key"),
+      "start_us", "end_us", "us", binWidth = 200000000L)
+      .select(col("iid"), col("event_id")).as[(Long, Long)].collect().toSet
+
+    val imem = MemoryStream[IntervalSide]
+    val pmem = MemoryStream[PointSide]
+    // unordered arrival across batches: the delay threshold must cover
+    // the full event-time span (~22 min) or the advanced watermark
+    // rightly drops batch-2 rows as late — which is streaming semantics,
+    // not a parity bug
+    val q = EventStream.intervalStream(
+      imem.toDS(), pmem.toDS(), maxIntervalUs = 200L * 1000000L,
+      delayThreshold = "2 hours")
+      .writeStream.format("memory").queryName("interval_stream")
+      .outputMode("append").start()
+    try {
+      imem.addData(intervals.take(20): _*); pmem.addData(points.take(100): _*)
+      q.processAllAvailable()
+      imem.addData(intervals.drop(20): _*); pmem.addData(points.drop(100): _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT iid, event_id FROM interval_stream")
+        .as[(Long, Long)].collect().toSet
+      assert(got == batch, "stream pairs must equal the batch binned equi-join")
+    } finally q.stop()
+  }
+
+  test("cohort retention on a stream matches the batch matrix") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.streaming.EventStream
+    import graft.streaming.EventStream.RetentionEvent
+    val rnd = new scala.util.Random(29)
+    val binLen = 100L
+    val raw = (0 until 400).map { _ =>
+      ((rnd.nextInt(30) + 1).toLong, rnd.nextInt(1000).toLong)
+    }.sortBy(_._2) // event-time order (arrival contract)
+    val batch = graft.ops.Temporal.cohortRetention(
+      raw.toDF("user_id", "us"), "user_id", "us", binLen)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+
+    val mem = MemoryStream[RetentionEvent]
+    val q = EventStream.retentionStream(mem.toDS())
+      .writeStream.format("memory").queryName("retention_stream")
+      .outputMode("append").start()
+    try {
+      raw.map { case (u, us) => RetentionEvent(u, us / binLen) }
+        .grouped(150).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+      val got = spark.sql(
+        "SELECT cohort_bin, period, count(*) AS n FROM retention_stream GROUP BY 1, 2")
+        .as[(Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(got == batch, s"stream deltas must aggregate to the batch matrix")
+    } finally q.stop()
+  }
+
   test("DSIR scoring on a stream matches the batch weights") {
     implicit val sqlCtx = spark.sqlContext
     val target = Seq((100L, "alpha beta alpha")).toDF("doc_id", "text")
