@@ -252,6 +252,79 @@ object Bam {
     rdd.toDF()
   }
 
+  /** Multi-shard coordinate-sorted BAM layout — the production form of
+    * the single-shard fixture `q_bam_fetch` builds: range-partition on
+    * (rname, pos) so each shard covers a contiguous coordinate slice,
+    * sort within shards (the `.bai` precondition), write one BAM per
+    * shard through the existing per-partition sink, and index every
+    * shard. Returns the shard paths.
+    */
+  def writeSharded(
+      df: DataFrame,
+      dir: String,
+      nShards: Int,
+      refLength: Int = 500000000,
+      blockData: Int = Bgzf.MaxBlockData): Seq[String] = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val sorted = df
+      .repartitionByRange(nShards, col("rname"), col("pos"))
+      .sortWithinPartitions(col("rname"), col("pos"))
+    val files = write(sorted, dir, refLength, blockData)
+    Bai.buildAll(df.sparkSession, dir)
+    files
+  }
+
+  /** Region fetch over a sharded layout: one tiny distributed probe job
+    * reads each shard's header + `.bai` (kilobytes — never record data)
+    * and emits the byte-range chunks overlapping the region; shards not
+    * containing `rname`, or with no overlapping bins, prune to nothing
+    * right there. A second job byte-range-reads only the surviving
+    * (shard, chunk) pairs. No manifest file needed — the `.bai`s ARE the
+    * manifest, and both jobs scale with the shard count, not the data.
+    */
+  def fetchSharded(
+      spark: SparkSession,
+      dir: String,
+      rname: String,
+      beg1: Int,
+      end1: Int): DataFrame = {
+    import spark.implicits._
+    require(beg1 >= 1 && end1 >= beg1, s"bad region $rname:$beg1-$end1")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val files = listBams(fs, dir).map(_.getPath.toString)
+    require(files.nonEmpty, s"no .bam shards under $dir")
+    val serConf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val chunks: Array[(String, Long, Long)] = spark.sparkContext
+      .parallelize(files, files.size)
+      .flatMap { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val f = hp.getFileSystem(serConf.value)
+        val hdr = { val in = f.open(hp); try BamScan.readHeader(in) finally in.close() }
+        val refId = hdr.refs.indexOf(rname)
+        if (refId < 0) Iterator.empty
+        else {
+          val idx = Bai.read(f, new org.apache.hadoop.fs.Path(p + ".bai"))
+          Bai.chunksFor(idx, refId, beg1 - 1, end1)
+            .map(c => (p, c.beg, c.end)).iterator
+        }
+      }
+      .collect()
+    val rdd = spark.sparkContext
+      .parallelize(chunks.toSeq, math.max(chunks.length, 1))
+      .flatMap { case (p, cb, ce) =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val f = hp.getFileSystem(serConf.value)
+        val refs = { val in = f.open(hp); try BamScan.readHeader(in).refs finally in.close() }
+        BamScan.chunkRecords(f, hp, refs, cb, ce)
+          .filter { r =>
+            r.rname == rname && r.pos <= end1 &&
+              r.pos + math.max(1, graft.align.Cigar.refConsumed(r.cigar)) - 1 >= beg1
+          }
+      }
+    rdd.toDF()
+  }
+
   // ---- encode -----------------------------------------------------------
 
   /** Encode records (SAM-text conventions, 1-based pos) into one BAM

@@ -92,12 +92,12 @@ object SamDomain {
       val d = new java.io.File(tmp)
       if (d.exists) d.listFiles.foreach(_.delete())
       // .bai requires coordinate order. coalesce(1) is the single-shard
-      // FIXTURE path only — at scale, write many coordinate-sorted shards
-      // (repartitionByRange on (rname, pos) + sortWithinPartitions, as
-      // samtools-style region sharding does), build one .bai per shard
-      // with Bai.buildAll, and fan fetch() out over the shard list; the
-      // byte-range fetch itself is already per-file. Do NOT copy this
-      // coalesce into a production layout.
+      // FIXTURE path only — the production layout is
+      // Bam.writeSharded (range-partitioned coordinate-sorted shards,
+      // one .bai each) + Bam.fetchSharded (bai-probe prune, then
+      // byte-range reads of surviving chunks only), spec-pinned against
+      // the full-scan filter in BamScanSpec. Do NOT copy this coalesce
+      // into a production layout.
       graft.io.Bam.write(
         sam.coalesce(1).sortWithinPartitions("rname", "pos"),
         tmp, blockData = 4096)

@@ -142,6 +142,42 @@ class BamScanSpec extends AnyFunSuite {
       s"fetch reads $touched of $fileLen bytes — index isn't pruning")
   }
 
+  test("sharded layout: writeSharded + fetchSharded equal the full-scan filter") {
+    import spark.implicits._
+    val recs = mkRecords(1500)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bam_sharded").toString
+    // UNSORTED input frame — writeSharded owns the coordinate ordering
+    val df = spark.createDataset(rnd.shuffle(recs)).toDF()
+    val files = Bam.writeSharded(df, dir, nShards = 4, blockData = 2048)
+    assert(files.length > 1, "fixture must actually produce multiple shards")
+    files.foreach(f => assert(new java.io.File(f + ".bai").exists(), s"missing index for $f"))
+
+    val (rname, beg, end) = ("chr2", 2000, 9000)
+    val fetched = Bam.fetchSharded(spark, dir, rname, beg, end)
+      .collect().map(key).toSeq.sorted
+    val full = Bam.read(spark, dir).collect()
+      .filter { r =>
+        r.getString(2) == rname && r.getInt(3) <= end &&
+          r.getInt(3) + math.max(1, graft.align.Cigar.refConsumed(r.getString(5))) - 1 >= beg
+      }
+      .map(key).toSeq.sorted
+    assert(fetched.nonEmpty, "fixture must contain reads in the queried region")
+    assert(fetched == full, "sharded fetch must equal full-scan + overlap filter")
+
+    // range sharding means the region's reads live in few shards: at
+    // least one shard prunes entirely (no chr2, or no overlapping bins)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val pruned = files.count { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf)
+      val hdr = { val in = fs.open(hp); try BamScan.readHeader(in) finally in.close() }
+      val refId = hdr.refs.indexOf(rname)
+      refId < 0 ||
+        Bai.chunksFor(Bai.read(fs, new Path(p + ".bai")), refId, beg - 1, end).isEmpty
+    }
+    assert(pruned >= 1, "expected at least one shard to prune via its .bai")
+  }
+
   test("buildAll indexes every .bam in a directory, one task per file") {
     val dir = Files.createTempDirectory("baidir")
     for (i <- 0 until 3) {
