@@ -541,7 +541,16 @@ object SeqTable {
       phredAdjust: Int = Alphabets.PhredAdjust): SeqTable = {
     val frame = region match {
       case Some((rname, beg, end)) =>
-        val fetched = graft.io.Bam.fetch(spark, path, rname, beg, end)
+        // a directory is a sharded layout (Bam.writeSharded) — route the
+        // region through the per-shard .bai-pruned fetch
+        val isDir = {
+          val hp = new org.apache.hadoop.fs.Path(path)
+          hp.getFileSystem(spark.sessionState.newHadoopConf())
+            .getFileStatus(hp).isDirectory
+        }
+        val fetched =
+          if (isDir) graft.io.Bam.fetchSharded(spark, path, rname, beg, end)
+          else graft.io.Bam.fetch(spark, path, rname, beg, end)
         if (minMapq >= 0) fetched.filter(col("mapq") >= minMapq) else fetched
       case None => graft.io.Bam.read(spark, path, minMapq)
     }

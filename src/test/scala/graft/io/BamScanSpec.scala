@@ -176,6 +176,14 @@ class BamScanSpec extends AnyFunSuite {
         Bai.chunksFor(Bai.read(fs, new Path(p + ".bai")), refId, beg - 1, end).isEmpty
     }
     assert(pruned >= 1, "expected at least one shard to prune via its .bai")
+
+    // from_pysam parity surface: a region fromBam over the sharded DIR
+    // routes through fetchSharded and matches the single-file reads
+    val viaSeqTable = graft.core.SeqTable
+      .fromBam(spark, dir, region = Some((rname, beg, end)))
+      .reads.select("read_id").collect().map(_.getString(0)).toSeq.sorted
+    val expectIds = full.map(_._1).sorted
+    assert(viaSeqTable == expectIds, "fromBam(dir, region) must route through the sharded fetch")
   }
 
   test("buildAll indexes every .bam in a directory, one task per file") {
