@@ -221,6 +221,22 @@ class AssemblySpec extends AnyFunSuite {
     }
   }
 
+  test("scoreBigramsJoined == collected when scoring a DIFFERENT corpus") {
+    // unseen tokens and unseen bigrams take the smoothing floors through
+    // left-join nulls on the distributed path and getOrElse(0) on the
+    // collected one — they must land on identical doubles
+    val other = Seq(
+      (101L, "the cat purrs"), // seen unigrams, unseen bigram "cat purrs"
+      (102L, "zebra stripes"), // fully unseen
+      (103L, "the")).toDF("doc_id", "text")
+    val model = LanguageModel.trainBigrams(docs, "doc_id", "text")
+    val collected = LanguageModel.scoreBigrams(other, "doc_id", "text", model)
+      .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+    val joined = LanguageModel.scoreBigramsJoined(other, "doc_id", "text", docs)
+      .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+    assert(joined == collected)
+  }
+
   test("trainBigrams refuses to collect past the maxEntries cap") {
     assertThrows[IllegalArgumentException] {
       LanguageModel.trainBigrams(docs, "doc_id", "text", maxEntries = 2L)
