@@ -67,6 +67,43 @@ class EndToEndSpec extends AnyFunSuite {
     // Spark jobs concurrently — 60s flaked under load with correct code
     assert(secs < 120, s"pipeline took $secs s — far off the single-digit target")
   }
+  test("temporal family: cross-query invariants on real events data") {
+    // each query is oracle-checked individually; this pins the
+    // CROSS-query consistency no single oracle asserts
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+
+    // retention period-0 row sums = total distinct users
+    val retention = SparkEntry.queries("q_cohort_retention")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val users = Tables(spark, dir, "events")
+      .select(col("user_id")).distinct().count()
+    assert(retention.filter(_._2 == 0L).map(_._3).sum == users,
+      "cohort sizes must partition the user base")
+
+    // funnel stage counts never increase
+    val funnel = SparkEntry.queries("q_funnel")(spark, dir)
+      .orderBy(col("step")).collect().map(_.getLong(2))
+    assert(funnel.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)),
+      s"funnel must be nonincreasing: ${funnel.mkString(",")}")
+
+    // as-of matches never look forward, and matched rows dominate on
+    // this data (clicks precede most purchases)
+    val asof = SparkEntry.queries("q_asof_join")(spark, dir).collect()
+    val gaps = asof.flatMap(r => Option(r.get(5)).map(_.asInstanceOf[Long]))
+    assert(gaps.forall(_ >= 0L), "as-of gap must be non-negative")
+    assert(gaps.nonEmpty, "fixture should produce at least one match")
+
+    // every trailing-window frame contains at least its own row, and the
+    // running count never exceeds the user's total events
+    val trail = SparkEntry.queries("q_rolling_features")(spark, dir)
+      .select(col("user_id"), col("n_1h")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(trail.forall(_._2 >= 1L), "RANGE frame includes the current row")
+    val perUser = trail.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(trail.forall { case (u, n) => n <= perUser(u) },
+      "trailing count cannot exceed the user's event count")
+  }
 }
 
 class CorpusCleanSpec extends org.scalatest.funsuite.AnyFunSuite {
