@@ -138,6 +138,25 @@ object EventStream {
       }
   }
 
+  // ---- cross-batch arrival-contract check ------------------------------
+
+  /** Shared by the hand-built temporal twins: across micro-batches each
+    * key's events must arrive in nondecreasing event time (in-batch
+    * disorder is sorted away). `prevMaxUs` is the newest event time the
+    * key's state has recorded; an incoming batch whose OLDEST event
+    * predates it would need already-evicted state, so the twin fails
+    * loudly here instead of silently emitting wrong windows / matches /
+    * stages. Callers pass `Long.MinValue` when no state exists yet.
+    */
+  private def requireNoLateEvents(
+      op: String, key: Long, batchMinUs: Long, prevMaxUs: Long): Unit =
+    if (batchMinUs < prevMaxUs)
+      throw new IllegalStateException(
+        s"$op: late event for key=$key — batch min event time $batchMinUs predates the " +
+          s"newest state time $prevMaxUs; the cross-batch nondecreasing-event-time " +
+          "contract is violated. Feed each key's events in nondecreasing event time " +
+          "(e.g. via an upstream watermarked sort) or buffer late data before this twin.")
+
   // ---- streaming trailing-window features ------------------------------
 
   case class TrailEvent(event_id: Long, user_id: Long, us: Long, value: Double)
@@ -174,7 +193,13 @@ object EventStream {
         case (user, it, state: GroupState[TrailState]) =>
           var buf = state.getOption.map(_.win.toList).getOrElse(Nil)
           val out = List.newBuilder[TrailOut]
-          it.toSeq.sortBy(e => (e.us, e.event_id))
+          val sorted = it.toSeq.sortBy(e => (e.us, e.event_id))
+          // the buffer is appended in ascending us, so its last entry is
+          // the newest event time this key has processed
+          sorted.headOption.foreach(e => requireNoLateEvents(
+            "trailingFeatures", user, e.us,
+            buf.lastOption.map(_._1).getOrElse(Long.MinValue)))
+          sorted
             .groupBy(_.us).toSeq.sortBy(_._1)
             .foreach { case (us, group) =>
               buf = (buf ++ group.map(e => (e.us, e.value)))
@@ -198,7 +223,11 @@ object EventStream {
     * right-side timestamp ties (largest wins), ignored on the left.
     */
   case class AsOfEvent(key: Long, us: Long, side: Int, id: Long, tie: Long)
-  case class AsOfState(rightUs: Long, rightTie: Long)
+  /** `rightUs == Long.MinValue` is the "no right row seen yet" sentinel;
+    * `maxUs` tracks the newest event time (either side) so a late batch
+    * fails loudly instead of matching against too-new state.
+    */
+  case class AsOfState(rightUs: Long, rightTie: Long, maxUs: Long)
   case class AsOfMatch(id: Long, key: Long, us: Long,
       right_us: Option[Long], right_tie: Option[Long])
 
@@ -224,19 +253,26 @@ object EventStream {
       .flatMapGroupsWithState[AsOfState, AsOfMatch](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (key, it, state: GroupState[AsOfState]) =>
-          var best = state.getOption
+          var st = state.getOption
+            .getOrElse(AsOfState(Long.MinValue, Long.MinValue, Long.MinValue))
           val out = List.newBuilder[AsOfMatch]
-          it.toSeq.sortBy(e => (e.us, e.side, e.tie)).foreach { e =>
+          val sorted = it.toSeq.sortBy(e => (e.us, e.side, e.tie))
+          sorted.headOption.foreach(e =>
+            requireNoLateEvents("asOfStream", key, e.us, st.maxUs))
+          sorted.foreach { e =>
             if (e.side == 0) {
-              val newer = best.forall(b =>
-                e.us > b.rightUs || (e.us == b.rightUs && e.tie > b.rightTie))
-              if (newer) best = Some(AsOfState(e.us, e.tie))
+              if (e.us > st.rightUs ||
+                (e.us == st.rightUs && e.tie > st.rightTie))
+                st = st.copy(rightUs = e.us, rightTie = e.tie)
             } else {
+              val has = st.rightUs != Long.MinValue
               out += AsOfMatch(e.id, key, e.us,
-                best.map(_.rightUs), best.map(_.rightTie))
+                if (has) Some(st.rightUs) else None,
+                if (has) Some(st.rightTie) else None)
             }
+            if (e.us > st.maxUs) st = st.copy(maxUs = e.us)
           }
-          best.foreach(state.update)
+          state.update(st)
           out.result().iterator
       }
   }
@@ -249,9 +285,10 @@ object EventStream {
     */
   case class FunnelEvent(user_id: Long, us: Long, step: Int)
   /** `next` = the stage the user needs next; `lastUs` = time of the last
-    * advance (strict-after comparisons run against it).
+    * advance (strict-after comparisons run against it); `maxUs` = newest
+    * event time seen (any step), for the late-arrival contract check.
     */
-  case class FunnelState(next: Int, lastUs: Long)
+  case class FunnelState(next: Int, lastUs: Long, maxUs: Long)
   /** One row per stage ADVANCE: user reached `step` (0-based) at `us`.
     * `count(*) group by step` over all deltas equals the batch funnel's
     * n_users per stage.
@@ -275,14 +312,19 @@ object EventStream {
       .flatMapGroupsWithState[FunnelState, FunnelDelta](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (user, it, state: GroupState[FunnelState]) =>
-          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          var st = state.getOption
+            .getOrElse(FunnelState(0, Long.MinValue, Long.MinValue))
           val out = List.newBuilder[FunnelDelta]
-          it.toSeq.sortBy(e => (e.us, e.step)).foreach { e =>
+          val sorted = it.toSeq.sortBy(e => (e.us, e.step))
+          sorted.headOption.foreach(e =>
+            requireNoLateEvents("funnelStream", user, e.us, st.maxUs))
+          sorted.foreach { e =>
             if (st.next < nSteps && e.step == st.next &&
               (st.next == 0 || e.us > st.lastUs)) {
               out += FunnelDelta(user, st.next, e.us)
-              st = FunnelState(st.next + 1, e.us)
+              st = FunnelState(st.next + 1, e.us, st.maxUs)
             }
+            if (e.us > st.maxUs) st = st.copy(maxUs = e.us)
           }
           state.update(st)
           out.result().iterator
@@ -306,7 +348,12 @@ object EventStream {
     * qualifying (interval, event) pair exactly once.
     *
     * `maxIntervalUs` must bound `end_us − start_us`; `delayThreshold`
-    * is the usual late-data allowance on both inputs.
+    * is the usual late-data allowance on both inputs. The bound is what
+    * lets the engine evict join state, so it is ENFORCED, not advisory:
+    * an interval wider than `maxIntervalUs` would silently lose its tail
+    * points to the state-eviction condition — instead the row fails the
+    * query loudly (per-row `assert_true`; pre-split long intervals
+    * upstream or raise the bound).
     */
   def intervalStream(
       intervals: org.apache.spark.sql.Dataset[IntervalSide],
@@ -315,6 +362,12 @@ object EventStream {
       delayThreshold: String = "1 minute"): DataFrame = {
     require(maxIntervalUs > 0, s"maxIntervalUs must be > 0, got $maxIntervalUs")
     val i = intervals.toDF()
+      .filter(assert_true(
+        col("end_us") - col("start_us") <= lit(maxIntervalUs),
+        format_string(
+          "intervalStream: interval iid=%s spans %s us > maxIntervalUs=%s — " +
+            "pre-split long intervals or raise the bound",
+          col("iid"), col("end_us") - col("start_us"), lit(maxIntervalUs))).isNull)
       .withColumn("__its", timestamp_micros(col("start_us")))
       .withWatermark("__its", delayThreshold)
       .alias("i")
@@ -364,6 +417,17 @@ object EventStream {
           val out = List.newBuilder[RetentionDelta]
           var st = state.getOption
           it.toSeq.sortBy(_.bin).foreach { e =>
+            // Retention deltas are order-insensitive for any bin ≥ the
+            // cohort (a "late" new bin still yields the correct period),
+            // so the only arrival-contract violation that corrupts output
+            // is an event BEFORE the recorded cohort — the cohort itself
+            // would be wrong. Fail loudly on exactly that case.
+            st.foreach { s =>
+              if (e.bin < s.cohort) throw new IllegalStateException(
+                s"retentionStream: late event for user=$user — bin ${e.bin} predates the " +
+                  s"recorded cohort bin ${s.cohort}, so the cohort assignment is wrong. " +
+                  "Feed each user's events in nondecreasing event time.")
+            }
             st match {
               case None =>
                 st = Some(RetentionState(e.bin, Seq(e.bin)))
