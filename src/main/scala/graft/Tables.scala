@@ -17,10 +17,16 @@ object Tables {
       // unix_micros, to_date, the streaming twin) wants TimestampType, so
       // normalize here, branching on the actual decoded type to stay robust
       // against a driver re-encode (raw int64 nanos, or UTC-adjusted micros).
-      // The NTZ→timestamp cast reads the wall-clock in the session timezone;
-      // pin UTC so the underlying micros are preserved bit-for-bit and
-      // Spark's unix_micros agrees exactly with DuckDB's epoch_us.
-      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      // The NTZ→timestamp cast reads the wall-clock in the session timezone:
+      // only under UTC are the underlying micros preserved bit-for-bit so
+      // that Spark's unix_micros agrees exactly with DuckDB's epoch_us.
+      // The pin belongs to SESSION CONSTRUCTION (Verify/Bench/TestSpark all
+      // set it); a loader must not mutate shared session state as a side
+      // effect of reading one table, so it asserts instead of setting.
+      require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+        "Tables(\"events\") requires spark.sql.session.timeZone=UTC at session " +
+          "construction — the NTZ cast is timezone-sensitive and a non-UTC " +
+          "session would shift every decoded timestamp")
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       df.schema("ts").dataType match {
         case LongType =>

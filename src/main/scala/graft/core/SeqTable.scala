@@ -93,9 +93,17 @@ final case class SeqTable(
     * fraction-based [[subsample]]). With replacement, draw multiplicities
     * are computed driver-side from the seeded RNG (bounded by n, not the
     * corpus) and applied by joining a broadcast multiplicity table against
-    * a hash-ranked read index. The rank is the two-phase pattern from
-    * [[graft.ops.Packing.runningTotal]]: range-repartition distinct
-    * (hash, read_id) keys, cumsum of copy counts WITHIN each partition
+    * a hash-ranked read index. Rank units are DISTINCT PHYSICAL ROWS —
+    * ordered by (xxhash64(seed, read_id), read_id, full-row fingerprint)
+    * — so rows sharing a read_id but differing elsewhere (paired-end
+    * mates under one qname) sit adjacent in rank order yet are
+    * SEPARATELY drawable, while bit-identical copies collapse to one
+    * interval of their copy-count width. On tables whose rows are unique
+    * per read_id the fingerprint tiebreak is inert and the draw is the
+    * same seeded order a driver-side (hash, read_id) replay produces
+    * (SeqTableSpec pins that). The rank is the
+    * two-phase pattern from [[graft.ops.Packing.runningTotal]]:
+    * range-repartition the distinct keys, cumsum of copy counts WITHIN each partition
     * (partition-local window — no single-task exchange; a spec pins it),
     * plus each partition's broadcast prefix total; the sorted draw list
     * is mapped onto the resulting rank intervals by binary search. Range
@@ -117,18 +125,23 @@ final case class SeqTable(
     } else {
       val spark = reads.sparkSession
       import spark.implicits._
-      // Narrow projection: one row per DISTINCT (hash, read_id) with its
-      // physical copy count __k — a read that appears k times (a prior
-      // with-replacement sample) owns a rank interval of width k, exactly
-      // as if its copies held adjacent ranks. Range-partitioned on the
-      // hash order; localCheckpoint pins ONE partition layout across the
-      // totals job and the cumsum job (a re-planned range exchange could
-      // resample its boundaries between them).
+      // Narrow projection: one row per DISTINCT PHYSICAL ROW — keyed by
+      // (read_id, full-row fingerprint), not read_id alone, so two rows
+      // that share a read_id but differ in any other column (e.g.
+      // paired-end mates sharing a qname) each own their own rank
+      // interval and stay separately drawable. Truly identical copies
+      // (a prior with-replacement sample) still collapse to one entry
+      // with copy count __k — a width-k rank interval, exactly as if the
+      // copies held adjacent ranks. Range-partitioned on the hash order;
+      // localCheckpoint pins ONE partition layout across the totals job
+      // and the cumsum job (a re-planned range exchange could resample
+      // its boundaries between them).
       val nPart = spark.sessionState.conf.numShufflePartitions
-      val narrow = reads.select(col("read_id"))
+      val rowFp = xxhash64(reads.columns.map(col): _*)
+      val narrow = reads.select(col("read_id"), rowFp.as("__fp"))
         .withColumn("__h", xxhash64(lit(seed), col("read_id")))
-        .groupBy(col("__h"), col("read_id")).agg(count(lit(1)).as("__k"))
-        .repartitionByRange(nPart, col("__h"), col("read_id"))
+        .groupBy(col("__h"), col("read_id"), col("__fp")).agg(count(lit(1)).as("__k"))
+        .repartitionByRange(nPart, col("__h"), col("read_id"), col("__fp"))
         .withColumn("__pid", spark_partition_id())
         .localCheckpoint()
       val perPid = narrow.groupBy(col("__pid"))
@@ -156,7 +169,7 @@ final case class SeqTable(
         lb(hi) - lb(lo)
       })
       val localWin = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("__pid")).orderBy(col("__h"), col("read_id"))
+        .partitionBy(col("__pid")).orderBy(col("__h"), col("read_id"), col("__fp"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
       val pickedMult = narrow
@@ -164,12 +177,15 @@ final case class SeqTable(
           element_at(typedLit(offsets), col("__pid") + 1))
         .withColumn("__mult", multOf(col("__cum") - col("__k"), col("__cum")))
         .filter(col("__mult") > 0)
-        .select(col("read_id"), col("__mult"))
-      // ≤ n picked ids → broadcast; one representative row per read_id
-      // (copies are identical by construction), then explode multiplicity
+        .select(col("read_id"), col("__fp"), col("__mult"))
+      // ≤ n picked rows → broadcast; one representative per DISTINCT
+      // physical row (the fingerprint join makes collapsing safe — only
+      // bit-identical copies share a (read_id, __fp) key), then explode
+      // multiplicity
       val repWin = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("read_id")).orderBy(col("read_id"))
-      val picked = reads.join(broadcast(pickedMult), Seq("read_id"))
+        .partitionBy(col("read_id"), col("__fp")).orderBy(col("read_id"))
+      val picked = reads.withColumn("__fp", rowFp)
+        .join(broadcast(pickedMult), Seq("read_id", "__fp"))
         .withColumn("__rep", row_number().over(repWin))
         .filter(col("__rep") === 1)
         .withColumn("__copy", explode(sequence(lit(1), col("__mult"))))

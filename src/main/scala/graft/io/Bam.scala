@@ -266,6 +266,19 @@ object Bam {
       refLength: Int = 500000000,
       blockData: Int = Bgzf.MaxBlockData): Seq[String] = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    // re-sharding into a dir that already holds shards must not leave
+    // stale part-*.bam behind — listBams-driven readers (read, fetchSharded,
+    // Bai.buildAll) would silently mix old records into results
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    if (fs.exists(dirPath)) {
+      listBams(fs, dir).foreach { st =>
+        val p = st.getPath
+        fs.delete(p, false)
+        val bai = new org.apache.hadoop.fs.Path(p.toString + ".bai")
+        if (fs.exists(bai)) fs.delete(bai, false)
+      }
+    }
     val sorted = df
       .repartitionByRange(nShards, col("rname"), col("pos"))
       .sortWithinPartitions(col("rname"), col("pos"))

@@ -35,22 +35,35 @@ object LanguageModel {
 
   /** Phase 1: token counts over `train` (one map-side-combined
     * aggregate; result bounded by |vocab|, which plateaus at ~100k–1M
-    * for natural-language corpora — ~30 MB broadcast at 1M). The
-    * `maxVocab` cap makes that driver contract explicit: a corpus whose
-    * "vocabulary" grows with size (binary soup, unsegmented text) fails
-    * loudly instead of creeping toward a driver OOM.
+    * for natural-language corpora). The `maxVocab` cap makes the driver
+    * contract explicit: a corpus whose "vocabulary" grows with size
+    * (binary soup, unsegmented text) fails loudly instead of creeping
+    * toward a driver OOM. Byte math behind the 2M default: a
+    * `Map[String, Long]` entry costs ~100 bytes of JVM heap (boxed Long
+    * + String header/chars + hash-trie node), so 2M entries ≈ 200 MB on
+    * the driver AND inside every executor the broadcast reaches — about
+    * the most a shared-cluster task should pin. Raise it deliberately
+    * with the same arithmetic, or keep the model distributed via
+    * [[scoreBigramsJoined]]-style joins.
     */
   def trainUnigrams(
       train: DataFrame,
       idCol: String,
       textCol: String,
-      maxVocab: Long = 50000000L): Unigrams = {
+      maxVocab: Long = 2000000L): Unigrams = {
+    require(maxVocab > 0 && maxVocab < Int.MaxValue,
+      s"maxVocab must be in (0, Int.MaxValue), got $maxVocab")
+    // one job: collect at most maxVocab+1 rows — the extra row IS the
+    // overflow signal, so no separate pre-count pass is needed
     val rows = Vocabulary.docTermFrequencies(train, idCol, textCol)
       .groupBy(col("token")).agg(sum(col("tf")).as("c"))
+      .limit(maxVocab.toInt + 1)
       .collect().map(r => r.getString(0) -> r.getLong(1))
     require(rows.nonEmpty, "trainUnigrams: empty corpus")
     require(rows.length <= maxVocab,
-      s"trainUnigrams: ${rows.length} distinct tokens exceed maxVocab=$maxVocab")
+      s"trainUnigrams: distinct tokens exceed maxVocab=$maxVocab " +
+        "(~100 bytes of driver+executor heap per entry) — raise it " +
+        "deliberately or pre-prune the vocabulary")
     Unigrams(rows.toMap, rows.map(_._2).sum, rows.length.toLong)
   }
 
@@ -109,17 +122,22 @@ object LanguageModel {
     *
     * DRIVER-COLLECT PATH — the bigram vocabulary grows far faster than
     * the unigram one (billions of entries at web scale), so the collect
-    * is gated by a MANDATORY `maxEntries` cap, checked with a cheap
-    * count aggregate BEFORE anything is collected. Past the cap, use
-    * [[scoreBigramsJoined]]: same numbers, bigram table never leaves
-    * the cluster.
+    * is gated by a MANDATORY `maxEntries` cap. The cap is enforced in
+    * the SAME job as the collect (limit maxEntries+1 — the extra row is
+    * the overflow signal), so the guarded path runs the explode+groupBy
+    * aggregation exactly once. The 5M default ≈ 600 MB of driver heap
+    * (~120 bytes/entry: two-word key string + boxed Long + map node).
+    * Past the cap, use [[scoreBigramsJoined]]: same numbers, bigram
+    * table never leaves the cluster.
     */
   def trainBigrams(
       train: DataFrame,
       idCol: String,
       textCol: String,
       minCount: Long = 1L,
-      maxEntries: Long = 20000000L): Bigrams = {
+      maxEntries: Long = 5000000L): Bigrams = {
+    require(maxEntries > 0 && maxEntries < Int.MaxValue,
+      s"maxEntries must be in (0, Int.MaxValue), got $maxEntries")
     val uni = trainUnigrams(train, idCol, textCol)
     val pairsUdf = udf((text: String) => {
       val toks = HashKernels.tokensOf(text)
@@ -129,12 +147,12 @@ object LanguageModel {
     val agg = train.select(explode(pairsUdf(col(textCol))).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount)
-    val n = agg.count()
-    require(n <= maxEntries,
-      s"trainBigrams: $n distinct bigrams exceed the driver-collect cap " +
-      s"($maxEntries) — raise minCount or use scoreBigramsJoined, which keeps " +
-      "the bigram table distributed")
-    val rows = agg.collect().map(r => r.getString(0) -> r.getLong(1))
+    val rows = agg.limit(maxEntries.toInt + 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(rows.length <= maxEntries,
+      s"trainBigrams: distinct bigrams exceed the driver-collect cap " +
+      s"($maxEntries, ~120 bytes of driver heap per entry) — raise minCount " +
+      "or use scoreBigramsJoined, which keeps the bigram table distributed")
     val prefix = new scala.collection.mutable.HashMap[String, Long]()
     rows.foreach { case (bg, c) =>
       val w1 = bg.substring(0, bg.indexOf(' '))

@@ -172,6 +172,31 @@ class SeqTableSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("subsampleExact with replacement keeps mate rows sharing a read_id separately drawable") {
+    import spark.implicits._
+    // paired-end shape: every read_id appears twice with DIFFERENT seq —
+    // collapsing to one representative per read_id would rewrite one mate
+    // into copies of the other; the full-row-fingerprint ranking must
+    // instead preserve each distinct physical row's identity
+    val df = (0 until 8).flatMap(i =>
+      Seq((s"q$i", "AAAA", "IIII"), (s"q$i", "TTTT", "IIII")))
+    val st = SeqTable.fromReads(spark, df)
+    val drawn = st.subsampleExact(64, withReplacement = true, seed = 11L)
+      .reads.groupBy("read_id", "seq").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(drawn.values.sum == 64L)
+    // both mates of at least one pair must be drawable — under the old
+    // read_id collapse, every drawn read_id yielded exactly ONE seq
+    val bySeq = drawn.keys.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(bySeq.exists(_._2.size == 2),
+      s"no read_id drew both mates — rows were collapsed by read_id: $drawn")
+    // determinism across re-draws, including the mate split
+    val again = st.subsampleExact(64, withReplacement = true, seed = 11L)
+      .reads.groupBy("read_id", "seq").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(again == drawn)
+  }
+
   test("subsampleExact with replacement never plans a single-partition exchange") {
     import spark.implicits._
     val df = (0 until 40).map(i => (s"r$i", "ACGT", "IIII"))

@@ -184,6 +184,16 @@ class BamScanSpec extends AnyFunSuite {
       .reads.select("read_id").collect().map(_.getString(0)).toSeq.sorted
     val expectIds = full.map(_._1).sorted
     assert(viaSeqTable == expectIds, "fromBam(dir, region) must route through the sharded fetch")
+
+    // re-sharding the SAME dir with fewer shards must clean the old
+    // layout — stale part-*.bam would be mixed into listBams-driven reads
+    val files2 = Bam.writeSharded(df, dir, nShards = 2, blockData = 2048)
+    val onDisk = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.endsWith(".bam")).sorted.toSeq
+    assert(onDisk == files2.map(p => new Path(p).getName).sorted.toSeq,
+      s"stale shards survived the re-shard: $onDisk vs ${files2.map(p => new Path(p).getName)}")
+    assert(Bam.read(spark, dir).count() == recs.length.toLong,
+      "re-sharded dir must hold exactly one copy of every record")
   }
 
   test("buildAll indexes every .bam in a directory, one task per file") {

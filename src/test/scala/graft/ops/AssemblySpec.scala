@@ -243,6 +243,19 @@ class AssemblySpec extends AnyFunSuite {
     }
   }
 
+  test("trainUnigrams refuses to collect past the maxVocab cap") {
+    // the cap must fire for any vocabulary larger than the configured
+    // bound — this pins the single-job limit(max+1) overflow signal
+    val ex = intercept[IllegalArgumentException] {
+      LanguageModel.trainUnigrams(docs, "doc_id", "text", maxVocab = 3L)
+    }
+    assert(ex.getMessage.contains("maxVocab=3"))
+    // at the bound itself the model trains normally
+    val vocabSize = LanguageModel.trainUnigrams(docs, "doc_id", "text").vocabSize
+    assert(LanguageModel.trainUnigrams(docs, "doc_id", "text", maxVocab = vocabSize)
+      .vocabSize == vocabSize)
+  }
+
   test("perplexityBuckets: tercile counts, score-ordered buckets") {
     // 30 docs in three clearly-separated perplexity bands: corpus-typical
     // (common words), mixed, and rare-word gibberish
