@@ -18,6 +18,14 @@ object Pipeline {
   private def dsum(c: org.apache.spark.sql.Column) =
     sum(c.cast("decimal(18,4)")).cast("double")
 
+  /** Per-sf golden output hashes for q_bpe_tokenize (see GoldenGate):
+    * derived once from the deterministic merge loop; a different merge
+    * order or tokenization kernel moves them.
+    */
+  private val BpeGolden = Map(
+    "sf0.001" -> 311557740884800157L,
+    "sf0.01" -> 8502358823665122315L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup family -------------------------------------------------
     // Exact representative-per-group dedup (A10 generalized): one row per
@@ -483,6 +491,41 @@ object Pipeline {
         "vec_id", "embedding", threshold = 0.35, bitsPerBand = 5, bands = 12)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Measured ANN contract (round 8): each approximate method's top-k is
+    // joined against the exact bruteForceTopK truth and must clear a
+    // per-method recall floor. Seeds are fixed, so the measurement is
+    // deterministic; the emitted row set is sf-invariant constants plus
+    // the thresholded verdicts, which the DuckDB oracle pins as an
+    // identity — a recall regression in ANY approximate path flips its
+    // boolean and hash-breaks the gate. Floors sit under the measured
+    // values (lsh 0.44–0.48, ivf 0.54–0.76, pq 0.70–0.80 at sf0.001/0.01
+    // with the random-data geometries documented on each query) by a
+    // machine-independent margin.
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 10)
+      val k = 5
+      val brute = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k)
+        .select(col("query_id"), col("neighbor_id"))
+      val nTrue = brute.count().toDouble
+      def verdict(method: String, floor: Double, approx: DataFrame) = {
+        val hits = approx.select(col("query_id"), col("neighbor_id"))
+          .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+          .count()
+        (method, k, floor, hits / nTrue >= floor)
+      }
+      import s.implicits._
+      Seq(
+        verdict("ivf", 0.40, Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
+          k = k, kCentroids = 16, nProbe = 4)),
+        verdict("lsh", 0.30, Similarity.lshTopK(emb, qs, "vec_id", "embedding",
+          k = k, bitsPerBand = 6, bands = 12, multiProbe = false)),
+        verdict("pq", 0.55, ProductQuantizer.pqTopK(emb, qs, "vec_id", "embedding",
+          k = k, m = 8, ksub = 64)))
+        .toDF("method", "k", "recall_floor", "recall_ok")
+        .orderBy(col("method"))
+    }),
+
     // Symmetric int8 quantization contract: per-vector scale and the max
     // reconstruction error (bounded by scale/2 per dimension). Double-
     // precision math with floor(x+0.5) rounding on BOTH engines, so the
@@ -663,14 +706,18 @@ object Pipeline {
 
     // BPE tokenizer training + application: one corpus-scale word-count
     // aggregate, vocabulary-bounded merge loop on the driver, map-only
-    // tokenization. Rows-only (the merge loop is not SQL-expressible);
-    // the paper example and determinism are pinned by BpeSpec.
+    // tokenization. The merge loop is not SQL-expressible (rows-only at
+    // the driver) but fully deterministic, so the query pins its own
+    // golden output hash per sf (GoldenGate) — self-verifying; the paper
+    // example and determinism are additionally pinned by BpeSpec.
     "q_bpe_tokenize" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       val merges = graft.ops.BpeTrainer.train(docs, "doc_id", "text", numMerges = 50)
-      graft.ops.BpeTrainer.tokenize(docs, "doc_id", "text", merges)
-        .select(col("doc_id"), col("n_tokens"), col("n_subwords"))
-        .orderBy(col("doc_id"))
+      GoldenGate(
+        graft.ops.BpeTrainer.tokenize(docs, "doc_id", "text", merges)
+          .select(col("doc_id"), col("n_tokens"), col("n_subwords"))
+          .orderBy(col("doc_id")),
+        "q_bpe_tokenize", BpeGolden, dir)
     }),
 
     // End-to-end assembly spine: BPE-tokenize → disjoint 32-subword
@@ -991,6 +1038,20 @@ object Pipeline {
         |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
         |  CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS bin
         |FROM c ORDER BY doc_id""".stripMargin,
+    // The ANN recall gate emits sf-invariant constants + thresholded
+    // verdicts (the measurement itself — approximate top-k joined against
+    // the brute-force truth — runs Spark-side with fixed seeds); the
+    // oracle pins the expected identity, so any method's recall dropping
+    // under its floor flips a boolean and hash-breaks the row.
+    "q_ann_recall" ->
+      """SELECT method, CAST(k AS INTEGER) AS k,
+        |  CAST(recall_floor AS DOUBLE) AS recall_floor, recall_ok
+        |FROM (VALUES
+        |  ('ivf', 5, 0.40, true),
+        |  ('lsh', 5, 0.30, true),
+        |  ('pq',  5, 0.55, true))
+        |  AS t(method, k, recall_floor, recall_ok)
+        |ORDER BY method""".stripMargin,
     "q_ann_bruteforce" ->
       """WITH pairs AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -109,6 +109,26 @@ object SamDomain {
         .orderBy(col("position"), col("base"))
     }),
 
+    // The PRODUCTION sharded layout under the oracle (round 8): the same
+    // reads range-partitioned into 4 coordinate-sorted shards via
+    // writeSharded (one .bai each), region-fetched through
+    // SeqTable.fromBam(dir, region) — which routes a directory through
+    // fetchSharded's distributed .bai-probe prune + byte-range chunk
+    // reads. Same oracle as q_bam_fetch, so the multi-shard path (shard
+    // pruning, per-shard binning, chunk merge) is hash-checked end to
+    // end, not just spec-pinned.
+    "q_bam_fetch_sharded" -> ((s, dir) => {
+      val sam = samFrame(s, dir, "20M")
+        .withColumn("flag", lit(0)).withColumn("mapq", lit(60))
+        .withColumn("rnext", lit("*")).withColumn("pnext", lit(0))
+        .withColumn("tlen", lit(0))
+      val tmp = s"/tmp/graft_bam_fetch_sharded/${new java.io.File(dir).getName}"
+      graft.io.Bam.writeSharded(sam, tmp, nShards = 4, blockData = 4096)
+      val st = graft.core.SeqTable.fromBam(s, tmp, region = Some(("ref1", 1, 12)))
+      Distributions.seqDist(st.long.filter(col("base") =!= "$"))
+        .orderBy(col("position"), col("base"))
+    }),
+
     // read_info carry-through (constructor_ops.py:184-187): optional SAM
     // fields (mapq, TAG:TYPE:VALUE map) ride through fromSam on the reads
     // frame and are filterable/aggregatable downstream.
@@ -303,6 +323,14 @@ object SamDomain {
     // q_sam_dist restricted to the fetched region: 20-base reads overlap
     // [1,12] iff pos <= 12, so the .bai fetch must reproduce exactly this
     "q_bam_fetch" ->
+      s"""WITH $sqlNts
+         |SELECT pos + gs.i - 1 AS position, substring(nt, gs.i, 1) AS base, COUNT(*) AS cnt
+         |FROM nts CROSS JOIN generate_series(1, 20) AS gs(i)
+         |WHERE pos <= 12
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // identical region semantics through the sharded production layout:
+    // writeSharded + fetchSharded must reproduce the single-shard fetch
+    "q_bam_fetch_sharded" ->
       s"""WITH $sqlNts
          |SELECT pos + gs.i - 1 AS position, substring(nt, gs.i, 1) AS base, COUNT(*) AS cnt
          |FROM nts CROSS JOIN generate_series(1, 20) AS gs(i)
