@@ -17,15 +17,25 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q5_local_revenue")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Every query passes through [[graft.queries.GoldenGate]] by name:
+    * deterministic non-SQL-expressible queries carry per-sf pinned
+    * output hashes there (compute → require → emit, turning the
+    * driver's rows-only checks self-verifying); everything else — and
+    * every query at an unpinned sf — is untouched.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries ++
+    (graft.queries.Relational.queries ++
       graft.queries.SeqDomain.queries ++
       graft.queries.Pipeline.queries ++
       graft.queries.SamDomain.queries ++
       graft.queries.ScaleDomain.queries ++
       graft.queries.Events.queries ++
-      graft.queries.Mining.queries
+      graft.queries.Mining.queries)
+      .map { case (name, f) =>
+        name -> ((s: SparkSession, d: String) => graft.queries.GoldenGate(f(s, d), name, d))
+      }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

@@ -38,20 +38,18 @@ object Mining {
     // property — "mentions spark" — that the model must recover through
     // the hashed feature space. Iterative training is not
     // SQL-expressible -> rows-only, but the quantized-Long gradients make
-    // the output bit-reproducible, so the query pins its own golden
-    // output hash per sf (GoldenGate) — the driver's rows-only check is
-    // now self-verifying. ClassifierSpec additionally pins the
-    // arithmetic against a driver-side reference and partition
+    // the output bit-reproducible, so the output hash is golden-pinned
+    // per sf (GoldenGate, applied by SparkEntry) — the driver's
+    // rows-only check is self-verifying. ClassifierSpec additionally
+    // pins the arithmetic against a driver-side reference and partition
     // invariance.
     "q_lr_quality" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
         .withColumn("y", col("text").contains("spark").cast("int"))
       val model = Classifier.trainLogistic(docs, "y", "text", dim = 256,
         iters = 30, lr = 2.0)
-      GoldenGate(
-        Classifier.scoreLogistic(docs, "doc_id", "text", model)
-          .orderBy(col("doc_id")),
-        "q_lr_quality", LrQualityGolden, dir)
+      Classifier.scoreLogistic(docs, "doc_id", "text", model)
+        .orderBy(col("doc_id"))
     }),
 
     // Hybrid retrieval: BM25 top-50 fused with embedding-cosine top-50
@@ -143,14 +141,6 @@ object Mining {
     }))
 
   private val RrfTerms = Seq("spark", "table", "query")
-
-  /** Per-sf golden output hashes for q_lr_quality (see GoldenGate):
-    * derived once from the quantized-Long training run; any change to
-    * tokenization, hashing, gradient math, or iteration order moves them.
-    */
-  private val LrQualityGolden = Map(
-    "sf0.001" -> 593451318610010724L,
-    "sf0.01" -> 9062431030121579018L)
 
   // high / mid / low-frequency probes plus a guaranteed-absent token
   private val CmProbes = Seq("join", "hash", "scan", "customer", "zz_absent")

@@ -18,13 +18,6 @@ object Pipeline {
   private def dsum(c: org.apache.spark.sql.Column) =
     sum(c.cast("decimal(18,4)")).cast("double")
 
-  /** Per-sf golden output hashes for q_bpe_tokenize (see GoldenGate):
-    * derived once from the deterministic merge loop; a different merge
-    * order or tokenization kernel moves them.
-    */
-  private val BpeGolden = Map(
-    "sf0.001" -> 311557740884800157L,
-    "sf0.01" -> 8502358823665122315L)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup family -------------------------------------------------
@@ -491,6 +484,64 @@ object Pipeline {
         "vec_id", "embedding", threshold = 0.35, bitsPerBand = 5, bands = 12)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Measured near-dup contract (round 8), the dedup-family twin of
+    // q_ann_recall: each probabilistic detector runs against the EXACT
+    // truth on its own similarity measure — minhash vs all-pairs
+    // 5-shingle Jaccard >= 0.7 (the grid-split exact operator with a
+    // single block), cosine-LSH vs all-pairs rounded cosine >= 0.35 —
+    // and must (a) clear a recall floor and (b) be an exact SUBSET of
+    // the truth (both detectors verify candidates exactly, so a single
+    // spurious pair means the verify stage broke). The cosine detector
+    // runs a 4-bit x 20-band geometry here — at the threshold boundary
+    // s=0.35 the S-curve gives 1-(1-p^4)^20 = 0.953 with
+    // p = 1-arccos(0.35)/pi = 0.614, vs only 0.665 for the 5x12
+    // geometry q_cosine_neardup demos. Floors sit under the measured
+    // recalls (minhash 1.00/1.00, cosine 0.957/0.959 at sf0.001/sf0.01)
+    // by a stable margin; the corpus is small enough at every sf
+    // (<= 5000 docs / 2000 vectors) that exact truth is cheap.
+    "q_dedup_quality" -> ((s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val docs = Tables(s, dir, "documents")
+      val truthMh = Dedup.ngramJaccard(
+        docs.withColumn("blk", lit(0)), "doc_id", "text", "blk",
+        n = 5, threshold = 0.7, maxBlockRows = 500)
+        .select(col("id_a"), col("id_b"))
+      val mh = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+        k = 5, numHashes = 60, bands = 12, threshold = 0.7, maxBucketSize = 200)
+        .select(col("id_a"), col("id_b"))
+      val emb = Tables(s, dir, "embeddings")
+      val vecs = emb.select(col("vec_id").as("id"), col("embedding").as("v"),
+        graft.ops.HashKernels.normUdf(col("embedding")).as("nrm"))
+      // identical formula + rounding as cosineNearDuplicates' verify stage
+      val truthCos = vecs
+        .select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+        .join(vecs.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")),
+          col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(when(col("na") * col("nb") > 0,
+            call_function("dot_f", col("va"), col("vb")) / (col("na") * col("nb")))
+            .otherwise(lit(0.0)), 6).as("sim"))
+        .filter(col("sim") >= 0.35)
+        .select(col("id_a"), col("id_b"))
+      val cos = Similarity.cosineNearDuplicates(emb, "vec_id", "embedding",
+        threshold = 0.35, bitsPerBand = 4, bands = 20)
+        .select(col("id_a"), col("id_b"))
+      def verdict(method: String, floor: Double, truth: DataFrame, approx: DataFrame) = {
+        val t = truth.localCheckpoint()
+        val a = approx.localCheckpoint()
+        val nTrue = t.count()
+        val hits = a.join(t, Seq("id_a", "id_b"), "left_semi").count()
+        val spurious = a.join(t, Seq("id_a", "id_b"), "left_anti").count()
+        (method, floor, hits.toDouble / nTrue >= floor, spurious == 0L)
+      }
+      import s.implicits._
+      Seq(
+        verdict("cosine_lsh", 0.85, truthCos, cos),
+        verdict("minhash", 0.90, truthMh, mh))
+        .toDF("method", "recall_floor", "recall_ok", "exact_subset")
+        .orderBy(col("method"))
+    }),
+
     // Measured ANN contract (round 8): each approximate method's top-k is
     // joined against the exact bruteForceTopK truth and must clear a
     // per-method recall floor. Seeds are fixed, so the measurement is
@@ -707,17 +758,16 @@ object Pipeline {
     // BPE tokenizer training + application: one corpus-scale word-count
     // aggregate, vocabulary-bounded merge loop on the driver, map-only
     // tokenization. The merge loop is not SQL-expressible (rows-only at
-    // the driver) but fully deterministic, so the query pins its own
-    // golden output hash per sf (GoldenGate) — self-verifying; the paper
-    // example and determinism are additionally pinned by BpeSpec.
+    // the driver) but fully deterministic, so the output hash is
+    // golden-pinned per sf (GoldenGate, applied by SparkEntry) —
+    // self-verifying; the paper example and determinism are additionally
+    // pinned by BpeSpec.
     "q_bpe_tokenize" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       val merges = graft.ops.BpeTrainer.train(docs, "doc_id", "text", numMerges = 50)
-      GoldenGate(
-        graft.ops.BpeTrainer.tokenize(docs, "doc_id", "text", merges)
-          .select(col("doc_id"), col("n_tokens"), col("n_subwords"))
-          .orderBy(col("doc_id")),
-        "q_bpe_tokenize", BpeGolden, dir)
+      graft.ops.BpeTrainer.tokenize(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_tokens"), col("n_subwords"))
+        .orderBy(col("doc_id"))
     }),
 
     // End-to-end assembly spine: BPE-tokenize → disjoint 32-subword
@@ -1038,6 +1088,16 @@ object Pipeline {
         |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
         |  CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS bin
         |FROM c ORDER BY doc_id""".stripMargin,
+    // Same artifact contract as q_ann_recall: sf-invariant constants +
+    // thresholded verdicts, exact measurement Spark-side.
+    "q_dedup_quality" ->
+      """SELECT method, CAST(recall_floor AS DOUBLE) AS recall_floor,
+        |  recall_ok, exact_subset
+        |FROM (VALUES
+        |  ('cosine_lsh', 0.85, true, true),
+        |  ('minhash',    0.90, true, true))
+        |  AS t(method, recall_floor, recall_ok, exact_subset)
+        |ORDER BY method""".stripMargin,
     // The ANN recall gate emits sf-invariant constants + thresholded
     // verdicts (the measurement itself — approximate top-k joined against
     // the brute-force truth — runs Spark-side with fixed seeds); the
