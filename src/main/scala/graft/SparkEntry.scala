@@ -26,16 +26,22 @@ object SparkEntry {
     * every query at an unpinned sf — is untouched.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (graft.queries.Relational.queries ++
+    rawQueries.map { case (name, f) =>
+      name -> ((s: SparkSession, d: String) => graft.queries.GoldenGate(f(s, d), name, d))
+    }
+
+  /** The same registry without the gate — the gate materializes pinned
+    * outputs (localCheckpoint), so plan-shape inspection (PlanSpec) must
+    * look here to see the query's actual physical plan.
+    */
+  def rawQueries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.Relational.queries ++
       graft.queries.SeqDomain.queries ++
       graft.queries.Pipeline.queries ++
       graft.queries.SamDomain.queries ++
       graft.queries.ScaleDomain.queries ++
       graft.queries.Events.queries ++
-      graft.queries.Mining.queries)
-      .map { case (name, f) =>
-        name -> ((s: SparkSession, d: String) => graft.queries.GoldenGate(f(s, d), name, d))
-      }
+      graft.queries.Mining.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

@@ -27,7 +27,16 @@ import org.apache.spark.sql.functions._
   */
 object GoldenGate {
 
-  /** query name -> (sf dir basename -> pinned BIT_XOR(xxhash64(row))). */
+  /** query name -> (sf dir basename -> pinned BIT_XOR(xxhash64(row))).
+    *
+    * Every constant was emitted by [[graft.PinProbe]] in four separate
+    * JVMs (local[4]/shuffle=4 and local[16]/shuffle=16, at each sf) and
+    * matched across all four — partition count changes merge order, so
+    * agreement is direct evidence that no tie-break or accumulation in
+    * the query is partition-order-sensitive. With these, every formerly
+    * rows-only query except the two measured-recall artifacts (which
+    * are oracle-backed) is self-verifying at the driver's gate sf.
+    */
   private val Pins: Map[String, Map[String, Long]] = Map(
     // quantized-Long gradient training — bit-reproducible scores
     "q_lr_quality" -> Map(
@@ -36,7 +45,64 @@ object GoldenGate {
     // deterministic BPE merge loop
     "q_bpe_tokenize" -> Map(
       "sf0.001" -> 311557740884800157L,
-      "sf0.01" -> 8502358823665122315L))
+      "sf0.01" -> 8502358823665122315L),
+    // seeded hyperplane LSH top-k (per-row double sims, heap total-ordered)
+    "q_ann_lsh" -> Map(
+      "sf0.001" -> -8064504202328906915L,
+      "sf0.01" -> 1588868561351953551L),
+    // driver-deterministic k-means cells + exact in-cell scan
+    "q_ann_ivf" -> Map(
+      "sf0.001" -> 6113114698965881482L,
+      "sf0.01" -> 1996259252821340999L),
+    // hash-ordered 4096-row training sample + ADC shortlist re-rank
+    "q_ann_pq" -> Map(
+      "sf0.001" -> 4596357187556173097L,
+      "sf0.01" -> -8239463001994263386L),
+    // Gopher filter (integer rules) + seeded MinHash dedup stage
+    "q_clean_corpus" -> Map(
+      "sf0.001" -> -5276516234819251619L,
+      "sf0.01" -> -2009732801575530595L),
+    // seeded LSH candidates, exact rounded-cosine verify
+    "q_cosine_neardup" -> Map(
+      "sf0.001" -> -1167652805735308602L,
+      "sf0.01" -> 7138736516249591035L),
+    // seeded MinHash pairs -> components -> min-id representative
+    "q_dedup_corpus" -> Map(
+      "sf0.001" -> -7066194519912670156L,
+      "sf0.01" -> 5169745455655986661L),
+    // seeded MinHash banding, exact hashed-shingle Jaccard verify
+    "q_dedup_minhash" -> Map(
+      "sf0.001" -> -1369828898447798070L,
+      "sf0.01" -> -468088737826377300L),
+    // deterministic 64-bit signatures, 4x16-bit chunk blocking
+    "q_dedup_simhash" -> Map(
+      "sf0.001" -> 4697273878940751875L,
+      "sf0.01" -> 4444710912247945519L),
+    // seeded index build + probe, rounded jaccard output
+    "q_incremental_dedup" -> Map(
+      "sf0.001" -> -3614380921660295881L,
+      "sf0.01" -> 7807773766077415880L),
+    // driver-deterministic k-means cells + exact within-cell pairs
+    "q_semantic_dedup" -> Map(
+      "sf0.001" -> -1100432165491027870L,
+      "sf0.01" -> -5137861434621326852L),
+    // md5 rank keys + group-cover assignment — integer-exact
+    "q_split_leakage_safe" -> Map(
+      "sf0.001" -> 8885026643837775078L,
+      "sf0.01" -> -8806773357719023054L),
+    // winnowed fingerprints (position-deterministic), integer pair counts
+    "q_substring_pairs" -> Map(
+      "sf0.001" -> 1666661063672788951L,
+      "sf0.01" -> -6784187389549244528L),
+    // BPE spine + two-phase running total — integer-exact
+    "q_tokenize_pack" -> Map(
+      "sf0.001" -> 8446402077215570318L,
+      "sf0.01" -> -8775121591589721512L),
+    // integer counts -> per-row binomial log-odds (A9: the last §2 entry
+    // without a hash-level signal, now pinned)
+    "q_plogo" -> Map(
+      "sf0.001" -> 7843795823847205001L,
+      "sf0.01" -> 5162878873516740508L))
 
   /** Gate `df` if (name, sf-of-dir) carries a pin; identity otherwise. */
   def apply(df: DataFrame, name: String, dir: String): DataFrame =

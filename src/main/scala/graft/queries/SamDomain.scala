@@ -245,7 +245,10 @@ object SamDomain {
     }),
 
     // A9 pLogo statistic over the distribution (binomial log-odds; not
-    // SQL-expressible — rows-only check, pinned by DistributionsSpec).
+    // SQL-expressible — rows-only at the driver, but integer counts +
+    // per-row CDF make it deterministic, so the output hash is
+    // golden-pinned per sf (GoldenGate, applied by SparkEntry); the
+    // arithmetic itself is pinned by DistributionsSpec).
     "q_plogo" -> ((s, dir) => {
       val st = SeqTable.fromSam(samFrame(s, dir, "20M"))
       Distributions.plogo(st.long.filter(col("base") =!= "$"), backgroundFreq = 0.25)

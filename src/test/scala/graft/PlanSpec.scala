@@ -11,8 +11,10 @@ class PlanSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  // rawQueries, not queries: the GoldenGate wrapper localCheckpoints
+  // pinned outputs, which would hide the plan under inspection
   private def physicalPlan(name: String): String = {
-    val df = SparkEntry.queries(name)(spark, dir)
+    val df = SparkEntry.rawQueries(name)(spark, dir)
     df.queryExecution.executedPlan.toString
   }
 
@@ -65,7 +67,7 @@ class PlanSpec extends AnyFunSuite {
   test("whole-stage codegen covers the relational pipeline") {
     // AQE only materializes WholeStageCodegen nodes in the final plan —
     // execute, then inspect
-    val df = SparkEntry.queries("q1_pricing_summary")(spark, dir)
+    val df = SparkEntry.rawQueries("q1_pricing_summary")(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     // codegen'd spans print as "*(n) Operator" in the final adaptive plan
@@ -84,7 +86,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("salted aggregation is two map-side-combined stages") {
-    val df = SparkEntry.queries("q_salted_agg")(spark, dir)
+    val df = SparkEntry.rawQueries("q_salted_agg")(spark, dir)
     df.collect()
     val full = df.queryExecution.executedPlan.toString
     // the adaptive plan string repeats the tree as Final + Initial —
@@ -225,7 +227,7 @@ class PlanSpec extends AnyFunSuite {
     // ReusedQueryStage markers). If this fails, the scan+shingle kernel
     // silently serializes on one input split again (the round-6 hot spot).
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    val df = SparkEntry.queries("q_dedup_minhash")(spark, dir)
+    val df = SparkEntry.rawQueries("q_dedup_minhash")(spark, dir)
     val reparts = df.queryExecution.sparkPlan.collect {
       case e: ShuffleExchangeExec if e.shuffleOrigin.toString == "REPARTITION_BY_COL" =>
         e.canonicalized
@@ -329,7 +331,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("heavy hitters recount filters to sketch candidates before the shuffle") {
-    val df = SparkEntry.queries("q_heavy_hitters")(spark, dir)
+    val df = SparkEntry.rawQueries("q_heavy_hitters")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
     // pass 2 is a filtered partial aggregate — the candidate IN-filter must
     // sit below the exchange so only candidate tokens shuffle
