@@ -28,7 +28,9 @@ object PinProbe {
     val sf = sfDir.replaceAll("/+$", "").split('/').last
     names.split(',').foreach { name =>
       try {
-        val h = queries.GoldenGate.hashOf(SparkEntry.queries(name)(spark, sfDir))
+        // rawQueries: pin derivation must bypass the gate, or a stale pin
+        // would block computing its own replacement
+        val h = queries.GoldenGate.hashOf(SparkEntry.rawQueries(name)(spark, sfDir))
         println(s"PIN $sf $name $h")
       } catch {
         case e: Throwable =>

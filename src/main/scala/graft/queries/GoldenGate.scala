@@ -56,8 +56,8 @@ object GoldenGate {
       "sf0.01" -> 1996259252821340999L),
     // hash-ordered 4096-row training sample + ADC shortlist re-rank
     "q_ann_pq" -> Map(
-      "sf0.001" -> 4596357187556173097L,
-      "sf0.01" -> -8239463001994263386L),
+      "sf0.001" -> 2631537098319517309L,
+      "sf0.01" -> 3833823461305376123L),
     // Gopher filter (integer rules) + seeded MinHash dedup stage
     "q_clean_corpus" -> Map(
       "sf0.001" -> -5276516234819251619L,

@@ -466,8 +466,14 @@ object Pipeline {
     // and determinism are pinned by ProductQuantizerSpec.
     "q_ann_pq" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
+      // rerankFactor=16 (an 80-candidate exact re-rank per query, the
+      // FAISS-typical shortlist band): the default 4 measured under the
+      // 0.55 recall floor once the corpus grew to 2000 random vectors
+      // (sf0.1) — ADC noise on angle-unseparated data pushes true
+      // neighbors past a 20-deep shortlist. The re-rank stays narrow
+      // (nq * 80 rows) at any corpus size.
       ProductQuantizer.pqTopK(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, m = 8, ksub = 64)
+        "vec_id", "embedding", k = 5, m = 8, ksub = 64, rerankFactor = 16)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -549,9 +555,10 @@ object Pipeline {
     // the thresholded verdicts, which the DuckDB oracle pins as an
     // identity — a recall regression in ANY approximate path flips its
     // boolean and hash-breaks the gate. Floors sit under the measured
-    // values (lsh 0.44–0.48, ivf 0.54–0.76, pq 0.70–0.80 at sf0.001/0.01
+    // values (lsh 0.44–0.48, ivf 0.54–0.76, pq ≥ 0.70 at sf0.001/0.01
     // with the random-data geometries documented on each query) by a
-    // machine-independent margin.
+    // machine-independent margin, and were additionally checked to hold
+    // at sf0.1 (pq needed rerankFactor=16 there — see q_ann_pq).
     "q_ann_recall" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val qs = emb.filter(col("vec_id") < 10)
@@ -572,7 +579,7 @@ object Pipeline {
         verdict("lsh", 0.30, Similarity.lshTopK(emb, qs, "vec_id", "embedding",
           k = k, bitsPerBand = 6, bands = 12, multiProbe = false)),
         verdict("pq", 0.55, ProductQuantizer.pqTopK(emb, qs, "vec_id", "embedding",
-          k = k, m = 8, ksub = 64)))
+          k = k, m = 8, ksub = 64, rerankFactor = 16)))
         .toDF("method", "k", "recall_floor", "recall_ok")
         .orderBy(col("method"))
     }),
