@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Exact substring deduplication — Lee et al., "Deduplicating Training
@@ -34,9 +34,14 @@ import org.apache.spark.sql.functions._
   * SQL-replayable, which the driver oracle exploits (q_exact_substrings).
   *
   * Like [[Decontaminate]], the shuffle key is the window STRING by
-  * default (exact, oracle-auditable); `hashKey = true` narrows it to
-  * xxhash64 for wide corpora at the documented 64-bit collision trade
-  * (a collision could flag a non-duplicated window).
+  * default (exact, oracle-auditable); `hashKey = true` runs the scale
+  * path — [[HashKernels.windowHashes]] hashes each window in place off
+  * one char buffer, so no window string is ever allocated and the
+  * shuffle key narrows to 8 bytes — at the documented 64-bit collision
+  * trade (a collision could flag a non-duplicated window). The two key
+  * disciplines are pinned identical per (doc, pos) by
+  * q_substr_hash_agree, and the hashed matrix runs against the
+  * string-exact oracle in q_boilerplate_matrix.
   */
 object ExactSubstrings {
 
@@ -77,12 +82,18 @@ object ExactSubstrings {
       L: Int,
       hashKey: Boolean = false): DataFrame = {
     require(L >= 2, s"duplicatedWindows: L must be >= 2, got $L")
+    // hashed path: windows hash in place off one char buffer
+    // (HashKernels.windowHashes) — no window string is ever allocated and
+    // the shuffle key is 8 bytes; the string path stays byte-exact for
+    // the oracle. Agreement between the two is gated end-to-end by
+    // q_substr_hash_agree at the driver's gate SF.
+    val windows: Column =
+      if (hashKey) graft.ops.HashKernels.windowHashesUdf(L)(col(textCol))
+      else charWindowsUdf(L)(col(textCol))
     val exploded = df
       .filter(length(col(textCol)) >= L)
-      .select(col(idCol),
-        posexplode(charWindowsUdf(L)(col(textCol))).as(Seq("p0", "w")))
-      .select(col(idCol), (col("p0") + 1).as("pos"),
-        (if (hashKey) xxhash64(col("w")) else col("w")).as("w"))
+      .select(col(idCol), posexplode(windows).as(Seq("p0", "w")))
+      .select(col(idCol), (col("p0") + 1).as("pos"), col("w"))
     val dups = exploded.groupBy(col("w"))
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
@@ -119,13 +130,16 @@ object ExactSubstrings {
     require(groups.length <= 64,
       s"sharedWindowMatrix: bitmask path supports <= 64 groups, got ${groups.length}")
     val bitOf = groups.zipWithIndex.map { case (g, i) => g -> (1L << i) }.toMap
-    val exploded = df
+    // same kernel split as duplicatedWindows: hashed keys never exist as
+    // strings, so the window-keyed shuffle carries longs
+    val windows: Column =
+      if (hashKey) graft.ops.HashKernels.windowHashesUdf(L)(col(textCol))
+      else charWindowsUdf(L)(col(textCol))
+    val keyed = df
       .filter(length(col(textCol)) >= L)
       .select(
         element_at(typedLit(bitOf), col(groupCol).cast("string")).as("gb"),
-        explode(charWindowsUdf(L)(col(textCol))).as("w"))
-    val keyed =
-      if (hashKey) exploded.withColumn("w", xxhash64(col("w"))) else exploded
+        explode(windows).as("w"))
     val pairsOf = udf((mask: Long) => {
       val idxs = (0 until 64).filter(b => (mask & (1L << b)) != 0)
       for { i <- idxs.indices; j <- (i + 1) until idxs.length }

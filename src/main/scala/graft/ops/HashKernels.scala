@@ -80,6 +80,31 @@ object HashKernels {
     java.util.Arrays.copyOfRange(all, 0, w)
   }
 
+  /** Hashed length-`L` char windows in position order (index i = 1-based
+    * pos i+1) — the exact-substring family's scale key: the same windows
+    * [[graft.ops.ExactSubstrings.charWindows]] materializes as strings,
+    * but hashed in place off one char buffer, so the explode carries
+    * 8-byte longs instead of L-char strings and the executor never
+    * allocates a window string at all. Unlike [[hashedShingles]] this
+    * keeps duplicates and position order (the exact-substring identity
+    * needs every occurrence and its position). FNV-1a: ~L ops per
+    * window — still linear in |text|·L like the string path's copies,
+    * but with zero allocation; the shuffle narrows ~7× (8 bytes vs
+    * 2L+header). Collision contract is the family's documented 64-bit
+    * trade, gated end-to-end by q_substr_hash_agree.
+    */
+  def windowHashes(text: String, L: Int): Array[Long] = {
+    if (text == null || text.length < L) return Array.emptyLongArray
+    val n = text.length - L + 1
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = fnv1a(text, i, L)
+      i += 1
+    }
+    out
+  }
+
   /** MinHash signature: h_i = min over shingles of splitmix64(s ^ seed_i).
     * The classic k-permutation form — numHashes mixes per shingle. Kept as
     * the reference estimator; the hot path uses [[minhashSigOPH]].
@@ -462,6 +487,11 @@ object HashKernels {
 
   def hashedShinglesUdf(k: Int): Column => Column = {
     val f = udf((t: String) => hashedShingles(t, k))
+    c => f(c)
+  }
+
+  def windowHashesUdf(L: Int): Column => Column = {
+    val f = udf((t: String) => windowHashes(t, L))
     c => f(c)
   }
 

@@ -118,10 +118,17 @@ object Pipeline {
 
     // Boilerplate forensics: distinct ≥25-char windows shared between
     // each pair of sources — the "where is the templated text coming
-    // from" view over the exact-substring family. Exact → oracle-backed.
+    // from" view over the exact-substring family. Runs the SCALE path
+    // (hashKey = true: windows hash in place, the shuffle carries longs)
+    // against the string-exact DuckDB oracle — a green row is direct
+    // evidence the 64-bit keys are collision-free on this corpus, on top
+    // of the q_substr_hash_agree per-position gate. q_exact_substrings
+    // keeps the string-keyed path under the same oracle, so both key
+    // disciplines stay covered.
     "q_boilerplate_matrix" -> ((s, dir) =>
       graft.ops.ExactSubstrings.sharedWindowMatrix(
-        Tables(s, dir, "documents"), "source", "text", L = 25)
+        Tables(s, dir, "documents"), "source", "text", L = 25,
+        hashKey = true)
         .orderBy(col("group_a"), col("group_b"))),
 
     // Incremental ingest dedup: the even-id half plays the accumulated

@@ -85,6 +85,31 @@ class ExactSubstringsSpec extends AnyFunSuite {
     assert(run(docs, L = 15, hashKey = true) === run(docs, L = 15))
   }
 
+  test("windowHashes aligns with charWindows: one hash per position, equal windows hash equal") {
+    val t = "abcabcabcXabcabc"
+    val L = 5
+    val hs = HashKernels.windowHashes(t, L)
+    assert(hs.length == t.length - L + 1)
+    // window i and window i+3 are the same string inside the abc-run
+    assert(hs(0) == hs(3)) // "abcab" twice
+    assert(hs(1) == hs(4))
+    // distinct windows get distinct hashes on this input
+    assert(hs(0) != hs(1) && hs(2) != hs(6))
+    // short / null inputs
+    assert(HashKernels.windowHashes("abcd", 5).isEmpty)
+    assert(HashKernels.windowHashes(null, 5).isEmpty)
+  }
+
+  test("sharedWindowMatrix hashed path agrees with the string path") {
+    val docs = (1L to 40L).map { i =>
+      (i, s"src${i % 4}", s"head-$i COMMON-TEMPLATE-BLOCK-${i % 2}-SHARED tail-$i")
+    }.toDF("doc_id", "grp", "text")
+    def m(h: Boolean) = ExactSubstrings
+      .sharedWindowMatrix(docs, "grp", "text", L = 12, hashKey = h)
+      .orderBy("group_a", "group_b").collect().toSeq
+    assert(m(true) === m(false))
+  }
+
   test("sharedWindowMatrix counts distinct cross-group windows, ordered pairs") {
     // groups x and y share exactly the 10-char run "0123456789" (3 distinct
     // 8-windows); z shares nothing
