@@ -12,6 +12,22 @@ import org.apache.spark.sql.expressions.Window
   * |window| × |alphabet| regardless of read count, so the same plan holds at
   * 100 TB. Output stays in long (position, base, …) layout; pivoting to the
   * reference's wide matrix is a presentation step (`pivotWide`).
+  *
+  * Skew note (SURVEY §4.2's flagged pathology — narrow window, extreme read
+  * count): no salting is needed here BECAUSE every aggregate in the family
+  * is combinable (count/sum/max_by over counts) — partial aggregation is
+  * the salt. Each map task ships at most one partial row per (position,
+  * base), so shuffle volume is #mapPartitions × keys, independent of read
+  * count; the reduce side merges partials, never raw rows
+  * (SkewStressSpec pins this with task shuffle-read metrics). Salting
+  * would only matter for a NON-combinable per-position aggregate (exact
+  * per-position distinct over an unbounded value domain, or a raw
+  * collect) — none exists in this family; add the two-level
+  * groupBy(position, base, pmod(xxhash64(read_id), S)) pre-aggregate if
+  * one is ever introduced. Reducer parallelism floors at the key count
+  * (a 1-position window uses |alphabet| reduce slots), which caps the
+  * reduce stage at keys × (per-key merge of #mapPartitions partial
+  * longs) — microseconds even at 10^6 map tasks.
   */
 object Distributions {
 

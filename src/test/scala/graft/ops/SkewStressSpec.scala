@@ -101,6 +101,31 @@ class SkewStressSpec extends AnyFunSuite {
     }
   }
 
+  test("per-position dist: map-side combine bounds the shuffle under extreme read-count skew") {
+    // SURVEY §4.2's flagged pathology: key cardinality = |window| × |alphabet|
+    // can be far below both the row count and the cluster's parallelism.
+    // For the combinable aggregates (count/sum), partial aggregation IS the
+    // salt: each mapper ships at most one partial row per (position, base),
+    // so what crosses the wire is #mapPartitions × keys — independent of
+    // read count. Prove it with task metrics: 200k long-form rows over a
+    // 4-position window must shuffle ≤ partitions × 4×4 records, not 200k.
+    val nRows = 200000
+    val mapParts = 8
+    // range with explicit slices: no input exchange, so the only shuffles
+    // the listener sees are the aggregate's (and count()'s tiny one)
+    val long = spark.range(0, nRows, 1, mapParts)
+      .selectExpr("id as read_id", "cast(id % 4 as int) as position",
+        "substring('ACGT', cast(id % 4 as int) + 1, 1) as base")
+    val byStage = taskShuffleReads {
+      Distributions.seqDist(long).count()
+    }
+    val shuffled = byStage.values.map(_.sum).sum
+    assert(shuffled > 0, "expected a shuffle (final aggregate)")
+    assert(shuffled <= mapParts * 4 * 4 + 16,
+      s"partial aggregation failed to combine map-side: $shuffled records " +
+        s"crossed the wire for $nRows input rows")
+  }
+
   test("hot corpus-wide fingerprint is capped by maxDocFreq, bounding pair volume") {
     // every doc shares the same 200-char template → its winnowed prints
     // appear corpus-wide; with maxDocFreq << N those boilerplate prints
