@@ -26,6 +26,10 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
     fn(spark, sfDir).explain("formatted")
+    // SPARK_GRAFT_SHOW=1: also print the first rows (verdict-style
+    // queries are tiny; seeing the booleans beats re-running Verify)
+    if (sys.env.get("SPARK_GRAFT_SHOW").contains("1"))
+      fn(spark, sfDir).show(20, truncate = false)
     var i = 0
     while (i < iters) {
       val t0 = System.nanoTime()

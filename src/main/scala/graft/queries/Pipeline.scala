@@ -510,11 +510,25 @@ object Pipeline {
     // p = 1-arccos(0.35)/pi = 0.614, vs only 0.665 for the 5x12
     // geometry q_cosine_neardup demos. Floors sit under the measured
     // recalls (minhash 1.00/1.00, cosine 0.957/0.959 at sf0.001/sf0.01)
-    // by a stable margin; the corpus is small enough at every sf
-    // (<= 5000 docs / 2000 vectors) that exact truth is cheap.
+    // by a stable margin. Exact truth is quadratic by nature, so the
+    // measurement runs on a BOUNDED corpus: above `truthCap` rows the
+    // doc side narrows to a deterministic xxhash64-keyed slice (cap
+    // does not bind at the gate SFs — 500 docs at sf0.001/sf0.01 — so
+    // the oracle/pinned output is untouched; at sf0.1 it cuts the
+    // C(5000,2) = 12.5M-pair shingle-merge truth to ~C(1250,2),
+    // 23 s -> ~3 s). Recall measured slice-vs-slice is the same
+    // contract: both the detector and the truth see the same corpus.
     "q_dedup_quality" -> ((s, dir) => {
       graft.plans.GraftExtensions.register(s)
-      val docs = Tables(s, dir, "documents")
+      val truthCap = 1500L
+      val allDocs = Tables(s, dir, "documents")
+      val nDocs = allDocs.count()
+      val docs =
+        if (nDocs <= truthCap) allDocs
+        else {
+          val m = (nDocs + truthCap - 1) / truthCap
+          allDocs.filter(pmod(xxhash64(col("doc_id")), lit(m)) === 0)
+        }
       val truthMh = Dedup.ngramJaccard(
         docs.withColumn("blk", lit(0)), "doc_id", "text", "blk",
         n = 5, threshold = 0.7, maxBlockRows = 500)
@@ -522,7 +536,16 @@ object Pipeline {
       val mh = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
         k = 5, numHashes = 60, bands = 12, threshold = 0.7, maxBucketSize = 200)
         .select(col("id_a"), col("id_b"))
-      val emb = Tables(s, dir, "embeddings")
+      // same bounded-slice rule on the vector side (2000 vecs at sf0.1
+      // -> ~1000; below the cap — both gate SFs — untouched)
+      val allEmb = Tables(s, dir, "embeddings")
+      val nVecs = allEmb.count()
+      val emb =
+        if (nVecs <= truthCap) allEmb
+        else {
+          val m = (nVecs + truthCap - 1) / truthCap
+          allEmb.filter(pmod(xxhash64(col("vec_id")), lit(m)) === 0)
+        }
       val vecs = emb.select(col("vec_id").as("id"), col("embedding").as("v"),
         graft.ops.HashKernels.normUdf(col("embedding")).as("nrm"))
       // identical formula + rounding as cosineNearDuplicates' verify stage
