@@ -200,15 +200,21 @@ object CorpusStats {
   def heapsFit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // the (doc, token, tf) stream feeds both the per-doc count and the
+    // the exploded (doc, token, tf) stream feeds ONLY the
     // first-occurrence aggregate; recomputing the compiled tokenizer per
     // consumer MEASURED faster than persisting the token stream
     // (2.5 s vs 3.1 s at sf0.1) — don't "optimize" this into a cache
     val tf = Vocabulary.docTermFrequencies(df, idCol, textCol)
-    val perDoc = tf.groupBy(col(idCol))
-      .agg(sum(col("tf")).cast("long").as("n_toks"))
-      .withColumn("__rk", Sampling.rankKey(col(idCol)))
-      .select(col("__rk"), col("n_toks"))
+    // per-doc token totals never need the explode + doc-keyed shuffle the
+    // old sum(tf) formulation paid: Σtf per doc IS the token count of the
+    // text, a map-only kernel call on the raw row. The ≥1-token filter
+    // reproduces the explode's semantics (a token-less doc produced no
+    // rows, hence no cumsum point).
+    val nToksUdf = udf((t: String) => HashKernels.tokenCount(t))
+    val perDoc = df
+      .select(Sampling.rankKey(col(idCol)).as("__rk"),
+        nToksUdf(col(textCol)).as("n_toks"))
+      .filter(col("n_toks") >= 1L)
     val withN = Packing.runningTotal(perDoc, "__rk", "n_toks", "N")
     val newPerDoc = tf
       .withColumn("__rk", Sampling.rankKey(col(idCol)))

@@ -270,6 +270,26 @@ object HashKernels {
     out.toArray
   }
 
+  /** Whitespace-token count of `text` — exactly `tokensOf(text).length`
+    * without materializing tokens OR the lowered string: ICU full case
+    * mapping maps no character into or out of the `\s` set (and can only
+    * expand a non-space run), so token boundaries on the raw text equal
+    * those on `lower(trim(text))`. Pinned against tokensOf by
+    * KernelParitySpec.
+    */
+  def tokenCount(text: String): Long = {
+    if (text == null) return 0L
+    var i = 0
+    val n = text.length
+    var c = 0L
+    while (i < n) {
+      while (i < n && isRegexSpace(text.charAt(i))) i += 1
+      if (i < n) c += 1
+      while (i < n && !isRegexSpace(text.charAt(i))) i += 1
+    }
+    c
+  }
+
   /** Distinct word `n`-grams (space-joined) in first-occurrence order —
     * the compiled form of the Decontaminate gram pipeline. The
     * expression chain it replaces (`transform(sequence(...), slice +

@@ -57,6 +57,20 @@ class KernelParitySpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("tokenCount == tokensOf(_).length on adversarial strings") {
+    // the count kernel skips the ICU lowercase pass entirely on the claim
+    // that case mapping never crosses the \s boundary set — the generator's
+    // Greek sigma / ß / NBSP members are exactly the mappings that would
+    // break it if the claim were wrong
+    sample(500).foreach { t =>
+      assert(HashKernels.tokenCount(t) == HashKernels.tokensOf(t).length.toLong,
+        s"diverged on ${t.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+    assert(HashKernels.tokenCount(null) == 0L)
+    assert(HashKernels.tokenCount("") == 0L)
+    assert(HashKernels.tokenCount("  \t\n ") == 0L)
+  }
+
   test("hashed shingle count == distinct substring count (collision-free inputs)") {
     val df = sample(300).toDF("text")
     val k = 5
