@@ -235,4 +235,150 @@ object TextAnalysis {
       .withColumn("n_words", n)
       .drop("__g")
   }
+
+  /** The integer inputs of the FULL Gopher repetition family (Rae et al.
+    * 2112.11446, Table A1) in one pass per document — the counts behind
+    * the line rules, the top word-n-gram char fractions (n = 2, 3, 4)
+    * and the duplicated word-n-gram char fractions (n = 5..10):
+    *
+    *   (nLines, dupLines, lineChars, dupLineChars,
+    *    totTokChars, topCount(2..4), topChars(2..4), dupChars(5..10))
+    *
+    * Char attribution follows the token-cover convention the public
+    * reimplementations use (NeMo Curator, Dolma): a token is covered if
+    * it lies inside any occurrence of an n-gram occurring ≥ 2 times in
+    * the document, and fractions are over total token code points (inner
+    * whitespace excluded on both sides of the ratio). topChars is the
+    * word-char length of the argmax gram, tie-broken (count DESC, gram
+    * ASC) so both engines pick the same gram. All outputs are integers —
+    * the ratio thresholds cross-multiply downstream, so there is no
+    * float boundary anywhere in the family.
+    */
+  private def repGopherKernel(text: String)
+      : (Int, Int, Long, Long, Long, Array[Long], Array[Long], Array[Long]) = {
+    val emptyTop = Array.fill(3)(0L)
+    val emptyDup = Array.fill(6)(0L)
+    if (text == null) return (0, 0, 0L, 0L, 0L, emptyTop, emptyTop.clone(), emptyDup)
+    val lines = text.split("\n", -1)
+    val lineCounts = new scala.collection.mutable.HashMap[String, Int]()
+    var lineChars = 0L
+    lines.foreach { l =>
+      lineCounts.updateWith(l)(c => Some(c.getOrElse(0) + 1)); lineChars += cp(l)
+    }
+    val dupLines = lines.length - lineCounts.size
+    val dupLineChars =
+      lineCounts.iterator.map { case (l, c) => (c - 1).toLong * cp(l) }.sum
+    val toks = tokenize(text)
+    val lens = toks.map(cp)
+    val totTokChars = lens.map(_.toLong).sum
+    def gramAt(j: Int, n: Int): String = {
+      val sb = new java.lang.StringBuilder(32)
+      var k = j
+      while (k < j + n) { if (k > j) sb.append(' '); sb.append(toks(k)); k += 1 }
+      sb.toString
+    }
+    val topCount = new Array[Long](3)
+    val topChars = new Array[Long](3)
+    var n = 2
+    while (n <= 4) {
+      if (toks.length >= n) {
+        val cnt = new scala.collection.mutable.HashMap[String, Int]()
+        var j = 0
+        while (j + n <= toks.length) {
+          cnt.updateWith(gramAt(j, n))(c => Some(c.getOrElse(0) + 1)); j += 1
+        }
+        var bestG: String = null
+        var bestC = 0
+        cnt.foreach { case (g, c) =>
+          if (c > bestC || (c == bestC && (bestG == null || g < bestG))) {
+            bestG = g; bestC = c
+          }
+        }
+        topCount(n - 2) = bestC.toLong
+        topChars(n - 2) = (cp(bestG) - (n - 1)).toLong
+      }
+      n += 1
+    }
+    val dupChars = new Array[Long](6)
+    n = 5
+    while (n <= 10) {
+      if (toks.length >= n) {
+        val cnt = new scala.collection.mutable.HashMap[String, Int]()
+        var j = 0
+        while (j + n <= toks.length) {
+          cnt.updateWith(gramAt(j, n))(c => Some(c.getOrElse(0) + 1)); j += 1
+        }
+        val covered = new Array[Boolean](toks.length)
+        j = 0
+        while (j + n <= toks.length) {
+          if (cnt(gramAt(j, n)) >= 2) {
+            var k = j
+            while (k < j + n) { covered(k) = true; k += 1 }
+          }
+          j += 1
+        }
+        var s = 0L
+        j = 0
+        while (j < toks.length) { if (covered(j)) s += lens(j); j += 1 }
+        dupChars(n - 5) = s
+      }
+      n += 1
+    }
+    (lines.length, dupLines, lineChars, dupLineChars, totTokChars,
+      topCount, topChars, dupChars)
+  }
+
+  private val repGopherUdf = udf(repGopherKernel _)
+
+  /** Per-document Gopher repetition counts — the integer numerators and
+    * denominators of every Table-A1 repetition rule, map-only. Columns:
+    * n_lines, dup_lines, line_chars, dup_line_chars, n_tok_chars,
+    * top{2,3,4}_count, top{2,3,4}_chars, dup{5..10}_chars.
+    */
+  def ngramRepetition(df: DataFrame, textCol: String): DataFrame = {
+    var out = df.withColumn("__r", repGopherUdf(col(textCol)))
+      .withColumn("n_lines", col("__r._1"))
+      .withColumn("dup_lines", col("__r._2"))
+      .withColumn("line_chars", col("__r._3"))
+      .withColumn("dup_line_chars", col("__r._4"))
+      .withColumn("n_tok_chars", col("__r._5"))
+    for (n <- 2 to 4) {
+      out = out
+        .withColumn(s"top${n}_count", col("__r._6").getItem(n - 2))
+        .withColumn(s"top${n}_chars", col("__r._7").getItem(n - 2))
+    }
+    for (n <- 5 to 10)
+      out = out.withColumn(s"dup${n}_chars", col("__r._8").getItem(n - 5))
+    out.drop("__r")
+  }
+
+  /** Gopher Table-A1 repetition thresholds (Rae et al. 2112.11446):
+    * drop when dup-line frac > 0.30, dup-line char frac > 0.20, top
+    * n-gram char frac > {0.20, 0.18, 0.16} for n = {2, 3, 4}, or
+    * duplicated n-gram char frac > {0.15, 0.14, 0.13, 0.12, 0.11, 0.10}
+    * for n = 5..10. `drop_reason` is the FIRST failing rule in table
+    * order, NULL when the document passes. Every comparison is a
+    * cross-multiplied integer test — bit-agreement with any SQL replay
+    * is structural, like [[gopherFilter]].
+    */
+  def repetitionFilter(df: DataFrame, textCol: String): DataFrame = {
+    val withCounts = ngramRepetition(df, textCol)
+    val topPct = Map(2 -> 20L, 3 -> 18L, 4 -> 16L)
+    val dupPct = Map(5 -> 15L, 6 -> 14L, 7 -> 13L, 8 -> 12L, 9 -> 11L, 10 -> 10L)
+    var reason: Column =
+      when(col("dup_lines") * 100L > col("n_lines") * 30L, "dup_line_frac")
+        .when(col("dup_line_chars") * 100L > col("line_chars") * 20L,
+          "dup_line_char_frac")
+    for (n <- 2 to 4)
+      reason = reason.when(
+        col(s"top${n}_count") * col(s"top${n}_chars") * 100L >
+          col("n_tok_chars") * topPct(n), s"top_${n}gram_char_frac")
+    for (n <- 5 to 10)
+      reason = reason.when(
+        col(s"dup${n}_chars") * 100L > col("n_tok_chars") * dupPct(n),
+        s"dup_${n}gram_char_frac")
+    withCounts
+      .withColumn("drop_reason", reason.otherwise(lit(null).cast("string")))
+      .withColumn("keep", col("drop_reason").isNull)
+  }
 }

@@ -412,6 +412,28 @@ object Pipeline {
         .select(col("doc_id"), col("keep"), col("drop_reason"), col("n_words"))
         .orderBy(col("doc_id"))),
 
+    // The FULL Gopher repetition family (Rae et al. 2112.11446 Table A1),
+    // integer counts per document: line duplication, top 2/3/4-gram char
+    // numerators, duplicated 5..10-gram covered chars (token-cover
+    // attribution). Map-only kernel; every column is an exact integer →
+    // oracle-backed, including the n-gram cover via per-n dup/cover CTEs.
+    "q_repetition_gopher" -> ((s, dir) => {
+      val base = TextAnalysis.ngramRepetition(Tables(s, dir, "documents"), "text")
+      val counts = Seq("n_lines", "dup_lines", "line_chars", "dup_line_chars",
+        "n_tok_chars") ++
+        (2 to 4).flatMap(n => Seq(s"top${n}_count", s"top${n}_chars")) ++
+        (5 to 10).map(n => s"dup${n}_chars")
+      base.select(col("doc_id") +: counts.map(c => col(c).cast("long").as(c)): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Threshold verdict over the same counts: first failing Table-A1 rule
+    // in table order, integer cross-multiplied → oracle-backed.
+    "q_repetition_filter" -> ((s, dir) =>
+      TextAnalysis.repetitionFilter(Tables(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("drop_reason"), col("keep"))
+        .orderBy(col("doc_id"))),
+
     // Sequence packing (round 3): docs fill 2048-token training packs in
     // doc_id order. The running total is the two-phase scalable cumsum —
     // PlanSpec pins that no Exchange SinglePartition appears (the naive
@@ -839,7 +861,107 @@ object Pipeline {
   /** Fixed 80/10/10 split recipe shared by query and oracle. */
   private val SplitSpec = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
+  /** Shared CTE block replaying [[TextAnalysis.ngramRepetition]] in
+    * DuckDB: line stats, token chars, per-n top-gram argmax (n = 2..4,
+    * tie (count DESC, gram ASC) like the kernel) and per-n duplicated-
+    * gram token cover (n = 5..10 — occurrences of ≥2-count grams mark
+    * their token indices, DISTINCT, then sum the marked tokens' code
+    * points). Generated per n to keep the 9 near-identical CTE families
+    * honest — one template, not nine hand-edited copies.
+    */
+  private def repGopherCtes: String = {
+    val tops = (2 to 4).map { n =>
+      s"""g$n AS (
+         |  SELECT doc_id, g, COUNT(*) AS c FROM (
+         |    SELECT doc_id, unnest([array_to_string(list_slice(toks, i, i + ${n - 1}), ' ')
+         |      FOR i IN range(1, greatest(len(toks) - ${n - 1}, 0) + 1)]) AS g FROM l)
+         |  GROUP BY doc_id, g),
+         |top$n AS (
+         |  SELECT doc_id, c AS top${n}_count, length(g) - ${n - 1} AS top${n}_chars
+         |  FROM (SELECT doc_id, g, c,
+         |          row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+         |        FROM g$n)
+         |  WHERE rn = 1)""".stripMargin
+    }
+    val dups = (5 to 10).map { n =>
+      s"""o$n AS (
+         |  SELECT doc_id, i, array_to_string(list_slice(toks, i, i + ${n - 1}), ' ') AS g
+         |  FROM (SELECT doc_id, toks,
+         |          unnest(range(1, greatest(len(toks) - ${n - 1}, 0) + 1)) AS i FROM l)),
+         |d$n AS (SELECT doc_id, g FROM o$n GROUP BY doc_id, g HAVING COUNT(*) >= 2),
+         |cov$n AS (
+         |  SELECT DISTINCT doc_id, idx FROM (
+         |    SELECT o.doc_id, unnest(range(o.i, o.i + $n)) AS idx
+         |    FROM o$n o JOIN d$n d ON o.doc_id = d.doc_id AND o.g = d.g)),
+         |dup$n AS (
+         |  SELECT c.doc_id, SUM(length(l.toks[c.idx])) AS dup${n}_chars
+         |  FROM cov$n c JOIN l USING (doc_id) GROUP BY c.doc_id)""".stripMargin
+    }
+    s"""WITH l AS (
+       |  SELECT doc_id, string_split(text, chr(10)) AS lines,
+       |    regexp_extract_all(lower(trim(text)), '\\S+') AS toks
+       |  FROM documents),
+       |lc AS (
+       |  SELECT doc_id, line, COUNT(*) AS c, length(line) AS len
+       |  FROM (SELECT doc_id, unnest(lines) AS line FROM l) GROUP BY doc_id, line),
+       |lstats AS (
+       |  SELECT doc_id, SUM(c) AS n_lines, SUM(c) - COUNT(*) AS dup_lines,
+       |    SUM(c * len) AS line_chars, SUM((c - 1) * len) AS dup_line_chars
+       |  FROM lc GROUP BY doc_id),
+       |tchars AS (
+       |  SELECT doc_id,
+       |    COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS n_tok_chars
+       |  FROM l),
+       |${tops.mkString(",\n")},
+       |${dups.mkString(",\n")}""".stripMargin
+  }
+
+  private def repGopherSelect: String = {
+    val topCols = (2 to 4).flatMap(n => Seq(
+      s"CAST(COALESCE(top$n.top${n}_count, 0) AS BIGINT) AS top${n}_count",
+      s"CAST(COALESCE(top$n.top${n}_chars, 0) AS BIGINT) AS top${n}_chars"))
+    val dupCols = (5 to 10).map(n =>
+      s"CAST(COALESCE(dup$n.dup${n}_chars, 0) AS BIGINT) AS dup${n}_chars")
+    val joins = (2 to 4).map(n => s"LEFT JOIN top$n USING (doc_id)") ++
+      (5 to 10).map(n => s"LEFT JOIN dup$n USING (doc_id)")
+    s"""SELECT l.doc_id,
+       |  CAST(lstats.n_lines AS BIGINT) AS n_lines,
+       |  CAST(lstats.dup_lines AS BIGINT) AS dup_lines,
+       |  CAST(lstats.line_chars AS BIGINT) AS line_chars,
+       |  CAST(lstats.dup_line_chars AS BIGINT) AS dup_line_chars,
+       |  CAST(tchars.n_tok_chars AS BIGINT) AS n_tok_chars,
+       |  ${(topCols ++ dupCols).mkString(",\n  ")}
+       |FROM l JOIN lstats USING (doc_id) JOIN tchars USING (doc_id)
+       |${joins.mkString("\n")}""".stripMargin
+  }
+
+  private def repFilterCase: String = {
+    val topPct = Map(2 -> 20, 3 -> 18, 4 -> 16)
+    val dupPct = Map(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+    val rules =
+      Seq("WHEN dup_lines * 100 > n_lines * 30 THEN 'dup_line_frac'",
+        "WHEN dup_line_chars * 100 > line_chars * 20 THEN 'dup_line_char_frac'") ++
+        (2 to 4).map(n =>
+          s"WHEN top${n}_count * top${n}_chars * 100 > n_tok_chars * ${topPct(n)} " +
+            s"THEN 'top_${n}gram_char_frac'") ++
+        (5 to 10).map(n =>
+          s"WHEN dup${n}_chars * 100 > n_tok_chars * ${dupPct(n)} " +
+            s"THEN 'dup_${n}gram_char_frac'")
+    s"CASE ${rules.mkString(" ")} ELSE NULL END"
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_repetition_gopher" ->
+      s"""$repGopherCtes
+         |$repGopherSelect
+         |ORDER BY doc_id""".stripMargin,
+    "q_repetition_filter" ->
+      s"""$repGopherCtes,
+         |counts AS (
+         |$repGopherSelect)
+         |SELECT doc_id, $repFilterCase AS drop_reason,
+         |  ($repFilterCase) IS NULL AS keep
+         |FROM counts ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT source, MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,

@@ -235,6 +235,53 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r("nostops") == ((false, "stopwords")))
   }
 
+  test("ngramRepetition: hand-computed counts, overlap-free cover, tie-breaks") {
+    val df = Seq(
+      // "a b c d e" 5-gram repeats; bigram tie (all count 2) must pick "a b"
+      ("cover", "a b c d e x a b c d e"),
+      // overlapping occurrences of "a a a a a" must not double-count tokens
+      ("overlap", "a a a a a a"),
+      ("lines", "dup\ndup\ndup\nunique"),
+      ("empty", "")).toDF("id", "text")
+    val r = TextAnalysis.ngramRepetition(df, "text").collect()
+      .map(x => x.getString(0) -> x).toMap
+    def g(id: String, c: String): Long = {
+      val x = r(id); val v = x.get(x.fieldIndex(c))
+      v match { case i: Int => i.toLong; case l: Long => l }
+    }
+    assert(g("cover", "n_tok_chars") == 11L)
+    assert(g("cover", "top2_count") == 2L && g("cover", "top2_chars") == 2L)
+    assert(g("cover", "top3_count") == 2L && g("cover", "top3_chars") == 3L)
+    assert(g("cover", "top4_count") == 2L && g("cover", "top4_chars") == 4L)
+    assert(g("cover", "dup5_chars") == 10L) // both occurrences covered
+    assert(g("cover", "dup6_chars") == 0L)
+    assert(g("overlap", "dup5_chars") == 6L) // NOT 10: overlap counted once
+    assert(g("lines", "n_lines") == 4L && g("lines", "dup_lines") == 2L)
+    assert(g("lines", "line_chars") == 15L && g("lines", "dup_line_chars") == 6L)
+    assert(g("empty", "n_lines") == 1L && g("empty", "n_tok_chars") == 0L &&
+      g("empty", "dup10_chars") == 0L)
+  }
+
+  test("repetitionFilter: first failing Table-A1 rule in table order") {
+    val df = Seq(
+      // top-2gram fires before the (also-violated) dup-5gram rule
+      ("topfirst", "a b c d e x a b c d e"),
+      ("linefirst", "dup\ndup\ndup\nunique"),
+      // long enough that one occurrence of a 2/3/4-gram stays under the
+      // char-fraction thresholds (Gopher's top rules have no count >= 2
+      // requirement — a very short doc legitimately fails them)
+      ("clean", (1 to 30).map(i => s"word$i").mkString(" ")),
+      ("empty", "")).toDF("id", "text")
+    val r = TextAnalysis.repetitionFilter(df, "text").collect()
+      .map(x => x.getString(0) ->
+        (x.getBoolean(x.fieldIndex("keep")), x.getString(x.fieldIndex("drop_reason"))))
+      .toMap
+    assert(r("topfirst") == ((false, "top_2gram_char_frac")))
+    assert(r("linefirst") == ((false, "dup_line_frac")))
+    assert(r("clean") == ((true, null)))
+    assert(r("empty") == ((true, null)))
+  }
+
   test("length kernels count code points, not UTF-16 units (non-BMP parity)") {
     // "🙂🙂" is 2 code points / 4 UTF-16 units; a unit-counting kernel
     // would see dup-line chars 4 of 4+5=9 instead of 2 of 2+5=7
