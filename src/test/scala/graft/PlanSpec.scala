@@ -190,7 +190,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("text-quality kernels stay map-only before the presentation sort") {
-    for (q <- Seq("q_repetition", "q_gopher_filter", "q_lang_id", "q_token_stats")) {
+    for (q <- Seq("q_repetition", "q_gopher_filter", "q_lang_id", "q_token_stats",
+      "q_repetition_gopher", "q_repetition_filter")) {
       val p = physicalPlan(q)
       val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
       assert(exchanges == 0,
