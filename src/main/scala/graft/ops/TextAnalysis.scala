@@ -140,6 +140,22 @@ object TextAnalysis {
     */
   private def cp(s: String): Int = s.codePointCount(0, s.length)
 
+  /** Code-point (= UTF-8 byte) order — what DuckDB's binary-collated
+    * `ORDER BY` and Spark's UTF8String comparison both use. Java's
+    * `String.compareTo` is UTF-16 unit order, which ranks astral-plane
+    * characters (surrogates 0xD800–0xDFFF) BELOW U+E000–U+FFFF and
+    * would flip cross-engine tie-breaks on non-BMP grams.
+    */
+  private def cpLess(a: String, b: String): Boolean = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    a.length - i < b.length - j
+  }
+
   /** (dup_line_frac, dup_line_char_frac, top_word_frac, top_2gram_frac):
     * the repetition signals of the Gopher quality rules — fraction of
     * repeated lines, fraction of characters in repeated lines, and the
@@ -290,7 +306,7 @@ object TextAnalysis {
         var bestG: String = null
         var bestC = 0
         cnt.foreach { case (g, c) =>
-          if (c > bestC || (c == bestC && (bestG == null || g < bestG))) {
+          if (c > bestC || (c == bestC && (bestG == null || cpLess(g, bestG)))) {
             bestG = g; bestC = c
           }
         }

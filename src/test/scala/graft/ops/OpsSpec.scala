@@ -297,6 +297,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     // 14 words, sum_len = 12*1 + 3 + 3 = 18 < 14*2 -> mean_word_len drop;
     // unit counting would give 12*2+6 = 30 >= 28 and keep it
     assert(g.getString(g.fieldIndex("drop_reason")) == "mean_word_len")
+    // ngramRepetition on astral text: every count is in code points — a
+    // UTF-16-unit kernel would double the 𝐀 token's contribution to both
+    // n_tok_chars and the covered-token sum
+    val rep = Seq(("astral", "𝐀 b c d e x 𝐀 b c d e")).toDF("id", "text")
+    val n = TextAnalysis.ngramRepetition(rep, "text").head()
+    assert(n.getLong(n.fieldIndex("n_tok_chars")) == 11L)
+    assert(n.getLong(n.fieldIndex("dup5_chars")) == 10L)
+    assert(n.getLong(n.fieldIndex("top2_chars")) == 2L) // "𝐀 b" = 2 cp
+    // tie-break must use code-point order (DuckDB/UTF8String binary), not
+    // Java UTF-16 unit order: 豈 (U+F900) < 🙂 (U+1F642) by code point but
+    // the surrogate pair sorts first in UTF-16 units. The tied top bigram
+    // must be "豈 b" (2 cp), not "🙂 aa" (3 cp).
+    val tie = Seq(("tie", "🙂 aa 🙂 aa x 豈 b 豈 b")).toDF("id", "text")
+    val t = TextAnalysis.ngramRepetition(tie, "text").head()
+    assert(t.getLong(t.fieldIndex("top2_count")) == 2L)
+    assert(t.getLong(t.fieldIndex("top2_chars")) == 2L)
   }
 }
 
