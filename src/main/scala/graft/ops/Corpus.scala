@@ -4,16 +4,19 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** The composed corpus-cleaning pipeline a training-data run actually
-  * executes: rule-based document filtering (Gopher rules), then
-  * near-duplicate removal among the survivors. Composition keeps each
-  * stage's operator contract — filtering is map-only and happens FIRST so
-  * the quadratic-ish dedup stage only sees documents worth keeping.
+  * executes — the Gopher order (Rae et al. 2112.11446 §A1.2): rule-based
+  * quality filtering, then repetition filtering, then near-duplicate
+  * removal among the survivors. Composition keeps each stage's operator
+  * contract — both filter stages are map-only and happen FIRST so the
+  * quadratic-ish dedup stage only sees documents worth keeping.
   */
 object Corpus {
 
-  /** Gopher-filter `df`, then drop MinHash near-duplicates among the
-    * survivors. Returns the surviving rows with their original columns.
-    * `stats` (companion method) reports what each stage dropped.
+  /** Gopher-filter `df`, drop documents failing the Table-A1 repetition
+    * thresholds ([[TextAnalysis.repetitionFilter]]), then drop MinHash
+    * near-duplicates among the survivors. Returns the surviving rows with
+    * their original columns. `cleanStats` reports what each stage
+    * dropped. `repetitionRules = false` restores the two-stage pipeline.
     */
   def clean(
       df: DataFrame,
@@ -23,10 +26,17 @@ object Corpus {
       k: Int = 5,
       numHashes: Int = 40,
       bands: Int = 8,
-      threshold: Double = 0.8): DataFrame = {
-    val kept = TextAnalysis.gopherFilter(df, textCol, minWords = minWords)
+      threshold: Double = 0.8,
+      repetitionRules: Boolean = true): DataFrame = {
+    val cols = df.columns.toIndexedSeq.map(col)
+    val quality = TextAnalysis.gopherFilter(df, textCol, minWords = minWords)
       .filter(col("keep"))
-      .select(df.columns.toIndexedSeq.map(col): _*)
+      .select(cols: _*)
+    val kept =
+      if (!repetitionRules) quality
+      else TextAnalysis.repetitionFilter(quality, textCol)
+        .filter(col("keep"))
+        .select(cols: _*)
     Dedup.dropNearDuplicates(kept, idCol, textCol,
       k = k, numHashes = numHashes, bands = bands, threshold = threshold)
   }
@@ -43,16 +53,25 @@ object Corpus {
       k: Int = 5,
       numHashes: Int = 40,
       bands: Int = 8,
-      threshold: Double = 0.8): DataFrame = {
-    // cache the filter stage: three downstream actions (reason counts,
-    // kept count, dedup-survivor count) would otherwise re-run the
-    // per-document kernel three times over the full corpus
+      threshold: Double = 0.8,
+      repetitionRules: Boolean = true): DataFrame = {
+    val cols = df.columns.toIndexedSeq.map(col)
+    // cache each filter stage: multiple downstream actions (reason
+    // counts, kept count, next stage) would otherwise re-run the
+    // per-document kernels over the full corpus per action
     val flagged = TextAnalysis.gopherFilter(df, textCol, minWords = minWords).cache()
+    val repFlagged =
+      if (repetitionRules)
+        Some(TextAnalysis.repetitionFilter(
+          flagged.filter(col("keep")).select(cols: _*), textCol).cache())
+      else None
     try {
-      val reasonCounts: Seq[(String, Long)] = flagged.filter(!col("keep"))
+      def reasons(f: DataFrame): Seq[(String, Long)] = f.filter(!col("keep"))
         .groupBy(col("drop_reason")).agg(count(lit(1)).as("n"))
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-      val kept = flagged.filter(col("keep")).select(df.columns.toIndexedSeq.map(col): _*)
+      val reasonCounts = reasons(flagged) ++ repFlagged.toSeq.flatMap(reasons)
+      val kept = repFlagged.getOrElse(flagged)
+        .filter(col("keep")).select(cols: _*)
       val nKept = kept.count()
       val nSurvive = Dedup.dropNearDuplicates(kept, idCol, textCol,
         k = k, numHashes = numHashes, bands = bands, threshold = threshold).count()
@@ -61,6 +80,9 @@ object Corpus {
       (reasonCounts ++ Seq(
         ("near_duplicate", nKept - nSurvive),
         ("kept", nSurvive))).toDF("stage", "n")
-    } finally flagged.unpersist()
+    } finally {
+      flagged.unpersist()
+      repFlagged.foreach(_.unpersist())
+    }
   }
 }

@@ -58,10 +58,11 @@ object GoldenGate {
     "q_ann_pq" -> Map(
       "sf0.001" -> 2631537098319517309L,
       "sf0.01" -> 3833823461305376123L),
-    // Gopher filter (integer rules) + seeded MinHash dedup stage
+    // Gopher filter (integer rules) + Table-A1 repetition filter (round
+    // 8, pins re-derived) + seeded MinHash dedup stage
     "q_clean_corpus" -> Map(
-      "sf0.001" -> -5276516234819251619L,
-      "sf0.01" -> -2009732801575530595L),
+      "sf0.001" -> 3009267281317416306L,
+      "sf0.01" -> -531134740585318274L),
     // seeded LSH candidates, exact rounded-cosine verify
     "q_cosine_neardup" -> Map(
       "sf0.001" -> -1167652805735308602L,

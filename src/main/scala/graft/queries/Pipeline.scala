@@ -193,9 +193,11 @@ object Pipeline {
       Dedup.simhashNearDuplicates(Tables(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("id_a"), col("id_b"))),
 
-    // End-to-end corpus cleaning: Gopher filter -> MinHash near-dup
-    // removal among survivors. Rows-only (contains the probabilistic
-    // dedup stage); the stage accounting is pinned by EndToEndSpec.
+    // End-to-end corpus cleaning in the Gopher stage order: quality
+    // filter -> Table-A1 repetition filter -> MinHash near-dup removal
+    // among survivors. Rows-only (contains the probabilistic dedup
+    // stage) but golden-pinned; the stage accounting is pinned by
+    // EndToEndSpec.
     "q_clean_corpus" -> ((s, dir) =>
       graft.ops.Corpus.clean(Tables(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"))

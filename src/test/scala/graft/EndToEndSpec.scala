@@ -120,12 +120,17 @@ class CorpusCleanSpec extends org.scalatest.funsuite.AnyFunSuite {
       (4L, good + " a completely different tail that it was for nothing else whatsoever"),
       (5L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod")) // no stopwords
       .toDF("doc_id", "text")
+    // repetitionRules = false: these fixture docs are short enough that a
+    // single long 4-gram legitimately exceeds the Table-A1 char-fraction
+    // thresholds; the two-stage contract is pinned on its own
     val cleaned = graft.ops.Corpus.clean(rows, "doc_id", "text",
-      k = 3, numHashes = 64, bands = 16, threshold = 0.7)
+      k = 3, numHashes = 64, bands = 16, threshold = 0.7,
+      repetitionRules = false)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(cleaned == Set(1L, 4L), s"got $cleaned")
     val stats = graft.ops.Corpus.cleanStats(rows, "doc_id", "text",
-      k = 3, numHashes = 64, bands = 16, threshold = 0.7)
+      k = 3, numHashes = 64, bands = 16, threshold = 0.7,
+      repetitionRules = false)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(stats("too_few_words") == 1)
     assert(stats("stopwords") == 1)
@@ -133,5 +138,31 @@ class CorpusCleanSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(stats("kept") == 2)
     // accounting is complete: drops + kept == input
     assert(stats.values.sum == 5)
+  }
+
+  test("clean with repetition rules: Gopher stage order, complete accounting") {
+    // 30 distinct words ~ long enough to pass every top-gram rule
+    def longDoc(seed: Int) =
+      ((1 to 26).map(i => s"w$seed$i") ++ Seq("the", "and", "of", "to")).mkString(" ")
+    val loop = (Seq("the", "and", "of", "to") ++
+      Seq.fill(12)("spam ham jam")).mkString(" ") // dup 5-grams dominate
+    val rows = Seq(
+      (1L, longDoc(1)),
+      (2L, longDoc(2)),
+      (3L, "too short"),                // gopher: too_few_words
+      (4L, loop))                       // repetition stage drops it
+      .toDF("doc_id", "text")
+    val cleaned = graft.ops.Corpus.clean(rows, "doc_id", "text",
+      k = 3, numHashes = 64, bands = 16, threshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cleaned == Set(1L, 2L), s"got $cleaned")
+    val stats = graft.ops.Corpus.cleanStats(rows, "doc_id", "text",
+      k = 3, numHashes = 64, bands = 16, threshold = 0.7)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats("too_few_words") == 1)
+    assert(stats.keys.exists(_.endsWith("gram_char_frac")),
+      s"repetition stage reported nothing: $stats")
+    assert(stats("kept") == 2)
+    assert(stats.values.sum == 4)
   }
 }
