@@ -42,6 +42,35 @@ class PipelineStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("repetitionFilter on a stream matches the batch verdicts") {
+    implicit val sqlCtx = spark.sqlContext
+    val repDocs = Seq(
+      (1L, (1 to 30).map(i => s"word$i").mkString(" ")),
+      (2L, Seq.fill(12)("spam ham jam").mkString(" ")), // dup/top grams fire
+      (3L, "dup\ndup\ndup\nunique"))
+    val batch = graft.ops.TextAnalysis
+      .repetitionFilter(repDocs.toDF("doc_id", "text"), "text")
+      .select("doc_id", "keep", "drop_reason")
+      .as[(Long, Boolean, Option[String])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.ops.TextAnalysis
+      .repetitionFilter(mem.toDF().toDF("doc_id", "text"), "text")
+      .select("doc_id", "keep", "drop_reason")
+      .writeStream.format("memory").queryName("rep_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(repDocs.take(1): _*)
+      q.processAllAvailable()
+      mem.addData(repDocs.drop(1): _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, keep, drop_reason FROM rep_stream")
+        .as[(Long, Boolean, Option[String])].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got == batch && batch.values.exists(!_._1))
+    } finally q.stop()
+  }
+
   test("chunkByTokens on a stream matches the batch chunks") {
     implicit val sqlCtx = spark.sqlContext
     val batch = Chunking.chunkByTokens(
