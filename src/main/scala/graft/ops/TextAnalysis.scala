@@ -235,7 +235,9 @@ object TextAnalysis {
       minWords: Int = 10,
       maxWords: Int = 100000): DataFrame = {
     val stopwords = MarkerWords.flatMap(_._2).distinct.toSet
-    val k = udf(gopherKernel(stopwords) _)
+    // nondeterministic for the same one-call-per-row reason as
+    // repGopherUdf (the kernel itself is pure)
+    val k = udf(gopherKernel(stopwords) _).asNondeterministic()
     val n = col("__g._1"); val sumLen = col("__g._2"); val alpha = col("__g._3")
     val stops = col("__g._4"); val symbols = col("__g._5")
     df.withColumn("__g", k(col(textCol)))
@@ -344,7 +346,18 @@ object TextAnalysis {
       topCount, topChars, dupChars)
   }
 
-  private val repGopherUdf = udf(repGopherKernel _)
+  /** asNondeterministic is a PERFORMANCE pin, not a semantics statement —
+    * the kernel is pure. CollapseProject inlines deterministic expressions
+    * into every downstream reference, and codegen subexpression
+    * elimination does not recover calls sitting under CASE WHEN branches
+    * (they are conditionally evaluated), so the fused filter of the
+    * cleaning pipeline was invoking the kernel per rule per row
+    * (q_clean_corpus 1.5 s -> 14 s at sf0.1 when the repetition stage
+    * landed). Nondeterministic expressions never get inlined: the struct
+    * is computed once per row in its own projection and every rule reads
+    * the materialized column. Same fix on [[gopherFilter]]'s kernel.
+    */
+  private val repGopherUdf = udf(repGopherKernel _).asNondeterministic()
 
   /** Per-document Gopher repetition counts — the integer numerators and
     * denominators of every Table-A1 repetition rule, map-only. Columns:
