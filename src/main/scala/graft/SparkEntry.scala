@@ -41,7 +41,8 @@ object SparkEntry {
       graft.queries.SamDomain.queries ++
       graft.queries.ScaleDomain.queries ++
       graft.queries.Events.queries ++
-      graft.queries.Mining.queries
+      graft.queries.Mining.queries ++
+      graft.queries.Web.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -53,5 +54,6 @@ object SparkEntry {
       graft.queries.SamDomain.oracle ++
       graft.queries.ScaleDomain.oracle ++
       graft.queries.Events.oracle ++
-      graft.queries.Mining.oracle
+      graft.queries.Mining.oracle ++
+      graft.queries.Web.oracle
 }

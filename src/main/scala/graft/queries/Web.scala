@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.UrlOps
+
+/** URL / domain-provenance queries (§2.12 web layer), all oracle-backed.
+  *
+  * The documents table carries no URL column, so each query derives one
+  * deterministically from (doc_id, source, lang) — uppercase schemes,
+  * www/cdn subdomains, default and explicit ports, tracking params,
+  * fragments, multi-part TLDs — with the IDENTICAL derivation written in
+  * the oracle SQL, the same cross-engine-injection pattern as
+  * q_unicode_nfc. The path slot is `doc_id % 50`, so distinct docs
+  * genuinely collide on the normalized URL and the dedup/stat queries
+  * exercise real group structure rather than all-singleton groups.
+  *
+  * Scale shape: the normalization itself is map-only (pure built-in
+  * column expressions inside the scan's codegen span); q_url_dedup and
+  * q_domain_stats add exactly the ONE hash-aggregate exchange their
+  * semantics require, keyed on url_norm / domain — both fine keys at
+  * 100 TB (cardinality ~ corpus size / dup factor, no skew beyond what
+  * AQE handles).
+  */
+object Web {
+
+  /** The synthetic URL column — Spark side of the shared derivation. */
+  private def withUrl(df: DataFrame): DataFrame = {
+    val sch = when(col("doc_id") % 3 === 0, "HTTP")
+      .when(col("doc_id") % 3 === 1, "https").otherwise("HTTPS")
+    val sub = when(col("doc_id") % 4 === 0, "WWW.")
+      .when(col("doc_id") % 4 === 1, "")
+      .when(col("doc_id") % 4 === 2, "cdn.").otherwise("News.")
+    val tld = when(col("lang") === "en", "co.uk")
+      .when(col("lang") === "de", "de")
+      .when(col("lang") === "fr", "fr")
+      .when(col("lang") === "es", "com.br").otherwise("com.cn")
+    val prt = when(col("doc_id") % 5 === 0, ":80")
+      .when(col("doc_id") % 5 === 1, ":443")
+      .when(col("doc_id") % 5 === 2, ":8080").otherwise("")
+    val qry = when(col("doc_id") % 4 === 0, "?utm_source=feed&b=2&a=1")
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("?id="), col("doc_id") % 50, lit("&utm_campaign=x")))
+      .when(col("doc_id") % 4 === 2, "?fbclid=abc").otherwise("")
+    val frag = when(col("doc_id") % 2 === 0, "#Section-2").otherwise("")
+    df.withColumn("url",
+      concat(sch, lit("://"), sub, col("source"), lit("."), tld, prt,
+        lit("/"), col("lang"), lit("/Doc-"), col("doc_id") % 50, qry, frag))
+  }
+
+  /** The same derivation as DuckDB SQL (a CTE every oracle shares). */
+  private val urlCte: String =
+    """u AS (
+      |  SELECT doc_id, lang, source, n_chars,
+      |    (CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'HTTPS' END)
+      |    || '://'
+      |    || (CASE doc_id % 4 WHEN 0 THEN 'WWW.' WHEN 1 THEN '' WHEN 2 THEN 'cdn.' ELSE 'News.' END)
+      |    || source || '.'
+      |    || (CASE lang WHEN 'en' THEN 'co.uk' WHEN 'de' THEN 'de'
+      |          WHEN 'fr' THEN 'fr' WHEN 'es' THEN 'com.br' ELSE 'com.cn' END)
+      |    || (CASE doc_id % 5 WHEN 0 THEN ':80' WHEN 1 THEN ':443' WHEN 2 THEN ':8080' ELSE '' END)
+      |    || '/' || lang || '/Doc-' || (doc_id % 50)
+      |    || (CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed&b=2&a=1'
+      |          WHEN 1 THEN '?id=' || (doc_id % 50) || '&utm_campaign=x'
+      |          WHEN 2 THEN '?fbclid=abc' ELSE '' END)
+      |    || (CASE doc_id % 2 WHEN 0 THEN '#Section-2' ELSE '' END) AS url
+      |  FROM documents)""".stripMargin
+
+  /** DuckDB twin of [[UrlOps.normalize]] + host + registrable domain,
+    * as a CTE over `u`. Mirrors the Scala kernel rule-for-rule; the
+    * tracker regex and multi-part suffix list are inlined from UrlOps
+    * so a drift in either engine fails the gate loudly.
+    */
+  private val normCte: String =
+    """n AS (
+      |  SELECT doc_id, lang, source, n_chars, url,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+      |    lower(regexp_replace(regexp_replace(
+      |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+      |      ':[0-9]+$', ''), '\.$', '')) AS host,
+      |    regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+      |      ':([0-9]+)$', 1) AS prt,
+      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+      |    -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's is ''
+      |    coalesce(array_to_string(list_sort(list_filter(
+      |      string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      |      x -> x <> '' AND NOT regexp_matches(x,
+      |        '^(utm_[^=]*|fbclid|gclid|ref|mc_eid)='))), '&'), '') AS kept
+      |  FROM u),
+      |c AS (
+      |  SELECT doc_id, lang, source, n_chars, url, host,
+      |    sch || '://' || host
+      |    || (CASE WHEN prt = '' THEN ''
+      |          WHEN sch = 'http'  AND prt = '80'  THEN ''
+      |          WHEN sch = 'https' AND prt = '443' THEN ''
+      |          ELSE ':' || prt END)
+      |    || (CASE WHEN pth = '' THEN '/' ELSE pth END)
+      |    || (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS url_norm,
+      |    (CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+      |       WHEN array_to_string(array_slice(string_split(host, '.'), -2, -1), '.')
+      |         IN ('co.uk','ac.uk','gov.uk','com.au','com.cn','com.br','co.jp')
+      |       THEN array_to_string(array_slice(string_split(host, '.'), -3, -1), '.')
+      |       ELSE array_to_string(array_slice(string_split(host, '.'), -2, -1), '.')
+      |     END) AS domain
+      |  FROM n)""".stripMargin
+
+  /** Spark side: url → url_norm, host, domain columns appended. */
+  private def normalized(s: SparkSession, dir: String): DataFrame = {
+    val withU = withUrl(Tables(s, dir, "documents"))
+    val h = UrlOps.host(col("url"))
+    withU.select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+      col("url"), h.as("host"),
+      UrlOps.normalize(col("url")).as("url_norm"),
+      UrlOps.registrableDomain(h).as("domain"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-document canonicalization detail: the raw derived URL next to
+    // its normalized form, host, and registrable domain. Map-only.
+    "q_url_normalize" -> ((s, dir) =>
+      normalized(s, dir)
+        .select(col("doc_id"), col("url"), col("url_norm"), col("host"),
+          col("domain"))
+        .orderBy(col("doc_id"))),
+
+    // URL-level exact dedup (the first filter of C4/RefinedWeb): group
+    // on the canonical URL, keep the smallest doc_id as survivor. ONE
+    // hash aggregate on url_norm.
+    "q_url_dedup" -> ((s, dir) =>
+      normalized(s, dir)
+        .groupBy(col("url_norm"))
+        .agg(min(col("doc_id")).as("survivor_doc_id"),
+          count(lit(1)).as("n_dupes"))
+        .orderBy(col("url_norm"))),
+
+    // Domain-level curation stats: docs, distinct canonical URLs,
+    // distinct languages, total chars per registrable domain — the
+    // table a domain allowlist/blocklist decision reads. ONE aggregate
+    // keyed on domain (count(DISTINCT ...) expands to the standard
+    // two-phase partial-distinct plan, still a single logical pass).
+    "q_domain_stats" -> ((s, dir) =>
+      normalized(s, dir)
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url_norm")).as("n_urls"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("domain")))
+  )
+
+  // NOTE: no outer stripMargin on these — it would re-strip the first
+  // '|' of every '||' concatenation line inside the interpolated CTEs
+  // (stripMargin treats the second pipe of '||' as a margin marker).
+  // The CTEs are stripMargin'd once at definition; tails are plain.
+  def oracle: Map[String, String] = Map(
+    "q_url_normalize" ->
+      (s"WITH $urlCte,\n$normCte\n" +
+        "SELECT doc_id, url, url_norm, host, domain\n" +
+        "FROM c ORDER BY doc_id"),
+    "q_url_dedup" ->
+      (s"WITH $urlCte,\n$normCte\n" +
+        "SELECT url_norm, min(doc_id) AS survivor_doc_id,\n" +
+        "  count(*) AS n_dupes\n" +
+        "FROM c GROUP BY url_norm ORDER BY url_norm"),
+    "q_domain_stats" ->
+      (s"WITH $urlCte,\n$normCte\n" +
+        "SELECT domain, count(*) AS n_docs,\n" +
+        "  count(DISTINCT url_norm) AS n_urls,\n" +
+        "  count(DISTINCT lang) AS n_langs,\n" +
+        "  sum(n_chars) AS total_chars\n" +
+        "FROM c GROUP BY domain ORDER BY domain")
+  )
+}

@@ -460,4 +460,29 @@ class PlanSpec extends AnyFunSuite {
     assert(sp.contains("partial_"),
       s"sketch arrays must merge map-side:\n${sp.take(800)}")
   }
+
+  test("URL family: normalize is map-only; dedup and stats shuffle once on their keys") {
+    // normalization must ride inside the scan's codegen span — the only
+    // exchange allowed is the presentation sort's range partitioning
+    val pn = physicalPlan("q_url_normalize")
+    assert("Exchange hashpartitioning".r.findAllIn(pn).isEmpty,
+      s"url normalization must not hash-shuffle:\n${pn.take(800)}")
+    assert(!pn.contains("CartesianProduct") && !pn.contains("Window"), pn.take(800))
+
+    // URL dedup: ONE hash aggregate on url_norm (partial + final around
+    // a single exchange), nothing else
+    val pd = physicalPlan("q_url_dedup")
+    assert("Exchange hashpartitioning".r.findAllIn(pd).length == 1,
+      s"url dedup is one keyed aggregate:\n${pd.take(800)}")
+    assert(pd.contains("partial_"), s"dedup must map-side combine:\n${pd.take(800)}")
+
+    // domain stats: two count(DISTINCT) → canonical Expand plan; the
+    // Expand factor is 3 (one slice per distinct + one for plain aggs)
+    // and both exchanges stay keyed on domain(+distinct col) — bounded,
+    // skew-safe shape at any corpus size
+    val ps = physicalPlan("q_domain_stats")
+    assert(ps.contains("Expand"), s"multi-distinct should plan Expand:\n${ps.take(800)}")
+    assert("Exchange hashpartitioning".r.findAllIn(ps).length <= 2,
+      s"domain stats exceed the two-exchange multi-distinct shape:\n${ps.take(800)}")
+  }
 }

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Edge-case pins for the URL/web-provenance kernels. The corpus-level
+  * behavior is oracle-gated (q_url_normalize / q_url_dedup /
+  * q_domain_stats); these pin the per-rule semantics on hand-built URLs
+  * the synthetic derivation never produces.
+  */
+class UrlOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def norm(urls: String*): Seq[String] =
+    urls.toDF("url").select(UrlOps.normalize(col("url")))
+      .as[String].collect().toSeq
+
+  private def dom(hosts: String*): Seq[String] =
+    hosts.toDF("h").select(UrlOps.registrableDomain(col("h")))
+      .as[String].collect().toSeq
+
+  test("scheme and host lower-case; path case preserved") {
+    assert(norm("HTTP://WWW.Example.COM/Path/File.HTML") ===
+      Seq("http://www.example.com/Path/File.HTML"))
+  }
+
+  test("default ports stripped, non-default and cross-scheme ports kept") {
+    assert(norm(
+      "http://a.com:80/x", "https://a.com:443/x",
+      "http://a.com:443/x", "https://a.com:80/x",
+      "http://a.com:8080/x") ===
+      Seq("http://a.com/x", "https://a.com/x",
+        "http://a.com:443/x", "https://a.com:80/x",
+        "http://a.com:8080/x"))
+  }
+
+  test("fragment dropped, empty path becomes /") {
+    assert(norm("https://a.com#frag", "https://a.com", "https://a.com/#f") ===
+      Seq("https://a.com/", "https://a.com/", "https://a.com/"))
+  }
+
+  test("tracking params dropped, survivors byte-sorted, bare ? dropped") {
+    assert(norm(
+      "https://a.com/p?utm_source=x&b=2&a=1",
+      "https://a.com/p?fbclid=zzz",
+      "https://a.com/p?gclid=1&ref=hn&mc_eid=7&id=9",
+      "https://a.com/p?z=1&y=2&utm_medium=email&x=3") ===
+      Seq("https://a.com/p?a=1&b=2",
+        "https://a.com/p",
+        "https://a.com/p?id=9",
+        "https://a.com/p?x=3&y=2&z=1"))
+  }
+
+  test("utm_ prefix matches any suffix; non-tracker utmx-like keys survive") {
+    assert(norm("https://a.com/p?utm_anything=1&utmx=2&refer=3") ===
+      Seq("https://a.com/p?refer=3&utmx=2"))
+  }
+
+  test("trailing host dot stripped; userless authority only") {
+    assert(norm("https://Example.com./x") === Seq("https://example.com/x"))
+  }
+
+  test("registrable domain: two labels unless a multi-part suffix applies") {
+    assert(dom("news.blog.example.com", "example.com", "localhost",
+      "a.b.example.co.uk", "example.co.uk", "co.uk",
+      "x.example.com.au", "deep.example.com.cn") ===
+      Seq("example.com", "example.com", "localhost",
+        "example.co.uk", "example.co.uk", "co.uk",
+        "example.com.au", "example.com.cn"))
+  }
+
+  test("normalize is idempotent") {
+    val urls = Seq(
+      "HTTP://WWW.Ex.COM:80/A/b?utm_source=x&b=2&a=1#f",
+      "https://a.co.uk:8443/p?z=1&gclid=9",
+      "http://plain.de")
+    val once = norm(urls: _*)
+    assert(norm(once: _*) === once)
+  }
+}
