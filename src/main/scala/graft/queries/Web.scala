@@ -169,7 +169,8 @@ object Web {
         "SELECT domain, count(*) AS n_docs,\n" +
         "  count(DISTINCT url_norm) AS n_urls,\n" +
         "  count(DISTINCT lang) AS n_langs,\n" +
-        "  sum(n_chars) AS total_chars\n" +
+        "  CAST(sum(n_chars) AS BIGINT) AS total_chars\n" + // sum(BIGINT) is HUGEINT in DuckDB → float in pandas
+
         "FROM c GROUP BY domain ORDER BY domain")
   )
 }
