@@ -28,6 +28,56 @@ object Pipeline {
         .select(col("source"), col("doc_id"), col("dup_count"))
         .orderBy(col("source"))),
 
+    // Content-defined chunking, per-doc view: chunk counts plus the
+    // cover invariant (chunks concatenate back to the full text) as an
+    // oracle-checked column. Map-only: the chunker is one compiled
+    // kernel pass per row; the kernel column is materialized in its own
+    // projection so the stat expressions reference a cheap attribute
+    // (CollapseProject won't inline a multiply-referenced non-cheap
+    // expr, so the kernel runs exactly once per row).
+    "q_cdc_chunks" -> ((s, dir) => {
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("n"),
+          graft.ops.Cdc.chunks(col("text")).as("ch"))
+      val lens = transform(col("ch"), c => length(c))
+      base.select(col("doc_id"),
+          size(col("ch")).as("n_chunks"),
+          aggregate(lens, lit(0), (a, l) => a + l).as("total_chunk_chars"),
+          array_max(lens).as("max_chunk_len"),
+          (aggregate(lens, lit(0), (a, l) => a + l) === col("n"))
+            .as("covered_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Content-defined chunking, corpus dedup view: one row per distinct
+    // chunk with occurrence count, doc spread, and the chars a
+    // single-instance chunk store saves. ONE chunk-keyed aggregate.
+    "q_cdc_dedup" -> ((s, dir) =>
+      graft.ops.Cdc.chunkDedup(Tables(s, dir, "documents"), "doc_id", "text")
+        .select(col("chunk"), col("chunk_len").cast("int").as("chunk_len"),
+          col("n_occ"), col("n_docs"), col("chars_saved"))
+        .orderBy(col("chunk"))),
+
+    // CDC on genuinely non-ASCII text: inject a 2-codepoint sequence
+    // (é + an astral clef, 1+2 UTF-16 chars, 2+4 UTF-8 bytes) after
+    // every 'e', then re-chunk — gating the kernel's codepoint path
+    // (positions = code points, windows hashed over their UTF-8 bytes)
+    // against DuckDB's native substring/md5 semantics, the
+    // q_unicode_nfc pattern.
+    "q_cdc_unicode" -> ((s, dir) => {
+      val injected = regexp_replace(col("text"), "e", "eé𝄞")
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), length(injected).as("n"),
+          graft.ops.Cdc.chunks(injected).as("ch"))
+      val lens = transform(col("ch"), c => length(c))
+      base.select(col("doc_id"),
+          size(col("ch")).as("n_chunks"),
+          aggregate(lens, lit(0), (a, l) => a + l).as("total_chunk_chars"),
+          (aggregate(lens, lit(0), (a, l) => a + l) === col("n"))
+            .as("covered_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact n-gram Jaccard near-dup pairs inside (lang, source) blocks.
     "q_neardup_jaccard" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
@@ -967,6 +1017,81 @@ object Pipeline {
     "q_dedup_exact" ->
       """SELECT source, MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // Shared CDC chunk derivation (w=16, md5 2-hex prefix <= '07'):
+    // mirrors ops.Cdc rule-for-rule. A cut at the final position is
+    // dropped (the end sentinel already cuts there).
+    "q_cdc_chunks" ->
+      """WITH p AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    list_filter(
+        |      CASE WHEN length(text) >= 16 THEN range(16, length(text) + 1)
+        |           ELSE []::BIGINT[] END,
+        |      i -> substring(md5(substring(text, i - 15, 16)), 1, 2) <= '07'
+        |        AND i <> length(text)) AS inner_cuts
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, n,
+        |    list_concat(list_concat([0]::BIGINT[], inner_cuts), [n]::BIGINT[]) AS cuts
+        |  FROM p),
+        |ch AS (
+        |  SELECT doc_id, n,
+        |    list_transform(range(1, len(cuts)), j ->
+        |      length(substring(text, CAST(cuts[j] + 1 AS INT),
+        |                       CAST(cuts[j + 1] - cuts[j] AS INT)))) AS lens
+        |  FROM c)
+        |SELECT doc_id, CAST(len(lens) AS INT) AS n_chunks,
+        |  CAST(list_sum(lens) AS INT) AS total_chunk_chars,
+        |  CAST(list_max(lens) AS INT) AS max_chunk_len,
+        |  list_sum(lens) = n AS covered_ok
+        |FROM ch ORDER BY doc_id""".stripMargin,
+    "q_cdc_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    list_filter(
+        |      CASE WHEN length(text) >= 16 THEN range(16, length(text) + 1)
+        |           ELSE []::BIGINT[] END,
+        |      i -> substring(md5(substring(text, i - 15, 16)), 1, 2) <= '07'
+        |        AND i <> length(text)) AS inner_cuts
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, n,
+        |    list_concat(list_concat([0]::BIGINT[], inner_cuts), [n]::BIGINT[]) AS cuts
+        |  FROM p),
+        |e AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(cuts)), j ->
+        |    substring(text, CAST(cuts[j] + 1 AS INT),
+        |              CAST(cuts[j + 1] - cuts[j] AS INT)))) AS chunk
+        |  FROM c)
+        |SELECT chunk, CAST(length(chunk) AS INT) AS chunk_len,
+        |  count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs,
+        |  CAST((count(*) - 1) * length(chunk) AS BIGINT) AS chars_saved
+        |FROM e GROUP BY chunk ORDER BY chunk""".stripMargin,
+    "q_cdc_unicode" ->
+      ("""WITH d AS (
+        |  SELECT doc_id, replace(text, 'e', 'e""" + "é𝄞" + """') AS text
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    list_filter(
+        |      CASE WHEN length(text) >= 16 THEN range(16, length(text) + 1)
+        |           ELSE []::BIGINT[] END,
+        |      i -> substring(md5(substring(text, CAST(i - 15 AS INT), 16)), 1, 2) <= '07'
+        |        AND i <> length(text)) AS inner_cuts
+        |  FROM d),
+        |c AS (
+        |  SELECT doc_id, text, n,
+        |    list_concat(list_concat([0]::BIGINT[], inner_cuts), [n]::BIGINT[]) AS cuts
+        |  FROM p),
+        |ch AS (
+        |  SELECT doc_id, n,
+        |    list_transform(range(1, len(cuts)), j ->
+        |      length(substring(text, CAST(cuts[j] + 1 AS INT),
+        |                       CAST(cuts[j + 1] - cuts[j] AS INT)))) AS lens
+        |  FROM c)
+        |SELECT doc_id, CAST(len(lens) AS INT) AS n_chunks,
+        |  CAST(list_sum(lens) AS INT) AS total_chunk_chars,
+        |  list_sum(lens) = n AS covered_ok
+        |FROM ch ORDER BY doc_id""").stripMargin,
     "q_neardup_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, lang || '|' || source AS blk,

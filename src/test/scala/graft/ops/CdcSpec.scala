@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins for content-defined chunking. The corpus-level outputs are
+  * oracle-gated (q_cdc_chunks / q_cdc_dedup); these pin the properties
+  * that make CDC worth having over fixed-offset chunking.
+  */
+class CdcSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def chunksOf(texts: String*): Seq[Seq[String]] =
+    texts.toDF("text").select(Cdc.chunks(col("text")))
+      .as[Seq[String]].collect().toSeq
+
+  private def rand(seed: Int, n: Int): String = {
+    val r = new scala.util.Random(seed)
+    val sb = new StringBuilder
+    (1 to n).foreach(_ => sb.append(('a' + r.nextInt(26)).toChar))
+    sb.toString
+  }
+
+  test("chunks cover the text exactly, in order, never empty") {
+    val texts = (1 to 8).map(s => rand(s, 50 + s * 37))
+    chunksOf(texts: _*).zip(texts).foreach { case (ch, t) =>
+      assert(ch.mkString === t)
+      assert(ch.forall(_.nonEmpty))
+    }
+  }
+
+  test("text shorter than the gram width is a single chunk") {
+    assert(chunksOf("tiny", "exactly15chars.") === Seq(Seq("tiny"), Seq("exactly15chars.")))
+  }
+
+  test("edit locality: a prepended prefix preserves every chunk after the first cut") {
+    // All inner cut positions of T sit at >= w, so their anchoring grams
+    // lie wholly inside T and survive any prefix edit — the defining CDC
+    // property (fixed-offset chunking would shift every boundary).
+    val t = rand(42, 4000)
+    val Seq(chT, chPT) = chunksOf(t, "EDITED-PREFIX-" + t)
+    assert(chT.size >= 3, s"fixture too short to be meaningful: ${chT.size} chunks")
+    assert(chPT.takeRight(chT.size - 1) === chT.tail)
+  }
+
+  test("expected chunk length tracks the 1-in-32 anchor probability") {
+    val t = rand(7, 20000)
+    val Seq(ch) = chunksOf(t)
+    val mean = t.length.toDouble / ch.size
+    assert(mean > 16 && mean < 80, s"mean chunk length $mean off the ~32 target")
+  }
+
+  test("codepoint positions: astral chars chunk identically to their ASCII skeleton") {
+    // 𝄞 is 2 UTF-16 chars / 4 UTF-8 bytes but ONE position; the cover
+    // invariant must hold and boundary arithmetic must not split a
+    // surrogate pair. (Cross-engine parity is gated by q_cdc_unicode.)
+    val t = rand(11, 800).flatMap(c => if (c % 7 == 0) s"${c}é𝄞" else s"$c")
+    val Seq(ch) = chunksOf(t)
+    assert(ch.mkString === t)
+    assert(ch.forall(c => !Character.isLowSurrogate(c.charAt(0))),
+      "a chunk starts mid-surrogate-pair")
+    assert(ch.size >= 2)
+  }
+
+  test("chunkDedup aligns a shared block across documents with different surroundings") {
+    val shared = rand(99, 600)
+    val a = rand(1, 300) + shared + rand(2, 250)
+    val b = rand(3, 500) + shared + rand(4, 100)
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val dedup = Cdc.chunkDedup(df, "doc_id", "text")
+      .filter(col("n_docs") === 2).collect()
+    assert(dedup.nonEmpty, "no chunk of the shared 600-char block aligned")
+    val saved = dedup.map(_.getAs[Long]("chars_saved")).sum
+    assert(saved > 300, s"only $saved shared chars found of ~600")
+  }
+}
