@@ -106,12 +106,15 @@ object Web {
       |     END) AS domain
       |  FROM n)""".stripMargin
 
-  /** Spark side: url → url_norm, host, domain columns appended. */
+  /** Spark side: url → url_norm, host, domain columns appended. `text`
+    * rides along for the quality composition; Catalyst's column pruning
+    * drops it from the scan for the queries that never touch it.
+    */
   private def normalized(s: SparkSession, dir: String): DataFrame = {
     val withU = withUrl(Tables(s, dir, "documents"))
     val h = UrlOps.host(col("url"))
     withU.select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-      col("url"), h.as("host"),
+      col("text"), col("url"), h.as("host"),
       UrlOps.normalize(col("url")).as("url_norm"),
       UrlOps.registrableDomain(h).as("domain"))
   }
@@ -147,7 +150,24 @@ object Web {
           countDistinct(col("url_norm")).as("n_urls"),
           countDistinct(col("lang")).as("n_langs"),
           sum(col("n_chars")).as("total_chars"))
-        .orderBy(col("domain")))
+        .orderBy(col("domain"))),
+
+    // Domain-level quality filtering (the RefinedWeb/C4 "drop bad
+    // domains wholesale" step): per-registrable-domain mean of the
+    // TextAnalysis quality score, decided integer-exactly — each doc's
+    // 6-rounded score becomes micro-units (×1e6, a Long), sums are
+    // exact integer sums (order-invariant, partition-invariant), and
+    // the keep verdict compares sum >= cutoff·n without ever averaging
+    // doubles. ONE domain-keyed aggregate over a map-only projection.
+    "q_domain_filter" -> ((s, dir) => {
+      val q = graft.ops.TextAnalysis.qualityFeatures(normalized(s, dir), "text")
+      val micro = round(col("quality_score") * 1e6).cast("long")
+      q.groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"), sum(micro).as("sum_q_micro"))
+        .select(col("domain"), col("n_docs"), col("sum_q_micro"),
+          (col("sum_q_micro") >= lit(550000L) * col("n_docs")).as("keep"))
+        .orderBy(col("domain"))
+    })
   )
 
   // NOTE: no outer stripMargin on these — it would re-strip the first
@@ -171,6 +191,27 @@ object Web {
         "  count(DISTINCT lang) AS n_langs,\n" +
         "  CAST(sum(n_chars) AS BIGINT) AS total_chars\n" + // sum(BIGINT) is HUGEINT in DuckDB → float in pandas
 
-        "FROM c GROUP BY domain ORDER BY domain")
+        "FROM c GROUP BY domain ORDER BY domain"),
+    // Quality formula restated from the q_quality_score oracle (same
+    // punct/alpha classes, same weights, same round-6), then quantized
+    // to integer micro-units so the per-domain sum is exact.
+    "q_domain_filter" ->
+      (s"WITH $urlCte,\n$normCte,\n" +
+        """q AS (
+          |  SELECT c.domain,
+          |    CAST(round(round(
+          |      least(1.0, len(regexp_extract_all(trim(d.text), '\S+')) / 20.0) * 0.4 +
+          |      (1.0 - least(1.0,
+          |        ((length(d.text) - length(regexp_replace(d.text, '[[:punct:]]', '', 'g')))::DOUBLE
+          |          / greatest(length(d.text), 1)) * 4.0)) * 0.3 +
+          |      least(1.0,
+          |        (length(regexp_replace(d.text, '[^A-Za-z]', '', 'g'))::DOUBLE
+          |          / greatest(length(d.text), 1)) * 1.25) * 0.3,
+          |      6) * 1e6) AS BIGINT) AS q_micro
+          |  FROM c JOIN documents d USING (doc_id))
+          |SELECT domain, count(*) AS n_docs,
+          |  CAST(sum(q_micro) AS BIGINT) AS sum_q_micro,
+          |  CAST(sum(q_micro) AS BIGINT) >= 550000 * count(*) AS keep
+          |FROM q GROUP BY domain ORDER BY domain""".stripMargin)
   )
 }
