@@ -42,6 +42,35 @@ class PipelineStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("URL normalization and CDC chunking on a stream match their batch twins") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, "HTTP://WWW.Ex.COM:80/A/b?utm_source=x&b=2&a=1#f", "alpha beta " * 40),
+      (2L, "https://a.co.uk:8443/p?z=1&gclid=9", "gamma delta " * 25),
+      (3L, "http://plain.de", "epsilon"))
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("_1").as("id"),
+        graft.ops.UrlOps.normalize(col("_2")).as("u"),
+        graft.ops.UrlOps.registrableDomain(graft.ops.UrlOps.host(col("_2"))).as("d"),
+        graft.ops.Cdc.chunks(col("_3")).as("ch"))
+    val batch = shape(rows.toDF())
+      .as[(Long, String, String, Seq[String])].collect().toSet
+    val mem = MemoryStream[(Long, String, String)]
+    val q = shape(mem.toDF())
+      .writeStream.format("memory").queryName("web_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(1): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(1): _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id, u, d, ch FROM web_stream")
+        .as[(Long, String, String, Seq[String])].collect().toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("repetitionFilter on a stream matches the batch verdicts") {
     implicit val sqlCtx = spark.sqlContext
     val repDocs = Seq(
