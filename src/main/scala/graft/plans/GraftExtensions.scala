@@ -56,12 +56,31 @@ object GraftExtensions {
         lint(children(6), "phredAdjust"))
     })
 
+  /** cdc_chunks(text, w, maxFirstByte) — the chunking geometry must be
+    * integer literals (they parameterize the kernel, not the row).
+    */
+  private def cdcDescriptor: Descriptor = (
+    FunctionIdentifier("cdc_chunks"),
+    new ExpressionInfo(classOf[CdcChunksExpr].getName, "cdc_chunks"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3,
+        "cdc_chunks(text, w, maxFirstByte) takes 3 arguments")
+      def lint(e: Expression, n: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case _ => throw new IllegalArgumentException(
+          s"cdc_chunks: $n must be an integer literal")
+      }
+      CdcChunksExpr(children(0), lint(children(1), "w"),
+        lint(children(2), "maxFirstByte"))
+    })
+
   private[plans] val descriptors: Seq[Descriptor] = Seq(
     binary("hamming_distance", classOf[HammingDistance], HammingDistance.apply),
     binary("dot_f", classOf[DotProductFloat], DotProductFloat.apply),
     binary("cosine_f", classOf[CosineSimFloat], CosineSimFloat.apply),
     binary("jaccard_sorted", classOf[JaccardSortedLong], JaccardSortedLong.apply),
-    alignDescriptor)
+    alignDescriptor,
+    cdcDescriptor)
 
   /** Register on an existing session (tests, notebooks); idempotent. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
