@@ -410,4 +410,44 @@ object TextAnalysis {
       .withColumn("drop_reason", reason.otherwise(lit(null).cast("string")))
       .withColumn("keep", col("drop_reason").isNull)
   }
+
+  private val deflaterLocal: ThreadLocal[java.util.zip.Deflater] =
+    ThreadLocal.withInitial(() =>
+      new java.util.zip.Deflater(6, /* nowrap = */ true))
+
+  private[ops] def deflatedSize(text: String): Int = {
+    val in = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val d = deflaterLocal.get()
+    d.reset()
+    d.setInput(in)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
+
+  private val deflateUdf = udf((t: String) => if (t == null) null else {
+    val raw = t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    (raw, deflatedSize(t))
+  })
+
+  /** Deflate-compressibility quality signal (the zlib-ratio heuristic
+    * web-corpus pipelines use alongside the Gopher rules: highly
+    * compressible text is boilerplate or repetition; ratio near 1 is
+    * high-entropy noise — both tails are suspect). Level 6, raw
+    * deflate (nowrap), UTF-8 bytes. Map-only; one Deflater per executor
+    * thread. Deterministic for a fixed JVM's zlib, which is what the
+    * golden pin asserts — there is no SQL twin, so this family is
+    * GoldenGate-pinned rather than oracle-backed (the q_plogo
+    * precedent).
+    */
+  def compressionSignals(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__z", deflateUdf(col(textCol)))
+      .withColumn("n_raw_bytes", col("__z._1"))
+      .withColumn("n_deflate_bytes", col("__z._2"))
+      .withColumn("deflate_ratio",
+        round(col("__z._2").cast("double") /
+          greatest(col("__z._1"), lit(1)).cast("double"), 6))
+      .drop("__z")
 }

@@ -39,6 +39,11 @@ object GoldenGate {
     */
   private val Pins: Map[String, Map[String, Long]] = Map(
     // quantized-Long gradient training — bit-reproducible scores
+    // fixed-level raw deflate over UTF-8 bytes (JVM zlib; determinism
+    // within the container is the claim the pin asserts)
+    "q_compression_ratio" -> Map(
+      "sf0.001" -> 5659351399849157726L,
+      "sf0.01" -> -1003849550103307618L),
     "q_lr_quality" -> Map(
       "sf0.001" -> 593451318610010724L,
       "sf0.01" -> 9062431030121579018L),

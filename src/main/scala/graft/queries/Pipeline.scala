@@ -440,6 +440,18 @@ object Pipeline {
         TextAnalysis.languageId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // Deflate-compressibility signal: no SQL twin (DuckDB has no
+    // deflate), so rows-only at the driver + GoldenGate-pinned — the
+    // q_plogo/q_bpe_tokenize discipline. `suspect` flags both tails
+    // (boilerplate-compressible and high-entropy noise).
+    "q_compression_ratio" -> ((s, dir) =>
+      TextAnalysis.compressionSignals(Tables(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_raw_bytes"), col("n_deflate_bytes"),
+          col("deflate_ratio"),
+          (col("deflate_ratio") < 0.35 || col("deflate_ratio") > 0.95)
+            .as("suspect"))
+        .orderBy(col("doc_id"))),
+
     "q_fingerprint" -> ((s, dir) =>
       Tables(s, dir, "documents").select(
         col("doc_id"),

@@ -314,6 +314,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(t.getLong(t.fieldIndex("top2_count")) == 2L)
     assert(t.getLong(t.fieldIndex("top2_chars")) == 2L)
   }
+
+  test("compression signals: repetition compresses, noise does not, ratio is exact") {
+    import org.apache.spark.sql.functions.col
+    val r = new scala.util.Random(5)
+    val noise = (1 to 2000).map(_ => (' ' + r.nextInt(94)).toChar).mkString
+    val boiler = "subscribe to our newsletter now! " * 60
+    val rows = Seq((1L, boiler), (2L, noise), (3L, ""))
+    import spark.implicits._
+    val got = TextAnalysis.compressionSignals(
+      rows.toDF("id", "text"), "text")
+      .select(col("id"), col("n_raw_bytes"), col("n_deflate_bytes"), col("deflate_ratio"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    val (bRaw, bZ, bRatio) = got(1L)
+    val (nRaw, nZ, nRatio) = got(2L)
+    assert(bRaw == boiler.getBytes("UTF-8").length)
+    assert(bRatio < 0.10, s"boilerplate should crush: $bRatio")
+    assert(nRatio > 0.80, s"random printable text should not compress: $nRatio")
+    assert(math.abs(bRatio - bZ.toDouble / bRaw) < 1e-6)
+    assert(math.abs(nRatio - nZ.toDouble / nRaw) < 1e-6)
+    // empty text: guarded denominator, zero raw bytes
+    assert(got(3L)._1 == 0)
+    // determinism within the JVM (the cross-JVM claim is the golden pin)
+    val again = TextAnalysis.compressionSignals(
+      rows.toDF("id", "text"), "text")
+      .orderBy(col("id"))
+      .select(col("n_deflate_bytes")).collect().map(_.getInt(0)).toSeq
+    assert(again == Seq(bZ, nZ, got(3L)._2))
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
