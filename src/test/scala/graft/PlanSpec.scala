@@ -485,4 +485,22 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(ps).length <= 2,
       s"domain stats exceed the two-exchange multi-distinct shape:\n${ps.take(800)}")
   }
+
+  test("CDC family: chunking is one native-kernel projection; dedup shuffles only on its keys") {
+    // per-doc view: the only exchange is the presentation sort's range
+    // partitioning; the kernel is a native expression, not a ScalaUDF
+    val pc = physicalPlan("q_cdc_chunks")
+    assert("Exchange hashpartitioning".r.findAllIn(pc).isEmpty,
+      s"cdc chunking must not hash-shuffle:\n${pc.take(800)}")
+    assert(!pc.contains("ScalaUDF") && pc.contains("cdc_chunks"),
+      s"chunking should run the native cdc_chunks expression:\n${pc.take(800)}")
+
+    // corpus dedup: explode → the two-exchange count(DISTINCT doc_id)
+    // aggregate keyed on chunk — nothing else, no window, no join
+    val pd = physicalPlan("q_cdc_dedup")
+    assert("Exchange hashpartitioning".r.findAllIn(pd).length <= 2,
+      s"chunk dedup exceeds the distinct-aggregate shape:\n${pd.take(800)}")
+    assert(!pd.contains("Window") && !pd.contains("CartesianProduct"), pd.take(800))
+    assert(pd.contains("partial_"), s"chunk counts must map-side combine:\n${pd.take(800)}")
+  }
 }

@@ -152,4 +152,45 @@ class PropertiesSpec extends AnyFunSuite {
         fa.intersect(fb).nonEmpty
     })
   }
+
+  // ---- CDC kernel properties (pure kernel, no Spark jobs) ----
+
+  private def cdcChunks(text: String): Seq[String] = {
+    val arr = graft.plans.CdcChunksExpr.kernel(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text), 16, 0x07)
+    (0 until arr.numElements()).map(j =>
+      arr.getUTF8String(j).toString)
+  }
+
+  private val uniGen: Gen[String] = Gen.chooseNum(0, 400).flatMap(n =>
+    Gen.stringOfN(n, Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '\n'),
+      1 -> Gen.oneOf('\u00e9', '\u4e2d'), 1 -> Gen.const('a'))))
+
+  test("CDC chunks cover every input exactly, in order") {
+    check(Prop.forAll(uniGen) { t =>
+      val ch = cdcChunks(t)
+      ch.mkString == t && (t.isEmpty || ch.forall(_.nonEmpty))
+    })
+  }
+
+  test("CDC chunks never start on a malformed boundary and re-chunk identically") {
+    check(Prop.forAll(uniGen) { t =>
+      val ch = cdcChunks(t)
+      ch == cdcChunks(t) &&
+        ch.forall(c => c.isEmpty || !Character.isLowSurrogate(c.charAt(0)))
+    })
+  }
+
+  test("CDC edit locality: all chunks after the first cut survive any prefix edit") {
+    val longGen = Gen.chooseNum(300, 1200).flatMap(n =>
+      Gen.stringOfN(n, Gen.alphaNumChar))
+    check(Prop.forAll(longGen, Gen.alphaStr) { (t, prefix) =>
+      val base = cdcChunks(t)
+      base.size < 2 || {
+        val edited = cdcChunks(prefix + t)
+        edited.takeRight(base.size - 1) == base.tail
+      }
+    })
+  }
 }
