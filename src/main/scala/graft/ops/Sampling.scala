@@ -307,4 +307,51 @@ object Sampling {
         .filter(col("sample_rank") <= col("target"))
     }
   }
+
+  /** Temperature-weighted (τ=0.5) TOKEN-budget mixture across strata —
+    * the end-stage a pretraining mix actually runs: each group's share
+    * of the corpus-wide token budget is proportional to sqrt of its
+    * token mass (so heavy domains are tempered, light ones boosted),
+    * then the group's share is filled greedily in md5(id) order with an
+    * exact running token total. Same cross-engine determinism story as
+    * [[temperatureAllocation]]: sqrt/·/floor are correctly-rounded IEEE
+    * ops, the weight is a quantized Long, and the within-group cumsum
+    * is exact integer arithmetic.
+    *
+    * Shape: one group-keyed aggregate for weights (|groups| rows,
+    * broadcast back), one group-partitioned ordered window for the
+    * cumsum — per-group state is a single Long, partitioning is by the
+    * stratum key, so this survives any corpus size; a single
+    * pathological mega-group degrades to [[tokenBudgetSample]]'s cost
+    * on that group alone (and can be pre-cut with [[hashSample]] at a
+    * fraction ~ target/grp_tokens when even that is too much).
+    *
+    * Output: the selected rows with `cum_tokens_grp` and the group's
+    * `tok_target` attached.
+    */
+  def stratifiedTokenBudget(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      tokensCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val g = df.groupBy(col(groupCol)).agg(sum(col(tokensCol)).as("grp_tokens"))
+      .withColumn("w_quant",
+        floor(sqrt(col("grp_tokens").cast("double")) * lit(1e9)).cast("long"))
+    val tot = g.agg(sum(col("w_quant")).as("__tot"))
+    val targets = g.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("grp_tokens"),
+        floor(lit(budget).cast("double") * col("w_quant") / col("__tot"))
+          .cast("long").as("tok_target"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__rk"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__rk", rankKey(col(idCol)))
+      .withColumn("cum_tokens_grp", sum(col(tokensCol)).over(w))
+      .join(broadcast(targets.drop("grp_tokens")), Seq(groupCol))
+      .filter(col("cum_tokens_grp") <= col("tok_target"))
+      .drop("__rk")
+  }
 }

@@ -167,6 +167,27 @@ object Web {
         .select(col("domain"), col("n_docs"), col("sum_q_micro"),
           (col("sum_q_micro") >= lit(550000L) * col("n_docs")).as("keep"))
         .orderBy(col("domain"))
+    }),
+
+    // Temperature-tempered (τ=0.5) token-budget mixture across domains:
+    // each registrable domain gets a sqrt-weighted share of a 20k-token
+    // budget, filled greedily in md5(doc_id) order with an exact
+    // integer cumsum. Emitted as the per-domain fill summary (targets,
+    // selected docs/tokens, never-over-budget contract column).
+    "q_domain_mixture" -> ((s, dir) => {
+      val docs = normalized(s, dir)
+        .withColumn("n_tokens",
+          size(filter(split(lower(trim(col("text"))), "\\s+"),
+            t => length(t) > lit(0))))
+      val sel = graft.ops.Sampling.stratifiedTokenBudget(
+        docs, "domain", "doc_id", "n_tokens", budget = 20000L)
+      sel.groupBy(col("domain"))
+        .agg(max(col("tok_target")).as("tok_target"),
+          count(lit(1)).as("n_sel"),
+          sum(col("n_tokens")).as("tok_sel"))
+        .select(col("domain"), col("tok_target"), col("n_sel"), col("tok_sel"),
+          (col("tok_sel") <= col("tok_target")).as("within_budget"))
+        .orderBy(col("domain"))
     })
   )
 
@@ -212,6 +233,39 @@ object Web {
           |SELECT domain, count(*) AS n_docs,
           |  CAST(sum(q_micro) AS BIGINT) AS sum_q_micro,
           |  CAST(sum(q_micro) AS BIGINT) >= 550000 * count(*) AS keep
-          |FROM q GROUP BY domain ORDER BY domain""".stripMargin)
+          |FROM q GROUP BY domain ORDER BY domain""".stripMargin),
+    // Mixture: weights/targets in the temperatureAllocation discipline
+    // (sqrt + 1e9 quantization + correctly-rounded double ops), cumsum
+    // and budgets in exact integers.
+    "q_domain_mixture" ->
+      (s"WITH $urlCte,\n$normCte,\n" +
+        """t AS (
+          |  SELECT c.domain, c.doc_id,
+          |    len(regexp_extract_all(lower(trim(d.text)), '\S+')) AS n_tokens,
+          |    md5(CAST(c.doc_id AS VARCHAR)) || '|' || CAST(c.doc_id AS VARCHAR) AS rk
+          |  FROM c JOIN documents d USING (doc_id)),
+          |g AS (
+          |  SELECT domain,
+          |    CAST(floor(sqrt(CAST(sum(n_tokens) AS DOUBLE)) * 1e9) AS BIGINT) AS w_quant
+          |  FROM t GROUP BY domain),
+          |a AS (
+          |  SELECT domain,
+          |    CAST(floor(20000.0 * w_quant /
+          |      (SELECT CAST(sum(w_quant) AS DOUBLE) FROM g)) AS BIGINT) AS tok_target
+          |  FROM g),
+          |cum AS (
+          |  SELECT domain, doc_id, n_tokens,
+          |    sum(n_tokens) OVER (PARTITION BY domain ORDER BY rk
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumtok
+          |  FROM t),
+          |sel AS (
+          |  SELECT cum.domain, cum.n_tokens
+          |  FROM cum JOIN a USING (domain) WHERE cum.cumtok <= a.tok_target)
+          |SELECT a.domain, a.tok_target,
+          |  count(*) AS n_sel,
+          |  CAST(sum(sel.n_tokens) AS BIGINT) AS tok_sel,
+          |  CAST(sum(sel.n_tokens) AS BIGINT) <= a.tok_target AS within_budget
+          |FROM sel JOIN a ON sel.domain = a.domain
+          |GROUP BY a.domain, a.tok_target ORDER BY a.domain""".stripMargin)
   )
 }
