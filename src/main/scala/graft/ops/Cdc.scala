@@ -53,6 +53,49 @@ object Cdc {
     call_function("cdc_chunks", text, lit(w), lit(maxFirstByte))
   }
 
+  /** Document-containment pairs via shared chunk mass: pairs (a, b)
+    * where the characters of their common DISTINCT chunks cover at
+    * least `threshold` of the smaller document — the "doc A quotes /
+    * mirrors most of doc B" detector, complementary to MinHash (which
+    * measures symmetric Jaccard and misses asymmetric containment) and
+    * to winnowing pairs (which sample fingerprints; this measures the
+    * exact shared char mass over the CDC partition).
+    *
+    * Scale shape: chunks with document frequency > `maxChunkDf` are
+    * excluded before the self-join (the MOSS move — ubiquitous
+    * boilerplate chunks would otherwise square the join and tell you
+    * nothing about any single pair), which caps the join's per-key
+    * fan-out at maxChunkDf²; both join sides share one chunk-keyed
+    * partitioning (self-join on the same frame ⇒ the exchange is
+    * planned once and reused). Containment is an underestimate for
+    * pairs whose overlap is mostly df-pruned boilerplate — by design.
+    * A chunk repeated WITHIN a document also counts once (the distinct
+    * chunk set is the unit), so scores are set-containment over chunk
+    * vocabulary mass, not positional coverage.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, w: Int = 16, maxHexPrefix: String = "07",
+      maxChunkDf: Int = 20): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val e = df.select(col(idCol).as("__id"), length(col(textCol)).as("__n"),
+        explode(chunks(col(textCol), w, maxHexPrefix)).as("chunk"))
+      .distinct()
+    val keep = e.groupBy(col("chunk")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxChunkDf).select("chunk")
+    val kept = e.join(keep, Seq("chunk"))
+    val a = kept.select(col("chunk"), col("__id").as("id_a"), col("__n").as("__na"))
+    val b = kept.select(col("chunk"), col("__id").as("id_b"), col("__n").as("__nb"))
+    a.join(b, Seq("chunk")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(length(col("chunk"))).as("shared_chars"),
+        min(col("__na")).as("__na"), min(col("__nb")).as("__nb"))
+      .withColumn("containment",
+        round(col("shared_chars").cast("double") /
+          least(col("__na"), col("__nb")), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("shared_chars"), col("containment"))
+  }
+
   /** Corpus-level chunk dedup stats: one row per distinct chunk with its
     * occurrence count, distinct-document spread, length, and the chars a
     * chunk-store would save by keeping one copy. ONE hash aggregate

@@ -58,6 +58,15 @@ object Pipeline {
           col("n_occ"), col("n_docs"), col("chars_saved"))
         .orderBy(col("chunk"))),
 
+    // CDC containment pairs: docs sharing >= 20% of the smaller doc's
+    // chars through common distinct chunks (asymmetric quote/mirror
+    // detection — MinHash's symmetric Jaccard misses these). Hot chunks
+    // (df > 20) pruned before the self-join, the MOSS discipline.
+    "q_cdc_containment" -> ((s, dir) =>
+      graft.ops.Cdc.containmentPairs(Tables(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.2)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // CDC on genuinely non-ASCII text: inject a 2-codepoint sequence
     // (é + an astral clef, 1+2 UTF-16 chars, 2+4 UTF-8 bytes) after
     // every 'e', then re-chunk — gating the kernel's codepoint path
@@ -1078,6 +1087,36 @@ object Pipeline {
         |  count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs,
         |  CAST((count(*) - 1) * length(chunk) AS BIGINT) AS chars_saved
         |FROM e GROUP BY chunk ORDER BY chunk""".stripMargin,
+    "q_cdc_containment" ->
+      """WITH p AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    list_filter(
+        |      CASE WHEN length(text) >= 16 THEN range(16, length(text) + 1)
+        |           ELSE []::BIGINT[] END,
+        |      i -> substring(md5(substring(text, CAST(i - 15 AS INT), 16)), 1, 2) <= '07'
+        |        AND i <> length(text)) AS inner_cuts
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, n,
+        |    list_concat(list_concat([0]::BIGINT[], inner_cuts), [n]::BIGINT[]) AS cuts
+        |  FROM p),
+        |e AS (
+        |  SELECT DISTINCT doc_id, n, unnest(list_transform(range(1, len(cuts)), j ->
+        |    substring(text, CAST(cuts[j] + 1 AS INT),
+        |              CAST(cuts[j + 1] - cuts[j] AS INT)))) AS chunk
+        |  FROM c),
+        |f AS (SELECT chunk FROM e GROUP BY chunk HAVING count(*) <= 20),
+        |j AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(sum(length(a.chunk)) AS BIGINT) AS shared_chars,
+        |    min(a.n) AS na, min(b.n) AS nb
+        |  FROM e a JOIN f USING (chunk) JOIN e b
+        |    ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared_chars,
+        |  round(shared_chars::DOUBLE / least(na, nb), 6) AS containment
+        |FROM j WHERE round(shared_chars::DOUBLE / least(na, nb), 6) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_cdc_unicode" ->
       ("""WITH d AS (
         |  SELECT doc_id, replace(text, 'e', 'e""" + "é𝄞" + """') AS text

@@ -65,6 +65,33 @@ class CdcSpec extends AnyFunSuite {
     assert(ch.size >= 2)
   }
 
+  test("containmentPairs flags a planted quote and only that pair") {
+    val base = rand(21, 1500)
+    val quote = base.substring(200, 900)
+    val df = Seq(
+      (1L, base),
+      (2L, rand(22, 120) + quote + rand(23, 80)),
+      (3L, rand(24, 400))).toDF("doc_id", "text")
+    val pairs = Cdc.containmentPairs(df, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(pairs.keySet === Set((1L, 2L)), s"got $pairs")
+    assert(pairs((1L, 2L)) > 0.4, s"700-char quote of a 900-char doc: ${pairs((1L, 2L))}")
+  }
+
+  test("containmentPairs prunes boilerplate chunks above the df cap") {
+    // one 200-char block shared by 25 docs: its interior chunks have
+    // df = 25 > 20 and must be pruned (pairwise containment through
+    // ubiquitous boilerplate is noise); raising the cap re-admits them
+    val common = rand(31, 200)
+    val docs = (1L to 25L).map(i => (i, rand(100 + i.toInt, 60) + common))
+    val df = docs.toDF("doc_id", "text")
+    val pruned = Cdc.containmentPairs(df, "doc_id", "text", threshold = 0.3)
+    assert(pruned.count() === 0, "df-pruned boilerplate still produced pairs")
+    val admitted = Cdc.containmentPairs(df, "doc_id", "text",
+      threshold = 0.3, maxChunkDf = 30)
+    assert(admitted.count() > 100, "raising the cap should re-admit the clique")
+  }
+
   test("chunkDedup aligns a shared block across documents with different surroundings") {
     val shared = rand(99, 600)
     val a = rand(1, 300) + shared + rand(2, 250)
