@@ -75,19 +75,29 @@ object Cdc {
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, w: Int = 16, maxHexPrefix: String = "07",
-      maxChunkDf: Int = 20): DataFrame = {
+      maxChunkDf: Int = 20, hashKey: Boolean = false): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
-    val e = df.select(col(idCol).as("__id"), length(col(textCol)).as("__n"),
+    val eStr = df.select(col(idCol).as("__id"), length(col(textCol)).as("__n"),
         explode(chunks(col(textCol), w, maxHexPrefix)).as("chunk"))
       .distinct()
+    // hashKey: shuffle 8-byte keys + a length instead of ~expected-32-char
+    // chunk strings (the q_substr_hash_agree discipline — string-keyed
+    // path stays under the oracle at the gate SFs; a 64-bit collision at
+    // corpus scale is ~|chunks|²/2⁶⁴ and CdcSpec pins hashed == string)
+    val e =
+      if (hashKey)
+        eStr.select(col("__id"), col("__n"),
+          xxhash64(col("chunk")).as("chunk"), length(col("chunk")).as("__clen"))
+      else eStr.withColumn("__clen", length(col("chunk")))
     val keep = e.groupBy(col("chunk")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxChunkDf).select("chunk")
     val kept = e.join(keep, Seq("chunk"))
-    val a = kept.select(col("chunk"), col("__id").as("id_a"), col("__n").as("__na"))
+    val a = kept.select(col("chunk"), col("__clen"),
+      col("__id").as("id_a"), col("__n").as("__na"))
     val b = kept.select(col("chunk"), col("__id").as("id_b"), col("__n").as("__nb"))
     a.join(b, Seq("chunk")).filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(sum(length(col("chunk"))).as("shared_chars"),
+      .agg(sum(col("__clen")).as("shared_chars"),
         min(col("__na")).as("__na"), min(col("__nb")).as("__nb"))
       .withColumn("containment",
         round(col("shared_chars").cast("double") /

@@ -78,6 +78,23 @@ class CdcSpec extends AnyFunSuite {
     assert(pairs((1L, 2L)) > 0.4, s"700-char quote of a 900-char doc: ${pairs((1L, 2L))}")
   }
 
+  test("containmentPairs hashed scale path equals the string-keyed path") {
+    // 20 docs sliding 600-char windows over one 2000-char base: dense,
+    // partial, asymmetric overlaps — the shape the detector exists for
+    val base = rand(51, 2000)
+    val docs = (0 until 20).map(i =>
+      (i.toLong, rand(60 + i, 100) + base.substring(i * 50, i * 50 + 600) + rand(80 + i, 60)))
+    val df = docs.toDF("doc_id", "text")
+    def rows(hashKey: Boolean) =
+      Cdc.containmentPairs(df, "doc_id", "text", threshold = 0.05,
+        hashKey = hashKey)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    val str = rows(hashKey = false)
+    assert(str.nonEmpty)
+    assert(rows(hashKey = true) === str)
+  }
+
   test("containmentPairs prunes boilerplate chunks above the df cap") {
     // one 200-char block shared by 25 docs: its interior chunks have
     // df = 25 > 20 and must be pruned (pairwise containment through
