@@ -76,6 +76,24 @@ object Multimodal {
       }(enc)
   }
 
+  /** Exact media dedup by content hash — the first dedup every image/
+    * audio corpus runs (identical bytes re-crawled under different ids/
+    * URLs). Needs NO codec, so unlike the decode path this is fully
+    * real: one aggregate keyed on md5(payload) (hex, the industry
+    * convention for content-addressed stores; swap xxhash64 in when the
+    * shuffle key matters more than external reproducibility). Output:
+    * one row per distinct payload with the keeper (min media_id), copy
+    * count, and byte sizes.
+    */
+  def exactDuplicates(media: DataFrame): DataFrame =
+    media.groupBy(md5(col("payload")).as("content_md5"))
+      .agg(min(col("media_id")).as("keeper_id"),
+        count(lit(1)).as("n_copies"),
+        max(length(col("payload"))).as("n_bytes"))
+      .select(col("content_md5"), col("keeper_id"), col("n_copies"),
+        col("n_bytes"),
+        ((col("n_copies") - 1) * col("n_bytes")).as("bytes_saved"))
+
   /** Frame-sampling stub for video-shaped payloads: deterministic byte
     * offsets standing in for timestamps; output one row per sampled frame
     * (media_id, frame_idx, offset, frame_hash).

@@ -78,6 +78,17 @@ object ScaleDomain {
           round(col("avg_byte"), 6).as("avg_byte"))
         .orderBy(col("media_id"))),
 
+    // Exact media dedup: every 7th payload re-ingested under a shifted
+    // id (the re-crawl scenario), then content-hash grouped. Fully
+    // real — byte-identity dedup needs no codec.
+    "q_media_dedup" -> ((s, dir) => {
+      val m = media(s, dir)
+      val recrawl = m.filter(col("media_id") % 7 === 0)
+        .withColumn("media_id", col("media_id") + 10000)
+      Multimodal.exactDuplicates(m.unionByName(recrawl))
+        .orderBy(col("content_md5"))
+    }),
+
     // Frame sampling: deterministic byte offsets (floor(n*f/4)) standing in
     // for timestamps. The FNV frame hash is pinned in MultimodalSpec; the
     // oracle checks the sampling grid.
@@ -113,6 +124,23 @@ object ScaleDomain {
         |  round(list_sum(list_transform(range(1, length(text) + 1),
         |    i -> unicode(text[i])))::DOUBLE / length(text), 6) AS avg_byte
         |FROM documents ORDER BY media_id""".stripMargin,
+    // strlen (bytes), not length (chars): Spark's length(binary) counts
+    // bytes; identical here (ASCII corpus) but strlen is the honest twin
+    "q_media_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS media_id, text FROM documents
+        |  WHERE doc_id % 7 = 0),
+        |g AS (
+        |  SELECT md5(text) AS content_md5,
+        |    min(media_id) AS keeper_id,
+        |    count(*) AS n_copies,
+        |    CAST(max(strlen(text)) AS INT) AS n_bytes
+        |  FROM m GROUP BY md5(text))
+        |SELECT content_md5, keeper_id, n_copies, n_bytes,
+        |  CAST((n_copies - 1) * n_bytes AS BIGINT) AS bytes_saved
+        |FROM g ORDER BY content_md5""".stripMargin,
     "q_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
         |  CAST(length(text) * f // 4 AS INT) AS byte_off
