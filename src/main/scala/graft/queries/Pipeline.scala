@@ -61,10 +61,15 @@ object Pipeline {
     // CDC containment pairs: docs sharing >= 20% of the smaller doc's
     // chars through common distinct chunks (asymmetric quote/mirror
     // detection — MinHash's symmetric Jaccard misses these). Hot chunks
-    // (df > 20) pruned before the self-join, the MOSS discipline.
+    // (df > 20) pruned before the self-join, the MOSS discipline. Runs
+    // the SCALE path (hashKey = true: the shuffle and self-join carry
+    // 8-byte xxhash64 keys, never chunk strings) against the
+    // string-exact DuckDB oracle — the q_boilerplate_matrix discipline:
+    // a green row is direct evidence the 64-bit keys are collision-free
+    // on this corpus, on top of CdcSpec's hashed==string pin.
     "q_cdc_containment" -> ((s, dir) =>
       graft.ops.Cdc.containmentPairs(Tables(s, dir, "documents"),
-        "doc_id", "text", threshold = 0.2)
+        "doc_id", "text", threshold = 0.2, hashKey = true)
         .orderBy(col("id_a"), col("id_b"))),
 
     // CDC on genuinely non-ASCII text: inject a 2-codepoint sequence
