@@ -71,6 +71,38 @@ class PipelineStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming URL dedup drops differently-written equivalent URLs") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    // three spellings of ONE canonical URL + one genuinely distinct URL
+    val rows = Seq(
+      (1L, 100L, "HTTP://WWW.Ex.COM:80/a?utm_source=x&b=2&a=1"),
+      (2L, 160L, "http://www.ex.com/a?b=2&a=1#frag"),
+      (3L, 220L, "http://www.ex.com/a?a=1&b=2&fbclid=zz"),
+      (4L, 280L, "http://www.ex.com/other"))
+    def shaped(df: org.apache.spark.sql.DataFrame) =
+      graft.streaming.EventStream.dedupExactStream(
+        df.select(col("_1").as("id"),
+          timestamp_seconds(col("_2")).as("ts"),
+          graft.ops.UrlOps.normalize(col("_3")).as("url_norm")),
+        "url_norm", "ts", "10 minutes")
+    val batch = shaped(rows.toDF()).select("id").as[Long].collect().toSet
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = shaped(mem.toDF())
+      .select("id").writeStream.format("memory").queryName("url_dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id FROM url_dedup_stream").as[Long].collect().toSet
+      assert(got == batch)
+      assert(got.map(_ % 10).intersect(Set(1L, 4L)).size == 2 && got.size == 2,
+        s"expected exactly the first spelling + the distinct URL, got $got")
+    } finally q.stop()
+  }
+
   test("repetitionFilter on a stream matches the batch verdicts") {
     implicit val sqlCtx = spark.sqlContext
     val repDocs = Seq(
