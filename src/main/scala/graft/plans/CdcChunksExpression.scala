@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for content-defined chunking (the engine
@@ -35,18 +35,29 @@ case class CdcChunksExpr(child: Expression, w: Int, maxFirstByte: Int)
 
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    if (child.dataType == StringType || child.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"cdc_chunks requires a string column, got ${child.dataType}")
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+      s"cdc_chunks requires a string or binary column, got ${child.dataType}")
+
+  /** String in → string chunks (positions are code points); binary in →
+    * binary chunks (positions are bytes — a raw payload has no text
+    * semantics). On ASCII bytes the two paths cut identically.
+    */
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
   override def prettyName: String = "cdc_chunks"
 
-  protected override def nullSafeEval(input: Any): Any =
-    CdcChunksExpr.kernel(input.asInstanceOf[UTF8String], w, maxFirstByte)
+  protected override def nullSafeEval(input: Any): Any = input match {
+    case u: UTF8String => CdcChunksExpr.kernel(u, w, maxFirstByte)
+    case b: Array[Byte] => CdcChunksExpr.kernelBytes(b, w, maxFirstByte)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.plans.CdcChunksExpr.kernel($c, $w, $maxFirstByte);")
+      if (child.dataType == StringType)
+        s"${ev.value} = graft.plans.CdcChunksExpr.kernel($c, $w, $maxFirstByte);"
+      else
+        s"${ev.value} = graft.plans.CdcChunksExpr.kernelBytes($c, $w, $maxFirstByte);")
 
   override protected def withNewChildInternal(newChild: Expression): CdcChunksExpr =
     copy(child = newChild)
@@ -98,6 +109,42 @@ object CdcChunksExpr {
     while (j < out.length) {
       out(j) = UTF8String.fromBytes(
         bytes, offs(cuts(j)), offs(cuts(j + 1)) - offs(cuts(j)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Byte-position variant for BINARY payloads: every byte is a
+    * position, windows are raw byte slices. Identical cut decisions to
+    * [[kernel]] on pure-ASCII input (where byte == code point).
+    */
+  def kernelBytes(bytes: Array[Byte], w: Int, maxFirstByte: Int): ArrayData = {
+    val nb = bytes.length
+    if (nb == 0)
+      return new GenericArrayData(Array[Any](Array.emptyByteArray))
+    if (nb < w)
+      return new GenericArrayData(Array[Any](bytes.clone()))
+    val md = mdLocal.get()
+    var cuts = new Array[Int](16)
+    var nCuts = 0
+    def pushCut(p: Int): Unit = {
+      if (nCuts == cuts.length) cuts = java.util.Arrays.copyOf(cuts, nCuts * 2)
+      cuts(nCuts) = p
+      nCuts += 1
+    }
+    pushCut(0)
+    var p = w
+    while (p <= nb) {
+      md.reset()
+      md.update(bytes, p - w, w)
+      if ((md.digest()(0) & 0xff) <= maxFirstByte && p != nb) pushCut(p)
+      p += 1
+    }
+    pushCut(nb)
+    val out = new Array[Any](nCuts - 1)
+    var j = 0
+    while (j < out.length) {
+      out(j) = java.util.Arrays.copyOfRange(bytes, cuts(j), cuts(j + 1))
       j += 1
     }
     new GenericArrayData(out)

@@ -89,6 +89,17 @@ object ScaleDomain {
         .orderBy(col("content_md5"))
     }),
 
+    // Byte-level CDC containment over BINARY payloads (no codec, fully
+    // real): the media twin of q_cdc_containment, running the byte-
+    // position kernel + hashed-key self-join. The oracle computes the
+    // same pairs from the text the payloads encode (byte == char on
+    // this ASCII corpus — the length/strlen note above applies), so a
+    // green row pins the binary kernel against the char-semantics SQL.
+    "q_media_containment" -> ((s, dir) =>
+      graft.ops.Cdc.containmentPairs(media(s, dir), "media_id", "payload",
+        threshold = 0.2, hashKey = true)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Frame sampling: deterministic byte offsets (floor(n*f/4)) standing in
     // for timestamps. The FNV frame hash is pinned in MultimodalSpec; the
     // oracle checks the sampling grid.
@@ -141,6 +152,36 @@ object ScaleDomain {
         |SELECT content_md5, keeper_id, n_copies, n_bytes,
         |  CAST((n_copies - 1) * n_bytes AS BIGINT) AS bytes_saved
         |FROM g ORDER BY content_md5""".stripMargin,
+    "q_media_containment" ->
+      """WITH p AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    list_filter(
+        |      CASE WHEN length(text) >= 16 THEN range(16, length(text) + 1)
+        |           ELSE []::BIGINT[] END,
+        |      i -> substring(md5(substring(text, CAST(i - 15 AS INT), 16)), 1, 2) <= '07'
+        |        AND i <> length(text)) AS inner_cuts
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, n,
+        |    list_concat(list_concat([0]::BIGINT[], inner_cuts), [n]::BIGINT[]) AS cuts
+        |  FROM p),
+        |e AS (
+        |  SELECT DISTINCT doc_id, n, unnest(list_transform(range(1, len(cuts)), j ->
+        |    substring(text, CAST(cuts[j] + 1 AS INT),
+        |              CAST(cuts[j + 1] - cuts[j] AS INT)))) AS chunk
+        |  FROM c),
+        |f AS (SELECT chunk FROM e GROUP BY chunk HAVING count(*) <= 20),
+        |j AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(sum(length(a.chunk)) AS BIGINT) AS shared_chars,
+        |    min(a.n) AS na, min(b.n) AS nb
+        |  FROM e a JOIN f USING (chunk) JOIN e b
+        |    ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared_chars,
+        |  round(shared_chars::DOUBLE / least(na, nb), 6) AS containment
+        |FROM j WHERE round(shared_chars::DOUBLE / least(na, nb), 6) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
         |  CAST(length(text) * f // 4 AS INT) AS byte_off

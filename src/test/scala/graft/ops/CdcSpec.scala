@@ -109,6 +109,29 @@ class CdcSpec extends AnyFunSuite {
     assert(admitted.count() > 100, "raising the cap should re-admit the clique")
   }
 
+  test("binary kernel: covers arbitrary bytes and finds a planted shared block") {
+    // true binary data — high bytes, zeros, no UTF-8 validity at all
+    def randBytes(seed: Int, n: Int): Array[Byte] = {
+      val r = new scala.util.Random(seed)
+      val b = new Array[Byte](n); r.nextBytes(b); b
+    }
+    val shared = randBytes(7, 800)
+    val a = randBytes(8, 300) ++ shared ++ randBytes(9, 100)
+    val b = randBytes(10, 150) ++ shared
+    // cover invariant straight through the kernel
+    val arr = graft.plans.CdcChunksExpr.kernelBytes(a, 16, 0x07)
+    val cat = (0 until arr.numElements()).flatMap(j => arr.getBinary(j).toSeq)
+    assert(cat == a.toSeq)
+    // containmentPairs runs unchanged on a BINARY column
+    val df = Seq((1L, a), (2L, b), (3L, randBytes(11, 500)))
+      .toDF("media_id", "payload")
+    val pairs = Cdc.containmentPairs(df, "media_id", "payload",
+      threshold = 0.3, hashKey = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(pairs.keySet === Set((1L, 2L)), s"got $pairs")
+    assert(pairs((1L, 2L)) > 0.5, s"800 shared of 950 bytes: ${pairs((1L, 2L))}")
+  }
+
   test("chunkDedup aligns a shared block across documents with different surroundings") {
     val shared = rand(99, 600)
     val a = rand(1, 300) + shared + rand(2, 250)
