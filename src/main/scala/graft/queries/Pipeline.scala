@@ -454,6 +454,32 @@ object Pipeline {
         TextAnalysis.languageId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // Corpus-health dashboard, per source: integer sums of the Gopher
+    // repetition numerators + how many docs the Table-A1 filter drops.
+    // The per-doc kernel is already oracle-pinned (q_repetition_gopher);
+    // this is the rollup a curation run actually reads. Exact integer
+    // sums -> cross-engine bit-agreement is structural.
+    "q_repetition_by_source" -> ((s, dir) =>
+      TextAnalysis.repetitionFilter(Tables(s, dir, "documents"), "text")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("dup_lines")).as("dup_lines"),
+          sum(col("n_lines")).as("n_lines"),
+          sum(col("dup5_chars")).as("dup5_chars"),
+          sum(col("n_tok_chars")).as("n_tok_chars"),
+          sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
+        .orderBy(col("source"))),
+
+    // Lang-ID quality report: confusion matrix of the marker-word
+    // classifier against the table's labeled lang. One aggregate over
+    // the map-only prediction.
+    "q_langid_confusion" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.languageId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("lang_pred"))),
+
     // Deflate-compressibility signal: no SQL twin (DuckDB has no
     // deflate), so rows-only at the driver + GoldenGate-pinned — the
     // q_plogo/q_bpe_tokenize discipline. `suspect` flags both tails
@@ -1043,6 +1069,41 @@ object Pipeline {
     "q_dedup_exact" ->
       """SELECT source, MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_repetition_by_source" ->
+      s"""$repGopherCtes,
+         |counts AS (
+         |$repGopherSelect)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(counts.dup_lines) AS BIGINT) AS dup_lines,
+         |  CAST(sum(counts.n_lines) AS BIGINT) AS n_lines,
+         |  CAST(sum(counts.dup5_chars) AS BIGINT) AS dup5_chars,
+         |  CAST(sum(counts.n_tok_chars) AS BIGINT) AS n_tok_chars,
+         |  CAST(sum(CASE WHEN ($repFilterCase) IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_dropped
+         |FROM counts JOIN documents d USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    "q_langid_confusion" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(regexp_extract_all(lower(trim(text)), '\S+')) AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang,
+        |    len(list_intersect(toks, ['the','and','of','to','in','is','that','it','for','was'])) AS s_en,
+        |    len(list_intersect(toks, ['der','die','und','das','ist','nicht','ein','mit','auf','sich'])) AS s_de,
+        |    len(list_intersect(toks, ['el','la','de','los','es','que','un','una','por','con'])) AS s_es,
+        |    len(list_intersect(toks, ['le','la','les','et','est','que','une','dans','pour','qui'])) AS s_fr
+        |  FROM s),
+        |p AS (
+        |  SELECT lang,
+        |    CASE WHEN s_en >= GREATEST(s_de, s_es, s_fr, 1) THEN 'en'
+        |         WHEN s_de >= GREATEST(s_es, s_fr, 1) THEN 'de'
+        |         WHEN s_es >= GREATEST(s_fr, 1) THEN 'es'
+        |         WHEN s_fr >= 1 THEN 'fr'
+        |         ELSE 'und' END AS lang_pred
+        |  FROM sc)
+        |SELECT lang, lang_pred, count(*) AS n_docs
+        |FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
     // Shared CDC chunk derivation (w=16, md5 2-hex prefix <= '07'):
     // mirrors ops.Cdc rule-for-rule. A cut at the final position is
     // dropped (the end sentinel already cuts there).
