@@ -70,6 +70,30 @@ object ScaleDomain {
         .orderBy(col("source"))
     }),
 
+    // WARC container round-trip (the CommonCrawl ingestion path): write
+    // the corpus as multi-part WARC at query time, read it back through
+    // the splittable reader with 8 KiB splits (every record straddles
+    // splits), and aggregate per source extracted from the target URI.
+    // The oracle recomputes from the original table — byte-exact layout
+    // parity, the q_partition_prune/q_bam_dist discipline.
+    "q_warc_roundtrip" -> ((s, dir) => {
+      val path = s"/tmp/graft_warc/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val docs = Tables(s, dir, "documents").select(
+        col("doc_id").cast("string").as("id"),
+        concat(lit("http://"), col("source"), lit(".example/doc/"),
+          col("doc_id")).as("uri"),
+        col("text"))
+      graft.io.Warc.write(docs, path)
+      graft.io.Warc.read(s, path, splitSize = 8192)
+        .select(regexp_extract(col("target_uri"),
+          "http://([a-z0-9]+)\\.example", 1).as("source"),
+          col("content_length"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(col("content_length")).as("total_bytes"))
+        .orderBy(col("source"))
+    }),
+
     // Byte-level feature extraction over binary payloads (the decode-stub
     // path: length + mean byte, per-partition batched).
     "q_media_features" -> ((s, dir) =>
@@ -135,6 +159,10 @@ object ScaleDomain {
         |  round(list_sum(list_transform(range(1, length(text) + 1),
         |    i -> unicode(text[i])))::DOUBLE / length(text), 6) AS avg_byte
         |FROM documents ORDER BY media_id""".stripMargin,
+    "q_warc_roundtrip" ->
+      """SELECT source, count(*) AS n_records,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // strlen (bytes), not length (chars): Spark's length(binary) counts
     // bytes; identical here (ASCII corpus) but strlen is the honest twin
     "q_media_dedup" ->

@@ -1,0 +1,78 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class WarcSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mkDocs(n: Int): Seq[(String, String, String)] =
+    (1 to n).map { i =>
+      val r = new scala.util.Random(i)
+      val body = (1 to 40 + r.nextInt(200)).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+      (s"d$i", s"http://site$i.example/p/$i", body)
+    }
+
+  private def roundTrip(docs: Seq[(String, String, String)], splitSize: Long,
+      dir: String): Set[(String, String, String)] = {
+    Warc.write(docs.toDF("id", "uri", "text").repartition(3), dir)
+    Warc.read(spark, dir, splitSize = splitSize)
+      .collect()
+      .map(r => (r.getString(0), r.getString(2),
+        new String(r.getAs[Array[Byte]]("payload"), StandardCharsets.UTF_8)))
+      .toSet
+  }
+
+  test("round-trips records across partitions and survives tiny splits") {
+    val docs = mkDocs(60)
+    val expected = docs.map { case (id, uri, t) => (s"<urn:graft:$id>", uri, t) }.toSet
+    val big = roundTrip(docs, 128L * 1024 * 1024, "/tmp/graft_warc_spec/big")
+    assert(big === expected)
+    // 64-byte splits: every record straddles several splits; the
+    // owner-of-the-version-line contract must still yield exactly-once
+    val tiny = roundTrip(docs, 64L, "/tmp/graft_warc_spec/tiny")
+    assert(tiny === expected)
+  }
+
+  test("payloads containing WARC-looking bytes do not confuse the reader") {
+    val docs = Seq(
+      ("a", "http://x.example/a", "before\r\nWARC/1.0\r\nnot: a real record\rmid\r\n\r\nafter"),
+      ("b", "http://x.example/b", "plain body"),
+      ("c", "http://x.example/c", "WARC/1.0\r\nBadHeaderNoColon\r\ntail"))
+    val expected = docs.map { case (id, uri, t) => (s"<urn:graft:$id>", uri, t) }.toSet
+    assert(roundTrip(docs, 128L * 1024 * 1024, "/tmp/graft_warc_spec/adv") === expected)
+    assert(roundTrip(docs, 48L, "/tmp/graft_warc_spec/adv2") === expected)
+  }
+
+  test("a payload ending in a version line does not swallow the next record") {
+    // the pushback case: false sync consumes up to the REAL version line;
+    // the scanner must re-examine that exact line
+    val docs = Seq(
+      ("a", "http://x.example/a", "body then\r\nWARC/1.0"),
+      ("b", "http://x.example/b", "the record after"))
+    val expected = docs.map { case (id, uri, t) => (s"<urn:graft:$id>", uri, t) }.toSet
+    assert(roundTrip(docs, 32L, "/tmp/graft_warc_spec/push") === expected)
+  }
+
+  test("gz members are read whole-file") {
+    val docs = mkDocs(10)
+    val dir = "/tmp/graft_warc_spec/gz_src"
+    Warc.write(docs.toDF("id", "uri", "text").repartition(1), dir)
+    val src = Files.list(Paths.get(dir)).filter(_.toString.endsWith(".warc"))
+      .findFirst().get()
+    val gzDir = Paths.get("/tmp/graft_warc_spec/gz")
+    Files.createDirectories(gzDir)
+    val gz = gzDir.resolve("all.warc.gz")
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(gz))
+    try out.write(Files.readAllBytes(src)) finally out.close()
+    val got = Warc.read(spark, gzDir.toString).collect()
+      .map(r => (r.getString(0),
+        new String(r.getAs[Array[Byte]]("payload"), StandardCharsets.UTF_8))).toSet
+    assert(got === docs.map { case (id, _, t) => (s"<urn:graft:$id>", t) }.toSet)
+  }
+}
