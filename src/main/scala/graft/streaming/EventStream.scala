@@ -72,6 +72,33 @@ object EventStream {
       .start()
   }
 
+  /** WARC twin of [[fastqChunks]] (round 8): iterate a crawl drop
+    * directory chunk by chunk, one `.warc` file per micro-batch, each
+    * re-read with [[graft.io.Warc]]'s record-boundary batch reader (the
+    * raw line stream can't walk Content-Length payloads) and handed to
+    * `onChunk` as the records DataFrame — the arrival-driven front of a
+    * CommonCrawl-shaped ingest.
+    */
+  def warcChunks(
+      spark: SparkSession,
+      dir: String,
+      checkpoint: String)(
+      onChunk: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.input_file_name
+    chunkedText(spark, dir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val files = batch.select(input_file_name().as("f"))
+          .distinct().collect().map(_.getString(0)).sorted
+        files.foreach { f =>
+          val recs = graft.io.Warc.read(spark, f)
+          if (!recs.isEmpty) onChunk(recs)
+        }
+      }
+      .start()
+  }
+
   // ---- streaming dedup -------------------------------------------------
 
   /** Exact streaming dedup on a 64-bit content hash. State is BOUNDED by

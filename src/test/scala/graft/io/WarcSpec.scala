@@ -59,6 +59,34 @@ class WarcSpec extends AnyFunSuite {
     assert(roundTrip(docs, 32L, "/tmp/graft_warc_spec/push") === expected)
   }
 
+  test("warcChunks streams one record batch per arriving file") {
+    val docsA = mkDocs(4).take(2)
+    val docsB = mkDocs(7).drop(4)
+    Warc.write(docsA.toDF("id", "uri", "text").repartition(1), "/tmp/graft_warc_spec/stream/src_a")
+    Warc.write(docsB.toDF("id", "uri", "text").repartition(1), "/tmp/graft_warc_spec/stream/src_b")
+    val dir = java.nio.file.Files.createTempDirectory("warcstream")
+    val ckpt = java.nio.file.Files.createTempDirectory("warcckpt")
+    def onePart(src: String, dst: String): Unit = {
+      val p = java.nio.file.Files.list(java.nio.file.Paths.get(src))
+        .filter(_.toString.endsWith(".warc")).findFirst().get()
+      java.nio.file.Files.copy(p, dir.resolve(dst))
+    }
+    onePart("/tmp/graft_warc_spec/stream/src_a", "a.warc")
+    onePart("/tmp/graft_warc_spec/stream/src_b", "b.warc")
+    val chunks = new java.util.concurrent.ConcurrentLinkedQueue[Set[String]]()
+    val q = graft.streaming.EventStream.warcChunks(
+      spark, dir.toString, ckpt.toString) { recs =>
+      chunks.add(recs.select("record_id").collect().map(_.getString(0)).toSet)
+    }
+    try {
+      q.processAllAvailable()
+      val got = chunks.toArray(Array.empty[Set[String]]).toSet
+      assert(got === Set(
+        docsA.map(d => s"<urn:graft:${d._1}>").toSet,
+        docsB.map(d => s"<urn:graft:${d._1}>").toSet))
+    } finally q.stop()
+  }
+
   test("gz members are read whole-file") {
     val docs = mkDocs(10)
     val dir = "/tmp/graft_warc_spec/gz_src"
