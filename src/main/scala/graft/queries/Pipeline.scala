@@ -454,6 +454,26 @@ object Pipeline {
         TextAnalysis.languageId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // Snapshot diff (dataset-version audit): the new snapshot is derived
+    // from the table in BOTH engines — %7 ids removed, %5 ids edited,
+    // %11 ids re-added under shifted ids — then one full-outer join on
+    // the id decides added/removed/changed/unchanged. Spark compares
+    // xxhash64 digests (8-byte shuffle rows); the oracle compares the
+    // text itself, so a digest collision would fail the gate.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val base = Tables(s, dir, "documents")
+      val newSnap = base.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [v2]")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(base.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(lit("added:"), col("doc_id")).as("text")))
+      graft.ops.SnapshotDiff.diff(
+        base.select(col("doc_id"), col("text")), newSnap, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus-health dashboard, per source: integer sums of the Gopher
     // repetition numerators + how many docs the Table-A1 filter drops.
     // The per-doc kernel is already oracle-pinned (q_repetition_gopher);
@@ -1069,6 +1089,23 @@ object Pipeline {
     "q_dedup_exact" ->
       """SELECT source, MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH newsnap AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' [v2]' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, 'added:' || doc_id AS text
+        |  FROM documents WHERE doc_id % 11 = 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text = n.text THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  CAST(length(o.text) AS INT) AS n_chars_old,
+        |  CAST(length(n.text) AS INT) AS n_chars_new
+        |FROM documents o FULL JOIN newsnap n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_repetition_by_source" ->
       s"""$repGopherCtes,
          |counts AS (
