@@ -503,4 +503,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!pd.contains("Window") && !pd.contains("CartesianProduct"), pd.take(800))
     assert(pd.contains("partial_"), s"chunk counts must map-side combine:\n${pd.take(800)}")
   }
+
+  test("snapshot diff and domain mixture keep their one-keyed-shuffle shapes") {
+    // diff: ONE full-outer sort-merge/hash join on the id — both sides
+    // exchange on the same key; shuffle rows carry 8-byte digests
+    val pd = physicalPlan("q_snapshot_diff")
+    assert(pd.contains("FullOuter"), s"diff must plan a full-outer join:\n${pd.take(800)}")
+    assert(!pd.contains("CartesianProduct") && !pd.contains("BroadcastNestedLoop"), pd.take(800))
+
+    // mixture: weights broadcast back; the only wide exchanges are the
+    // group-partitioned window and the weight aggregate
+    val pm = physicalPlan("q_domain_mixture")
+    assert(pm.contains("BroadcastHashJoin"),
+      s"per-domain targets must broadcast back:\n${pm.take(800)}")
+    assert(pm.contains("Window"), s"greedy fill is a domain-partitioned window:\n${pm.take(800)}")
+    assert(!pm.contains("CartesianProduct"), pm.take(800))
+  }
 }
