@@ -474,6 +474,23 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // The release-gate view of the same diff: per-status doc counts and
+    // char movement (diffSummary — the 4-row table a shipping decision
+    // reads).
+    "q_snapshot_summary" -> ((s, dir) => {
+      val base = Tables(s, dir, "documents")
+      val newSnap = base.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [v2]")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(base.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(lit("added:"), col("doc_id")).as("text")))
+      graft.ops.SnapshotDiff.diffSummary(
+        base.select(col("doc_id"), col("text")), newSnap, "doc_id", "text")
+        .orderBy(col("status"))
+    }),
+
     // Corpus-health dashboard, per source: integer sums of the Gopher
     // repetition numerators + how many docs the Table-A1 filter drops.
     // The per-doc kernel is already oracle-pinned (q_repetition_gopher);
@@ -1106,6 +1123,24 @@ object Pipeline {
         |  CAST(length(n.text) AS INT) AS n_chars_new
         |FROM documents o FULL JOIN newsnap n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "q_snapshot_summary" ->
+      """WITH newsnap AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' [v2]' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, 'added:' || doc_id AS text
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |d AS (
+        |  SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+        |              WHEN n.doc_id IS NULL THEN 'removed'
+        |              WHEN o.text = n.text THEN 'unchanged'
+        |              ELSE 'changed' END AS status,
+        |    coalesce(length(n.text), 0) - coalesce(length(o.text), 0) AS delta
+        |  FROM documents o FULL JOIN newsnap n ON o.doc_id = n.doc_id)
+        |SELECT status, count(*) AS n_docs,
+        |  CAST(sum(delta) AS BIGINT) AS char_delta
+        |FROM d GROUP BY status ORDER BY status""".stripMargin,
     "q_repetition_by_source" ->
       s"""$repGopherCtes,
          |counts AS (

@@ -72,6 +72,40 @@ class UrlOpsSpec extends AnyFunSuite {
         "example.com.au", "example.com.cn"))
   }
 
+  test("300 randomized URLs: idempotent, domain-stable, params preserved exactly") {
+    val r = new scala.util.Random(1234)
+    def pick[A](xs: Seq[A]): A = xs(r.nextInt(xs.size))
+    val urls = (1 to 300).map { i =>
+      val scheme = pick(Seq("http", "HTTP", "https", "HTTPS", "Http"))
+      val host = pick(Seq("Ex.COM", "a.b.Example.co.uk", "x.de", "News.Site.com.au",
+        "plain.fr.", "deep.sub.domain.org"))
+      val port = pick(Seq("", ":80", ":443", ":8080", ":9"))
+      val path = pick(Seq("", "/", s"/P$i/File.HTML", s"/a/$i"))
+      val keep = (0 until r.nextInt(3)).map(j => s"k$j=${r.nextInt(9)}")
+      val drop = (0 until r.nextInt(3)).map(j => pick(Seq(s"utm_c$j=1", "fbclid=z", "gclid=7")))
+      val params = r.shuffle(keep ++ drop)
+      val q = if (params.isEmpty) "" else "?" + params.mkString("&")
+      val frag = pick(Seq("", "#f", "#Sec-2"))
+      (s"$scheme://$host$port$path$q$frag", keep.toSet)
+    }
+    val once = norm(urls.map(_._1): _*)
+    assert(norm(once: _*) === once, "normalize must be idempotent")
+    once.zip(urls).foreach { case (n, (raw, keepSet)) =>
+      assert(!n.contains("#"), s"fragment survived: $n")
+      assert(n.substring(0, n.indexOf("://")).forall(c => c.isLower || !c.isLetter), n)
+      // surviving params are exactly the non-tracker set, sorted
+      val outParams = n.split("\\?").drop(1).mkString.split("&").filter(_.nonEmpty).toSeq
+      assert(outParams.toSet === keepSet, s"$raw -> $n")
+      assert(outParams === outParams.sorted, s"params not byte-sorted: $n")
+    }
+    // domain of the normalized form == domain of the raw form
+    def domOfUrl(us: Seq[String]): Seq[String] =
+      us.toDF("url")
+        .select(UrlOps.registrableDomain(UrlOps.host(col("url"))))
+        .as[String].collect().toSeq
+    assert(domOfUrl(urls.map(_._1)) === domOfUrl(once))
+  }
+
   test("normalize is idempotent") {
     val urls = Seq(
       "HTTP://WWW.Ex.COM:80/A/b?utm_source=x&b=2&a=1#f",
