@@ -169,6 +169,26 @@ object Web {
         .orderBy(col("domain"))
     }),
 
+    // Crawl-compliance filter: each domain publishes a deterministic
+    // robots.txt (even-length domains scope-block /fr with a carve-out,
+    // odd-length domains lock down everything except /en), the generic
+    // RFC 9309 evaluator (parse → longest-prefix match, Allow wins
+    // ties) decides every doc path, and the oracle hand-reduces those
+    // rule sets to their truth tables — green means the generic engine
+    // collapses to the right decisions. Map-only.
+    "q_robots_filter" -> ((s, dir) => {
+      val robots = when(length(col("domain")) % 2 === 0,
+          lit("User-agent: *\nDisallow: /fr\nAllow: /fr/Doc-1\n"))
+        .otherwise(
+          lit("# lockdown\nUser-agent: *\nDisallow: /\nAllow: /en\n"))
+      normalized(s, dir).select(col("doc_id"), col("domain"),
+          UrlOps.path(col("url")).as("pth"),
+          graft.ops.Robots.isAllowed(
+            graft.ops.Robots.rulesFor(robots), UrlOps.path(col("url")))
+            .as("allowed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Temperature-tempered (τ=0.5) token-budget mixture across domains:
     // each registrable domain gets a sqrt-weighted share of a 20k-token
     // budget, filled greedily in md5(doc_id) order with an exact
@@ -213,6 +233,20 @@ object Web {
         "  CAST(sum(n_chars) AS BIGINT) AS total_chars\n" + // sum(BIGINT) is HUGEINT in DuckDB → float in pandas
 
         "FROM c GROUP BY domain ORDER BY domain"),
+    // Truth tables hand-reduced from the two derived robots rule sets
+    // under longest-prefix/Allow-ties semantics.
+    "q_robots_filter" ->
+      (s"WITH $urlCte,\n$normCte\n" +
+        """SELECT doc_id, domain,
+          |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+          |  CASE WHEN length(domain) % 2 = 0 THEN
+          |    (CASE WHEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) LIKE '/fr/Doc-1%' THEN TRUE
+          |          WHEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) LIKE '/fr%' THEN FALSE
+          |          ELSE TRUE END)
+          |  ELSE
+          |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) LIKE '/en%'
+          |  END AS allowed
+          |FROM c ORDER BY doc_id""".stripMargin),
     // Quality formula restated from the q_quality_score oracle (same
     // punct/alpha classes, same weights, same round-6), then quantized
     // to integer micro-units so the per-domain sum is exact.
