@@ -189,6 +189,33 @@ object Web {
         .orderBy(col("doc_id"))
     }),
 
+    // The capstone: the full web-curation pipeline in one plan — URL
+    // canonicalization → URL-level dedup (min-doc_id survivor) →
+    // robots.txt compliance → domain-quality gate — emitting the
+    // surviving docs. Each stage is individually oracle-green; this row
+    // proves the COMPOSITION (three keyed joins, all on already-shuffled
+    // keys; the domain gate side is tiny and broadcasts).
+    "q_web_pipeline" -> ((s, dir) => {
+      val n = normalized(s, dir)
+      val survivors = n.groupBy(col("url_norm"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val robots = when(length(col("domain")) % 2 === 0,
+          lit("User-agent: *\nDisallow: /fr\nAllow: /fr/Doc-1\n"))
+        .otherwise(
+          lit("# lockdown\nUser-agent: *\nDisallow: /\nAllow: /en\n"))
+      val q = graft.ops.TextAnalysis.qualityFeatures(n, "text")
+      val micro = round(col("quality_score") * 1e6).cast("long")
+      val goodDomains = q.groupBy(col("domain"))
+        .agg(sum(micro).as("sq"), count(lit(1)).as("nd"))
+        .filter(col("sq") >= lit(550000L) * col("nd")).select("domain")
+      n.join(survivors, Seq("doc_id"))
+        .filter(graft.ops.Robots.isAllowed(
+          graft.ops.Robots.rulesFor(robots), UrlOps.path(col("url"))))
+        .join(goodDomains, Seq("domain"))
+        .select(col("doc_id"), col("domain"), col("url_norm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Temperature-tempered (τ=0.5) token-budget mixture across domains:
     // each registrable domain gets a sqrt-weighted share of a 20k-token
     // budget, filled greedily in md5(doc_id) order with an exact
@@ -247,6 +274,39 @@ object Web {
           |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) LIKE '/en%'
           |  END AS allowed
           |FROM c ORDER BY doc_id""".stripMargin),
+    // The capstone composition, stage by stage: dedup survivors, the
+    // robots truth tables, the micro-quality domain gate — then the
+    // three-way join.
+    "q_web_pipeline" ->
+      (s"WITH $urlCte,\n$normCte,\n" +
+        """surv AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY url_norm),
+          |qm AS (
+          |  SELECT c.domain,
+          |    CAST(round(round(
+          |      least(1.0, len(regexp_extract_all(trim(d.text), '\S+')) / 20.0) * 0.4 +
+          |      (1.0 - least(1.0,
+          |        ((length(d.text) - length(regexp_replace(d.text, '[[:punct:]]', '', 'g')))::DOUBLE
+          |          / greatest(length(d.text), 1)) * 4.0)) * 0.3 +
+          |      least(1.0,
+          |        (length(regexp_replace(d.text, '[^A-Za-z]', '', 'g'))::DOUBLE
+          |          / greatest(length(d.text), 1)) * 1.25) * 0.3,
+          |      6) * 1e6) AS BIGINT) AS q_micro
+          |  FROM c JOIN documents d USING (doc_id)),
+          |good AS (
+          |  SELECT domain FROM qm GROUP BY domain
+          |  HAVING CAST(sum(q_micro) AS BIGINT) >= 550000 * count(*)),
+          |rob AS (
+          |  SELECT doc_id FROM c
+          |  WHERE CASE WHEN length(domain) % 2 = 0 THEN
+          |      (CASE WHEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) LIKE '/fr/Doc-1%' THEN TRUE
+          |            WHEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) LIKE '/fr%' THEN FALSE
+          |            ELSE TRUE END)
+          |    ELSE regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) LIKE '/en%'
+          |    END)
+          |SELECT c.doc_id, c.domain, c.url_norm
+          |FROM c JOIN surv USING (doc_id) JOIN rob USING (doc_id)
+          |JOIN good ON c.domain = good.domain
+          |ORDER BY c.doc_id""".stripMargin),
     // Quality formula restated from the q_quality_score oracle (same
     // punct/alpha classes, same weights, same round-6), then quantized
     // to integer micro-units so the per-domain sum is exact.
