@@ -35,15 +35,32 @@ object Warc {
 
   /** Write one `.warc` file per partition of `df(id, uri, payload)`;
     * payload may be STRING (UTF-8-encoded) or BINARY. Returns the file
-    * paths. Existing part files in `dir` are removed first (re-layout
-    * must not leave stale shards for the listing-driven reader).
+    * paths. Existing part files in `dir` (including stale in-progress
+    * temps from failed attempts) are removed first — re-layout must not
+    * leave stale shards for the listing-driven reader.
+    *
+    * Task-retry / speculation safety: each attempt writes to an
+    * attempt-unique temp name (`.part-$pid.warc.attempt-$id`) and
+    * renames into place on success, so two attempts of the same
+    * partition never interleave bytes in one file; the rename is
+    * last-writer-wins on a byte-identical shard (same partition data),
+    * never a torn record.
+    *
+    * Header values (id, uri) must not contain CR/LF/NUL — a '\n' inside
+    * a URI would inject header lines (or terminate the block early) and
+    * silently corrupt the record for every downstream reader, exactly
+    * the hostile input a crawl pipeline sees. Rejected loudly here
+    * rather than escaped: WARC has no header escaping convention, so an
+    * escaped value would not round-trip either.
     */
   def write(df: DataFrame, dir: String): Seq[String] = {
     val spark = df.sparkSession
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(dirPath))
-      listWarcs(fs, dir).foreach(st => fs.delete(st.getPath, false))
+      fs.listStatus(dirPath).filter(_.isFile)
+        .filter(_.getPath.getName.contains("part-"))
+        .foreach(st => fs.delete(st.getPath, false))
     fs.mkdirs(dirPath)
     val serConf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
     df.select(col(df.columns(0)).cast("string").as("id"),
@@ -53,27 +70,52 @@ object Warc {
       .mapPartitions { it =>
         if (it.isEmpty) Iterator.empty
         else {
-          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
           val shard = new Path(s"$dir/part-$pid.warc")
-          val out = shard.getFileSystem(serConf.value).create(shard, true)
+          val tmp = new Path(s"$dir/.part-$pid.warc.attempt-${tc.taskAttemptId()}")
+          val shardFs = shard.getFileSystem(serConf.value)
+          val out = shardFs.create(tmp, true)
           try {
             it.foreach { r =>
               val payload = r.getAs[Array[Byte]]("payload")
+              val id = checkHeaderValue(r.getAs[String]("id"), "id")
+              val uri = checkHeaderValue(r.getAs[String]("uri"), "uri")
               val head =
                 s"WARC/1.0\r\n" +
                   s"WARC-Type: response\r\n" +
-                  s"WARC-Record-ID: <urn:graft:${r.getAs[String]("id")}>\r\n" +
-                  s"WARC-Target-URI: ${r.getAs[String]("uri")}\r\n" +
+                  s"WARC-Record-ID: <urn:graft:$id>\r\n" +
+                  s"WARC-Target-URI: $uri\r\n" +
                   s"Content-Length: ${payload.length}\r\n\r\n"
               out.write(head.getBytes(StandardCharsets.UTF_8))
               out.write(payload)
               out.write("\r\n\r\n".getBytes(StandardCharsets.UTF_8))
             }
-          } finally out.close()
+            out.close()
+            shardFs.delete(shard, false) // last-writer-wins vs a twin attempt
+            if (!shardFs.rename(tmp, shard))
+              throw new java.io.IOException(s"rename $tmp -> $shard failed")
+          } catch {
+            case e: Throwable =>
+              try out.close() catch { case _: java.io.IOException => }
+              shardFs.delete(tmp, false)
+              throw e
+          }
           Iterator.single(shard.toString)
         }
       }
       .collect().toSeq
+  }
+
+  /** Loud rejection of header-injection bytes (What's-wrong discipline:
+    * fail, don't silently corrupt).
+    */
+  private def checkHeaderValue(v: String, what: String): String = {
+    require(v != null, s"WARC $what header value is null")
+    require(!v.exists(c => c == '\r' || c == '\n' || c == '\u0000'),
+      s"WARC $what header value contains CR/LF/NUL (header injection): " +
+        v.replace("\r", "\\r").replace("\n", "\\n").replace("\u0000", "\\0"))
+    v
   }
 
   /** Read `.warc` files under a file/glob/dir path. Output:
@@ -231,11 +273,19 @@ object Warc {
       if (!eof) { eof = true; try in.close() catch { case _: java.io.IOException => } }
     }
 
-    /** (lineStartOffset, line sans CR/LF) or null at latched EOF. */
+    /** (lineStartOffset, line sans CR/LF) or null at latched EOF.
+      *
+      * The line's bytes are accumulated RAW and decoded as UTF-8 at the
+      * end — appending `b.toChar` on a signed Byte would sign-extend
+      * every non-ASCII byte (0xE2 -> U+FFE2) and never assemble
+      * multi-byte sequences, silently corrupting non-ASCII
+      * WARC-Target-URI values that [[Warc.write]] emits as UTF-8.
+      */
     def readLine(): (Long, String) = {
       if (eof) return null
       val start = pos
-      val sb = new java.lang.StringBuilder()
+      var line = new Array[Byte](128)
+      var lineLen = 0
       var done = false
       var sawAny = false
       while (!done) {
@@ -246,14 +296,19 @@ object Warc {
         } else {
           val b = buf(bufPos); bufPos += 1; pos += 1
           sawAny = true
-          if (b == '\n') done = true else sb.append(b.toChar)
+          if (b == '\n') done = true
+          else {
+            if (lineLen == line.length)
+              line = java.util.Arrays.copyOf(line, lineLen * 2)
+            line(lineLen) = b
+            lineLen += 1
+          }
         }
       }
       if (!sawAny) null
       else {
-        var s = sb.toString
-        if (s.nonEmpty && s.charAt(s.length - 1) == '\r') s = s.substring(0, s.length - 1)
-        (start, s)
+        if (lineLen > 0 && line(lineLen - 1) == '\r') lineLen -= 1
+        (start, new String(line, 0, lineLen, StandardCharsets.UTF_8))
       }
     }
 

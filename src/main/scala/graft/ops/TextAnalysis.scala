@@ -427,10 +427,15 @@ object TextAnalysis {
     total
   }
 
+  // asNondeterministic is the same PERFORMANCE pin as repGopherUdf above
+  // (the kernel is pure): the struct result feeds three downstream
+  // columns, and CollapseProject inlines deterministic expressions per
+  // reference — without the pin the deflate kernel runs once per
+  // consumer instead of once per row.
   private val deflateUdf = udf((t: String) => if (t == null) null else {
     val raw = t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
     (raw, deflatedSize(t))
-  })
+  }).asNondeterministic()
 
   /** Deflate-compressibility quality signal (the zlib-ratio heuristic
     * web-corpus pipelines use alongside the Gopher rules: highly

@@ -63,10 +63,12 @@ object UrlOps {
     regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
 
   /** Query string without the leading '?', '' when absent. Fragment is
-    * never part of it.
+    * never part of it: the match is anchored to the pre-fragment prefix
+    * (`^[^#]*?\?`), so a '?' appearing after '#' is fragment content,
+    * not a query (`http://a.com/p#x?y=1` has no query).
     */
   def queryString(url: Column): Column =
-    regexp_extract(url, "\\?([^#]*)", 1)
+    regexp_extract(url, "^[^#]*?\\?([^#]*)", 1)
 
   /** Canonical form of a URL, the key for URL-level exact dedup:
     *

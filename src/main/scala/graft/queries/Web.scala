@@ -85,7 +85,7 @@ object Web {
       |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
       |    -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's is ''
       |    coalesce(array_to_string(list_sort(list_filter(
-      |      string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      |      string_split(regexp_extract(url, '^[^#]*?\?([^#]*)', 1), '&'),
       |      x -> x <> '' AND NOT regexp_matches(x,
       |        '^(utm_[^=]*|fbclid|gclid|ref|mc_eid)='))), '&'), '') AS kept
       |  FROM u),

@@ -87,6 +87,28 @@ class WarcSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("non-ASCII URIs and ids round-trip through the UTF-8 header path") {
+    // multi-byte sequences (2-, 3-, and 4-byte/astral) in header values:
+    // the reader must decode accumulated raw bytes as UTF-8, not
+    // char-cast each signed byte
+    val docs = Seq(
+      ("dü1", "http://exämple.example/päth/ü", "body one"),
+      ("d2", "http://x.example/встреча/道/😀", "body two"))
+    val expected = docs.map { case (id, uri, t) => (s"<urn:graft:$id>", uri, t) }.toSet
+    assert(roundTrip(docs, 128L * 1024 * 1024, "/tmp/graft_warc_spec/utf8") === expected)
+    assert(roundTrip(docs, 16L, "/tmp/graft_warc_spec/utf8b") === expected)
+  }
+
+  test("CR/LF in header values is rejected loudly, not silently corrupted") {
+    val docs = Seq(("bad", "http://x.example/a\r\nWARC-Injected: yes", "p"))
+    val e = intercept[Exception] {
+      Warc.write(docs.toDF("id", "uri", "text"), "/tmp/graft_warc_spec/inject")
+    }
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("header injection")), chain(e).mkString(" | "))
+  }
+
   test("gz members are read whole-file") {
     val docs = mkDocs(10)
     val dir = "/tmp/graft_warc_spec/gz_src"

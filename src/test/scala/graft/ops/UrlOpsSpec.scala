@@ -106,6 +106,16 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(domOfUrl(urls.map(_._1)) === domOfUrl(once))
   }
 
+  test("a '?' inside the fragment is not a query") {
+    // the query match is anchored to the pre-fragment prefix: this URL
+    // has NO query, and normalize must not leak fragment content in
+    assert(norm("http://a.com/p#x?y=1") === Seq("http://a.com/p"))
+    // and a real query followed by a '?'-bearing fragment keeps only
+    // the real query
+    assert(norm("http://a.com/p?a=1#x?y=2&utm_source=z") ===
+      Seq("http://a.com/p?a=1"))
+  }
+
   test("normalize is idempotent") {
     val urls = Seq(
       "HTTP://WWW.Ex.COM:80/A/b?utm_source=x&b=2&a=1#f",
