@@ -3,8 +3,10 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.Column
+
 import graft.Tables
-import graft.ops.UrlOps
+import graft.ops.{HtmlExtract, UrlOps}
 
 /** URL / domain-provenance queries (§2.12 web layer), all oracle-backed.
   *
@@ -119,7 +121,121 @@ object Web {
       UrlOps.registrableDomain(h).as("domain"))
   }
 
+  // ---------------------------------------------------------------------
+  // Synthetic crawl-page derivation for the HTML-extraction gate. The
+  // template wraps each document's text in realistic page chrome — nav
+  // bar, script with tag-shaped string traps, style, comment, share row,
+  // link-heavy footer — with the text entity-escaped into three <p>
+  // paragraphs. The SAME Scala constants build both the Spark column and
+  // the DuckDB CTE, so the derivation cannot drift between engines.
+  // ---------------------------------------------------------------------
+  private val H0 = "<html><!-- chrome: not content --><head><title>Doc "
+  private val H1 =
+    "</title><style>body { font-size: 12px } nav a { color: blue }</style>" +
+      "<script type=text/javascript>var tricky = \"</div><p>not content</p>\"; if (x<3) { y(); }</script>" +
+      "</head><body><nav><a href=/>Home</a> <a href=/about>About</a> <a href=/contact>Contact</a></nav>" +
+      "<div class=main><p>"
+  private val H2 = "</p><p>"
+  private val H3 =
+    "</p></div><div class=share><a href=/s>Share this with all of your friends and followers right now</a></div>" +
+      "<footer>Copyright &amp; legal notices - <a href=/a>terms</a> <a href=/b>privacy</a> " +
+      "<a href=/c>imprint</a> <a href=/d>cookies</a> and nothing else of value</footer></body></html>"
+
+  /** Minimal HTML escape of text content (must run BEFORE templating;
+    * '&' first so entities are not double-escaped).
+    */
+  private def escCol(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+
+  /** documents + a derived `html` page column (Spark side). */
+  private def withHtml(df: DataFrame): DataFrame = {
+    val t = col("text")
+    df.withColumn("html", concat(
+      lit(H0), col("doc_id"), lit(H1),
+      escCol(substring(t, 1, 120)), lit(H2),
+      escCol(substring(t, 121, 120)), lit(H2),
+      escCol(substring(t, 241, 1000000)), lit(H3)))
+  }
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+  private def sqlEsc(s: String): String =
+    s"replace(replace(replace($s, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+
+  /** DuckDB twin of [[HtmlExtract.visibleText]]. */
+  private def sqlVisible(x: String): String =
+    "trim(regexp_replace(" +
+      s"replace(replace(replace(replace(replace(replace(" +
+      s"regexp_replace($x, '<[^>]*>', ' ', 'g'), " +
+      "'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
+      "'&#39;', ''''), '&amp;', '&'), " +
+      "'\\s+', ' ', 'g'))"
+
+  /** DuckDB twin of [[HtmlExtract.linkChars]]. The coalesce matters:
+    * DuckDB's array_to_string([]) is NULL (Spark's is ''), so an
+    * anchor-free line would otherwise go NULL through the whole rule.
+    */
+  private def sqlLinkChars(x: String): String =
+    s"length(${sqlVisible(
+      s"coalesce(array_to_string(regexp_extract_all($x, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), '')")})"
+
+  /** DuckDB twin of the stopword-hit count over a collapsed visible. */
+  private def sqlStops(v: String): String = {
+    val words = HtmlExtract.DefaultStopwords.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split(lower($v), ' '), w -> w IN ($words)))"
+  }
+
+  /** CTE `x(doc_id, extracted)`: the full derivation + extraction twin.
+    * Mirrors [[withHtml]] + [[HtmlExtract.extract]] rule-for-rule; the
+    * block-tag alternation and stopword list are inlined from the Scala
+    * constants so a drift in either fails the gate loudly.
+    */
+  private val htmlCte: String = {
+    val html = s"${sqlLit(H0)} || doc_id || ${sqlLit(H1)} || " +
+      s"${sqlEsc("substring(text, 1, 120)")} || ${sqlLit(H2)} || " +
+      s"${sqlEsc("substring(text, 121, 120)")} || ${sqlLit(H2)} || " +
+      s"${sqlEsc("substring(text, 241, 1000000)")} || ${sqlLit(H3)}"
+    val lined =
+      "regexp_replace(regexp_replace(regexp_replace(regexp_replace(html, " +
+        "'(?is)<script[^>]*>.*?</script>', ' ', 'g'), " +
+        "'(?is)<style[^>]*>.*?</style>', ' ', 'g'), " +
+        "'(?s)<!--.*?-->', ' ', 'g'), " +
+        s"'(?i)<br[^>]*>|</?(${HtmlExtract.BlockTags})[^>]*>', chr(10), 'g')"
+    val v = sqlVisible("y")
+    val keep = s"(length($v) >= 25) AND " +
+      s"(${sqlLinkChars("y")} * 100 <= length($v) * 30) AND " +
+      s"(${sqlStops(v)} >= 1)"
+    s"""hx AS (
+       |  SELECT doc_id, $html AS html FROM documents),
+       |lx AS (
+       |  SELECT doc_id, $lined AS lined FROM hx),
+       |x AS (
+       |  SELECT doc_id,
+       |    -- coalesce: array_to_string([]) is NULL in DuckDB, '' in Spark
+       |    coalesce(array_to_string(list_transform(
+       |      list_filter(string_split(lined, chr(10)), y -> $keep),
+       |      y -> $v), chr(10)), '') AS extracted
+       |  FROM lx)""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // HTML main-content extraction (jusText-style line rules): the
+    // synthetic crawl page wraps each doc's text in chrome; the
+    // extractor must strip script/style/comments, drop the nav, share
+    // row, title and footer (length / link-density / stopword rules)
+    // and return the content paragraphs. Map-only — pure built-in
+    // column expressions inside the scan's codegen span.
+    "q_html_extract" -> ((s, dir) =>
+      withHtml(Tables(s, dir, "documents"))
+        .select(col("doc_id"),
+          HtmlExtract.extract(col("html")).as("extracted"))
+        .select(col("doc_id"),
+          when(col("extracted") === "", 0)
+            .otherwise(size(split(col("extracted"), "\n"))).as("n_lines_kept"),
+          length(col("extracted")).as("n_extract_chars"),
+          col("extracted"))
+        .orderBy(col("doc_id"))),
+
     // Per-document canonicalization detail: the raw derived URL next to
     // its normalized form, host, and registrable domain. Map-only.
     "q_url_normalize" -> ((s, dir) =>
@@ -189,12 +305,15 @@ object Web {
         .orderBy(col("doc_id"))
     }),
 
-    // The capstone: the full web-curation pipeline in one plan — URL
+    // The capstone: the full crawl-ingest pipeline in one plan — URL
     // canonicalization → URL-level dedup (min-doc_id survivor) →
-    // robots.txt compliance → domain-quality gate — emitting the
-    // surviving docs. Each stage is individually oracle-green; this row
-    // proves the COMPOSITION (three keyed joins, all on already-shuffled
-    // keys; the domain gate side is tiny and broadcasts).
+    // robots.txt compliance → HTML main-content extraction (pages whose
+    // chrome-stripped content is empty are dropped) → domain-quality
+    // gate computed on the EXTRACTED text — emitting the surviving
+    // docs. Each stage is individually oracle-green; this row proves
+    // the COMPOSITION (keyed joins on already-shuffled keys; the domain
+    // gate side is tiny and broadcasts; extraction is map-only chrome
+    // inside the scan's codegen span).
     "q_web_pipeline" -> ((s, dir) => {
       val n = normalized(s, dir)
       val survivors = n.groupBy(col("url_norm"))
@@ -203,16 +322,22 @@ object Web {
           lit("User-agent: *\nDisallow: /fr\nAllow: /fr/Doc-1\n"))
         .otherwise(
           lit("# lockdown\nUser-agent: *\nDisallow: /\nAllow: /en\n"))
-      val q = graft.ops.TextAnalysis.qualityFeatures(n, "text")
+      val ext = withHtml(n)
+        .withColumn("extracted", HtmlExtract.extract(col("html")))
+        .filter(length(col("extracted")) > 0)
+        .select(col("doc_id"), col("domain"), col("url_norm"), col("url"),
+          col("extracted"))
+      val q = graft.ops.TextAnalysis.qualityFeatures(ext, "extracted")
       val micro = round(col("quality_score") * 1e6).cast("long")
       val goodDomains = q.groupBy(col("domain"))
         .agg(sum(micro).as("sq"), count(lit(1)).as("nd"))
         .filter(col("sq") >= lit(550000L) * col("nd")).select("domain")
-      n.join(survivors, Seq("doc_id"))
+      ext.join(survivors, Seq("doc_id"))
         .filter(graft.ops.Robots.isAllowed(
           graft.ops.Robots.rulesFor(robots), UrlOps.path(col("url"))))
         .join(goodDomains, Seq("domain"))
-        .select(col("doc_id"), col("domain"), col("url_norm"))
+        .select(col("doc_id"), col("domain"), col("url_norm"),
+          length(col("extracted")).as("n_extract_chars"))
         .orderBy(col("doc_id"))
     }),
 
@@ -243,6 +368,14 @@ object Web {
   // (stripMargin treats the second pipe of '||' as a margin marker).
   // The CTEs are stripMargin'd once at definition; tails are plain.
   def oracle: Map[String, String] = Map(
+    "q_html_extract" ->
+      (s"WITH $htmlCte\n" +
+        "SELECT doc_id,\n" +
+        "  CASE WHEN extracted = '' THEN 0\n" +
+        "       ELSE len(string_split(extracted, chr(10))) END AS n_lines_kept,\n" +
+        "  length(extracted) AS n_extract_chars,\n" +
+        "  extracted\n" +
+        "FROM x ORDER BY doc_id"),
     "q_url_normalize" ->
       (s"WITH $urlCte,\n$normCte\n" +
         "SELECT doc_id, url, url_norm, host, domain\n" +
@@ -278,20 +411,21 @@ object Web {
     // robots truth tables, the micro-quality domain gate — then the
     // three-way join.
     "q_web_pipeline" ->
-      (s"WITH $urlCte,\n$normCte,\n" +
+      (s"WITH $urlCte,\n$normCte,\n$htmlCte,\n" +
         """surv AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY url_norm),
+          |xe AS (SELECT doc_id, extracted FROM x WHERE length(extracted) > 0),
           |qm AS (
           |  SELECT c.domain,
           |    CAST(round(round(
-          |      least(1.0, len(regexp_extract_all(trim(d.text), '\S+')) / 20.0) * 0.4 +
+          |      least(1.0, len(regexp_extract_all(trim(xe.extracted), '\S+')) / 20.0) * 0.4 +
           |      (1.0 - least(1.0,
-          |        ((length(d.text) - length(regexp_replace(d.text, '[[:punct:]]', '', 'g')))::DOUBLE
-          |          / greatest(length(d.text), 1)) * 4.0)) * 0.3 +
+          |        ((length(xe.extracted) - length(regexp_replace(xe.extracted, '[[:punct:]]', '', 'g')))::DOUBLE
+          |          / greatest(length(xe.extracted), 1)) * 4.0)) * 0.3 +
           |      least(1.0,
-          |        (length(regexp_replace(d.text, '[^A-Za-z]', '', 'g'))::DOUBLE
-          |          / greatest(length(d.text), 1)) * 1.25) * 0.3,
+          |        (length(regexp_replace(xe.extracted, '[^A-Za-z]', '', 'g'))::DOUBLE
+          |          / greatest(length(xe.extracted), 1)) * 1.25) * 0.3,
           |      6) * 1e6) AS BIGINT) AS q_micro
-          |  FROM c JOIN documents d USING (doc_id)),
+          |  FROM c JOIN xe USING (doc_id)),
           |good AS (
           |  SELECT domain FROM qm GROUP BY domain
           |  HAVING CAST(sum(q_micro) AS BIGINT) >= 550000 * count(*)),
@@ -303,8 +437,10 @@ object Web {
           |            ELSE TRUE END)
           |    ELSE regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) LIKE '/en%'
           |    END)
-          |SELECT c.doc_id, c.domain, c.url_norm
-          |FROM c JOIN surv USING (doc_id) JOIN rob USING (doc_id)
+          |SELECT c.doc_id, c.domain, c.url_norm,
+          |  length(xe.extracted) AS n_extract_chars
+          |FROM c JOIN xe USING (doc_id) JOIN surv USING (doc_id)
+          |JOIN rob USING (doc_id)
           |JOIN good ON c.domain = good.domain
           |ORDER BY c.doc_id""".stripMargin),
     // Quality formula restated from the q_quality_score oracle (same

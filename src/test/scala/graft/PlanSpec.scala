@@ -476,6 +476,15 @@ class PlanSpec extends AnyFunSuite {
       s"url dedup is one keyed aggregate:\n${pd.take(800)}")
     assert(pd.contains("partial_"), s"dedup must map-side combine:\n${pd.take(800)}")
 
+    // HTML extraction: map-only chrome — pure built-in expressions, no
+    // UDF, no hash exchange (only the presentation sort's range
+    // partitioning); at 100 TB this rides inside the scan
+    val ph = physicalPlan("q_html_extract")
+    assert("Exchange hashpartitioning".r.findAllIn(ph).isEmpty,
+      s"html extraction must not hash-shuffle:\n${ph.take(800)}")
+    assert(!ph.contains("ScalaUDF"),
+      s"html extraction must stay UDF-free:\n${ph.take(800)}")
+
     // domain stats: two count(DISTINCT) → canonical Expand plan; the
     // Expand factor is 3 (one slice per distinct + one for plain aggs)
     // and both exchanges stay keyed on domain(+distinct col) — bounded,
