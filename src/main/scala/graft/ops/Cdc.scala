@@ -15,8 +15,19 @@ import org.apache.spark.sql.functions._
   * threshold `t` — P(cut) = (t+1)/256 per position, so expected chunk
   * length ≈ 256/(t+1). md5 is the anchor hash (not a security choice)
   * because BOTH engines ship it with identical semantics, which keeps
-  * the whole family under the cross-engine oracle gate; a production
-  * deployment would swap in xxhash64 with the same structure.
+  * the whole family under the cross-engine oracle gate.
+  *
+  * Cost model, stated honestly: hashing every w-codepoint window from
+  * scratch is O(w·n) bytes through MessageDigest per document — w=16
+  * pushes ~16× the input volume through the digest, plus a 16-byte
+  * digest allocation per position. Swapping xxhash64 into the same
+  * per-window structure would NOT fix that; the real fix is a rolling
+  * hash, and it ships here as [[gearChunks]] (O(n): one table lookup +
+  * shift + add per byte). The two paths coexist deliberately: md5 cut
+  * points are what DuckDB can reproduce (the oracle twin, the
+  * correctness anchor at gate SFs), gear is what a 100 TB run uses
+  * (property-gated + golden-pinned, since cut points can't be pinned
+  * across hash families).
   *
   * Implementation is a native Catalyst expression
   * ([[graft.plans.CdcChunksExpr]]) — NOT nested higher-order array
@@ -51,6 +62,24 @@ object Cdc {
     graft.plans.GraftExtensions.register(
       org.apache.spark.sql.SparkSession.active)
     call_function("cdc_chunks", text, lit(w), lit(maxFirstByte))
+  }
+
+  /** Gear rolling-hash chunks — the production-cost-model path
+    * ([[graft.plans.GearChunksExpr]]): one table lookup + shift + add
+    * per byte, O(n) per document vs the md5 path's O(w·n) through
+    * MessageDigest. Cut points differ from [[chunks]] by construction
+    * (different hash family), so this path is gated by CdcSpec's
+    * property battery (cover invariant, size bounds, edit locality,
+    * UTF-8 safety) and the q_cdc_gear golden pins, with the md5 path
+    * kept as the cross-engine oracle twin. Sizes are BYTES (the unit a
+    * chunk store provisions by); string chunks snap forward to
+    * code-point boundaries, so the ceiling overshoots by ≤ 3 bytes.
+    */
+  def gearChunks(text: Column, maskBits: Int = 5, minSize: Int = 16,
+      maxSize: Int = 128): Column = {
+    graft.plans.GraftExtensions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("gear_chunks", text, lit(maskBits), lit(minSize), lit(maxSize))
   }
 
   /** Document-containment pairs via shared chunk mass: pairs (a, b)

@@ -74,13 +74,32 @@ object GraftExtensions {
         lint(children(2), "maxFirstByte"))
     })
 
+  /** gear_chunks(text, maskBits, minSize, maxSize) — geometry must be
+    * integer literals (they parameterize the kernel, not the row).
+    */
+  private def gearDescriptor: Descriptor = (
+    FunctionIdentifier("gear_chunks"),
+    new ExpressionInfo(classOf[GearChunksExpr].getName, "gear_chunks"),
+    (children: Seq[Expression]) => {
+      require(children.size == 4,
+        "gear_chunks(text, maskBits, minSize, maxSize) takes 4 arguments")
+      def lint(e: Expression, n: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case _ => throw new IllegalArgumentException(
+          s"gear_chunks: $n must be an integer literal")
+      }
+      GearChunksExpr(children(0), lint(children(1), "maskBits"),
+        lint(children(2), "minSize"), lint(children(3), "maxSize"))
+    })
+
   private[plans] val descriptors: Seq[Descriptor] = Seq(
     binary("hamming_distance", classOf[HammingDistance], HammingDistance.apply),
     binary("dot_f", classOf[DotProductFloat], DotProductFloat.apply),
     binary("cosine_f", classOf[CosineSimFloat], CosineSimFloat.apply),
     binary("jaccard_sorted", classOf[JaccardSortedLong], JaccardSortedLong.apply),
     alignDescriptor,
-    cdcDescriptor)
+    cdcDescriptor,
+    gearDescriptor)
 
   /** Register on an existing session (tests, notebooks); idempotent. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

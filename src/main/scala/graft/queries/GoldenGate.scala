@@ -104,6 +104,11 @@ object GoldenGate {
     "q_tokenize_pack" -> Map(
       "sf0.001" -> 8446402077215570318L,
       "sf0.01" -> -8775121591589721512L),
+    // Gear rolling-hash CDC — integer byte counts + boolean contracts;
+    // the GEAR table is SplitMix64 from a fixed seed, JVM-independent
+    "q_cdc_gear" -> Map(
+      "sf0.001" -> 2917118337503949230L,
+      "sf0.01" -> -5465476134181944840L),
     // integer counts -> per-row binomial log-odds (A9: the last §2 entry
     // without a hash-level signal, now pinned)
     "q_plogo" -> Map(

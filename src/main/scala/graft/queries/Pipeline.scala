@@ -92,6 +92,31 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // Gear rolling-hash CDC (the O(n) production cost model; FastCDC
+    // boundary rule): per-doc chunk stats in BYTES with the cover
+    // invariant and the size-bound contract as pinned columns. Cut
+    // points are not md5-comparable by construction, so this row is
+    // GoldenGate-pinned (per-sf output hash) rather than oracle-backed;
+    // CdcSpec carries the property battery (cover, bounds, edit
+    // locality, UTF-8 safety). Map-only, one native-kernel pass per row.
+    "q_cdc_gear" -> ((s, dir) => {
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), octet_length(col("text")).as("n_bytes"),
+          graft.ops.Cdc.gearChunks(col("text")).as("ch"))
+      val lens = transform(col("ch"), c => octet_length(c))
+      val nonFinal = slice(col("ch"), lit(1),
+        greatest(size(col("ch")) - 1, lit(0)))
+      base.select(col("doc_id"),
+          size(col("ch")).as("n_chunks"),
+          aggregate(lens, lit(0), (a, l) => a + l).as("total_chunk_bytes"),
+          array_max(lens).as("max_chunk_bytes"),
+          (aggregate(lens, lit(0), (a, l) => a + l) === col("n_bytes"))
+            .as("covered_ok"),
+          (coalesce(array_max(lens), lit(0)) <= lit(128 + 3) &&
+            forall(nonFinal, c => octet_length(c) >= 16)).as("bounds_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact n-gram Jaccard near-dup pairs inside (lang, source) blocks.
     "q_neardup_jaccard" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")

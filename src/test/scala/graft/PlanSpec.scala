@@ -504,6 +504,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!pc.contains("ScalaUDF") && pc.contains("cdc_chunks"),
       s"chunking should run the native cdc_chunks expression:\n${pc.take(800)}")
 
+    // gear path: same map-only contract as the md5 path — native
+    // expression (one O(n) pass), no UDF, no hash exchange
+    val pg = physicalPlan("q_cdc_gear")
+    assert("Exchange hashpartitioning".r.findAllIn(pg).isEmpty,
+      s"gear chunking must not hash-shuffle:\n${pg.take(800)}")
+    assert(!pg.contains("ScalaUDF") && pg.contains("gear_chunks"),
+      s"chunking should run the native gear_chunks expression:\n${pg.take(800)}")
+
     // corpus dedup: explode → the two-exchange count(DISTINCT doc_id)
     // aggregate keyed on chunk — nothing else, no window, no join
     val pd = physicalPlan("q_cdc_dedup")

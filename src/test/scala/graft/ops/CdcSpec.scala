@@ -65,6 +65,81 @@ class CdcSpec extends AnyFunSuite {
     assert(ch.size >= 2)
   }
 
+  // --- Gear rolling-hash path (q_cdc_gear golden pins carry the
+  // corpus-level gate; these pin the per-rule properties, which is the
+  // whole gate strategy for a path whose cut points can't be oracle- or
+  // md5-compared by construction) ---
+
+  private def gearOf(texts: String*): Seq[Seq[String]] =
+    texts.toDF("text").select(Cdc.gearChunks(col("text")))
+      .as[Seq[String]].collect().toSeq
+
+  test("gear: chunks cover the text exactly, never empty, and are deterministic") {
+    val texts = (1 to 8).map(s => rand(100 + s, 60 + s * 53))
+    val once = gearOf(texts: _*)
+    once.zip(texts).foreach { case (ch, t) =>
+      assert(ch.mkString === t)
+      assert(ch.forall(_.nonEmpty))
+    }
+    assert(gearOf(texts: _*) === once)
+  }
+
+  test("gear: byte-size bounds — non-final chunks in [minSize, maxSize+3]") {
+    val t = rand(55, 30000)
+    val Seq(ch) = gearOf(t)
+    assert(ch.size >= 100, s"fixture produced only ${ch.size} chunks")
+    val sizes = ch.map(_.getBytes("UTF-8").length)
+    assert(sizes.init.forall(_ >= 16), s"undersized chunk: ${sizes.init.min}")
+    assert(sizes.forall(_ <= 131), s"oversized chunk: ${sizes.max}")
+    // expected length ~ minSize + 2^maskBits = 48 bytes
+    val mean = t.length.toDouble / ch.size
+    assert(mean > 24 && mean < 96, s"mean chunk length $mean off the ~48 target")
+  }
+
+  test("gear: edit locality — chunk streams re-converge after an edit") {
+    // h resets at each cut, so once one cut re-aligns after the edit,
+    // every later cut is a function of content alone: the two chunk
+    // streams must share their entire tail
+    val t = rand(77, 8000)
+    val Seq(chT, chE) = gearOf(t, t.substring(0, 1000) + "EDIT" + t.substring(1000))
+    assert(chT.size >= 20)
+    val common = chT.reverse.zip(chE.reverse).takeWhile { case (a, b) => a == b }.size
+    assert(common >= chT.size / 2,
+      s"only $common of ${chT.size} tail chunks survived a point edit")
+    // and the head before the edit is untouched
+    val head = chT.zip(chE).takeWhile { case (a, b) => a == b }.size
+    assert(head >= 1, "the first chunk (before the edit) should be identical")
+  }
+
+  test("gear: multi-byte text never splits a code point; forced cuts snap forward") {
+    val t = rand(31, 600).flatMap(c => if (c % 5 == 0) s"${c}é𝄞" else s"$c")
+    val Seq(ch) = gearOf(t)
+    assert(ch.mkString === t, "cover invariant broke — a code point was split")
+    assert(ch.forall(c => !Character.isLowSurrogate(c.charAt(0))),
+      "a chunk starts mid-surrogate-pair")
+    assert(ch.forall(_.getBytes("UTF-8").length <= 131))
+  }
+
+  test("gear: maxSize forces cuts on pathological low-entropy input") {
+    // constant bytes never satisfy the hash rule after warmup; only the
+    // ceiling chunks them — the degenerate input a real crawl contains
+    val t = "a" * 10000
+    val Seq(ch) = gearOf(t)
+    assert(ch.mkString === t)
+    assert(ch.map(_.length).forall(_ <= 131))
+    assert(ch.size >= 10000 / 131, s"ceiling not enforced: ${ch.size} chunks")
+  }
+
+  test("gear: binary kernel covers raw bytes with the same bounds") {
+    val r = new scala.util.Random(9)
+    val payload = Array.fill(20000)(r.nextInt(256).toByte)
+    val df = Seq(Tuple1(payload)).toDF("b")
+    val ch = df.select(Cdc.gearChunks(col("b"))).as[Seq[Array[Byte]]].head()
+    assert(ch.map(_.length).sum === payload.length)
+    assert(ch.flatten.toSeq === payload.toSeq)
+    assert(ch.init.forall(_.length >= 16) && ch.forall(_.length <= 128))
+  }
+
   test("containmentPairs flags a planted quote and only that pair") {
     val base = rand(21, 1500)
     val quote = base.substring(200, 900)
