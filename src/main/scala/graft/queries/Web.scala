@@ -268,6 +268,28 @@ object Web {
           sum(col("n_chars")).as("total_chars"))
         .orderBy(col("domain"))),
 
+    // Domain stats keyed on the FULL-ALGORITHM PSL resolver (broadcast
+    // snapshot rules, wildcard/exception semantics) instead of the
+    // 7-entry SQL twin. On this corpus every suffix is subset-covered,
+    // so the oracle is the subset-keyed stats with subset_agrees
+    // pinned TRUE — a cross-engine proof that the two resolvers
+    // coincide exactly where they must (PslSpec pins where they must
+    // NOT: github.io-class tenants, *.ck wildcards). Same one-aggregate
+    // shape as q_domain_stats; the PSL lookup is a map-side broadcast
+    // probe, no extra exchange.
+    "q_domain_stats_psl" -> ((s, dir) =>
+      normalized(s, dir)
+        .withColumn("domain_psl",
+          graft.ops.Psl.registrableDomainPsl(col("host")))
+        .groupBy(col("domain_psl"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url_norm")).as("n_urls"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"),
+          (min(when(col("domain_psl") === col("domain"), lit(1))
+            .otherwise(lit(0))) === 1).as("subset_agrees"))
+        .orderBy(col("domain_psl"))),
+
     // Domain-level quality filtering (the RefinedWeb/C4 "drop bad
     // domains wholesale" step): per-registrable-domain mean of the
     // TextAnalysis quality score, decided integer-exactly — each doc's
@@ -395,6 +417,17 @@ object Web {
         "FROM c GROUP BY domain ORDER BY domain"),
     // Truth tables hand-reduced from the two derived robots rule sets
     // under longest-prefix/Allow-ties semantics.
+    // PSL-keyed stats: every suffix the synthetic derivation produces is
+    // subset-covered, so PSL keys == subset keys and agreement is TRUE
+    // everywhere — the oracle states exactly that.
+    "q_domain_stats_psl" ->
+      (s"WITH $urlCte,\n$normCte\n" +
+        "SELECT domain AS domain_psl, count(*) AS n_docs,\n" +
+        "  count(DISTINCT url_norm) AS n_urls,\n" +
+        "  count(DISTINCT lang) AS n_langs,\n" +
+        "  CAST(sum(n_chars) AS BIGINT) AS total_chars,\n" +
+        "  TRUE AS subset_agrees\n" +
+        "FROM c GROUP BY domain ORDER BY domain"),
     "q_robots_filter" ->
       (s"WITH $urlCte,\n$normCte\n" +
         """SELECT doc_id, domain,

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins for the full-algorithm PSL matcher. Corpus-level agreement with
+  * the SQL-expressible subset twin is oracle-gated (q_domain_stats_psl's
+  * subset_agrees column); these pin the algorithm itself on the rule
+  * shapes the subset cannot express — wildcards, exceptions, and
+  * private-section platform suffixes.
+  */
+class PslSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def d(host: String): String = Psl.registrableDomain(host, Psl.snapshot)
+
+  test("exact multi-part suffixes: one label past the suffix") {
+    assert(d("news.blog.example.co.uk") === "example.co.uk")
+    assert(d("example.co.uk") === "example.co.uk")
+    assert(d("a.b.x.gob.mx") === "x.gob.mx")
+    assert(d("deep.example.com.cn") === "example.com.cn")
+  }
+
+  test("default rule: unknown TLDs take the last two labels") {
+    assert(d("news.blog.example.com") === "example.com")
+    assert(d("x.example.de") === "example.de")
+    assert(d("localhost") === "localhost")
+    assert(d("example.notarealtld") === "example.notarealtld")
+  }
+
+  test("a host that IS a public suffix maps to itself (total grouping key)") {
+    assert(d("co.uk") === "co.uk")
+    assert(d("github.io") === "github.io")
+    assert(d("com") === "com")
+  }
+
+  test("private-section platform suffixes split per tenant (the github.io class)") {
+    assert(d("alice.github.io") === "alice.github.io")
+    assert(d("www.alice.github.io") === "alice.github.io")
+    assert(d("myblog.blogspot.com") === "myblog.blogspot.com")
+    assert(d("a.myblog.blogspot.com.br") === "myblog.blogspot.com.br")
+    assert(d("app-1234.herokuapp.com") === "app-1234.herokuapp.com")
+    // and the subset twin would have merged all these into ONE domain:
+    val subset = Seq("alice.github.io", "bob.github.io").toDF("h")
+      .select(UrlOps.registrableDomain(col("h"))).as[String].collect().toSet
+    assert(subset === Set("github.io"), "subset twin merges tenants by design")
+    assert(Set(d("alice.github.io"), d("bob.github.io")).size === 2)
+  }
+
+  test("wildcard rules match exactly one label; exceptions beat everything") {
+    // *.ck: every single label under ck is itself a suffix...
+    assert(d("foo.bar.ck") === "foo.bar.ck")
+    assert(d("a.foo.bar.ck") === "foo.bar.ck")
+    // ...EXCEPT www.ck, which the !www.ck exception carves back out
+    assert(d("www.ck") === "www.ck")
+    assert(d("sub.www.ck") === "www.ck")
+    // a bare two-label host under a wildcard TLD is itself a suffix
+    assert(d("x.np") === "x.np")
+    assert(d("a.x.np") === "a.x.np")
+  }
+
+  test("column form agrees with the subset twin on subset-covered suffixes") {
+    val hosts = Seq("www.src0.co.uk", "cdn.src5.de", "news.src3.fr",
+      "src7.com.br", "www.src1.com.cn", "x.y.example.com", "plain.org",
+      "a.b.example.ac.uk", "s.example.com.au", "t.example.co.jp")
+    val df = hosts.toDF("h")
+    val got = df.select(Psl.registrableDomainPsl(col("h")),
+      UrlOps.registrableDomain(col("h"))).as[(String, String)].collect()
+    got.zip(hosts).foreach { case ((psl, sub), h) =>
+      assert(psl === sub, s"psl/subset disagree on covered host $h")
+    }
+  }
+
+  test("parser: comments, blanks, case, and inline junk are handled") {
+    val r = Psl.parse(Iterator(
+      "// comment", "", "  CO.Example  trailing", "*.wild", "!except.wild"))
+    assert(r.exact === Set("co.example"))
+    assert(r.wildcard === Set("wild"))
+    assert(r.exception === Set("except.wild"))
+  }
+}
