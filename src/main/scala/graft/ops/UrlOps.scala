@@ -48,11 +48,15 @@ object UrlOps {
   def hostPort(url: Column): Column =
     regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
 
-  /** Lower-cased host: authority minus any `:port`, minus one trailing
-    * dot (`example.com.` == `example.com` in DNS).
+  /** Lower-cased host: authority minus any `userinfo@` prefix (RFC 3986
+    * §3.2.1 — `https://user:pw@example.com/` must not yield a
+    * `user:pw@example.com` "host", which would also poison the
+    * registrable domain), minus any `:port`, minus one trailing dot
+    * (`example.com.` == `example.com` in DNS).
     */
   def host(url: Column): Column =
-    lower(regexp_replace(regexp_replace(hostPort(url), ":[0-9]+$", ""), "\\.$", ""))
+    lower(regexp_replace(regexp_replace(regexp_replace(hostPort(url),
+      "^[^@]*@", ""), ":[0-9]+$", ""), "\\.$", ""))
 
   /** Numeric port as a string, '' when absent. */
   def port(url: Column): Column =
@@ -70,16 +74,58 @@ object UrlOps {
   def queryString(url: Column): Column =
     regexp_extract(url, "^[^#]*?\\?([^#]*)", 1)
 
+  /** Hex codes of RFC 3986 unreserved characters (ALPHA / DIGIT /
+    * `-._~`) — the only percent-escapes that are safe to decode
+    * anywhere (escaping them never changes meaning, so `%7E` == `~`).
+    * Uppercase, two digits; shared with the DuckDB oracle twin.
+    */
+  val UnreservedHex: Seq[String] =
+    (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9') ++ Seq('-', '.', '_', '~'))
+      .map(c => f"${c.toInt}%02X")
+
+  /** Percent-encoding normalization (RFC 3986 §6.2.2.1-2), applied to
+    * path and query during [[normalize]]:
+    *   - escapes of unreserved characters decode (`%7E` → `~`,
+    *     `%41` → `A`) — equivalent URLs must not fail to dedup over a
+    *     cosmetic escape;
+    *   - every other valid escape gets uppercase hex (`%2f` → `%2F`);
+    *   - a '%' not followed by two hex digits stays literal (malformed
+    *     input passes through deterministically, never throws).
+    * Reserved escapes are NEVER decoded — `%2F` in a path is data, not
+    * a separator. Idempotent by construction (decoded output contains
+    * no '%'; uppercased escapes are fixed points). Pure split /
+    * transform / array_join built-ins — codegen-friendly, with an
+    * exact DuckDB twin (string_split + list slice + list_transform).
+    */
+  def pctNormalize(s: Column): Column = {
+    val pieces = split(s, "%")
+    val handled = transform(slice(pieces, 2, 100000000), x => {
+      val hex2 = substring(x, 1, 2)
+      val tail = substring(x, 3, 100000000)
+      when(hex2.rlike("^[0-9A-Fa-f]{2}$"),
+        when(upper(hex2).isin(UnreservedHex: _*),
+          concat(decode(unhex(hex2), "UTF-8"), tail))
+          .otherwise(concat(lit("%"), upper(hex2), tail)))
+        .otherwise(concat(lit("%"), x))
+    })
+    concat(element_at(pieces, 1), array_join(handled, ""))
+  }
+
   /** Canonical form of a URL, the key for URL-level exact dedup:
     *
     *   1. scheme and host lower-cased; one trailing host dot stripped;
+    *      `userinfo@` dropped (credentials are not content identity);
     *   2. default port dropped (`:80` for http, `:443` for https) —
     *      other ports kept;
     *   3. fragment dropped (client-side only, never reaches the server);
     *   4. tracking query params dropped ([[TrackingExactKeys]] + `utm_*`),
     *      survivors byte-order sorted (param order is not content
     *      identity), '?' dropped when none survive;
-    *   5. empty path becomes "/".
+    *   5. empty path becomes "/";
+    *   6. percent-escapes canonicalized in path and query
+    *      ([[pctNormalize]]: unreserved decode, uppercase hex) —
+    *      applied BEFORE the tracker filter and byte sort, so both
+    *      operate on canonical bytes.
     *
     * Path case is PRESERVED (paths are case-sensitive per RFC 3986).
     * Built from split/filter/array_sort/array_join + regexes only —
@@ -91,13 +137,14 @@ object UrlOps {
     val h = host(url)
     val p = port(url)
     val keptParams = array_join(
-      array_sort(filter(split(queryString(url), "&"),
+      array_sort(filter(split(pctNormalize(queryString(url)), "&"),
         c => c =!= lit("") && !c.rlike(trackerRe))), "&")
     val normPort = when(p === "", "")
       .when(sch === "http" && p === "80", "")
       .when(sch === "https" && p === "443", "")
       .otherwise(concat(lit(":"), p))
-    val normPath = when(path(url) === "", "/").otherwise(path(url))
+    val normPath = when(path(url) === "", "/")
+      .otherwise(pctNormalize(path(url)))
     concat(sch, lit("://"), h, normPort, normPath,
       when(keptParams === "", "").otherwise(concat(lit("?"), keptParams)))
   }

@@ -42,14 +42,17 @@ object Web {
     val prt = when(col("doc_id") % 5 === 0, ":80")
       .when(col("doc_id") % 5 === 1, ":443")
       .when(col("doc_id") % 5 === 2, ":8080").otherwise("")
+    val ui = when(col("doc_id") % 6 === 0, "user:pw@").otherwise("")
+    val esc = when(col("doc_id") % 7 === 0, "/%7e%41%2fx").otherwise("")
     val qry = when(col("doc_id") % 4 === 0, "?utm_source=feed&b=2&a=1")
       .when(col("doc_id") % 4 === 1,
         concat(lit("?id="), col("doc_id") % 50, lit("&utm_campaign=x")))
       .when(col("doc_id") % 4 === 2, "?fbclid=abc").otherwise("")
     val frag = when(col("doc_id") % 2 === 0, "#Section-2").otherwise("")
     df.withColumn("url",
-      concat(sch, lit("://"), sub, col("source"), lit("."), tld, prt,
-        lit("/"), col("lang"), lit("/Doc-"), col("doc_id") % 50, qry, frag))
+      concat(sch, lit("://"), ui, sub, col("source"), lit("."), tld, prt,
+        lit("/"), col("lang"), lit("/Doc-"), col("doc_id") % 50, esc, qry,
+        frag))
   }
 
   /** The same derivation as DuckDB SQL (a CTE every oracle shares). */
@@ -58,12 +61,14 @@ object Web {
       |  SELECT doc_id, lang, source, n_chars,
       |    (CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'HTTPS' END)
       |    || '://'
+      |    || (CASE WHEN doc_id % 6 = 0 THEN 'user:pw@' ELSE '' END)
       |    || (CASE doc_id % 4 WHEN 0 THEN 'WWW.' WHEN 1 THEN '' WHEN 2 THEN 'cdn.' ELSE 'News.' END)
       |    || source || '.'
       |    || (CASE lang WHEN 'en' THEN 'co.uk' WHEN 'de' THEN 'de'
       |          WHEN 'fr' THEN 'fr' WHEN 'es' THEN 'com.br' ELSE 'com.cn' END)
       |    || (CASE doc_id % 5 WHEN 0 THEN ':80' WHEN 1 THEN ':443' WHEN 2 THEN ':8080' ELSE '' END)
       |    || '/' || lang || '/Doc-' || (doc_id % 50)
+      |    || (CASE WHEN doc_id % 7 = 0 THEN '/%7e%41%2fx' ELSE '' END)
       |    || (CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed&b=2&a=1'
       |          WHEN 1 THEN '?id=' || (doc_id % 50) || '&utm_campaign=x'
       |          WHEN 2 THEN '?fbclid=abc' ELSE '' END)
@@ -75,19 +80,34 @@ object Web {
     * tracker regex and multi-part suffix list are inlined from UrlOps
     * so a drift in either engine fails the gate loudly.
     */
+  /** DuckDB twin of [[UrlOps.pctNormalize]] as an inline expression over
+    * `s` (evaluated twice — pure). The unreserved-hex list is inlined
+    * from the Scala constant so drift fails the gate loudly.
+    */
+  private def sqlPct(s: String): String = {
+    val hexes = UrlOps.UnreservedHex.map(h => s"'$h'").mkString(", ")
+    s"(string_split($s, '%')[1] || coalesce(array_to_string(" +
+      s"list_transform(string_split($s, '%')[2:], px -> " +
+      "CASE WHEN regexp_matches(substring(px, 1, 2), '^[0-9A-Fa-f]{2}" + "$') THEN " +
+      s"(CASE WHEN upper(substring(px, 1, 2)) IN ($hexes) " +
+      "THEN decode(unhex(substring(px, 1, 2))) || substring(px, 3, 100000000) " +
+      "ELSE '%' || upper(substring(px, 1, 2)) || substring(px, 3, 100000000) END) " +
+      "ELSE '%' || px END), ''), ''))"
+  }
+
   private val normCte: String =
-    """n AS (
+    s"""n AS (
       |  SELECT doc_id, lang, source, n_chars, url,
       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
-      |    lower(regexp_replace(regexp_replace(
+      |    lower(regexp_replace(regexp_replace(regexp_replace(
       |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
-      |      ':[0-9]+$', ''), '\.$', '')) AS host,
+      |      '^[^@]*@', ''), ':[0-9]+$$', ''), '\\.$$', '')) AS host,
       |    regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
-      |      ':([0-9]+)$', 1) AS prt,
+      |      ':([0-9]+)$$', 1) AS prt,
       |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
       |    -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's is ''
       |    coalesce(array_to_string(list_sort(list_filter(
-      |      string_split(regexp_extract(url, '^[^#]*?\?([^#]*)', 1), '&'),
+      |      string_split(${sqlPct("regexp_extract(url, '^[^#]*?\\?([^#]*)', 1)")}, '&'),
       |      x -> x <> '' AND NOT regexp_matches(x,
       |        '^(utm_[^=]*|fbclid|gclid|ref|mc_eid)='))), '&'), '') AS kept
       |  FROM u),
@@ -98,7 +118,7 @@ object Web {
       |          WHEN sch = 'http'  AND prt = '80'  THEN ''
       |          WHEN sch = 'https' AND prt = '443' THEN ''
       |          ELSE ':' || prt END)
-      |    || (CASE WHEN pth = '' THEN '/' ELSE pth END)
+      |    || (CASE WHEN pth = '' THEN '/' ELSE ${sqlPct("pth")} END)
       |    || (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS url_norm,
       |    (CASE WHEN len(string_split(host, '.')) <= 2 THEN host
       |       WHEN array_to_string(array_slice(string_split(host, '.'), -2, -1), '.')

@@ -59,8 +59,27 @@ class UrlOpsSpec extends AnyFunSuite {
       Seq("https://a.com/p?refer=3&utmx=2"))
   }
 
-  test("trailing host dot stripped; userless authority only") {
+  test("trailing host dot stripped; userinfo dropped from the canonical form") {
     assert(norm("https://Example.com./x") === Seq("https://example.com/x"))
+    assert(norm("https://user:pw@Example.com/x", "https://u@a.co.uk:8443/p") ===
+      Seq("https://example.com/x", "https://a.co.uk:8443/p"))
+    // and the registrable domain comes from the real host, not user@host
+    assert(Seq("https://alice@news.Example.co.uk/x").toDF("url")
+      .select(UrlOps.registrableDomain(UrlOps.host(col("url"))))
+      .as[String].collect().toSeq === Seq("example.co.uk"))
+  }
+
+  test("percent-encoding: unreserved escapes decode, others uppercase, malformed pass through") {
+    assert(norm(
+      "https://a.com/p%7e%41/f%2Fx",   // %7E unreserved -> ~, %41 -> A, %2f reserved -> %2F
+      "https://a.com/p?k%7E=v%2c1",    // query side too, before sorting
+      "https://a.com/100%zz/50%") ===  // malformed escapes stay literal
+      Seq("https://a.com/p~A/f%2Fx",
+        "https://a.com/p?k~=v%2C1",
+        "https://a.com/100%zz/50%"))
+    // decoding can expose a tracker key: %75tm_source= IS utm_source=
+    assert(norm("https://a.com/p?%75tm_source=x&b=1") ===
+      Seq("https://a.com/p?b=1"))
   }
 
   test("registrable domain: two labels unless a multi-part suffix applies") {
@@ -79,19 +98,22 @@ class UrlOpsSpec extends AnyFunSuite {
       val scheme = pick(Seq("http", "HTTP", "https", "HTTPS", "Http"))
       val host = pick(Seq("Ex.COM", "a.b.Example.co.uk", "x.de", "News.Site.com.au",
         "plain.fr.", "deep.sub.domain.org"))
+      val user = pick(Seq("", "", "", "u@", "user:pw@"))
       val port = pick(Seq("", ":80", ":443", ":8080", ":9"))
-      val path = pick(Seq("", "/", s"/P$i/File.HTML", s"/a/$i"))
+      val path = pick(Seq("", "/", s"/P$i/File.HTML", s"/a/$i",
+        s"/e$i/%7e%4a/x%2Fy", s"/m$i/50%25off"))
       val keep = (0 until r.nextInt(3)).map(j => s"k$j=${r.nextInt(9)}")
       val drop = (0 until r.nextInt(3)).map(j => pick(Seq(s"utm_c$j=1", "fbclid=z", "gclid=7")))
       val params = r.shuffle(keep ++ drop)
       val q = if (params.isEmpty) "" else "?" + params.mkString("&")
       val frag = pick(Seq("", "#f", "#Sec-2"))
-      (s"$scheme://$host$port$path$q$frag", keep.toSet)
+      (s"$scheme://$user$host$port$path$q$frag", keep.toSet)
     }
     val once = norm(urls.map(_._1): _*)
     assert(norm(once: _*) === once, "normalize must be idempotent")
     once.zip(urls).foreach { case (n, (raw, keepSet)) =>
       assert(!n.contains("#"), s"fragment survived: $n")
+      assert(!n.contains("@"), s"userinfo survived: $n")
       assert(n.substring(0, n.indexOf("://")).forall(c => c.isLower || !c.isLetter), n)
       // surviving params are exactly the non-tracker set, sorted
       val outParams = n.split("\\?").drop(1).mkString.split("&").filter(_.nonEmpty).toSeq
