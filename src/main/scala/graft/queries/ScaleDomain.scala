@@ -94,6 +94,29 @@ object ScaleDomain {
         .orderBy(col("source"))
     }),
 
+    // FASTQ round-trip through the oracle (S1 read + S7 write, the
+    // q_warc_roundtrip discipline): derive (read_id, seq, qual) rows,
+    // write them as FASTQ across 4 part files, re-read across FORCED
+    // 512-byte splits (every record straddles splits), and hash the
+    // full rows against the derivation recomputed by DuckDB from the
+    // parquet source. The synthetic quality covers phred 0..39 at +33,
+    // which includes '@' (64) and '+' (43) — the two bytes that make
+    // naive FASTQ split-resync wrong — so the split-ownership contract
+    // is what this row actually gates. Moves S1/S7 from spec-only to a
+    // green CORRECTNESS row.
+    "q_fastq_roundtrip" -> ((s, dir) => {
+      val path = s"/tmp/graft_fastq/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val W = 30
+      val reads = Tables(s, dir, "documents").select(
+        col("doc_id").cast("string").as("read_id"),
+        rpad(substring(col("text"), 1, W), W, "X").as("seq"),
+        concat_ws("", transform(sequence(lit(1), lit(W)),
+          p => chr(lit(33) + pmod(col("doc_id") + p, lit(40))))).as("qual"))
+      graft.io.Fastq.write(reads.repartition(4), path)
+      graft.io.Fastq.read(s, path, splitSize = 512)
+        .orderBy(col("read_id"))
+    }),
+
     // Byte-level feature extraction over binary payloads (the decode-stub
     // path: length + mean byte, per-partition batched).
     "q_media_features" -> ((s, dir) =>
@@ -163,6 +186,14 @@ object ScaleDomain {
       """SELECT source, count(*) AS n_records,
         |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // the derivation recomputed straight from parquet — a green row
+    // means write → split-read lost/duplicated/corrupted nothing
+    "q_fastq_roundtrip" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS read_id,
+        |  rpad(substring(text, 1, 30), 30, 'X') AS seq,
+        |  array_to_string(list_transform(range(1, 31),
+        |    p -> chr(CAST(33 + (doc_id + p) % 40 AS INT))), '') AS qual
+        |FROM documents ORDER BY read_id""".stripMargin,
     // strlen (bytes), not length (chars): Spark's length(binary) counts
     // bytes; identical here (ASCII corpus) but strlen is the honest twin
     "q_media_dedup" ->
