@@ -39,6 +39,12 @@ object Warc {
     * temps from failed attempts) are removed first — re-layout must not
     * leave stale shards for the listing-driven reader.
     *
+    * With `memberGzip = true`, each record is compressed as its OWN
+    * gzip member and the shards are named `.warc.gz` — the CommonCrawl
+    * layout, which is what makes huge compressed archives splittable:
+    * the reader resyncs on gzip member starts instead of needing the
+    * whole stream.
+    *
     * Task-retry / speculation safety: each attempt writes to an
     * attempt-unique temp name (`.part-$pid.warc.attempt-$id`) and
     * renames into place on success, so two attempts of the same
@@ -53,7 +59,7 @@ object Warc {
     * rather than escaped: WARC has no header escaping convention, so an
     * escaped value would not round-trip either.
     */
-  def write(df: DataFrame, dir: String): Seq[String] = {
+  def write(df: DataFrame, dir: String, memberGzip: Boolean = false): Seq[String] = {
     val spark = df.sparkSession
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -63,6 +69,7 @@ object Warc {
         .foreach(st => fs.delete(st.getPath, false))
     fs.mkdirs(dirPath)
     val serConf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val ext = if (memberGzip) "warc.gz" else "warc"
     df.select(col(df.columns(0)).cast("string").as("id"),
         col(df.columns(1)).cast("string").as("uri"),
         col(df.columns(2)).cast("binary").as("payload"))
@@ -72,8 +79,8 @@ object Warc {
         else {
           val tc = org.apache.spark.TaskContext.get()
           val pid = tc.partitionId()
-          val shard = new Path(s"$dir/part-$pid.warc")
-          val tmp = new Path(s"$dir/.part-$pid.warc.attempt-${tc.taskAttemptId()}")
+          val shard = new Path(s"$dir/part-$pid.$ext")
+          val tmp = new Path(s"$dir/.part-$pid.$ext.attempt-${tc.taskAttemptId()}")
           val shardFs = shard.getFileSystem(serConf.value)
           val out = shardFs.create(tmp, true)
           try {
@@ -87,9 +94,21 @@ object Warc {
                   s"WARC-Record-ID: <urn:graft:$id>\r\n" +
                   s"WARC-Target-URI: $uri\r\n" +
                   s"Content-Length: ${payload.length}\r\n\r\n"
-              out.write(head.getBytes(StandardCharsets.UTF_8))
-              out.write(payload)
-              out.write("\r\n\r\n".getBytes(StandardCharsets.UTF_8))
+              val headBytes = head.getBytes(StandardCharsets.UTF_8)
+              if (memberGzip) {
+                val rec = new java.io.ByteArrayOutputStream(
+                  headBytes.length + payload.length + 4)
+                rec.write(headBytes); rec.write(payload)
+                rec.write("\r\n\r\n".getBytes(StandardCharsets.UTF_8))
+                val gz = new java.io.ByteArrayOutputStream()
+                val gzOut = new java.util.zip.GZIPOutputStream(gz)
+                gzOut.write(rec.toByteArray); gzOut.close()
+                out.write(gz.toByteArray)
+              } else {
+                out.write(headBytes)
+                out.write(payload)
+                out.write("\r\n\r\n".getBytes(StandardCharsets.UTF_8))
+              }
             }
             out.close()
             shardFs.delete(shard, false) // last-writer-wins vs a twin attempt
@@ -118,8 +137,20 @@ object Warc {
     v
   }
 
-  /** Read `.warc` files under a file/glob/dir path. Output:
+  /** Read `.warc` / `.warc.gz` files under a file/glob/dir path. Output:
     * (record_id, warc_type, target_uri, content_length, payload BINARY).
+    *
+    * BOTH layouts shard by byte range. Plain `.warc` resyncs on
+    * validated `WARC/1.0` header blocks; `.warc.gz` resyncs on gzip
+    * MEMBER starts (magic + header parse + full raw-inflate + CRC32 +
+    * ISIZE trailer check — a candidate that fails any of these is
+    * payload bytes, rescan continues one byte later), each member's
+    * decompressed bytes then parsing as WARC records. A member is owned
+    * by the split containing its first magic byte. This reads the
+    * CommonCrawl member-per-record layout in parallel AND the legacy
+    * whole-stream-gzip layout (one giant member — owned by whatever
+    * split contains offset 0, so that layout is still one task per
+    * file by nature, with the member-size guard bounding its memory).
     */
   def read(
       spark: SparkSession,
@@ -131,9 +162,9 @@ object Warc {
     val splits: Seq[(String, Long, Long, Boolean)] = statuses.flatMap { st =>
       val p = st.getPath.toString
       val len = st.getLen
-      if (p.endsWith(".gz")) Seq((p, 0L, Long.MaxValue, true))
-      else (0L until math.max(len, 1L) by splitSize).map { off =>
-        (p, off, math.min(off + splitSize, len), false)
+      val gz = p.endsWith(".gz")
+      (0L until math.max(len, 1L) by splitSize).map { off =>
+        (p, off, math.min(off + splitSize, len), gz)
       }
     }
     val serConf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
@@ -144,8 +175,8 @@ object Warc {
           val hp = new Path(p)
           val stream = hp.getFileSystem(serConf.value).open(hp)
           if (gz) {
-            val in = new java.util.zip.GZIPInputStream(stream)
-            splitRecords(in, 0L, Long.MaxValue, 0L)
+            stream.seek(start)
+            gzMemberRecords(stream, start, end)
           } else {
             val seekTo = math.max(0L, start - 1)
             stream.seek(seekTo)
@@ -155,6 +186,44 @@ object Warc {
       }
     spark.createDataFrame(rdd)
       .toDF("record_id", "warc_type", "target_uri", "content_length", "payload")
+  }
+
+  /** Decompressed size ceiling per gzip member — a memory guard (each
+    * member inflates in one buffer), hit only by the legacy whole-file
+    * single-member layout on a huge archive; member-per-record files
+    * never approach it. Loud failure beats a silent OOM.
+    */
+  private val MaxMemberBytes: Int = 512 * 1024 * 1024
+
+  /** WARC records of every gzip member whose first byte lies in
+    * [splitStart, splitEnd), from a stream positioned at splitStart.
+    */
+  private[io] def gzMemberRecords(
+      in: InputStream,
+      splitStart: Long,
+      splitEnd: Long): Iterator[(String, String, String, Long, Array[Byte])] = {
+    val scanner = new GzMemberScanner(in, splitStart, splitEnd, MaxMemberBytes)
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => scanner.close()))
+    new Iterator[(String, String, String, Long, Array[Byte])] {
+      private var current: Iterator[(String, String, String, Long, Array[Byte])] =
+        Iterator.empty
+      private var done = false
+
+      private def advance(): Unit = {
+        while (!current.hasNext && !done) {
+          val member = scanner.nextMember()
+          if (member == null) { done = true; scanner.close() }
+          else current = splitRecords(
+            new java.io.ByteArrayInputStream(member), 0L, Long.MaxValue, 0L)
+        }
+      }
+
+      def hasNext: Boolean = { advance(); current.hasNext }
+      def next(): (String, String, String, Long, Array[Byte]) = {
+        advance(); current.next()
+      }
+    }
   }
 
   private val HeaderRe = "^([A-Za-z][A-Za-z0-9-]*):\\s*(.*)$".r
@@ -258,6 +327,149 @@ object Warc {
         (n.endsWith(".warc") || n.endsWith(".warc.gz")) && st.getLen > 0
       }
       .toSeq
+
+  /** Splittable gzip MEMBER scanner: finds member starts in
+    * [splitStart, splitEnd) by magic-byte scan, validates each candidate
+    * the only way that is actually sound — parse the full RFC 1952
+    * header (reserved FLG bits must be zero; FEXTRA/FNAME/FCOMMENT/FHCRC
+    * consumed per spec), raw-inflate the body, and check the CRC32 +
+    * ISIZE trailer against the decompressed bytes. A candidate failing
+    * any step is compressed-payload coincidence: the scan resumes ONE
+    * byte past its magic. A validated member advances the scan to its
+    * exact end (Inflater.getRemaining gives the compressed length, so
+    * no byte is re-inspected).
+    *
+    * Memory: the window holds at most one candidate member's compressed
+    * bytes (it must be rewindable on a failed candidate); decompressed
+    * output is capped by the maxMember guard, which throws loudly
+    * rather than OOM — only the legacy single-member layout can get
+    * near it.
+    */
+  private final class GzMemberScanner(in: InputStream, splitStart: Long,
+      splitEnd: Long, maxMember: Int) {
+    private var win = new Array[Byte](128 * 1024)
+    private var winStart = splitStart // absolute offset of win(0)
+    private var winLen = 0
+    private var scanPos = 0 // relative: where the next scan resumes
+    private var eof = false
+    private var closed = false
+
+    def close(): Unit = {
+      if (!closed) {
+        closed = true
+        try in.close() catch { case _: java.io.IOException => }
+      }
+    }
+
+    /** Make at least relEnd bytes available in win (grows/refills); false
+      * when the stream ends first.
+      */
+    private def ensure(relEnd: Int): Boolean = {
+      while (winLen < relEnd && !eof) {
+        if (win.length < relEnd)
+          win = java.util.Arrays.copyOf(win, math.max(win.length * 2, relEnd))
+        val got = in.read(win, winLen, win.length - winLen)
+        if (got <= 0) eof = true else winLen += got
+      }
+      winLen >= relEnd
+    }
+
+    private def compact(): Unit = {
+      if (scanPos > 0) {
+        System.arraycopy(win, scanPos, win, 0, winLen - scanPos)
+        winStart += scanPos
+        winLen -= scanPos
+        scanPos = 0
+      }
+    }
+
+    /** Next validated member's decompressed bytes; null when no further
+      * member starts inside the split.
+      */
+    def nextMember(): Array[Byte] = {
+      while (true) {
+        compact()
+        if (winStart >= splitEnd) return null
+        var i = 0
+        var found = -1
+        while (found < 0) {
+          if (!ensure(i + 3)) return null
+          if (winStart + i >= splitEnd) return null
+          if (win(i) == 0x1f.toByte && win(i + 1) == 0x8b.toByte && win(i + 2) == 8)
+            found = i
+          else i += 1
+        }
+        scanPos = found
+        compact() // candidate magic now at rel 0
+        val m = tryMember()
+        if (m != null) return m
+        scanPos = 1 // false sync — resume one byte past the magic
+      }
+      null // unreachable
+    }
+
+    private def skipZeroTerminated(start: Int): Int = {
+      var p = start
+      while (ensure(p + 1)) {
+        if (win(p) == 0) return p + 1
+        p += 1
+      }
+      -1
+    }
+
+    /** Validate + inflate the candidate member at rel 0; null on any
+      * mismatch (header, deflate stream, trailer, truncation).
+      */
+    private def tryMember(): Array[Byte] = {
+      if (!ensure(10)) return null
+      val flg = win(3) & 0xff
+      if ((flg & 0xe0) != 0) return null // reserved bits must be zero
+      var pos = 10
+      if ((flg & 4) != 0) { // FEXTRA
+        if (!ensure(pos + 2)) return null
+        val xlen = (win(pos) & 0xff) | ((win(pos + 1) & 0xff) << 8)
+        pos += 2 + xlen
+        if (!ensure(pos)) return null
+      }
+      if ((flg & 8) != 0) { pos = skipZeroTerminated(pos); if (pos < 0) return null }
+      if ((flg & 16) != 0) { pos = skipZeroTerminated(pos); if (pos < 0) return null }
+      if ((flg & 2) != 0) { pos += 2; if (!ensure(pos)) return null } // FHCRC
+      val inf = new java.util.zip.Inflater(true)
+      try {
+        val outBuf = new java.io.ByteArrayOutputStream(16 * 1024)
+        val crc = new java.util.zip.CRC32()
+        val tmp = new Array[Byte](64 * 1024)
+        var fed = pos
+        while (!inf.finished()) {
+          if (inf.needsInput()) {
+            if (!ensure(fed + 1)) return null // truncated member
+            inf.setInput(win, fed, winLen - fed)
+            fed = winLen
+          }
+          val n =
+            try inf.inflate(tmp)
+            catch { case _: java.util.zip.DataFormatException => return null }
+          if (n > 0) {
+            outBuf.write(tmp, 0, n)
+            crc.update(tmp, 0, n)
+            if (outBuf.size > maxMember)
+              throw new IllegalStateException(
+                s"gzip member at offset $winStart exceeds the " +
+                  s"$maxMember-byte decompressed-size guard")
+          } else if (inf.needsDictionary()) return null
+        }
+        val consumed = fed - inf.getRemaining
+        if (!ensure(consumed + 8)) return null
+        def le32(o: Int): Long =
+          (win(o) & 0xffL) | ((win(o + 1) & 0xffL) << 8) |
+            ((win(o + 2) & 0xffL) << 16) | ((win(o + 3) & 0xffL) << 24)
+        if (le32(consumed) != crc.getValue) return null
+        if (le32(consumed + 4) != (outBuf.size.toLong & 0xffffffffL)) return null
+        scanPos = consumed + 8
+        outBuf.toByteArray
+      } finally inf.end()
+    }
+  }
 
   /** Byte reader tracking absolute offsets: CRLF/LF line reads for the
     * header region plus exact-length raw reads for payloads.

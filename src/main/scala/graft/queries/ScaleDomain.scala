@@ -94,6 +94,31 @@ object ScaleDomain {
         .orderBy(col("source"))
     }),
 
+    // The member-gzip twin of q_warc_roundtrip (CommonCrawl layout: one
+    // gzip member per record): write compressed shards, re-read across
+    // 8 KiB splits — smaller than most members' span, so the member
+    // scanner's ownership contract (magic byte in range + full
+    // header/inflate/CRC validation) is what this row gates. Same
+    // oracle as the plain path: a green row means compression changed
+    // nothing.
+    "q_warc_gz_roundtrip" -> ((s, dir) => {
+      val path = s"/tmp/graft_warc_gz/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val docs = Tables(s, dir, "documents").select(
+        col("doc_id").cast("string").as("id"),
+        concat(lit("http://"), col("source"), lit(".example/doc/"),
+          col("doc_id")).as("uri"),
+        col("text"))
+      graft.io.Warc.write(docs, path, memberGzip = true)
+      graft.io.Warc.read(s, path, splitSize = 8192)
+        .select(regexp_extract(col("target_uri"),
+          "http://([a-z0-9]+)\\.example", 1).as("source"),
+          col("content_length"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(col("content_length")).as("total_bytes"))
+        .orderBy(col("source"))
+    }),
+
     // FASTQ round-trip through the oracle (S1 read + S7 write, the
     // q_warc_roundtrip discipline): derive (read_id, seq, qual) rows,
     // write them as FASTQ across 4 part files, re-read across FORCED
@@ -183,6 +208,10 @@ object ScaleDomain {
         |    i -> unicode(text[i])))::DOUBLE / length(text), 6) AS avg_byte
         |FROM documents ORDER BY media_id""".stripMargin,
     "q_warc_roundtrip" ->
+      """SELECT source, count(*) AS n_records,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_warc_gz_roundtrip" ->
       """SELECT source, count(*) AS n_records,
         |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,

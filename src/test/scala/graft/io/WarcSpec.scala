@@ -109,6 +109,54 @@ class WarcSpec extends AnyFunSuite {
     assert(chain(e).exists(_.contains("header injection")), chain(e).mkString(" | "))
   }
 
+  test("member-gzip round-trips across partitions and survives tiny splits") {
+    // the CommonCrawl layout: one gzip member per record; the member
+    // scanner must find every member whose magic starts in its split,
+    // validate it, and parse its records — under splits far smaller
+    // than a member, every member straddles several splits
+    val docs = mkDocs(40)
+    val expected = docs.map { case (id, uri, t) => (s"<urn:graft:$id>", uri, t) }.toSet
+    def gzTrip(splitSize: Long, dir: String): Set[(String, String, String)] = {
+      Warc.write(docs.toDF("id", "uri", "text").repartition(3), dir, memberGzip = true)
+      Warc.read(spark, dir, splitSize = splitSize)
+        .collect()
+        .map(r => (r.getString(0), r.getString(2),
+          new String(r.getAs[Array[Byte]]("payload"), StandardCharsets.UTF_8)))
+        .toSet
+    }
+    assert(gzTrip(128L * 1024 * 1024, "/tmp/graft_warc_spec/mgz_big") === expected)
+    assert(gzTrip(64L, "/tmp/graft_warc_spec/mgz_tiny") === expected)
+  }
+
+  test("gzip-magic garbage between members is rejected by validation, not mistaken for members") {
+    // hand-craft a file: junk containing the 3 magic bytes, a real
+    // member, more magic-bearing junk, a second real member — exactly
+    // two records must come back, at any split size
+    val dir = Paths.get("/tmp/graft_warc_spec/falsegz")
+    Files.createDirectories(dir)
+    def member(id: String, body: String): Array[Byte] = {
+      val rec = (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: $id\r\n" +
+        s"WARC-Target-URI: http://x.example/$id\r\n" +
+        s"Content-Length: ${body.getBytes(StandardCharsets.UTF_8).length}\r\n\r\n" +
+        body + "\r\n\r\n").getBytes(StandardCharsets.UTF_8)
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(rec); gz.close()
+      bos.toByteArray
+    }
+    val junk1 = Array[Byte](0x1f, 0x8b.toByte, 8, 0x7f, 1, 2, 3, 4, 5, 6, 7, 8)
+    val junk2 = Array[Byte](9, 9, 0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0, 66, 66)
+    val bytes = junk1 ++ member("a", "first body") ++ junk2 ++ member("b", "second body")
+    Files.write(dir.resolve("crafted.warc.gz"), bytes)
+    for (split <- Seq(10L, 4096L)) {
+      val got = Warc.read(spark, dir.toString, splitSize = split).collect()
+        .map(r => (r.getString(0),
+          new String(r.getAs[Array[Byte]]("payload"), StandardCharsets.UTF_8))).toSet
+      assert(got === Set(("a", "first body"), ("b", "second body")),
+        s"splitSize=$split")
+    }
+  }
+
   test("gz members are read whole-file") {
     val docs = mkDocs(10)
     val dir = "/tmp/graft_warc_spec/gz_src"
