@@ -62,6 +62,18 @@ object Bench {
     spark.stop()
   }
 
+  /** Measured-noise annotations for queries whose min-of-2 is known to
+    * swing across identical code, so a future regression line carries
+    * its attribution instead of reading as an unexplained mover. Each
+    * entry cites the probe that measured it.
+    */
+  private val KnownNoise: Map[String, String] = Map(
+    "q_bam_fetch" -> ("JIT-depth noise, not a plan change: 10 same-JVM reps " +
+      "at sf0.1 descend 7.7 (cold) / 1.69 -> 0.94 s steady-state " +
+      "(graft.FetchProbe, round 9; stage split: fixture write ~0.5, bai " +
+      "~0.15, fetch+agg ~0.9-1.6); min-of-2 after one warm pass lands " +
+      "anywhere in 0.9-1.7 s. BamScanSpec still pins block pruning"))
+
   /** Markdown comparison of two Bench JSON lines (prev vs current), the
     * Scala twin of tools/bench_notes.py. Parsing is the inverse of this
     * file's own writer — flat `"name":seconds` pairs — so no JSON
@@ -93,7 +105,10 @@ object Bench {
     if (newQ.nonEmpty)
       sb ++= s"- Newly timed: ${newQ.map(q => s"$q ${f(cq(q))}s").mkString(", ")}\n"
     sb ++= s"- Regressions > 0.25 s: ${if (regress.isEmpty) "none" else ""}\n"
-    regress.foreach(q => sb ++= s"  - $q ${f(pq(q))} -> ${f(cq(q))}\n")
+    regress.foreach { q =>
+      val note = KnownNoise.get(q).map(n => s" [$n]").getOrElse("")
+      sb ++= s"  - $q ${f(pq(q))} -> ${f(cq(q))}$note\n"
+    }
     sb ++= s"- Improvements > 0.25 s:\n"
     improve.foreach(q => sb ++= s"  - $q ${f(pq(q))} -> ${f(cq(q))}\n")
     sb ++= s"- Expensive tail: ${tail.map { case (q, v) => s"$q ${f(v)}s" }.mkString(", ")}\n"
