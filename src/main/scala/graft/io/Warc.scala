@@ -48,9 +48,11 @@ object Warc {
     * Task-retry / speculation safety: each attempt writes to an
     * attempt-unique temp name (`.part-$pid.warc.attempt-$id`) and
     * renames into place on success, so two attempts of the same
-    * partition never interleave bytes in one file; the rename is
-    * last-writer-wins on a byte-identical shard (same partition data),
-    * never a torn record.
+    * partition never interleave bytes in one file. The committed shard
+    * is NEVER deleted first — a rename that fails because a twin
+    * attempt already committed counts as success (the twin shard is
+    * byte-identical: same partition data), so a speculative attempt
+    * killed mid-commit can never leave the shard missing.
     *
     * Header values (id, uri) must not contain CR/LF/NUL — a '\n' inside
     * a URI would inject header lines (or terminate the block early) and
@@ -111,9 +113,12 @@ object Warc {
               }
             }
             out.close()
-            shardFs.delete(shard, false) // last-writer-wins vs a twin attempt
-            if (!shardFs.rename(tmp, shard))
-              throw new java.io.IOException(s"rename $tmp -> $shard failed")
+            // commit: rename into place; a failed rename onto an
+            // already-committed (byte-identical) twin shard IS success
+            if (!shardFs.rename(tmp, shard)) {
+              if (shardFs.exists(shard)) shardFs.delete(tmp, false)
+              else throw new java.io.IOException(s"rename $tmp -> $shard failed")
+            }
           } catch {
             case e: Throwable =>
               try out.close() catch { case _: java.io.IOException => }
@@ -148,14 +153,28 @@ object Warc {
     * decompressed bytes then parsing as WARC records. A member is owned
     * by the split containing its first magic byte. This reads the
     * CommonCrawl member-per-record layout in parallel AND the legacy
-    * whole-stream-gzip layout (one giant member — owned by whatever
-    * split contains offset 0, so that layout is still one task per
-    * file by nature, with the member-size guard bounding its memory).
+    * whole-stream-gzip layout: a single member larger than
+    * `maxMemberBytes` that starts at offset 0 falls back to a
+    * STREAMING whole-file pass (one task per file by nature — gzip is
+    * not splittable), so large legacy archives stay readable at any
+    * size; an over-cap member elsewhere fails loudly (a
+    * member-per-record file with a pathological record beats a silent
+    * OOM).
+    *
+    * Known false-positive surface, deliberately small: a resynced
+    * candidate (one found by magic scan, not contiguous with the
+    * previous validated member) must ALSO inflate to bytes beginning
+    * with `WARC/` — so a genuine gzip stream embedded verbatim inside a
+    * member's stored deflate blocks (a crawled `.gz` payload) is not
+    * re-emitted as phantom records unless it is itself a WARC, in
+    * which case the nested records are textually indistinguishable
+    * from real ones mid-stream (CommonCrawl has the same property).
     */
   def read(
       spark: SparkSession,
       path: String,
-      splitSize: Long = 128L * 1024 * 1024): DataFrame = {
+      splitSize: Long = 128L * 1024 * 1024,
+      maxMemberBytes: Int = DefaultMaxMemberBytes): DataFrame = {
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     val statuses = listWarcs(fs, path)
@@ -176,7 +195,8 @@ object Warc {
           val stream = hp.getFileSystem(serConf.value).open(hp)
           if (gz) {
             stream.seek(start)
-            gzMemberRecords(stream, start, end)
+            gzMemberRecords(stream, start, end, maxMemberBytes,
+              () => hp.getFileSystem(serConf.value).open(hp))
           } else {
             val seekTo = math.max(0L, start - 1)
             stream.seek(seekTo)
@@ -188,21 +208,38 @@ object Warc {
       .toDF("record_id", "warc_type", "target_uri", "content_length", "payload")
   }
 
-  /** Decompressed size ceiling per gzip member — a memory guard (each
-    * member inflates in one buffer), hit only by the legacy whole-file
-    * single-member layout on a huge archive; member-per-record files
-    * never approach it. Loud failure beats a silent OOM.
+  /** Default decompressed-size ceiling per gzip member — a memory guard
+    * (each member inflates in one buffer). Member-per-record files
+    * never approach it; a legacy single-member archive that exceeds it
+    * takes the streaming fallback instead (see [[read]]).
     */
-  private val MaxMemberBytes: Int = 512 * 1024 * 1024
+  val DefaultMaxMemberBytes: Int = 512 * 1024 * 1024
+
+  /** Control signal: the member starting at byte 0 blew the buffer
+    * guard — the file is the legacy whole-stream layout and the
+    * offset-0 split must re-read it streaming.
+    */
+  private final class LegacyMemberOverflow extends RuntimeException
 
   /** WARC records of every gzip member whose first byte lies in
     * [splitStart, splitEnd), from a stream positioned at splitStart.
+    * `reopen` supplies a fresh stream at offset 0 for the legacy
+    * streaming fallback: when the member at byte 0 exceeds
+    * `maxMember`, the whole file is re-read through a streaming
+    * [[java.util.zip.GZIPInputStream]] (which consumes concatenated
+    * members) and parsed by the plain-WARC record walker — constant
+    * memory at any archive size. Only sound because a >cap member at
+    * offset 0 marks the single-member legacy layout; a >cap member
+    * anywhere else still fails loudly.
     */
   private[io] def gzMemberRecords(
       in: InputStream,
       splitStart: Long,
-      splitEnd: Long): Iterator[(String, String, String, Long, Array[Byte])] = {
-    val scanner = new GzMemberScanner(in, splitStart, splitEnd, MaxMemberBytes)
+      splitEnd: Long,
+      maxMember: Int = DefaultMaxMemberBytes,
+      reopen: () => InputStream = () => throw new UnsupportedOperationException(
+        "no reopen supplied")): Iterator[(String, String, String, Long, Array[Byte])] = {
+    val scanner = new GzMemberScanner(in, splitStart, splitEnd, maxMember)
     Option(org.apache.spark.TaskContext.get()).foreach(
       _.addTaskCompletionListener[Unit](_ => scanner.close()))
     new Iterator[(String, String, String, Long, Array[Byte])] {
@@ -212,7 +249,19 @@ object Warc {
 
       private def advance(): Unit = {
         while (!current.hasNext && !done) {
-          val member = scanner.nextMember()
+          val member =
+            try scanner.nextMember()
+            catch {
+              case _: LegacyMemberOverflow =>
+                // legacy whole-stream layout, bigger than the buffer
+                // guard: this split owns the whole file; stream it
+                scanner.close()
+                done = true
+                current = splitRecords(
+                  new java.util.zip.GZIPInputStream(reopen()),
+                  0L, Long.MaxValue, 0L)
+                return
+            }
           if (member == null) { done = true; scanner.close() }
           else current = splitRecords(
             new java.io.ByteArrayInputStream(member), 0L, Long.MaxValue, 0L)
@@ -353,6 +402,12 @@ object Warc {
     private var scanPos = 0 // relative: where the next scan resumes
     private var eof = false
     private var closed = false
+    // absolute offset where the next member starts IF contiguous with
+    // the last validated one (or file start); a candidate found
+    // anywhere else is a RESYNC and must inflate to bytes beginning
+    // with "WARC/" — embedded genuine-gzip payloads (a crawled .gz)
+    // would otherwise pass full CRC/ISIZE validation and emit phantoms
+    private var expectedNext: Long = if (splitStart == 0) 0L else -1L
 
     def close(): Unit = {
       if (!closed) {
@@ -408,6 +463,10 @@ object Warc {
       null // unreachable
     }
 
+    private def startsWithWarc(b: Array[Byte]): Boolean =
+      b.length >= 5 && b(0) == 'W' && b(1) == 'A' && b(2) == 'R' &&
+        b(3) == 'C' && b(4) == '/'
+
     private def skipZeroTerminated(start: Int): Int = {
       var p = start
       while (ensure(p + 1)) {
@@ -452,10 +511,12 @@ object Warc {
           if (n > 0) {
             outBuf.write(tmp, 0, n)
             crc.update(tmp, 0, n)
-            if (outBuf.size > maxMember)
+            if (outBuf.size > maxMember) {
+              if (winStart == 0L) throw new LegacyMemberOverflow
               throw new IllegalStateException(
                 s"gzip member at offset $winStart exceeds the " +
                   s"$maxMember-byte decompressed-size guard")
+            }
           } else if (inf.needsDictionary()) return null
         }
         val consumed = fed - inf.getRemaining
@@ -465,8 +526,11 @@ object Warc {
             ((win(o + 2) & 0xffL) << 16) | ((win(o + 3) & 0xffL) << 24)
         if (le32(consumed) != crc.getValue) return null
         if (le32(consumed + 4) != (outBuf.size.toLong & 0xffffffffL)) return null
+        val bytes = outBuf.toByteArray
+        if (winStart != expectedNext && !startsWithWarc(bytes)) return null
         scanPos = consumed + 8
-        outBuf.toByteArray
+        expectedNext = winStart + scanPos
+        bytes
       } finally inf.end()
     }
   }

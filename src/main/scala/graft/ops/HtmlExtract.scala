@@ -69,6 +69,56 @@ object HtmlExtract {
     steps.foldLeft(s) { case (c, (from, to)) => regexp_replace(c, from, to) }
   }
 
+  /** Numeric character references — `&#8217;` and `&#x2019;` — decoded
+    * to their BMP code point; surrogates, out-of-range values and
+    * malformed references stay literal. A tiny typed UDF: converting a
+    * captured digit run to its character has no built-in expression
+    * (Spark's `chr` is mod-256 ASCII), and the per-row work is a single
+    * compiled-regex pass. Deterministic, null-safe.
+    */
+  private[graft] def decodeNumericRefsStr(s: String): String = {
+    if (s == null || s.indexOf("&#") < 0) return s
+    val m = NumericRefRe.matcher(s)
+    val sb = new java.lang.StringBuilder(s.length)
+    while (m.find()) {
+      val cp =
+        try {
+          if (m.group(1) != null) Integer.parseInt(m.group(1))
+          else Integer.parseInt(m.group(2), 16)
+        } catch { case _: NumberFormatException => -1 }
+      val rep =
+        if (cp >= 0x20 && cp <= 0xFFFF && !(cp >= 0xD800 && cp <= 0xDFFF))
+          String.valueOf(cp.toChar)
+        else m.group(0)
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(rep))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
+  private val NumericRefRe =
+    java.util.regex.Pattern.compile("&#(?:([0-9]{1,7})|[xX]([0-9a-fA-F]{1,6}));")
+
+  /** Column form of [[decodeNumericRefsStr]]. */
+  def decodeNumericRefs(s: Column): Column = {
+    val f = udf((x: String) => decodeNumericRefsStr(x))
+    f(s)
+  }
+
+  /** Full entity decode: the five non-`&amp;` named entities, then
+    * numeric references, then `&amp;` — numeric decode runs BEFORE the
+    * `&amp;` step for the same double-escape reason (`&amp;#39;` must
+    * yield the literal `&#39;`, not an apostrophe).
+    */
+  def decodeEntitiesFull(s: Column): Column = {
+    val named = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'")
+    regexp_replace(
+      decodeNumericRefs(
+        named.foldLeft(s) { case (c, (from, to)) => regexp_replace(c, from, to) }),
+      "&amp;", "&")
+  }
+
   /** Rendered text of one line: strip remaining (inline) tags, decode
     * entities, collapse whitespace runs to one space, trim.
     */
@@ -76,14 +126,25 @@ object HtmlExtract {
     trim(regexp_replace(
       decodeEntities(regexp_replace(line, "<[^>]*>", " ")), "\\s+", " "))
 
+  /** [[visibleText]] with the full entity decode (numeric references
+    * included) — the render for pipelines whose corpus carries
+    * `&#8217;`-class escapes. One UDF hop per line; everything else
+    * stays built-in.
+    */
+  def visibleTextFull(line: Column): Column =
+    trim(regexp_replace(
+      decodeEntitiesFull(regexp_replace(line, "<[^>]*>", " ")), "\\s+", " "))
+
   /** Characters of the line's text that live inside `<a>` anchors —
     * the numerator of link density. Anchor inner texts are concatenated
-    * with a space and rendered through the same [[visibleText]] rules
-    * as the denominator so the two are commensurable.
+    * with a space and rendered through the same `render` rules as the
+    * denominator so the two are commensurable.
     */
-  def linkChars(line: Column): Column =
-    length(visibleText(
+  private def linkCharsWith(line: Column, render: Column => Column): Column =
+    length(render(
       array_join(regexp_extract_all(line, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)), " ")))
+
+  def linkChars(line: Column): Column = linkCharsWith(line, visibleText)
 
   /** Stopword hits in an already-collapsed visible text. */
   private def stopwordHits(visible: Column, stopwords: Seq[String]): Column =
@@ -108,15 +169,34 @@ object HtmlExtract {
       minChars: Int = 25,
       maxLinkDensityPct: Int = 30,
       minStopwords: Int = 1,
-      stopwords: Seq[String] = DefaultStopwords): Column = {
+      stopwords: Seq[String] = DefaultStopwords): Column =
+    contentLinesWith(html, visibleText, minChars, maxLinkDensityPct,
+      minStopwords, stopwords)
+
+  /** [[contentLines]] with a pluggable line renderer. Each line is
+    * rendered ONCE: the transform materializes
+    * `struct(visible, link_chars)` per line, the filter reads the
+    * struct fields (cheap projections, no re-render), and the final
+    * projection emits the already-rendered text — the naive shape
+    * re-ran the render regex chain four times per line.
+    */
+  private[graft] def contentLinesWith(
+      html: Column,
+      render: Column => Column,
+      minChars: Int,
+      maxLinkDensityPct: Int,
+      minStopwords: Int,
+      stopwords: Seq[String]): Column = {
     val lines = split(structuralLines(html), "\n")
-    val kept = filter(lines, line => {
-      val v = visibleText(line)
+    val scored = transform(lines, line =>
+      struct(render(line).as("v"), linkCharsWith(line, render).as("lc")))
+    val kept = filter(scored, s => {
+      val v = s.getField("v")
       (length(v) >= minChars) &&
-        (linkChars(line) * 100 <= length(v) * maxLinkDensityPct) &&
+        (s.getField("lc") * 100 <= length(v) * maxLinkDensityPct) &&
         (stopwordHits(v, stopwords) >= minStopwords)
     })
-    transform(kept, line => visibleText(line))
+    transform(kept, s => s.getField("v"))
   }
 
   /** Extracted main content: surviving lines joined with '\n' — the
@@ -130,4 +210,17 @@ object HtmlExtract {
       stopwords: Seq[String] = DefaultStopwords): Column =
     array_join(contentLines(html, minChars, maxLinkDensityPct, minStopwords,
       stopwords), "\n")
+
+  /** [[extract]] with the full entity decode ([[visibleTextFull]] —
+    * numeric character references included): the render for real crawl
+    * payloads arriving through [[graft.io.Http]].
+    */
+  def extractFull(
+      html: Column,
+      minChars: Int = 25,
+      maxLinkDensityPct: Int = 30,
+      minStopwords: Int = 1,
+      stopwords: Seq[String] = DefaultStopwords): Column =
+    array_join(contentLinesWith(html, visibleTextFull, minChars,
+      maxLinkDensityPct, minStopwords, stopwords), "\n")
 }

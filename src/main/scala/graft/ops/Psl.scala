@@ -25,10 +25,15 @@ import org.apache.spark.sql.functions._
   * split), a typed UDF in the [[Robots]]/[[HashKernels]] precedent:
   * map-only, no shuffle, no built-in equivalent to displace.
   *
-  * Out of scope, stated: IDN/punycode folding (hosts are matched as
-  * given — feed A-labels, i.e. what URLs carry) and the PSL's
-  * ICANN/private-section distinction (both sections load as rules,
-  * which is how browsers use it for cookie scoping too).
+  * IDN handling: hosts are folded to their A-label (punycode) spelling
+  * via `java.net.IDN.toASCII` before matching, so `münchen.de` and
+  * `xn--mnchen-3ya.de` group together and PSL rules (which the list
+  * publishes as A-labels) match U-label input. Unfoldable garbage
+  * passes through unfolded — a grouping key must be total.
+  *
+  * Out of scope, stated: the PSL's ICANN/private-section distinction
+  * (both sections load as rules, which is how browsers use it for
+  * cookie scoping too).
   */
 object Psl {
 
@@ -89,23 +94,59 @@ object Psl {
     best
   }
 
-  /** Registrable ("pay-level") domain of a lower-cased host. Hosts with
-    * no label beyond their public suffix come back unchanged (the
-    * [[UrlOps.registrableDomain]] convention — a grouping key must be
-    * total, so "this host IS a suffix" maps to itself, not null).
+  /** A-label (punycode) fold of a host, lower-cased: `münchen.de` →
+    * `xn--mnchen-3ya.de`; already-ASCII hosts pass through untouched
+    * (fast path — no allocation for the overwhelmingly common case).
+    * Input that `IDN.toASCII` rejects (bad punycode, oversized labels)
+    * comes back as-is, lower-cased — the key stays total.
+    */
+  private[ops] def foldIdn(host: String): String = {
+    var i = 0
+    var ascii = true
+    while (ascii && i < host.length) { if (host.charAt(i) > 127) ascii = false; i += 1 }
+    if (ascii) host
+    else try java.net.IDN.toASCII(host, java.net.IDN.ALLOW_UNASSIGNED).toLowerCase
+    catch { case _: IllegalArgumentException => host }
+  }
+
+  /** Registrable ("pay-level") domain of a lower-cased host, after
+    * [[foldIdn]]. Hosts with no label beyond their public suffix come
+    * back unchanged (the [[UrlOps.registrableDomain]] convention — a
+    * grouping key must be total, so "this host IS a suffix" maps to
+    * itself, not null).
     */
   private[ops] def registrableDomain(host: String, r: Rules): String = {
     if (host == null || host.isEmpty) return host
-    val labels = host.split('.')
+    val folded = foldIdn(host)
+    val labels = folded.split('.')
     val ps = publicSuffixLabels(labels, r)
-    if (labels.length <= ps) host
+    if (labels.length <= ps) folded
     else labels.slice(labels.length - ps - 1, labels.length).mkString(".")
   }
 
-  /** Column form over the snapshot rules, broadcast once per session. */
+  /** One snapshot broadcast per SparkContext, created on first use and
+    * reused by every subsequent [[registrableDomainPsl]] column in the
+    * session — repeated query construction must not accumulate
+    * broadcasts on the driver/executors. Keyed by context so a
+    * stopped-and-replaced context (test suites) gets a fresh broadcast
+    * rather than a stale one; a JVM holds at most a handful of contexts
+    * over its lifetime, so the map stays tiny.
+    */
+  private val bcCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.SparkContext,
+      org.apache.spark.broadcast.Broadcast[Rules]]()
+
+  private[ops] def snapshotBroadcast(
+      sc: org.apache.spark.SparkContext): org.apache.spark.broadcast.Broadcast[Rules] =
+    bcCache.computeIfAbsent(sc, c => c.broadcast(snapshot))
+
+  /** Column form over the snapshot rules, broadcast once per
+    * SparkContext (memoized — see [[snapshotBroadcast]]).
+    */
   def registrableDomainPsl(host: Column): Column = {
-    val bc = org.apache.spark.sql.SparkSession.active
-      .sparkContext.broadcast(snapshot)
+    val bc = snapshotBroadcast(
+      org.apache.spark.sql.SparkSession.active.sparkContext)
     udf((h: String) => registrableDomain(h, bc.value)).apply(host)
   }
 }

@@ -52,11 +52,14 @@ object UrlOps {
     * §3.2.1 — `https://user:pw@example.com/` must not yield a
     * `user:pw@example.com` "host", which would also poison the
     * registrable domain), minus any `:port`, minus one trailing dot
-    * (`example.com.` == `example.com` in DNS).
+    * (`example.com.` == `example.com` in DNS). The strip is GREEDY
+    * (`^.*@` — everything up to the LAST '@'): WHATWG URL splits
+    * userinfo at the last '@', so a malformed-but-crawled
+    * `a@b@host` authority yields `host`, not `b@host`.
     */
   def host(url: Column): Column =
     lower(regexp_replace(regexp_replace(regexp_replace(hostPort(url),
-      "^[^@]*@", ""), ":[0-9]+$", ""), "\\.$", ""))
+      "^.*@", ""), ":[0-9]+$", ""), "\\.$", ""))
 
   /** Numeric port as a string, '' when absent. */
   def port(url: Column): Column =

@@ -101,7 +101,7 @@ object Web {
       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
       |    lower(regexp_replace(regexp_replace(regexp_replace(
       |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
-      |      '^[^@]*@', ''), ':[0-9]+$$', ''), '\\.$$', '')) AS host,
+      |      '^.*@', ''), ':[0-9]+$$', ''), '\\.$$', '')) AS host,
       |    regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
       |      ':([0-9]+)$$', 1) AS prt,
       |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
@@ -238,7 +238,134 @@ object Web {
        |  FROM lx)""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // Synthetic HTTP-response derivation for the charset-decoding gate.
+  // Each document becomes a wire-format HTTP response whose body is a
+  // small HTML page; the ENCODING leg varies by doc_id % 4 so every
+  // branch of the published decode precedence is load-bearing:
+  //   0: utf-8, declared in the Content-Type header (header wins);
+  //   1: windows-1252 bytes declared ONLY by an iso-8859-1 <meta> tag —
+  //      the marker is chosen so its cp1252 bytes are ALSO valid UTF-8
+  //      (the classic mojibake probe): if the meta sniff or the
+  //      latin1→cp1252 WHATWG aliasing broke, the UTF-8 fallback would
+  //      decode different characters and the hash gate fails;
+  //   2: windows-1252 bytes with NO declaration anywhere — invalid as
+  //      UTF-8, so only the validity-check → cp1252 fallback decodes it;
+  //   3: utf-8 bytes with no declaration — the validity check must PASS.
+  // The page also carries a numeric character reference (&#8217;) so the
+  // full entity decode is hash-gated cross-engine (DuckDB: chr(8217)).
+  // The oracle computes the expected text directly from the pristine
+  // `text` column — it never touches bytes — so any corruption in
+  // encode → HTTP split → charset detect → decode → extract mismatches.
+  // ---------------------------------------------------------------------
+  private val MetaTag =
+    "<meta http-equiv=\"Content-Type\" content=\"text/html; charset=iso-8859-1\">"
+  private val P0 = "<html><head><title>Doc "
+  private val P1 = "</title>"
+  private val P2 = "</head><body><nav><a href=/>Home</a> <a href=/a>About</a> " +
+    "<a href=/b>Contact</a> <a href=/c>Archive</a></nav>" +
+    "<p>the quarterly report&#8217;s marker is "
+  private val P3 = " and this line is long enough to keep</p><p>"
+  private val P4 = "</p></body></html>"
+  private val M0 = "€ draft встреча 道 review"
+  private val M1 = "Ã©Ã¼â€“ review"
+  private val M2 = "naïve café – déjà vu review"
+  private val M3 = "€ über 道 — review"
+
+  /** documents + wire-format HTTP response bytes (Spark side). */
+  private def withHttpWire(df: DataFrame): DataFrame = {
+    val b = col("doc_id") % 4
+    val meta = when(b === 1, lit(MetaTag)).otherwise(lit(""))
+    val marker = when(b === 0, lit(M0)).when(b === 1, lit(M1))
+      .when(b === 2, lit(M2)).otherwise(lit(M3))
+    val html = concat(lit(P0), col("doc_id"), lit(P1), meta, lit(P2),
+      marker, lit(P3), escCol(substring(col("text"), 1, 200)), lit(P4))
+    val csLabel = when(b === 0 || b === 3, "utf-8").otherwise("windows-1252")
+    val ctype = when(b === 0, "text/html; charset=utf-8").otherwise("text/html")
+    val status = when(col("doc_id") % 10 === 7, 404).otherwise(200)
+    df.withColumn("wire",
+      graft.io.Http.encodeResponseCol(status, ctype, html, csLabel,
+        col("doc_id").cast("string")))
+  }
+
+  /** DuckDB twin of [[HtmlExtract.visibleTextFull]] for THIS corpus:
+    * the generic numeric-reference decode specializes to the one ref
+    * the derivation emits (`&#8217;`), placed exactly where
+    * decodeEntitiesFull places the numeric step — after the five named
+    * entities, before `&amp;`.
+    */
+  private def sqlVisibleFull(x: String): String =
+    "trim(regexp_replace(" +
+      "replace(replace(replace(replace(replace(replace(replace(" +
+      s"regexp_replace($x, '<[^>]*>', ' ', 'g'), " +
+      "'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
+      "'&#39;', ''''), '&#8217;', chr(8217)), '&amp;', '&'), " +
+      "'\\s+', ' ', 'g'))"
+
+  private def sqlLinkCharsFull(x: String): String =
+    s"length(${sqlVisibleFull(
+      s"coalesce(array_to_string(regexp_extract_all($x, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), '')")})"
+
+  /** CTE `px(doc_id, status, ctype, x_doc, extracted)`: the HTTP-gate
+    * derivation + full-decode extraction twin, computed from pristine
+    * text (no byte round-trip — that is the point of the gate).
+    */
+  private val httpCte: String = {
+    val html = s"${sqlLit(P0)} || doc_id || ${sqlLit(P1)} || " +
+      s"(CASE WHEN doc_id % 4 = 1 THEN ${sqlLit(MetaTag)} ELSE '' END) || " +
+      s"${sqlLit(P2)} || " +
+      s"(CASE doc_id % 4 WHEN 0 THEN ${sqlLit(M0)} WHEN 1 THEN ${sqlLit(M1)} " +
+      s"WHEN 2 THEN ${sqlLit(M2)} ELSE ${sqlLit(M3)} END) || " +
+      s"${sqlLit(P3)} || ${sqlEsc("substring(text, 1, 200)")} || ${sqlLit(P4)}"
+    val lined =
+      "regexp_replace(regexp_replace(regexp_replace(regexp_replace(html, " +
+        "'(?is)<script[^>]*>.*?</script>', ' ', 'g'), " +
+        "'(?is)<style[^>]*>.*?</style>', ' ', 'g'), " +
+        "'(?s)<!--.*?-->', ' ', 'g'), " +
+        s"'(?i)<br[^>]*>|</?(${HtmlExtract.BlockTags})[^>]*>', chr(10), 'g')"
+    val v = sqlVisibleFull("y")
+    val keep = s"(length($v) >= 25) AND " +
+      s"(${sqlLinkCharsFull("y")} * 100 <= length($v) * 30) AND " +
+      s"(${sqlStops(v)} >= 1)"
+    s"""ph AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 10 = 7 THEN 404 ELSE 200 END AS status,
+       |    CASE WHEN doc_id % 4 = 0 THEN 'text/html; charset=utf-8'
+       |         ELSE 'text/html' END AS ctype,
+       |    CAST(doc_id AS VARCHAR) AS x_doc,
+       |    $html AS html
+       |  FROM documents),
+       |pl AS (
+       |  SELECT doc_id, status, ctype, x_doc, $lined AS lined FROM ph),
+       |px AS (
+       |  SELECT doc_id, status, ctype, x_doc,
+       |    coalesce(array_to_string(list_transform(
+       |      list_filter(string_split(lined, chr(10)), y -> $keep),
+       |      y -> $v), chr(10)), '') AS extracted
+       |  FROM pl)""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // HTTP response parsing + charset decoding: wire bytes → (status,
+    // headers, body) → charset-detected decode → full-entity HTML
+    // extraction. Every decode-precedence branch and the header parse
+    // are hash-gated against an oracle computed from pristine text.
+    // Map-only: encode, split, and decode are one-pass typed UDFs
+    // riding in the scan's task; extraction is built-in expressions.
+    "q_http_extract" -> ((s, dir) => {
+      val wired = withHttpWire(Tables(s, dir, "documents"))
+        .select(col("doc_id"), graft.io.Http.split(col("wire")).as("r"))
+      wired.select(col("doc_id"),
+          col("r.status").as("status"),
+          col("r.headers")("content-type").as("ctype"),
+          col("r.headers")("x-doc").as("x_doc"),
+          graft.io.Http.decodeBody(col("r.body"),
+            col("r.headers")("content-type")).as("decoded"))
+        .select(col("doc_id"), col("status"), col("ctype"), col("x_doc"),
+          graft.ops.HtmlExtract.extractFull(col("decoded")).as("extracted"))
+        .orderBy(col("doc_id"))
+    }),
+
     // HTML main-content extraction (jusText-style line rules): the
     // synthetic crawl page wraps each doc's text in chrome; the
     // extractor must strip script/style/comments, drop the nav, share
@@ -349,13 +476,18 @@ object Web {
 
     // The capstone: the full crawl-ingest pipeline in one plan — URL
     // canonicalization → URL-level dedup (min-doc_id survivor) →
-    // robots.txt compliance → HTML main-content extraction (pages whose
+    // robots.txt compliance → HTTP wire round-trip (each page travels
+    // as response BYTES through Http.split + charset decode, the real
+    // CommonCrawl shape) → HTML main-content extraction (pages whose
     // chrome-stripped content is empty are dropped) → domain-quality
     // gate computed on the EXTRACTED text — emitting the surviving
     // docs. Each stage is individually oracle-green; this row proves
     // the COMPOSITION (keyed joins on already-shuffled keys; the domain
-    // gate side is tiny and broadcasts; extraction is map-only chrome
-    // inside the scan's codegen span).
+    // gate side is tiny and broadcasts; the HTTP leg is a pair of
+    // one-pass map-only UDFs; extraction is map-only chrome inside the
+    // scan's codegen span). The oracle is byte-free: utf-8
+    // wrap-then-decode is the identity, so any framing/charset defect
+    // in the wire leg hash-mismatches.
     "q_web_pipeline" -> ((s, dir) => {
       val n = normalized(s, dir)
       val survivors = n.groupBy(col("url_norm"))
@@ -364,8 +496,14 @@ object Web {
           lit("User-agent: *\nDisallow: /fr\nAllow: /fr/Doc-1\n"))
         .otherwise(
           lit("# lockdown\nUser-agent: *\nDisallow: /\nAllow: /en\n"))
-      val ext = withHtml(n)
-        .withColumn("extracted", HtmlExtract.extract(col("html")))
+      val wired = withHtml(n).withColumn("r",
+        graft.io.Http.split(graft.io.Http.encodeResponseCol(
+          lit(200), lit("text/html; charset=utf-8"), col("html"),
+          lit("utf-8"), lit(null).cast("string"))))
+      val ext = wired
+        .withColumn("extracted", HtmlExtract.extract(
+          graft.io.Http.decodeBody(col("r.body"),
+            col("r.headers")("content-type"))))
         .filter(length(col("extracted")) > 0)
         .select(col("doc_id"), col("domain"), col("url_norm"), col("url"),
           col("extracted"))
@@ -410,6 +548,10 @@ object Web {
   // (stripMargin treats the second pipe of '||' as a margin marker).
   // The CTEs are stripMargin'd once at definition; tails are plain.
   def oracle: Map[String, String] = Map(
+    "q_http_extract" ->
+      (s"WITH $httpCte\n" +
+        "SELECT doc_id, status, ctype, x_doc, extracted\n" +
+        "FROM px ORDER BY doc_id"),
     "q_html_extract" ->
       (s"WITH $htmlCte\n" +
         "SELECT doc_id,\n" +

@@ -157,6 +157,86 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("legacy archives larger than the member guard fall back to streaming") {
+    // a whole-stream (single-member) .warc.gz whose decompressed size
+    // exceeds maxMemberBytes must stream via GZIPInputStream, not throw
+    // — and splits past offset 0 must contribute NOTHING (no dupes)
+    val docs = mkDocs(25)
+    val dir = "/tmp/graft_warc_spec/legacy_src"
+    Warc.write(docs.toDF("id", "uri", "text").repartition(1), dir)
+    val src = Files.list(Paths.get(dir)).filter(_.toString.endsWith(".warc"))
+      .findFirst().get()
+    val gzDir = Paths.get("/tmp/graft_warc_spec/legacy_big")
+    Files.createDirectories(gzDir)
+    val gz = gzDir.resolve("big.warc.gz")
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(gz))
+    try out.write(Files.readAllBytes(src)) finally out.close()
+    val expected = docs.map { case (id, _, t) => (s"<urn:graft:$id>", t) }.toSet
+    for (split <- Seq(Files.size(gz) + 1, 128L)) { // one split; many splits
+      val got = Warc.read(spark, gzDir.toString, splitSize = split,
+          maxMemberBytes = 256).collect()
+        .map(r => (r.getString(0),
+          new String(r.getAs[Array[Byte]]("payload"), StandardCharsets.UTF_8))).toSet
+      assert(got === expected, s"splitSize=$split")
+    }
+    // an over-guard member NOT at offset 0 still fails loudly
+    val mixDir = Paths.get("/tmp/graft_warc_spec/legacy_mix")
+    Files.createDirectories(mixDir)
+    def oneMember(id: String, body: String): Array[Byte] = {
+      val rec = (s"WARC/1.0\r\nWARC-Record-ID: $id\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n" + body + "\r\n\r\n")
+        .getBytes(StandardCharsets.UTF_8)
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(rec); g.close()
+      bos.toByteArray
+    }
+    Files.write(mixDir.resolve("mix.warc.gz"),
+      oneMember("small", "tiny") ++ oneMember("huge", "y" * 4096))
+    val e = intercept[org.apache.spark.SparkException] {
+      Warc.read(spark, mixDir.toString, maxMemberBytes = 256).collect()
+    }
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("decompressed-size guard")))
+  }
+
+  test("an embedded genuine gzip stream that is not a WARC cannot emit phantom records") {
+    // a crawled payload may CONTAIN a byte-perfect gzip stream whose
+    // inflated content embeds WARC-looking lines ("X\r\nWARC/1.0...").
+    // A split resyncing onto that magic validates CRC/ISIZE fully —
+    // only the WARC/-prefix rule on resynced members stops the phantom
+    def member(id: String, body: String): Array[Byte] = {
+      val rec = (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: $id\r\n" +
+        s"WARC-Target-URI: http://x.example/$id\r\n" +
+        s"Content-Length: ${body.getBytes(StandardCharsets.UTF_8).length}\r\n\r\n" +
+        body + "\r\n\r\n").getBytes(StandardCharsets.UTF_8)
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(rec); gz.close()
+      bos.toByteArray
+    }
+    val ghostRec = ("X\r\nWARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: ghost\r\nWARC-Target-URI: http://x.example/ghost\r\n" +
+      "Content-Length: 5\r\n\r\nboo!!\r\n\r\n").getBytes(StandardCharsets.UTF_8)
+    val ghostGz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(ghostRec); gz.close()
+      bos.toByteArray
+    }
+    val dir = Paths.get("/tmp/graft_warc_spec/ghost")
+    Files.createDirectories(dir)
+    val bytes = member("a", "first body") ++ Array[Byte]('Z') ++ ghostGz ++
+      Array[Byte]('Q') ++ member("b", "second body")
+    Files.write(dir.resolve("ghost.warc.gz"), bytes)
+    for (split <- Seq(10L, 64L, 4096L)) {
+      val got = Warc.read(spark, dir.toString, splitSize = split).collect()
+        .map(_.getString(0)).toSet
+      assert(got === Set("a", "b"), s"splitSize=$split (phantom leaked)")
+    }
+  }
+
   test("gz members are read whole-file") {
     val docs = mkDocs(10)
     val dir = "/tmp/graft_warc_spec/gz_src"

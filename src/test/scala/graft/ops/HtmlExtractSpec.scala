@@ -67,4 +67,43 @@ class HtmlExtractSpec extends AnyFunSuite {
     val html = "<nav><a href=/>Home</a></nav><footer>c 2026</footer>"
     assert(extract(html) === "")
   }
+
+  test("numeric character references decode (decimal, hex, bounds)") {
+    assert(HtmlExtract.decodeNumericRefsStr("a&#8217;b") === "a’b")
+    assert(HtmlExtract.decodeNumericRefsStr("a&#x2019;b") === "a’b")
+    assert(HtmlExtract.decodeNumericRefsStr("a&#X20AC;b") === "a€b")
+    assert(HtmlExtract.decodeNumericRefsStr("&#65;&#x41;") === "AA")
+    // malformed / out-of-range / surrogate stay literal
+    assert(HtmlExtract.decodeNumericRefsStr("&#;x") === "&#;x")
+    assert(HtmlExtract.decodeNumericRefsStr("&#xD800;") === "&#xD800;")
+    assert(HtmlExtract.decodeNumericRefsStr("&#1114112;") === "&#1114112;")
+    assert(HtmlExtract.decodeNumericRefsStr("&#12 34;") === "&#12 34;")
+    assert(HtmlExtract.decodeNumericRefsStr("no refs here") === "no refs here")
+    assert(HtmlExtract.decodeNumericRefsStr(null) === null)
+  }
+
+  private def extractFull(html: String): String =
+    Seq(html).toDF("h")
+      .select(HtmlExtract.extractFull(col("h")))
+      .as[String].head()
+
+  test("extractFull decodes numeric refs; plain extract leaves them literal") {
+    val html = "<p>the writer&#8217;s page has the em&#x2013;dash and is long enough</p>"
+    assert(extractFull(html) ===
+      "the writer’s page has the em–dash and is long enough")
+    assert(extract(html) ===
+      "the writer&#8217;s page has the em&#x2013;dash and is long enough")
+  }
+
+  test("extractFull keeps the double-escape order: &amp;#39; stays literal") {
+    val html = "<p>the raw token &amp;#39; must survive as text in this long line</p>"
+    assert(extractFull(html) ===
+      "the raw token &#39; must survive as text in this long line")
+  }
+
+  test("extract and extractFull agree on numeric-ref-free pages") {
+    val html = "<body><nav><a href=/>the home page link</a></nav>" +
+      "<p>the content line that is long enough to pass and mostly not links</p></body>"
+    assert(extractFull(html) === extract(html))
+  }
 }

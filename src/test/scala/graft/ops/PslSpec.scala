@@ -74,6 +74,30 @@ class PslSpec extends AnyFunSuite {
     }
   }
 
+  test("IDN hosts fold to A-labels: U-label and punycode spellings group together") {
+    assert(d("münchen.de") === "xn--mnchen-3ya.de")
+    assert(d("xn--mnchen-3ya.de") === "xn--mnchen-3ya.de")
+    assert(d("www.münchen.de") === d("www.xn--mnchen-3ya.de"))
+    assert(d("bücher.example.co.uk") === "example.co.uk")
+    // unfoldable garbage passes through — the grouping key stays total
+    assert(d("bücher..") === "bücher..")
+    // pure-ASCII fast path: byte-identical output
+    assert(d("plain.example.com") === "example.com")
+  }
+
+  test("snapshot broadcast is memoized per SparkContext") {
+    val sc = spark.sparkContext
+    val b1 = Psl.snapshotBroadcast(sc)
+    val b2 = Psl.snapshotBroadcast(sc)
+    assert(b1.id === b2.id, "two columns in one session must reuse ONE broadcast")
+    // and the column form goes through the same cache
+    val df = Seq("a.example.co.uk").toDF("h")
+      .select(Psl.registrableDomainPsl(col("h")).as("d1"),
+        Psl.registrableDomainPsl(col("h")).as("d2"))
+    assert(df.as[(String, String)].head() === (("example.co.uk", "example.co.uk")))
+    assert(Psl.snapshotBroadcast(sc).id === b1.id)
+  }
+
   test("parser: comments, blanks, case, and inline junk are handled") {
     val r = Psl.parse(Iterator(
       "// comment", "", "  CO.Example  trailing", "*.wild", "!except.wild"))

@@ -69,6 +69,12 @@ class UrlOpsSpec extends AnyFunSuite {
       .as[String].collect().toSeq === Seq("example.co.uk"))
   }
 
+  test("userinfo splits at the LAST '@' (WHATWG): a@b@host yields host") {
+    assert(Seq("https://a@b@Example.com/x").toDF("url")
+      .select(UrlOps.host(col("url"))).as[String].head() === "example.com")
+    assert(norm("http://u:p@w@site.org:80/p") === Seq("http://site.org/p"))
+  }
+
   test("percent-encoding: unreserved escapes decode, others uppercase, malformed pass through") {
     assert(norm(
       "https://a.com/p%7e%41/f%2Fx",   // %7E unreserved -> ~, %41 -> A, %2f reserved -> %2F
