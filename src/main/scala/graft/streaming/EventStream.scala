@@ -99,6 +99,93 @@ object EventStream {
       .start()
   }
 
+  // ---- streaming crawl ingest (the §2.12 capstone, arrival-driven) -----
+
+  /** The per-record crawl transform, shared verbatim by the streaming
+    * ingest and its batch twin: WARC `response` payload BYTES → HTTP
+    * split + charset decode ([[graft.io.Http]]) → full-entity HTML
+    * main-content extraction ([[graft.ops.HtmlExtract.extractFull]]) →
+    * canonical URL ([[graft.ops.UrlOps.normalize]]). Pages whose
+    * extracted content is empty (pure chrome) are dropped. Map-only —
+    * safe on a streaming frame.
+    */
+  def crawlExtract(records: DataFrame): DataFrame =
+    records
+      .withColumn("r", graft.io.Http.split(col("payload")))
+      .withColumn("decoded", graft.io.Http.decodeBody(col("r.body"),
+        col("r.headers")(lit("content-type"))))
+      .withColumn("extracted", graft.ops.HtmlExtract.extractFull(col("decoded")))
+      .withColumn("url_norm", graft.ops.UrlOps.normalize(col("target_uri")))
+      .filter(length(col("extracted")) > 0)
+      .select(col("record_id"), col("url_norm"), col("extracted"))
+
+  /** Batch twin of one ingest round: extract, keep the FIRST record per
+    * canonical URL (min record_id — crawl ids are monotone with crawl
+    * order, the same nondecreasing-arrival contract the temporal twins
+    * state), and drop URLs already in `urlIndex` (one `url_norm`
+    * column). One hash aggregate on url_norm + one left_anti join on
+    * the (small, broadcastable) index — the exact-identity
+    * specialization of the [[graft.ops.Dedup.minhashBuildIndex]] /
+    * probe discipline.
+    */
+  def crawlSurvivorsBatch(records: DataFrame, urlIndex: DataFrame): DataFrame = {
+    val ex = crawlExtract(records)
+    val first = ex.groupBy(col("url_norm"))
+      .agg(min(col("record_id")).as("record_id"))
+    ex.join(first, Seq("url_norm", "record_id"), "left_semi")
+      .join(urlIndex.select(col(urlIndex.columns(0)).as("url_norm")),
+        Seq("url_norm"), "left_anti")
+      .select(col("record_id"), col("url_norm"), col("extracted"))
+  }
+
+  /** Streaming crawl-ingest capstone: a WARC drop directory streamed
+    * one file per micro-batch ([[warcChunks]] front), each batch run
+    * through [[crawlSurvivorsBatch]] against the ACCUMULATED index —
+    * the pre-built corpus index plus every URL already emitted by an
+    * earlier micro-batch — so a re-crawled (duplicate-URL) record is
+    * dropped incrementally, never re-extracted downstream. Survivors
+    * go to `onBatch`; their URLs append to the index.
+    *
+    * State = the distinct canonical URLs seen (what any crawl frontier
+    * stores anyway), carried as a localCheckpointed frame per batch
+    * here; at fleet scale the same loop writes the index to a keyed
+    * table (Delta/parquet bucketed on url_norm) and the probe becomes
+    * a broadcast or bucket join — the operator shape is identical.
+    * Exactly-once caveat, stated: the index update and `onBatch` are
+    * not atomic across driver failure; production runs make `onBatch`
+    * idempotent (keyed overwrite) exactly as with any foreachBatch
+    * sink.
+    */
+  def crawlIngest(
+      spark: SparkSession,
+      dir: String,
+      checkpoint: String,
+      corpusUrlIndex: DataFrame)(
+      onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.input_file_name
+    var index = corpusUrlIndex
+      .select(col(corpusUrlIndex.columns(0)).as("url_norm"))
+      .localCheckpoint()
+    chunkedText(spark, dir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val files = batch.select(input_file_name().as("f"))
+          .distinct().collect().map(_.getString(0)).sorted
+        files.foreach { f =>
+          val recs = graft.io.Warc.read(spark, f)
+          if (!recs.isEmpty) {
+            val survivors = crawlSurvivorsBatch(recs, index).localCheckpoint()
+            onBatch(survivors)
+            index = index
+              .unionByName(survivors.select(col("url_norm")))
+              .distinct().localCheckpoint()
+          }
+        }
+      }
+      .start()
+  }
+
   // ---- streaming dedup -------------------------------------------------
 
   /** Exact streaming dedup on a 64-bit content hash. State is BOUNDED by

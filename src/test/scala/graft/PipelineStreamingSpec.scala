@@ -394,6 +394,100 @@ class PipelineStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("crawl ingest: WARC chunks -> HTTP decode -> extract -> incremental URL dedup == batch") {
+    import org.apache.spark.sql.functions.col
+    import java.nio.file.{Files, Paths}
+    import graft.io.{Http, Warc}
+
+    // one content-bearing page per (charset flavor); pages long enough
+    // to survive extraction (>=25 chars + stopwords), chrome dropped
+    def page(body: String, charset: String, declareHeader: Boolean,
+        declareMeta: Boolean): Array[Byte] = {
+      val meta = if (declareMeta)
+        "<meta http-equiv=\"Content-Type\" content=\"text/html; charset=iso-8859-1\">"
+      else ""
+      val html = s"<html><head><title>t</title>$meta</head><body>" +
+        s"<nav><a href=/>Home</a> <a href=/x>About</a></nav>" +
+        s"<p>the crawled body says $body and this line is long enough</p></body></html>"
+      val ct = if (declareHeader) s"text/html; charset=$charset" else "text/html"
+      Http.encodeResponse(200, Seq("Content-Type" -> ct), html, charset)
+    }
+    val chromeOnly = Http.encodeResponse(200, Seq("Content-Type" -> "text/html"),
+      "<html><body><nav><a href=/>Home</a></nav></body></html>", "utf-8")
+
+    // duplicate-URL pairs spell ONE canonical URL differently; crawl
+    // ids are monotone with crawl order (the stated arrival contract)
+    val fileA = Seq(
+      ("r01", "HTTP://WWW.Site.Example:80/a?utm_source=x&b=2&a=1",
+        page("café history — first crawl", "utf-8", true, false)),
+      ("r02", "http://news.other.example/p", page("plain page two", "utf-8", false, false)),
+      ("r03", "http://indexed.example/old", page("already in the corpus", "utf-8", false, false)),
+      ("r04", "http://chrome.example/empty", chromeOnly))
+    val fileB = Seq(
+      ("r13", "http://www.site.example/a?a=1&b=2#frag",
+        page("café history — re-crawl spelled differently", "windows-1252", false, true)),
+      ("r14", "http://fresh.example/three", page("a genuinely new page three", "utf-8", false, false)))
+    val fileC = Seq(
+      ("r21", "http://News.Other.Example:80/p", page("plain page two re-crawl", "utf-8", false, false)),
+      ("r22", "HTTP://fresh.example:80/three?gclid=x", page("page three re-crawl", "utf-8", false, false)),
+      ("r23", "http://fresh.example/four", page("the fourth page is new", "utf-8", false, false)))
+
+    val drop = Files.createTempDirectory("crawl_ingest")
+    def writeWarc(recs: Seq[(String, String, Array[Byte])], name: String, age: Int): Unit = {
+      val tmp = s"/tmp/graft_crawl_src/$name"
+      Warc.write(recs.toDF("id", "uri", "payload").repartition(1), tmp)
+      val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".warc"))
+        .findFirst().get()
+      val dst = drop.resolve(s"$name.warc")
+      Files.copy(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - (30 - age * 10) * 1000L))
+    }
+    writeWarc(fileA, "a", 0)
+    writeWarc(fileB, "b", 1)
+    writeWarc(fileC, "c", 2)
+
+    val corpusIndex = Seq("http://indexed.example/old").toDF("url_norm")
+
+    // batch twin over ALL records at once
+    val allRecs = Warc.read(spark, drop.toString)
+    val batchSurvivors = graft.streaming.EventStream
+      .crawlSurvivorsBatch(allRecs, corpusIndex)
+      .as[(String, String, String)].collect().toSet
+
+    val ckpt = Files.createTempDirectory("crawl_ckpt")
+    val perBatch = new java.util.concurrent.ConcurrentLinkedQueue[Set[(String, String, String)]]()
+    val q = graft.streaming.EventStream.crawlIngest(
+      spark, drop.toString, ckpt.toString, corpusIndex) { survivors =>
+      perBatch.add(survivors.select("record_id", "url_norm", "extracted")
+        .as[(String, String, String)].collect().toSet)
+    }
+    try {
+      q.processAllAvailable()
+      val batches = perBatch.toArray(Array.empty[Set[(String, String, String)]])
+      assert(batches.length >= 3, s"expected >=3 micro-batches, got ${batches.length}")
+      val streamed = batches.toSet.flatten
+      assert(streamed === batchSurvivors,
+        "union of per-batch survivors must equal the batch twin")
+      val ids = streamed.map(_._1.stripPrefix("<urn:graft:").stripSuffix(">"))
+      assert(ids === Set("r01", "r02", "r14", "r23"),
+        s"first crawl wins, re-crawls and indexed/chrome pages drop; got $ids")
+      // the re-crawls were dropped INCREMENTALLY: later batches must not
+      // re-emit earlier batches' URLs
+      val urlsSeen = scala.collection.mutable.Set.empty[String]
+      batches.foreach { b =>
+        val urls = b.map(_._2)
+        assert(urls.intersect(urlsSeen.toSet).isEmpty,
+          "a later micro-batch re-emitted an already-ingested URL")
+        urlsSeen ++= urls
+      }
+      // charset leg is live: the utf-8 and cp1252 spellings of café both
+      // decoded correctly in whichever batch won
+      assert(streamed.exists(_._3.contains("café")))
+    } finally q.stop()
+  }
+
   test("DSIR scoring on a stream matches the batch weights") {
     implicit val sqlCtx = spark.sqlContext
     val target = Seq((100L, "alpha beta alpha")).toDF("doc_id", "text")
