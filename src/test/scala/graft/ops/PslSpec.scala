@@ -74,6 +74,29 @@ class PslSpec extends AnyFunSuite {
     }
   }
 
+  test("round-10 snapshot broadening: new ccTLD multi-part and platform suffixes") {
+    // ICANN additions
+    assert(d("ville.paris.gouv.fr") === "paris.gouv.fr")
+    assert(d("a.b.example.on.ca") === "example.on.ca")
+    assert(d("school.example.k12.ca.us") === "example.k12.ca.us")
+    assert(d("www.ministry.gov.qa") === "ministry.gov.qa")
+    assert(d("x.firm.example.co.tz") === "example.co.tz")
+    assert(d("shop.example.com.uy") === "example.com.uy")
+    assert(d("anything.under.jm") === "anything.under.jm") // *.jm wildcard
+    assert(d("a.anything.under.jm") === "anything.under.jm")
+    // private-section platform tenants split per tenant
+    assert(d("store-1.myshopify.com") === "store-1.myshopify.com")
+    assert(d("app.tenant.onmicrosoft.com") === "tenant.onmicrosoft.com")
+    assert(d("my-site.wixsite.com") === "my-site.wixsite.com")
+    assert(d("demo.hf.space") === "demo.hf.space")
+    assert(d("api.example.service.gov.uk") === "example.service.gov.uk")
+    assert(d("pt-blog.blogspot.pt") === "pt-blog.blogspot.pt")
+    assert(d("bucket.blob.core.windows.net") === "bucket.blob.core.windows.net")
+    // and plain .com/.net registrants are untouched by the additions
+    assert(d("www.shopify.com") === "shopify.com")
+    assert(d("a.windows.net") === "windows.net")
+  }
+
   test("IDN hosts fold to A-labels: U-label and punycode spellings group together") {
     assert(d("münchen.de") === "xn--mnchen-3ya.de")
     assert(d("xn--mnchen-3ya.de") === "xn--mnchen-3ya.de")
