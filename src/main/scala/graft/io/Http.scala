@@ -88,6 +88,109 @@ object Http {
     b.length >= 5 && b(0) == 'H' && b(1) == 'T' && b(2) == 'T' &&
       b(3) == 'P' && b(4) == '/'
 
+  /** Undo the wire encodings a crawled response body may carry, in
+    * wire order: `Transfer-Encoding: chunked` de-chunking (RFC 9112
+    * §7.1 — size-line in hex, chunk bytes, CRLF, zero-size terminator,
+    * optional trailers), then `Content-Encoding: gzip|x-gzip|deflate`
+    * decompression (deflate accepts both zlib-wrapped and raw streams,
+    * the historic server split). Anything malformed returns the bytes
+    * as far as they decoded soundly — crawl pipelines keep truncated
+    * pages rather than dropping them (the CDX convention). Bounded by
+    * `maxBytes` against decompression bombs: loud IllegalStateException
+    * past the cap, never a silent OOM.
+    */
+  def decodeTransfer(
+      body: Array[Byte],
+      transferEncoding: String,
+      contentEncoding: String,
+      maxBytes: Int = 512 * 1024 * 1024): Array[Byte] = {
+    if (body == null) return null
+    val chunked = transferEncoding != null &&
+      transferEncoding.toLowerCase.contains("chunked")
+    val dechunked = if (chunked) dechunk(body) else body
+    val ce = if (contentEncoding == null) "" else contentEncoding.trim.toLowerCase
+    ce match {
+      case "gzip" | "x-gzip" => gunzip(dechunked, maxBytes)
+      case "deflate" => inflate(dechunked, maxBytes)
+      case _ => dechunked
+    }
+  }
+
+  private def dechunk(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    var pos = 0
+    var ok = true
+    while (ok && pos < b.length) {
+      // size line: hex digits up to ';' (chunk extension) or CR/LF
+      var i = pos
+      var size = 0L
+      var any = false
+      var bad = false
+      while (i < b.length && b(i) != '\r' && b(i) != '\n' && b(i) != ';' && !bad) {
+        val c = b(i)
+        val d = Character.digit(c.toChar, 16)
+        if (d < 0) bad = true
+        else { size = size * 16 + d; any = true; i += 1 }
+      }
+      while (i < b.length && b(i) != '\n') i += 1 // rest of size line
+      i += 1 // the LF
+      if (bad || !any || size > Int.MaxValue) ok = false
+      else if (size == 0) { ok = false } // terminator (trailers ignored)
+      else if (i + size > b.length) { // truncated chunk: keep what exists
+        out.write(b, i, b.length - i)
+        ok = false
+      } else {
+        out.write(b, i, size.toInt)
+        pos = i + size.toInt
+        // consume the CRLF after the chunk data
+        if (pos < b.length && b(pos) == '\r') pos += 1
+        if (pos < b.length && b(pos) == '\n') pos += 1
+      }
+    }
+    out.toByteArray
+  }
+
+  private def gunzip(b: Array[Byte], maxBytes: Int): Array[Byte] = {
+    if (b.length < 2 || (b(0) & 0xff) != 0x1f || (b(1) & 0xff) != 0x8b) return b
+    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
+    drain(in, b.length * 4, maxBytes)
+  }
+
+  private def inflate(b: Array[Byte], maxBytes: Int): Array[Byte] = {
+    // zlib-wrapped first (the spec meaning); raw-deflate fallback (what
+    // many servers actually send — the historic "deflate" confusion)
+    def attempt(raw: Boolean): Array[Byte] = {
+      val inf = new java.util.zip.Inflater(raw)
+      try drain(new java.util.zip.InflaterInputStream(
+        new java.io.ByteArrayInputStream(b), inf), b.length * 4, maxBytes)
+      finally inf.end()
+    }
+    try { val r = attempt(false); if (r.length > 0 || b.length == 0) r else attempt(true) }
+    catch { case _: java.io.IOException =>
+      try attempt(true) catch { case _: java.io.IOException => b }
+    }
+  }
+
+  private def drain(in: java.io.InputStream, hint: Int, maxBytes: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(hint, 64))
+    val buf = new Array[Byte](64 * 1024)
+    try {
+      var n = in.read(buf)
+      while (n > 0) {
+        out.write(buf, 0, n)
+        if (out.size > maxBytes)
+          throw new IllegalStateException(
+            s"decoded entity body exceeds the $maxBytes-byte guard")
+        n = in.read(buf)
+      }
+    } catch {
+      // truncated/corrupt tail: keep the sound prefix (CDX convention)
+      case _: java.io.EOFException => ()
+      case _: java.util.zip.ZipException => ()
+    } finally in.close()
+    out.toByteArray
+  }
+
   /** WHATWG label → JVM charset. The spec folds the latin-1 family into
     * windows-1252 (what pages labelled iso-8859-1 actually contain);
     * labels the JVM knows pass through; unknown labels yield None so
@@ -220,27 +323,70 @@ object Http {
     f(body, contentType)
   }
 
+  /** The full wire leg in one hop: Transfer-Encoding de-chunk +
+    * Content-Encoding decompress ([[decodeTransfer]]) then charset
+    * decode ([[decode]]), driven by the parsed headers MAP from
+    * [[split]]. One UDF invocation per row — the three header lookups
+    * are map probes, not extra passes.
+    */
+  def decodeBodyWire(body: Column, headers: Column): Column = {
+    val f = udf((b: Array[Byte], te: String, ce: String, ct: String) =>
+      decode(decodeTransfer(b, te, ce), ct))
+    f(body, headers(lit("transfer-encoding")), headers(lit("content-encoding")),
+      headers(lit("content-type")))
+  }
+
   /** Build response wire bytes — the writer twin used by round-trip
     * gates and WARC fixture generation: status line, given headers in
     * order, blank line, body encoded with `charset`
     * ([[charsetForLabel]] semantics; unmappable characters replace).
+    * `wire` applies the on-the-wire leg: "gzip" gzips the body and
+    * adds Content-Encoding, "chunked" splits it into chunked
+    * transfer-encoding frames (with a chunk extension and a trailer,
+    * so the reader's tolerance is exercised), anything else is plain.
     */
   def encodeResponse(
       status: Int,
       headers: Seq[(String, String)],
       bodyText: String,
-      charset: String): Array[Byte] = {
+      charset: String,
+      wire: String = "plain"): Array[Byte] = {
     val cs = charsetForLabel(charset).getOrElse(StandardCharsets.UTF_8)
     val enc = cs.newEncoder()
       .onMalformedInput(CodingErrorAction.REPLACE)
       .onUnmappableCharacter(CodingErrorAction.REPLACE)
     val bodyBuf = enc.encode(java.nio.CharBuffer.wrap(bodyText))
-    val body = new Array[Byte](bodyBuf.remaining())
+    var body = new Array[Byte](bodyBuf.remaining())
     bodyBuf.get(body)
+    val wireHeaders = wire match {
+      case "gzip" =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(body); g.close()
+        body = bos.toByteArray
+        Seq("Content-Encoding" -> "gzip")
+      case "chunked" =>
+        val bos = new java.io.ByteArrayOutputStream(body.length + 64)
+        var off = 0
+        while (off < body.length) {
+          val n = math.min(48, body.length - off)
+          val ext = if (off == 0) ";graft=1" else ""
+          bos.write(f"$n%x$ext%s\r\n".getBytes(StandardCharsets.ISO_8859_1))
+          bos.write(body, off, n)
+          bos.write('\r'); bos.write('\n')
+          off += n
+        }
+        bos.write("0\r\nX-Trailer: done\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1))
+        body = bos.toByteArray
+        Seq("Transfer-Encoding" -> "chunked")
+      case _ => Seq.empty
+    }
     val head = new StringBuilder()
       .append("HTTP/1.1 ").append(status).append(' ')
       .append(if (status == 200) "OK" else "Status").append("\r\n")
-    headers.foreach { case (k, v) => head.append(k).append(": ").append(v).append("\r\n") }
+    (headers ++ wireHeaders).foreach { case (k, v) =>
+      head.append(k).append(": ").append(v).append("\r\n")
+    }
     head.append("\r\n")
     val hb = head.toString.getBytes(StandardCharsets.ISO_8859_1)
     val out = new Array[Byte](hb.length + body.length)
@@ -250,8 +396,8 @@ object Http {
   }
 
   /** Column form of [[encodeResponse]] for derivation pipelines:
-    * `(status, contentTypeValue, bodyText, charsetLabel)` → BINARY.
-    * Emits Content-Type plus an `X-Doc` provenance header when
+    * `(status, contentTypeValue, bodyText, charsetLabel, wireMode)` →
+    * BINARY. Emits Content-Type plus an `X-Doc` provenance header when
     * `xDoc` is non-null.
     */
   def encodeResponseCol(
@@ -259,13 +405,14 @@ object Http {
       contentType: Column,
       bodyText: Column,
       charset: Column,
-      xDoc: Column): Column = {
-    val f = udf((st: Int, ct: String, body: String, cs: String, xd: String) =>
+      xDoc: Column,
+      wire: Column = lit("plain")): Column = {
+    val f = udf((st: Int, ct: String, body: String, cs: String, xd: String, w: String) =>
       encodeResponse(st,
         Seq("Content-Type" -> ct) ++
           (if (xd == null) Seq.empty else Seq("X-Doc" -> xd)) ++
           Seq("Connection" -> "close"),
-        body, cs))
-    f(status, contentType, bodyText, charset, xDoc)
+        body, cs, w))
+    f(status, contentType, bodyText, charset, xDoc, wire)
   }
 }

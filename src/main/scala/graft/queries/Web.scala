@@ -283,9 +283,14 @@ object Web {
     val csLabel = when(b === 0 || b === 3, "utf-8").otherwise("windows-1252")
     val ctype = when(b === 0, "text/html; charset=utf-8").otherwise("text/html")
     val status = when(col("doc_id") % 10 === 7, 404).otherwise(200)
+    // independent wire leg (doc_id % 5): gzip Content-Encoding, chunked
+    // Transfer-Encoding, plain — crossed with the charset branches so
+    // e.g. chunked+cp1252 pages exist and the decode ORDER is gated
+    val wireMode = when(col("doc_id") % 5 === 0, "gzip")
+      .when(col("doc_id") % 5 === 1, "chunked").otherwise("plain")
     df.withColumn("wire",
       graft.io.Http.encodeResponseCol(status, ctype, html, csLabel,
-        col("doc_id").cast("string")))
+        col("doc_id").cast("string"), wireMode))
   }
 
   /** DuckDB twin of [[HtmlExtract.visibleTextFull]] for THIS corpus:
@@ -346,12 +351,13 @@ object Web {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // HTTP response parsing + charset decoding: wire bytes → (status,
-    // headers, body) → charset-detected decode → full-entity HTML
-    // extraction. Every decode-precedence branch and the header parse
-    // are hash-gated against an oracle computed from pristine text.
-    // Map-only: encode, split, and decode are one-pass typed UDFs
-    // riding in the scan's task; extraction is built-in expressions.
+    // HTTP response parsing + wire decoding: wire bytes → (status,
+    // headers, body) → chunked de-framing + gzip decompression +
+    // charset-detected decode → full-entity HTML extraction. Every
+    // decode-precedence branch, both wire encodings, and the header
+    // parse are hash-gated against an oracle computed from pristine
+    // text. Map-only: encode, split, and decode are one-pass typed
+    // UDFs riding in the scan's task; extraction is built-ins.
     "q_http_extract" -> ((s, dir) => {
       val wired = withHttpWire(Tables(s, dir, "documents"))
         .select(col("doc_id"), graft.io.Http.split(col("wire")).as("r"))
@@ -359,8 +365,8 @@ object Web {
           col("r.status").as("status"),
           col("r.headers")("content-type").as("ctype"),
           col("r.headers")("x-doc").as("x_doc"),
-          graft.io.Http.decodeBody(col("r.body"),
-            col("r.headers")("content-type")).as("decoded"))
+          graft.io.Http.decodeBodyWire(col("r.body"),
+            col("r.headers")).as("decoded"))
         .select(col("doc_id"), col("status"), col("ctype"), col("x_doc"),
           graft.ops.HtmlExtract.extractFull(col("decoded")).as("extracted"))
         .orderBy(col("doc_id"))

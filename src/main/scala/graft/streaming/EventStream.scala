@@ -112,8 +112,8 @@ object EventStream {
   def crawlExtract(records: DataFrame): DataFrame =
     records
       .withColumn("r", graft.io.Http.split(col("payload")))
-      .withColumn("decoded", graft.io.Http.decodeBody(col("r.body"),
-        col("r.headers")(lit("content-type"))))
+      .withColumn("decoded", graft.io.Http.decodeBodyWire(col("r.body"),
+        col("r.headers")))
       .withColumn("extracted", graft.ops.HtmlExtract.extractFull(col("decoded")))
       .withColumn("url_norm", graft.ops.UrlOps.normalize(col("target_uri")))
       .filter(length(col("extracted")) > 0)
