@@ -485,6 +485,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!ph.contains("ScalaUDF"),
       s"html extraction must stay UDF-free:\n${ph.take(800)}")
 
+    // HTTP wire gate: the encode → split → wire-decode → extract chain
+    // is deliberately UDF-bearing (byte-level framing has no built-in)
+    // but must stay MAP-ONLY — one task pass per row, no hash
+    // exchange, no window, nothing driver-side; only the presentation
+    // sort's range partitioning is allowed
+    val px = physicalPlan("q_http_extract")
+    assert("Exchange hashpartitioning".r.findAllIn(px).isEmpty,
+      s"http extraction must not hash-shuffle:\n${px.take(800)}")
+    assert(!px.contains("CartesianProduct") && !px.contains("Window"), px.take(800))
+
     // domain stats: two count(DISTINCT) → canonical Expand plan; the
     // Expand factor is 3 (one slice per distinct + one for plain aggs)
     // and both exchanges stay keyed on domain(+distinct col) — bounded,
