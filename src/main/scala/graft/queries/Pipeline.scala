@@ -753,37 +753,23 @@ object Pipeline {
         if (n <= truthCap) df
         else df.filter(pmod(xxhash64(col(idCol)), lit((n + truthCap - 1) / truthCap)) === 0)
       }
-      val docs = slice(Tables(s, dir, "documents"), "doc_id").localCheckpoint()
-      val emb = slice(Tables(s, dir, "embeddings"), "vec_id").localCheckpoint()
-
-      // simhash: signatures once, exact all-pairs hamming truth
-      val sigs = docs.select(col("doc_id").as("id"),
-        graft.ops.HashKernels.simhashUdf(col("text")).as("sig")).localCheckpoint()
-      val truthSim = sigs.select(col("id").as("id_a"), col("sig").as("sa"))
-        .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")),
-          col("id_a") < col("id_b"))
-        .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
-        .select(col("id_a"), col("id_b"))
-      val simPairs = Dedup.simhashNearDuplicates(docs, "doc_id", "text")
-        .select(col("id_a"), col("id_b"))
-
-      // incremental: exact cross-batch truth on the probe's own shingle
-      // size, detector = the q_incremental_dedup index+probe geometry
-      val truthInc = Dedup.ngramJaccard(
-        docs.withColumn("blk", lit(0)), "doc_id", "text", "blk",
-        n = 3, threshold = 0.7, maxBlockRows = 500)
-        .filter((col("id_a") % 2 === 0) =!= (col("id_b") % 2 === 0))
-        .select(
-          when(col("id_a") % 2 === 1, col("id_a")).otherwise(col("id_b")).as("id_a"),
-          when(col("id_a") % 2 === 1, col("id_b")).otherwise(col("id_a")).as("id_b"))
-      val idx = Dedup.minhashBuildIndex(docs.filter(col("doc_id") % 2 === 0),
-        "doc_id", "text", k = 3, numHashes = 40, bands = 8)
-      val incPairs = Dedup.minhashProbe(docs.filter(col("doc_id") % 2 === 1),
-        "doc_id", "text", idx, threshold = 0.7, minBandMatches = 2)
-        .select(col("id_new").as("id_a"), col("id_old").as("id_b"))
-
+      // the doc-side (slice → simhash signatures) and vector-side
+      // (slice → exact cosine truth) materialization chains are
+      // independent — overlap them on two submitting threads
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val docsF = Future {
+        val d = slice(Tables(s, dir, "documents"), "doc_id").localCheckpoint()
+        val sg = d.select(col("doc_id").as("id"),
+          graft.ops.HashKernels.simhashUdf(col("text")).as("sig")).localCheckpoint()
+        (d, sg)
+      }
+      val embF = Future(slice(Tables(s, dir, "embeddings"), "vec_id").localCheckpoint())
+      val emb = Await.result(embF, scala.concurrent.duration.Duration.Inf)
       // exact cosine truth (identical formula/rounding to the verify
-      // stages), shared by the semdedup and 5×12 gates
+      // stages), shared by the semdedup and 5×12 gates — built and
+      // checkpointed BEFORE awaiting the doc side, so the two
+      // materialization chains actually overlap
       val vecs = emb.select(col("vec_id").as("id"), col("embedding").as("v"),
         graft.ops.HashKernels.normUdf(col("embedding")).as("nrm"))
       val truthCos = vecs
@@ -813,6 +799,31 @@ object Pipeline {
         threshold = 0.35, bitsPerBand = 5, bands = 12)
         .select(col("id_a"), col("id_b"))
 
+      // doc side ready: simhash truth/detector + incremental truth/probe
+      val (docs, sigs) = Await.result(docsF, scala.concurrent.duration.Duration.Inf)
+      val truthSim = sigs.select(col("id").as("id_a"), col("sig").as("sa"))
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")),
+          col("id_a") < col("id_b"))
+        .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
+        .select(col("id_a"), col("id_b"))
+      val simPairs = Dedup.simhashNearDuplicates(docs, "doc_id", "text")
+        .select(col("id_a"), col("id_b"))
+
+      // incremental: exact cross-batch truth on the probe's own shingle
+      // size, detector = the q_incremental_dedup index+probe geometry
+      val truthInc = Dedup.ngramJaccard(
+        docs.withColumn("blk", lit(0)), "doc_id", "text", "blk",
+        n = 3, threshold = 0.7, maxBlockRows = 500)
+        .filter((col("id_a") % 2 === 0) =!= (col("id_b") % 2 === 0))
+        .select(
+          when(col("id_a") % 2 === 1, col("id_a")).otherwise(col("id_b")).as("id_a"),
+          when(col("id_a") % 2 === 1, col("id_b")).otherwise(col("id_a")).as("id_b"))
+      val idx = Dedup.minhashBuildIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", k = 3, numHashes = 40, bands = 8)
+      val incPairs = Dedup.minhashProbe(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", idx, threshold = 0.7, minBandMatches = 2)
+        .select(col("id_new").as("id_a"), col("id_old").as("id_b"))
+
       def verdict(method: String, floor: Double, truth: DataFrame, approx: DataFrame) = {
         val t = truth.localCheckpoint()
         val a = approx.localCheckpoint()
@@ -822,11 +833,20 @@ object Pipeline {
         (method, floor, nTrue > 0 && hits.toDouble / nTrue >= floor, spurious == 0L)
       }
       import s.implicits._
-      Seq(
-        verdict("cosine_lsh_5x12", 0.55, truthCos, cos512),
-        verdict("incremental_minhash", 0.30, truthInc, incPairs),
-        verdict("semdedup", 0.25, truthDropped, semDropped),
-        verdict("simhash", 1.0, truthSim, simPairs))
+      // the four measurements are independent Spark job chains over
+      // already-checkpointed slices — submit them from four threads so
+      // their jobs interleave on the executor pool (wall-clock ≈ the
+      // slowest one, not the sum; this is a gate query, but a 7.5s
+      // serial tail was the most expensive row in the whole bench)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val rows = Await.result(Future.sequence(Seq(
+        Future(verdict("cosine_lsh_5x12", 0.55, truthCos, cos512)),
+        Future(verdict("incremental_minhash", 0.30, truthInc, incPairs)),
+        Future(verdict("semdedup", 0.25, truthDropped, semDropped)),
+        Future(verdict("simhash", 1.0, truthSim, simPairs)))),
+        scala.concurrent.duration.Duration.Inf)
+      rows
         .toDF("method", "recall_floor", "recall_ok", "exact_subset")
         .orderBy(col("method"))
     }),
@@ -884,9 +904,14 @@ object Pipeline {
         (method, floor, hits.toDouble / nTrue >= floor, spurious == 0L)
       }
       import s.implicits._
-      Seq(
-        verdict("cosine_lsh", 0.85, truthCos, cos),
-        verdict("minhash", 0.90, truthMh, mh))
+      // independent job chains → two submitting threads (see
+      // q_approx_dedup_quality): wall-clock ≈ max, not sum
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence(Seq(
+        Future(verdict("cosine_lsh", 0.85, truthCos, cos)),
+        Future(verdict("minhash", 0.90, truthMh, mh)))),
+        scala.concurrent.duration.Duration.Inf)
         .toDF("method", "recall_floor", "recall_ok", "exact_subset")
         .orderBy(col("method"))
     }),
