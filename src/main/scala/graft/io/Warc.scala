@@ -131,6 +131,171 @@ object Warc {
       .collect().toSeq
   }
 
+  /** Framed bytes of ONE record (version line → headers → payload →
+    * CRLF CRLF), optionally wrapped as its own gzip member — the unit
+    * both the writers and the CDX index address.
+    */
+  private def recordBytes(
+      id: String, uri: String, payload: Array[Byte], memberGzip: Boolean): Array[Byte] = {
+    val head =
+      s"WARC/1.0\r\n" +
+        s"WARC-Type: response\r\n" +
+        s"WARC-Record-ID: <urn:graft:$id>\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n"
+    val headBytes = head.getBytes(StandardCharsets.UTF_8)
+    val rec = new java.io.ByteArrayOutputStream(headBytes.length + payload.length + 4)
+    rec.write(headBytes); rec.write(payload)
+    rec.write("\r\n\r\n".getBytes(StandardCharsets.UTF_8))
+    if (!memberGzip) rec.toByteArray
+    else {
+      val gz = new java.io.ByteArrayOutputStream()
+      val gzOut = new java.util.zip.GZIPOutputStream(gz)
+      gzOut.write(rec.toByteArray); gzOut.close()
+      gz.toByteArray
+    }
+  }
+
+  /** [[write]] plus a CDX-style record index, built in the SAME single
+    * distributed pass (the CommonCrawl cdx(j) idea, Spark-first: the
+    * index is parquet under `dir/_cdx`, so it is itself predicate-
+    * pushdown-prunable). Index columns: `(record_id, target_uri,
+    * shard, offset, length)`, where [offset, offset+length) addresses
+    * the record's bytes in its shard — the full record framing for
+    * plain `.warc`, the record's own gzip member for `.warc.gz`.
+    * Returns the index re-read from parquet.
+    *
+    * Scale shape: at 100 TB the index is what makes point access
+    * possible at all — [[fetch]] reads ONLY the indexed byte ranges
+    * (seek + bounded read per record), never scanning an archive for
+    * one document. Index rows are ~5 small values per record; the
+    * payloads never flow through the index job's shuffle (there is no
+    * shuffle — the parquet write is map-side of the same task that
+    * wrote the shard).
+    */
+  def writeWithCdx(
+      df: DataFrame,
+      dir: String,
+      memberGzip: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(dirPath))
+      fs.listStatus(dirPath).filter(_.isFile)
+        .filter(_.getPath.getName.contains("part-"))
+        .foreach(st => fs.delete(st.getPath, false))
+    fs.mkdirs(dirPath)
+    val serConf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val ext = if (memberGzip) "warc.gz" else "warc"
+    val idxRdd = df.select(col(df.columns(0)).cast("string").as("id"),
+        col(df.columns(1)).cast("string").as("uri"),
+        col(df.columns(2)).cast("binary").as("payload"))
+      .rdd
+      .mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
+          val shard = new Path(s"$dir/part-$pid.$ext")
+          val tmp = new Path(s"$dir/.part-$pid.$ext.attempt-${tc.taskAttemptId()}")
+          val shardFs = shard.getFileSystem(serConf.value)
+          val out = shardFs.create(tmp, true)
+          val index = List.newBuilder[(String, String, String, Long, Long)]
+          try {
+            var off = 0L
+            it.foreach { r =>
+              val id = checkHeaderValue(r.getAs[String]("id"), "id")
+              val uri = checkHeaderValue(r.getAs[String]("uri"), "uri")
+              val bytes = recordBytes(id, uri, r.getAs[Array[Byte]]("payload"), memberGzip)
+              out.write(bytes)
+              index += ((s"<urn:graft:$id>", uri, shard.toString, off, bytes.length.toLong))
+              off += bytes.length
+            }
+            out.close()
+            if (!shardFs.rename(tmp, shard)) {
+              if (shardFs.exists(shard)) shardFs.delete(tmp, false)
+              else throw new java.io.IOException(s"rename $tmp -> $shard failed")
+            }
+          } catch {
+            case e: Throwable =>
+              try out.close() catch { case _: java.io.IOException => }
+              shardFs.delete(tmp, false)
+              throw e
+          }
+          index.result().iterator
+        }
+      }
+    val spark2 = spark
+    import spark2.implicits._
+    // the parquet write is the ONE action driving the combined pass
+    idxRdd.toDF("record_id", "target_uri", "shard", "offset", "length")
+      .write.mode("overwrite").parquet(s"$dir/_cdx")
+    spark.read.parquet(s"$dir/_cdx")
+  }
+
+  /** Random-access fetch: materialize exactly the records a CDX frame
+    * (or any filtered subset of one) points at — seek to `offset`,
+    * read `length` bytes, inflate if the shard is member-gzip, parse.
+    * Output schema matches [[read]].
+    *
+    * Scale shape: index rows (tiny) shuffle once so each task owns
+    * whole shards and reads them with ONE open stream and
+    * monotonically forward seeks; fetched payload bytes never shuffle.
+    * Cost is proportional to the bytes fetched, not the archive size —
+    * the point-access twin of [[read]]'s full scan.
+    */
+  def fetch(spark: SparkSession, cdx: DataFrame): DataFrame = {
+    val serConf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val rdd = cdx.select(col("shard"), col("offset"), col("length"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("offset"))
+      .rdd
+      .mapPartitions { it =>
+        var curShard: String = null
+        var stream: org.apache.hadoop.fs.FSDataInputStream = null
+        def close(): Unit = {
+          if (stream != null) {
+            try stream.close() catch { case _: java.io.IOException => }
+            stream = null
+          }
+        }
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => close()))
+        it.map { r =>
+          val shard = r.getString(0)
+          val off = r.getLong(1)
+          val len = r.getLong(2)
+          if (shard != curShard) {
+            close()
+            val hp = new Path(shard)
+            stream = hp.getFileSystem(serConf.value).open(hp)
+            curShard = shard
+          }
+          stream.seek(off)
+          val raw = new Array[Byte](len.toInt)
+          stream.readFully(raw)
+          val recBytes =
+            if (shard.endsWith(".gz")) {
+              val gin = new java.util.zip.GZIPInputStream(
+                new java.io.ByteArrayInputStream(raw))
+              val bos = new java.io.ByteArrayOutputStream(raw.length * 3)
+              val buf = new Array[Byte](64 * 1024)
+              var n = gin.read(buf)
+              while (n > 0) { bos.write(buf, 0, n); n = gin.read(buf) }
+              bos.toByteArray
+            } else raw
+          val one = splitRecords(
+            new java.io.ByteArrayInputStream(recBytes), 0L, Long.MaxValue, 0L)
+          if (!one.hasNext)
+            throw new IllegalStateException(
+              s"CDX entry at $shard:$off+$len does not parse as a WARC record")
+          one.next()
+        }
+      }
+    spark.createDataFrame(rdd)
+      .toDF("record_id", "warc_type", "target_uri", "content_length", "payload")
+  }
+
   /** Loud rejection of header-injection bytes (What's-wrong discipline:
     * fail, don't silently corrupt).
     */

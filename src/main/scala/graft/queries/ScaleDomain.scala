@@ -119,6 +119,34 @@ object ScaleDomain {
         .orderBy(col("source"))
     }),
 
+    // CDX random access (the point-access twin of the roundtrip rows):
+    // write the corpus as member-gzip WARC WITH its CDX index in one
+    // pass, select a deterministic subset of index rows (doc_id % 7 ==
+    // 3, parsed back out of the record id), FETCH exactly those byte
+    // ranges (seek + bounded read + member inflate — never a scan),
+    // and emit the fetched payloads per record. The oracle recomputes
+    // the subset straight from parquet — a green row means the index
+    // addresses every record exactly and the fetch path decodes it
+    // byte-identically. At 100 TB this is how one document comes out
+    // of a crawl archive without touching the other 99.999%.
+    "q_warc_cdx_fetch" -> ((s, dir) => {
+      val path = s"/tmp/graft_warc_cdx/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val docs = Tables(s, dir, "documents").select(
+        col("doc_id").cast("string").as("id"),
+        concat(lit("http://"), col("source"), lit(".example/doc/"),
+          col("doc_id")).as("uri"),
+        col("text"))
+      val cdx = graft.io.Warc.writeWithCdx(docs, path, memberGzip = true)
+      val wanted = cdx.filter(
+        regexp_extract(col("record_id"), "<urn:graft:([0-9]+)>", 1)
+          .cast("long") % 7 === 3)
+      graft.io.Warc.fetch(s, wanted)
+        .select(regexp_extract(col("record_id"), "<urn:graft:([0-9]+)>", 1)
+          .cast("long").as("doc_id"),
+          col("payload").cast("string").as("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // FASTQ round-trip through the oracle (S1 read + S7 write, the
     // q_warc_roundtrip discipline): derive (read_id, seq, qual) rows,
     // write them as FASTQ across 4 part files, re-read across FORCED
@@ -215,6 +243,9 @@ object ScaleDomain {
       """SELECT source, count(*) AS n_records,
         |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_warc_cdx_fetch" ->
+      """SELECT doc_id, text FROM documents
+        |WHERE doc_id % 7 = 3 ORDER BY doc_id""".stripMargin,
     // the derivation recomputed straight from parquet — a green row
     // means write → split-read lost/duplicated/corrupted nothing
     "q_fastq_roundtrip" ->

@@ -237,6 +237,34 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("CDX index + random-access fetch round-trip on both layouts") {
+    val docs = mkDocs(30)
+    val expected = docs.map { case (id, uri, t) => (s"<urn:graft:$id>", uri, t) }.toSet
+    for (gz <- Seq(false, true)) {
+      val dir = s"/tmp/graft_warc_spec/cdx_${if (gz) "gz" else "plain"}"
+      val cdx = Warc.writeWithCdx(
+        docs.toDF("id", "uri", "text").repartition(3), dir, memberGzip = gz)
+      assert(cdx.count() === 30, s"one index row per record (gz=$gz)")
+      // full fetch == full read
+      val fetched = Warc.fetch(spark, cdx).collect()
+        .map(r => (r.getString(0), r.getString(2),
+          new String(r.getAs[Array[Byte]]("payload"), StandardCharsets.UTF_8))).toSet
+      assert(fetched === expected, s"gz=$gz")
+      // filtered fetch touches only the selected records
+      val some = cdx.filter(org.apache.spark.sql.functions.col("record_id")
+        .isin("<urn:graft:d3>", "<urn:graft:d17>", "<urn:graft:d30>"))
+      val got = Warc.fetch(spark, some).collect()
+        .map(_.getString(0)).toSet
+      assert(got === Set("<urn:graft:d3>", "<urn:graft:d17>", "<urn:graft:d30>"), s"gz=$gz")
+      // the index survives independently: re-read from parquet and fetch
+      val reread = spark.read.parquet(s"$dir/_cdx")
+      assert(Warc.fetch(spark, reread.limit(5)).count() === 5, s"gz=$gz")
+      // and the shards are still readable by the full scanner
+      val scanned = Warc.read(spark, dir).collect().map(_.getString(0)).toSet
+      assert(scanned === expected.map(_._1), s"gz=$gz")
+    }
+  }
+
   test("gz members are read whole-file") {
     val docs = mkDocs(10)
     val dir = "/tmp/graft_warc_spec/gz_src"
