@@ -17,11 +17,12 @@ import org.apache.spark.sql.functions._
   *     structural parse of RFC 9112 framing (tolerant of bare-LF line
   *     endings, which real servers emit);
   *   - [[decodeBody]]: body + Content-Type → STRING via the published
-  *     WHATWG-encoding precedence: charset parameter in Content-Type →
-  *     `<meta>` declaration sniffed from the first bytes → BOM →
-  *     UTF-8-validity check → windows-1252 fallback (the WHATWG
-  *     default for the web; ISO-8859-1/latin1/ascii labels alias to it
-  *     per the encoding spec, because that is what real pages mean).
+  *     WHATWG-encoding precedence: BOM sniff (wins over everything) →
+  *     charset parameter in Content-Type → `<meta>` declaration
+  *     sniffed from the first bytes → UTF-8-validity check →
+  *     windows-1252 fallback (the WHATWG default for the web;
+  *     ISO-8859-1/latin1/ascii labels alias to it per the encoding
+  *     spec, because that is what real pages mean).
   *
   * Both are typed UDFs: byte-level framing and charset decode have no
   * built-in Column expression. Each is map-only, one compiled pass per
@@ -275,21 +276,37 @@ object Http {
     true
   }
 
-  /** Decode an entity body per the published precedence:
-    * Content-Type charset → meta sniff → BOM → UTF-8 validity →
+  /** Byte-order mark at the head of the body, if any — per the WHATWG
+    * encoding spec's "BOM sniff", which takes precedence over EVERY
+    * other signal (a BOM overrides even an explicit Content-Type
+    * charset: the byte stream itself says what it is).
+    */
+  private[io] def charsetFromBom(body: Array[Byte]): Option[Charset] = {
+    if (body == null || body.length < 2) None
+    else if (body.length >= 3 && (body(0) & 0xff) == 0xef &&
+      (body(1) & 0xff) == 0xbb && (body(2) & 0xff) == 0xbf)
+      Some(StandardCharsets.UTF_8)
+    else if ((body(0) & 0xff) == 0xfe && (body(1) & 0xff) == 0xff)
+      Some(StandardCharsets.UTF_16BE)
+    else if ((body(0) & 0xff) == 0xff && (body(1) & 0xff) == 0xfe)
+      Some(StandardCharsets.UTF_16LE)
+    else None
+  }
+
+  /** Decode an entity body per the published WHATWG precedence:
+    * BOM sniff (wins over everything, UTF-16 BOMs included) →
+    * Content-Type charset → meta sniff → UTF-8 validity →
     * windows-1252. Decoding never throws: unmappable input replaces
     * (CodingErrorAction.REPLACE), matching browser behavior — a crawl
     * pipeline must not die on one mojibake page.
     */
   def decode(body: Array[Byte], contentType: String): String = {
     if (body == null) return null
-    val cs = charsetFromContentType(contentType)
+    val cs = charsetFromBom(body)
+      .orElse(charsetFromContentType(contentType))
       .orElse(charsetFromMeta(body))
       .getOrElse {
-        if (body.length >= 3 && (body(0) & 0xff) == 0xef &&
-          (body(1) & 0xff) == 0xbb && (body(2) & 0xff) == 0xbf)
-          StandardCharsets.UTF_8
-        else if (isValidUtf8(body)) StandardCharsets.UTF_8
+        if (isValidUtf8(body)) StandardCharsets.UTF_8
         else Charset.forName("windows-1252")
       }
     val dec = cs.newDecoder()

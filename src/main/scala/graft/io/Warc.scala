@@ -265,6 +265,8 @@ object Warc {
           val shard = r.getString(0)
           val off = r.getLong(1)
           val len = r.getLong(2)
+          require(len > 0 && len <= Int.MaxValue,
+            s"CDX length out of range at $shard:$off — $len")
           if (shard != curShard) {
             close()
             val hp = new Path(shard)

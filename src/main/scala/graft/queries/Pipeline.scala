@@ -928,11 +928,11 @@ object Pipeline {
     // machine-independent margin, and were additionally checked to hold
     // at sf0.1 (pq needed rerankFactor=16 there — see q_ann_pq).
     "q_ann_recall" -> ((s, dir) => {
-      val emb = Tables(s, dir, "embeddings")
+      val emb = Tables(s, dir, "embeddings").localCheckpoint()
       val qs = emb.filter(col("vec_id") < 10)
       val k = 5
       val brute = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k)
-        .select(col("query_id"), col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id")).localCheckpoint()
       val nTrue = brute.count().toDouble
       def verdict(method: String, floor: Double, approx: DataFrame) = {
         val hits = approx.select(col("query_id"), col("neighbor_id"))
@@ -941,13 +941,19 @@ object Pipeline {
         (method, k, floor, hits / nTrue >= floor)
       }
       import s.implicits._
-      Seq(
-        verdict("ivf", 0.40, Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
-          k = k, kCentroids = 16, nProbe = 4)),
-        verdict("lsh", 0.30, Similarity.lshTopK(emb, qs, "vec_id", "embedding",
-          k = k, bitsPerBand = 6, bands = 12, multiProbe = false)),
-        verdict("pq", 0.55, ProductQuantizer.pqTopK(emb, qs, "vec_id", "embedding",
-          k = k, m = 8, ksub = 64, rerankFactor = 16)))
+      // three independent method measurements against the checkpointed
+      // truth → three submitting threads (the q_approx_dedup_quality
+      // discipline): wall-clock ≈ the slowest method, not the sum
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence(Seq(
+        Future(verdict("ivf", 0.40, Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
+          k = k, kCentroids = 16, nProbe = 4))),
+        Future(verdict("lsh", 0.30, Similarity.lshTopK(emb, qs, "vec_id", "embedding",
+          k = k, bitsPerBand = 6, bands = 12, multiProbe = false))),
+        Future(verdict("pq", 0.55, ProductQuantizer.pqTopK(emb, qs, "vec_id", "embedding",
+          k = k, m = 8, ksub = 64, rerankFactor = 16))))),
+        scala.concurrent.duration.Duration.Inf)
         .toDF("method", "k", "recall_floor", "recall_ok")
         .orderBy(col("method"))
     }),
