@@ -326,10 +326,15 @@ object Http {
     * body BINARY)`.
     */
   def split(payload: Column): Column = {
+    // asNondeterministic is a PERFORMANCE pin, not a semantics
+    // statement (the parse is pure): it stops Catalyst from collapsing
+    // the projection into downstream Filters/Projects and re-running
+    // the byte-level parse per reference — the deflateUdf precedent
+    // (ops/TextAnalysis.scala)
     val f = udf((p: Array[Byte]) => {
       val r = parse(p)
       (r.status, r.headers, r.body)
-    })
+    }).asNondeterministic()
     f(payload).cast(
       "struct<status:int,headers:map<string,string>,body:binary>")
   }
@@ -337,6 +342,7 @@ object Http {
   /** `body BINARY`, `contentType STRING` → decoded STRING. */
   def decodeBody(body: Column, contentType: Column): Column = {
     val f = udf((b: Array[Byte], ct: String) => decode(b, ct))
+      .asNondeterministic() // performance pin — see split()
     f(body, contentType)
   }
 
@@ -349,6 +355,7 @@ object Http {
   def decodeBodyWire(body: Column, headers: Column): Column = {
     val f = udf((b: Array[Byte], te: String, ce: String, ct: String) =>
       decode(decodeTransfer(b, te, ce), ct))
+      .asNondeterministic() // performance pin — see split()
     f(body, headers(lit("transfer-encoding")), headers(lit("content-encoding")),
       headers(lit("content-type")))
   }
@@ -429,7 +436,7 @@ object Http {
         Seq("Content-Type" -> ct) ++
           (if (xd == null) Seq.empty else Seq("X-Doc" -> xd)) ++
           Seq("Connection" -> "close"),
-        body, cs, w))
+        body, cs, w)).asNondeterministic() // performance pin — see split()
     f(status, contentType, bodyText, charset, xDoc, wire)
   }
 }

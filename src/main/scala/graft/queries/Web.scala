@@ -506,6 +506,11 @@ object Web {
         graft.io.Http.split(graft.io.Http.encodeResponseCol(
           lit(200), lit("text/html; charset=utf-8"), col("html"),
           lit("utf-8"), lit(null).cast("string"))))
+      // materialized ONCE (eager localCheckpoint): the extraction feeds
+      // BOTH the domain-quality gate branch and the final output join,
+      // and Spark reuses no map-only subtree across DAG branches — the
+      // wire+extract chain would otherwise run twice end-to-end (at
+      // fleet scale: persist to DISK_ONLY, same shape)
       val ext = wired
         .withColumn("extracted", HtmlExtract.extract(
           graft.io.Http.decodeBody(col("r.body"),
@@ -513,6 +518,7 @@ object Web {
         .filter(length(col("extracted")) > 0)
         .select(col("doc_id"), col("domain"), col("url_norm"), col("url"),
           col("extracted"))
+        .localCheckpoint()
       val q = graft.ops.TextAnalysis.qualityFeatures(ext, "extracted")
       val micro = round(col("quality_score") * 1e6).cast("long")
       val goodDomains = q.groupBy(col("domain"))

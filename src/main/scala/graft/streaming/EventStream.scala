@@ -129,7 +129,9 @@ object EventStream {
     * probe discipline.
     */
   def crawlSurvivorsBatch(records: DataFrame, urlIndex: DataFrame): DataFrame = {
-    val ex = crawlExtract(records)
+    // extraction feeds both the election aggregate and the semi-join
+    // side — materialize once (DAG branches share no map-only subtree)
+    val ex = crawlExtract(records).localCheckpoint()
     val first = ex.groupBy(col("url_norm"))
       .agg(min(col("record_id")).as("record_id"))
     ex.join(first, Seq("url_norm", "record_id"), "left_semi")
