@@ -135,7 +135,7 @@ object Http {
       }
       while (i < b.length && b(i) != '\n') i += 1 // rest of size line
       i += 1 // the LF
-      if (bad || !any || size > Int.MaxValue) ok = false
+      if (bad || !any || size > Int.MaxValue || i > b.length) ok = false
       else if (size == 0) { ok = false } // terminator (trailers ignored)
       else if (i + size > b.length) { // truncated chunk: keep what exists
         out.write(b, i, b.length - i)
