@@ -729,6 +729,11 @@ object Pipeline {
     //     the S-curve's worst case, and the subset bit carries the
     //     exactness claim (the probe verifies candidates with exact
     //     Jaccard, so ANY spurious pair is a broken verify stage).
+    //     A SECOND stratum pins where the geometry must be sharp:
+    //     recall over j ≥ 0.9 truth pairs (per-pair ≈ 0.993 by the
+    //     S-curve; measured 1.00 / 1.00 / 1.00), floor 0.75 — its
+    //     subset check runs against the FULL ≥ 0.7 truth, since a
+    //     probe pair at j ∈ [0.7, 0.9) is correct, just not strict.
     //   - semdedup: truth = exact cosine pairs ≥ 0.35 → connected
     //     components → min-id survivor; SemDeDup's within-cell
     //     verification makes its drop set a provable SUBSET of the
@@ -810,39 +815,53 @@ object Pipeline {
         .select(col("id_a"), col("id_b"))
 
       // incremental: exact cross-batch truth on the probe's own shingle
-      // size, detector = the q_incremental_dedup index+probe geometry
-      val truthInc = Dedup.ngramJaccard(
+      // size, detector = the q_incremental_dedup index+probe geometry.
+      // TWO truth strata: all pairs at the probe's own threshold (the
+      // S-curve-bounded floor), and the j ≥ 0.9 stratum, where
+      // P(≥2 of 8 bands | p = 0.9^5) ≈ 0.993 — near-identical
+      // re-ingests MUST be caught, so the strict floor is high
+      val truthIncAll = Dedup.ngramJaccard(
         docs.withColumn("blk", lit(0)), "doc_id", "text", "blk",
         n = 3, threshold = 0.7, maxBlockRows = 500)
         .filter((col("id_a") % 2 === 0) =!= (col("id_b") % 2 === 0))
         .select(
           when(col("id_a") % 2 === 1, col("id_a")).otherwise(col("id_b")).as("id_a"),
-          when(col("id_a") % 2 === 1, col("id_b")).otherwise(col("id_a")).as("id_b"))
+          when(col("id_a") % 2 === 1, col("id_b")).otherwise(col("id_a")).as("id_b"),
+          col("jaccard"))
+        .localCheckpoint()
+      val truthInc = truthIncAll.select(col("id_a"), col("id_b"))
+      val truthIncStrict = truthIncAll.filter(col("jaccard") >= 0.9)
+        .select(col("id_a"), col("id_b"))
       val idx = Dedup.minhashBuildIndex(docs.filter(col("doc_id") % 2 === 0),
         "doc_id", "text", k = 3, numHashes = 40, bands = 8)
       val incPairs = Dedup.minhashProbe(docs.filter(col("doc_id") % 2 === 1),
         "doc_id", "text", idx, threshold = 0.7, minBandMatches = 2)
         .select(col("id_new").as("id_a"), col("id_old").as("id_b"))
 
-      def verdict(method: String, floor: Double, truth: DataFrame, approx: DataFrame) = {
+      // `subsetTruth` defaults to the recall truth; the strict stratum
+      // passes the FULL truth there (a probe pair at j ∈ [0.7, 0.9) is
+      // correct, just outside the strict recall stratum)
+      def verdict(method: String, floor: Double, truth: DataFrame,
+          approx: DataFrame, subsetTruth: DataFrame = null) = {
         val t = truth.localCheckpoint()
         val a = approx.localCheckpoint()
+        val st = if (subsetTruth == null) t else subsetTruth.localCheckpoint()
         val nTrue = t.count()
         val hits = a.join(t, Seq("id_a", "id_b"), "left_semi").count()
-        val spurious = a.join(t, Seq("id_a", "id_b"), "left_anti").count()
+        val spurious = a.join(st, Seq("id_a", "id_b"), "left_anti").count()
         (method, floor, nTrue > 0 && hits.toDouble / nTrue >= floor, spurious == 0L)
       }
       import s.implicits._
-      // the four measurements are independent Spark job chains over
-      // already-checkpointed slices — submit them from four threads so
-      // their jobs interleave on the executor pool (wall-clock ≈ the
+      // the five measurements are independent Spark job chains over
+      // already-checkpointed slices — submit them from parallel threads
+      // so their jobs interleave on the executor pool (wall-clock ≈ the
       // slowest one, not the sum; this is a gate query, but a 7.5s
       // serial tail was the most expensive row in the whole bench)
-      import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       val rows = Await.result(Future.sequence(Seq(
         Future(verdict("cosine_lsh_5x12", 0.55, truthCos, cos512)),
         Future(verdict("incremental_minhash", 0.30, truthInc, incPairs)),
+        Future(verdict("incremental_strict", 0.75, truthIncStrict, incPairs, truthInc)),
         Future(verdict("semdedup", 0.25, truthDropped, semDropped)),
         Future(verdict("simhash", 1.0, truthSim, simPairs)))),
         scala.concurrent.duration.Duration.Inf)
@@ -1765,6 +1784,7 @@ object Pipeline {
         |FROM (VALUES
         |  ('cosine_lsh_5x12',     0.55, true, true),
         |  ('incremental_minhash', 0.30, true, true),
+        |  ('incremental_strict',  0.75, true, true),
         |  ('semdedup',            0.25, true, true),
         |  ('simhash',             1.00, true, true))
         |  AS t(method, recall_floor, recall_ok, exact_subset)
