@@ -158,17 +158,24 @@ object Http {
   }
 
   private def inflate(b: Array[Byte], maxBytes: Int): Array[Byte] = {
-    // zlib-wrapped first (the spec meaning); raw-deflate fallback (what
-    // many servers actually send — the historic "deflate" confusion)
+    // "deflate" historically means zlib-wrapped (the spec) OR raw
+    // deflate (what many servers actually send). Decide by the zlib
+    // header test — CM == 8 and the CMF/FLG big-endian pair divisible
+    // by 31 (RFC 1950) — and fall back to the other framing if the
+    // preferred one yields nothing.
     def attempt(raw: Boolean): Array[Byte] = {
       val inf = new java.util.zip.Inflater(raw)
       try drain(new java.util.zip.InflaterInputStream(
         new java.io.ByteArrayInputStream(b), inf), b.length * 4, maxBytes)
       finally inf.end()
     }
-    try { val r = attempt(false); if (r.length > 0 || b.length == 0) r else attempt(true) }
-    catch { case _: java.io.IOException =>
-      try attempt(true) catch { case _: java.io.IOException => b }
+    val looksZlib = b.length >= 2 && (b(0) & 0x0f) == 8 &&
+      (((b(0) & 0xff) << 8 | (b(1) & 0xff)) % 31 == 0)
+    try {
+      val r = attempt(raw = !looksZlib)
+      if (r.length > 0 || b.length == 0) r else attempt(raw = looksZlib)
+    } catch { case _: java.io.IOException =>
+      try attempt(raw = looksZlib) catch { case _: java.io.IOException => b }
     }
   }
 
