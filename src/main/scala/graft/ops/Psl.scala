@@ -106,7 +106,7 @@ object Psl {
     while (ascii && i < host.length) { if (host.charAt(i) > 127) ascii = false; i += 1 }
     if (ascii) host
     else try java.net.IDN.toASCII(host, java.net.IDN.ALLOW_UNASSIGNED).toLowerCase
-    catch { case _: IllegalArgumentException => host }
+    catch { case scala.util.control.NonFatal(_) => host } // key must stay total
   }
 
   /** Registrable ("pay-level") domain of a lower-cased host, after
