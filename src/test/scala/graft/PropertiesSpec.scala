@@ -193,4 +193,102 @@ class PropertiesSpec extends AnyFunSuite {
       }
     })
   }
+
+  // ---- round-10 HTTP wire-layer properties (pure kernels, no Spark) ----
+
+  private val headerNameGen: Gen[String] =
+    Gen.chooseNum(1, 12).flatMap(n => Gen.stringOfN(n, Gen.alphaChar)).map("X-" + _)
+  private val headerValGen: Gen[String] =
+    Gen.chooseNum(0, 20).flatMap(n => Gen.stringOfN(n,
+      Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '/', ';', '=', '.', '-')))).map(_.trim)
+
+  test("HTTP responses round-trip: encode -> parse -> wire-decode -> charset-decode") {
+    val bodyGen = Gen.chooseNum(0, 400).flatMap(n => Gen.stringOfN(n,
+      Gen.frequency(20 -> Gen.alphaNumChar, 3 -> Gen.const(' '),
+        1 -> Gen.oneOf('\u00e9', '\u20ac', '\u2013', '<', '>', '&'))))
+    val wireGen = Gen.oneOf("plain", "gzip", "chunked")
+    val csGen = Gen.oneOf("utf-8", "windows-1252")
+    check(Prop.forAll(bodyGen, wireGen, csGen, headerNameGen, headerValGen) {
+      (body0, wire, cs, hk, hv) =>
+        // restrict the body to what the charset can carry losslessly
+        val body = if (cs == "utf-8") body0 else body0 // both cover the char pool
+        val bytes = graft.io.Http.encodeResponse(200,
+          Seq("Content-Type" -> s"text/html; charset=$cs", hk -> hv), body, cs, wire)
+        val p = graft.io.Http.parse(bytes)
+        val decoded = graft.io.Http.decode(
+          graft.io.Http.decodeTransfer(p.body,
+            p.headers.getOrElse("transfer-encoding", null),
+            p.headers.getOrElse("content-encoding", null)),
+          p.headers.getOrElse("content-type", null))
+        p.status == 200 &&
+          p.headers.get(hk.toLowerCase).forall(_ == hv) &&
+          decoded == body
+    })
+  }
+
+  test("chunked de-framing is the inverse of arbitrary chunkings") {
+    val bytesGen = Gen.chooseNum(0, 500).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 255)).map(_.map(_.toByte).toArray))
+    val sizesGen = Gen.nonEmptyListOf(Gen.chooseNum(1, 64))
+    check(Prop.forAll(bytesGen, sizesGen) { (body, sizes) =>
+      val bos = new java.io.ByteArrayOutputStream()
+      var off = 0
+      var i = 0
+      while (off < body.length) {
+        val n = math.min(sizes(i % sizes.length), body.length - off)
+        bos.write(f"$n%x\r\n".getBytes("ISO-8859-1"))
+        bos.write(body, off, n)
+        bos.write("\r\n".getBytes("ISO-8859-1"))
+        off += n; i += 1
+      }
+      bos.write("0\r\n\r\n".getBytes("ISO-8859-1"))
+      java.util.Arrays.equals(
+        graft.io.Http.decodeTransfer(bos.toByteArray, "chunked", null), body)
+    })
+  }
+
+  test("chunked de-framing never throws on arbitrary garbage") {
+    val junkGen = Gen.chooseNum(0, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 255)).map(_.map(_.toByte).toArray))
+    check(Prop.forAll(junkGen) { junk =>
+      graft.io.Http.decodeTransfer(junk, "chunked", null) != null &&
+        graft.io.Http.decodeTransfer(junk, "chunked", "gzip") != null &&
+        graft.io.Http.decodeTransfer(junk, null, "deflate") != null
+    })
+  }
+
+  test("charset decode is total and BOM-stripping on arbitrary bytes") {
+    val junkGen = Gen.chooseNum(0, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 255)).map(_.map(_.toByte).toArray))
+    val ctGen = Gen.oneOf(null, "", "text/html", "text/html; charset=utf-8",
+      "text/html; charset=iso-8859-1", "text/html; charset=bogus-label")
+    check(Prop.forAll(junkGen, ctGen) { (junk, ct) =>
+      val out = graft.io.Http.decode(junk, ct)
+      out != null && (out.isEmpty || out.charAt(0) != '\ufeff')
+    })
+  }
+
+  test("numeric character references: decode agrees with a reference fold") {
+    val tokenGen = Gen.frequency(
+      6 -> Gen.alphaNumStr.map(_.take(6)),
+      2 -> Gen.chooseNum(0x20, 0xFFFF).map(cp => s"&#$cp;"),
+      2 -> Gen.chooseNum(0x20, 0xFFFF).map(cp => f"&#x$cp%x;"),
+      1 -> Gen.const("&#"), 1 -> Gen.const(";"), 1 -> Gen.const("&"))
+    check(Prop.forAll(Gen.listOf(tokenGen).map(_.mkString)) { s =>
+      val out = graft.ops.HtmlExtract.decodeNumericRefsStr(s)
+      // reference fold: regex-free scan — every well-formed BMP
+      // non-surrogate ref decodes, everything else survives verbatim
+      val re = "&#(?:([0-9]{1,7})|[xX]([0-9a-fA-F]{1,6}));".r
+      val expected = re.replaceAllIn(s, m => {
+        val cp = try {
+          if (m.group(1) != null) Integer.parseInt(m.group(1))
+          else Integer.parseInt(m.group(2), 16)
+        } catch { case _: NumberFormatException => -1 }
+        val rep = if (cp >= 0x20 && cp <= 0xFFFF && !(cp >= 0xD800 && cp <= 0xDFFF))
+          String.valueOf(cp.toChar) else m.matched
+        java.util.regex.Matcher.quoteReplacement(rep)
+      })
+      out == expected
+    })
+  }
 }
