@@ -1191,6 +1191,53 @@ object Pipeline {
       val packed = graft.ops.Packing.packBySize(ord, "ord", "n_tokens", capacity = 256)
       graft.ops.Packing.packStats(packed, "n_tokens", 256)
         .orderBy(col("bin"))
+    }),
+
+    // THE LLM data-release capstone (round 10) — the full deterministic
+    // curation flow a training run consumes, in ONE plan, every stage
+    // an operator that is individually oracle-green:
+    //   1. exact content dedup (first doc_id per distinct text);
+    //   2. Gopher quality gate (q_gopher_filter rules);
+    //   3. benchmark decontamination (3-gram overlap ≥ 2 vs the
+    //      doc_id%53 benchmark set; benchmark docs themselves leave
+    //      the release too);
+    //   4. the 80/10/10 hash split's train shard;
+    //   5. per-language sqrt-tempered token-budget mixture (20k);
+    //   6. packing into 2048-token bins (two-phase running total).
+    // The oracle replays all six stages as one CTE chain — a green row
+    // means the COMPOSITION is exact end-to-end, the q_web_pipeline
+    // discipline applied to the data-release path. Scale shape: one
+    // text-keyed aggregate (dedup), map-only filters (quality, split),
+    // a benchmark-bounded broadcast anti-join (decontaminate), one
+    // lang-keyed window + broadcast targets (mixture), and the
+    // no-single-task running total (pack) — no shuffle this plan does
+    // not need at 100 TB.
+    "q_data_release" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val docCols = docs.columns.map(col)
+      val firstIds = docs.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val deduped = docs.join(firstIds, Seq("doc_id"), "left_semi")
+      val quality = TextAnalysis.gopherFilter(deduped, "text")
+        .filter(col("keep")).select(docCols: _*)
+      val bench = docs.filter(col("doc_id") % 53 === 0)
+      val decon = Decontaminate.decontaminate(
+        quality.filter(col("doc_id") % 53 =!= 0), "doc_id", "text",
+        bench, "doc_id", "text", n = 3, minShared = 2)
+      val train = Sampling.hashSplit(decon, "doc_id", SplitSpec)
+        .filter(col("split") === "train")
+      val toks = train.withColumn("n_tokens",
+        TextAnalysis.tokenCount(col("text")).cast("long"))
+      val sel = Sampling.stratifiedTokenBudget(
+        toks, "lang", "doc_id", "n_tokens", budget = 20000L)
+      graft.ops.Packing.packBySize(
+        sel.select(col("doc_id"), col("lang"), col("n_tokens")),
+        "doc_id", "n_tokens", capacity = 2048)
+        .select(col("doc_id"), col("lang"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("cum_tokens").cast("long").as("cum_tokens"),
+          col("bin"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2225,6 +2272,94 @@ object Pipeline {
         |  GROUP BY p.doc_id)
         |SELECT doc_id, CAST(n AS INT) AS n_tokens,
         |  round(CAST(nll AS DOUBLE) / n, 6) AS avg_nll
-        |FROM s ORDER BY doc_id""".stripMargin
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // The data-release capstone: all six stages replayed as one CTE
+    // chain — dedup election, the q_gopher_filter rule block verbatim,
+    // the q_decontaminate gram join split into corpus/bench sides, the
+    // shared hashSplit CASE generator, the q_domain_mixture weight and
+    // cumsum pattern keyed on lang, and the q_pack_sequences running
+    // total.
+    "q_data_release" ->
+      (s"""WITH d0 AS (
+        |  SELECT d.* FROM documents d
+        |  JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) f
+        |    USING (doc_id)),
+        |gt AS (
+        |  SELECT doc_id, text,
+        |    regexp_extract_all(lower(trim(text)), '\\S+') AS toks
+        |  FROM d0),
+        |gs AS (
+        |  SELECT doc_id,
+        |    len(toks) AS n,
+        |    COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS sum_len,
+        |    len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+        |    len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','it','for','was','der','die','und','das','ist','nicht','ein','mit','auf','sich','el','la','de','los','es','que','un','una','por','con','le','les','et','est','une','dans','pour','qui'))) AS stops,
+        |    (length(text) - length(replace(text, '#', ''))) +
+        |    (length(text) - length(replace(text, '...', ''))) // 3 AS symbols
+        |  FROM gt),
+        |gr AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n < 10 THEN 'too_few_words'
+        |         WHEN n > 100000 THEN 'too_many_words'
+        |         WHEN sum_len < n * 2 OR sum_len > n * 12 THEN 'mean_word_len'
+        |         WHEN symbols * 10 > n THEN 'symbol_ratio'
+        |         WHEN alpha * 10 < n * 7 THEN 'alpha_frac'
+        |         WHEN stops < 2 THEN 'stopwords'
+        |         ELSE NULL END AS drop_reason
+        |  FROM gs),
+        |q AS (
+        |  SELECT d0.* FROM d0 JOIN gr USING (doc_id)
+        |  WHERE gr.drop_reason IS NULL),
+        |cg AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(list_slice(toks, i, i + 2), ' ')
+        |     FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)])) AS gram
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\\S+') AS toks
+        |        FROM q WHERE doc_id % 53 <> 0)),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(list_slice(toks, i, i + 2), ' ')
+        |     FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)])) AS gram
+        |  FROM (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\\S+') AS toks
+        |        FROM documents WHERE doc_id % 53 = 0)),
+        |contam AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT c.doc_id, b.doc_id AS bid
+        |    FROM cg c JOIN bg b ON c.gram = b.gram
+        |    GROUP BY c.doc_id, b.doc_id HAVING count(*) >= 2)),
+        |tr AS (
+        |  SELECT q.doc_id, q.lang,
+        |    CAST(len(regexp_extract_all(lower(trim(q.text)), '\\S+')) AS BIGINT) AS n_tokens
+        |  FROM q
+        |  WHERE q.doc_id % 53 <> 0
+        |    AND q.doc_id NOT IN (SELECT doc_id FROM contam)
+        |    AND ${Sampling.hashSplitOracleCase("q.doc_id", SplitSpec)} = 'train'),
+        |w1 AS (
+        |  SELECT lang,
+        |    CAST(floor(sqrt(CAST(sum(n_tokens) AS DOUBLE)) * 1e9) AS BIGINT) AS w
+        |  FROM tr GROUP BY lang),
+        |a1 AS (
+        |  SELECT lang,
+        |    CAST(floor(20000.0 * w /
+        |      (SELECT CAST(sum(w) AS DOUBLE) FROM w1)) AS BIGINT) AS tok_target
+        |  FROM w1),
+        |cu AS (
+        |  SELECT lang, doc_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)) || '|' || CAST(doc_id AS VARCHAR)
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct
+        |  FROM tr),
+        |se AS (
+        |  SELECT cu.doc_id, cu.lang, cu.n_tokens
+        |  FROM cu JOIN a1 USING (lang) WHERE cu.ct <= a1.tok_target),
+        |pk AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM se)
+        |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |  CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS bin
+        |FROM pk ORDER BY doc_id""").stripMargin
   )
 }
