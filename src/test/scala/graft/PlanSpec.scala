@@ -505,6 +505,24 @@ class PlanSpec extends AnyFunSuite {
       s"domain stats exceed the two-exchange multi-distinct shape:\n${ps.take(800)}")
   }
 
+  test("data-release capstone: broadcast decontamination, no cartesian, bounded shuffles") {
+    val p = physicalPlan("q_data_release")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the decontamination anti-join must broadcast the (benchmark-
+    // bounded) flagged set, never shuffle the corpus against it
+    assert(p.contains("BroadcastHashJoin") &&
+      "BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,
+      s"decontaminate must be a broadcast anti-join:\n${p.take(1200)}")
+    // at most ONE single-partition exchange, and it is the mixture
+    // stage's scalar weight-total (a one-row aggregate — inherent to
+    // "share of the global budget", not a data funnel); the packing
+    // running total is two-phase and the global sort is the
+    // presentation orderBy
+    val singles = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(singles <= 1,
+      s"only the scalar weight-total may single-partition ($singles found):\n${p.take(1200)}")
+  }
+
   test("CDC family: chunking is one native-kernel projection; dedup shuffles only on its keys") {
     // per-doc view: the only exchange is the presentation sort's range
     // partitioning; the kernel is a native expression, not a ScalaUDF
