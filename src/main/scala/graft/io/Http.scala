@@ -214,6 +214,16 @@ object Http {
         Some(Charset.forName("windows-1252"))
       case "utf8" | "utf-8" | "unicode-1-1-utf-8" =>
         Some(StandardCharsets.UTF_8)
+      // the WHATWG encoding spec folds each CJK family onto its
+      // superset encoding — what pages under the narrow label actually
+      // contain (same reasoning as latin1 → windows-1252)
+      case "gb2312" | "gbk" | "gb_2312" | "gb_2312-80" | "csgb2312" |
+          "chinese" | "x-gbk" =>
+        Some(Charset.forName("GBK"))
+      case "shift_jis" | "shift-jis" | "sjis" | "x-sjis" | "ms_kanji" =>
+        Some(Charset.forName("windows-31j"))
+      case "euc-kr" | "ks_c_5601-1987" | "korean" | "ksc5601" =>
+        Some(Charset.forName("x-windows-949"))
       case other =>
         try { if (Charset.isSupported(other)) Some(Charset.forName(other)) else None }
         catch { case _: IllegalArgumentException => None }

@@ -156,7 +156,11 @@ object EventStream {
     * Exactly-once caveat, stated: the index update and `onBatch` are
     * not atomic across driver failure; production runs make `onBatch`
     * idempotent (keyed overwrite) exactly as with any foreachBatch
-    * sink.
+    * sink. Restart caveat, stated: the accumulated index lives in the
+    * session, not the checkpoint — on restart, rebuild it by passing
+    * the sink's URL set (or the keyed index table) as
+    * `corpusUrlIndex`, which is also what the fleet-scale shape does
+    * anyway.
     */
   def crawlIngest(
       spark: SparkSession,
