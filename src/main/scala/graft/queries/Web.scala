@@ -280,8 +280,15 @@ object Web {
       .when(b === 2, lit(M2)).otherwise(lit(M3))
     val html = concat(lit(P0), col("doc_id"), lit(P1), meta, lit(P2),
       marker, lit(P3), escCol(substring(col("text"), 1, 200)), lit(P4))
-    val csLabel = when(b === 0 || b === 3, "utf-8").otherwise("windows-1252")
-    val ctype = when(b === 0, "text/html; charset=utf-8").otherwise("text/html")
+    // sub-split of the header-declared branch: doc_id % 8 == 4 pages
+    // declare charset=gb2312 and carry GBK bytes (the WHATWG fold —
+    // marker M0's €/Cyrillic/CJK chars all live in GBK), so the CJK
+    // label aliasing is corpus-gated, not just spec-pinned
+    val b8 = col("doc_id") % 8
+    val csLabel = when(b8 === 4, "gb2312")
+      .when(b === 0 || b === 3, "utf-8").otherwise("windows-1252")
+    val ctype = when(b8 === 4, "text/html; charset=gb2312")
+      .when(b === 0, "text/html; charset=utf-8").otherwise("text/html")
     val status = when(col("doc_id") % 10 === 7, 404).otherwise(200)
     // independent wire leg (doc_id % 5): gzip Content-Encoding, chunked
     // Transfer-Encoding, plain — crossed with the charset branches so
@@ -335,7 +342,8 @@ object Web {
     s"""ph AS (
        |  SELECT doc_id,
        |    CASE WHEN doc_id % 10 = 7 THEN 404 ELSE 200 END AS status,
-       |    CASE WHEN doc_id % 4 = 0 THEN 'text/html; charset=utf-8'
+       |    CASE WHEN doc_id % 8 = 4 THEN 'text/html; charset=gb2312'
+       |         WHEN doc_id % 4 = 0 THEN 'text/html; charset=utf-8'
        |         ELSE 'text/html' END AS ctype,
        |    CAST(doc_id AS VARCHAR) AS x_doc,
        |    $html AS html
