@@ -265,6 +265,40 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("CDX fetch on hostile payloads: random binary, gz-magic traps, empty") {
+    val rnd = new scala.util.Random(42)
+    val payloads: Seq[(String, String, Array[Byte])] = (1 to 20).map { i =>
+      val body: Array[Byte] = i % 4 match {
+        case 0 => Array.emptyByteArray // empty payload
+        case 1 => // random binary with planted gzip magic + WARC-looking text
+          val b = Array.fill[Byte](200 + rnd.nextInt(300))(rnd.nextInt(256).toByte)
+          b(13) = 0x1f.toByte; b(14) = 0x8b.toByte; b(15) = 8
+          val trap = "\r\nWARC/1.0\r\nContent-Length: 3\r\n\r\nxyz".getBytes("ISO-8859-1")
+          System.arraycopy(trap, 0, b, 50, trap.length)
+          b
+        case 2 => ("plain text body " * (1 + rnd.nextInt(8))).getBytes("UTF-8")
+        case _ => Array.fill[Byte](1 + rnd.nextInt(64))(rnd.nextInt(256).toByte)
+      }
+      (f"h$i%02d", s"http://x.example/h$i", body)
+    }
+    for (gz <- Seq(false, true)) {
+      val dir = s"/tmp/graft_warc_spec/cdx_hostile_${if (gz) "gz" else "plain"}"
+      val cdx = Warc.writeWithCdx(
+        payloads.toDF("id", "uri", "payload").repartition(2), dir, memberGzip = gz)
+      val fetched = Warc.fetch(spark, cdx).collect()
+        .map(r => (r.getString(0), r.getAs[Array[Byte]]("payload").toSeq)).toMap
+      assert(fetched.size === 20, s"gz=$gz")
+      payloads.foreach { case (id, _, body) =>
+        assert(fetched(s"<urn:graft:$id>") === body.toSeq, s"gz=$gz id=$id")
+      }
+      // the full scanner agrees (payload bytes that LOOK like records or
+      // members never split a real record)
+      val scanned = Warc.read(spark, dir).collect()
+        .map(r => (r.getString(0), r.getAs[Array[Byte]]("payload").toSeq)).toMap
+      assert(scanned === fetched, s"gz=$gz")
+    }
+  }
+
   test("gz members are read whole-file") {
     val docs = mkDocs(10)
     val dir = "/tmp/graft_warc_spec/gz_src"
