@@ -9,12 +9,16 @@ import org.apache.spark.sql.functions._
   * this both at crawl time and retroactively (takedown/compliance
   * re-filters over an existing corpus).
   *
-  * Semantics implemented (the REP core): only `User-agent: *` groups
-  * are consulted; `Allow`/`Disallow` prefix rules; the LONGEST matching
-  * prefix wins; on a tie Allow wins; no matching rule (or an empty
-  * Disallow) means allowed. Unsupported niceties (wildcards, $-anchors,
-  * Crawl-delay) are out of scope and documented here rather than
-  * half-implemented.
+  * Semantics implemented (the REP core, incl. the RFC 9309 §2.2.3
+  * special characters): only `User-agent: *` groups are consulted;
+  * `Allow`/`Disallow` path patterns with `*` (any octet sequence) and
+  * a trailing `$` (end anchor); the MOST SPECIFIC match wins
+  * (specificity = pattern octet length, the spec's "longest match");
+  * on a tie Allow wins; no matching rule (or an empty Disallow) means
+  * allowed. Politeness extensions carried alongside: `Crawl-delay`
+  * (the de-facto Bing/Yandex field — first valid value in a `*`
+  * group) and `Sitemap` lines (sitemaps.org: location-independent,
+  * collected from the whole file).
   *
   * Both kernels are tiny per-row loops (rule lists are a handful of
   * entries), shipped as typed UDFs over primitive arrays — the
@@ -58,7 +62,39 @@ object Robots {
     out.toArray
   }
 
-  /** Longest-prefix-match verdict; Allow wins ties; default allowed. */
+  /** Does the RFC 9309 path pattern match the path? Patterns are
+    * anchored at the path start; `*` spans any octet sequence; a
+    * trailing `$` anchors the match at the path end. Plain prefixes
+    * (no specials) degrade to `startsWith` exactly as before.
+    */
+  private[ops] def patternMatches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.nonEmpty && pattern.charAt(pattern.length - 1) == '$'
+    val p = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    val parts = p.split("\\*", -1)
+    if (!path.startsWith(parts(0))) return false
+    var pos = parts(0).length
+    var i = 1
+    while (i < parts.length) {
+      val part = parts(i)
+      if (i == parts.length - 1 && anchored) {
+        // the final literal must sit at the END of the path, at or
+        // after the current scan position
+        return path.length - part.length >= pos && path.endsWith(part)
+      }
+      if (part.nonEmpty) {
+        val idx = path.indexOf(part, pos)
+        if (idx < 0) return false
+        pos = idx + part.length
+      }
+      i += 1
+    }
+    if (anchored) path.length == pos // no '*' in pattern: exact match
+    else true
+  }
+
+  /** Most-specific-match verdict (specificity = pattern length); Allow
+    * wins ties; default allowed.
+    */
   private[ops] def allowed(rules: Array[String], path: String): Boolean = {
     if (rules == null || path == null) return true
     var bestLen = -1
@@ -66,11 +102,10 @@ object Robots {
     var i = 0
     while (i < rules.length) {
       val r = rules(i)
-      val prefix = r.substring(1)
-      if (path.startsWith(prefix)) {
-        val l = prefix.length
+      val pattern = r.substring(1)
+      if (patternMatches(pattern, path)) {
+        val l = pattern.length
         val isAllow = r.charAt(0) == 'A'
-        // longer wins; same length: Allow wins
         if (l > bestLen || (l == bestLen && isAllow)) {
           bestLen = l
           bestAllow = isAllow
@@ -81,6 +116,56 @@ object Robots {
     bestAllow
   }
 
+  /** First valid `Crawl-delay` in a `User-agent: *` group, seconds;
+    * NaN sentinel when absent (a typed UDF cannot return null from a
+    * primitive Double — callers translate via [[crawlDelayFor]]).
+    */
+  private[ops] def crawlDelayStar(robotsTxt: String): Double = {
+    if (robotsTxt == null) return Double.NaN
+    var inStar = false
+    var afterAgentLine = false
+    var delay = Double.NaN
+    robotsTxt.linesIterator.foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val key = line.substring(0, colon).trim.toLowerCase
+        val value = line.substring(colon + 1).trim
+        key match {
+          case "user-agent" =>
+            if (!afterAgentLine) inStar = false
+            if (value == "*") inStar = true
+            afterAgentLine = true
+          case "crawl-delay" if inStar =>
+            afterAgentLine = false
+            if (delay.isNaN) value.toDoubleOption.foreach { d =>
+              if (d >= 0) delay = d
+            }
+          case _ =>
+            afterAgentLine = false
+        }
+      }
+    }
+    delay
+  }
+
+  /** Every `Sitemap:` location in the file, in order (sitemaps.org —
+    * the field is independent of user-agent groups).
+    */
+  private[ops] def sitemapsOf(robotsTxt: String): Array[String] = {
+    if (robotsTxt == null) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    robotsTxt.linesIterator.foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val colon = line.indexOf(':')
+      if (colon > 0 && line.substring(0, colon).trim.equalsIgnoreCase("sitemap")) {
+        val v = line.substring(colon + 1).trim
+        if (v.nonEmpty) out += v
+      }
+    }
+    out.toArray
+  }
+
   /** Parse a robots.txt column into the rule array for agent `*`. */
   def rulesFor(robotsTxt: Column): Column =
     udf((t: String) => parseStar(t)).apply(robotsTxt)
@@ -89,4 +174,14 @@ object Robots {
   def isAllowed(rules: Column, path: Column): Column =
     udf((r: Seq[String], p: String) =>
       allowed(if (r == null) null else r.toArray, p)).apply(rules, path)
+
+  /** `Crawl-delay` seconds for agent `*`, null when absent/invalid. */
+  def crawlDelayFor(robotsTxt: Column): Column = {
+    val d = udf((t: String) => crawlDelayStar(t)).apply(robotsTxt)
+    when(isnan(d), lit(null).cast("double")).otherwise(d)
+  }
+
+  /** `Sitemap:` locations as an ARRAY<STRING> column. */
+  def sitemapsFor(robotsTxt: Column): Column =
+    udf((t: String) => sitemapsOf(t)).apply(robotsTxt)
 }

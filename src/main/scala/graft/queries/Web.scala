@@ -488,6 +488,33 @@ object Web {
         .orderBy(col("doc_id"))
     }),
 
+    // Politeness + RFC 9309 special characters: each doc's robots.txt
+    // (keyed doc_id % 3) exercises `*`-spans, `$`-anchors, specificity
+    // ties, Crawl-delay parsing (first valid value in the * group) and
+    // file-wide Sitemap collection; the oracle hand-reduces each rule
+    // set to its truth table (regex twins of the glob patterns) and
+    // restates the politeness fields as literals. Map-only.
+    "q_robots_politeness" -> ((s, dir) => {
+      val m = col("doc_id") % 3
+      val robots = when(m === 0, lit(
+          "User-agent: *\nDisallow: /*/Doc-1$\nCrawl-delay: 1.5\n" +
+            "Crawl-delay: 9\nSitemap: https://maps.example/a.xml\n" +
+            "Sitemap: https://maps.example/b.xml\n"))
+        .when(m === 1, lit(
+          "User-agent: *\nDisallow: /fr*Doc\nCrawl-delay: 10\n"))
+        .otherwise(lit(
+          "User-agent: googlebot\nDisallow: /\nUser-agent: *\n" +
+            "Allow: /en\nDisallow: /*-3$\nSitemap: https://maps.example/s.xml\n"))
+      normalized(s, dir).select(col("doc_id"), col("domain"),
+          UrlOps.path(col("url")).as("pth"),
+          graft.ops.Robots.isAllowed(
+            graft.ops.Robots.rulesFor(robots), UrlOps.path(col("url")))
+            .as("allowed"),
+          graft.ops.Robots.crawlDelayFor(robots).as("crawl_delay"),
+          array_join(graft.ops.Robots.sitemapsFor(robots), ",").as("sitemaps"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The capstone: the full crawl-ingest pipeline in one plan — URL
     // canonicalization → URL-level dedup (min-doc_id survivor) →
     // robots.txt compliance → HTTP wire round-trip (each page travels
@@ -621,6 +648,33 @@ object Web {
           |  ELSE
           |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) LIKE '/en%'
           |  END AS allowed
+          |FROM c ORDER BY doc_id""".stripMargin),
+    // Glob patterns hand-reduced to regex twins: '/*/Doc-1$' ≡
+    // '^/.*/Doc-1$'; '/fr*Doc' ≡ '^/fr.*Doc'; '/*-3$' ≡ '-3$' (all
+    // paths start '/'); branch 2's Allow:/en (len 3) always loses to
+    // the len-5 anchored Disallow when both match — the specificity
+    // rule the Spark matcher must reproduce.
+    "q_robots_politeness" ->
+      (s"WITH $urlCte,\n$normCte\n" +
+        """SELECT doc_id, domain,
+          |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+          |  CASE doc_id % 3
+          |    WHEN 0 THEN NOT regexp_matches(
+          |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+          |      '^/.*/Doc-1$')
+          |    WHEN 1 THEN NOT regexp_matches(
+          |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+          |      '^/fr.*Doc')
+          |    ELSE NOT regexp_matches(
+          |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+          |      '-3$')
+          |  END AS allowed,
+          |  CASE doc_id % 3 WHEN 0 THEN 1.5 WHEN 1 THEN 10.0 ELSE NULL END AS crawl_delay,
+          |  CASE doc_id % 3
+          |    WHEN 0 THEN 'https://maps.example/a.xml,https://maps.example/b.xml'
+          |    WHEN 1 THEN ''
+          |    ELSE 'https://maps.example/s.xml'
+          |  END AS sitemaps
           |FROM c ORDER BY doc_id""".stripMargin),
     // The capstone composition, stage by stage: dedup survivors, the
     // robots truth tables, the micro-quality domain gate — then the

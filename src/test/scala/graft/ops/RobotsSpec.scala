@@ -33,4 +33,49 @@ class RobotsSpec extends AnyFunSuite {
     assert(eval(null, "/x"))
     assert(eval("", "/x"))
   }
+
+  test("RFC 9309 special characters: * spans octets, trailing $ anchors the end") {
+    // '*' mid-pattern
+    val r1 = "User-agent: *\nDisallow: /fr*Doc\n"
+    assert(!eval(r1, "/fr/Doc-3"))
+    assert(!eval(r1, "/frxxDocyy"))
+    assert(eval(r1, "/fr/page"))
+    assert(eval(r1, "/en/Doc-3"))
+    // '$' end anchor, with and without '*'
+    val r2 = "User-agent: *\nDisallow: /*.json$\n"
+    assert(!eval(r2, "/api/data.json"))
+    assert(eval(r2, "/api/data.json?x=1"))
+    assert(eval(r2, "/api/data.jsonl"))
+    val r3 = "User-agent: *\nDisallow: /exact$\n"
+    assert(!eval(r3, "/exact"))
+    assert(eval(r3, "/exact/sub"))
+    // specificity = pattern length: the longer wildcard rule prevails
+    val r4 = "User-agent: *\nDisallow: /a\nAllow: /a*/keep\n"
+    assert(eval(r4, "/a/x/keep"))
+    assert(!eval(r4, "/a/x/drop"))
+    // literal '*' rules that never matched before still behave (prefix fallback)
+    val r5 = "User-agent: *\nDisallow: /plain\n"
+    assert(!eval(r5, "/plain/sub") && eval(r5, "/other"))
+    // consecutive '**' and trailing '*'
+    val r6 = "User-agent: *\nDisallow: /x**y*\n"
+    assert(!eval(r6, "/xzzy-tail"))
+    assert(eval(r6, "/x-no-match"))
+  }
+
+  test("Crawl-delay: first valid value in the * group; others ignored") {
+    def delay(t: String): Double = Robots.crawlDelayStar(t)
+    assert(delay("User-agent: *\nCrawl-delay: 1.5\nCrawl-delay: 9\n") === 1.5)
+    assert(delay("User-agent: bot\nCrawl-delay: 4\nUser-agent: *\nDisallow: /x\n").isNaN)
+    assert(delay("User-agent: *\nCrawl-delay: -3\n").isNaN)
+    assert(delay("User-agent: *\nCrawl-delay: soon\n").isNaN)
+    assert(delay(null).isNaN)
+  }
+
+  test("Sitemap lines collect file-wide, in order, group-independent") {
+    val t = "Sitemap: https://e.com/a.xml\nUser-agent: bot\nDisallow: /\n" +
+      "sitemap: https://e.com/b.xml # case-insensitive\nSitemap:\n"
+    assert(Robots.sitemapsOf(t).toSeq ===
+      Seq("https://e.com/a.xml", "https://e.com/b.xml"))
+    assert(Robots.sitemapsOf(null).isEmpty)
+  }
 }
