@@ -42,7 +42,8 @@ object SparkEntry {
       graft.queries.ScaleDomain.queries ++
       graft.queries.Events.queries ++
       graft.queries.Mining.queries ++
-      graft.queries.Web.queries
+      graft.queries.Web.queries ++
+      graft.queries.Links.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -55,5 +56,6 @@ object SparkEntry {
       graft.queries.ScaleDomain.oracle ++
       graft.queries.Events.oracle ++
       graft.queries.Mining.oracle ++
-      graft.queries.Web.oracle
+      graft.queries.Web.oracle ++
+      graft.queries.Links.oracle
 }

@@ -1,0 +1,252 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hyperlink-graph kernels: outlink/anchor extraction from HTML, RFC
+  * 3986 relative-reference resolution, and a deterministic fixed-point
+  * PageRank over the domain graph.
+  *
+  * Links are the web-curation signal the rest of the §2.12 layer does
+  * not cover: crawl frontiers are prioritized by in-link authority
+  * (OPIC/PageRank), anchor text is a classic relevance/label corpus,
+  * and link-spam detection keys on degree shape. The WAT sidecar files
+  * CommonCrawl publishes are exactly this extraction. No reference
+  * counterpart (cchrysostomou/seqtables has no web layer).
+  *
+  * Scale shape:
+  *   - [[outlinkHrefs]] / [[anchorTexts]] are pure built-in regex
+  *     column expressions — map-only, inside the scan's codegen span;
+  *   - [[resolveUdf]] is a one-pass compiled string walk per link (the
+  *     dot-segment loop has no built-in Column equivalent), map-only;
+  *   - [[pageRank]] is `iters` rounds of (edge⋈rank join + dst-keyed
+  *     sum), each keyed on the src/dst domain — the natural
+  *     partitioning; the per-round dangling mass is a 1-row broadcast,
+  *     and each round eagerly truncates lineage so round k+1 never
+  *     recomputes round k's three consumers (at fleet scale the same
+  *     shape with `persist(DISK_ONLY)`/`checkpoint`).
+  */
+object LinkGraph {
+
+  // -------------------------------------------------------------------
+  // RFC 3986 §5: relative reference resolution
+  // -------------------------------------------------------------------
+
+  /** The five URI components (appendix-A split). `authority`, `query`
+    * and `fragment` distinguish absent (None) from present-but-empty
+    * (Some("")) — RFC resolution treats `?` and no-query differently.
+    */
+  final case class Uri(
+      scheme: Option[String],
+      authority: Option[String],
+      path: String,
+      query: Option[String],
+      fragment: Option[String])
+
+  /** Split per the RFC 3986 appendix-B regex, hand-rolled as one walk
+    * (no Regex allocation per row). Total: any string splits.
+    */
+  def parseUri(s: String): Uri = {
+    var rest = if (s == null) "" else s
+    // fragment first: everything after the first '#'
+    val hash = rest.indexOf('#')
+    val fragment = if (hash >= 0) Some(rest.substring(hash + 1)) else None
+    if (hash >= 0) rest = rest.substring(0, hash)
+    val qm = rest.indexOf('?')
+    val query = if (qm >= 0) Some(rest.substring(qm + 1)) else None
+    if (qm >= 0) rest = rest.substring(0, qm)
+    // scheme: ALPHA *(ALPHA/DIGIT/+/-/.) followed by ':' before any '/'
+    var scheme: Option[String] = None
+    val colon = rest.indexOf(':')
+    if (colon > 0) {
+      val cand = rest.substring(0, colon)
+      val ok = cand.charAt(0).isLetter && cand.forall(c =>
+        c.isLetterOrDigit || c == '+' || c == '-' || c == '.')
+      if (ok) { scheme = Some(cand); rest = rest.substring(colon + 1) }
+    }
+    var authority: Option[String] = None
+    if (rest.startsWith("//")) {
+      val afterSlashes = rest.substring(2)
+      val end = afterSlashes.indexWhere(c => c == '/' || c == '?' || c == '#') match {
+        case -1 => afterSlashes.length
+        case i  => i
+      }
+      authority = Some(afterSlashes.substring(0, end))
+      rest = afterSlashes.substring(end)
+    }
+    Uri(scheme, authority, rest, query, fragment)
+  }
+
+  /** RFC 3986 §5.2.4 remove_dot_segments, the standard in/out buffer
+    * walk. Climbing past the root clamps (`/a/../../b` → `/b`).
+    */
+  def removeDotSegments(path: String): String = {
+    var in = path
+    val out = new StringBuilder
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../") || in == "/..") {
+        in = if (in == "/..") "/" else "/" + in.substring(4)
+        val lastSlash = out.lastIndexOf("/")
+        out.setLength(if (lastSlash >= 0) lastSlash else 0)
+      } else if (in == "." || in == "..") in = ""
+      else {
+        val from = if (in.startsWith("/")) 1 else 0
+        val next = in.indexOf('/', from)
+        val seg = if (next >= 0) in.substring(0, next) else in
+        out.append(seg)
+        in = if (next >= 0) in.substring(next) else ""
+      }
+    }
+    out.toString
+  }
+
+  /** RFC 3986 §5.2.3 merge: reference path joined onto the base. */
+  private def merge(base: Uri, refPath: String): String =
+    if (base.authority.isDefined && base.path.isEmpty) "/" + refPath
+    else {
+      val lastSlash = base.path.lastIndexOf('/')
+      if (lastSlash >= 0) base.path.substring(0, lastSlash + 1) + refPath
+      else refPath
+    }
+
+  private def recompose(u: Uri): String = {
+    val sb = new StringBuilder
+    u.scheme.foreach(s => { sb.append(s); sb.append(':') })
+    u.authority.foreach(a => { sb.append("//"); sb.append(a) })
+    sb.append(u.path)
+    u.query.foreach(q => { sb.append('?'); sb.append(q) })
+    u.fragment.foreach(f => { sb.append('#'); sb.append(f) })
+    sb.toString
+  }
+
+  /** RFC 3986 §5.2.2 transform-references, strict form: resolve `ref`
+    * against `base` and recompose the target URI (fragment included —
+    * [[UrlOps.normalize]] drops it downstream). Total: a base with no
+    * scheme (not a valid base URI) returns the reference unchanged
+    * rather than throwing, so a corpus with garbage URLs never kills a
+    * stage.
+    */
+  def resolve(base: String, ref: String): String = {
+    val r = parseUri(ref)
+    if (r.scheme.isDefined)
+      return recompose(r.copy(path = removeDotSegments(r.path)))
+    val b = parseUri(base)
+    if (b.scheme.isEmpty) return ref
+    val t =
+      if (r.authority.isDefined)
+        Uri(b.scheme, r.authority, removeDotSegments(r.path), r.query, r.fragment)
+      else if (r.path.isEmpty)
+        Uri(b.scheme, b.authority, b.path,
+          if (r.query.isDefined) r.query else b.query, r.fragment)
+      else if (r.path.startsWith("/"))
+        Uri(b.scheme, b.authority, removeDotSegments(r.path), r.query, r.fragment)
+      else
+        Uri(b.scheme, b.authority, removeDotSegments(merge(b, r.path)),
+          r.query, r.fragment)
+    recompose(t)
+  }
+
+  /** Column form of [[resolve]]. Marked nondeterministic as a PURE
+    * PERFORMANCE pin (the function is deterministic): it stops
+    * Catalyst's collapsed Filter/Project pairs and unshared DAG
+    * branches from re-running the resolution walk per consumer — the
+    * same inlining mode the deflate and Http UDF pins address.
+    */
+  val resolveUdf = udf((base: String, ref: String) =>
+    if (ref == null) null else resolve(if (base == null) "" else base, ref))
+    .asNondeterministic()
+
+  // -------------------------------------------------------------------
+  // Extraction: built-in regex columns, map-only
+  // -------------------------------------------------------------------
+
+  /** `href` values of anchor tags, document order. Accepts double- and
+    * single-quoted and bare attribute values (the value itself must be
+    * quote/space/`>`-free — the crawl-grade simplification; quoted
+    * values containing spaces are cut at the space). RE2-subset
+    * pattern, identical in the DuckDB oracle twins.
+    */
+  def outlinkHrefs(html: Column): Column =
+    regexp_extract_all(html, lit("(?is)<a[^>]*?href\\s*=\\s*[\"']?([^\"'\\s>]+)"), lit(1))
+
+  /** Anchor (link body) texts, document order, tags stripped. */
+  def anchorTexts(html: Column): Column =
+    transform(
+      regexp_extract_all(html, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)),
+      a => trim(regexp_replace(a, "<[^>]*>", " ")))
+
+  // -------------------------------------------------------------------
+  // PageRank: deterministic fixed-point integer iteration
+  // -------------------------------------------------------------------
+
+  /** Weighted PageRank with damping 0.85 over `edges(src, dst, w)`,
+    * ALL arithmetic in scaled fixed-point Longs so the result is
+    * bit-identical across partitionings, engines, and runs:
+    *
+    *   - ranks are integers in units of `scale⁻¹` (total initial mass
+    *     = `scale`), start at `scale div n`;
+    *   - a node's contribution along an edge is
+    *     `(rank * w) div out_weight` — floor division, never a double;
+    *   - dangling mass (nodes with no out-edges) redistributes
+    *     uniformly as `dang div n`;
+    *   - update: `rank' = (15·scale) div (100·n)
+    *       + (85 · (contrib + dang div n)) div 100`.
+    *
+    * Floor division leaks a few units of mass per round (bounded by
+    * n + 1 units per round) — the price of exactness; rankings are
+    * unaffected. All operands are non-negative, where Spark's `div`
+    * and DuckDB's `//` agree, so the DuckDB oracle unrolls the SAME
+    * recurrence and the gate is hash-exact.
+    *
+    * Scale shape per round: one shuffle join of edges with ranks on
+    * src (both sides hash-partitioned on the join key), one dst-keyed
+    * partial+final sum, a 1-row broadcast for the dangling mass, and a
+    * left join back onto the node set. `localCheckpoint` truncates the
+    * plan each round — without it round k's DataFrame is re-derived by
+    * each of round k+1's three consumers and the DAG grows 3^k. On a
+    * cluster the same truncation is `persist(StorageLevel.DISK_ONLY)`
+    * + count, or reliable `checkpoint`.
+    *
+    * The node count lands on the driver (one count job) — it is a
+    * scalar of the formula, bounded by the domain population, not a
+    * data collect.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 5,
+      scale: Long = 1000000000000L): DataFrame = {
+    // materialized once: e is consumed by every round (and nodes/outw
+    // derive from it) — without truncation each round would re-derive
+    // the caller's whole edge pipeline (extraction, joins, UDFs)
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val outw = e.groupBy("src").agg(sum("w").as("outw")).localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty edge set")
+    val base = (15L * scale) / (100L * n) // floor, non-negative
+    var ranks = nodes.withColumn("rank", lit(scale / n))
+    for (_ <- 1 to iters) {
+      val contribs = e.join(ranks, e("src") === ranks("node"))
+        .join(outw, "src")
+        .select(col("dst").as("node"),
+          expr("(rank * w) div outw").as("c"))
+        .groupBy("node").agg(sum("c").as("contrib"))
+      val dang = ranks
+        .join(outw, ranks("node") === outw("src"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0L)).as("dang"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          (lit(base) + expr(
+            s"(85 * (coalesce(contrib, 0L) + (dang div ${n}L))) div 100"))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+}

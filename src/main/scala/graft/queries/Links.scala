@@ -1,0 +1,245 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{LinkGraph, UrlOps}
+
+/** Hyperlink-graph queries (§2.12 web layer), all oracle-backed.
+  *
+  * Builds on the shared synthetic URL derivation ([[Web.withUrl]] /
+  * [[Web.urlCte]]): each document's page embeds anchors whose hrefs
+  * are derived deterministically — relative references of every RFC
+  * 3986 shape for the resolver gate, and absolute links to the pages
+  * of OTHER documents (two arithmetic neighbors per doc, plus an
+  * external sink) for the graph queries. The Spark side goes the long
+  * way — template the HTML, extract hrefs with the regex kernel,
+  * resolve each against the page URL, normalize, reduce to the
+  * registrable domain — while the oracle states the expected edge set
+  * directly from the derivation arithmetic (the byte-free oracle
+  * pattern of q_http_extract): any defect in extraction, resolution,
+  * or normalization hash-mismatches.
+  *
+  * Scale shape: extraction and resolution are map-only (regex
+  * built-ins + one compiled UDF walk) inside the scan's span; the
+  * neighbor joins key on doc_id (the natural co-partitioning); the
+  * graph aggregates shuffle once on their edge/anchor keys; PageRank
+  * is the bounded iteration documented at [[LinkGraph.pageRank]].
+  */
+object Links {
+
+  /** doc_id-keyed relative href, one RFC resolution shape per branch. */
+  private def branchHref = {
+    val m = col("doc_id") % 6
+    when(m === 0, lit("https://EXT.example.org/x%7ey?b=2&a=1#z")) // absolute
+      .when(m === 1, lit("//Mirror.example.net:8080/m")) // scheme-relative
+      .when(m === 2, lit("/search?q=1&utm_source=x")) // absolute path
+      .when(m === 3, lit("sub/page")) // relative descend
+      .when(m === 4, lit("../other/Doc-2")) // relative climb
+      .otherwise(lit("?id=9")) // query-only
+  }
+
+  /** Pages with two neighbor links (doc_id·7+3 and doc_id·13+5 mod n)
+    * and, for doc_id % 11 == 0, an external-sink link — the sink node
+    * has no out-edges, so the dangling-mass path of PageRank is
+    * corpus-gated, not just spec-pinned. The neighbor modulus comes
+    * from a 1-row broadcast (max(doc_id)+1), never a literal, so the
+    * derivation is scale-factor-agnostic.
+    */
+  private def linkedPages(s: SparkSession, dir: String): DataFrame = {
+    val n = Web.normalized(s, dir)
+      .select(col("doc_id"), col("url"), col("url_norm"), col("domain"))
+    val nd = n.agg((max(col("doc_id")) + 1).as("nd"))
+    val dst1 = Web.normalized(s, dir)
+      .select(col("doc_id").as("t1_id"), col("url").as("t1_url"),
+        col("source").as("t1_source"))
+    val dst2 = Web.normalized(s, dir)
+      .select(col("doc_id").as("t2_id"), col("url").as("t2_url"),
+        col("source").as("t2_source"))
+    val sink = when(col("doc_id") % 11 === 0,
+      lit("<a href=\"https://sink-external.org/drop\">external sink</a>"))
+      .otherwise(lit(""))
+    n.crossJoin(broadcast(nd))
+      .withColumn("t1_id", (col("doc_id") * 7 + 3) % col("nd"))
+      .withColumn("t2_id", (col("doc_id") * 13 + 5) % col("nd"))
+      .join(dst1, "t1_id")
+      .join(dst2, "t2_id")
+      .withColumn("html", concat(
+        lit("<html><body><p>content</p><a href=\""), col("t1_url"),
+        lit("\">A-"), col("t1_source"),
+        lit("</a> <a href=\""), col("t2_url"),
+        lit("\">A-"), col("t2_source"), lit("</a>"), sink,
+        lit("</body></html>")))
+  }
+
+  /** Domain-level weighted edges, via the FULL Spark path: regex href
+    * extraction → RFC 3986 resolution against the page URL → host →
+    * registrable domain → one (src, dst)-keyed count aggregate.
+    */
+  private def edgesDf(s: SparkSession, dir: String): DataFrame =
+    linkedPages(s, dir)
+      .select(col("domain").as("src"), col("url"),
+        explode(LinkGraph.outlinkHrefs(col("html"))).as("href"))
+      .select(col("src"), UrlOps.registrableDomain(
+        UrlOps.host(LinkGraph.resolveUdf(col("url"), col("href"))))
+        .as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+
+  /** `nd`/`lk` CTE tail shared by the graph oracles: the link set
+    * stated directly from the derivation arithmetic (two neighbor
+    * edges per doc + the sink edge), over [[Web.normCte]]'s `c`
+    * (which carries source for the anchor strings).
+    */
+  private val linksCte: String =
+    """nd AS (SELECT max(doc_id) + 1 AS nd FROM documents),
+      |lk AS (
+      |  SELECT c1.domain AS src_domain, c2.domain AS dst_domain,
+      |    'A-' || c2.source AS anchor
+      |  FROM c c1 CROSS JOIN nd
+      |  JOIN c c2 ON c2.doc_id = (c1.doc_id * 7 + 3) % nd.nd
+      |  UNION ALL
+      |  SELECT c1.domain, c2.domain, 'A-' || c2.source
+      |  FROM c c1 CROSS JOIN nd
+      |  JOIN c c2 ON c2.doc_id = (c1.doc_id * 13 + 5) % nd.nd
+      |  UNION ALL
+      |  SELECT c1.domain, 'sink-external.org', 'external sink'
+      |  FROM c c1 WHERE c1.doc_id % 11 = 0)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // RFC 3986 relative-reference resolution, every transform branch:
+    // absolute (own scheme), scheme-relative (//authority), absolute
+    // path, relative descend (merge), relative climb (dot segments),
+    // query-only — plus a fragment-only '#Self' anchor on every page
+    // whose resolution must normalize back to the page's own url_norm
+    // (fragment-only keeps the BASE query string, the subtle branch).
+    // The hrefs travel through real HTML and the regex extractor
+    // (quoted and bare attribute forms); the oracle hand-reduces each
+    // branch against the parsed base-URL fields. Map-only.
+    "q_outlinks" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><body><p>intro</p><a class=x href="), branchHref,
+        lit("><b>go</b></a> <a href='#Self'>self</a></body></html>"))
+      Web.normalized(s, dir)
+        .select(col("doc_id"), col("url"), col("url_norm"),
+          LinkGraph.outlinkHrefs(html).as("hs"))
+        .select(col("doc_id"), col("url_norm"),
+          element_at(col("hs"), 1).as("href"),
+          UrlOps.normalize(LinkGraph.resolveUdf(col("url"),
+            element_at(col("hs"), 1))).as("resolved"),
+          (UrlOps.normalize(LinkGraph.resolveUdf(col("url"),
+            element_at(col("hs"), 2))) === col("url_norm")).as("self_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Domain-level link graph: href extraction → resolution →
+    // registrable domain → ONE (src, dst)-keyed count aggregate. The
+    // oracle restates the edge set from the neighbor arithmetic.
+    "q_link_graph" -> ((s, dir) =>
+      edgesDf(s, dir)
+        .select(col("src").as("src_domain"), col("dst").as("dst_domain"),
+          col("w").as("n_links"))
+        .orderBy(col("src_domain"), col("dst_domain"))),
+
+    // Anchor-text corpus (the WAT/anchor-text signal): per target
+    // domain, each anchor string and its frequency. Anchors ride the
+    // SAME pages; posexplode pairs each href with its anchor body.
+    "q_anchor_text" -> ((s, dir) =>
+      linkedPages(s, dir)
+        .select(col("url"), LinkGraph.anchorTexts(col("html")).as("ts"),
+          posexplode(LinkGraph.outlinkHrefs(col("html"))))
+        .select(UrlOps.registrableDomain(UrlOps.host(
+          LinkGraph.resolveUdf(col("url"), col("col")))).as("dst_domain"),
+          element_at(col("ts"), col("pos") + 1).as("anchor"))
+        .groupBy(col("dst_domain"), col("anchor"))
+        .agg(count(lit(1)).as("n_links"))
+        .orderBy(col("dst_domain"), col("anchor"))),
+
+    // Deterministic fixed-point PageRank (damping 0.85, 5 rounds) on
+    // the extracted domain graph — integer ranks, bit-identical across
+    // engines; the oracle unrolls the same recurrence as chained CTEs.
+    // The sink node exercises the dangling-mass redistribution.
+    "q_pagerank" -> ((s, dir) =>
+      LinkGraph.pageRank(edgesDf(s, dir), iters = 5)
+        .orderBy(col("node")))
+  )
+
+  /** Unrolled fixed-point PageRank recurrence, the DuckDB twin of
+    * [[LinkGraph.pageRank]]: same scale, same floor divisions (`//`
+    * vs Spark's `div` — identical on non-negative operands), same
+    * dangling redistribution.
+    */
+  private def pageRankSql(iters: Int): String = {
+    val scale = "1000000000000"
+    val head =
+      s"""e AS (
+         |  SELECT src_domain AS src, dst_domain AS dst, count(*) AS w
+         |  FROM lk GROUP BY 1, 2),
+         |gnodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY src),
+         |nn AS (SELECT count(*) AS n FROM gnodes),
+         |r0 AS (
+         |  SELECT node, CAST($scale // (SELECT n FROM nn) AS BIGINT) AS rank
+         |  FROM gnodes)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""ck$k AS (
+         |  SELECT e.dst AS node,
+         |    CAST(sum((r.rank * e.w) // o.outw) AS BIGINT) AS contrib
+         |  FROM e JOIN r${k - 1} r ON e.src = r.node
+         |  JOIN outw o ON e.src = o.src
+         |  GROUP BY e.dst),
+         |dk$k AS (
+         |  SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dang
+         |  FROM r${k - 1} WHERE node NOT IN (SELECT src FROM outw)),
+         |r$k AS (
+         |  SELECT g.node, CAST(
+         |    (15 * $scale) // (100 * (SELECT n FROM nn)) +
+         |    (85 * (coalesce(c.contrib, 0) +
+         |      (SELECT dang FROM dk$k) // (SELECT n FROM nn))) // 100
+         |  AS BIGINT) AS rank
+         |  FROM gnodes g LEFT JOIN ck$k c ON g.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"$head,\n$rounds\nSELECT node, rank FROM r$iters ORDER BY node"
+  }
+
+  def oracle: Map[String, String] = {
+    // base-URL fields restated from Web.normCte's n: normalized port,
+    // directory of the base path, parent directory
+    val np = "(CASE WHEN prt = '' THEN '' WHEN sch = 'http' AND prt = '80' THEN ''" +
+      " WHEN sch = 'https' AND prt = '443' THEN '' ELSE ':' || prt END)"
+    val dir0 = "regexp_replace(pth, '[^/]*$', '')"
+    val parentDir = s"regexp_replace($dir0, '[^/]*/$$', '')"
+    Map(
+      "q_outlinks" ->
+        (s"WITH ${Web.urlCte},\n${Web.normCte}\n" +
+          s"""SELECT n.doc_id, c.url_norm,
+             |  CASE n.doc_id % 6
+             |    WHEN 0 THEN 'https://EXT.example.org/x%7ey?b=2&a=1#z'
+             |    WHEN 1 THEN '//Mirror.example.net:8080/m'
+             |    WHEN 2 THEN '/search?q=1&utm_source=x'
+             |    WHEN 3 THEN 'sub/page'
+             |    WHEN 4 THEN '../other/Doc-2'
+             |    ELSE '?id=9' END AS href,
+             |  CASE n.doc_id % 6
+             |    WHEN 0 THEN 'https://ext.example.org/x~y?a=1&b=2'
+             |    WHEN 1 THEN sch || '://mirror.example.net:8080/m'
+             |    WHEN 2 THEN sch || '://' || n.host || $np || '/search?q=1'
+             |    WHEN 3 THEN sch || '://' || n.host || $np || $dir0 || 'sub/page'
+             |    WHEN 4 THEN sch || '://' || n.host || $np || $parentDir || 'other/Doc-2'
+             |    ELSE sch || '://' || n.host || $np || ${Web.sqlPct("pth")} || '?id=9'
+             |  END AS resolved,
+             |  TRUE AS self_ok
+             |FROM n JOIN c USING (doc_id) ORDER BY n.doc_id""".stripMargin),
+      "q_link_graph" ->
+        (s"WITH ${Web.urlCte},\n${Web.normCte},\n$linksCte\n" +
+          """SELECT src_domain, dst_domain, count(*) AS n_links
+            |FROM lk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      "q_anchor_text" ->
+        (s"WITH ${Web.urlCte},\n${Web.normCte},\n$linksCte\n" +
+          """SELECT dst_domain, anchor, count(*) AS n_links
+            |FROM lk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      "q_pagerank" ->
+        (s"WITH ${Web.urlCte},\n${Web.normCte},\n$linksCte,\n" +
+          pageRankSql(5))
+    )
+  }
+}

@@ -29,7 +29,7 @@ import graft.ops.{HtmlExtract, UrlOps}
 object Web {
 
   /** The synthetic URL column — Spark side of the shared derivation. */
-  private def withUrl(df: DataFrame): DataFrame = {
+  private[queries] def withUrl(df: DataFrame): DataFrame = {
     val sch = when(col("doc_id") % 3 === 0, "HTTP")
       .when(col("doc_id") % 3 === 1, "https").otherwise("HTTPS")
     val sub = when(col("doc_id") % 4 === 0, "WWW.")
@@ -56,7 +56,7 @@ object Web {
   }
 
   /** The same derivation as DuckDB SQL (a CTE every oracle shares). */
-  private val urlCte: String =
+  private[queries] val urlCte: String =
     """u AS (
       |  SELECT doc_id, lang, source, n_chars,
       |    (CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'HTTPS' END)
@@ -84,7 +84,7 @@ object Web {
     * `s` (evaluated twice — pure). The unreserved-hex list is inlined
     * from the Scala constant so drift fails the gate loudly.
     */
-  private def sqlPct(s: String): String = {
+  private[queries] def sqlPct(s: String): String = {
     val hexes = UrlOps.UnreservedHex.map(h => s"'$h'").mkString(", ")
     s"(string_split($s, '%')[1] || coalesce(array_to_string(" +
       s"list_transform(string_split($s, '%')[2:], px -> " +
@@ -95,7 +95,7 @@ object Web {
       "ELSE '%' || px END), ''), ''))"
   }
 
-  private val normCte: String =
+  private[queries] val normCte: String =
     s"""n AS (
       |  SELECT doc_id, lang, source, n_chars, url,
       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
@@ -132,7 +132,7 @@ object Web {
     * rides along for the quality composition; Catalyst's column pruning
     * drops it from the scan for the queries that never touch it.
     */
-  private def normalized(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def normalized(s: SparkSession, dir: String): DataFrame = {
     val withU = withUrl(Tables(s, dir, "documents"))
     val h = UrlOps.host(col("url"))
     withU.select(col("doc_id"), col("lang"), col("source"), col("n_chars"),

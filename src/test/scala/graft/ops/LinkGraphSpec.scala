@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins for the hyperlink-graph kernels. Corpus-level behavior is
+  * oracle-gated (q_outlinks / q_link_graph / q_anchor_text /
+  * q_pagerank); these pin (a) the RFC 3986 resolver against the spec's
+  * own §5.4 example battery — all 23 normal and 14 abnormal cases on
+  * the RFC's base URI, verbatim — and (b) the fixed-point PageRank
+  * recurrence against hand-computed integer values on a 3-node graph
+  * with a dangling node.
+  */
+class LinkGraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Base = "http://a/b/c/d;p?q"
+
+  // RFC 3986 §5.4.1 (normal examples)
+  private val normal = Seq(
+    "g:h" -> "g:h",
+    "g" -> "http://a/b/c/g",
+    "./g" -> "http://a/b/c/g",
+    "g/" -> "http://a/b/c/g/",
+    "/g" -> "http://a/g",
+    "//g" -> "http://g",
+    "?y" -> "http://a/b/c/d;p?y",
+    "g?y" -> "http://a/b/c/g?y",
+    "#s" -> "http://a/b/c/d;p?q#s",
+    "g#s" -> "http://a/b/c/g#s",
+    "g?y#s" -> "http://a/b/c/g?y#s",
+    ";x" -> "http://a/b/c/;x",
+    "g;x" -> "http://a/b/c/g;x",
+    "g;x?y#s" -> "http://a/b/c/g;x?y#s",
+    "" -> "http://a/b/c/d;p?q",
+    "." -> "http://a/b/c/",
+    "./" -> "http://a/b/c/",
+    ".." -> "http://a/b/",
+    "../" -> "http://a/b/",
+    "../g" -> "http://a/b/g",
+    "../.." -> "http://a/",
+    "../../" -> "http://a/",
+    "../../g" -> "http://a/g")
+
+  // RFC 3986 §5.4.2 (abnormal examples, strict parser)
+  private val abnormal = Seq(
+    "../../../g" -> "http://a/g",
+    "../../../../g" -> "http://a/g",
+    "/./g" -> "http://a/g",
+    "/../g" -> "http://a/g",
+    "g." -> "http://a/b/c/g.",
+    ".g" -> "http://a/b/c/.g",
+    "g.." -> "http://a/b/c/g..",
+    "..g" -> "http://a/b/c/..g",
+    "./../g" -> "http://a/b/g",
+    "./g/." -> "http://a/b/c/g/",
+    "g/./h" -> "http://a/b/c/g/h",
+    "g/../h" -> "http://a/b/c/h",
+    "g;x=1/./y" -> "http://a/b/c/g;x=1/y",
+    "g;x=1/../y" -> "http://a/b/c/y",
+    // dot-segments are NOT applied to query or fragment
+    "g?y/./x" -> "http://a/b/c/g?y/./x",
+    "g?y/../x" -> "http://a/b/c/g?y/../x",
+    "g#s/./x" -> "http://a/b/c/g#s/./x",
+    "g#s/../x" -> "http://a/b/c/g#s/../x",
+    // strict: the scheme-matching relative form is NOT rewritten
+    "http:g" -> "http:g")
+
+  test("RFC 3986 §5.4.1 normal resolution examples, verbatim") {
+    for ((ref, want) <- normal)
+      assert(LinkGraph.resolve(Base, ref) == want, s"ref '$ref'")
+  }
+
+  test("RFC 3986 §5.4.2 abnormal resolution examples, verbatim") {
+    for ((ref, want) <- abnormal)
+      assert(LinkGraph.resolve(Base, ref) == want, s"ref '$ref'")
+  }
+
+  test("resolve is total: scheme-less base returns the reference") {
+    assert(LinkGraph.resolve("not a uri", "x/y") == "x/y")
+    assert(LinkGraph.resolve("", "/abs") == "/abs")
+    // absolute refs resolve even against garbage bases
+    assert(LinkGraph.resolve("garbage", "https://h/p") == "https://h/p")
+  }
+
+  test("removeDotSegments clamps at root and drops lone dots") {
+    assert(LinkGraph.removeDotSegments("/a/../../b") == "/b")
+    assert(LinkGraph.removeDotSegments("mid/content=5/../6") == "mid/6")
+    assert(LinkGraph.removeDotSegments("/a/b/c/./../../g") == "/a/g")
+    assert(LinkGraph.removeDotSegments("..") == "")
+    assert(LinkGraph.removeDotSegments(".") == "")
+  }
+
+  test("outlinkHrefs accepts double-quoted, single-quoted and bare values") {
+    val html = """<a href="http://q.d/1">x</a> <A HREF='2'>y</A> """ +
+      """<a class=k href=../3>z</a> <a>no href</a>"""
+    val got = Seq(html).toDF("h")
+      .select(LinkGraph.outlinkHrefs(col("h")).as("v"))
+      .as[Seq[String]].head()
+    assert(got == Seq("http://q.d/1", "2", "../3"))
+  }
+
+  test("anchorTexts strips inner tags and trims") {
+    val html = """<a href=1> <b>Bold</b> link </a><a href=2>plain</a>"""
+    val got = Seq(html).toDF("h")
+      .select(LinkGraph.anchorTexts(col("h")).as("v"))
+      .as[Seq[String]].head()
+    assert(got == Seq("Bold  link", "plain"))
+  }
+
+  test("pageRank round 1 matches the hand-computed integer recurrence") {
+    // A→B, A→C, B→A; C dangling. n=3, scale=1e12:
+    //   r0 = 333333333333 each; base = 15e12/300 = 50000000000
+    //   contrib(B) = contrib(C) = r0 div 2 = 166666666666
+    //   contrib(A) = r0 div 1 = 333333333333
+    //   dang = r0(C); dang div 3 = 111111111111
+    //   r1(A) = base + 85·(333333333333+111111111111) div 100 = 427777777777
+    //   r1(B) = r1(C) = base + 85·(166666666666+111111111111) div 100
+    //         = 286111111110
+    val edges = Seq(("A", "B", 1L), ("A", "C", 1L), ("B", "A", 1L))
+      .toDF("src", "dst", "w")
+    val r1 = LinkGraph.pageRank(edges, iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(r1 == Map(
+      "A" -> 427777777777L, "B" -> 286111111110L, "C" -> 286111111110L))
+  }
+
+  test("pageRank converges sensibly: mass bounded, hub outranks leaves") {
+    val edges = Seq(("A", "B", 1L), ("A", "C", 1L), ("B", "A", 1L))
+      .toDF("src", "dst", "w")
+    val r5 = LinkGraph.pageRank(edges, iters = 5)
+      .as[(String, Long)].collect().toMap
+    // floor division only leaks mass, never creates it
+    assert(r5.values.sum <= 1000000000000L)
+    assert(r5("A") > r5("B"))
+    assert(r5("B") == r5("C")) // symmetric receivers stay identical
+  }
+
+  test("pageRank weights skew contributions: heavier edge carries more") {
+    val edges = Seq(("A", "B", 3L), ("A", "C", 1L)).toDF("src", "dst", "w")
+    val r = LinkGraph.pageRank(edges, iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(r("B") > r("C"))
+  }
+}
