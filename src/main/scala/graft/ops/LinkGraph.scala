@@ -215,6 +215,46 @@ object LinkGraph {
     * scalar of the formula, bounded by the domain population, not a
     * data collect.
     */
+  /** Connected components by `rounds` rounds of undirected min-label
+    * propagation: every node starts labeled with itself; each round a
+    * node takes the minimum of its own label and its neighbors' —
+    * after k rounds labels have traveled k hops, so components of
+    * diameter ≤ `rounds` are exact. Returns (node, lbl, lbl_prev);
+    * `lbl == lbl_prev` for all nodes ⟺ the propagation converged
+    * (callers surface that as a contract column). Deliberately a
+    * FIXED-round recurrence, not an until-fixpoint loop: both engines
+    * unroll the same k rounds, so the result is hash-gateable even on
+    * a graph where k rounds would NOT converge — the oracle checks
+    * the recurrence, the converged bit checks the graph. (For
+    * unbounded-diameter graphs [[Dedup]]'s component machinery is the
+    * production path; web domain graphs have small diameter, so k
+    * keyed joins is the right scale shape here.)
+    *
+    * Per round: one (neighbor⋈label) shuffle join + one dst-keyed min
+    * aggregate + a left join back — all keyed on the node, the same
+    * co-partitioning every round; lineage truncated per round.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "labelPropagation: rounds must be >= 1")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val und = e.select(col("src").as("s"), col("dst").as("d"))
+      .union(e.select(col("dst").as("s"), col("src").as("d")))
+    val nodes = und.select(col("s").as("node")).distinct().localCheckpoint()
+    var labels = nodes.withColumn("lbl", col("node")).localCheckpoint()
+    var prev = labels
+    for (_ <- 1 to rounds) {
+      prev = labels
+      val nbrMin = und.join(labels, und("s") === labels("node"))
+        .groupBy(col("d")).agg(min(col("lbl")).as("nl"))
+        .withColumnRenamed("d", "node")
+      labels = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+    }
+    labels.join(prev.withColumnRenamed("lbl", "lbl_prev"), "node")
+  }
+
   def pageRank(edges: DataFrame, iters: Int = 5,
       scale: Long = 1000000000000L): DataFrame = {
     // materialized once: e is consumed by every round (and nodes/outw

@@ -92,7 +92,7 @@ object Links {
     */
   private val linksCte: String =
     """nd AS (SELECT max(doc_id) + 1 AS nd FROM documents),
-      |lk AS (
+      |lk AS MATERIALIZED (
       |  SELECT c1.domain AS src_domain, c2.domain AS dst_domain,
       |    'A-' || c2.source AS anchor
       |  FROM c c1 CROSS JOIN nd
@@ -160,7 +160,30 @@ object Links {
     // The sink node exercises the dangling-mass redistribution.
     "q_pagerank" -> ((s, dir) =>
       LinkGraph.pageRank(edgesDf(s, dir), iters = 5)
-        .orderBy(col("node")))
+        .orderBy(col("node"))),
+
+    // Connected components of the (undirected) domain graph by 8
+    // rounds of min-label propagation, per node, with (a) the ROUND-1
+    // label alongside the final one — the partial-propagation state is
+    // distinct per node and sensitive to the exact edge set and
+    // recurrence, so the gate stays strong even when the graph
+    // collapses to one component — and (b) a `converged` contract
+    // column (labels stable between rounds 7 and 8). The oracle
+    // unrolls the same rounds, so the gate holds whether or not the
+    // graph converged.
+    "q_link_components" -> ((s, dir) => {
+      val e = edgesDf(s, dir).localCheckpoint()
+      val l8 = LinkGraph.labelPropagation(e, rounds = 8)
+      val l1 = LinkGraph.labelPropagation(e, rounds = 1)
+        .select(col("node"), col("lbl").as("lbl_r1"))
+      val conv = l8.agg(
+        (min(when(col("lbl") === col("lbl_prev"), 1).otherwise(0)) === 1)
+          .as("converged"))
+      l8.select(col("node"), col("lbl").as("component"))
+        .join(l1, "node")
+        .crossJoin(broadcast(conv))
+        .orderBy(col("node"))
+    })
   )
 
   /** Unrolled fixed-point PageRank recurrence, the DuckDB twin of
@@ -171,17 +194,17 @@ object Links {
   private def pageRankSql(iters: Int): String = {
     val scale = "1000000000000"
     val head =
-      s"""e AS (
+      s"""e AS MATERIALIZED (
          |  SELECT src_domain AS src, dst_domain AS dst, count(*) AS w
          |  FROM lk GROUP BY 1, 2),
-         |gnodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |gnodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
          |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY src),
          |nn AS (SELECT count(*) AS n FROM gnodes),
-         |r0 AS (
+         |r0 AS MATERIALIZED (
          |  SELECT node, CAST($scale // (SELECT n FROM nn) AS BIGINT) AS rank
          |  FROM gnodes)""".stripMargin
     val rounds = (1 to iters).map { k =>
-      s"""ck$k AS (
+      s"""ck$k AS MATERIALIZED (
          |  SELECT e.dst AS node,
          |    CAST(sum((r.rank * e.w) // o.outw) AS BIGINT) AS contrib
          |  FROM e JOIN r${k - 1} r ON e.src = r.node
@@ -190,7 +213,7 @@ object Links {
          |dk$k AS (
          |  SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dang
          |  FROM r${k - 1} WHERE node NOT IN (SELECT src FROM outw)),
-         |r$k AS (
+         |r$k AS MATERIALIZED (
          |  SELECT g.node, CAST(
          |    (15 * $scale) // (100 * (SELECT n FROM nn)) +
          |    (85 * (coalesce(c.contrib, 0) +
@@ -199,6 +222,34 @@ object Links {
          |  FROM gnodes g LEFT JOIN ck$k c ON g.node = c.node)""".stripMargin
     }.mkString(",\n")
     s"$head,\n$rounds\nSELECT node, rank FROM r$iters ORDER BY node"
+  }
+
+  /** Unrolled min-label propagation (8 rounds), the DuckDB twin of
+    * [[LinkGraph.labelPropagation]] + the per-component rollup.
+    */
+  private def componentsSql(rounds: Int): String = {
+    val head =
+      """ed AS MATERIALIZED (SELECT src_domain AS src, dst_domain AS dst FROM lk),
+        |und AS MATERIALIZED (SELECT src AS s, dst AS d FROM ed
+        |        UNION ALL SELECT dst, src FROM ed),
+        |cnodes AS (SELECT DISTINCT s AS node FROM und),
+        |l0 AS MATERIALIZED (SELECT node, node AS lbl FROM cnodes)""".stripMargin
+    val rnds = (1 to rounds).map { k =>
+      s"""nb$k AS (
+         |  SELECT u.d AS node, min(l.lbl) AS nl
+         |  FROM und u JOIN l${k - 1} l ON u.s = l.node GROUP BY u.d),
+         |l$k AS MATERIALIZED (
+         |  SELECT l.node, least(l.lbl, coalesce(n.nl, l.lbl)) AS lbl
+         |  FROM l${k - 1} l LEFT JOIN nb$k n ON l.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$rnds,
+       |conv AS (
+       |  SELECT min(CASE WHEN a.lbl = b.lbl THEN 1 ELSE 0 END) = 1 AS converged
+       |  FROM l$rounds a JOIN l${rounds - 1} b ON a.node = b.node)
+       |SELECT f.node, f.lbl AS component, p.lbl AS lbl_r1, converged
+       |FROM l$rounds f JOIN l1 p ON f.node = p.node
+       |CROSS JOIN conv ORDER BY f.node""".stripMargin
   }
 
   def oracle: Map[String, String] = {
@@ -239,7 +290,10 @@ object Links {
             |FROM lk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       "q_pagerank" ->
         (s"WITH ${Web.urlCte},\n${Web.normCte},\n$linksCte,\n" +
-          pageRankSql(5))
+          pageRankSql(5)),
+      "q_link_components" ->
+        (s"WITH ${Web.urlCte},\n${Web.normCte},\n$linksCte,\n" +
+          componentsSql(8))
     )
   }
 }

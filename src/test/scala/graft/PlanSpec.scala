@@ -564,4 +564,23 @@ class PlanSpec extends AnyFunSuite {
     assert(pm.contains("Window"), s"greedy fill is a domain-partitioned window:\n${pm.take(800)}")
     assert(!pm.contains("CartesianProduct"), pm.take(800))
   }
+
+  test("link graph: resolver map-only, edges one keyed aggregate, scalar-only nested loops") {
+    // q_outlinks: extraction + resolution + normalization are map-only —
+    // the only exchange is the presentation sort's range partitioning
+    val po = physicalPlan("q_outlinks")
+    assert("Exchange hashpartitioning".r.findAllIn(po).isEmpty,
+      s"outlink resolution must not shuffle:\n${po.take(800)}")
+    assert(!po.contains("CartesianProduct"), po.take(800))
+
+    // q_link_graph: the only nested-loop join is the broadcast of the
+    // 1-row modulus scalar; neighbor joins are hash joins on the id;
+    // the edge rollup map-side combines
+    val pl = physicalPlan("q_link_graph")
+    assert(!pl.contains("CartesianProduct"), pl.take(800))
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(pl).length
+    assert(bnl <= 1, s"only the 1-row modulus may nested-loop ($bnl):\n${pl.take(800)}")
+    assert(pl.contains("partial_count") || pl.contains("partial_"),
+      s"edge counts must map-side combine:\n${pl.take(800)}")
+  }
 }

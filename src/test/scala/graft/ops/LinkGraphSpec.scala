@@ -139,6 +139,30 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(r5("B") == r5("C")) // symmetric receivers stay identical
   }
 
+  test("labelPropagation separates disconnected components") {
+    val edges = Seq(("B", "A", 1L), ("C", "D", 1L)).toDF("src", "dst", "w")
+    val l = LinkGraph.labelPropagation(edges, rounds = 3)
+      .select("node", "lbl").as[(String, String)].collect().toMap
+    assert(l == Map("A" -> "A", "B" -> "A", "C" -> "C", "D" -> "C"))
+  }
+
+  test("labelPropagation: k rounds reach exactly k hops on a path graph") {
+    // path a-b-c-d-e: after 2 rounds 'a' has traveled 2 hops, so e
+    // still holds c's label; after 4 rounds (the diameter) all are 'a'
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L),
+      ("d", "e", 1L)).toDF("src", "dst", "w")
+    val l2 = LinkGraph.labelPropagation(edges, rounds = 2)
+      .select("node", "lbl").as[(String, String)].collect().toMap
+    assert(l2 == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "b", "e" -> "c"))
+    val l4 = LinkGraph.labelPropagation(edges, rounds = 4)
+    assert(l4.select("lbl").distinct().count() == 1)
+    // labels are final at round 4 (= diameter) but the prev column only
+    // WITNESSES convergence one round later: round 3 still had e → 'b'
+    assert(l4.filter(col("lbl") =!= col("lbl_prev")).count() == 1)
+    val l5 = LinkGraph.labelPropagation(edges, rounds = 5)
+    assert(l5.filter(col("lbl") =!= col("lbl_prev")).count() == 0)
+  }
+
   test("pageRank weights skew contributions: heavier edge carries more") {
     val edges = Seq(("A", "B", 3L), ("A", "C", 1L)).toDF("src", "dst", "w")
     val r = LinkGraph.pageRank(edges, iters = 1)
