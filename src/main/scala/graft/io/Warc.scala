@@ -61,7 +61,8 @@ object Warc {
     * rather than escaped: WARC has no header escaping convention, so an
     * escaped value would not round-trip either.
     */
-  def write(df: DataFrame, dir: String, memberGzip: Boolean = false): Seq[String] = {
+  def write(df: DataFrame, dir: String, memberGzip: Boolean = false,
+      warcType: String = "response"): Seq[String] = {
     val spark = df.sparkSession
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -90,13 +91,7 @@ object Warc {
               val payload = r.getAs[Array[Byte]]("payload")
               val id = checkHeaderValue(r.getAs[String]("id"), "id")
               val uri = checkHeaderValue(r.getAs[String]("uri"), "uri")
-              val head =
-                s"WARC/1.0\r\n" +
-                  s"WARC-Type: response\r\n" +
-                  s"WARC-Record-ID: <urn:graft:$id>\r\n" +
-                  s"WARC-Target-URI: $uri\r\n" +
-                  s"Content-Length: ${payload.length}\r\n\r\n"
-              val headBytes = head.getBytes(StandardCharsets.UTF_8)
+              val headBytes = recordHead(id, uri, payload.length, warcType)
               if (memberGzip) {
                 val rec = new java.io.ByteArrayOutputStream(
                   headBytes.length + payload.length + 4)
@@ -135,15 +130,28 @@ object Warc {
     * CRLF CRLF), optionally wrapped as its own gzip member — the unit
     * both the writers and the CDX index address.
     */
+  /** Header block of one record. `warcType` is writer-controlled (not
+    * data), so it skips checkHeaderValue; `conversion` records (the
+    * WET layout — extracted text derived from a crawled response)
+    * carry the ISO 28500 `WARC-Refers-To` back-pointer to the response
+    * record they were derived from (same id namespace here).
+    */
+  private def recordHead(
+      id: String, uri: String, payloadLen: Int, warcType: String): Array[Byte] = {
+    val refersTo =
+      if (warcType == "conversion") s"WARC-Refers-To: <urn:graft:$id>\r\n" else ""
+    (s"WARC/1.0\r\n" +
+      s"WARC-Type: $warcType\r\n" +
+      s"WARC-Record-ID: <urn:graft:$id>\r\n" +
+      refersTo +
+      s"WARC-Target-URI: $uri\r\n" +
+      s"Content-Length: $payloadLen\r\n\r\n").getBytes(StandardCharsets.UTF_8)
+  }
+
   private def recordBytes(
-      id: String, uri: String, payload: Array[Byte], memberGzip: Boolean): Array[Byte] = {
-    val head =
-      s"WARC/1.0\r\n" +
-        s"WARC-Type: response\r\n" +
-        s"WARC-Record-ID: <urn:graft:$id>\r\n" +
-        s"WARC-Target-URI: $uri\r\n" +
-        s"Content-Length: ${payload.length}\r\n\r\n"
-    val headBytes = head.getBytes(StandardCharsets.UTF_8)
+      id: String, uri: String, payload: Array[Byte], memberGzip: Boolean,
+      warcType: String = "response"): Array[Byte] = {
+    val headBytes = recordHead(id, uri, payload.length, warcType)
     val rec = new java.io.ByteArrayOutputStream(headBytes.length + payload.length + 4)
     rec.write(headBytes); rec.write(payload)
     rec.write("\r\n\r\n".getBytes(StandardCharsets.UTF_8))

@@ -147,6 +147,46 @@ object ScaleDomain {
         .orderBy(col("doc_id"))
     }),
 
+    // The WARC → WET factory (what CommonCrawl's text sidecar IS):
+    // stage 1 writes every page as HTTP response BYTES in member-gzip
+    // WARC; stage 2 scans the archive across 8 KiB splits, parses the
+    // HTTP message, charset-decodes, extracts main content; stage 3
+    // writes the extracted text back as ISO 28500 `conversion` records
+    // (WARC-Refers-To the source response) — the WET layout; stage 4
+    // re-reads the WET archive across 8 KiB splits. The oracle
+    // recomputes the extraction from pristine parquet text (byte-free:
+    // utf-8 wrap→decode is the identity), so a green row means BOTH
+    // container round-trips, the HTTP leg, and the extraction composed
+    // losslessly. Scale shape: two container scans + map-only decode/
+    // extract; no shuffle anywhere until the presentation sort.
+    "q_wet_pipeline" -> ((s, dir) => {
+      val base = s"/tmp/graft_wet/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val pages = Web.withHtml(Web.normalized(s, dir))
+        .select(col("doc_id").cast("string").as("id"),
+          col("url_norm").as("uri"),
+          graft.io.Http.encodeResponseCol(lit(200),
+            lit("text/html; charset=utf-8"), col("html"), lit("utf-8"),
+            lit(null).cast("string")).as("payload"))
+      graft.io.Warc.write(pages, s"$base/warc", memberGzip = true)
+      val ext = graft.io.Warc.read(s, s"$base/warc", splitSize = 8192)
+        .withColumn("r", graft.io.Http.split(col("payload")))
+        .select(
+          regexp_extract(col("record_id"), "<urn:graft:([0-9]+)>", 1).as("id"),
+          col("target_uri").as("uri"),
+          graft.ops.HtmlExtract.extract(graft.io.Http.decodeBody(
+            col("r.body"), col("r.headers")("content-type"))).as("wet_text"))
+      graft.io.Warc.write(ext, s"$base/wet", memberGzip = true,
+        warcType = "conversion")
+      graft.io.Warc.read(s, s"$base/wet", splitSize = 8192)
+        .select(regexp_extract(col("record_id"), "<urn:graft:([0-9]+)>", 1)
+          .cast("long").as("doc_id"),
+          col("warc_type"),
+          decode(col("payload"), "UTF-8").as("wet_text"))
+        .select(col("doc_id"), col("warc_type"),
+          length(col("wet_text")).as("n_chars"), col("wet_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // FASTQ round-trip through the oracle (S1 read + S7 write, the
     // q_warc_roundtrip discipline): derive (read_id, seq, qual) rows,
     // write them as FASTQ across 4 part files, re-read across FORCED
@@ -246,6 +286,13 @@ object ScaleDomain {
     "q_warc_cdx_fetch" ->
       """SELECT doc_id, text FROM documents
         |WHERE doc_id % 7 = 3 ORDER BY doc_id""".stripMargin,
+    // the WET text restated from pristine parquet via the extraction
+    // twin — byte-free proof of the double container round-trip
+    "q_wet_pipeline" ->
+      (s"WITH ${Web.htmlCte}\n" +
+        """SELECT doc_id, 'conversion' AS warc_type,
+          |  length(extracted) AS n_chars, extracted AS wet_text
+          |FROM x ORDER BY doc_id""".stripMargin),
     // the derivation recomputed straight from parquet — a green row
     // means write → split-read lost/duplicated/corrupted nothing
     "q_fastq_roundtrip" ->

@@ -169,7 +169,7 @@ object Web {
       "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
 
   /** documents + a derived `html` page column (Spark side). */
-  private def withHtml(df: DataFrame): DataFrame = {
+  private[queries] def withHtml(df: DataFrame): DataFrame = {
     val t = col("text")
     df.withColumn("html", concat(
       lit(H0), col("doc_id"), lit(H1),
@@ -210,7 +210,7 @@ object Web {
     * block-tag alternation and stopword list are inlined from the Scala
     * constants so a drift in either fails the gate loudly.
     */
-  private val htmlCte: String = {
+  private[queries] val htmlCte: String = {
     val html = s"${sqlLit(H0)} || doc_id || ${sqlLit(H1)} || " +
       s"${sqlEsc("substring(text, 1, 120)")} || ${sqlLit(H2)} || " +
       s"${sqlEsc("substring(text, 121, 120)")} || ${sqlLit(H2)} || " +

@@ -39,6 +39,30 @@ class WarcSpec extends AnyFunSuite {
     assert(tiny === expected)
   }
 
+  test("conversion (WET) records round-trip with their type and Refers-To intact") {
+    val docs = mkDocs(12)
+    val dir = "/tmp/graft_warc_spec/wet"
+    Warc.write(docs.toDF("id", "uri", "text").repartition(3), dir,
+      memberGzip = true, warcType = "conversion")
+    val rows = Warc.read(spark, dir, splitSize = 64L).collect()
+    assert(rows.length == 12)
+    assert(rows.forall(_.getString(1) == "conversion"))
+    // the raw shard carries the ISO 28500 back-pointer header
+    val shard = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).head
+    val gz = new java.util.zip.GZIPInputStream(
+      new java.io.FileInputStream(shard))
+    val raw = new String(gz.readAllBytes(), StandardCharsets.UTF_8)
+    assert(raw.contains("WARC-Type: conversion"))
+    assert(raw.contains("WARC-Refers-To: <urn:graft:"))
+    // response records (the default) carry no Refers-To
+    Warc.write(docs.toDF("id", "uri", "text"), "/tmp/graft_warc_spec/resp")
+    val rawResp = Files.readString(
+      new java.io.File("/tmp/graft_warc_spec/resp").listFiles()
+        .filter(_.getName.endsWith(".warc")).head.toPath)
+    assert(!rawResp.contains("WARC-Refers-To"))
+  }
+
   test("payloads containing WARC-looking bytes do not confuse the reader") {
     val docs = Seq(
       ("a", "http://x.example/a", "before\r\nWARC/1.0\r\nnot: a real record\rmid\r\n\r\nafter"),
