@@ -10,7 +10,9 @@ import org.apache.spark.sql.functions._
   * re-filters over an existing corpus).
   *
   * Semantics implemented (the REP core, incl. the RFC 9309 §2.2.3
-  * special characters): only `User-agent: *` groups are consulted;
+  * special characters): §2.2.1 group selection by crawler product
+  * token (case-insensitive exact group match, `*` fallback, an empty
+  * exact group meaning allow-all rather than fallback);
   * `Allow`/`Disallow` path patterns with `*` (any octet sequence) and
   * a trailing `$` (end anchor); the MOST SPECIFIC match wins
   * (specificity = pattern octet length, the spec's "longest match");
@@ -26,14 +28,25 @@ import org.apache.spark.sql.functions._
   */
 object Robots {
 
-  /** `Allow:`/`Disallow:` prefixes for `User-agent: *` groups, encoded
-    * as "A<prefix>" / "D<prefix>" strings (a struct array buys nothing
-    * for two fields and keeps the UDF boxing-free).
+  /** `Allow:`/`Disallow:` prefixes for the groups that GOVERN the given
+    * product token, per RFC 9309 §2.2.1 group selection: groups whose
+    * `User-agent:` line equals the token case-insensitively are the
+    * crawler's groups; only when NO group names the token do the
+    * `User-agent: *` groups apply. The existence of a matching group
+    * decides, not its rule count — an EMPTY exact group means
+    * "everything allowed for you", never a fallback to `*` (the RFC's
+    * empty-group semantics). Rules encode as "A<prefix>" / "D<prefix>"
+    * strings (a struct array buys nothing for two fields and keeps the
+    * UDF boxing-free).
     */
-  private[ops] def parseStar(robotsTxt: String): Array[String] = {
+  private[ops] def parseFor(robotsTxt: String, agent: String): Array[String] = {
     if (robotsTxt == null) return Array.empty
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val agentLc = if (agent == null) "*" else agent.trim.toLowerCase
+    val exact = scala.collection.mutable.ArrayBuffer.empty[String]
+    val star = scala.collection.mutable.ArrayBuffer.empty[String]
+    var inExact = false
     var inStar = false
+    var existsExact = false
     var afterAgentLine = false
     robotsTxt.linesIterator.foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
@@ -45,22 +58,33 @@ object Robots {
           case "user-agent" =>
             // consecutive user-agent lines open ONE group; any rule line
             // closes the agent-line run
-            if (!afterAgentLine) inStar = false
+            if (!afterAgentLine) { inStar = false; inExact = false }
             if (value == "*") inStar = true
+            if (value.toLowerCase == agentLc) { inExact = true; existsExact = true }
             afterAgentLine = true
-          case "allow" if inStar =>
+          case "allow" if inExact || inStar =>
             afterAgentLine = false
-            if (value.nonEmpty) out += ("A" + value)
-          case "disallow" if inStar =>
+            if (value.nonEmpty) {
+              if (inExact) exact += ("A" + value)
+              if (inStar) star += ("A" + value)
+            }
+          case "disallow" if inExact || inStar =>
             afterAgentLine = false
-            if (value.nonEmpty) out += ("D" + value) // empty Disallow = allow all
+            if (value.nonEmpty) { // empty Disallow = allow all
+              if (inExact) exact += ("D" + value)
+              if (inStar) star += ("D" + value)
+            }
           case _ =>
             afterAgentLine = false
         }
       }
     }
-    out.toArray
+    (if (existsExact) exact else star).toArray
   }
+
+  /** [[parseFor]] specialized to the `*` groups. */
+  private[ops] def parseStar(robotsTxt: String): Array[String] =
+    parseFor(robotsTxt, "*")
 
   /** Does the RFC 9309 path pattern match the path? Patterns are
     * anchored at the path start; `*` spans any octet sequence; a
@@ -116,15 +140,21 @@ object Robots {
     bestAllow
   }
 
-  /** First valid `Crawl-delay` in a `User-agent: *` group, seconds;
-    * NaN sentinel when absent (a typed UDF cannot return null from a
+  /** First valid `Crawl-delay` in the groups governing `agent` (same
+    * §2.2.1 selection as [[parseFor]]: exact groups if any exist —
+    * even delay-less ones — else the `*` groups), seconds; NaN
+    * sentinel when absent (a typed UDF cannot return null from a
     * primitive Double — callers translate via [[crawlDelayFor]]).
     */
-  private[ops] def crawlDelayStar(robotsTxt: String): Double = {
+  private[ops] def crawlDelayOf(robotsTxt: String, agent: String): Double = {
     if (robotsTxt == null) return Double.NaN
+    val agentLc = if (agent == null) "*" else agent.trim.toLowerCase
+    var inExact = false
     var inStar = false
+    var existsExact = false
     var afterAgentLine = false
-    var delay = Double.NaN
+    var delayExact = Double.NaN
+    var delayStar = Double.NaN
     robotsTxt.linesIterator.foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
       val colon = line.indexOf(':')
@@ -133,21 +163,28 @@ object Robots {
         val value = line.substring(colon + 1).trim
         key match {
           case "user-agent" =>
-            if (!afterAgentLine) inStar = false
+            if (!afterAgentLine) { inStar = false; inExact = false }
             if (value == "*") inStar = true
+            if (value.toLowerCase == agentLc) { inExact = true; existsExact = true }
             afterAgentLine = true
-          case "crawl-delay" if inStar =>
+          case "crawl-delay" if inExact || inStar =>
             afterAgentLine = false
-            if (delay.isNaN) value.toDoubleOption.foreach { d =>
-              if (d >= 0) delay = d
+            value.toDoubleOption.foreach { d =>
+              if (d >= 0) {
+                if (inExact && delayExact.isNaN) delayExact = d
+                if (inStar && delayStar.isNaN) delayStar = d
+              }
             }
           case _ =>
             afterAgentLine = false
         }
       }
     }
-    delay
+    if (existsExact) delayExact else delayStar
   }
+
+  private[ops] def crawlDelayStar(robotsTxt: String): Double =
+    crawlDelayOf(robotsTxt, "*")
 
   /** Every `Sitemap:` location in the file, in order (sitemaps.org —
     * the field is independent of user-agent groups).
@@ -169,6 +206,22 @@ object Robots {
   /** Parse a robots.txt column into the rule array for agent `*`. */
   def rulesFor(robotsTxt: Column): Column =
     udf((t: String) => parseStar(t)).apply(robotsTxt)
+
+  /** Rule array for a SPECIFIC crawler product token (RFC 9309 §2.2.1
+    * group selection: case-insensitive exact group, `*` fallback,
+    * empty-exact-group means allow-all rather than fallback).
+    */
+  def rulesForAgent(robotsTxt: Column, agent: Column): Column =
+    udf((t: String, a: String) => parseFor(t, a)).apply(robotsTxt, agent)
+
+  /** `Crawl-delay` seconds for a specific crawler product token, null
+    * when absent/invalid for the governing group set.
+    */
+  def crawlDelayForAgent(robotsTxt: Column, agent: Column): Column = {
+    val d = udf((t: String, a: String) => crawlDelayOf(t, a))
+      .apply(robotsTxt, agent)
+    when(isnan(d), lit(null).cast("double")).otherwise(d)
+  }
 
   /** Verdict column for (rules array, URL path). */
   def isAllowed(rules: Column, path: Column): Column =

@@ -504,13 +504,25 @@ object Web {
           "User-agent: *\nDisallow: /fr*Doc\nCrawl-delay: 10\n"))
         .otherwise(lit(
           "User-agent: googlebot\nDisallow: /\nUser-agent: *\n" +
-            "Allow: /en\nDisallow: /*-3$\nSitemap: https://maps.example/s.xml\n"))
+            "Allow: /en\nDisallow: /*-3$\nCrawl-delay: 4\n" +
+            "Sitemap: https://maps.example/s.xml\n"))
       normalized(s, dir).select(col("doc_id"), col("domain"),
           UrlOps.path(col("url")).as("pth"),
           graft.ops.Robots.isAllowed(
             graft.ops.Robots.rulesFor(robots), UrlOps.path(col("url")))
             .as("allowed"),
+          // §2.2.1 group selection, corpus-gated: branch 2 names
+          // googlebot (exact group wins: everything disallowed, and
+          // its delay is NULL even though the * group exists); the
+          // other branches have no googlebot group (fallback to *,
+          // identical verdicts + delays). Case folding gated by the
+          // mixed-case token.
+          graft.ops.Robots.isAllowed(
+            graft.ops.Robots.rulesForAgent(robots, lit("GoogleBot")),
+            UrlOps.path(col("url"))).as("allowed_googlebot"),
           graft.ops.Robots.crawlDelayFor(robots).as("crawl_delay"),
+          graft.ops.Robots.crawlDelayForAgent(robots, lit("GoogleBot"))
+            .as("crawl_delay_googlebot"),
           array_join(graft.ops.Robots.sitemapsFor(robots), ",").as("sitemaps"))
         .orderBy(col("doc_id"))
     }),
@@ -669,7 +681,20 @@ object Web {
           |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
           |      '-3$')
           |  END AS allowed,
-          |  CASE doc_id % 3 WHEN 0 THEN 1.5 WHEN 1 THEN 10.0 ELSE NULL END AS crawl_delay,
+          |  -- §2.2.1 selection: branch 2 has an exact googlebot group
+          |  -- (Disallow: / → always FALSE; its delay is NULL — no
+          |  -- fallback to the * group's 4); branches 0/1 fall back to *
+          |  CASE doc_id % 3
+          |    WHEN 0 THEN NOT regexp_matches(
+          |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+          |      '^/.*/Doc-1$')
+          |    WHEN 1 THEN NOT regexp_matches(
+          |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+          |      '^/fr.*Doc')
+          |    ELSE FALSE
+          |  END AS allowed_googlebot,
+          |  CASE doc_id % 3 WHEN 0 THEN 1.5 WHEN 1 THEN 10.0 ELSE 4.0 END AS crawl_delay,
+          |  CASE doc_id % 3 WHEN 0 THEN 1.5 WHEN 1 THEN 10.0 ELSE NULL END AS crawl_delay_googlebot,
           |  CASE doc_id % 3
           |    WHEN 0 THEN 'https://maps.example/a.xml,https://maps.example/b.xml'
           |    WHEN 1 THEN ''

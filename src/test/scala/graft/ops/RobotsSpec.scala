@@ -26,6 +26,46 @@ class RobotsSpec extends AnyFunSuite {
     assert(eval(after, "/b/1"))   // /b belongs to bot's group only
   }
 
+  test("§2.2.1 group selection: exact product-token group beats *, case-insensitively") {
+    val r = "User-agent: GoogleBot\nDisallow: /private\n" +
+      "User-agent: *\nDisallow: /\n"
+    def evalFor(agent: String, path: String): Boolean =
+      Robots.allowed(Robots.parseFor(r, agent), path)
+    assert(!evalFor("googlebot", "/private/x")) // its own group's rule
+    assert(evalFor("googlebot", "/public"))     // NOT the * lockdown
+    assert(!evalFor("bingbot", "/public"))      // no exact group → * applies
+    assert(evalFor("GOOGLEBOT", "/public"))     // token folding both ways
+  }
+
+  test("§2.2.1: an EMPTY exact group means allow-all, never fallback to *") {
+    // the Crawl-delay line closes nicebot's agent-line run, so its
+    // group exists with ZERO path rules → everything allowed for it
+    // (a blank line would NOT close the run — RFC 9309's ABNF lets
+    // empty lines sit between user-agent lines of one group)
+    val r = "User-agent: nicebot\nCrawl-delay: 1\nUser-agent: *\nDisallow: /\n"
+    assert(Robots.allowed(Robots.parseFor(r, "nicebot"), "/anything"))
+    assert(!Robots.allowed(Robots.parseFor(r, "other"), "/anything"))
+    // and an empty-line-separated agent run IS one shared group
+    val merged = "User-agent: nicebot\n\nUser-agent: also\nDisallow: /z\n"
+    assert(!Robots.allowed(Robots.parseFor(merged, "nicebot"), "/z/1"))
+  }
+
+  test("§2.2.1: a shared agent-line run (token + *) serves both selections") {
+    val r = "User-agent: dualbot\nUser-agent: *\nDisallow: /x\n"
+    assert(!Robots.allowed(Robots.parseFor(r, "dualbot"), "/x/1"))
+    assert(!Robots.allowed(Robots.parseFor(r, "anyone"), "/x/1"))
+    assert(Robots.allowed(Robots.parseFor(r, "dualbot"), "/y"))
+  }
+
+  test("Crawl-delay follows group selection: exact group without a delay is null") {
+    val r = "User-agent: slowbot\nDisallow: /a\n" +
+      "User-agent: *\nCrawl-delay: 7\n"
+    assert(Robots.crawlDelayOf(r, "slowbot").isNaN) // exact group, no delay
+    assert(Robots.crawlDelayOf(r, "fastbot") == 7.0) // fallback to *
+    val r2 = "User-agent: slowbot\nCrawl-delay: 2.5\nUser-agent: *\nCrawl-delay: 7\n"
+    assert(Robots.crawlDelayOf(r2, "SlowBot") == 2.5)
+  }
+
   test("comments, blank lines, and empty Disallow are inert") {
     val r = "# header\nUser-agent: *  # star\n\nDisallow:\nDisallow: /q # trailing\n"
     assert(eval(r, "/anything"))
