@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{LinkGraph, UrlOps}
@@ -183,15 +184,56 @@ object Links {
         .join(l1, "node")
         .crossJoin(broadcast(conv))
         .orderBy(col("node"))
+    }),
+
+    // The frontier capstone — what the graph layer is FOR: schedule
+    // the next crawl window. Candidates = URL-dedup survivors that
+    // robots allows; politeness gives each domain a deterministic
+    // crawl-delay and a 12-second window gives it an integer capacity
+    // (12 div delay — tight enough that the cut genuinely truncates); candidates queue per domain in md5 order and the
+    // first `capacity` are scheduled; domains rank by the PageRank
+    // authority of the extracted link graph. One row per domain,
+    // ordered by descending rank. Scale shape: the dedup aggregate and
+    // the domain window both key on columns the data already groups
+    // by; PageRank is the bounded iteration; everything else is
+    // map-only.
+    "q_crawl_frontier" -> ((s, dir) => {
+      val n = Web.normalized(s, dir)
+      val surv = n.groupBy(col("url_norm")).agg(min(col("doc_id")).as("doc_id"))
+      val robots = when(length(col("domain")) % 2 === 0,
+          lit("User-agent: *\nDisallow: /fr\nAllow: /fr/Doc-1\n"))
+        .otherwise(
+          lit("# lockdown\nUser-agent: *\nDisallow: /\nAllow: /en\n"))
+      val ok = n.join(surv.select("doc_id"), "doc_id")
+        .filter(graft.ops.Robots.isAllowed(
+          graft.ops.Robots.rulesFor(robots), UrlOps.path(col("url"))))
+        .withColumn("capacity",
+          expr("CAST(12 div (length(domain) % 3 + 1) AS BIGINT)"))
+      val sched = ok.withColumn("rn", row_number().over(
+        Window.partitionBy(col("domain"))
+          .orderBy(md5(col("url_norm")), col("url_norm"))))
+      val ranks = LinkGraph.pageRank(edgesDf(s, dir), iters = 5)
+        .withColumnRenamed("node", "domain")
+      sched.groupBy(col("domain"))
+        .agg(max(col("capacity")).as("capacity"),
+          count(lit(1)).as("n_candidates"),
+          sum(when(col("rn") <= col("capacity"), 1).otherwise(0))
+            .as("n_scheduled"))
+        .join(ranks, Seq("domain"), "left")
+        .select(col("domain"), col("rank"), col("capacity"),
+          col("n_candidates"), col("n_scheduled"))
+        .orderBy(col("rank").desc, col("domain"))
     })
   )
 
   /** Unrolled fixed-point PageRank recurrence, the DuckDB twin of
     * [[LinkGraph.pageRank]]: same scale, same floor divisions (`//`
     * vs Spark's `div` — identical on non-negative operands), same
-    * dangling redistribution.
+    * dangling redistribution. Returns the CTE chain only (final ranks
+    * in `r\$iters`), so callers can either select from it directly or
+    * compose it into a larger derivation (q_crawl_frontier).
     */
-  private def pageRankSql(iters: Int): String = {
+  private def pageRankCtes(iters: Int): String = {
     val scale = "1000000000000"
     val head =
       s"""e AS MATERIALIZED (
@@ -221,8 +263,11 @@ object Links {
          |  AS BIGINT) AS rank
          |  FROM gnodes g LEFT JOIN ck$k c ON g.node = c.node)""".stripMargin
     }.mkString(",\n")
-    s"$head,\n$rounds\nSELECT node, rank FROM r$iters ORDER BY node"
+    s"$head,\n$rounds"
   }
+
+  private def pageRankSql(iters: Int): String =
+    s"${pageRankCtes(iters)}\nSELECT node, rank FROM r$iters ORDER BY node"
 
   /** Unrolled min-label propagation (8 rounds), the DuckDB twin of
     * [[LinkGraph.labelPropagation]] + the per-component rollup.
@@ -293,7 +338,35 @@ object Links {
           pageRankSql(5)),
       "q_link_components" ->
         (s"WITH ${Web.urlCte},\n${Web.normCte},\n$linksCte,\n" +
-          componentsSql(8))
+          componentsSql(8)),
+      "q_crawl_frontier" ->
+        (s"WITH ${Web.urlCte},\n${Web.normCte},\n$linksCte,\n" +
+          s"${pageRankCtes(5)},\n" +
+          """surv AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY url_norm),
+            |okc AS (
+            |  SELECT c.domain, c.url_norm,
+            |    CAST(12 // (length(c.domain) % 3 + 1) AS BIGINT) AS capacity
+            |  FROM c JOIN surv USING (doc_id)
+            |  WHERE CASE WHEN length(domain) % 2 = 0 THEN
+            |      (CASE WHEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) LIKE '/fr/Doc-1%' THEN TRUE
+            |            WHEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) LIKE '/fr%' THEN FALSE
+            |            ELSE TRUE END)
+            |    ELSE regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) LIKE '/en%'
+            |    END),
+            |sch AS (
+            |  SELECT domain, capacity,
+            |    row_number() OVER (PARTITION BY domain
+            |      ORDER BY md5(url_norm), url_norm) AS rn
+            |  FROM okc),
+            |fr AS (
+            |  SELECT domain, max(capacity) AS capacity,
+            |    count(*) AS n_candidates,
+            |    CAST(sum(CASE WHEN rn <= capacity THEN 1 ELSE 0 END) AS BIGINT)
+            |      AS n_scheduled
+            |  FROM sch GROUP BY domain)
+            |SELECT fr.domain, r.rank, fr.capacity, fr.n_candidates, fr.n_scheduled
+            |FROM fr LEFT JOIN r5 r ON fr.domain = r.node
+            |ORDER BY r.rank DESC, fr.domain""".stripMargin)
     )
   }
 }
