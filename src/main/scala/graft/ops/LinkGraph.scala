@@ -179,6 +179,29 @@ object LinkGraph {
       regexp_extract_all(html, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)),
       a => trim(regexp_replace(a, "<[^>]*>", " ")))
 
+  /** `<loc>` values of a sitemaps.org XML document (urlset entries or
+    * sitemapindex children), document order, whitespace-trimmed — the
+    * crawl-discovery input robots.txt's `Sitemap:` lines point at.
+    * Regex built-ins, map-only; sitemap XML is machine-generated and
+    * flat, which is what makes the regex approach sound here (unlike
+    * general HTML).
+    */
+  def sitemapLocs(xml: Column): Column =
+    regexp_extract_all(xml, lit("(?is)<loc>\\s*([^<]+?)\\s*</loc>"), lit(1))
+
+  /** `<lastmod>` values, document order (freshness signals for crawl
+    * prioritization; W3C datetime strings, left unparsed — consumers
+    * decide the precision they need).
+    */
+  def sitemapLastmods(xml: Column): Column =
+    regexp_extract_all(xml, lit("(?is)<lastmod>\\s*([^<]+?)\\s*</lastmod>"), lit(1))
+
+  /** True when the document is a sitemap INDEX (children are further
+    * sitemaps to fetch, not page URLs).
+    */
+  def isSitemapIndex(xml: Column): Column =
+    xml.rlike("(?is)<\\s*sitemapindex")
+
   // -------------------------------------------------------------------
   // PageRank: deterministic fixed-point integer iteration
   // -------------------------------------------------------------------

@@ -223,6 +223,41 @@ object Links {
         .select(col("domain"), col("rank"), col("capacity"),
           col("n_candidates"), col("n_scheduled"))
         .orderBy(col("rank").desc, col("domain"))
+    }),
+
+    // Sitemap XML parsing — the crawl-discovery input the robots
+    // `Sitemap:` lines point at. Every 9th doc publishes a sitemap
+    // INDEX (two child sitemaps, one with a lastmod); the rest publish
+    // a urlset of three page URLs with whitespace-padded <loc> values
+    // (the trim is load-bearing) and per-entry lastmods. The oracle
+    // restates each branch's locs/lastmods literally — any extractor
+    // defect (order, trim, index detection, lastmod pairing)
+    // hash-mismatches. Map-only + the explode.
+    "q_sitemap_urls" -> ((s, dir) => {
+      val d = col("domain")
+      val m = col("doc_id") % 9
+      val k = col("doc_id") % 50
+      val urlEntry = (i: Int) => concat(
+        lit("<url><loc> https://"), d, lit("/sm/"), k, lit(s"/$i </loc>"),
+        lit("<lastmod>2026-0"), m + 1, lit(s"-1$i</lastmod></url>"))
+      val urlset = concat(
+        lit("<?xml version=\"1.0\"?><urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+        urlEntry(1), urlEntry(2), urlEntry(3), lit("</urlset>"))
+      val index = concat(
+        lit("<?xml version=\"1.0\"?><sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+        lit("<sitemap><loc>https://"), d, lit("/sitemap-a.xml</loc></sitemap>"),
+        lit("<sitemap><loc>https://"), d, lit("/sitemap-b.xml</loc>"),
+        lit("<lastmod>2026-01-05</lastmod></sitemap></sitemapindex>"))
+      Web.normalized(s, dir)
+        .withColumn("xml", when(m === 0, index).otherwise(urlset))
+        .select(col("doc_id"),
+          LinkGraph.isSitemapIndex(col("xml")).as("is_index"),
+          array_join(LinkGraph.sitemapLastmods(col("xml")), ",")
+            .as("lastmods"),
+          posexplode(LinkGraph.sitemapLocs(col("xml"))))
+        .select(col("doc_id"), col("is_index"), col("pos"),
+          col("col").as("loc"), col("lastmods"))
+        .orderBy(col("doc_id"), col("pos"))
     })
   )
 
@@ -366,7 +401,26 @@ object Links {
             |  FROM sch GROUP BY domain)
             |SELECT fr.domain, r.rank, fr.capacity, fr.n_candidates, fr.n_scheduled
             |FROM fr LEFT JOIN r5 r ON fr.domain = r.node
-            |ORDER BY r.rank DESC, fr.domain""".stripMargin)
+            |ORDER BY r.rank DESC, fr.domain""".stripMargin),
+      "q_sitemap_urls" ->
+        (s"WITH ${Web.urlCte},\n${Web.normCte},\n" +
+          """sm AS (
+            |  SELECT doc_id, domain, doc_id % 9 AS m9, doc_id % 50 AS k
+            |  FROM c),
+            |p3 AS (SELECT * FROM (VALUES (0), (1), (2)) t(pos))
+            |SELECT doc_id, (m9 = 0) AS is_index, pos,
+            |  CASE WHEN m9 = 0 THEN
+            |    'https://' || domain ||
+            |      (CASE pos WHEN 0 THEN '/sitemap-a.xml' ELSE '/sitemap-b.xml' END)
+            |  ELSE 'https://' || domain || '/sm/' || k || '/' || (pos + 1)
+            |  END AS loc,
+            |  CASE WHEN m9 = 0 THEN '2026-01-05'
+            |  ELSE '2026-0' || (m9 + 1) || '-11,2026-0' || (m9 + 1) || '-12,'
+            |    || '2026-0' || (m9 + 1) || '-13'
+            |  END AS lastmods
+            |FROM sm CROSS JOIN p3
+            |WHERE pos < CASE WHEN m9 = 0 THEN 2 ELSE 3 END
+            |ORDER BY doc_id, pos""".stripMargin)
     )
   }
 }

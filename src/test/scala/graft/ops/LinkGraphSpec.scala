@@ -139,6 +139,20 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(r5("B") == r5("C")) // symmetric receivers stay identical
   }
 
+  test("sitemap kernels: trim, order, case-insensitive tags, index detection") {
+    val urlset = "<?xml version=\"1.0\"?><urlset><url><LOC>\n  https://a/1\n</LOC>" +
+      "<lastmod> 2026-02-03 </lastmod></url><url><loc>https://a/2</loc></url></urlset>"
+    val idx = "<SitemapIndex><sitemap><loc>https://a/s.xml</loc></sitemap></SitemapIndex>"
+    val df = Seq(urlset, idx).toDF("x")
+    val got = df.select(
+      LinkGraph.sitemapLocs(col("x")).as("l"),
+      LinkGraph.sitemapLastmods(col("x")).as("m"),
+      LinkGraph.isSitemapIndex(col("x")).as("i"))
+      .as[(Seq[String], Seq[String], Boolean)].collect()
+    assert(got(0) == ((Seq("https://a/1", "https://a/2"), Seq("2026-02-03"), false)))
+    assert(got(1) == ((Seq("https://a/s.xml"), Seq(), true)))
+  }
+
   test("labelPropagation separates disconnected components") {
     val edges = Seq(("B", "A", 1L), ("C", "D", 1L)).toDF("src", "dst", "w")
     val l = LinkGraph.labelPropagation(edges, rounds = 3)
