@@ -257,15 +257,19 @@ object LinkGraph {
     * aggregate + a left join back — all keyed on the node, the same
     * co-partitioning every round; lineage truncated per round.
     */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, rounds: Int,
+      snapshotAt: Option[Int] = None): DataFrame = {
     require(rounds >= 1, "labelPropagation: rounds must be >= 1")
+    require(snapshotAt.forall(k => k >= 1 && k <= rounds),
+      "labelPropagation: snapshotAt must be in [1, rounds]")
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val und = e.select(col("src").as("s"), col("dst").as("d"))
       .union(e.select(col("dst").as("s"), col("src").as("d")))
     val nodes = und.select(col("s").as("node")).distinct().localCheckpoint()
     var labels = nodes.withColumn("lbl", col("node")).localCheckpoint()
     var prev = labels
-    for (_ <- 1 to rounds) {
+    var snap: DataFrame = null
+    for (k <- 1 to rounds) {
       prev = labels
       val nbrMin = und.join(labels, und("s") === labels("node"))
         .groupBy(col("d")).agg(min(col("lbl")).as("nl"))
@@ -274,8 +278,14 @@ object LinkGraph {
         .select(col("node"),
           least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
         .localCheckpoint()
+      if (snapshotAt.contains(k)) snap = labels
     }
-    labels.join(prev.withColumnRenamed("lbl", "lbl_prev"), "node")
+    val base = labels.join(prev.withColumnRenamed("lbl", "lbl_prev"), "node")
+    // the mid-run snapshot rides along in the ONE propagation run —
+    // re-running k rounds just to observe round k would double the
+    // shuffle-round count at scale
+    if (snap == null) base
+    else base.join(snap.withColumnRenamed("lbl", "lbl_snap"), "node")
   }
 
   def pageRank(edges: DataFrame, iters: Int = 5,

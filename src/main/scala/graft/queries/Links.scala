@@ -173,15 +173,13 @@ object Links {
     // unrolls the same rounds, so the gate holds whether or not the
     // graph converged.
     "q_link_components" -> ((s, dir) => {
-      val e = edgesDf(s, dir).localCheckpoint()
-      val l8 = LinkGraph.labelPropagation(e, rounds = 8)
-      val l1 = LinkGraph.labelPropagation(e, rounds = 1)
-        .select(col("node"), col("lbl").as("lbl_r1"))
+      val l8 = LinkGraph.labelPropagation(edgesDf(s, dir), rounds = 8,
+        snapshotAt = Some(1))
       val conv = l8.agg(
         (min(when(col("lbl") === col("lbl_prev"), 1).otherwise(0)) === 1)
           .as("converged"))
-      l8.select(col("node"), col("lbl").as("component"))
-        .join(l1, "node")
+      l8.select(col("node"), col("lbl").as("component"),
+          col("lbl_snap").as("lbl_r1"))
         .crossJoin(broadcast(conv))
         .orderBy(col("node"))
     }),
@@ -223,6 +221,75 @@ object Links {
         .select(col("domain"), col("rank"), col("capacity"),
           col("n_candidates"), col("n_scheduled"))
         .orderBy(col("rank").desc, col("domain"))
+    }),
+
+    // Degree statistics of the domain graph — the link-spam /
+    // crawl-health view (a domain with huge out-degree and no
+    // in-links is a link farm; one with in-links from a single domain
+    // is a mirror). One aggregate per direction + a full-outer merge
+    // on the domain.
+    "q_link_degrees" -> ((s, dir) => {
+      val e = edgesDf(s, dir).localCheckpoint()
+      val out = e.groupBy(col("src").as("domain"))
+        .agg(sum(col("w")).as("out_links"),
+          countDistinct(col("dst")).as("out_domains"))
+      val in = e.groupBy(col("dst").as("domain"))
+        .agg(sum(col("w")).as("in_links"),
+          countDistinct(col("src")).as("in_domains"))
+      out.join(in, Seq("domain"), "full_outer")
+        .select(col("domain"),
+          coalesce(col("out_links"), lit(0L)).as("out_links"),
+          coalesce(col("out_domains"), lit(0L)).as("out_domains"),
+          coalesce(col("in_links"), lit(0L)).as("in_links"),
+          coalesce(col("in_domains"), lit(0L)).as("in_domains"))
+        .orderBy(col("domain"))
+    }),
+
+    // Redirect-chain resolution by pointer jumping: every non-final
+    // doc 301s to its down-chain neighbor (chains up to 3 hops; three
+    // docs redirect to THEMSELVES — unresolvable loops), the status
+    // and the target pointer travel through real HTTP wire bytes
+    // (encode → split), and 3 pointer-jumping rounds resolve 2^3 hops
+    // — each round joins the map with itself on the current target,
+    // so chain length L costs ⌈log2 L⌉ keyed shuffles, not L (the
+    // 100 TB shape; a real crawl feeds Location headers through
+    // LinkGraph.resolve into the same id/url-keyed jump). The oracle
+    // unrolls the same 3 rounds. `resolved` stays false for the
+    // self-loops; `n_hops` is the exact chain length.
+    "q_redirect_chains" -> ((s, dir) => {
+      val n0 = Web.normalized(s, dir).select(col("doc_id"), col("url_norm"))
+      val isFinal = col("doc_id") % 4 === 0
+      val tgtId = when(isFinal, col("doc_id"))
+        .when(col("doc_id") % 97 === 96, col("doc_id"))
+        .otherwise(col("doc_id") - 1)
+      val wired = n0
+        .withColumn("wire", graft.io.Http.encodeResponseCol(
+          when(isFinal, 200).otherwise(301), lit("text/html"),
+          lit("<html>r</html>"), lit("utf-8"), tgtId.cast("string")))
+        .select(col("doc_id"), graft.io.Http.split(col("wire")).as("r"))
+      var m = wired.select(col("doc_id").as("id"),
+          col("r.headers")("x-doc").cast("long").as("tgt"),
+          (col("r.status") === 200).as("fin"),
+          when(col("r.status") === 200, 0L).otherwise(1L).as("hops"))
+        .localCheckpoint()
+      for (_ <- 1 to 3) {
+        val b = m.select(col("id").as("b_id"), col("tgt").as("b_tgt"),
+          col("fin").as("b_fin"), col("hops").as("b_hops"))
+        m = m.join(b, col("tgt") === col("b_id"))
+          .select(col("id"),
+            when(col("fin"), col("tgt")).otherwise(col("b_tgt")).as("tgt"),
+            when(col("fin"), col("fin")).otherwise(col("b_fin")).as("fin"),
+            when(col("fin"), col("hops")).otherwise(col("hops") + col("b_hops"))
+              .as("hops"))
+          .localCheckpoint()
+      }
+      m.join(n0.select(col("doc_id").as("t_id"),
+          col("url_norm").as("final_url")), col("tgt") === col("t_id"))
+        .select(col("id").as("doc_id"),
+          when(col("id") % 4 === 0, 200).otherwise(301).as("status"),
+          col("final_url"), col("fin").as("resolved"),
+          col("hops").as("n_hops"))
+        .orderBy(col("doc_id"))
     }),
 
     // Sitemap XML parsing — the crawl-discovery input the robots
@@ -402,6 +469,57 @@ object Links {
             |SELECT fr.domain, r.rank, fr.capacity, fr.n_candidates, fr.n_scheduled
             |FROM fr LEFT JOIN r5 r ON fr.domain = r.node
             |ORDER BY r.rank DESC, fr.domain""".stripMargin),
+      "q_link_degrees" ->
+        (s"WITH ${Web.urlCte},\n${Web.normCte},\n$linksCte,\n" +
+          """o AS (
+            |  SELECT src_domain AS domain, CAST(count(*) AS BIGINT) AS out_links,
+            |    CAST(count(DISTINCT dst_domain) AS BIGINT) AS out_domains
+            |  FROM lk GROUP BY 1),
+            |i AS (
+            |  SELECT dst_domain AS domain, CAST(count(*) AS BIGINT) AS in_links,
+            |    CAST(count(DISTINCT src_domain) AS BIGINT) AS in_domains
+            |  FROM lk GROUP BY 1)
+            |SELECT coalesce(o.domain, i.domain) AS domain,
+            |  coalesce(out_links, 0) AS out_links,
+            |  coalesce(out_domains, 0) AS out_domains,
+            |  coalesce(in_links, 0) AS in_links,
+            |  coalesce(in_domains, 0) AS in_domains
+            |FROM o FULL JOIN i ON o.domain = i.domain
+            |ORDER BY domain""".stripMargin),
+      "q_redirect_chains" ->
+        (s"WITH ${Web.urlCte},\n${Web.normCte},\n" +
+          """m0 AS MATERIALIZED (
+            |  SELECT doc_id AS id,
+            |    CASE WHEN doc_id % 4 = 0 THEN doc_id
+            |         WHEN doc_id % 97 = 96 THEN doc_id
+            |         ELSE doc_id - 1 END AS tgt,
+            |    (doc_id % 4 = 0) AS fin,
+            |    CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 1 END AS hops
+            |  FROM c),
+            |m1 AS MATERIALIZED (
+            |  SELECT a.id,
+            |    CASE WHEN a.fin THEN a.tgt ELSE b.tgt END AS tgt,
+            |    CASE WHEN a.fin THEN a.fin ELSE b.fin END AS fin,
+            |    CASE WHEN a.fin THEN a.hops ELSE a.hops + b.hops END AS hops
+            |  FROM m0 a JOIN m0 b ON a.tgt = b.id),
+            |m2 AS MATERIALIZED (
+            |  SELECT a.id,
+            |    CASE WHEN a.fin THEN a.tgt ELSE b.tgt END AS tgt,
+            |    CASE WHEN a.fin THEN a.fin ELSE b.fin END AS fin,
+            |    CASE WHEN a.fin THEN a.hops ELSE a.hops + b.hops END AS hops
+            |  FROM m1 a JOIN m1 b ON a.tgt = b.id),
+            |m3 AS MATERIALIZED (
+            |  SELECT a.id,
+            |    CASE WHEN a.fin THEN a.tgt ELSE b.tgt END AS tgt,
+            |    CASE WHEN a.fin THEN a.fin ELSE b.fin END AS fin,
+            |    CASE WHEN a.fin THEN a.hops ELSE a.hops + b.hops END AS hops
+            |  FROM m2 a JOIN m2 b ON a.tgt = b.id)
+            |SELECT m3.id AS doc_id,
+            |  CASE WHEN m3.id % 4 = 0 THEN 200 ELSE 301 END AS status,
+            |  cx.url_norm AS final_url, m3.fin AS resolved,
+            |  CAST(m3.hops AS BIGINT) AS n_hops
+            |FROM m3 JOIN c cx ON m3.tgt = cx.doc_id
+            |ORDER BY doc_id""".stripMargin),
       "q_sitemap_urls" ->
         (s"WITH ${Web.urlCte},\n${Web.normCte},\n" +
           """sm AS (
