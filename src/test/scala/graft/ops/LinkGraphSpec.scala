@@ -79,6 +79,60 @@ class LinkGraphSpec extends AnyFunSuite {
       assert(LinkGraph.resolve(Base, ref) == want, s"ref '$ref'")
   }
 
+  private def check(p: org.scalacheck.Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: resolution agrees with java.net.URI on non-clamping references") {
+    // java.net.URI implements RFC 2396 §5.2, which differs from RFC 3986
+    // only where ".." climbs past the root (2396 leaves the excess, 3986
+    // clamps) — so on references whose net climb stays within the base
+    // depth, the two independent implementations must agree exactly.
+    import org.scalacheck.{Gen, Prop}
+    val seg = Gen.oneOf("a", "bb", "c1", "..", ".")
+    val refGen = for {
+      n <- Gen.chooseNum(1, 5)
+      segs <- Gen.listOfN(n, seg)
+      q <- Gen.oneOf("", "?x=1", "?q")
+    } yield segs.mkString("/") + q
+    val base = "http://h.example/d1/d2/d3/leaf?bq=0"
+    check(Prop.forAll(refGen) { ref =>
+      // net depth check: count of ".." minus preceding real segments,
+      // evaluated left to right from the base dir depth (3)
+      var depth = 3
+      var clamped = false
+      ref.takeWhile(_ != '?').split("/", -1).foreach {
+        case ".." => depth -= 1; if (depth < 0) clamped = true
+        case "." | "" => ()
+        case _ => depth += 1
+      }
+      clamped || {
+        val viaJava = java.net.URI.create(base).resolve(
+          java.net.URI.create(ref)).toString
+        LinkGraph.resolve(base, ref) == viaJava
+      }
+    })
+  }
+
+  test("property: resolution is idempotent — resolving a resolved URI is a no-op") {
+    import org.scalacheck.{Gen, Prop}
+    val seg = Gen.oneOf("a", "bb", "..", ".", "x9")
+    val refGen = for {
+      n <- Gen.chooseNum(0, 6)
+      segs <- Gen.listOfN(n, seg)
+      lead <- Gen.oneOf("", "/", "//other.host/")
+      q <- Gen.oneOf("", "?k=v")
+      f <- Gen.oneOf("", "#frag")
+    } yield lead + segs.mkString("/") + q + f
+    val base = "https://w.example:8443/p1/p2/file?old=1"
+    check(Prop.forAll(refGen) { ref =>
+      val once = LinkGraph.resolve(base, ref)
+      LinkGraph.resolve(base, once) == once
+    })
+  }
+
   test("resolve is total: scheme-less base returns the reference") {
     assert(LinkGraph.resolve("not a uri", "x/y") == "x/y")
     assert(LinkGraph.resolve("", "/abs") == "/abs")
