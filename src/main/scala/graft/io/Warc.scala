@@ -126,15 +126,19 @@ object Warc {
       .collect().toSeq
   }
 
-  /** Framed bytes of ONE record (version line → headers → payload →
-    * CRLF CRLF), optionally wrapped as its own gzip member — the unit
-    * both the writers and the CDX index address.
+  /** Record id for (source id, type): conversion records live in their
+    * own `conv:` namespace so the WARC/WET pair never collides on
+    * WARC-Record-ID (ISO 28500 requires uniqueness) and the
+    * back-pointer is distinguishable from a self-reference.
     */
+  private[io] def recordId(id: String, warcType: String): String =
+    if (warcType == "conversion") s"<urn:graft:conv:$id>" else s"<urn:graft:$id>"
+
   /** Header block of one record. `warcType` is writer-controlled (not
     * data), so it skips checkHeaderValue; `conversion` records (the
     * WET layout — extracted text derived from a crawled response)
     * carry the ISO 28500 `WARC-Refers-To` back-pointer to the response
-    * record they were derived from (same id namespace here).
+    * record they were derived from.
     */
   private def recordHead(
       id: String, uri: String, payloadLen: Int, warcType: String): Array[Byte] = {
@@ -142,7 +146,7 @@ object Warc {
       if (warcType == "conversion") s"WARC-Refers-To: <urn:graft:$id>\r\n" else ""
     (s"WARC/1.0\r\n" +
       s"WARC-Type: $warcType\r\n" +
-      s"WARC-Record-ID: <urn:graft:$id>\r\n" +
+      s"WARC-Record-ID: ${recordId(id, warcType)}\r\n" +
       refersTo +
       s"WARC-Target-URI: $uri\r\n" +
       s"Content-Length: $payloadLen\r\n\r\n").getBytes(StandardCharsets.UTF_8)
@@ -184,7 +188,8 @@ object Warc {
   def writeWithCdx(
       df: DataFrame,
       dir: String,
-      memberGzip: Boolean = false): DataFrame = {
+      memberGzip: Boolean = false,
+      warcType: String = "response"): DataFrame = {
     val spark = df.sparkSession
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -214,9 +219,10 @@ object Warc {
             it.foreach { r =>
               val id = checkHeaderValue(r.getAs[String]("id"), "id")
               val uri = checkHeaderValue(r.getAs[String]("uri"), "uri")
-              val bytes = recordBytes(id, uri, r.getAs[Array[Byte]]("payload"), memberGzip)
+              val bytes = recordBytes(id, uri, r.getAs[Array[Byte]]("payload"),
+                memberGzip, warcType)
               out.write(bytes)
-              index += ((s"<urn:graft:$id>", uri, shard.toString, off, bytes.length.toLong))
+              index += ((recordId(id, warcType), uri, shard.toString, off, bytes.length.toLong))
               off += bytes.length
             }
             out.close()

@@ -142,7 +142,7 @@ object HtmlExtract {
     */
   private def linkCharsWith(line: Column, render: Column => Column): Column =
     length(render(
-      array_join(regexp_extract_all(line, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)), " ")))
+      array_join(regexp_extract_all(line, lit("(?is)<a(?:\\s[^>]*)?>(.*?)</a>"), lit(1)), " ")))
 
   def linkChars(line: Column): Column = linkCharsWith(line, visibleText)
 

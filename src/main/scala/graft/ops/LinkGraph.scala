@@ -56,12 +56,18 @@ object LinkGraph {
     val query = if (qm >= 0) Some(rest.substring(qm + 1)) else None
     if (qm >= 0) rest = rest.substring(0, qm)
     // scheme: ALPHA *(ALPHA/DIGIT/+/-/.) followed by ':' before any '/'
+    // — ASCII only per the RFC's ABNF (Char.isLetter would admit
+    // Unicode letters and misclassify crawled refs like "données:x"
+    // as absolute URIs)
     var scheme: Option[String] = None
+    def asciiAlpha(c: Char): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
     val colon = rest.indexOf(':')
     if (colon > 0) {
       val cand = rest.substring(0, colon)
-      val ok = cand.charAt(0).isLetter && cand.forall(c =>
-        c.isLetterOrDigit || c == '+' || c == '-' || c == '.')
+      val ok = asciiAlpha(cand.charAt(0)) && cand.forall(c =>
+        asciiAlpha(c) || (c >= '0' && c <= '9') ||
+          c == '+' || c == '-' || c == '.')
       if (ok) { scheme = Some(cand); rest = rest.substring(colon + 1) }
     }
     var authority: Option[String] = None
@@ -164,19 +170,44 @@ object LinkGraph {
   // Extraction: built-in regex columns, map-only
   // -------------------------------------------------------------------
 
-  /** `href` values of anchor tags, document order. Accepts double- and
-    * single-quoted and bare attribute values (the value itself must be
+  /** The anchor-href pattern, boundary-correct on real HTML: the tag
+    * must be `<a` followed by whitespace (never `<abbr>`/`<article>`),
+    * and the `href` attribute name must sit after whitespace or a
+    * quote (never the tail of `data-href`). The value itself must be
     * quote/space/`>`-free — the crawl-grade simplification; quoted
-    * values containing spaces are cut at the space). RE2-subset
-    * pattern, identical in the DuckDB oracle twins.
+    * values containing spaces are cut at the space. RE2-subset.
     */
+  private val HrefPattern: String =
+    "(?is)<a\\s(?:[^>]*?[\\s\"'])?href\\s*=\\s*[\"']?([^\"'\\s>]+)"
+
+  /** One pattern matching href AND body together — [[pairHrefs]] /
+    * [[pairTexts]] extract different groups of the SAME match set, so
+    * the two arrays are positionally aligned by construction (separate
+    * href/body scans would mis-pair the moment one regex fires where
+    * the other does not: empty hrefs, self-closing anchors).
+    */
+  private val PairPattern: String = HrefPattern + "[^>]*>(.*?)</a>"
+
+  /** `href` values of anchor tags, document order. */
   def outlinkHrefs(html: Column): Column =
-    regexp_extract_all(html, lit("(?is)<a[^>]*?href\\s*=\\s*[\"']?([^\"'\\s>]+)"), lit(1))
+    regexp_extract_all(html, lit(HrefPattern), lit(1))
 
   /** Anchor (link body) texts, document order, tags stripped. */
   def anchorTexts(html: Column): Column =
     transform(
-      regexp_extract_all(html, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)),
+      regexp_extract_all(html, lit("(?is)<a(?:\\s[^>]*)?>(.*?)</a>"), lit(1)),
+      a => trim(regexp_replace(a, "<[^>]*>", " ")))
+
+  /** hrefs of anchors that have BOTH an href and a `</a>`-closed body —
+    * index-aligned with [[pairTexts]] (same match set, group 1).
+    */
+  def pairHrefs(html: Column): Column =
+    regexp_extract_all(html, lit(PairPattern), lit(1))
+
+  /** Bodies of the same anchors (group 2), tags stripped, trimmed. */
+  def pairTexts(html: Column): Column =
+    transform(
+      regexp_extract_all(html, lit(PairPattern), lit(2)),
       a => trim(regexp_replace(a, "<[^>]*>", " ")))
 
   /** `<loc>` values of a sitemaps.org XML document (urlset entries or
@@ -303,10 +334,16 @@ object LinkGraph {
     val base = (15L * scale) / (100L * n) // floor, non-negative
     var ranks = nodes.withColumn("rank", lit(scale / n))
     for (_ <- 1 to iters) {
+      // floor(rank·w / outw) via the exact identity
+      //   (rank div outw)·w + ((rank mod outw)·w) div outw
+      // — a naive rank·w product overflows Long once an edge weight
+      // exceeds ~9.2e6 against near-scale ranks; here the largest
+      // intermediate is (rank mod outw)·w < outw·w, safe for any
+      // realistic weighted domain graph. Same identity in the oracle.
       val contribs = e.join(ranks, e("src") === ranks("node"))
         .join(outw, "src")
         .select(col("dst").as("node"),
-          expr("(rank * w) div outw").as("c"))
+          expr("(rank div outw) * w + ((rank % outw) * w) div outw").as("c"))
         .groupBy("node").agg(sum("c").as("contrib"))
       val dang = ranks
         .join(outw, ranks("node") === outw("src"), "left_anti")

@@ -48,13 +48,21 @@ object Links {
     * derivation is scale-factor-agnostic.
     */
   private def linkedPages(s: SparkSession, dir: String): DataFrame = {
-    val n = Web.normalized(s, dir)
-      .select(col("doc_id"), col("url"), col("url_norm"), col("domain"))
+    // ONE materialized derivation feeds the page side and both
+    // neighbor-join sides — three separate normalized() calls would
+    // re-run the scan + URL normalization per side (self-join branches
+    // share no map subtrees in Spark)
+    val base = Web.normalized(s, dir)
+      .select(col("doc_id"), col("url"), col("url_norm"), col("domain"),
+        col("source"))
+      .localCheckpoint()
+    val n = base.select(col("doc_id"), col("url"), col("url_norm"),
+      col("domain"))
     val nd = n.agg((max(col("doc_id")) + 1).as("nd"))
-    val dst1 = Web.normalized(s, dir)
+    val dst1 = base
       .select(col("doc_id").as("t1_id"), col("url").as("t1_url"),
         col("source").as("t1_source"))
-    val dst2 = Web.normalized(s, dir)
+    val dst2 = base
       .select(col("doc_id").as("t2_id"), col("url").as("t2_url"),
         col("source").as("t2_source"))
     val sink = when(col("doc_id") % 11 === 0,
@@ -146,8 +154,8 @@ object Links {
     // SAME pages; posexplode pairs each href with its anchor body.
     "q_anchor_text" -> ((s, dir) =>
       linkedPages(s, dir)
-        .select(col("url"), LinkGraph.anchorTexts(col("html")).as("ts"),
-          posexplode(LinkGraph.outlinkHrefs(col("html"))))
+        .select(col("url"), LinkGraph.pairTexts(col("html")).as("ts"),
+          posexplode(LinkGraph.pairHrefs(col("html"))))
         .select(UrlOps.registrableDomain(UrlOps.host(
           LinkGraph.resolveUdf(col("url"), col("col")))).as("dst_domain"),
           element_at(col("ts"), col("pos") + 1).as("anchor"))
@@ -350,7 +358,7 @@ object Links {
     val rounds = (1 to iters).map { k =>
       s"""ck$k AS MATERIALIZED (
          |  SELECT e.dst AS node,
-         |    CAST(sum((r.rank * e.w) // o.outw) AS BIGINT) AS contrib
+         |    CAST(sum((r.rank // o.outw) * e.w + ((r.rank % o.outw) * e.w) // o.outw) AS BIGINT) AS contrib
          |  FROM e JOIN r${k - 1} r ON e.src = r.node
          |  JOIN outw o ON e.src = o.src
          |  GROUP BY e.dst),

@@ -178,7 +178,7 @@ object ScaleDomain {
       graft.io.Warc.write(ext, s"$base/wet", memberGzip = true,
         warcType = "conversion")
       graft.io.Warc.read(s, s"$base/wet", splitSize = 8192)
-        .select(regexp_extract(col("record_id"), "<urn:graft:([0-9]+)>", 1)
+        .select(regexp_extract(col("record_id"), "<urn:graft:conv:([0-9]+)>", 1)
           .cast("long").as("doc_id"),
           col("warc_type"),
           decode(col("payload"), "UTF-8").as("wet_text"))

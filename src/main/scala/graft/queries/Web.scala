@@ -197,7 +197,7 @@ object Web {
     */
   private def sqlLinkChars(x: String): String =
     s"length(${sqlVisible(
-      s"coalesce(array_to_string(regexp_extract_all($x, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), '')")})"
+      s"coalesce(array_to_string(regexp_extract_all($x, '(?is)<a(?:\\s[^>]*)?>(.*?)</a>', 1), ' '), '')")})"
 
   /** DuckDB twin of the stopword-hit count over a collapsed visible. */
   private def sqlStops(v: String): String = {
@@ -316,7 +316,7 @@ object Web {
 
   private def sqlLinkCharsFull(x: String): String =
     s"length(${sqlVisibleFull(
-      s"coalesce(array_to_string(regexp_extract_all($x, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), '')")})"
+      s"coalesce(array_to_string(regexp_extract_all($x, '(?is)<a(?:\\s[^>]*)?>(.*?)</a>', 1), ' '), '')")})"
 
   /** CTE `px(doc_id, status, ctype, x_doc, extracted)`: the HTTP-gate
     * derivation + full-decode extraction twin, computed from pristine

@@ -157,6 +157,51 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(got == Seq("http://q.d/1", "2", "../3"))
   }
 
+  test("extraction boundaries: data-href, <abbr>/<article>, pair alignment") {
+    // attribute boundary: data-href must not satisfy the href match —
+    // the REAL href wins even when a data-href precedes it
+    val h1 = """<a data-href="/tracked" href="/real">x</a>"""
+    assert(Seq(h1).toDF("h").select(LinkGraph.outlinkHrefs(col("h")).as("v"))
+      .as[Seq[String]].head() == Seq("/real"))
+    // tag boundary: tags merely STARTING with 'a' are not anchors,
+    // for either hrefs or anchor bodies
+    val h2 = """<abbr data-href="/p">t</abbr><article href="/q">body</article>""" +
+      """<a href="/ok">yes</a>"""
+    assert(Seq(h2).toDF("h").select(LinkGraph.outlinkHrefs(col("h")).as("v"))
+      .as[Seq[String]].head() == Seq("/ok"))
+    assert(Seq(h2).toDF("h").select(LinkGraph.anchorTexts(col("h")).as("v"))
+      .as[Seq[String]].head() == Seq("yes"))
+    // pair alignment: an empty-href anchor fires in NEITHER pair array,
+    // so hrefs and bodies stay index-aligned (separate scans would
+    // pair "/x" with "empty")
+    val h3 = """<a href="">empty</a><a href="/x">X</a>"""
+    val (hs, ts) = Seq(h3).toDF("h")
+      .select(LinkGraph.pairHrefs(col("h")).as("a"),
+        LinkGraph.pairTexts(col("h")).as("b"))
+      .as[(Seq[String], Seq[String])].head()
+    assert(hs == Seq("/x") && ts == Seq("X"))
+  }
+
+  test("parseUri schemes are ASCII-only: a Unicode-letter prefix is not a scheme") {
+    // "données:page" must resolve as a relative path, not pass through
+    // as an absolute URI with scheme "données"
+    assert(LinkGraph.resolve("http://h/a/b", "données:page")
+      == "http://h/a/données:page")
+    assert(LinkGraph.resolve("http://h/a/b", "data:x") == "data:x")
+  }
+
+  test("pageRank contribution identity survives weights that would overflow rank*w") {
+    // one node holding near-total mass with a heavy edge: naive
+    // rank*w ≈ 1e12 · 1e7 = 1e19 > Long.MaxValue would go negative;
+    // the (div/mod) identity keeps every intermediate < outw·w
+    val w = 10000000L
+    val edges = Seq(("A", "B", w), ("A", "C", 1L)).toDF("src", "dst", "w")
+    val r = LinkGraph.pageRank(edges, iters = 2)
+      .as[(String, Long)].collect().toMap
+    assert(r.values.forall(_ >= 0), r.toString)
+    assert(r("B") > r("C"))
+  }
+
   test("anchorTexts strips inner tags and trims") {
     val html = """<a href=1> <b>Bold</b> link </a><a href=2>plain</a>"""
     val got = Seq(html).toDF("h")
