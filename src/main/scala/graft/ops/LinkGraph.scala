@@ -359,4 +359,60 @@ object LinkGraph {
     }
     ranks
   }
+
+  /** TrustRank (Gyöngyi, Garcia-Molina, Pedersen — VLDB '04): PageRank
+    * with the teleport restricted to a TRUSTED seed set. Trust flows
+    * out of the seeds along links; a domain unreachable from every
+    * seed floors to rank 0 — the spam-demotion signal link farms
+    * cannot fake by linking to each other. Same fixed-point integer
+    * discipline as [[pageRank]] (floor divisions only, overflow-safe
+    * contribution identity, dangling mass re-teleports to the seeds),
+    * so the recurrence is hash-gateable against an unrolled oracle.
+    *
+    * `seeds`' first column is the node id; it is intersected with the
+    * graph's node set. Per round: the same edge⋈rank join + dst-keyed
+    * sum as PageRank, plus a broadcast-size seed-flag join.
+    */
+  def trustRank(edges: DataFrame, seeds: DataFrame, iters: Int = 5,
+      scale: Long = 1000000000000L): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outw = e.groupBy("src").agg(sum("w").as("outw")).localCheckpoint()
+    val sd = nodes.join(
+      seeds.select(col(seeds.columns.head).as("node")).distinct(), "node")
+    val flagged = nodes
+      .join(sd.withColumn("is_seed", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .localCheckpoint()
+    val nS = flagged.filter(col("is_seed")).count()
+    require(nS > 0, "trustRank: no seed intersects the graph")
+    val base = (15L * scale) / (100L * nS)
+    var ranks = flagged
+      .select(col("node"),
+        when(col("is_seed"), lit(scale / nS)).otherwise(lit(0L)).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribs = e.join(ranks, e("src") === ranks("node"))
+        .join(outw, "src")
+        .select(col("dst").as("node"),
+          expr("(rank div outw) * w + ((rank % outw) * w) div outw").as("c"))
+        .groupBy("node").agg(sum("c").as("contrib"))
+      val dang = ranks
+        .join(outw, ranks("node") === outw("src"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0L)).as("dang"))
+      ranks = flagged
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          when(col("is_seed"),
+            lit(base) + expr(
+              s"(85 * (coalesce(contrib, 0L) + (dang div ${nS}L))) div 100"))
+            .otherwise(expr("(85 * coalesce(contrib, 0L)) div 100"))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    flagged.join(ranks, "node")
+  }
 }

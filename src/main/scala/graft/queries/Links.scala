@@ -300,6 +300,21 @@ object Links {
         .orderBy(col("doc_id"))
     }),
 
+    // TrustRank: the teleport restricted to a trusted seed set (the
+    // .co.uk domains here) — trust flows OUT of the seeds along
+    // links, and a domain no seed can reach floors to exactly 0 (the
+    // spam-demotion property link farms cannot fake). Same integer
+    // recurrence discipline as q_pagerank; the oracle unrolls 5
+    // seeded rounds.
+    "q_trustrank" -> ((s, dir) => {
+      val e = edgesDf(s, dir)
+      val seeds = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .filter(col("node").endsWith(".co.uk"))
+      LinkGraph.trustRank(e, seeds, iters = 5)
+        .orderBy(col("node"))
+    }),
+
     // Sitemap XML parsing — the crawl-discovery input the robots
     // `Sitemap:` lines point at. Every 9th doc publishes a sitemap
     // INDEX (two child sitemaps, one with a lastmod); the rest publish
@@ -343,14 +358,20 @@ object Links {
     * in `r\$iters`), so callers can either select from it directly or
     * compose it into a larger derivation (q_crawl_frontier).
     */
+  /** Shared graph head (edges, node set, out-weights) for the
+    * unrolled-recurrence oracles.
+    */
+  private val graphCtes: String =
+    """e AS MATERIALIZED (
+      |  SELECT src_domain AS src, dst_domain AS dst, count(*) AS w
+      |  FROM lk GROUP BY 1, 2),
+      |gnodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY src)""".stripMargin
+
   private def pageRankCtes(iters: Int): String = {
     val scale = "1000000000000"
     val head =
-      s"""e AS MATERIALIZED (
-         |  SELECT src_domain AS src, dst_domain AS dst, count(*) AS w
-         |  FROM lk GROUP BY 1, 2),
-         |gnodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
-         |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY src),
+      s"""$graphCtes,
          |nn AS (SELECT count(*) AS n FROM gnodes),
          |r0 AS MATERIALIZED (
          |  SELECT node, CAST($scale // (SELECT n FROM nn) AS BIGINT) AS rank
@@ -378,6 +399,51 @@ object Links {
 
   private def pageRankSql(iters: Int): String =
     s"${pageRankCtes(iters)}\nSELECT node, rank FROM r$iters ORDER BY node"
+
+  /** Unrolled TrustRank recurrence, the DuckDB twin of
+    * [[LinkGraph.trustRank]]: teleport (and dangling re-teleport)
+    * restricted to the seed set, non-seeds receive walked-in trust
+    * only — same floor divisions and overflow-safe contribution
+    * identity as the PageRank twin.
+    */
+  private def trustRankSql(iters: Int): String = {
+    val scale = "1000000000000"
+    val head =
+      s"""$graphCtes,
+         |tsd AS MATERIALIZED (
+         |  SELECT node FROM gnodes WHERE node LIKE '%.co.uk'),
+         |ns AS (SELECT count(*) AS n FROM tsd),
+         |t0 AS MATERIALIZED (
+         |  SELECT node,
+         |    CAST(CASE WHEN node IN (SELECT node FROM tsd)
+         |      THEN $scale // (SELECT n FROM ns) ELSE 0 END AS BIGINT) AS rank
+         |  FROM gnodes)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""tc$k AS MATERIALIZED (
+         |  SELECT e.dst AS node,
+         |    CAST(sum((r.rank // o.outw) * e.w + ((r.rank % o.outw) * e.w) // o.outw) AS BIGINT) AS contrib
+         |  FROM e JOIN t${k - 1} r ON e.src = r.node
+         |  JOIN outw o ON e.src = o.src
+         |  GROUP BY e.dst),
+         |td$k AS (
+         |  SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dang
+         |  FROM t${k - 1} WHERE node NOT IN (SELECT src FROM outw)),
+         |t$k AS MATERIALIZED (
+         |  SELECT g.node, CAST(
+         |    CASE WHEN g.node IN (SELECT node FROM tsd)
+         |    THEN (15 * $scale) // (100 * (SELECT n FROM ns)) +
+         |      (85 * (coalesce(c.contrib, 0) +
+         |        (SELECT dang FROM td$k) // (SELECT n FROM ns))) // 100
+         |    ELSE (85 * coalesce(c.contrib, 0)) // 100 END
+         |  AS BIGINT) AS rank
+         |  FROM gnodes g LEFT JOIN tc$k c ON g.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$rounds
+       |SELECT t$iters.node,
+       |  t$iters.node IN (SELECT node FROM tsd) AS is_seed, t$iters.rank
+       |FROM t$iters ORDER BY node""".stripMargin
+  }
 
   /** Unrolled min-label propagation (8 rounds), the DuckDB twin of
     * [[LinkGraph.labelPropagation]] + the per-component rollup.
@@ -528,6 +594,9 @@ object Links {
             |  CAST(m3.hops AS BIGINT) AS n_hops
             |FROM m3 JOIN c cx ON m3.tgt = cx.doc_id
             |ORDER BY doc_id""".stripMargin),
+      "q_trustrank" ->
+        (s"WITH ${Web.urlCte},\n${Web.normCte},\n$linksCte,\n" +
+          trustRankSql(5)),
       "q_sitemap_urls" ->
         (s"WITH ${Web.urlCte},\n${Web.normCte},\n" +
           """sm AS (

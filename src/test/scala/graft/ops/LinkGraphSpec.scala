@@ -202,6 +202,22 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(r("B") > r("C"))
   }
 
+  test("trustRank: domains unreachable from every seed floor to exactly 0") {
+    // S→A trusted region; B→C a disconnected clique no seed reaches
+    val edges = Seq(("S", "A", 1L), ("B", "C", 1L)).toDF("src", "dst", "w")
+    val seeds = Seq("S").toDF("node")
+    val r = LinkGraph.trustRank(edges, seeds, iters = 3)
+      .select("node", "rank").as[(String, Long)].collect().toMap
+    assert(r("B") == 0L && r("C") == 0L, r.toString)
+    assert(r("S") > 0L && r("A") > 0L)
+    // round 1 hand-check: S keeps only its teleport base (A is
+    // dangling, so S's outflow never returns); A gets 85% of S's mass
+    val r1 = LinkGraph.trustRank(edges, seeds, iters = 1)
+      .select("node", "rank").as[(String, Long)].collect().toMap
+    assert(r1("S") == 150000000000L) // (15 · 1e12) div (100 · 1)
+    assert(r1("A") == 850000000000L) // (85 · 1e12) div 100
+  }
+
   test("anchorTexts strips inner tags and trims") {
     val html = """<a href=1> <b>Bold</b> link </a><a href=2>plain</a>"""
     val got = Seq(html).toDF("h")
