@@ -194,11 +194,13 @@ object Links {
 
     // The frontier capstone — what the graph layer is FOR: schedule
     // the next crawl window. Candidates = URL-dedup survivors that
-    // robots allows; politeness gives each domain a deterministic
-    // crawl-delay and a 12-second window gives it an integer capacity
-    // (12 div delay — tight enough that the cut genuinely truncates); candidates queue per domain in md5 order and the
-    // first `capacity` are scheduled; domains rank by the PageRank
-    // authority of the extracted link graph. One row per domain,
+    // robots allows; the crawl-delay comes from the SAME robots.txt
+    // through the real RFC 9309 evaluator (Robots.crawlDelayFor, not a
+    // side formula), and a 12-second window gives each domain an
+    // integer capacity (12 div delay — tight enough that the cut
+    // genuinely truncates); candidates queue per domain in md5 order
+    // and the first `capacity` are scheduled; domains rank by the
+    // PageRank authority of the extracted link graph. One row per domain,
     // ordered by descending rank. Scale shape: the dedup aggregate and
     // the domain window both key on columns the data already groups
     // by; PageRank is the bounded iteration; everything else is
@@ -207,14 +209,15 @@ object Links {
       val n = Web.normalized(s, dir)
       val surv = n.groupBy(col("url_norm")).agg(min(col("doc_id")).as("doc_id"))
       val robots = when(length(col("domain")) % 2 === 0,
-          lit("User-agent: *\nDisallow: /fr\nAllow: /fr/Doc-1\n"))
+          lit("User-agent: *\nDisallow: /fr\nAllow: /fr/Doc-1\nCrawl-delay: 2\n"))
         .otherwise(
-          lit("# lockdown\nUser-agent: *\nDisallow: /\nAllow: /en\n"))
+          lit("# lockdown\nUser-agent: *\nDisallow: /\nAllow: /en\nCrawl-delay: 3\n"))
       val ok = n.join(surv.select("doc_id"), "doc_id")
         .filter(graft.ops.Robots.isAllowed(
           graft.ops.Robots.rulesFor(robots), UrlOps.path(col("url"))))
-        .withColumn("capacity",
-          expr("CAST(12 div (length(domain) % 3 + 1) AS BIGINT)"))
+        .withColumn("delay",
+          graft.ops.Robots.crawlDelayFor(robots).cast("long"))
+        .withColumn("capacity", expr("CAST(12 div delay AS BIGINT)"))
       val sched = ok.withColumn("rn", row_number().over(
         Window.partitionBy(col("domain"))
           .orderBy(md5(col("url_norm")), col("url_norm"))))
@@ -521,7 +524,9 @@ object Links {
           """surv AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY url_norm),
             |okc AS (
             |  SELECT c.domain, c.url_norm,
-            |    CAST(12 // (length(c.domain) % 3 + 1) AS BIGINT) AS capacity
+            |    -- Crawl-delay restated from the derived robots: 2 for
+            |    -- even-length domains, 3 for odd (the lockdown group)
+            |    CAST(12 // (CASE WHEN length(c.domain) % 2 = 0 THEN 2 ELSE 3 END) AS BIGINT) AS capacity
             |  FROM c JOIN surv USING (doc_id)
             |  WHERE CASE WHEN length(domain) % 2 = 0 THEN
             |      (CASE WHEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) LIKE '/fr/Doc-1%' THEN TRUE
