@@ -524,7 +524,7 @@ object Links {
           """surv AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY url_norm),
             |okc AS (
             |  SELECT c.domain, c.url_norm,
-            |    -- Crawl-delay restated from the derived robots: 2 for
+            |    -- Crawl-delay restated per the derived robots: 2 for
             |    -- even-length domains, 3 for odd (the lockdown group)
             |    CAST(12 // (CASE WHEN length(c.domain) % 2 = 0 THEN 2 ELSE 3 END) AS BIGINT) AS capacity
             |  FROM c JOIN surv USING (doc_id)
