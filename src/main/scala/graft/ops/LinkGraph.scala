@@ -415,4 +415,66 @@ object LinkGraph {
     }
     flagged.join(ranks, "node")
   }
+
+  /** HITS (Kleinberg, JACM '99 — "Authoritative sources in a
+    * hyperlinked environment"): the mutually-recursive hub/authority
+    * pair — `auth ← Aᵀ·hub`, `hub ← A·auth` — with each vector
+    * L1-normalized to `scale` per half-round (Kleinberg normalizes to
+    * keep the iteration bounded; the norm choice rescales, it does not
+    * reorder). Complements [[pageRank]]/[[trustRank]]: PageRank ranks
+    * by random-walk visitation, HITS separates the pages that POINT AT
+    * good content (hubs — link directories, aggregators) from the
+    * content itself (authorities) — the split a crawl scheduler uses
+    * to seed frontier expansion vs corpus inclusion.
+    *
+    * Integer discipline, hash-gateable like the other fixed points:
+    * scores are scaled Longs; the weighted sums and the exact
+    * normalization `floor(raw·scale / Σraw)` run in DECIMAL(38,0)
+    * (`raw·scale` reaches ~1e28 on a near-scale vector — past Long,
+    * comfortably inside decimal-38; DuckDB's twin uses HUGEINT), and
+    * `div nullif(Σ, 0)` keeps an all-zero vector a 0-vector on both
+    * engines instead of an error. Per round: two edge⋈score shuffle
+    * joins + two keyed sums + two 1-row broadcast norm totals — the
+    * same co-partitioned round shape as PageRank, so the 100 TB story
+    * is iters × (two keyed shuffles), lineage truncated per round.
+    */
+  def hits(edges: DataFrame, iters: Int = 5,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "hits: iters must be >= 1")
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "hits: empty edge set")
+    // weighted sum in decimal: w·score stays exact for any Long score
+    // and realistic weight (decimal-38 headroom ~1e38 vs the ~1e16
+    // worst-case round total)
+    def weighted(score: Column): Column =
+      (col("w").cast("decimal(20,0)") * score.cast("decimal(20,0)"))
+        .cast("decimal(38,0)")
+    // exact L1 normalization to `scale`, the 1-row total broadcast
+    def normalized(raw: DataFrame, outName: String) = {
+      val s = raw.agg(sum("raw").as("s"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(s))
+        .select(col("node"),
+          coalesce(
+            expr(s"CAST((raw * CAST($scale AS DECIMAL(20,0))) div nullif(s, 0) AS BIGINT)"),
+            lit(0L)).as(outName))
+    }
+    var hub = nodes.withColumn("hub", lit(scale / n)).localCheckpoint()
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val authRaw = e.join(hub, e("src") === hub("node"))
+        .select(col("dst").as("node"), weighted(col("hub")).as("x"))
+        .groupBy("node").agg(sum("x").cast("decimal(38,0)").as("raw"))
+      auth = normalized(authRaw, "auth").localCheckpoint()
+      val hubRaw = e.join(auth, e("dst") === auth("node"))
+        .select(col("src").as("node"), weighted(col("auth")).as("x"))
+        .groupBy("node").agg(sum("x").cast("decimal(38,0)").as("raw"))
+      hub = normalized(hubRaw, "hub").localCheckpoint()
+    }
+    auth.join(hub, "node").select(col("node"), col("auth"), col("hub"))
+  }
 }

@@ -318,6 +318,17 @@ object Links {
         .orderBy(col("node"))
     }),
 
+    // HITS hubs & authorities: the mutually-recursive pair over the
+    // same domain graph — auth = trust walked IN along links, hub =
+    // quality of what a domain points AT. L1-normalized scaled-Long
+    // fixed point (decimal-38 cross-multiplication for the exact
+    // floor(raw·scale/Σ) norm); the oracle unrolls 5 rounds in
+    // HUGEINT.
+    "q_hits" -> ((s, dir) => {
+      LinkGraph.hits(edgesDf(s, dir), iters = 5)
+        .orderBy(col("node"))
+    }),
+
     // Sitemap XML parsing — the crawl-discovery input the robots
     // `Sitemap:` lines point at. Every 9th doc publishes a sitemap
     // INDEX (two child sitemaps, one with a lastmod); the rest publish
@@ -446,6 +457,45 @@ object Links {
        |SELECT t$iters.node,
        |  t$iters.node IN (SELECT node FROM tsd) AS is_seed, t$iters.rank
        |FROM t$iters ORDER BY node""".stripMargin
+  }
+
+  /** Unrolled HITS recurrence, the DuckDB twin of [[LinkGraph.hits]]:
+    * per round, auth-raw = dst-keyed Σ w·hub then the exact L1 norm
+    * floor(raw·scale/Σraw) in HUGEINT, then the same for hub-raw =
+    * src-keyed Σ w·auth; `// nullif(Σ, 0)` mirrors Spark's
+    * `div nullif` zero-vector guard.
+    */
+  private def hitsSql(iters: Int): String = {
+    val scale = "1000000000000"
+    val head =
+      s"""$graphCtes,
+         |nn AS (SELECT count(*) AS n FROM gnodes),
+         |h0 AS MATERIALIZED (
+         |  SELECT node, CAST($scale // (SELECT n FROM nn) AS BIGINT) AS hub
+         |  FROM gnodes)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""ar$k AS MATERIALIZED (
+         |  SELECT e.dst AS node, sum(CAST(e.w AS HUGEINT) * h.hub) AS raw
+         |  FROM e JOIN h${k - 1} h ON e.src = h.node GROUP BY e.dst),
+         |a$k AS MATERIALIZED (
+         |  SELECT g.node, CAST(coalesce(
+         |    (r.raw * CAST($scale AS HUGEINT)) // nullif((SELECT sum(raw) FROM ar$k), 0),
+         |    0) AS BIGINT) AS auth
+         |  FROM gnodes g LEFT JOIN ar$k r ON g.node = r.node),
+         |hr$k AS MATERIALIZED (
+         |  SELECT e.src AS node, sum(CAST(e.w AS HUGEINT) * a.auth) AS raw
+         |  FROM e JOIN a$k a ON e.dst = a.node GROUP BY e.src),
+         |h$k AS MATERIALIZED (
+         |  SELECT g.node, CAST(coalesce(
+         |    (r.raw * CAST($scale AS HUGEINT)) // nullif((SELECT sum(raw) FROM hr$k), 0),
+         |    0) AS BIGINT) AS hub
+         |  FROM gnodes g LEFT JOIN hr$k r ON g.node = r.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$rounds
+       |SELECT a$iters.node AS node, a$iters.auth, h$iters.hub
+       |FROM a$iters JOIN h$iters ON a$iters.node = h$iters.node
+       |ORDER BY a$iters.node""".stripMargin
   }
 
   /** Unrolled min-label propagation (8 rounds), the DuckDB twin of
@@ -602,6 +652,9 @@ object Links {
       "q_trustrank" ->
         (s"WITH ${Web.urlCte},\n${Web.normCte},\n$linksCte,\n" +
           trustRankSql(5)),
+      "q_hits" ->
+        (s"WITH ${Web.urlCte},\n${Web.normCte},\n$linksCte,\n" +
+          hitsSql(5)),
       "q_sitemap_urls" ->
         (s"WITH ${Web.urlCte},\n${Web.normCte},\n" +
           """sm AS (

@@ -218,6 +218,38 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(r1("A") == 850000000000L) // (85 · 1e12) div 100
   }
 
+  test("hits: bipartite hand-check — sole authority saturates to scale, hubs split it") {
+    // h1→a1, h2→a1: a1 is the only authority (raw == Σ, so the exact
+    // L1 norm yields exactly scale); the two hubs split the hub mass
+    // evenly; and the fixed point is reached in one round, so iters=3
+    // must reproduce the same integers.
+    val edges = Seq(("h1", "a1", 1L), ("h2", "a1", 1L)).toDF("src", "dst", "w")
+    val r = LinkGraph.hits(edges, iters = 3)
+      .select("node", "auth", "hub").as[(String, Long, Long)].collect()
+      .map { case (n, a, h) => n -> ((a, h)) }.toMap
+    assert(r("a1") == ((1000000000000L, 0L)), r.toString)
+    assert(r("h1") == ((0L, 500000000000L)), r.toString)
+    assert(r("h2") == ((0L, 500000000000L)), r.toString)
+  }
+
+  test("hits: L1 norms hold to floor loss; sourceless nodes floor to auth 0") {
+    val edges = Seq(("A", "B", 2L), ("B", "C", 1L), ("C", "B", 3L),
+      ("D", "C", 1L)).toDF("src", "dst", "w")
+    val r = LinkGraph.hits(edges, iters = 4)
+      .select("node", "auth", "hub").as[(String, Long, Long)].collect()
+      .map { case (n, a, h) => n -> ((a, h)) }.toMap
+    val scale = 1000000000000L
+    // nothing links to A or D → their authority is exactly 0; B never
+    // appears as a dst-side contributor to... (B does point at C, so
+    // its hub is positive); only sink-ness zeroes a hub
+    assert(r("A")._1 == 0L && r("D")._1 == 0L, r.toString)
+    assert(r.values.forall { case (a, h) => a >= 0L && h >= 0L })
+    val sumAuth = r.values.map(_._1).sum
+    val sumHub = r.values.map(_._2).sum
+    assert(sumAuth <= scale && sumAuth > scale - r.size, sumAuth.toString)
+    assert(sumHub <= scale && sumHub > scale - r.size, sumHub.toString)
+  }
+
   test("anchorTexts strips inner tags and trims") {
     val html = """<a href=1> <b>Bold</b> link </a><a href=2>plain</a>"""
     val got = Seq(html).toDF("h")
