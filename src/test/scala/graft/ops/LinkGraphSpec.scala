@@ -250,6 +250,49 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(sumHub <= scale && sumHub > scale - r.size, sumHub.toString)
   }
 
+  test("hits matches an independent BigInt reference fold on random graphs") {
+    // the distributed decimal-38 recurrence vs a driver-side BigInt
+    // model written independently (BigInt never overflows, so any
+    // precision-capping defect in the decimal path diverges here)
+    val scale = 1000000000000L
+    def refHits(edges: Seq[(String, String, Long)], iters: Int)
+        : Map[String, (Long, Long)] = {
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      var hub = nodes.map(_ -> BigInt(scale / nodes.size)).toMap
+      var auth = Map.empty[String, BigInt]
+      for (_ <- 1 to iters) {
+        val araw = nodes.map(n => n ->
+          edges.filter(_._2 == n).map(e => BigInt(e._3) * hub(e._1)).sum).toMap
+        val sa = araw.values.sum
+        auth = nodes.map(n => n ->
+          (if (sa == 0) BigInt(0) else araw(n) * scale / sa)).toMap
+        val hraw = nodes.map(n => n ->
+          edges.filter(_._1 == n).map(e => BigInt(e._3) * auth(e._2)).sum).toMap
+        val sh = hraw.values.sum
+        hub = nodes.map(n => n ->
+          (if (sh == 0) BigInt(0) else hraw(n) * scale / sh)).toMap
+      }
+      nodes.map(n => n -> ((auth(n).toLong, hub(n).toLong))).toMap
+    }
+    val rnd = new scala.util.Random(0x4175L)
+    for (trial <- 1 to 3) {
+      val nodes = (0 until 8).map(i => s"n$i")
+      val edges = (1 to 15).map { _ =>
+        val s = nodes(rnd.nextInt(nodes.size))
+        var d = nodes(rnd.nextInt(nodes.size))
+        while (d == s) d = nodes(rnd.nextInt(nodes.size))
+        (s, d, 1L + rnd.nextInt(1000000))
+      }.distinct
+      val got = LinkGraph.hits(edges.toDF("src", "dst", "w"), iters = 3)
+        .select("node", "auth", "hub").as[(String, Long, Long)].collect()
+        .map { case (n, a, h) => n -> ((a, h)) }.toMap
+      // parallel (src,dst) pairs with different weights may survive
+      // the distinct; both sides sum their contributions edge-by-edge,
+      // so the comparison is exact either way
+      assert(got == refHits(edges, 3), s"trial $trial: $got")
+    }
+  }
+
   test("anchorTexts strips inner tags and trims") {
     val html = """<a href=1> <b>Bold</b> link </a><a href=2>plain</a>"""
     val got = Seq(html).toDF("h")
