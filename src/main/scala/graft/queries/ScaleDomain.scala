@@ -247,7 +247,28 @@ object ScaleDomain {
       Multimodal.sampleFrames(media(s, dir), nFrames = 4)
         .select(col("media_id"), col("frame_idx"),
           col("offset").as("byte_off"))
-        .orderBy(col("media_id"), col("frame_idx")))
+        .orderBy(col("media_id"), col("frame_idx"))),
+
+    // Header-only media metadata sniffing — the filter-before-decode hop
+    // (drop icons by dims, route audio by rate) and, unlike the pixel
+    // decode stub, fully real: magic numbers + fixed header fields need
+    // no codec. The corpus gate runs the Http.encodeResponse discipline:
+    // each doc_id is framed as a REAL container header (PNG IHDR / JPEG
+    // marker walk past APP0 + a variable-length COM / GIF screen
+    // descriptor / RIFF chunk walk with odd-chunk padding / BMP with
+    // top-down negative heights / raw bytes) whose metadata is pure
+    // doc_id arithmetic, so the oracle restates the expected sniff
+    // output byte-free while Spark round-trips through genuine bytes.
+    // MediaSniffSpec pins the sniffer against hand-written real-world
+    // header vectors so the encoder/decoder pair cannot share a wrong
+    // byte convention.
+    "q_media_sniff" -> ((s, dir) => {
+      val framed = Tables(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        Multimodal.syntheticMediaPayloadUdf(col("doc_id"), col("text"))
+          .as("payload"))
+      Multimodal.sniffMedia(framed).orderBy(col("media_id"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -301,6 +322,25 @@ object ScaleDomain {
         |  array_to_string(list_transform(range(1, 31),
         |    p -> chr(CAST(33 + (doc_id + p) % 40 AS INT))), '') AS qual
         |FROM documents ORDER BY read_id""".stripMargin,
+    // the encoder's metadata restated straight from doc_id arithmetic
+    // (branch map + dims/rate formulas mirror syntheticMediaPayload)
+    "q_media_sniff" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |    WHEN 2 THEN 'gif' WHEN 3 THEN 'wav' WHEN 4 THEN 'bmp'
+        |    ELSE 'unknown' END AS format,
+        |  CASE WHEN doc_id % 6 IN (0, 1, 2, 4)
+        |    THEN CAST(16 + doc_id % 1017 AS INT) END AS width,
+        |  CASE WHEN doc_id % 6 IN (0, 1, 2, 4)
+        |    THEN CAST(16 + (doc_id * 7) % 767 AS INT) END AS height,
+        |  CASE WHEN doc_id % 6 = 3 THEN CAST(
+        |    CASE (doc_id // 6) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |      WHEN 2 THEN 22050 ELSE 44100 END AS INT) END AS sample_rate,
+        |  CASE WHEN doc_id % 6 = 3
+        |    THEN CAST(1 + (doc_id // 6) % 2 AS INT) END AS channels,
+        |  CASE WHEN doc_id % 6 = 3
+        |    THEN CAST(8 + 8 * ((doc_id // 6) % 3) AS INT) END AS bits_per_sample
+        |FROM documents ORDER BY media_id""".stripMargin,
     // strlen (bytes), not length (chars): Spark's length(binary) counts
     // bytes; identical here (ASCII corpus) but strlen is the honest twin
     "q_media_dedup" ->
