@@ -350,6 +350,17 @@ object Warc {
     * re-emitted as phantom records unless it is itself a WARC, in
     * which case the nested records are textually indistinguishable
     * from real ones mid-stream (CommonCrawl has the same property).
+    *
+    * Cost note: each failed candidate costs one inflate of at most the
+    * remaining split, and the rescan resumes one byte past the failed
+    * magic — on real archives gzip magic is rare inside compressed
+    * bytes (~1 per 16 MiB per the 3-byte prefix), so resync work is
+    * negligible, but a CRAFTED payload stuffed with `1f 8b 08` runs
+    * the validator per planted magic: worst case O(planted · split)
+    * inflate work within the affected split. That is a CPU-bounded
+    * slowdown local to the hostile file, never wrong records (the
+    * CRC/ISIZE/`WARC/` gates still reject) — WarcSpec's hostile-payload
+    * fuzz pins both layouts byte-for-byte under planted magic.
     */
   def read(
       spark: SparkSession,
