@@ -200,7 +200,7 @@ object Multimodal {
         if (j >= n || j == i) // no 0xFF where a marker must start
           return MediaInfo("jpeg", None, None, None, None, None)
         val m = p(j) & 0xFF
-        if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) i = j + 1 // standalone
+        if (m == 0x01 || m == 0xD8 || (m >= 0xD0 && m <= 0xD7)) i = j + 1 // standalone (TEM, stray SOI, RSTn)
         else if (m == 0xD9 || m == 0xDA) // EOI / SOS: no SOF seen
           return MediaInfo("jpeg", None, None, None, None, None)
         else {

@@ -50,6 +50,12 @@ class MediaSniffSpec extends AnyFunSuite {
     assert(sniff(p) == MediaInfo("jpeg", None, None, None, None, None))
   }
 
+  test("JPEG: a stray nested SOI is standalone, not a length-bearing segment") {
+    val p = bytes(0xFF, 0xD8, 0xFF, 0xD8, // doubled SOI
+      0xFF, 0xC0, 0x00, 0x0B, 0x08, 0x00, 0x02, 0x00, 0x03, 0x01, 0x01, 0x11, 0x00)
+    assert(sniff(p) == MediaInfo("jpeg", Some(3), Some(2), None, None, None))
+  }
+
   test("JPEG: truncation mid-segment degrades to null dims, never throws") {
     val p = bytes(0xFF, 0xD8, 0xFF, 0xE0, 0x00) // length field cut short
     assert(sniff(p) == MediaInfo("jpeg", None, None, None, None, None))
