@@ -189,6 +189,14 @@ class PlanSpec extends AnyFunSuite {
       s"global rank collapsed to a single partition:\n${p.take(800)}")
   }
 
+  test("media header sniffing is map-only: one UDF over the scan, no shuffle") {
+    val p = physicalPlan("q_media_sniff")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 0,
+      s"sniff is per-payload — no hash shuffle expected:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+  }
+
   test("text-quality kernels stay map-only before the presentation sort") {
     for (q <- Seq("q_repetition", "q_gopher_filter", "q_lang_id", "q_token_stats",
       "q_repetition_gopher", "q_repetition_filter")) {
