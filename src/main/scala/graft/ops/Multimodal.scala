@@ -247,11 +247,15 @@ object Multimodal {
   /** `sniff` lifted over a media frame: (id, format, width, height,
     * sample_rate, channels, bits_per_sample). A per-row byte walk with no
     * built-in-function equivalent, so a typed UDF is the right tool;
-    * map-only, rides the scan, never shuffles.
+    * map-only, rides the scan, never shuffles. asNondeterministic is the
+    * repo-standard PERFORMANCE pin (the kernel is pure): six columns
+    * project out of one struct result, and CollapseProject inlines
+    * deterministic expressions per reference — without the pin the byte
+    * walk runs once per consumer instead of once per row.
     */
   def sniffMedia(media: DataFrame, idCol: String = "media_id",
       payloadCol: String = "payload"): DataFrame = {
-    val u = udf((b: Array[Byte]) => sniff(b))
+    val u = udf((b: Array[Byte]) => sniff(b)).asNondeterministic()
     media.select(col(idCol), u(col(payloadCol)).as("s"))
       .select(col(idCol), col("s.format").as("format"),
         col("s.width").as("width"), col("s.height").as("height"),
