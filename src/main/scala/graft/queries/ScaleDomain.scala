@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Multimodal, Scale}
+import graft.ops.{Layout, Multimodal, Scale}
 
 /** Driver queries for the scale-out utilities (`ops/Scale.scala`) and the
   * multimodal column plumbing (`ops/Multimodal.scala`), all DuckDB-oracle
@@ -268,8 +268,87 @@ object ScaleDomain {
         Multimodal.syntheticMediaPayloadUdf(col("doc_id"), col("text"))
           .as("payload"))
       Multimodal.sniffMedia(framed).orderBy(col("media_id"))
+    }),
+
+    // Z-order (Morton) clustering key — bitwise interleave of two 10-bit
+    // dimensions as pure shift/mask builtins. Integer-exact, so the
+    // oracle recomputes every key bit-for-bit with DuckDB's own shift
+    // operators. The key itself is the whole operator: layout quality is
+    // measured separately (LayoutSpec row-group skipping; the parity row
+    // below).
+    "q_zorder_key" -> ((s, dir) => {
+      val x = pmod(col("doc_id"), lit(1024L))
+      val y = pmod(col("doc_id") * 37, lit(1024L))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), Layout.zorderKey(Seq(x, y), 10).as("zkey"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Hilbert-curve key on an 8-bit grid, next to its Z-order twin on the
+    // same (x, y) so the output juxtaposes the two curves per cell. The
+    // oracle unrolls the identical top-down bit transform as 8 chained
+    // CTEs — an independent engine walking the same public algorithm.
+    "q_hilbert_key" -> ((s, dir) => {
+      val x = pmod(col("doc_id"), lit(256L))
+      val y = pmod(col("doc_id") * 37, lit(256L))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          Layout.zorderKey(Seq(x, y), 8).as("zkey"),
+          Layout.hilbertKey(x, y, 8).as("hkey"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The layout round-trip (q_partition_prune discipline, two dims):
+    // lineitem rewritten clustered by the Z-order key of its
+    // (l_partkey, l_suppkey) grid cells, re-read, box-filtered on BOTH
+    // original columns, aggregated. The oracle recomputes from the
+    // pristine table — a green row proves re-layout is a pure
+    // permutation (nothing lost/duplicated/corrupted); LayoutSpec holds
+    // the companion evidence that the same layout actually SKIPS
+    // row-groups outside the box.
+    "q_layout_cluster" -> ((s, dir) => {
+      val path = s"/tmp/graft_zorder/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val li = Tables(s, dir, "lineitem")
+      val key = Layout.zorderKey(Seq(
+        Layout.gridCell(col("l_partkey"), 0, 20000, 10),
+        Layout.gridCell(col("l_suppkey"), 0, 1000, 10)), 10)
+      Layout.writeClustered(li, path, key, nFiles = 16)
+        .filter(col("l_partkey").between(10, 150) &&
+          col("l_suppkey").between(1, 7))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("sum_qty"))
+        .orderBy(col("l_returnflag"))
     })
   )
+
+  /** DuckDB twin of [[Layout.hilbertKey]]: the same top-down bit
+    * transform unrolled into one CTE per bit position (state = (d, x, y),
+    * quadrant rank spelled with the identical arithmetic identity).
+    */
+  private def hilbertOracle(bits: Int): String = {
+    val init =
+      s"""h$bits AS (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS d,
+         |    CAST(doc_id % 256 AS BIGINT) AS x,
+         |    CAST((doc_id * 37) % 256 AS BIGINT) AS y
+         |  FROM documents)""".stripMargin
+    val steps = ((bits - 1) to 0 by -1).map { i =>
+      val s = 1L << i
+      s"""h$i AS (
+         |  SELECT doc_id,
+         |    d + ${s * s} * (rx * (3 - ry) + (1 - rx) * ry) AS d,
+         |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - ym ELSE ym END)
+         |         ELSE xm END AS x,
+         |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - xm ELSE xm END)
+         |         ELSE ym END AS y
+         |  FROM (SELECT doc_id, d, x % $s AS xm, y % $s AS ym,
+         |               (x >> $i) & 1 AS rx, (y >> $i) & 1 AS ry
+         |        FROM h${i + 1}) t$i)""".stripMargin
+    }
+    (init +: steps).mkString("WITH ", ",\n", "")
+  }
 
   val oracle: Map[String, String] = Map(
     "q_salted_agg" ->
@@ -392,6 +471,31 @@ object ScaleDomain {
       """SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
         |  CAST(length(text) * f // 4 AS INT) AS byte_off
         |FROM documents CROSS JOIN range(0, 4) t(f)
-        |ORDER BY media_id, frame_idx""".stripMargin
+        |ORDER BY media_id, frame_idx""".stripMargin,
+    // bit-for-bit recomputation of the Morton interleave with DuckDB's
+    // native shift/mask operators
+    "q_zorder_key" ->
+      """SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(0, 10), i ->
+        |    ((((doc_id % 1024) >> i) & 1) << (2 * i)) +
+        |    ((((doc_id * 37) % 1024 >> i) & 1) << (2 * i + 1))))
+        |    AS BIGINT) AS zkey
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_hilbert_key" ->
+      (hilbertOracle(8) +
+        """
+          |SELECT h0.doc_id,
+          |  CAST(list_sum(list_transform(range(0, 8), i ->
+          |    ((((h0.doc_id % 256) >> i) & 1) << (2 * i)) +
+          |    ((((h0.doc_id * 37) % 256 >> i) & 1) << (2 * i + 1))))
+          |    AS BIGINT) AS zkey,
+          |  CAST(h0.d AS BIGINT) AS hkey
+          |FROM h0 ORDER BY h0.doc_id""".stripMargin),
+    "q_layout_cluster" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 10 AND 150 AND l_suppkey BETWEEN 1 AND 7
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

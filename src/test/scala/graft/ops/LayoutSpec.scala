@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class LayoutSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Independent Scala reference: the classic top-down xy->d Hilbert
+    * transform (public algorithm, e.g. Hamilton's tech report / the
+    * canonical C spelling), written with actual bit ops and mutation —
+    * nothing shared with the Column fold under test.
+    */
+  private def refHilbert(n: Int, xIn: Int, yIn: Int): Long = {
+    var x = xIn; var y = yIn; var d = 0L; var s = n / 2
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1 else 0
+      val ry = if ((y & s) > 0) 1 else 0
+      d += s.toLong * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  private def refZorder(dims: Seq[Long], bits: Int): Long = {
+    var out = 0L
+    for ((v, j) <- dims.zipWithIndex; i <- 0 until bits)
+      out |= ((v >> i) & 1L) << (i * dims.size + j)
+    out
+  }
+
+  test("hilbertKey == reference on the full 32x32 grid; bijective; unit-step") {
+    val n = 32
+    val grid = spark.range(n.toLong * n)
+      .select((col("id") % n).as("x"), (col("id") / n).cast("long").as("y"))
+    val got = grid
+      .select(col("x"), col("y"), Layout.hilbertKey(col("x"), col("y"), 5).as("d"))
+      .collect().map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getLong(2)))
+    assert(got.length == n * n)
+    got.foreach { case ((x, y), d) =>
+      assert(d == refHilbert(n, x, y), s"cell ($x,$y)")
+    }
+    // bijection onto [0, n^2)
+    val ds = got.map(_._2).sorted
+    assert(ds.head == 0L && ds.last == n.toLong * n - 1 && ds.distinct.length == n * n)
+    // the defining locality property: consecutive curve positions are
+    // Manhattan-adjacent cells (Z-order fails this at every quadrant seam)
+    val byD = got.map { case ((x, y), d) => d -> (x, y) }.toMap
+    (1 until n * n).foreach { d =>
+      val (x0, y0) = byD(d - 1L); val (x1, y1) = byD(d.toLong)
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) == 1, s"jump at d=$d")
+    }
+  }
+
+  test("hilbertKey matches reference at 16 bits (double-division exactness)") {
+    val n = 1 << 16
+    val sample = spark.range(2000)
+      .select(((col("id") * 48271L) % n).as("x"), ((col("id") * 69621L) % n).as("y"))
+    sample.select(col("x"), col("y"), Layout.hilbertKey(col("x"), col("y"), 16).as("d"))
+      .collect().foreach { r =>
+        assert(r.getLong(2) == refHilbert(n, r.getLong(0).toInt, r.getLong(1).toInt))
+      }
+  }
+
+  test("zorderKey == reference; 3-dim interleave; per-dim monotone on grids") {
+    val rows = spark.range(1500).select(
+      ((col("id") * 7919L) % 1024).as("a"),
+      ((col("id") * 104729L) % 1024).as("b"),
+      ((col("id") * 31L) % 1024).as("c"))
+    rows.select(col("a"), col("b"), col("c"),
+      Layout.zorderKey(Seq(col("a"), col("b"), col("c")), 10).as("z"))
+      .collect().foreach { r =>
+        assert(r.getLong(3) == refZorder(Seq(r.getLong(0), r.getLong(1), r.getLong(2)), 10))
+      }
+    // fixing all other dims, the key is strictly increasing in each dim
+    val z0 = (0 until 16).map(v => refZorder(Seq(v.toLong, 5L), 4))
+    assert(z0 == z0.sorted && z0.distinct.length == 16)
+  }
+
+  test("gridCell clamps and lands exact edges in the right cells") {
+    val df = Seq(-5.0, 0.0, 0.4999, 500.0, 999.9, 1000.0, 4000.0).toDF("v")
+    val cells = df.select(Layout.gridCell(col("v"), 0, 1000, 8).as("c"))
+      .as[Long].collect()
+    assert(cells sameElements Array(0L, 0L, 0L, 128L, 255L, 255L, 255L))
+  }
+
+  /** rows the parquet scan actually produced (post row-group/page skip,
+    * pre Spark-side filter). Plans here have no exchange, so no AQE
+    * wrapper sits between queryExecution.executedPlan and the scan.
+    */
+  private def scanOutputRows(df: DataFrame): Long = {
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "no FileSourceScanExec found")
+    scans.map(_.metrics("numOutputRows").value).sum
+  }
+
+  test("z-order layout skips most of the table for a 2-dim box; plain layout reads all") {
+    val n = 100000L
+    val base = spark.range(n).select(
+      col("id"),
+      ((col("id") * 7919L) % 1000).cast("double").as("x"),
+      ((col("id") * 104729L) % 1000).cast("double").as("y"))
+    val key = Layout.zorderKey(Seq(
+      Layout.gridCell(col("x"), 0, 1000, 8),
+      Layout.gridCell(col("y"), 0, 1000, 8)), 8)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_layout").toString
+    val clustered = Layout.writeClustered(base, s"$dir/clustered", key, nFiles = 25)
+    // same file count, id order: x/y smeared across every file and page
+    base.repartitionByRange(25, col("id")).sortWithinPartitions("id")
+      .write.parquet(s"$dir/plain")
+    val plain = spark.read.parquet(s"$dir/plain")
+
+    val box = (df: DataFrame) =>
+      df.filter(col("x") < 100 && col("y") < 100).select("id", "x", "y")
+    val expected = box(base).count()
+    assert(box(clustered).count() == expected && box(plain).count() == expected)
+
+    val clusteredRead = scanOutputRows(box(clustered))
+    val plainRead = scanOutputRows(box(plain))
+    // ~1% of rows match the box; the clustered layout confines them to a
+    // few hyper-rectangle files whose footer stats exclude the rest
+    assert(clusteredRead <= n / 4,
+      s"clustered layout read $clusteredRead of $n rows — no skipping happened")
+    assert(plainRead >= (n * 9) / 10,
+      s"plain layout read only $plainRead of $n — test premise broken")
+    assert(clusteredRead * 3 <= plainRead,
+      s"clustered=$clusteredRead not materially below plain=$plainRead")
+  }
+
+  test("writeClustered is a pure permutation (content parity, key kept)") {
+    val base = spark.range(5000).select(
+      col("id"), ((col("id") * 37L) % 100).as("x"), ((col("id") * 11L) % 100).as("y"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_layout_p").toString
+    val re = Layout.writeClustered(
+      base, dir, Layout.zorderKey(Seq(col("x"), col("y")), 7), nFiles = 8)
+    assert(re.columns.toSeq == Seq("id", "x", "y", "cluster_key"))
+    assert(re.count() == 5000)
+    assert(re.select("id", "x", "y").exceptAll(base).isEmpty &&
+      base.exceptAll(re.select("id", "x", "y")).isEmpty)
+    // the persisted key column is the key of its own row
+    assert(re.filter(Layout.zorderKey(Seq(col("x"), col("y")), 7) =!=
+      col("cluster_key")).isEmpty)
+  }
+}
