@@ -113,7 +113,16 @@ object GoldenGate {
     // without a hash-level signal, now pinned)
     "q_plogo" -> Map(
       "sf0.001" -> 7843795823847205001L,
-      "sf0.01" -> 5162878873516740508L))
+      "sf0.01" -> 5162878873516740508L),
+    // PCA: quantized-Long moments (oracle row q_pca_moments) -> driver
+    // Jacobi -> per-row projections / spectrum — bit-reproducible end
+    // to end, eigensolve not SQL-expressible
+    "q_pca_project" -> Map(
+      "sf0.001" -> 8541896421514893595L,
+      "sf0.01" -> 7597635679064844160L),
+    "q_pca_spectrum" -> Map(
+      "sf0.001" -> -7558644478549166367L,
+      "sf0.01" -> 5212120727519290290L))
 
   /** Gate `df` if (name, sf-of-dir) carries a pin; identity otherwise. */
   def apply(df: DataFrame, name: String, dir: String): DataFrame =

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Classifier, CorpusStats, Sampling, Search, Similarity, Sketches}
+import graft.ops.{Classifier, CorpusStats, Pca, Sampling, Search, Similarity, Sketches}
 
 /** Corpus-mining queries: sketch-based heavy hitters, temperature-scaled
   * mixture sampling, and the gradient-trained quality classifier.
@@ -138,7 +138,39 @@ object Mining {
         .select(col("event_type"), col("n_exact"),
           (abs(col("hll_estimate") / col("n_exact") - 1.0) < 0.05).as("hll_ok"))
         .orderBy(col("event_type"))
-    }))
+    }),
+
+    // PCA quantized-moment face: the exact Long sums that feed the
+    // eigensolve, as oracle rows — DuckDB restates every floor/sum with
+    // its own arithmetic (power-of-two scale makes the floor identical
+    // down to the bit), so a green row pins the ONE distributed pass the
+    // whole PCA family hangs off.
+    "q_pca_moments" -> ((s, dir) =>
+      Pca.momentRows(Tables(s, dir, "embeddings"), "embedding", dim = 64)
+        .orderBy(col("i"), col("j"))),
+
+    // Top-8 PCA projection of every embedding — model fit from the
+    // quantized moments (bit-reproducible), Jacobi on the driver,
+    // map-only projection. Not SQL-expressible (eigensolve) →
+    // GoldenGate-pinned per sf.
+    "q_pca_project" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val model = Pca.fit(emb, "embedding", k = 8, dim = 64)
+      Pca.project(emb, "embedding", model)
+        .select(col("vec_id") +: col("label") +:
+          (1 to 8).map(i => round(col(s"pc_$i"), 6).as(s"pc_$i")): _*)
+        .orderBy(col("vec_id"))
+    }),
+
+    // The eigen-spectrum: per-component eigenvalue + explained-variance
+    // shares against the exact-moment trace. GoldenGate-pinned.
+    "q_pca_spectrum" -> ((s, dir) =>
+      Pca.spectrum(Tables(s, dir, "embeddings"), "embedding", k = 16, dim = 64)
+        .select(col("component"),
+          round(col("eigenvalue"), 9).as("eigenvalue"),
+          round(col("var_share"), 9).as("var_share"),
+          round(col("cum_share"), 9).as("cum_share"))
+        .orderBy(col("component"))))
 
   private val RrfTerms = Seq("spark", "table", "query")
 
@@ -265,5 +297,29 @@ object Mining {
     "q_hll_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |  TRUE AS hll_ok
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // float -> double is exact, scaling by 2^24 is an exponent shift, so
+    // FLOOR lands on the identical bit in both engines; the per-row
+    // terms are cast to BIGINT before SUM to keep the fold integer-exact
+    "q_pca_moments" ->
+      """WITH m1 AS (
+        |  SELECT CAST(i AS INT) AS i, -1 AS j,
+        |    CAST(SUM(CAST(FLOOR(
+        |      embedding[CAST(i + 1 AS INT)]::DOUBLE * 16777216) AS BIGINT))
+        |      AS BIGINT) AS qsum
+        |  FROM embeddings, range(0, 64) ti(i) GROUP BY i),
+        |m2 AS (
+        |  SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+        |    CAST(SUM(CAST(FLOOR(
+        |      embedding[CAST(i + 1 AS INT)]::DOUBLE *
+        |      embedding[CAST(j + 1 AS INT)]::DOUBLE * 16777216) AS BIGINT))
+        |      AS BIGINT) AS qsum
+        |  FROM embeddings, range(0, 64) ti(i), range(0, 64) tj(j)
+        |  WHERE i <= j GROUP BY i, j),
+        |c AS (SELECT -1 AS i, -1 AS j, CAST(count(*) AS BIGINT) AS qsum
+        |      FROM embeddings)
+        |SELECT i, j, qsum FROM c
+        |UNION ALL SELECT i, j, qsum FROM m1
+        |UNION ALL SELECT i, j, qsum FROM m2
+        |ORDER BY i, j""".stripMargin)
 }
