@@ -508,4 +508,35 @@ class PipelineStreamingSpec extends AnyFunSuite {
       assert(got == batch)
     } finally q.stop()
   }
+
+  test("PCA projection on a stream matches the batch projection bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Pca
+    // fit once on a batch corpus (the nightly job); project the firehose
+    // with the broadcast-literal components — map-only, so the stream
+    // must agree to the last bit
+    val vecs = (0L until 30L).map { i =>
+      (i, (0 until 6).map(j => (math.sin(i * 1.7 + j) * 0.4).toFloat))
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val model = Pca.fit(corpus, "embedding", k = 3, dim = 6)
+    val batch = Pca.project(corpus, "embedding", model)
+      .select("vec_id", "pc_1", "pc_2", "pc_3")
+      .as[(Long, Double, Double, Double)].collect().toSet
+
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = Pca.project(mem.toDF().toDF("vec_id", "embedding"), "embedding", model)
+      .select("vec_id", "pc_1", "pc_2", "pc_3")
+      .writeStream.format("memory").queryName("pca_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(vecs.take(11): _*)
+      q.processAllAvailable()
+      mem.addData(vecs.drop(11): _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM pca_stream")
+        .as[(Long, Double, Double, Double)].collect().toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
 }

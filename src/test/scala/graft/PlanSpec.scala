@@ -591,4 +591,34 @@ class PlanSpec extends AnyFunSuite {
     assert(pl.contains("partial_count") || pl.contains("partial_"),
       s"edge counts must map-side combine:\n${pl.take(800)}")
   }
+
+  test("SFC keys: pure projection inside codegen, zero hash exchanges") {
+    // zorderKey is shift/mask builtins riding the scan; hilbertKey's
+    // aggregate-HOF is still a per-row projection — neither may shuffle
+    // (the presentation orderBy adds only a rangepartitioning exchange)
+    for (name <- Seq("q_zorder_key", "q_hilbert_key")) {
+      val p = physicalPlan(name)
+      assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+        s"$name: key computation must not shuffle:\n${p.take(800)}")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        p.take(800))
+      // the key must be computed IN the projection over the scan (all
+      // codegen-able builtins), never via a UDF or a generator
+      assert(p.contains("Project") && p.contains("FileScan parquet"),
+        s"$name: expected key-in-projection over the scan:\n${p.take(800)}")
+      assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+        s"$name: key must be pure builtins:\n${p.take(800)}")
+    }
+  }
+
+  test("PCA moments: ONE partial-combined aggregate, vectors never shuffle raw") {
+    // the only exchange carries the ~17 KB Long-array buffer (SinglePartition
+    // merge of partials), never the embedding rows themselves
+    val df = graft.ops.Pca.momentsPlan(
+      Tables(spark, dir, "embeddings"), "embedding", 64, 1L << 24)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_"), s"moment aggregate must map-side combine:\n${p.take(800)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"only the SinglePartition partial merge may move data:\n${p.take(800)}")
+  }
 }
