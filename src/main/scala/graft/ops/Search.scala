@@ -233,4 +233,163 @@ object Search {
       .join(fused.select(col(idCol), col("n_lists")), Seq(idCol))
       .select(col(idCol), col("rrf"), col("n_lists"), col("rank"))
   }
+
+  /** Positional postings — the atom under the inverted index and phrase
+    * search: one row per token OCCURRENCE, (doc, token, pos) with pos
+    * 1-based in whitespace-token order. Map-only (posexplode of the
+    * split), the same `\S+`-equivalent tokenizer as BM25/vocabulary.
+    */
+  def positionalPostings(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs.select(col(idCol),
+      posexplode(split(lower(trim(col(textCol))), "\\s+")).as(Seq("__p", "token")))
+      .filter(col("token") =!= "")
+      .select(col(idCol), col("token"), (col("__p") + 1).as("pos"))
+
+  /** The inverted index a distributed retrieval layer persists: one row
+    * per (token, doc) posting carrying tf + first/last occurrence, plus
+    * the token's document frequency for IDF. Shape at 100 TB: one
+    * (token, doc)-keyed partial-combined aggregate, one token-keyed df
+    * aggregate, one token equi-join — no windows, no driver state.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val postings = positionalPostings(docs, idCol, textCol)
+      .groupBy(col("token"), col(idCol))
+      .agg(count(lit(1)).as("tf"),
+        min(col("pos")).as("first_pos"),
+        max(col("pos")).as("last_pos"))
+    val dfreq = postings.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    postings.join(dfreq, Seq("token"))
+      .select(col("token"), col(idCol), col("tf"), col("df"),
+        col("first_pos"), col("last_pos"))
+  }
+
+  /** BM25 top-k scored THROUGH the inverted index — the query path a
+    * persisted 100 TB index serves: tf from a (doc, term)-keyed postings
+    * aggregate, df/idf from a term-keyed aggregate joined back (n-term
+    * broadcast), dl joined on the doc key, and the per-doc sum done in
+    * round-9 DECIMAL(38,9) so the aggregation is order-free (the
+    * map-only [[bm25TopK]] sums terms sequentially in a UDF closure —
+    * an aggregate cannot promise that order, so it quantizes instead).
+    * Same idf/scoring expression tree, same (rounded score desc, id asc)
+    * ranking; docs containing no query term keep their 0.0 rows exactly
+    * like the map-only path.
+    */
+  def bm25TopKIndexed(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms, s"bad terms: $terms")
+    val dls = docs.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("double").as("__dl"))
+    val row = dls.agg(count(lit(1)), sum(col("__dl"))).collect()(0)
+    val n = row.getLong(0)
+    require(n > 0, "bm25 over an empty corpus")
+    val avgdl = (if (row.isNullAt(1)) 0.0 else row.getDouble(1)) / n.toDouble
+    val tf = positionalPostings(docs, idCol, textCol)
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("__tfl"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+      .withColumn("__idf", log(lit(1.0) +
+        ((lit(n) - col("__df")).cast("double") + lit(0.5)) /
+          (col("__df").cast("double") + lit(0.5))))
+    val contrib = tf.join(broadcast(dfreq), Seq("token"))
+      .join(dls, Seq(idCol))
+      .select(col(idCol),
+        round(col("__idf") * ((col("__tfl").cast("double") * lit(k1 + 1.0)) /
+          (col("__tfl").cast("double") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * (col("__dl") / lit(avgdl))))), 9)
+          .cast("decimal(38,9)").as("__c"))
+    val scored = dls
+      .join(contrib.groupBy(col(idCol)).agg(sum(col("__c")).as("__s")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        round(coalesce(col("__s").cast("double"), lit(0.0)), 6).as("__score"),
+        lit(1).as("__g"))
+    TopKAggregator.topKByGroup(scored, "__g", idCol, "__score", k,
+      outId = idCol, outSim = "score", outRank = "rank")
+      .drop("__g")
+  }
+
+  /** DuckDB twin of [[bm25TopKIndexed]] — the postings/df/idf/contrib
+    * chain restated as CTEs with the identical expression tree and the
+    * identical round-9 DECIMAL(38,9) quantize-then-sum, so the oracle
+    * gates the whole index-path derivation, not just the final ranks.
+    */
+  def bm25IndexedOracleSql(
+      table: String,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): String = {
+    require(terms.forall(_.matches("[A-Za-z0-9_-]+")),
+      s"query terms must be [A-Za-z0-9_-]+ (they embed in SQL literals): $terms")
+    def lit17(d: Double): String = java.lang.Double.toString(d)
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT $idCol, regexp_extract_all(lower(trim($textCol)), '\\S+') AS toks
+       |  FROM $table),
+       |c AS (
+       |  SELECT count(*) AS n,
+       |    CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       |  FROM t),
+       |occ AS (SELECT $idCol, unnest(toks) AS term FROM t),
+       |tf AS (
+       |  SELECT $idCol, term, count(*) AS tfl FROM occ
+       |  WHERE term IN ($inList) GROUP BY $idCol, term),
+       |d AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |i AS (
+       |  SELECT term, ln(1.0 + (CAST(c.n - d.df AS DOUBLE) + 0.5)
+       |                        / (CAST(d.df AS DOUBLE) + 0.5)) AS idf
+       |  FROM d, c),
+       |con AS (
+       |  SELECT tf.$idCol, CAST(round(i.idf *
+       |      ((CAST(tf.tfl AS DOUBLE) * ${lit17(k1 + 1.0)}) /
+       |       (CAST(tf.tfl AS DOUBLE) + ${lit17(k1)} * (${lit17(1.0 - b)} +
+       |        ${lit17(b)} * (CAST(len(t2.toks) AS DOUBLE) / c.avgdl)))), 9)
+       |    AS DECIMAL(38,9)) AS contrib
+       |  FROM tf
+       |  JOIN i USING (term)
+       |  JOIN t t2 ON t2.$idCol = tf.$idCol, c),
+       |s AS (
+       |  SELECT t.$idCol,
+       |    round(COALESCE(CAST(sum(con.contrib) AS DOUBLE), 0.0), 6) AS score
+       |  FROM t LEFT JOIN con ON con.$idCol = t.$idCol
+       |  GROUP BY t.$idCol)
+       |SELECT $idCol, score,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, $idCol) AS INT) AS rank
+       |FROM s ORDER BY score DESC, $idCol LIMIT $k""".stripMargin
+  }
+
+  /** Exact positional phrase search: occurrences of `phrase` as
+    * CONSECUTIVE whitespace tokens. Each phrase slot i keeps postings of
+    * its own term shifted back by i; a start position where all n slots
+    * agree is a match — repeated phrase terms are handled because slots,
+    * not terms, are counted. Shape: map-only broadcast join of postings
+    * against the n-row slot table, then ONE (doc, start)-keyed aggregate.
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val slots = phrase.zipWithIndex.map { case (t, i) => (t.toLowerCase, i) }
+      .toDF("token", "slot")
+    positionalPostings(docs, idCol, textCol)
+      .join(broadcast(slots), Seq("token"))
+      .select(col(idCol), (col("pos") - col("slot")).as("start_pos"), col("slot"))
+      .groupBy(col(idCol), col("start_pos"))
+      .agg(countDistinct(col("slot")).as("__n"))
+      .filter(col("__n") === phrase.length && col("start_pos") >= 1)
+      .select(col(idCol), col("start_pos"))
+  }
 }

@@ -170,7 +170,27 @@ object Mining {
           round(col("eigenvalue"), 9).as("eigenvalue"),
           round(col("var_share"), 9).as("var_share"),
           round(col("cum_share"), 9).as("cum_share"))
-        .orderBy(col("component"))))
+        .orderBy(col("component"))),
+
+    // The persisted retrieval index: one row per (token, doc) posting
+    // with tf/df and positional bounds — one (token,doc)-keyed
+    // partial-combined aggregate + one token-keyed df aggregate.
+    "q_inverted_index" -> ((s, dir) =>
+      Search.invertedIndex(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("token"), col("doc_id"))),
+
+    // Exact positional phrase search over the postings: a common bigram,
+    // plus a REPEATED-term bigram ("batch batch") that gates the
+    // slot-binding logic — overlapping occurrences all surface.
+    "q_phrase_search" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Search.phraseSearch(docs, "doc_id", "text", Seq("merge", "sort"))
+        .withColumn("phrase", lit("merge sort"))
+        .unionByName(
+          Search.phraseSearch(docs, "doc_id", "text", Seq("batch", "batch"))
+            .withColumn("phrase", lit("batch batch")))
+        .orderBy(col("phrase"), col("doc_id"), col("start_pos"))
+    }))
 
   private val RrfTerms = Seq("spark", "table", "query")
 
@@ -321,5 +341,40 @@ object Mining {
         |SELECT i, j, qsum FROM c
         |UNION ALL SELECT i, j, qsum FROM m1
         |UNION ALL SELECT i, j, qsum FROM m2
-        |ORDER BY i, j""".stripMargin)
+        |ORDER BY i, j""".stripMargin,
+    "q_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS ts
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+        |    i -> struct_pack(tok := ts[i], pos := i))) AS e
+        |  FROM toks),
+        |q AS (SELECT doc_id, e.tok AS token, CAST(e.pos AS INT) AS pos FROM p),
+        |post AS (
+        |  SELECT token, doc_id, count(*) AS tf,
+        |    MIN(pos) AS first_pos, MAX(pos) AS last_pos
+        |  FROM q GROUP BY token, doc_id),
+        |d AS (SELECT token, count(*) AS df FROM post GROUP BY token)
+        |SELECT post.token, post.doc_id, post.tf, d.df,
+        |  post.first_pos, post.last_pos
+        |FROM post JOIN d USING (token)
+        |ORDER BY token, doc_id""".stripMargin,
+    "q_phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS ts
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+        |    i -> struct_pack(tok := ts[i], pos := i))) AS e
+        |  FROM toks),
+        |q AS (SELECT doc_id, e.tok AS tok, CAST(e.pos AS INT) AS pos FROM p)
+        |SELECT a.doc_id, a.pos AS start_pos, 'merge sort' AS phrase
+        |FROM q a JOIN q b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |WHERE a.tok = 'merge' AND b.tok = 'sort'
+        |UNION ALL
+        |SELECT a.doc_id, a.pos AS start_pos, 'batch batch' AS phrase
+        |FROM q a JOIN q b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |WHERE a.tok = 'batch' AND b.tok = 'batch'
+        |ORDER BY phrase, doc_id, start_pos""".stripMargin)
 }

@@ -1049,6 +1049,16 @@ object Pipeline {
         Bm25Terms, 50)
         .orderBy(col("rank"))),
 
+    // The same retrieval served THROUGH the inverted index (the
+    // persisted-index query path at 100 TB): tf/df from postings
+    // aggregates, idf broadcast back, per-doc DECIMAL(38,9)
+    // quantize-then-sum so the aggregation is order-free. Oracle restates
+    // the full index-path derivation; same ranking discipline as q_bm25.
+    "q_bm25_indexed" -> ((s, dir) =>
+      Search.bm25TopKIndexed(Tables(s, dir, "documents"), "doc_id", "text",
+        Bm25Terms, 50)
+        .orderBy(col("rank"))),
+
     // Deterministic 80/10/10 train/val/test assignment by md5 digest
     // space — map-only, reproducible across engines and reruns.
     "q_split_assign" -> ((s, dir) =>
@@ -1960,6 +1970,8 @@ object Pipeline {
         |ORDER BY doc_id, rank""".stripMargin,
     "q_bm25" ->
       Search.bm25OracleSql("documents", "doc_id", "text", Bm25Terms, 50),
+    "q_bm25_indexed" ->
+      Search.bm25IndexedOracleSql("documents", "doc_id", "text", Bm25Terms, 50),
     "q_split_assign" ->
       s"""SELECT doc_id, lang,
          |  ${Sampling.hashSplitOracleCase("doc_id", SplitSpec)} AS split

@@ -384,4 +384,57 @@ class AssemblySpec extends AnyFunSuite {
     // every fused row reports how many lists carried the doc
     assert(out.forall(r => r._3 == (if (r._1 == 20L) 2L else 1L)))
   }
+
+  // ---- inverted index + phrase search ---------------------------------
+
+  test("invertedIndex: tf, df and positional bounds per posting") {
+    val idx = Search.invertedIndex(docs, "doc_id", "text")
+      .as[(String, Long, Long, Long, Int, Int)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // 'the' in doc 1 at positions 1 and 5; df counts docs 1 and 2
+    assert(idx(("the", 1L)) == ((2L, 2L, 1, 5)))
+    assert(idx(("the", 2L)) == ((1L, 2L, 1, 1)))
+    // case folding: doc 3 is 'cat CAT cat'
+    assert(idx(("cat", 3L)) == ((3L, 2L, 1, 3)))
+    // blank doc contributes nothing
+    assert(!idx.keys.exists(_._2 == 4L))
+  }
+
+  test("phraseSearch: consecutive-only, boundaries, no cross-doc stitches") {
+    def hits(p: String*) =
+      Search.phraseSearch(docs, "doc_id", "text", p)
+        .as[(Long, Int)].collect().toSet
+    assert(hits("the", "cat") == Set((1L, 1)))       // at the start
+    assert(hits("the", "mat") == Set((1L, 5)))       // at the end
+    assert(hits("cat", "sat", "on") == Set((1L, 2))) // trigram
+    assert(hits("cat", "mat").isEmpty)               // not consecutive
+    assert(hits("mat", "the").isEmpty)               // wrong order
+    // doc 1 ends in 'mat', doc 5 starts with 'mat dog' — 'mat' + 'dog'
+    // must match only INSIDE doc 5, never stitch across documents
+    assert(hits("mat", "dog") == Set((5L, 1)))
+  }
+
+  test("bm25TopKIndexed == map-only bm25TopK on every row (tiny corpus)") {
+    // different physical paths (postings-aggregate joins vs broadcast UDF
+    // closure), same scoring function — full agreement on rounded scores
+    // and ranks, zero-score rows included
+    val mapOnly = Search.bm25TopK(docs, "doc_id", "text",
+      Seq("cat", "dog", "zebra"), 10)
+      .as[(Long, Double, Int)].collect().toSet
+    val indexed = Search.bm25TopKIndexed(docs, "doc_id", "text",
+      Seq("cat", "dog", "zebra"), 10)
+      .as[(Long, Double, Int)].collect().toSet
+    assert(indexed == mapOnly)
+    assert(indexed.size == 5) // all docs ranked, blank doc at score 0
+  }
+
+  test("phraseSearch: repeated terms bind to slots, overlaps all found") {
+    val rep = Seq((9L, "go go go stop go go")).toDF("doc_id", "text")
+    assert(Search.phraseSearch(rep, "doc_id", "text", Seq("go", "go"))
+      .as[(Long, Int)].collect().toSet == Set((9L, 1), (9L, 2), (9L, 5)))
+    assert(Search.phraseSearch(rep, "doc_id", "text", Seq("go", "go", "go"))
+      .as[(Long, Int)].collect().toSet == Set((9L, 1)))
+    assert(Search.phraseSearch(rep, "doc_id", "text", Seq("stop", "go", "go"))
+      .as[(Long, Int)].collect().toSet == Set((9L, 4)))
+  }
 }
