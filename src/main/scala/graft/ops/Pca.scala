@@ -22,9 +22,10 @@ import org.apache.spark.sql.functions._
   * engine — making the aggregate partition-order-free and the whole
   * model (Jacobi runs on the driver from those exact integers)
   * bit-reproducible: GoldenGate-pinnable, unlike naive float covariance.
-  * Overflow envelope: |x| ≤ 2 ⇒ |term| < 2^(2B+2)·? — at the default
-  * B=24 each row contributes < 2^26, so ~2^36 rows (~7·10^10) fit in a
-  * signed 64-bit sum; beyond that lower B or pre-aggregate per shard.
+  * Overflow envelope: |x| ≤ 2 ⇒ |x_i·x_j·2^B| ≤ 2^(B+2) — at the
+  * default B=24 each row contributes < 2^26 per moment, so ~2^37 rows
+  * (~10^11) fit in a signed 64-bit sum; beyond that lower B or
+  * pre-aggregate per shard and merge the exact buffers.
   */
 object Pca {
 
