@@ -105,6 +105,48 @@ object Layout {
     folded.getField("d")
   }
 
+  /** Per-file min/max statistics over `cols` — the manifest a table
+    * format (Iceberg/Delta) persists to plan scans without touching
+    * data files. One aggregate keyed by `input_file_name()`: state is
+    * nFiles × |cols| scalars regardless of row count.
+    */
+  def fileManifest(reread: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+    } :+ count(lit(1)).as("n_rows")
+    reread.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Manifest-driven pruned read: keep only files whose [min,max] box
+    * intersects every requested [lo,hi] range, then scan just those.
+    * The manifest filter is per-file interval logic (a file survives iff
+    * max_c >= lo AND min_c <= hi for every range); the residual row
+    * filter still applies because file stats are necessarily coarse.
+    * The collected object is the pruned FILE-PATH LIST — bounded by the
+    * shard count, never by rows — which is exactly what any scan
+    * planner must materialize to construct splits. Returns (paths kept,
+    * total paths, the pruned-and-filtered DataFrame).
+    */
+  def prunedRead(reread: DataFrame, ranges: Seq[(String, Double, Double)])
+      : (Seq[String], Long, DataFrame) = {
+    val spark = reread.sparkSession
+    val manifest = fileManifest(reread, ranges.map(_._1))
+    val total = manifest.count()
+    val survivors = ranges.foldLeft(manifest) { case (m, (c, lo, hi)) =>
+      m.filter(col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi))
+    }
+    val paths = survivors.select(col("file")).collect().map(_.getString(0)).toSeq
+    val residual = ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
+    val df =
+      if (paths.isEmpty) reread.filter(lit(false))
+      else spark.read.schema(reread.schema).parquet(paths: _*).filter(residual)
+    (paths, total, df)
+  }
+
   /** Write `df` clustered by `key` (range-partitioned into `nFiles`
     * shards, sorted inside each) and re-read it. The key column is kept
     * in the files under `keyName` — it is itself a useful coarse filter

@@ -320,6 +320,29 @@ object ScaleDomain {
           sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
             .as("sum_qty"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // The manifest-planned twin of q_layout_cluster: the same box served
+    // through per-file min/max stats (Layout.fileManifest) — only files
+    // whose stat box intersects the predicate are opened, the residual
+    // filter handles the coarseness. Same oracle as the direct path: a
+    // green row means scan planning over file stats loses/invents
+    // nothing. The pruning RATIO is layout-dependent, so it is pinned in
+    // LayoutSpec on controlled data, not here.
+    "q_manifest_prune" -> ((s, dir) => {
+      val path = s"/tmp/graft_manifest/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val li = Tables(s, dir, "lineitem")
+      val key = Layout.zorderKey(Seq(
+        Layout.gridCell(col("l_partkey"), 0, 20000, 10),
+        Layout.gridCell(col("l_suppkey"), 0, 1000, 10)), 10)
+      val reread = Layout.writeClustered(li, path, key, nFiles = 16)
+      val (_, _, pruned) = Layout.prunedRead(reread,
+        Seq(("l_partkey", 10, 150), ("l_suppkey", 1, 7)))
+      pruned.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("sum_qty"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -492,6 +515,12 @@ object ScaleDomain {
           |  CAST(h0.d AS BIGINT) AS hkey
           |FROM h0 ORDER BY h0.doc_id""".stripMargin),
     "q_layout_cluster" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 10 AND 150 AND l_suppkey BETWEEN 1 AND 7
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_manifest_prune" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem

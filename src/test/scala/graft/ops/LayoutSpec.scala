@@ -140,6 +140,37 @@ class LayoutSpec extends AnyFunSuite {
       s"clustered=$clusteredRead not materially below plain=$plainRead")
   }
 
+  test("manifest pruning opens a minority of files and loses nothing") {
+    val n = 50000L
+    val base = spark.range(n).select(
+      col("id"),
+      ((col("id") * 7919L) % 1000).cast("double").as("x"),
+      ((col("id") * 104729L) % 1000).cast("double").as("y"))
+    val key = Layout.zorderKey(Seq(
+      Layout.gridCell(col("x"), 0, 1000, 8),
+      Layout.gridCell(col("y"), 0, 1000, 8)), 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+    val reread = Layout.writeClustered(base, dir, key, nFiles = 16)
+
+    val manifest = Layout.fileManifest(reread, Seq("x", "y")).collect()
+    assert(manifest.length == 16)
+    assert(manifest.map(_.getAs[Long]("n_rows")).sum == n)
+
+    val (kept, total, pruned) = Layout.prunedRead(reread,
+      Seq(("x", 0, 99), ("y", 0, 99)))
+    assert(total == 16)
+    assert(kept.nonEmpty && kept.size <= 6,
+      s"box covers ~1% of the space but kept ${kept.size}/16 files")
+    // nothing lost, nothing invented: the pruned scan == the full filter
+    val expect = base.filter(col("x") <= 99 && col("y") <= 99)
+      .select("id").as[Long].collect().sorted.toSeq
+    val got = pruned.select("id").as[Long].collect().sorted.toSeq
+    assert(got == expect)
+    // a box outside the data prunes everything and yields an empty frame
+    val (none, _, empty) = Layout.prunedRead(reread, Seq(("x", 2000, 3000)))
+    assert(none.isEmpty && empty.isEmpty)
+  }
+
   test("writeClustered is a pure permutation (content parity, key kept)") {
     val base = spark.range(5000).select(
       col("id"), ((col("id") * 37L) % 100).as("x"), ((col("id") * 11L) % 100).as("y"))
