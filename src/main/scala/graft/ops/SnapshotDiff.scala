@@ -51,4 +51,35 @@ object SnapshotDiff {
       .agg(count(lit(1)).as("n_docs"),
         sum(coalesce(col("n_chars_new"), lit(0)) -
           coalesce(col("n_chars_old"), lit(0))).as("char_delta"))
+
+  /** Apply a CDC change set onto a base snapshot — the incremental
+    * corpus-maintenance sibling of [[diff]] (MERGE INTO semantics over
+    * plain DataFrames). `changes` carries (idCol, version LONG,
+    * op ∈ upsert|delete, <the base's payload columns>); multiple changes
+    * per id resolve to the LAST WRITER = max (version, op) with struct
+    * ordering (so on an exact version tie 'upsert' > 'delete'
+    * lexicographically — document-stable, no shuffle-order dependence).
+    * Semantics: winning delete drops the id (present in base or not);
+    * winning upsert replaces the payload or inserts the id; untouched
+    * base rows pass through.
+    *
+    * Scale shape: ONE id-keyed max_by aggregate over the changes (tiny
+    * vs the base) + ONE full-outer id join — no windows, no driver
+    * state; at 100 TB the change side is the small one and AQE
+    * broadcast-joins it.
+    */
+  def applyChangeSet(base: DataFrame, changes: DataFrame, idCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty)
+    val payload = struct(payloadCols.map(col): _*)
+    val winners = changes.groupBy(col(idCol))
+      .agg(max_by(struct(col("op").as("op"), payload.as("p")),
+        struct(col("version"), col("op"))).as("w"))
+      .select(col(idCol), col("w.op").as("__op"), col("w.p").as("__p"))
+    base.join(winners, Seq(idCol), "full_outer")
+      .filter(col("__op").isNull || col("__op") =!= "delete")
+      .select(col(idCol) +: payloadCols.map { c =>
+        when(col("__op").isNotNull, col(s"__p.$c")).otherwise(col(c)).as(c)
+      }: _*)
+  }
 }

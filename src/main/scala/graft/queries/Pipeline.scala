@@ -499,6 +499,31 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // The incremental sibling of the diff: a CDC change set (edits %5 at
+    // v2, deletes %7 at v3, inserts %11 under shifted ids) APPLIED onto
+    // the base — MERGE INTO semantics over plain frames. The %35 ids
+    // carry BOTH an edit (v2) and a delete (v3), so the max-(version,op)
+    // last-writer election is load-bearing, not decorative. One id-keyed
+    // max_by over the (small) change side + one full-outer id join.
+    "q_upsert_apply" -> ((s, dir) => {
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val edits = base.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), lit(2L).as("version"), lit("upsert").as("op"),
+          concat(lit("v2 "), col("text")).as("text"), col("lang"))
+      val dels = base.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), lit(3L).as("version"), lit("delete").as("op"),
+          lit(null).cast("string").as("text"), lit(null).cast("string").as("lang"))
+      val ins = base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          lit(2L).as("version"), lit("upsert").as("op"),
+          concat(lit("new:"), col("text")).as("text"), col("lang"))
+      graft.ops.SnapshotDiff.applyChangeSet(
+        base, edits.unionByName(dels).unionByName(ins), "doc_id",
+        Seq("text", "lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The release-gate view of the same diff: per-status doc counts and
     // char movement (diffSummary — the 4-row table a shipping decision
     // reads).
@@ -1379,6 +1404,31 @@ object Pipeline {
         |  CAST(length(o.text) AS INT) AS n_chars_old,
         |  CAST(length(n.text) AS INT) AS n_chars_new
         |FROM documents o FULL JOIN newsnap n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // the election restated as ROW_NUMBER over (version DESC, op DESC) —
+    // the exact mirror of max_by's (version, op) struct ordering
+    "q_upsert_apply" ->
+      """WITH chg AS (
+        |  SELECT doc_id, 2 AS version, 'upsert' AS op,
+        |    'v2 ' || text AS text, lang
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 3, 'delete', NULL, NULL
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, 2, 'upsert', 'new:' || text, lang
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |win AS (
+        |  SELECT doc_id, op, text, lang FROM chg
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY version DESC, op DESC) = 1),
+        |m AS (
+        |  SELECT COALESCE(b.doc_id, w.doc_id) AS doc_id, w.op AS op,
+        |    CASE WHEN w.op IS NOT NULL THEN w.text ELSE b.text END AS text,
+        |    CASE WHEN w.op IS NOT NULL THEN w.lang ELSE b.lang END AS lang
+        |  FROM documents b FULL JOIN win w ON w.doc_id = b.doc_id)
+        |SELECT doc_id, text, lang FROM m
+        |WHERE op IS NULL OR op <> 'delete'
         |ORDER BY doc_id""".stripMargin,
     "q_snapshot_summary" ->
       """WITH newsnap AS (

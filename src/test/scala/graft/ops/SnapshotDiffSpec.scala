@@ -38,4 +38,42 @@ class SnapshotDiffSpec extends AnyFunSuite {
       "removed" -> (1L, -5L),
       "added" -> (1L, 9L)))
   }
+
+  private def apply(changes: Seq[(Long, Long, String, String)]) =
+    SnapshotDiff.applyChangeSet(oldSnap,
+      changes.toDF("doc_id", "version", "op", "text"), "doc_id", Seq("text"))
+      .as[(Long, String)].collect().toMap
+
+  test("applyChangeSet: edit, delete, insert, pass-through") {
+    val got = apply(Seq(
+      (2L, 1L, "upsert", "beta v2"),
+      (3L, 1L, "delete", null),
+      (9L, 1L, "upsert", "nine")))
+    assert(got === Map(1L -> "alpha", 2L -> "beta v2", 4L -> "delta", 9L -> "nine"))
+  }
+
+  test("applyChangeSet: last writer wins by version; delete of unknown id is a no-op") {
+    val got = apply(Seq(
+      (2L, 2L, "upsert", "v2"),
+      (2L, 5L, "upsert", "v5"),
+      (2L, 3L, "upsert", "v3"),
+      (4L, 2L, "upsert", "edited"),
+      (4L, 3L, "delete", null),    // later delete beats the edit
+      (77L, 9L, "delete", null)))  // never existed
+    assert(got === Map(1L -> "alpha", 2L -> "v5", 3L -> "gamma"))
+  }
+
+  test("applyChangeSet: exact version tie resolves upsert over delete (struct order)") {
+    val got = apply(Seq(
+      (1L, 7L, "delete", null),
+      (1L, 7L, "upsert", "survivor")))
+    assert(got(1L) == "survivor")
+    // and the election is partition-order free
+    val big = (1 to 50).map(v => (1L, v.toLong, "upsert", s"v$v")) :+
+      (1L, 50L, "delete", null.asInstanceOf[String])
+    val a = SnapshotDiff.applyChangeSet(oldSnap,
+      big.toDF("doc_id", "version", "op", "text").repartition(7),
+      "doc_id", Seq("text")).as[(Long, String)].collect().toMap
+    assert(a(1L) == "v50") // upsert beats delete at the tied max version
+  }
 }
