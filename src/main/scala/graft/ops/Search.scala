@@ -370,6 +370,32 @@ object Search {
        |FROM s ORDER BY score DESC, $idCol LIMIT $k""".stripMargin
   }
 
+  /** Incremental index maintenance: fold a DELTA corpus's postings into
+    * an existing [[invertedIndex]] WITHOUT re-tokenizing the base corpus
+    * — the nightly crawl-append path (at 100 TB rebuilding the index to
+    * add 0.1% of documents is the thing you must never do). Contract:
+    * the delta's doc ids are disjoint from the index's (append-only
+    * crawl; re-crawled ids go through dedup first), so (token, doc)
+    * posting rows union untouched and per-token df is the count of its
+    * postings. Shape: tokenize ONLY the delta, one union, one
+    * token-keyed df aggregate, one join. Gate: == a full rebuild.
+    */
+  def mergePostings(index: DataFrame, deltaDocs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val deltaPostings = positionalPostings(deltaDocs, idCol, textCol)
+      .groupBy(col("token"), col(idCol))
+      .agg(count(lit(1)).as("tf"),
+        min(col("pos")).as("first_pos"),
+        max(col("pos")).as("last_pos"))
+    val all = index.select(col("token"), col(idCol), col("tf"),
+      col("first_pos"), col("last_pos"))
+      .unionByName(deltaPostings)
+    val dfreq = all.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    all.join(dfreq, Seq("token"))
+      .select(col("token"), col(idCol), col("tf"), col("df"),
+        col("first_pos"), col("last_pos"))
+  }
+
   /** Exact positional phrase search: occurrences of `phrase` as
     * CONSECUTIVE whitespace tokens. Each phrase slot i keeps postings of
     * its own term shifted back by i; a start position where all n slots

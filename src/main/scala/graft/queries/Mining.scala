@@ -179,6 +179,19 @@ object Mining {
       Search.invertedIndex(Tables(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("token"), col("doc_id"))),
 
+    // Incremental index maintenance: the index built on 2/3 of the
+    // corpus, the remaining third folded in as a delta WITHOUT
+    // re-tokenizing the base — must equal the full rebuild, which is
+    // exactly what the oracle computes (same SQL as q_inverted_index).
+    "q_index_merge" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val base = Search.invertedIndex(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+      Search.mergePostings(base, docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text")
+        .orderBy(col("token"), col("doc_id"))
+    }),
+
     // Exact positional phrase search over the postings: a common bigram,
     // plus a REPEATED-term bigram ("batch batch") that gates the
     // slot-binding logic — overlapping occurrences all surface.
@@ -343,6 +356,25 @@ object Mining {
         |UNION ALL SELECT i, j, qsum FROM m2
         |ORDER BY i, j""".stripMargin,
     "q_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS ts
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+        |    i -> struct_pack(tok := ts[i], pos := i))) AS e
+        |  FROM toks),
+        |q AS (SELECT doc_id, e.tok AS token, CAST(e.pos AS INT) AS pos FROM p),
+        |post AS (
+        |  SELECT token, doc_id, count(*) AS tf,
+        |    MIN(pos) AS first_pos, MAX(pos) AS last_pos
+        |  FROM q GROUP BY token, doc_id),
+        |d AS (SELECT token, count(*) AS df FROM post GROUP BY token)
+        |SELECT post.token, post.doc_id, post.tf, d.df,
+        |  post.first_pos, post.last_pos
+        |FROM post JOIN d USING (token)
+        |ORDER BY token, doc_id""".stripMargin,
+    // incremental merge must equal the full rebuild — same oracle
+    "q_index_merge" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS ts
         |  FROM documents),

@@ -414,6 +414,20 @@ class AssemblySpec extends AnyFunSuite {
     assert(hits("mat", "dog") == Set((5L, 1)))
   }
 
+  test("mergePostings(delta) == full rebuild, row for row") {
+    val base = docs.filter($"doc_id" <= 2)
+    val delta = docs.filter($"doc_id" > 2)
+    val merged = Search.mergePostings(
+      Search.invertedIndex(base, "doc_id", "text"), delta, "doc_id", "text")
+    val rebuilt = Search.invertedIndex(docs, "doc_id", "text")
+    assert(merged.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(merged).isEmpty)
+    // df really crosses the boundary: 'mat' lives in base doc 1 and
+    // delta doc 5, so both postings must report df = 2 after the merge
+    val mat = merged.filter($"token" === "mat")
+      .as[(String, Long, Long, Long, Int, Int)].collect()
+    assert(mat.map(_._2).sorted.toSeq == Seq(1L, 5L) && mat.forall(_._4 == 2L))
+  }
+
   test("bm25TopKIndexed == map-only bm25TopK on every row (tiny corpus)") {
     // different physical paths (postings-aggregate joins vs broadcast UDF
     // closure), same scoring function — full agreement on rounded scores
