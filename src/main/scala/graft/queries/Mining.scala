@@ -179,6 +179,17 @@ object Mining {
       Search.invertedIndex(Tables(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("token"), col("doc_id"))),
 
+    // Aho-Corasick dictionary matching: all occurrences of a literal set
+    // in ONE text pass (broadcast automaton, map-only). 'can' is a
+    // proper suffix of 'scan', so every 'scan' hit must ALSO surface a
+    // 'can' hit via the output links — the classic AC failure mode a
+    // naive trie walk misses; the oracle recomputes every overlapping
+    // occurrence with per-position substring probes.
+    "q_dict_match" -> ((s, dir) =>
+      graft.ops.DictionaryMatch.matches(Tables(s, dir, "documents"),
+        "doc_id", "text", Seq("scan", "can", "merge sort", "window"))
+        .orderBy(col("doc_id"), col("pattern"))),
+
     // Incremental index maintenance: the index built on 2/3 of the
     // corpus, the remaining third folded in as a delta WITHOUT
     // re-tokenizing the base — must equal the full rebuild, which is
@@ -373,6 +384,19 @@ object Mining {
         |  post.first_pos, post.last_pos
         |FROM post JOIN d USING (token)
         |ORDER BY token, doc_id""".stripMargin,
+    "q_dict_match" ->
+      """WITH pat AS (
+        |  SELECT unnest(['scan', 'can', 'merge sort', 'window']) AS pattern),
+        |hits AS (
+        |  SELECT d.doc_id, p.pattern,
+        |    list_filter(range(1, length(d.text) - length(p.pattern) + 2),
+        |      i -> substring(d.text, CAST(i AS INT), length(p.pattern))
+        |             = p.pattern) AS starts
+        |  FROM documents d CROSS JOIN pat p)
+        |SELECT doc_id, pattern, CAST(len(starts) AS BIGINT) AS n_hits,
+        |  CAST(starts[1] AS INT) AS first_pos
+        |FROM hits WHERE len(starts) > 0
+        |ORDER BY doc_id, pattern""".stripMargin,
     // incremental merge must equal the full rebuild — same oracle
     "q_index_merge" ->
       """WITH toks AS (
