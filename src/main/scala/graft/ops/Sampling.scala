@@ -354,4 +354,30 @@ object Sampling {
       .filter(col("cum_tokens_grp") <= col("tok_target"))
       .drop("__rk")
   }
+
+  /** Weighted sample WITHOUT replacement, Efraimidis–Spirakis (IPL 2006):
+    * each row draws key = -ln(u)/w and the n SMALLEST keys are the
+    * sample — inclusion probability ∝ weight, one pass, no sequential
+    * state. The uniform u comes from the first 12 md5 hex chars of the
+    * id ((v + 0.5) / 2^48, never 0), so like every sampler here the
+    * draw is a pure function of the id: engine-replayable, re-run
+    * stable, and the same row keeps the same key when the corpus around
+    * it changes. Keys are ranked ROUNDED to 9 dp so the cut is
+    * engine-stable. Plan: map-only key + TakeOrdered (bounded per-task
+    * heap of n) — no full sort, no shuffle of losers.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     n: Int): DataFrame = {
+    require(n >= 1)
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("double") + lit(0.5)) / lit(math.pow(2.0, 48))
+    val key = round(-log(u) / col(weightCol).cast("double"), 9)
+    df.select(col(idCol), col(weightCol).cast("double").as("weight"),
+      key.as("es_key"))
+      .orderBy(col("es_key"), col(idCol))
+      .limit(n)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("es_key"), col(idCol))))
+  }
 }

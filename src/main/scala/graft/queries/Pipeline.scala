@@ -406,6 +406,16 @@ object Pipeline {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // Weighted sampling without replacement (Efraimidis-Spirakis):
+    // 100 docs drawn ∝ n_chars, keys -ln(u)/w from md5-derived uniforms
+    // — map-only keying + TakeOrdered, the id-pure-function discipline
+    // of the rest of the sampler family. The oracle replays every key
+    // from the hex digits.
+    "q_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(Tables(s, dir, "documents"), "doc_id",
+        "n_chars", 100)
+        .orderBy(col("rank"))),
+
     // Reproducible global shuffle: exact 1-based position in md5 order via
     // the two-phase running total (no Exchange SinglePartition — the naive
     // row_number() over a global ORDER BY would plan one).
@@ -1840,6 +1850,20 @@ object Pipeline {
       """SELECT doc_id, lang FROM documents
         |WHERE md5(CAST(doc_id AS VARCHAR)) < '40000000000000000000000000000000'
         |ORDER BY doc_id""".stripMargin,
+    // u = (first-12-hex-chars-of-md5 + 0.5) / 2^48 rebuilt digit by digit
+    // (exact integer-valued doubles, order-free), then key = -ln(u)/w
+    "q_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+        |    round(-ln((list_sum(list_transform(range(1, 13), j ->
+        |        (strpos('0123456789abcdef',
+        |           substring(md5(CAST(doc_id AS VARCHAR)), CAST(j AS INT), 1))
+        |         - 1) * 16 ** (12 - j))) + 0.5) / 281474976710656.0)
+        |      / CAST(n_chars AS DOUBLE), 9) AS es_key
+        |  FROM documents)
+        |SELECT doc_id, weight, es_key,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY es_key, doc_id) AS INT) AS rank
+        |FROM k ORDER BY es_key, doc_id LIMIT 100""".stripMargin,
     "q_shuffle_det" ->
       """SELECT doc_id, CAST(ROW_NUMBER() OVER (
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)) || '|' || CAST(doc_id AS VARCHAR))

@@ -251,4 +251,39 @@ class SamplingSpec extends AnyFunSuite {
     assert(out == ((1 to 20).map(i => ("a", i.toLong)) ++
       (21 to 30).map(i => ("b", i.toLong))).toSet)
   }
+
+  private def refEsKey(id: Long, w: Double): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(12)
+    val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / math.pow(2, 48)
+    BigDecimal(-math.log(u) / w)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("weightedSample: keys replay from md5 digits; partition-invariant") {
+    val df = (1L to 300L).map(i => (i, (i % 9 + 1).toDouble)).toDF("id", "w")
+    for (parts <- Seq(1, 7)) {
+      val got = Sampling.weightedSample(df.repartition(parts), "id", "w", 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getInt(3)))
+      assert(got.length == 20)
+      got.foreach { case (id, w, key, _) =>
+        assert(key == refEsKey(id, w), s"id=$id")
+      }
+      // ranks follow (key, id) and are 1..20
+      assert(got.sortBy(r => (r._3, r._1)).map(_._4).toSeq == (1 to 20))
+    }
+  }
+
+  test("weightedSample: inclusion probability tracks the weight") {
+    // evens carry 200x the weight of odds; a 200-of-2000 sample must be
+    // nearly all even (deterministic given the fixed ids, so this is a
+    // stable measurement, not a flaky statistical assertion)
+    val df = (1L to 2000L)
+      .map(i => (i, if (i % 2 == 0) 200.0 else 1.0)).toDF("id", "w")
+    val sample = Sampling.weightedSample(df, "id", "w", 200)
+      .collect().map(_.getLong(0))
+    val evens = sample.count(_ % 2 == 0)
+    assert(evens >= 190, s"only $evens/200 high-weight rows drawn")
+  }
 }
