@@ -88,6 +88,33 @@ object Dedup {
     array(hashes: _*)
   }
 
+  /** Pick (bands, rowsPerBand) for a hash budget so the LSH S-curve
+    * 1-(1-s^r)^b best separates at `threshold`: among every divisor
+    * split b·r = numHashes, minimize the total error mass
+    * ∫₀ᵗ p(s)ds + ∫ₜ¹ (1-p(s))ds (false-candidate area below the
+    * threshold plus missed-pair area above it), evaluated by a fixed
+    * 1e-3 midpoint rule — deterministic, driver-only, O(divisors·1000).
+    * The usual rule of thumb (threshold ≈ (1/b)^(1/r)) falls out: higher
+    * thresholds select more rows per band.
+    */
+  def lshPlan(threshold: Double, numHashes: Int): (Int, Int) = {
+    require(threshold > 0 && threshold < 1 && numHashes >= 1)
+    val splits = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+    def err(b: Int, r: Int): Double = {
+      var e = 0.0
+      var i = 0
+      while (i < 1000) {
+        val s = (i + 0.5) / 1000.0
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+        e += (if (s < threshold) p else 1.0 - p) / 1000.0
+        i += 1
+      }
+      e
+    }
+    splits.minBy { case (b, r) => (err(b, r), b) }
+  }
+
   /** MinHash+LSH near-duplicate pairs.
     * shingle→minhash→band→bucket-join→exact-Jaccard verify.
     *

@@ -127,4 +127,38 @@ object TextCleanse {
         .replaceAll("\\p{M}+", ""))
     f(textCol)
   }
+
+  /** Curated homoglyph table (the UTS #39 confusables idea, re-typed
+    * BMP subset): Cyrillic/Greek look-alikes fold onto their Latin
+    * skeleton, typographic quotes/dashes/NBSP onto ASCII, and
+    * zero-width characters (the classic dedup-evasion trick) DROP —
+    * translate() removes source chars with no target in both Spark and
+    * DuckDB. Order: from(i) maps to to(i); the zero-width tail has no
+    * targets.
+    */
+  val ConfusablesFrom: String =
+    "\u0430\u0435\u043E\u0440\u0441\u0445\u0443\u0456\u0455\u0458" + // cyr lower a e o p c x y i s j
+      "\u0410\u0412\u0415\u041A\u041C\u041D\u041E\u0420\u0421\u0422\u0425" + // cyr upper A B E K M H O P C T X
+      "\u03BF\u03BD\u0391\u0392\u0395\u0396\u0397\u0399\u039A\u039C\u039D\u039F\u03A1\u03A4\u03A5\u03A7" + // greek o v A B E Z H I K M N O P T Y X
+      "\u2019\u2018\u201C\u201D\u2014\u2013\u2012\u00A0" + // ' ' " " em/en/figure dash -> '-', nbsp -> space
+      "\u200B\u200C\u200D\uFEFF" // zero-width space/joiners/BOM: dropped
+  val ConfusablesTo: String =
+    "aeopcxyisj" + "ABEKMHOPCTX" + "ovABEZHIKMNOPTYX" + "''" + "\"\"" + "--- "
+
+  /** Homoglyph skeleton fold: one builtin translate(), map-only. Run it
+    * before any content-hash/shingle dedup key so visually-identical
+    * spam mirrors (Cyrillic-а substitutions, zero-width padding)
+    * collide instead of slipping past.
+    */
+  def skeleton(textCol: Column): Column =
+    translate(textCol, ConfusablesFrom, ConfusablesTo)
+
+  /** The identical fold as a DuckDB expression over `innerExpr`, both
+    * character tables spelled as chr() chains so the oracle string
+    * stays ASCII and quote-escaping-free.
+    */
+  def skeletonOracleSql(innerExpr: String): String = {
+    def chain(s: String) = s.map(c => s"chr(${c.toInt})").mkString(" || ")
+    s"translate($innerExpr, ${chain(ConfusablesFrom)}, ${chain(ConfusablesTo)})"
+  }
 }

@@ -184,6 +184,26 @@ object Pipeline {
     // non-ASCII in BOTH engines), NFC-compose, strip accents, and check
     // the round-trip restores the original. JDK Normalizer and DuckDB
     // nfc_normalize/strip_accents must agree on every document.
+    // Homoglyph skeleton fold (q_unicode_nfc discipline): every doc gets
+    // Cyrillic look-alikes substituted for 7 Latin letters plus a
+    // zero-width space, an em dash and a curly quote appended; the
+    // skeleton must restore the original text exactly (+ '-x"'). Both
+    // engines run the IDENTICAL 49-entry translate table \u2014 the oracle's
+    // is generated from the same Scala constants as chr() chains.
+    "q_skeleton" -> ((s, dir) => {
+      val injected = concat(
+        translate(col("text"), "aeopcxy",
+          "\u0430\u0435\u043e\u0440\u0441\u0445\u0443"),
+        lit("\u200b\u2014x\u201d"))
+      val sk = TextCleanse.skeleton(injected)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          length(injected).as("n_in_chars"),
+          length(sk).as("n_out_chars"),
+          (sk === concat(col("text"), lit("-x\""))).as("restored_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_unicode_nfc" -> ((s, dir) => {
       val injected = regexp_replace(col("text"), "a", "a\u0301")
       val norm = TextCleanse.nfcNormalize(injected)
@@ -2123,6 +2143,18 @@ object Pipeline {
         |  '<SUF>' || substring(text, hi + 1, n - hi) ||
         |  '<MID>' || substring(text, lo + 1, hi - lo) AS psm_text
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_skeleton" ->
+      (s"""WITH s AS (
+         |  SELECT doc_id, text,
+         |    translate(text, 'aeopcxy',
+         |      chr(1072)||chr(1077)||chr(1086)||chr(1088)||chr(1089)||chr(1093)||chr(1091))
+         |      || chr(8203) || chr(8212) || 'x' || chr(8221) AS injected
+         |  FROM documents)
+         |SELECT doc_id, length(injected) AS n_in_chars,
+         |  length(${TextCleanse.skeletonOracleSql("injected")}) AS n_out_chars,
+         |  (${TextCleanse.skeletonOracleSql("injected")}
+         |     = text || '-x' || chr(34)) AS restored_ok
+         |FROM s ORDER BY doc_id""".stripMargin),
     "q_unicode_nfc" ->
       """WITH s AS (
         |  SELECT doc_id, text,

@@ -308,4 +308,19 @@ class DedupSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("lshPlan: S-curve inflection lands near the threshold; monotone in t") {
+    val plans = Seq(0.2, 0.5, 0.8).map(t => t -> Dedup.lshPlan(t, 128))
+    plans.foreach { case (t, (b, r)) =>
+      assert(b * r == 128)
+      // the curve's 50% point (1/b)^(1/r) should sit near the threshold
+      val mid = math.pow(1.0 / b, 1.0 / r)
+      assert(math.abs(mid - t) < 0.15, s"t=$t -> (b=$b,r=$r), mid=$mid")
+    }
+    // higher thresholds demand longer bands (more rows per band)
+    val rowsSeq = plans.map(_._2._2)
+    assert(rowsSeq == rowsSeq.sorted, s"rows not monotone: $rowsSeq")
+    // degenerate budgets still return a legal split
+    assert(Dedup.lshPlan(0.5, 1) == ((1, 1)))
+  }
 }

@@ -105,4 +105,30 @@ class TextCleanseSpec extends AnyFunSuite {
     assert(r.getString(0) == "")
     assert(r.getInt(1) == 2 && r.getInt(2) == 0)
   }
+
+  test("skeleton: homoglyphs fold, zero-width drops, table is aligned") {
+    // the mapping table itself: every from-char with a target, zero-width
+    // tail dropped
+    assert(TextCleanse.ConfusablesFrom.length ==
+      TextCleanse.ConfusablesTo.length + 4)
+    assert(TextCleanse.ConfusablesFrom.distinct == TextCleanse.ConfusablesFrom)
+    val rows = Seq(
+      (1L, "p\u0430yp\u0430l.com"),                       // cyrillic 'a'
+      (2L, "he\u200Bllo\u200D world\uFEFF"),              // zero-width padding
+      (3L, "\u201Csm\u03BFrt\u201D \u2014 d\u0430sh"),   // curly quotes, greek o, em dash
+      (4L, "plain ascii stays")).toDF("doc_id", "text")
+    val got = TextCleanse.skeleton(
+      org.apache.spark.sql.functions.col("text"))
+    val out = rows.select(org.apache.spark.sql.functions.col("doc_id"), got.as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "paypal.com")
+    assert(out(2L) == "hello world")
+    assert(out(3L) == "\"smort\" - dash")
+    assert(out(4L) == "plain ascii stays")
+    // two visually-identical spellings now share a dedup key
+    val a = TextCleanse.skeleton(
+      org.apache.spark.sql.functions.lit("sp\u0430m mirror\u200B"))
+    val b = TextCleanse.skeleton(org.apache.spark.sql.functions.lit("spam mirror"))
+    assert(rows.select(a === b).head().getBoolean(0))
+  }
 }
