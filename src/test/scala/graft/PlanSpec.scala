@@ -611,6 +611,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dictionary match is map-only; weighted sample is a TakeOrdered heap") {
+    // Aho-Corasick: broadcast automaton + generate — the only exchange is
+    // the presentation sort's range partitioning
+    val pd = physicalPlan("q_dict_match")
+    assert("Exchange hashpartitioning".r.findAllIn(pd).isEmpty,
+      s"dictionary matching must not shuffle:\n${pd.take(800)}")
+    assert(!pd.contains("CartesianProduct"))
+
+    // ES sampling: no global sort — the limit folds into a bounded
+    // per-partition heap (TakeOrderedAndProject)
+    val pw = physicalPlan("q_weighted_sample")
+    assert(pw.contains("TakeOrderedAndProject"),
+      s"weighted sample lost the bounded-heap TakeOrdered:\n${pw.take(800)}")
+  }
+
+  test("upsert apply: one change-side aggregate, one id join, no window") {
+    val p = physicalPlan("q_upsert_apply")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      p.take(800))
+    assert(p.contains("partial_max_by") || p.contains("max_by"),
+      s"last-writer election must map-side combine:\n${p.take(800)}")
+  }
+
   test("PCA moments: ONE partial-combined aggregate, vectors never shuffle raw") {
     // the only exchange carries the ~17 KB Long-array buffer (SinglePartition
     // merge of partials), never the embedding rows themselves
