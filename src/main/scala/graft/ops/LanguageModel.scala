@@ -208,6 +208,97 @@ object LanguageModel {
   def bigramScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     scoreBigrams(docs, idCol, textCol, trainBigrams(docs, idCol, textCol))
 
+  /** Interpolated Kneser–Ney bigram model (Kneser & Ney ICASSP '95,
+    * Chen & Goodman '98 formulation, fixed discount): beyond the raw
+    * counts it carries the TYPE statistics KN smoothing runs on —
+    * N1+(w1·) distinct followers per prefix, N1+(·w2) distinct
+    * predecessors per word (the "how many contexts has this word
+    * completed" signal that beats raw frequency for backoff), and the
+    * distinct-bigram total. All derived from the SAME single bigram
+    * aggregate as [[Bigrams]].
+    */
+  final case class KneserNeyModel(
+      bi: Map[String, Long],
+      prefix: Map[String, Long],
+      rightTypes: Map[String, Long],
+      leftTypes: Map[String, Long],
+      nBigramTypes: Long,
+      vocabSize: Long,
+      discount: Double)
+
+  def trainKneserNey(
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long = 1L,
+      maxEntries: Long = 5000000L,
+      discount: Double = 0.75): KneserNeyModel = {
+    require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
+    val base = trainBigrams(train, idCol, textCol, minCount, maxEntries)
+    val right = new scala.collection.mutable.HashMap[String, Long]()
+    val left = new scala.collection.mutable.HashMap[String, Long]()
+    base.bi.keysIterator.foreach { bg =>
+      val sp = bg.indexOf(' ')
+      val w1 = bg.substring(0, sp)
+      val w2 = bg.substring(sp + 1)
+      right.update(w1, right.getOrElse(w1, 0L) + 1L)
+      left.update(w2, left.getOrElse(w2, 0L) + 1L)
+    }
+    KneserNeyModel(base.bi, base.prefix, right.toMap, left.toMap,
+      base.bi.size.toLong, base.uni.vocabSize, discount)
+  }
+
+  /** KN-smoothed scoring: the first token takes the floored continuation
+    * NLL −ln(Pc(w)), each following token the interpolated conditional
+    * `max(c₁₂−D,0)/c₁· + D·N1+(w₁·)/c₁· · Pc(w₂)` (backing off straight
+    * to Pc for unseen prefixes), with
+    * `Pc(w) = (N1+(·w)+0.5) / (T + 0.5(|V|+1))` — the half-count floor
+    * keeps OOV finite while preserving the continuation-count ordering
+    * KN is about. Always < 1 (c₁₂ ≤ c₁·, λ ≤ D, Pc < 1), so terms are
+    * positive; same 1e-9-quantized-Long accumulation as every scorer
+    * here — exactly SQL-replayable (q_bigram_kn).
+    */
+  def scoreKneserNey(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      m: KneserNeyModel): DataFrame = {
+    val d = m.discount
+    val pcDen = m.nBigramTypes + 0.5 * (m.vocabSize + 1.0)
+    val bi = m.bi; val prefix = m.prefix
+    val right = m.rightTypes; val left = m.leftTypes
+    val f = udf((text: String) => {
+      val toks = HashKernels.tokensOf(text)
+      if (toks.isEmpty) null
+      else {
+        def pcont(w: String): Double = (left.getOrElse(w, 0L) + 0.5) / pcDen
+        var nanos = HashKernels.nanoQuant(-math.log(pcont(toks(0))))
+        var i = 1
+        while (i < toks.length) {
+          val w1 = toks(i - 1)
+          val c1 = prefix.getOrElse(w1, 0L)
+          val p =
+            if (c1 > 0L) {
+              val c12 = bi.getOrElse(w1 + " " + toks(i), 0L)
+              math.max(c12 - d, 0.0) / c1 +
+                d * right.getOrElse(w1, 0L) / c1 * pcont(toks(i))
+            } else pcont(toks(i))
+          nanos += HashKernels.nanoQuant(-math.log(p))
+          i += 1
+        }
+        (toks.length, (nanos.toDouble / 1e9) / toks.length)
+      }
+    })
+    docs.select(col(idCol), f(col(textCol)).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col(idCol), col("s._1").as("n_tokens"),
+        round(col("s._2"), 6).as("avg_nll"))
+  }
+
+  /** Self-scoring convenience: train KN on `docs`, score `docs`. */
+  def kneserNeyScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    scoreKneserNey(docs, idCol, textCol, trainKneserNey(docs, idCol, textCol))
+
   /** Bigram scoring with the model kept DISTRIBUTED — the 100 TB path.
     * No bigram table ever reaches the driver: documents explode to one
     * `(id, pos, prev, cur)` row per token, the bigram and per-prefix

@@ -1204,6 +1204,17 @@ object Pipeline {
         Tables(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Kneser-Ney smoothing over the same bigram aggregate: backoff mass
+    // follows CONTINUATION counts (how many contexts a word completes),
+    // not raw frequency — the Chen & Goodman '98 result. Fixed discount
+    // 0.75, half-count continuation floor for OOV; the oracle restates
+    // the full type-count derivation (N1+(w1.), N1+(.w2), |bigrams|) and
+    // the interpolation formula term by term.
+    "q_bigram_kn" -> ((s, dir) =>
+      graft.ops.LanguageModel.kneserNeyScore(
+        Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // Same numbers, model kept distributed (token-keyed joins instead of
     // a driver-collected broadcast map) — the path a 100 TB corpus takes,
     // pinned against the identical oracle as q_bigram_score.
@@ -2314,6 +2325,46 @@ object Pipeline {
         |    CAST(round(-ln((COALESCE(v.c, 0) + 1.0) / (tot.t + tot.vsz)), 9)
         |      AS DECIMAL(38,9)) AS fnll
         |  FROM t LEFT JOIN v ON t.toks[1] = v.token CROSS JOIN tot
+        |  WHERE len(t.toks) >= 1)
+        |SELECT f.doc_id, CAST(f.n AS INT) AS n_tokens,
+        |  round(CAST(f.fnll + COALESCE(b.bnll, 0) AS DOUBLE) / f.n, 6) AS avg_nll
+        |FROM fterm f LEFT JOIN bterms b USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_bigram_kn" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        |vv AS (SELECT count(DISTINCT token) AS vsz FROM p),
+        |bg AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)),
+        |bic AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+        |pre AS (SELECT w1, sum(c) AS cp, count(*) AS rt FROM bic GROUP BY w1),
+        |lt AS (SELECT w2, count(*) AS ltc FROM bic GROUP BY w2),
+        |tot AS (SELECT count(*) AS bt FROM bic),
+        |bterms AS (
+        |  SELECT bg.doc_id,
+        |    sum(CAST(round(-ln(
+        |      CASE WHEN pre.cp IS NOT NULL THEN
+        |        greatest(COALESCE(bic.c, 0) - 0.75, 0.0) / pre.cp
+        |        + 0.75 * pre.rt / pre.cp
+        |          * ((COALESCE(lt.ltc, 0) + 0.5)
+        |             / (tot.bt + 0.5 * (vv.vsz + 1.0)))
+        |      ELSE (COALESCE(lt.ltc, 0) + 0.5)
+        |           / (tot.bt + 0.5 * (vv.vsz + 1.0)) END
+        |    ), 9) AS DECIMAL(38,9))) AS bnll
+        |  FROM bg LEFT JOIN bic ON bg.w1 = bic.w1 AND bg.w2 = bic.w2
+        |  LEFT JOIN pre ON bg.w1 = pre.w1
+        |  LEFT JOIN lt ON bg.w2 = lt.w2
+        |  CROSS JOIN tot CROSS JOIN vv
+        |  GROUP BY bg.doc_id),
+        |fterm AS (
+        |  SELECT t.doc_id, len(t.toks) AS n,
+        |    CAST(round(-ln((COALESCE(lt.ltc, 0) + 0.5)
+        |      / (tot.bt + 0.5 * (vv.vsz + 1.0))), 9) AS DECIMAL(38,9)) AS fnll
+        |  FROM t LEFT JOIN lt ON t.toks[1] = lt.w2
+        |  CROSS JOIN tot CROSS JOIN vv
         |  WHERE len(t.toks) >= 1)
         |SELECT f.doc_id, CAST(f.n AS INT) AS n_tokens,
         |  round(CAST(f.fnll + COALESCE(b.bnll, 0) AS DOUBLE) / f.n, 6) AS avg_nll

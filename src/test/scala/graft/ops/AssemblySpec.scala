@@ -179,6 +179,50 @@ class AssemblySpec extends AnyFunSuite {
     assert(got == ((9L, 2, expect)))
   }
 
+  test("Kneser-Ney: hand-computed type counts and interpolated NLL") {
+    val m = LanguageModel.trainKneserNey(docs, "doc_id", "text")
+    // distinct bigram types: the-cat, cat-sat, sat-on, on-the, the-mat,
+    // the-dog, cat-cat, mat-dog = 8; followers of 'the' = {cat,mat,dog}
+    assert(m.nBigramTypes == 8)
+    assert(m.rightTypes("the") == 3 && m.rightTypes("cat") == 2)
+    assert(m.leftTypes("cat") == 2 && m.leftTypes("dog") == 2) // the-dog, mat-dog
+    def nanos(x: Double): Long = math.floor(x * 1e9 + 0.5).toLong
+    val pcDen = 8 + 0.5 * (m.vocabSize + 1.0)
+    def pc(lt: Long): Double = (lt + 0.5) / pcDen
+    // "the dog": first = -ln(pc(the)); 'the' completes only on-the -> lt=1
+    val first = -math.log(pc(1L))
+    // cond: c12(the dog)=1, c1(the.)=3, rt(the)=3
+    val cond = -math.log(math.max(1 - 0.75, 0.0) / 3 + 0.75 * 3 / 3.0 * pc(2L))
+    val expect = BigDecimal((nanos(first) + nanos(cond)).toDouble / 1e9 / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = LanguageModel.scoreKneserNey(
+      Seq((9L, "the dog")).toDF("doc_id", "text"), "doc_id", "text", m)
+      .as[(Long, Int, Double)].collect().head
+    assert(got == ((9L, 2, expect)))
+    // OOV prefix backs off to pure continuation and stays finite
+    val oov = LanguageModel.scoreKneserNey(
+      Seq((10L, "qqq dog qqq")).toDF("doc_id", "text"), "doc_id", "text", m)
+      .as[(Long, Int, Double)].collect().head
+    assert(oov._3 > 0 && !oov._3.isInfinite)
+  }
+
+  test("KN ranks frequent-context continuations above raw-frequency flukes") {
+    // 'of' appears often but ONLY after 'lot' (one context); 'thing'
+    // appears less but after many different words — KN's continuation
+    // counts give 'thing' the larger backoff mass after an unseen prefix
+    val corpus = Seq(
+      (1L, "lot of a lot of b lot of c lot of d lot of e"),
+      (2L, "one thing two thing red thing blue thing")).toDF("doc_id", "text")
+    val m = LanguageModel.trainKneserNey(corpus, "doc_id", "text")
+    assert(m.leftTypes("of") == 1 && m.leftTypes("thing") == 4)
+    val scored = LanguageModel.scoreKneserNey(
+      Seq((1L, "zzz of"), (2L, "zzz thing")).toDF("doc_id", "text"),
+      "doc_id", "text", m)
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(scored(2L) < scored(1L),
+      "continuation-count backoff must prefer the many-context word")
+  }
+
   test("bigram score separates natural order from shuffled word soup") {
     val m = LanguageModel.trainBigrams(docs, "doc_id", "text")
     val scored = LanguageModel.scoreBigrams(
