@@ -486,6 +486,51 @@ class AssemblySpec extends AnyFunSuite {
     assert(indexed.size == 5) // all docs ranked, blank doc at score 0
   }
 
+  test("phraseSearch == sliding-window reference on random corpora") {
+    val rng = new scala.util.Random(11)
+    val vocab = Array("go", "stop", "red", "go", "blue") // skewed on purpose
+    for (round <- 1 to 20) {
+      val corpus = (1L to 20L).map { id =>
+        (id, Seq.fill(rng.nextInt(12))(vocab(rng.nextInt(vocab.length)))
+          .mkString(" "))
+      }
+      val phrase = Seq.fill(1 + rng.nextInt(3))(vocab(rng.nextInt(vocab.length)))
+      val expect = (for {
+        (id, text) <- corpus
+        toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+        i <- 0 to toks.length - phrase.length
+        if toks.slice(i, i + phrase.length) == phrase
+      } yield (id, i + 1)).toSet
+      val got = Search.phraseSearch(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", phrase)
+        .as[(Long, Int)].collect().toSet
+      assert(got == expect, s"round=$round phrase=$phrase")
+    }
+  }
+
+  test("dictionary matching on a stream matches the batch hits (map-only twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = Seq((1L, "she sells seashells"), (2L, "ushers rush"),
+      (3L, "nothing at all"))
+    val pats = Seq("she", "he", "hers")
+    val batch = DictionaryMatch.matches(
+      rows.toDF("doc_id", "text"), "doc_id", "text", pats)
+      .as[(Long, String, Long, Int)].collect().toSet
+    val mem = MemoryStream[(Long, String)]
+    val q = DictionaryMatch.matches(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", pats)
+      .writeStream.format("memory").queryName("dict_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(2): _*); q.processAllAvailable()
+      mem.addData(rows.drop(2): _*); q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM dict_stream")
+        .as[(Long, String, Long, Int)].collect().toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("phraseSearch: repeated terms bind to slots, overlaps all found") {
     val rep = Seq((9L, "go go go stop go go")).toDF("doc_id", "text")
     assert(Search.phraseSearch(rep, "doc_id", "text", Seq("go", "go"))
