@@ -76,6 +76,62 @@ object Multimodal {
       }(enc)
   }
 
+  /** Resize over the stub-decoded plane: payloads are interpreted as a
+    * raw 8-bit grayscale plane of fixed width [[StubPlaneWidth]] (the
+    * honest stand-in for a pixel decode — no codecs in this sandbox),
+    * then NEAREST-NEIGHBOR resampled to (outW, outH) with pure integer
+    * index math `src = (dst * srcDim) / outDim` — so unlike the decode
+    * itself, the resample arithmetic is fully real, deterministic and
+    * oracle-checkable byte for byte. Same mapPartitions batch shape as
+    * [[features]]: a real image decoder slots into the partition loop
+    * without touching the plan. Output: (media_id, out_w, out_h,
+    * px_sum, px_first, px_last, pixels ARRAY<INT> row-major).
+    */
+  val StubPlaneWidth = 16
+
+  private[graft] def resizeStub(payload: Array[Byte], outW: Int,
+                                outH: Int): Array[Int] = {
+    val n = if (payload == null) 0 else payload.length
+    val srcW = StubPlaneWidth
+    val srcH = math.max(1, (n + srcW - 1) / srcW)
+    val out = new Array[Int](outW * outH)
+    var y = 0
+    while (y < outH) {
+      val sy = y * srcH / outH
+      var x = 0
+      while (x < outW) {
+        val sx = x * srcW / outW
+        val pos = sy * srcW + sx
+        out(y * outW + x) = if (pos < n) payload(pos) & 0xFF else 0
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  def resize(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW >= 1 && outH >= 1)
+    val out = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("out_w", IntegerType, nullable = false),
+      StructField("out_h", IntegerType, nullable = false),
+      StructField("px_sum", LongType, nullable = false),
+      StructField("px_first", IntegerType, nullable = false),
+      StructField("px_last", IntegerType, nullable = false),
+      StructField("pixels", ArrayType(IntegerType), nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(out)
+    media.select("media_id", "payload")
+      .mapPartitions { it =>
+        // per-partition init point for a real decoder/resampler
+        it.map { r =>
+          val px = resizeStub(r.getAs[Array[Byte]]("payload"), outW, outH)
+          Row(r.getLong(0), outW, outH, px.map(_.toLong).sum,
+            px.head, px.last, px.toSeq)
+        }
+      }(enc)
+  }
+
   /** Exact media dedup by content hash — the first dedup every image/
     * audio corpus runs (identical bytes re-crawled under different ids/
     * URLs). Needs NO codec, so unlike the decode path this is fully

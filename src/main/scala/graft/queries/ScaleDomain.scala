@@ -240,6 +240,18 @@ object ScaleDomain {
         threshold = 0.2, hashKey = true)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Resize over the stub-decoded 16-wide byte plane: nearest-neighbor
+    // to 8x8 with pure integer index math — the resample arithmetic is
+    // fully real (only the pixel DECODE is stubbed; no codecs here), so
+    // the oracle recomputes every output pixel from the text bytes and
+    // the full 64-pixel grid rides along as a CSV column.
+    "q_media_resize" -> ((s, dir) =>
+      Multimodal.resize(media(s, dir), 8, 8)
+        .select(col("media_id"), col("out_w"), col("out_h"),
+          col("px_sum"), col("px_first"), col("px_last"),
+          concat_ws(",", col("pixels")).as("pixels_csv"))
+        .orderBy(col("media_id"))),
+
     // Frame sampling: deterministic byte offsets (floor(n*f/4)) standing in
     // for timestamps. The FNV frame hash is pinned in MultimodalSpec; the
     // oracle checks the sampling grid.
@@ -495,6 +507,27 @@ object ScaleDomain {
         |  CAST(length(text) * f // 4 AS INT) AS byte_off
         |FROM documents CROSS JOIN range(0, 4) t(f)
         |ORDER BY media_id, frame_idx""".stripMargin,
+    // nearest-neighbor indices replayed per pixel: sy = y*srcH//8,
+    // sx = 2x, pos = sy*16+sx; ASCII corpus => byte == unicode(char)
+    "q_media_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text, strlen(text) AS n,
+        |    greatest((strlen(text) + 15) // 16, 1) AS src_h
+        |  FROM documents),
+        |px AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 64), k ->
+        |      CASE WHEN ((k // 8) * src_h // 8) * 16 + ((k % 8) * 16 // 8) < n
+        |        THEN unicode(substring(text,
+        |          CAST(((k // 8) * src_h // 8) * 16
+        |               + ((k % 8) * 16 // 8) + 1 AS INT), 1))
+        |        ELSE 0 END) AS pxs
+        |  FROM m)
+        |SELECT media_id, CAST(8 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
+        |  CAST(list_sum(pxs) AS BIGINT) AS px_sum,
+        |  CAST(pxs[1] AS INT) AS px_first, CAST(pxs[64] AS INT) AS px_last,
+        |  array_to_string(pxs, ',') AS pixels_csv
+        |FROM px ORDER BY media_id""".stripMargin,
     // bit-for-bit recomputation of the Morton interleave with DuckDB's
     // native shift/mask operators
     "q_zorder_key" ->

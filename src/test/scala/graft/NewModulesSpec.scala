@@ -154,6 +154,34 @@ class MultimodalSpec extends AnyFunSuite {
     // empty payload yields no frames
     assert(Multimodal.sampleFrames(media.filter(col("media_id") === 2)).count() == 0)
   }
+
+  test("resizeStub: exact nearest-neighbor index math on the 16-wide plane") {
+    // 32 bytes = two source rows; 2x2 target samples (0,0),(0,8),(16),(24)
+    val p = Array.tabulate(32)(i => (i + 10).toByte)
+    assert(Multimodal.resizeStub(p, 2, 2).toSeq == Seq(10, 18, 26, 34))
+    // ragged tail: 20 bytes -> srcH=2; position 24 is past n -> 0-padded
+    val q = Array.tabulate(20)(i => (i + 1).toByte)
+    assert(Multimodal.resizeStub(q, 2, 2).toSeq == Seq(1, 9, 17, 0))
+    // upscale from one source row: rows repeat (sy always 0)
+    val r = Array.tabulate(16)(i => i.toByte)
+    val up = Multimodal.resizeStub(r, 4, 2)
+    assert(up.toSeq == Seq(0, 4, 8, 12, 0, 4, 8, 12))
+    // empty/null payloads resolve to all-zero planes
+    assert(Multimodal.resizeStub(Array.emptyByteArray, 2, 2).toSeq ==
+      Seq(0, 0, 0, 0))
+    assert(Multimodal.resizeStub(null, 1, 1).toSeq == Seq(0))
+  }
+
+  test("resize DataFrame surface carries sums, corners and the pixel grid") {
+    val out = Multimodal.resize(media, 2, 2)
+      .orderBy(col("media_id")).collect()
+    // "abcd": n=4, srcH=1 -> samples (0,0),(0,8->pad),(same row again)
+    assert(out(0).getLong(0) == 1L && out(0).getInt(1) == 2)
+    assert(out(0).getSeq[Int](6) == Seq('a'.toInt, 0, 'a'.toInt, 0))
+    assert(out(0).getLong(3) == 2L * 'a'.toInt)
+    // empty payload: all zeros
+    assert(out(1).getSeq[Int](6) == Seq(0, 0, 0, 0))
+  }
 }
 
 class InSilicaSpec extends AnyFunSuite {
