@@ -399,9 +399,21 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val withSig = df.select(col(idCol).as("id"),
-      HashKernels.simhashUdf(col(textCol)).as("sig"))
+      maxHamming: Int = 3): DataFrame =
+    hammingNearDuplicates64(
+      df.select(col(idCol).as("id"),
+        HashKernels.simhashUdf(col(textCol)).as("sig")),
+      maxHamming)
+
+  /** The banded-Hamming core shared by SimHash (text) and dHash
+    * (perceptual media, [[graft.ops.Multimodal.phashNearDuplicates]]):
+    * takes (id, sig LONG) rows, blocks on the 4 16-bit chunks of the
+    * signature (pigeonhole: ≤3 differing bits leave ≥1 chunk clean, so
+    * recall is GUARANTEED for maxHamming ≤ 3), self-joins per chunk
+    * bucket, and verifies candidates with exact bit_count(xor).
+    * Output: (id_a, id_b, hamming_bits INT).
+    */
+  def hammingNearDuplicates64(withSig: DataFrame, maxHamming: Int): DataFrame = {
     val chunked = withSig.select(
       col("id"), col("sig"),
       posexplode(array((0 until 4).map(c =>

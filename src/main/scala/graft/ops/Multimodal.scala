@@ -85,7 +85,12 @@ object Multimodal {
     * oracle-checkable byte for byte. Same mapPartitions batch shape as
     * [[features]]: a real image decoder slots into the partition loop
     * without touching the plan. Output: (media_id, out_w, out_h,
-    * px_sum, px_first, px_last, pixels ARRAY<INT> row-major).
+    * px_sum, px_first, px_last, px_md5) — px_md5 is the md5 hex of the
+    * comma-joined pixel CSV, so the full plane stays hash-verifiable
+    * while the contract row stays a few dozen bytes. Pass
+    * includePixels=true to also carry the full `pixels` ARRAY<INT>
+    * (row-major) — opt-in, because at corpus scale that column is
+    * W×H×4 bytes per record.
     */
   val StubPlaneWidth = 16
 
@@ -110,26 +115,109 @@ object Multimodal {
     out
   }
 
-  def resize(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+  def resize(media: DataFrame, outW: Int, outH: Int,
+             includePixels: Boolean = false): DataFrame = {
     require(outW >= 1 && outH >= 1)
-    val out = StructType(Seq(
+    val slim = Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("out_w", IntegerType, nullable = false),
       StructField("out_h", IntegerType, nullable = false),
       StructField("px_sum", LongType, nullable = false),
       StructField("px_first", IntegerType, nullable = false),
       StructField("px_last", IntegerType, nullable = false),
-      StructField("pixels", ArrayType(IntegerType), nullable = false)))
+      StructField("px_md5", StringType, nullable = false))
+    val out = StructType(
+      if (includePixels) slim :+ StructField("pixels", ArrayType(IntegerType), nullable = false)
+      else slim)
     val enc = org.apache.spark.sql.Encoders.row(out)
     media.select("media_id", "payload")
       .mapPartitions { it =>
         // per-partition init point for a real decoder/resampler
+        val md = java.security.MessageDigest.getInstance("MD5")
         it.map { r =>
           val px = resizeStub(r.getAs[Array[Byte]]("payload"), outW, outH)
-          Row(r.getLong(0), outW, outH, px.map(_.toLong).sum,
-            px.head, px.last, px.toSeq)
+          md.reset()
+          val dig = md.digest(px.mkString(",")
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          val hex = dig.map(b => f"${b & 0xFF}%02x").mkString
+          val base = Seq[Any](r.getLong(0), outW, outH, px.map(_.toLong).sum,
+            px.head, px.last, hex)
+          Row.fromSeq(if (includePixels) base :+ px.toSeq else base)
         }
       }(enc)
+  }
+
+  /** 64-bit difference hash (dHash) over the stub-decoded plane — the
+    * industry-standard perceptual signature for re-encoded/resized image
+    * duplicates that byte hashing misses: resample to 9×8 (nearest
+    * neighbor, [[resizeStub]] — fully real integer arithmetic), then bit
+    * r*8+c is set iff plane(r,c) < plane(r,c+1). Gradient direction
+    * survives brightness/contrast shifts and re-encoding noise; only the
+    * DECODE below the plane is stubbed (no codecs in this sandbox).
+    */
+  private[graft] def dhashStub(payload: Array[Byte]): Long = {
+    val px = resizeStub(payload, 9, 8)
+    var sig = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (px(r * 9 + c) < px(r * 9 + c + 1)) sig |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    sig
+  }
+
+  /** 64-bit average hash (aHash): resample to 8×8, bit i set iff pixel i
+    * is >= the plane mean. The comparison is kept in exact integers
+    * (px*64 >= sum ⟺ px >= mean) so the signature is bit-reproducible
+    * across engines with no float rounding anywhere.
+    */
+  private[graft] def ahashStub(payload: Array[Byte]): Long = {
+    val px = resizeStub(payload, 8, 8)
+    var sum = 0L
+    var i = 0
+    while (i < 64) { sum += px(i); i += 1 }
+    var sig = 0L
+    i = 0
+    while (i < 64) {
+      if (px(i).toLong * 64 >= sum) sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
+
+  /** Perceptual signatures per media row: (media_id, dhash, ahash).
+    * Map-only, rides the scan; a per-row byte walk no builtin expresses,
+    * so a typed UDF with the repo-standard asNondeterministic inlining
+    * pin (the kernel is pure — the pin stops CollapseProject from
+    * re-running the resample once per consumer column).
+    */
+  def perceptualHashes(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val u = udf((b: Array[Byte]) => (dhashStub(b), ahashStub(b)))
+      .asNondeterministic()
+    media.select(col(idCol), u(col(payloadCol)).as("h"))
+      .select(col(idCol), col("h._1").as("dhash"), col("h._2").as("ahash"))
+  }
+
+  /** Perceptual near-duplicate pairs: dHash signatures + the 4×16-bit
+    * chunk blocking shared with SimHash ([[graft.ops.Dedup.hammingNearDuplicates64]]
+    * — pigeonhole GUARANTEE for maxHamming ≤ 3: three differing bits
+    * cannot dirty all four chunks, so recall vs exact Hamming truth is
+    * exactly 1.0, not probabilistic). Output: (id_a, id_b, hamming_bits).
+    * Scale shape: banded self-join on (chunk, chunk_val) — never all
+    * pairs; at 100 TB the bucket join is the same geometry the SimHash
+    * text path already runs.
+    */
+  def phashNearDuplicates(media: DataFrame, maxHamming: Int = 3,
+      idCol: String = "media_id", payloadCol: String = "payload"): DataFrame = {
+    val dh = udf((b: Array[Byte]) => dhashStub(b)).asNondeterministic()
+    Dedup.hammingNearDuplicates64(
+      media.select(col(idCol).as("id"), dh(col(payloadCol)).as("sig")),
+      maxHamming)
   }
 
   /** Exact media dedup by content hash — the first dedup every image/

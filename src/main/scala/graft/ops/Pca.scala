@@ -125,9 +125,9 @@ object Pca {
     require(n > 1, s"PCA needs at least 2 rows, got $n")
     val s = scale.toDouble
     val mean = Array.tabulate(dim)(i => buf(1 + i).toDouble / s / n)
-    // covariance from the exact integer moments (biased /n — the
-    // eigenvectors are scale-free, so the normalization choice only
-    // rescales eigenvalues; we use /(n-1) for the conventional estimator)
+    // covariance from the exact integer moments, normalized /(n-1)
+    // (the conventional unbiased estimator; eigenvectors are scale-free
+    // either way, so the choice only rescales the reported eigenvalues)
     val cov = Array.ofDim[Double](dim, dim)
     for (i <- 0 until dim; j <- i until dim) {
       val exy = buf(1 + dim + triIndex(dim, i, j)).toDouble / s

@@ -363,8 +363,12 @@ object Sampling {
     * draw is a pure function of the id: engine-replayable, re-run
     * stable, and the same row keeps the same key when the corpus around
     * it changes. Keys are ranked ROUNDED to 9 dp so the cut is
-    * engine-stable. Plan: map-only key + TakeOrdered (bounded per-task
-    * heap of n) — no full sort, no shuffle of losers.
+    * engine-stable. Rows with weight <= 0 (or null) are EXCLUDED before
+    * the key draw — -ln(u)/w is negative or -Inf there, which would sort
+    * those rows FIRST and silently dominate the sample instead of never
+    * appearing in it (inclusion ∝ weight says p=0). Plan: map-only key +
+    * TakeOrdered (bounded per-task heap of n) — no full sort, no shuffle
+    * of losers.
     */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      n: Int): DataFrame = {
@@ -372,7 +376,8 @@ object Sampling {
     val u = (conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
       .cast("double") + lit(0.5)) / lit(math.pow(2.0, 48))
     val key = round(-log(u) / col(weightCol).cast("double"), 9)
-    df.select(col(idCol), col(weightCol).cast("double").as("weight"),
+    df.filter(col(weightCol).cast("double") > 0)
+      .select(col(idCol), col(weightCol).cast("double").as("weight"),
       key.as("es_key"))
       .orderBy(col("es_key"), col(idCol))
       .limit(n)

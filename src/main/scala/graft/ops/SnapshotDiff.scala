@@ -56,9 +56,11 @@ object SnapshotDiff {
     * corpus-maintenance sibling of [[diff]] (MERGE INTO semantics over
     * plain DataFrames). `changes` carries (idCol, version LONG,
     * op ∈ upsert|delete, <the base's payload columns>); multiple changes
-    * per id resolve to the LAST WRITER = max (version, op) with struct
-    * ordering (so on an exact version tie 'upsert' > 'delete'
-    * lexicographically — document-stable, no shuffle-order dependence).
+    * per id resolve to the LAST WRITER = max (version, op, payload) with
+    * struct ordering (so on an exact version tie 'upsert' > 'delete'
+    * lexicographically, and two same-version upserts with different
+    * payloads break the tie on the payload struct itself — fully
+    * document-stable, no shuffle-order dependence anywhere).
     * Semantics: winning delete drops the id (present in base or not);
     * winning upsert replaces the payload or inserts the id; untouched
     * base rows pass through.
@@ -74,7 +76,7 @@ object SnapshotDiff {
     val payload = struct(payloadCols.map(col): _*)
     val winners = changes.groupBy(col(idCol))
       .agg(max_by(struct(col("op").as("op"), payload.as("p")),
-        struct(col("version"), col("op"))).as("w"))
+        struct(col("version"), col("op"), payload)).as("w"))
       .select(col(idCol), col("w.op").as("__op"), col("w.p").as("__p"))
     base.join(winners, Seq(idCol), "full_outer")
       .filter(col("__op").isNull || col("__op") =!= "delete")

@@ -802,6 +802,9 @@ object Pipeline {
     //     (published SemDeDup assumes tight semantic clusters, which
     //     land in one cell). Floor 0.25 pins exactly that documented
     //     geometry; the subset bit is the sharp half of the contract.
+    //   - phash: perceptual dHash near-dup over the media plane; same
+    //     4×16-bit pigeonhole as simhash -> deterministic floor 1.0
+    //     (seeded overlay twins keep the truth nonempty at every SF).
     //   - cosine_lsh_5x12: the S-curve at the 0.35 boundary gives
     //     1-(1-0.614^5)^12 ≈ 0.67; measured 0.69 / 0.69 / 0.67. Floor
     //     0.55.
@@ -869,6 +872,32 @@ object Pipeline {
       val simPairs = Dedup.simhashNearDuplicates(docs, "doc_id", "text")
         .select(col("id_a"), col("id_b"))
 
+      // phash: perceptual dHash over the stub-decoded media plane
+      // (payload = the text bytes; the resample arithmetic is real,
+      // only the codec decode is stubbed). Truth = all-pairs Hamming
+      // ≤ 3 over the SAME 64-bit dHash signatures; detector = the
+      // banded 4×16-bit chunk blocking — identical pigeonhole
+      // guarantee to simhash, so the floor is exactly 1.0. Seeded
+      // one-char-overlay twins (%97 ids shifted by 10M) guarantee the
+      // truth set is nonempty at every SF: a twin's plane differs in
+      // ≤1 sampled pixel → ≤2 dHash bits.
+      val mediaSlice = docs.select(col("doc_id").as("media_id"),
+        col("text").cast("binary").as("payload"))
+        .unionByName(docs.filter(col("doc_id") % 97 === 0)
+          .select((col("doc_id") + 10000000L).as("media_id"),
+            overlay(col("text"), lit("Z"), lit(19)).cast("binary").as("payload")))
+        .localCheckpoint()
+      val phSigs = graft.ops.Multimodal.perceptualHashes(mediaSlice)
+        .select(col("media_id").as("id"), col("dhash").as("sig"))
+        .localCheckpoint()
+      val truthPh = phSigs.select(col("id").as("id_a"), col("sig").as("sa"))
+        .join(phSigs.select(col("id").as("id_b"), col("sig").as("sb")),
+          col("id_a") < col("id_b"))
+        .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
+        .select(col("id_a"), col("id_b"))
+      val phPairs = graft.ops.Multimodal.phashNearDuplicates(mediaSlice)
+        .select(col("id_a"), col("id_b"))
+
       // incremental: exact cross-batch truth on the probe's own shingle
       // size, detector = the q_incremental_dedup index+probe geometry.
       // TWO truth strata: all pairs at the probe's own threshold (the
@@ -907,7 +936,7 @@ object Pipeline {
         (method, floor, nTrue > 0 && hits.toDouble / nTrue >= floor, spurious == 0L)
       }
       import s.implicits._
-      // the five measurements are independent Spark job chains over
+      // the six measurements are independent Spark job chains over
       // already-checkpointed slices — submit them from parallel threads
       // so their jobs interleave on the executor pool (wall-clock ≈ the
       // slowest one, not the sum; this is a gate query, but a 7.5s
@@ -917,6 +946,7 @@ object Pipeline {
         Future(verdict("cosine_lsh_5x12", 0.55, truthCos, cos512)),
         Future(verdict("incremental_minhash", 0.30, truthInc, incPairs)),
         Future(verdict("incremental_strict", 0.75, truthIncStrict, incPairs, truthInc)),
+        Future(verdict("phash", 1.0, truthPh, phPairs)),
         Future(verdict("semdedup", 0.25, truthDropped, semDropped)),
         Future(verdict("simhash", 1.0, truthSim, simPairs)))),
         scala.concurrent.duration.Duration.Inf)
@@ -1447,7 +1477,9 @@ object Pipeline {
         |FROM documents o FULL JOIN newsnap n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,
     // the election restated as ROW_NUMBER over (version DESC, op DESC) —
-    // the exact mirror of max_by's (version, op) struct ordering
+    // the mirror of max_by's (version, op, payload) struct ordering; the
+    // payload leg only binds on exact (version, op) ties, which this
+    // fixture deliberately has none of (%35 = v2 upsert vs v3 delete)
     "q_upsert_apply" ->
       """WITH chg AS (
         |  SELECT doc_id, 2 AS version, 'upsert' AS op,
@@ -1891,7 +1923,7 @@ object Pipeline {
         |           substring(md5(CAST(doc_id AS VARCHAR)), CAST(j AS INT), 1))
         |         - 1) * 16 ** (12 - j))) + 0.5) / 281474976710656.0)
         |      / CAST(n_chars AS DOUBLE), 9) AS es_key
-        |  FROM documents)
+        |  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0)
         |SELECT doc_id, weight, es_key,
         |  CAST(ROW_NUMBER() OVER (ORDER BY es_key, doc_id) AS INT) AS rank
         |FROM k ORDER BY es_key, doc_id LIMIT 100""".stripMargin,
@@ -1947,6 +1979,7 @@ object Pipeline {
         |  ('cosine_lsh_5x12',     0.55, true, true),
         |  ('incremental_minhash', 0.30, true, true),
         |  ('incremental_strict',  0.75, true, true),
+        |  ('phash',               1.00, true, true),
         |  ('semdedup',            0.25, true, true),
         |  ('simhash',             1.00, true, true))
         |  AS t(method, recall_floor, recall_ok, exact_subset)

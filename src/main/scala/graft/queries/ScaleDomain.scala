@@ -20,6 +20,14 @@ object ScaleDomain {
   private def media(s: SparkSession, dir: String): DataFrame =
     Multimodal.asMedia(Tables(s, dir, "documents"), "doc_id", "text", "text/plain")
 
+  /** Per-run scratch path: keyed by the Spark applicationId as well as
+    * the sanitized data dir, so two concurrent runs against the same
+    * data dir (e.g. an interleaved Verify and Bench at one sf) never
+    * race on each other's half-written shards or indexes.
+    */
+  private[queries] def scratch(s: SparkSession, name: String, dir: String): String =
+    s"/tmp/graft_$name/${s.sparkContext.applicationId}/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Skew-safe two-stage aggregation == plain groupBy. The summed column
     // is pre-cast to decimal so the two-stage partial/merge is bit-exact
@@ -60,7 +68,7 @@ object ScaleDomain {
     // pinned in PlanSpec), then aggregated. The oracle recomputes from
     // the ORIGINAL table: content parity proves the layout is lossless.
     "q_partition_prune" -> ((s, dir) => {
-      val path = s"/tmp/graft_part/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = scratch(s, "part", dir)
       val reread = Scale.writePartitioned(
         Tables(s, dir, "documents"), path, "lang", "doc_id")
       reread.filter(col("lang") === "en")
@@ -77,7 +85,7 @@ object ScaleDomain {
     // The oracle recomputes from the original table — byte-exact layout
     // parity, the q_partition_prune/q_bam_dist discipline.
     "q_warc_roundtrip" -> ((s, dir) => {
-      val path = s"/tmp/graft_warc/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = scratch(s, "warc", dir)
       val docs = Tables(s, dir, "documents").select(
         col("doc_id").cast("string").as("id"),
         concat(lit("http://"), col("source"), lit(".example/doc/"),
@@ -102,7 +110,7 @@ object ScaleDomain {
     // oracle as the plain path: a green row means compression changed
     // nothing.
     "q_warc_gz_roundtrip" -> ((s, dir) => {
-      val path = s"/tmp/graft_warc_gz/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = scratch(s, "warc_gz", dir)
       val docs = Tables(s, dir, "documents").select(
         col("doc_id").cast("string").as("id"),
         concat(lit("http://"), col("source"), lit(".example/doc/"),
@@ -130,7 +138,7 @@ object ScaleDomain {
     // byte-identically. At 100 TB this is how one document comes out
     // of a crawl archive without touching the other 99.999%.
     "q_warc_cdx_fetch" -> ((s, dir) => {
-      val path = s"/tmp/graft_warc_cdx/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = scratch(s, "warc_cdx", dir)
       val docs = Tables(s, dir, "documents").select(
         col("doc_id").cast("string").as("id"),
         concat(lit("http://"), col("source"), lit(".example/doc/"),
@@ -160,7 +168,7 @@ object ScaleDomain {
     // losslessly. Scale shape: two container scans + map-only decode/
     // extract; no shuffle anywhere until the presentation sort.
     "q_wet_pipeline" -> ((s, dir) => {
-      val base = s"/tmp/graft_wet/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val base = scratch(s, "wet", dir)
       val pages = Web.withHtml(Web.normalized(s, dir))
         .select(col("doc_id").cast("string").as("id"),
           col("url_norm").as("uri"),
@@ -198,7 +206,7 @@ object ScaleDomain {
     // is what this row actually gates. Moves S1/S7 from spec-only to a
     // green CORRECTNESS row.
     "q_fastq_roundtrip" -> ((s, dir) => {
-      val path = s"/tmp/graft_fastq/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = scratch(s, "fastq", dir)
       val W = 30
       val reads = Tables(s, dir, "documents").select(
         col("doc_id").cast("string").as("read_id"),
@@ -243,13 +251,28 @@ object ScaleDomain {
     // Resize over the stub-decoded 16-wide byte plane: nearest-neighbor
     // to 8x8 with pure integer index math — the resample arithmetic is
     // fully real (only the pixel DECODE is stubbed; no codecs here), so
-    // the oracle recomputes every output pixel from the text bytes and
-    // the full 64-pixel grid rides along as a CSV column.
+    // the oracle recomputes every output pixel from the text bytes. The
+    // contract row is the SLIM schema (the full pixels array is opt-in
+    // at corpus scale): sum/first/last + md5 of the comma-joined plane,
+    // which the oracle rebuilds pixel for pixel — still hash-exact over
+    // every pixel, ~40 bytes per row instead of W*H*4.
     "q_media_resize" -> ((s, dir) =>
       Multimodal.resize(media(s, dir), 8, 8)
         .select(col("media_id"), col("out_w"), col("out_h"),
-          col("px_sum"), col("px_first"), col("px_last"),
-          concat_ws(",", col("pixels")).as("pixels_csv"))
+          col("px_sum"), col("px_first"), col("px_last"), col("px_md5"))
+        .orderBy(col("media_id"))),
+
+    // Perceptual signatures over the same stub-decoded plane — the
+    // third leg of media dedup (exact content hash / byte-CDC
+    // containment / PERCEPTUAL), catching re-encoded or resized
+    // duplicates that byte hashing misses. dHash: 9x8 resample, bit
+    // r*8+c iff plane(r,c) < plane(r,c+1); aHash: 8x8 resample, bit i
+    // iff px*64 >= plane sum (exact integers, no float mean). The
+    // oracle replays both bit for bit from the text bytes, packing
+    // bits as HUGEINT and wrapping to the signed 64-bit value Spark
+    // carries.
+    "q_media_phash" -> ((s, dir) =>
+      Multimodal.perceptualHashes(media(s, dir))
         .orderBy(col("media_id"))),
 
     // Frame sampling: deterministic byte offsets (floor(n*f/4)) standing in
@@ -319,7 +342,7 @@ object ScaleDomain {
     // the companion evidence that the same layout actually SKIPS
     // row-groups outside the box.
     "q_layout_cluster" -> ((s, dir) => {
-      val path = s"/tmp/graft_zorder/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = scratch(s, "zorder", dir)
       val li = Tables(s, dir, "lineitem")
       val key = Layout.zorderKey(Seq(
         Layout.gridCell(col("l_partkey"), 0, 20000, 10),
@@ -342,7 +365,7 @@ object ScaleDomain {
     // nothing. The pruning RATIO is layout-dependent, so it is pinned in
     // LayoutSpec on controlled data, not here.
     "q_manifest_prune" -> ((s, dir) => {
-      val path = s"/tmp/graft_manifest/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val path = scratch(s, "manifest", dir)
       val li = Tables(s, dir, "lineitem")
       val key = Layout.zorderKey(Seq(
         Layout.gridCell(col("l_partkey"), 0, 20000, 10),
@@ -526,8 +549,61 @@ object ScaleDomain {
         |SELECT media_id, CAST(8 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
         |  CAST(list_sum(pxs) AS BIGINT) AS px_sum,
         |  CAST(pxs[1] AS INT) AS px_first, CAST(pxs[64] AS INT) AS px_last,
-        |  array_to_string(pxs, ',') AS pixels_csv
+        |  md5(array_to_string(pxs, ',')) AS px_md5
         |FROM px ORDER BY media_id""".stripMargin,
+    // dHash bits replayed from the 9x8 plane (b = r*8+c set iff
+    // plane[r*9+c] < plane[r*9+c+1]), aHash from the 8x8 plane
+    // (bit i iff px*64 >= sum — the same exact-integer comparison the
+    // Scala kernel uses). Bits are packed as two unsigned 32-bit
+    // halves in BIGINT, then the hi half is wrapped to reproduce the
+    // signed 64-bit value Spark carries.
+    "q_media_phash" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text, strlen(text) AS n,
+        |    greatest((strlen(text) + 15) // 16, 1) AS src_h
+        |  FROM documents),
+        |p9 AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 72), k ->
+        |      CASE WHEN ((k // 9) * src_h // 8) * 16 + ((k % 9) * 16 // 9) < n
+        |        THEN unicode(substring(text,
+        |          CAST(((k // 9) * src_h // 8) * 16
+        |               + ((k % 9) * 16 // 9) + 1 AS INT), 1))
+        |        ELSE 0 END) AS q
+        |  FROM m),
+        |p8 AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 64), k ->
+        |      CASE WHEN ((k // 8) * src_h // 8) * 16 + ((k % 8) * 16 // 8) < n
+        |        THEN unicode(substring(text,
+        |          CAST(((k // 8) * src_h // 8) * 16
+        |               + ((k % 8) * 16 // 8) + 1 AS INT), 1))
+        |        ELSE 0 END) AS pxs
+        |  FROM m),
+        |dh AS (
+        |  SELECT media_id,
+        |    CAST(list_sum(list_transform(range(0, 32), b ->
+        |      CASE WHEN q[(b // 8) * 9 + (b % 8) + 1] < q[(b // 8) * 9 + (b % 8) + 2]
+        |        THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)) AS BIGINT) AS lo,
+        |    CAST(list_sum(list_transform(range(32, 64), b ->
+        |      CASE WHEN q[(b // 8) * 9 + (b % 8) + 1] < q[(b // 8) * 9 + (b % 8) + 2]
+        |        THEN (CAST(1 AS BIGINT) << CAST(b - 32 AS INT)) ELSE 0 END)) AS BIGINT) AS hi
+        |  FROM p9),
+        |ah AS (
+        |  SELECT media_id,
+        |    CAST(list_sum(list_transform(range(0, 32), b ->
+        |      CASE WHEN pxs[b + 1] * 64 >= list_sum(pxs)
+        |        THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)) AS BIGINT) AS lo,
+        |    CAST(list_sum(list_transform(range(32, 64), b ->
+        |      CASE WHEN pxs[b + 1] * 64 >= list_sum(pxs)
+        |        THEN (CAST(1 AS BIGINT) << CAST(b - 32 AS INT)) ELSE 0 END)) AS BIGINT) AS hi
+        |  FROM p8)
+        |SELECT dh.media_id,
+        |  CASE WHEN dh.hi >= 2147483648 THEN (dh.hi - 4294967296) * 4294967296 + dh.lo
+        |       ELSE dh.hi * 4294967296 + dh.lo END AS dhash,
+        |  CASE WHEN ah.hi >= 2147483648 THEN (ah.hi - 4294967296) * 4294967296 + ah.lo
+        |       ELSE ah.hi * 4294967296 + ah.lo END AS ahash
+        |FROM dh JOIN ah USING (media_id) ORDER BY media_id""".stripMargin,
     // bit-for-bit recomputation of the Morton interleave with DuckDB's
     // native shift/mask operators
     "q_zorder_key" ->

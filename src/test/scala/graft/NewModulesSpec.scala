@@ -173,14 +173,65 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("resize DataFrame surface carries sums, corners and the pixel grid") {
-    val out = Multimodal.resize(media, 2, 2)
+    val out = Multimodal.resize(media, 2, 2, includePixels = true)
       .orderBy(col("media_id")).collect()
     // "abcd": n=4, srcH=1 -> samples (0,0),(0,8->pad),(same row again)
     assert(out(0).getLong(0) == 1L && out(0).getInt(1) == 2)
-    assert(out(0).getSeq[Int](6) == Seq('a'.toInt, 0, 'a'.toInt, 0))
+    assert(out(0).getSeq[Int](7) == Seq('a'.toInt, 0, 'a'.toInt, 0))
     assert(out(0).getLong(3) == 2L * 'a'.toInt)
     // empty payload: all zeros
-    assert(out(1).getSeq[Int](6) == Seq(0, 0, 0, 0))
+    assert(out(1).getSeq[Int](7) == Seq(0, 0, 0, 0))
+    // slim default: no pixels column, md5 of the CSV plane instead
+    val slim = Multimodal.resize(media, 2, 2).orderBy(col("media_id")).collect()
+    assert(!slim(0).schema.fieldNames.contains("pixels"))
+    val csv = Seq('a'.toInt, 0, 'a'.toInt, 0).mkString(",")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(csv.getBytes("US-ASCII")).map(b => f"${b & 0xFF}%02x").mkString
+    assert(slim(0).getString(6) == hex)
+  }
+
+  test("dhash/ahash: bit-exact perceptual signatures over the stub plane") {
+    // a strictly increasing plane: every adjacent comparison is <, so
+    // dHash = all 64 bits set = -1L
+    val inc = Array.tabulate(9 * 8 * 16)(i => (i % 127).toByte)
+    // build a payload whose 9x8 resample is strictly increasing per row:
+    // 16-wide plane rows of ramp values
+    val ramp = Array.tabulate(16 * 8)(i => ((i % 16) * 8 + i / 16).toByte)
+    val px9 = Multimodal.resizeStub(ramp, 9, 8)
+    var expect = 0L
+    for (r <- 0 until 8; c <- 0 until 8)
+      if (px9(r * 9 + c) < px9(r * 9 + c + 1)) expect |= 1L << (r * 8 + c)
+    assert(Multimodal.dhashStub(ramp) == expect)
+    // constant plane: no < anywhere -> dhash 0; ahash all bits (px*64 >= sum)
+    val const = Array.fill(64)(7.toByte)
+    assert(Multimodal.dhashStub(const) == 0L)
+    // ahash: bits set where px*64 >= sum. all-equal 8x8 plane -> all set
+    val full16 = Array.fill(16 * 8)(9.toByte)
+    assert(Multimodal.ahashStub(full16) == -1L)
+    // null/empty payloads: all-zero plane -> dhash 0, ahash all bits (0*64>=0)
+    assert(Multimodal.dhashStub(null) == 0L)
+    assert(Multimodal.ahashStub(null) == -1L)
+  }
+
+  test("phashNearDuplicates: banded pairs equal exact hamming truth") {
+    import spark.implicits._
+    // payloads: base plane, a 1-byte perturbation (small hamming), and a
+    // very different plane
+    val base = Array.tabulate(16 * 8)(i => ((i * 7) % 101).toByte)
+    val near = base.clone(); near(17) = (near(17) + 90).toByte
+    val far = Array.tabulate(16 * 8)(i => ((i * 13 + 5) % 251).toByte)
+    val rows = Seq((1L, base), (2L, near), (3L, far))
+    val df = rows.toDF("media_id", "payload")
+    val pairs = Multimodal.phashNearDuplicates(df, maxHamming = 3)
+      .orderBy("id_a", "id_b").collect()
+    // exact truth
+    val sigs = rows.map { case (id, p) => id -> Multimodal.dhashStub(p) }.toMap
+    val truth = (for {
+      a <- rows.map(_._1); b <- rows.map(_._1) if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 3
+    } yield (a, b, h)).sorted
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq == truth)
+    assert(truth.nonEmpty) // the near pair must actually be near
   }
 }
 
