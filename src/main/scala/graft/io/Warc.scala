@@ -126,24 +126,31 @@ object Warc {
       .collect().toSeq
   }
 
-  /** Record id for (source id, type): conversion records live in their
-    * own `conv:` namespace so the WARC/WET pair never collides on
-    * WARC-Record-ID (ISO 28500 requires uniqueness) and the
-    * back-pointer is distinguishable from a self-reference.
+  /** Record id for (source id, type): conversion records (WET) live in
+    * their own `conv:` namespace and metadata records (WAT) in `meta:`,
+    * so the WARC/WET/WAT triple never collides on WARC-Record-ID
+    * (ISO 28500 requires uniqueness) and the back-pointer is
+    * distinguishable from a self-reference.
     */
-  private[io] def recordId(id: String, warcType: String): String =
-    if (warcType == "conversion") s"<urn:graft:conv:$id>" else s"<urn:graft:$id>"
+  private[io] def recordId(id: String, warcType: String): String = warcType match {
+    case "conversion" => s"<urn:graft:conv:$id>"
+    case "metadata"   => s"<urn:graft:meta:$id>"
+    case _            => s"<urn:graft:$id>"
+  }
 
   /** Header block of one record. `warcType` is writer-controlled (not
     * data), so it skips checkHeaderValue; `conversion` records (the
-    * WET layout — extracted text derived from a crawled response)
-    * carry the ISO 28500 `WARC-Refers-To` back-pointer to the response
-    * record they were derived from.
+    * WET layout — extracted text derived from a crawled response) and
+    * `metadata` records (the WAT layout — parsed wire facts + link set
+    * as deterministic JSON) carry the ISO 28500 `WARC-Refers-To`
+    * back-pointer to the response record they were derived from.
     */
   private def recordHead(
       id: String, uri: String, payloadLen: Int, warcType: String): Array[Byte] = {
     val refersTo =
-      if (warcType == "conversion") s"WARC-Refers-To: <urn:graft:$id>\r\n" else ""
+      if (warcType == "conversion" || warcType == "metadata")
+        s"WARC-Refers-To: <urn:graft:$id>\r\n"
+      else ""
     (s"WARC/1.0\r\n" +
       s"WARC-Type: $warcType\r\n" +
       s"WARC-Record-ID: ${recordId(id, warcType)}\r\n" +
@@ -309,7 +316,7 @@ object Warc {
         }
       }
     spark.createDataFrame(rdd)
-      .toDF("record_id", "warc_type", "target_uri", "content_length", "payload")
+      .toDF("record_id", "warc_type", "target_uri", "refers_to", "content_length", "payload")
   }
 
   /** Loud rejection of header-injection bytes (What's-wrong discipline:
@@ -397,7 +404,7 @@ object Warc {
         }
       }
     spark.createDataFrame(rdd)
-      .toDF("record_id", "warc_type", "target_uri", "content_length", "payload")
+      .toDF("record_id", "warc_type", "target_uri", "refers_to", "content_length", "payload")
   }
 
   /** Default decompressed-size ceiling per gzip member — a memory guard
@@ -430,12 +437,12 @@ object Warc {
       splitEnd: Long,
       maxMember: Int = DefaultMaxMemberBytes,
       reopen: () => InputStream = () => throw new UnsupportedOperationException(
-        "no reopen supplied")): Iterator[(String, String, String, Long, Array[Byte])] = {
+        "no reopen supplied")): Iterator[(String, String, String, String, Long, Array[Byte])] = {
     val scanner = new GzMemberScanner(in, splitStart, splitEnd, maxMember)
     Option(org.apache.spark.TaskContext.get()).foreach(
       _.addTaskCompletionListener[Unit](_ => scanner.close()))
-    new Iterator[(String, String, String, Long, Array[Byte])] {
-      private var current: Iterator[(String, String, String, Long, Array[Byte])] =
+    new Iterator[(String, String, String, String, Long, Array[Byte])] {
+      private var current: Iterator[(String, String, String, String, Long, Array[Byte])] =
         Iterator.empty
       private var done = false
 
@@ -461,7 +468,7 @@ object Warc {
       }
 
       def hasNext: Boolean = { advance(); current.hasNext }
-      def next(): (String, String, String, Long, Array[Byte]) = {
+      def next(): (String, String, String, String, Long, Array[Byte]) = {
         advance(); current.next()
       }
     }
@@ -474,7 +481,7 @@ object Warc {
       in: InputStream,
       splitStart: Long,
       splitEnd: Long,
-      streamPos: Long): Iterator[(String, String, String, Long, Array[Byte])] = {
+      streamPos: Long): Iterator[(String, String, String, String, Long, Array[Byte])] = {
     val r = new WarcByteReader(in, streamPos)
     Option(org.apache.spark.TaskContext.get()).foreach(
       _.addTaskCompletionListener[Unit](_ => r.close()))
@@ -516,8 +523,8 @@ object Warc {
       }
     }
 
-    new Iterator[(String, String, String, Long, Array[Byte])] {
-      private var nextRec: (String, String, String, Long, Array[Byte]) = _
+    new Iterator[(String, String, String, String, Long, Array[Byte])] {
+      private var nextRec: (String, String, String, String, Long, Array[Byte]) = _
       private var done = false
 
       private def advance(): Unit = {
@@ -533,6 +540,7 @@ object Warc {
                 h.getOrElse("warc-record-id", ""),
                 h.getOrElse("warc-type", ""),
                 h.getOrElse("warc-target-uri", ""),
+                h.getOrElse("warc-refers-to", ""),
                 payload.length.toLong,
                 payload)
             }
@@ -544,7 +552,7 @@ object Warc {
       }
 
       def hasNext: Boolean = { advance(); nextRec != null }
-      def next(): (String, String, String, Long, Array[Byte]) = {
+      def next(): (String, String, String, String, Long, Array[Byte]) = {
         advance()
         if (nextRec == null) throw new NoSuchElementException
         val out = nextRec

@@ -163,6 +163,51 @@ object Links {
         .agg(count(lit(1)).as("n_links"))
         .orderBy(col("dst_domain"), col("anchor"))),
 
+    // The WARC → WAT factory (the metadata sidecar completing the
+    // WARC/WET/WAT triple): stage 1 writes every linked page as HTTP
+    // response BYTES in member-gzip WARC; stage 2 scans the archive
+    // across 8 KiB splits, parses the HTTP message, decodes the HTML,
+    // extracts the aligned (href, anchor) pairs, and builds the
+    // deterministic WAT JSON (parsed wire facts + link set); stage 3
+    // writes the JSON back as ISO 28500 `metadata` records with the
+    // WARC-Refers-To back-pointer; stage 4 re-reads the WAT archive
+    // across 8 KiB splits and emits each record's fields byte-exactly.
+    // The oracle restates the JSON character for character from the
+    // derivation arithmetic (byte-free) — a green row means both
+    // container round-trips, the wire parse, the link extraction, and
+    // the JSON layout composed losslessly. Scale shape: two container
+    // scans + map-only parse/extract/concat; no shuffle until the
+    // presentation sort.
+    "q_wat_pipeline" -> ((s, dir) => {
+      val base = ScaleDomain.scratch(s, "wat", dir)
+      val pages = linkedPages(s, dir)
+        .select(col("doc_id").cast("string").as("id"),
+          col("url_norm").as("uri"),
+          graft.io.Http.encodeResponseCol(lit(200),
+            lit("text/html; charset=utf-8"), col("html"), lit("utf-8"),
+            lit(null).cast("string")).as("payload"))
+      graft.io.Warc.write(pages, s"$base/warc", memberGzip = true)
+      val wat = graft.io.Warc.read(s, s"$base/warc", splitSize = 8192)
+        .withColumn("r", graft.io.Http.split(col("payload")))
+        .withColumn("html", graft.io.Http.decodeBody(
+          col("r.body"), col("r.headers")("content-type")))
+        .select(
+          regexp_extract(col("record_id"), "<urn:graft:([0-9]+)>", 1).as("id"),
+          col("target_uri").as("uri"),
+          graft.io.Wat.payload(col("r.status"),
+            col("r.headers")("content-type"), octet_length(col("r.body")),
+            LinkGraph.pairHrefs(col("html")),
+            LinkGraph.pairTexts(col("html"))).as("wat_json"))
+      graft.io.Warc.write(wat, s"$base/wat", memberGzip = true,
+        warcType = "metadata")
+      graft.io.Warc.read(s, s"$base/wat", splitSize = 8192)
+        .select(regexp_extract(col("record_id"), "<urn:graft:meta:([0-9]+)>", 1)
+          .cast("long").as("doc_id"),
+          col("warc_type"), col("refers_to"),
+          decode(col("payload"), "UTF-8").as("wat_json"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic fixed-point PageRank (damping 0.85, 5 rounds) on
     // the extracted domain graph — integer ranks, bit-identical across
     // engines; the oracle unrolls the same recurrence as chained CTEs.
@@ -562,6 +607,45 @@ object Links {
         (s"WITH ${Web.urlCte},\n${Web.normCte},\n$linksCte\n" +
           """SELECT dst_domain, anchor, count(*) AS n_links
             |FROM lk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      // the WAT JSON restated character for character from the page
+      // derivation: wire facts are constants of the encoder
+      // (status 200, the literal content-type), content_length is the
+      // utf-8 octet length of the rebuilt HTML, and the link list is
+      // the (t1, t2, sink) derivation in document order. DuckDB
+      // standard strings treat backslash literally, so the JSON quotes
+      // are plain characters here; the fixture URLs/anchors contain no
+      // '"' or '\', making the Spark-side escaper the identity.
+      "q_wat_pipeline" ->
+        (s"WITH ${Web.urlCte},\n${Web.normCte},\n" +
+          """nd AS (SELECT max(doc_id) + 1 AS nd FROM documents),
+            |pg AS (
+            |  SELECT c1.doc_id,
+            |    t1.url AS h1, 'A-' || t1.source AS a1,
+            |    t2.url AS h2, 'A-' || t2.source AS a2,
+            |    (c1.doc_id % 11 = 0) AS has_sink
+            |  FROM c c1 CROSS JOIN nd
+            |  JOIN c t1 ON t1.doc_id = (c1.doc_id * 7 + 3) % nd.nd
+            |  JOIN c t2 ON t2.doc_id = (c1.doc_id * 13 + 5) % nd.nd),
+            |hb AS (
+            |  SELECT doc_id, h1, a1, h2, a2, has_sink,
+            |    '<html><body><p>content</p><a href="' || h1 || '">' || a1 ||
+            |    '</a> <a href="' || h2 || '">' || a2 || '</a>' ||
+            |    CASE WHEN has_sink
+            |      THEN '<a href="https://sink-external.org/drop">external sink</a>'
+            |      ELSE '' END ||
+            |    '</body></html>' AS html
+            |  FROM pg)
+            |SELECT doc_id, 'metadata' AS warc_type,
+            |  '<urn:graft:' || doc_id || '>' AS refers_to,
+            |  '{"envelope":{"status":200,"content_type":"text/html; charset=utf-8","content_length":'
+            |  || octet_length(encode(html)) ||
+            |  '},"links":[{"href":"' || h1 || '","text":"' || a1 || '"}' ||
+            |  ',{"href":"' || h2 || '","text":"' || a2 || '"}' ||
+            |  CASE WHEN has_sink
+            |    THEN ',{"href":"https://sink-external.org/drop","text":"external sink"}'
+            |    ELSE '' END ||
+            |  ']}' AS wat_json
+            |FROM hb ORDER BY doc_id""".stripMargin),
       "q_pagerank" ->
         (s"WITH ${Web.urlCte},\n${Web.normCte},\n$linksCte,\n" +
           pageRankSql(5)),

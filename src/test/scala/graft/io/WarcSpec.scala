@@ -63,6 +63,27 @@ class WarcSpec extends AnyFunSuite {
     assert(!rawResp.contains("WARC-Refers-To"))
   }
 
+  test("metadata (WAT) records round-trip with type, namespace and refers_to") {
+    val docs = mkDocs(12)
+    val dir = "/tmp/graft_warc_spec/wat"
+    Warc.write(docs.toDF("id", "uri", "text").repartition(3), dir,
+      memberGzip = true, warcType = "metadata")
+    val rows = Warc.read(spark, dir, splitSize = 64L).collect()
+    assert(rows.length == 12)
+    assert(rows.forall(_.getString(1) == "metadata"))
+    // meta: namespace keeps record ids distinct from the response they
+    // describe; the reader surfaces the back-pointer as refers_to
+    docs.foreach { case (id, _, _) =>
+      val r = rows.find(_.getString(0) == s"<urn:graft:meta:$id>")
+      assert(r.isDefined, s"missing meta record for $id")
+      assert(r.get.getAs[String]("refers_to") == s"<urn:graft:$id>")
+    }
+    // response records expose an empty refers_to (no header present)
+    Warc.write(docs.toDF("id", "uri", "text"), "/tmp/graft_warc_spec/resp2")
+    val resp = Warc.read(spark, "/tmp/graft_warc_spec/resp2").collect()
+    assert(resp.forall(_.getAs[String]("refers_to") == ""))
+  }
+
   test("payloads containing WARC-looking bytes do not confuse the reader") {
     val docs = Seq(
       ("a", "http://x.example/a", "before\r\nWARC/1.0\r\nnot: a real record\rmid\r\n\r\nafter"),
