@@ -299,6 +299,250 @@ object LanguageModel {
   def kneserNeyScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     scoreKneserNey(docs, idCol, textCol, trainKneserNey(docs, idCol, textCol))
 
+  /** Trigram interpolated Kneser–Ney (Chen & Goodman '98): the highest
+    * order runs on raw trigram counts, the bigram level on CONTINUATION
+    * counts (how many left contexts each bigram completes), and the
+    * unigram base is the same half-count-floored Pc as the bigram model
+    * — the n=3 instance of CCNet-style 5-gram KenLM filtering, with the
+    * identical machinery generalizing to higher n.
+    *
+    * Carries, all derived from ONE trigram aggregate plus the bigram
+    * model: raw trigram counts; per-(w1,w2) context totals c(w1w2·) and
+    * follower type counts N1+(w1w2·); per-(w2,w3) continuation counts
+    * N1+(·w2w3); per-w2 continuation totals N1+(·w2·) and completed-
+    * bigram type counts |{w3 : N1+(·w2w3)>0}|.
+    */
+  final case class TrigramKNModel(
+      kn2: KneserNeyModel,
+      tri: Map[String, Long],
+      ctx2: Map[String, Long],
+      ctx2Types: Map[String, Long],
+      contBi: Map[String, Long],
+      contMid: Map[String, Long],
+      contTypes: Map[String, Long])
+
+  /** Train the trigram KN model: the bigram KN aggregate plus ONE
+    * trigram-keyed map-side-combined aggregate; every type statistic
+    * derives from the collected trigram map on the driver (the map is
+    * capped like [[trainBigrams]] — past the cap, use
+    * [[scoreTrigramKneserNeyJoined]], which never collects it).
+    */
+  def trainTrigramKneserNey(
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxEntries: Long = 5000000L,
+      discount: Double = 0.75): TrigramKNModel = {
+    require(maxEntries > 0 && maxEntries < Int.MaxValue,
+      s"maxEntries must be in (0, Int.MaxValue), got $maxEntries")
+    val kn2 = trainKneserNey(train, idCol, textCol, discount = discount)
+    val triUdf = udf((text: String) => {
+      val toks = HashKernels.tokensOf(text)
+      if (toks.length < 3) Array.empty[String]
+      else Array.tabulate(toks.length - 2)(i =>
+        toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+    })
+    val rows = train.select(explode(triUdf(col(textCol))).as("tg"))
+      .groupBy(col("tg")).agg(count(lit(1)).as("c"))
+      .limit(maxEntries.toInt + 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(rows.length <= maxEntries,
+      s"trainTrigramKneserNey: distinct trigrams exceed the driver-collect " +
+      s"cap ($maxEntries) — use scoreTrigramKneserNeyJoined, which keeps " +
+      "the table distributed")
+    val ctx2 = new scala.collection.mutable.HashMap[String, Long]()
+    val ctx2T = new scala.collection.mutable.HashMap[String, Long]()
+    val contBi = new scala.collection.mutable.HashMap[String, Long]()
+    rows.foreach { case (tg, c) =>
+      val sp2 = tg.lastIndexOf(' ')
+      val w12 = tg.substring(0, sp2)
+      ctx2.update(w12, ctx2.getOrElse(w12, 0L) + c)
+      ctx2T.update(w12, ctx2T.getOrElse(w12, 0L) + 1L)
+      val w23 = tg.substring(tg.indexOf(' ') + 1)
+      contBi.update(w23, contBi.getOrElse(w23, 0L) + 1L)
+    }
+    val contMid = new scala.collection.mutable.HashMap[String, Long]()
+    val contT = new scala.collection.mutable.HashMap[String, Long]()
+    contBi.foreach { case (w23, n1p) =>
+      val w2 = w23.substring(0, w23.indexOf(' '))
+      contMid.update(w2, contMid.getOrElse(w2, 0L) + n1p)
+      contT.update(w2, contT.getOrElse(w2, 0L) + 1L)
+    }
+    TrigramKNModel(kn2, rows.toMap, ctx2.toMap, ctx2T.toMap,
+      contBi.toMap, contMid.toMap, contT.toMap)
+  }
+
+  /** Trigram KN scoring with interpolated backoff through the bigram
+    * continuation level to the Pc floor:
+    *
+    *   Pc(w)        = (N1+(·w)+0.5) / (T + 0.5(|V|+1))   (bigram KN base)
+    *   P2(w3|w2)    = max(N1+(·w2w3)−D,0)/N1+(·w2·)
+    *                  + D·|{w3:N1+(·w2w3)>0}|/N1+(·w2·) · Pc(w3),
+    *                  backing off to Pc when w2 completes nothing
+    *   P3(w3|w1w2)  = max(c(w1w2w3)−D,0)/c(w1w2·)
+    *                  + D·N1+(w1w2·)/c(w1w2·) · P2(w3|w2),
+    *                  backing off to P2 for unseen (w1,w2) contexts
+    *
+    * Token 0 takes −ln Pc, token 1 takes −ln P2, token i ≥ 2 takes
+    * −ln P3 — every term < 1 by the discount telescoping (the bigram KN
+    * argument applied per level), so NLLs are positive. Same
+    * 1e-9-quantized-Long accumulation as every scorer here — exactly
+    * SQL-replayable (q_trigram_kn), and every double expression is
+    * written in the oracle's association order so the parity is
+    * bit-exact, not approximate.
+    */
+  def scoreTrigramKneserNey(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      m: TrigramKNModel): DataFrame = {
+    val d = m.kn2.discount
+    val pcDen = m.kn2.nBigramTypes + 0.5 * (m.kn2.vocabSize + 1.0)
+    val left = m.kn2.leftTypes
+    val tri = m.tri; val ctx2 = m.ctx2; val ctx2T = m.ctx2Types
+    val contBi = m.contBi; val contMid = m.contMid; val contT = m.contTypes
+    val f = udf((text: String) => {
+      val toks = HashKernels.tokensOf(text)
+      if (toks.isEmpty) null
+      else {
+        def pcont(w: String): Double = (left.getOrElse(w, 0L) + 0.5) / pcDen
+        def p2(w2: String, w3: String): Double = {
+          val cm = contMid.getOrElse(w2, 0L)
+          if (cm > 0L) {
+            val cb = contBi.getOrElse(w2 + " " + w3, 0L)
+            math.max(cb - d, 0.0) / cm + d * contT.getOrElse(w2, 0L) / cm * pcont(w3)
+          } else pcont(w3)
+        }
+        var nanos = HashKernels.nanoQuant(-math.log(pcont(toks(0))))
+        if (toks.length > 1)
+          nanos += HashKernels.nanoQuant(-math.log(p2(toks(0), toks(1))))
+        var i = 2
+        while (i < toks.length) {
+          val w1 = toks(i - 2); val w2 = toks(i - 1); val w3 = toks(i)
+          val cc = ctx2.getOrElse(w1 + " " + w2, 0L)
+          val p =
+            if (cc > 0L) {
+              val c3 = tri.getOrElse(w1 + " " + w2 + " " + w3, 0L)
+              math.max(c3 - d, 0.0) / cc +
+                d * ctx2T.getOrElse(w1 + " " + w2, 0L) / cc * p2(w2, w3)
+            } else p2(w2, w3)
+          nanos += HashKernels.nanoQuant(-math.log(p))
+          i += 1
+        }
+        (toks.length, (nanos.toDouble / 1e9) / toks.length)
+      }
+    })
+    docs.select(col(idCol), f(col(textCol)).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col(idCol), col("s._1").as("n_tokens"),
+        round(col("s._2"), 6).as("avg_nll"))
+  }
+
+  /** Self-scoring convenience: train trigram KN on `docs`, score `docs`. */
+  def trigramKneserNeyScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    scoreTrigramKneserNey(docs, idCol, textCol,
+      trainTrigramKneserNey(docs, idCol, textCol))
+
+  /** Trigram KN scoring with the model kept DISTRIBUTED — the 100 TB
+    * path (trigram vocabularies explode far faster than bigram ones;
+    * CCNet-scale 5-gram tables never fit a driver). No n-gram table is
+    * ever collected: documents explode to one (id, pos, w1, w2, w3) row
+    * per token, the trigram/context/continuation statistics arrive via
+    * token-keyed shuffle joins, and each row's NLL term goes through
+    * the SAME double arithmetic + [[HashKernels.nanoQuant]] kernel as
+    * [[scoreTrigramKneserNey]] in the same association order, so the
+    * per-document integer sum is bit-identical however the shuffle
+    * orders rows (LanguageModelSpec pins joined == collected;
+    * q_trigram_kn_dist pins it against the same DuckDB oracle). Only
+    * two scalars (distinct-bigram total, vocab size) are driver-side —
+    * one 1-row aggregate.
+    */
+  def scoreTrigramKneserNeyJoined(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      train: DataFrame,
+      discount: Double = 0.75): DataFrame = {
+    val d = discount
+    // one row per token position: (pos, w1 = tok[pos-2], w2 = tok[pos-1], w3 = tok[pos])
+    val tripleUdf = udf((text: String) => {
+      val toks = HashKernels.tokensOf(text)
+      Array.tabulate(toks.length)(i => (i,
+        if (i < 2) null else toks(i - 2),
+        if (i < 1) null else toks(i - 1),
+        toks(i)))
+    })
+    val trainPairs = train
+      .select(explode(tripleUdf(col(textCol))).as("p"))
+      .select(col("p._3").as("w2"), col("p._4").as("w3"))
+      .filter(col("w2").isNotNull)
+    val bic = trainPairs.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("bc")).localCheckpoint()
+    // the two scalars of the Pc floor — 1-row aggregates, not tables
+    val bt = bic.agg(count(lit(1))).head().getLong(0)
+    val vsz = train.select(explode(tripleUdf(col(textCol))).as("p"))
+      .select(col("p._4").as("w")).agg(countDistinct(col("w"))).head().getLong(0)
+    val pcDen = bt + 0.5 * (vsz + 1.0)
+    val lt = bic.groupBy(col("w3")).agg(count(lit(1)).as("ltc"))
+      .withColumnRenamed("w3", "lw")
+
+    val trainTris = train
+      .select(explode(tripleUdf(col(textCol))).as("p"))
+      .select(col("p._2").as("w1"), col("p._3").as("w2"), col("p._4").as("w3"))
+      .filter(col("w1").isNotNull)
+    val tic = trainTris.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("tc")).localCheckpoint()
+    val ctx = tic.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("tc")).as("cc"), count(lit(1)).as("nt"))
+      .withColumnRenamed("w1", "c1").withColumnRenamed("w2", "c2")
+    val cb = tic.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("cbc"))
+      .withColumnRenamed("w2", "b2").withColumnRenamed("w3", "b3")
+      .localCheckpoint()
+    val cm = cb.groupBy(col("b2"))
+      .agg(sum(col("cbc")).as("cmc"), count(lit(1)).as("ctp"))
+      .withColumnRenamed("b2", "m2")
+
+    val docPos = docs
+      .select(col(idCol), explode(tripleUdf(col(textCol))).as("p"))
+      .select(col(idCol), col("p._1").as("pos"),
+        col("p._2").as("w1"), col("p._3").as("w2"), col("p._4").as("w3"))
+
+    // every branch goes through the ONE kernel so association order and
+    // quantization are shared with the broadcast scorer literally
+    val termUdf = udf((pos: Int, tc: Long, cc: Long, nt: Long,
+        cbc: Long, cmc: Long, ctp: Long, ltc: Long) => {
+      val pcw = (ltc + 0.5) / pcDen
+      val p2 =
+        if (cmc > 0L) math.max(cbc - d, 0.0) / cmc + d * ctp / cmc * pcw
+        else pcw
+      val p =
+        if (pos == 0) pcw
+        else if (pos == 1) p2
+        else if (cc > 0L) math.max(tc - d, 0.0) / cc + d * nt / cc * p2
+        else p2
+      HashKernels.nanoQuant(-math.log(p))
+    })
+    docPos
+      .join(lt, docPos("w3") === lt("lw"), "left")
+      .join(cm, docPos("w2") === cm("m2"), "left")
+      .join(cb, docPos("w2") === cb("b2") && docPos("w3") === cb("b3"), "left")
+      .join(ctx, docPos("w1") === ctx("c1") && docPos("w2") === ctx("c2"), "left")
+      .join(tic, docPos("w1") === tic("w1") && docPos("w2") === tic("w2") &&
+        docPos("w3") === tic("w3"), "left")
+      .select(col(idCol),
+        termUdf(col("pos"),
+          coalesce(col("tc"), lit(0L)), coalesce(col("cc"), lit(0L)),
+          coalesce(col("nt"), lit(0L)), coalesce(col("cbc"), lit(0L)),
+          coalesce(col("cmc"), lit(0L)), coalesce(col("ctp"), lit(0L)),
+          coalesce(col("ltc"), lit(0L))).as("nanos"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n"), sum(col("nanos")).as("nanos"))
+      .select(col(idCol), col("n").cast("int").as("n_tokens"),
+        round(col("nanos").cast("double") / lit(1e9) / col("n").cast("double"), 6)
+          .as("avg_nll"))
+  }
+
   /** Bigram scoring with the model kept DISTRIBUTED — the 100 TB path.
     * No bigram table ever reaches the driver: documents explode to one
     * `(id, pos, prev, cur)` row per token, the bigram and per-prefix

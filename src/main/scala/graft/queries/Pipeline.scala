@@ -1254,6 +1254,29 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // Trigram Kneser-Ney with interpolated backoff through the bigram
+    // continuation level to the Pc floor — the n=3 instance of CCNet's
+    // 5-gram KenLM filter. The oracle restates the full recursion
+    // (trigram counts, context totals/types, bigram continuation
+    // counts/totals/types, the Pc floor) as CTEs, term for term in the
+    // same association order.
+    "q_trigram_kn" -> ((s, dir) =>
+      graft.ops.LanguageModel.trigramKneserNeyScore(
+        Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Same numbers, every n-gram table kept distributed (token-keyed
+    // joins; only the two Pc scalars are driver-side) — trigram tables
+    // are the first ones that genuinely cannot be broadcast at corpus
+    // scale. Pinned against the identical oracle as q_trigram_kn, and
+    // joined == broadcast is additionally spec-pinned bit-for-bit.
+    "q_trigram_kn_dist" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.ops.LanguageModel.scoreTrigramKneserNeyJoined(
+        docs, "doc_id", "text", docs)
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet head/middle/tail selection by exact perplexity terciles —
     // one broadcast cut row over the scored frame, oracle-backed.
     "q_ccnet_buckets" -> ((s, dir) =>
@@ -1442,6 +1465,73 @@ object Pipeline {
           s"WHEN dup${n}_chars * 100 > n_tok_chars * ${dupPct(n)} " +
             s"THEN 'dup_${n}gram_char_frac'")
     s"CASE ${rules.mkString(" ")} ELSE NULL END"
+  }
+
+  /** Shared DuckDB restatement of the trigram-KN recursion — one body,
+    * two gate rows (broadcast + distributed Spark plans must both land
+    * on its hash). The Pc/P2 sub-expressions are built once so the
+    * three usage sites cannot drift apart.
+    */
+  private val trigramKnOracle: String = {
+    val pc = "((COALESCE(lt.ltc, 0) + 0.5) / (tot.bt + 0.5 * (vv.vsz + 1.0)))"
+    val p2 = "(CASE WHEN cm.cmc IS NOT NULL THEN " +
+      s"greatest(COALESCE(cb.cbc, 0) - 0.75, 0.0) / cm.cmc " +
+      s"+ 0.75 * cm.ctp / cm.cmc * $pc ELSE $pc END)"
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(lower(trim(text)), '\\S+') AS toks
+       |  FROM documents),
+       |p AS (SELECT doc_id, unnest(toks) AS token FROM t),
+       |vv AS (SELECT count(DISTINCT token) AS vsz FROM p),
+       |bg AS (
+       |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)),
+       |bic AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+       |lt AS (SELECT w2, count(*) AS ltc FROM bic GROUP BY w2),
+       |tot AS (SELECT count(*) AS bt FROM bic),
+       |tg AS (
+       |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM t)),
+       |tic AS (SELECT w1, w2, w3, count(*) AS c FROM tg GROUP BY w1, w2, w3),
+       |ctx AS (SELECT w1, w2, sum(c) AS cc, count(*) AS nt FROM tic GROUP BY w1, w2),
+       |cb AS (SELECT w2, w3, count(*) AS cbc FROM tic GROUP BY w2, w3),
+       |cm AS (SELECT w2, sum(cbc) AS cmc, count(*) AS ctp FROM cb GROUP BY w2),
+       |tterms AS (
+       |  SELECT tg.doc_id,
+       |    sum(CAST(round(-ln(
+       |      CASE WHEN ctx.cc IS NOT NULL THEN
+       |        greatest(COALESCE(tic.c, 0) - 0.75, 0.0) / ctx.cc
+       |        + 0.75 * ctx.nt / ctx.cc * $p2
+       |      ELSE $p2 END
+       |    ), 9) AS DECIMAL(38,9))) AS tnll
+       |  FROM tg
+       |  LEFT JOIN tic ON tg.w1 = tic.w1 AND tg.w2 = tic.w2 AND tg.w3 = tic.w3
+       |  LEFT JOIN ctx ON tg.w1 = ctx.w1 AND tg.w2 = ctx.w2
+       |  LEFT JOIN cb ON tg.w2 = cb.w2 AND tg.w3 = cb.w3
+       |  LEFT JOIN cm ON tg.w2 = cm.w2
+       |  LEFT JOIN lt ON tg.w3 = lt.w2
+       |  CROSS JOIN tot CROSS JOIN vv
+       |  GROUP BY tg.doc_id),
+       |sterm AS (
+       |  SELECT t.doc_id,
+       |    CAST(round(-ln($p2), 9) AS DECIMAL(38,9)) AS snll
+       |  FROM t
+       |  LEFT JOIN cb ON t.toks[1] = cb.w2 AND t.toks[2] = cb.w3
+       |  LEFT JOIN cm ON t.toks[1] = cm.w2
+       |  LEFT JOIN lt ON t.toks[2] = lt.w2
+       |  CROSS JOIN tot CROSS JOIN vv
+       |  WHERE len(t.toks) >= 2),
+       |fterm AS (
+       |  SELECT t.doc_id, len(t.toks) AS n,
+       |    CAST(round(-ln($pc), 9) AS DECIMAL(38,9)) AS fnll
+       |  FROM t LEFT JOIN lt ON t.toks[1] = lt.w2
+       |  CROSS JOIN tot CROSS JOIN vv
+       |  WHERE len(t.toks) >= 1)
+       |SELECT f.doc_id, CAST(f.n AS INT) AS n_tokens,
+       |  round(CAST(f.fnll + COALESCE(s.snll, 0) + COALESCE(tt.tnll, 0)
+       |    AS DOUBLE) / f.n, 6) AS avg_nll
+       |FROM fterm f LEFT JOIN sterm s USING (doc_id)
+       |LEFT JOIN tterms tt USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
@@ -2403,6 +2493,14 @@ object Pipeline {
         |  round(CAST(f.fnll + COALESCE(b.bnll, 0) AS DOUBLE) / f.n, 6) AS avg_nll
         |FROM fterm f LEFT JOIN bterms b USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // the trigram KN recursion restated as CTEs: tic/ctx are the raw
+    // trigram level, cb/cm the bigram CONTINUATION level, lt/tot/vv the
+    // Pc floor (all identical to q_bigram_kn's), and each term is the
+    // interpolation written in the Scala kernel's association order.
+    // Both q_trigram_kn (broadcast maps) and q_trigram_kn_dist
+    // (token-keyed joins) must land on this exact hash.
+    "q_trigram_kn" -> trigramKnOracle,
+    "q_trigram_kn_dist" -> trigramKnOracle,
     // identical semantics to q_bigram_score — only the Spark-side plan differs
     "q_bigram_score_dist" ->
       """WITH t AS (

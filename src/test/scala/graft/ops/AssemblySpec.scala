@@ -223,6 +223,53 @@ class AssemblySpec extends AnyFunSuite {
       "continuation-count backoff must prefer the many-context word")
   }
 
+  test("trigram KN: hand-computed interpolated backoff chain") {
+    val m = LanguageModel.trainTrigramKneserNey(docs, "doc_id", "text")
+    // trigrams: the-cat-sat, cat-sat-on, sat-on-the, on-the-mat,
+    // cat-cat-cat — all count 1 except none repeated; ctx2(cat,cat)=1
+    assert(m.tri("the cat sat") == 1 && m.tri("cat cat cat") == 1)
+    assert(m.ctx2("the cat") == 1 && m.ctx2Types("the cat") == 1)
+    // continuation: N1+(.cat sat)=1 (only 'the' precedes "cat sat")
+    assert(m.contBi("cat sat") == 1)
+    // N1+(.cat.) = distinct (w1,w3) around middle 'cat' = cat-sat(the),
+    // cat-cat(cat) -> 2; completed types {sat, cat} -> 2
+    assert(m.contMid("cat") == 2 && m.contTypes("cat") == 2)
+    def nanos(x: Double): Long = math.floor(x * 1e9 + 0.5).toLong
+    val pcDen = m.kn2.nBigramTypes + 0.5 * (m.kn2.vocabSize + 1.0)
+    def pc(w: String): Double = (m.kn2.leftTypes.getOrElse(w, 0L) + 0.5) / pcDen
+    def p2(w2: String, w3: String): Double = {
+      val cm = m.contMid.getOrElse(w2, 0L)
+      if (cm > 0) math.max(m.contBi.getOrElse(w2 + " " + w3, 0L) - 0.75, 0.0) / cm +
+        0.75 * m.contTypes.getOrElse(w2, 0L) / cm * pc(w3)
+      else pc(w3)
+    }
+    // "the cat sat": pc(the), p2(the,cat), p3(sat|the cat)
+    val p3 = math.max(m.tri("the cat sat") - 0.75, 0.0) / m.ctx2("the cat") +
+      0.75 * m.ctx2Types("the cat") / m.ctx2("the cat") * p2("cat", "sat")
+    val expect = BigDecimal((nanos(-math.log(pc("the"))) +
+      nanos(-math.log(p2("the", "cat"))) + nanos(-math.log(p3))).toDouble / 1e9 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = LanguageModel.scoreTrigramKneserNey(
+      Seq((9L, "the cat sat")).toDF("doc_id", "text"), "doc_id", "text", m)
+      .as[(Long, Int, Double)].collect().head
+    assert(got == ((9L, 3, expect)))
+    // unseen (w1,w2) context backs off to the bigram continuation level
+    val oov = LanguageModel.scoreTrigramKneserNey(
+      Seq((10L, "zzz qqq dog sat")).toDF("doc_id", "text"), "doc_id", "text", m)
+      .as[(Long, Int, Double)].collect().head
+    assert(oov._3 > 0 && !oov._3.isInfinite)
+  }
+
+  test("trigram KN: distributed joins == broadcast maps, bit for bit") {
+    val broadcastScores = LanguageModel.trigramKneserNeyScore(docs, "doc_id", "text")
+      .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+    val joined = LanguageModel.scoreTrigramKneserNeyJoined(
+      docs, "doc_id", "text", docs)
+      .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+    assert(joined == broadcastScores)
+    assert(broadcastScores.nonEmpty)
+  }
+
   test("bigram score separates natural order from shuffled word soup") {
     val m = LanguageModel.trainBigrams(docs, "doc_id", "text")
     val scored = LanguageModel.scoreBigrams(
