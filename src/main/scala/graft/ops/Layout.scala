@@ -147,6 +147,114 @@ object Layout {
     (paths, total, df)
   }
 
+  /** What [[compactFiles]] did: shard counts and the rewritten-row
+    * parity needed to assert the commit was lossless.
+    */
+  final case class CompactionStats(
+      nFilesBefore: Long,
+      nSmallRewritten: Long,
+      nFilesAfter: Long,
+      nRowsRewritten: Long,
+      nRowsAfterRewrite: Long) {
+    def filesReduced: Boolean = nFilesAfter < nFilesBefore
+    def rowsPreserved: Boolean = nRowsRewritten == nRowsAfterRewrite
+  }
+
+  /** Manifest-aware small-file compaction — the maintenance op an
+    * incremental ingest needs after a few hundred micro-batches (Delta
+    * OPTIMIZE / Iceberg rewrite_data_files, over plain parquet): select
+    * the part files under `minFileBytes` (optionally only those whose
+    * cluster-key box intersects `keyRange` — a manifest probe over just
+    * the candidates, so maintenance can be scoped to the hot key range
+    * without touching cold files), rewrite them into ~`targetFileBytes`
+    * outputs RANGE-PARTITIONED AND SORTED on the cluster key (so the
+    * rewritten files keep disjoint key boxes and the manifest stays as
+    * prunable as the original clustered write), and commit by moving
+    * the rewritten files in before deleting the originals.
+    *
+    * Scale shape: the listing is bounded by shard count; only the
+    * small files are ever read or shuffled (one repartitionByRange of
+    * the candidate set — cold large files are untouched); the commit is
+    * rename+delete, no data copy. A table-format deployment would make
+    * the swap atomic via its manifest commit; over raw parquet the
+    * window between move-in and delete shows duplicates to a concurrent
+    * lister, so run it like every table format does — as the single
+    * writer of the table. Returns the stats needed to assert the
+    * rewrite was lossless; callers rebuild the manifest with
+    * [[fileManifest]] over the re-read (the same pass every caller
+    * already runs to plan scans).
+    */
+  def compactFiles(
+      spark: SparkSession,
+      path: String,
+      keyName: String,
+      minFileBytes: Long,
+      targetFileBytes: Long,
+      keyRange: Option[(Long, Long)] = None): CompactionStats = {
+    require(minFileBytes > 0 && targetFileBytes > 0)
+    val dirPath = new org.apache.hadoop.fs.Path(path)
+    val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles() = fs.listStatus(dirPath)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    val before = dataFiles()
+    val small0 = before.filter(_.getLen < minFileBytes)
+    val candidates = keyRange match {
+      case None => small0
+      case Some((lo, hi)) if small0.nonEmpty =>
+        // manifest probe over the candidates only: a file is in scope
+        // iff its key box intersects [lo, hi]
+        val inScope = fileManifest(
+          spark.read.parquet(small0.map(_.getPath.toString).toIndexedSeq: _*),
+          Seq(keyName))
+          .filter(col(s"max_$keyName") >= lit(lo) && col(s"min_$keyName") <= lit(hi))
+          .select(col("file")).collect()
+          .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName).toSet
+        small0.filter(st => inScope.contains(st.getPath.getName))
+      case _ => small0
+    }
+    if (candidates.length < 2)
+      return CompactionStats(before.length, 0, before.length, 0, 0)
+    val smallPaths = candidates.map(_.getPath.toString).toIndexedSeq
+    val smalls = spark.read.parquet(smallPaths: _*)
+    val nRows = smalls.count()
+    val totalBytes = candidates.map(_.getLen).sum
+    val nOut = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.compact-$token")
+    smalls.repartitionByRange(nOut, col(keyName))
+      .sortWithinPartitions(keyName)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // commit: move the rewritten files in under fresh names, verify the
+    // rewrite row count, then drop the originals + scratch
+    val rewritten = fs.listStatus(tmp)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    val moved = rewritten.zipWithIndex.map { case (st, i) =>
+      val target = new org.apache.hadoop.fs.Path(
+        s"$path/part-compact-$token-$i${suffixOf(st.getPath.getName)}")
+      if (!fs.rename(st.getPath, target))
+        throw new java.io.IOException(s"compact rename ${st.getPath} -> $target failed")
+      target.toString
+    }
+    val nRowsAfter = spark.read.parquet(moved.toIndexedSeq: _*).count()
+    if (nRowsAfter != nRows) {
+      // refuse to delete sources on a lossy rewrite — fail loudly with
+      // both generations on disk (recoverable), never silently drop rows
+      throw new IllegalStateException(
+        s"compactFiles: rewrite row count $nRowsAfter != source $nRows; " +
+        s"sources left in place, rewrite committed under part-compact-$token-*")
+    }
+    candidates.foreach(st => fs.delete(st.getPath, false))
+    fs.delete(tmp, true)
+    CompactionStats(before.length, candidates.length, dataFiles().length,
+      nRows, nRowsAfter)
+  }
+
+  private def suffixOf(name: String): String = {
+    val i = name.indexOf('.')
+    if (i < 0) "" else name.substring(i)
+  }
+
   /** Write `df` clustered by `key` (range-partitioned into `nFiles`
     * shards, sorted inside each) and re-read it. The key column is kept
     * in the files under `keyName` — it is itself a useful coarse filter

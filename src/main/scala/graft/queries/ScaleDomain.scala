@@ -378,6 +378,45 @@ object ScaleDomain {
           sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
             .as("sum_qty"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Compaction (the maintenance op after incremental ingest): write
+    // lineitem clustered into 16 deliberately-small shards, compact
+    // everything under the size floor into ~1 MiB outputs preserving
+    // the cluster sort (repartitionByRange on the key), then aggregate
+    // the POST-compaction table. The oracle recomputes from the
+    // pristine table with identity-pinned invariant booleans — a green
+    // row means the rewrite was a pure permutation (content parity),
+    // actually reduced the file count, preserved every row, and left
+    // the rewritten files' key boxes pairwise disjoint (manifest
+    // prunability survives the rewrite — LayoutSpec holds the measured
+    // pruning evidence).
+    "q_compact_files" -> ((s, dir) => {
+      val path = scratch(s, "compact", dir)
+      val li = Tables(s, dir, "lineitem")
+      val key = Layout.zorderKey(Seq(
+        Layout.gridCell(col("l_partkey"), 0, 20000, 10),
+        Layout.gridCell(col("l_suppkey"), 0, 1000, 10)), 10)
+      Layout.writeClustered(li, path, key, nFiles = 16)
+      val stats = Layout.compactFiles(s, path, "cluster_key",
+        minFileBytes = 64L * 1024 * 1024, targetFileBytes = 1024L * 1024)
+      val reread = s.read.parquet(path)
+      // rebuilt manifest (bounded by shard count): rewritten files must
+      // carry pairwise-disjoint cluster-key boxes or pruning degrades
+      val boxes = Layout.fileManifest(reread, Seq("cluster_key"))
+        .orderBy(col("min_cluster_key"))
+        .select(col("min_cluster_key"), col("max_cluster_key"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val disjoint = boxes.length < 2 ||
+        boxes.sliding(2).forall(p => p(0)._2 <= p(1)._1)
+      reread.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("sum_qty"))
+        .withColumn("files_reduced", lit(stats.filesReduced))
+        .withColumn("rows_preserved", lit(stats.rowsPreserved))
+        .withColumn("boxes_disjoint", lit(disjoint))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -634,6 +673,16 @@ object ScaleDomain {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |WHERE l_partkey BETWEEN 10 AND 150 AND l_suppkey BETWEEN 1 AND 7
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // post-compaction content parity + identity-pinned invariants: the
+    // measurement (file counts, row parity, disjoint key boxes) runs
+    // Spark-side; any violated invariant flips a boolean and
+    // hash-breaks every row
+    "q_compact_files" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  true AS files_reduced, true AS rows_preserved,
+        |  true AS boxes_disjoint
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -171,6 +171,82 @@ class LayoutSpec extends AnyFunSuite {
     assert(none.isEmpty && empty.isEmpty)
   }
 
+  test("compactFiles merges smalls, preserves content AND pruning quality") {
+    val n = 50000L
+    val base = spark.range(n).select(
+      col("id"),
+      ((col("id") * 7919L) % 1000).cast("double").as("x"),
+      ((col("id") * 104729L) % 1000).cast("double").as("y"))
+    val key = Layout.zorderKey(Seq(
+      Layout.gridCell(col("x"), 0, 1000, 8),
+      Layout.gridCell(col("y"), 0, 1000, 8)), 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val pre = Layout.writeClustered(base, dir, key, nFiles = 16)
+    val (keptPre, totalPre, _) = Layout.prunedRead(pre,
+      Seq(("x", 0, 99), ("y", 0, 99)))
+    assert(totalPre == 16 && keptPre.size <= 6)
+
+    // floor catches all 16 shards; target merges them ~4:1
+    val totalBytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length()).sum
+    val stats = Layout.compactFiles(spark, dir, "cluster_key",
+      minFileBytes = 64L * 1024 * 1024, targetFileBytes = totalBytes / 4 + 1)
+    assert(stats.nSmallRewritten == 16)
+    assert(stats.filesReduced && stats.nFilesAfter <= 5)
+    assert(stats.rowsPreserved && stats.nRowsRewritten == n)
+
+    // content parity after the rewrite
+    val post = spark.read.parquet(dir)
+    assert(post.count() == n)
+    assert(post.select("id", "x", "y").exceptAll(base).isEmpty &&
+      base.exceptAll(post.select("id", "x", "y")).isEmpty)
+    // pruning quality survives: the same box still skips files and the
+    // pruned scan still equals the full filter
+    val (keptPost, totalPost, prunedPost) = Layout.prunedRead(post,
+      Seq(("x", 0, 99), ("y", 0, 99)))
+    assert(totalPost == stats.nFilesAfter)
+    assert(keptPost.size < totalPost,
+      s"post-compaction box kept $keptPost of $totalPost files — no skipping left")
+    val expect = base.filter(col("x") <= 99 && col("y") <= 99)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(prunedPost.select("id").as[Long].collect().sorted.toSeq == expect)
+    // rewritten files keep pairwise-disjoint key boxes
+    val boxes = Layout.fileManifest(post, Seq("cluster_key"))
+      .orderBy(col("min_cluster_key"))
+      .select(col("min_cluster_key"), col("max_cluster_key"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(boxes.sliding(2).forall(p => p.length < 2 || p(0)._2 <= p(1)._1))
+  }
+
+  test("compactFiles keyRange scopes maintenance; lossy rewrite is refused") {
+    val base = spark.range(8000).select(
+      col("id"), (col("id") % 256).cast("double").as("x"),
+      ((col("id") * 3) % 256).cast("double").as("y"))
+    val key = Layout.zorderKey(Seq(
+      Layout.gridCell(col("x"), 0, 256, 8),
+      Layout.gridCell(col("y"), 0, 256, 8)), 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_rng").toString
+    Layout.writeClustered(base, dir, key, nFiles = 8)
+    val manifest = Layout.fileManifest(spark.read.parquet(dir), Seq("cluster_key"))
+      .orderBy(col("min_cluster_key")).collect()
+    // scope to the key range of the two LOWEST files only
+    val hi = manifest(1).getAs[Long]("max_cluster_key")
+    val stats = Layout.compactFiles(spark, dir, "cluster_key",
+      minFileBytes = 64L * 1024 * 1024, targetFileBytes = 64L * 1024 * 1024,
+      keyRange = Some((0L, hi)))
+    // at least the two in-scope files merged; out-of-scope files untouched
+    assert(stats.nSmallRewritten >= 2 && stats.nSmallRewritten < 8)
+    assert(stats.nFilesAfter == 8 - stats.nSmallRewritten + 1)
+    assert(stats.rowsPreserved)
+    val post = spark.read.parquet(dir)
+    assert(post.count() == 8000)
+    assert(post.select("id", "x", "y").exceptAll(base).isEmpty)
+    // fewer than 2 candidates -> no-op with the shard census intact
+    val noop = Layout.compactFiles(spark, dir, "cluster_key",
+      minFileBytes = 1L, targetFileBytes = 1L)
+    assert(noop.nSmallRewritten == 0 && noop.nFilesAfter == noop.nFilesBefore)
+  }
+
   test("writeClustered is a pure permutation (content parity, key kept)") {
     val base = spark.range(5000).select(
       col("id"), ((col("id") * 37L) % 100).as("x"), ((col("id") * 11L) % 100).as("y"))
