@@ -233,6 +233,70 @@ object LinkGraph {
   def isSitemapIndex(xml: Column): Column =
     xml.rlike("(?is)<\\s*sitemapindex")
 
+  /** `<url>` entries of a urlset as aligned (loc, lastmod) structs —
+    * block-scoped extraction, so an entry WITHOUT a lastmod cannot
+    * misalign the two arrays the way separate whole-document loc and
+    * lastmod scans would. Missing lastmod → null.
+    */
+  def urlsetEntries(xml: Column): Column =
+    transform(regexp_extract_all(xml, lit("(?is)<url>(.*?)</url>"), lit(1)),
+      b => struct(
+        trim(regexp_extract(b, "(?is)<loc>\\s*([^<]+?)\\s*</loc>", 1)).as("loc"),
+        nullif(regexp_extract(b, "(?is)<lastmod>\\s*([^<]+?)\\s*</lastmod>", 1),
+          lit("")).as("lastmod")))
+
+  /** `<sitemap>` entries of a sitemapindex, same aligned-struct shape. */
+  def sitemapIndexEntries(xml: Column): Column =
+    transform(regexp_extract_all(xml, lit("(?is)<sitemap>(.*?)</sitemap>"), lit(1)),
+      b => struct(
+        trim(regexp_extract(b, "(?is)<loc>\\s*([^<]+?)\\s*</loc>", 1)).as("loc"),
+        nullif(regexp_extract(b, "(?is)<lastmod>\\s*([^<]+?)\\s*</lastmod>", 1),
+          lit("")).as("lastmod")))
+
+  /** ONE bounded level of sitemapindex → urlset expansion — the hop
+    * between `robots.txt: Sitemap:` discovery and the page frontier.
+    * Non-index documents emit their urlset entries directly (depth 0);
+    * index documents explode their child-sitemap locs and JOIN them
+    * against `fetched(url, xml)` — the fetch modeled the only way a
+    * distributed crawl can model it, as a url-keyed join against the
+    * fetched bodies — then parse each child as a urlset (depth 1).
+    *
+    * The recursion is DELIBERATELY one level per call (sitemaps.org
+    * caps real nesting at 50k children and crawlers cap depth to
+    * resist sitemap bombs): a child that is itself an index
+    * contributes no rows here — feed it back through another call
+    * with the next fetch wave to descend further, each wave one keyed
+    * join, never an unbounded driver loop.
+    *
+    * Output: (id, child_sitemap STRING null at depth 0, loc, lastmod,
+    * depth INT). Map-only regex + one keyed join; at 100 TB the join
+    * is frontier-sized, not corpus-sized.
+    */
+  def expandSitemaps(
+      sitemaps: DataFrame, idCol: String, xmlCol: String,
+      fetched: DataFrame): DataFrame = {
+    val base = sitemaps.select(col(idCol).as("id"), col(xmlCol).as("xml"),
+      isSitemapIndex(col(xmlCol)).as("is_index"))
+    val direct = base.filter(!col("is_index"))
+      .select(col("id"), explode(urlsetEntries(col("xml"))).as("e"))
+      .select(col("id"), lit(null).cast("string").as("child_sitemap"),
+        col("e.loc").as("loc"), col("e.lastmod").as("lastmod"),
+        lit(0).as("depth"))
+    val f = fetched.select(col(fetched.columns(0)).as("__curl"),
+      col(fetched.columns(1)).as("__cxml"))
+    val viaIndex = base.filter(col("is_index"))
+      .select(col("id"), explode(sitemapIndexEntries(col("xml"))).as("c"))
+      .select(col("id"), col("c.loc").as("child_sitemap"))
+      .join(f, col("child_sitemap") === col("__curl"))
+      .filter(!isSitemapIndex(col("__cxml"))) // depth cap: index-of-index waits for the next wave
+      .select(col("id"), col("child_sitemap"),
+        explode(urlsetEntries(col("__cxml"))).as("e"))
+      .select(col("id"), col("child_sitemap"),
+        col("e.loc").as("loc"), col("e.lastmod").as("lastmod"),
+        lit(1).as("depth"))
+    direct.unionByName(viaIndex)
+  }
+
   // -------------------------------------------------------------------
   // PageRank: deterministic fixed-point integer iteration
   // -------------------------------------------------------------------
@@ -414,6 +478,79 @@ object LinkGraph {
         .localCheckpoint()
     }
     flagged.join(ranks, "node")
+  }
+
+  /** Personalized (topic-sensitive) PageRank — Haveliwala, WWW '02:
+    * [[trustRank]]'s seeded teleport generalized to an ARBITRARY
+    * positive-weight teleport vector. Teleport mass (and the dangling
+    * re-teleport) distributes ∝ weight instead of uniformly over a
+    * seed set; `teleport(node, w)` with uniform w reproduces trustRank
+    * exactly, a full-support vector gives topic-weighted global
+    * PageRank. Same fixed-point integer discipline (floor divisions
+    * only, the overflow-safe `(a div b)·w + ((a mod b)·w) div b`
+    * spelling of floor(a·w/b) everywhere), so the recurrence is
+    * hash-gateable against an unrolled DuckDB twin.
+    *
+    * Overflow domain: requires Σw and max w ≤ 3e9 (their product is
+    * the largest intermediate; 3e9·3e9 < 2^63). Weights beyond that
+    * should be pre-scaled down — only ratios matter.
+    *
+    * Per round: the same edge⋈rank shuffle + dst-keyed sum as
+    * PageRank, plus the broadcast 1-row dangling total; the teleport
+    * weights ride the node frame. Output: (node, tw, rank).
+    */
+  def personalizedPageRank(edges: DataFrame, teleport: DataFrame,
+      iters: Int = 5, scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "personalizedPageRank: iters must be >= 1")
+    require((15L * scale) % 100L == 0,
+      "personalizedPageRank: 15*scale must be divisible by 100 for an exact teleport base")
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outw = e.groupBy("src").agg(sum("w").as("outw")).localCheckpoint()
+    val tv = teleport.select(col(teleport.columns(0)).as("node"),
+      col(teleport.columns(1)).cast("long").as("tw"))
+      .filter(col("tw") > 0)
+    val flagged = nodes.join(tv, Seq("node"), "left")
+      .select(col("node"), coalesce(col("tw"), lit(0L)).as("tw"))
+      .localCheckpoint()
+    val head = flagged.agg(sum(col("tw")), max(col("tw"))).head()
+    val bigW = head.getLong(0)
+    require(bigW > 0, "personalizedPageRank: no teleport node intersects the graph")
+    require(bigW <= 3000000000L && head.getLong(1) <= 3000000000L,
+      s"personalizedPageRank: teleport mass out of the exact-integer domain " +
+      s"(sum=$bigW, max=${head.getLong(1)}; both must be <= 3e9 — rescale the weights)")
+    val telBase = (15L * scale) / 100L
+    // floor(x·tw/W) via the exact identity, constants precomputed
+    def share(x: Long): Column =
+      lit(x / bigW) * col("tw") + expr(s"((${x % bigW}L) * tw) div ${bigW}L")
+    var ranks = flagged
+      .select(col("node"), col("tw"), share(scale).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribs = e.join(ranks, e("src") === ranks("node"))
+        .join(outw, "src")
+        .select(col("dst").as("node"),
+          expr("(rank div outw) * w + ((rank % outw) * w) div outw").as("c"))
+        .groupBy("node").agg(sum("c").as("contrib"))
+      val dang = ranks
+        .join(outw, ranks("node") === outw("src"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0L)).as("dang"))
+      ranks = flagged
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"), col("tw"),
+          when(col("tw") > 0,
+            share(telBase) + expr(
+              s"(85 * (coalesce(contrib, 0L) + " +
+              s"((dang div ${bigW}L) * tw + ((dang % ${bigW}L) * tw) div ${bigW}L)" +
+              s")) div 100"))
+            .otherwise(expr("(85 * coalesce(contrib, 0L)) div 100"))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks
   }
 
   /** HITS (Kleinberg, JACM '99 — "Authoritative sources in a

@@ -348,6 +348,23 @@ object Links {
         .orderBy(col("doc_id"))
     }),
 
+    // Personalized (topic-sensitive) PageRank — Haveliwala WWW '02:
+    // trustRank's seeded teleport generalized to an arbitrary
+    // positive-weight vector. Here the teleport mass sits on the .de
+    // domains weighted by (length % 5) + 1, so both branches (weighted
+    // teleport + dangling re-teleport ∝ weight; zero-teleport nodes on
+    // walked-in mass only) are corpus-exercised. The oracle unrolls 5
+    // rounds with the identical floor-division spellings.
+    "q_ppr" -> ((s, dir) => {
+      val e = edgesDf(s, dir)
+      val tele = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .filter(col("node").endsWith(".de"))
+        .select(col("node"), (length(col("node")) % 5 + 1).cast("long").as("w"))
+      LinkGraph.personalizedPageRank(e, tele, iters = 5)
+        .orderBy(col("node"))
+    }),
+
     // TrustRank: the teleport restricted to a trusted seed set (the
     // .co.uk domains here) — trust flows OUT of the seeds along
     // links, and a domain no seed can reach floors to exactly 0 (the
@@ -407,6 +424,88 @@ object Links {
         .select(col("doc_id"), col("is_index"), col("pos"),
           col("col").as("loc"), col("lastmods"))
         .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // Recursive sitemap expansion: the sitemapindex docs' child locs
+    // are FETCHED (modeled the only way a distributed crawl can — a
+    // url-keyed join against the fetched bodies) and parsed as
+    // urlsets, one bounded level per wave; plain urlset docs emit
+    // directly. Each child's SECOND entry carries no lastmod, so the
+    // block-scoped (loc, lastmod) struct alignment is load-bearing —
+    // whole-document loc/lastmod scans would mispair. The oracle
+    // restates both branches from the derivation.
+    "q_sitemap_recursive" -> ((s, dir) => {
+      val d = col("domain")
+      val m = col("doc_id") % 9
+      val k = col("doc_id") % 50
+      val urlEntry = (i: Int) => concat(
+        lit("<url><loc> https://"), d, lit("/sm/"), k, lit(s"/$i </loc>"),
+        lit("<lastmod>2026-0"), m + 1, lit(s"-1$i</lastmod></url>"))
+      val urlset = concat(
+        lit("<?xml version=\"1.0\"?><urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+        urlEntry(1), urlEntry(2), urlEntry(3), lit("</urlset>"))
+      val index = concat(
+        lit("<?xml version=\"1.0\"?><sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+        lit("<sitemap><loc>https://"), d, lit("/sitemap-a.xml</loc></sitemap>"),
+        lit("<sitemap><loc>https://"), d, lit("/sitemap-b.xml</loc>"),
+        lit("<lastmod>2026-01-05</lastmod></sitemap></sitemapindex>"))
+      val n = Web.normalized(s, dir)
+        .withColumn("xml", when(m === 0, index).otherwise(urlset))
+      // fetched child bodies, one per (index domain, a|b): two entries,
+      // the second deliberately lastmod-free
+      val idxDomains = n.filter(m === 0).select(d.as("cd")).distinct()
+      def child(c: String) = idxDomains.select(
+        concat(lit("https://"), col("cd"), lit(s"/sitemap-$c.xml")).as("url"),
+        concat(
+          lit("<?xml version=\"1.0\"?><urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+          lit(s"<url><loc>https://"), col("cd"), lit(s"/$c/1</loc>"),
+          lit("<lastmod>2026-03-0"), length(col("cd")) % 7 + 1,
+          lit("</lastmod></url>"),
+          lit(s"<url><loc>https://"), col("cd"), lit(s"/$c/2</loc></url>"),
+          lit("</urlset>")).as("xml"))
+      val fetched = child("a").unionByName(child("b"))
+      LinkGraph.expandSitemaps(
+        n.select(col("doc_id"), col("xml")), "doc_id", "xml", fetched)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("child_sitemap"), col("loc"))
+    }),
+
+    // Lastmod-aware frontier: q_crawl_frontier's politeness capacity
+    // cut applied only to URLs CHANGED since the last crawl (sitemap
+    // lastmod day vs the crawl snapshot's day — both deterministic
+    // functions of doc_id, so the oracle restates the binding subset
+    // exactly). n_changed < n_candidates on most domains, and the
+    // schedule cut binds on the changed set — re-crawl capacity is
+    // spent on freshness, the whole point of lastmod.
+    "q_frontier_lastmod" -> ((s, dir) => {
+      val n = Web.normalized(s, dir)
+      val surv = n.groupBy(col("url_norm")).agg(min(col("doc_id")).as("doc_id"))
+      val robots = when(length(col("domain")) % 2 === 0,
+          lit("User-agent: *\nDisallow: /fr\nAllow: /fr/Doc-1\nCrawl-delay: 2\n"))
+        .otherwise(
+          lit("# lockdown\nUser-agent: *\nDisallow: /\nAllow: /en\nCrawl-delay: 3\n"))
+      val ok = n.join(surv.select("doc_id"), "doc_id")
+        .filter(graft.ops.Robots.isAllowed(
+          graft.ops.Robots.rulesFor(robots), UrlOps.path(col("url"))))
+        .withColumn("delay",
+          graft.ops.Robots.crawlDelayFor(robots).cast("long"))
+        .withColumn("capacity", expr("CAST(12 div delay AS BIGINT)"))
+        .withColumn("changed",
+          pmod(col("doc_id"), lit(28)) + 1 > pmod(col("doc_id") * 7, lit(28)) + 1)
+      val sched = ok.filter(col("changed")).withColumn("rn",
+        row_number().over(Window.partitionBy(col("domain"))
+          .orderBy(md5(col("url_norm")), col("url_norm"))))
+      val base = ok.groupBy(col("domain"))
+        .agg(max(col("capacity")).as("capacity"),
+          count(lit(1)).as("n_candidates"),
+          sum(when(col("changed"), 1).otherwise(0)).as("n_changed"))
+      val cut = sched.groupBy(col("domain"))
+        .agg(sum(when(col("rn") <= col("capacity"), 1).otherwise(0))
+          .as("n_scheduled"))
+      base.join(cut, Seq("domain"), "left")
+        .select(col("domain"), col("capacity"), col("n_candidates"),
+          col("n_changed"), coalesce(col("n_scheduled"), lit(0L)).as("n_scheduled"))
+        .orderBy(col("domain"))
     })
   )
 
@@ -502,6 +601,55 @@ object Links {
        |SELECT t$iters.node,
        |  t$iters.node IN (SELECT node FROM tsd) AS is_seed, t$iters.rank
        |FROM t$iters ORDER BY node""".stripMargin
+  }
+
+  /** Unrolled personalized-PageRank recurrence, the DuckDB twin of
+    * [[LinkGraph.personalizedPageRank]]: every floor(x·tw/W) is spelled
+    * with the identical `(x // W)·tw + ((x % W)·tw) // W` identity the
+    * Scala side uses, teleport AND dangling re-teleport ∝ weight,
+    * zero-teleport nodes on walked-in mass only.
+    */
+  private def pprSql(iters: Int): String = {
+    val scale = "1000000000000"
+    val telBase = "150000000000" // (15 * scale) / 100, exact
+    val w = "(SELECT w FROM tws)"
+    val head =
+      s"""$graphCtes,
+         |tp AS MATERIALIZED (
+         |  SELECT node, CAST(length(node) % 5 + 1 AS BIGINT) AS tw
+         |  FROM gnodes WHERE node LIKE '%.de'),
+         |tws AS (SELECT CAST(sum(tw) AS BIGINT) AS w FROM tp),
+         |g0 AS MATERIALIZED (
+         |  SELECT g.node, CAST(coalesce(t.tw, 0) AS BIGINT) AS tw
+         |  FROM gnodes g LEFT JOIN tp t ON g.node = t.node),
+         |p0 AS MATERIALIZED (
+         |  SELECT node, tw, CAST(
+         |    ($scale // $w) * tw + (($scale % $w) * tw) // $w
+         |  AS BIGINT) AS rank FROM g0)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""pk$k AS MATERIALIZED (
+         |  SELECT e.dst AS node,
+         |    CAST(sum((r.rank // o.outw) * e.w + ((r.rank % o.outw) * e.w) // o.outw) AS BIGINT) AS contrib
+         |  FROM e JOIN p${k - 1} r ON e.src = r.node
+         |  JOIN outw o ON e.src = o.src
+         |  GROUP BY e.dst),
+         |pd$k AS (
+         |  SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dang
+         |  FROM p${k - 1} WHERE node NOT IN (SELECT src FROM outw)),
+         |p$k AS MATERIALIZED (
+         |  SELECT g.node, g.tw, CAST(
+         |    CASE WHEN g.tw > 0
+         |    THEN ($telBase // $w) * g.tw + (($telBase % $w) * g.tw) // $w +
+         |      (85 * (coalesce(c.contrib, 0) +
+         |        (((SELECT dang FROM pd$k) // $w) * g.tw
+         |         + (((SELECT dang FROM pd$k) % $w) * g.tw) // $w))) // 100
+         |    ELSE (85 * coalesce(c.contrib, 0)) // 100 END
+         |  AS BIGINT) AS rank
+         |  FROM g0 g LEFT JOIN pk$k c ON g.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$rounds
+       |SELECT node, tw, rank FROM p$iters ORDER BY node""".stripMargin
   }
 
   /** Unrolled HITS recurrence, the DuckDB twin of [[LinkGraph.hits]]:
@@ -739,6 +887,69 @@ object Links {
       "q_hits" ->
         (s"WITH ${Web.urlCte},\n${Web.normCte},\n$linksCte,\n" +
           hitsSql(5)),
+      "q_ppr" ->
+        (s"WITH ${Web.urlCte},\n${Web.normCte},\n$linksCte,\n" +
+          pprSql(5)),
+      // both branches of the one-level expansion restated from the
+      // derivation: index docs (m9 = 0) surface their two fetched
+      // children's entries (the second entry of each child carries a
+      // NULL lastmod — the alignment gate), plain docs their own three
+      "q_sitemap_recursive" ->
+        (s"WITH ${Web.urlCte},\n${Web.normCte},\n" +
+          """sm AS (
+            |  SELECT doc_id, domain, doc_id % 9 AS m9, doc_id % 50 AS k
+            |  FROM c),
+            |direct AS (
+            |  SELECT doc_id, CAST(NULL AS VARCHAR) AS child_sitemap,
+            |    'https://' || domain || '/sm/' || k || '/' || i AS loc,
+            |    '2026-0' || (m9 + 1) || '-1' || i AS lastmod,
+            |    CAST(0 AS INT) AS depth
+            |  FROM sm CROSS JOIN (VALUES (1), (2), (3)) t(i)
+            |  WHERE m9 <> 0),
+            |via AS (
+            |  SELECT doc_id,
+            |    'https://' || domain || '/sitemap-' || ch || '.xml' AS child_sitemap,
+            |    'https://' || domain || '/' || ch || '/' || i AS loc,
+            |    CASE WHEN i = 1 THEN '2026-03-0' || (length(domain) % 7 + 1)
+            |         ELSE NULL END AS lastmod,
+            |    CAST(1 AS INT) AS depth
+            |  FROM sm CROSS JOIN (VALUES ('a'), ('b')) u(ch)
+            |    CROSS JOIN (VALUES (1), (2)) t(i)
+            |  WHERE m9 = 0)
+            |SELECT * FROM direct UNION ALL SELECT * FROM via
+            |ORDER BY doc_id, child_sitemap, loc""".stripMargin),
+      // the frontier oracle's politeness/robots predicate with the
+      // lastmod-vs-snapshot filter feeding the capacity cut
+      "q_frontier_lastmod" ->
+        (s"WITH ${Web.urlCte},\n${Web.normCte},\n" +
+          """surv AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY url_norm),
+            |okc AS (
+            |  SELECT c.doc_id, c.domain, c.url_norm,
+            |    CAST(12 // (CASE WHEN length(c.domain) % 2 = 0 THEN 2 ELSE 3 END) AS BIGINT) AS capacity,
+            |    ((c.doc_id % 28) + 1 > ((c.doc_id * 7) % 28) + 1) AS changed
+            |  FROM c JOIN surv USING (doc_id)
+            |  WHERE CASE WHEN length(domain) % 2 = 0 THEN
+            |      (CASE WHEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) LIKE '/fr/Doc-1%' THEN TRUE
+            |            WHEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) LIKE '/fr%' THEN FALSE
+            |            ELSE TRUE END)
+            |    ELSE regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) LIKE '/en%'
+            |    END),
+            |sch AS (
+            |  SELECT domain, capacity,
+            |    row_number() OVER (PARTITION BY domain
+            |      ORDER BY md5(url_norm), url_norm) AS rn
+            |  FROM okc WHERE changed),
+            |b AS (
+            |  SELECT domain, max(capacity) AS capacity, count(*) AS n_candidates,
+            |    CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+            |  FROM okc GROUP BY domain),
+            |cut AS (
+            |  SELECT domain,
+            |    CAST(sum(CASE WHEN rn <= capacity THEN 1 ELSE 0 END) AS BIGINT) AS n_scheduled
+            |  FROM sch GROUP BY domain)
+            |SELECT b.domain, b.capacity, b.n_candidates, b.n_changed,
+            |  coalesce(cut.n_scheduled, 0) AS n_scheduled
+            |FROM b LEFT JOIN cut USING (domain) ORDER BY domain""".stripMargin),
       "q_sitemap_urls" ->
         (s"WITH ${Web.urlCte},\n${Web.normCte},\n" +
           """sm AS (
