@@ -192,6 +192,46 @@ object EventStream {
       .start()
   }
 
+  /** Streaming twin of the inverted-index delta merge
+    * ([[graft.ops.Search.mergePostings]]): a foreachBatch loop maintains
+    * the postings index incrementally across micro-batches — the first
+    * batch builds the index, every later batch tokenizes ONLY its delta
+    * and merges (posting rows union untouched, df re-derived by one
+    * token-keyed aggregate). The nightly-crawl contract carries over:
+    * batch doc ids are append-only (re-crawls go through dedup first).
+    * `onBatch` observes the maintained index after each merge;
+    * PipelineStreamingSpec pins stream == full rebuild row-for-row over
+    * ≥3 micro-batches. State between batches is the materialized
+    * posting frame itself (localCheckpoint truncates lineage per batch
+    * — the documented DISK_ONLY/real-checkpoint swap applies on a
+    * cluster), never a driver-side collection: at 100 TB the index
+    * stays distributed and each batch costs one delta tokenize + one
+    * union + one keyed aggregate.
+    */
+  def indexMaintenanceStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      checkpoint: String)(
+      onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    var index: DataFrame = null
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = batch.localCheckpoint()
+        if (!delta.isEmpty) {
+          index =
+            if (index == null)
+              graft.ops.Search.invertedIndex(delta, idCol, textCol).localCheckpoint()
+            else
+              graft.ops.Search.mergePostings(index, delta, idCol, textCol)
+                .localCheckpoint()
+          onBatch(index)
+        }
+      }
+      .start()
+  }
+
   // ---- streaming dedup -------------------------------------------------
 
   /** Exact streaming dedup on a 64-bit content hash. State is BOUNDED by

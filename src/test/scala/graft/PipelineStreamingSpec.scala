@@ -488,6 +488,47 @@ class PipelineStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental inverted index across micro-batches == full rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // three append-only waves of disjoint doc ids; shared tokens across
+    // waves make the df re-derivation load-bearing (a stale df from an
+    // earlier batch would survive a naive merge)
+    val waves = Seq(
+      Seq((1L, "the cat sat"), (2L, "the dog")),
+      Seq((3L, "cat cat cat"), (4L, "a fresh dog barks")),
+      Seq((5L, "the fresh cat"), (6L, "entirely new tokens here")))
+    val mem = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_idx_ckpt").toString
+    val snapshots = new java.util.concurrent.ConcurrentLinkedQueue[
+      Set[(String, Long, Long, Long, Long, Long)]]()
+    val q = graft.streaming.EventStream.indexMaintenanceStream(
+      mem.toDS().toDF("doc_id", "text"), "doc_id", "text", ckpt) { idx =>
+      snapshots.add(idx
+        .select(col("token"), col("doc_id"), col("tf"), col("df"),
+          col("first_pos"), col("last_pos"))
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet)
+    }
+    try {
+      var fed = Seq.empty[(Long, String)]
+      waves.foreach { w =>
+        mem.addData(w: _*)
+        q.processAllAvailable()
+        fed = fed ++ w
+        // the maintained index after THIS wave == a from-scratch rebuild
+        // over everything fed so far, row for row
+        val rebuilt = graft.ops.Search.invertedIndex(
+          fed.toDF("doc_id", "text"), "doc_id", "text")
+          .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+        val latest = snapshots.toArray(
+          Array.empty[Set[(String, Long, Long, Long, Long, Long)]]).last
+        assert(latest == rebuilt,
+          s"after wave ${fed.size / 2}: stream index != rebuild")
+      }
+      assert(snapshots.size() >= 3, s"expected >=3 micro-batches, got ${snapshots.size()}")
+    } finally q.stop()
+  }
+
   test("DSIR scoring on a stream matches the batch weights") {
     implicit val sqlCtx = spark.sqlContext
     val target = Seq((100L, "alpha beta alpha")).toDF("doc_id", "text")
