@@ -72,7 +72,23 @@ object Bench {
       "at sf0.1 descend 7.7 (cold) / 1.69 -> 0.94 s steady-state " +
       "(graft.FetchProbe, round 9; stage split: fixture write ~0.5, bai " +
       "~0.15, fetch+agg ~0.9-1.6); min-of-2 after one warm pass lands " +
-      "anywhere in 0.9-1.7 s. BamScanSpec still pins block pruning"))
+      "anywhere in 0.9-1.7 s. BamScanSpec still pins block pruning"),
+    // round-11 DriftProbe attribution of the four r10 unattributed movers:
+    // 8 same-JVM reps at sf0.1 in TWO fresh JVMs each (graft.DriftProbe)
+    "q_bam_fetch_sharded" -> ("JIT-depth noise, the unsharded twin's " +
+      "signature: descent 9.3/9.4 (cold) -> floor 1.10-1.48 s across two " +
+      "fresh JVMs (DriftProbe, round 11); the descent needs 4+ sf0.1 reps " +
+      "to settle, so min-of-2 after warm-up lands anywhere in 1.1-1.8 s"),
+    "q_bam_dist" -> ("tight floor 0.87-1.02 s across two fresh JVMs " +
+      "(DriftProbe, round 11, 8 reps each); swings beyond ~0.2 s are " +
+      "session noise, beyond ~0.4 s would be a real plan change"),
+    "q_heaps_fit" -> ("JIT descent 6.9/8.1 (cold) -> floor 2.08-2.78 s " +
+      "with +-0.3 s intra-JVM spread at the floor (DriftProbe, round 11, " +
+      "two fresh JVMs); min-of-2 lands anywhere in 2.1-2.8 s on identical " +
+      "code"),
+    "q_lr_quality" -> ("flat curve, floors 3.4 vs 2.7 s in two fresh JVMs " +
+      "(DriftProbe, round 11) — cross-JVM machine/session noise (~25%), " +
+      "not JIT and not a plan change; band 2.5-3.7 s on identical code"))
 
   /** Markdown comparison of two Bench JSON lines (prev vs current), the
     * Scala twin of tools/bench_notes.py. Parsing is the inverse of this
@@ -106,9 +122,17 @@ object Bench {
       sb ++= s"- Newly timed: ${newQ.map(q => s"$q ${f(cq(q))}s").mkString(", ")}\n"
     sb ++= s"- Regressions > 0.25 s: ${if (regress.isEmpty) "none" else ""}\n"
     regress.foreach { q =>
-      val note = KnownNoise.get(q).map(n => s" [$n]").getOrElse("")
+      val note = KnownNoise.get(q).map(n => s" [$n]").getOrElse(
+        " [unattributed — within the measured cross-JVM drift band if < ~25%;" +
+        " run `runMain graft.DriftProbe <sfDir> " + q + " 8` twice to attribute" +
+        " before treating as a plan change]")
       sb ++= s"  - $q ${f(pq(q))} -> ${f(cq(q))}$note\n"
     }
+    sb ++= ("- Drift band (measured, DriftProbe round 11): two fresh JVMs on " +
+      "identical code showed cross-JVM floors differing up to ~25% " +
+      "(q_lr_quality 2.7 vs 3.4 s) and 4+-rep JIT descents from 4-9x cold " +
+      "(q_bam_fetch_sharded, q_heaps_fit); movers inside that band are " +
+      "session noise, not plan changes.\n")
     sb ++= s"- Improvements > 0.25 s:\n"
     improve.foreach(q => sb ++= s"  - $q ${f(pq(q))} -> ${f(cq(q))}\n")
     sb ++= s"- Expensive tail: ${tail.map { case (q, v) => s"$q ${f(v)}s" }.mkString(", ")}\n"
