@@ -449,8 +449,16 @@ object Links {
         lit("<sitemap><loc>https://"), d, lit("/sitemap-a.xml</loc></sitemap>"),
         lit("<sitemap><loc>https://"), d, lit("/sitemap-b.xml</loc>"),
         lit("<lastmod>2026-01-05</lastmod></sitemap></sitemapindex>"))
+      // ONE materialized derivation feeds all three consumers (direct
+      // branch, index branch, fetched-children domains) — the
+      // linkedPages discipline: self-join branches share no map
+      // subtrees, so without this the URL-normalization kernel and the
+      // XML templating would run three times (measured 4.2 s -> the
+      // checkpointed shape at sf0.1)
       val n = Web.normalized(s, dir)
         .withColumn("xml", when(m === 0, index).otherwise(urlset))
+        .select(col("doc_id"), col("domain"), col("xml"))
+        .localCheckpoint()
       // fetched child bodies, one per (index domain, a|b): two entries,
       // the second deliberately lastmod-free
       val idxDomains = n.filter(m === 0).select(d.as("cd")).distinct()

@@ -262,6 +262,31 @@ object ScaleDomain {
           col("px_sum"), col("px_first"), col("px_last"), col("px_md5"))
         .orderBy(col("media_id"))),
 
+    // The perceptual leg run END TO END as a dedup (the exact-dedup
+    // shape of q_media_dedup on the third leg): dHash signatures →
+    // banded Hamming pairs (pigeonhole recall 1.0 at ≤3 bits, so the
+    // pair set IS the exact truth and the oracle can restate it as
+    // all-pairs) → 8 rounds of min-label propagation → keeper = min id
+    // per component. Seeded one-char twins (%97, explicit substring
+    // surgery so the oracle replays the byte edit) guarantee near-dup
+    // components exist at every SF alongside the corpus's exact dups.
+    "q_media_phash_dedup" -> ((s, dir) => {
+      val m = media(s, dir)
+      val twins = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 10000000L).as("media_id"),
+          concat(substring(col("text"), 1, 18), lit("Z"),
+            substring(col("text"), 20, 1000000)).cast("binary").as("payload"))
+      val all = m.select(col("media_id"), col("payload")).unionByName(twins)
+      val pairs = graft.ops.Multimodal.phashNearDuplicates(all, maxHamming = 3)
+      val lbl = graft.ops.LinkGraph.labelPropagation(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")), rounds = 8)
+      lbl.select(col("node").as("media_id"), col("lbl").as("component"),
+          (col("node") === col("lbl")).as("is_keeper"),
+          (col("lbl") === col("lbl_prev")).as("converged"))
+        .orderBy(col("media_id"))
+    }),
+
     // Perceptual signatures over the same stub-decoded plane — the
     // third leg of media dedup (exact content hash / byte-CDC
     // containment / PERCEPTUAL), catching re-encoded or resized
@@ -643,6 +668,67 @@ object ScaleDomain {
         |  CASE WHEN ah.hi >= 2147483648 THEN (ah.hi - 4294967296) * 4294967296 + ah.lo
         |       ELSE ah.hi * 4294967296 + ah.lo END AS ahash
         |FROM dh JOIN ah USING (media_id) ORDER BY media_id""".stripMargin,
+    // the full perceptual-dedup chain restated: dHash per media row
+    // (base docs + the %97 substring-surgery twins), exact all-pairs
+    // Hamming ≤ 3 via xor+bit_count (legitimate here because the banded
+    // Spark path has GUARANTEED recall at ≤3 — its pair set IS the
+    // truth), then 8 unrolled min-label rounds (the componentsSql
+    // discipline) and the keeper/convergence bits
+    "q_media_phash_dedup" -> {
+      val rounds = (1 to 8).map { k =>
+        s"""nb$k AS (
+           |  SELECT u.d AS node, min(l.lbl) AS nl
+           |  FROM und u JOIN l${k - 1} l ON u.s = l.node GROUP BY u.d),
+           |l$k AS MATERIALIZED (
+           |  SELECT l.node, least(l.lbl, coalesce(n.nl, l.lbl)) AS lbl
+           |  FROM l${k - 1} l LEFT JOIN nb$k n ON l.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH m0 AS (
+         |  SELECT doc_id AS media_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000000,
+         |    substr(text, 1, 18) || 'Z' || substr(text, 20, 1000000)
+         |  FROM documents WHERE doc_id % 97 = 0),
+         |m AS (
+         |  SELECT media_id, text, strlen(text) AS n,
+         |    greatest((strlen(text) + 15) // 16, 1) AS src_h
+         |  FROM m0),
+         |p9 AS (
+         |  SELECT media_id,
+         |    list_transform(range(0, 72), k ->
+         |      CASE WHEN ((k // 9) * src_h // 8) * 16 + ((k % 9) * 16 // 9) < n
+         |        THEN unicode(substring(text,
+         |          CAST(((k // 9) * src_h // 8) * 16
+         |               + ((k % 9) * 16 // 9) + 1 AS INT), 1))
+         |        ELSE 0 END) AS q
+         |  FROM m),
+         |dh AS (
+         |  SELECT media_id,
+         |    CAST(list_sum(list_transform(range(0, 32), b ->
+         |      CASE WHEN q[(b // 8) * 9 + (b % 8) + 1] < q[(b // 8) * 9 + (b % 8) + 2]
+         |        THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)) AS BIGINT) AS lo,
+         |    CAST(list_sum(list_transform(range(32, 64), b ->
+         |      CASE WHEN q[(b // 8) * 9 + (b % 8) + 1] < q[(b // 8) * 9 + (b % 8) + 2]
+         |        THEN (CAST(1 AS BIGINT) << CAST(b - 32 AS INT)) ELSE 0 END)) AS BIGINT) AS hi
+         |  FROM p9),
+         |sig AS MATERIALIZED (
+         |  SELECT media_id,
+         |    CASE WHEN hi >= 2147483648 THEN (hi - 4294967296) * 4294967296 + lo
+         |         ELSE hi * 4294967296 + lo END AS dhash
+         |  FROM dh),
+         |ed AS MATERIALIZED (
+         |  SELECT a.media_id AS src, b.media_id AS dst
+         |  FROM sig a JOIN sig b ON a.media_id < b.media_id
+         |   AND bit_count(xor(a.dhash, b.dhash)) <= 3),
+         |und AS MATERIALIZED (
+         |  SELECT src AS s, dst AS d FROM ed UNION ALL SELECT dst, src FROM ed),
+         |cnodes AS (SELECT DISTINCT s AS node FROM und),
+         |l0 AS MATERIALIZED (SELECT node, node AS lbl FROM cnodes),
+         |$rounds
+         |SELECT l8.node AS media_id, l8.lbl AS component,
+         |  (l8.node = l8.lbl) AS is_keeper, (l8.lbl = l7.lbl) AS converged
+         |FROM l8 JOIN l7 ON l8.node = l7.node ORDER BY media_id""".stripMargin
+    },
     // bit-for-bit recomputation of the Morton interleave with DuckDB's
     // native shift/mask operators
     "q_zorder_key" ->
