@@ -213,6 +213,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.ahashStub(null) == -1L)
   }
 
+  test("dhash is invariant to brightness shift and contrast scaling") {
+    // gradient DIRECTION survives the monotone per-pixel maps a
+    // re-encode applies — the property that makes dHash the right
+    // third leg where byte hashing fails
+    val base = Array.tabulate(16 * 8)(i => ((i * 7) % 101 + 20).toByte)
+    val brighter = base.map(b => ((b & 0xFF) + 40).min(255).toByte)
+    // contrast: scale distances from the plane's own mid-value by 5/4 —
+    // chosen so no pixel clamps (clamping would merge distinct values
+    // and legitimately flip strict comparisons)
+    val contrast = base.map { b =>
+      val v = 70 + ((b & 0xFF) - 70) * 5 / 4
+      v.max(0).min(255).toByte
+    }
+    val d0 = Multimodal.dhashStub(base)
+    assert(Multimodal.dhashStub(brighter) == d0,
+      "uniform brightness shift must not change gradient direction")
+    assert(Multimodal.dhashStub(contrast) == d0,
+      "monotone contrast scaling must not change gradient direction")
+    // but an actual content change does
+    val edited = base.clone(); edited(17) = (edited(17) + 90).toByte
+    assert(Multimodal.dhashStub(edited) != d0)
+  }
+
   test("phashNearDuplicates: banded pairs equal exact hamming truth") {
     import spark.implicits._
     // payloads: base plane, a 1-byte perturbation (small hamming), and a

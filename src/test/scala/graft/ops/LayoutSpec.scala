@@ -218,6 +218,49 @@ class LayoutSpec extends AnyFunSuite {
     assert(boxes.sliding(2).forall(p => p.length < 2 || p(0)._2 <= p(1)._1))
   }
 
+  test("compactFiles after micro-batch appends: the incremental-ingest scenario") {
+    // ten small appends (each internally sorted but globally interleaved
+    // on the cluster key — exactly what a streaming ingest leaves behind),
+    // then one compaction pass restores the clustered layout
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_ingest").toString
+    val key = Layout.zorderKey(Seq(
+      Layout.gridCell(col("x"), 0, 1000, 8),
+      Layout.gridCell(col("y"), 0, 1000, 8)), 8)
+    (0 until 10).foreach { b =>
+      spark.range(b * 2000L, (b + 1) * 2000L).select(
+        col("id"),
+        ((col("id") * 7919L) % 1000).cast("double").as("x"),
+        ((col("id") * 104729L) % 1000).cast("double").as("y"))
+        .withColumn("cluster_key", key)
+        .repartition(2) // two small files per micro-batch
+        .sortWithinPartitions("cluster_key")
+        .write.mode("append").parquet(dir)
+    }
+    val preFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(preFiles == 20)
+    // each append is key-sorted only WITHIN itself: file key boxes
+    // overlap heavily, so a box query cannot skip much pre-compaction
+    val pre = spark.read.parquet(dir)
+    val (keptPre, _, _) = Layout.prunedRead(pre, Seq(("x", 0, 99), ("y", 0, 99)))
+    assert(keptPre.size >= 15, s"interleaved appends should defeat pruning, kept ${keptPre.size}/20")
+
+    val stats = Layout.compactFiles(spark, dir, "cluster_key",
+      minFileBytes = 64L * 1024 * 1024, targetFileBytes = 96L * 1024)
+    assert(stats.nSmallRewritten == 20 && stats.filesReduced && stats.rowsPreserved)
+
+    val post = spark.read.parquet(dir)
+    assert(post.count() == 20000)
+    // compaction restored the clustered geometry: the same box now skips
+    val (keptPost, totalPost, prunedPost) = Layout.prunedRead(post,
+      Seq(("x", 0, 99), ("y", 0, 99)))
+    assert(keptPost.size < totalPost,
+      s"post-compaction box kept ${keptPost.size}/$totalPost — no skipping")
+    val expect = post.filter(col("x") <= 99 && col("y") <= 99)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(prunedPost.select("id").as[Long].collect().sorted.toSeq == expect)
+  }
+
   test("compactFiles keyRange scopes maintenance; lossy rewrite is refused") {
     val base = spark.range(8000).select(
       col("id"), (col("id") % 256).cast("double").as("x"),
