@@ -443,6 +443,257 @@ object LanguageModel {
     scoreTrigramKneserNey(docs, idCol, textCol,
       trainTrigramKneserNey(docs, idCol, textCol))
 
+  /** 4-gram interpolated Kneser–Ney — one more level of the same
+    * recursion, demonstrating the n=5 (KenLM/CCNet) generalization is
+    * pure repetition: the TOP level runs on raw 4-gram counts; every
+    * level below runs on continuation counts taken from the table one
+    * order up (level 3 from the 4-gram types, level 2 from the trigram
+    * types — the trigram model's own contBi/contMid/contTypes — level 1
+    * the half-count Pc floor from bigram types). The embedded
+    * [[TrigramKNModel]]'s RAW trigram level is deliberately unused:
+    * inside a 4-gram model the trigram level is a backoff level, and
+    * Chen & Goodman backoff levels run on continuation counts.
+    */
+  final case class FourgramKNModel(
+      tri: TrigramKNModel,
+      four: Map[String, Long],
+      ctx3: Map[String, Long],
+      ctx3Types: Map[String, Long],
+      cont3: Map[String, Long],
+      contMid3: Map[String, Long],
+      contTypes3: Map[String, Long])
+
+  def trainFourgramKneserNey(
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxEntries: Long = 5000000L,
+      discount: Double = 0.75): FourgramKNModel = {
+    require(maxEntries > 0 && maxEntries < Int.MaxValue,
+      s"maxEntries must be in (0, Int.MaxValue), got $maxEntries")
+    val tri = trainTrigramKneserNey(train, idCol, textCol, maxEntries, discount)
+    val quadUdf = udf((text: String) => {
+      val toks = HashKernels.tokensOf(text)
+      if (toks.length < 4) Array.empty[String]
+      else Array.tabulate(toks.length - 3)(i =>
+        toks(i) + " " + toks(i + 1) + " " + toks(i + 2) + " " + toks(i + 3))
+    })
+    val rows = train.select(explode(quadUdf(col(textCol))).as("qg"))
+      .groupBy(col("qg")).agg(count(lit(1)).as("c"))
+      .limit(maxEntries.toInt + 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(rows.length <= maxEntries,
+      s"trainFourgramKneserNey: distinct 4-grams exceed the driver-collect " +
+      s"cap ($maxEntries) — use scoreFourgramKneserNeyJoined")
+    val ctx3 = new scala.collection.mutable.HashMap[String, Long]()
+    val ctx3T = new scala.collection.mutable.HashMap[String, Long]()
+    val cont3 = new scala.collection.mutable.HashMap[String, Long]()
+    rows.foreach { case (qg, c) =>
+      val last = qg.lastIndexOf(' ')
+      val w123 = qg.substring(0, last)
+      ctx3.update(w123, ctx3.getOrElse(w123, 0L) + c)
+      ctx3T.update(w123, ctx3T.getOrElse(w123, 0L) + 1L)
+      val w234 = qg.substring(qg.indexOf(' ') + 1)
+      cont3.update(w234, cont3.getOrElse(w234, 0L) + 1L)
+    }
+    val contMid3 = new scala.collection.mutable.HashMap[String, Long]()
+    val contT3 = new scala.collection.mutable.HashMap[String, Long]()
+    cont3.foreach { case (w234, n1p) =>
+      val w23 = w234.substring(0, w234.lastIndexOf(' '))
+      contMid3.update(w23, contMid3.getOrElse(w23, 0L) + n1p)
+      contT3.update(w23, contT3.getOrElse(w23, 0L) + 1L)
+    }
+    FourgramKNModel(tri, rows.toMap, ctx3.toMap, ctx3T.toMap,
+      cont3.toMap, contMid3.toMap, contT3.toMap)
+  }
+
+  /** 4-gram KN scoring: token 0 → Pc, token 1 → P2 (continuation bigram
+    * level), token 2 → P3' (continuation TRIGRAM level — the backoff
+    * form, see [[FourgramKNModel]]), token i ≥ 3 → P4 interpolating
+    * down through P3' → P2 → Pc. Same nanoQuant kernel, same
+    * association-order discipline — q_fourgram_kn restates the full
+    * recursion and both Spark paths must land on its hash.
+    */
+  def scoreFourgramKneserNey(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      m: FourgramKNModel): DataFrame = {
+    val d = m.tri.kn2.discount
+    val pcDen = m.tri.kn2.nBigramTypes + 0.5 * (m.tri.kn2.vocabSize + 1.0)
+    val left = m.tri.kn2.leftTypes
+    val contBi = m.tri.contBi; val contMid = m.tri.contMid
+    val contT = m.tri.contTypes
+    val four = m.four; val ctx3 = m.ctx3; val ctx3T = m.ctx3Types
+    val cont3 = m.cont3; val contMid3 = m.contMid3; val contT3 = m.contTypes3
+    val f = udf((text: String) => {
+      val toks = HashKernels.tokensOf(text)
+      if (toks.isEmpty) null
+      else {
+        def pcont(w: String): Double = (left.getOrElse(w, 0L) + 0.5) / pcDen
+        def p2(w2: String, w3: String): Double = {
+          val cm = contMid.getOrElse(w2, 0L)
+          if (cm > 0L) {
+            val cb = contBi.getOrElse(w2 + " " + w3, 0L)
+            math.max(cb - d, 0.0) / cm + d * contT.getOrElse(w2, 0L) / cm * pcont(w3)
+          } else pcont(w3)
+        }
+        def p3c(a: String, b: String, c: String): Double = {
+          val cm = contMid3.getOrElse(a + " " + b, 0L)
+          if (cm > 0L) {
+            val cb = cont3.getOrElse(a + " " + b + " " + c, 0L)
+            math.max(cb - d, 0.0) / cm +
+              d * contT3.getOrElse(a + " " + b, 0L) / cm * p2(b, c)
+          } else p2(b, c)
+        }
+        var nanos = HashKernels.nanoQuant(-math.log(pcont(toks(0))))
+        if (toks.length > 1)
+          nanos += HashKernels.nanoQuant(-math.log(p2(toks(0), toks(1))))
+        if (toks.length > 2)
+          nanos += HashKernels.nanoQuant(-math.log(p3c(toks(0), toks(1), toks(2))))
+        var i = 3
+        while (i < toks.length) {
+          val a = toks(i - 3); val b = toks(i - 2); val c = toks(i - 1)
+          val w = toks(i)
+          val cc = ctx3.getOrElse(a + " " + b + " " + c, 0L)
+          val p =
+            if (cc > 0L) {
+              val c4 = four.getOrElse(a + " " + b + " " + c + " " + w, 0L)
+              math.max(c4 - d, 0.0) / cc +
+                d * ctx3T.getOrElse(a + " " + b + " " + c, 0L) / cc * p3c(b, c, w)
+            } else p3c(b, c, w)
+          nanos += HashKernels.nanoQuant(-math.log(p))
+          i += 1
+        }
+        (toks.length, (nanos.toDouble / 1e9) / toks.length)
+      }
+    })
+    docs.select(col(idCol), f(col(textCol)).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col(idCol), col("s._1").as("n_tokens"),
+        round(col("s._2"), 6).as("avg_nll"))
+  }
+
+  /** Self-scoring convenience: train 4-gram KN on `docs`, score `docs`. */
+  def fourgramKneserNeyScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    scoreFourgramKneserNey(docs, idCol, textCol,
+      trainFourgramKneserNey(docs, idCol, textCol))
+
+  /** 4-gram KN with every n-gram table DISTRIBUTED — the shape a 5-gram
+    * KenLM-style filter takes at corpus scale. One exploded
+    * (pos, w1..w4) frame feeds all training aggregates (4-gram counts →
+    * raw top level + its continuation table; trigram/bigram types →
+    * the lower continuation levels); scoring is seven token-keyed left
+    * joins + the one term kernel shared (in association order) with the
+    * broadcast path. Only the two Pc scalars are driver-side.
+    */
+  def scoreFourgramKneserNeyJoined(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      train: DataFrame,
+      discount: Double = 0.75): DataFrame = {
+    val d = discount
+    val quadUdf = udf((text: String) => {
+      val toks = HashKernels.tokensOf(text)
+      Array.tabulate(toks.length)(i => (i,
+        if (i < 3) null else toks(i - 3),
+        if (i < 2) null else toks(i - 2),
+        if (i < 1) null else toks(i - 1),
+        toks(i)))
+    })
+    val base = train.select(explode(quadUdf(col(textCol))).as("p"))
+      .select(col("p._2").as("w1"), col("p._3").as("w2"),
+        col("p._4").as("w3"), col("p._5").as("w4"))
+      .localCheckpoint()
+    // level-1/2 statistics from bigram/trigram TYPE tables
+    val bic = base.filter(col("w3").isNotNull)
+      .groupBy(col("w3"), col("w4")).agg(count(lit(1)).as("bc"))
+      .localCheckpoint()
+    val bt = bic.agg(count(lit(1))).head().getLong(0)
+    val vsz = base.agg(countDistinct(col("w4"))).head().getLong(0)
+    val pcDen = bt + 0.5 * (vsz + 1.0)
+    val lt = bic.groupBy(col("w4")).agg(count(lit(1)).as("ltc"))
+      .withColumnRenamed("w4", "lw")
+    val tic3 = base.filter(col("w2").isNotNull)
+      .groupBy(col("w2"), col("w3"), col("w4")).agg(count(lit(1)).as("t3"))
+      .localCheckpoint()
+    val cb2 = tic3.groupBy(col("w3"), col("w4")).agg(count(lit(1)).as("cbc"))
+      .withColumnRenamed("w3", "b3").withColumnRenamed("w4", "b4")
+      .localCheckpoint()
+    val cm2 = cb2.groupBy(col("b3"))
+      .agg(sum(col("cbc")).as("cmc"), count(lit(1)).as("ctp"))
+      .withColumnRenamed("b3", "m3")
+    // level-3/4 statistics from the 4-gram table
+    val tic4 = base.filter(col("w1").isNotNull)
+      .groupBy(col("w1"), col("w2"), col("w3"), col("w4"))
+      .agg(count(lit(1)).as("qc")).localCheckpoint()
+    val ctx = tic4.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(sum(col("qc")).as("cc"), count(lit(1)).as("nt"))
+      .withColumnRenamed("w1", "c1").withColumnRenamed("w2", "c2")
+      .withColumnRenamed("w3", "c3")
+    val cb3 = tic4.groupBy(col("w2"), col("w3"), col("w4"))
+      .agg(count(lit(1)).as("c3c"))
+      .withColumnRenamed("w2", "e2").withColumnRenamed("w3", "e3")
+      .withColumnRenamed("w4", "e4")
+      .localCheckpoint()
+    val cm3 = cb3.groupBy(col("e2"), col("e3"))
+      .agg(sum(col("c3c")).as("cm3c"), count(lit(1)).as("ct3"))
+      .withColumnRenamed("e2", "f2").withColumnRenamed("e3", "f3")
+
+    val docPos = docs
+      .select(col(idCol), explode(quadUdf(col(textCol))).as("p"))
+      .select(col(idCol), col("p._1").as("pos"),
+        col("p._2").as("w1"), col("p._3").as("w2"),
+        col("p._4").as("w3"), col("p._5").as("w4"))
+
+    // 10 counts + pos exceeds the typed-udf arity cap, so the counts
+    // travel as ONE array column (order documented inline below)
+    val termUdf = udf((pos: Int, v: Seq[Long]) => {
+      val qc = v(0); val cc = v(1); val nt = v(2)
+      val c3c = v(3); val cm3c = v(4); val ct3 = v(5)
+      val cbc = v(6); val cmc = v(7); val ctp = v(8); val ltc = v(9)
+      val pcw = (ltc + 0.5) / pcDen
+      val p2 =
+        if (cmc > 0L) math.max(cbc - d, 0.0) / cmc + d * ctp / cmc * pcw
+        else pcw
+      val p3 =
+        if (cm3c > 0L) math.max(c3c - d, 0.0) / cm3c + d * ct3 / cm3c * p2
+        else p2
+      val p =
+        if (pos == 0) pcw
+        else if (pos == 1) p2
+        else if (pos == 2) p3
+        else if (cc > 0L) math.max(qc - d, 0.0) / cc + d * nt / cc * p3
+        else p3
+      HashKernels.nanoQuant(-math.log(p))
+    })
+    docPos
+      .join(lt, docPos("w4") === lt("lw"), "left")
+      .join(cm2, docPos("w3") === cm2("m3"), "left")
+      .join(cb2, docPos("w3") === cb2("b3") && docPos("w4") === cb2("b4"), "left")
+      .join(cm3, docPos("w2") === cm3("f2") && docPos("w3") === cm3("f3"), "left")
+      .join(cb3, docPos("w2") === cb3("e2") && docPos("w3") === cb3("e3") &&
+        docPos("w4") === cb3("e4"), "left")
+      .join(ctx, docPos("w1") === ctx("c1") && docPos("w2") === ctx("c2") &&
+        docPos("w3") === ctx("c3"), "left")
+      .join(tic4, docPos("w1") === tic4("w1") && docPos("w2") === tic4("w2") &&
+        docPos("w3") === tic4("w3") && docPos("w4") === tic4("w4"), "left")
+      .select(col(idCol),
+        termUdf(col("pos"), array(
+          coalesce(col("qc"), lit(0L)), coalesce(col("cc"), lit(0L)),
+          coalesce(col("nt"), lit(0L)), coalesce(col("c3c"), lit(0L)),
+          coalesce(col("cm3c"), lit(0L)), coalesce(col("ct3"), lit(0L)),
+          coalesce(col("cbc"), lit(0L)), coalesce(col("cmc"), lit(0L)),
+          coalesce(col("ctp"), lit(0L)), coalesce(col("ltc"), lit(0L))))
+          .as("nanos"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n"), sum(col("nanos")).as("nanos"))
+      .select(col(idCol), col("n").cast("int").as("n_tokens"),
+        round(col("nanos").cast("double") / lit(1e9) / col("n").cast("double"), 6)
+          .as("avg_nll"))
+  }
+
   /** Trigram KN scoring with the model kept DISTRIBUTED — the 100 TB
     * path (trigram vocabularies explode far faster than bigram ones;
     * CCNet-scale 5-gram tables never fit a driver). No n-gram table is

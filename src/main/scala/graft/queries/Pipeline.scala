@@ -1277,6 +1277,21 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // 4-gram KN — one more level of the identical recursion (raw top
+    // level, continuation counts below), demonstrating the n=5 KenLM
+    // generalization is pure repetition. Broadcast and distributed
+    // plans share one oracle hash, like the trigram pair.
+    "q_fourgram_kn" -> ((s, dir) =>
+      graft.ops.LanguageModel.fourgramKneserNeyScore(
+        Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+    "q_fourgram_kn_dist" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.ops.LanguageModel.scoreFourgramKneserNeyJoined(
+        docs, "doc_id", "text", docs)
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet head/middle/tail selection by exact perplexity terciles —
     // one broadcast cut row over the scored frame, oracle-backed.
     "q_ccnet_buckets" -> ((s, dir) =>
@@ -1534,7 +1549,103 @@ object Pipeline {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Shared DuckDB restatement of the 4-gram KN recursion — the trigram
+    * chain plus the quad level (qg/qic/qctx raw top, qcb/qcm the
+    * level-3 continuation tables), each per-position term joined under
+    * the same aliases so the nested P4→P3'→P2→Pc CASE strings are
+    * written once.
+    */
+  private val fourgramKnOracle: String = {
+    val pc = "((COALESCE(lt.ltc, 0) + 0.5) / (tot.bt + 0.5 * (vv.vsz + 1.0)))"
+    val p2 = "(CASE WHEN cm.cmc IS NOT NULL THEN " +
+      s"greatest(COALESCE(cb.cbc, 0) - 0.75, 0.0) / cm.cmc " +
+      s"+ 0.75 * cm.ctp / cm.cmc * $pc ELSE $pc END)"
+    val p3 = "(CASE WHEN qcm.cm3c IS NOT NULL THEN " +
+      s"greatest(COALESCE(qcb.c3c, 0) - 0.75, 0.0) / qcm.cm3c " +
+      s"+ 0.75 * qcm.ct3 / qcm.cm3c * $p2 ELSE $p2 END)"
+    val p4 = "(CASE WHEN qctx.cc IS NOT NULL THEN " +
+      s"greatest(COALESCE(qic.c, 0) - 0.75, 0.0) / qctx.cc " +
+      s"+ 0.75 * qctx.nt / qctx.cc * $p3 ELSE $p3 END)"
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(lower(trim(text)), '\\S+') AS toks
+       |  FROM documents),
+       |p AS (SELECT doc_id, unnest(toks) AS token FROM t),
+       |vv AS (SELECT count(DISTINCT token) AS vsz FROM p),
+       |bg AS (
+       |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)),
+       |bic AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+       |lt AS (SELECT w2, count(*) AS ltc FROM bic GROUP BY w2),
+       |tot AS (SELECT count(*) AS bt FROM bic),
+       |tg AS (
+       |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM t)),
+       |tic AS (SELECT w1, w2, w3, count(*) AS c FROM tg GROUP BY w1, w2, w3),
+       |cb AS (SELECT w2, w3, count(*) AS cbc FROM tic GROUP BY w2, w3),
+       |cm AS (SELECT w2, sum(cbc) AS cmc, count(*) AS ctp FROM cb GROUP BY w2),
+       |qg AS (
+       |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2,
+       |    toks[i + 2] AS w3, toks[i + 3] AS w4
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i FROM t)),
+       |qic AS (SELECT w1, w2, w3, w4, count(*) AS c FROM qg GROUP BY w1, w2, w3, w4),
+       |qctx AS (SELECT w1, w2, w3, sum(c) AS cc, count(*) AS nt
+       |  FROM qic GROUP BY w1, w2, w3),
+       |qcb AS (SELECT w2, w3, w4, count(*) AS c3c FROM qic GROUP BY w2, w3, w4),
+       |qcm AS (SELECT w2, w3, sum(c3c) AS cm3c, count(*) AS ct3
+       |  FROM qcb GROUP BY w2, w3),
+       |qterms AS (
+       |  SELECT qg.doc_id,
+       |    sum(CAST(round(-ln($p4), 9) AS DECIMAL(38,9))) AS qnll
+       |  FROM qg
+       |  LEFT JOIN qic ON qg.w1 = qic.w1 AND qg.w2 = qic.w2
+       |    AND qg.w3 = qic.w3 AND qg.w4 = qic.w4
+       |  LEFT JOIN qctx ON qg.w1 = qctx.w1 AND qg.w2 = qctx.w2 AND qg.w3 = qctx.w3
+       |  LEFT JOIN qcb ON qg.w2 = qcb.w2 AND qg.w3 = qcb.w3 AND qg.w4 = qcb.w4
+       |  LEFT JOIN qcm ON qg.w2 = qcm.w2 AND qg.w3 = qcm.w3
+       |  LEFT JOIN cb ON qg.w3 = cb.w2 AND qg.w4 = cb.w3
+       |  LEFT JOIN cm ON qg.w3 = cm.w2
+       |  LEFT JOIN lt ON qg.w4 = lt.w2
+       |  CROSS JOIN tot CROSS JOIN vv
+       |  GROUP BY qg.doc_id),
+       |uterm AS (
+       |  SELECT t.doc_id,
+       |    CAST(round(-ln($p3), 9) AS DECIMAL(38,9)) AS unll
+       |  FROM t
+       |  LEFT JOIN qcb ON t.toks[1] = qcb.w2 AND t.toks[2] = qcb.w3
+       |    AND t.toks[3] = qcb.w4
+       |  LEFT JOIN qcm ON t.toks[1] = qcm.w2 AND t.toks[2] = qcm.w3
+       |  LEFT JOIN cb ON t.toks[2] = cb.w2 AND t.toks[3] = cb.w3
+       |  LEFT JOIN cm ON t.toks[2] = cm.w2
+       |  LEFT JOIN lt ON t.toks[3] = lt.w2
+       |  CROSS JOIN tot CROSS JOIN vv
+       |  WHERE len(t.toks) >= 3),
+       |sterm AS (
+       |  SELECT t.doc_id,
+       |    CAST(round(-ln($p2), 9) AS DECIMAL(38,9)) AS snll
+       |  FROM t
+       |  LEFT JOIN cb ON t.toks[1] = cb.w2 AND t.toks[2] = cb.w3
+       |  LEFT JOIN cm ON t.toks[1] = cm.w2
+       |  LEFT JOIN lt ON t.toks[2] = lt.w2
+       |  CROSS JOIN tot CROSS JOIN vv
+       |  WHERE len(t.toks) >= 2),
+       |fterm AS (
+       |  SELECT t.doc_id, len(t.toks) AS n,
+       |    CAST(round(-ln($pc), 9) AS DECIMAL(38,9)) AS fnll
+       |  FROM t LEFT JOIN lt ON t.toks[1] = lt.w2
+       |  CROSS JOIN tot CROSS JOIN vv
+       |  WHERE len(t.toks) >= 1)
+       |SELECT f.doc_id, CAST(f.n AS INT) AS n_tokens,
+       |  round(CAST(f.fnll + COALESCE(s.snll, 0) + COALESCE(u.unll, 0)
+       |    + COALESCE(qq.qnll, 0) AS DOUBLE) / f.n, 6) AS avg_nll
+       |FROM fterm f LEFT JOIN sterm s USING (doc_id)
+       |LEFT JOIN uterm u USING (doc_id)
+       |LEFT JOIN qterms qq USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_fourgram_kn" -> fourgramKnOracle,
+    "q_fourgram_kn_dist" -> fourgramKnOracle,
     "q_repetition_gopher" ->
       s"""$repGopherCtes
          |$repGopherSelect

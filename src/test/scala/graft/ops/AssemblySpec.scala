@@ -270,6 +270,31 @@ class AssemblySpec extends AnyFunSuite {
     assert(broadcastScores.nonEmpty)
   }
 
+  test("4-gram KN: continuation levels, backoff chain, dist == broadcast") {
+    val m = LanguageModel.trainFourgramKneserNey(docs, "doc_id", "text")
+    // 4-grams: the-cat-sat-on, cat-sat-on-the, sat-on-the-mat — all x1
+    assert(m.four("the cat sat on") == 1)
+    assert(m.ctx3("the cat sat") == 1 && m.ctx3Types("the cat sat") == 1)
+    // N1+(.cat sat on) = 1 ('the' is the only left extension)
+    assert(m.cont3("cat sat on") == 1)
+    assert(m.contMid3("cat sat") == 1 && m.contTypes3("cat sat") == 1)
+    // level-2 statistics are the trigram model's own continuation tables
+    assert(m.tri.contBi("cat sat") == 1)
+    // backoff chain on an unseen 4-gram context stays finite and positive
+    val oov = LanguageModel.scoreFourgramKneserNey(
+      Seq((10L, "zz qq the cat sat on")).toDF("doc_id", "text"),
+      "doc_id", "text", m)
+      .as[(Long, Int, Double)].collect().head
+    assert(oov._3 > 0 && !oov._3.isInfinite)
+    // distributed joins land on the identical bits
+    val broadcastScores = LanguageModel.fourgramKneserNeyScore(docs, "doc_id", "text")
+      .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+    val joined = LanguageModel.scoreFourgramKneserNeyJoined(
+      docs, "doc_id", "text", docs)
+      .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+    assert(joined == broadcastScores && broadcastScores.nonEmpty)
+  }
+
   test("bigram score separates natural order from shuffled word soup") {
     val m = LanguageModel.trainBigrams(docs, "doc_id", "text")
     val scored = LanguageModel.scoreBigrams(
