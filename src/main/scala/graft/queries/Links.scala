@@ -478,6 +478,78 @@ object Links {
         .orderBy(col("doc_id"), col("child_sitemap"), col("loc"))
     }),
 
+    // The discovery capstone: sitemap EXPANSION feeding the politeness
+    // frontier — q_sitemap_recursive's one-level index→urlset expansion
+    // produces the candidate URL set (distinct locs per domain, max
+    // lastmod per loc — two docs can advertise the same loc with
+    // different freshness), the lastmod-vs-snapshot gate keeps the
+    // changed URLs (NULL lastmod = must re-crawl to discover — the
+    // conservative branch), and the per-domain Crawl-delay capacity cut
+    // schedules the first `capacity` by md5 order. One expansion join +
+    // two keyed aggregates + one window — the q_crawl_frontier shape
+    // with discovery in front.
+    "q_discovery_frontier" -> ((s, dir) => {
+      val d = col("domain")
+      val m = col("doc_id") % 9
+      val k = col("doc_id") % 50
+      val urlEntry = (i: Int) => concat(
+        lit("<url><loc> https://"), d, lit("/sm/"), k, lit(s"/$i </loc>"),
+        lit("<lastmod>2026-0"), m + 1, lit(s"-1$i</lastmod></url>"))
+      val urlset = concat(
+        lit("<?xml version=\"1.0\"?><urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+        urlEntry(1), urlEntry(2), urlEntry(3), lit("</urlset>"))
+      val index = concat(
+        lit("<?xml version=\"1.0\"?><sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+        lit("<sitemap><loc>https://"), d, lit("/sitemap-a.xml</loc></sitemap>"),
+        lit("<sitemap><loc>https://"), d, lit("/sitemap-b.xml</loc>"),
+        lit("<lastmod>2026-01-05</lastmod></sitemap></sitemapindex>"))
+      val n = Web.normalized(s, dir)
+        .withColumn("xml", when(m === 0, index).otherwise(urlset))
+        .select(col("doc_id"), col("domain"), col("xml"))
+        .localCheckpoint()
+      val idxDomains = n.filter(m === 0).select(d.as("cd")).distinct()
+      def child(c: String) = idxDomains.select(
+        concat(lit("https://"), col("cd"), lit(s"/sitemap-$c.xml")).as("url"),
+        concat(
+          lit("<?xml version=\"1.0\"?><urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+          lit(s"<url><loc>https://"), col("cd"), lit(s"/$c/1</loc>"),
+          lit("<lastmod>2026-03-0"), length(col("cd")) % 7 + 1,
+          lit("</lastmod></url>"),
+          lit(s"<url><loc>https://"), col("cd"), lit(s"/$c/2</loc></url>"),
+          lit("</urlset>")).as("xml"))
+      val fetched = child("a").unionByName(child("b"))
+      val expanded = LinkGraph.expandSitemaps(
+        n.select(col("doc_id"), col("xml")), "doc_id", "xml", fetched)
+      // the frontier is a URL SET: distinct locs, freshest lastmod wins
+      val frontier = expanded
+        .select(regexp_extract(col("loc"), "^https://([^/]+)/", 1).as("domain"),
+          col("loc"), col("lastmod"))
+        .groupBy(col("domain"), col("loc"))
+        .agg(max(col("lastmod")).as("lastmod"))
+        .withColumn("lastmod_day",
+          substring(col("lastmod"), 9, 2).cast("int"))
+        .withColumn("crawl_day", pmod(length(col("loc")), lit(28)) + 1)
+        .withColumn("changed",
+          col("lastmod").isNull || col("lastmod_day") > col("crawl_day"))
+        .withColumn("capacity",
+          expr("CAST(12 div (CASE WHEN length(domain) % 2 = 0 THEN 2 ELSE 3 END) AS BIGINT)"))
+      val sched = frontier.filter(col("changed")).withColumn("rn",
+        row_number().over(Window.partitionBy(col("domain"))
+          .orderBy(md5(col("loc")), col("loc"))))
+      val baseAgg = frontier.groupBy(col("domain"))
+        .agg(max(col("capacity")).as("capacity"),
+          count(lit(1)).as("n_urls"),
+          sum(when(col("changed"), 1).otherwise(0)).as("n_changed"))
+      val cut = sched.groupBy(col("domain"))
+        .agg(sum(when(col("rn") <= col("capacity"), 1).otherwise(0))
+          .as("n_scheduled"))
+      baseAgg.join(cut, Seq("domain"), "left")
+        .select(col("domain"), col("capacity"), col("n_urls"),
+          col("n_changed"),
+          coalesce(col("n_scheduled"), lit(0L)).as("n_scheduled"))
+        .orderBy(col("domain"))
+    }),
+
     // Lastmod-aware frontier: q_crawl_frontier's politeness capacity
     // cut applied only to URLs CHANGED since the last crawl (sitemap
     // lastmod day vs the crawl snapshot's day — both deterministic
@@ -926,6 +998,54 @@ object Links {
             |  WHERE m9 = 0)
             |SELECT * FROM direct UNION ALL SELECT * FROM via
             |ORDER BY doc_id, child_sitemap, loc""".stripMargin),
+      // the expansion-fed frontier restated: the exp CTE is
+      // q_sitemap_recursive's two branches reduced to (domain, loc,
+      // lastmod), then distinct-loc max-lastmod, the freshness gate,
+      // and the same per-domain capacity window
+      "q_discovery_frontier" ->
+        (s"WITH ${Web.urlCte},\n${Web.normCte},\n" +
+          """sm AS (
+            |  SELECT doc_id, domain, doc_id % 9 AS m9, doc_id % 50 AS k
+            |  FROM c),
+            |exp AS (
+            |  SELECT domain,
+            |    'https://' || domain || '/sm/' || k || '/' || i AS loc,
+            |    '2026-0' || (m9 + 1) || '-1' || i AS lastmod
+            |  FROM sm CROSS JOIN (VALUES (1), (2), (3)) t(i)
+            |  WHERE m9 <> 0
+            |  UNION ALL
+            |  SELECT domain,
+            |    'https://' || domain || '/' || ch || '/' || i AS loc,
+            |    CASE WHEN i = 1 THEN '2026-03-0' || (length(domain) % 7 + 1)
+            |         ELSE NULL END AS lastmod
+            |  FROM sm CROSS JOIN (VALUES ('a'), ('b')) u(ch)
+            |    CROSS JOIN (VALUES (1), (2)) t(i)
+            |  WHERE m9 = 0),
+            |fr AS (
+            |  SELECT domain, loc, max(lastmod) AS lastmod
+            |  FROM exp GROUP BY domain, loc),
+            |fl AS (
+            |  SELECT domain, loc, lastmod,
+            |    (lastmod IS NULL OR CAST(substring(lastmod, 9, 2) AS INT)
+            |       > (strlen(loc) % 28) + 1) AS changed,
+            |    CAST(12 // (CASE WHEN length(domain) % 2 = 0 THEN 2 ELSE 3 END) AS BIGINT) AS capacity
+            |  FROM fr),
+            |sch AS (
+            |  SELECT domain, capacity,
+            |    row_number() OVER (PARTITION BY domain
+            |      ORDER BY md5(loc), loc) AS rn
+            |  FROM fl WHERE changed),
+            |b AS (
+            |  SELECT domain, max(capacity) AS capacity, count(*) AS n_urls,
+            |    CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+            |  FROM fl GROUP BY domain),
+            |cut AS (
+            |  SELECT domain,
+            |    CAST(sum(CASE WHEN rn <= capacity THEN 1 ELSE 0 END) AS BIGINT) AS n_scheduled
+            |  FROM sch GROUP BY domain)
+            |SELECT b.domain, b.capacity, b.n_urls, b.n_changed,
+            |  coalesce(cut.n_scheduled, 0) AS n_scheduled
+            |FROM b LEFT JOIN cut USING (domain) ORDER BY domain""".stripMargin),
       // the frontier oracle's politeness/robots predicate with the
       // lastmod-vs-snapshot filter feeding the capacity cut
       "q_frontier_lastmod" ->
