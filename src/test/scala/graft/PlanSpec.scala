@@ -64,6 +64,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "no window function belongs in this plan:\n" + p.take(800))
   }
 
+  test("distributed trigram/4-gram KN: token-keyed joins only, no cartesian, no window") {
+    for (q <- Seq("q_trigram_kn_dist", "q_fourgram_kn_dist")) {
+      val p = physicalPlan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n" + p.take(800))
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n" + p.take(800))
+      assert(!p.contains("Window"), s"$q: no window belongs here:\n" + p.take(800))
+    }
+  }
+
+  test("perceptual hashing is map-only; banded pairs shuffle on chunk keys only") {
+    // signatures: one scan, no exchange anywhere
+    val p = physicalPlan("q_media_phash")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "signature extraction must ride the scan:\n" + p.take(800))
+    // banded pairs: equi-join on (chunk, chunk_val) — never a cartesian
+    // or nested loop (the all-pairs shapes the blocking exists to avoid)
+    val docs = Tables(spark, dir, "documents")
+    val pairs = graft.ops.Multimodal.phashNearDuplicates(
+      graft.ops.Multimodal.asMedia(docs, "doc_id", "text", "text/plain"))
+    val pp = pairs.queryExecution.executedPlan.toString
+    assert(!pp.contains("CartesianProduct") && !pp.contains("BroadcastNestedLoopJoin"),
+      pp.take(800))
+  }
+
   test("whole-stage codegen covers the relational pipeline") {
     // AQE only materializes WholeStageCodegen nodes in the final plan —
     // execute, then inspect
