@@ -208,6 +208,54 @@ object Links {
         .orderBy(col("doc_id"))
     }),
 
+    // The WAT CONSUMER leg closing the metadata loop: the WARC→WAT
+    // factory runs as in q_wat_pipeline, then the WAT archive is
+    // re-read, each record's JSON payload parsed back with from_json
+    // (typed envelope + links array), hrefs resolved/normalized to
+    // registrable target domains, and the per-(domain, anchor) counts
+    // must equal q_anchor_text's DIRECT extraction path — the same
+    // oracle gates both. A green row means the WAT sidecar is not just
+    // written but CONSUMABLE: archive → JSON → analytics loses nothing
+    // vs analytics straight off the HTML.
+    "q_wat_consume" -> ((s, dir) => {
+      val base = ScaleDomain.scratch(s, "watc", dir)
+      val pages = linkedPages(s, dir)
+        .select(col("doc_id").cast("string").as("id"),
+          col("url_norm").as("uri"),
+          graft.io.Http.encodeResponseCol(lit(200),
+            lit("text/html; charset=utf-8"), col("html"), lit("utf-8"),
+            lit(null).cast("string")).as("payload"))
+      graft.io.Warc.write(pages, s"$base/warc", memberGzip = true)
+      val wat = graft.io.Warc.read(s, s"$base/warc", splitSize = 8192)
+        .withColumn("r", graft.io.Http.split(col("payload")))
+        .withColumn("html", graft.io.Http.decodeBody(
+          col("r.body"), col("r.headers")("content-type")))
+        .select(
+          regexp_extract(col("record_id"), "<urn:graft:([0-9]+)>", 1).as("id"),
+          col("target_uri").as("uri"),
+          graft.io.Wat.payload(col("r.status"),
+            col("r.headers")("content-type"), octet_length(col("r.body")),
+            LinkGraph.pairHrefs(col("html")),
+            LinkGraph.pairTexts(col("html"))).as("wat_json"))
+      graft.io.Warc.write(wat, s"$base/wat", memberGzip = true,
+        warcType = "metadata")
+      val watSchema = "struct<envelope: struct<status: int, " +
+        "content_type: string, content_length: bigint>, " +
+        "links: array<struct<href: string, text: string>>>"
+      graft.io.Warc.read(s, s"$base/wat", splitSize = 8192)
+        .select(col("target_uri"),
+          from_json(decode(col("payload"), "UTF-8"), watSchema,
+            Map.empty[String, String]).as("w"))
+        .select(col("target_uri"), explode(col("w.links")).as("l"))
+        .select(UrlOps.registrableDomain(UrlOps.host(
+          LinkGraph.resolveUdf(col("target_uri"), col("l.href"))))
+          .as("dst_domain"),
+          col("l.text").as("anchor"))
+        .groupBy(col("dst_domain"), col("anchor"))
+        .agg(count(lit(1)).as("n_links"))
+        .orderBy(col("dst_domain"), col("anchor"))
+    }),
+
     // Deterministic fixed-point PageRank (damping 0.85, 5 rounds) on
     // the extracted domain graph — integer ranks, bit-identical across
     // engines; the oracle unrolls the same recurrence as chained CTEs.
@@ -832,6 +880,12 @@ object Links {
           """SELECT src_domain, dst_domain, count(*) AS n_links
             |FROM lk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       "q_anchor_text" ->
+        (s"WITH ${Web.urlCte},\n${Web.normCte},\n$linksCte\n" +
+          """SELECT dst_domain, anchor, count(*) AS n_links
+            |FROM lk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      // the WAT consumer must land on the SAME hash as the direct
+      // extraction path — one oracle gates both roads to the anchors
+      "q_wat_consume" ->
         (s"WITH ${Web.urlCte},\n${Web.normCte},\n$linksCte\n" +
           """SELECT dst_domain, anchor, count(*) AS n_links
             |FROM lk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
