@@ -18,15 +18,25 @@ import org.apache.spark.sql.functions._
   */
 object Wat {
 
-  /** Minimal JSON string escaper — backslash then quote, the two
-    * structural characters. Control characters would additionally need
-    * \u00XX escapes per RFC 8259; crawl URLs/anchors that carry them
-    * are rejected upstream by the WARC writer's header-injection guard,
-    * so the two-character escape set is exact for everything that can
-    * reach a record here.
+  /** JSON string escaper: backslash and quote (the structural pair),
+    * then the three control characters anchor text can realistically
+    * carry (tab, LF, CR — RFC 8259 requires them escaped; unescaped
+    * they make the record unparseable and a PERMISSIVE from_json
+    * silently drops it). The remaining C0 controls are exotic in
+    * extracted anchors and are NORMALIZED AWAY rather than escaped —
+    * documented lossy, never invalid. Order matters: the backslash
+    * fold must run first or it would double-escape the others.
     */
   private def esc(c: Column): Column =
-    replace(replace(c, lit("\\"), lit("\\\\")), lit("\""), lit("\\\""))
+    regexp_replace(
+      replace(replace(replace(replace(replace(
+        c,
+        lit("\\"), lit("\\\\")),
+        lit("\""), lit("\\\"")),
+        lit("\t"), lit("\\t")),
+        lit("\n"), lit("\\n")),
+        lit("\r"), lit("\\r")),
+      "[\\x00-\\x1f]", "")
 
   /** `{"envelope":{"status":S,"content_type":"CT","content_length":N},
     *   "links":[{"href":"H","text":"T"},...]}`
