@@ -88,7 +88,17 @@ object Bench {
       "code"),
     "q_lr_quality" -> ("flat curve, floors 3.4 vs 2.7 s in two fresh JVMs " +
       "(DriftProbe, round 11) — cross-JVM machine/session noise (~25%), " +
-      "not JIT and not a plan change; band 2.5-3.7 s on identical code"))
+      "not JIT and not a plan change; band 2.5-3.7 s on identical code"),
+    "q_crawl_frontier" -> ("slow JIT descent: 17-18 s cold -> floors " +
+      "3.7-5.6 s still drifting down at rep 6 in two fresh JVMs " +
+      "(DriftProbe, round 11) — the 5-round PageRank lineage is the " +
+      "largest codegen unit in the suite; min-of-2 after warm-up lands " +
+      "anywhere in 3.7-5.0 s on identical code"),
+    "q_approx_dedup_quality" -> ("tight floors 7.7-8.2 s across two fresh " +
+      "JVMs (DriftProbe, round 11; bench values run lower, 6.8-7.5, " +
+      "because the suite's warm-up pre-compiles the shared kernels) — " +
+      "band ~6.8-8.2 s on identical code; the query is a measurement " +
+      "gate with capped exact truths by construction"))
 
   /** Markdown comparison of two Bench JSON lines (prev vs current), the
     * Scala twin of tools/bench_notes.py. Parsing is the inverse of this
