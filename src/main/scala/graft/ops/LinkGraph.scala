@@ -282,8 +282,13 @@ object LinkGraph {
       .select(col("id"), lit(null).cast("string").as("child_sitemap"),
         col("e.loc").as("loc"), col("e.lastmod").as("lastmod"),
         lit(0).as("depth"))
+    // one body per URL, enforced deterministically: if the fetch layer
+    // hands in duplicate URLs (retries, mirrored shards), min(xml) picks
+    // a stable winner instead of multiplying every child's entries by
+    // the duplicate count with a shuffle-order-dependent survivor
     val f = fetched.select(col(fetched.columns(0)).as("__curl"),
       col(fetched.columns(1)).as("__cxml"))
+      .groupBy(col("__curl")).agg(min(col("__cxml")).as("__cxml"))
     val viaIndex = base.filter(col("is_index"))
       .select(col("id"), explode(sitemapIndexEntries(col("xml"))).as("c"))
       .select(col("id"), col("c.loc").as("child_sitemap"))

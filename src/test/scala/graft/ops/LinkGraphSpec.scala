@@ -280,6 +280,43 @@ class LinkGraphSpec extends AnyFunSuite {
       (2L, "https://d.com/child.xml", "https://d.com/c2", "2026-02-02", 1)))
   }
 
+  test("expandSitemaps: duplicate fetched URLs resolve to one stable body") {
+    val sitemaps = Seq(
+      (1L, "<sitemapindex><sitemap><loc>https://d.com/c.xml</loc></sitemap></sitemapindex>"))
+      .toDF("doc_id", "xml")
+    // the same URL fetched twice with different bodies (retry race):
+    // min(xml) must pick ONE deterministically, not emit both
+    val fetched = Seq(
+      ("https://d.com/c.xml", "<urlset><url><loc>https://d.com/a</loc></url></urlset>"),
+      ("https://d.com/c.xml", "<urlset><url><loc>https://d.com/b</loc></url></urlset>"))
+      .toDF("url", "xml")
+    val got = LinkGraph.expandSitemaps(sitemaps, "doc_id", "xml", fetched)
+      .select("loc").as[String].collect().toSeq
+    assert(got == Seq("https://d.com/a"),
+      s"min(xml) winner expected ('...loc>https://d.com/a...' < '...b...'); got $got")
+  }
+
+  test("sitemap extractors are total on hostile XML") {
+    import spark.implicits._
+    val hostile = Seq(
+      "", "not xml at all", "<urlset><url><loc></loc></url></urlset>",
+      "<urlset><url><loc>https://a/x", // truncated mid-entry
+      "<url><lastmod>2020-01-01</lastmod></url>", // lastmod without loc
+      "<URLSET><URL><LOC> https://a/up </LOC></URL></URLSET>", // case folding
+      "<urlset>" + ("<url><loc>https://a/r</loc></url>" * 500) + "</urlset>")
+    val rows = hostile.toDF("xml")
+      .select(LinkGraph.urlsetEntries(col("xml")).as("e"),
+        LinkGraph.sitemapIndexEntries(col("xml")).as("i"),
+        LinkGraph.isSitemapIndex(col("xml")).as("x"))
+      .collect()
+    // no throw anywhere; truncated/locless entries yield empty/absent
+    // rows rather than garbage
+    assert(rows.length == hostile.length)
+    val caseFolded = rows(5).getSeq[org.apache.spark.sql.Row](0)
+    assert(caseFolded.map(_.getString(0)) == Seq("https://a/up"))
+    assert(rows(6).getSeq[org.apache.spark.sql.Row](0).length == 500)
+  }
+
   test("hits: bipartite hand-check — sole authority saturates to scale, hubs split it") {
     // h1→a1, h2→a1: a1 is the only authority (raw == Σ, so the exact
     // L1 norm yields exactly scale); the two hubs split the hub mass
