@@ -98,7 +98,12 @@ object Bench {
       "JVMs (DriftProbe, round 11; bench values run lower, 6.8-7.5, " +
       "because the suite's warm-up pre-compiles the shared kernels) — " +
       "band ~6.8-8.2 s on identical code; the query is a measurement " +
-      "gate with capped exact truths by construction"))
+      "gate with capped exact truths by construction"),
+    "q_manifest_prune" -> ("JIT descent 9.2 cold -> floors 1.5-2.4 s still " +
+      "drifting at rep 6 in two fresh JVMs (DriftProbe, round 11) — the " +
+      "query rewrites its 16-shard fixture every run, so file-system cache " +
+      "state rides along; min-of-2 lands anywhere in 1.5-2.4 s on " +
+      "identical code"))
 
   /** Markdown comparison of two Bench JSON lines (prev vs current), the
     * Scala twin of tools/bench_notes.py. Parsing is the inverse of this
