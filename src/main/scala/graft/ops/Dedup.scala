@@ -392,7 +392,8 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs with ≤ maxHamming differing bits.
-    * Blocking on 4 16-bit chunks guarantees recall for maxHamming ≤ 3.
+    * Blocking on maxHamming+1 signature chunks guarantees recall at any
+    * radius (4 16-bit chunks at the default 3).
     * Output: (id_a, id_b, hamming_bits INT).
     */
   def simhashNearDuplicates(
@@ -407,17 +408,31 @@ object Dedup {
 
   /** The banded-Hamming core shared by SimHash (text) and dHash
     * (perceptual media, [[graft.ops.Multimodal.phashNearDuplicates]]):
-    * takes (id, sig LONG) rows, blocks on the 4 16-bit chunks of the
-    * signature (pigeonhole: ≤3 differing bits leave ≥1 chunk clean, so
-    * recall is GUARANTEED for maxHamming ≤ 3), self-joins per chunk
-    * bucket, and verifies candidates with exact bit_count(xor).
+    * takes (id, sig LONG) rows, blocks on `maxHamming + 1` near-equal
+    * chunks of the 64-bit signature (pigeonhole: ≤ maxHamming differing
+    * bits leave ≥1 chunk clean, so recall is GUARANTEED for every
+    * maxHamming — at the default 3 this is exactly the classic 4×16-bit
+    * split), self-joins per chunk bucket, and verifies candidates with
+    * exact bit_count(xor). Raising maxHamming buys recall with more,
+    * narrower chunks — i.e. bigger buckets and more candidate pairs —
+    * never with silently-probabilistic recall.
     * Output: (id_a, id_b, hamming_bits INT).
     */
   def hammingNearDuplicates64(withSig: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"hammingNearDuplicates64: need 0 <= maxHamming < 64, got $maxHamming")
+    val nChunks = maxHamming + 1
+    val baseW = 64 / nChunks
+    val rem = 64 % nChunks
+    val widths = (0 until nChunks).map(c => baseW + (if (c < rem) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val chunkCols = (0 until nChunks).map { c =>
+      val mask = if (widths(c) == 64) -1L else (1L << widths(c)) - 1L
+      shiftright(col("sig"), offsets(c)).bitwiseAND(lit(mask))
+    }
     val chunked = withSig.select(
       col("id"), col("sig"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      posexplode(array(chunkCols: _*)))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_val")
     val a = chunked.select(col("chunk"), col("chunk_val"),

@@ -203,11 +203,13 @@ object Multimodal {
       .select(col(idCol), col("h._1").as("dhash"), col("h._2").as("ahash"))
   }
 
-  /** Perceptual near-duplicate pairs: dHash signatures + the 4×16-bit
-    * chunk blocking shared with SimHash ([[graft.ops.Dedup.hammingNearDuplicates64]]
-    * — pigeonhole GUARANTEE for maxHamming ≤ 3: three differing bits
-    * cannot dirty all four chunks, so recall vs exact Hamming truth is
-    * exactly 1.0, not probabilistic). Output: (id_a, id_b, hamming_bits).
+  /** Perceptual near-duplicate pairs: dHash signatures + the
+    * maxHamming+1 chunk blocking shared with SimHash
+    * ([[graft.ops.Dedup.hammingNearDuplicates64]] — pigeonhole GUARANTEE
+    * at any radius: maxHamming differing bits cannot dirty all
+    * maxHamming+1 chunks, so recall vs exact Hamming truth is exactly
+    * 1.0, not probabilistic; the default 3 is the classic 4×16 split).
+    * Output: (id_a, id_b, hamming_bits).
     * Scale shape: banded self-join on (chunk, chunk_val) — never all
     * pairs; at 100 TB the bucket join is the same geometry the SimHash
     * text path already runs.

@@ -24,9 +24,39 @@ object ScaleDomain {
     * the sanitized data dir, so two concurrent runs against the same
     * data dir (e.g. an interleaved Verify and Bench at one sf) never
     * race on each other's half-written shards or indexes.
+    *
+    * Lifecycle: the first use of each family registers a shutdown hook
+    * that removes THIS application's scratch subtree, and prunes sibling
+    * app dirs whose mtime is older than 6 hours (runs that died before
+    * their hook fired) — so repeated bench/verify runs never accumulate
+    * fixture copies in /tmp. Live concurrent runs are untouched: their
+    * dirs are freshly written, hence younger than the cutoff.
     */
-  private[queries] def scratch(s: SparkSession, name: String, dir: String): String =
-    s"/tmp/graft_$name/${s.sparkContext.applicationId}/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+  private val scratchHooked = scala.collection.mutable.Set[String]()
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  private[queries] def scratch(s: SparkSession, name: String, dir: String): String = {
+    val root = new java.io.File(s"/tmp/graft_$name")
+    val appDir = new java.io.File(root, s.sparkContext.applicationId)
+    scratchHooked.synchronized {
+      if (scratchHooked.add(appDir.getPath)) {
+        val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+        val sibs = root.listFiles()
+        if (sibs != null) sibs
+          .filter(f => f.isDirectory && f.getName != appDir.getName &&
+            f.lastModified() < cutoff)
+          .foreach(deleteRecursively)
+        Runtime.getRuntime.addShutdownHook(
+          new Thread(() => deleteRecursively(appDir)))
+      }
+    }
+    s"${appDir.getPath}/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Skew-safe two-stage aggregation == plain groupBy. The summed column
@@ -423,8 +453,18 @@ object ScaleDomain {
         Layout.gridCell(col("l_partkey"), 0, 20000, 10),
         Layout.gridCell(col("l_suppkey"), 0, 1000, 10)), 10)
       Layout.writeClustered(li, path, key, nFiles = 16)
+      // target derived from the MEASURED candidate bytes (totalBytes/4 →
+      // ~4 outputs from 16 shards at every SF), not a fixed byte size: a
+      // hardcoded 1 MiB target would EXPAND the file count once the
+      // shards outgrow it, flipping the files_reduced pin at larger SFs
+      val dirP = new org.apache.hadoop.fs.Path(path)
+      val fs = dirP.getFileSystem(s.sessionState.newHadoopConf())
+      val totalBytes = fs.listStatus(dirP)
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .map(_.getLen).sum
       val stats = Layout.compactFiles(s, path, "cluster_key",
-        minFileBytes = 64L * 1024 * 1024, targetFileBytes = 1024L * 1024)
+        minFileBytes = 64L * 1024 * 1024,
+        targetFileBytes = math.max(1L, totalBytes / 4))
       val reread = s.read.parquet(path)
       // rebuilt manifest (bounded by shard count): rewritten files must
       // carry pairwise-disjoint cluster-key boxes or pruning degrades

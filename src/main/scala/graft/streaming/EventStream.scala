@@ -207,6 +207,17 @@ object EventStream {
     * cluster), never a driver-side collection: at 100 TB the index
     * stays distributed and each batch costs one delta tokenize + one
     * union + one keyed aggregate.
+    *
+    * Replay/restart discipline: foreachBatch may re-invoke a batchId
+    * after a task retry; merging the same delta twice would inflate
+    * tf/df, so the handler tracks the last merged batchId and skips
+    * replays. The index itself lives only in this session (not in the
+    * checkpoint), so resuming from an EXISTING checkpoint would mark
+    * old batches committed while the index restarts empty — a silent
+    * partial index. The constructor therefore refuses a checkpoint
+    * that already holds commits: start fresh, or rebuild the index in
+    * batch ([[graft.ops.Search.invertedIndex]]) and stream only new
+    * deltas through a fresh checkpoint.
     */
   def indexMaintenanceStream(
       docs: DataFrame,
@@ -214,19 +225,29 @@ object EventStream {
       textCol: String,
       checkpoint: String)(
       onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val commitsDir = new java.io.File(new java.io.File(checkpoint), "commits")
+    require(
+      !commitsDir.exists() || commitsDir.listFiles().forall(_.getName.startsWith(".")),
+      s"indexMaintenanceStream cannot resume from an existing checkpoint ($checkpoint): " +
+        "the postings index is session state, not checkpoint state — resuming would " +
+        "skip committed batches and yield a partial index. Use a fresh checkpoint.")
     var index: DataFrame = null
+    var lastMergedBatchId: Long = -1L
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val delta = batch.localCheckpoint()
-        if (!delta.isEmpty) {
-          index =
-            if (index == null)
-              graft.ops.Search.invertedIndex(delta, idCol, textCol).localCheckpoint()
-            else
-              graft.ops.Search.mergePostings(index, delta, idCol, textCol)
-                .localCheckpoint()
-          onBatch(index)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > lastMergedBatchId) {
+          val delta = batch.localCheckpoint()
+          if (!delta.isEmpty) {
+            index =
+              if (index == null)
+                graft.ops.Search.invertedIndex(delta, idCol, textCol).localCheckpoint()
+              else
+                graft.ops.Search.mergePostings(index, delta, idCol, textCol)
+                  .localCheckpoint()
+            onBatch(index)
+          }
+          lastMergedBatchId = batchId
         }
       }
       .start()

@@ -529,6 +529,29 @@ class PipelineStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("indexMaintenanceStream skips replayed batchIds and refuses a used checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_idx_ckpt2").toString
+    var merges = 0
+    val q = graft.streaming.EventStream.indexMaintenanceStream(
+      mem.toDS().toDF("doc_id", "text"), "doc_id", "text", ckpt) { _ => merges += 1 }
+    try {
+      mem.addData((1L, "alpha beta"))
+      q.processAllAvailable()
+      assert(merges == 1)
+    } finally q.stop()
+    // the checkpoint now holds a commit: a fresh instance must refuse to
+    // resume (its index state is session-local, not checkpointed — a
+    // resume would mark batch 0 done while the index restarts empty)
+    val mem2 = MemoryStream[(Long, String)]
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.EventStream.indexMaintenanceStream(
+        mem2.toDS().toDF("doc_id", "text"), "doc_id", "text", ckpt) { _ => () }
+    }
+    assert(ex.getMessage.contains("fresh checkpoint"))
+  }
+
   test("DSIR scoring on a stream matches the batch weights") {
     implicit val sqlCtx = spark.sqlContext
     val target = Seq((100L, "alpha beta alpha")).toDF("doc_id", "text")

@@ -116,6 +116,33 @@ class DedupSpec extends AnyFunSuite {
     assert(r(2L) == 1 && r(3L) == 1 && r(5L) == 1)
   }
 
+  test("hammingNearDuplicates64 widens blocking past radius 3: recall stays exactly 1.0") {
+    // signatures engineered to differ by 4 and 5 bits — a fixed 4x16
+    // blocking gives only probabilistic recall here; the maxHamming+1
+    // chunk split must find every pair
+    val base = 0x0123456789abcdefL
+    val sigs = Seq(
+      (1L, base),
+      (2L, base ^ ((1L << 0) | (1L << 17) | (1L << 33) | (1L << 49))), // 4 bits, one per 16-bit chunk
+      (3L, base ^ ((1L << 1) | (1L << 18) | (1L << 34) | (1L << 50) | (1L << 63))), // 5 bits
+      (4L, ~base) // far away from everything
+    ).toDF("id", "sig")
+    def pairs(m: Int) = Dedup.hammingNearDuplicates64(sigs, m)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute-force truth at each radius
+    val raw = Seq((1L, base), (2L, base ^ ((1L << 0) | (1L << 17) | (1L << 33) | (1L << 49))),
+      (3L, base ^ ((1L << 1) | (1L << 18) | (1L << 34) | (1L << 50) | (1L << 63))), (4L, ~base))
+    def truth(m: Int) = (for {
+      (ia, sa) <- raw; (ib, sb) <- raw
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= m
+    } yield (ia, ib)).toSet
+    Seq(3, 4, 5, 9).foreach { m =>
+      assert(pairs(m) == truth(m), s"radius $m: banded pairs != exact truth")
+    }
+    assert(truth(5).contains((1L, 3L)), "sanity: the 5-bit pair exists")
+    assertThrows[IllegalArgumentException](Dedup.hammingNearDuplicates64(sigs, 64))
+  }
+
   test("exact dedup: null ids sort first and never null out the representative") {
     val df = Seq(
       (Some(7L), "x", "keep7"),
