@@ -22,6 +22,22 @@ import org.apache.spark.sql.functions._
   * Everything below is integer-exact builtin arithmetic — no UDF, no
   * nondeterminism, oracle-checkable in any engine with shifts.
   */
+/** One data file as recorded in a committed table snapshot: relative
+  * name, size, row count, and the min/max box of the integral cluster
+  * key — exactly the [[Layout.fileManifest]] schema, persisted.
+  */
+final case class SnapshotFile(
+    name: String, bytes: Long, rows: Long, minKey: Long, maxKey: Long)
+
+/** A committed table version: the authoritative file list readers plan
+  * from. Files on disk but not listed here are invisible (in-flight
+  * rewrites, stray temporaries); files listed here define the table.
+  */
+final case class TableSnapshot(
+    version: Long, keyName: String, files: Seq[SnapshotFile]) {
+  def totalRows: Long = files.map(_.rows).sum
+}
+
 object Layout {
 
   /** Z-order (Morton) key: bitwise interleave of `cols.size` non-negative
@@ -175,14 +191,20 @@ object Layout {
     * Scale shape: the listing is bounded by shard count; only the
     * small files are ever read or shuffled (one repartitionByRange of
     * the candidate set — cold large files are untouched); the commit is
-    * rename+delete, no data copy. A table-format deployment would make
-    * the swap atomic via its manifest commit; over raw parquet the
-    * window between move-in and delete shows duplicates to a concurrent
-    * lister, so run it like every table format does — as the single
-    * writer of the table. Returns the stats needed to assert the
-    * rewrite was lossless; callers rebuild the manifest with
-    * [[fileManifest]] over the re-read (the same pass every caller
-    * already runs to plan scans).
+    * rename+delete, no data copy.
+    *
+    * Atomicity: with `commit` (the default) the rewrite ends by
+    * committing snapshot N+1 — untouched files plus the rewritten
+    * outputs — BEFORE the originals are deleted. Readers planning
+    * through the manifest log ([[readCommitted]]) therefore never see
+    * the move-in/delete window: before the commit they plan snapshot N
+    * (originals only, moved-in files invisible), after it snapshot N+1
+    * (rewrites only). Only a raw directory lister can observe
+    * duplicates — which is exactly the reader the log deprecates.
+    * Untouched files' stats are carried forward from snapshot N, never
+    * recomputed; only the rewritten outputs are scanned for their
+    * entries. Returns the stats needed to assert the rewrite was
+    * lossless.
     */
   def compactFiles(
       spark: SparkSession,
@@ -190,7 +212,8 @@ object Layout {
       keyName: String,
       minFileBytes: Long,
       targetFileBytes: Long,
-      keyRange: Option[(Long, Long)] = None): CompactionStats = {
+      keyRange: Option[(Long, Long)] = None,
+      commit: Boolean = true): CompactionStats = {
     require(minFileBytes > 0 && targetFileBytes > 0)
     val dirPath = new org.apache.hadoop.fs.Path(path)
     val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -236,13 +259,32 @@ object Layout {
         throw new java.io.IOException(s"compact rename ${st.getPath} -> $target failed")
       target.toString
     }
-    val nRowsAfter = spark.read.parquet(moved.toIndexedSeq: _*).count()
+    val movedNames = moved.map(m => new org.apache.hadoop.fs.Path(m).getName)
+    // one column-pruned scan of the rewritten files doubles as the
+    // row-count verification AND the snapshot entries for the commit
+    val movedEntries = snapshotEntries(spark, path, keyName, movedNames.toIndexedSeq)
+    val nRowsAfter = movedEntries.map(_.rows).sum
     if (nRowsAfter != nRows) {
       // refuse to delete sources on a lossy rewrite — fail loudly with
       // both generations on disk (recoverable), never silently drop rows
       throw new IllegalStateException(
         s"compactFiles: rewrite row count $nRowsAfter != source $nRows; " +
         s"sources left in place, rewrite committed under part-compact-$token-*")
+    }
+    if (commit) {
+      val candidateNames = candidates.map(_.getPath.getName).toSet
+      val untouched = before.map(_.getPath.getName)
+        .filterNot(candidateNames.contains).toIndexedSeq
+      val prev = latestSnapshot(spark, path)
+      val carried = prev match {
+        case Some(snap) if snap.keyName == keyName =>
+          val byName = snap.files.map(f => f.name -> f).toMap
+          val (known, fresh) = untouched.partition(byName.contains)
+          known.map(byName) ++ snapshotEntries(spark, path, keyName, fresh)
+        case _ => snapshotEntries(spark, path, keyName, untouched)
+      }
+      commitSnapshot(spark, path, TableSnapshot(
+        prev.map(_.version).getOrElse(0L) + 1, keyName, carried ++ movedEntries))
     }
     candidates.foreach(st => fs.delete(st.getPath, false))
     fs.delete(tmp, true)
@@ -255,6 +297,168 @@ object Layout {
     if (i < 0) "" else name.substring(i)
   }
 
+  // ---- versioned manifest-commit log ------------------------------------
+  //
+  // The Delta/Iceberg-pattern minimum over raw parquet: every mutation
+  // (clustered write, compaction, upsert materialization) ends by writing
+  // a NEW snapshot file — the full data-file list with per-file key boxes
+  // — into `_manifests/` via write-temp + rename, and readers plan
+  // STRICTLY from the latest committed snapshot. In-flight rewrites
+  // (files moved in but not yet committed) are invisible, so the
+  // compaction duplicate window that a raw directory lister sees cannot
+  // be observed through the log. Rename is the atomicity primitive
+  // (atomic on HDFS and POSIX); committing an already-taken version
+  // fails loudly — the single-writer discipline every manifest-log
+  // format requires without a lock service.
+  //
+  // Scale shape: a snapshot is ONE small file (bytes per data file, not
+  // per row); planning a read costs one manifest fetch, never a
+  // directory walk or a data scan. Old snapshots are retained for
+  // in-flight readers — a vacuum with a retention horizon (the standard
+  // table-format answer) is the deployment's job.
+
+  private val ManifestDir = "_manifests"
+  private val SnapshotMagic = "graft-snapshot-v1"
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def snapshotName(version: Long): String = f"v$version%010d.txt"
+
+  private def versionOf(name: String): Option[Long] =
+    if (name.startsWith("v") && name.endsWith(".txt"))
+      scala.util.Try(name.stripPrefix("v").stripSuffix(".txt").toLong).toOption
+    else None
+
+  /** The latest committed snapshot, or None for an uncommitted (raw
+    * parquet) directory.
+    */
+  def latestSnapshot(spark: SparkSession, path: String): Option[TableSnapshot] = {
+    val fs = fsOf(spark, path)
+    val mdir = new org.apache.hadoop.fs.Path(path, ManifestDir)
+    if (!fs.exists(mdir)) None
+    else {
+      val versions = fs.listStatus(mdir)
+        .flatMap(st => versionOf(st.getPath.getName).map(_ -> st.getPath))
+      if (versions.isEmpty) None
+      else {
+        val (v, p) = versions.maxBy(_._1)
+        val in = fs.open(p)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val lines = txt.split("\n").filter(_.nonEmpty)
+        require(lines.nonEmpty && lines(0) == SnapshotMagic,
+          s"unrecognized snapshot format in $p")
+        val key = lines(1).stripPrefix("key=")
+        val files = lines.drop(2).toIndexedSeq.map { l =>
+          val f = l.split("\t", -1)
+          SnapshotFile(f(0), f(1).toLong, f(2).toLong, f(3).toLong, f(4).toLong)
+        }
+        Some(TableSnapshot(v, key, files))
+      }
+    }
+  }
+
+  /** Atomically commit `snapshot` as `path/_manifests/v<version>.txt`:
+    * write a hidden temp file, rename into place. Refuses an
+    * already-committed version — two writers racing the same version is
+    * the single-writer contract broken, and silent last-wins would lose
+    * one writer's files.
+    */
+  def commitSnapshot(spark: SparkSession, path: String, snapshot: TableSnapshot): Unit = {
+    val fs = fsOf(spark, path)
+    val mdir = new org.apache.hadoop.fs.Path(path, ManifestDir)
+    fs.mkdirs(mdir)
+    val target = new org.apache.hadoop.fs.Path(mdir, snapshotName(snapshot.version))
+    if (fs.exists(target))
+      throw new IllegalStateException(
+        s"snapshot v${snapshot.version} already committed under $path — " +
+        "concurrent writer detected; manifest commits are single-writer")
+    val body = new StringBuilder()
+    body.append(SnapshotMagic).append('\n')
+    body.append("key=").append(snapshot.keyName).append('\n')
+    snapshot.files.sortBy(_.name).foreach { f =>
+      body.append(f.name).append('\t').append(f.bytes).append('\t')
+        .append(f.rows).append('\t').append(f.minKey).append('\t')
+        .append(f.maxKey).append('\n')
+    }
+    val tmp = new org.apache.hadoop.fs.Path(
+      mdir, s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+    val out = fs.create(tmp, false)
+    try out.write(body.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"snapshot commit rename $tmp -> $target failed")
+    }
+  }
+
+  /** Read `path` through a specific snapshot: exactly the listed files,
+    * nothing else. A reader holding snapshot N keeps a consistent view
+    * while snapshot N+1's rewrite is in flight.
+    */
+  def readSnapshot(spark: SparkSession, path: String, snap: TableSnapshot): DataFrame = {
+    require(snap.files.nonEmpty, s"snapshot v${snap.version} lists no files")
+    spark.read.parquet(snap.files.map(f => s"$path/${f.name}"): _*)
+  }
+
+  /** Read `path` through the LATEST committed snapshot. This is the
+    * reader the log exists for: in-flight rewrites and the compaction
+    * move-in/delete window are unobservable because uncommitted files
+    * are simply not in the plan.
+    */
+  def readCommitted(spark: SparkSession, path: String): DataFrame =
+    readSnapshot(spark, path, latestSnapshot(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"no committed snapshot under $path/$ManifestDir — " +
+        "write through writeClustered/compactFiles first")))
+
+  /** Manifest-log twin of [[prunedRead]]: plan the pruned scan from the
+    * PERSISTED per-file key boxes — one manifest fetch, zero data-file
+    * access at planning time (prunedRead must first scan the data to
+    * build its stats; at 100 TB that difference is the whole point of
+    * a table format). Returns (kept names, total files, DataFrame with
+    * the residual key filter applied).
+    */
+  def prunedCommittedRead(spark: SparkSession, path: String, lo: Long, hi: Long)
+      : (Seq[String], Long, DataFrame) = {
+    val snap = latestSnapshot(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $path"))
+    val kept = snap.files.filter(f => f.maxKey >= lo && f.minKey <= hi)
+    val residual = col(snap.keyName) >= lit(lo) && col(snap.keyName) <= lit(hi)
+    val df =
+      if (kept.isEmpty) readSnapshot(spark, path, snap).filter(lit(false))
+      else spark.read.parquet(kept.map(f => s"$path/${f.name}"): _*).filter(residual)
+    (kept.map(_.name), snap.files.size.toLong, df)
+  }
+
+  /** Per-file snapshot entries for `names` (relative to `path`): one
+    * column-pruned scan of just those files for rows + key box, one
+    * listStatus for sizes. The plain-Spark equivalent of harvesting
+    * writer-task parquet footers — it only ever touches the files being
+    * committed, never the rest of the table.
+    */
+  private def snapshotEntries(
+      spark: SparkSession, path: String, keyName: String,
+      names: Seq[String]): Seq[SnapshotFile] = {
+    if (names.isEmpty) return Nil
+    val fs = fsOf(spark, path)
+    val stats = fileManifest(
+      spark.read.parquet(names.map(n => s"$path/$n"): _*), Seq(keyName))
+      .collect()
+    stats.toIndexedSeq.map { r =>
+      val name = new org.apache.hadoop.fs.Path(r.getString(r.fieldIndex("file"))).getName
+      SnapshotFile(
+        name,
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$path/$name")).getLen,
+        r.getAs[Long]("n_rows"),
+        r.getAs[Number](s"min_$keyName").longValue(),
+        r.getAs[Number](s"max_$keyName").longValue())
+    }
+  }
+
   /** Write `df` clustered by `key` (range-partitioned into `nFiles`
     * shards, sorted inside each) and re-read it. The key column is kept
     * in the files under `keyName` — it is itself a useful coarse filter
@@ -262,14 +466,34 @@ object Layout {
     * collapse above the sort. Content is a permutation of the input;
     * only the LAYOUT changes — which is exactly what the oracle row
     * gates (parity) and LayoutSpec measures (row-group skipping).
+    *
+    * With `commit` (the default) the write ends by committing a new
+    * table snapshot: the version counter is captured BEFORE the
+    * overwrite (the parquet overwrite truncates the directory, log
+    * included) so versions stay monotone across full rewrites —
+    * including the upsert-materialization path, where an
+    * [[graft.ops.SnapshotDiff.applyChangeSet]] result is written back
+    * through this method.
     */
   def writeClustered(df: DataFrame, path: String, key: Column,
-                     nFiles: Int, keyName: String = "cluster_key"): DataFrame = {
+                     nFiles: Int, keyName: String = "cluster_key",
+                     commit: Boolean = true): DataFrame = {
     val spark = df.sparkSession
+    val nextVersion =
+      if (commit) latestSnapshot(spark, path).map(_.version).getOrElse(0L) + 1
+      else 0L
     df.withColumn(keyName, key)
       .repartitionByRange(nFiles, col(keyName))
       .sortWithinPartitions(keyName)
       .write.mode("overwrite").parquet(path)
+    if (commit) {
+      val names = fsOf(spark, path)
+        .listStatus(new org.apache.hadoop.fs.Path(path))
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .map(_.getPath.getName).toIndexedSeq
+      commitSnapshot(spark, path,
+        TableSnapshot(nextVersion, keyName, snapshotEntries(spark, path, keyName, names)))
+    }
     spark.read.parquet(path)
   }
 }

@@ -482,6 +482,54 @@ object ScaleDomain {
         .withColumn("rows_preserved", lit(stats.rowsPreserved))
         .withColumn("boxes_disjoint", lit(disjoint))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Manifest-commit log end-to-end (the Delta-pattern minimum over raw
+    // parquet): the clustered write commits snapshot v1; a half-moved
+    // data file injected into the directory (exactly compactFiles'
+    // move-in step, before its commit) is visible to a RAW directory
+    // reader but invisible to the committed reader — the mid-compaction
+    // duplicate window is provably unobservable through the log; the
+    // compaction then commits v2 (rewritten generation only) BEFORE
+    // deleting the originals. The aggregate runs over the committed v2
+    // read; the oracle recomputes it from the pristine table with the
+    // measured invariants identity-pinned — any torn or stale snapshot
+    // hash-breaks every row.
+    "q_manifest_commit" -> ((s, dir) => {
+      val path = scratch(s, "mcommit", dir)
+      val conf = s.sessionState.newHadoopConf()
+      val li = Tables(s, dir, "lineitem")
+      val key = Layout.zorderKey(Seq(
+        Layout.gridCell(col("l_partkey"), 0, 20000, 10),
+        Layout.gridCell(col("l_suppkey"), 0, 1000, 10)), 10)
+      Layout.writeClustered(li, path, key, nFiles = 16)
+      val v1 = Layout.latestSnapshot(s, path).get
+      val nRows = v1.totalRows
+      // inject the in-flight duplicate a concurrent lister would see
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      val first = v1.files.minBy(_.name)
+      val src = new org.apache.hadoop.fs.Path(path, first.name)
+      val stray = new org.apache.hadoop.fs.Path(path, s"part-inflight-${first.name}")
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, stray, false, conf)
+      val rawRows = s.read.parquet(path).count()
+      val committedRows = Layout.readCommitted(s, path).count()
+      fs.delete(stray, false)
+      val windowUnobservable =
+        rawRows == nRows + first.rows && committedRows == nRows
+      Layout.compactFiles(s, path, "cluster_key",
+        minFileBytes = 64L * 1024 * 1024,
+        targetFileBytes = math.max(1L, v1.files.map(_.bytes).sum / 4))
+      val v2 = Layout.latestSnapshot(s, path).get
+      val versionsAdvanced = v2.version == v1.version + 1 &&
+        v2.files.map(_.name).toSet.intersect(v1.files.map(_.name).toSet).isEmpty
+      Layout.readCommitted(s, path)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("sum_qty"))
+        .withColumn("window_unobservable", lit(windowUnobservable))
+        .withColumn("versions_advanced", lit(versionsAdvanced))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -809,6 +857,14 @@ object ScaleDomain {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  true AS files_reduced, true AS rows_preserved,
         |  true AS boxes_disjoint
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // committed-snapshot content parity bracketing a compaction, with
+    // the log invariants (duplicate window unobservable through the
+    // manifest, version advanced to a disjoint file generation) pinned
+    "q_manifest_commit" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  true AS window_unobservable, true AS versions_advanced
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

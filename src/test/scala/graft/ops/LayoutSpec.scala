@@ -290,6 +290,107 @@ class LayoutSpec extends AnyFunSuite {
     assert(noop.nSmallRewritten == 0 && noop.nFilesAfter == noop.nFilesBefore)
   }
 
+  test("manifest log: committed readers never observe the compaction window") {
+    val base = spark.range(20000).select(
+      col("id"),
+      ((col("id") * 7919L) % 512).cast("double").as("x"),
+      ((col("id") * 104729L) % 512).cast("double").as("y"))
+    val key = Layout.zorderKey(Seq(
+      Layout.gridCell(col("x"), 0, 512, 8),
+      Layout.gridCell(col("y"), 0, 512, 8)), 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mlog").toString
+    Layout.writeClustered(base, dir, key, nFiles = 8)
+    val v1 = Layout.latestSnapshot(spark, dir).get
+    assert(v1.version == 1L && v1.keyName == "cluster_key")
+    assert(v1.files.size == 8 && v1.totalRows == 20000L)
+
+    // simulate an in-flight rewrite: a data file moved in but NOT yet
+    // committed (exactly compactFiles' move-in step). A raw directory
+    // reader sees duplicate rows; a reader planning from the committed
+    // snapshot must not.
+    val first = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).minBy(_.getName)
+    val stray = new java.io.File(dir, s"part-inflight-${first.getName}")
+    java.nio.file.Files.copy(first.toPath, stray.toPath)
+    val strayRows = v1.files.minBy(_.name).rows
+    assert(spark.read.parquet(dir).count() == 20000L + strayRows,
+      "test premise: the raw directory reader DOES see the duplicate")
+    assert(Layout.readCommitted(spark, dir).count() == 20000L,
+      "committed reader observed a half-moved file")
+    assert(stray.delete())
+
+    // compaction commits v2 (rewrites only) before deleting originals
+    val totalBytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length()).sum
+    val stats = Layout.compactFiles(spark, dir, "cluster_key",
+      minFileBytes = 64L * 1024 * 1024, targetFileBytes = totalBytes / 4 + 1)
+    assert(stats.rowsPreserved && stats.filesReduced)
+    val v2 = Layout.latestSnapshot(spark, dir).get
+    assert(v2.version == 2L)
+    assert(v2.files.map(_.name).toSet.intersect(v1.files.map(_.name).toSet).isEmpty,
+      "v2 must list only the rewritten generation")
+    assert(v2.totalRows == 20000L)
+    val post = Layout.readCommitted(spark, dir).select("id", "x", "y")
+    assert(post.exceptAll(base).isEmpty && base.exceptAll(post).isEmpty)
+
+    // single-writer discipline: re-committing a taken version fails loudly
+    intercept[IllegalStateException](Layout.commitSnapshot(spark, dir, v2))
+  }
+
+  test("prunedCommittedRead plans from persisted stats — no data scan, nothing lost") {
+    val n = 50000L
+    val base = spark.range(n).select(
+      col("id"),
+      ((col("id") * 7919L) % 1000).cast("double").as("x"),
+      ((col("id") * 104729L) % 1000).cast("double").as("y"))
+    val key = Layout.zorderKey(Seq(
+      Layout.gridCell(col("x"), 0, 1000, 8),
+      Layout.gridCell(col("y"), 0, 1000, 8)), 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mprune").toString
+    Layout.writeClustered(base, dir, key, nFiles = 16)
+    val snap = Layout.latestSnapshot(spark, dir).get
+    // a box over the lowest file's persisted key range
+    val lowBox = snap.files.minBy(_.minKey)
+    val (kept, total, df) = Layout.prunedCommittedRead(
+      spark, dir, lowBox.minKey, lowBox.maxKey)
+    assert(total == 16 && kept.nonEmpty && kept.size < 16,
+      s"kept ${kept.size}/$total — persisted stats did not prune")
+    val expect = Layout.readCommitted(spark, dir)
+      .filter(col("cluster_key") >= lowBox.minKey &&
+        col("cluster_key") <= lowBox.maxKey)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(df.select("id").as[Long].collect().sorted.toSeq == expect)
+    // a box outside every file prunes everything
+    val maxKey = snap.files.map(_.maxKey).max
+    val (none, _, empty) = Layout.prunedCommittedRead(
+      spark, dir, maxKey + 1, maxKey + 1000)
+    assert(none.isEmpty && empty.isEmpty)
+  }
+
+  test("upsert materialization advances the snapshot version") {
+    import graft.ops.SnapshotDiff
+    val dir = java.nio.file.Files.createTempDirectory("graft_mupsert").toString
+    val base = spark.range(100).select(
+      col("id"), concat(lit("v"), col("id")).as("payload"))
+    Layout.writeClustered(base, dir, pmod(col("id"), lit(16L)), nFiles = 4)
+    assert(Layout.latestSnapshot(spark, dir).get.version == 1L)
+    val changes = Seq(
+      (5L, "update", 1L, "patched5"),
+      (100L, "insert", 1L, "new100"),
+      (7L, "delete", 1L, "")).toDF("id", "op", "version", "payload")
+    val applied = SnapshotDiff.applyChangeSet(
+      Layout.readCommitted(spark, dir).select("id", "payload"),
+      changes, "id", Seq("payload"))
+    // materialize the applied table back through the committed writer
+    Layout.writeClustered(applied, dir, pmod(col("id"), lit(16L)), nFiles = 4)
+    val v2 = Layout.latestSnapshot(spark, dir).get
+    assert(v2.version == 2L, "overwrite must not reset the version counter")
+    val got = Layout.readCommitted(spark, dir).select("id", "payload")
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 100 && got(5L) == "patched5" &&
+      got(100L) == "new100" && !got.contains(7L))
+  }
+
   test("writeClustered is a pure permutation (content parity, key kept)") {
     val base = spark.range(5000).select(
       col("id"), ((col("id") * 37L) % 100).as("x"), ((col("id") * 11L) % 100).as("y"))
