@@ -444,8 +444,8 @@ object LanguageModel {
       trainTrigramKneserNey(docs, idCol, textCol))
 
   /** 4-gram interpolated Kneser–Ney — one more level of the same
-    * recursion, demonstrating the n=5 (KenLM/CCNet) generalization is
-    * pure repetition: the TOP level runs on raw 4-gram counts; every
+    * recursion (and [[FivegramKNModel]] is the n=5 KenLM/CCNet level,
+    * repeating it once more): the TOP level runs on raw 4-gram counts; every
     * level below runs on continuation counts taken from the table one
     * order up (level 3 from the 4-gram types, level 2 from the trigram
     * types — the trigram model's own contBi/contMid/contTypes — level 1
@@ -686,6 +686,298 @@ object LanguageModel {
           coalesce(col("cm3c"), lit(0L)), coalesce(col("ct3"), lit(0L)),
           coalesce(col("cbc"), lit(0L)), coalesce(col("cmc"), lit(0L)),
           coalesce(col("ctp"), lit(0L)), coalesce(col("ltc"), lit(0L))))
+          .as("nanos"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n"), sum(col("nanos")).as("nanos"))
+      .select(col(idCol), col("n").cast("int").as("n_tokens"),
+        round(col("nanos").cast("double") / lit(1e9) / col("n").cast("double"), 6)
+          .as("avg_nll"))
+  }
+
+  /** 5-gram interpolated Kneser–Ney — KenLM/CCNet order parity. The
+    * n=4 doc claimed the n=5 generalization is pure repetition; this is
+    * that repetition, verbatim: the TOP level runs on raw 5-gram
+    * counts, the 4-gram backoff level runs on continuation counts taken
+    * from the 5-gram types, and everything below is the embedded
+    * [[FourgramKNModel]]'s own backoff tower (whose raw 4-gram level is
+    * unused here for the same Chen & Goodman reason its raw trigram
+    * level is unused inside it: backoff levels run on continuation
+    * counts).
+    */
+  final case class FivegramKNModel(
+      four: FourgramKNModel,
+      five: Map[String, Long],
+      ctx4: Map[String, Long],
+      ctx4Types: Map[String, Long],
+      cont4: Map[String, Long],
+      contMid4: Map[String, Long],
+      contTypes4: Map[String, Long])
+
+  def trainFivegramKneserNey(
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxEntries: Long = 5000000L,
+      discount: Double = 0.75): FivegramKNModel = {
+    require(maxEntries > 0 && maxEntries < Int.MaxValue,
+      s"maxEntries must be in (0, Int.MaxValue), got $maxEntries")
+    val four = trainFourgramKneserNey(train, idCol, textCol, maxEntries, discount)
+    val quintUdf = udf((text: String) => {
+      val toks = HashKernels.tokensOf(text)
+      if (toks.length < 5) Array.empty[String]
+      else Array.tabulate(toks.length - 4)(i =>
+        toks(i) + " " + toks(i + 1) + " " + toks(i + 2) + " " +
+          toks(i + 3) + " " + toks(i + 4))
+    })
+    val rows = train.select(explode(quintUdf(col(textCol))).as("pg"))
+      .groupBy(col("pg")).agg(count(lit(1)).as("c"))
+      .limit(maxEntries.toInt + 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(rows.length <= maxEntries,
+      s"trainFivegramKneserNey: distinct 5-grams exceed the driver-collect " +
+      s"cap ($maxEntries) — use scoreFivegramKneserNeyJoined")
+    val ctx4 = new scala.collection.mutable.HashMap[String, Long]()
+    val ctx4T = new scala.collection.mutable.HashMap[String, Long]()
+    val cont4 = new scala.collection.mutable.HashMap[String, Long]()
+    rows.foreach { case (pg, c) =>
+      val last = pg.lastIndexOf(' ')
+      val w1234 = pg.substring(0, last)
+      ctx4.update(w1234, ctx4.getOrElse(w1234, 0L) + c)
+      ctx4T.update(w1234, ctx4T.getOrElse(w1234, 0L) + 1L)
+      val w2345 = pg.substring(pg.indexOf(' ') + 1)
+      cont4.update(w2345, cont4.getOrElse(w2345, 0L) + 1L)
+    }
+    val contMid4 = new scala.collection.mutable.HashMap[String, Long]()
+    val contT4 = new scala.collection.mutable.HashMap[String, Long]()
+    cont4.foreach { case (w2345, n1p) =>
+      val w234 = w2345.substring(0, w2345.lastIndexOf(' '))
+      contMid4.update(w234, contMid4.getOrElse(w234, 0L) + n1p)
+      contT4.update(w234, contT4.getOrElse(w234, 0L) + 1L)
+    }
+    FivegramKNModel(four, rows.toMap, ctx4.toMap, ctx4T.toMap,
+      cont4.toMap, contMid4.toMap, contT4.toMap)
+  }
+
+  /** 5-gram KN scoring: token 0 → Pc, token 1 → P2, token 2 → P3'
+    * (continuation trigram level), token 3 → P4' (continuation 4-gram
+    * level), token i ≥ 4 → P5 interpolating down through
+    * P4' → P3' → P2 → Pc. Same nanoQuant kernel, same association-order
+    * discipline — q_fivegram_kn restates the full recursion and both
+    * Spark paths must land on its hash.
+    */
+  def scoreFivegramKneserNey(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      m: FivegramKNModel): DataFrame = {
+    val d = m.four.tri.kn2.discount
+    val pcDen = m.four.tri.kn2.nBigramTypes + 0.5 * (m.four.tri.kn2.vocabSize + 1.0)
+    val left = m.four.tri.kn2.leftTypes
+    val contBi = m.four.tri.contBi; val contMid = m.four.tri.contMid
+    val contT = m.four.tri.contTypes
+    val cont3 = m.four.cont3; val contMid3 = m.four.contMid3
+    val contT3 = m.four.contTypes3
+    val five = m.five; val ctx4 = m.ctx4; val ctx4T = m.ctx4Types
+    val cont4 = m.cont4; val contMid4 = m.contMid4; val contT4 = m.contTypes4
+    val f = udf((text: String) => {
+      val toks = HashKernels.tokensOf(text)
+      if (toks.isEmpty) null
+      else {
+        def pcont(w: String): Double = (left.getOrElse(w, 0L) + 0.5) / pcDen
+        def p2(w2: String, w3: String): Double = {
+          val cm = contMid.getOrElse(w2, 0L)
+          if (cm > 0L) {
+            val cb = contBi.getOrElse(w2 + " " + w3, 0L)
+            math.max(cb - d, 0.0) / cm + d * contT.getOrElse(w2, 0L) / cm * pcont(w3)
+          } else pcont(w3)
+        }
+        def p3c(a: String, b: String, c: String): Double = {
+          val cm = contMid3.getOrElse(a + " " + b, 0L)
+          if (cm > 0L) {
+            val cb = cont3.getOrElse(a + " " + b + " " + c, 0L)
+            math.max(cb - d, 0.0) / cm +
+              d * contT3.getOrElse(a + " " + b, 0L) / cm * p2(b, c)
+          } else p2(b, c)
+        }
+        def p4c(a: String, b: String, c: String, w: String): Double = {
+          val cm = contMid4.getOrElse(a + " " + b + " " + c, 0L)
+          if (cm > 0L) {
+            val cb = cont4.getOrElse(a + " " + b + " " + c + " " + w, 0L)
+            math.max(cb - d, 0.0) / cm +
+              d * contT4.getOrElse(a + " " + b + " " + c, 0L) / cm * p3c(b, c, w)
+          } else p3c(b, c, w)
+        }
+        var nanos = HashKernels.nanoQuant(-math.log(pcont(toks(0))))
+        if (toks.length > 1)
+          nanos += HashKernels.nanoQuant(-math.log(p2(toks(0), toks(1))))
+        if (toks.length > 2)
+          nanos += HashKernels.nanoQuant(-math.log(p3c(toks(0), toks(1), toks(2))))
+        if (toks.length > 3)
+          nanos += HashKernels.nanoQuant(
+            -math.log(p4c(toks(0), toks(1), toks(2), toks(3))))
+        var i = 4
+        while (i < toks.length) {
+          val a = toks(i - 4); val b = toks(i - 3); val c = toks(i - 2)
+          val e = toks(i - 1); val w = toks(i)
+          val cc = ctx4.getOrElse(a + " " + b + " " + c + " " + e, 0L)
+          val p =
+            if (cc > 0L) {
+              val c5 = five.getOrElse(a + " " + b + " " + c + " " + e + " " + w, 0L)
+              math.max(c5 - d, 0.0) / cc +
+                d * ctx4T.getOrElse(a + " " + b + " " + c + " " + e, 0L) / cc *
+                  p4c(b, c, e, w)
+            } else p4c(b, c, e, w)
+          nanos += HashKernels.nanoQuant(-math.log(p))
+          i += 1
+        }
+        (toks.length, (nanos.toDouble / 1e9) / toks.length)
+      }
+    })
+    docs.select(col(idCol), f(col(textCol)).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col(idCol), col("s._1").as("n_tokens"),
+        round(col("s._2"), 6).as("avg_nll"))
+  }
+
+  /** Self-scoring convenience: train 5-gram KN on `docs`, score `docs`. */
+  def fivegramKneserNeyScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    scoreFivegramKneserNey(docs, idCol, textCol,
+      trainFivegramKneserNey(docs, idCol, textCol))
+
+  /** 5-gram KN with every n-gram table DISTRIBUTED — the exact shape of
+    * a production CCNet/KenLM perplexity filter at corpus scale. One
+    * exploded (pos, w1..w5) frame feeds all training aggregates
+    * (5-gram counts → raw top level + its continuation table;
+    * 4-gram/trigram/bigram types → the lower continuation levels);
+    * scoring is nine token-keyed left joins + the one term kernel
+    * shared (in association order) with the broadcast path. Only the
+    * two Pc scalars are driver-side.
+    */
+  def scoreFivegramKneserNeyJoined(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      train: DataFrame,
+      discount: Double = 0.75): DataFrame = {
+    val d = discount
+    val quintUdf = udf((text: String) => {
+      val toks = HashKernels.tokensOf(text)
+      Array.tabulate(toks.length)(i => (i,
+        if (i < 4) null else toks(i - 4),
+        if (i < 3) null else toks(i - 3),
+        if (i < 2) null else toks(i - 2),
+        if (i < 1) null else toks(i - 1),
+        toks(i)))
+    })
+    val base = train.select(explode(quintUdf(col(textCol))).as("p"))
+      .select(col("p._2").as("w1"), col("p._3").as("w2"),
+        col("p._4").as("w3"), col("p._5").as("w4"), col("p._6").as("w5"))
+      .localCheckpoint()
+    // level-1/2 statistics from bigram/trigram TYPE tables
+    val bic = base.filter(col("w4").isNotNull)
+      .groupBy(col("w4"), col("w5")).agg(count(lit(1)).as("bc"))
+      .localCheckpoint()
+    val bt = bic.agg(count(lit(1))).head().getLong(0)
+    val vsz = base.agg(countDistinct(col("w5"))).head().getLong(0)
+    val pcDen = bt + 0.5 * (vsz + 1.0)
+    val lt = bic.groupBy(col("w5")).agg(count(lit(1)).as("ltc"))
+      .withColumnRenamed("w5", "lw")
+    val tic3 = base.filter(col("w3").isNotNull)
+      .groupBy(col("w3"), col("w4"), col("w5")).agg(count(lit(1)).as("t3"))
+      .localCheckpoint()
+    val cb2 = tic3.groupBy(col("w4"), col("w5")).agg(count(lit(1)).as("cbc"))
+      .withColumnRenamed("w4", "b4").withColumnRenamed("w5", "b5")
+      .localCheckpoint()
+    val cm2 = cb2.groupBy(col("b4"))
+      .agg(sum(col("cbc")).as("cmc"), count(lit(1)).as("ctp"))
+      .withColumnRenamed("b4", "m4")
+    // level-3 statistics from the 4-gram type table
+    val tic4 = base.filter(col("w2").isNotNull)
+      .groupBy(col("w2"), col("w3"), col("w4"), col("w5"))
+      .agg(count(lit(1)).as("t4")).localCheckpoint()
+    val cb3 = tic4.groupBy(col("w3"), col("w4"), col("w5"))
+      .agg(count(lit(1)).as("c3c"))
+      .withColumnRenamed("w3", "e3").withColumnRenamed("w4", "e4")
+      .withColumnRenamed("w5", "e5")
+      .localCheckpoint()
+    val cm3 = cb3.groupBy(col("e3"), col("e4"))
+      .agg(sum(col("c3c")).as("cm3c"), count(lit(1)).as("ct3"))
+      .withColumnRenamed("e3", "f3").withColumnRenamed("e4", "f4")
+    // level-4/5 statistics from the 5-gram table
+    val tic5 = base.filter(col("w1").isNotNull)
+      .groupBy(col("w1"), col("w2"), col("w3"), col("w4"), col("w5"))
+      .agg(count(lit(1)).as("qc")).localCheckpoint()
+    val ctx = tic5.groupBy(col("w1"), col("w2"), col("w3"), col("w4"))
+      .agg(sum(col("qc")).as("cc"), count(lit(1)).as("nt"))
+      .withColumnRenamed("w1", "c1").withColumnRenamed("w2", "c2")
+      .withColumnRenamed("w3", "c3").withColumnRenamed("w4", "c4")
+    val cb4 = tic5.groupBy(col("w2"), col("w3"), col("w4"), col("w5"))
+      .agg(count(lit(1)).as("c4c"))
+      .withColumnRenamed("w2", "g2").withColumnRenamed("w3", "g3")
+      .withColumnRenamed("w4", "g4").withColumnRenamed("w5", "g5")
+      .localCheckpoint()
+    val cm4 = cb4.groupBy(col("g2"), col("g3"), col("g4"))
+      .agg(sum(col("c4c")).as("cm4c"), count(lit(1)).as("ct4"))
+      .withColumnRenamed("g2", "h2").withColumnRenamed("g3", "h3")
+      .withColumnRenamed("g4", "h4")
+
+    val docPos = docs
+      .select(col(idCol), explode(quintUdf(col(textCol))).as("p"))
+      .select(col(idCol), col("p._1").as("pos"),
+        col("p._2").as("w1"), col("p._3").as("w2"),
+        col("p._4").as("w3"), col("p._5").as("w4"), col("p._6").as("w5"))
+
+    // 13 counts + pos: the counts travel as ONE array column
+    // (order: qc, cc, nt, c4c, cm4c, ct4, c3c, cm3c, ct3, cbc, cmc, ctp, ltc)
+    val termUdf = udf((pos: Int, v: Seq[Long]) => {
+      val qc = v(0); val cc = v(1); val nt = v(2)
+      val c4c = v(3); val cm4c = v(4); val ct4 = v(5)
+      val c3c = v(6); val cm3c = v(7); val ct3 = v(8)
+      val cbc = v(9); val cmc = v(10); val ctp = v(11); val ltc = v(12)
+      val pcw = (ltc + 0.5) / pcDen
+      val p2 =
+        if (cmc > 0L) math.max(cbc - d, 0.0) / cmc + d * ctp / cmc * pcw
+        else pcw
+      val p3 =
+        if (cm3c > 0L) math.max(c3c - d, 0.0) / cm3c + d * ct3 / cm3c * p2
+        else p2
+      val p4 =
+        if (cm4c > 0L) math.max(c4c - d, 0.0) / cm4c + d * ct4 / cm4c * p3
+        else p3
+      val p =
+        if (pos == 0) pcw
+        else if (pos == 1) p2
+        else if (pos == 2) p3
+        else if (pos == 3) p4
+        else if (cc > 0L) math.max(qc - d, 0.0) / cc + d * nt / cc * p4
+        else p4
+      HashKernels.nanoQuant(-math.log(p))
+    })
+    docPos
+      .join(lt, docPos("w5") === lt("lw"), "left")
+      .join(cm2, docPos("w4") === cm2("m4"), "left")
+      .join(cb2, docPos("w4") === cb2("b4") && docPos("w5") === cb2("b5"), "left")
+      .join(cm3, docPos("w3") === cm3("f3") && docPos("w4") === cm3("f4"), "left")
+      .join(cb3, docPos("w3") === cb3("e3") && docPos("w4") === cb3("e4") &&
+        docPos("w5") === cb3("e5"), "left")
+      .join(cm4, docPos("w2") === cm4("h2") && docPos("w3") === cm4("h3") &&
+        docPos("w4") === cm4("h4"), "left")
+      .join(cb4, docPos("w2") === cb4("g2") && docPos("w3") === cb4("g3") &&
+        docPos("w4") === cb4("g4") && docPos("w5") === cb4("g5"), "left")
+      .join(ctx, docPos("w1") === ctx("c1") && docPos("w2") === ctx("c2") &&
+        docPos("w3") === ctx("c3") && docPos("w4") === ctx("c4"), "left")
+      .join(tic5, docPos("w1") === tic5("w1") && docPos("w2") === tic5("w2") &&
+        docPos("w3") === tic5("w3") && docPos("w4") === tic5("w4") &&
+        docPos("w5") === tic5("w5"), "left")
+      .select(col(idCol),
+        termUdf(col("pos"), array(
+          coalesce(col("qc"), lit(0L)), coalesce(col("cc"), lit(0L)),
+          coalesce(col("nt"), lit(0L)), coalesce(col("c4c"), lit(0L)),
+          coalesce(col("cm4c"), lit(0L)), coalesce(col("ct4"), lit(0L)),
+          coalesce(col("c3c"), lit(0L)), coalesce(col("cm3c"), lit(0L)),
+          coalesce(col("ct3"), lit(0L)), coalesce(col("cbc"), lit(0L)),
+          coalesce(col("cmc"), lit(0L)), coalesce(col("ctp"), lit(0L)),
+          coalesce(col("ltc"), lit(0L))))
           .as("nanos"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n"), sum(col("nanos")).as("nanos"))

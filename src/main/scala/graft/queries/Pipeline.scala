@@ -1292,6 +1292,22 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // 5-gram KN — KenLM/CCNet order parity, the level production
+    // perplexity filters actually run at. The promised "pure
+    // repetition" of the recursion, proven against the same oracle
+    // shape: raw top level on 5-gram counts, every level below on
+    // continuation counts from the table one order up.
+    "q_fivegram_kn" -> ((s, dir) =>
+      graft.ops.LanguageModel.fivegramKneserNeyScore(
+        Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+    "q_fivegram_kn_dist" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      graft.ops.LanguageModel.scoreFivegramKneserNeyJoined(
+        docs, "doc_id", "text", docs)
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet head/middle/tail selection by exact perplexity terciles —
     // one broadcast cut row over the scored frame, oracle-backed.
     "q_ccnet_buckets" -> ((s, dir) =>
@@ -1643,9 +1659,139 @@ object Pipeline {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Shared DuckDB restatement of the 5-gram KN recursion — the 4-gram
+    * chain plus the quint level (pg/pic/pctx raw top, pcb/pcm the
+    * level-4 continuation tables) and one more per-position term
+    * (vterm = token 3 at the continuation 4-gram level).
+    */
+  private val fivegramKnOracle: String = {
+    val pc = "((COALESCE(lt.ltc, 0) + 0.5) / (tot.bt + 0.5 * (vv.vsz + 1.0)))"
+    val p2 = "(CASE WHEN cm.cmc IS NOT NULL THEN " +
+      s"greatest(COALESCE(cb.cbc, 0) - 0.75, 0.0) / cm.cmc " +
+      s"+ 0.75 * cm.ctp / cm.cmc * $pc ELSE $pc END)"
+    val p3 = "(CASE WHEN qcm.cm3c IS NOT NULL THEN " +
+      s"greatest(COALESCE(qcb.c3c, 0) - 0.75, 0.0) / qcm.cm3c " +
+      s"+ 0.75 * qcm.ct3 / qcm.cm3c * $p2 ELSE $p2 END)"
+    val p4 = "(CASE WHEN pcm.cm4c IS NOT NULL THEN " +
+      s"greatest(COALESCE(pcb.c4c, 0) - 0.75, 0.0) / pcm.cm4c " +
+      s"+ 0.75 * pcm.ct4 / pcm.cm4c * $p3 ELSE $p3 END)"
+    val p5 = "(CASE WHEN pctx.cc IS NOT NULL THEN " +
+      s"greatest(COALESCE(pic.c, 0) - 0.75, 0.0) / pctx.cc " +
+      s"+ 0.75 * pctx.nt / pctx.cc * $p4 ELSE $p4 END)"
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(lower(trim(text)), '\\S+') AS toks
+       |  FROM documents),
+       |p AS (SELECT doc_id, unnest(toks) AS token FROM t),
+       |vv AS (SELECT count(DISTINCT token) AS vsz FROM p),
+       |bg AS (
+       |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)),
+       |bic AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+       |lt AS (SELECT w2, count(*) AS ltc FROM bic GROUP BY w2),
+       |tot AS (SELECT count(*) AS bt FROM bic),
+       |tg AS (
+       |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM t)),
+       |tic AS (SELECT w1, w2, w3, count(*) AS c FROM tg GROUP BY w1, w2, w3),
+       |cb AS (SELECT w2, w3, count(*) AS cbc FROM tic GROUP BY w2, w3),
+       |cm AS (SELECT w2, sum(cbc) AS cmc, count(*) AS ctp FROM cb GROUP BY w2),
+       |qg AS (
+       |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2,
+       |    toks[i + 2] AS w3, toks[i + 3] AS w4
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i FROM t)),
+       |qic AS (SELECT w1, w2, w3, w4, count(*) AS c FROM qg GROUP BY w1, w2, w3, w4),
+       |qcb AS (SELECT w2, w3, w4, count(*) AS c3c FROM qic GROUP BY w2, w3, w4),
+       |qcm AS (SELECT w2, w3, sum(c3c) AS cm3c, count(*) AS ct3
+       |  FROM qcb GROUP BY w2, w3),
+       |pg AS (
+       |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3,
+       |    toks[i + 3] AS w4, toks[i + 4] AS w5
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i FROM t)),
+       |pic AS (SELECT w1, w2, w3, w4, w5, count(*) AS c
+       |  FROM pg GROUP BY w1, w2, w3, w4, w5),
+       |pctx AS (SELECT w1, w2, w3, w4, sum(c) AS cc, count(*) AS nt
+       |  FROM pic GROUP BY w1, w2, w3, w4),
+       |pcb AS (SELECT w2, w3, w4, w5, count(*) AS c4c
+       |  FROM pic GROUP BY w2, w3, w4, w5),
+       |pcm AS (SELECT w2, w3, w4, sum(c4c) AS cm4c, count(*) AS ct4
+       |  FROM pcb GROUP BY w2, w3, w4),
+       |pterms AS (
+       |  SELECT pg.doc_id,
+       |    sum(CAST(round(-ln($p5), 9) AS DECIMAL(38,9))) AS pnll
+       |  FROM pg
+       |  LEFT JOIN pic ON pg.w1 = pic.w1 AND pg.w2 = pic.w2
+       |    AND pg.w3 = pic.w3 AND pg.w4 = pic.w4 AND pg.w5 = pic.w5
+       |  LEFT JOIN pctx ON pg.w1 = pctx.w1 AND pg.w2 = pctx.w2
+       |    AND pg.w3 = pctx.w3 AND pg.w4 = pctx.w4
+       |  LEFT JOIN pcb ON pg.w2 = pcb.w2 AND pg.w3 = pcb.w3
+       |    AND pg.w4 = pcb.w4 AND pg.w5 = pcb.w5
+       |  LEFT JOIN pcm ON pg.w2 = pcm.w2 AND pg.w3 = pcm.w3 AND pg.w4 = pcm.w4
+       |  LEFT JOIN qcb ON pg.w3 = qcb.w2 AND pg.w4 = qcb.w3 AND pg.w5 = qcb.w4
+       |  LEFT JOIN qcm ON pg.w3 = qcm.w2 AND pg.w4 = qcm.w3
+       |  LEFT JOIN cb ON pg.w4 = cb.w2 AND pg.w5 = cb.w3
+       |  LEFT JOIN cm ON pg.w4 = cm.w2
+       |  LEFT JOIN lt ON pg.w5 = lt.w2
+       |  CROSS JOIN tot CROSS JOIN vv
+       |  GROUP BY pg.doc_id),
+       |vterm AS (
+       |  SELECT t.doc_id,
+       |    CAST(round(-ln($p4), 9) AS DECIMAL(38,9)) AS vnll
+       |  FROM t
+       |  LEFT JOIN pcb ON t.toks[1] = pcb.w2 AND t.toks[2] = pcb.w3
+       |    AND t.toks[3] = pcb.w4 AND t.toks[4] = pcb.w5
+       |  LEFT JOIN pcm ON t.toks[1] = pcm.w2 AND t.toks[2] = pcm.w3
+       |    AND t.toks[3] = pcm.w4
+       |  LEFT JOIN qcb ON t.toks[2] = qcb.w2 AND t.toks[3] = qcb.w3
+       |    AND t.toks[4] = qcb.w4
+       |  LEFT JOIN qcm ON t.toks[2] = qcm.w2 AND t.toks[3] = qcm.w3
+       |  LEFT JOIN cb ON t.toks[3] = cb.w2 AND t.toks[4] = cb.w3
+       |  LEFT JOIN cm ON t.toks[3] = cm.w2
+       |  LEFT JOIN lt ON t.toks[4] = lt.w2
+       |  CROSS JOIN tot CROSS JOIN vv
+       |  WHERE len(t.toks) >= 4),
+       |uterm AS (
+       |  SELECT t.doc_id,
+       |    CAST(round(-ln($p3), 9) AS DECIMAL(38,9)) AS unll
+       |  FROM t
+       |  LEFT JOIN qcb ON t.toks[1] = qcb.w2 AND t.toks[2] = qcb.w3
+       |    AND t.toks[3] = qcb.w4
+       |  LEFT JOIN qcm ON t.toks[1] = qcm.w2 AND t.toks[2] = qcm.w3
+       |  LEFT JOIN cb ON t.toks[2] = cb.w2 AND t.toks[3] = cb.w3
+       |  LEFT JOIN cm ON t.toks[2] = cm.w2
+       |  LEFT JOIN lt ON t.toks[3] = lt.w2
+       |  CROSS JOIN tot CROSS JOIN vv
+       |  WHERE len(t.toks) >= 3),
+       |sterm AS (
+       |  SELECT t.doc_id,
+       |    CAST(round(-ln($p2), 9) AS DECIMAL(38,9)) AS snll
+       |  FROM t
+       |  LEFT JOIN cb ON t.toks[1] = cb.w2 AND t.toks[2] = cb.w3
+       |  LEFT JOIN cm ON t.toks[1] = cm.w2
+       |  LEFT JOIN lt ON t.toks[2] = lt.w2
+       |  CROSS JOIN tot CROSS JOIN vv
+       |  WHERE len(t.toks) >= 2),
+       |fterm AS (
+       |  SELECT t.doc_id, len(t.toks) AS n,
+       |    CAST(round(-ln($pc), 9) AS DECIMAL(38,9)) AS fnll
+       |  FROM t LEFT JOIN lt ON t.toks[1] = lt.w2
+       |  CROSS JOIN tot CROSS JOIN vv
+       |  WHERE len(t.toks) >= 1)
+       |SELECT f.doc_id, CAST(f.n AS INT) AS n_tokens,
+       |  round(CAST(f.fnll + COALESCE(s.snll, 0) + COALESCE(u.unll, 0)
+       |    + COALESCE(v.vnll, 0) + COALESCE(pp.pnll, 0) AS DOUBLE) / f.n, 6)
+       |    AS avg_nll
+       |FROM fterm f LEFT JOIN sterm s USING (doc_id)
+       |LEFT JOIN uterm u USING (doc_id)
+       |LEFT JOIN vterm v USING (doc_id)
+       |LEFT JOIN pterms pp USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_fourgram_kn" -> fourgramKnOracle,
     "q_fourgram_kn_dist" -> fourgramKnOracle,
+    "q_fivegram_kn" -> fivegramKnOracle,
+    "q_fivegram_kn_dist" -> fivegramKnOracle,
     "q_repetition_gopher" ->
       s"""$repGopherCtes
          |$repGopherSelect

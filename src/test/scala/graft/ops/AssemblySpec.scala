@@ -295,6 +295,68 @@ class AssemblySpec extends AnyFunSuite {
     assert(joined == broadcastScores && broadcastScores.nonEmpty)
   }
 
+  test("5-gram KN: continuation levels one more up, backoff chain, dist == broadcast") {
+    val m = LanguageModel.trainFivegramKneserNey(docs, "doc_id", "text")
+    // 5-grams in the fixture: the-cat-sat-on-the, cat-sat-on-the-mat — x1
+    assert(m.five("the cat sat on the") == 1)
+    assert(m.ctx4("the cat sat on") == 1 && m.ctx4Types("the cat sat on") == 1)
+    // N1+(.cat sat on the) = 1 ('the' is the only left extension)
+    assert(m.cont4("cat sat on the") == 1)
+    assert(m.contMid4("cat sat on") == 1 && m.contTypes4("cat sat on") == 1)
+    // level-3 statistics are the embedded 4-gram model's continuation
+    // tables; its RAW 4-gram level stays unused inside the 5-gram model
+    assert(m.four.cont3("cat sat on") == 1)
+    // hand-computed chain on "the cat sat on the": pc, p2, p3', p4', p5
+    def nanos(x: Double): Long = math.floor(x * 1e9 + 0.5).toLong
+    val kn2 = m.four.tri.kn2
+    val pcDen = kn2.nBigramTypes + 0.5 * (kn2.vocabSize + 1.0)
+    def pc(w: String): Double = (kn2.leftTypes.getOrElse(w, 0L) + 0.5) / pcDen
+    def p2(a: String, b: String): Double = {
+      val cm = m.four.tri.contMid.getOrElse(a, 0L)
+      if (cm > 0) math.max(m.four.tri.contBi.getOrElse(a + " " + b, 0L) - 0.75, 0.0) / cm +
+        0.75 * m.four.tri.contTypes.getOrElse(a, 0L) / cm * pc(b)
+      else pc(b)
+    }
+    def p3(a: String, b: String, c: String): Double = {
+      val cm = m.four.contMid3.getOrElse(a + " " + b, 0L)
+      if (cm > 0) math.max(m.four.cont3.getOrElse(a + " " + b + " " + c, 0L) - 0.75, 0.0) / cm +
+        0.75 * m.four.contTypes3.getOrElse(a + " " + b, 0L) / cm * p2(b, c)
+      else p2(b, c)
+    }
+    def p4(a: String, b: String, c: String, w: String): Double = {
+      val cm = m.contMid4.getOrElse(a + " " + b + " " + c, 0L)
+      if (cm > 0) math.max(m.cont4.getOrElse(a + " " + b + " " + c + " " + w, 0L) - 0.75, 0.0) / cm +
+        0.75 * m.contTypes4.getOrElse(a + " " + b + " " + c, 0L) / cm * p3(b, c, w)
+      else p3(b, c, w)
+    }
+    val p5 = math.max(m.five("the cat sat on the") - 0.75, 0.0) / m.ctx4("the cat sat on") +
+      0.75 * m.ctx4Types("the cat sat on") / m.ctx4("the cat sat on") *
+        p4("cat", "sat", "on", "the")
+    val expect = BigDecimal((nanos(-math.log(pc("the"))) +
+      nanos(-math.log(p2("the", "cat"))) +
+      nanos(-math.log(p3("the", "cat", "sat"))) +
+      nanos(-math.log(p4("the", "cat", "sat", "on"))) +
+      nanos(-math.log(p5))).toDouble / 1e9 / 5)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = LanguageModel.scoreFivegramKneserNey(
+      Seq((9L, "the cat sat on the")).toDF("doc_id", "text"), "doc_id", "text", m)
+      .as[(Long, Int, Double)].collect().head
+    assert(got == ((9L, 5, expect)))
+    // backoff chain on an unseen 5-gram context stays finite and positive
+    val oov = LanguageModel.scoreFivegramKneserNey(
+      Seq((10L, "zz qq rr the cat sat on")).toDF("doc_id", "text"),
+      "doc_id", "text", m)
+      .as[(Long, Int, Double)].collect().head
+    assert(oov._3 > 0 && !oov._3.isInfinite)
+    // distributed joins land on the identical bits
+    val broadcastScores = LanguageModel.fivegramKneserNeyScore(docs, "doc_id", "text")
+      .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+    val joined = LanguageModel.scoreFivegramKneserNeyJoined(
+      docs, "doc_id", "text", docs)
+      .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+    assert(joined == broadcastScores && broadcastScores.nonEmpty)
+  }
+
   test("bigram score separates natural order from shuffled word soup") {
     val m = LanguageModel.trainBigrams(docs, "doc_id", "text")
     val scored = LanguageModel.scoreBigrams(
