@@ -189,6 +189,107 @@ object Multimodal {
     sig
   }
 
+  /** Fixed-point cosine basis for the 32-point DCT-II, first 8
+    * frequency rows only (the low-frequency block is all pHash reads):
+    * entry u*32+n = floor(cos(π(2n+1)u/64) · 2^14) — the same
+    * floor(x·2^B) quantization discipline as [[Pca]], so the DuckDB
+    * oracle restates the hash over the SAME integer table (interpolated
+    * as literals; a constant, like a codon table) with zero float
+    * drift anywhere.
+    */
+  private[graft] val DctCosTable: Array[Long] = {
+    val t = new Array[Long](8 * 32)
+    var u = 0
+    while (u < 8) {
+      var n = 0
+      while (n < 32) {
+        t(u * 32 + n) =
+          math.floor(math.cos(math.Pi * (2 * n + 1) * u / 64.0) * (1L << 14)).toLong
+        n += 1
+      }
+      u += 1
+    }
+    t
+  }
+
+  /** 64-bit DCT perceptual hash (classic pHash) — the robustness step
+    * up from dHash/aHash: signatures live in the 8×8 LOW-FREQUENCY
+    * corner of a 32×32 DCT, so re-encode noise, small crops and small
+    * shifts (which scramble dHash's local gradients) barely move them.
+    * Pipeline: [[resizeStub]] to 32×32 (real integer resample; only
+    * the codec decode below it is stubbed), two-stage integer DCT with
+    * [[DctCosTable]] (stage 1 over rows, stage 2 over columns — exact
+    * Long arithmetic, max |coeff| < 2^47, no rounding anywhere), then
+    * bit i∈[1,64) is set iff coefficient i exceeds the LOWER MEDIAN of
+    * the 63 non-DC coefficients (bit 0, the DC term, is always 0 — it
+    * carries only brightness). Every step is integer-exact, so
+    * q_media_dct replays the full transform bit for bit in DuckDB.
+    */
+  private[graft] def dctHashStub(payload: Array[Byte]): Long = {
+    val px = resizeStub(payload, 32, 32)
+    val ct = DctCosTable
+    // stage 1: M(u, x) = Σ_y C(u,y) · px(y,x)  — 8×32 intermediate
+    val m = new Array[Long](8 * 32)
+    var u = 0
+    while (u < 8) {
+      var x = 0
+      while (x < 32) {
+        var acc = 0L
+        var y = 0
+        while (y < 32) { acc += ct(u * 32 + y) * px(y * 32 + x); y += 1 }
+        m(u * 32 + x) = acc
+        x += 1
+      }
+      u += 1
+    }
+    // stage 2: F(u, v) = Σ_x C(v,x) · M(u,x)  — the 8×8 block
+    val f = new Array[Long](64)
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0L
+        var x = 0
+        while (x < 32) { acc += ct(v * 32 + x) * m(u * 32 + x); x += 1 }
+        f(u * 8 + v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val nonDc = java.util.Arrays.copyOfRange(f, 1, 64)
+    java.util.Arrays.sort(nonDc)
+    val med = nonDc(31) // lower median of the 63 AC coefficients
+    var sig = 0L
+    var i = 1
+    while (i < 64) {
+      if (f(i) > med) sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
+
+  /** DCT signature per media row: (media_id, dcthash). Same map-only
+    * UDF shape (and asNondeterministic inlining pin) as
+    * [[perceptualHashes]].
+    */
+  def dctHashes(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val u = udf((b: Array[Byte]) => dctHashStub(b)).asNondeterministic()
+    media.select(col(idCol), u(col(payloadCol)).as("dcthash"))
+  }
+
+  /** DCT near-duplicate pairs through the same radius-general banding
+    * as dHash/SimHash ([[graft.ops.Dedup.hammingNearDuplicates64]]) —
+    * guaranteed recall at any maxHamming, never all-pairs.
+    */
+  def dctNearDuplicates(media: DataFrame, maxHamming: Int = 3,
+      idCol: String = "media_id", payloadCol: String = "payload"): DataFrame = {
+    val u = udf((b: Array[Byte]) => dctHashStub(b)).asNondeterministic()
+    Dedup.hammingNearDuplicates64(
+      media.select(col(idCol).as("id"), u(col(payloadCol)).as("sig")),
+      maxHamming)
+  }
+
   /** Perceptual signatures per media row: (media_id, dhash, ahash).
     * Map-only, rides the scan; a per-row byte walk no builtin expresses,
     * so a typed UDF with the repo-standard asNondeterministic inlining

@@ -898,6 +898,22 @@ object Pipeline {
       val phPairs = graft.ops.Multimodal.phashNearDuplicates(mediaSlice)
         .select(col("id_a"), col("id_b"))
 
+      // dct_phash: the DCT low-frequency signature over the same media
+      // slice — same radius-3 banding, same pigeonhole guarantee, so
+      // the floor is exactly 1.0 like simhash/phash. (The overlay twins
+      // move ≤1 plane pixel → a bounded low-frequency perturbation;
+      // the truth set stays nonempty at every SF.)
+      val dctSigs = graft.ops.Multimodal.dctHashes(mediaSlice)
+        .select(col("media_id").as("id"), col("dcthash").as("sig"))
+        .localCheckpoint()
+      val truthDct = dctSigs.select(col("id").as("id_a"), col("sig").as("sa"))
+        .join(dctSigs.select(col("id").as("id_b"), col("sig").as("sb")),
+          col("id_a") < col("id_b"))
+        .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
+        .select(col("id_a"), col("id_b"))
+      val dctPairs = graft.ops.Multimodal.dctNearDuplicates(mediaSlice)
+        .select(col("id_a"), col("id_b"))
+
       // incremental: exact cross-batch truth on the probe's own shingle
       // size, detector = the q_incremental_dedup index+probe geometry.
       // TWO truth strata: all pairs at the probe's own threshold (the
@@ -944,6 +960,7 @@ object Pipeline {
       import scala.concurrent.ExecutionContext.Implicits.global
       val rows = Await.result(Future.sequence(Seq(
         Future(verdict("cosine_lsh_5x12", 0.55, truthCos, cos512)),
+        Future(verdict("dct_phash", 1.0, truthDct, dctPairs)),
         Future(verdict("incremental_minhash", 0.30, truthInc, incPairs)),
         Future(verdict("incremental_strict", 0.75, truthIncStrict, incPairs, truthInc)),
         Future(verdict("phash", 1.0, truthPh, phPairs)),
@@ -2324,6 +2341,7 @@ object Pipeline {
         |  recall_ok, exact_subset
         |FROM (VALUES
         |  ('cosine_lsh_5x12',     0.55, true, true),
+        |  ('dct_phash',           1.00, true, true),
         |  ('incremental_minhash', 0.30, true, true),
         |  ('incremental_strict',  0.75, true, true),
         |  ('phash',               1.00, true, true),

@@ -330,6 +330,17 @@ object ScaleDomain {
       Multimodal.perceptualHashes(media(s, dir))
         .orderBy(col("media_id"))),
 
+    // DCT pHash: 32×32 resample → two-stage integer DCT over the
+    // fixed-point cosine table (floor(cos·2^14) — a constant, embedded
+    // in the oracle like a codon table) → bit i iff AC coefficient i
+    // exceeds the lower median. Exact Long arithmetic end to end, so
+    // the oracle replays the ENTIRE transform (plane, both matrix
+    // stages, median, bit packing) and must land on the identical
+    // signed 64-bit signature.
+    "q_media_dct" -> ((s, dir) =>
+      Multimodal.dctHashes(media(s, dir))
+        .orderBy(col("media_id"))),
+
     // Frame sampling: deterministic byte offsets (floor(n*f/4)) standing in
     // for timestamps. The FNV frame hash is pinned in MultimodalSpec; the
     // oracle checks the sampling grid.
@@ -858,6 +869,57 @@ object ScaleDomain {
         |  true AS files_reduced, true AS rows_preserved,
         |  true AS boxes_disjoint
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the full DCT-pHash transform replayed: 32×32 nearest-neighbor
+    // plane, stage-1/stage-2 integer matrix products over the SAME
+    // fixed-point cosine table (interpolated below as 256 literals —
+    // floor(cos(π(2n+1)u/64)·2^14), a constant like a codon table),
+    // lower median of the 63 AC coefficients, bits packed as two
+    // 32-bit BIGINT halves with the hi-wrap to signed 64
+    "q_media_dct" -> {
+      val ctLit = "[" + graft.ops.Multimodal.DctCosTable.mkString(", ") + "]"
+      s"""WITH ct AS (SELECT $ctLit AS t),
+         |m AS (
+         |  SELECT doc_id AS media_id, text, strlen(text) AS n,
+         |    greatest((strlen(text) + 15) // 16, 1) AS src_h
+         |  FROM documents),
+         |px AS (
+         |  SELECT media_id,
+         |    list_transform(range(0, 1024), k ->
+         |      CASE WHEN ((k // 32) * src_h // 32) * 16 + ((k % 32) * 16 // 32) < n
+         |        THEN unicode(substring(text,
+         |          CAST(((k // 32) * src_h // 32) * 16
+         |               + ((k % 32) * 16 // 32) + 1 AS INT), 1))
+         |        ELSE 0 END) AS q
+         |  FROM m),
+         |s1 AS (
+         |  SELECT media_id,
+         |    list_transform(range(0, 256), j ->
+         |      list_sum(list_transform(range(0, 32), y ->
+         |        CAST(ct.t[CAST((j // 32) * 32 + y + 1 AS INT)] AS BIGINT)
+         |          * q[CAST(y * 32 + (j % 32) + 1 AS INT)]))) AS mm
+         |  FROM px CROSS JOIN ct),
+         |s2 AS (
+         |  SELECT media_id,
+         |    list_transform(range(0, 64), i ->
+         |      list_sum(list_transform(range(0, 32), x ->
+         |        CAST(ct.t[CAST((i % 8) * 32 + x + 1 AS INT)] AS BIGINT)
+         |          * mm[CAST((i // 8) * 32 + x + 1 AS INT)]))) AS f
+         |  FROM s1 CROSS JOIN ct),
+         |md AS (SELECT media_id, f, list_sort(f[2:64])[32] AS med FROM s2),
+         |bits AS (
+         |  SELECT media_id,
+         |    CAST(list_sum(list_transform(range(1, 32), b ->
+         |      CASE WHEN f[CAST(b + 1 AS INT)] > med
+         |        THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)) AS BIGINT) AS lo,
+         |    CAST(list_sum(list_transform(range(32, 64), b ->
+         |      CASE WHEN f[CAST(b + 1 AS INT)] > med
+         |        THEN (CAST(1 AS BIGINT) << CAST(b - 32 AS INT)) ELSE 0 END)) AS BIGINT) AS hi
+         |  FROM md)
+         |SELECT media_id,
+         |  CASE WHEN hi >= 2147483648 THEN (hi - 4294967296) * 4294967296 + lo
+         |       ELSE hi * 4294967296 + lo END AS dcthash
+         |FROM bits ORDER BY media_id""".stripMargin
+    },
     // committed-snapshot content parity bracketing a compaction, with
     // the log invariants (duplicate window unobservable through the
     // manifest, version advanced to a disjoint file generation) pinned

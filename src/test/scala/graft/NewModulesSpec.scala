@@ -236,6 +236,88 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.dhashStub(edited) != d0)
   }
 
+  test("dctHash: invariances and the crop-tolerance step up over dHash") {
+    // pseudo-random per-pixel texture over a smooth gradient — the
+    // image shape where the two hashes genuinely differ: dHash reads
+    // local gradients (texture-dominated), the DCT hash reads the 8×8
+    // low-frequency block (gradient-dominated)
+    def tex(x: Int, y: Int): Int = {
+      var h = (x * 2654435761L) ^ (y * 2246822519L) ^ ((x * y + 7) * 40503L)
+      h ^= (h >>> 13); h *= 0x9E3779B97F4A7C15L; h ^= (h >>> 29)
+      (h % 21).toInt.abs - 10
+    }
+    def plane(h: Int): Array[Byte] = {
+      val out = new Array[Byte](16 * h)
+      for (y <- 0 until h; x <- 0 until 16) {
+        val low = 110 + (60 * y) / h + (30 * x) / 16
+        out(y * 16 + x) = math.max(0, math.min(245, low + tex(x, y))).toByte
+      }
+      out
+    }
+    def hd(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val orig = plane(32)
+    val dct0 = Multimodal.dctHashStub(orig)
+    val dh0 = Multimodal.dhashStub(orig)
+    // DC bit is never set — brightness lives there alone
+    assert((dct0 & 1L) == 0L)
+    // uniform brightness shift: EXACTLY invariant (the shift moves only
+    // the excluded DC coefficient up to the table's sub-pixel floor
+    // error, far below any AC coefficient's distance from the median)
+    val bright = orig.map(b => ((b & 0xFF) + 10).toByte)
+    assert(hd(dct0, Multimodal.dctHashStub(bright)) == 0)
+    // crop tolerance — THE robustness step dHash lacks. One plane row
+    // cropped: the DCT hash stays inside the banded radius (≤ 3, still
+    // caught by dctNearDuplicates) while dHash already leaves it; two
+    // rows cropped: dHash scatters ~20 bits, the DCT hash a third of
+    // that (measured 2/4 and 6/19 on this fixture — pinned with slack).
+    val crop1 = orig.drop(16)
+    val dctC1 = hd(dct0, Multimodal.dctHashStub(crop1))
+    val dhC1 = hd(dh0, Multimodal.dhashStub(crop1))
+    assert(dctC1 <= 3, s"1-row crop moved the DCT hash $dctC1 bits — outside the band")
+    assert(dhC1 > 3, s"premise: dHash should leave the radius-3 band, moved $dhC1")
+    val crop2 = orig.drop(32)
+    val dctC2 = hd(dct0, Multimodal.dctHashStub(crop2))
+    val dhC2 = hd(dh0, Multimodal.dhashStub(crop2))
+    assert(dctC2 <= 8 && dhC2 >= 12 && 2 * dctC2 < dhC2,
+      s"2-row crop: dct=$dctC2 dhash=$dhC2 — crop tolerance inverted")
+    // inversion is content change, not noise: the hash must separate it
+    assert(hd(dct0, Multimodal.dctHashStub(orig.map(b => (255 - (b & 0xFF)).toByte))) > 32)
+    // degenerate payloads: all-zero plane → all coefficients 0, median
+    // 0, no strict exceedance → signature 0, never a throw
+    assert(Multimodal.dctHashStub(null) == 0L)
+    assert(Multimodal.dctHashStub(Array.empty[Byte]) == 0L)
+  }
+
+  test("dctNearDuplicates: banded pairs equal exact hamming truth") {
+    import spark.implicits._
+    // the textured plane from the invariance test: its 1-row crop is a
+    // genuine near-duplicate in DCT space (hamming ≤ 3) that dHash
+    // already misses — exactly the pair this detector exists for
+    def tex(x: Int, y: Int): Int = {
+      var h = (x * 2654435761L) ^ (y * 2246822519L) ^ ((x * y + 7) * 40503L)
+      h ^= (h >>> 13); h *= 0x9E3779B97F4A7C15L; h ^= (h >>> 29)
+      (h % 21).toInt.abs - 10
+    }
+    val base = Array.tabulate(16 * 32) { i =>
+      val x = i % 16; val y = i / 16
+      val low = 110 + (60 * y) / 32 + (30 * x) / 16
+      math.max(0, math.min(245, low + tex(x, y))).toByte
+    }
+    val near = base.drop(16) // 1-row crop
+    val far = base.map(b => (255 - (b & 0xFF)).toByte)
+    val rows = Seq((1L, base), (2L, near), (3L, far))
+    val df = rows.toDF("media_id", "payload")
+    val pairs = Multimodal.dctNearDuplicates(df, maxHamming = 3)
+      .orderBy("id_a", "id_b").collect()
+    val sigs = rows.map { case (id, p) => id -> Multimodal.dctHashStub(p) }.toMap
+    val truth = (for {
+      a <- rows.map(_._1); b <- rows.map(_._1) if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 3
+    } yield (a, b, h)).sorted
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq == truth)
+    assert(truth.nonEmpty, "premise: the 1-byte perturbation must stay near in DCT space")
+  }
+
   test("phashNearDuplicates: banded pairs equal exact hamming truth") {
     import spark.implicits._
     // payloads: base plane, a 1-byte perturbation (small hamming), and a
