@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators — A10 `filter_by_count`
@@ -354,6 +354,139 @@ object Dedup {
         call_function("jaccard_sorted", col("sh_new"), col("sh_old")))
       .filter(col("jaccard") >= threshold)
       .select("id_new", "id_old", "jaccard")
+  }
+
+  /** Handle to a MinHash index persisted on disk ([[minhashWriteIndex]]):
+    * the banded frame lives as parquet PARTITIONED BY (band, pbucket =
+    * pmod(band_hash, hashBuckets)), so a probe plans its scan by
+    * partition-pruning to only the (band, bucket) directories its own
+    * band hashes land in — the corpus index is never fully read, let
+    * alone shuffled. The parameters ride in a meta file written LAST
+    * (write-temp + rename, the [[Layout]] commit discipline) so a
+    * half-written index is never openable.
+    */
+  final case class PersistedMinhashIndex(
+      path: String, k: Int, numHashes: Int, bands: Int, hashBuckets: Int)
+
+  private def indexMetaPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_index_meta.txt")
+
+  /** Persist `index` under `path` (banded/ partitioned by (band,
+    * pbucket), shingled/ keyed by id). `append = true` adds a delta
+    * batch to an EXISTING index (same parameters required — they are
+    * re-read from the meta file): the union-on-disk maintenance step a
+    * nightly crawl runs instead of rebuilding the corpus index.
+    */
+  def minhashWriteIndex(index: MinhashIndex, path: String,
+      hashBuckets: Int = 16, append: Boolean = false): PersistedMinhashIndex = {
+    require(hashBuckets >= 1)
+    val spark = index.banded.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val mode = if (append) "append" else "overwrite"
+    val buckets =
+      if (append) {
+        val existing = minhashOpenIndex(spark, path)
+        require(existing.k == index.k && existing.numHashes == index.numHashes &&
+          existing.bands == index.bands,
+          s"minhashWriteIndex append: parameter mismatch with $path " +
+          s"(existing k=${existing.k}/h=${existing.numHashes}/b=${existing.bands})")
+        existing.hashBuckets
+      } else hashBuckets
+    index.banded
+      .withColumn("pbucket", pmod(col("band_hash"), lit(buckets.toLong)))
+      .write.mode(mode).partitionBy("band", "pbucket")
+      .parquet(s"$path/banded")
+    index.shingled.write.mode(mode).parquet(s"$path/shingled")
+    if (!append) {
+      // meta LAST = the commit marker; write-temp + rename
+      val tmp = new org.apache.hadoop.fs.Path(
+        path, s"._meta-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, false)
+      try out.write(s"${index.k}\t${index.numHashes}\t${index.bands}\t$buckets\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!fs.rename(tmp, indexMetaPath(path)))
+        throw new java.io.IOException(s"index meta commit failed under $path")
+    }
+    PersistedMinhashIndex(path, index.k, index.numHashes, index.bands, buckets)
+  }
+
+  /** Open a persisted index (meta must exist — the commit marker). */
+  def minhashOpenIndex(spark: SparkSession, path: String): PersistedMinhashIndex = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val mp = indexMetaPath(path)
+    require(fs.exists(mp), s"no committed minhash index under $path")
+    val in = fs.open(mp)
+    val line =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    val f = line.split("\t")
+    PersistedMinhashIndex(path, f(0).toInt, f(1).toInt, f(2).toInt, f(3).toInt)
+  }
+
+  /** Append a new batch to a persisted index: the same shingle/band
+    * pipeline over the delta only, written in append mode — the
+    * existing corpus partitions are untouched (a delta writes only into
+    * the (band, bucket) directories its rows land in).
+    */
+  def minhashExtendIndex(newDf: DataFrame, idCol: String, textCol: String,
+      pidx: PersistedMinhashIndex): Unit = {
+    val delta = minhashBuildIndex(newDf, idCol, textCol,
+      pidx.k, pidx.numHashes, pidx.bands)
+    minhashWriteIndex(delta, pidx.path, pidx.hashBuckets, append = true): Unit
+  }
+
+  /** The (band, pbucket) partitions a probe batch can possibly collide
+    * with — bounded by bands × hashBuckets (128 at the defaults), a
+    * planning-time list of the same class as a pruned file listing.
+    */
+  private[graft] def probeBandBuckets(newDf: DataFrame, idCol: String,
+      textCol: String, pidx: PersistedMinhashIndex): Seq[(Int, Long)] = {
+    graft.plans.GraftExtensions.register(newDf.sparkSession)
+    newDf.select(
+      posexplode(HashKernels.minhashBandBucketsUdf(
+        pidx.numHashes, pidx.bands)(
+        HashKernels.hashedShinglesUdf(pidx.k)(col(textCol)))))
+      .select(col("pos").as("band"),
+        pmod(col("col"), lit(pidx.hashBuckets.toLong)).as("pbucket"))
+      .distinct().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq.sorted
+  }
+
+  /** The banded frame of a persisted index restricted to the probe's
+    * possible partitions — the predicate is on the PARTITION COLUMNS,
+    * so Spark prunes directories at scan planning (DedupSpec measures
+    * the skipped files).
+    */
+  private[graft] def prunedBandedRead(spark: SparkSession,
+      pidx: PersistedMinhashIndex, buckets: Seq[(Int, Long)]): DataFrame = {
+    val full = spark.read.parquet(s"${pidx.path}/banded")
+    if (buckets.isEmpty) full.filter(lit(false))
+    else full.filter(
+      buckets.map { case (b, p) =>
+        col("band") === lit(b) && col("pbucket") === lit(p)
+      }.reduce(_ || _))
+  }
+
+  /** [[minhashProbe]] against an ON-DISK index: plan the banded scan
+    * over only the probe's matching (band, bucket) partitions, then run
+    * the identical candidate/verify pipeline — row-for-row equal to the
+    * in-memory probe by construction (pruned partitions cannot satisfy
+    * the (band, band_hash) equi-join, so pruning loses nothing).
+    */
+  def minhashProbePersisted(newDf: DataFrame, idCol: String, textCol: String,
+      pidx: PersistedMinhashIndex,
+      threshold: Double = 0.7, minBandMatches: Int = 1): DataFrame = {
+    val spark = newDf.sparkSession
+    val banded = prunedBandedRead(spark, pidx,
+      probeBandBuckets(newDf, idCol, textCol, pidx))
+      .select(col("band"), col("band_hash"), col("id"), col("n"))
+    val shingled = spark.read.parquet(s"${pidx.path}/shingled")
+    minhashProbe(newDf, idCol, textCol,
+      MinhashIndex(banded, shingled, pidx.k, pidx.numHashes, pidx.bands),
+      threshold, minBandMatches)
   }
 
   /** Incremental ingest filter: the rows of `newDf` that are NOT

@@ -88,6 +88,11 @@ object GoldenGate {
     "q_incremental_dedup" -> Map(
       "sf0.001" -> -3614380921660295881L,
       "sf0.01" -> 7807773766077415880L),
+    // the probe THROUGH the persisted (band, bucket)-partitioned index;
+    // paths_equal pins on-disk == in-memory row for row
+    "q_dedup_index_persist" -> Map(
+      "sf0.001" -> -5573654698542180147L,
+      "sf0.01" -> 4017603715062287948L),
     // driver-deterministic k-means cells + exact within-cell pairs
     "q_semantic_dedup" -> Map(
       "sf0.001" -> -1100432165491027870L,

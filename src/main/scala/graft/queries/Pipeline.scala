@@ -257,6 +257,36 @@ object Pipeline {
         .orderBy(col("id_new"), col("id_old"))
     }),
 
+    // The same index+probe THROUGH DISK: the band index persisted as a
+    // parquet table partitioned by (band, hash-bucket), the probe
+    // planning its scan over only its matching partitions (a daily
+    // increment against a 100 TB corpus index reads a sliver of it,
+    // never shuffles it). The on-disk probe must equal the in-memory
+    // probe row for row — enforced in-query via the paths_equal column
+    // (any divergence flips every row's hash against the golden pin);
+    // DedupSpec holds the measured partition-skipping evidence and the
+    // incremental append==rebuild parity.
+    "q_dedup_index_persist" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val even = docs.filter(col("doc_id") % 2 === 0)
+      val odd = docs.filter(col("doc_id") % 2 === 1)
+      val idx = Dedup.minhashBuildIndex(even, "doc_id", "text",
+        k = 3, numHashes = 40, bands = 8)
+      val pidx = Dedup.minhashWriteIndex(idx,
+        ScaleDomain.scratch(s, "mhidx", dir), hashBuckets = 16)
+      val mem = Dedup.minhashProbe(odd, "doc_id", "text", idx,
+        threshold = 0.7, minBandMatches = 2)
+        .select(col("id_new"), col("id_old"),
+          round(col("jaccard"), 6).as("jaccard"))
+      val disk = Dedup.minhashProbePersisted(odd, "doc_id", "text", pidx,
+        threshold = 0.7, minBandMatches = 2)
+        .select(col("id_new"), col("id_old"),
+          round(col("jaccard"), 6).as("jaccard")).localCheckpoint()
+      val equal = mem.exceptAll(disk).isEmpty && disk.exceptAll(mem).isEmpty
+      disk.withColumn("paths_equal", lit(equal))
+        .orderBy(col("id_new"), col("id_old"))
+    }),
+
     // Winnowed-fingerprint shared-substring pairs (MOSS scheme): documents
     // sharing any substring of length >= window+k-1 = 19 chars. The
     // synthetic corpus is heavily templated (63% of doc pairs share >=2

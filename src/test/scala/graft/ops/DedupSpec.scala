@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -114,6 +115,83 @@ class DedupSpec extends AnyFunSuite {
     assert(r(1L) == 2) // ids 1 and 4 share text; representative = 1
     assert(!r.contains(4L))
     assert(r(2L) == 1 && r(3L) == 1 && r(5L) == 1)
+  }
+
+  private def mkCorpus(n: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val body = s"the quick brown fox number ${i / 2} jumps over the lazy dog " +
+        s"and then walks through the long templated boilerplate passage " +
+        s"shared by both twins of pair ${i / 2}"
+      // odd twin differs by one word — a genuine near-duplicate of its even twin
+      (i.toLong, if (i % 2 == 0) body else body + " extra")
+    }.toDF("doc_id", "text")
+  }
+
+  test("persisted minhash index: disk probe == memory probe; partitions skipped; commit marker") {
+    val corpus = mkCorpus(30)
+    val even = corpus.filter(col("doc_id") % 2 === 0)
+    val odd = corpus.filter(col("doc_id") % 2 === 1)
+    val idx = Dedup.minhashBuildIndex(even, "doc_id", "text",
+      k = 3, numHashes = 40, bands = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft_mhidx").toString
+    val pidx = Dedup.minhashWriteIndex(idx, path, hashBuckets = 16)
+    assert(pidx == Dedup.minhashOpenIndex(spark, path))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_new", "id_old").as[(Long, Long)].collect().toSet
+    val mem = pairs(Dedup.minhashProbe(odd, "doc_id", "text", idx, 0.7, 2))
+    val disk = pairs(Dedup.minhashProbePersisted(odd, "doc_id", "text", pidx, 0.7, 2))
+    assert(mem.nonEmpty, "premise: the twin pairs must be found at all")
+    assert(disk == mem, "on-disk probe diverged from the in-memory probe")
+    // measured partition skipping: a single-doc probe plans a scan over
+    // only its own (band, bucket) partitions
+    val one = odd.limit(1)
+    val buckets = Dedup.probeBandBuckets(one, "doc_id", "text", pidx)
+    assert(buckets.size <= 8, s"one doc → ≤ bands partitions, got ${buckets.size}")
+    // inputFiles ignores partition pruning — read the EXECUTED scan's
+    // numFiles metric (the files the planner actually selected)
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.sum
+    }
+    val prunedFiles = scannedFiles(Dedup.prunedBandedRead(spark, pidx, buckets))
+    val totalFiles = scannedFiles(spark.read.parquet(s"$path/banded"))
+    assert(prunedFiles < totalFiles,
+      s"probe scan planned $prunedFiles of $totalFiles files — nothing skipped")
+    assert(prunedFiles > 0)
+    // a directory without the meta commit marker is not an index
+    val raw = java.nio.file.Files.createTempDirectory("graft_mhidx_raw").toString
+    intercept[IllegalArgumentException](Dedup.minhashOpenIndex(spark, raw))
+    // appends must match the committed parameters
+    val wrong = Dedup.minhashBuildIndex(even, "doc_id", "text",
+      k = 5, numHashes = 40, bands = 8)
+    intercept[IllegalArgumentException](
+      Dedup.minhashWriteIndex(wrong, path, append = true))
+  }
+
+  test("persisted minhash index: incremental append == full rebuild") {
+    val corpus = mkCorpus(40)
+    val batch1 = corpus.filter(col("doc_id") % 2 === 0 && col("doc_id") < 20)
+    val batch2 = corpus.filter(col("doc_id") % 2 === 0 && col("doc_id") >= 20)
+    val probe = corpus.filter(col("doc_id") % 2 === 1)
+    val path = java.nio.file.Files.createTempDirectory("graft_mhidx_inc").toString
+    val pidx = Dedup.minhashWriteIndex(
+      Dedup.minhashBuildIndex(batch1, "doc_id", "text", k = 3, numHashes = 40, bands = 8),
+      path, hashBuckets = 16)
+    Dedup.minhashExtendIndex(batch2, "doc_id", "text", pidx)
+    val rebuilt = Dedup.minhashBuildIndex(
+      batch1.unionByName(batch2), "doc_id", "text", k = 3, numHashes = 40, bands = 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_new", "id_old").as[(Long, Long)].collect().toSet
+    val viaDisk = pairs(Dedup.minhashProbePersisted(probe, "doc_id", "text", pidx, 0.7, 2))
+    val viaRebuild = pairs(Dedup.minhashProbe(probe, "doc_id", "text", rebuilt, 0.7, 2))
+    assert(viaRebuild.nonEmpty && viaDisk == viaRebuild,
+      "append-maintained on-disk index diverged from a full rebuild")
+    // the probe finds twins from BOTH generations of the index
+    assert(viaDisk.exists(_._2 < 20) && viaDisk.exists(_._2 >= 20))
   }
 
   test("hammingNearDuplicates64 widens blocking past radius 3: recall stays exactly 1.0") {
