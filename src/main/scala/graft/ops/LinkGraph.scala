@@ -388,8 +388,17 @@ object LinkGraph {
     else base.join(snap.withColumnRenamed("lbl", "lbl_snap"), "node")
   }
 
+  /** `init`: warm-start rank frame (node, rank) — yesterday's fixed
+    * point, so an incremental re-rank needs fewer rounds to settle.
+    * Nodes absent from `init` (today's new domains) start at the cold
+    * uniform mass. The recurrence reads nothing but the current rank
+    * vector, so warm-starting from round k's output for j rounds is
+    * BIT-IDENTICAL to cold-starting k+j rounds (LinkGraphSpec pins it;
+    * q_pagerank_warm gates it against the unrolled oracle).
+    */
   def pageRank(edges: DataFrame, iters: Int = 5,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L,
+      init: Option[DataFrame] = None): DataFrame = {
     // materialized once: e is consumed by every round (and nodes/outw
     // derive from it) — without truncation each round would re-derive
     // the caller's whole edge pipeline (extraction, joins, UDFs)
@@ -401,7 +410,15 @@ object LinkGraph {
     val n = nodes.count()
     require(n > 0, "pageRank: empty edge set")
     val base = (15L * scale) / (100L * n) // floor, non-negative
-    var ranks = nodes.withColumn("rank", lit(scale / n))
+    var ranks = init match {
+      case None => nodes.withColumn("rank", lit(scale / n))
+      case Some(w0) => nodes
+        .join(w0.select(col(w0.columns(0)).as("node"),
+          col(w0.columns(1)).cast("long").as("rank")), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("rank"), lit(scale / n)).as("rank"))
+        .localCheckpoint()
+    }
     for (_ <- 1 to iters) {
       // floor(rank·w / outw) via the exact identity
       //   (rank div outw)·w + ((rank mod outw)·w) div outw
@@ -503,9 +520,15 @@ object LinkGraph {
     * Per round: the same edge⋈rank shuffle + dst-keyed sum as
     * PageRank, plus the broadcast 1-row dangling total; the teleport
     * weights ride the node frame. Output: (node, tw, rank).
+    *
+    * `init`: warm-start rank frame (node, rank) — same contract as
+    * [[pageRank]]'s: round-k output + j warm rounds == k+j cold rounds
+    * bit for bit; nodes missing from `init` start at their cold
+    * teleport share.
     */
   def personalizedPageRank(edges: DataFrame, teleport: DataFrame,
-      iters: Int = 5, scale: Long = 1000000000000L): DataFrame = {
+      iters: Int = 5, scale: Long = 1000000000000L,
+      init: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, "personalizedPageRank: iters must be >= 1")
     require((15L * scale) % 100L == 0,
       "personalizedPageRank: 15*scale must be divisible by 100 for an exact teleport base")
@@ -530,9 +553,15 @@ object LinkGraph {
     // floor(x·tw/W) via the exact identity, constants precomputed
     def share(x: Long): Column =
       lit(x / bigW) * col("tw") + expr(s"((${x % bigW}L) * tw) div ${bigW}L")
-    var ranks = flagged
-      .select(col("node"), col("tw"), share(scale).as("rank"))
-      .localCheckpoint()
+    var ranks = (init match {
+      case None => flagged.select(col("node"), col("tw"), share(scale).as("rank"))
+      case Some(w0) => flagged
+        .join(w0.select(col(w0.columns(0)).as("node"),
+          col(w0.columns(w0.columns.length - 1)).cast("long").as("r0")),
+          Seq("node"), "left")
+        .select(col("node"), col("tw"),
+          coalesce(col("r0"), share(scale)).as("rank"))
+    }).localCheckpoint()
     for (_ <- 1 to iters) {
       val contribs = e.join(ranks, e("src") === ranks("node"))
         .join(outw, "src")

@@ -264,6 +264,20 @@ object Links {
       LinkGraph.pageRank(edgesDf(s, dir), iters = 5)
         .orderBy(col("node"))),
 
+    // Warm-started PageRank: run 2 cold rounds, MATERIALIZE that state
+    // (pageRank's per-round localCheckpoint), then warm-start 3 more
+    // rounds from it — the incremental re-rank a daily crawl runs
+    // instead of starting from uniform mass. The recurrence reads only
+    // the current rank vector, so warm(k → j) == cold(k+j) bit for bit:
+    // the oracle is the SAME unrolled 5-round chain as q_pagerank
+    // (whose r2 CTE is exactly the materialized round-k seed), and any
+    // warm-start drift hash-breaks every row.
+    "q_pagerank_warm" -> ((s, dir) => {
+      val roundK = LinkGraph.pageRank(edgesDf(s, dir), iters = 2)
+      LinkGraph.pageRank(edgesDf(s, dir), iters = 3, init = Some(roundK))
+        .orderBy(col("node"))
+    }),
+
     // Connected components of the (undirected) domain graph by 8
     // rounds of min-label propagation, per node, with (a) the ROUND-1
     // label alongside the final one — the partial-propagation state is
@@ -929,6 +943,11 @@ object Links {
             |  ']}' AS wat_json
             |FROM hb ORDER BY doc_id""".stripMargin),
       "q_pagerank" ->
+        (s"WITH ${Web.urlCte},\n${Web.normCte},\n$linksCte,\n" +
+          pageRankSql(5)),
+      // warm(2 → 3) == cold(5): the r2 materialized CTE in the same
+      // unrolled chain IS the round-k seed state
+      "q_pagerank_warm" ->
         (s"WITH ${Web.urlCte},\n${Web.normCte},\n$linksCte,\n" +
           pageRankSql(5)),
       "q_link_components" ->

@@ -230,6 +230,33 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(ppr == tr, s"ppr=$ppr tr=$tr")
   }
 
+  test("warm-start: round-k output + j warm rounds == k+j cold rounds, bit for bit") {
+    import spark.implicits._
+    // a graph with a dangling sink (D) so the re-teleport leg is live
+    val edges = Seq(
+      ("A", "B", 1L), ("B", "C", 2L), ("C", "A", 1L),
+      ("A", "D", 3L), ("B", "A", 1L)).toDF("src", "dst", "w")
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.select("node", "rank").as[(String, Long)].collect().sortBy(_._1).toSeq
+    for ((k, j) <- Seq((1, 1), (2, 3), (3, 2))) {
+      val cold = LinkGraph.pageRank(edges, iters = k + j)
+      val warm = LinkGraph.pageRank(edges, iters = j,
+        init = Some(LinkGraph.pageRank(edges, iters = k)))
+      assert(ranks(warm) == ranks(cold), s"pageRank warm($k -> $j) != cold(${k + j})")
+    }
+    // PPR: same contract through the weighted-teleport recurrence
+    val tel = Seq(("A", 3L), ("C", 1L)).toDF("node", "w")
+    val coldP = LinkGraph.personalizedPageRank(edges, tel, iters = 5)
+    val warmP = LinkGraph.personalizedPageRank(edges, tel, iters = 3,
+      init = Some(LinkGraph.personalizedPageRank(edges, tel, iters = 2)))
+    assert(ranks(warmP) == ranks(coldP), "PPR warm(2 -> 3) != cold(5)")
+    // a node missing from init starts at its cold share: warm-starting
+    // from an EMPTY init frame is exactly a cold start
+    val emptyInit = Seq.empty[(String, Long)].toDF("node", "rank")
+    assert(ranks(LinkGraph.pageRank(edges, iters = 2, init = Some(emptyInit))) ==
+      ranks(LinkGraph.pageRank(edges, iters = 2)))
+  }
+
   test("personalizedPageRank: teleport weight skews mass; round-1 hand-check") {
     // X and Y both dangle (no out-edges beyond the teleport pair), so
     // round 1 is pure teleport + dangling re-teleport: with weights
