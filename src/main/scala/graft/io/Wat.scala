@@ -19,24 +19,30 @@ import org.apache.spark.sql.functions._
 object Wat {
 
   /** JSON string escaper: backslash and quote (the structural pair),
-    * then the three control characters anchor text can realistically
-    * carry (tab, LF, CR — RFC 8259 requires them escaped; unescaped
-    * they make the record unparseable and a PERMISSIVE from_json
-    * silently drops it). The remaining C0 controls are exotic in
-    * extracted anchors and are NORMALIZED AWAY rather than escaped —
-    * documented lossy, never invalid. Order matters: the backslash
-    * fold must run first or it would double-escape the others.
+    * then tab/LF/CR with their short escapes, then EVERY remaining C0
+    * control as `\u00XX` (RFC 8259 §7 requires all of U+0000–U+001F
+    * escaped; unescaped they make the record unparseable, and a
+    * PERMISSIVE from_json silently drops it). Byte-faithful: a hostile
+    * anchor carrying \x01 round-trips through the sidecar losslessly —
+    * WatSpec pins write → from_json == original. Order matters: the
+    * backslash fold must run first or it would double-escape the
+    * others; the per-character folds are pure built-in `replace`s, so
+    * the layout stays engine-stable and oracle-restatable.
     */
-  private def esc(c: Column): Column =
-    regexp_replace(
-      replace(replace(replace(replace(replace(
-        c,
-        lit("\\"), lit("\\\\")),
-        lit("\""), lit("\\\"")),
-        lit("\t"), lit("\\t")),
-        lit("\n"), lit("\\n")),
-        lit("\r"), lit("\\r")),
-      "[\\x00-\\x1f]", "")
+  private def esc(c: Column): Column = {
+    val shortEscaped = replace(replace(replace(replace(replace(
+      c,
+      lit("\\"), lit("\\\\")),
+      lit("\""), lit("\\\"")),
+      lit("\t"), lit("\\t")),
+      lit("\n"), lit("\\n")),
+      lit("\r"), lit("\\r"))
+    // the 29 C0 controls without a short escape -> \u00XX
+    (0x00 to 0x1f).filterNot(Set(0x09, 0x0a, 0x0d)).foldLeft(shortEscaped) {
+      (acc, cp) =>
+        replace(acc, lit(cp.toChar.toString), lit(f"\\u$cp%04x"))
+    }
+  }
 
   /** `{"envelope":{"status":S,"content_type":"CT","content_length":N},
     *   "links":[{"href":"H","text":"T"},...]}`

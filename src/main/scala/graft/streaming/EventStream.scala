@@ -119,6 +119,25 @@ object EventStream {
       .filter(length(col("extracted")) > 0)
       .select(col("record_id"), col("url_norm"), col("extracted"))
 
+  /** WAT metadata rows for a crawl batch — the sidecar leg of the
+    * capstone, shared verbatim with the batch q_wat_pipeline
+    * discipline: HTTP split + charset decode, outlink/anchor pairs,
+    * and the pinned-layout JSON envelope ([[graft.io.Wat.payload]]).
+    * Map-only, so safe per micro-batch; write the result through
+    * [[graft.io.Warc.write]] (warcType = "metadata") for a real
+    * per-batch WAT archive.
+    */
+  def crawlWat(records: DataFrame): DataFrame =
+    records
+      .withColumn("r", graft.io.Http.split(col("payload")))
+      .withColumn("html", graft.io.Http.decodeBody(
+        col("r.body"), col("r.headers")("content-type")))
+      .select(col("record_id"), col("target_uri").as("uri"),
+        graft.io.Wat.payload(col("r.status"),
+          col("r.headers")("content-type"), octet_length(col("r.body")),
+          graft.ops.LinkGraph.pairHrefs(col("html")),
+          graft.ops.LinkGraph.pairTexts(col("html"))).as("wat_json"))
+
   /** Batch twin of one ingest round: extract, keep the FIRST record per
     * canonical URL (min record_id — crawl ids are monotone with crawl
     * order, the same nondecreasing-arrival contract the temporal twins
@@ -161,12 +180,20 @@ object EventStream {
     * the sink's URL set (or the keyed index table) as
     * `corpusUrlIndex`, which is also what the fleet-scale shape does
     * anyway.
+    *
+    * `onWat` (optional) receives the batch's WAT metadata rows
+    * ([[crawlWat]]) for the SURVIVING records only — the sidecar
+    * mirrors the deduped corpus, so a re-crawl's metadata is dropped
+    * with its page and the accumulated sidecar equals the batch twin's
+    * (PipelineStreamingSpec pins stream == batch over ≥3 micro-batches
+    * including a re-crawl drop).
     */
   def crawlIngest(
       spark: SparkSession,
       dir: String,
       checkpoint: String,
-      corpusUrlIndex: DataFrame)(
+      corpusUrlIndex: DataFrame,
+      onWat: DataFrame => Unit = _ => ())(
       onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions.input_file_name
     var index = corpusUrlIndex
@@ -183,6 +210,8 @@ object EventStream {
           if (!recs.isEmpty) {
             val survivors = crawlSurvivorsBatch(recs, index).localCheckpoint()
             onBatch(survivors)
+            onWat(crawlWat(recs)
+              .join(survivors.select(col("record_id")), Seq("record_id"), "left_semi"))
             index = index
               .unionByName(survivors.select(col("url_norm")))
               .distinct().localCheckpoint()

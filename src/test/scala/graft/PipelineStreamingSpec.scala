@@ -456,10 +456,29 @@ class PipelineStreamingSpec extends AnyFunSuite {
       .crawlSurvivorsBatch(allRecs, corpusIndex)
       .as[(String, String, String)].collect().toSet
 
+    // batch twin of the WAT sidecar: metadata rows for the batch
+    // survivors only (the sidecar mirrors the deduped corpus)
+    val batchWat = graft.streaming.EventStream.crawlWat(allRecs)
+      .join(graft.streaming.EventStream.crawlSurvivorsBatch(allRecs, corpusIndex)
+        .select(col("record_id")), Seq("record_id"), "left_semi")
+      .as[(String, String, String)].collect().toSet
+
     val ckpt = Files.createTempDirectory("crawl_ckpt")
+    val watRoot = Files.createTempDirectory("crawl_wat").toString
     val perBatch = new java.util.concurrent.ConcurrentLinkedQueue[Set[(String, String, String)]]()
+    val watBatches = new java.util.concurrent.atomic.AtomicInteger(0)
     val q = graft.streaming.EventStream.crawlIngest(
-      spark, drop.toString, ckpt.toString, corpusIndex) { survivors =>
+      spark, drop.toString, ckpt.toString, corpusIndex,
+      onWat = { wat =>
+        // a REAL per-batch WAT archive, not just a frame in flight
+        // (unwrap the crawl record id — the metadata writer re-wraps)
+        import org.apache.spark.sql.functions.regexp_extract
+        val n = watBatches.getAndIncrement()
+        Warc.write(wat.select(
+          regexp_extract(col("record_id"), "<urn:graft:([^>]+)>", 1).as("id"),
+          col("uri"), col("wat_json")),
+          s"$watRoot/batch-$n", memberGzip = true, warcType = "metadata")
+      }) { survivors =>
       perBatch.add(survivors.select("record_id", "url_norm", "extracted")
         .as[(String, String, String)].collect().toSet)
     }
@@ -485,6 +504,32 @@ class PipelineStreamingSpec extends AnyFunSuite {
       // charset leg is live: the utf-8 and cp1252 spellings of café both
       // decoded correctly in whichever batch won
       assert(streamed.exists(_._3.contains("café")))
+
+      // WAT sidecar leg: every batch with survivors wrote a real
+      // metadata archive; their union (re-read from disk, so the
+      // archives are proven consumable) equals the batch twin, and the
+      // re-crawls' metadata was dropped with their pages
+      import org.apache.spark.sql.functions.{decode, regexp_extract}
+      assert(watBatches.get() >= 3, s"expected >=3 WAT archives, got ${watBatches.get()}")
+      val streamedWat = (0 until watBatches.get()).flatMap { i =>
+        Warc.read(spark, s"$watRoot/batch-$i")
+          .select(
+            regexp_extract(col("record_id"), "<urn:graft:meta:([^>]+)>", 1).as("id"),
+            col("target_uri"), decode(col("payload"), "UTF-8").as("wat_json"),
+            col("refers_to"))
+          .as[(String, String, String, String)].collect()
+      }.toSet
+      val expectWat = batchWat.map { case (rid, uri, json) =>
+        (rid.stripPrefix("<urn:graft:").stripSuffix(">"), uri, json)
+      }
+      assert(streamedWat.map(t => (t._1, t._2, t._3)) == expectWat,
+        "accumulated per-batch WAT sidecar != batch twin")
+      assert(streamedWat.map(_._1) == Set("r01", "r02", "r14", "r23"),
+        "WAT sidecar must mirror the deduped corpus exactly")
+      // every metadata record points back at its page record
+      assert(streamedWat.forall(t => t._4 == s"<urn:graft:${t._1}>"))
+      // the envelope JSON is live content, not a stub
+      assert(streamedWat.forall(_._3.startsWith("{\"envelope\":{\"status\":200")))
     } finally q.stop()
   }
 

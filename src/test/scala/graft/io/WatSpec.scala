@@ -51,13 +51,24 @@ class WatSpec extends AnyFunSuite {
     assert(roundTrip(hostile) == hostile)
   }
 
-  test("tab/LF/CR in anchor text escape and round-trip; exotic C0 normalize away") {
+  test("tab/LF/CR in anchor text escape and round-trip; exotic C0 escape losslessly") {
     val ws = Seq(("https://a/1", "tab\there"), ("https://a/2", "line\nbreak"),
       ("https://a/3", "car\rreturn"))
     assert(roundTrip(ws) == ws)
-    // an exotic control (0x01) is normalized out, never emitted raw
-    val got = roundTrip(Seq(("https://a/4", "a\u0001b")))
-    assert(got == Seq(("https://a/4", "ab")))
+    // every exotic C0 control is \u00XX-escaped, BYTE-FAITHFUL: the
+    // sidecar must agree with a raw-byte extractor, not normalize
+    val exotic = (0x00 to 0x1f).filterNot(Set(0x09, 0x0a, 0x0d)).map { cp =>
+      (s"https://a/$cp", s"a${cp.toChar}b")
+    }
+    assert(roundTrip(exotic) == exotic)
+    // and the escape is the RFC 8259 spelling, visible in the raw JSON
+    val raw = Seq((Seq("https://a/4"), Seq("ab")))
+      .toDF("hrefs", "texts")
+      .select(Wat.payload(lit(200), lit("text/html"), lit(10L),
+        col("hrefs"), col("texts")).as("j"))
+      .as[String].collect().head
+    assert(raw.contains("a\\u0001b"), raw)
+    assert(!raw.exists(c => c < ' '), "raw control leaked into the JSON")
   }
 
   test("envelope fields survive alongside hostile links") {
