@@ -39,16 +39,32 @@ object DriftProbe {
     names.foreach { name =>
       val fn = SparkEntry.rawQueries.getOrElse(name,
         sys.error(s"unknown query $name"))
-      val times = (1 to reps).map { _ =>
+      val runs = (1 to reps).map { _ =>
+        SubTimings.reset(name)
         val t0 = System.nanoTime()
         fn(spark, dir).count()
-        (System.nanoTime() - t0) / 1e9
+        val total = (System.nanoTime() - t0) / 1e9
+        (total, SubTimings.get(name))
       }
+      val times = runs.map(_._1)
       val sorted = times.sorted
       println(s"DRIFT $name " + times.map(t => f"$t%.2f").mkString(" "))
       println(f"DRIFT $name min ${sorted.head}%.2f " +
         f"median ${sorted(reps / 2)}%.2f max ${sorted.last}%.2f " +
         f"tail_mean ${times.drop(reps / 2).sum / (reps - reps / 2)}%.2f")
+      // fixture-writing queries: per-stage bands (write vs plan), so the
+      // drift attribution lands on the stage that actually moved
+      val stages = runs.flatMap(_._2.keys).distinct.sorted
+      stages.foreach { st =>
+        val vals = runs.map(r => r._2.getOrElse(st, 0.0))
+        println(f"DRIFT $name stage $st min ${vals.min}%.2f max ${vals.max}%.2f " +
+          vals.map(v => f"$v%.2f").mkString(" "))
+      }
+      if (stages.nonEmpty) {
+        val rest = runs.map(r => math.max(0.0, r._1 - r._2.values.sum))
+        println(f"DRIFT $name stage rest min ${rest.min}%.2f max ${rest.max}%.2f " +
+          rest.map(v => f"$v%.2f").mkString(" "))
+      }
     }
     spark.stop()
   }

@@ -399,14 +399,19 @@ object Dedup {
       .parquet(s"$path/banded")
     index.shingled.write.mode(mode).parquet(s"$path/shingled")
     if (!append) {
-      // meta LAST = the commit marker; write-temp + rename
+      // meta LAST = the commit marker; write-temp + rename. A full
+      // rewrite REPLACES the index: the stale marker is dropped first
+      // (rename refuses to clobber), mirroring the overwrite that just
+      // replaced the data underneath it.
       val tmp = new org.apache.hadoop.fs.Path(
         path, s"._meta-${java.util.UUID.randomUUID().toString.take(8)}")
       val out = fs.create(tmp, false)
       try out.write(s"${index.k}\t${index.numHashes}\t${index.bands}\t$buckets\n"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      if (!fs.rename(tmp, indexMetaPath(path)))
+      val meta = indexMetaPath(path)
+      if (fs.exists(meta)) fs.delete(meta, false)
+      if (!fs.rename(tmp, meta))
         throw new java.io.IOException(s"index meta commit failed under $path")
     }
     PersistedMinhashIndex(path, index.k, index.numHashes, index.bands, buckets)

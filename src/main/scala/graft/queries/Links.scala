@@ -186,7 +186,9 @@ object Links {
           graft.io.Http.encodeResponseCol(lit(200),
             lit("text/html; charset=utf-8"), col("html"), lit("utf-8"),
             lit(null).cast("string")).as("payload"))
-      graft.io.Warc.write(pages, s"$base/warc", memberGzip = true)
+      graft.SubTimings.time("q_wat_pipeline", "archive_write") {
+        graft.io.Warc.write(pages, s"$base/warc", memberGzip = true)
+      }
       val wat = graft.io.Warc.read(s, s"$base/warc", splitSize = 8192)
         .withColumn("r", graft.io.Http.split(col("payload")))
         .withColumn("html", graft.io.Http.decodeBody(
@@ -198,8 +200,10 @@ object Links {
             col("r.headers")("content-type"), octet_length(col("r.body")),
             LinkGraph.pairHrefs(col("html")),
             LinkGraph.pairTexts(col("html"))).as("wat_json"))
-      graft.io.Warc.write(wat, s"$base/wat", memberGzip = true,
-        warcType = "metadata")
+      graft.SubTimings.time("q_wat_pipeline", "archive_write") {
+        graft.io.Warc.write(wat, s"$base/wat", memberGzip = true,
+          warcType = "metadata")
+      }
       graft.io.Warc.read(s, s"$base/wat", splitSize = 8192)
         .select(regexp_extract(col("record_id"), "<urn:graft:meta:([0-9]+)>", 1)
           .cast("long").as("doc_id"),
@@ -225,7 +229,9 @@ object Links {
           graft.io.Http.encodeResponseCol(lit(200),
             lit("text/html; charset=utf-8"), col("html"), lit("utf-8"),
             lit(null).cast("string")).as("payload"))
-      graft.io.Warc.write(pages, s"$base/warc", memberGzip = true)
+      graft.SubTimings.time("q_wat_consume", "archive_write") {
+        graft.io.Warc.write(pages, s"$base/warc", memberGzip = true)
+      }
       val wat = graft.io.Warc.read(s, s"$base/warc", splitSize = 8192)
         .withColumn("r", graft.io.Http.split(col("payload")))
         .withColumn("html", graft.io.Http.decodeBody(
@@ -237,8 +243,10 @@ object Links {
             col("r.headers")("content-type"), octet_length(col("r.body")),
             LinkGraph.pairHrefs(col("html")),
             LinkGraph.pairTexts(col("html"))).as("wat_json"))
-      graft.io.Warc.write(wat, s"$base/wat", memberGzip = true,
-        warcType = "metadata")
+      graft.SubTimings.time("q_wat_consume", "archive_write") {
+        graft.io.Warc.write(wat, s"$base/wat", memberGzip = true,
+          warcType = "metadata")
+      }
       val watSchema = "struct<envelope: struct<status: int, " +
         "content_type: string, content_length: bigint>, " +
         "links: array<struct<href: string, text: string>>>"

@@ -272,8 +272,10 @@ object Pipeline {
       val odd = docs.filter(col("doc_id") % 2 === 1)
       val idx = Dedup.minhashBuildIndex(even, "doc_id", "text",
         k = 3, numHashes = 40, bands = 8)
-      val pidx = Dedup.minhashWriteIndex(idx,
-        ScaleDomain.scratch(s, "mhidx", dir), hashBuckets = 16)
+      val pidx = graft.SubTimings.time("q_dedup_index_persist", "index_write") {
+        Dedup.minhashWriteIndex(idx,
+          ScaleDomain.scratch(s, "mhidx", dir), hashBuckets = 16)
+      }
       val mem = Dedup.minhashProbe(odd, "doc_id", "text", idx,
         threshold = 0.7, minBandMatches = 2)
         .select(col("id_new"), col("id_old"),

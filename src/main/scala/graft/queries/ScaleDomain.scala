@@ -99,8 +99,9 @@ object ScaleDomain {
     // the ORIGINAL table: content parity proves the layout is lossless.
     "q_partition_prune" -> ((s, dir) => {
       val path = scratch(s, "part", dir)
-      val reread = Scale.writePartitioned(
-        Tables(s, dir, "documents"), path, "lang", "doc_id")
+      val reread = graft.SubTimings.time("q_partition_prune", "fixture_write") {
+        Scale.writePartitioned(Tables(s, dir, "documents"), path, "lang", "doc_id")
+      }
       reread.filter(col("lang") === "en")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
@@ -121,7 +122,9 @@ object ScaleDomain {
         concat(lit("http://"), col("source"), lit(".example/doc/"),
           col("doc_id")).as("uri"),
         col("text"))
-      graft.io.Warc.write(docs, path)
+      graft.SubTimings.time("q_warc_roundtrip", "archive_write") {
+        graft.io.Warc.write(docs, path)
+      }
       graft.io.Warc.read(s, path, splitSize = 8192)
         .select(regexp_extract(col("target_uri"),
           "http://([a-z0-9]+)\\.example", 1).as("source"),
@@ -146,7 +149,9 @@ object ScaleDomain {
         concat(lit("http://"), col("source"), lit(".example/doc/"),
           col("doc_id")).as("uri"),
         col("text"))
-      graft.io.Warc.write(docs, path, memberGzip = true)
+      graft.SubTimings.time("q_warc_gz_roundtrip", "archive_write") {
+        graft.io.Warc.write(docs, path, memberGzip = true)
+      }
       graft.io.Warc.read(s, path, splitSize = 8192)
         .select(regexp_extract(col("target_uri"),
           "http://([a-z0-9]+)\\.example", 1).as("source"),
@@ -174,7 +179,9 @@ object ScaleDomain {
         concat(lit("http://"), col("source"), lit(".example/doc/"),
           col("doc_id")).as("uri"),
         col("text"))
-      val cdx = graft.io.Warc.writeWithCdx(docs, path, memberGzip = true)
+      val cdx = graft.SubTimings.time("q_warc_cdx_fetch", "archive_write") {
+        graft.io.Warc.writeWithCdx(docs, path, memberGzip = true)
+      }
       val wanted = cdx.filter(
         regexp_extract(col("record_id"), "<urn:graft:([0-9]+)>", 1)
           .cast("long") % 7 === 3)
@@ -205,7 +212,9 @@ object ScaleDomain {
           graft.io.Http.encodeResponseCol(lit(200),
             lit("text/html; charset=utf-8"), col("html"), lit("utf-8"),
             lit(null).cast("string")).as("payload"))
-      graft.io.Warc.write(pages, s"$base/warc", memberGzip = true)
+      graft.SubTimings.time("q_wet_pipeline", "archive_write") {
+        graft.io.Warc.write(pages, s"$base/warc", memberGzip = true)
+      }
       val ext = graft.io.Warc.read(s, s"$base/warc", splitSize = 8192)
         .withColumn("r", graft.io.Http.split(col("payload")))
         .select(
@@ -213,8 +222,10 @@ object ScaleDomain {
           col("target_uri").as("uri"),
           graft.ops.HtmlExtract.extract(graft.io.Http.decodeBody(
             col("r.body"), col("r.headers")("content-type"))).as("wet_text"))
-      graft.io.Warc.write(ext, s"$base/wet", memberGzip = true,
-        warcType = "conversion")
+      graft.SubTimings.time("q_wet_pipeline", "archive_write") {
+        graft.io.Warc.write(ext, s"$base/wet", memberGzip = true,
+          warcType = "conversion")
+      }
       graft.io.Warc.read(s, s"$base/wet", splitSize = 8192)
         .select(regexp_extract(col("record_id"), "<urn:graft:conv:([0-9]+)>", 1)
           .cast("long").as("doc_id"),
@@ -243,7 +254,9 @@ object ScaleDomain {
         rpad(substring(col("text"), 1, W), W, "X").as("seq"),
         concat_ws("", transform(sequence(lit(1), lit(W)),
           p => chr(lit(33) + pmod(col("doc_id") + p, lit(40))))).as("qual"))
-      graft.io.Fastq.write(reads.repartition(4), path)
+      graft.SubTimings.time("q_fastq_roundtrip", "fixture_write") {
+        graft.io.Fastq.write(reads.repartition(4), path)
+      }
       graft.io.Fastq.read(s, path, splitSize = 512)
         .orderBy(col("read_id"))
     }),
@@ -413,7 +426,9 @@ object ScaleDomain {
       val key = Layout.zorderKey(Seq(
         Layout.gridCell(col("l_partkey"), 0, 20000, 10),
         Layout.gridCell(col("l_suppkey"), 0, 1000, 10)), 10)
-      Layout.writeClustered(li, path, key, nFiles = 16)
+      graft.SubTimings.time("q_layout_cluster", "fixture_write") {
+        Layout.writeClustered(li, path, key, nFiles = 16)
+      }
         .filter(col("l_partkey").between(10, 150) &&
           col("l_suppkey").between(1, 7))
         .groupBy(col("l_returnflag"))
@@ -436,7 +451,9 @@ object ScaleDomain {
       val key = Layout.zorderKey(Seq(
         Layout.gridCell(col("l_partkey"), 0, 20000, 10),
         Layout.gridCell(col("l_suppkey"), 0, 1000, 10)), 10)
-      val reread = Layout.writeClustered(li, path, key, nFiles = 16)
+      val reread = graft.SubTimings.time("q_manifest_prune", "fixture_write") {
+        Layout.writeClustered(li, path, key, nFiles = 16)
+      }
       val (_, _, pruned) = Layout.prunedRead(reread,
         Seq(("l_partkey", 10, 150), ("l_suppkey", 1, 7)))
       pruned.groupBy(col("l_returnflag"))
@@ -463,7 +480,9 @@ object ScaleDomain {
       val key = Layout.zorderKey(Seq(
         Layout.gridCell(col("l_partkey"), 0, 20000, 10),
         Layout.gridCell(col("l_suppkey"), 0, 1000, 10)), 10)
-      Layout.writeClustered(li, path, key, nFiles = 16)
+      graft.SubTimings.time("q_compact_files", "fixture_write") {
+        Layout.writeClustered(li, path, key, nFiles = 16)
+      }
       // target derived from the MEASURED candidate bytes (totalBytes/4 →
       // ~4 outputs from 16 shards at every SF), not a fixed byte size: a
       // hardcoded 1 MiB target would EXPAND the file count once the
@@ -473,9 +492,11 @@ object ScaleDomain {
       val totalBytes = fs.listStatus(dirP)
         .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
         .map(_.getLen).sum
-      val stats = Layout.compactFiles(s, path, "cluster_key",
-        minFileBytes = 64L * 1024 * 1024,
-        targetFileBytes = math.max(1L, totalBytes / 4))
+      val stats = graft.SubTimings.time("q_compact_files", "compact") {
+        Layout.compactFiles(s, path, "cluster_key",
+          minFileBytes = 64L * 1024 * 1024,
+          targetFileBytes = math.max(1L, totalBytes / 4))
+      }
       val reread = s.read.parquet(path)
       // rebuilt manifest (bounded by shard count): rewritten files must
       // carry pairwise-disjoint cluster-key boxes or pruning degrades
@@ -513,7 +534,9 @@ object ScaleDomain {
       val key = Layout.zorderKey(Seq(
         Layout.gridCell(col("l_partkey"), 0, 20000, 10),
         Layout.gridCell(col("l_suppkey"), 0, 1000, 10)), 10)
-      Layout.writeClustered(li, path, key, nFiles = 16)
+      graft.SubTimings.time("q_manifest_commit", "fixture_write") {
+        Layout.writeClustered(li, path, key, nFiles = 16): Unit
+      }
       val v1 = Layout.latestSnapshot(s, path).get
       val nRows = v1.totalRows
       // inject the in-flight duplicate a concurrent lister would see
@@ -527,9 +550,11 @@ object ScaleDomain {
       fs.delete(stray, false)
       val windowUnobservable =
         rawRows == nRows + first.rows && committedRows == nRows
-      Layout.compactFiles(s, path, "cluster_key",
-        minFileBytes = 64L * 1024 * 1024,
-        targetFileBytes = math.max(1L, v1.files.map(_.bytes).sum / 4))
+      graft.SubTimings.time("q_manifest_commit", "compact") {
+        Layout.compactFiles(s, path, "cluster_key",
+          minFileBytes = 64L * 1024 * 1024,
+          targetFileBytes = math.max(1L, v1.files.map(_.bytes).sum / 4)): Unit
+      }
       val v2 = Layout.latestSnapshot(s, path).get
       val versionsAdvanced = v2.version == v1.version + 1 &&
         v2.files.map(_.name).toSet.intersect(v1.files.map(_.name).toSet).isEmpty

@@ -170,6 +170,12 @@ class DedupSpec extends AnyFunSuite {
       k = 5, numHashes = 40, bands = 8)
     intercept[IllegalArgumentException](
       Dedup.minhashWriteIndex(wrong, path, append = true))
+    // a non-append write REPLACES an existing index (the bench reruns
+    // each query in one session — a rewrite must not trip on its own
+    // stale commit marker)
+    val pidx2 = Dedup.minhashWriteIndex(idx, path, hashBuckets = 16)
+    assert(pidx2 == Dedup.minhashOpenIndex(spark, path))
+    assert(pairs(Dedup.minhashProbePersisted(odd, "doc_id", "text", pidx2, 0.7, 2)) == mem)
   }
 
   test("persisted minhash index: incremental append == full rebuild") {
