@@ -186,7 +186,9 @@ object Layout {
     * outputs RANGE-PARTITIONED AND SORTED on the cluster key (so the
     * rewritten files keep disjoint key boxes and the manifest stays as
     * prunable as the original clustered write), and commit by moving
-    * the rewritten files in before deleting the originals.
+    * the rewritten files in; on a committed table the originals are
+    * then only logically deleted (see below), on a raw directory they
+    * are dropped immediately.
     *
     * Scale shape: the listing is bounded by shard count; only the
     * small files are ever read or shuffled (one repartitionByRange of
@@ -219,7 +221,17 @@ object Layout {
     val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
     def dataFiles() = fs.listStatus(dirPath)
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-    val before = dataFiles()
+    // on a COMMITTED table, plan the compaction from the snapshot's file
+    // list, never the raw directory — a directory listing would resurrect
+    // uncommitted orphans (a failed append's moved-in files) into the
+    // next snapshot. Raw directories (no log) keep the listing behavior.
+    val committed = latestSnapshot(spark, path).filter(_.keyName == keyName)
+    val before = committed match {
+      case Some(snap) =>
+        val names = snap.files.map(_.name).toSet
+        dataFiles().filter(st => names.contains(st.getPath.getName))
+      case None => dataFiles()
+    }
     val small0 = before.filter(_.getLen < minFileBytes)
     val candidates = keyRange match {
       case None => small0
@@ -286,9 +298,20 @@ object Layout {
       commitSnapshot(spark, path, TableSnapshot(
         prev.map(_.version).getOrElse(0L) + 1, keyName, carried ++ movedEntries))
     }
-    candidates.foreach(st => fs.delete(st.getPath, false))
+    // physical deletion: on a COMMITTED table the compacted originals
+    // are only LOGICALLY deleted (absent from snapshot N+1) — they stay
+    // on disk for readers still planning older snapshots, and [[vacuum]]
+    // removes them once the retention horizon passes. That is what makes
+    // [[readVersion]] time travel sound across compactions. Raw
+    // directories (no log) have no old-snapshot readers to protect, so
+    // the originals are dropped immediately as before.
+    if (!(commit && committed.isDefined))
+      candidates.foreach(st => fs.delete(st.getPath, false))
     fs.delete(tmp, true)
-    CompactionStats(before.length, candidates.length, dataFiles().length,
+    val nAfter =
+      if (committed.isDefined) before.length - candidates.length + movedNames.length
+      else dataFiles().length
+    CompactionStats(before.length, candidates.length, nAfter.toLong,
       nRows, nRowsAfter)
   }
 
@@ -432,6 +455,104 @@ object Layout {
       if (kept.isEmpty) readSnapshot(spark, path, snap).filter(lit(false))
       else spark.read.parquet(kept.map(f => s"$path/${f.name}"): _*).filter(residual)
     (kept.map(_.name), snap.files.size.toLong, df)
+  }
+
+  /** Read `path` as of a specific committed version — time travel.
+    * Fails loudly if that snapshot file was vacuumed or never existed.
+    */
+  def readVersion(spark: SparkSession, path: String, version: Long): DataFrame = {
+    val fs = fsOf(spark, path)
+    val p = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path, ManifestDir), snapshotName(version))
+    require(fs.exists(p),
+      s"no snapshot v$version under $path — never committed, or vacuumed " +
+      "past the retention horizon")
+    val in = fs.open(p)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = txt.split("\n").filter(_.nonEmpty)
+    require(lines.nonEmpty && lines(0) == SnapshotMagic, s"unrecognized snapshot $p")
+    val files = lines.drop(2).toIndexedSeq.map { l =>
+      val f = l.split("\t", -1)
+      SnapshotFile(f(0), f(1).toLong, f(2).toLong, f(3).toLong, f(4).toLong)
+    }
+    readSnapshot(spark, path, TableSnapshot(version, lines(1).stripPrefix("key="), files))
+  }
+
+  /** Committed APPEND — the micro-batch ingest step: write `df` (keyed
+    * by `key`, sorted, `nFiles` shards) into a hidden staging dir, move
+    * the new files in under fresh names, then commit snapshot N+1 =
+    * snapshot N's entries + the new files' entries. Readers on snapshot
+    * N never see the batch; the moment the commit renames in, they see
+    * all of it. The existing table is NEVER read, shuffled, or
+    * rewritten — cost ∝ the batch, the property that makes a thousand
+    * appends/day viable until [[compactFiles]] folds the smalls.
+    * Requires an existing committed table (create with
+    * [[writeClustered]]); refuses a key-name mismatch.
+    */
+  def appendClustered(df: DataFrame, path: String, key: Column,
+      nFiles: Int): TableSnapshot = {
+    val spark = df.sparkSession
+    val prev = latestSnapshot(spark, path).getOrElse(throw new IllegalStateException(
+      s"appendClustered: no committed table under $path — create it with writeClustered"))
+    val keyName = prev.keyName
+    val fs = fsOf(spark, path)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.append-$token")
+    df.withColumn(keyName, key)
+      .repartitionByRange(nFiles, col(keyName))
+      .sortWithinPartitions(keyName)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val staged = fs.listStatus(tmp)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    val moved = staged.zipWithIndex.map { case (st, i) =>
+      val target = new org.apache.hadoop.fs.Path(
+        s"$path/part-append-$token-$i${suffixOf(st.getPath.getName)}")
+      if (!fs.rename(st.getPath, target))
+        throw new java.io.IOException(s"append rename ${st.getPath} -> $target failed")
+      target.getName
+    }.toIndexedSeq
+    fs.delete(tmp, true)
+    val snap = TableSnapshot(prev.version + 1, keyName,
+      prev.files ++ snapshotEntries(spark, path, keyName, moved))
+    commitSnapshot(spark, path, snap)
+    snap
+  }
+
+  /** Retention vacuum: delete snapshot files older than the newest
+    * `keepVersions`, then delete every data file referenced by NO
+    * retained snapshot (compaction/append leftovers whose readers have
+    * had `keepVersions` commits to finish). The latest snapshot's files
+    * are always retained by construction; `keepVersions >= 1` enforced.
+    * Returns (snapshots removed, data files removed). The standard
+    * table-format answer to "the originals were deleted under my
+    * snapshot": hold fewer than `keepVersions` commits' worth of
+    * staleness and the plan never breaks.
+    */
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int): (Int, Int) = {
+    require(keepVersions >= 1, "vacuum: keepVersions must be >= 1")
+    val fs = fsOf(spark, path)
+    val mdir = new org.apache.hadoop.fs.Path(path, ManifestDir)
+    if (!fs.exists(mdir)) return (0, 0)
+    val versions = fs.listStatus(mdir)
+      .flatMap(st => versionOf(st.getPath.getName).map(_ -> st.getPath))
+      .sortBy(-_._1)
+    val (kept, dropped) = versions.splitAt(keepVersions)
+    // referenced = union of file lists across RETAINED snapshots
+    val referenced = kept.flatMap { case (_, p) =>
+      val in = fs.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.split("\n").filter(_.nonEmpty).drop(2).map(_.split("\t", -1)(0))
+    }.toSet
+    val orphans = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-") &&
+        !referenced.contains(st.getPath.getName))
+    orphans.foreach(st => fs.delete(st.getPath, false))
+    dropped.foreach { case (_, p) => fs.delete(p, false) }
+    (dropped.length, orphans.length)
   }
 
   /** Per-file snapshot entries for `names` (relative to `path`): one

@@ -497,7 +497,10 @@ object ScaleDomain {
           minFileBytes = 64L * 1024 * 1024,
           targetFileBytes = math.max(1L, totalBytes / 4))
       }
-      val reread = s.read.parquet(path)
+      // read through the LOG: the compacted originals are only logically
+      // deleted (older snapshots may still be read) — a raw directory
+      // read would see both generations
+      val reread = Layout.readCommitted(s, path)
       // rebuilt manifest (bounded by shard count): rewritten files must
       // carry pairwise-disjoint cluster-key boxes or pruning degrades
       val boxes = Layout.fileManifest(reread, Seq("cluster_key"))
@@ -513,6 +516,66 @@ object ScaleDomain {
         .withColumn("files_reduced", lit(stats.filesReduced))
         .withColumn("rows_preserved", lit(stats.rowsPreserved))
         .withColumn("boxes_disjoint", lit(disjoint))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // The committed-table LIFECYCLE end-to-end: lineitem arrives as four
+    // disjoint hash batches — batch 0 creates the table (v1), three
+    // appendClustered micro-batches commit v2..v4 touching ONLY their
+    // own files, compaction folds the smalls into v5 with the originals
+    // only LOGICALLY deleted (time travel to v2 still answers,
+    // raw-directory count exceeds the committed count — the both-
+    // generations window the log hides), then vacuum(keep=1) physically
+    // reclaims the old generation and snapshots, after which the raw
+    // directory agrees with the log again. The aggregate runs over the
+    // post-vacuum committed read; the oracle recomputes it from pristine
+    // lineitem (the four batches partition the table) with every
+    // lifecycle invariant identity-pinned.
+    "q_manifest_append" -> ((s, dir) => {
+      val path = scratch(s, "mappend", dir)
+      val li = Tables(s, dir, "lineitem")
+      val key = Layout.zorderKey(Seq(
+        Layout.gridCell(col("l_partkey"), 0, 20000, 10),
+        Layout.gridCell(col("l_suppkey"), 0, 1000, 10)), 10)
+      def batch(i: Int) = li.filter(
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(4L)) === i)
+      val counts = (0 to 3).map(i => batch(i).count())
+      graft.SubTimings.time("q_manifest_append", "fixture_write") {
+        Layout.writeClustered(batch(0), path, key, nFiles = 4): Unit
+        (1 to 3).foreach(i => Layout.appendClustered(batch(i), path, key, nFiles = 4))
+      }
+      val v4 = Layout.latestSnapshot(s, path).get
+      val timeTravelOk =
+        Layout.readVersion(s, path, 2).count() == counts(0) + counts(1) &&
+        Layout.readVersion(s, path, 4).count() == counts.sum
+      val stats = graft.SubTimings.time("q_manifest_append", "compact") {
+        Layout.compactFiles(s, path, "cluster_key",
+          minFileBytes = 64L * 1024 * 1024,
+          targetFileBytes = math.max(1L, v4.files.map(_.bytes).sum / 4))
+      }
+      val rawDuringWindow = s.read.parquet(path).count()
+      val committedAfterCompact = Layout.readCommitted(s, path).count()
+      val windowHidden = rawDuringWindow > counts.sum &&
+        committedAfterCompact == counts.sum &&
+        Layout.readVersion(s, path, 2).count() == counts(0) + counts(1)
+      val (snapsDropped, filesDropped) = Layout.vacuum(s, path, keepVersions = 1)
+      val vacuumOk = snapsDropped == 4 &&
+        filesDropped.toLong == stats.nSmallRewritten &&
+        s.read.parquet(path).count() == counts.sum &&
+        (try { Layout.readVersion(s, path, 2); false }
+         catch { case _: IllegalArgumentException => true })
+      val versionsOk = v4.version == 4L &&
+        Layout.latestSnapshot(s, path).get.version == 5L &&
+        stats.filesReduced && stats.rowsPreserved
+      Layout.readCommitted(s, path)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("sum_qty"))
+        .withColumn("versions_ok", lit(versionsOk))
+        .withColumn("time_travel_ok", lit(timeTravelOk))
+        .withColumn("window_hidden", lit(windowHidden))
+        .withColumn("vacuum_ok", lit(vacuumOk))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -952,6 +1015,15 @@ object ScaleDomain {
       """SELECT l_returnflag, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  true AS window_unobservable, true AS versions_advanced
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // lifecycle parity: the four appended hash batches partition
+    // lineitem, so the post-vacuum committed read must aggregate to the
+    // pristine table; every lifecycle invariant is identity-pinned
+    "q_manifest_append" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  true AS versions_ok, true AS time_travel_ok,
+        |  true AS window_hidden, true AS vacuum_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

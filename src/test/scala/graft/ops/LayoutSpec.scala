@@ -195,8 +195,10 @@ class LayoutSpec extends AnyFunSuite {
     assert(stats.filesReduced && stats.nFilesAfter <= 5)
     assert(stats.rowsPreserved && stats.nRowsRewritten == n)
 
-    // content parity after the rewrite
-    val post = spark.read.parquet(dir)
+    // content parity after the rewrite — through the log (the compacted
+    // originals are only logically deleted; a raw read sees both
+    // generations until vacuum)
+    val post = Layout.readCommitted(spark, dir)
     assert(post.count() == n)
     assert(post.select("id", "x", "y").exceptAll(base).isEmpty &&
       base.exceptAll(post.select("id", "x", "y")).isEmpty)
@@ -281,7 +283,7 @@ class LayoutSpec extends AnyFunSuite {
     assert(stats.nSmallRewritten >= 2 && stats.nSmallRewritten < 8)
     assert(stats.nFilesAfter == 8 - stats.nSmallRewritten + 1)
     assert(stats.rowsPreserved)
-    val post = spark.read.parquet(dir)
+    val post = Layout.readCommitted(spark, dir)
     assert(post.count() == 8000)
     assert(post.select("id", "x", "y").exceptAll(base).isEmpty)
     // fewer than 2 candidates -> no-op with the shard census intact
@@ -389,6 +391,89 @@ class LayoutSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toMap
     assert(got.size == 100 && got(5L) == "patched5" &&
       got(100L) == "new100" && !got.contains(7L))
+  }
+
+  test("appendClustered + time travel + vacuum: the full committed-table lifecycle") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mlife").toString
+    val key = pmod(col("id"), lit(64L))
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id"), (col("id") * 3 % 997).as("v"))
+    Layout.writeClustered(batch(0, 1000), dir, key, nFiles = 4) // v1
+    val s2 = Layout.appendClustered(batch(1000, 2000), dir, key, nFiles = 4) // v2
+    val s3 = Layout.appendClustered(batch(2000, 3000), dir, key, nFiles = 4) // v3
+    assert(s2.version == 2L && s3.version == 3L)
+    // append cost ∝ batch: v2's entries are carried into v3 untouched
+    assert(s2.files.map(_.name).toSet.subsetOf(s3.files.map(_.name).toSet))
+    assert(s3.files.size == s2.files.size + 4)
+    assert(Layout.readCommitted(spark, dir).count() == 3000L)
+    // time travel: each version is the table as of that commit
+    assert(Layout.readVersion(spark, dir, 1).count() == 1000L)
+    assert(Layout.readVersion(spark, dir, 2).count() == 2000L)
+    assert(Layout.readVersion(spark, dir, 2)
+      .agg(max(col("id"))).head().getLong(0) == 1999L)
+
+    // compaction folds the smalls into v4 — LOGICAL delete only: the
+    // originals stay on disk, so time travel through v1..v3 still works
+    val totalBytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length()).sum
+    val stats = Layout.compactFiles(spark, dir, "cluster_key",
+      minFileBytes = 64L * 1024 * 1024, targetFileBytes = totalBytes / 3 + 1)
+    assert(stats.filesReduced && stats.rowsPreserved)
+    assert(Layout.latestSnapshot(spark, dir).get.version == 4L)
+    assert(Layout.readCommitted(spark, dir).count() == 3000L)
+    assert(Layout.readVersion(spark, dir, 2).count() == 2000L,
+      "compaction must not break time travel before vacuum")
+    // raw directory now holds both generations; the log hides that
+    assert(spark.read.parquet(dir).count() > 3000L)
+
+    // vacuum keep-2 retains v3/v4 — v3 still references the originals,
+    // so NOTHING is physically deleted yet except v1/v2's snapshots
+    val (snapsDropped2, files2) = Layout.vacuum(spark, dir, keepVersions = 2)
+    assert(snapsDropped2 == 2 && files2 == 0)
+    intercept[IllegalArgumentException](Layout.readVersion(spark, dir, 1))
+    assert(Layout.readVersion(spark, dir, 3).count() == 3000L)
+
+    // vacuum keep-1: only v4 survives; the compacted originals become
+    // orphans and are physically removed; the latest read is unharmed
+    val (snapsDropped1, files1) = Layout.vacuum(spark, dir, keepVersions = 1)
+    assert(snapsDropped1 == 1 && files1 == stats.nSmallRewritten)
+    intercept[IllegalArgumentException](Layout.readVersion(spark, dir, 3))
+    assert(Layout.readCommitted(spark, dir).count() == 3000L)
+    // and the raw directory agrees with the log again
+    assert(spark.read.parquet(dir).count() == 3000L)
+
+    // append refuses an uncommitted directory
+    val raw = java.nio.file.Files.createTempDirectory("graft_mlife_raw").toString
+    batch(0, 10).write.mode("overwrite").parquet(raw)
+    intercept[IllegalStateException](
+      Layout.appendClustered(batch(10, 20), raw, key, nFiles = 1))
+  }
+
+  test("compactFiles on a committed table ignores uncommitted orphans") {
+    // a failed append's moved-in files (present on disk, absent from the
+    // snapshot) must not be resurrected by the next compaction commit
+    val dir = java.nio.file.Files.createTempDirectory("graft_morphan").toString
+    val key = pmod(col("id"), lit(16L))
+    Layout.writeClustered(
+      spark.range(2000).select(col("id")), dir, key, nFiles = 4)
+    val first = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).minBy(_.getName)
+    val orphan = new java.io.File(dir, s"part-append-dead-0${
+      first.getName.dropWhile(_ != '.')}")
+    java.nio.file.Files.copy(first.toPath, orphan.toPath)
+    val totalBytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length()).sum
+    val stats = Layout.compactFiles(spark, dir, "cluster_key",
+      minFileBytes = 64L * 1024 * 1024, targetFileBytes = totalBytes / 2 + 1)
+    assert(stats.nSmallRewritten == 4, "orphan must not be a candidate")
+    val v2 = Layout.latestSnapshot(spark, dir).get
+    assert(!v2.files.map(_.name).contains(orphan.getName),
+      "compaction resurrected an uncommitted orphan into the snapshot")
+    assert(v2.totalRows == 2000L)
+    assert(Layout.readCommitted(spark, dir).count() == 2000L)
+    // vacuum keep-1 clears the orphan (and the logically-deleted originals)
+    Layout.vacuum(spark, dir, keepVersions = 1)
+    assert(!orphan.exists())
   }
 
   test("writeClustered is a pure permutation (content parity, key kept)") {
