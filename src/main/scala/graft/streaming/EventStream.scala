@@ -138,6 +138,28 @@ object EventStream {
           graft.ops.LinkGraph.pairHrefs(col("html")),
           graft.ops.LinkGraph.pairTexts(col("html"))).as("wat_json"))
 
+  /** foreachBatch sink into a committed clustered table
+    * ([[graft.ops.Layout]] manifest log): the first non-empty batch
+    * creates the table, every later one appends through
+    * [[graft.ops.Layout.appendClustered]] — so concurrent readers plan
+    * a consistent snapshot while the stream ingests, each batch costs
+    * only its own write, and [[graft.ops.Layout.compactFiles]] +
+    * [[graft.ops.Layout.vacuum]] run as ordinary maintenance against
+    * the same log. Empty batches commit nothing (no version churn).
+    * Exactly-once caveat (same as every foreachBatch sink here): a
+    * replayed batchId would append twice — guard with a batchId
+    * high-water mark like [[indexMaintenanceStream]] when the source
+    * can replay.
+    */
+  def sinkToCommittedTable(batchDf: DataFrame, path: String,
+      key: org.apache.spark.sql.Column, nFiles: Int): Unit = {
+    if (batchDf.isEmpty) return
+    if (graft.ops.Layout.latestSnapshot(batchDf.sparkSession, path).isEmpty)
+      graft.ops.Layout.writeClustered(batchDf, path, key, nFiles): Unit
+    else
+      graft.ops.Layout.appendClustered(batchDf, path, key, nFiles): Unit
+  }
+
   /** Batch twin of one ingest round: extract, keep the FIRST record per
     * canonical URL (min record_id — crawl ids are monotone with crawl
     * order, the same nondecreasing-arrival contract the temporal twins

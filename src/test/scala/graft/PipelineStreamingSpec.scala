@@ -481,6 +481,11 @@ class PipelineStreamingSpec extends AnyFunSuite {
       }) { survivors =>
       perBatch.add(survivors.select("record_id", "url_norm", "extracted")
         .as[(String, String, String)].collect().toSet)
+      // and sink each batch into a COMMITTED clustered table: readers
+      // get snapshot isolation while the crawl ingests
+      graft.streaming.EventStream.sinkToCommittedTable(
+        survivors, s"$watRoot/table",
+        org.apache.spark.sql.functions.xxhash64(col("url_norm")), nFiles = 1)
     }
     try {
       q.processAllAvailable()
@@ -530,6 +535,25 @@ class PipelineStreamingSpec extends AnyFunSuite {
       assert(streamedWat.forall(t => t._4 == s"<urn:graft:${t._1}>"))
       // the envelope JSON is live content, not a stub
       assert(streamedWat.forall(_._3.startsWith("{\"envelope\":{\"status\":200")))
+
+      // committed-table sink: the stream-appended table reads back equal
+      // to the batch twin THROUGH the log, one version per non-empty
+      // batch, and version 1 is exactly the first batch (time travel)
+      import graft.ops.Layout
+      val table = s"$watRoot/table"
+      val snap = Layout.latestSnapshot(spark, table).get
+      assert(snap.version == batches.count(_.nonEmpty).toLong,
+        s"one commit per non-empty batch; got v${snap.version}")
+      val tableRows = Layout.readCommitted(spark, table)
+        .select("record_id", "url_norm", "extracted")
+        .as[(String, String, String)].collect().toSet
+      assert(tableRows == batchSurvivors,
+        "committed crawl table != batch twin")
+      val firstBatch = batches.find(_.nonEmpty).get
+      assert(Layout.readVersion(spark, table, 1)
+        .select("record_id", "url_norm", "extracted")
+        .as[(String, String, String)].collect().toSet == firstBatch,
+        "snapshot v1 must be exactly the first ingested batch")
     } finally q.stop()
   }
 
