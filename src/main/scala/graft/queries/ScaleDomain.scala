@@ -540,14 +540,20 @@ object ScaleDomain {
       def batch(i: Int) = li.filter(
         pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(4L)) === i)
       val counts = (0 to 3).map(i => batch(i).count())
+      // versions are BASE-RELATIVE: the counter survives full rewrites
+      // (and the bench reruns each query in one session), so the create
+      // may land on any version — only the +1/+2/+3/+4 deltas are pinned
       graft.SubTimings.time("q_manifest_append", "fixture_write") {
         Layout.writeClustered(batch(0), path, key, nFiles = 4): Unit
+      }
+      val v0 = Layout.latestSnapshot(s, path).get.version
+      graft.SubTimings.time("q_manifest_append", "fixture_write") {
         (1 to 3).foreach(i => Layout.appendClustered(batch(i), path, key, nFiles = 4))
       }
       val v4 = Layout.latestSnapshot(s, path).get
       val timeTravelOk =
-        Layout.readVersion(s, path, 2).count() == counts(0) + counts(1) &&
-        Layout.readVersion(s, path, 4).count() == counts.sum
+        Layout.readVersion(s, path, v0 + 1).count() == counts(0) + counts(1) &&
+        Layout.readVersion(s, path, v0 + 3).count() == counts.sum
       val stats = graft.SubTimings.time("q_manifest_append", "compact") {
         Layout.compactFiles(s, path, "cluster_key",
           minFileBytes = 64L * 1024 * 1024,
@@ -557,15 +563,15 @@ object ScaleDomain {
       val committedAfterCompact = Layout.readCommitted(s, path).count()
       val windowHidden = rawDuringWindow > counts.sum &&
         committedAfterCompact == counts.sum &&
-        Layout.readVersion(s, path, 2).count() == counts(0) + counts(1)
+        Layout.readVersion(s, path, v0 + 1).count() == counts(0) + counts(1)
       val (snapsDropped, filesDropped) = Layout.vacuum(s, path, keepVersions = 1)
       val vacuumOk = snapsDropped == 4 &&
         filesDropped.toLong == stats.nSmallRewritten &&
         s.read.parquet(path).count() == counts.sum &&
-        (try { Layout.readVersion(s, path, 2); false }
+        (try { Layout.readVersion(s, path, v0 + 1); false }
          catch { case _: IllegalArgumentException => true })
-      val versionsOk = v4.version == 4L &&
-        Layout.latestSnapshot(s, path).get.version == 5L &&
+      val versionsOk = v4.version == v0 + 3 &&
+        Layout.latestSnapshot(s, path).get.version == v0 + 4 &&
         stats.filesReduced && stats.rowsPreserved
       Layout.readCommitted(s, path)
         .groupBy(col("l_returnflag"))

@@ -67,6 +67,22 @@ class EndToEndSpec extends AnyFunSuite {
     // Spark jobs concurrently — 60s flaked under load with correct code
     assert(secs < 120, s"pipeline took $secs s — far off the single-digit target")
   }
+  test("q_manifest_append reruns in one session: identical rows, invariants stay true") {
+    // the bench reruns every query in one session against the same
+    // per-app scratch path — the lifecycle query's version checks must
+    // be base-relative, not absolute, or the second run breaks
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val fn = SparkEntry.queries("q_manifest_append")
+    def run() = fn(spark, dir).collect().map(_.toSeq).toSeq
+    val first = run()
+    val second = run()
+    assert(first == second, "rerun produced different rows")
+    val boolIdx = 3 to 6 // versions_ok, time_travel_ok, window_hidden, vacuum_ok
+    assert(first.forall(r => boolIdx.forall(i => r(i) == true)),
+      s"lifecycle invariant false: $first")
+  }
+
   test("temporal family: cross-query invariants on real events data") {
     // each query is oracle-checked individually; this pins the
     // CROSS-query consistency no single oracle asserts
