@@ -385,20 +385,25 @@ object Layout {
   }
 
   /** Atomically commit `snapshot` as `path/_manifests/v<version>.txt`:
-    * write a hidden temp file, rename into place. Refuses an
-    * already-committed version — two writers racing the same version is
-    * the single-writer contract broken, and silent last-wins would lose
-    * one writer's files.
+    * write a hidden temp file fully, then publish it under the version
+    * name with an arbiter that REFUSES an existing target — losing a
+    * version race throws IllegalStateException (rewrites treat that as
+    * the single-writer contract broken and fail loudly; appends rebase
+    * and retry, see [[appendClustered]]).
+    *
+    * Arbiter: on a local filesystem the publish is a HARD LINK —
+    * link(2) is atomic and fails with EEXIST, so exactly one of two
+    * racing committers wins even in the same instant (a bare
+    * exists+rename would let the loser CLOBBER the winner on POSIX,
+    * silently unreferencing its files). On HDFS-like filesystems the
+    * fallback is exists+rename, whose rename is itself no-clobber
+    * there.
     */
   def commitSnapshot(spark: SparkSession, path: String, snapshot: TableSnapshot): Unit = {
     val fs = fsOf(spark, path)
     val mdir = new org.apache.hadoop.fs.Path(path, ManifestDir)
     fs.mkdirs(mdir)
     val target = new org.apache.hadoop.fs.Path(mdir, snapshotName(snapshot.version))
-    if (fs.exists(target))
-      throw new IllegalStateException(
-        s"snapshot v${snapshot.version} already committed under $path — " +
-        "concurrent writer detected; manifest commits are single-writer")
     val body = new StringBuilder()
     body.append(SnapshotMagic).append('\n')
     body.append("key=").append(snapshot.keyName).append('\n')
@@ -412,9 +417,33 @@ object Layout {
     val out = fs.create(tmp, false)
     try out.write(body.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (!fs.rename(tmp, target)) {
+    val local = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    if (local) {
+      val tgt = java.nio.file.Paths.get(
+        new org.apache.hadoop.fs.Path(mdir, snapshotName(snapshot.version))
+          .toUri.getPath)
+      val src = java.nio.file.Paths.get(tmp.toUri.getPath)
+      try java.nio.file.Files.createLink(tgt, src)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          fs.delete(tmp, false)
+          throw new IllegalStateException(
+            s"snapshot v${snapshot.version} already committed under $path — " +
+            "lost the commit race (appends rebase+retry; rewrites are single-writer)")
+      }
       fs.delete(tmp, false)
-      throw new java.io.IOException(s"snapshot commit rename $tmp -> $target failed")
+    } else {
+      if (fs.exists(target)) {
+        fs.delete(tmp, false)
+        throw new IllegalStateException(
+          s"snapshot v${snapshot.version} already committed under $path — " +
+          "lost the commit race (appends rebase+retry; rewrites are single-writer)")
+      }
+      if (!fs.rename(tmp, target)) {
+        fs.delete(tmp, false)
+        throw new java.io.IOException(s"snapshot commit rename $tmp -> $target failed")
+      }
     }
   }
 
@@ -490,13 +519,24 @@ object Layout {
     * appends/day viable until [[compactFiles]] folds the smalls.
     * Requires an existing committed table (create with
     * [[writeClustered]]); refuses a key-name mismatch.
+    *
+    * CONCURRENCY (optimistic, the Delta/Iceberg discipline): appends
+    * COMMUTE — two concurrent batches touch disjoint fresh files — so
+    * unlike rewrites, an append losing the version race doesn't refuse:
+    * it re-reads the winner's snapshot, rebases (winner's file list +
+    * its own already-moved files; the staged data is never rewritten)
+    * and retries the commit, up to `maxRetries` times. The atomic
+    * no-clobber rename inside [[commitSnapshot]] is the arbiter, so
+    * exactly one committer wins each version and nobody's files are
+    * lost. Rewrites (writeClustered/compactFiles) keep the loud
+    * single-writer refusal: they do NOT commute.
     */
   def appendClustered(df: DataFrame, path: String, key: Column,
-      nFiles: Int): TableSnapshot = {
+      nFiles: Int, maxRetries: Int = 10): TableSnapshot = {
     val spark = df.sparkSession
-    val prev = latestSnapshot(spark, path).getOrElse(throw new IllegalStateException(
+    val prev0 = latestSnapshot(spark, path).getOrElse(throw new IllegalStateException(
       s"appendClustered: no committed table under $path — create it with writeClustered"))
-    val keyName = prev.keyName
+    val keyName = prev0.keyName
     val fs = fsOf(spark, path)
     val token = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new org.apache.hadoop.fs.Path(s"$path/.append-$token")
@@ -514,10 +554,22 @@ object Layout {
       target.getName
     }.toIndexedSeq
     fs.delete(tmp, true)
-    val snap = TableSnapshot(prev.version + 1, keyName,
-      prev.files ++ snapshotEntries(spark, path, keyName, moved))
-    commitSnapshot(spark, path, snap)
-    snap
+    val mine = snapshotEntries(spark, path, keyName, moved)
+    var attempt = 0
+    while (true) {
+      val prev = latestSnapshot(spark, path).getOrElse(prev0)
+      require(prev.keyName == keyName,
+        s"appendClustered: table key changed underneath ($keyName -> ${prev.keyName})")
+      val snap = TableSnapshot(prev.version + 1, keyName, prev.files ++ mine)
+      try {
+        commitSnapshot(spark, path, snap)
+        return snap
+      } catch {
+        case _: IllegalStateException if attempt < maxRetries =>
+          attempt += 1 // lost the version race — rebase on the winner and retry
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Retention vacuum: delete snapshot files older than the newest

@@ -449,6 +449,43 @@ class LayoutSpec extends AnyFunSuite {
       Layout.appendClustered(batch(10, 20), raw, key, nFiles = 1))
   }
 
+  test("concurrent appends: optimistic rebase+retry loses no batch; commit race has one winner") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mocc").toString
+    val key = pmod(col("id"), lit(32L))
+    Layout.writeClustered(
+      spark.range(0, 500).select(col("id")), dir, key, nFiles = 2) // v1
+    // 4 appenders race from 4 threads; appends commute, so every one
+    // must land (rebase + retry), in SOME serial order
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val batches = (1 to 4).map(i => (i * 1000L, i * 1000L + 250L))
+    Await.result(Future.sequence(batches.map { case (lo, hi) => Future {
+      Layout.appendClustered(
+        spark.range(lo, hi).select(col("id")), dir, key, nFiles = 2)
+    }}), Duration.Inf)
+    val snap = Layout.latestSnapshot(spark, dir).get
+    assert(snap.version == 5L, s"4 appends must commit 4 versions, got v${snap.version}")
+    assert(snap.totalRows == 500L + 4 * 250L)
+    val ids = Layout.readCommitted(spark, dir)
+      .select("id").as[Long].collect().toSet
+    val expect = (0L until 500L).toSet ++
+      batches.flatMap { case (lo, hi) => lo until hi }
+    assert(ids == expect, "a racing append's batch was lost")
+
+    // the raw commit race: two threads, SAME version — exactly one wins
+    val racers = Await.result(Future.sequence((1 to 2).map { i => Future {
+      try {
+        Layout.commitSnapshot(spark, dir,
+          snap.copy(version = snap.version + 1,
+            files = snap.files.take(i))) // distinguishable bodies
+        "won"
+      } catch { case _: IllegalStateException => "lost" }
+    }}), Duration.Inf)
+    assert(racers.sorted == Seq("lost", "won"),
+      s"commit race must have exactly one winner, got $racers")
+  }
+
   test("compactFiles on a committed table ignores uncommitted orphans") {
     // a failed append's moved-in files (present on disk, absent from the
     // snapshot) must not be resurrected by the next compaction commit
