@@ -859,42 +859,59 @@ object LanguageModel {
       textCol: String,
       train: DataFrame,
       discount: Double = 0.75): DataFrame = {
-    val d = discount
-    val quintUdf = udf((text: String) => {
-      val toks = HashKernels.tokensOf(text)
-      Array.tabulate(toks.length)(i => (i,
-        if (i < 4) null else toks(i - 4),
-        if (i < 3) null else toks(i - 3),
-        if (i < 2) null else toks(i - 2),
-        if (i < 1) null else toks(i - 1),
-        toks(i)))
-    })
     val base = train.select(explode(quintUdf(col(textCol))).as("p"))
       .select(col("p._2").as("w1"), col("p._3").as("w2"),
         col("p._4").as("w3"), col("p._5").as("w4"), col("p._6").as("w5"))
       .localCheckpoint()
-    // level-1/2 statistics from bigram/trigram TYPE tables
+    // the four n-gram TYPE tables + the two Pc scalars — everything the
+    // scorer needs (and everything [[saveFivegramTables]] persists)
     val bic = base.filter(col("w4").isNotNull)
       .groupBy(col("w4"), col("w5")).agg(count(lit(1)).as("bc"))
       .localCheckpoint()
     val bt = bic.agg(count(lit(1))).head().getLong(0)
     val vsz = base.agg(countDistinct(col("w5"))).head().getLong(0)
-    val pcDen = bt + 0.5 * (vsz + 1.0)
-    val lt = bic.groupBy(col("w5")).agg(count(lit(1)).as("ltc"))
-      .withColumnRenamed("w5", "lw")
     val tic3 = base.filter(col("w3").isNotNull)
       .groupBy(col("w3"), col("w4"), col("w5")).agg(count(lit(1)).as("t3"))
       .localCheckpoint()
+    val tic4 = base.filter(col("w2").isNotNull)
+      .groupBy(col("w2"), col("w3"), col("w4"), col("w5"))
+      .agg(count(lit(1)).as("t4")).localCheckpoint()
+    val tic5 = base.filter(col("w1").isNotNull)
+      .groupBy(col("w1"), col("w2"), col("w3"), col("w4"), col("w5"))
+      .agg(count(lit(1)).as("qc")).localCheckpoint()
+    scoreFivegramFromTypeTables(docs, idCol, textCol,
+      bic, tic3, tic4, tic5, bt, vsz, discount)
+  }
+
+  private val quintUdf = udf((text: String) => {
+    val toks = HashKernels.tokensOf(text)
+    Array.tabulate(toks.length)(i => (i,
+      if (i < 4) null else toks(i - 4),
+      if (i < 3) null else toks(i - 3),
+      if (i < 2) null else toks(i - 2),
+      if (i < 1) null else toks(i - 1),
+      toks(i)))
+  })
+
+  /** The scoring core over the four n-gram TYPE tables — shared
+    * verbatim by the train-inline path ([[scoreFivegramKneserNeyJoined]])
+    * and the persisted-model path ([[scoreFivegramKneserNeyPersisted]]),
+    * so both land on the identical bits.
+    */
+  private def scoreFivegramFromTypeTables(
+      docs: DataFrame, idCol: String, textCol: String,
+      bic: DataFrame, tic3: DataFrame, tic4: DataFrame, tic5: DataFrame,
+      bt: Long, vsz: Long, discount: Double): DataFrame = {
+    val d = discount
+    val pcDen = bt + 0.5 * (vsz + 1.0)
+    val lt = bic.groupBy(col("w5")).agg(count(lit(1)).as("ltc"))
+      .withColumnRenamed("w5", "lw")
     val cb2 = tic3.groupBy(col("w4"), col("w5")).agg(count(lit(1)).as("cbc"))
       .withColumnRenamed("w4", "b4").withColumnRenamed("w5", "b5")
       .localCheckpoint()
     val cm2 = cb2.groupBy(col("b4"))
       .agg(sum(col("cbc")).as("cmc"), count(lit(1)).as("ctp"))
       .withColumnRenamed("b4", "m4")
-    // level-3 statistics from the 4-gram type table
-    val tic4 = base.filter(col("w2").isNotNull)
-      .groupBy(col("w2"), col("w3"), col("w4"), col("w5"))
-      .agg(count(lit(1)).as("t4")).localCheckpoint()
     val cb3 = tic4.groupBy(col("w3"), col("w4"), col("w5"))
       .agg(count(lit(1)).as("c3c"))
       .withColumnRenamed("w3", "e3").withColumnRenamed("w4", "e4")
@@ -903,10 +920,6 @@ object LanguageModel {
     val cm3 = cb3.groupBy(col("e3"), col("e4"))
       .agg(sum(col("c3c")).as("cm3c"), count(lit(1)).as("ct3"))
       .withColumnRenamed("e3", "f3").withColumnRenamed("e4", "f4")
-    // level-4/5 statistics from the 5-gram table
-    val tic5 = base.filter(col("w1").isNotNull)
-      .groupBy(col("w1"), col("w2"), col("w3"), col("w4"), col("w5"))
-      .agg(count(lit(1)).as("qc")).localCheckpoint()
     val ctx = tic5.groupBy(col("w1"), col("w2"), col("w3"), col("w4"))
       .agg(sum(col("qc")).as("cc"), count(lit(1)).as("nt"))
       .withColumnRenamed("w1", "c1").withColumnRenamed("w2", "c2")
@@ -984,6 +997,75 @@ object LanguageModel {
       .select(col(idCol), col("n").cast("int").as("n_tokens"),
         round(col("nanos").cast("double") / lit(1e9) / col("n").cast("double"), 6)
           .as("avg_nll"))
+  }
+
+  /** Persist the 5-gram KN model's four n-gram TYPE tables + the two Pc
+    * scalars as parquet under `path` — the KenLM-model-file analog:
+    * train ONCE over the corpus (the expensive aggregates), then score
+    * any number of batches/days from disk without touching the training
+    * text again. Tables stay distributed frames end to end; the meta
+    * file (bt, vsz) is written LAST via write-temp+rename as the commit
+    * marker, the [[graft.ops.Layout]]/[[graft.ops.Dedup]] discipline.
+    */
+  def saveFivegramTables(train: DataFrame, textCol: String, path: String): Unit = {
+    val spark = train.sparkSession
+    val base = train.select(explode(quintUdf(col(textCol))).as("p"))
+      .select(col("p._2").as("w1"), col("p._3").as("w2"),
+        col("p._4").as("w3"), col("p._5").as("w4"), col("p._6").as("w5"))
+      .localCheckpoint()
+    base.filter(col("w4").isNotNull)
+      .groupBy(col("w4"), col("w5")).agg(count(lit(1)).as("bc"))
+      .write.mode("overwrite").parquet(s"$path/bic")
+    base.filter(col("w3").isNotNull)
+      .groupBy(col("w3"), col("w4"), col("w5")).agg(count(lit(1)).as("t3"))
+      .write.mode("overwrite").parquet(s"$path/tic3")
+    base.filter(col("w2").isNotNull)
+      .groupBy(col("w2"), col("w3"), col("w4"), col("w5"))
+      .agg(count(lit(1)).as("t4"))
+      .write.mode("overwrite").parquet(s"$path/tic4")
+    base.filter(col("w1").isNotNull)
+      .groupBy(col("w1"), col("w2"), col("w3"), col("w4"), col("w5"))
+      .agg(count(lit(1)).as("qc"))
+      .write.mode("overwrite").parquet(s"$path/tic5")
+    val bt = spark.read.parquet(s"$path/bic").count()
+    val vsz = base.agg(countDistinct(col("w5"))).head().getLong(0)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(
+      path, s"._meta-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write(s"$bt\t$vsz\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val meta = new org.apache.hadoop.fs.Path(path, "_model_meta.txt")
+    if (fs.exists(meta)) fs.delete(meta, false)
+    if (!fs.rename(tmp, meta))
+      throw new java.io.IOException(s"model meta commit failed under $path")
+  }
+
+  /** Score against a model persisted by [[saveFivegramTables]]: the
+    * identical scoring core as [[scoreFivegramKneserNeyJoined]] over the
+    * on-disk tables — q_fivegram_kn_persist pins persisted == inline ==
+    * oracle on one shared hash.
+    */
+  def scoreFivegramKneserNeyPersisted(
+      docs: DataFrame, idCol: String, textCol: String,
+      path: String, discount: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val meta = new org.apache.hadoop.fs.Path(path, "_model_meta.txt")
+    require(fs.exists(meta), s"no committed 5-gram model under $path")
+    val in = fs.open(meta)
+    val line =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    val f = line.split("\t")
+    scoreFivegramFromTypeTables(docs, idCol, textCol,
+      spark.read.parquet(s"$path/bic"),
+      spark.read.parquet(s"$path/tic3"),
+      spark.read.parquet(s"$path/tic4"),
+      spark.read.parquet(s"$path/tic5"),
+      f(0).toLong, f(1).toLong, discount)
   }
 
   /** Trigram KN scoring with the model kept DISTRIBUTED — the 100 TB

@@ -1357,6 +1357,21 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // The persisted-model leg (KenLM-file analog): train tables written
+    // to parquet ONCE, scoring reads them back — must land on the same
+    // oracle hash as the inline paths, proving the model file is a
+    // lossless medium, not a near-copy.
+    "q_fivegram_kn_persist" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val path = ScaleDomain.scratch(s, "kn5", dir)
+      graft.SubTimings.time("q_fivegram_kn_persist", "model_write") {
+        graft.ops.LanguageModel.saveFivegramTables(docs, "text", path)
+      }
+      graft.ops.LanguageModel.scoreFivegramKneserNeyPersisted(
+        docs, "doc_id", "text", path)
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet head/middle/tail selection by exact perplexity terciles —
     // one broadcast cut row over the scored frame, oracle-backed.
     "q_ccnet_buckets" -> ((s, dir) =>
@@ -1841,6 +1856,7 @@ object Pipeline {
     "q_fourgram_kn_dist" -> fourgramKnOracle,
     "q_fivegram_kn" -> fivegramKnOracle,
     "q_fivegram_kn_dist" -> fivegramKnOracle,
+    "q_fivegram_kn_persist" -> fivegramKnOracle,
     "q_repetition_gopher" ->
       s"""$repGopherCtes
          |$repGopherSelect

@@ -355,6 +355,18 @@ class AssemblySpec extends AnyFunSuite {
       docs, "doc_id", "text", docs)
       .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
     assert(joined == broadcastScores && broadcastScores.nonEmpty)
+    // ... and so does scoring from the PERSISTED model tables
+    val mpath = java.nio.file.Files.createTempDirectory("graft_kn5").toString
+    LanguageModel.saveFivegramTables(docs, "text", mpath)
+    val persisted = LanguageModel.scoreFivegramKneserNeyPersisted(
+      docs, "doc_id", "text", mpath)
+      .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+    assert(persisted == broadcastScores,
+      "persisted-model scoring diverged from the inline paths")
+    // an uncommitted model dir (no meta marker) is not a model
+    val rawDir = java.nio.file.Files.createTempDirectory("graft_kn5_raw").toString
+    intercept[IllegalArgumentException](
+      LanguageModel.scoreFivegramKneserNeyPersisted(docs, "doc_id", "text", rawDir))
   }
 
   test("bigram score separates natural order from shuffled word soup") {
