@@ -519,6 +519,41 @@ object ScaleDomain {
         .orderBy(col("l_returnflag"))
     }),
 
+    // The STATS-PLANNED read: the box scan planned entirely from the
+    // persisted snapshot's per-file key ranges — one manifest fetch,
+    // ZERO data access at planning time (q_manifest_prune's planner must
+    // first scan the data to build its stats; this is the difference a
+    // table format exists for). The oracle restates the cluster key
+    // itself (gridCell float math + bit interleave, the q_zorder_key
+    // discipline) and filters the pristine table on the same box, so a
+    // green row means the persisted boxes plan exactly the right files
+    // and the residual filter loses/invents nothing. files_skipped pins
+    // that the plan actually pruned.
+    "q_committed_prune" -> ((s, dir) => {
+      val path = scratch(s, "mcprune", dir)
+      val li = Tables(s, dir, "lineitem")
+      val key = Layout.zorderKey(Seq(
+        Layout.gridCell(col("l_partkey"), 0, 20000, 10),
+        Layout.gridCell(col("l_suppkey"), 0, 1000, 10)), 10)
+      graft.SubTimings.time("q_committed_prune", "fixture_write") {
+        Layout.writeClustered(li, path, key, nFiles = 16): Unit
+      }
+      // box = [0, 10th-smallest distinct key] — data-derived so the box
+      // is a tiny slice of the ACTUAL keyspace at every SF (a fixed hi
+      // either covers everything at small SFs or nothing at large ones);
+      // the oracle derives the identical bound from the restated key
+      val hi = li.select(key.as("zkey")).distinct()
+        .orderBy(col("zkey")).limit(10)
+        .agg(max(col("zkey"))).head().getLong(0)
+      val (kept, total, pruned) = Layout.prunedCommittedRead(s, path, 0L, hi)
+      pruned.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("sum_qty"))
+        .withColumn("files_skipped", lit(kept.size < total))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // The committed-table LIFECYCLE end-to-end: lineitem arrives as four
     // disjoint hash batches — batch 0 creates the table (v1), three
     // appendClustered micro-batches commit v2..v4 touching ONLY their
@@ -1022,6 +1057,30 @@ object ScaleDomain {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  true AS window_unobservable, true AS versions_advanced
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the cluster key restated (gridCell float math in the identical
+    // association order, then the 2x10-bit interleave), the pristine
+    // table filtered on the same zkey box the snapshot planner served
+    "q_committed_prune" ->
+      """WITH k AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    least(greatest(CAST(floor((CAST(l_partkey AS DOUBLE) - 0.0)
+        |      / 20000.0 * 1024.0) AS BIGINT), 0), 1023) AS gx,
+        |    least(greatest(CAST(floor((CAST(l_suppkey AS DOUBLE) - 0.0)
+        |      / 1000.0 * 1024.0) AS BIGINT), 0), 1023) AS gy
+        |  FROM lineitem),
+        |z AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    CAST(list_sum(list_transform(range(0, 10), i ->
+        |      (((gx >> i) & 1) << (2 * i)) +
+        |      (((gy >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zkey
+        |  FROM k)
+        |SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  true AS files_skipped
+        |FROM z WHERE zkey BETWEEN 0 AND (
+        |  SELECT max(zkey) FROM (
+        |    SELECT DISTINCT zkey FROM z ORDER BY zkey LIMIT 10))
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // lifecycle parity: the four appended hash batches partition
     // lineitem, so the post-vacuum committed read must aggregate to the
     // pristine table; every lifecycle invariant is identity-pinned
