@@ -37,8 +37,11 @@ object Bench {
       }
       (times, subs.result())
     }
-    val (r1, s1) = once()
-    val (r2, s2) = once()
+    // scope the stage recordings to THIS measured run: a Verify (or any
+    // other submitter) sharing the JVM records into its own bucket and
+    // cannot contaminate these accumulated stage times
+    val ((r1, s1), (r2, s2)) =
+      SubTimings.withRun(s"bench-${System.nanoTime()}")((once(), once()))
     val results = r1.map { case (k, v) =>
       k -> (if (v < 0 || r2(k) < 0) -1.0 else math.min(v, r2(k)))
     }

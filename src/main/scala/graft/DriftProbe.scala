@@ -39,12 +39,14 @@ object DriftProbe {
     names.foreach { name =>
       val fn = SparkEntry.rawQueries.getOrElse(name,
         sys.error(s"unknown query $name"))
-      val runs = (1 to reps).map { _ =>
-        SubTimings.reset(name)
-        val t0 = System.nanoTime()
-        fn(spark, dir).count()
-        val total = (System.nanoTime() - t0) / 1e9
-        (total, SubTimings.get(name))
+      val runs = SubTimings.withRun(s"drift-${System.nanoTime()}") {
+        (1 to reps).map { _ =>
+          SubTimings.reset(name)
+          val t0 = System.nanoTime()
+          fn(spark, dir).count()
+          val total = (System.nanoTime() - t0) / 1e9
+          (total, SubTimings.get(name))
+        }
       }
       val times = runs.map(_._1)
       val sorted = times.sorted

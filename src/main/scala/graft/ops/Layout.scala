@@ -32,9 +32,19 @@ final case class SnapshotFile(
 /** A committed table version: the authoritative file list readers plan
   * from. Files on disk but not listed here are invisible (in-flight
   * rewrites, stray temporaries); files listed here define the table.
+  *
+  * `schemaHash` fingerprints the table schema (ordered names + types) so
+  * appends with a drifted schema are refused at COMMIT time instead of
+  * poisoning committed reads with a merge error later; None on snapshots
+  * written before the fingerprint existed (the check is then skipped and
+  * the next commit records one). `txns` is the cumulative map of
+  * (writer id -> highest committed batch id) — the Delta `txn` action —
+  * carried forward by every commit so a streaming sink's foreachBatch
+  * replay is a provable no-op even across process restarts.
   */
 final case class TableSnapshot(
-    version: Long, keyName: String, files: Seq[SnapshotFile]) {
+    version: Long, keyName: String, files: Seq[SnapshotFile],
+    schemaHash: Option[String] = None, txns: Map[String, Long] = Map.empty) {
   def totalRows: Long = files.map(_.rows).sum
 }
 
@@ -226,6 +236,14 @@ object Layout {
     // uncommitted orphans (a failed append's moved-in files) into the
     // next snapshot. Raw directories (no log) keep the listing behavior.
     val committed = latestSnapshot(spark, path).filter(_.keyName == keyName)
+    // an UNCOMMITTED compaction of a committed table would physically
+    // replace files the latest snapshot still references (breaking every
+    // committed reader) or leave a moved-in generation as orphans for no
+    // benefit — refuse it outright rather than pick a silent poison
+    require(commit || committed.isEmpty,
+      s"compactFiles(commit = false) on the committed table at $path would " +
+      "desynchronize the snapshot log from the directory; compact committed " +
+      "tables with commit = true (the originals stay until vacuum)")
     val before = committed match {
       case Some(snap) =>
         val names = snap.files.map(_.name).toSet
@@ -295,8 +313,11 @@ object Layout {
           known.map(byName) ++ snapshotEntries(spark, path, keyName, fresh)
         case _ => snapshotEntries(spark, path, keyName, untouched)
       }
+      // schema fingerprint and txn map survive a compaction unchanged —
+      // it permutes bytes, never the schema or the ingest high-water marks
       commitSnapshot(spark, path, TableSnapshot(
-        prev.map(_.version).getOrElse(0L) + 1, keyName, carried ++ movedEntries))
+        prev.map(_.version).getOrElse(0L) + 1, keyName, carried ++ movedEntries,
+        prev.flatMap(_.schemaHash), prev.map(_.txns).getOrElse(Map.empty)))
     }
     // physical deletion: on a COMMITTED table the compacted originals
     // are only LOGICALLY deleted (absent from snapshot N+1) — they stay
@@ -305,7 +326,7 @@ object Layout {
     // [[readVersion]] time travel sound across compactions. Raw
     // directories (no log) have no old-snapshot readers to protect, so
     // the originals are dropped immediately as before.
-    if (!(commit && committed.isDefined))
+    if (committed.isEmpty)
       candidates.foreach(st => fs.delete(st.getPath, false))
     fs.delete(tmp, true)
     val nAfter =
@@ -354,6 +375,65 @@ object Layout {
       scala.util.Try(name.stripPrefix("v").stripSuffix(".txt").toLong).toOption
     else None
 
+  /** Schema fingerprint recorded in snapshots and checked by appends:
+    * ordered field names + Catalyst types, hashed. Nullability is
+    * deliberately EXCLUDED — a parquet round trip legally flips it, and
+    * refusing a logically-identical batch over that would be noise; a
+    * renamed, retyped, added, or dropped column all change the hash.
+    */
+  def schemaHashOf(schema: org.apache.spark.sql.types.StructType): String = {
+    val canon = schema.fields
+      .map(f => s"${f.name}:${f.dataType.catalogString}").mkString(";")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(12).map(b => f"$b%02x").mkString
+  }
+
+  /** Parse one snapshot file body. Header lines (`key=`, `schema=`,
+    * repeatable `txn=writer:batchId`) precede the tab-separated file
+    * entries; unknown `name=value` headers are skipped so the format can
+    * grow without breaking old readers (file entries always contain a
+    * tab, header lines never do).
+    */
+  private def parseSnapshot(version: Long, txt: String, where: String): TableSnapshot = {
+    val lines = txt.split("\n").filter(_.nonEmpty)
+    require(lines.nonEmpty && lines(0) == SnapshotMagic,
+      s"unrecognized snapshot format in $where")
+    val (headers, fileLines) = lines.drop(1).partition(l => !l.contains('\t'))
+    var key: String = null
+    var schemaHash: Option[String] = None
+    val txns = Map.newBuilder[String, Long]
+    headers.foreach { h =>
+      val eq = h.indexOf('=')
+      require(eq > 0, s"malformed snapshot header '$h' in $where")
+      (h.substring(0, eq), h.substring(eq + 1)) match {
+        case ("key", v)    => key = v
+        case ("schema", v) => schemaHash = Some(v)
+        case ("txn", v) =>
+          val c = v.lastIndexOf(':')
+          require(c > 0, s"malformed txn header '$h' in $where")
+          txns += (v.substring(0, c) -> v.substring(c + 1).toLong)
+        case _ => // forward-compatible: ignore unknown headers
+      }
+    }
+    require(key != null, s"snapshot in $where has no key= header")
+    val files = fileLines.toIndexedSeq.map { l =>
+      val f = l.split("\t", -1)
+      SnapshotFile(f(0), f(1).toLong, f(2).toLong, f(3).toLong, f(4).toLong)
+    }
+    TableSnapshot(version, key, files, schemaHash, txns.result())
+  }
+
+  private def readSnapshotFile(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, version: Long): TableSnapshot = {
+    val in = fs.open(p)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    parseSnapshot(version, txt, p.toString)
+  }
+
   /** The latest committed snapshot, or None for an uncommitted (raw
     * parquet) directory.
     */
@@ -367,19 +447,7 @@ object Layout {
       if (versions.isEmpty) None
       else {
         val (v, p) = versions.maxBy(_._1)
-        val in = fs.open(p)
-        val txt =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        val lines = txt.split("\n").filter(_.nonEmpty)
-        require(lines.nonEmpty && lines(0) == SnapshotMagic,
-          s"unrecognized snapshot format in $p")
-        val key = lines(1).stripPrefix("key=")
-        val files = lines.drop(2).toIndexedSeq.map { l =>
-          val f = l.split("\t", -1)
-          SnapshotFile(f(0), f(1).toLong, f(2).toLong, f(3).toLong, f(4).toLong)
-        }
-        Some(TableSnapshot(v, key, files))
+        Some(readSnapshotFile(fs, p, v))
       }
     }
   }
@@ -407,6 +475,12 @@ object Layout {
     val body = new StringBuilder()
     body.append(SnapshotMagic).append('\n')
     body.append("key=").append(snapshot.keyName).append('\n')
+    snapshot.schemaHash.foreach(h => body.append("schema=").append(h).append('\n'))
+    snapshot.txns.toSeq.sortBy(_._1).foreach { case (app, id) =>
+      require(!app.contains('\n') && !app.contains('\t'),
+        s"txn writer id '$app' contains reserved characters")
+      body.append("txn=").append(app).append(':').append(id).append('\n')
+    }
     snapshot.files.sortBy(_.name).foreach { f =>
       body.append(f.name).append('\t').append(f.bytes).append('\t')
         .append(f.rows).append('\t').append(f.minKey).append('\t')
@@ -496,17 +570,7 @@ object Layout {
     require(fs.exists(p),
       s"no snapshot v$version under $path — never committed, or vacuumed " +
       "past the retention horizon")
-    val in = fs.open(p)
-    val txt =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val lines = txt.split("\n").filter(_.nonEmpty)
-    require(lines.nonEmpty && lines(0) == SnapshotMagic, s"unrecognized snapshot $p")
-    val files = lines.drop(2).toIndexedSeq.map { l =>
-      val f = l.split("\t", -1)
-      SnapshotFile(f(0), f(1).toLong, f(2).toLong, f(3).toLong, f(4).toLong)
-    }
-    readSnapshot(spark, path, TableSnapshot(version, lines(1).stripPrefix("key="), files))
+    readSnapshot(spark, path, readSnapshotFile(fs, p, version))
   }
 
   /** Committed APPEND — the micro-batch ingest step: write `df` (keyed
@@ -530,13 +594,44 @@ object Layout {
     * exactly one committer wins each version and nobody's files are
     * lost. Rewrites (writeClustered/compactFiles) keep the loud
     * single-writer refusal: they do NOT commute.
+    *
+    * SCHEMA: the batch's fingerprint (key column included) must match
+    * the snapshot's recorded [[schemaHashOf]] — a drifted batch is
+    * refused BEFORE anything is staged, instead of committing data that
+    * poisons every later committed read with a merge error. Snapshots
+    * from before the fingerprint existed skip the check and this commit
+    * records the batch's hash going forward.
+    *
+    * IDEMPOTENCE (`txn`): pass `Some(writerId -> batchId)` and the
+    * append becomes exactly-once per (writer, batch): if any retained
+    * snapshot already records `writerId` at a batch id >= `batchId`, the
+    * call returns the current snapshot WITHOUT staging or committing
+    * anything — the foreachBatch-replay and restart-recovery no-op. Batch
+    * ids per writer must be monotone (Structured Streaming's contract).
+    *
+    * `onFilesStaged` is a fault-injection seam (tests schedule a
+    * concurrent vacuum in the move-in/commit window); production callers
+    * leave the default.
     */
   def appendClustered(df: DataFrame, path: String, key: Column,
-      nFiles: Int, maxRetries: Int = 10): TableSnapshot = {
+      nFiles: Int, maxRetries: Int = 10,
+      txn: Option[(String, Long)] = None,
+      onFilesStaged: () => Unit = () => ()): TableSnapshot = {
     val spark = df.sparkSession
     val prev0 = latestSnapshot(spark, path).getOrElse(throw new IllegalStateException(
       s"appendClustered: no committed table under $path — create it with writeClustered"))
     val keyName = prev0.keyName
+    txn.foreach { case (app, id) =>
+      if (prev0.txns.get(app).exists(_ >= id)) return prev0 // replayed batch
+    }
+    val batchHash = schemaHashOf(df.withColumn(keyName, key).schema)
+    prev0.schemaHash.foreach { expect =>
+      require(expect == batchHash,
+        s"appendClustered: batch schema (hash $batchHash, columns " +
+        df.withColumn(keyName, key).schema.fieldNames.mkString("[", ",", "]") +
+        s") does not match the committed table's recorded schema (hash $expect) " +
+        s"under $path — refusing the append before it poisons committed reads")
+    }
     val fs = fsOf(spark, path)
     val token = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new org.apache.hadoop.fs.Path(s"$path/.append-$token")
@@ -555,12 +650,24 @@ object Layout {
     }.toIndexedSeq
     fs.delete(tmp, true)
     val mine = snapshotEntries(spark, path, keyName, moved)
+    onFilesStaged()
     var attempt = 0
     while (true) {
       val prev = latestSnapshot(spark, path).getOrElse(prev0)
       require(prev.keyName == keyName,
         s"appendClustered: table key changed underneath ($keyName -> ${prev.keyName})")
-      val snap = TableSnapshot(prev.version + 1, keyName, prev.files ++ mine)
+      txn.foreach { case (app, id) =>
+        if (prev.txns.get(app).exists(_ >= id)) {
+          // a racing replay of the SAME (writer, batch) won the commit:
+          // our staged files are duplicates — drop them, return the winner
+          moved.foreach(n =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$path/$n"), false))
+          return prev
+        }
+      }
+      val snap = TableSnapshot(prev.version + 1, keyName, prev.files ++ mine,
+        prev.schemaHash.orElse(Some(batchHash)),
+        txn.fold(prev.txns) { case (app, id) => prev.txns + (app -> id) })
       try {
         commitSnapshot(spark, path, snap)
         return snap
@@ -572,18 +679,38 @@ object Layout {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Default vacuum retention horizon: comfortably above any append's
+    * move-in-to-commit latency (seconds), far below any sane maintenance
+    * cadence. Delta defaults to 7 DAYS for the same guard; this table's
+    * appends stage and commit in one process, so minutes suffice.
+    */
+  val DefaultVacuumRetentionMs: Long = 15L * 60 * 1000
+
   /** Retention vacuum: delete snapshot files older than the newest
     * `keepVersions`, then delete every data file referenced by NO
     * retained snapshot (compaction/append leftovers whose readers have
     * had `keepVersions` commits to finish). The latest snapshot's files
     * are always retained by construction; `keepVersions >= 1` enforced.
-    * Returns (snapshots removed, data files removed). The standard
-    * table-format answer to "the originals were deleted under my
-    * snapshot": hold fewer than `keepVersions` commits' worth of
-    * staleness and the plan never breaks.
+    * Returns (snapshots removed, data files removed).
+    *
+    * RETENTION HORIZON (`minAgeMs`): an orphan younger than the horizon
+    * is NOT deleted. This is what makes vacuum safe against the
+    * in-flight concurrent appends [[appendClustered]] legalizes: an
+    * append moves its files into the directory BEFORE winning the
+    * commit race, and in that window they are referenced by no snapshot
+    * — indistinguishable from garbage except by age. With the default
+    * horizon a racing append's seconds-old files survive and its commit
+    * references live data; only failures older than the horizon are
+    * reclaimed (the Delta vacuum discipline, file-mtime based —
+    * rename preserves mtime, so a moved-in file's age is its staging
+    * write time, never reset by the move). Pass `minAgeMs = 0` ONLY
+    * when all writers are provably quiesced (single-writer test
+    * lifecycles); it restores the delete-everything-unreferenced sweep.
     */
-  def vacuum(spark: SparkSession, path: String, keepVersions: Int): (Int, Int) = {
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int,
+      minAgeMs: Long = DefaultVacuumRetentionMs): (Int, Int) = {
     require(keepVersions >= 1, "vacuum: keepVersions must be >= 1")
+    require(minAgeMs >= 0, "vacuum: minAgeMs must be >= 0")
     val fs = fsOf(spark, path)
     val mdir = new org.apache.hadoop.fs.Path(path, ManifestDir)
     if (!fs.exists(mdir)) return (0, 0)
@@ -592,16 +719,14 @@ object Layout {
       .sortBy(-_._1)
     val (kept, dropped) = versions.splitAt(keepVersions)
     // referenced = union of file lists across RETAINED snapshots
-    val referenced = kept.flatMap { case (_, p) =>
-      val in = fs.open(p)
-      val txt =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      txt.split("\n").filter(_.nonEmpty).drop(2).map(_.split("\t", -1)(0))
+    val referenced = kept.flatMap { case (v, p) =>
+      readSnapshotFile(fs, p, v).files.map(_.name)
     }.toSet
+    val horizon = System.currentTimeMillis() - minAgeMs
     val orphans = fs.listStatus(new org.apache.hadoop.fs.Path(path))
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-") &&
-        !referenced.contains(st.getPath.getName))
+        !referenced.contains(st.getPath.getName) &&
+        st.getModificationTime < horizon)
     orphans.foreach(st => fs.delete(st.getPath, false))
     dropped.foreach { case (_, p) => fs.delete(p, false) }
     (dropped.length, orphans.length)
@@ -641,32 +766,69 @@ object Layout {
     * gates (parity) and LayoutSpec measures (row-group skipping).
     *
     * With `commit` (the default) the write ends by committing a new
-    * table snapshot: the version counter is captured BEFORE the
-    * overwrite (the parquet overwrite truncates the directory, log
-    * included) so versions stay monotone across full rewrites —
-    * including the upsert-materialization path, where an
+    * table snapshot. On an ALREADY-COMMITTED table the rewrite is
+    * HISTORY-PRESERVING: the new generation is written under fresh
+    * `part-rewrite-*` names (staging dir + move-in, the append/compaction
+    * discipline — the directory is never truncated), then snapshot N+1
+    * is committed listing ONLY the new generation. Time travel across
+    * the rewrite keeps answering from the old generation's files, there
+    * is never a no-committed-snapshot window (readers hold N until the
+    * instant N+1 exists), and [[vacuum]] reclaims the old generation
+    * once the retention horizon passes. This includes the
+    * upsert-materialization path, where an
     * [[graft.ops.SnapshotDiff.applyChangeSet]] result is written back
-    * through this method.
+    * through this method. Rewrites are single-writer: losing the
+    * version race fails loudly, the staged generation is left as
+    * orphans for vacuum. Only a FIRST write (no log yet) or an
+    * uncommitted write uses the plain directory overwrite — there is no
+    * history to preserve.
     */
   def writeClustered(df: DataFrame, path: String, key: Column,
                      nFiles: Int, keyName: String = "cluster_key",
-                     commit: Boolean = true): DataFrame = {
+                     commit: Boolean = true,
+                     txn: Option[(String, Long)] = None): DataFrame = {
     val spark = df.sparkSession
-    val nextVersion =
-      if (commit) latestSnapshot(spark, path).map(_.version).getOrElse(0L) + 1
-      else 0L
-    df.withColumn(keyName, key)
+    val prev = if (commit) latestSnapshot(spark, path) else None
+    val clustered = df.withColumn(keyName, key)
       .repartitionByRange(nFiles, col(keyName))
       .sortWithinPartitions(keyName)
-      .write.mode("overwrite").parquet(path)
-    if (commit) {
-      val names = fsOf(spark, path)
-        .listStatus(new org.apache.hadoop.fs.Path(path))
-        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-        .map(_.getPath.getName).toIndexedSeq
-      commitSnapshot(spark, path,
-        TableSnapshot(nextVersion, keyName, snapshotEntries(spark, path, keyName, names)))
+    prev match {
+      case Some(p) =>
+        // full rewrite of a committed table: new generation, old history
+        // intact; the txn high-water marks survive (Delta semantics — a
+        // rewrite changes content, not the ingest dedup state)
+        val fs = fsOf(spark, path)
+        val token = java.util.UUID.randomUUID().toString.take(8)
+        val tmp = new org.apache.hadoop.fs.Path(s"$path/.rewrite-$token")
+        clustered.write.mode("overwrite").parquet(tmp.toString)
+        val staged = fs.listStatus(tmp)
+          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        val moved = staged.zipWithIndex.map { case (st, i) =>
+          val target = new org.apache.hadoop.fs.Path(
+            s"$path/part-rewrite-$token-$i${suffixOf(st.getPath.getName)}")
+          if (!fs.rename(st.getPath, target))
+            throw new java.io.IOException(
+              s"rewrite rename ${st.getPath} -> $target failed")
+          target.getName
+        }.toIndexedSeq
+        fs.delete(tmp, true)
+        commitSnapshot(spark, path, TableSnapshot(
+          p.version + 1, keyName,
+          snapshotEntries(spark, path, keyName, moved),
+          Some(schemaHashOf(clustered.schema)), p.txns ++ txn))
+        readCommitted(spark, path)
+      case None =>
+        clustered.write.mode("overwrite").parquet(path)
+        if (commit) {
+          val names = fsOf(spark, path)
+            .listStatus(new org.apache.hadoop.fs.Path(path))
+            .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+            .map(_.getPath.getName).toIndexedSeq
+          commitSnapshot(spark, path, TableSnapshot(
+            1L, keyName, snapshotEntries(spark, path, keyName, names),
+            Some(schemaHashOf(clustered.schema)), txn.iterator.toMap))
+        }
+        spark.read.parquet(path)
     }
-    spark.read.parquet(path)
   }
 }

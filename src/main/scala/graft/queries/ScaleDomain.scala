@@ -27,10 +27,14 @@ object ScaleDomain {
     *
     * Lifecycle: the first use of each family registers a shutdown hook
     * that removes THIS application's scratch subtree, and prunes sibling
-    * app dirs whose mtime is older than 6 hours (runs that died before
-    * their hook fired) — so repeated bench/verify runs never accumulate
-    * fixture copies in /tmp. Live concurrent runs are untouched: their
-    * dirs are freshly written, hence younger than the cutoff.
+    * app dirs whose newest file ANYWHERE in the subtree is older than
+    * 6 hours (runs that died before their hook fired) — so repeated
+    * bench/verify runs never accumulate fixture copies in /tmp. Live
+    * concurrent runs are untouched: every fixture they write refreshes
+    * some file's mtime deep in their subtree. (The top-level dir's
+    * mtime alone would NOT do: a directory's mtime only moves when a
+    * DIRECT child is added/removed, so a >6h-old run still actively
+    * writing into nested fixture dirs would look stale.)
     */
   private val scratchHooked = scala.collection.mutable.Set[String]()
 
@@ -38,6 +42,16 @@ object ScaleDomain {
     val kids = f.listFiles()
     if (kids != null) kids.foreach(deleteRecursively)
     f.delete(): Unit
+  }
+
+  /** Newest mtime over the whole subtree — the liveness signal for
+    * sibling pruning. Scratch trees are bounded (fixture shards), so
+    * the walk is cheap and happens once per JVM per family.
+    */
+  private def subtreeMaxMtime(f: java.io.File): Long = {
+    val kids = f.listFiles()
+    val below = if (kids == null) 0L else kids.map(subtreeMaxMtime).foldLeft(0L)(math.max)
+    math.max(f.lastModified(), below)
   }
 
   private[queries] def scratch(s: SparkSession, name: String, dir: String): String = {
@@ -49,7 +63,7 @@ object ScaleDomain {
         val sibs = root.listFiles()
         if (sibs != null) sibs
           .filter(f => f.isDirectory && f.getName != appDir.getName &&
-            f.lastModified() < cutoff)
+            subtreeMaxMtime(f) < cutoff)
           .foreach(deleteRecursively)
         Runtime.getRuntime.addShutdownHook(
           new Thread(() => deleteRecursively(appDir)))
@@ -581,6 +595,12 @@ object ScaleDomain {
       graft.SubTimings.time("q_manifest_append", "fixture_write") {
         Layout.writeClustered(batch(0), path, key, nFiles = 4): Unit
       }
+      // rerun hygiene: the bench reruns this lifecycle in one session, and
+      // full rewrites now PRESERVE history — reclaim the previous rep's
+      // snapshots and generation here so the vacuum invariants below count
+      // exactly THIS rep's lifecycle. Single-writer and quiesced, so
+      // minAgeMs = 0 is sound; the first run is a no-op.
+      Layout.vacuum(s, path, keepVersions = 1, minAgeMs = 0L): Unit
       val v0 = Layout.latestSnapshot(s, path).get.version
       graft.SubTimings.time("q_manifest_append", "fixture_write") {
         (1 to 3).foreach(i => Layout.appendClustered(batch(i), path, key, nFiles = 4))
@@ -599,7 +619,8 @@ object ScaleDomain {
       val windowHidden = rawDuringWindow > counts.sum &&
         committedAfterCompact == counts.sum &&
         Layout.readVersion(s, path, v0 + 1).count() == counts(0) + counts(1)
-      val (snapsDropped, filesDropped) = Layout.vacuum(s, path, keepVersions = 1)
+      val (snapsDropped, filesDropped) =
+        Layout.vacuum(s, path, keepVersions = 1, minAgeMs = 0L)
       val vacuumOk = snapsDropped == 4 &&
         filesDropped.toLong == stats.nSmallRewritten &&
         s.read.parquet(path).count() == counts.sum &&
@@ -641,6 +662,10 @@ object ScaleDomain {
       graft.SubTimings.time("q_manifest_commit", "fixture_write") {
         Layout.writeClustered(li, path, key, nFiles = 16): Unit
       }
+      // rerun hygiene (see q_manifest_append): drop the previous rep's
+      // retained generation so the raw-vs-committed window arithmetic
+      // below counts only this rep's files
+      Layout.vacuum(s, path, keepVersions = 1, minAgeMs = 0L): Unit
       val v1 = Layout.latestSnapshot(s, path).get
       val nRows = v1.totalRows
       // inject the in-flight duplicate a concurrent lister would see
@@ -669,6 +694,73 @@ object ScaleDomain {
             .as("sum_qty"))
         .withColumn("window_unobservable", lit(windowUnobservable))
         .withColumn("versions_advanced", lit(versionsAdvanced))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // FULL REWRITE mid-lifecycle — the history-preserving path: create
+    // (batch 0) + append (batch 1), then a full rewrite replaces the
+    // content with batches 0..2 as a FRESH generation committed in the
+    // log (the directory, and the log, are never truncated). Pinned:
+    // time travel ACROSS the rewrite still answers from the old
+    // generation, the raw directory holds exactly both generations while
+    // the log serves only the new one, an append lands on the rewritten
+    // table, and vacuum(keep=1) reclaims precisely the pre-rewrite
+    // generation. The final committed read is all four batches == the
+    // pristine table, which the oracle recomputes.
+    "q_manifest_rewrite" -> ((s, dir) => {
+      val path = scratch(s, "mrewrite", dir)
+      val li = Tables(s, dir, "lineitem")
+      val key = Layout.zorderKey(Seq(
+        Layout.gridCell(col("l_partkey"), 0, 20000, 10),
+        Layout.gridCell(col("l_suppkey"), 0, 1000, 10)), 10)
+      def batch(i: Int) = li.filter(
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(4L)) === i)
+      val counts = (0 to 3).map(i => batch(i).count())
+      graft.SubTimings.time("q_manifest_rewrite", "fixture_write") {
+        Layout.writeClustered(batch(0), path, key, nFiles = 4): Unit
+      }
+      // rerun hygiene (see q_manifest_append): single-writer, quiesced
+      Layout.vacuum(s, path, keepVersions = 1, minAgeMs = 0L): Unit
+      val v0 = Layout.latestSnapshot(s, path).get.version
+      graft.SubTimings.time("q_manifest_rewrite", "fixture_write") {
+        Layout.appendClustered(batch(1), path, key, nFiles = 4): Unit
+      }
+      val gen1 = Layout.latestSnapshot(s, path).get.files.map(_.name).toSet
+      graft.SubTimings.time("q_manifest_rewrite", "fixture_write") {
+        Layout.writeClustered(li.filter(
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(4L)) <= 2),
+          path, key, nFiles = 8): Unit
+      }
+      val v2 = Layout.latestSnapshot(s, path).get
+      val freshGeneration = v2.files.map(_.name).toSet.intersect(gen1).isEmpty
+      val timeTravelOk =
+        Layout.readVersion(s, path, v0).count() == counts(0) &&
+        Layout.readVersion(s, path, v0 + 1).count() == counts(0) + counts(1)
+      val midCounts = counts(0) + counts(1) + counts(2)
+      val windowOk =
+        Layout.readCommitted(s, path).count() == midCounts &&
+        s.read.parquet(path).count() ==
+          2 * (counts(0) + counts(1)) + counts(2)
+      graft.SubTimings.time("q_manifest_rewrite", "fixture_write") {
+        Layout.appendClustered(batch(3), path, key, nFiles = 4): Unit
+      }
+      val (snapsDropped, filesDropped) =
+        Layout.vacuum(s, path, keepVersions = 1, minAgeMs = 0L)
+      val vacuumOk = snapsDropped == 3 && filesDropped == gen1.size &&
+        s.read.parquet(path).count() == counts.sum &&
+        (try { Layout.readVersion(s, path, v0); false }
+         catch { case _: IllegalArgumentException => true })
+      val versionsOk = v2.version == v0 + 2 && freshGeneration &&
+        Layout.latestSnapshot(s, path).get.version == v0 + 3
+      Layout.readCommitted(s, path)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("sum_qty"))
+        .withColumn("versions_ok", lit(versionsOk))
+        .withColumn("time_travel_ok", lit(timeTravelOk))
+        .withColumn("rewrite_window_ok", lit(windowOk))
+        .withColumn("vacuum_ok", lit(vacuumOk))
         .orderBy(col("l_returnflag"))
     })
   )
@@ -1089,6 +1181,17 @@ object ScaleDomain {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  true AS versions_ok, true AS time_travel_ok,
         |  true AS window_hidden, true AS vacuum_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // rewrite-lifecycle parity: the post-rewrite appends complete the
+    // four-batch partition of lineitem, so the final committed read must
+    // aggregate to the pristine table; history-preservation invariants
+    // (time travel across the rewrite, both-generations window, vacuum
+    // reclaiming exactly the old generation) are identity-pinned
+    "q_manifest_rewrite" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  true AS versions_ok, true AS time_travel_ok,
+        |  true AS rewrite_window_ok, true AS vacuum_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

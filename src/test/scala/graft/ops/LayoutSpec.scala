@@ -428,14 +428,17 @@ class LayoutSpec extends AnyFunSuite {
 
     // vacuum keep-2 retains v3/v4 — v3 still references the originals,
     // so NOTHING is physically deleted yet except v1/v2's snapshots
-    val (snapsDropped2, files2) = Layout.vacuum(spark, dir, keepVersions = 2)
+    // (minAgeMs = 0: this lifecycle is single-writer and quiesced)
+    val (snapsDropped2, files2) = Layout.vacuum(spark, dir, keepVersions = 2,
+      minAgeMs = 0L)
     assert(snapsDropped2 == 2 && files2 == 0)
     intercept[IllegalArgumentException](Layout.readVersion(spark, dir, 1))
     assert(Layout.readVersion(spark, dir, 3).count() == 3000L)
 
     // vacuum keep-1: only v4 survives; the compacted originals become
     // orphans and are physically removed; the latest read is unharmed
-    val (snapsDropped1, files1) = Layout.vacuum(spark, dir, keepVersions = 1)
+    val (snapsDropped1, files1) = Layout.vacuum(spark, dir, keepVersions = 1,
+      minAgeMs = 0L)
     assert(snapsDropped1 == 1 && files1 == stats.nSmallRewritten)
     intercept[IllegalArgumentException](Layout.readVersion(spark, dir, 3))
     assert(Layout.readCommitted(spark, dir).count() == 3000L)
@@ -508,9 +511,157 @@ class LayoutSpec extends AnyFunSuite {
       "compaction resurrected an uncommitted orphan into the snapshot")
     assert(v2.totalRows == 2000L)
     assert(Layout.readCommitted(spark, dir).count() == 2000L)
-    // vacuum keep-1 clears the orphan (and the logically-deleted originals)
-    Layout.vacuum(spark, dir, keepVersions = 1)
+    // vacuum keep-1 clears the orphan (and the logically-deleted
+    // originals); minAgeMs = 0 because no writer is in flight here
+    Layout.vacuum(spark, dir, keepVersions = 1, minAgeMs = 0L)
     assert(!orphan.exists())
+  }
+
+  test("vacuum retention horizon: a racing append's staged files survive, stale garbage goes") {
+    // the round-12 gap: appendClustered moves its files into the table
+    // directory BEFORE winning the commit race; in that window they are
+    // referenced by no snapshot. A vacuum running inside the window must
+    // not delete them — the onFilesStaged seam schedules it exactly there.
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvacrace").toString
+    val key = pmod(col("id"), lit(16L))
+    Layout.writeClustered(spark.range(1000).select(col("id")), dir, key, nFiles = 2)
+    // plant a STALE orphan (a long-dead append) and backdate it past the
+    // horizon — the same sweep that spares the in-flight files must
+    // still reclaim genuinely old garbage
+    val first = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).minBy(_.getName)
+    val stale = new java.io.File(dir, s"part-append-dead-0${
+      first.getName.dropWhile(_ != '.')}")
+    java.nio.file.Files.copy(first.toPath, stale.toPath)
+    assert(stale.setLastModified(
+      System.currentTimeMillis() - 2 * Layout.DefaultVacuumRetentionMs))
+    var sweptInWindow = (-1, -1)
+    val snap = Layout.appendClustered(
+      spark.range(1000, 2000).select(col("id")), dir, key, nFiles = 2,
+      onFilesStaged = () => {
+        sweptInWindow = Layout.vacuum(spark, dir, keepVersions = 1)
+      })
+    // the vacuum DID run in the window, reclaimed only the stale orphan,
+    // and the racing append still landed losslessly
+    assert(sweptInWindow._2 == 1, s"expected exactly the stale orphan swept, got $sweptInWindow")
+    assert(!stale.exists())
+    assert(snap.version == 2L && snap.totalRows == 2000L)
+    assert(Layout.readCommitted(spark, dir).count() == 2000L)
+    snap.files.foreach(f => assert(new java.io.File(dir, f.name).exists(),
+      s"vacuum deleted ${f.name} out from under the in-flight append"))
+  }
+
+  test("appendClustered refuses a batch whose schema drifted from the committed table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mschema").toString
+    val key = pmod(col("id"), lit(8L))
+    Layout.writeClustered(
+      spark.range(100).select(col("id"), (col("id") * 2).as("v")), dir, key, nFiles = 1)
+    assert(Layout.latestSnapshot(spark, dir).get.schemaHash.nonEmpty,
+      "writeClustered must record a schema fingerprint")
+    // matching batch lands
+    Layout.appendClustered(
+      spark.range(100, 200).select(col("id"), (col("id") * 2).as("v")),
+      dir, key, nFiles = 1)
+    // renamed column: refused loudly, nothing staged, nothing committed
+    val before = new java.io.File(dir).listFiles().count(_.getName.startsWith("part-"))
+    val ex = intercept[IllegalArgumentException] {
+      Layout.appendClustered(
+        spark.range(200, 300).select(col("id"), (col("id") * 2).as("v2")),
+        dir, key, nFiles = 1)
+    }
+    assert(ex.getMessage.contains("schema"))
+    assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("part-")) == before,
+      "refused append must not leave staged files behind")
+    // retyped column: also refused
+    intercept[IllegalArgumentException] {
+      Layout.appendClustered(
+        spark.range(300, 400).select(col("id"), (col("id") * 2).cast("int").as("v")),
+        dir, key, nFiles = 1)
+    }
+    assert(Layout.latestSnapshot(spark, dir).get.version == 2L)
+    assert(Layout.readCommitted(spark, dir).count() == 200L)
+  }
+
+  test("full rewrite preserves history: time travel crosses it, vacuum reclaims the old generation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mrewrite").toString
+    val key = pmod(col("id"), lit(16L))
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi).select(col("id"))
+    Layout.writeClustered(batch(0, 1000), dir, key, nFiles = 2) // v1
+    Layout.appendClustered(batch(1000, 2000), dir, key, nFiles = 2) // v2
+    val gen1 = Layout.latestSnapshot(spark, dir).get.files.map(_.name).toSet
+    // FULL REWRITE: entirely new content, committed as v3 under fresh
+    // names — the directory (and the log) is never truncated
+    val re = Layout.writeClustered(batch(5000, 5500), dir, key, nFiles = 2) // v3
+    assert(re.count() == 500L)
+    val v3 = Layout.latestSnapshot(spark, dir).get
+    assert(v3.version == 3L)
+    assert(v3.files.map(_.name).toSet.intersect(gen1).isEmpty,
+      "rewrite must commit a fresh generation, not reuse old names")
+    // time travel ACROSS the rewrite still answers from the old generation
+    assert(Layout.readVersion(spark, dir, 1).count() == 1000L)
+    assert(Layout.readVersion(spark, dir, 2).count() == 2000L)
+    assert(Layout.readCommitted(spark, dir).count() == 500L)
+    // both generations are on disk until vacuum; the log hides that
+    assert(spark.read.parquet(dir).count() == 2500L)
+    val (snaps, files) = Layout.vacuum(spark, dir, keepVersions = 1, minAgeMs = 0L)
+    assert(snaps == 2 && files == gen1.size)
+    assert(Layout.readCommitted(spark, dir).count() == 500L)
+    assert(spark.read.parquet(dir).count() == 500L)
+    // and appends keep working on the rewritten table
+    Layout.appendClustered(batch(5500, 5600), dir, key, nFiles = 1) // v4
+    assert(Layout.readCommitted(spark, dir).count() == 600L)
+    assert(Layout.latestSnapshot(spark, dir).get.version == 4L)
+  }
+
+  test("txn-tagged appends are exactly-once: replays no-op, even after a 'restart'") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mtxn").toString
+    val key = pmod(col("id"), lit(8L))
+    Layout.writeClustered(spark.range(100).select(col("id")), dir, key, nFiles = 1) // v1
+    val s2 = Layout.appendClustered(
+      spark.range(100, 200).select(col("id")), dir, key, nFiles = 1,
+      txn = Some("sinkA" -> 0L)) // batch 0 lands
+    assert(s2.version == 2L && s2.txns == Map("sinkA" -> 0L))
+    // foreachBatch replay of batch 0: provable no-op — same snapshot back,
+    // no new version, no new files (the on-disk txn map is the guard, so
+    // a process restart between the two calls changes nothing)
+    val filesBefore = new java.io.File(dir).listFiles().count(_.getName.startsWith("part-"))
+    val replay = Layout.appendClustered(
+      spark.range(100, 200).select(col("id")), dir, key, nFiles = 1,
+      txn = Some("sinkA" -> 0L))
+    assert(replay.version == 2L)
+    assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("part-")) == filesBefore)
+    assert(Layout.readCommitted(spark, dir).count() == 200L, "replay must not duplicate rows")
+    // the next batch advances; an unrelated writer has its own high-water mark
+    val s3 = Layout.appendClustered(
+      spark.range(200, 300).select(col("id")), dir, key, nFiles = 1,
+      txn = Some("sinkA" -> 1L))
+    assert(s3.txns == Map("sinkA" -> 1L))
+    val s4 = Layout.appendClustered(
+      spark.range(300, 400).select(col("id")), dir, key, nFiles = 1,
+      txn = Some("sinkB" -> 0L))
+    assert(s4.txns == Map("sinkA" -> 1L, "sinkB" -> 0L))
+    assert(Layout.readCommitted(spark, dir).count() == 400L)
+    // txn map survives a compaction commit untouched
+    val totalBytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length()).sum
+    Layout.compactFiles(spark, dir, "cluster_key",
+      minFileBytes = 64L * 1024 * 1024, targetFileBytes = totalBytes + 1)
+    assert(Layout.latestSnapshot(spark, dir).get.txns ==
+      Map("sinkA" -> 1L, "sinkB" -> 0L))
+  }
+
+  test("compactFiles(commit = false) on a committed table is refused") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mnocommit").toString
+    Layout.writeClustered(
+      spark.range(1000).select(col("id")), dir, pmod(col("id"), lit(8L)), nFiles = 4)
+    val ex = intercept[IllegalArgumentException] {
+      Layout.compactFiles(spark, dir, "cluster_key",
+        minFileBytes = 64L * 1024 * 1024, targetFileBytes = 64L * 1024 * 1024,
+        commit = false)
+    }
+    assert(ex.getMessage.contains("commit"))
+    // the table is untouched: snapshot still plans, content intact
+    assert(Layout.readCommitted(spark, dir).count() == 1000L)
   }
 
   test("writeClustered is a pure permutation (content parity, key kept)") {
