@@ -417,18 +417,74 @@ object Dedup {
     PersistedMinhashIndex(path, index.k, index.numHashes, index.bands, buckets)
   }
 
-  /** Open a persisted index (meta must exist — the commit marker). */
-  def minhashOpenIndex(spark: SparkSession, path: String): PersistedMinhashIndex = {
+  private def readIndexMeta(spark: SparkSession, path: String): Seq[String] = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val mp = indexMetaPath(path)
     require(fs.exists(mp), s"no committed minhash index under $path")
     val in = fs.open(mp)
-    val line =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    val f = line.split("\t")
+    txt.split("\n").filter(_.nonEmpty).toIndexedSeq
+  }
+
+  /** Open a persisted index (meta must exist — the commit marker). The
+    * first meta line carries the parameters; later `txn=writer:batchId`
+    * lines (the [[graft.ops.Layout]] txn discipline) carry the ingest
+    * high-water marks and are read by [[minhashIndexTxns]].
+    */
+  def minhashOpenIndex(spark: SparkSession, path: String): PersistedMinhashIndex = {
+    val f = readIndexMeta(spark, path).head.trim.split("\t")
     PersistedMinhashIndex(path, f(0).toInt, f(1).toInt, f(2).toInt, f(3).toInt)
+  }
+
+  /** Per-writer batch high-water marks recorded in the index meta —
+    * what makes [[minhashExtendIndexIdempotent]] replay-proof across
+    * process restarts (the guard lives on disk, not in a session var).
+    */
+  def minhashIndexTxns(spark: SparkSession, path: String): Map[String, Long] =
+    readIndexMeta(spark, path).drop(1).collect {
+      case l if l.startsWith("txn=") =>
+        val v = l.stripPrefix("txn=")
+        val c = v.lastIndexOf(':')
+        v.substring(0, c) -> v.substring(c + 1).toLong
+    }.toMap
+
+  /** Extend a persisted index with one ingest batch, EXACTLY ONCE per
+    * (writer, batchId): a replayed id (foreachBatch retry, or a restart
+    * re-offering an already-merged batch) returns false and touches
+    * nothing. The delta append lands BEFORE the meta high-water mark
+    * advances, so the one crash window (delta on disk, marker behind)
+    * errs toward a re-appended delta on the retry — recoverable by an
+    * index rebuild — never toward a batch silently marked done but
+    * missing. Writers are single-threaded per writerId (the Structured
+    * Streaming foreachBatch contract), so the meta rewrite needs no
+    * commit arbiter.
+    */
+  def minhashExtendIndexIdempotent(newDf: DataFrame, idCol: String,
+      textCol: String, pidx: PersistedMinhashIndex,
+      writerId: String, batchId: Long): Boolean = {
+    val spark = newDf.sparkSession
+    val txns = minhashIndexTxns(spark, pidx.path)
+    if (txns.get(writerId).exists(_ >= batchId)) return false
+    minhashExtendIndex(newDf, idCol, textCol, pidx)
+    val fs = new org.apache.hadoop.fs.Path(pidx.path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val merged = txns + (writerId -> batchId)
+    val body = (s"${pidx.k}\t${pidx.numHashes}\t${pidx.bands}\t${pidx.hashBuckets}" +:
+      merged.toSeq.sortBy(_._1).map { case (w, id) => s"txn=$w:$id" })
+      .mkString("", "\n", "\n")
+    val tmp = new org.apache.hadoop.fs.Path(
+      pidx.path, s"._meta-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val meta = indexMetaPath(pidx.path)
+    if (fs.exists(meta)) fs.delete(meta, false)
+    if (!fs.rename(tmp, meta))
+      throw new java.io.IOException(s"index meta commit failed under ${pidx.path}")
+    true
   }
 
   /** Append a new batch to a persisted index: the same shingle/band

@@ -146,18 +146,23 @@ object EventStream {
     * only its own write, and [[graft.ops.Layout.compactFiles]] +
     * [[graft.ops.Layout.vacuum]] run as ordinary maintenance against
     * the same log. Empty batches commit nothing (no version churn).
-    * Exactly-once caveat (same as every foreachBatch sink here): a
-    * replayed batchId would append twice — guard with a batchId
-    * high-water mark like [[indexMaintenanceStream]] when the source
-    * can replay.
+    *
+    * EXACTLY-ONCE: pass `txn = Some(writerId -> batchId)` and a
+    * replayed foreachBatch invocation is a provable no-op — the
+    * (writer, batch) high-water mark rides IN the snapshot header
+    * (`Layout.TableSnapshot.txns`), so the guard survives process
+    * restarts, unlike a session-var batchId check. The create path
+    * records the txn too, so even batch 0's replay is covered (the
+    * table exists by then, and the append guard sees its id).
     */
   def sinkToCommittedTable(batchDf: DataFrame, path: String,
-      key: org.apache.spark.sql.Column, nFiles: Int): Unit = {
+      key: org.apache.spark.sql.Column, nFiles: Int,
+      txn: Option[(String, Long)] = None): Unit = {
     if (batchDf.isEmpty) return
     if (graft.ops.Layout.latestSnapshot(batchDf.sparkSession, path).isEmpty)
-      graft.ops.Layout.writeClustered(batchDf, path, key, nFiles): Unit
+      graft.ops.Layout.writeClustered(batchDf, path, key, nFiles, txn = txn): Unit
     else
-      graft.ops.Layout.appendClustered(batchDf, path, key, nFiles): Unit
+      graft.ops.Layout.appendClustered(batchDf, path, key, nFiles, txn = txn): Unit
   }
 
   /** Batch twin of one ingest round: extract, keep the FIRST record per
@@ -209,24 +214,52 @@ object EventStream {
     * with its page and the accumulated sidecar equals the batch twin's
     * (PipelineStreamingSpec pins stream == batch over ≥3 micro-batches
     * including a re-crawl drop).
+    *
+    * `committedSink` (optional) upgrades the capstone from
+    * "idempotence is the caller's job" to COMMITTED, exactly-once
+    * ingest: each micro-batch's survivors append to a
+    * [[graft.ops.Layout]] committed table with the batchId recorded in
+    * the snapshot header ([[sinkToCommittedTable]] txn), so a
+    * foreachBatch replay is a provable no-op even across process
+    * restarts; and on START, the accumulated URL index is REBUILT from
+    * the committed table (corpus index ∪ already-ingested URLs), which
+    * removes the restart caveat above — a restarted stream drops a
+    * re-crawl of anything any earlier run committed. When
+    * `sink.dedupIndexPath` is set, each batch also extends a PERSISTED
+    * MinHash index over the survivors' extracted text
+    * ([[graft.ops.Dedup.minhashExtendIndexIdempotent]], first batch
+    * creates it) under the same (writer, batchId) guard — the
+    * train-once near-dup index tracks the corpus without rebuilds.
     */
+  final case class CommittedCrawlSink(
+      path: String,
+      key: org.apache.spark.sql.Column,
+      nFiles: Int,
+      writerId: String = "crawl_ingest",
+      dedupIndexPath: Option[String] = None)
+
   def crawlIngest(
       spark: SparkSession,
       dir: String,
       checkpoint: String,
       corpusUrlIndex: DataFrame,
-      onWat: DataFrame => Unit = _ => ())(
+      onWat: DataFrame => Unit = _ => (),
+      committedSink: Option[CommittedCrawlSink] = None)(
       onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions.input_file_name
-    var index = corpusUrlIndex
-      .select(col(corpusUrlIndex.columns(0)).as("url_norm"))
-      .localCheckpoint()
+    val recovered = committedSink
+      .filter(s => graft.ops.Layout.latestSnapshot(spark, s.path).isDefined)
+      .map(s => graft.ops.Layout.readCommitted(spark, s.path).select(col("url_norm")))
+    var index = recovered.foldLeft(
+      corpusUrlIndex.select(col(corpusUrlIndex.columns(0)).as("url_norm")))(
+      _ unionByName _).distinct().localCheckpoint()
     chunkedText(spark, dir)
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val files = batch.select(input_file_name().as("f"))
           .distinct().collect().map(_.getString(0)).sorted
+        var batchSurvivors: Option[DataFrame] = None
         files.foreach { f =>
           val recs = graft.io.Warc.read(spark, f)
           if (!recs.isEmpty) {
@@ -237,6 +270,36 @@ object EventStream {
             index = index
               .unionByName(survivors.select(col("url_norm")))
               .distinct().localCheckpoint()
+            batchSurvivors = Some(batchSurvivors
+              .map(_.unionByName(survivors)).getOrElse(survivors))
+          }
+        }
+        committedSink.foreach { sink =>
+          batchSurvivors.filter(s => !s.isEmpty).foreach { all =>
+            // ONE commit per micro-batch (not per file): the txn guard is
+            // per batchId, and per-file dedup above already serialized the
+            // intra-batch order
+            sinkToCommittedTable(all, sink.path, sink.key, sink.nFiles,
+              txn = Some(sink.writerId -> batchId))
+            sink.dedupIndexPath.foreach { ip =>
+              val fs = new org.apache.hadoop.fs.Path(ip)
+                .getFileSystem(spark.sessionState.newHadoopConf())
+              if (!fs.exists(new org.apache.hadoop.fs.Path(ip))) {
+                graft.ops.Dedup.minhashWriteIndex(
+                  graft.ops.Dedup.minhashBuildIndex(all, "record_id", "extracted"),
+                  ip): Unit
+                // record the creating batch's id so its replay no-ops
+                graft.ops.Dedup.minhashExtendIndexIdempotent(
+                  all.limit(0), "record_id", "extracted",
+                  graft.ops.Dedup.minhashOpenIndex(spark, ip),
+                  sink.writerId, batchId): Unit
+              } else {
+                graft.ops.Dedup.minhashExtendIndexIdempotent(
+                  all, "record_id", "extracted",
+                  graft.ops.Dedup.minhashOpenIndex(spark, ip),
+                  sink.writerId, batchId): Unit
+              }
+            }
           }
         }
       }

@@ -467,7 +467,14 @@ class PipelineStreamingSpec extends AnyFunSuite {
     val watRoot = Files.createTempDirectory("crawl_wat").toString
     val perBatch = new java.util.concurrent.ConcurrentLinkedQueue[Set[(String, String, String)]]()
     val watBatches = new java.util.concurrent.atomic.AtomicInteger(0)
-    val q = graft.streaming.EventStream.crawlIngest(
+    // COMMITTED sink: each micro-batch appends to a manifest-log table
+    // with its batchId recorded in the snapshot (exactly-once), and the
+    // persisted MinHash index is extended per batch under the same guard
+    val sink = graft.streaming.EventStream.CommittedCrawlSink(
+      s"$watRoot/table",
+      org.apache.spark.sql.functions.xxhash64(col("url_norm")), nFiles = 1,
+      dedupIndexPath = Some(s"$watRoot/dedup_index"))
+    def startIngest() = graft.streaming.EventStream.crawlIngest(
       spark, drop.toString, ckpt.toString, corpusIndex,
       onWat = { wat =>
         // a REAL per-batch WAT archive, not just a frame in flight
@@ -478,15 +485,12 @@ class PipelineStreamingSpec extends AnyFunSuite {
           regexp_extract(col("record_id"), "<urn:graft:([^>]+)>", 1).as("id"),
           col("uri"), col("wat_json")),
           s"$watRoot/batch-$n", memberGzip = true, warcType = "metadata")
-      }) { survivors =>
+      },
+      committedSink = Some(sink)) { survivors =>
       perBatch.add(survivors.select("record_id", "url_norm", "extracted")
         .as[(String, String, String)].collect().toSet)
-      // and sink each batch into a COMMITTED clustered table: readers
-      // get snapshot isolation while the crawl ingests
-      graft.streaming.EventStream.sinkToCommittedTable(
-        survivors, s"$watRoot/table",
-        org.apache.spark.sql.functions.xxhash64(col("url_norm")), nFiles = 1)
     }
+    val q = startIngest()
     try {
       q.processAllAvailable()
       val batches = perBatch.toArray(Array.empty[Set[(String, String, String)]])
@@ -554,6 +558,68 @@ class PipelineStreamingSpec extends AnyFunSuite {
         .select("record_id", "url_norm", "extracted")
         .as[(String, String, String)].collect().toSet == firstBatch,
         "snapshot v1 must be exactly the first ingested batch")
+
+      // --- exactly-once: an injected foreachBatch REPLAY is a no-op ---
+      // the last committed batchId rides in the snapshot header; replay
+      // it with different content and nothing may change
+      val hwm = snap.txns("crawl_ingest")
+      val replayRows = Seq(("<urn:graft:r99>", "http://replay.example/x",
+        "this replayed batch must not land")).toDF("record_id", "url_norm", "extracted")
+      graft.streaming.EventStream.sinkToCommittedTable(
+        replayRows, table, org.apache.spark.sql.functions.xxhash64(col("url_norm")),
+        nFiles = 1, txn = Some("crawl_ingest" -> hwm))
+      assert(Layout.latestSnapshot(spark, table).get.version == snap.version,
+        "replayed batchId must not commit a new version")
+      assert(Layout.readCommitted(spark, table).count() == tableRows.size.toLong,
+        "replayed batchId must not duplicate rows")
+
+      // --- persisted dedup index: extended per batch, same guard ---
+      import graft.ops.Dedup
+      val idxPath = s"$watRoot/dedup_index"
+      val pidx = Dedup.minhashOpenIndex(spark, idxPath)
+      val shingledIds = spark.read.parquet(s"$idxPath/shingled")
+        .select("id").as[String].collect().toSet
+      assert(shingledIds == tableRows.map(_._1),
+        "persisted MinHash index must cover exactly the committed corpus")
+      assert(Dedup.minhashIndexTxns(spark, idxPath) == Map("crawl_ingest" -> hwm))
+      assert(!Dedup.minhashExtendIndexIdempotent(
+        replayRows, "record_id", "extracted", pidx, "crawl_ingest", hwm),
+        "replayed index extension must be a no-op")
+      assert(spark.read.parquet(s"$idxPath/shingled").count() ==
+        shingledIds.size.toLong)
+
+      // --- RESTART: a new ingest instance on the same checkpoint and
+      // table rebuilds its URL state from the COMMITTED table, so a
+      // re-crawl of an already-ingested URL is dropped after restart ---
+      q.stop()
+      val fileD = Seq(
+        ("r31", "http://news.other.example/p",
+          page("plain page two re-crawled after restart", "utf-8", false, false)),
+        ("r32", "http://fresh.example/five",
+          page("a genuinely new fifth page after restart", "utf-8", false, false)))
+      writeWarc(fileD, "d", 3)
+      val q2 = startIngest()
+      try q2.processAllAvailable() finally q2.stop()
+      val finalSnap = Layout.latestSnapshot(spark, table).get
+      assert(finalSnap.version == snap.version + 1,
+        "the restarted stream must commit exactly one more version")
+      assert(finalSnap.txns("crawl_ingest") == hwm + 1)
+      val finalRows = Layout.readCommitted(spark, table)
+        .select("record_id", "url_norm", "extracted")
+        .as[(String, String, String)].collect().toSet
+      val twinAll = graft.streaming.EventStream
+        .crawlSurvivorsBatch(Warc.read(spark, drop.toString), corpusIndex)
+        .as[(String, String, String)].collect().toSet
+      assert(finalRows == twinAll,
+        "after restart, committed table must equal the 4-file batch twin")
+      val finalIds = finalRows.map(_._1.stripPrefix("<urn:graft:").stripSuffix(">"))
+      assert(finalIds == Set("r01", "r02", "r14", "r23", "r32"),
+        s"restart must drop the re-crawl (r31) and ingest the new page (r32); got $finalIds")
+      // the persisted index followed the restart batch too
+      assert(spark.read.parquet(s"$idxPath/shingled")
+        .select("id").as[String].collect().toSet == finalRows.map(_._1))
+      assert(Dedup.minhashIndexTxns(spark, idxPath) ==
+        Map("crawl_ingest" -> (hwm + 1)))
     } finally q.stop()
   }
 
