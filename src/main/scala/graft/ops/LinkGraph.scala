@@ -608,9 +608,18 @@ object LinkGraph {
     * joins + two keyed sums + two 1-row broadcast norm totals — the
     * same co-partitioned round shape as PageRank, so the 100 TB story
     * is iters × (two keyed shuffles), lineage truncated per round.
+    *
+    * `init`: warm-start HUB frame (node, hub) — the [[pageRank]] init
+    * contract applied to HITS' only inter-round state (auth is derived
+    * from hub inside each round, so the hub vector alone IS the fixed
+    * point's state). Round-k output's hub column + j warm rounds ==
+    * k+j cold rounds bit for bit (LinkGraphSpec pins it; q_hits_warm
+    * gates it against the same unrolled oracle chain as q_hits) —
+    * the daily incremental re-rank, same as PageRank's.
     */
   def hits(edges: DataFrame, iters: Int = 5,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L,
+      init: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, "hits: iters must be >= 1")
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
       .localCheckpoint()
@@ -634,7 +643,14 @@ object LinkGraph {
             expr(s"CAST((raw * CAST($scale AS DECIMAL(20,0))) div nullif(s, 0) AS BIGINT)"),
             lit(0L)).as(outName))
     }
-    var hub = nodes.withColumn("hub", lit(scale / n)).localCheckpoint()
+    var hub = (init match {
+      case None => nodes.withColumn("hub", lit(scale / n))
+      case Some(h0) => nodes
+        .join(h0.select(col(h0.columns(0)).as("node"),
+          col(h0.columns(1)).cast("long").as("hub0")), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("hub0"), lit(scale / n)).as("hub"))
+    }).localCheckpoint()
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
       val authRaw = e.join(hub, e("src") === hub("node"))

@@ -461,6 +461,19 @@ object Links {
         .orderBy(col("node"))
     }),
 
+    // Warm-started HITS: 2 cold rounds, materialize the HUB vector
+    // (the pair's only inter-round state — auth is derived from hub
+    // within each round), then 3 warm rounds from it. Same contract as
+    // q_pagerank_warm: warm(k → j) == cold(k+j) bit for bit, so the
+    // oracle is the SAME unrolled 5-round chain as q_hits and any
+    // warm-start drift hash-breaks every row.
+    "q_hits_warm" -> ((s, dir) => {
+      val roundK = LinkGraph.hits(edgesDf(s, dir), iters = 2)
+        .select(col("node"), col("hub"))
+      LinkGraph.hits(edgesDf(s, dir), iters = 3, init = Some(roundK))
+        .orderBy(col("node"))
+    }),
+
     // Sitemap XML parsing — the crawl-discovery input the robots
     // `Sitemap:` lines point at. Every 9th doc publishes a sitemap
     // INDEX (two child sitemaps, one with a lastmod); the rest publish
@@ -1046,6 +1059,11 @@ object Links {
         (s"WITH ${Web.urlCte},\n${Web.normCte},\n$linksCte,\n" +
           trustRankSql(5)),
       "q_hits" ->
+        (s"WITH ${Web.urlCte},\n${Web.normCte},\n$linksCte,\n" +
+          hitsSql(5)),
+      // warm(2 → 3) == cold(5): the unrolled chain's round-2 hub CTE
+      // IS the materialized seed state
+      "q_hits_warm" ->
         (s"WITH ${Web.urlCte},\n${Web.normCte},\n$linksCte,\n" +
           hitsSql(5)),
       "q_ppr" ->

@@ -255,6 +255,20 @@ class LinkGraphSpec extends AnyFunSuite {
     val emptyInit = Seq.empty[(String, Long)].toDF("node", "rank")
     assert(ranks(LinkGraph.pageRank(edges, iters = 2, init = Some(emptyInit))) ==
       ranks(LinkGraph.pageRank(edges, iters = 2)))
+    // HITS: the hub vector is the pair's only inter-round state, so
+    // seeding it reproduces the cold chain exactly — both score columns
+    def hits2(df: org.apache.spark.sql.DataFrame) =
+      df.select("node", "auth", "hub").as[(String, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+    for ((k, j) <- Seq((1, 1), (2, 3), (3, 2))) {
+      val cold = LinkGraph.hits(edges, iters = k + j)
+      val warm = LinkGraph.hits(edges, iters = j,
+        init = Some(LinkGraph.hits(edges, iters = k).select("node", "hub")))
+      assert(hits2(warm) == hits2(cold), s"hits warm($k -> $j) != cold(${k + j})")
+    }
+    val emptyHub = Seq.empty[(String, Long)].toDF("node", "hub")
+    assert(hits2(LinkGraph.hits(edges, iters = 2, init = Some(emptyHub))) ==
+      hits2(LinkGraph.hits(edges, iters = 2)))
   }
 
   test("personalizedPageRank: teleport weight skews mass; round-1 hand-check") {
