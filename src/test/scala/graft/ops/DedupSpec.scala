@@ -227,6 +227,64 @@ class DedupSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Dedup.hammingNearDuplicates64(sigs, 64))
   }
 
+  test("persisted hamming index: disk == memory, partitions skipped, append == rebuild") {
+    // signatures with planted near-pairs across the index/probe split
+    val base = 0x0123456789abcdefL
+    val idxSigs = (0L until 40L).map(i => (i * 2, base ^ (i << 8)))
+      .toDF("id", "sig")
+    val probeSigs = Seq(
+      (1L, base ^ (1L << 0)), // 1 bit from id 0's sig
+      (3L, base ^ (1L << 8) ^ (1L << 17) ^ (1L << 33)), // 3 bits from id 2's
+      (5L, ~base) // far from everything
+    ).toDF("id", "sig")
+    val path = java.nio.file.Files.createTempDirectory("graft_phidx").toString
+    val pidx = Dedup.hammingWriteIndex(idxSigs, path,
+      maxHamming = 3, hashBuckets = 16)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_new", "id_old", "hamming_bits")
+      .as[(Long, Long, Int)].collect().toSet
+    val mem = pairs(Dedup.hammingProbe(probeSigs, idxSigs, maxHamming = 3))
+    val disk = pairs(Dedup.hammingProbePersisted(probeSigs, pidx))
+    assert(mem.contains((1L, 0L, 1)) && mem.contains((3L, 2L, 2)),
+      "premise: the planted near-pairs must be found")
+    assert(!mem.exists(_._1 == 5L))
+    assert(disk == mem, "on-disk hamming probe diverged from the in-memory probe")
+    // measured partition skipping: a 1-row probe plans ≤ 4 partitions
+    val one = probeSigs.limit(1)
+    val buckets = Dedup.hammingProbeBuckets(one, pidx)
+    assert(buckets.size <= 4, s"one sig → ≤ maxHamming+1 partitions, got ${buckets.size}")
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.sum
+    }
+    val prunedFiles = scannedFiles(Dedup.prunedHammingRead(spark, pidx, buckets))
+    val totalFiles = scannedFiles(spark.read.parquet(s"$path/chunked"))
+    assert(prunedFiles < totalFiles && prunedFiles > 0,
+      s"probe scan planned $prunedFiles of $totalFiles files — nothing skipped")
+    // incremental append == full rebuild
+    val delta = (40L until 60L).map(i => (i * 2, base ^ (i << 8)))
+      .toDF("id", "sig")
+    Dedup.hammingExtendIndex(delta, pidx)
+    val probe2 = Seq((41L, base ^ (50L << 8) ^ (1L << 1))).toDF("id", "sig")
+    val viaDisk = pairs(Dedup.hammingProbePersisted(probe2, pidx))
+    val viaMem = pairs(Dedup.hammingProbe(probe2,
+      idxSigs.unionByName(delta), maxHamming = 3))
+    assert(viaMem.nonEmpty && viaDisk == viaMem,
+      "append-maintained hamming index diverged from a full rebuild")
+    assert(viaDisk.exists(_._2 == 100L), "the delta-generation twin must be found")
+    // a directory without the meta commit marker is not an index
+    val raw = java.nio.file.Files.createTempDirectory("graft_phidx_raw").toString
+    intercept[IllegalArgumentException](Dedup.hammingOpenIndex(spark, raw))
+    // a non-append write REPLACES an existing index (bench rerun safety)
+    val pidx2 = Dedup.hammingWriteIndex(idxSigs, path,
+      maxHamming = 3, hashBuckets = 16)
+    assert(pidx2 == Dedup.hammingOpenIndex(spark, path))
+    assert(pairs(Dedup.hammingProbePersisted(probeSigs, pidx2)) == mem)
+  }
+
   test("exact dedup: null ids sort first and never null out the representative") {
     val df = Seq(
       (Some(7L), "x", "keep7"),
