@@ -130,25 +130,71 @@ object LanguageModel {
     * Past the cap, use [[scoreBigramsJoined]]: same numbers, bigram
     * table never leaves the cluster.
     */
-  def trainBigrams(
+  private val DefaultMaxVocab = 2000000L
+
+  /** ONE tokenize+explode pass for the whole KN ladder: every token
+    * position emits its n-gram string for each order up to `maxOrder`
+    * (null where the document runs out), the frame is materialized
+    * once (localCheckpoint — the explode and the UDF never re-run),
+    * and each order's distinct-count aggregate runs over it. This is
+    * the KenLM-style shared pass that replaces one full corpus
+    * tokenize+explode PER ORDER (the 5-gram ladder used to pay five);
+    * every aggregate is a keyed count with map-side partials, and the
+    * per-order driver collects stay behind the same `limit(cap+1)`
+    * bounds the standalone trainers used. Bigram counts honor
+    * `minCountBi` exactly as trainBigrams' filter did.
+    */
+  private def ladderCounts(
       train: DataFrame,
-      idCol: String,
       textCol: String,
-      minCount: Long = 1L,
-      maxEntries: Long = 5000000L): Bigrams = {
-    require(maxEntries > 0 && maxEntries < Int.MaxValue,
-      s"maxEntries must be in (0, Int.MaxValue), got $maxEntries")
-    val uni = trainUnigrams(train, idCol, textCol)
-    val pairsUdf = udf((text: String) => {
+      maxOrder: Int,
+      capOf: Int => Long,
+      minCountBi: Long): Map[Int, Array[(String, Long)]] = {
+    require(maxOrder >= 1 && maxOrder <= 5)
+    val mo = maxOrder
+    val ladderUdf = udf((text: String) => {
       val toks = HashKernels.tokensOf(text)
-      if (toks.length < 2) Array.empty[String]
-      else Array.tabulate(toks.length - 1)(i => toks(i) + " " + toks(i + 1))
+      Array.tabulate(toks.length) { i =>
+        val out = new Array[String](5)
+        out(0) = toks(i)
+        val sb = new java.lang.StringBuilder(toks(i))
+        var n = 1
+        while (n < mo) {
+          if (i + n < toks.length) {
+            sb.append(' ').append(toks(i + n))
+            out(n) = sb.toString
+          }
+          n += 1
+        }
+        (out(0), out(1), out(2), out(3), out(4))
+      }
     })
-    val agg = train.select(explode(pairsUdf(col(textCol))).as("bg"))
-      .groupBy(col("bg")).agg(count(lit(1)).as("c"))
-      .filter(col("c") >= minCount)
-    val rows = agg.limit(maxEntries.toInt + 1)
-      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val lf = train.select(explode(ladderUdf(col(textCol))).as("g"))
+      .select((1 to maxOrder).map(n => col(s"g._$n").as(s"g$n")): _*)
+      .localCheckpoint()
+    (1 to maxOrder).map { n =>
+      val cap = capOf(n)
+      require(cap > 0 && cap < Int.MaxValue,
+        s"maxEntries must be in (0, Int.MaxValue), got $cap")
+      val agg0 = lf.filter(col(s"g$n").isNotNull)
+        .groupBy(col(s"g$n")).agg(count(lit(1)).as("c"))
+      val agg = if (n == 2) agg0.filter(col("c") >= minCountBi) else agg0
+      n -> agg.limit(cap.toInt + 1)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+    }.toMap
+  }
+
+  private def buildUnigrams(rows: Array[(String, Long)], maxVocab: Long): Unigrams = {
+    require(rows.nonEmpty, "trainUnigrams: empty corpus")
+    require(rows.length <= maxVocab,
+      s"trainUnigrams: distinct tokens exceed maxVocab=$maxVocab " +
+        "(~100 bytes of driver+executor heap per entry) — raise it " +
+        "deliberately or pre-prune the vocabulary")
+    Unigrams(rows.toMap, rows.map(_._2).sum, rows.length.toLong)
+  }
+
+  private def buildBigrams(uni: Unigrams, rows: Array[(String, Long)],
+      maxEntries: Long): Bigrams = {
     require(rows.length <= maxEntries,
       s"trainBigrams: distinct bigrams exceed the driver-collect cap " +
       s"($maxEntries, ~120 bytes of driver heap per entry) — raise minCount " +
@@ -159,6 +205,19 @@ object LanguageModel {
       prefix.update(w1, prefix.getOrElse(w1, 0L) + c)
     }
     Bigrams(uni, rows.toMap, prefix.toMap)
+  }
+
+  def trainBigrams(
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long = 1L,
+      maxEntries: Long = 5000000L): Bigrams = {
+    require(maxEntries > 0 && maxEntries < Int.MaxValue,
+      s"maxEntries must be in (0, Int.MaxValue), got $maxEntries")
+    val lc = ladderCounts(train, textCol, 2,
+      n => if (n == 1) DefaultMaxVocab else maxEntries, minCount)
+    buildBigrams(buildUnigrams(lc(1), DefaultMaxVocab), lc(2), maxEntries)
   }
 
   /** Bigram scoring: the first token takes its add-one unigram NLL, each
@@ -234,7 +293,11 @@ object LanguageModel {
       maxEntries: Long = 5000000L,
       discount: Double = 0.75): KneserNeyModel = {
     require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
-    val base = trainBigrams(train, idCol, textCol, minCount, maxEntries)
+    kn2From(trainBigrams(train, idCol, textCol, minCount, maxEntries), discount)
+  }
+
+  private def kn2From(base: Bigrams, discount: Double): KneserNeyModel = {
+    require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
     val right = new scala.collection.mutable.HashMap[String, Long]()
     val left = new scala.collection.mutable.HashMap[String, Long]()
     base.bi.keysIterator.foreach { bg =>
@@ -335,17 +398,22 @@ object LanguageModel {
       discount: Double = 0.75): TrigramKNModel = {
     require(maxEntries > 0 && maxEntries < Int.MaxValue,
       s"maxEntries must be in (0, Int.MaxValue), got $maxEntries")
-    val kn2 = trainKneserNey(train, idCol, textCol, discount = discount)
-    val triUdf = udf((text: String) => {
-      val toks = HashKernels.tokensOf(text)
-      if (toks.length < 3) Array.empty[String]
-      else Array.tabulate(toks.length - 2)(i =>
-        toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
-    })
-    val rows = train.select(explode(triUdf(col(textCol))).as("tg"))
-      .groupBy(col("tg")).agg(count(lit(1)).as("c"))
-      .limit(maxEntries.toInt + 1)
-      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // one shared ladder pass feeds the 1/2/3-gram counts (the embedded
+    // bigram KN level keeps its standalone defaults: minCount 1, 5M cap)
+    val lc = ladderCounts(train, textCol, 3,
+      n => n match {
+        case 1 => DefaultMaxVocab
+        case 2 => 5000000L
+        case _ => maxEntries
+      }, 1L)
+    val kn2 = kn2From(
+      buildBigrams(buildUnigrams(lc(1), DefaultMaxVocab), lc(2), 5000000L),
+      discount)
+    buildTrigramKN(kn2, lc(3), maxEntries)
+  }
+
+  private def buildTrigramKN(kn2: KneserNeyModel,
+      rows: Array[(String, Long)], maxEntries: Long): TrigramKNModel = {
     require(rows.length <= maxEntries,
       s"trainTrigramKneserNey: distinct trigrams exceed the driver-collect " +
       s"cap ($maxEntries) — use scoreTrigramKneserNeyJoined, which keeps " +
@@ -471,17 +539,21 @@ object LanguageModel {
       discount: Double = 0.75): FourgramKNModel = {
     require(maxEntries > 0 && maxEntries < Int.MaxValue,
       s"maxEntries must be in (0, Int.MaxValue), got $maxEntries")
-    val tri = trainTrigramKneserNey(train, idCol, textCol, maxEntries, discount)
-    val quadUdf = udf((text: String) => {
-      val toks = HashKernels.tokensOf(text)
-      if (toks.length < 4) Array.empty[String]
-      else Array.tabulate(toks.length - 3)(i =>
-        toks(i) + " " + toks(i + 1) + " " + toks(i + 2) + " " + toks(i + 3))
-    })
-    val rows = train.select(explode(quadUdf(col(textCol))).as("qg"))
-      .groupBy(col("qg")).agg(count(lit(1)).as("c"))
-      .limit(maxEntries.toInt + 1)
-      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val lc = ladderCounts(train, textCol, 4,
+      n => n match {
+        case 1 => DefaultMaxVocab
+        case 2 => 5000000L
+        case _ => maxEntries
+      }, 1L)
+    val tri = buildTrigramKN(
+      kn2From(buildBigrams(buildUnigrams(lc(1), DefaultMaxVocab),
+        lc(2), 5000000L), discount),
+      lc(3), maxEntries)
+    buildFourgramKN(tri, lc(4), maxEntries)
+  }
+
+  private def buildFourgramKN(tri: TrigramKNModel,
+      rows: Array[(String, Long)], maxEntries: Long): FourgramKNModel = {
     require(rows.length <= maxEntries,
       s"trainFourgramKneserNey: distinct 4-grams exceed the driver-collect " +
       s"cap ($maxEntries) — use scoreFourgramKneserNeyJoined")
@@ -721,18 +793,21 @@ object LanguageModel {
       discount: Double = 0.75): FivegramKNModel = {
     require(maxEntries > 0 && maxEntries < Int.MaxValue,
       s"maxEntries must be in (0, Int.MaxValue), got $maxEntries")
-    val four = trainFourgramKneserNey(train, idCol, textCol, maxEntries, discount)
-    val quintUdf = udf((text: String) => {
-      val toks = HashKernels.tokensOf(text)
-      if (toks.length < 5) Array.empty[String]
-      else Array.tabulate(toks.length - 4)(i =>
-        toks(i) + " " + toks(i + 1) + " " + toks(i + 2) + " " +
-          toks(i + 3) + " " + toks(i + 4))
-    })
-    val rows = train.select(explode(quintUdf(col(textCol))).as("pg"))
-      .groupBy(col("pg")).agg(count(lit(1)).as("c"))
-      .limit(maxEntries.toInt + 1)
-      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // the whole n = 1..5 ladder from ONE tokenize+explode pass — the
+    // round-12 shape re-tokenized the corpus once per order
+    val lc = ladderCounts(train, textCol, 5,
+      n => n match {
+        case 1 => DefaultMaxVocab
+        case 2 => 5000000L
+        case _ => maxEntries
+      }, 1L)
+    val four = buildFourgramKN(
+      buildTrigramKN(
+        kn2From(buildBigrams(buildUnigrams(lc(1), DefaultMaxVocab),
+          lc(2), 5000000L), discount),
+        lc(3), maxEntries),
+      lc(4), maxEntries)
+    val rows = lc(5)
     require(rows.length <= maxEntries,
       s"trainFivegramKneserNey: distinct 5-grams exceed the driver-collect " +
       s"cap ($maxEntries) — use scoreFivegramKneserNeyJoined")

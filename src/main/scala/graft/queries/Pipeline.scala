@@ -1353,10 +1353,17 @@ object Pipeline {
     // repetition" of the recursion, proven against the same oracle
     // shape: raw top level on 5-gram counts, every level below on
     // continuation counts from the table one order up.
-    "q_fivegram_kn" -> ((s, dir) =>
-      graft.ops.LanguageModel.fivegramKneserNeyScore(
-        Tables(s, dir, "documents"), "doc_id", "text")
-        .orderBy(col("doc_id"))),
+    "q_fivegram_kn" -> ((s, dir) => {
+      // train split out as a sub-timing stage: it is the suite's #2
+      // cost and the bench artifact should attribute train vs score
+      val m = graft.SubTimings.time("q_fivegram_kn", "model_train") {
+        graft.ops.LanguageModel.trainFivegramKneserNey(
+          Tables(s, dir, "documents"), "doc_id", "text")
+      }
+      graft.ops.LanguageModel.scoreFivegramKneserNey(
+        Tables(s, dir, "documents"), "doc_id", "text", m)
+        .orderBy(col("doc_id"))
+    }),
     "q_fivegram_kn_dist" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       graft.ops.LanguageModel.scoreFivegramKneserNeyJoined(
