@@ -466,38 +466,48 @@ object LanguageModel {
       m: TrigramKNModel): DataFrame = {
     val d = m.kn2.discount
     val pcDen = m.kn2.nBigramTypes + 0.5 * (m.kn2.vocabSize + 1.0)
-    val left = m.kn2.leftTypes
-    val tri = m.tri; val ctx2 = m.ctx2; val ctx2T = m.ctx2Types
-    val contBi = m.contBi; val contMid = m.contMid; val contT = m.contTypes
+    // java-map broadcast + rolling context keys, the q_fivegram_kn hot-
+    // path treatment one level down; identical doubles, gated hashes
+    val bcm = docs.sparkSession.sparkContext.broadcast((
+      jcounts(m.kn2.leftTypes), jcounts(m.tri), jcounts(m.ctx2),
+      jcounts(m.ctx2Types), jcounts(m.contBi), jcounts(m.contMid),
+      jcounts(m.contTypes)))
     val f = udf((text: String) => {
+      val (left, tri, ctx2, ctx2T, contBi, contMid, contT) = bcm.value
       val toks = HashKernels.tokensOf(text)
       if (toks.isEmpty) null
       else {
-        def pcont(w: String): Double = (left.getOrElse(w, 0L) + 0.5) / pcDen
-        def p2(w2: String, w3: String): Double = {
-          val cm = contMid.getOrElse(w2, 0L)
-          if (cm > 0L) {
-            val cb = contBi.getOrElse(w2 + " " + w3, 0L)
-            math.max(cb - d, 0.0) / cm + d * contT.getOrElse(w2, 0L) / cm * pcont(w3)
-          } else pcont(w3)
+        def cnt(h: JCounts, k: String): Long = {
+          val v = h.get(k); if (v eq null) 0L else v.longValue
         }
+        def pcont(w: String): Double = (cnt(left, w) + 0.5) / pcDen
+        def lvl(cm: Long, cb: Long, ct: Long, lower: Double): Double =
+          if (cm > 0L) math.max(cb - d, 0.0) / cm + d * ct / cm * lower
+          else lower
+        val len = toks.length
         var nanos = HashKernels.nanoQuant(-math.log(pcont(toks(0))))
-        if (toks.length > 1)
-          nanos += HashKernels.nanoQuant(-math.log(p2(toks(0), toks(1))))
-        var i = 2
-        while (i < toks.length) {
-          val w1 = toks(i - 2); val w2 = toks(i - 1); val w3 = toks(i)
-          val cc = ctx2.getOrElse(w1 + " " + w2, 0L)
-          val p =
-            if (cc > 0L) {
-              val c3 = tri.getOrElse(w1 + " " + w2 + " " + w3, 0L)
-              math.max(c3 - d, 0.0) / cc +
-                d * ctx2T.getOrElse(w1 + " " + w2, 0L) / cc * p2(w2, w3)
-            } else p2(w2, w3)
+        if (len > 1) {
+          val e = toks(0); val w = toks(1)
+          val p = lvl(cnt(contMid, e), cnt(contBi, e + " " + w),
+            cnt(contT, e), pcont(w))
           nanos += HashKernels.nanoQuant(-math.log(p))
-          i += 1
         }
-        (toks.length, (nanos.toDouble / 1e9) / toks.length)
+        if (len > 2) {
+          var k2 = toks(0) + " " + toks(1)
+          var i = 2
+          while (i < len) {
+            val e = toks(i - 1); val w = toks(i)
+            val bik = e + " " + w
+            val k3 = k2 + " " + w
+            val p2v = lvl(cnt(contMid, e), cnt(contBi, bik),
+              cnt(contT, e), pcont(w))
+            val p = lvl(cnt(ctx2, k2), cnt(tri, k3), cnt(ctx2T, k2), p2v)
+            nanos += HashKernels.nanoQuant(-math.log(p))
+            k2 = bik
+            i += 1
+          }
+        }
+        (len, (nanos.toDouble / 1e9) / len)
       }
     })
     docs.select(col(idCol), f(col(textCol)).as("s"))
@@ -593,51 +603,63 @@ object LanguageModel {
       m: FourgramKNModel): DataFrame = {
     val d = m.tri.kn2.discount
     val pcDen = m.tri.kn2.nBigramTypes + 0.5 * (m.tri.kn2.vocabSize + 1.0)
-    val left = m.tri.kn2.leftTypes
-    val contBi = m.tri.contBi; val contMid = m.tri.contMid
-    val contT = m.tri.contTypes
-    val four = m.four; val ctx3 = m.ctx3; val ctx3T = m.ctx3Types
-    val cont3 = m.cont3; val contMid3 = m.contMid3; val contT3 = m.contTypes3
+    // java-map broadcast + rolling context keys (the q_fivegram_kn
+    // hot-path treatment); identical doubles, gated hashes
+    val bcm = docs.sparkSession.sparkContext.broadcast((
+      jcounts(m.tri.kn2.leftTypes), jcounts(m.tri.contBi),
+      jcounts(m.tri.contMid), jcounts(m.tri.contTypes),
+      jcounts(m.four), jcounts(m.ctx3), jcounts(m.ctx3Types),
+      jcounts(m.cont3), jcounts(m.contMid3), jcounts(m.contTypes3)))
     val f = udf((text: String) => {
+      val (left, contBi, contMid, contT, four, ctx3, ctx3T,
+        cont3, contMid3, contT3) = bcm.value
       val toks = HashKernels.tokensOf(text)
       if (toks.isEmpty) null
       else {
-        def pcont(w: String): Double = (left.getOrElse(w, 0L) + 0.5) / pcDen
-        def p2(w2: String, w3: String): Double = {
-          val cm = contMid.getOrElse(w2, 0L)
-          if (cm > 0L) {
-            val cb = contBi.getOrElse(w2 + " " + w3, 0L)
-            math.max(cb - d, 0.0) / cm + d * contT.getOrElse(w2, 0L) / cm * pcont(w3)
-          } else pcont(w3)
+        def cnt(h: JCounts, k: String): Long = {
+          val v = h.get(k); if (v eq null) 0L else v.longValue
         }
-        def p3c(a: String, b: String, c: String): Double = {
-          val cm = contMid3.getOrElse(a + " " + b, 0L)
-          if (cm > 0L) {
-            val cb = cont3.getOrElse(a + " " + b + " " + c, 0L)
-            math.max(cb - d, 0.0) / cm +
-              d * contT3.getOrElse(a + " " + b, 0L) / cm * p2(b, c)
-          } else p2(b, c)
-        }
+        def pcont(w: String): Double = (cnt(left, w) + 0.5) / pcDen
+        def lvl(cm: Long, cb: Long, ct: Long, lower: Double): Double =
+          if (cm > 0L) math.max(cb - d, 0.0) / cm + d * ct / cm * lower
+          else lower
+        val len = toks.length
         var nanos = HashKernels.nanoQuant(-math.log(pcont(toks(0))))
-        if (toks.length > 1)
-          nanos += HashKernels.nanoQuant(-math.log(p2(toks(0), toks(1))))
-        if (toks.length > 2)
-          nanos += HashKernels.nanoQuant(-math.log(p3c(toks(0), toks(1), toks(2))))
-        var i = 3
-        while (i < toks.length) {
-          val a = toks(i - 3); val b = toks(i - 2); val c = toks(i - 1)
-          val w = toks(i)
-          val cc = ctx3.getOrElse(a + " " + b + " " + c, 0L)
-          val p =
-            if (cc > 0L) {
-              val c4 = four.getOrElse(a + " " + b + " " + c + " " + w, 0L)
-              math.max(c4 - d, 0.0) / cc +
-                d * ctx3T.getOrElse(a + " " + b + " " + c, 0L) / cc * p3c(b, c, w)
-            } else p3c(b, c, w)
+        if (len > 1) {
+          val e = toks(0); val w = toks(1)
+          val p = lvl(cnt(contMid, e), cnt(contBi, e + " " + w),
+            cnt(contT, e), pcont(w))
           nanos += HashKernels.nanoQuant(-math.log(p))
-          i += 1
         }
-        (toks.length, (nanos.toDouble / 1e9) / toks.length)
+        if (len > 2) {
+          val c = toks(0); val e = toks(1); val w = toks(2)
+          val km3 = c + " " + e
+          val p2v = lvl(cnt(contMid, e), cnt(contBi, e + " " + w),
+            cnt(contT, e), pcont(w))
+          val p = lvl(cnt(contMid3, km3), cnt(cont3, km3 + " " + w),
+            cnt(contT3, km3), p2v)
+          nanos += HashKernels.nanoQuant(-math.log(p))
+        }
+        if (len > 3) {
+          var k3 = toks(0) + " " + toks(1) + " " + toks(2)
+          var km3 = toks(1) + " " + toks(2)
+          var i = 3
+          while (i < len) {
+            val e = toks(i - 1); val w = toks(i)
+            val bik = e + " " + w
+            val c3k = km3 + " " + w
+            val k4 = k3 + " " + w
+            val p2v = lvl(cnt(contMid, e), cnt(contBi, bik),
+              cnt(contT, e), pcont(w))
+            val p3v = lvl(cnt(contMid3, km3), cnt(cont3, c3k),
+              cnt(contT3, km3), p2v)
+            val p = lvl(cnt(ctx3, k3), cnt(four, k4), cnt(ctx3T, k3), p3v)
+            nanos += HashKernels.nanoQuant(-math.log(p))
+            k3 = c3k; km3 = bik
+            i += 1
+          }
+        }
+        (len, (nanos.toDouble / 1e9) / len)
       }
     })
     docs.select(col(idCol), f(col(textCol)).as("s"))
@@ -840,6 +862,36 @@ object LanguageModel {
     * discipline — q_fivegram_kn restates the full recursion and both
     * Spark paths must land on its hash.
     */
+  private type JCounts = java.util.HashMap[String, java.lang.Long]
+
+  private def jcounts(m: Map[String, Long]): JCounts = {
+    val h = new JCounts(math.max(16, m.size * 2))
+    m.foreach { case (k, v) => h.put(k, java.lang.Long.valueOf(v)) }
+    h
+  }
+
+  /** The 5-gram model's count tables re-housed in java HashMaps for the
+    * scoring hot path (identical values — only the lookup structure
+    * changes, so the gate hashes cannot move; immutable-trie probes and
+    * per-level key rebuilding were the measured bulk of q_fivegram_kn's
+    * non-train time at sf0.1).
+    */
+  private final class KN5Java(m: FivegramKNModel) extends Serializable {
+    val left: JCounts = jcounts(m.four.tri.kn2.leftTypes)
+    val contMid: JCounts = jcounts(m.four.tri.contMid)
+    val contBi: JCounts = jcounts(m.four.tri.contBi)
+    val contT: JCounts = jcounts(m.four.tri.contTypes)
+    val contMid3: JCounts = jcounts(m.four.contMid3)
+    val cont3: JCounts = jcounts(m.four.cont3)
+    val contT3: JCounts = jcounts(m.four.contTypes3)
+    val five: JCounts = jcounts(m.five)
+    val ctx4: JCounts = jcounts(m.ctx4)
+    val ctx4T: JCounts = jcounts(m.ctx4Types)
+    val cont4: JCounts = jcounts(m.cont4)
+    val contMid4: JCounts = jcounts(m.contMid4)
+    val contT4: JCounts = jcounts(m.contTypes4)
+  }
+
   def scoreFivegramKneserNey(
       docs: DataFrame,
       idCol: String,
@@ -847,65 +899,82 @@ object LanguageModel {
       m: FivegramKNModel): DataFrame = {
     val d = m.four.tri.kn2.discount
     val pcDen = m.four.tri.kn2.nBigramTypes + 0.5 * (m.four.tri.kn2.vocabSize + 1.0)
-    val left = m.four.tri.kn2.leftTypes
-    val contBi = m.four.tri.contBi; val contMid = m.four.tri.contMid
-    val contT = m.four.tri.contTypes
-    val cont3 = m.four.cont3; val contMid3 = m.four.contMid3
-    val contT3 = m.four.contTypes3
-    val five = m.five; val ctx4 = m.ctx4; val ctx4T = m.ctx4Types
-    val cont4 = m.cont4; val contMid4 = m.contMid4; val contT4 = m.contTypes4
+    // the model rides as ONE explicit broadcast of java-map tables; the
+    // scoring loop builds each composite key exactly once and ROLLS the
+    // context strings forward (position i's "b c e w" IS position i+1's
+    // context key), replacing the ~10 string builds per token of the
+    // recursive spelling. Every double expression keeps the original
+    // association order — q_fivegram_kn's shared oracle hash is the proof.
+    val bcm = docs.sparkSession.sparkContext.broadcast(new KN5Java(m))
     val f = udf((text: String) => {
+      val mm = bcm.value
       val toks = HashKernels.tokensOf(text)
       if (toks.isEmpty) null
       else {
-        def pcont(w: String): Double = (left.getOrElse(w, 0L) + 0.5) / pcDen
-        def p2(w2: String, w3: String): Double = {
-          val cm = contMid.getOrElse(w2, 0L)
-          if (cm > 0L) {
-            val cb = contBi.getOrElse(w2 + " " + w3, 0L)
-            math.max(cb - d, 0.0) / cm + d * contT.getOrElse(w2, 0L) / cm * pcont(w3)
-          } else pcont(w3)
+        def cnt(h: JCounts, k: String): Long = {
+          val v = h.get(k); if (v eq null) 0L else v.longValue
         }
-        def p3c(a: String, b: String, c: String): Double = {
-          val cm = contMid3.getOrElse(a + " " + b, 0L)
-          if (cm > 0L) {
-            val cb = cont3.getOrElse(a + " " + b + " " + c, 0L)
-            math.max(cb - d, 0.0) / cm +
-              d * contT3.getOrElse(a + " " + b, 0L) / cm * p2(b, c)
-          } else p2(b, c)
-        }
-        def p4c(a: String, b: String, c: String, w: String): Double = {
-          val cm = contMid4.getOrElse(a + " " + b + " " + c, 0L)
-          if (cm > 0L) {
-            val cb = cont4.getOrElse(a + " " + b + " " + c + " " + w, 0L)
-            math.max(cb - d, 0.0) / cm +
-              d * contT4.getOrElse(a + " " + b + " " + c, 0L) / cm * p3c(b, c, w)
-          } else p3c(b, c, w)
-        }
+        def pcont(w: String): Double = (cnt(mm.left, w) + 0.5) / pcDen
+        // one interpolation level: max(cb−D,0)/cm + D·ct/cm · lower,
+        // backing off to `lower` when the context completes nothing —
+        // the identical expression (and association order) every level
+        // of the old recursion spelled out
+        def lvl(cm: Long, cb: Long, ct: Long, lower: Double): Double =
+          if (cm > 0L) math.max(cb - d, 0.0) / cm + d * ct / cm * lower
+          else lower
+        val len = toks.length
         var nanos = HashKernels.nanoQuant(-math.log(pcont(toks(0))))
-        if (toks.length > 1)
-          nanos += HashKernels.nanoQuant(-math.log(p2(toks(0), toks(1))))
-        if (toks.length > 2)
-          nanos += HashKernels.nanoQuant(-math.log(p3c(toks(0), toks(1), toks(2))))
-        if (toks.length > 3)
-          nanos += HashKernels.nanoQuant(
-            -math.log(p4c(toks(0), toks(1), toks(2), toks(3))))
-        var i = 4
-        while (i < toks.length) {
-          val a = toks(i - 4); val b = toks(i - 3); val c = toks(i - 2)
-          val e = toks(i - 1); val w = toks(i)
-          val cc = ctx4.getOrElse(a + " " + b + " " + c + " " + e, 0L)
-          val p =
-            if (cc > 0L) {
-              val c5 = five.getOrElse(a + " " + b + " " + c + " " + e + " " + w, 0L)
-              math.max(c5 - d, 0.0) / cc +
-                d * ctx4T.getOrElse(a + " " + b + " " + c + " " + e, 0L) / cc *
-                  p4c(b, c, e, w)
-            } else p4c(b, c, e, w)
+        if (len > 1) {
+          val e = toks(0); val w = toks(1)
+          val p = lvl(cnt(mm.contMid, e), cnt(mm.contBi, e + " " + w),
+            cnt(mm.contT, e), pcont(w))
           nanos += HashKernels.nanoQuant(-math.log(p))
-          i += 1
         }
-        (toks.length, (nanos.toDouble / 1e9) / toks.length)
+        if (len > 2) {
+          val c = toks(0); val e = toks(1); val w = toks(2)
+          val km3 = c + " " + e
+          val p2v = lvl(cnt(mm.contMid, e), cnt(mm.contBi, e + " " + w),
+            cnt(mm.contT, e), pcont(w))
+          val p = lvl(cnt(mm.contMid3, km3), cnt(mm.cont3, km3 + " " + w),
+            cnt(mm.contT3, km3), p2v)
+          nanos += HashKernels.nanoQuant(-math.log(p))
+        }
+        if (len > 3) {
+          val b = toks(0); val c = toks(1); val e = toks(2); val w = toks(3)
+          val km4 = b + " " + c + " " + e
+          val km3 = c + " " + e
+          val p2v = lvl(cnt(mm.contMid, e), cnt(mm.contBi, e + " " + w),
+            cnt(mm.contT, e), pcont(w))
+          val p3v = lvl(cnt(mm.contMid3, km3), cnt(mm.cont3, km3 + " " + w),
+            cnt(mm.contT3, km3), p2v)
+          val p = lvl(cnt(mm.contMid4, km4), cnt(mm.cont4, km4 + " " + w),
+            cnt(mm.contT4, km4), p3v)
+          nanos += HashKernels.nanoQuant(-math.log(p))
+        }
+        if (len > 4) {
+          var k4 = toks(0) + " " + toks(1) + " " + toks(2) + " " + toks(3)
+          var km4 = toks(1) + " " + toks(2) + " " + toks(3)
+          var km3 = toks(2) + " " + toks(3)
+          var i = 4
+          while (i < len) {
+            val e = toks(i - 1); val w = toks(i)
+            val bik = e + " " + w
+            val c3k = km3 + " " + w
+            val c4k = km4 + " " + w
+            val k5 = k4 + " " + w
+            val p2v = lvl(cnt(mm.contMid, e), cnt(mm.contBi, bik),
+              cnt(mm.contT, e), pcont(w))
+            val p3v = lvl(cnt(mm.contMid3, km3), cnt(mm.cont3, c3k),
+              cnt(mm.contT3, km3), p2v)
+            val p4v = lvl(cnt(mm.contMid4, km4), cnt(mm.cont4, c4k),
+              cnt(mm.contT4, km4), p3v)
+            val p = lvl(cnt(mm.ctx4, k4), cnt(mm.five, k5), cnt(mm.ctx4T, k4), p4v)
+            nanos += HashKernels.nanoQuant(-math.log(p))
+            k4 = c4k; km4 = c3k; km3 = bik
+            i += 1
+          }
+        }
+        (len, (nanos.toDouble / 1e9) / len)
       }
     })
     docs.select(col(idCol), f(col(textCol)).as("s"))
