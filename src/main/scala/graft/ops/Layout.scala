@@ -723,11 +723,31 @@ object Layout {
       readSnapshotFile(fs, p, v).files.map(_.name)
     }.toSet
     val horizon = System.currentTimeMillis() - minAgeMs
-    val orphans = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+    val listing = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+    val orphans = listing
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-") &&
         !referenced.contains(st.getPath.getName) &&
         st.getModificationTime < horizon)
     orphans.foreach(st => fs.delete(st.getPath, false))
+    // crashed writers leak their hidden staging (.append-*/.compact-*/
+    // .rewrite-* dirs, _manifests/.tmp-* bodies) — an always-on ingest
+    // accumulates them forever without this sweep. Same age guard: a
+    // LIVE writer's staging is younger than the horizon (a dir's mtime
+    // moves whenever the writer adds files to it), a crashed one's is
+    // frozen at the crash. Not counted in the returned pair, which
+    // stays (snapshots removed, data files removed).
+    listing
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isDirectory && st.getModificationTime < horizon &&
+          (n.startsWith(".append-") || n.startsWith(".compact-") ||
+            n.startsWith(".rewrite-"))
+      }
+      .foreach(st => fs.delete(st.getPath, true))
+    fs.listStatus(mdir)
+      .filter(st => st.isFile && st.getPath.getName.startsWith(".tmp-") &&
+        st.getModificationTime < horizon)
+      .foreach(st => fs.delete(st.getPath, false))
     dropped.foreach { case (_, p) => fs.delete(p, false) }
     (dropped.length, orphans.length)
   }

@@ -83,6 +83,22 @@ class EndToEndSpec extends AnyFunSuite {
       s"lifecycle invariant false: $first")
   }
 
+  test("q_manifest_rewrite reruns in one session: identical rows, invariants stay true") {
+    // same bench-rerun contract for the rewrite lifecycle: the previous
+    // rep's retained generation is vacuumed at the start, so the window
+    // and vacuum arithmetic count only THIS rep's files
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val fn = SparkEntry.queries("q_manifest_rewrite")
+    def run() = fn(spark, dir).collect().map(_.toSeq).toSeq
+    val first = run()
+    val second = run()
+    assert(first == second, "rerun produced different rows")
+    val boolIdx = 3 to 6 // versions_ok, time_travel_ok, rewrite_window_ok, vacuum_ok
+    assert(first.forall(r => boolIdx.forall(i => r(i) == true)),
+      s"rewrite lifecycle invariant false: $first")
+  }
+
   test("temporal family: cross-query invariants on real events data") {
     // each query is oracle-checked individually; this pins the
     // CROSS-query consistency no single oracle asserts

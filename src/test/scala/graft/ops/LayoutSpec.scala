@@ -549,6 +549,27 @@ class LayoutSpec extends AnyFunSuite {
     assert(Layout.readCommitted(spark, dir).count() == 2000L)
     snap.files.foreach(f => assert(new java.io.File(dir, f.name).exists(),
       s"vacuum deleted ${f.name} out from under the in-flight append"))
+
+    // crashed-writer staging sweep: a backdated .append-* dir and a
+    // backdated _manifests/.tmp-* body are reclaimed; a FRESH staging
+    // dir (a live writer) survives the same sweep
+    val old = System.currentTimeMillis() - 2 * Layout.DefaultVacuumRetentionMs
+    val deadStage = new java.io.File(dir, ".append-dead")
+    assert(deadStage.mkdir())
+    val inner = new java.io.File(deadStage, "part-x.parquet")
+    java.nio.file.Files.copy(first.toPath, inner.toPath)
+    assert(inner.setLastModified(old) && deadStage.setLastModified(old))
+    val deadTmp = new java.io.File(new java.io.File(dir, "_manifests"), ".tmp-dead")
+    java.nio.file.Files.writeString(deadTmp.toPath, "torn")
+    assert(deadTmp.setLastModified(old))
+    val liveStage = new java.io.File(dir, ".append-live")
+    assert(liveStage.mkdir())
+    Layout.vacuum(spark, dir, keepVersions = 1)
+    assert(!deadStage.exists(), "stale staging dir must be swept")
+    assert(!deadTmp.exists(), "torn manifest tmp must be swept")
+    assert(liveStage.exists(), "a live writer's fresh staging must survive")
+    assert(Layout.readCommitted(spark, dir).count() == 2000L)
+    assert(liveStage.delete())
   }
 
   test("appendClustered refuses a batch whose schema drifted from the committed table") {
