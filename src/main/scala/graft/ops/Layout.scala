@@ -44,7 +44,8 @@ final case class SnapshotFile(
   */
 final case class TableSnapshot(
     version: Long, keyName: String, files: Seq[SnapshotFile],
-    schemaHash: Option[String] = None, txns: Map[String, Long] = Map.empty) {
+    schemaHash: Option[String] = None, txns: Map[String, Long] = Map.empty,
+    op: String = "unknown") {
   def totalRows: Long = files.map(_.rows).sum
 }
 
@@ -317,7 +318,8 @@ object Layout {
       // it permutes bytes, never the schema or the ingest high-water marks
       commitSnapshot(spark, path, TableSnapshot(
         prev.map(_.version).getOrElse(0L) + 1, keyName, carried ++ movedEntries,
-        prev.flatMap(_.schemaHash), prev.map(_.txns).getOrElse(Map.empty)))
+        prev.flatMap(_.schemaHash), prev.map(_.txns).getOrElse(Map.empty),
+        op = "compact"))
     }
     // physical deletion: on a COMMITTED table the compacted originals
     // are only LOGICALLY deleted (absent from snapshot N+1) — they stay
@@ -402,6 +404,7 @@ object Layout {
     val (headers, fileLines) = lines.drop(1).partition(l => !l.contains('\t'))
     var key: String = null
     var schemaHash: Option[String] = None
+    var op: String = "unknown"
     val txns = Map.newBuilder[String, Long]
     headers.foreach { h =>
       val eq = h.indexOf('=')
@@ -409,6 +412,7 @@ object Layout {
       (h.substring(0, eq), h.substring(eq + 1)) match {
         case ("key", v)    => key = v
         case ("schema", v) => schemaHash = Some(v)
+        case ("op", v)     => op = v
         case ("txn", v) =>
           val c = v.lastIndexOf(':')
           require(c > 0, s"malformed txn header '$h' in $where")
@@ -421,7 +425,7 @@ object Layout {
       val f = l.split("\t", -1)
       SnapshotFile(f(0), f(1).toLong, f(2).toLong, f(3).toLong, f(4).toLong)
     }
-    TableSnapshot(version, key, files, schemaHash, txns.result())
+    TableSnapshot(version, key, files, schemaHash, txns.result(), op)
   }
 
   private def readSnapshotFile(
@@ -475,6 +479,8 @@ object Layout {
     val body = new StringBuilder()
     body.append(SnapshotMagic).append('\n')
     body.append("key=").append(snapshot.keyName).append('\n')
+    if (snapshot.op != "unknown")
+      body.append("op=").append(snapshot.op).append('\n')
     snapshot.schemaHash.foreach(h => body.append("schema=").append(h).append('\n'))
     snapshot.txns.toSeq.sortBy(_._1).foreach { case (app, id) =>
       require(!app.contains('\n') && !app.contains('\t'),
@@ -563,14 +569,61 @@ object Layout {
   /** Read `path` as of a specific committed version — time travel.
     * Fails loudly if that snapshot file was vacuumed or never existed.
     */
-  def readVersion(spark: SparkSession, path: String, version: Long): DataFrame = {
+  def readVersion(spark: SparkSession, path: String, version: Long): DataFrame =
+    readSnapshot(spark, path, snapshotAt(spark, path, version))
+
+  /** The committed snapshot at a specific retained version. */
+  def snapshotAt(spark: SparkSession, path: String, version: Long): TableSnapshot = {
     val fs = fsOf(spark, path)
     val p = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(path, ManifestDir), snapshotName(version))
     require(fs.exists(p),
       s"no snapshot v$version under $path — never committed, or vacuumed " +
       "past the retention horizon")
-    readSnapshot(spark, path, readSnapshotFile(fs, p, version))
+    readSnapshotFile(fs, p, version)
+  }
+
+  /** CHANGE FEED over the manifest log — the Delta-CDF shape for an
+    * append-only ingest: the rows ADDED to the table by the commits in
+    * (fromVersion, toVersion]. Each append contributes exactly its new
+    * files, planned from the SNAPSHOT DIFF (never a directory listing,
+    * never a data diff); compactions are content-preserving and legally
+    * contribute nothing; a create/rewrite inside the window replaces
+    * table content — something row-adds cannot express — so the feed
+    * refuses loudly instead of fabricating a delta. Cost ∝ the changed
+    * files: a downstream consumer (index maintenance, stats refresh,
+    * incremental export) tails a 100 TB table for the price of the
+    * day's batches. Snapshots before the fingerprint era carry
+    * op=unknown and are refused the same way.
+    */
+  def tableChanges(spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"tableChanges: fromVersion $fromVersion > toVersion $toVersion")
+    var prev = snapshotAt(spark, path, fromVersion)
+    val added = Seq.newBuilder[String]
+    var v = fromVersion + 1
+    while (v <= toVersion) {
+      val cur = snapshotAt(spark, path, v)
+      cur.op match {
+        case "append" =>
+          val before = prev.files.map(_.name).toSet
+          added ++= cur.files.map(_.name).filterNot(before.contains)
+        case "compact" => // byte permutation: adds no rows
+        case other =>
+          throw new IllegalArgumentException(
+            s"tableChanges: v$v under $path is a '$other' commit — it replaces " +
+            "table content, which a row-level change feed cannot express; " +
+            "re-read the snapshot (readVersion) instead")
+      }
+      prev = cur
+      v += 1
+    }
+    val names = added.result()
+    if (names.isEmpty)
+      readSnapshot(spark, path, prev).filter(lit(false))
+    else
+      spark.read.parquet(names.map(n => s"$path/$n"): _*)
   }
 
   /** Committed APPEND — the micro-batch ingest step: write `df` (keyed
@@ -667,7 +720,8 @@ object Layout {
       }
       val snap = TableSnapshot(prev.version + 1, keyName, prev.files ++ mine,
         prev.schemaHash.orElse(Some(batchHash)),
-        txn.fold(prev.txns) { case (app, id) => prev.txns + (app -> id) })
+        txn.fold(prev.txns) { case (app, id) => prev.txns + (app -> id) },
+        op = "append")
       try {
         commitSnapshot(spark, path, snap)
         return snap
@@ -835,7 +889,8 @@ object Layout {
         commitSnapshot(spark, path, TableSnapshot(
           p.version + 1, keyName,
           snapshotEntries(spark, path, keyName, moved),
-          Some(schemaHashOf(clustered.schema)), p.txns ++ txn))
+          Some(schemaHashOf(clustered.schema)), p.txns ++ txn,
+          op = "rewrite"))
         readCommitted(spark, path)
       case None =>
         clustered.write.mode("overwrite").parquet(path)
@@ -846,7 +901,8 @@ object Layout {
             .map(_.getPath.getName).toIndexedSeq
           commitSnapshot(spark, path, TableSnapshot(
             1L, keyName, snapshotEntries(spark, path, keyName, names),
-            Some(schemaHashOf(clustered.schema)), txn.iterator.toMap))
+            Some(schemaHashOf(clustered.schema)), txn.iterator.toMap,
+            op = "create"))
         }
         spark.read.parquet(path)
     }

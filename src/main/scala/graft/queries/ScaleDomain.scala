@@ -680,6 +680,59 @@ object ScaleDomain {
         .orderBy(col("l_returnflag"))
     }),
 
+    // CHANGE FEED over the manifest log (Delta-CDF shape): lineitem
+    // arrives as l_orderkey%4 batches — batch 0 creates the table, then
+    // two appends, a compaction (content-preserving: contributes
+    // NOTHING to the feed), and a third append. tableChanges over the
+    // window must return exactly the three appended batches' rows,
+    // planned from snapshot diffs alone; a full rewrite inside a later
+    // window is refused (a row-add feed cannot express replacement) —
+    // both invariants identity-pinned, the row content oracle-recomputed
+    // from the pristine table's complementary filter.
+    "q_table_changes" -> ((s, dir) => {
+      val path = scratch(s, "mcdf", dir)
+      val li = Tables(s, dir, "lineitem")
+      val key = Layout.zorderKey(Seq(
+        Layout.gridCell(col("l_partkey"), 0, 20000, 10),
+        Layout.gridCell(col("l_suppkey"), 0, 1000, 10)), 10)
+      def batch(i: Int) = li.filter(pmod(col("l_orderkey"), lit(4L)) === i)
+      graft.SubTimings.time("q_table_changes", "fixture_write") {
+        Layout.writeClustered(batch(0), path, key, nFiles = 4): Unit
+      }
+      // rerun hygiene (see q_manifest_append)
+      Layout.vacuum(s, path, keepVersions = 1, minAgeMs = 0L): Unit
+      val v0 = Layout.latestSnapshot(s, path).get.version
+      graft.SubTimings.time("q_table_changes", "fixture_write") {
+        Layout.appendClustered(batch(1), path, key, nFiles = 4): Unit
+        Layout.appendClustered(batch(2), path, key, nFiles = 4): Unit
+      }
+      val v2 = Layout.latestSnapshot(s, path).get
+      graft.SubTimings.time("q_table_changes", "compact") {
+        Layout.compactFiles(s, path, "cluster_key",
+          minFileBytes = 64L * 1024 * 1024,
+          targetFileBytes = math.max(1L, v2.files.map(_.bytes).sum / 4)): Unit
+      }
+      graft.SubTimings.time("q_table_changes", "fixture_write") {
+        Layout.appendClustered(batch(3), path, key, nFiles = 4): Unit
+      }
+      val changes = Layout.tableChanges(s, path, v0, v0 + 4)
+      val compactNoop = Layout.tableChanges(s, path, v0 + 2, v0 + 3).isEmpty
+      graft.SubTimings.time("q_table_changes", "fixture_write") {
+        Layout.writeClustered(batch(0), path, key, nFiles = 2): Unit // rewrite
+      }
+      val rewriteRefused =
+        try { Layout.tableChanges(s, path, v0, v0 + 5); false }
+        catch { case _: IllegalArgumentException => true }
+      changes
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("sum_qty"))
+        .withColumn("compact_noop", lit(compactNoop))
+        .withColumn("rewrite_refused", lit(rewriteRefused))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Manifest-commit log end-to-end (the Delta-pattern minimum over raw
     // parquet): the clustered write commits snapshot v1; a half-moved
     // data file injected into the directory (exactly compactFiles'
@@ -1231,6 +1284,15 @@ object ScaleDomain {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  true AS versions_ok, true AS time_travel_ok,
         |  true AS rewrite_window_ok, true AS vacuum_ok
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the change feed's rows are exactly the three appended batches —
+    // the pristine table minus the creating batch (l_orderkey % 4 = 0);
+    // compact-noop and rewrite-refusal invariants identity-pinned
+    "q_table_changes" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  true AS compact_noop, true AS rewrite_refused
+        |FROM lineitem WHERE l_orderkey % 4 <> 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -99,6 +99,19 @@ class EndToEndSpec extends AnyFunSuite {
       s"rewrite lifecycle invariant false: $first")
   }
 
+  test("q_table_changes reruns in one session: identical rows, invariants stay true") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val fn = SparkEntry.queries("q_table_changes")
+    def run() = fn(spark, dir).collect().map(_.toSeq).toSeq
+    val first = run()
+    val second = run()
+    assert(first == second, "rerun produced different rows")
+    val boolIdx = 3 to 4 // compact_noop, rewrite_refused
+    assert(first.forall(r => boolIdx.forall(i => r(i) == true)),
+      s"change-feed invariant false: $first")
+  }
+
   test("temporal family: cross-query invariants on real events data") {
     // each query is oracle-checked individually; this pins the
     // CROSS-query consistency no single oracle asserts

@@ -671,6 +671,39 @@ class LayoutSpec extends AnyFunSuite {
       Map("sinkA" -> 1L, "sinkB" -> 0L))
   }
 
+  test("tableChanges: appends feed the change feed, compaction adds nothing, rewrite refuses") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mcdf").toString
+    val key = pmod(col("id"), lit(16L))
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi).select(col("id"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[Long].collect().toSet
+    Layout.writeClustered(batch(0, 1000), dir, key, nFiles = 2) // v1 create
+    Layout.appendClustered(batch(1000, 2000), dir, key, nFiles = 2) // v2
+    Layout.appendClustered(batch(2000, 3000), dir, key, nFiles = 2) // v3
+    val totalBytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length()).sum
+    Layout.compactFiles(spark, dir, "cluster_key",
+      minFileBytes = 64L * 1024 * 1024, targetFileBytes = totalBytes + 1) // v4
+    Layout.appendClustered(batch(3000, 3500), dir, key, nFiles = 1) // v5
+    // ops are recorded in the headers
+    assert(Layout.snapshotAt(spark, dir, 1).op == "create")
+    assert(Layout.snapshotAt(spark, dir, 2).op == "append")
+    assert(Layout.snapshotAt(spark, dir, 4).op == "compact")
+    // the full window: exactly the three appended batches, once each
+    assert(ids(Layout.tableChanges(spark, dir, 1, 5)) == (1000L until 3500L).toSet)
+    // a sub-window; a compact-only window is legally empty
+    assert(ids(Layout.tableChanges(spark, dir, 2, 3)) == (2000L until 3000L).toSet)
+    assert(Layout.tableChanges(spark, dir, 3, 4).isEmpty)
+    assert(Layout.tableChanges(spark, dir, 5, 5).isEmpty)
+    // rewrite replaces content: the feed refuses rather than fabricating
+    Layout.writeClustered(batch(0, 10), dir, key, nFiles = 1) // v6 rewrite
+    val ex = intercept[IllegalArgumentException](
+      Layout.tableChanges(spark, dir, 1, 6))
+    assert(ex.getMessage.contains("rewrite"))
+    // windows that stop before the rewrite keep answering
+    assert(ids(Layout.tableChanges(spark, dir, 1, 5)) == (1000L until 3500L).toSet)
+  }
+
   test("compactFiles(commit = false) on a committed table is refused") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mnocommit").toString
     Layout.writeClustered(
