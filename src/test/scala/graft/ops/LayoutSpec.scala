@@ -704,6 +704,38 @@ class LayoutSpec extends AnyFunSuite {
     assert(ids(Layout.tableChanges(spark, dir, 1, 5)) == (1000L until 3500L).toSet)
   }
 
+  test("change feed drives incremental index maintenance: tail == full rebuild") {
+    // the composition the feed exists for: a consumer holds a version
+    // high-water mark, pulls tableChanges(hwm, latest), and merges ONLY
+    // the delta into its inverted index — never rescanning the corpus.
+    // Ground truth: a full rebuild over the committed table.
+    import graft.ops.Search
+    val dir = java.nio.file.Files.createTempDirectory("graft_mcdf_idx").toString
+    val key = pmod(col("doc_id"), lit(8L))
+    def docs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    Layout.writeClustered(
+      docs(Seq((1L, "the cat sat"), (2L, "the dog"))), dir, key, nFiles = 1) // v1
+    var hwm = Layout.latestSnapshot(spark, dir).get.version
+    var index = Search.invertedIndex(
+      Layout.readCommitted(spark, dir).select("doc_id", "text"), "doc_id", "text")
+      .localCheckpoint()
+    val waves = Seq(
+      Seq((3L, "cat cat cat"), (4L, "a fresh dog barks")),
+      Seq((5L, "the fresh cat"), (6L, "entirely new tokens here")))
+    waves.foreach { w =>
+      Layout.appendClustered(docs(w), dir, key, nFiles = 1)
+      val latest = Layout.latestSnapshot(spark, dir).get.version
+      val delta = Layout.tableChanges(spark, dir, hwm, latest)
+        .select("doc_id", "text")
+      index = Search.mergePostings(index, delta, "doc_id", "text").localCheckpoint()
+      hwm = latest
+    }
+    val rebuilt = Search.invertedIndex(
+      Layout.readCommitted(spark, dir).select("doc_id", "text"), "doc_id", "text")
+    assert(index.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(index).isEmpty,
+      "feed-maintained index diverged from a full rebuild over the committed table")
+  }
+
   test("compactFiles(commit = false) on a committed table is refused") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mnocommit").toString
     Layout.writeClustered(
