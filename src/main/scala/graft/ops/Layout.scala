@@ -25,9 +25,15 @@ import org.apache.spark.sql.functions._
 /** One data file as recorded in a committed table snapshot: relative
   * name, size, row count, and the min/max box of the integral cluster
   * key — exactly the [[Layout.fileManifest]] schema, persisted.
+  * `stats` optionally carries per-ORIGINAL-column min/max boxes for the
+  * integral columns named in the snapshot's `statsCols` header, so a
+  * committed read can prune on the query's own predicate columns
+  * without restating the cluster key (the Iceberg/Delta column-stats
+  * discipline; the Z-order key makes these boxes TIGHT simultaneously).
   */
 final case class SnapshotFile(
-    name: String, bytes: Long, rows: Long, minKey: Long, maxKey: Long)
+    name: String, bytes: Long, rows: Long, minKey: Long, maxKey: Long,
+    stats: Map[String, (Long, Long)] = Map.empty)
 
 /** A committed table version: the authoritative file list readers plan
   * from. Files on disk but not listed here are invisible (in-flight
@@ -45,7 +51,7 @@ final case class SnapshotFile(
 final case class TableSnapshot(
     version: Long, keyName: String, files: Seq[SnapshotFile],
     schemaHash: Option[String] = None, txns: Map[String, Long] = Map.empty,
-    op: String = "unknown") {
+    op: String = "unknown", statsCols: Seq[String] = Nil) {
   def totalRows: Long = files.map(_.rows).sum
 }
 
@@ -293,7 +299,10 @@ object Layout {
     val movedNames = moved.map(m => new org.apache.hadoop.fs.Path(m).getName)
     // one column-pruned scan of the rewritten files doubles as the
     // row-count verification AND the snapshot entries for the commit
-    val movedEntries = snapshotEntries(spark, path, keyName, movedNames.toIndexedSeq)
+    // (recomputed with the table's recorded stats columns, so the
+    // rewritten generation stays as prunable as the original)
+    val movedEntries = snapshotEntries(spark, path, keyName,
+      movedNames.toIndexedSeq, committed.map(_.statsCols).getOrElse(Nil))
     val nRowsAfter = movedEntries.map(_.rows).sum
     if (nRowsAfter != nRows) {
       // refuse to delete sources on a lossy rewrite — fail loudly with
@@ -311,15 +320,17 @@ object Layout {
         case Some(snap) if snap.keyName == keyName =>
           val byName = snap.files.map(f => f.name -> f).toMap
           val (known, fresh) = untouched.partition(byName.contains)
-          known.map(byName) ++ snapshotEntries(spark, path, keyName, fresh)
+          known.map(byName) ++
+            snapshotEntries(spark, path, keyName, fresh, snap.statsCols)
         case _ => snapshotEntries(spark, path, keyName, untouched)
       }
-      // schema fingerprint and txn map survive a compaction unchanged —
-      // it permutes bytes, never the schema or the ingest high-water marks
+      // schema fingerprint, txn map and stats columns survive a
+      // compaction unchanged — it permutes bytes, never the schema, the
+      // ingest high-water marks, or the pruning contract
       commitSnapshot(spark, path, TableSnapshot(
         prev.map(_.version).getOrElse(0L) + 1, keyName, carried ++ movedEntries,
         prev.flatMap(_.schemaHash), prev.map(_.txns).getOrElse(Map.empty),
-        op = "compact"))
+        op = "compact", statsCols = prev.map(_.statsCols).getOrElse(Nil)))
     }
     // physical deletion: on a COMMITTED table the compacted originals
     // are only LOGICALLY deleted (absent from snapshot N+1) — they stay
@@ -405,6 +416,7 @@ object Layout {
     var key: String = null
     var schemaHash: Option[String] = None
     var op: String = "unknown"
+    var statsCols: Seq[String] = Nil
     val txns = Map.newBuilder[String, Long]
     headers.foreach { h =>
       val eq = h.indexOf('=')
@@ -413,6 +425,7 @@ object Layout {
         case ("key", v)    => key = v
         case ("schema", v) => schemaHash = Some(v)
         case ("op", v)     => op = v
+        case ("stats", v)  => statsCols = v.split(",").toIndexedSeq.filter(_.nonEmpty)
         case ("txn", v) =>
           val c = v.lastIndexOf(':')
           require(c > 0, s"malformed txn header '$h' in $where")
@@ -423,9 +436,12 @@ object Layout {
     require(key != null, s"snapshot in $where has no key= header")
     val files = fileLines.toIndexedSeq.map { l =>
       val f = l.split("\t", -1)
-      SnapshotFile(f(0), f(1).toLong, f(2).toLong, f(3).toLong, f(4).toLong)
+      val stats = statsCols.zipWithIndex.map { case (c, i) =>
+        c -> ((f(5 + 2 * i).toLong, f(6 + 2 * i).toLong))
+      }.toMap
+      SnapshotFile(f(0), f(1).toLong, f(2).toLong, f(3).toLong, f(4).toLong, stats)
     }
-    TableSnapshot(version, key, files, schemaHash, txns.result(), op)
+    TableSnapshot(version, key, files, schemaHash, txns.result(), op, statsCols)
   }
 
   private def readSnapshotFile(
@@ -481,6 +497,12 @@ object Layout {
     body.append("key=").append(snapshot.keyName).append('\n')
     if (snapshot.op != "unknown")
       body.append("op=").append(snapshot.op).append('\n')
+    if (snapshot.statsCols.nonEmpty) {
+      snapshot.statsCols.foreach(c => require(
+        !c.contains(',') && !c.contains('\t') && !c.contains('\n'),
+        s"stats column name '$c' contains reserved characters"))
+      body.append("stats=").append(snapshot.statsCols.mkString(",")).append('\n')
+    }
     snapshot.schemaHash.foreach(h => body.append("schema=").append(h).append('\n'))
     snapshot.txns.toSeq.sortBy(_._1).foreach { case (app, id) =>
       require(!app.contains('\n') && !app.contains('\t'),
@@ -490,7 +512,13 @@ object Layout {
     snapshot.files.sortBy(_.name).foreach { f =>
       body.append(f.name).append('\t').append(f.bytes).append('\t')
         .append(f.rows).append('\t').append(f.minKey).append('\t')
-        .append(f.maxKey).append('\n')
+        .append(f.maxKey)
+      snapshot.statsCols.foreach { c =>
+        val (mn, mx) = f.stats.getOrElse(c, throw new IllegalArgumentException(
+          s"snapshot v${snapshot.version}: file ${f.name} lacks stats for '$c'"))
+        body.append('\t').append(mn).append('\t').append(mx)
+      }
+      body.append('\n')
     }
     val tmp = new org.apache.hadoop.fs.Path(
       mdir, s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
@@ -560,6 +588,43 @@ object Layout {
       throw new IllegalStateException(s"no committed snapshot under $path"))
     val kept = snap.files.filter(f => f.maxKey >= lo && f.minKey <= hi)
     val residual = col(snap.keyName) >= lit(lo) && col(snap.keyName) <= lit(hi)
+    val df =
+      if (kept.isEmpty) readSnapshot(spark, path, snap).filter(lit(false))
+      else spark.read.parquet(kept.map(f => s"$path/${f.name}"): _*).filter(residual)
+    (kept.map(_.name), snap.files.size.toLong, df)
+  }
+
+  /** Stats-planned committed read on the table's ORIGINAL columns: keep
+    * only files whose persisted per-column [min,max] box intersects
+    * every requested range, then scan just those with the residual
+    * filter. The query never restates the cluster key — it prunes on
+    * its own predicate columns, which is the face a table format shows
+    * its users (the Z-order layout is what makes these boxes tight on
+    * several columns AT ONCE). Ranges may also name the cluster-key
+    * column itself (served from the key box). Refuses a column the
+    * snapshot carries no stats for — silent full scans are how pruning
+    * regressions hide.
+    */
+  def prunedCommittedReadCols(spark: SparkSession, path: String,
+      ranges: Seq[(String, Long, Long)]): (Seq[String], Long, DataFrame) = {
+    require(ranges.nonEmpty, "prunedCommittedReadCols: no ranges")
+    val snap = latestSnapshot(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $path"))
+    ranges.foreach { case (c, _, _) =>
+      require(c == snap.keyName || snap.statsCols.contains(c),
+        s"prunedCommittedReadCols: snapshot v${snap.version} carries no stats " +
+        s"for '$c' (recorded: key=${snap.keyName}, " +
+        s"stats=${snap.statsCols.mkString(",")})")
+    }
+    val kept = snap.files.filter { f =>
+      ranges.forall { case (c, lo, hi) =>
+        val (mn, mx) = if (c == snap.keyName) (f.minKey, f.maxKey) else f.stats(c)
+        mx >= lo && mn <= hi
+      }
+    }
+    val residual = ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
     val df =
       if (kept.isEmpty) readSnapshot(spark, path, snap).filter(lit(false))
       else spark.read.parquet(kept.map(f => s"$path/${f.name}"): _*).filter(residual)
@@ -702,13 +767,16 @@ object Layout {
       target.getName
     }.toIndexedSeq
     fs.delete(tmp, true)
-    val mine = snapshotEntries(spark, path, keyName, moved)
+    val mine = snapshotEntries(spark, path, keyName, moved, prev0.statsCols)
     onFilesStaged()
     var attempt = 0
     while (true) {
       val prev = latestSnapshot(spark, path).getOrElse(prev0)
       require(prev.keyName == keyName,
         s"appendClustered: table key changed underneath ($keyName -> ${prev.keyName})")
+      require(prev.statsCols == prev0.statsCols,
+        s"appendClustered: table stats columns changed underneath " +
+        s"(${prev0.statsCols.mkString(",")} -> ${prev.statsCols.mkString(",")})")
       txn.foreach { case (app, id) =>
         if (prev.txns.get(app).exists(_ >= id)) {
           // a racing replay of the SAME (writer, batch) won the commit:
@@ -721,7 +789,7 @@ object Layout {
       val snap = TableSnapshot(prev.version + 1, keyName, prev.files ++ mine,
         prev.schemaHash.orElse(Some(batchHash)),
         txn.fold(prev.txns) { case (app, id) => prev.txns + (app -> id) },
-        op = "append")
+        op = "append", statsCols = prev.statsCols)
       try {
         commitSnapshot(spark, path, snap)
         return snap
@@ -814,12 +882,21 @@ object Layout {
     */
   private def snapshotEntries(
       spark: SparkSession, path: String, keyName: String,
-      names: Seq[String]): Seq[SnapshotFile] = {
+      names: Seq[String], statsCols: Seq[String] = Nil): Seq[SnapshotFile] = {
     if (names.isEmpty) return Nil
     val fs = fsOf(spark, path)
-    val stats = fileManifest(
-      spark.read.parquet(names.map(n => s"$path/$n"): _*), Seq(keyName))
-      .collect()
+    val reread = spark.read.parquet(names.map(n => s"$path/$n"): _*)
+    statsCols.foreach { c =>
+      // stats are persisted as Longs; a truncated double max could
+      // WRONGLY prune a file whose true max still intersects the box —
+      // silent data loss, so non-integral stats columns are refused
+      import org.apache.spark.sql.types._
+      val dt = reread.schema(c).dataType
+      require(dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType,
+        s"stats column '$c' has non-integral type ${dt.simpleString}; " +
+        "persisted Long min/max would truncate and mis-prune")
+    }
+    val stats = fileManifest(reread, keyName +: statsCols).collect()
     stats.toIndexedSeq.map { r =>
       val name = new org.apache.hadoop.fs.Path(r.getString(r.fieldIndex("file"))).getName
       SnapshotFile(
@@ -827,7 +904,10 @@ object Layout {
         fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$path/$name")).getLen,
         r.getAs[Long]("n_rows"),
         r.getAs[Number](s"min_$keyName").longValue(),
-        r.getAs[Number](s"max_$keyName").longValue())
+        r.getAs[Number](s"max_$keyName").longValue(),
+        statsCols.map(c => c -> ((
+          r.getAs[Number](s"min_$c").longValue(),
+          r.getAs[Number](s"max_$c").longValue()))).toMap)
     }
   }
 
@@ -860,7 +940,8 @@ object Layout {
   def writeClustered(df: DataFrame, path: String, key: Column,
                      nFiles: Int, keyName: String = "cluster_key",
                      commit: Boolean = true,
-                     txn: Option[(String, Long)] = None): DataFrame = {
+                     txn: Option[(String, Long)] = None,
+                     statsCols: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
     val prev = if (commit) latestSnapshot(spark, path) else None
     val clustered = df.withColumn(keyName, key)
@@ -886,11 +967,14 @@ object Layout {
           target.getName
         }.toIndexedSeq
         fs.delete(tmp, true)
+        // a rewrite keeps the table's pruning contract unless the caller
+        // explicitly redefines it
+        val sc = if (statsCols.nonEmpty) statsCols else p.statsCols
         commitSnapshot(spark, path, TableSnapshot(
           p.version + 1, keyName,
-          snapshotEntries(spark, path, keyName, moved),
+          snapshotEntries(spark, path, keyName, moved, sc),
           Some(schemaHashOf(clustered.schema)), p.txns ++ txn,
-          op = "rewrite"))
+          op = "rewrite", statsCols = sc))
         readCommitted(spark, path)
       case None =>
         clustered.write.mode("overwrite").parquet(path)
@@ -900,9 +984,9 @@ object Layout {
             .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
             .map(_.getPath.getName).toIndexedSeq
           commitSnapshot(spark, path, TableSnapshot(
-            1L, keyName, snapshotEntries(spark, path, keyName, names),
+            1L, keyName, snapshotEntries(spark, path, keyName, names, statsCols),
             Some(schemaHashOf(clustered.schema)), txn.iterator.toMap,
-            op = "create"))
+            op = "create", statsCols = statsCols))
         }
         spark.read.parquet(path)
     }

@@ -680,6 +680,33 @@ object ScaleDomain {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Column-stats committed read: the snapshot persists per-file
+    // min/max boxes for the ORIGINAL predicate columns, so the box scan
+    // is planned without restating the cluster key at all — the face a
+    // table format shows its users, and the Z-order layout is what
+    // makes boxes on TWO columns tight at once. The oracle is simply
+    // the pristine table under the same predicate; files_skipped pins
+    // that the plan actually pruned.
+    "q_committed_prune_cols" -> ((s, dir) => {
+      val path = scratch(s, "mcpcols", dir)
+      val li = Tables(s, dir, "lineitem")
+      val key = Layout.zorderKey(Seq(
+        Layout.gridCell(col("l_partkey"), 0, 20000, 10),
+        Layout.gridCell(col("l_suppkey"), 0, 1000, 10)), 10)
+      graft.SubTimings.time("q_committed_prune_cols", "fixture_write") {
+        Layout.writeClustered(li, path, key, nFiles = 16,
+          statsCols = Seq("l_partkey", "l_suppkey")): Unit
+      }
+      val (kept, total, pruned) = Layout.prunedCommittedReadCols(
+        s, path, Seq(("l_partkey", 10L, 80L), ("l_suppkey", 1L, 4L)))
+      pruned.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("sum_qty"))
+        .withColumn("files_skipped", lit(kept.size < total))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // CHANGE FEED over the manifest log (Delta-CDF shape): lineitem
     // arrives as l_orderkey%4 batches — batch 0 creates the table, then
     // two appends, a compaction (content-preserving: contributes
@@ -1285,6 +1312,16 @@ object ScaleDomain {
         |  true AS versions_ok, true AS time_travel_ok,
         |  true AS rewrite_window_ok, true AS vacuum_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the predicate restated directly on the pristine table — no key
+    // arithmetic at all, because the plan pruned on the columns'
+    // own persisted stats
+    "q_committed_prune_cols" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  true AS files_skipped
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 10 AND 80 AND l_suppkey BETWEEN 1 AND 4
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // the change feed's rows are exactly the three appended batches —
     // the pristine table minus the creating batch (l_orderkey % 4 = 0);
     // compact-noop and rewrite-refusal invariants identity-pinned

@@ -704,6 +704,52 @@ class LayoutSpec extends AnyFunSuite {
     assert(ids(Layout.tableChanges(spark, dir, 1, 5)) == (1000L until 3500L).toSet)
   }
 
+  test("per-column snapshot stats: prune on ORIGINAL columns across appends and compaction") {
+    val base = spark.range(40000).select(
+      col("id"),
+      ((col("id") * 7919L) % 1000).as("x"),
+      ((col("id") * 104729L) % 1000).as("y"))
+    val key = Layout.zorderKey(Seq(
+      Layout.gridCell(col("x"), 0, 1000, 8),
+      Layout.gridCell(col("y"), 0, 1000, 8)), 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_colstats").toString
+    Layout.writeClustered(base.filter(col("id") < 30000), dir, key,
+      nFiles = 12, statsCols = Seq("x", "y"))
+    assert(Layout.latestSnapshot(spark, dir).get.statsCols == Seq("x", "y"))
+    // appends inherit the pruning contract and record their own boxes
+    Layout.appendClustered(base.filter(col("id") >= 30000), dir, key, nFiles = 4)
+    val snap = Layout.latestSnapshot(spark, dir).get
+    assert(snap.statsCols == Seq("x", "y"))
+    assert(snap.files.forall(f => f.stats.contains("x") && f.stats.contains("y")))
+    def check(): Unit = {
+      val (kept, total, df) = Layout.prunedCommittedReadCols(
+        spark, dir, Seq(("x", 0L, 99L), ("y", 0L, 99L)))
+      assert(kept.nonEmpty && kept.size < total,
+        s"column-stats box kept ${kept.size}/$total — nothing pruned")
+      val expect = Layout.readCommitted(spark, dir)
+        .filter(col("x").between(0, 99) && col("y").between(0, 99))
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(df.select("id").as[Long].collect().sorted.toSeq == expect,
+        "column-stats pruning lost or invented rows")
+    }
+    check()
+    // compaction carries the contract; the rewritten generation stays prunable
+    val totalBytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length()).sum
+    Layout.compactFiles(spark, dir, "cluster_key",
+      minFileBytes = 64L * 1024 * 1024, targetFileBytes = totalBytes / 4 + 1)
+    assert(Layout.latestSnapshot(spark, dir).get.statsCols == Seq("x", "y"))
+    check()
+    // un-recorded and non-integral columns are refused, never silently scanned
+    intercept[IllegalArgumentException](
+      Layout.prunedCommittedReadCols(spark, dir, Seq(("id", 0L, 10L))))
+    val dbl = java.nio.file.Files.createTempDirectory("graft_colstats_dbl").toString
+    intercept[IllegalArgumentException](
+      Layout.writeClustered(
+        base.withColumn("xd", col("x").cast("double")), dbl, key,
+        nFiles = 2, statsCols = Seq("xd")))
+  }
+
   test("change feed drives incremental index maintenance: tail == full rebuild") {
     // the composition the feed exists for: a consumer holds a version
     // high-water mark, pulls tableChanges(hwm, latest), and merges ONLY
