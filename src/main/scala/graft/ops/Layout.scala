@@ -801,6 +801,94 @@ object Layout {
     throw new IllegalStateException("unreachable")
   }
 
+  /** What [[deleteWhere]] did: file and row accounting for the commit. */
+  final case class DeleteStats(
+      nFilesTotal: Long, nFilesRewritten: Long, nRowsDeleted: Long,
+      version: Long)
+
+  /** Row-level DELETE on a committed table — the right-to-be-forgotten
+    * operation a training corpus must serve without rewriting 100 TB:
+    * only the files whose persisted stats boxes can possibly hold
+    * matching rows are read and rewritten (pass the predicate's ranges
+    * over the cluster key and/or recorded stats columns via
+    * `scanRanges`; empty = conservatively rewrite every file), the
+    * survivors are re-clustered under fresh names, and snapshot N+1
+    * commits untouched files + the rewritten generation. History is
+    * intact: time travel to the pre-delete snapshot still answers (the
+    * old files are only logically deleted; vacuum reclaims them after
+    * the horizon), and the change feed refuses to cross a delete —
+    * row-adds cannot express removal. Single-writer like every rewrite:
+    * losing the commit race fails loudly, staged files become
+    * vacuum-able orphans.
+    *
+    * `predicate` is any Column over the table's rows; `scanRanges` is a
+    * PLANNING hint, not a correctness input — rows matching `predicate`
+    * in files outside the ranges would survive, so the ranges must
+    * cover the predicate (the natural call passes the same bounds the
+    * predicate states, as q_manifest_delete does). Returns the file and
+    * row accounting plus the committed version.
+    */
+  def deleteWhere(spark: SparkSession, path: String, predicate: Column,
+      scanRanges: Seq[(String, Long, Long)] = Nil,
+      nFiles: Int = 0): DeleteStats = {
+    val snap = latestSnapshot(spark, path).getOrElse(throw new IllegalStateException(
+      s"deleteWhere: no committed table under $path"))
+    val affected = snap.files.filter { f =>
+      scanRanges.forall { case (c, lo, hi) =>
+        val (mn, mx) = if (c == snap.keyName) (f.minKey, f.maxKey)
+          else f.stats.getOrElse(c, throw new IllegalArgumentException(
+            s"deleteWhere: snapshot v${snap.version} carries no stats for '$c'"))
+        mx >= lo && mn <= hi
+      }
+    }
+    if (affected.isEmpty)
+      return DeleteStats(snap.files.size.toLong, 0L, 0L, snap.version)
+    val fs = fsOf(spark, path)
+    val src = spark.read.parquet(affected.map(f => s"$path/${f.name}"): _*)
+    // SQL DELETE semantics: only rows where the predicate is TRUE go;
+    // a NULL predicate keeps its row (a bare !predicate would drop it)
+    val keep = src.filter(!coalesce(predicate, lit(false)))
+    val keptRows = keep.count()
+    val deleted = affected.map(_.rows).sum - keptRows
+    val untouched = snap.files.filterNot(affected.map(_.name).toSet contains _.name)
+    if (deleted == 0L)
+      return DeleteStats(snap.files.size.toLong, 0L, 0L, snap.version)
+    require(untouched.nonEmpty || keptRows > 0L,
+      s"deleteWhere would empty the table at $path entirely — a committed " +
+      "snapshot must list at least one file; drop the table instead")
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val moved =
+      if (keptRows == 0L) IndexedSeq.empty[String]
+      else {
+        val nOut = if (nFiles > 0) nFiles else affected.size
+        val tmp = new org.apache.hadoop.fs.Path(s"$path/.delete-$token")
+        keep.repartitionByRange(nOut, col(snap.keyName))
+          .sortWithinPartitions(snap.keyName)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val staged = fs.listStatus(tmp)
+          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        val m = staged.zipWithIndex.map { case (st, i) =>
+          val target = new org.apache.hadoop.fs.Path(
+            s"$path/part-delete-$token-$i${suffixOf(st.getPath.getName)}")
+          if (!fs.rename(st.getPath, target))
+            throw new java.io.IOException(
+              s"delete rename ${st.getPath} -> $target failed")
+          target.getName
+        }.toIndexedSeq
+        fs.delete(tmp, true)
+        m
+      }
+    val movedEntries = snapshotEntries(spark, path, snap.keyName, moved, snap.statsCols)
+    require(movedEntries.map(_.rows).sum == keptRows,
+      "deleteWhere: rewritten row count diverged from the survivor count; " +
+      "nothing committed, both generations on disk")
+    val next = TableSnapshot(snap.version + 1, snap.keyName,
+      untouched ++ movedEntries, snap.schemaHash, snap.txns,
+      op = "delete", statsCols = snap.statsCols)
+    commitSnapshot(spark, path, next)
+    DeleteStats(snap.files.size.toLong, affected.size.toLong, deleted, next.version)
+  }
+
   /** Default vacuum retention horizon: comfortably above any append's
     * move-in-to-commit latency (seconds), far below any sane maintenance
     * cadence. Delta defaults to 7 DAYS for the same guard; this table's

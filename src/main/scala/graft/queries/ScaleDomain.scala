@@ -707,6 +707,49 @@ object ScaleDomain {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Row-level DELETE on the committed table — the right-to-be-
+    // forgotten shape: only files whose persisted l_partkey stats box
+    // intersects the predicate are read and rewritten (partial_rewrite
+    // pins that), the pre-delete snapshot still answers in full
+    // (time_travel_ok), and the change feed refuses to cross the delete
+    // (feed_refused — row-adds cannot express removal). The committed
+    // result is oracle-recomputed as the pristine table under NOT
+    // predicate.
+    "q_manifest_delete" -> ((s, dir) => {
+      val path = scratch(s, "mdelete", dir)
+      val li = Tables(s, dir, "lineitem")
+      val key = Layout.zorderKey(Seq(
+        Layout.gridCell(col("l_partkey"), 0, 20000, 10),
+        Layout.gridCell(col("l_suppkey"), 0, 1000, 10)), 10)
+      graft.SubTimings.time("q_manifest_delete", "fixture_write") {
+        Layout.writeClustered(li, path, key, nFiles = 16,
+          statsCols = Seq("l_partkey")): Unit
+      }
+      // rerun hygiene (see q_manifest_append)
+      Layout.vacuum(s, path, keepVersions = 1, minAgeMs = 0L): Unit
+      val v0 = Layout.latestSnapshot(s, path).get.version
+      val full = Layout.latestSnapshot(s, path).get.totalRows
+      val stats = graft.SubTimings.time("q_manifest_delete", "delete") {
+        Layout.deleteWhere(s, path, col("l_partkey").between(10, 80),
+          Seq(("l_partkey", 10L, 80L)))
+      }
+      val partialRewrite = stats.nFilesRewritten > 0 &&
+        stats.nFilesRewritten < stats.nFilesTotal
+      val timeTravelOk = Layout.readVersion(s, path, v0).count() == full
+      val feedRefused =
+        try { Layout.tableChanges(s, path, v0, stats.version); false }
+        catch { case _: IllegalArgumentException => true }
+      Layout.readCommitted(s, path)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("sum_qty"))
+        .withColumn("partial_rewrite", lit(partialRewrite))
+        .withColumn("time_travel_ok", lit(timeTravelOk))
+        .withColumn("feed_refused", lit(feedRefused))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // CHANGE FEED over the manifest log (Delta-CDF shape): lineitem
     // arrives as l_orderkey%4 batches — batch 0 creates the table, then
     // two appends, a compaction (content-preserving: contributes
@@ -1312,6 +1355,15 @@ object ScaleDomain {
         |  true AS versions_ok, true AS time_travel_ok,
         |  true AS rewrite_window_ok, true AS vacuum_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the surviving rows are the pristine table under NOT predicate;
+    // partial-rewrite, time-travel and feed-refusal invariants pinned
+    "q_manifest_delete" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  true AS partial_rewrite, true AS time_travel_ok, true AS feed_refused
+        |FROM lineitem
+        |WHERE NOT (l_partkey BETWEEN 10 AND 80)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // the predicate restated directly on the pristine table — no key
     // arithmetic at all, because the plan pruned on the columns'
     // own persisted stats

@@ -750,6 +750,57 @@ class LayoutSpec extends AnyFunSuite {
         nFiles = 2, statsCols = Seq("xd")))
   }
 
+  test("deleteWhere: stats-planned partial rewrite, history intact, feed refuses") {
+    val base = spark.range(40000).select(
+      col("id"),
+      ((col("id") * 7919L) % 1000).as("x"),
+      ((col("id") * 104729L) % 1000).as("y"))
+    val key = Layout.zorderKey(Seq(
+      Layout.gridCell(col("x"), 0, 1000, 8),
+      Layout.gridCell(col("y"), 0, 1000, 8)), 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mdelete").toString
+    Layout.writeClustered(base, dir, key, nFiles = 16, statsCols = Seq("x"))
+    val v1 = Layout.latestSnapshot(spark, dir).get.version
+    val stats = Layout.deleteWhere(spark, dir,
+      col("x").between(0, 99), Seq(("x", 0L, 99L)))
+    // stats planning: only the files whose x box intersects were touched
+    assert(stats.nRowsDeleted == base.filter(col("x").between(0, 99)).count())
+    assert(stats.nFilesRewritten > 0 && stats.nFilesRewritten < stats.nFilesTotal,
+      s"expected a PARTIAL rewrite, got ${stats.nFilesRewritten}/${stats.nFilesTotal}")
+    assert(Layout.latestSnapshot(spark, dir).get.op == "delete")
+    // content: exactly the non-matching rows (rows in affected files
+    // that do NOT match the predicate survive the rewrite)
+    val got = Layout.readCommitted(spark, dir).select("id").as[Long].collect().sorted
+    val want = base.filter(!col("x").between(0, 99))
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq == want.toSeq, "delete lost or invented rows")
+    // history: the pre-delete snapshot still answers in full
+    assert(Layout.readVersion(spark, dir, v1).count() == 40000L)
+    // the change feed cannot express removal: it refuses to cross
+    val ex = intercept[IllegalArgumentException](
+      Layout.tableChanges(spark, dir, v1, stats.version))
+    assert(ex.getMessage.contains("delete"))
+    // appends keep working after a delete; vacuum reclaims the old generation
+    Layout.appendClustered(
+      spark.range(50000, 50100).select(col("id"),
+        (col("id") % 1000).as("x"), (col("id") % 997).as("y")),
+      dir, key, nFiles = 1)
+    Layout.vacuum(spark, dir, keepVersions = 1, minAgeMs = 0L)
+    assert(Layout.readCommitted(spark, dir).count() == want.length + 100L)
+    // a delete matching nothing is a no-op commit-wise
+    val noop = Layout.deleteWhere(spark, dir,
+      col("x") === lit(-5L), Seq(("x", -5L, -5L)))
+    assert(noop.nRowsDeleted == 0L && noop.nFilesRewritten == 0L)
+    // emptying the table entirely is refused, never a reader-breaking commit
+    val tiny = java.nio.file.Files.createTempDirectory("graft_mdelete_all").toString
+    Layout.writeClustered(
+      spark.range(100).select(col("id"), (col("id") % 10).as("x")),
+      tiny, pmod(col("id"), lit(4L)), nFiles = 1, statsCols = Seq("x"))
+    intercept[IllegalArgumentException](
+      Layout.deleteWhere(spark, tiny, lit(true)))
+    assert(Layout.readCommitted(spark, tiny).count() == 100L)
+  }
+
   test("change feed drives incremental index maintenance: tail == full rebuild") {
     // the composition the feed exists for: a consumer holds a version
     // high-water mark, pulls tableChanges(hwm, latest), and merges ONLY
