@@ -889,6 +889,115 @@ object Layout {
     DeleteStats(snap.files.size.toLong, affected.size.toLong, deleted, next.version)
   }
 
+  /** What [[upsertCommitted]] did — same accounting as [[DeleteStats]]. */
+  final case class UpsertStats(
+      nFilesTotal: Long, nFilesRewritten: Long,
+      nRowsBefore: Long, nRowsAfter: Long, version: Long)
+
+  /** MERGE INTO the committed table — the CRUD completion of the log:
+    * apply a CDC change set ([[graft.ops.SnapshotDiff.applyChangeSet]]
+    * semantics: (idCol, version, op ∈ upsert|delete, payload), last
+    * writer wins) by rewriting ONLY the files that can contain an
+    * affected id. Planning is an interval probe of the change ids
+    * against the per-file boxes of `idCol` (which must be the cluster
+    * key or a recorded stats column): the file list is broadcast-sized,
+    * so the probe is one bounded semi-join over the changes — never a
+    * scan of the table. Inserts (change ids no file's box contains)
+    * ride the rewritten generation; if NO file is affected (pure
+    * insert batch), the smallest-box file anchors the rewrite so the
+    * new rows still enter through applyChangeSet's join. Untouched
+    * files carry forward byte-identical; snapshot N+1 commits with
+    * op=upsert (the change feed refuses to cross it — updates are not
+    * row-adds), history stays time-travelable until vacuum, and the
+    * rewritten generation is re-clustered under `key` so the table's
+    * pruning contract survives. Single-writer, like every rewrite.
+    *
+    * Scattered ids touch every file — that is physics, not a planner
+    * gap; batch upserts by key range (what a clustered ingest produces
+    * anyway) and the rewrite stays proportional to the batch's reach.
+    */
+  def upsertCommitted(spark: SparkSession, path: String, changes: DataFrame,
+      idCol: String, payloadCols: Seq[String], key: Column,
+      nFiles: Int = 0): UpsertStats = {
+    require(payloadCols.nonEmpty)
+    val snap = latestSnapshot(spark, path).getOrElse(throw new IllegalStateException(
+      s"upsertCommitted: no committed table under $path"))
+    require(idCol == snap.keyName || snap.statsCols.contains(idCol),
+      s"upsertCommitted: '$idCol' has no per-file stats in snapshot " +
+      s"v${snap.version} (key=${snap.keyName}, stats=${snap.statsCols.mkString(",")}) " +
+      "— create the table with statsCols including the merge key")
+    import spark.implicits._
+    val boxes = snap.files.map { f =>
+      val (mn, mx) = if (idCol == snap.keyName) (f.minKey, f.maxKey) else f.stats(idCol)
+      (f.name, mn, mx)
+    }.toDF("__name", "__mn", "__mx")
+    val hit = changes.select(col(idCol).cast("long").as("__id"))
+      .join(broadcast(boxes),
+        col("__id") >= col("__mn") && col("__id") <= col("__mx"))
+      .select(col("__name")).distinct().as[String].collect().toSet
+    val affected0 = snap.files.filter(f => hit.contains(f.name))
+    // a pure-insert batch hits no box; anchor on one file so the new
+    // rows enter through the same join + commit path
+    val affected =
+      if (affected0.nonEmpty) affected0 else snap.files.sortBy(_.rows).take(1)
+    val fs = fsOf(spark, path)
+    val src = spark.read.parquet(affected.map(f => s"$path/${f.name}"): _*)
+    val missing = (idCol +: payloadCols).filterNot(src.columns.contains)
+    require(missing.isEmpty,
+      s"upsertCommitted: table at $path has no column(s) " +
+      s"${missing.mkString(", ")} — the change set's payload columns must " +
+      "name existing table columns")
+    val applied = graft.ops.SnapshotDiff.applyChangeSet(
+      src.select(col(idCol) +: payloadCols.map(col): _*),
+      changes, idCol, payloadCols)
+    val keyName = snap.keyName
+    val clustered = applied.withColumn(keyName, key)
+    snap.schemaHash.foreach { expect =>
+      val got = schemaHashOf(clustered.schema)
+      require(got == expect,
+        s"upsertCommitted: rewritten schema (hash $got) does not match the " +
+        s"table's recorded schema (hash $expect) under $path — column set or " +
+        "order drifted")
+    }
+    val keptRows = clustered.count()
+    val untouched = snap.files.filterNot(affected.map(_.name).toSet contains _.name)
+    require(untouched.nonEmpty || keptRows > 0L,
+      s"upsertCommitted would empty the table at $path entirely — a committed " +
+      "snapshot must list at least one file; drop the table instead")
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val moved =
+      if (keptRows == 0L) IndexedSeq.empty[String]
+      else {
+        val nOut = if (nFiles > 0) nFiles else affected.size
+        val tmp = new org.apache.hadoop.fs.Path(s"$path/.upsert-$token")
+        clustered.repartitionByRange(nOut, col(keyName))
+          .sortWithinPartitions(keyName)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val staged = fs.listStatus(tmp)
+          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        val m = staged.zipWithIndex.map { case (st, i) =>
+          val target = new org.apache.hadoop.fs.Path(
+            s"$path/part-upsert-$token-$i${suffixOf(st.getPath.getName)}")
+          if (!fs.rename(st.getPath, target))
+            throw new java.io.IOException(
+              s"upsert rename ${st.getPath} -> $target failed")
+          target.getName
+        }.toIndexedSeq
+        fs.delete(tmp, true)
+        m
+      }
+    val movedEntries = snapshotEntries(spark, path, keyName, moved, snap.statsCols)
+    require(movedEntries.map(_.rows).sum == keptRows,
+      "upsertCommitted: rewritten row count diverged from the applied count; " +
+      "nothing committed, both generations on disk")
+    val next = TableSnapshot(snap.version + 1, keyName,
+      untouched ++ movedEntries, snap.schemaHash, snap.txns,
+      op = "upsert", statsCols = snap.statsCols)
+    commitSnapshot(spark, path, next)
+    UpsertStats(snap.files.size.toLong, affected.size.toLong,
+      snap.totalRows, next.totalRows, next.version)
+  }
+
   /** Default vacuum retention horizon: comfortably above any append's
     * move-in-to-commit latency (seconds), far below any sane maintenance
     * cadence. Delta defaults to 7 DAYS for the same guard; this table's
@@ -951,7 +1060,8 @@ object Layout {
         val n = st.getPath.getName
         st.isDirectory && st.getModificationTime < horizon &&
           (n.startsWith(".append-") || n.startsWith(".compact-") ||
-            n.startsWith(".rewrite-"))
+            n.startsWith(".rewrite-") || n.startsWith(".delete-") ||
+            n.startsWith(".upsert-"))
       }
       .foreach(st => fs.delete(st.getPath, true))
     fs.listStatus(mdir)

@@ -707,6 +707,57 @@ object ScaleDomain {
         .orderBy(col("l_returnflag"))
     }),
 
+    // MERGE INTO the committed table: a key-range-local CDC batch (the
+    // 200 smallest orderkeys, data-derived so the slice is tiny at
+    // every SF) updates every %3==0 key's price and deletes every
+    // %3==1 key; the file probe plans the rewrite over the persisted
+    // o_orderkey boxes, so only the low-key files are touched
+    // (partial_rewrite pins it) and the pre-merge snapshot still
+    // answers (time_travel_ok). The oracle restates the surviving rows
+    // and the price adjustment directly on the pristine table.
+    "q_upsert_committed" -> ((s, dir) => {
+      val path = scratch(s, "mupsertc", dir)
+      val o = Tables(s, dir, "orders")
+      graft.SubTimings.time("q_upsert_committed", "fixture_write") {
+        Layout.writeClustered(o, path, col("o_orderkey"), nFiles = 16,
+          statsCols = Seq("o_orderkey")): Unit
+      }
+      // rerun hygiene (see q_manifest_append)
+      Layout.vacuum(s, path, keepVersions = 1, minAgeMs = 0L): Unit
+      val v0 = Layout.latestSnapshot(s, path).get
+      val hi = o.select(col("o_orderkey")).distinct()
+        .orderBy(col("o_orderkey")).limit(200)
+        .agg(max(col("o_orderkey"))).head().getLong(0)
+      val in = o.filter(col("o_orderkey") <= hi)
+      val payload = Seq("o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      val ups = in.filter(pmod(col("o_orderkey"), lit(3L)) === 0)
+        .select(col("o_orderkey"), lit(1L).as("version"),
+          lit("upsert").as("op"), col("o_custkey"), col("o_orderstatus"),
+          (col("o_totalprice") + 1.0d).as("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))
+      val dels = in.filter(pmod(col("o_orderkey"), lit(3L)) === 1)
+        .select(col("o_orderkey"), lit(1L).as("version"),
+          lit("delete").as("op"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+      val stats = graft.SubTimings.time("q_upsert_committed", "merge") {
+        Layout.upsertCommitted(s, path, ups.unionByName(dels),
+          "o_orderkey", payload, col("o_orderkey"))
+      }
+      val partialRewrite = stats.nFilesRewritten > 0 &&
+        stats.nFilesRewritten < stats.nFilesTotal
+      val timeTravelOk =
+        Layout.readVersion(s, path, v0.version).count() == v0.totalRows
+      Layout.readCommitted(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+            .as("sum_price"))
+        .withColumn("partial_rewrite", lit(partialRewrite))
+        .withColumn("time_travel_ok", lit(timeTravelOk))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Row-level DELETE on the committed table — the right-to-be-
     // forgotten shape: only files whose persisted l_partkey stats box
     // intersects the predicate are read and rewritten (partial_rewrite
@@ -1355,6 +1406,22 @@ object ScaleDomain {
         |  true AS versions_ok, true AS time_travel_ok,
         |  true AS rewrite_window_ok, true AS vacuum_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the merge restated on the pristine table: drop the deleted slice,
+    // adjust the updated slice's price, aggregate — plus the pins
+    "q_upsert_committed" ->
+      """WITH b AS (
+        |  SELECT max(k) AS hi FROM (
+        |    SELECT DISTINCT o_orderkey AS k FROM orders
+        |    ORDER BY k LIMIT 200) t)
+        |SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(CASE WHEN o_orderkey <= (SELECT hi FROM b)
+        |      AND o_orderkey % 3 = 0
+        |    THEN o_totalprice + 1.0 ELSE o_totalprice END
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  true AS partial_rewrite, true AS time_travel_ok
+        |FROM orders
+        |WHERE NOT (o_orderkey <= (SELECT hi FROM b) AND o_orderkey % 3 = 1)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the surviving rows are the pristine table under NOT predicate;
     // partial-rewrite, time-travel and feed-refusal invariants pinned
     "q_manifest_delete" ->

@@ -125,6 +125,19 @@ class EndToEndSpec extends AnyFunSuite {
       s"delete lifecycle invariant false: $first")
   }
 
+  test("q_upsert_committed reruns in one session: identical rows, invariants stay true") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val fn = SparkEntry.queries("q_upsert_committed")
+    def run() = fn(spark, dir).collect().map(_.toSeq).toSeq
+    val first = run()
+    val second = run()
+    assert(first == second, "rerun produced different rows")
+    val boolIdx = 3 to 4 // partial_rewrite, time_travel_ok
+    assert(first.forall(r => boolIdx.forall(i => r(i) == true)),
+      s"merge lifecycle invariant false: $first")
+  }
+
   test("temporal family: cross-query invariants on real events data") {
     // each query is oracle-checked individually; this pins the
     // CROSS-query consistency no single oracle asserts

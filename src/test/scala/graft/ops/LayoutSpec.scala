@@ -801,6 +801,50 @@ class LayoutSpec extends AnyFunSuite {
     assert(Layout.readCommitted(spark, tiny).count() == 100L)
   }
 
+  test("upsertCommitted: MERGE by file-box probe — updates, deletes, inserts, history") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mupsertc").toString
+    val base = spark.range(1, 4001).select(
+      col("id"), concat(lit("v"), col("id")).as("payload"))
+    // cluster BY id so per-file id boxes are tight; record id stats —
+    // the merge key's boxes are what the file probe plans over
+    Layout.writeClustered(base, dir, col("id"), nFiles = 8,
+      statsCols = Seq("id"))
+    val v1 = Layout.latestSnapshot(spark, dir).get.version
+    // a key-range-local batch: update 5, delete 7, insert 4500 (outside
+    // every box) — all ids ≤ 4500, so high-key files stay untouched
+    val changes = Seq(
+      (5L, "upsert", 1L, "patched5"),
+      (7L, "delete", 1L, ""),
+      (4500L, "upsert", 1L, "new4500")).toDF("id", "op", "version", "payload")
+    val stats = Layout.upsertCommitted(spark, dir, changes,
+      "id", Seq("payload"), col("id"))
+    assert(stats.nFilesRewritten > 0 && stats.nFilesRewritten < stats.nFilesTotal,
+      s"expected a partial rewrite, got ${stats.nFilesRewritten}/${stats.nFilesTotal}")
+    assert(stats.nRowsAfter == stats.nRowsBefore) // +1 insert, -1 delete
+    assert(Layout.latestSnapshot(spark, dir).get.op == "upsert")
+    val got = Layout.readCommitted(spark, dir).select("id", "payload")
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 4000 && got(5L) == "patched5" &&
+      got(4500L) == "new4500" && !got.contains(7L) && got(6L) == "v6")
+    // history until vacuum; the feed refuses to cross an upsert
+    assert(Layout.readVersion(spark, dir, v1).count() == 4000L)
+    val ex = intercept[IllegalArgumentException](
+      Layout.tableChanges(spark, dir, v1, stats.version))
+    assert(ex.getMessage.contains("upsert"))
+    // a PURE insert batch (no box hit) still lands through the anchor file
+    val ins = Seq((9000L, "upsert", 2L, "new9000")).toDF("id", "op", "version", "payload")
+    val s2 = Layout.upsertCommitted(spark, dir, ins, "id", Seq("payload"), col("id"))
+    assert(s2.nRowsAfter == s2.nRowsBefore + 1)
+    assert(Layout.readCommitted(spark, dir).count() == 4001L)
+    // schema drift is refused before commit
+    intercept[IllegalArgumentException] {
+      Layout.upsertCommitted(spark, dir,
+        Seq((5L, "upsert", 3L, 42L)).toDF("id", "op", "version", "payload2"),
+        "id", Seq("payload2"), col("id"))
+    }
+    assert(Layout.latestSnapshot(spark, dir).get.version == s2.version)
+  }
+
   test("change feed drives incremental index maintenance: tail == full rebuild") {
     // the composition the feed exists for: a consumer holds a version
     // high-water mark, pulls tableChanges(hwm, latest), and merges ONLY
