@@ -137,7 +137,22 @@ object Bench {
     "q_manifest_commit" -> ("fixture-writing like q_compact_files (round-12 " +
       "DriftProbe): fixture_write 1.3-2.7 s, compact 0.8-2.3 s, plan-side " +
       "rest 0.5-1.2 s across two fresh JVMs; cross-JVM floors 2.7 vs 3.2 s " +
-      "on identical code"))
+      "on identical code"),
+    // round-13 fixture-writing lifecycles (DriftProbe, round 13, sf0.1
+    // where noted): totals are write-dominated, judge the rest stage
+    "q_manifest_rewrite" -> ("4 clustered fixture writes + vacuum (round-13 " +
+      "DriftProbe, sf0.1, 3 reps): fixture_write floor 3.5-5.5 s, plan-side " +
+      "rest 1.3-2.3 s; total floor ~4.9-5.0 s — write stages own the drift"),
+    "q_table_changes" -> ("4 fixture writes + compact (round-13 DriftProbe, " +
+      "sf0.1): fixture_write ~4.0-4.5 s, compact 0.8-1.2 s, plan-side rest " +
+      "~0.35 s — the feed itself is snapshot-diff planning, near-free"),
+    "q_dedup_index_persist" -> ("index_write 2.4-6.0 s dominates (round-13 " +
+      "DriftProbe, sf0.1, post-sharpening: the exceptAll parity proof was " +
+      "replaced by one bit_xor aggregate per path); total floor ~5.8 s, " +
+      "was 6.5 s in the r12 artifact"),
+    "q_fivegram_kn" -> ("model_train ~2.9-3.3 s + score (round-13 " +
+      "DriftProbe, sf0.1): total floor 4.5 s after the scorer hot-path cut " +
+      "(was 7.0-7.9 s); first rep in a fresh JVM is 3-4x (JIT depth)"))
 
   /** Markdown comparison of two Bench JSON lines (prev vs current), the
     * Scala twin of tools/bench_notes.py. Parsing is the inverse of this
