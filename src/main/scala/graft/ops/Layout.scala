@@ -691,6 +691,65 @@ object Layout {
       spark.read.parquet(names.map(n => s"$path/$n"): _*)
   }
 
+  /** Full change-data-feed over the manifest log: every row the commits
+    * in (fromVersion, toVersion] added OR removed, tagged with a
+    * `_change_type` column (insert | delete). Appends contribute their
+    * new files as inserts (no data diff — the snapshot diff IS the
+    * answer); deletes and upserts contribute the row-level difference
+    * between the affected files' pre- and post-images (two multiset
+    * exceptAll legs scoped to ONLY the changed files — cost ∝ the
+    * commit's reach, never the table; an updated row appears as its
+    * old image deleted + its new image inserted, the standard CDF
+    * encoding). Compactions contribute nothing; create/rewrite/unknown
+    * still refuse — whole-table replacement has no row-level story.
+    * Requires the window's non-latest snapshots AND the removed
+    * generations to still be on disk (vacuum within the window breaks
+    * it loudly at read). The cheap appends-only path is
+    * [[tableChanges]]; use this one when the window may contain
+    * deletes/merges.
+    */
+  def tableChangesCdf(spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"tableChangesCdf: fromVersion $fromVersion > toVersion $toVersion")
+    var prev = snapshotAt(spark, path, fromVersion)
+    val empty = readSnapshot(spark, path, prev).filter(lit(false))
+    def read(names: Seq[String]): DataFrame =
+      if (names.isEmpty) empty
+      else spark.read.parquet(names.map(n => s"$path/$n"): _*)
+    var out: DataFrame = empty.withColumn("_change_type", lit("insert"))
+    var v = fromVersion + 1
+    while (v <= toVersion) {
+      val cur = snapshotAt(spark, path, v)
+      val prevNames = prev.files.map(_.name).toSet
+      val curNames = cur.files.map(_.name).toSet
+      val added = cur.files.map(_.name).filterNot(prevNames.contains)
+      val removed = prev.files.map(_.name).filterNot(curNames.contains)
+      cur.op match {
+        case "append" =>
+          out = out.unionByName(
+            read(added).withColumn("_change_type", lit("insert")))
+        case "compact" => // byte permutation: no row-level change
+        case "delete" | "upsert" =>
+          val pre = read(removed)
+          val post = read(added)
+          out = out
+            .unionByName(post.exceptAll(pre)
+              .withColumn("_change_type", lit("insert")))
+            .unionByName(pre.exceptAll(post)
+              .withColumn("_change_type", lit("delete")))
+        case other =>
+          throw new IllegalArgumentException(
+            s"tableChangesCdf: v$v under $path is a '$other' commit — it " +
+            "replaces table content wholesale; re-read the snapshot " +
+            "(readVersion) instead")
+      }
+      prev = cur
+      v += 1
+    }
+    out
+  }
+
   /** Committed APPEND — the micro-batch ingest step: write `df` (keyed
     * by `key`, sorted, `nFiles` shards) into a hidden staging dir, move
     * the new files in under fresh names, then commit snapshot N+1 =

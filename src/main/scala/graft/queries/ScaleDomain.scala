@@ -758,6 +758,40 @@ object ScaleDomain {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // FULL change-data-feed: an append then a row-level delete, read
+    // back as tagged row changes — the append's rows surface as
+    // inserts, the delete's victims as deletes (pre/post exceptAll
+    // scoped to the affected files only), and the oracle restates both
+    // legs directly on the pristine table. This is the consumer
+    // contract a downstream index/export needs to FOLLOW a table
+    // through merges, not just appends.
+    "q_table_changes_cdf" -> ((s, dir) => {
+      val path = scratch(s, "mcdffull", dir)
+      val li = Tables(s, dir, "lineitem")
+      val key = Layout.zorderKey(Seq(
+        Layout.gridCell(col("l_partkey"), 0, 20000, 10),
+        Layout.gridCell(col("l_suppkey"), 0, 1000, 10)), 10)
+      def batch(i: Int) = li.filter(pmod(col("l_orderkey"), lit(4L)) === i)
+      graft.SubTimings.time("q_table_changes_cdf", "fixture_write") {
+        Layout.writeClustered(batch(0), path, key, nFiles = 8,
+          statsCols = Seq("l_partkey")): Unit
+      }
+      // rerun hygiene (see q_manifest_append)
+      Layout.vacuum(s, path, keepVersions = 1, minAgeMs = 0L): Unit
+      val v0 = Layout.latestSnapshot(s, path).get.version
+      graft.SubTimings.time("q_table_changes_cdf", "fixture_write") {
+        Layout.appendClustered(batch(1), path, key, nFiles = 4): Unit
+        Layout.deleteWhere(s, path, col("l_partkey").between(10, 80),
+          Seq(("l_partkey", 10L, 80L))): Unit
+      }
+      Layout.tableChangesCdf(s, path, v0, v0 + 2)
+        .groupBy(col("_change_type").as("change_type"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("sum_qty"))
+        .orderBy(col("change_type"), col("l_returnflag"))
+    }),
+
     // Row-level DELETE on the committed table — the right-to-be-
     // forgotten shape: only files whose persisted l_partkey stats box
     // intersects the predicate are read and rewritten (partial_rewrite
@@ -1422,6 +1456,21 @@ object ScaleDomain {
         |FROM orders
         |WHERE NOT (o_orderkey <= (SELECT hi FROM b) AND o_orderkey % 3 = 1)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // both CDF legs restated on the pristine table: the appended batch
+    // as inserts, the delete predicate's victims (across both resident
+    // batches) as deletes
+    "q_table_changes_cdf" ->
+      """WITH f AS (
+        |  SELECT 'insert' AS change_type, l_returnflag, l_quantity
+        |  FROM lineitem WHERE l_orderkey % 4 = 1
+        |  UNION ALL
+        |  SELECT 'delete', l_returnflag, l_quantity
+        |  FROM lineitem
+        |  WHERE l_orderkey % 4 IN (0, 1) AND l_partkey BETWEEN 10 AND 80)
+        |SELECT change_type, l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM f GROUP BY change_type, l_returnflag
+        |ORDER BY change_type, l_returnflag""".stripMargin,
     // the surviving rows are the pristine table under NOT predicate;
     // partial-rewrite, time-travel and feed-refusal invariants pinned
     "q_manifest_delete" ->

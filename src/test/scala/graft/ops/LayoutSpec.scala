@@ -845,6 +845,46 @@ class LayoutSpec extends AnyFunSuite {
     assert(Layout.latestSnapshot(spark, dir).get.version == s2.version)
   }
 
+  test("tableChangesCdf: row-level pre/post diffs for deletes and merges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mcdf_full").toString
+    def docs(rows: Seq[(Long, String)]) = rows.toDF("id", "payload")
+    Layout.writeClustered(docs((1L to 100L).map(i => (i, s"v$i"))),
+      dir, col("id"), nFiles = 4, statsCols = Seq("id")) // v1
+    val v1 = 1L
+    Layout.appendClustered(docs(Seq((200L, "v200"), (201L, "v201"))),
+      dir, col("id"), nFiles = 1) // v2: +2 inserts
+    Layout.deleteWhere(spark, dir, col("id") <= 10L, Seq(("id", 1L, 10L))) // v3
+    Layout.upsertCommitted(spark, dir,
+      Seq((50L, "upsert", 1L, "patched50"), (300L, "upsert", 1L, "v300"))
+        .toDF("id", "op", "version", "payload"),
+      "id", Seq("payload"), col("id")) // v4: 1 update + 1 insert
+    val cdf = Layout.tableChangesCdf(spark, dir, v1, 4L)
+      .select(col("_change_type"), col("id"), col("payload"))
+      .as[(String, Long, String)].collect().toSet
+    val expect =
+      Set(("insert", 200L, "v200"), ("insert", 201L, "v201")) ++ // append
+      (1L to 10L).map(i => ("delete", i, s"v$i")).toSet ++       // delete
+      Set(("delete", 50L, "v50"), ("insert", 50L, "patched50"),  // update = old+new
+        ("insert", 300L, "v300"))                                // merge insert
+    assert(cdf == expect, s"CDF diverged:\n got=$cdf\n want=$expect")
+    // replaying the feed onto the from-version reproduces the table
+    val replayed = Layout.readVersion(spark, dir, v1)
+      .select("id", "payload")
+      .unionByName(Layout.tableChangesCdf(spark, dir, v1, 4L)
+        .filter(col("_change_type") === "insert").select("id", "payload"))
+      .exceptAll(Layout.tableChangesCdf(spark, dir, v1, 4L)
+        .filter(col("_change_type") === "delete").select("id", "payload"))
+    val now = Layout.readCommitted(spark, dir).select("id", "payload")
+    assert(replayed.exceptAll(now).isEmpty && now.exceptAll(replayed).isEmpty,
+      "base + CDF inserts - CDF deletes must reproduce the current table")
+    // compaction inside the window still contributes nothing
+    val totalBytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length()).sum
+    Layout.compactFiles(spark, dir, "cluster_key",
+      minFileBytes = 64L * 1024 * 1024, targetFileBytes = totalBytes + 1) // v5
+    assert(Layout.tableChangesCdf(spark, dir, 4L, 5L).isEmpty)
+  }
+
   test("change feed drives incremental index maintenance: tail == full rebuild") {
     // the composition the feed exists for: a consumer holds a version
     // high-water mark, pulls tableChanges(hwm, latest), and merges ONLY
