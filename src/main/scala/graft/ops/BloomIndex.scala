@@ -1,0 +1,194 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Per-file Bloom-filter sidecars for a committed [[Layout]] table —
+  * point-lookup file skipping on columns the cluster key does NOT
+  * order. The snapshot's min/max boxes prune range predicates on
+  * correlated columns; a high-cardinality column scattered across the
+  * layout (an order id in a table z-ordered by part/supplier, a doc id
+  * in a table clustered by domain) has a full-range box in every file,
+  * so a point lookup reads 100 TB to find seven rows. A ~1 byte/row
+  * bloom per file answers "can this file hold this value?" with no
+  * false negatives; the lookup reads only the files whose filters fire.
+  *
+  * Build is ONE keyed aggregate over (file, xxhash64(value)) — a custom
+  * [[Aggregator]] OR-merging fixed-size bitsets, partial-combined
+  * map-side like any sum. The sidecar (`_blooms/<column>/`) is a small
+  * parquet table: #files rows × (bits/8) bytes, BOUNDED planning state
+  * like the snapshot itself, stamped with the snapshot version it
+  * indexed in a meta marker written last. A probe against a sidecar
+  * whose version is not the table's latest REFUSES loudly — a stale
+  * bloom would silently miss rows appended since — naming the rebuild
+  * call. Membership tests run driver-side over the collected sidecar
+  * (planning work, same order as reading the snapshot); the probe
+  * hashes ride the SAME engine expression (xxhash64 over the same
+  * type) via a one-row Spark projection, so build and probe can never
+  * drift.
+  */
+object BloomIndex {
+
+  val SidecarDir = "_blooms"
+
+  /** Double hashing (Kirsch–Mitzenmacher): k positions from one 64-bit
+    * hash, h2 forced odd so the stride cycles any power-of-two m.
+    */
+  private[ops] def bitPositions(h: Long, k: Int, mBits: Int): Array[Int] = {
+    val h1 = h
+    val h2 = (h >>> 32) | 1L
+    Array.tabulate(k)(i => (((h1 + i * h2) % mBits + mBits) % mBits).toInt)
+  }
+
+  /** Fixed-size bitset OR-aggregator over xxhash64 values. */
+  private final class BloomAgg(mBits: Int, k: Int)
+      extends Aggregator[Long, Array[Byte], Array[Byte]] {
+    def zero: Array[Byte] = new Array[Byte](mBits / 8)
+    def reduce(b: Array[Byte], h: Long): Array[Byte] = {
+      bitPositions(h, k, mBits).foreach { p =>
+        b(p >>> 3) = (b(p >>> 3) | (1 << (p & 7))).toByte
+      }
+      b
+    }
+    def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+      a
+    }
+    def finish(b: Array[Byte]): Array[Byte] = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  private def sidecarPath(path: String, column: String) =
+    s"$path/$SidecarDir/$column"
+
+  private def metaPath(path: String, column: String) =
+    s"${sidecarPath(path, column)}/_bloom_meta.txt"
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** What [[writeBloomSidecar]] built. */
+  final case class BloomMeta(version: Long, column: String, mBits: Int, k: Int)
+
+  private def writeMeta(spark: SparkSession, path: String, m: BloomMeta): Unit = {
+    val fs = fsOf(spark, path)
+    val p = new org.apache.hadoop.fs.Path(metaPath(path, m.column))
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, s".tmp-meta-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write(
+      (s"graft-bloom-v1\nversion=${m.version}\ncolumn=${m.column}\n" +
+        s"mBits=${m.mBits}\nk=${m.k}\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"bloom meta publish $tmp -> $p failed")
+  }
+
+  private def readMeta(spark: SparkSession, path: String, column: String): BloomMeta = {
+    val fs = fsOf(spark, path)
+    val p = new org.apache.hadoop.fs.Path(metaPath(path, column))
+    require(fs.exists(p),
+      s"no bloom sidecar for '$column' under $path — build one with " +
+      "BloomIndex.writeBloomSidecar")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = txt.split("\n")
+    require(lines.headOption.contains("graft-bloom-v1"),
+      s"unrecognized bloom meta format in $p")
+    val kv = lines.drop(1).filter(_.contains('='))
+      .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
+      .toMap
+    BloomMeta(kv("version").toLong, kv("column"), kv("mBits").toInt, kv("k").toInt)
+  }
+
+  /** Build the per-file bloom sidecar for `column` over the CURRENT
+    * committed snapshot: one distributed keyed aggregate (file →
+    * bitset), one small parquet write, meta marker last. Bitset size is
+    * sized off the snapshot's largest file (`bitsPerKey` bits per row,
+    * rounded up to a multiple of 64) so every file shares one m and the
+    * driver-side probe stays branch-free. Returns the meta it stamped.
+    */
+  def writeBloomSidecar(spark: SparkSession, path: String, column: String,
+      bitsPerKey: Int = 10, k: Int = 7): BloomMeta = {
+    require(bitsPerKey >= 1 && k >= 1)
+    val snap = Layout.latestSnapshot(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"writeBloomSidecar: no committed table under $path"))
+    val maxRows = snap.files.map(_.rows).max
+    val mBits = math.max(64L, ((maxRows * bitsPerKey + 63L) / 64L) * 64L)
+    require(mBits <= Int.MaxValue.toLong, s"bloom bitset of $mBits bits per " +
+      "file is absurd — compact the table into more, smaller files first")
+    val src = spark.read.parquet(snap.files.map(f => s"$path/${f.name}"): _*)
+    require(src.columns.contains(column),
+      s"writeBloomSidecar: table at $path has no column '$column'")
+    val agg = udaf(new BloomAgg(mBits.toInt, k))
+    val blooms = src
+      .select(input_file_name().as("__file"), xxhash64(col(column)).as("__h"))
+      .groupBy(col("__file")).agg(agg(col("__h")).as("bits"))
+      .select(
+        // store the snapshot-relative name, like the snapshot itself
+        element_at(split(col("__file"), "/"), -1).as("file"),
+        col("bits"))
+    val out = sidecarPath(path, column)
+    blooms.repartition(1).write.mode("overwrite").parquet(s"$out/data")
+    val meta = BloomMeta(snap.version, column, mBits.toInt, k)
+    writeMeta(spark, path, meta)
+    meta
+  }
+
+  /** Point-lookup read through the sidecar: returns (candidate files,
+    * total files, DataFrame over just the candidates). No false
+    * negatives — every file containing any of `values` is a candidate;
+    * bloom false positives are re-filtered by the caller's own
+    * predicate (the returned frame is the files' full content, exactly
+    * like [[Layout.prunedCommittedRead]]). Refuses a sidecar older than
+    * the table's latest snapshot — a stale bloom would silently miss
+    * appended rows.
+    */
+  def bloomPrunedRead(spark: SparkSession, path: String, column: String,
+      values: Seq[Any]): (Int, Int, DataFrame) = {
+    require(values.nonEmpty, "bloomPrunedRead: empty probe set")
+    val snap = Layout.latestSnapshot(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"bloomPrunedRead: no committed table under $path"))
+    val meta = readMeta(spark, path, column)
+    require(meta.version == snap.version,
+      s"bloom sidecar for '$column' under $path indexes snapshot " +
+      s"v${meta.version} but the table is at v${snap.version} — rebuild with " +
+      "BloomIndex.writeBloomSidecar")
+    // probe hashes through the SAME engine expression and column type
+    val dt = spark.read.parquet(s"$path/${snap.files.head.name}")
+      .schema(column).dataType
+    import spark.implicits._
+    val hashRow = spark.range(1)
+      .select(values.zipWithIndex.map { case (v, i) =>
+        xxhash64(lit(v).cast(dt)).as(s"h$i")
+      }: _*).head()
+    val hashes = values.indices.map(hashRow.getLong)
+    val sidecar = spark.read.parquet(s"${sidecarPath(path, column)}/data")
+      .select("file", "bits").as[(String, Array[Byte])].collect()
+    require(sidecar.nonEmpty, s"bloom sidecar for '$column' under $path is empty")
+    val candidates = sidecar.filter { case (_, bits) =>
+      hashes.exists { h =>
+        bitPositions(h, meta.k, meta.mBits).forall { p =>
+          (bits(p >>> 3) & (1 << (p & 7))) != 0
+        }
+      }
+    }.map(_._1)
+    val names = snap.files.map(_.name).filter(candidates.toSet.contains)
+    val df =
+      if (names.isEmpty)
+        Layout.readSnapshot(spark, path, snap).filter(lit(false))
+      else spark.read.parquet(names.map(n => s"$path/$n"): _*)
+    (names.size, snap.files.size, df)
+  }
+}

@@ -695,7 +695,7 @@ object Layout {
     * in (fromVersion, toVersion] added OR removed, tagged with a
     * `_change_type` column (insert | delete). Appends contribute their
     * new files as inserts (no data diff — the snapshot diff IS the
-    * answer); deletes and upserts contribute the row-level difference
+    * answer); deletes, updates and upserts contribute the row-level difference
     * between the affected files' pre- and post-images (two multiset
     * exceptAll legs scoped to ONLY the changed files — cost ∝ the
     * commit's reach, never the table; an updated row appears as its
@@ -730,7 +730,7 @@ object Layout {
           out = out.unionByName(
             read(added).withColumn("_change_type", lit("insert")))
         case "compact" => // byte permutation: no row-level change
-        case "delete" | "upsert" =>
+        case "delete" | "upsert" | "update" =>
           val pre = read(removed)
           val post = read(added)
           out = out
@@ -748,6 +748,83 @@ object Layout {
       v += 1
     }
     out
+  }
+
+  /** What [[incrementalEtl]] did: the source window it processed
+    * ((fromVersion, toVersion]; fromVersion = 0 on the bootstrap run),
+    * the rows it appended to the derived table, and the derived table's
+    * committed version after the run. `caughtUp` = the run found no new
+    * source commits and touched nothing.
+    */
+  final case class EtlStats(
+      fromVersion: Long, toVersion: Long, rowsAppended: Long,
+      dstVersion: Long, caughtUp: Boolean)
+
+  /** Incrementally maintain a DERIVED committed table from a source
+    * committed table's change feed — the 100 TB consumer loop: each run
+    * reads only the source commits since its own high-water mark,
+    * transforms them, and appends to the derived table, so following a
+    * table costs the day's batches, never the table.
+    *
+    * EXACTLY-ONCE: the high-water mark is the source version recorded
+    * in the DERIVED table's own txn map (writer id `etl:<srcPath>` by
+    * default) — state and data commit atomically in one snapshot, the
+    * same mechanism Structured Streaming rides ([[appendClustered]]'s
+    * `txn`). A crash between transform and commit replays the window;
+    * a crash after the commit makes the retry a provable no-op (the
+    * mark already covers the window). The first run bootstraps: it
+    * materializes `transform(full committed source)` via
+    * [[writeClustered]] with the mark recorded in the create snapshot.
+    *
+    * TRANSFORM CONTRACT: `transform` must be ROW-WISE (per-row
+    * projections/filters — map-only plans). That is what makes window
+    * boundaries invisible: transform(batch A ∪ batch B) ==
+    * transform(A) ∪ transform(B), so one run processing three source
+    * commits equals three runs processing one each, and a window whose
+    * transform yields zero rows can safely leave the mark in place (the
+    * rows re-enter the next window and still yield nothing). Aggregating
+    * views need a different maintenance algebra — build them as a
+    * grouped read OVER this row-wise view instead.
+    *
+    * Source windows are read with [[tableChanges]], so a row-level
+    * mutation (delete/update/upsert) or rewrite in the source REFUSES
+    * loudly — an append-only view cannot express removal; re-materialize
+    * by dropping the derived table and bootstrapping again (or follow
+    * [[tableChangesCdf]] by hand for a mutable-source pipeline).
+    */
+  def incrementalEtl(spark: SparkSession, srcPath: String, dstPath: String,
+      transform: DataFrame => DataFrame, key: Column, nFiles: Int,
+      writerId: String = null, statsCols: Seq[String] = Nil): EtlStats = {
+    val srcSnap = latestSnapshot(spark, srcPath).getOrElse(
+      throw new IllegalStateException(
+        s"incrementalEtl: no committed source table under $srcPath"))
+    val writer = Option(writerId).getOrElse(s"etl:$srcPath")
+    latestSnapshot(spark, dstPath) match {
+      case None =>
+        val out = transform(readCommitted(spark, srcPath))
+        val written = writeClustered(out, dstPath, key, nFiles,
+          txn = Some(writer -> srcSnap.version), statsCols = statsCols)
+        EtlStats(0L, srcSnap.version, written.count(),
+          latestSnapshot(spark, dstPath).get.version, caughtUp = false)
+      case Some(dst) =>
+        val from = dst.txns.getOrElse(writer, throw new IllegalStateException(
+          s"incrementalEtl: derived table at $dstPath carries no high-water " +
+          s"mark for writer '$writer' — it was not bootstrapped by this " +
+          "pipeline; drop it or pass the writerId that created it"))
+        if (from >= srcSnap.version)
+          return EtlStats(from, from, 0L, dst.version, caughtUp = true)
+        val out = transform(tableChanges(spark, srcPath, from, srcSnap.version))
+        val nOut = out.count()
+        if (nOut == 0L)
+          // nothing to append: leave the mark — the window re-enters next
+          // run and (row-wise transform) still yields nothing
+          EtlStats(from, srcSnap.version, 0L, dst.version, caughtUp = false)
+        else {
+          val next = appendClustered(out, dstPath, key, nFiles,
+            txn = Some(writer -> srcSnap.version))
+          EtlStats(from, srcSnap.version, nOut, next.version, caughtUp = false)
+        }
+    }
   }
 
   /** Committed APPEND — the micro-batch ingest step: write `df` (keyed
@@ -948,6 +1025,103 @@ object Layout {
     DeleteStats(snap.files.size.toLong, affected.size.toLong, deleted, next.version)
   }
 
+  /** What [[updateWhere]] did — same accounting as [[DeleteStats]]. */
+  final case class UpdateStats(
+      nFilesTotal: Long, nFilesRewritten: Long, nRowsUpdated: Long,
+      version: Long)
+
+  /** Row-level UPDATE on a committed table — `UPDATE t SET c = expr, …
+    * WHERE predicate` with the same stats-pruned rewrite discipline as
+    * [[deleteWhere]]: only files whose persisted boxes can hold
+    * predicate-matching rows are read and rewritten; every other file
+    * carries forward byte-identical. SQL UPDATE semantics: a row is
+    * assigned only where the predicate is TRUE — a NULL predicate keeps
+    * the row unchanged. Each assignment is cast back to the column's
+    * existing type, so the table's recorded schema fingerprint is
+    * preserved by construction (a SET list naming a column the table
+    * lacks is refused before anything is staged). Updating the cluster
+    * key itself is legal — the rewritten generation is re-clustered on
+    * the key's post-update values, so the pruning contract survives.
+    * History stays time-travelable until vacuum; the commit records
+    * op=update, which the appends-only [[tableChanges]] feed refuses
+    * (updates are not row-adds) and [[tableChangesCdf]] surfaces as
+    * old-image delete + new-image insert pairs scoped to the rewritten
+    * files. Single-writer like every rewrite.
+    *
+    * `scanRanges` is a PLANNING hint with the same contract as
+    * [[deleteWhere]]'s: it must cover the predicate, or matching rows
+    * in unplanned files silently keep their old values.
+    */
+  def updateWhere(spark: SparkSession, path: String, predicate: Column,
+      set: Seq[(String, Column)],
+      scanRanges: Seq[(String, Long, Long)] = Nil,
+      nFiles: Int = 0): UpdateStats = {
+    require(set.nonEmpty, "updateWhere: empty SET list")
+    val snap = latestSnapshot(spark, path).getOrElse(throw new IllegalStateException(
+      s"updateWhere: no committed table under $path"))
+    val affected = snap.files.filter { f =>
+      scanRanges.forall { case (c, lo, hi) =>
+        val (mn, mx) = if (c == snap.keyName) (f.minKey, f.maxKey)
+          else f.stats.getOrElse(c, throw new IllegalArgumentException(
+            s"updateWhere: snapshot v${snap.version} carries no stats for '$c'"))
+        mx >= lo && mn <= hi
+      }
+    }
+    if (affected.isEmpty)
+      return UpdateStats(snap.files.size.toLong, 0L, 0L, snap.version)
+    val fs = fsOf(spark, path)
+    val src = spark.read.parquet(affected.map(f => s"$path/${f.name}"): _*)
+    val missing = set.map(_._1).filterNot(src.columns.contains)
+    require(missing.isEmpty,
+      s"updateWhere: table at $path has no column(s) ${missing.mkString(", ")} " +
+      "— SET must name existing table columns")
+    val cond = coalesce(predicate, lit(false))
+    val nUpdated = src.filter(cond).count()
+    if (nUpdated == 0L)
+      return UpdateStats(snap.files.size.toLong, 0L, 0L, snap.version)
+    val setMap = set.toMap
+    val fieldTypes = src.schema.fields.map(f => f.name -> f.dataType).toMap
+    val updated = src.select(src.columns.map { c =>
+      setMap.get(c) match {
+        case Some(e) => when(cond, e.cast(fieldTypes(c))).otherwise(col(c)).as(c)
+        case None    => col(c)
+      }
+    }.toIndexedSeq: _*)
+    snap.schemaHash.foreach { expect =>
+      val got = schemaHashOf(updated.schema)
+      require(got == expect,
+        s"updateWhere: rewritten schema (hash $got) does not match the " +
+        s"table's recorded schema (hash $expect) under $path")
+    }
+    val untouched = snap.files.filterNot(affected.map(_.name).toSet contains _.name)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val nOut = if (nFiles > 0) nFiles else affected.size
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.update-$token")
+    updated.repartitionByRange(nOut, col(snap.keyName))
+      .sortWithinPartitions(snap.keyName)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val staged = fs.listStatus(tmp)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    val moved = staged.zipWithIndex.map { case (st, i) =>
+      val target = new org.apache.hadoop.fs.Path(
+        s"$path/part-update-$token-$i${suffixOf(st.getPath.getName)}")
+      if (!fs.rename(st.getPath, target))
+        throw new java.io.IOException(
+          s"update rename ${st.getPath} -> $target failed")
+      target.getName
+    }.toIndexedSeq
+    fs.delete(tmp, true)
+    val movedEntries = snapshotEntries(spark, path, snap.keyName, moved, snap.statsCols)
+    require(movedEntries.map(_.rows).sum == affected.map(_.rows).sum,
+      "updateWhere: rewritten row count diverged from the affected files' " +
+      "row count; nothing committed, both generations on disk")
+    val next = TableSnapshot(snap.version + 1, snap.keyName,
+      untouched ++ movedEntries, snap.schemaHash, snap.txns,
+      op = "update", statsCols = snap.statsCols)
+    commitSnapshot(spark, path, next)
+    UpdateStats(snap.files.size.toLong, affected.size.toLong, nUpdated, next.version)
+  }
+
   /** What [[upsertCommitted]] did — same accounting as [[DeleteStats]]. */
   final case class UpsertStats(
       nFilesTotal: Long, nFilesRewritten: Long,
@@ -1120,7 +1294,7 @@ object Layout {
         st.isDirectory && st.getModificationTime < horizon &&
           (n.startsWith(".append-") || n.startsWith(".compact-") ||
             n.startsWith(".rewrite-") || n.startsWith(".delete-") ||
-            n.startsWith(".upsert-"))
+            n.startsWith(".upsert-") || n.startsWith(".update-"))
       }
       .foreach(st => fs.delete(st.getPath, true))
     fs.listStatus(mdir)

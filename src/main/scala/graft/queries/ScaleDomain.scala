@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Layout, Multimodal, Scale}
+import graft.ops.{BloomIndex, Layout, Multimodal, Scale}
 
 /** Driver queries for the scale-out utilities (`ops/Scale.scala`) and the
   * multimodal column plumbing (`ops/Multimodal.scala`), all DuckDB-oracle
@@ -53,6 +53,9 @@ object ScaleDomain {
     val below = if (kids == null) 0L else kids.map(subtreeMaxMtime).foldLeft(0L)(math.max)
     math.max(f.lastModified(), below)
   }
+
+  /** q_incremental_etl derived-table invocation counter (see the query). */
+  private val etlRuns = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private[queries] def scratch(s: SparkSession, name: String, dir: String): String = {
     val root = new java.io.File(s"/tmp/graft_$name")
@@ -758,6 +761,143 @@ object ScaleDomain {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Per-file bloom sidecar: point lookups on a column the z-order
+    // does NOT cluster (l_orderkey in a partkey/suppkey-ordered table —
+    // its min/max box spans every file, so stats boxes prune nothing).
+    // The bloom plans only the files whose filters fire
+    // (files_skipped); no false negatives means the re-filtered result
+    // is exact, oracle-recomputed directly on the pristine table.
+    "q_committed_bloom" -> ((s, dir) => {
+      val path = scratch(s, "mbloom", dir)
+      val li = Tables(s, dir, "lineitem")
+      val key = Layout.zorderKey(Seq(
+        Layout.gridCell(col("l_partkey"), 0, 20000, 10),
+        Layout.gridCell(col("l_suppkey"), 0, 1000, 10)), 10)
+      graft.SubTimings.time("q_committed_bloom", "fixture_write") {
+        Layout.writeClustered(li, path, key, nFiles = 16): Unit
+      }
+      // rerun hygiene (see q_manifest_append)
+      Layout.vacuum(s, path, keepVersions = 1, minAgeMs = 0L): Unit
+      graft.SubTimings.time("q_committed_bloom", "index_write") {
+        BloomIndex.writeBloomSidecar(s, path, "l_orderkey"): Unit
+      }
+      val keys = li.select(col("l_orderkey")).distinct()
+        .orderBy(col("l_orderkey")).limit(3)
+        .collect().map(_.getLong(0)).toIndexedSeq
+      val (cand, total, df) = BloomIndex.bloomPrunedRead(
+        s, path, "l_orderkey", keys)
+      df.filter(col("l_orderkey").isin(keys: _*))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("sum_qty"))
+        .withColumn("files_skipped", lit(cand < total))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Incremental ETL over the change feed — the committed-table
+    // CONSUMER loop: a derived table follows the source through create
+    // + three appends, reading only each run's new commits (the
+    // high-water mark lives in the derived table's own txn map, so
+    // state and data commit atomically). A caught-up run is a provable
+    // no-op (caught_up_noop pins version identity). The final derived
+    // table is oracle-recomputed as the transform applied to the
+    // pristine source.
+    "q_incremental_etl" -> ((s, dir) => {
+      val src = scratch(s, "metl_src", dir)
+      // fresh derived path per invocation: a rerun's source REWRITE
+      // (writeClustered on the committed fixture) cannot be crossed by
+      // an append-only feed, so each run bootstraps its own view
+      val dst = scratch(s, "metl_dst", dir) + "_" + etlRuns.incrementAndGet()
+      val li = Tables(s, dir, "lineitem")
+      val key = Layout.zorderKey(Seq(
+        Layout.gridCell(col("l_partkey"), 0, 20000, 10),
+        Layout.gridCell(col("l_suppkey"), 0, 1000, 10)), 10)
+      def batch(i: Int) = li.filter(pmod(col("l_orderkey"), lit(4L)) === i)
+      val transform: DataFrame => DataFrame =
+        df => df.filter(col("l_quantity") > 25)
+          .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+      graft.SubTimings.time("q_incremental_etl", "fixture_write") {
+        Layout.writeClustered(batch(0), src, key, nFiles = 8): Unit
+      }
+      // rerun hygiene (see q_manifest_append)
+      Layout.vacuum(s, src, keepVersions = 1, minAgeMs = 0L): Unit
+      val e1 = graft.SubTimings.time("q_incremental_etl", "etl") {
+        Layout.incrementalEtl(s, src, dst, transform, col("l_partkey"), 4)
+      }
+      graft.SubTimings.time("q_incremental_etl", "fixture_write") {
+        Layout.appendClustered(batch(1), src, key, nFiles = 4): Unit
+        Layout.appendClustered(batch(2), src, key, nFiles = 4): Unit
+      }
+      val e2 = graft.SubTimings.time("q_incremental_etl", "etl") {
+        Layout.incrementalEtl(s, src, dst, transform, col("l_partkey"), 4)
+      }
+      val e3 = Layout.incrementalEtl(s, src, dst, transform, col("l_partkey"), 4)
+      graft.SubTimings.time("q_incremental_etl", "fixture_write") {
+        Layout.appendClustered(batch(3), src, key, nFiles = 4): Unit
+      }
+      val e4 = graft.SubTimings.time("q_incremental_etl", "etl") {
+        Layout.incrementalEtl(s, src, dst, transform, col("l_partkey"), 4)
+      }
+      val bootstrapOk = e1.fromVersion == 0L && !e1.caughtUp
+      val caughtUpNoop = e3.caughtUp && e3.rowsAppended == 0L &&
+        e3.dstVersion == e2.dstVersion && e4.dstVersion == e3.dstVersion + 1
+      Layout.readCommitted(s, dst)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("sum_qty"))
+        .withColumn("bootstrap_ok", lit(bootstrapOk))
+        .withColumn("caught_up_noop", lit(caughtUpNoop))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Row-level UPDATE on the committed table — SQL `UPDATE … SET …
+    // WHERE …` planned from the persisted l_partkey stats boxes: only
+    // intersecting files are rewritten (partial_rewrite), the pre-update
+    // snapshot still answers in full (time_travel_ok), and the CDF
+    // window across the update balances exactly — old-image deletes ==
+    // new-image inserts == rows updated (cdf_balanced). The committed
+    // result is oracle-recomputed as a CASE WHEN over the pristine
+    // table.
+    "q_update_committed" -> ((s, dir) => {
+      val path = scratch(s, "mupdate", dir)
+      val li = Tables(s, dir, "lineitem")
+      val key = Layout.zorderKey(Seq(
+        Layout.gridCell(col("l_partkey"), 0, 20000, 10),
+        Layout.gridCell(col("l_suppkey"), 0, 1000, 10)), 10)
+      graft.SubTimings.time("q_update_committed", "fixture_write") {
+        Layout.writeClustered(li, path, key, nFiles = 16,
+          statsCols = Seq("l_partkey")): Unit
+      }
+      // rerun hygiene (see q_manifest_append)
+      Layout.vacuum(s, path, keepVersions = 1, minAgeMs = 0L): Unit
+      val v0 = Layout.latestSnapshot(s, path).get.version
+      val full = Layout.latestSnapshot(s, path).get.totalRows
+      val stats = graft.SubTimings.time("q_update_committed", "update") {
+        Layout.updateWhere(s, path, col("l_partkey").between(10, 80),
+          Seq("l_quantity" -> (col("l_quantity") + 5.0d)),
+          Seq(("l_partkey", 10L, 80L)))
+      }
+      val partialRewrite = stats.nFilesRewritten > 0 &&
+        stats.nFilesRewritten < stats.nFilesTotal
+      val timeTravelOk = Layout.readVersion(s, path, v0).count() == full
+      val cdf = Layout.tableChangesCdf(s, path, v0, stats.version)
+        .groupBy(col("_change_type")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val cdfBalanced = cdf.getOrElse("insert", 0L) == stats.nRowsUpdated &&
+        cdf.getOrElse("delete", 0L) == stats.nRowsUpdated
+      Layout.readCommitted(s, path)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("sum_qty"))
+        .withColumn("partial_rewrite", lit(partialRewrite))
+        .withColumn("time_travel_ok", lit(timeTravelOk))
+        .withColumn("cdf_balanced", lit(cdfBalanced))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // FULL change-data-feed: an append then a row-level delete, read
     // back as tagged row changes — the append's rows surface as
     // inserts, the delete's victims as deletes (pre/post exceptAll
@@ -1456,6 +1596,38 @@ object ScaleDomain {
         |FROM orders
         |WHERE NOT (o_orderkey <= (SELECT hi FROM b) AND o_orderkey % 3 = 1)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the point lookup restated directly on the pristine table; the
+    // bloom's no-false-negative guarantee is what makes the pruned,
+    // re-filtered read exact
+    "q_committed_bloom" ->
+      """WITH v AS (
+        |  SELECT DISTINCT l_orderkey AS k FROM lineitem
+        |  ORDER BY k LIMIT 3)
+        |SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  true AS files_skipped
+        |FROM lineitem WHERE l_orderkey IN (SELECT k FROM v)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the derived table is the transform applied to the pristine
+    // source — four incremental windows must land on the full filter;
+    // bootstrap / caught-up invariants are identity pins
+    "q_incremental_etl" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  true AS bootstrap_ok, true AS caught_up_noop
+        |FROM lineitem WHERE l_quantity > 25
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the UPDATE restated as a CASE WHEN over the pristine table; the
+    // partial-rewrite / time-travel / CDF-balance invariants are
+    // identity pins
+    "q_update_committed" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(CASE WHEN l_partkey BETWEEN 10 AND 80
+        |    THEN l_quantity + 5.0 ELSE l_quantity END
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  true AS partial_rewrite, true AS time_travel_ok,
+        |  true AS cdf_balanced
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // both CDF legs restated on the pristine table: the appended batch
     // as inserts, the delete predicate's victims (across both resident
     // batches) as deletes

@@ -588,6 +588,17 @@ class PipelineStreamingSpec extends AnyFunSuite {
       assert(spark.read.parquet(s"$idxPath/shingled").count() ==
         shingledIds.size.toLong)
 
+      // --- downstream consumer: a derived table follows the committed
+      // crawl table through its OWN high-water mark (incrementalEtl) —
+      // bootstrap here, then exactly one window for the restart batch
+      val derived = s"$watRoot/derived"
+      val tfm: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        df => df.select(col("record_id"), col("url_norm"),
+          org.apache.spark.sql.functions.length(col("extracted")).as("n_chars"))
+      val e1 = Layout.incrementalEtl(spark, table, derived, tfm,
+        org.apache.spark.sql.functions.xxhash64(col("url_norm")), 1)
+      assert(e1.fromVersion == 0L && e1.rowsAppended == tableRows.size.toLong)
+
       // --- RESTART: a new ingest instance on the same checkpoint and
       // table rebuilds its URL state from the COMMITTED table, so a
       // re-crawl of an already-ingested URL is dropped after restart ---
@@ -620,6 +631,22 @@ class PipelineStreamingSpec extends AnyFunSuite {
         .select("id").as[String].collect().toSet == finalRows.map(_._1))
       assert(Dedup.minhashIndexTxns(spark, idxPath) ==
         Map("crawl_ingest" -> (hwm + 1)))
+      // the consumer reads ONLY the restart batch's window and lands on
+      // the full recompute; a third run is a provable no-op
+      val e2 = Layout.incrementalEtl(spark, table, derived, tfm,
+        org.apache.spark.sql.functions.xxhash64(col("url_norm")), 1)
+      assert(e2.fromVersion == snap.version &&
+        e2.toVersion == finalSnap.version && e2.rowsAppended == 1L,
+        s"consumer window diverged: $e2")
+      val derivedRows = Layout.readCommitted(spark, derived)
+        .select("record_id", "url_norm", "n_chars")
+        .as[(String, String, Int)].collect().toSet
+      val derivedWant = tfm(Layout.readCommitted(spark, table))
+        .as[(String, String, Int)].collect().toSet
+      assert(derivedRows == derivedWant,
+        "derived table != transform(committed crawl table)")
+      assert(Layout.incrementalEtl(spark, table, derived, tfm,
+        org.apache.spark.sql.functions.xxhash64(col("url_norm")), 1).caughtUp)
     } finally q.stop()
   }
 

@@ -801,6 +801,71 @@ class LayoutSpec extends AnyFunSuite {
     assert(Layout.readCommitted(spark, tiny).count() == 100L)
   }
 
+  test("updateWhere: stats-planned partial rewrite, SQL semantics, CDF pairs") {
+    val base = spark.range(40000).select(
+      col("id"),
+      ((col("id") * 7919L) % 1000).as("x"),
+      // nullable column: the NULL-predicate row-keeping gate below.
+      // modulus 997 (not 1000) so y is decorrelated from x — with both
+      // mod 1000 the two residues are a bijection of id%1000 and the
+      // conjunction below matches only the all-NULL residue 0
+      when(col("id") % 100 === 0, lit(null).cast("long"))
+        .otherwise((col("id") * 104729L) % 997).as("y"))
+    val key = Layout.zorderKey(Seq(
+      Layout.gridCell(col("x"), 0, 1000, 8),
+      Layout.gridCell(coalesce(col("y"), lit(0L)), 0, 1000, 8)), 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mupdate").toString
+    Layout.writeClustered(base, dir, key, nFiles = 16, statsCols = Seq("x"))
+    val v1 = Layout.latestSnapshot(spark, dir).get.version
+    // predicate y < 100 is NULL where y is NULL: those rows must KEEP
+    // their values (SQL UPDATE assigns only where TRUE)
+    val stats = Layout.updateWhere(spark, dir,
+      col("x").between(0, 99) && col("y") < 100L,
+      Seq("x" -> (col("x") + 10000L)),
+      Seq(("x", 0L, 99L)))
+    val matched = base.filter(col("x").between(0, 99) && col("y") < 100L).count()
+    assert(stats.nRowsUpdated == matched && matched > 0)
+    assert(stats.nFilesRewritten > 0 && stats.nFilesRewritten < stats.nFilesTotal,
+      s"expected a PARTIAL rewrite, got ${stats.nFilesRewritten}/${stats.nFilesTotal}")
+    assert(Layout.latestSnapshot(spark, dir).get.op == "update")
+    // content parity against the CASE WHEN restatement; same row count
+    val want = base.select(col("id"),
+      when(coalesce(col("x").between(0, 99) && col("y") < 100L, lit(false)),
+        col("x") + 10000L).otherwise(col("x")).as("x"), col("y"))
+    val got = Layout.readCommitted(spark, dir).select("id", "x", "y")
+    assert(got.count() == 40000L)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "update diverged from the CASE WHEN restatement")
+    // history: the pre-update snapshot still answers with the OLD values
+    assert(Layout.readVersion(spark, dir, v1)
+      .filter(col("x") >= 10000L).count() == 0L)
+    // the appends-only feed refuses; the CDF surfaces old+new image pairs
+    val ex = intercept[IllegalArgumentException](
+      Layout.tableChanges(spark, dir, v1, stats.version))
+    assert(ex.getMessage.contains("update"))
+    val cdf = Layout.tableChangesCdf(spark, dir, v1, stats.version)
+    assert(cdf.filter(col("_change_type") === "delete").count() == matched)
+    assert(cdf.filter(col("_change_type") === "insert" &&
+      col("x") >= 10000L).count() == matched)
+    // SET naming a missing column is refused before anything is staged
+    val vNow = Layout.latestSnapshot(spark, dir).get.version
+    intercept[IllegalArgumentException](
+      Layout.updateWhere(spark, dir, lit(true), Seq("nope" -> lit(1L))))
+    assert(Layout.latestSnapshot(spark, dir).get.version == vNow)
+    // a predicate matching nothing is a no-op commit-wise
+    val noop = Layout.updateWhere(spark, dir, col("x") === lit(-5L),
+      Seq("x" -> lit(0L)), Seq(("x", -5L, -5L)))
+    assert(noop.nRowsUpdated == 0L && noop.nFilesRewritten == 0L &&
+      noop.version == vNow)
+    // updating the CLUSTER KEY's inputs is legal: the rewritten
+    // generation re-clusters, appends + pruned reads keep working
+    Layout.appendClustered(
+      spark.range(50000, 50100).select(col("id"),
+        (col("id") % 1000).as("x"), (col("id") % 997).as("y")),
+      dir, key, nFiles = 1)
+    assert(Layout.readCommitted(spark, dir).count() == 40100L)
+  }
+
   test("upsertCommitted: MERGE by file-box probe — updates, deletes, inserts, history") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mupsertc").toString
     val base = spark.range(1, 4001).select(
@@ -843,6 +908,51 @@ class LayoutSpec extends AnyFunSuite {
         "id", Seq("payload2"), col("id"))
     }
     assert(Layout.latestSnapshot(spark, dir).get.version == s2.version)
+  }
+
+  test("incrementalEtl: exactly-once derived table over the change feed") {
+    val src = java.nio.file.Files.createTempDirectory("graft_etl_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_etl_dst").toString + "/v"
+    def docs(r: Range) = spark.range(r.start, r.end).select(
+      col("id"), (col("id") % 100).as("x"))
+    val tf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.filter(col("x") < 50).select("id", "x")
+    Layout.writeClustered(docs(0 until 1000), src, col("id"), nFiles = 4)
+    // bootstrap materializes transform(full source), mark in the create
+    val e1 = Layout.incrementalEtl(spark, src, dst, tf, col("x"), 2)
+    assert(e1.fromVersion == 0L && e1.rowsAppended == 500L && !e1.caughtUp)
+    // two source commits, ONE consumer run: windows are invisible
+    Layout.appendClustered(docs(1000 until 1400), src, col("id"), nFiles = 1)
+    Layout.appendClustered(docs(1400 until 2000), src, col("id"), nFiles = 1)
+    val e2 = Layout.incrementalEtl(spark, src, dst, tf, col("x"), 2)
+    assert(e2.rowsAppended == 500L && e2.toVersion == e2.fromVersion + 2)
+    // caught up: a provable no-op, version identity included
+    val e3 = Layout.incrementalEtl(spark, src, dst, tf, col("x"), 2)
+    assert(e3.caughtUp && e3.rowsAppended == 0L && e3.dstVersion == e2.dstVersion)
+    // incremental == full recompute, row for row
+    val got = Layout.readCommitted(spark, dst).select("id", "x")
+    val want = tf(Layout.readCommitted(spark, src)).select("id", "x")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // an all-filtered window appends nothing and leaves the mark; the
+    // window re-enters the next run alongside new rows, exactly once
+    Layout.appendClustered(
+      spark.range(5000, 5100).select(col("id"), (col("id") % 50 + 50).as("x")),
+      src, col("id"), nFiles = 1)
+    val e4 = Layout.incrementalEtl(spark, src, dst, tf, col("x"), 2)
+    assert(e4.rowsAppended == 0L && !e4.caughtUp && e4.dstVersion == e2.dstVersion)
+    Layout.appendClustered(docs(6000 until 6100), src, col("id"), nFiles = 1)
+    val e5 = Layout.incrementalEtl(spark, src, dst, tf, col("x"), 2)
+    assert(e5.rowsAppended == 50L && e5.fromVersion == e4.fromVersion,
+      "the empty window must re-enter and contribute exactly its 0 rows")
+    assert(Layout.readCommitted(spark, dst).count() == 1050L)
+    // a derived table this pipeline didn't bootstrap is refused
+    intercept[IllegalStateException](
+      Layout.incrementalEtl(spark, src, dst, tf, col("x"), 2,
+        writerId = "someone-else"))
+    // a row-level mutation in the source refuses loudly (append-only view)
+    Layout.deleteWhere(spark, src, col("id") === 7L, Seq(("cluster_key", 7L, 7L)))
+    intercept[IllegalArgumentException](
+      Layout.incrementalEtl(spark, src, dst, tf, col("x"), 2))
   }
 
   test("tableChangesCdf: row-level pre/post diffs for deletes and merges") {
