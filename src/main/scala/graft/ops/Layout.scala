@@ -827,6 +827,132 @@ object Layout {
     }
   }
 
+  /** What [[replicateCommitted]] did: the source version window it
+    * walked, how many source commits it applied (compactions apply
+    * nothing), and the replica's committed version after the run.
+    */
+  final case class SyncStats(
+      fromVersion: Long, toVersion: Long, versionsApplied: Long,
+      dstVersion: Long, caughtUp: Boolean)
+
+  /** Maintain an exact REPLICA of a mutable committed table — the CDC
+    * sink that follows a source through appends, updates, deletes and
+    * merges for the price of each commit's reach, never a source scan.
+    * Each run walks the source versions past its high-water mark:
+    * appends re-append the added files' rows ([[appendClustered]], no
+    * replica rewrite), row-level mutations convert that version's CDF
+    * legs into a change set (old images as version-1 deletes, new
+    * images as version-2 upserts — an update's pair resolves to the
+    * new image by last-writer-wins) applied via [[upsertCommitted]]'s
+    * box-pruned rewrite, and compactions apply nothing (content
+    * identity). The mark lives in the REPLICA's txn map under
+    * `sync:<srcPath>` and commits atomically with each applied version,
+    * so a crash mid-window resumes exactly where the last commit left
+    * off and a replayed version is a provable no-op (the same `txn`
+    * guard appends use). Bootstrap materializes the full source with
+    * the source's own clustering and stats contract.
+    *
+    * REQUIRES: `idCol` unique in the source (the change-set contract —
+    * [[graft.ops.SnapshotDiff.applyChangeSet]] elects one winner per
+    * id) and carrying per-file stats there (the key or a statsCols
+    * entry), so the replica-side rewrite plans over boxes. A source
+    * rewrite/unknown commit refuses loudly — whole-table replacement
+    * has no incremental story; re-bootstrap the replica.
+    */
+  def replicateCommitted(spark: SparkSession, srcPath: String,
+      dstPath: String, idCol: String, nFiles: Int = 0,
+      writerId: String = null): SyncStats = {
+    val srcSnap = latestSnapshot(spark, srcPath).getOrElse(
+      throw new IllegalStateException(
+        s"replicateCommitted: no committed source table under $srcPath"))
+    val writer = Option(writerId).getOrElse(s"sync:$srcPath")
+    require(idCol == srcSnap.keyName || srcSnap.statsCols.contains(idCol),
+      s"replicateCommitted: '$idCol' has no per-file stats in the source " +
+      s"(key=${srcSnap.keyName}, stats=${srcSnap.statsCols.mkString(",")}) — " +
+      "create the source with statsCols including the replication id")
+    latestSnapshot(spark, dstPath) match {
+      case None =>
+        val n = if (nFiles > 0) nFiles else srcSnap.files.size
+        writeClustered(readCommitted(spark, srcPath), dstPath,
+          col(srcSnap.keyName), n, keyName = srcSnap.keyName,
+          txn = Some(writer -> srcSnap.version),
+          statsCols = srcSnap.statsCols): Unit
+        SyncStats(0L, srcSnap.version, 1L,
+          latestSnapshot(spark, dstPath).get.version, caughtUp = false)
+      case Some(dst0) =>
+        val from = dst0.txns.getOrElse(writer, throw new IllegalStateException(
+          s"replicateCommitted: replica at $dstPath carries no high-water " +
+          s"mark for writer '$writer' — it was not bootstrapped by this " +
+          "pipeline; drop it or pass the writerId that created it"))
+        if (from >= srcSnap.version)
+          return SyncStats(from, from, 0L, dst0.version, caughtUp = true)
+        val payloadCols = readCommitted(spark, dstPath).columns
+          .filterNot(_ == idCol).toIndexedSeq
+        var applied = 0L
+        var prev = snapshotAt(spark, srcPath, from)
+        var v = from + 1
+        while (v <= srcSnap.version) {
+          val cur = snapshotAt(spark, srcPath, v)
+          cur.op match {
+            case "append" =>
+              appendClustered(tableChanges(spark, srcPath, v - 1, v),
+                dstPath, col(cur.keyName),
+                nFiles = math.max(1, cur.files.size - prev.files.size),
+                txn = Some(writer -> v)): Unit
+              applied += 1
+            case "compact" => // byte permutation: the replica already agrees
+            case "delete" | "update" | "upsert" =>
+              val cdf = tableChangesCdf(spark, srcPath, v - 1, v)
+              val legs = cdf
+                .withColumn("version",
+                  when(col("_change_type") === "insert", lit(2L)).otherwise(lit(1L)))
+                .withColumn("op",
+                  when(col("_change_type") === "insert", lit("upsert"))
+                    .otherwise(lit("delete")))
+                .drop("_change_type")
+              upsertCommitted(spark, dstPath, legs, idCol, payloadCols,
+                col(cur.keyName), txn = Some(writer -> v)): Unit
+              applied += 1
+            case other =>
+              throw new IllegalArgumentException(
+                s"replicateCommitted: v$v under $srcPath is a '$other' commit " +
+                "— whole-table replacement has no incremental story; drop the " +
+                "replica and bootstrap again")
+          }
+          prev = cur
+          v += 1
+        }
+        SyncStats(from, srcSnap.version, applied,
+          latestSnapshot(spark, dstPath).get.version, caughtUp = false)
+    }
+  }
+
+  /** Manifest-only aggregates — `SELECT COUNT(*), MIN(c), MAX(c) …`
+    * answered from the committed snapshot alone: one small-file read,
+    * ZERO data access, any table size. Row count is exact (every commit
+    * records per-file counts); min/max are exact for the cluster key
+    * and any recorded stats column because the boxes are computed from
+    * the rows at commit time (the per-file min/max union IS the table
+    * min/max). Columns without persisted stats are refused — guessing
+    * would silently scan.
+    */
+  def statsAggregate(spark: SparkSession, path: String,
+      cols: Seq[String] = Nil): DataFrame = {
+    val snap = latestSnapshot(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"statsAggregate: no committed table under $path"))
+    val exprs = lit(snap.totalRows).as("n_rows") +: cols.flatMap { c =>
+      require(c == snap.keyName || snap.statsCols.contains(c),
+        s"statsAggregate: snapshot v${snap.version} carries no stats for " +
+        s"'$c' (key=${snap.keyName}, stats=${snap.statsCols.mkString(",")})")
+      val boxes = snap.files.map(f =>
+        if (c == snap.keyName) (f.minKey, f.maxKey) else f.stats(c))
+      Seq(lit(boxes.map(_._1).min).as(s"min_$c"),
+        lit(boxes.map(_._2).max).as(s"max_$c"))
+    }
+    spark.range(1).select(exprs.toIndexedSeq: _*)
+  }
+
   /** Committed APPEND — the micro-batch ingest step: write `df` (keyed
     * by `key`, sorted, `nFiles` shards) into a hidden staging dir, move
     * the new files in under fresh names, then commit snapshot N+1 =
@@ -1148,13 +1274,24 @@ object Layout {
     * Scattered ids touch every file — that is physics, not a planner
     * gap; batch upserts by key range (what a clustered ingest produces
     * anyway) and the rewrite stays proportional to the batch's reach.
+    *
+    * `txn` gives merges the same exactly-once contract as
+    * [[appendClustered]]'s: pass `Some(writerId -> batchId)` and a
+    * batch id at or below the writer's recorded high-water mark returns
+    * the current snapshot untouched — what lets [[replicateCommitted]]
+    * resume after a crash without double-applying a version.
     */
   def upsertCommitted(spark: SparkSession, path: String, changes: DataFrame,
       idCol: String, payloadCols: Seq[String], key: Column,
-      nFiles: Int = 0): UpsertStats = {
+      nFiles: Int = 0, txn: Option[(String, Long)] = None): UpsertStats = {
     require(payloadCols.nonEmpty)
     val snap = latestSnapshot(spark, path).getOrElse(throw new IllegalStateException(
       s"upsertCommitted: no committed table under $path"))
+    txn.foreach { case (app, id) =>
+      if (snap.txns.get(app).exists(_ >= id))
+        return UpsertStats(snap.files.size.toLong, 0L,
+          snap.totalRows, snap.totalRows, snap.version)
+    }
     require(idCol == snap.keyName || snap.statsCols.contains(idCol),
       s"upsertCommitted: '$idCol' has no per-file stats in snapshot " +
       s"v${snap.version} (key=${snap.keyName}, stats=${snap.statsCols.mkString(",")}) " +
@@ -1180,9 +1317,14 @@ object Layout {
       s"upsertCommitted: table at $path has no column(s) " +
       s"${missing.mkString(", ")} — the change set's payload columns must " +
       "name existing table columns")
-    val applied = graft.ops.SnapshotDiff.applyChangeSet(
+    val applied0 = graft.ops.SnapshotDiff.applyChangeSet(
       src.select(col(idCol) +: payloadCols.map(col): _*),
       changes, idCol, payloadCols)
+    // restore the table's own column ORDER (applyChangeSet fronts the
+    // id): the schema fingerprint is order-sensitive by design
+    val applied = applied0.select(
+      src.columns.filter(c => c == idCol || payloadCols.contains(c))
+        .map(col).toIndexedSeq: _*)
     val keyName = snap.keyName
     val clustered = applied.withColumn(keyName, key)
     snap.schemaHash.foreach { expect =>
@@ -1224,7 +1366,7 @@ object Layout {
       "upsertCommitted: rewritten row count diverged from the applied count; " +
       "nothing committed, both generations on disk")
     val next = TableSnapshot(snap.version + 1, keyName,
-      untouched ++ movedEntries, snap.schemaHash, snap.txns,
+      untouched ++ movedEntries, snap.schemaHash, snap.txns ++ txn,
       op = "upsert", statsCols = snap.statsCols)
     commitSnapshot(spark, path, next)
     UpsertStats(snap.files.size.toLong, affected.size.toLong,

@@ -57,6 +57,9 @@ object ScaleDomain {
   /** q_incremental_etl derived-table invocation counter (see the query). */
   private val etlRuns = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** q_replicate_committed replica invocation counter (same pattern). */
+  private val replRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[queries] def scratch(s: SparkSession, name: String, dir: String): String = {
     val root = new java.io.File(s"/tmp/graft_$name")
     val appDir = new java.io.File(root, s.sparkContext.applicationId)
@@ -759,6 +762,81 @@ object ScaleDomain {
         .withColumn("partial_rewrite", lit(partialRewrite))
         .withColumn("time_travel_ok", lit(timeTravelOk))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // CDC replication: a replica follows the source committed table
+    // through append + UPDATE + DELETE, each run applying only the
+    // commits past its high-water mark (appends re-append, mutations
+    // apply that version's CDF legs as a change set — never a source
+    // scan). Three pins: bootstrap, exactly-3-versions window, caught-up
+    // no-op. The replica is oracle-recomputed by restating the whole
+    // source lifecycle on the pristine table.
+    "q_replicate_committed" -> ((s, dir) => {
+      val src = scratch(s, "mrepl_src", dir)
+      val dst = scratch(s, "mrepl_dst", dir) + "_" + replRuns.incrementAndGet()
+      val o = Tables(s, dir, "orders")
+      graft.SubTimings.time("q_replicate_committed", "fixture_write") {
+        Layout.writeClustered(o.filter(pmod(col("o_orderkey"), lit(2L)) === 0),
+          src, col("o_orderkey"), nFiles = 8,
+          statsCols = Seq("o_orderkey")): Unit
+      }
+      // rerun hygiene (see q_manifest_append)
+      Layout.vacuum(s, src, keepVersions = 1, minAgeMs = 0L): Unit
+      val r1 = graft.SubTimings.time("q_replicate_committed", "sync") {
+        Layout.replicateCommitted(s, src, dst, "o_orderkey")
+      }
+      val hi = o.select(col("o_orderkey")).distinct()
+        .orderBy(col("o_orderkey")).limit(200)
+        .agg(max(col("o_orderkey"))).head().getLong(0)
+      graft.SubTimings.time("q_replicate_committed", "fixture_write") {
+        Layout.appendClustered(o.filter(pmod(col("o_orderkey"), lit(2L)) === 1),
+          src, col("o_orderkey"), nFiles = 4): Unit
+        Layout.updateWhere(s, src,
+          col("o_orderkey") <= hi && pmod(col("o_orderkey"), lit(3L)) === 0,
+          Seq("o_totalprice" -> (col("o_totalprice") + 1.0d)),
+          Seq(("o_orderkey", 0L, hi))): Unit
+        Layout.deleteWhere(s, src,
+          col("o_orderkey") <= hi && pmod(col("o_orderkey"), lit(3L)) === 1,
+          Seq(("o_orderkey", 0L, hi))): Unit
+      }
+      val r2 = graft.SubTimings.time("q_replicate_committed", "sync") {
+        Layout.replicateCommitted(s, src, dst, "o_orderkey")
+      }
+      val r3 = Layout.replicateCommitted(s, src, dst, "o_orderkey")
+      val bootstrapOk = r1.fromVersion == 0L && !r1.caughtUp
+      val appliedOk = r2.versionsApplied == 3L &&
+        r2.toVersion == r2.fromVersion + 3
+      val caughtUpNoop = r3.caughtUp && r3.dstVersion == r2.dstVersion
+      Layout.readCommitted(s, dst)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+            .as("sum_price"))
+        .withColumn("bootstrap_ok", lit(bootstrapOk))
+        .withColumn("applied_ok", lit(appliedOk))
+        .withColumn("caught_up_noop", lit(caughtUpNoop))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Manifest-only aggregates: COUNT(*) and MIN/MAX over recorded
+    // stats columns answered from the snapshot alone — zero data files
+    // opened at any table size. Exactness is the contract (per-file
+    // counts and boxes are computed from the rows at commit time), and
+    // the oracle recomputes all five numbers from the pristine table.
+    "q_manifest_stats" -> ((s, dir) => {
+      val path = scratch(s, "mstats", dir)
+      val li = Tables(s, dir, "lineitem")
+      val key = Layout.zorderKey(Seq(
+        Layout.gridCell(col("l_partkey"), 0, 20000, 10),
+        Layout.gridCell(col("l_suppkey"), 0, 1000, 10)), 10)
+      graft.SubTimings.time("q_manifest_stats", "fixture_write") {
+        Layout.writeClustered(li, path, key, nFiles = 16,
+          statsCols = Seq("l_partkey", "l_suppkey")): Unit
+      }
+      // rerun hygiene (see q_manifest_append)
+      Layout.vacuum(s, path, keepVersions = 1, minAgeMs = 0L): Unit
+      Layout.statsAggregate(s, path, Seq("l_partkey", "l_suppkey"))
+        .withColumn("metadata_only", lit(true))
     }),
 
     // Per-file bloom sidecar: point lookups on a column the z-order
@@ -1596,6 +1674,32 @@ object ScaleDomain {
         |FROM orders
         |WHERE NOT (o_orderkey <= (SELECT hi FROM b) AND o_orderkey % 3 = 1)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the replica equals the whole source lifecycle restated on the
+    // pristine table: append completes the key set, the update adjusts
+    // %3==0 prices, the delete drops %3==1 — the same arithmetic the
+    // source-side gates pin, now arriving through the CDC sync
+    "q_replicate_committed" ->
+      """WITH b AS (
+        |  SELECT max(k) AS hi FROM (
+        |    SELECT DISTINCT o_orderkey AS k FROM orders
+        |    ORDER BY k LIMIT 200) t)
+        |SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(CASE WHEN o_orderkey <= (SELECT hi FROM b)
+        |      AND o_orderkey % 3 = 0
+        |    THEN o_totalprice + 1.0 ELSE o_totalprice END
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  true AS bootstrap_ok, true AS applied_ok, true AS caught_up_noop
+        |FROM orders
+        |WHERE NOT (o_orderkey <= (SELECT hi FROM b) AND o_orderkey % 3 = 1)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // all five numbers recomputed from the pristine table — the Spark
+    // side answered them from the snapshot without opening a data file
+    "q_manifest_stats" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  MIN(l_partkey) AS min_l_partkey, MAX(l_partkey) AS max_l_partkey,
+        |  MIN(l_suppkey) AS min_l_suppkey, MAX(l_suppkey) AS max_l_suppkey,
+        |  true AS metadata_only
+        |FROM lineitem""".stripMargin,
     // the point lookup restated directly on the pristine table; the
     // bloom's no-false-negative guarantee is what makes the pruned,
     // re-filtered read exact

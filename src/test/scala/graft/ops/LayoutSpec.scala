@@ -955,6 +955,107 @@ class LayoutSpec extends AnyFunSuite {
       Layout.incrementalEtl(spark, src, dst, tf, col("x"), 2))
   }
 
+  test("replicateCommitted: CDC replica follows appends, updates, deletes, merges") {
+    val src = java.nio.file.Files.createTempDirectory("graft_repl_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_repl_dst").toString + "/r"
+    def rows(r: Range) = spark.range(r.start, r.end).select(
+      col("id"), concat(lit("v"), col("id")).as("payload"))
+    Layout.writeClustered(rows(1 until 1001), src, col("id"), nFiles = 4,
+      statsCols = Seq("id"))
+    // bootstrap mirrors the source's clustering and stats contract
+    val r1 = Layout.replicateCommitted(spark, src, dst, "id")
+    assert(r1.fromVersion == 0L && !r1.caughtUp)
+    assert(Layout.latestSnapshot(spark, dst).get.statsCols == Seq("id"))
+    def parity(): Unit = {
+      val a = Layout.readCommitted(spark, src).select("id", "payload")
+      val b = Layout.readCommitted(spark, dst).select("id", "payload")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "replica != source")
+    }
+    parity()
+    // append → replicate (resume mid-lifecycle), then mutate → replicate
+    Layout.appendClustered(rows(2000 until 2200), src, col("id"), nFiles = 1)
+    val r2 = Layout.replicateCommitted(spark, src, dst, "id")
+    assert(r2.versionsApplied == 1L)
+    parity()
+    Layout.updateWhere(spark, src, col("id") <= 10L,
+      Seq("payload" -> lit("patched")), Seq(("id", 1L, 10L)))
+    Layout.deleteWhere(spark, src, col("id").between(500, 520),
+      Seq(("id", 500L, 520L)))
+    Layout.upsertCommitted(spark, src,
+      Seq((2100L, "upsert", 1L, "merged2100"), (9000L, "upsert", 1L, "v9000"))
+        .toDF("id", "op", "version", "payload"),
+      "id", Seq("payload"), col("id"))
+    val r3 = Layout.replicateCommitted(spark, src, dst, "id")
+    assert(r3.versionsApplied == 3L && r3.toVersion == r3.fromVersion + 3)
+    parity()
+    val got = Layout.readCommitted(spark, dst).select("id", "payload")
+      .as[(Long, String)].collect().toMap
+    assert(got(5L) == "patched" && got(2100L) == "merged2100" &&
+      got(9000L) == "v9000" && !got.contains(510L) && got(11L) == "v11")
+    // caught up: provable no-op
+    val r4 = Layout.replicateCommitted(spark, src, dst, "id")
+    assert(r4.caughtUp && r4.dstVersion == r3.dstVersion)
+    // a compaction in the source applies nothing but doesn't block
+    val totalBytes = new java.io.File(src).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length()).sum
+    Layout.compactFiles(spark, src, "cluster_key",
+      minFileBytes = 64L * 1024 * 1024, targetFileBytes = totalBytes + 1)
+    Layout.appendClustered(rows(3000 until 3010), src, col("id"), nFiles = 1)
+    val r5 = Layout.replicateCommitted(spark, src, dst, "id")
+    assert(r5.versionsApplied == 1L, s"compact must apply nothing: $r5")
+    parity()
+    // replayed version ids are no-ops at the upsert layer too
+    val dsnap = Layout.latestSnapshot(spark, dst).get
+    val replay = Layout.upsertCommitted(spark, dst,
+      Seq((1L, "upsert", 9L, "SHOULD NOT LAND"))
+        .toDF("id", "op", "version", "payload"),
+      "id", Seq("payload"), col("id"),
+      txn = Some(s"sync:$src" -> dsnap.txns(s"sync:$src")))
+    assert(replay.version == dsnap.version && replay.nFilesRewritten == 0L)
+    // a source full rewrite refuses: no incremental story
+    Layout.writeClustered(rows(1 until 50), src, col("id"), nFiles = 1,
+      statsCols = Seq("id"))
+    intercept[IllegalArgumentException](
+      Layout.replicateCommitted(spark, src, dst, "id"))
+    // a replica someone else bootstrapped is refused
+    intercept[IllegalStateException](
+      Layout.replicateCommitted(spark, src, dst, "id", writerId = "other"))
+  }
+
+  test("statsAggregate: manifest-only COUNT/MIN/MAX, exact across the lifecycle") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mstats").toString
+    val base = spark.range(10000).select(
+      col("id"), ((col("id") * 7919L) % 911).as("x"))
+    Layout.writeClustered(base, dir, col("id"), nFiles = 6,
+      statsCols = Seq("x"))
+    def check(): Unit = {
+      val want = Layout.readCommitted(spark, dir)
+        .agg(count(lit(1)), min(col("x")), max(col("x")),
+          min(col("cluster_key")), max(col("cluster_key"))).head()
+      val got = Layout.statsAggregate(spark, dir, Seq("x", "cluster_key")).head()
+      assert(got.getLong(0) == want.getLong(0))
+      assert(got.getLong(1) == want.getLong(1) && got.getLong(2) == want.getLong(2))
+      assert(got.getLong(3) == want.getLong(3) && got.getLong(4) == want.getLong(4))
+    }
+    check()
+    // appends, deletes and compactions keep the union exact
+    Layout.appendClustered(
+      spark.range(20000, 20500).select(col("id"), lit(5000L).as("x")),
+      dir, col("id"), nFiles = 1)
+    check()
+    Layout.deleteWhere(spark, dir, col("x") === 5000L, Seq(("x", 5000L, 5000L)))
+    check()
+    val totalBytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length()).sum
+    Layout.compactFiles(spark, dir, "cluster_key",
+      minFileBytes = 64L * 1024 * 1024, targetFileBytes = totalBytes + 1)
+    check()
+    // a column without persisted stats refuses — guessing would scan
+    intercept[IllegalArgumentException](
+      Layout.statsAggregate(spark, dir, Seq("id")))
+  }
+
   test("tableChangesCdf: row-level pre/post diffs for deletes and merges") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mcdf_full").toString
     def docs(rows: Seq[(Long, String)]) = rows.toDF("id", "payload")
