@@ -827,6 +827,186 @@ object Layout {
     }
   }
 
+  /** Stage `df` clustered on `keyName` into a hidden dir and move the
+    * parts in under `part-<tag>-<token>-<i>` names — the shared
+    * rewrite-generation discipline (delete/update/upsert/aggregate all
+    * stage exactly this way; vacuum sweeps the matching `.<tag>-` dirs).
+    */
+  private def stageAndMoveIn(df: DataFrame, path: String, tag: String,
+      keyName: String, nOut: Int): IndexedSeq[String] = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, path)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.$tag-$token")
+    df.repartitionByRange(nOut, col(keyName))
+      .sortWithinPartitions(keyName)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val staged = fs.listStatus(tmp)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    val moved = staged.zipWithIndex.map { case (st, i) =>
+      val target = new org.apache.hadoop.fs.Path(
+        s"$path/part-$tag-$token-$i${suffixOf(st.getPath.getName)}")
+      if (!fs.rename(st.getPath, target))
+        throw new java.io.IOException(
+          s"$tag rename ${st.getPath} -> $target failed")
+      target.getName
+    }.toIndexedSeq
+    fs.delete(tmp, true)
+    moved
+  }
+
+  /** What [[incrementalAggregate]] did. `groupsMerged` counts the
+    * distinct group keys this run's window touched.
+    */
+  final case class AggEtlStats(
+      fromVersion: Long, toVersion: Long, groupsMerged: Long,
+      nFilesRewritten: Long, nFilesTotal: Long, dstVersion: Long,
+      caughtUp: Boolean)
+
+  /** Incrementally maintained AGGREGATE view — `SELECT group, agg …
+    * GROUP BY group` over an append-only source, kept current at the
+    * cost of each window's partial: the derived committed table holds
+    * one row per group, clustered by `xxhash64(group)` (any group
+    * type), and each run (1) partial-aggregates ONLY the source rows
+    * since its high-water mark, (2) box-probes which derived files
+    * hold touched groups — one broadcast semi-join of the window's
+    * group hashes against the file list, never a table scan — and
+    * (3) rewrites just those files with the partials merged in (new
+    * groups ride the rewritten generation, pure-new-group windows
+    * anchor on the smallest file, the [[upsertCommitted]] discipline).
+    * The mark commits atomically with the merge (op=upsert, the same
+    * txn mechanism everywhere else), so crashes resume exactly and
+    * replays no-op. This is what "streaming GROUP BY over 100 TB"
+    * should cost: the firehose is never re-scanned.
+    *
+    * `aggs` are `(outName, inCol, fn)` with fn ∈ count | sum | min |
+    * max — exactly the mergeable algebra (count merges by sum, sum by
+    * sum, min/max by themselves). Sums over FLOAT/DOUBLE inputs are
+    * REFUSED: merge order would drift the low bits and the view would
+    * diverge from its own recompute — pre-cast to DECIMAL in `prepare`
+    * (row-wise, applied before every partial) instead. AVG is a
+    * sum/count pair at read time.
+    *
+    * Source windows ride [[tableChanges]]: a row-level mutation in the
+    * source refuses loudly (aggregate deltas of a retraction need a
+    * retractable algebra — re-bootstrap instead).
+    */
+  def incrementalAggregate(spark: SparkSession, srcPath: String,
+      dstPath: String, groupCol: String,
+      aggs: Seq[(String, String, String)],
+      prepare: DataFrame => DataFrame = identity(_),
+      nFiles: Int = 0, writerId: String = null): AggEtlStats = {
+    require(aggs.nonEmpty, "incrementalAggregate: empty agg list")
+    require(aggs.map(_._1).distinct.size == aggs.size,
+      "incrementalAggregate: duplicate output names")
+    require(!aggs.map(_._1).contains(groupCol),
+      "incrementalAggregate: an output name shadows the group column")
+    val srcSnap = latestSnapshot(spark, srcPath).getOrElse(
+      throw new IllegalStateException(
+        s"incrementalAggregate: no committed source table under $srcPath"))
+    val writer = Option(writerId).getOrElse(s"aggetl:$srcPath")
+
+    import org.apache.spark.sql.types._
+    // stable output type per agg: partial and merge must agree or the
+    // schema fingerprint drifts between bootstrap and merge commits
+    def stableSum(dt: DataType): DataType = dt match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType => LongType
+      case d: DecimalType => DecimalType(38, d.scale)
+      case other => throw new IllegalArgumentException(
+        s"incrementalAggregate: sum over ${other.simpleString} is " +
+        "merge-order-sensitive; pre-cast to DECIMAL in `prepare`")
+    }
+    def partial(df: DataFrame): DataFrame = {
+      val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      df.groupBy(col(groupCol)).agg(
+        aggs.head match { case (out, in, fn) => partialExpr(out, in, fn, fields) },
+        aggs.tail.map { case (out, in, fn) => partialExpr(out, in, fn, fields) }: _*)
+    }
+    def partialExpr(out: String, in: String, fn: String,
+        fields: Map[String, DataType]): Column = fn match {
+      case "count" => count(lit(1)).as(out)
+      case "sum"   => sum(col(in)).cast(stableSum(fields(in))).as(out)
+      case "min"   => min(col(in)).as(out)
+      case "max"   => max(col(in)).as(out)
+      case other => throw new IllegalArgumentException(
+        s"incrementalAggregate: unmergeable agg '$other' (count|sum|min|max)")
+    }
+    def merge(df: DataFrame): DataFrame = {
+      val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      def m(out: String, fn: String): Column = fn match {
+        case "count" | "sum" => sum(col(out)).cast(fields(out)).as(out)
+        case "min"           => min(col(out)).as(out)
+        case "max"           => max(col(out)).as(out)
+        case other           => throw new IllegalStateException(other)
+      }
+      df.groupBy(col(groupCol)).agg(
+        aggs.head match { case (out, _, fn) => m(out, fn) },
+        aggs.tail.map { case (out, _, fn) => m(out, fn) }: _*)
+    }
+
+    latestSnapshot(spark, dstPath) match {
+      case None =>
+        val boot = partial(prepare(readCommitted(spark, srcPath)))
+        val n = if (nFiles > 0) nFiles else math.max(1, srcSnap.files.size / 2)
+        writeClustered(boot, dstPath, xxhash64(col(groupCol)), n,
+          txn = Some(writer -> srcSnap.version)): Unit
+        val d = latestSnapshot(spark, dstPath).get
+        AggEtlStats(0L, srcSnap.version, d.totalRows, 0L,
+          d.files.size.toLong, d.version, caughtUp = false)
+      case Some(dst0) =>
+        val from = dst0.txns.getOrElse(writer, throw new IllegalStateException(
+          s"incrementalAggregate: view at $dstPath carries no high-water " +
+          s"mark for writer '$writer' — it was not bootstrapped by this " +
+          "pipeline; drop it or pass the writerId that created it"))
+        if (from >= srcSnap.version)
+          return AggEtlStats(from, from, 0L, 0L, dst0.files.size.toLong,
+            dst0.version, caughtUp = true)
+        val part = partial(prepare(
+          tableChanges(spark, srcPath, from, srcSnap.version)))
+        val nGroups = part.count()
+        if (nGroups == 0L)
+          // empty window: leave the mark — the window re-enters next run
+          // and contributes the same zero rows (the incrementalEtl rule)
+          return AggEtlStats(from, srcSnap.version, 0L, 0L,
+            dst0.files.size.toLong, dst0.version, caughtUp = false)
+        import spark.implicits._
+        val keyName = dst0.keyName
+        val boxes = dst0.files.map(f => (f.name, f.minKey, f.maxKey))
+          .toDF("__name", "__mn", "__mx")
+        val hit = part.select(xxhash64(col(groupCol)).as("__h"))
+          .join(broadcast(boxes),
+            col("__h") >= col("__mn") && col("__h") <= col("__mx"))
+          .select(col("__name")).distinct().as[String].collect().toSet
+        val affected0 = dst0.files.filter(f => hit.contains(f.name))
+        val affected =
+          if (affected0.nonEmpty) affected0 else dst0.files.sortBy(_.rows).take(1)
+        val current = spark.read
+          .parquet(affected.map(f => s"$dstPath/${f.name}"): _*)
+          .drop(keyName)
+        val mergedRows = merge(current.unionByName(part))
+        val clustered = mergedRows.withColumn(keyName, xxhash64(col(groupCol)))
+        dst0.schemaHash.foreach { expect =>
+          val got = schemaHashOf(clustered.schema)
+          require(got == expect,
+            s"incrementalAggregate: merged schema (hash $got) does not match " +
+            s"the view's recorded schema (hash $expect) under $dstPath — agg " +
+            "spec or prepare drifted since bootstrap")
+        }
+        val nOut = math.max(1, affected.size)
+        val moved = stageAndMoveIn(clustered, dstPath, "upsert", keyName, nOut)
+        val movedEntries = snapshotEntries(spark, dstPath, keyName, moved, Nil)
+        val untouched = dst0.files
+          .filterNot(affected.map(_.name).toSet contains _.name)
+        val next = TableSnapshot(dst0.version + 1, keyName,
+          untouched ++ movedEntries, dst0.schemaHash,
+          dst0.txns + (writer -> srcSnap.version),
+          op = "upsert", statsCols = dst0.statsCols)
+        commitSnapshot(spark, dstPath, next)
+        AggEtlStats(from, srcSnap.version, nGroups, affected.size.toLong,
+          dst0.files.size.toLong, next.version, caughtUp = false)
+    }
+  }
+
   /** What [[replicateCommitted]] did: the source version window it
     * walked, how many source commits it applied (compactions apply
     * nothing), and the replica's committed version after the run.

@@ -60,6 +60,9 @@ object ScaleDomain {
   /** q_replicate_committed replica invocation counter (same pattern). */
   private val replRuns = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** q_incremental_agg view invocation counter (same pattern). */
+  private val aggRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[queries] def scratch(s: SparkSession, name: String, dir: String): String = {
     val root = new java.io.File(s"/tmp/graft_$name")
     val appDir = new java.io.File(root, s.sparkContext.applicationId)
@@ -762,6 +765,80 @@ object ScaleDomain {
         .withColumn("partial_rewrite", lit(partialRewrite))
         .withColumn("time_travel_ok", lit(timeTravelOk))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // Incrementally maintained GROUP BY view: one row per l_partkey
+    // with count/sum/min/max over l_quantity, kept current across four
+    // source appends plus a LATE-DUPLICATE slice (the 3 smallest
+    // partkeys arrive twice — aggregation is exactly the consumer that
+    // must absorb that). Each run merges only its window's partials
+    // into only the files holding touched groups: the last window
+    // touches 3 groups and provably rewrites fewer files than the view
+    // has (partial_merge). The final view is oracle-recomputed as the
+    // GROUP BY over lineitem UNION ALL the late slice.
+    "q_incremental_agg" -> ((s, dir) => {
+      val src = scratch(s, "maggetl_src", dir)
+      val dst = scratch(s, "maggetl_dst", dir) + "_" + aggRuns.incrementAndGet()
+      val li = Tables(s, dir, "lineitem")
+      val key = Layout.zorderKey(Seq(
+        Layout.gridCell(col("l_partkey"), 0, 20000, 10),
+        Layout.gridCell(col("l_suppkey"), 0, 1000, 10)), 10)
+      def batch(i: Int) = li.filter(pmod(col("l_orderkey"), lit(4L)) === i)
+      val prep: DataFrame => DataFrame =
+        df => df.withColumn("qty_dec", col("l_quantity").cast("decimal(18,4)"))
+      val aggs = Seq(
+        ("n_rows", "", "count"), ("sum_q", "qty_dec", "sum"),
+        ("min_q", "qty_dec", "min"), ("max_q", "qty_dec", "max"))
+      graft.SubTimings.time("q_incremental_agg", "fixture_write") {
+        Layout.writeClustered(batch(0), src, key, nFiles = 8): Unit
+      }
+      // rerun hygiene (see q_manifest_append)
+      Layout.vacuum(s, src, keepVersions = 1, minAgeMs = 0L): Unit
+      val a1 = graft.SubTimings.time("q_incremental_agg", "merge") {
+        Layout.incrementalAggregate(s, src, dst, "l_partkey", aggs, prep,
+          nFiles = 4)
+      }
+      graft.SubTimings.time("q_incremental_agg", "fixture_write") {
+        Layout.appendClustered(batch(1), src, key, nFiles = 4): Unit
+        Layout.appendClustered(batch(2), src, key, nFiles = 4): Unit
+      }
+      val a2 = graft.SubTimings.time("q_incremental_agg", "merge") {
+        Layout.incrementalAggregate(s, src, dst, "l_partkey", aggs, prep)
+      }
+      val a3 = Layout.incrementalAggregate(s, src, dst, "l_partkey", aggs, prep)
+      val sel3 = li.select(col("l_partkey")).distinct()
+        .orderBy(col("l_partkey")).limit(3)
+        .collect().map(_.getLong(0)).toIndexedSeq
+      graft.SubTimings.time("q_incremental_agg", "fixture_write") {
+        Layout.appendClustered(batch(3), src, key, nFiles = 4): Unit
+      }
+      val a4 = graft.SubTimings.time("q_incremental_agg", "merge") {
+        Layout.incrementalAggregate(s, src, dst, "l_partkey", aggs, prep)
+      }
+      // the late-duplicate slice in its OWN window: 3 groups arriving a
+      // second time — the merge must touch at most 3 of the view's 4
+      // files (3 group hashes cannot cover 4 ranges), the partial-
+      // rewrite property that makes a narrow late batch cheap
+      graft.SubTimings.time("q_incremental_agg", "fixture_write") {
+        Layout.appendClustered(li.filter(col("l_partkey").isin(sel3: _*)),
+          src, key, nFiles = 1): Unit
+      }
+      val a5 = graft.SubTimings.time("q_incremental_agg", "merge") {
+        Layout.incrementalAggregate(s, src, dst, "l_partkey", aggs, prep)
+      }
+      val bootstrapOk = a1.fromVersion == 0L && !a1.caughtUp
+      val caughtUpNoop = a3.caughtUp && a3.dstVersion == a2.dstVersion
+      val partialMerge = a4.groupsMerged > 0 && a5.groupsMerged == 3L &&
+        a5.nFilesRewritten < a5.nFilesTotal
+      Layout.readCommitted(s, dst)
+        .select(col("l_partkey"), col("n_rows"),
+          col("sum_q").cast("double").as("sum_qty"),
+          col("min_q").cast("double").as("min_qty"),
+          col("max_q").cast("double").as("max_qty"))
+        .withColumn("bootstrap_ok", lit(bootstrapOk))
+        .withColumn("caught_up_noop", lit(caughtUpNoop))
+        .withColumn("merged_ok", lit(partialMerge))
+        .orderBy(col("l_partkey"))
     }),
 
     // CDC replication: a replica follows the source committed table
@@ -1674,6 +1751,25 @@ object ScaleDomain {
         |FROM orders
         |WHERE NOT (o_orderkey <= (SELECT hi FROM b) AND o_orderkey % 3 = 1)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the view equals the GROUP BY over lineitem plus the late-arrived
+    // duplicate slice (the 3 smallest partkeys counted twice);
+    // bootstrap / caught-up / partial-merge invariants are identity
+    // pins
+    "q_incremental_agg" ->
+      """WITH s3 AS (
+        |  SELECT DISTINCT l_partkey AS k FROM lineitem
+        |  ORDER BY k LIMIT 3),
+        |src AS (
+        |  SELECT l_partkey, l_quantity FROM lineitem
+        |  UNION ALL
+        |  SELECT l_partkey, l_quantity FROM lineitem
+        |  WHERE l_partkey IN (SELECT k FROM s3))
+        |SELECT l_partkey, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(MIN(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS min_qty,
+        |  CAST(MAX(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS max_qty,
+        |  true AS bootstrap_ok, true AS caught_up_noop, true AS merged_ok
+        |FROM src GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
     // the replica equals the whole source lifecycle restated on the
     // pristine table: append completes the key set, the update adjusts
     // %3==0 prices, the delete drops %3==1 — the same arithmetic the

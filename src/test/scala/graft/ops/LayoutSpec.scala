@@ -955,6 +955,57 @@ class LayoutSpec extends AnyFunSuite {
       Layout.incrementalEtl(spark, src, dst, tf, col("x"), 2))
   }
 
+  test("incrementalAggregate: GROUP BY view maintained at window cost") {
+    val src = java.nio.file.Files.createTempDirectory("graft_agg_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_agg_dst").toString + "/v"
+    def rows(r: Range, gMod: Long) = spark.range(r.start, r.end).select(
+      col("id"), (col("id") % gMod).as("g"),
+      (col("id") % 7).cast("decimal(10,2)").as("v"))
+    val aggs = Seq(("n", "", "count"), ("s", "v", "sum"),
+      ("lo", "v", "min"), ("hi", "v", "max"))
+    Layout.writeClustered(rows(0 until 3000, 40L), src, col("id"), nFiles = 4)
+    val a1 = Layout.incrementalAggregate(spark, src, dst, "g", aggs, nFiles = 4)
+    assert(a1.fromVersion == 0L && a1.groupsMerged == 40L)
+    def parity(): Unit = {
+      val want = Layout.readCommitted(spark, src)
+        .groupBy(col("g")).agg(count(lit(1)).as("n"),
+          sum(col("v")).cast("decimal(38,2)").as("s"),
+          min(col("v")).as("lo"), max(col("v")).as("hi"))
+      val got = Layout.readCommitted(spark, dst).select("g", "n", "s", "lo", "hi")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "view != full recompute")
+    }
+    parity()
+    // two appends, one merge; NEW groups (g in 40..79) arrive too
+    Layout.appendClustered(rows(3000 until 4000, 40L), src, col("id"), nFiles = 1)
+    Layout.appendClustered(rows(4000 until 5000, 80L), src, col("id"), nFiles = 1)
+    val a2 = Layout.incrementalAggregate(spark, src, dst, "g", aggs)
+    assert(a2.toVersion == a2.fromVersion + 2 && a2.groupsMerged == 80L)
+    parity()
+    // caught up: provable no-op
+    val a3 = Layout.incrementalAggregate(spark, src, dst, "g", aggs)
+    assert(a3.caughtUp && a3.dstVersion == a2.dstVersion)
+    // a narrow window (1 group) rewrites a strict subset of the files
+    Layout.appendClustered(rows(5000 until 5001, 1L), src, col("id"), nFiles = 1)
+    val a4 = Layout.incrementalAggregate(spark, src, dst, "g", aggs)
+    assert(a4.groupsMerged == 1L &&
+      a4.nFilesRewritten < a4.nFilesTotal && a4.nFilesRewritten >= 1L,
+      s"narrow window must merge partially: $a4")
+    parity()
+    // sum over double is refused — merge order would drift the bits
+    intercept[IllegalArgumentException] {
+      Layout.incrementalAggregate(spark, src,
+        java.nio.file.Files.createTempDirectory("graft_agg_dbl").toString + "/v",
+        "g", Seq(("s", "vd", "sum")),
+        prepare = df => df.withColumn("vd", col("v").cast("double")))
+    }
+    // a row-level mutation in the source refuses loudly
+    Layout.deleteWhere(spark, src, col("id") === 4999L,
+      Seq(("cluster_key", 4999L, 4999L)))
+    intercept[IllegalArgumentException](
+      Layout.incrementalAggregate(spark, src, dst, "g", aggs))
+  }
+
   test("replicateCommitted: CDC replica follows appends, updates, deletes, merges") {
     val src = java.nio.file.Files.createTempDirectory("graft_repl_src").toString
     val dst = java.nio.file.Files.createTempDirectory("graft_repl_dst").toString + "/r"
