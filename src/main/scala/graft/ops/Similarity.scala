@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (ARRAY<FLOAT>).
@@ -370,6 +370,149 @@ object Similarity {
         Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosNative(col("qv"), col("cv")), 6).as("sim"))
+    TopKAggregator.topKByGroup(scored, "query_id", "neighbor_id", "sim", k)
+  }
+
+  // ---- persisted IVF index -------------------------------------------
+
+  /** Handle to an IVF index persisted on disk ([[ivfWriteIndex]]):
+    * `centroids/` (k rows, broadcast at probe time) + `assign/`
+    * partitioned by `cell` (each corpus vector stored once, in its
+    * nearest cell's partition) + a meta marker written LAST as the
+    * commit. A probe plans at most nProbe×queries — bounded by
+    * kCentroids — cell partitions; everything else on disk is never
+    * opened. This is the train-once / probe-forever ANN shape: the
+    * centroid model is the KenLM-file analog, the cell layout is the
+    * storage-side partition pruning the in-memory [[ivfTopK]] cannot
+    * have.
+    */
+  final case class PersistedIvfIndex(path: String, kCentroids: Int)
+
+  private def ivfMetaPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_ivf_meta.txt")
+
+  private def fsOf(df: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(df.sessionState.newHadoopConf())
+
+  private def writeIvfMeta(spark: SparkSession, path: String, k: Int): Unit = {
+    val fs = fsOf(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(
+      path, s"._meta-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write(s"graft-ivf-v1\nkCentroids=$k\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val meta = ivfMetaPath(path)
+    if (fs.exists(meta)) fs.delete(meta, false)
+    if (!fs.rename(tmp, meta))
+      throw new java.io.IOException(s"ivf meta commit failed under $path")
+  }
+
+  /** Open a persisted IVF index (meta must exist — the commit marker). */
+  def ivfOpenIndex(spark: SparkSession, path: String): PersistedIvfIndex = {
+    val fs = fsOf(spark, path)
+    val p = ivfMetaPath(path)
+    require(fs.exists(p),
+      s"no IVF index under $path — build one with Similarity.ivfWriteIndex")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = txt.split("\n")
+    require(lines.headOption.contains("graft-ivf-v1"),
+      s"unrecognized IVF meta format in $p")
+    val k = lines.find(_.startsWith("kCentroids=")).map(_.drop(11).toInt)
+      .getOrElse(throw new IllegalArgumentException(s"no kCentroids in $p"))
+    PersistedIvfIndex(path, k)
+  }
+
+  /** Each row's nearest cell, VECTOR KEPT (the stored index row). Same
+    * deterministic argmax as [[ivfTopK]]'s corpus side: max_by with a
+    * (csim, −cell) order key, ties to the smallest cell.
+    */
+  private def assignCells(df: DataFrame, idCol: String, vecCol: String,
+      cent: DataFrame): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(cent))
+      .select(col("id"), col("vec"), col("cell"),
+        cosNative(col("vec"), col("cent_vec")).as("csim"))
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("vec").as("vec"), col("cell").as("cell")),
+        struct(col("csim"), -col("cell"))).as("w"))
+      .select(col("id"), col("w.vec").as("vec"), col("w.cell").as("cell"))
+
+  /** Build (or rebuild) the persisted index: train centroids on
+    * `corpus` — or reuse `centroids` when given, the re-shard /
+    * append==rebuild path — assign every vector to its cell once, write
+    * `assign/` partitioned by cell, commit the meta marker last. A
+    * crash before the marker leaves no readable index.
+    */
+  def ivfWriteIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, kCentroids: Int = 16, lloydIters: Int = 3,
+      centroids: Option[DataFrame] = None): PersistedIvfIndex = {
+    ensureNative(corpus)
+    val spark = corpus.sparkSession
+    val fs = fsOf(spark, path)
+    val meta = ivfMetaPath(path)
+    if (fs.exists(meta)) fs.delete(meta, false) // invalidate before rewrite
+    val cent = centroids.getOrElse(
+      trainCentroids(corpus, idCol, vecCol, kCentroids, lloydIters))
+    cent.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val centBack = spark.read.parquet(s"$path/centroids")
+    assignCells(corpus, idCol, vecCol, centBack)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assign")
+    writeIvfMeta(spark, path, kCentroids)
+    PersistedIvfIndex(path, kCentroids)
+  }
+
+  /** Append `newRows` to the index: assign against the EXISTING
+    * centroids (the model is fixed — that is what makes the append
+    * write into only its own cells' partitions) and parquet-append.
+    * Identical to a full rebuild with the same centroids, which
+    * DedupSpec-style tests pin.
+    */
+  def ivfExtendIndex(newRows: DataFrame, idCol: String, vecCol: String,
+      index: PersistedIvfIndex): Unit = {
+    ensureNative(newRows)
+    val spark = newRows.sparkSession
+    ivfOpenIndex(spark, index.path): Unit // refuse an uncommitted index
+    val cent = spark.read.parquet(s"${index.path}/centroids")
+    assignCells(newRows, idCol, vecCol, cent)
+      .write.mode("append").partitionBy("cell").parquet(s"${index.path}/assign")
+  }
+
+  /** Approximate top-k THROUGH the persisted index: queries pick their
+    * nProbe nearest cells against the broadcast centroid table, the
+    * probed cells' partitions — a bounded, ≤ kCentroids planning list —
+    * are the only data read, and the exact re-rank runs inside them.
+    * Same scoring/tie-break discipline as [[ivfTopK]]; output
+    * (query_id, neighbor_id, sim, rank).
+    */
+  def ivfProbePersisted(spark: SparkSession, index: PersistedIvfIndex,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10, nProbe: Int = 4): DataFrame = {
+    ensureNative(queries)
+    ivfOpenIndex(spark, index.path): Unit
+    val cent = spark.read.parquet(s"${index.path}/centroids")
+    val qcells = TopKAggregator.topKByGroup(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+        .crossJoin(broadcast(cent))
+        .select(col("query_id"), col("cell"),
+          cosNative(col("qv"), col("cent_vec")).as("csim")),
+      "query_id", "cell", "csim", nProbe, outId = "cell")
+      .select("query_id", "cell")
+    // the probed-cell list is bounded by kCentroids — planning state
+    val cells = qcells.select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq
+    val assign = spark.read.parquet(s"${index.path}/assign")
+      .withColumn("cell", col("cell").cast("long"))
+      .filter(col("cell").isin(cells: _*))
+    val scored = assign.join(broadcast(qcells), Seq("cell"))
+      .filter(col("query_id") =!= col("id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qv"))), Seq("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(cosNative(col("qv"), col("vec")), 6).as("sim"))
     TopKAggregator.topKByGroup(scored, "query_id", "neighbor_id", "sim", k)
   }
 

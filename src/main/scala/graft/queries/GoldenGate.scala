@@ -59,6 +59,11 @@ object GoldenGate {
     "q_ann_ivf" -> Map(
       "sf0.001" -> 6113114698965881482L,
       "sf0.01" -> 1996259252821340999L),
+    // the same cells probed THROUGH the persisted cell-partitioned
+    // index; append==rebuild parity rides in the hashed rows
+    "q_ann_ivf_persist" -> Map(
+      "sf0.001" -> -2425388314313340813L,
+      "sf0.01" -> 7699449505327174160L),
     // hash-ordered 4096-row training sample + ADC shortlist re-rank
     "q_ann_pq" -> Map(
       "sf0.001" -> 2631537098319517309L,

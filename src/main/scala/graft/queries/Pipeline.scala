@@ -749,6 +749,45 @@ object Pipeline {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // The IVF index THROUGH DISK — train-once / probe-forever ANN: the
+    // centroid model and the cell-partitioned vector assignments
+    // persist as parquet, 80% of the corpus builds the index and the
+    // rest arrives via the fixed-centroid append (which writes into
+    // only its own cells' partitions), and the probe plans a bounded
+    // ≤ kCentroids partition list. Two invariants ride in-query: the
+    // appended index must equal a same-centroid full REBUILD probe-for-
+    // probe (multiset hash, any divergence flips the golden pin), and
+    // the probed result is the emitted rows. Row-level parity + measured
+    // partition skipping live in OpsSpec.
+    "q_ann_ivf_persist" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val build = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 0)
+      val delta = emb.filter(pmod(col("vec_id"), lit(5L)) === 0)
+      val qs = emb.filter(col("vec_id") < 10)
+      val pathA = ScaleDomain.scratch(s, "mivf_a", dir)
+      val pathB = ScaleDomain.scratch(s, "mivf_b", dir)
+      val idx = graft.SubTimings.time("q_ann_ivf_persist", "index_write") {
+        val i = Similarity.ivfWriteIndex(build, "vec_id", "embedding",
+          pathA, kCentroids = 16)
+        Similarity.ivfExtendIndex(delta, "vec_id", "embedding", i)
+        i
+      }
+      val rebuilt = Similarity.ivfWriteIndex(emb, "vec_id", "embedding",
+        pathB, kCentroids = 16,
+        centroids = Some(s.read.parquet(s"$pathA/centroids")))
+      val disk = Similarity.ivfProbePersisted(s, idx, qs,
+        "vec_id", "embedding", k = 5, nProbe = 4).localCheckpoint()
+      val full = Similarity.ivfProbePersisted(s, rebuilt, qs,
+        "vec_id", "embedding", k = 5, nProbe = 4)
+      def mhash(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(coalesce(expr(
+          "bit_xor(xxhash64(query_id, neighbor_id, sim, rank))"), lit(0L)))
+          .head().getLong(0)
+      val equal = mhash(disk) == mhash(full)
+      disk.withColumn("append_eq_rebuild", lit(equal))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Product-quantization ADC variant (Jégou et al. 2011): vectors
     // compress to 8 one-byte codes, the scan is table lookups, the ADC
     // shortlist re-ranks exactly. Rows-only (k-means geometry); recall

@@ -390,6 +390,60 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.head.getLong(1) == 2L)
   }
 
+  test("persisted IVF index: append == rebuild, bounded probe, measured skipping") {
+    // four orthogonal clusters in dim 4; ids encode the cluster
+    def cvec(c: Int): Array[Float] =
+      Array.tabulate(4)(i => if (i == c) 1.0f else 0.0f)
+    val all = for (c <- 0 until 4; i <- 0 until 40)
+      yield (c * 100L + i, cvec(c))
+    val corpus = all.toDF("vec_id", "embedding")
+    val build = corpus.filter(col("vec_id") % 5 =!= 0)
+    val delta = corpus.filter(col("vec_id") % 5 === 0)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/ix"
+    val idx = Similarity.ivfWriteIndex(build, "vec_id", "embedding", path,
+      kCentroids = 4, lloydIters = 2)
+    Similarity.ivfExtendIndex(delta, "vec_id", "embedding", idx)
+    // append == same-centroid rebuild, probe for probe
+    val path2 = java.nio.file.Files.createTempDirectory("graft_ivf2").toString + "/ix"
+    val rebuilt = Similarity.ivfWriteIndex(corpus, "vec_id", "embedding", path2,
+      kCentroids = 4, centroids = Some(spark.read.parquet(s"$path/centroids")))
+    val qs = Seq((0L, cvec(0)), (100L, cvec(1)), (300L, cvec(3)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.ivfProbePersisted(spark, idx, qs,
+      "vec_id", "embedding", k = 3, nProbe = 2)
+    val b = Similarity.ivfProbePersisted(spark, rebuilt, qs,
+      "vec_id", "embedding", k = 3, nProbe = 2)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "appended index must equal a same-centroid rebuild")
+    // neighbors come from the query's own cluster, sims exact 1.0
+    val rows = a.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty && rows.forall { case (q, n, s) =>
+      q / 100 == n / 100 && s == 1.0 })
+    // measured partition skipping: nProbe=1 reads a strict subset of the
+    // assignment files (inputFiles ignores pruning — use the executed
+    // scan's numFiles metric)
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.sum
+    }
+    val cell0 = spark.read.parquet(s"$path/assign")
+      .filter(col("id") === 0L).select(col("cell").cast("long"))
+      .head().getLong(0)
+    val probed = scannedFiles(spark.read.parquet(s"$path/assign")
+      .withColumn("cell", col("cell").cast("long"))
+      .filter(col("cell") === cell0))
+    val total = scannedFiles(spark.read.parquet(s"$path/assign"))
+    assert(probed < total && probed > 0,
+      s"1-cell probe scanned $probed of $total assignment files — nothing skipped")
+    // a directory without the meta marker is not an index
+    val raw = java.nio.file.Files.createTempDirectory("graft_ivf_raw").toString
+    intercept[IllegalArgumentException](Similarity.ivfOpenIndex(spark, raw))
+  }
+
   test("hardNegatives returns the nearest DIFFERENT-label vectors only") {
     // labels: v1,v2,v5 = class 0 (mutually nearest); v3,v4 = class 1.
     // for query v1 the same-class near neighbors v2/v5 must be excluded:
