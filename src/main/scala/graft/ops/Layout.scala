@@ -47,11 +47,19 @@ final case class SnapshotFile(
   * (writer id -> highest committed batch id) — the Delta `txn` action —
   * carried forward by every commit so a streaming sink's foreachBatch
   * replay is a provable no-op even across process restarts.
+  *
+  * `schema` is the FULL recorded table schema (not just the hash) — what
+  * makes ADD COLUMN ([[Layout.addColumn]]) possible: committed reads
+  * apply it to the scan, so files written before the evolution serve
+  * NULL for the new column instead of failing the merge. None on
+  * snapshots from before schema recording; such tables read bare (all
+  * files share one physical schema) until their next commit records it.
   */
 final case class TableSnapshot(
     version: Long, keyName: String, files: Seq[SnapshotFile],
     schemaHash: Option[String] = None, txns: Map[String, Long] = Map.empty,
-    op: String = "unknown", statsCols: Seq[String] = Nil) {
+    op: String = "unknown", statsCols: Seq[String] = Nil,
+    schema: Option[org.apache.spark.sql.types.StructType] = None) {
   def totalRows: Long = files.map(_.rows).sum
 }
 
@@ -275,7 +283,12 @@ object Layout {
     if (candidates.length < 2)
       return CompactionStats(before.length, 0, before.length, 0, 0)
     val smallPaths = candidates.map(_.getPath.toString).toIndexedSeq
-    val smalls = spark.read.parquet(smallPaths: _*)
+    // an evolved table's smalls can span schema generations — read them
+    // through the recorded schema so older files serve NULL columns
+    val smalls = committed.flatMap(_.schema) match {
+      case Some(st) => spark.read.schema(st).parquet(smallPaths: _*)
+      case None     => spark.read.parquet(smallPaths: _*)
+    }
     val nRows = smalls.count()
     val totalBytes = candidates.map(_.getLen).sum
     val nOut = math.max(1L,
@@ -330,7 +343,8 @@ object Layout {
       commitSnapshot(spark, path, TableSnapshot(
         prev.map(_.version).getOrElse(0L) + 1, keyName, carried ++ movedEntries,
         prev.flatMap(_.schemaHash), prev.map(_.txns).getOrElse(Map.empty),
-        op = "compact", statsCols = prev.map(_.statsCols).getOrElse(Nil)))
+        op = "compact", statsCols = prev.map(_.statsCols).getOrElse(Nil),
+        schema = prev.flatMap(_.schema)))
     }
     // physical deletion: on a COMMITTED table the compacted originals
     // are only LOGICALLY deleted (absent from snapshot N+1) — they stay
@@ -415,6 +429,7 @@ object Layout {
     val (headers, fileLines) = lines.drop(1).partition(l => !l.contains('\t'))
     var key: String = null
     var schemaHash: Option[String] = None
+    var schemaJson: Option[org.apache.spark.sql.types.StructType] = None
     var op: String = "unknown"
     var statsCols: Seq[String] = Nil
     val txns = Map.newBuilder[String, Long]
@@ -424,6 +439,9 @@ object Layout {
       (h.substring(0, eq), h.substring(eq + 1)) match {
         case ("key", v)    => key = v
         case ("schema", v) => schemaHash = Some(v)
+        case ("schemajson", v) => schemaJson = Some(
+          org.apache.spark.sql.types.DataType.fromJson(v)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
         case ("op", v)     => op = v
         case ("stats", v)  => statsCols = v.split(",").toIndexedSeq.filter(_.nonEmpty)
         case ("txn", v) =>
@@ -441,7 +459,8 @@ object Layout {
       }.toMap
       SnapshotFile(f(0), f(1).toLong, f(2).toLong, f(3).toLong, f(4).toLong, stats)
     }
-    TableSnapshot(version, key, files, schemaHash, txns.result(), op, statsCols)
+    TableSnapshot(version, key, files, schemaHash, txns.result(), op,
+      statsCols, schemaJson)
   }
 
   private def readSnapshotFile(
@@ -504,6 +523,12 @@ object Layout {
       body.append("stats=").append(snapshot.statsCols.mkString(",")).append('\n')
     }
     snapshot.schemaHash.foreach(h => body.append("schema=").append(h).append('\n'))
+    snapshot.schema.foreach { st =>
+      val j = st.json
+      require(!j.contains('\n') && !j.contains('\t'),
+        "schema JSON contains reserved characters")
+      body.append("schemajson=").append(j).append('\n')
+    }
     snapshot.txns.toSeq.sortBy(_._1).foreach { case (app, id) =>
       require(!app.contains('\n') && !app.contains('\t'),
         s"txn writer id '$app' contains reserved characters")
@@ -555,13 +580,31 @@ object Layout {
     }
   }
 
+  /** Read a subset of a snapshot's files through the snapshot's
+    * RECORDED schema when it has one: files written before an
+    * [[addColumn]] evolution lack the new column and serve NULL for it
+    * (the parquet reader fills requested-but-absent columns); a bare
+    * merged read would instead fail or silently drop the column
+    * depending on which file's footer wins. Pre-schema-era snapshots
+    * read bare — all their files share one physical schema.
+    */
+  private def readFiles(spark: SparkSession, path: String,
+      snap: TableSnapshot, names: Seq[String]): DataFrame = {
+    require(names.nonEmpty, "readFiles: empty file list")
+    val paths = names.map(n => s"$path/$n")
+    snap.schema match {
+      case Some(st) => spark.read.schema(st).parquet(paths: _*)
+      case None     => spark.read.parquet(paths: _*)
+    }
+  }
+
   /** Read `path` through a specific snapshot: exactly the listed files,
     * nothing else. A reader holding snapshot N keeps a consistent view
     * while snapshot N+1's rewrite is in flight.
     */
   def readSnapshot(spark: SparkSession, path: String, snap: TableSnapshot): DataFrame = {
     require(snap.files.nonEmpty, s"snapshot v${snap.version} lists no files")
-    spark.read.parquet(snap.files.map(f => s"$path/${f.name}"): _*)
+    readFiles(spark, path, snap, snap.files.map(_.name))
   }
 
   /** Read `path` through the LATEST committed snapshot. This is the
@@ -590,7 +633,7 @@ object Layout {
     val residual = col(snap.keyName) >= lit(lo) && col(snap.keyName) <= lit(hi)
     val df =
       if (kept.isEmpty) readSnapshot(spark, path, snap).filter(lit(false))
-      else spark.read.parquet(kept.map(f => s"$path/${f.name}"): _*).filter(residual)
+      else readFiles(spark, path, snap, kept.map(_.name)).filter(residual)
     (kept.map(_.name), snap.files.size.toLong, df)
   }
 
@@ -627,7 +670,7 @@ object Layout {
     }.reduce(_ && _)
     val df =
       if (kept.isEmpty) readSnapshot(spark, path, snap).filter(lit(false))
-      else spark.read.parquet(kept.map(f => s"$path/${f.name}"): _*).filter(residual)
+      else readFiles(spark, path, snap, kept.map(_.name)).filter(residual)
     (kept.map(_.name), snap.files.size.toLong, df)
   }
 
@@ -675,6 +718,7 @@ object Layout {
           val before = prev.files.map(_.name).toSet
           added ++= cur.files.map(_.name).filterNot(before.contains)
         case "compact" => // byte permutation: adds no rows
+        case "evolve"  => // same files, wider schema: adds no rows
         case other =>
           throw new IllegalArgumentException(
             s"tableChanges: v$v under $path is a '$other' commit — it replaces " +
@@ -688,7 +732,7 @@ object Layout {
     if (names.isEmpty)
       readSnapshot(spark, path, prev).filter(lit(false))
     else
-      spark.read.parquet(names.map(n => s"$path/$n"): _*)
+      readFiles(spark, path, prev, names)
   }
 
   /** Full change-data-feed over the manifest log: every row the commits
@@ -713,10 +757,14 @@ object Layout {
     require(fromVersion <= toVersion,
       s"tableChangesCdf: fromVersion $fromVersion > toVersion $toVersion")
     var prev = snapshotAt(spark, path, fromVersion)
-    val empty = readSnapshot(spark, path, prev).filter(lit(false))
+    // all windows read through the TO-version schema so the unioned
+    // legs align across an addColumn evolution inside the window
+    val toSnap = snapshotAt(spark, path, toVersion)
+    val empty = readFiles(spark, path, toSnap, prev.files.map(_.name))
+      .filter(lit(false))
     def read(names: Seq[String]): DataFrame =
       if (names.isEmpty) empty
-      else spark.read.parquet(names.map(n => s"$path/$n"): _*)
+      else readFiles(spark, path, toSnap, names)
     var out: DataFrame = empty.withColumn("_change_type", lit("insert"))
     var v = fromVersion + 1
     while (v <= toVersion) {
@@ -730,6 +778,8 @@ object Layout {
           out = out.unionByName(
             read(added).withColumn("_change_type", lit("insert")))
         case "compact" => // byte permutation: no row-level change
+        case "evolve"  => // schema widened; rows unchanged (reads align
+                          // on the TO-version schema, see above)
         case "delete" | "upsert" | "update" =>
           val pre = read(removed)
           val post = read(added)
@@ -980,8 +1030,7 @@ object Layout {
         val affected0 = dst0.files.filter(f => hit.contains(f.name))
         val affected =
           if (affected0.nonEmpty) affected0 else dst0.files.sortBy(_.rows).take(1)
-        val current = spark.read
-          .parquet(affected.map(f => s"$dstPath/${f.name}"): _*)
+        val current = readFiles(spark, dstPath, dst0, affected.map(_.name))
           .drop(keyName)
         val mergedRows = merge(current.unionByName(part))
         val clustered = mergedRows.withColumn(keyName, xxhash64(col(groupCol)))
@@ -1000,7 +1049,7 @@ object Layout {
         val next = TableSnapshot(dst0.version + 1, keyName,
           untouched ++ movedEntries, dst0.schemaHash,
           dst0.txns + (writer -> srcSnap.version),
-          op = "upsert", statsCols = dst0.statsCols)
+          op = "upsert", statsCols = dst0.statsCols, schema = dst0.schema)
         commitSnapshot(spark, dstPath, next)
         AggEtlStats(from, srcSnap.version, nGroups, affected.size.toLong,
           dst0.files.size.toLong, next.version, caughtUp = false)
@@ -1081,6 +1130,15 @@ object Layout {
                 txn = Some(writer -> v)): Unit
               applied += 1
             case "compact" => // byte permutation: the replica already agrees
+            case "evolve" =>
+              // mirror the widened schema; idempotent under replays (a
+              // column the replica already has is skipped)
+              val dstSnap = latestSnapshot(spark, dstPath).get
+              val have = dstSnap.schema.map(_.fieldNames.toSet).getOrElse(Set.empty)
+              cur.schema.foreach(_.fields
+                .filterNot(f => have.contains(f.name))
+                .foreach(f => addColumn(spark, dstPath, f.name, f.dataType): Unit))
+              applied += 1
             case "delete" | "update" | "upsert" =>
               val cdf = tableChangesCdf(spark, srcPath, v - 1, v)
               val legs = cdf
@@ -1131,6 +1189,47 @@ object Layout {
         lit(boxes.map(_._2).max).as(s"max_$c"))
     }
     spark.range(1).select(exprs.toIndexedSeq: _*)
+  }
+
+  /** ADD COLUMN — schema evolution without rewriting a byte: commit
+    * snapshot N+1 with the SAME files and the widened recorded schema.
+    * Committed reads serve NULL for the new column from pre-evolution
+    * files (the recorded schema drives every scan via [[readFiles]]);
+    * appends must carry the column from now on (the fingerprint check
+    * now expects it); [[updateWhere]] backfills it where real values
+    * exist — which is the complete evolve-then-backfill story at table
+    * cost proportional to the backfilled slice, not the table. New
+    * columns are nullable by definition: a non-null default would
+    * require rewriting history. Refuses a duplicate name, and a
+    * pre-schema-era table (append or rewrite once first — any commit
+    * records the schema going forward).
+    */
+  def addColumn(spark: SparkSession, path: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType): TableSnapshot = {
+    val snap = latestSnapshot(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"addColumn: no committed table under $path"))
+    val cur = snap.schema.getOrElse(throw new IllegalStateException(
+      s"addColumn: snapshot v${snap.version} under $path records no schema " +
+      "(pre-evolution era) — append or rewrite once to record it"))
+    require(!cur.fieldNames.contains(name),
+      s"addColumn: table at $path already has a column '$name'")
+    // insert BEFORE the cluster-key column: batches reach appendClustered
+    // as (user columns…, key) — withColumn puts the key last — so a new
+    // user column must sit last among the user columns or no future
+    // batch could ever match the fingerprint
+    val at = cur.fieldNames.indexOf(snap.keyName) match {
+      case -1 => cur.fields.length
+      case i  => i
+    }
+    val nf = org.apache.spark.sql.types.StructField(name, dataType, nullable = true)
+    val widened = org.apache.spark.sql.types.StructType(
+      cur.fields.patch(at, Seq(nf), 0))
+    val next = TableSnapshot(snap.version + 1, snap.keyName, snap.files,
+      Some(schemaHashOf(widened)), snap.txns, op = "evolve",
+      statsCols = snap.statsCols, schema = Some(widened))
+    commitSnapshot(spark, path, next)
+    next
   }
 
   /** Committed APPEND — the micro-batch ingest step: write `df` (keyed
@@ -1231,7 +1330,8 @@ object Layout {
       val snap = TableSnapshot(prev.version + 1, keyName, prev.files ++ mine,
         prev.schemaHash.orElse(Some(batchHash)),
         txn.fold(prev.txns) { case (app, id) => prev.txns + (app -> id) },
-        op = "append", statsCols = prev.statsCols)
+        op = "append", statsCols = prev.statsCols,
+        schema = prev.schema.orElse(Some(df.withColumn(keyName, key).schema)))
       try {
         commitSnapshot(spark, path, snap)
         return snap
@@ -1286,7 +1386,7 @@ object Layout {
     if (affected.isEmpty)
       return DeleteStats(snap.files.size.toLong, 0L, 0L, snap.version)
     val fs = fsOf(spark, path)
-    val src = spark.read.parquet(affected.map(f => s"$path/${f.name}"): _*)
+    val src = readFiles(spark, path, snap, affected.map(_.name))
     // SQL DELETE semantics: only rows where the predicate is TRUE go;
     // a NULL predicate keeps its row (a bare !predicate would drop it)
     val keep = src.filter(!coalesce(predicate, lit(false)))
@@ -1326,7 +1426,7 @@ object Layout {
       "nothing committed, both generations on disk")
     val next = TableSnapshot(snap.version + 1, snap.keyName,
       untouched ++ movedEntries, snap.schemaHash, snap.txns,
-      op = "delete", statsCols = snap.statsCols)
+      op = "delete", statsCols = snap.statsCols, schema = snap.schema)
     commitSnapshot(spark, path, next)
     DeleteStats(snap.files.size.toLong, affected.size.toLong, deleted, next.version)
   }
@@ -1376,7 +1476,7 @@ object Layout {
     if (affected.isEmpty)
       return UpdateStats(snap.files.size.toLong, 0L, 0L, snap.version)
     val fs = fsOf(spark, path)
-    val src = spark.read.parquet(affected.map(f => s"$path/${f.name}"): _*)
+    val src = readFiles(spark, path, snap, affected.map(_.name))
     val missing = set.map(_._1).filterNot(src.columns.contains)
     require(missing.isEmpty,
       s"updateWhere: table at $path has no column(s) ${missing.mkString(", ")} " +
@@ -1423,7 +1523,7 @@ object Layout {
       "row count; nothing committed, both generations on disk")
     val next = TableSnapshot(snap.version + 1, snap.keyName,
       untouched ++ movedEntries, snap.schemaHash, snap.txns,
-      op = "update", statsCols = snap.statsCols)
+      op = "update", statsCols = snap.statsCols, schema = snap.schema)
     commitSnapshot(spark, path, next)
     UpdateStats(snap.files.size.toLong, affected.size.toLong, nUpdated, next.version)
   }
@@ -1491,7 +1591,7 @@ object Layout {
     val affected =
       if (affected0.nonEmpty) affected0 else snap.files.sortBy(_.rows).take(1)
     val fs = fsOf(spark, path)
-    val src = spark.read.parquet(affected.map(f => s"$path/${f.name}"): _*)
+    val src = readFiles(spark, path, snap, affected.map(_.name))
     val missing = (idCol +: payloadCols).filterNot(src.columns.contains)
     require(missing.isEmpty,
       s"upsertCommitted: table at $path has no column(s) " +
@@ -1547,7 +1647,7 @@ object Layout {
       "nothing committed, both generations on disk")
     val next = TableSnapshot(snap.version + 1, keyName,
       untouched ++ movedEntries, snap.schemaHash, snap.txns ++ txn,
-      op = "upsert", statsCols = snap.statsCols)
+      op = "upsert", statsCols = snap.statsCols, schema = snap.schema)
     commitSnapshot(spark, path, next)
     UpsertStats(snap.files.size.toLong, affected.size.toLong,
       snap.totalRows, next.totalRows, next.version)
@@ -1727,7 +1827,7 @@ object Layout {
           p.version + 1, keyName,
           snapshotEntries(spark, path, keyName, moved, sc),
           Some(schemaHashOf(clustered.schema)), p.txns ++ txn,
-          op = "rewrite", statsCols = sc))
+          op = "rewrite", statsCols = sc, schema = Some(clustered.schema)))
         readCommitted(spark, path)
       case None =>
         clustered.write.mode("overwrite").parquet(path)
@@ -1739,7 +1839,8 @@ object Layout {
           commitSnapshot(spark, path, TableSnapshot(
             1L, keyName, snapshotEntries(spark, path, keyName, names, statsCols),
             Some(schemaHashOf(clustered.schema)), txn.iterator.toMap,
-            op = "create", statsCols = statsCols))
+            op = "create", statsCols = statsCols,
+            schema = Some(clustered.schema)))
         }
         spark.read.parquet(path)
     }

@@ -767,6 +767,61 @@ object ScaleDomain {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Schema evolution: ADD COLUMN commits a wider recorded schema
+    // over the SAME files (zero bytes rewritten), pre-evolution rows
+    // serve NULL, the next append must carry the column (narrow_refused
+    // pins the fingerprint refusal), updateWhere backfills the old
+    // slice, and time travel before the evolution still reads the
+    // narrow schema (evolve_hidden). The final table is oracle-
+    // recomputed with the backfill expression applied to all of
+    // lineitem.
+    "q_schema_evolve" -> ((s, dir) => {
+      val path = scratch(s, "mevolve", dir)
+      val li = Tables(s, dir, "lineitem")
+      val key = Layout.zorderKey(Seq(
+        Layout.gridCell(col("l_partkey"), 0, 20000, 10),
+        Layout.gridCell(col("l_suppkey"), 0, 1000, 10)), 10)
+      def batch(i: Int) = li.filter(pmod(col("l_orderkey"), lit(2L)) === i)
+      graft.SubTimings.time("q_schema_evolve", "fixture_write") {
+        Layout.writeClustered(batch(0), path, key, nFiles = 8,
+          statsCols = Seq("l_partkey")): Unit
+      }
+      // rerun hygiene (see q_manifest_append)
+      Layout.vacuum(s, path, keepVersions = 1, minAgeMs = 0L): Unit
+      val v0 = Layout.latestSnapshot(s, path).get.version
+      Layout.addColumn(s, path, "qty_flag",
+        org.apache.spark.sql.types.LongType): Unit
+      val narrowRefused =
+        try {
+          Layout.appendClustered(batch(1), path, key, nFiles = 4): Unit
+          false
+        } catch { case _: IllegalArgumentException => true }
+      graft.SubTimings.time("q_schema_evolve", "fixture_write") {
+        Layout.appendClustered(
+          batch(1).withColumn("qty_flag",
+            when(col("l_quantity") > 25, 1L).otherwise(0L)),
+          path, key, nFiles = 4): Unit
+      }
+      graft.SubTimings.time("q_schema_evolve", "backfill") {
+        Layout.updateWhere(s, path, col("qty_flag").isNull,
+          Seq("qty_flag" ->
+            when(col("l_quantity") > 25, 1L).otherwise(0L))): Unit
+      }
+      val evolveHidden =
+        !Layout.readVersion(s, path, v0).columns.contains("qty_flag")
+      Layout.readCommitted(s, path)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("sum_qty"),
+          // coalesce: a nullable int64 reads back as float in the
+          // driver's pandas compare and fails on dtype, not value
+          coalesce(sum(col("qty_flag")), lit(0L)).as("n_high"))
+        .withColumn("narrow_refused", lit(narrowRefused))
+        .withColumn("evolve_hidden", lit(evolveHidden))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Incrementally maintained GROUP BY view: one row per l_partkey
     // with count/sum/min/max over l_quantity, kept current across four
     // source appends plus a LATE-DUPLICATE slice (the 3 smallest
@@ -1751,6 +1806,16 @@ object ScaleDomain {
         |FROM orders
         |WHERE NOT (o_orderkey <= (SELECT hi FROM b) AND o_orderkey % 3 = 1)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the evolved+backfilled table equals lineitem with the flag
+    // expression applied everywhere; refusal/visibility invariants are
+    // identity pins
+    "q_schema_evolve" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_high,
+        |  true AS narrow_refused, true AS evolve_hidden
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // the view equals the GROUP BY over lineitem plus the late-arrived
     // duplicate slice (the 3 smallest partkeys counted twice);
     // bootstrap / caught-up / partial-merge invariants are identity

@@ -955,6 +955,89 @@ class LayoutSpec extends AnyFunSuite {
       Layout.incrementalEtl(spark, src, dst, tf, col("x"), 2))
   }
 
+  test("addColumn: evolve without rewrite, NULL-backed history, backfill, feeds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    val base = spark.range(1, 1001).select(
+      col("id"), ((col("id") * 7919L) % 100).as("x"))
+    Layout.writeClustered(base, dir, col("id"), nFiles = 4, statsCols = Seq("x"))
+    val v1 = Layout.latestSnapshot(spark, dir).get.version
+    // evolve: same files, wider schema, zero bytes rewritten
+    val filesBefore = Layout.latestSnapshot(spark, dir).get.files.map(_.name).toSet
+    val ev = Layout.addColumn(spark, dir, "score",
+      org.apache.spark.sql.types.LongType)
+    assert(ev.op == "evolve" && ev.files.map(_.name).toSet == filesBefore)
+    // committed reads serve NULL for the new column from old files
+    val r = Layout.readCommitted(spark, dir)
+    assert(r.columns.contains("score"))
+    assert(r.filter(col("score").isNull).count() == 1000L)
+    // appends must now CARRY the column; the old shape is refused
+    intercept[IllegalArgumentException](Layout.appendClustered(
+      spark.range(2000, 2010).select(col("id"), (col("id") % 100).as("x")),
+      dir, col("id"), nFiles = 1))
+    Layout.appendClustered(
+      spark.range(2000, 2100).select(col("id"), (col("id") % 100).as("x"),
+        (col("id") * 2).as("score")),
+      dir, col("id"), nFiles = 1)
+    val mixed = Layout.readCommitted(spark, dir)
+    assert(mixed.count() == 1100L)
+    assert(mixed.filter(col("score").isNotNull).count() == 100L)
+    // backfill the old slice where a real value exists (stats-pruned)
+    val up = Layout.updateWhere(spark, dir, col("x") < 50L && col("score").isNull,
+      Seq("score" -> (col("x") * 10L)), Seq(("x", 0L, 49L)))
+    assert(up.nRowsUpdated == base.filter(col("x") < 50).count())
+    val want = base.select(col("id"), col("x"),
+        when(col("x") < 50, col("x") * 10L).as("score"))
+      .unionByName(spark.range(2000, 2100).select(col("id"),
+        (col("id") % 100).as("x"), (col("id") * 2).as("score")))
+    val got = Layout.readCommitted(spark, dir).select("id", "x", "score")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "evolve + append + backfill diverged from the restatement")
+    // time travel BEFORE the evolution reads the original narrow schema
+    val old = Layout.readVersion(spark, dir, v1)
+    assert(!old.columns.contains("score") && old.count() == 1000L)
+    // the CDF crosses the evolution: the appended rows surface with
+    // their score, the backfill as old(NULL)/new pairs, evolve itself
+    // contributes nothing
+    val cdf = Layout.tableChangesCdf(spark, dir, v1, up.version)
+    assert(cdf.filter(col("_change_type") === "insert" &&
+      col("score").isNotNull).count() == 100L + up.nRowsUpdated)
+    assert(cdf.filter(col("_change_type") === "delete").count() == up.nRowsUpdated)
+    // compaction across schema generations reads through the recorded
+    // schema and keeps the content
+    val totalBytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length()).sum
+    Layout.compactFiles(spark, dir, "cluster_key",
+      minFileBytes = 64L * 1024 * 1024, targetFileBytes = totalBytes + 1)
+    val afterCompact = Layout.readCommitted(spark, dir).select("id", "x", "score")
+    assert(afterCompact.exceptAll(want).isEmpty && want.exceptAll(afterCompact).isEmpty)
+    // duplicate name refuses; manifest-only stats still answer
+    intercept[IllegalArgumentException](
+      Layout.addColumn(spark, dir, "x", org.apache.spark.sql.types.LongType))
+    assert(Layout.statsAggregate(spark, dir).head().getLong(0) == 1100L)
+  }
+
+  test("replicateCommitted mirrors a source schema evolution") {
+    val src = java.nio.file.Files.createTempDirectory("graft_ev_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_ev_dst").toString + "/r"
+    Layout.writeClustered(
+      spark.range(1, 501).select(col("id"), (col("id") % 9).as("x")),
+      src, col("id"), nFiles = 2, statsCols = Seq("id"))
+    Layout.replicateCommitted(spark, src, dst, "id")
+    Layout.addColumn(spark, src, "tag", org.apache.spark.sql.types.StringType)
+    Layout.appendClustered(
+      spark.range(600, 650).select(col("id"), (col("id") % 9).as("x"),
+        concat(lit("t"), col("id")).as("tag")),
+      src, col("id"), nFiles = 1)
+    val st = Layout.replicateCommitted(spark, src, dst, "id")
+    assert(st.versionsApplied == 2L)
+    val a = Layout.readCommitted(spark, src).select("id", "x", "tag")
+    val b = Layout.readCommitted(spark, dst).select("id", "x", "tag")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "replica must mirror the evolved schema and content")
+    // replays of the evolve are no-ops (column already present)
+    assert(Layout.replicateCommitted(spark, src, dst, "id").caughtUp)
+  }
+
   test("incrementalAggregate: GROUP BY view maintained at window cost") {
     val src = java.nio.file.Files.createTempDirectory("graft_agg_src").toString
     val dst = java.nio.file.Files.createTempDirectory("graft_agg_dst").toString + "/v"
