@@ -59,7 +59,8 @@ final case class TableSnapshot(
     version: Long, keyName: String, files: Seq[SnapshotFile],
     schemaHash: Option[String] = None, txns: Map[String, Long] = Map.empty,
     op: String = "unknown", statsCols: Seq[String] = Nil,
-    schema: Option[org.apache.spark.sql.types.StructType] = None) {
+    schema: Option[org.apache.spark.sql.types.StructType] = None,
+    droppedCols: Seq[String] = Nil) {
   def totalRows: Long = files.map(_.rows).sum
 }
 
@@ -344,7 +345,8 @@ object Layout {
         prev.map(_.version).getOrElse(0L) + 1, keyName, carried ++ movedEntries,
         prev.flatMap(_.schemaHash), prev.map(_.txns).getOrElse(Map.empty),
         op = "compact", statsCols = prev.map(_.statsCols).getOrElse(Nil),
-        schema = prev.flatMap(_.schema)))
+        schema = prev.flatMap(_.schema),
+        droppedCols = prev.map(_.droppedCols).getOrElse(Nil)))
     }
     // physical deletion: on a COMMITTED table the compacted originals
     // are only LOGICALLY deleted (absent from snapshot N+1) — they stay
@@ -432,6 +434,7 @@ object Layout {
     var schemaJson: Option[org.apache.spark.sql.types.StructType] = None
     var op: String = "unknown"
     var statsCols: Seq[String] = Nil
+    var dropped: Seq[String] = Nil
     val txns = Map.newBuilder[String, Long]
     headers.foreach { h =>
       val eq = h.indexOf('=')
@@ -444,6 +447,7 @@ object Layout {
             .asInstanceOf[org.apache.spark.sql.types.StructType])
         case ("op", v)     => op = v
         case ("stats", v)  => statsCols = v.split(",").toIndexedSeq.filter(_.nonEmpty)
+        case ("dropped", v) => dropped = v.split(",").toIndexedSeq.filter(_.nonEmpty)
         case ("txn", v) =>
           val c = v.lastIndexOf(':')
           require(c > 0, s"malformed txn header '$h' in $where")
@@ -460,7 +464,7 @@ object Layout {
       SnapshotFile(f(0), f(1).toLong, f(2).toLong, f(3).toLong, f(4).toLong, stats)
     }
     TableSnapshot(version, key, files, schemaHash, txns.result(), op,
-      statsCols, schemaJson)
+      statsCols, schemaJson, dropped)
   }
 
   private def readSnapshotFile(
@@ -521,6 +525,12 @@ object Layout {
         !c.contains(',') && !c.contains('\t') && !c.contains('\n'),
         s"stats column name '$c' contains reserved characters"))
       body.append("stats=").append(snapshot.statsCols.mkString(",")).append('\n')
+    }
+    if (snapshot.droppedCols.nonEmpty) {
+      snapshot.droppedCols.foreach(c => require(
+        !c.contains(',') && !c.contains('\t') && !c.contains('\n'),
+        s"dropped column name '$c' contains reserved characters"))
+      body.append("dropped=").append(snapshot.droppedCols.mkString(",")).append('\n')
     }
     snapshot.schemaHash.foreach(h => body.append("schema=").append(h).append('\n'))
     snapshot.schema.foreach { st =>
@@ -1049,7 +1059,8 @@ object Layout {
         val next = TableSnapshot(dst0.version + 1, keyName,
           untouched ++ movedEntries, dst0.schemaHash,
           dst0.txns + (writer -> srcSnap.version),
-          op = "upsert", statsCols = dst0.statsCols, schema = dst0.schema)
+          op = "upsert", statsCols = dst0.statsCols, schema = dst0.schema,
+          droppedCols = dst0.droppedCols)
         commitSnapshot(spark, dstPath, next)
         AggEtlStats(from, srcSnap.version, nGroups, affected.size.toLong,
           dst0.files.size.toLong, next.version, caughtUp = false)
@@ -1131,13 +1142,16 @@ object Layout {
               applied += 1
             case "compact" => // byte permutation: the replica already agrees
             case "evolve" =>
-              // mirror the widened schema; idempotent under replays (a
-              // column the replica already has is skipped)
+              // mirror the schema change (adds AND drops); idempotent
+              // under replays (present columns skip, absent ones too)
               val dstSnap = latestSnapshot(spark, dstPath).get
               val have = dstSnap.schema.map(_.fieldNames.toSet).getOrElse(Set.empty)
+              val want = cur.schema.map(_.fieldNames.toSet).getOrElse(have)
               cur.schema.foreach(_.fields
                 .filterNot(f => have.contains(f.name))
                 .foreach(f => addColumn(spark, dstPath, f.name, f.dataType): Unit))
+              have.diff(want)
+                .foreach(c => dropColumn(spark, dstPath, c): Unit)
               applied += 1
             case "delete" | "update" | "upsert" =>
               val cdf = tableChangesCdf(spark, srcPath, v - 1, v)
@@ -1214,6 +1228,10 @@ object Layout {
       "(pre-evolution era) — append or rewrite once to record it"))
     require(!cur.fieldNames.contains(name),
       s"addColumn: table at $path already has a column '$name'")
+    require(!snap.droppedCols.contains(name),
+      s"addColumn: '$name' was previously DROPPED from the table at $path; " +
+      "files written before the drop still physically carry its old values, " +
+      "and re-adding the name would silently resurrect them — pick a fresh name")
     // insert BEFORE the cluster-key column: batches reach appendClustered
     // as (user columns…, key) — withColumn puts the key last — so a new
     // user column must sit last among the user columns or no future
@@ -1227,7 +1245,45 @@ object Layout {
       cur.fields.patch(at, Seq(nf), 0))
     val next = TableSnapshot(snap.version + 1, snap.keyName, snap.files,
       Some(schemaHashOf(widened)), snap.txns, op = "evolve",
-      statsCols = snap.statsCols, schema = Some(widened))
+      statsCols = snap.statsCols, schema = Some(widened),
+      droppedCols = snap.droppedCols)
+    commitSnapshot(spark, path, next)
+    next
+  }
+
+  /** DROP COLUMN — the narrowing twin of [[addColumn]]: commit snapshot
+    * N+1 with the SAME files and the narrowed recorded schema. The
+    * scan simply stops requesting the column (files keep the bytes
+    * until a rewrite/compaction/vacuum cycles them out), appends must
+    * no longer carry it, and time travel before the drop still reads
+    * it. The name goes on the snapshot's TOMBSTONE list (`dropped=`):
+    * without per-field ids, re-adding the same name would resurrect
+    * stale values from any file not rewritten since the drop, so
+    * [[addColumn]] refuses tombstoned names. Refuses the cluster key
+    * and recorded stats columns (drop the pruning contract knowingly —
+    * rewrite with new statsCols — not by accident).
+    */
+  def dropColumn(spark: SparkSession, path: String, name: String): TableSnapshot = {
+    val snap = latestSnapshot(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"dropColumn: no committed table under $path"))
+    val cur = snap.schema.getOrElse(throw new IllegalStateException(
+      s"dropColumn: snapshot v${snap.version} under $path records no schema " +
+      "(pre-evolution era) — append or rewrite once to record it"))
+    require(cur.fieldNames.contains(name),
+      s"dropColumn: table at $path has no column '$name'")
+    require(name != snap.keyName,
+      s"dropColumn: '$name' is the cluster key — the layout contract; " +
+      "rewrite the table under a new key instead")
+    require(!snap.statsCols.contains(name),
+      s"dropColumn: '$name' carries per-file pruning stats; rewrite the " +
+      "table with new statsCols instead of silently voiding the contract")
+    val narrowed = org.apache.spark.sql.types.StructType(
+      cur.fields.filterNot(_.name == name))
+    val next = TableSnapshot(snap.version + 1, snap.keyName, snap.files,
+      Some(schemaHashOf(narrowed)), snap.txns, op = "evolve",
+      statsCols = snap.statsCols, schema = Some(narrowed),
+      droppedCols = snap.droppedCols :+ name)
     commitSnapshot(spark, path, next)
     next
   }
@@ -1331,7 +1387,8 @@ object Layout {
         prev.schemaHash.orElse(Some(batchHash)),
         txn.fold(prev.txns) { case (app, id) => prev.txns + (app -> id) },
         op = "append", statsCols = prev.statsCols,
-        schema = prev.schema.orElse(Some(df.withColumn(keyName, key).schema)))
+        schema = prev.schema.orElse(Some(df.withColumn(keyName, key).schema)),
+        droppedCols = prev.droppedCols)
       try {
         commitSnapshot(spark, path, snap)
         return snap
@@ -1426,7 +1483,8 @@ object Layout {
       "nothing committed, both generations on disk")
     val next = TableSnapshot(snap.version + 1, snap.keyName,
       untouched ++ movedEntries, snap.schemaHash, snap.txns,
-      op = "delete", statsCols = snap.statsCols, schema = snap.schema)
+      op = "delete", statsCols = snap.statsCols, schema = snap.schema,
+      droppedCols = snap.droppedCols)
     commitSnapshot(spark, path, next)
     DeleteStats(snap.files.size.toLong, affected.size.toLong, deleted, next.version)
   }
@@ -1523,7 +1581,8 @@ object Layout {
       "row count; nothing committed, both generations on disk")
     val next = TableSnapshot(snap.version + 1, snap.keyName,
       untouched ++ movedEntries, snap.schemaHash, snap.txns,
-      op = "update", statsCols = snap.statsCols, schema = snap.schema)
+      op = "update", statsCols = snap.statsCols, schema = snap.schema,
+      droppedCols = snap.droppedCols)
     commitSnapshot(spark, path, next)
     UpdateStats(snap.files.size.toLong, affected.size.toLong, nUpdated, next.version)
   }
@@ -1647,7 +1706,8 @@ object Layout {
       "nothing committed, both generations on disk")
     val next = TableSnapshot(snap.version + 1, keyName,
       untouched ++ movedEntries, snap.schemaHash, snap.txns ++ txn,
-      op = "upsert", statsCols = snap.statsCols, schema = snap.schema)
+      op = "upsert", statsCols = snap.statsCols, schema = snap.schema,
+      droppedCols = snap.droppedCols)
     commitSnapshot(spark, path, next)
     UpsertStats(snap.files.size.toLong, affected.size.toLong,
       snap.totalRows, next.totalRows, next.version)
@@ -1827,7 +1887,8 @@ object Layout {
           p.version + 1, keyName,
           snapshotEntries(spark, path, keyName, moved, sc),
           Some(schemaHashOf(clustered.schema)), p.txns ++ txn,
-          op = "rewrite", statsCols = sc, schema = Some(clustered.schema)))
+          op = "rewrite", statsCols = sc, schema = Some(clustered.schema),
+          droppedCols = p.droppedCols))
         readCommitted(spark, path)
       case None =>
         clustered.write.mode("overwrite").parquet(path)

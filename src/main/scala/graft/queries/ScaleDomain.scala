@@ -809,6 +809,21 @@ object ScaleDomain {
       }
       val evolveHidden =
         !Layout.readVersion(s, path, v0).columns.contains("qty_flag")
+      // DROP COLUMN leg: a scratch column comes and goes without
+      // touching a byte; the tombstone refuses its resurrection
+      Layout.addColumn(s, path, "tmp_note",
+        org.apache.spark.sql.types.StringType): Unit
+      val vNote = Layout.latestSnapshot(s, path).get.version
+      Layout.dropColumn(s, path, "tmp_note"): Unit
+      val dropHidden =
+        !Layout.readCommitted(s, path).columns.contains("tmp_note") &&
+        Layout.readVersion(s, path, vNote).columns.contains("tmp_note")
+      val tombstoneRefused =
+        try {
+          Layout.addColumn(s, path, "tmp_note",
+            org.apache.spark.sql.types.StringType): Unit
+          false
+        } catch { case _: IllegalArgumentException => true }
       Layout.readCommitted(s, path)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"),
@@ -819,6 +834,8 @@ object ScaleDomain {
           coalesce(sum(col("qty_flag")), lit(0L)).as("n_high"))
         .withColumn("narrow_refused", lit(narrowRefused))
         .withColumn("evolve_hidden", lit(evolveHidden))
+        .withColumn("drop_hidden", lit(dropHidden))
+        .withColumn("tombstone_refused", lit(tombstoneRefused))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -1814,7 +1831,8 @@ object ScaleDomain {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_high,
-        |  true AS narrow_refused, true AS evolve_hidden
+        |  true AS narrow_refused, true AS evolve_hidden,
+        |  true AS drop_hidden, true AS tombstone_refused
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // the view equals the GROUP BY over lineitem plus the late-arrived
     // duplicate slice (the 3 smallest partkeys counted twice);

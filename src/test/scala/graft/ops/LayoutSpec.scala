@@ -1014,6 +1014,49 @@ class LayoutSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Layout.addColumn(spark, dir, "x", org.apache.spark.sql.types.LongType))
     assert(Layout.statsAggregate(spark, dir).head().getLong(0) == 1100L)
+    // DROP COLUMN: same files, narrower scan; history keeps the column
+    val vBeforeDrop = Layout.latestSnapshot(spark, dir).get.version
+    Layout.dropColumn(spark, dir, "score")
+    val narrow = Layout.readCommitted(spark, dir)
+    assert(!narrow.columns.contains("score") && narrow.count() == 1100L)
+    assert(Layout.readVersion(spark, dir, vBeforeDrop).columns.contains("score"))
+    // appends must no longer carry it; the narrow shape works again
+    intercept[IllegalArgumentException](Layout.appendClustered(
+      spark.range(3000, 3010).select(col("id"), (col("id") % 100).as("x"),
+        lit(1L).as("score")),
+      dir, col("id"), nFiles = 1))
+    Layout.appendClustered(
+      spark.range(3000, 3010).select(col("id"), (col("id") % 100).as("x")),
+      dir, col("id"), nFiles = 1)
+    assert(Layout.readCommitted(spark, dir).count() == 1110L)
+    // the tombstone: re-adding the dropped name would resurrect stale
+    // values from unrewritten files — refused; a fresh name is fine
+    intercept[IllegalArgumentException](
+      Layout.addColumn(spark, dir, "score", org.apache.spark.sql.types.LongType))
+    Layout.addColumn(spark, dir, "score2", org.apache.spark.sql.types.LongType)
+    // the cluster key and stats columns refuse to drop
+    intercept[IllegalArgumentException](Layout.dropColumn(spark, dir, "cluster_key"))
+    intercept[IllegalArgumentException](Layout.dropColumn(spark, dir, "x"))
+  }
+
+  test("replicateCommitted mirrors a source DROP COLUMN") {
+    val src = java.nio.file.Files.createTempDirectory("graft_dc_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_dc_dst").toString + "/r"
+    Layout.writeClustered(
+      spark.range(1, 301).select(col("id"), (col("id") % 9).as("x"),
+        concat(lit("t"), col("id")).as("tag")),
+      src, col("id"), nFiles = 2, statsCols = Seq("id"))
+    Layout.replicateCommitted(spark, src, dst, "id")
+    Layout.dropColumn(spark, src, "tag")
+    Layout.appendClustered(
+      spark.range(400, 420).select(col("id"), (col("id") % 9).as("x")),
+      src, col("id"), nFiles = 1)
+    assert(Layout.replicateCommitted(spark, src, dst, "id").versionsApplied == 2L)
+    val a = Layout.readCommitted(spark, src).select("id", "x")
+    val b = Layout.readCommitted(spark, dst)
+    assert(!b.columns.contains("tag"))
+    assert(a.exceptAll(b.select("id", "x")).isEmpty &&
+      b.select("id", "x").exceptAll(a).isEmpty)
   }
 
   test("replicateCommitted mirrors a source schema evolution") {
