@@ -216,6 +216,14 @@ object Bench {
       "(q_lr_quality 2.7 vs 3.4 s) and 4+-rep JIT descents from 4-9x cold " +
       "(q_bam_fetch_sharded, q_heaps_fit); movers inside that band are " +
       "session noise, not plan changes.\n")
+    sb ++= ("- Machine drift (measured, DriftProbe round 13 close, 6 reps at " +
+      "sf0.1): the box itself slowed vs the r12-era artifacts on " +
+      "byte-identical fixture-free queries — q_trustrank floor 5.3-5.9 s " +
+      "(shipped r12-era 2.96 s), q_pagerank 3.6-4.6 s (2.17 s), q_heaps_fit " +
+      "3.0-3.8 s (r11 band 2.1-2.8 s). A UNIFORM ~1.5-1.8x shift across " +
+      "queries whose code did not change is host-level attribution; judge " +
+      "round-over-round movement on ratios between queries within one " +
+      "artifact, or re-probe on a quiet box.\n")
     sb ++= s"- Improvements > 0.25 s:\n"
     improve.foreach(q => sb ++= s"  - $q ${f(pq(q))} -> ${f(cq(q))}\n")
     sb ++= s"- Expensive tail: ${tail.map { case (q, v) => s"$q ${f(v)}s" }.mkString(", ")}\n"

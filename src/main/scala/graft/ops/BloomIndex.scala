@@ -16,14 +16,15 @@ import org.apache.spark.sql.functions._
   *
   * Build is ONE keyed aggregate over (file, xxhash64(value)) — a custom
   * [[Aggregator]] OR-merging fixed-size bitsets, partial-combined
-  * map-side like any sum. The sidecar (`_blooms/<column>/`) is a small
-  * parquet table: #files rows × (bits/8) bytes, BOUNDED planning state
-  * like the snapshot itself, stamped with the snapshot version it
-  * indexed in a meta marker written last. A probe against a sidecar
+  * map-side like any sum. The sidecar (`_blooms/<column>/`) is a
+  * parquet table of #files rows × (bits/8) bytes — ~0.1% of the data
+  * it indexes, scanned distributed at probe time, never collected —
+  * stamped with the snapshot version it indexed in a meta marker
+  * written last. A probe against a sidecar
   * whose version is not the table's latest REFUSES loudly — a stale
   * bloom would silently miss rows appended since — naming the rebuild
-  * call. Membership tests run driver-side over the collected sidecar
-  * (planning work, same order as reading the snapshot); the probe
+  * call. Membership tests run as a distributed filter over the sidecar
+  * scan (only candidate file NAMES reach the driver); the probe
   * hashes ride the SAME engine expression (xxhash64 over the same
   * type) via a one-row Spark projection, so build and probe can never
   * drift.
@@ -127,7 +128,7 @@ object BloomIndex {
     val mBits = math.max(64L, ((maxRows * bitsPerKey + 63L) / 64L) * 64L)
     require(mBits <= Int.MaxValue.toLong, s"bloom bitset of $mBits bits per " +
       "file is absurd — compact the table into more, smaller files first")
-    val src = spark.read.parquet(snap.files.map(f => s"$path/${f.name}"): _*)
+    val src = Layout.readFiles(spark, path, snap, snap.files.map(_.name))
     require(src.columns.contains(column),
       s"writeBloomSidecar: table at $path has no column '$column'")
     val agg = udaf(new BloomAgg(mBits.toInt, k))
@@ -139,7 +140,10 @@ object BloomIndex {
         element_at(split(col("__file"), "/"), -1).as("file"),
         col("bits"))
     val out = sidecarPath(path, column)
-    blooms.repartition(1).write.mode("overwrite").parquet(s"$out/data")
+    // ~8k bitsets per sidecar shard: one file at gate scale, still
+    // sane shards when the table has a million files
+    blooms.repartition(math.max(1, snap.files.size / 8192))
+      .write.mode("overwrite").parquet(s"$out/data")
     val meta = BloomMeta(snap.version, column, mBits.toInt, k)
     writeMeta(spark, path, meta)
     meta
@@ -150,9 +154,13 @@ object BloomIndex {
     * negatives — every file containing any of `values` is a candidate;
     * bloom false positives are re-filtered by the caller's own
     * predicate (the returned frame is the files' full content, exactly
-    * like [[Layout.prunedCommittedRead]]). Refuses a sidecar older than
-    * the table's latest snapshot — a stale bloom would silently miss
-    * appended rows.
+    * like [[Layout.prunedCommittedRead]]). The membership tests run as
+    * a DISTRIBUTED filter over the sidecar scan — at 100 TB the sidecar
+    * is #files × m/8 bytes, far too big to collect — and only the
+    * CANDIDATE file names (bounded by the lookup's true reach plus the
+    * fp rate) reach the driver as planning state. Refuses a sidecar
+    * older than the table's latest snapshot — a stale bloom would
+    * silently miss appended rows.
     */
   def bloomPrunedRead(spark: SparkSession, path: String, column: String,
       values: Seq[Any]): (Int, Int, DataFrame) = {
@@ -174,21 +182,22 @@ object BloomIndex {
         xxhash64(lit(v).cast(dt)).as(s"h$i")
       }: _*).head()
     val hashes = values.indices.map(hashRow.getLong)
-    val sidecar = spark.read.parquet(s"${sidecarPath(path, column)}/data")
-      .select("file", "bits").as[(String, Array[Byte])].collect()
-    require(sidecar.nonEmpty, s"bloom sidecar for '$column' under $path is empty")
-    val candidates = sidecar.filter { case (_, bits) =>
+    val (k, m) = (meta.k, meta.mBits)
+    val hit = udf { bits: Array[Byte] =>
       hashes.exists { h =>
-        bitPositions(h, meta.k, meta.mBits).forall { p =>
+        bitPositions(h, k, m).forall { p =>
           (bits(p >>> 3) & (1 << (p & 7))) != 0
         }
       }
-    }.map(_._1)
-    val names = snap.files.map(_.name).filter(candidates.toSet.contains)
+    }
+    val candidates = spark.read.parquet(s"${sidecarPath(path, column)}/data")
+      .filter(hit(col("bits")))
+      .select(col("file")).as[String].collect().toSet
+    val names = snap.files.map(_.name).filter(candidates.contains)
     val df =
       if (names.isEmpty)
         Layout.readSnapshot(spark, path, snap).filter(lit(false))
-      else spark.read.parquet(names.map(n => s"$path/$n"): _*)
+      else Layout.readFiles(spark, path, snap, names)
     (names.size, snap.files.size, df)
   }
 }

@@ -598,7 +598,7 @@ object Layout {
     * depending on which file's footer wins. Pre-schema-era snapshots
     * read bare — all their files share one physical schema.
     */
-  private def readFiles(spark: SparkSession, path: String,
+  private[ops] def readFiles(spark: SparkSession, path: String,
       snap: TableSnapshot, names: Seq[String]): DataFrame = {
     require(names.nonEmpty, "readFiles: empty file list")
     val paths = names.map(n => s"$path/$n")
@@ -873,7 +873,10 @@ object Layout {
           "pipeline; drop it or pass the writerId that created it"))
         if (from >= srcSnap.version)
           return EtlStats(from, from, 0L, dst.version, caughtUp = true)
+        // materialize once: the emptiness check and the append would
+        // otherwise re-read the window twice
         val out = transform(tableChanges(spark, srcPath, from, srcSnap.version))
+          .localCheckpoint()
         val nOut = out.count()
         if (nOut == 0L)
           // nothing to append: leave the mark — the window re-enters next
@@ -1021,8 +1024,11 @@ object Layout {
         if (from >= srcSnap.version)
           return AggEtlStats(from, from, 0L, 0L, dst0.files.size.toLong,
             dst0.version, caughtUp = true)
+        // materialize the window partial once: the count, the box probe
+        // and the merge would otherwise re-read the window three times
         val part = partial(prepare(
           tableChanges(spark, srcPath, from, srcSnap.version)))
+          .localCheckpoint()
         val nGroups = part.count()
         if (nGroups == 0L)
           // empty window: leave the mark — the window re-enters next run
@@ -1887,8 +1893,11 @@ object Layout {
           p.version + 1, keyName,
           snapshotEntries(spark, path, keyName, moved, sc),
           Some(schemaHashOf(clustered.schema)), p.txns ++ txn,
+          // tombstones CLEAR on a full rewrite: every file this snapshot
+          // lists was just written through the current schema, so no
+          // live file can resurrect a previously-dropped column's bytes
           op = "rewrite", statsCols = sc, schema = Some(clustered.schema),
-          droppedCols = p.droppedCols))
+          droppedCols = Nil))
         readCommitted(spark, path)
       case None =>
         clustered.write.mode("overwrite").parquet(path)

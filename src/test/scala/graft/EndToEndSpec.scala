@@ -175,6 +175,31 @@ class EndToEndSpec extends AnyFunSuite {
     assert(trail.forall { case (u, n) => n <= perUser(u) },
       "trailing count cannot exceed the user's event count")
   }
+  test("round-13 lifecycle gates rerun in one session: identical rows, pins stay true") {
+    // the bench's contract: every query runs several times in one JVM
+    // against the same per-app scratch root, so a second invocation
+    // must land on identical rows with every Boolean pin still true —
+    // this is exactly the check that catches stale-state bugs like a
+    // tombstone from run 1 refusing run 2's addColumn
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    Seq("q_update_committed", "q_schema_evolve", "q_replicate_committed",
+      "q_incremental_etl", "q_incremental_agg", "q_committed_bloom",
+      "q_manifest_stats").foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val df1 = fn(spark, dir)
+      val first = df1.collect().map(_.toSeq).toSeq
+      val second = fn(spark, dir).collect().map(_.toSeq).toSeq
+      assert(first == second, s"$name rerun produced different rows")
+      val boolIdx = df1.schema.fields.zipWithIndex.collect {
+        case (f, i) if f.dataType == org.apache.spark.sql.types.BooleanType => i
+      }
+      assert(boolIdx.nonEmpty || name == "q_incremental_agg",
+        s"$name carries no pins?")
+      assert(first.forall(r => boolIdx.forall(i => r(i) == true)),
+        s"$name pin false on rerun: ${first.head}")
+    }
+  }
 }
 
 class CorpusCleanSpec extends org.scalatest.funsuite.AnyFunSuite {

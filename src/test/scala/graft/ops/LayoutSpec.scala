@@ -1037,6 +1037,17 @@ class LayoutSpec extends AnyFunSuite {
     // the cluster key and stats columns refuse to drop
     intercept[IllegalArgumentException](Layout.dropColumn(spark, dir, "cluster_key"))
     intercept[IllegalArgumentException](Layout.dropColumn(spark, dir, "x"))
+    // a FULL rewrite clears tombstones: every live file was just
+    // rewritten through the current schema, so the dropped name can
+    // come back without resurrecting stale bytes
+    Layout.writeClustered(
+      Layout.readCommitted(spark, dir).select("id", "x"),
+      dir, col("id"), nFiles = 2)
+    assert(Layout.latestSnapshot(spark, dir).get.droppedCols.isEmpty)
+    Layout.addColumn(spark, dir, "score", org.apache.spark.sql.types.LongType)
+    assert(Layout.readCommitted(spark, dir)
+      .filter(col("score").isNotNull).count() == 0L,
+      "re-added column after a rewrite must be all NULL, never stale bytes")
   }
 
   test("replicateCommitted mirrors a source DROP COLUMN") {
