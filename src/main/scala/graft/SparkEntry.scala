@@ -47,6 +47,14 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * The trailing [[graft.queries.OracleStash]] entries are DYNAMIC: the
+    * BPE/LR queries stash their deterministic learned artifacts at run
+    * time, and — because Verify evaluates this def AFTER running the
+    * queries — their oracles restate the full application path in
+    * DuckDB with the artifact as literals. Absent if those queries did
+    * not run in this JVM (the driver then records the rows-only check,
+    * exactly as before the promotion).
     */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
@@ -57,5 +65,6 @@ object SparkEntry {
       graft.queries.Events.oracle ++
       graft.queries.Mining.oracle ++
       graft.queries.Web.oracle ++
-      graft.queries.Links.oracle
+      graft.queries.Links.oracle ++
+      graft.queries.OracleStash.dynamicOracles
 }

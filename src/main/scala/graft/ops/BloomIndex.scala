@@ -74,8 +74,12 @@ object BloomIndex {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** What [[writeBloomSidecar]] built. */
-  final case class BloomMeta(version: Long, column: String, mBits: Int, k: Int)
+  /** What [[writeBloomSidecar]] built. `rowsCapacity` is the per-file
+    * row count the bitset was sized for (0 on metas written before the
+    * field existed — [[extendBloomSidecar]] then skips its guard).
+    */
+  final case class BloomMeta(version: Long, column: String, mBits: Int, k: Int,
+      rowsCapacity: Long = 0L)
 
   private def writeMeta(spark: SparkSession, path: String, m: BloomMeta): Unit = {
     val fs = fsOf(spark, path)
@@ -85,7 +89,7 @@ object BloomIndex {
     val out = fs.create(tmp, false)
     try out.write(
       (s"graft-bloom-v1\nversion=${m.version}\ncolumn=${m.column}\n" +
-        s"mBits=${m.mBits}\nk=${m.k}\n")
+        s"mBits=${m.mBits}\nk=${m.k}\ncapacity=${m.rowsCapacity}\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     fs.delete(p, false)
@@ -108,7 +112,8 @@ object BloomIndex {
     val kv = lines.drop(1).filter(_.contains('='))
       .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
       .toMap
-    BloomMeta(kv("version").toLong, kv("column"), kv("mBits").toInt, kv("k").toInt)
+    BloomMeta(kv("version").toLong, kv("column"), kv("mBits").toInt, kv("k").toInt,
+      kv.get("capacity").map(_.toLong).getOrElse(0L))
   }
 
   /** Build the per-file bloom sidecar for `column` over the CURRENT
@@ -131,22 +136,80 @@ object BloomIndex {
     val src = Layout.readFiles(spark, path, snap, snap.files.map(_.name))
     require(src.columns.contains(column),
       s"writeBloomSidecar: table at $path has no column '$column'")
-    val agg = udaf(new BloomAgg(mBits.toInt, k))
-    val blooms = src
-      .select(input_file_name().as("__file"), xxhash64(col(column)).as("__h"))
+    // ~8k bitsets per sidecar shard: one file at gate scale, still
+    // sane shards when the table has a million files
+    bloomRows(src, column, mBits.toInt, k)
+      .repartition(math.max(1, snap.files.size / 8192))
+      .write.mode("overwrite").parquet(s"${sidecarPath(path, column)}/data")
+    val meta = BloomMeta(snap.version, column, mBits.toInt, k, maxRows)
+    writeMeta(spark, path, meta)
+    meta
+  }
+
+  /** One (file, bitset) row per input file — the shared build kernel. */
+  private def bloomRows(src: DataFrame, column: String, mBits: Int, k: Int)
+      : DataFrame = {
+    val agg = udaf(new BloomAgg(mBits, k))
+    src.select(input_file_name().as("__file"), xxhash64(col(column)).as("__h"))
       .groupBy(col("__file")).agg(agg(col("__h")).as("bits"))
       .select(
         // store the snapshot-relative name, like the snapshot itself
         element_at(split(col("__file"), "/"), -1).as("file"),
         col("bits"))
-    val out = sidecarPath(path, column)
-    // ~8k bitsets per sidecar shard: one file at gate scale, still
-    // sane shards when the table has a million files
-    blooms.repartition(math.max(1, snap.files.size / 8192))
-      .write.mode("overwrite").parquet(s"$out/data")
-    val meta = BloomMeta(snap.version, column, mBits.toInt, k)
-    writeMeta(spark, path, meta)
-    meta
+  }
+
+  /** Maintain the sidecar across commits WITHOUT a rebuild: bloom-hash
+    * only the current snapshot's files that carry no sidecar row yet
+    * (an append's new files, a compaction's or update's rewritten
+    * generation), APPEND those rows to the sidecar table, and bump the
+    * meta version — the same delta discipline the MinHash and IVF
+    * persisted indexes follow, cost ∝ the new files, never the table.
+    * Rows for files that left the snapshot stay behind harmlessly (the
+    * probe intersects candidates with the snapshot's own file list)
+    * until the next full rebuild sweeps them.
+    *
+    * The bitset geometry (m, k) is FIXED at build time, so a new file
+    * far bigger than the filter was sized for would run at a degraded
+    * false-positive rate (never a false negative) — files beyond 4x the
+    * recorded capacity are refused with the rebuild remedy. Crash-safe:
+    * a rerun after a crash between the data append and the meta bump
+    * finds the rows already present, appends nothing new for them, and
+    * re-stamps the meta; duplicate rows from a torn write are identical
+    * bits and the probe dedups candidate names.
+    */
+  def extendBloomSidecar(spark: SparkSession, path: String, column: String)
+      : BloomMeta = {
+    val snap = Layout.latestSnapshot(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"extendBloomSidecar: no committed table under $path"))
+    val meta = readMeta(spark, path, column)
+    if (meta.version == snap.version) return meta // already current
+    require(meta.version < snap.version,
+      s"extendBloomSidecar: sidecar for '$column' under $path indexes " +
+      s"v${meta.version}, AHEAD of the table's v${snap.version} — the table " +
+      "was restored or the sidecar belongs to another table; rebuild with " +
+      "BloomIndex.writeBloomSidecar")
+    import spark.implicits._
+    val dataPath = s"${sidecarPath(path, column)}/data"
+    val covered = spark.read.parquet(dataPath)
+      .select(col("file")).as[String].collect().toSet
+    val fresh = snap.files.filterNot(f => covered.contains(f.name))
+    if (fresh.nonEmpty) {
+      if (meta.rowsCapacity > 0L) {
+        val biggest = fresh.map(_.rows).max
+        require(biggest <= 4L * meta.rowsCapacity,
+          s"extendBloomSidecar: a new file carries $biggest rows but the " +
+          s"bitset was sized for ${meta.rowsCapacity} — the false-positive " +
+          "rate would degrade past useful; rebuild with writeBloomSidecar")
+      }
+      val src = Layout.readFiles(spark, path, snap, fresh.map(_.name))
+      bloomRows(src, column, meta.mBits, meta.k)
+        .repartition(math.max(1, fresh.size / 8192))
+        .write.mode("append").parquet(dataPath)
+    }
+    val next = meta.copy(version = snap.version)
+    writeMeta(spark, path, next)
+    next
   }
 
   /** Point-lookup read through the sidecar: returns (candidate files,
@@ -173,9 +236,22 @@ object BloomIndex {
       s"bloom sidecar for '$column' under $path indexes snapshot " +
       s"v${meta.version} but the table is at v${snap.version} — rebuild with " +
       "BloomIndex.writeBloomSidecar")
-    // probe hashes through the SAME engine expression and column type
-    val dt = spark.read.parquet(s"$path/${snap.files.head.name}")
-      .schema(column).dataType
+    // probe hashes through the SAME engine expression and column type.
+    // The type comes from the snapshot's RECORDED schema when it has one
+    // — on an addColumn-evolved table the head file may predate the
+    // evolution and physically lack the column, while the build side
+    // hashed through the recorded schema (NULL-served); only
+    // pre-schema-era snapshots fall back to a physical footer.
+    val dt = snap.schema match {
+      case Some(st) =>
+        require(st.fieldNames.contains(column),
+          s"bloomPrunedRead: table at $path has no column '$column' " +
+          s"(schema: ${st.fieldNames.mkString(",")})")
+        st(column).dataType
+      case None =>
+        spark.read.parquet(s"$path/${snap.files.head.name}")
+          .schema(column).dataType
+    }
     import spark.implicits._
     val hashRow = spark.range(1)
       .select(values.zipWithIndex.map { case (v, i) =>

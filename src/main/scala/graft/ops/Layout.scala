@@ -729,6 +729,7 @@ object Layout {
           added ++= cur.files.map(_.name).filterNot(before.contains)
         case "compact" => // byte permutation: adds no rows
         case "evolve"  => // same files, wider schema: adds no rows
+        case "txn"     => // mark-only commit: same files, adds no rows
         case other =>
           throw new IllegalArgumentException(
             s"tableChanges: v$v under $path is a '$other' commit — it replaces " +
@@ -790,6 +791,7 @@ object Layout {
         case "compact" => // byte permutation: no row-level change
         case "evolve"  => // schema widened; rows unchanged (reads align
                           // on the TO-version schema, see above)
+        case "txn"     => // mark-only commit: no row-level change
         case "delete" | "upsert" | "update" =>
           val pre = read(removed)
           val post = read(added)
@@ -1024,6 +1026,35 @@ object Layout {
         if (from >= srcSnap.version)
           return AggEtlStats(from, from, 0L, 0L, dst0.files.size.toLong,
             dst0.version, caughtUp = true)
+        // EVOLUTION CONTRACT: an in-window evolve that adds or drops one
+        // of the view's OWN columns (the group key or an agg input)
+        // invalidates the maintenance algebra — pre-evolve partials for
+        // an added column would be NULL-merged as if those rows never
+        // existed, silently diverging the view from its own recompute.
+        // Refuse loudly with the remedy. Evolves on unrelated columns
+        // pass: the window reads through the TO-version schema and the
+        // partial never touches them. The walk is manifest-file reads
+        // only, bounded by the window length.
+        locally {
+          val watched = (groupCol +: aggs.map(_._2).filter(_.nonEmpty)).toSet
+          var pv = snapshotAt(spark, srcPath, from)
+          var vv = from + 1
+          while (vv <= srcSnap.version) {
+            val sv = snapshotAt(spark, srcPath, vv)
+            if (sv.op == "evolve") {
+              val before = pv.schema.map(_.fieldNames.toSet).getOrElse(Set.empty)
+              val after = sv.schema.map(_.fieldNames.toSet).getOrElse(before)
+              val touched = ((after diff before) ++ (before diff after)) & watched
+              require(touched.isEmpty,
+                s"incrementalAggregate: source evolve at v$vv under $srcPath " +
+                s"adds/drops view column(s) ${touched.mkString(", ")} — the " +
+                "merge algebra cannot restate history; drop the view at " +
+                s"$dstPath and re-bootstrap")
+            }
+            pv = sv
+            vv += 1
+          }
+        }
         // materialize the window partial once: the count, the box probe
         // and the merge would otherwise re-read the window three times
         val part = partial(prepare(
@@ -1132,8 +1163,17 @@ object Layout {
           "pipeline; drop it or pass the writerId that created it"))
         if (from >= srcSnap.version)
           return SyncStats(from, from, 0L, dst0.version, caughtUp = true)
-        val payloadCols = readCommitted(spark, dstPath).columns
-          .filterNot(_ == idCol).toIndexedSeq
+        // payload columns are recomputed from the replica's CURRENT
+        // recorded schema each time a change set is applied: a window
+        // holding an evolve FOLLOWED by a row-level mutation must build
+        // the mutation's legs against the post-evolve column set, or the
+        // upsert's schema-fingerprint check refuses the run
+        def payloadCols(): Seq[String] = {
+          val d = latestSnapshot(spark, dstPath).get
+          d.schema.map(_.fieldNames.toIndexedSeq)
+            .getOrElse(readCommitted(spark, dstPath).columns.toIndexedSeq)
+            .filterNot(_ == idCol)
+        }
         var applied = 0L
         var prev = snapshotAt(spark, srcPath, from)
         var v = from + 1
@@ -1141,12 +1181,32 @@ object Layout {
           val cur = snapshotAt(spark, srcPath, v)
           cur.op match {
             case "append" =>
-              appendClustered(tableChanges(spark, srcPath, v - 1, v),
+              // coalesce the whole CONTIGUOUS run of append commits into
+              // one replica commit: tableChanges(v-1, end) is exactly the
+              // run's added files, and appends commute, so one clustered
+              // append with the run's high-water mark has identical
+              // content and exactly-once semantics — a replica thousands
+              // of appends behind catches up in one job per run, not one
+              // per version (the serial loop was the op's scale ceiling)
+              var end = v
+              var endSnap = cur
+              var continue = true
+              while (continue && end < srcSnap.version) {
+                val nxt = snapshotAt(spark, srcPath, end + 1)
+                if (nxt.op == "append") { end += 1; endSnap = nxt }
+                else continue = false
+              }
+              appendClustered(tableChanges(spark, srcPath, v - 1, end),
                 dstPath, col(cur.keyName),
-                nFiles = math.max(1, cur.files.size - prev.files.size),
-                txn = Some(writer -> v)): Unit
-              applied += 1
-            case "compact" => // byte permutation: the replica already agrees
+                nFiles = math.max(1, endSnap.files.size - prev.files.size),
+                txn = Some(writer -> end)): Unit
+              applied += end - v + 1
+              prev = endSnap
+              v = end + 1
+            case "compact" | "txn" =>
+              // byte permutation / mark-only: the replica already agrees
+              prev = cur
+              v += 1
             case "evolve" =>
               // mirror the schema change (adds AND drops); idempotent
               // under replays (present columns skip, absent ones too)
@@ -1159,6 +1219,8 @@ object Layout {
               have.diff(want)
                 .foreach(c => dropColumn(spark, dstPath, c): Unit)
               applied += 1
+              prev = cur
+              v += 1
             case "delete" | "update" | "upsert" =>
               val cdf = tableChangesCdf(spark, srcPath, v - 1, v)
               val legs = cdf
@@ -1168,18 +1230,25 @@ object Layout {
                   when(col("_change_type") === "insert", lit("upsert"))
                     .otherwise(lit("delete")))
                 .drop("_change_type")
-              upsertCommitted(spark, dstPath, legs, idCol, payloadCols,
+              upsertCommitted(spark, dstPath, legs, idCol, payloadCols(),
                 col(cur.keyName), txn = Some(writer -> v)): Unit
               applied += 1
+              prev = cur
+              v += 1
             case other =>
               throw new IllegalArgumentException(
                 s"replicateCommitted: v$v under $srcPath is a '$other' commit " +
                 "— whole-table replacement has no incremental story; drop the " +
                 "replica and bootstrap again")
           }
-          prev = cur
-          v += 1
         }
+        // a window tail of no-op versions (compact/evolve/txn) advances
+        // no mark through the data commits above — record it with a
+        // txn-only commit so the next run reports caughtUp instead of
+        // re-walking (and re-counting) the tail forever
+        val dstAfter = latestSnapshot(spark, dstPath).get
+        if (!dstAfter.txns.get(writer).exists(_ >= srcSnap.version))
+          commitTxn(spark, dstPath, writer, srcSnap.version): Unit
         SyncStats(from, srcSnap.version, applied,
           latestSnapshot(spark, dstPath).get.version, caughtUp = false)
     }
@@ -1406,6 +1475,27 @@ object Layout {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Txn-only commit — the Delta empty-batch action: snapshot N+1 with
+    * the SAME files and schema, only the (writer -> batchId) high-water
+    * mark advanced. What lets a CDC consumer record progress across
+    * source versions that materialize nothing on the sink (compactions,
+    * already-mirrored evolves) instead of re-walking them on every run.
+    * The op is `txn`, which both change feeds treat as adds-no-rows —
+    * so a replica that is itself followed downstream stays feedable.
+    * Idempotent: a recorded mark at or past `batchId` returns the
+    * current snapshot without committing anything.
+    */
+  def commitTxn(spark: SparkSession, path: String, writer: String,
+      batchId: Long): TableSnapshot = {
+    val snap = latestSnapshot(spark, path).getOrElse(
+      throw new IllegalStateException(s"commitTxn: no committed table under $path"))
+    if (snap.txns.get(writer).exists(_ >= batchId)) return snap
+    val next = snap.copy(version = snap.version + 1,
+      txns = snap.txns + (writer -> batchId), op = "txn")
+    commitSnapshot(spark, path, next)
+    next
+  }
+
   /** What [[deleteWhere]] did: file and row accounting for the commit. */
   final case class DeleteStats(
       nFilesTotal: Long, nFilesRewritten: Long, nRowsDeleted: Long,
@@ -1448,7 +1538,6 @@ object Layout {
     }
     if (affected.isEmpty)
       return DeleteStats(snap.files.size.toLong, 0L, 0L, snap.version)
-    val fs = fsOf(spark, path)
     val src = readFiles(spark, path, snap, affected.map(_.name))
     // SQL DELETE semantics: only rows where the predicate is TRUE go;
     // a NULL predicate keeps its row (a bare !predicate would drop it)
@@ -1461,28 +1550,10 @@ object Layout {
     require(untouched.nonEmpty || keptRows > 0L,
       s"deleteWhere would empty the table at $path entirely — a committed " +
       "snapshot must list at least one file; drop the table instead")
-    val token = java.util.UUID.randomUUID().toString.take(8)
     val moved =
       if (keptRows == 0L) IndexedSeq.empty[String]
-      else {
-        val nOut = if (nFiles > 0) nFiles else affected.size
-        val tmp = new org.apache.hadoop.fs.Path(s"$path/.delete-$token")
-        keep.repartitionByRange(nOut, col(snap.keyName))
-          .sortWithinPartitions(snap.keyName)
-          .write.mode("overwrite").parquet(tmp.toString)
-        val staged = fs.listStatus(tmp)
-          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-        val m = staged.zipWithIndex.map { case (st, i) =>
-          val target = new org.apache.hadoop.fs.Path(
-            s"$path/part-delete-$token-$i${suffixOf(st.getPath.getName)}")
-          if (!fs.rename(st.getPath, target))
-            throw new java.io.IOException(
-              s"delete rename ${st.getPath} -> $target failed")
-          target.getName
-        }.toIndexedSeq
-        fs.delete(tmp, true)
-        m
-      }
+      else stageAndMoveIn(keep, path, "delete", snap.keyName,
+        if (nFiles > 0) nFiles else affected.size)
     val movedEntries = snapshotEntries(spark, path, snap.keyName, moved, snap.statsCols)
     require(movedEntries.map(_.rows).sum == keptRows,
       "deleteWhere: rewritten row count diverged from the survivor count; " +
@@ -1539,7 +1610,6 @@ object Layout {
     }
     if (affected.isEmpty)
       return UpdateStats(snap.files.size.toLong, 0L, 0L, snap.version)
-    val fs = fsOf(spark, path)
     val src = readFiles(spark, path, snap, affected.map(_.name))
     val missing = set.map(_._1).filterNot(src.columns.contains)
     require(missing.isEmpty,
@@ -1564,23 +1634,8 @@ object Layout {
         s"table's recorded schema (hash $expect) under $path")
     }
     val untouched = snap.files.filterNot(affected.map(_.name).toSet contains _.name)
-    val token = java.util.UUID.randomUUID().toString.take(8)
     val nOut = if (nFiles > 0) nFiles else affected.size
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/.update-$token")
-    updated.repartitionByRange(nOut, col(snap.keyName))
-      .sortWithinPartitions(snap.keyName)
-      .write.mode("overwrite").parquet(tmp.toString)
-    val staged = fs.listStatus(tmp)
-      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-    val moved = staged.zipWithIndex.map { case (st, i) =>
-      val target = new org.apache.hadoop.fs.Path(
-        s"$path/part-update-$token-$i${suffixOf(st.getPath.getName)}")
-      if (!fs.rename(st.getPath, target))
-        throw new java.io.IOException(
-          s"update rename ${st.getPath} -> $target failed")
-      target.getName
-    }.toIndexedSeq
-    fs.delete(tmp, true)
+    val moved = stageAndMoveIn(updated, path, "update", snap.keyName, nOut)
     val movedEntries = snapshotEntries(spark, path, snap.keyName, moved, snap.statsCols)
     require(movedEntries.map(_.rows).sum == affected.map(_.rows).sum,
       "updateWhere: rewritten row count diverged from the affected files' " +
@@ -1655,7 +1710,6 @@ object Layout {
     // rows enter through the same join + commit path
     val affected =
       if (affected0.nonEmpty) affected0 else snap.files.sortBy(_.rows).take(1)
-    val fs = fsOf(spark, path)
     val src = readFiles(spark, path, snap, affected.map(_.name))
     val missing = (idCol +: payloadCols).filterNot(src.columns.contains)
     require(missing.isEmpty,
@@ -1684,28 +1738,10 @@ object Layout {
     require(untouched.nonEmpty || keptRows > 0L,
       s"upsertCommitted would empty the table at $path entirely — a committed " +
       "snapshot must list at least one file; drop the table instead")
-    val token = java.util.UUID.randomUUID().toString.take(8)
     val moved =
       if (keptRows == 0L) IndexedSeq.empty[String]
-      else {
-        val nOut = if (nFiles > 0) nFiles else affected.size
-        val tmp = new org.apache.hadoop.fs.Path(s"$path/.upsert-$token")
-        clustered.repartitionByRange(nOut, col(keyName))
-          .sortWithinPartitions(keyName)
-          .write.mode("overwrite").parquet(tmp.toString)
-        val staged = fs.listStatus(tmp)
-          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-        val m = staged.zipWithIndex.map { case (st, i) =>
-          val target = new org.apache.hadoop.fs.Path(
-            s"$path/part-upsert-$token-$i${suffixOf(st.getPath.getName)}")
-          if (!fs.rename(st.getPath, target))
-            throw new java.io.IOException(
-              s"upsert rename ${st.getPath} -> $target failed")
-          target.getName
-        }.toIndexedSeq
-        fs.delete(tmp, true)
-        m
-      }
+      else stageAndMoveIn(clustered, path, "upsert", keyName,
+        if (nFiles > 0) nFiles else affected.size)
     val movedEntries = snapshotEntries(spark, path, keyName, moved, snap.statsCols)
     require(movedEntries.map(_.rows).sum == keptRows,
       "upsertCommitted: rewritten row count diverged from the applied count; " +

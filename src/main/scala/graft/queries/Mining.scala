@@ -48,6 +48,10 @@ object Mining {
         .withColumn("y", col("text").contains("spark").cast("int"))
       val model = Classifier.trainLogistic(docs, "y", "text", dim = 256,
         iters = 30, lr = 2.0)
+      // stash the learned weights: oracleSql restates the SCORING path
+      // (murmur3 buckets + ordered margin fold + sigmoid) in DuckDB with
+      // these as literals — see OracleStash
+      OracleStash.putLrModel(model.biasNano, model.weightNanos)
       Classifier.scoreLogistic(docs, "doc_id", "text", model)
         .orderBy(col("doc_id"))
     }),

@@ -1,0 +1,214 @@
+package graft.queries
+
+/** Learned-artifact stash for oracle interpolation — what turns the two
+  * driver-side training loops (BPE merge learning, logistic-regression
+  * gradient descent) from rows-only/golden rows into full DuckDB oracle
+  * rows.
+  *
+  * The training LOOP is not SQL-expressible, but its RESULT is a small
+  * deterministic artifact (a 50-pair merge list; 256 quantized-Long
+  * weights + a bias), and everything downstream of the artifact —
+  * tokenization, greedy merge application, feature hashing, the margin
+  * sum, chunking, packing — is exactly restatable in SQL. The queries
+  * stash their artifacts here at run time; [[graft.SparkEntry.oracleSql]]
+  * (a def, evaluated by Verify AFTER the queries ran) emits oracle SQL
+  * with the artifact as literals. The oracle then independently replays
+  * the full application path from the raw parquet tables: a wrong
+  * tokenizer, a wrong merge application, a drifted hash, or a lost row
+  * all hash-break, and only the 50/257 literal numbers themselves are
+  * taken from the run. Training determinism stays separately pinned
+  * (BpeSpec's paper example, ClassifierSpec's reference arithmetic, and
+  * the GoldenGate per-sf output hashes, which remain in force).
+  *
+  * If a query did not run in this JVM (filtered Verify, spec runs), its
+  * entry is simply absent and the driver records the old rows-only
+  * check — graceful degradation, never a wrong oracle.
+  */
+object OracleStash {
+
+  @volatile private var bpeMerges: Option[Seq[(String, String)]] = None
+  @volatile private var lrModel: Option[(Long, Array[Long])] = None
+
+  def putBpeMerges(merges: Seq[(String, String)]): Unit = { bpeMerges = Some(merges) }
+  def putLrModel(biasNano: Long, weightNanos: Array[Long]): Unit =
+    { lrModel = Some((biasNano, weightNanos.clone())) }
+
+  /** SQL string literal with single quotes escaped. */
+  private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  // ---- BPE: tokenize → greedy merge application, all in SQL ------------
+  //
+  // A word's symbol sequence rides ONE delimited string: every symbol is
+  // wrapped as <US>sym<US> (US = chr(31), absent from \S+ tokens of the
+  // ASCII corpus) and the wrapped symbols concatenated. One learned merge
+  // (a, b) is then EXACTLY DuckDB's replace(s, '<US>a<US><US>b<US>',
+  // '<US>ab<US>'): replace scans left-to-right and continues after each
+  // replacement — the same greedy non-overlapping pass
+  // BpeTrainer.encodeWord runs — and the full wrapping makes a partial
+  // token-boundary match impossible. 50 merges = 50 nested replaces.
+
+  private val US = "chr(31)"
+
+  /** Initial wrapped-symbol string for a word `w`: chars + '</w>'. */
+  private def bpeInitSql(w: String): String =
+    s"$US || array_to_string(list_append(" +
+      s"[substr($w, i, 1) FOR i IN range(1, len($w) + 1)], '</w>'), " +
+      s"$US || $US) || $US"
+
+  /** Nested replaces applying the learned merges in order. */
+  private def bpeApplySql(expr: String, merges: Seq[(String, String)]): String =
+    merges.foldLeft(expr) { case (acc, (a, b)) =>
+      s"replace($acc,\n      $US || ${sq(a)} || $US || $US || ${sq(b)} || $US," +
+        s" $US || ${sq(a + b)} || $US)"
+    }
+
+  /** Shared prefix: distinct words → encoded subword lists, then doc
+    * occurrences joined back in order. `occ` = (doc_id, i, w);
+    * `enc` = (w, syms LIST, n_sub); `ds` = (doc_id, n_tokens,
+    * n_subwords, subs LIST — the doc's flat subword sequence).
+    */
+  private def bpeCtes(merges: Seq[(String, String)]): String =
+    s"""toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(trim(text)), '\\S+') AS ws
+       |  FROM documents),
+       |occ AS (
+       |  SELECT doc_id, i, ws[i] AS w
+       |  FROM toks, unnest(range(1, len(ws) + 1)) AS u(i)),
+       |dw AS (SELECT DISTINCT w FROM occ),
+       |enc0 AS (
+       |  SELECT w, ${bpeApplySql(bpeInitSql("w"), merges)} AS s FROM dw),
+       |enc AS (
+       |  SELECT w, string_split(substr(s, 2, len(s) - 2), $US || $US) AS syms
+       |  FROM enc0),
+       |ds AS (
+       |  SELECT occ.doc_id,
+       |    count(*) AS n_tokens,
+       |    CAST(sum(len(enc.syms)) AS BIGINT) AS n_subwords,
+       |    flatten(list(enc.syms ORDER BY occ.i)) AS subs
+       |  FROM occ JOIN enc USING (w)
+       |  GROUP BY occ.doc_id)""".stripMargin
+
+  /** q_bpe_tokenize: (doc_id, n_tokens, n_subwords) per doc. Docs whose
+    * tokenization is empty keep (0, 0) — tokenize() emits them too.
+    */
+  private def bpeTokenizeSql(merges: Seq[(String, String)]): String =
+    s"""WITH ${bpeCtes(merges)}
+       |SELECT t.doc_id,
+       |  CAST(coalesce(ds.n_tokens, 0) AS INT) AS n_tokens,
+       |  CAST(coalesce(ds.n_subwords, 0) AS INT) AS n_subwords
+       |FROM toks t LEFT JOIN ds USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+
+  /** q_tokenize_pack: subword stream → 32/32 chunks → ord = doc*1000 +
+    * chunk_idx → 256-capacity packing → per-bin stats, the exact
+    * Chunking.chunkByTokens / Packing.packBySize / packStats algebra
+    * (the q_chunk_windows and q_pack_sequences oracle shapes composed).
+    */
+  private def tokenizePackSql(merges: Seq[(String, String)]): String =
+    s"""WITH ${bpeCtes(merges)},
+       |chunks AS (
+       |  SELECT doc_id, CAST(start // 32 AS INT) AS chunk_idx,
+       |    CAST(least(start + 32, len(subs)) - start AS INT) AS n_tokens
+       |  FROM (SELECT doc_id, subs, unnest(range(0, len(subs), 32)) AS start
+       |        FROM ds)
+       |  WHERE start = 0 OR start < len(subs)),
+       |ordc AS (
+       |  SELECT doc_id * 1000 + chunk_idx AS ord, n_tokens FROM chunks),
+       |packed AS (
+       |  SELECT ord, n_tokens,
+       |    SUM(n_tokens) OVER (ORDER BY ord
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM ordc)
+       |SELECT CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS bin,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       |  round(sum(n_tokens) / 256.0, 6) AS fill
+       |FROM packed GROUP BY 1 ORDER BY bin""".stripMargin
+
+  // ---- logistic scoring: MurmurHash3 + margin fold in SQL --------------
+  //
+  // Scala's MurmurHash3.stringHash(token, 42) restated as wrapping 32-bit
+  // arithmetic over BIGINT/HUGEINT values in [0, 2^32): multiplies go
+  // through HUGEINT and reduce mod 2^32, rotations split into the two
+  // disjoint shifted halves, >>> is integer division. The bucket is the
+  // hash's low 8 bits (dim = 256 is a power of two, so Scala's
+  // ((h % dim) + dim) % dim on the signed int equals the unsigned low
+  // byte). The margin then replays scoreLogistic's EXACT double-add
+  // order: bias/1e9 followed by the occupied buckets' weights ascending.
+
+  private def mul32(x: String, c: Long): String =
+    s"CAST((CAST($x AS HUGEINT) * $c) % 4294967296 AS BIGINT)"
+  private def rotl32(x: String, r: Int): String =
+    s"((($x * ${1L << r}) % 4294967296) + ($x // ${1L << (32 - r)}))"
+  /** mixLast(h, d): h XOR (rotl(d*c1, 15) * c2). */
+  private def mixLast(h: String, d: String): String =
+    s"xor($h, ${mul32(rotl32(mul32(d, 3432918353L), 15), 461845907L)})"
+  /** mix(h, d): rotl(mixLast, 13) * 5 + 0xe6546b64. */
+  private def mix(h: String, d: String): String =
+    s"((${rotl32(mixLast(h, d), 13)} * 5 + 3864292196) % 4294967296)"
+
+  private def lrScoreSql(biasNano: Long, weightNanos: Array[Long]): String = {
+    val wlist = weightNanos.mkString("[", ", ", "]")
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(trim(text)), '\\S+') AS ws
+       |  FROM documents),
+       |dtok AS (
+       |  SELECT DISTINCT unnest(ws) AS token FROM toks),
+       |hp AS (
+       |  SELECT token, len(token) AS n,
+       |    list_reduce(
+       |      list_prepend(CAST(42 AS BIGINT),
+       |        [CAST(unicode(substr(token, 2 * j + 1, 1)) * 65536
+       |              + unicode(substr(token, 2 * j + 2, 1)) AS BIGINT)
+       |         FOR j IN range(0, len(token) // 2)
+       |         IF 2 * j + 2 <= len(token)]),
+       |      (h, d) -> ${mix("h", "d")}) AS h0
+       |  FROM dtok),
+       |hm AS (
+       |  SELECT token, n,
+       |    CASE WHEN n % 2 = 1 THEN
+       |      ${mixLast("h0", "CAST(unicode(substr(token, n, 1)) AS BIGINT)")}
+       |    ELSE h0 END AS h1
+       |  FROM hp),
+       |f0 AS (SELECT token, xor(h1, n) AS a0 FROM hm),
+       |f1 AS (SELECT token, xor(a0, a0 // 65536) AS a1 FROM f0),
+       |f2 AS (SELECT token, ${mul32("a1", 2246822507L)} AS a2 FROM f1),
+       |f3 AS (SELECT token, xor(a2, a2 // 8192) AS a3 FROM f2),
+       |f4 AS (SELECT token, ${mul32("a3", 3266489909L)} AS a4 FROM f3),
+       |tb AS (SELECT token, CAST(xor(a4, a4 // 65536) % 256 AS INT) AS bucket
+       |       FROM f4),
+       |occ AS (SELECT doc_id, unnest(ws) AS token FROM toks),
+       |db AS (SELECT DISTINCT occ.doc_id, tb.bucket
+       |       FROM occ JOIN tb USING (token)),
+       |wts AS (SELECT $wlist AS wl),
+       |z AS (
+       |  SELECT db.doc_id,
+       |    list_reduce(
+       |      list_prepend($biasNano / 1e9,
+       |        list(wts.wl[db.bucket + 1] / 1e9 ORDER BY db.bucket)),
+       |      (a, b) -> a + b) AS zv
+       |  FROM db CROSS JOIN wts GROUP BY db.doc_id),
+       |sc AS (
+       |  SELECT t.doc_id,
+       |    round(1.0 / (1.0 + exp(-coalesce(z.zv, $biasNano / 1e9))), 6)
+       |      AS quality_score
+       |  FROM toks t LEFT JOIN z USING (doc_id))
+       |SELECT doc_id, quality_score,
+       |  CAST(quality_score >= 0.5 AS INT) AS pred
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  /** Oracle entries for whichever artifacts this JVM's query runs
+    * stashed — evaluated by SparkEntry.oracleSql AFTER Verify ran the
+    * queries.
+    */
+  def dynamicOracles: Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    bpeMerges.foreach { m =>
+      b += ("q_bpe_tokenize" -> bpeTokenizeSql(m))
+      b += ("q_tokenize_pack" -> tokenizePackSql(m))
+    }
+    lrModel.foreach { case (bias, w) => b += ("q_lr_quality" -> lrScoreSql(bias, w)) }
+    b.result()
+  }
+}

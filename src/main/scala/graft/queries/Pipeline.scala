@@ -906,14 +906,16 @@ object Pipeline {
         (d, sg)
       }
       val embF = Future(slice(Tables(s, dir, "embeddings"), "vec_id").localCheckpoint())
-      val emb = Await.result(embF, scala.concurrent.duration.Duration.Inf)
+      val emb = graft.SubTimings.time("q_approx_dedup_quality", "truth_build") {
+        Await.result(embF, scala.concurrent.duration.Duration.Inf)
+      }
       // exact cosine truth (identical formula/rounding to the verify
       // stages), shared by the semdedup and 5×12 gates — built and
       // checkpointed BEFORE awaiting the doc side, so the two
       // materialization chains actually overlap
       val vecs = emb.select(col("vec_id").as("id"), col("embedding").as("v"),
         graft.ops.HashKernels.normUdf(col("embedding")).as("nrm"))
-      val truthCos = vecs
+      val truthCos0 = vecs
         .select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
         .join(vecs.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")),
           col("id_a") < col("id_b"))
@@ -922,11 +924,14 @@ object Pipeline {
             call_function("dot_f", col("va"), col("vb")) / (col("na") * col("nb")))
             .otherwise(lit(0.0)), 6).as("sim"))
         .filter(col("sim") >= 0.35)
-        .select(col("id_a"), col("id_b")).localCheckpoint()
+        .select(col("id_a"), col("id_b"))
+      val truthCosCk = graft.SubTimings.time("q_approx_dedup_quality", "truth_build") {
+        truthCos0.localCheckpoint()
+      }
 
       // semdedup drop sets: truth = min-id election over exact
       // components; detector = the q_semantic_dedup cell geometry
-      val truthDropped = Dedup.connectedComponents(truthCos)
+      val truthDropped = Dedup.connectedComponents(truthCosCk)
         .filter(col("id") =!= col("component"))
         .select(col("id").as("id_a"), col("id").as("id_b"))
       val semKept = SemDedup.dropSemanticDuplicates(emb, "vec_id", "embedding",
@@ -941,7 +946,9 @@ object Pipeline {
         .select(col("id_a"), col("id_b"))
 
       // doc side ready: simhash truth/detector + incremental truth/probe
-      val (docs, sigs) = Await.result(docsF, scala.concurrent.duration.Duration.Inf)
+      val (docs, sigs) = graft.SubTimings.time("q_approx_dedup_quality", "truth_build") {
+        Await.result(docsF, scala.concurrent.duration.Duration.Inf)
+      }
       val truthSim = sigs.select(col("id").as("id_a"), col("sig").as("sa"))
         .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")),
           col("id_a") < col("id_b"))
@@ -959,21 +966,25 @@ object Pipeline {
       // one-char-overlay twins (%97 ids shifted by 10M) guarantee the
       // truth set is nonempty at every SF: a twin's plane differs in
       // ≤1 sampled pixel → ≤2 dHash bits.
-      val mediaSlice = docs.select(col("doc_id").as("media_id"),
+      val mediaSlice0 = docs.select(col("doc_id").as("media_id"),
         col("text").cast("binary").as("payload"))
         .unionByName(docs.filter(col("doc_id") % 97 === 0)
           .select((col("doc_id") + 10000000L).as("media_id"),
             overlay(col("text"), lit("Z"), lit(19)).cast("binary").as("payload")))
-        .localCheckpoint()
-      val phSigs = graft.ops.Multimodal.perceptualHashes(mediaSlice)
-        .select(col("media_id").as("id"), col("dhash").as("sig"))
-        .localCheckpoint()
+      val mediaSliceCk = graft.SubTimings.time("q_approx_dedup_quality", "truth_build") {
+        mediaSlice0.localCheckpoint()
+      }
+      val phSigs = graft.SubTimings.time("q_approx_dedup_quality", "truth_build") {
+        graft.ops.Multimodal.perceptualHashes(mediaSliceCk)
+          .select(col("media_id").as("id"), col("dhash").as("sig"))
+          .localCheckpoint()
+      }
       val truthPh = phSigs.select(col("id").as("id_a"), col("sig").as("sa"))
         .join(phSigs.select(col("id").as("id_b"), col("sig").as("sb")),
           col("id_a") < col("id_b"))
         .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
         .select(col("id_a"), col("id_b"))
-      val phPairs = graft.ops.Multimodal.phashNearDuplicates(mediaSlice)
+      val phPairs = graft.ops.Multimodal.phashNearDuplicates(mediaSliceCk)
         .select(col("id_a"), col("id_b"))
 
       // dct_phash: the DCT low-frequency signature over the same media
@@ -981,15 +992,17 @@ object Pipeline {
       // the floor is exactly 1.0 like simhash/phash. (The overlay twins
       // move ≤1 plane pixel → a bounded low-frequency perturbation;
       // the truth set stays nonempty at every SF.)
-      val dctSigs = graft.ops.Multimodal.dctHashes(mediaSlice)
-        .select(col("media_id").as("id"), col("dcthash").as("sig"))
-        .localCheckpoint()
+      val dctSigs = graft.SubTimings.time("q_approx_dedup_quality", "truth_build") {
+        graft.ops.Multimodal.dctHashes(mediaSliceCk)
+          .select(col("media_id").as("id"), col("dcthash").as("sig"))
+          .localCheckpoint()
+      }
       val truthDct = dctSigs.select(col("id").as("id_a"), col("sig").as("sa"))
         .join(dctSigs.select(col("id").as("id_b"), col("sig").as("sb")),
           col("id_a") < col("id_b"))
         .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
         .select(col("id_a"), col("id_b"))
-      val dctPairs = graft.ops.Multimodal.dctNearDuplicates(mediaSlice)
+      val dctPairs = graft.ops.Multimodal.dctNearDuplicates(mediaSliceCk)
         .select(col("id_a"), col("id_b"))
 
       // incremental: exact cross-batch truth on the probe's own shingle
@@ -998,7 +1011,7 @@ object Pipeline {
       // S-curve-bounded floor), and the j ≥ 0.9 stratum, where
       // P(≥2 of 8 bands | p = 0.9^5) ≈ 0.993 — near-identical
       // re-ingests MUST be caught, so the strict floor is high
-      val truthIncAll = Dedup.ngramJaccard(
+      val truthIncAll0 = Dedup.ngramJaccard(
         docs.withColumn("blk", lit(0)), "doc_id", "text", "blk",
         n = 3, threshold = 0.7, maxBlockRows = 500)
         .filter((col("id_a") % 2 === 0) =!= (col("id_b") % 2 === 0))
@@ -1006,9 +1019,11 @@ object Pipeline {
           when(col("id_a") % 2 === 1, col("id_a")).otherwise(col("id_b")).as("id_a"),
           when(col("id_a") % 2 === 1, col("id_b")).otherwise(col("id_a")).as("id_b"),
           col("jaccard"))
-        .localCheckpoint()
-      val truthInc = truthIncAll.select(col("id_a"), col("id_b"))
-      val truthIncStrict = truthIncAll.filter(col("jaccard") >= 0.9)
+      val truthIncAllCk = graft.SubTimings.time("q_approx_dedup_quality", "truth_build") {
+        truthIncAll0.localCheckpoint()
+      }
+      val truthInc = truthIncAllCk.select(col("id_a"), col("id_b"))
+      val truthIncStrict = truthIncAllCk.filter(col("jaccard") >= 0.9)
         .select(col("id_a"), col("id_b"))
       val idx = Dedup.minhashBuildIndex(docs.filter(col("doc_id") % 2 === 0),
         "doc_id", "text", k = 3, numHashes = 40, bands = 8)
@@ -1036,15 +1051,17 @@ object Pipeline {
       // slowest one, not the sum; this is a gate query, but a 7.5s
       // serial tail was the most expensive row in the whole bench)
       import scala.concurrent.ExecutionContext.Implicits.global
-      val rows = Await.result(Future.sequence(Seq(
-        Future(verdict("cosine_lsh_5x12", 0.55, truthCos, cos512)),
+      val rows = graft.SubTimings.time("q_approx_dedup_quality", "verify") {
+        Await.result(Future.sequence(Seq(
+        Future(verdict("cosine_lsh_5x12", 0.55, truthCosCk, cos512)),
         Future(verdict("dct_phash", 1.0, truthDct, dctPairs)),
         Future(verdict("incremental_minhash", 0.30, truthInc, incPairs)),
         Future(verdict("incremental_strict", 0.75, truthIncStrict, incPairs, truthInc)),
         Future(verdict("phash", 1.0, truthPh, phPairs)),
         Future(verdict("semdedup", 0.25, truthDropped, semDropped)),
         Future(verdict("simhash", 1.0, truthSim, simPairs)))),
-        scala.concurrent.duration.Duration.Inf)
+          scala.concurrent.duration.Duration.Inf)
+      }
       rows
         .toDF("method", "recall_floor", "recall_ok", "exact_subset")
         .orderBy(col("method"))
@@ -1442,6 +1459,9 @@ object Pipeline {
     "q_bpe_tokenize" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       val merges = graft.ops.BpeTrainer.train(docs, "doc_id", "text", numMerges = 50)
+      // stash the learned merge list: oracleSql restates tokenization +
+      // greedy merge application in DuckDB with it — see OracleStash
+      OracleStash.putBpeMerges(merges.map(m => (m.a, m.b)))
       graft.ops.BpeTrainer.tokenize(docs, "doc_id", "text", merges)
         .select(col("doc_id"), col("n_tokens"), col("n_subwords"))
         .orderBy(col("doc_id"))
@@ -1454,6 +1474,7 @@ object Pipeline {
     "q_tokenize_pack" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       val merges = graft.ops.BpeTrainer.train(docs, "doc_id", "text", numMerges = 50)
+      OracleStash.putBpeMerges(merges.map(m => (m.a, m.b)))
       val tok = graft.ops.BpeTrainer.tokenize(docs, "doc_id", "text", merges)
       // pin the chunk frame: packBySize walks its input twice (the
       // narrow running-total projection and the join back) and the

@@ -67,6 +67,43 @@ class BloomIndexSpec extends AnyFunSuite {
       BloomIndex.bloomPrunedRead(spark, dir, "x", Seq(1L)))
   }
 
+  test("extendBloomSidecar follows appends without a rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom_ext").toString
+    val base = spark.range(10000).select(
+      col("id"), ((col("id") * 7919L) % 500).as("x"))
+    Layout.writeClustered(base, dir, col("x"), nFiles = 8)
+    val m0 = BloomIndex.writeBloomSidecar(spark, dir, "id")
+    assert(m0.rowsCapacity > 0L)
+    // two appends land new files the sidecar has no rows for
+    Layout.appendClustered(
+      spark.range(20000, 20300).select(col("id"), (col("id") % 500).as("x")),
+      dir, col("x"), nFiles = 1)
+    Layout.appendClustered(
+      spark.range(30000, 30300).select(col("id"), (col("id") % 500).as("x")),
+      dir, col("x"), nFiles = 1)
+    // DELTA maintenance: bloom rows for just the appended files, meta
+    // bumped to the current snapshot — no rebuild of the base filters
+    val before = spark.read.parquet(s"$dir/_blooms/id/data")
+      .select("file").as[String].collect().toSet
+    val m1 = BloomIndex.extendBloomSidecar(spark, dir, "id")
+    val snap = Layout.latestSnapshot(spark, dir).get
+    assert(m1.version == snap.version && m1.mBits == m0.mBits && m1.k == m0.k)
+    val after = spark.read.parquet(s"$dir/_blooms/id/data")
+      .select("file").as[String].collect().toSet
+    assert(before.subsetOf(after), "extension must not rewrite base rows")
+    assert((after -- before).nonEmpty && (after -- before)
+      .forall(n => n.startsWith("part-append-")),
+      s"only appended files gain rows, got ${after -- before}")
+    // probe straddles base + both appended generations: no false negatives
+    val probes = Seq(7L, 20100L, 30299L)
+    val (cand, total, df) = BloomIndex.bloomPrunedRead(spark, dir, "id", probes)
+    assert(total == 10)
+    assert(df.filter(col("id").isin(probes: _*)).count() == 3L)
+    assert(cand < total, s"expected skipping, got $cand/$total")
+    // already-current extension is a no-op; a fresh rebuild still works
+    assert(BloomIndex.extendBloomSidecar(spark, dir, "id").version == snap.version)
+  }
+
   test("bloom probe hashes ride the engine's xxhash64 — type-faithful") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bloom_str").toString
     // string column: probe must hash the STRING, not a stringified long

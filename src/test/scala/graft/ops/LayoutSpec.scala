@@ -1330,6 +1330,113 @@ class LayoutSpec extends AnyFunSuite {
     assert(Layout.readCommitted(spark, dir).count() == 1000L)
   }
 
+  test("replicateCommitted coalesces a contiguous append run into ONE commit") {
+    val src = java.nio.file.Files.createTempDirectory("graft_run_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_run_dst").toString + "/r"
+    def rows(r: Range) = spark.range(r.start, r.end)
+      .select(col("id"), (col("id") % 9).as("x"))
+    Layout.writeClustered(rows(0 until 100), src, col("id"), nFiles = 2,
+      statsCols = Seq("id"))
+    Layout.replicateCommitted(spark, src, dst, "id") // bootstrap at src v1
+    // a 10-append micro-batch run on the source (v2..v11)
+    (1 to 10).foreach(i =>
+      Layout.appendClustered(rows(100 * i until 100 * (i + 1)), src,
+        col("id"), nFiles = 1))
+    val dstV = Layout.latestSnapshot(spark, dst).get.version
+    val st = Layout.replicateCommitted(spark, src, dst, "id")
+    assert(st.versionsApplied == 10L, "all ten source versions consumed")
+    val after = Layout.latestSnapshot(spark, dst).get
+    // the whole run lands as ONE replica commit (the serial one-job-per-
+    // version loop was the op's only scale ceiling) ...
+    assert(after.version == dstV + 1,
+      s"expected one coalesced commit, got ${after.version - dstV}")
+    // ... carrying the coalesced txn high-water mark (the run's end)
+    assert(after.txns(s"sync:$src") == 11L)
+    val a = Layout.readCommitted(spark, src).select("id", "x")
+    val b = Layout.readCommitted(spark, dst).select("id", "x")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(Layout.replicateCommitted(spark, src, dst, "id").caughtUp)
+  }
+
+  test("replicateCommitted reaches caughtUp across a trailing no-op tail") {
+    val src = java.nio.file.Files.createTempDirectory("graft_tail_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_tail_dst").toString + "/r"
+    Layout.writeClustered(
+      spark.range(0, 2000).select(col("id"), (col("id") % 9).as("x")),
+      src, col("id"), nFiles = 6, statsCols = Seq("id"))
+    Layout.replicateCommitted(spark, src, dst, "id") // bootstrap, mark = v1
+    // a source compaction materializes NOTHING on the replica — before
+    // the txn-only mark advance, the replica stayed 'not caught up'
+    // forever and re-walked this tail on every run
+    Layout.compactFiles(spark, src, "cluster_key",
+      minFileBytes = 64L * 1024 * 1024, targetFileBytes = 64L * 1024 * 1024)
+    val st = Layout.replicateCommitted(spark, src, dst, "id")
+    assert(!st.caughtUp && st.versionsApplied == 0L)
+    val st2 = Layout.replicateCommitted(spark, src, dst, "id")
+    assert(st2.caughtUp, "mark must advance across a no-op tail")
+    assert(st2.versionsApplied == 0L && st2.dstVersion == st.dstVersion)
+    // the advance is a txn-only commit: same files, feed-transparent
+    val snap = Layout.latestSnapshot(spark, dst).get
+    assert(snap.op == "txn" && snap.txns(s"sync:$src") == 2L)
+    assert(Layout.tableChanges(spark, dst, snap.version - 1, snap.version)
+      .isEmpty, "a txn commit must add no rows to the change feed")
+  }
+
+  test("replicateCommitted applies evolve + mutation in ONE window") {
+    val src = java.nio.file.Files.createTempDirectory("graft_em_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_em_dst").toString + "/r"
+    Layout.writeClustered(
+      spark.range(1, 201).select(col("id"), (col("id") % 9).as("x")),
+      src, col("id"), nFiles = 2, statsCols = Seq("id"))
+    Layout.replicateCommitted(spark, src, dst, "id")
+    // evolve FOLLOWED by a row-level mutation, both unseen by the
+    // replica: the change-set payload must be built against the
+    // POST-evolve column set or the upsert's fingerprint check refuses
+    Layout.addColumn(spark, src, "tag", org.apache.spark.sql.types.StringType)
+    Layout.updateWhere(spark, src, col("id") <= 50,
+      Seq("tag" -> concat(lit("t"), col("id"))), Seq(("id", 0L, 50L)))
+    val st = Layout.replicateCommitted(spark, src, dst, "id")
+    assert(st.versionsApplied == 2L)
+    val a = Layout.readCommitted(spark, src).select("id", "x", "tag")
+    val b = Layout.readCommitted(spark, dst).select("id", "x", "tag")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "evolve+mutation window must replicate in one run")
+    assert(Layout.replicateCommitted(spark, src, dst, "id").caughtUp)
+  }
+
+  test("incrementalAggregate: in-window evolve contract") {
+    val src = java.nio.file.Files.createTempDirectory("graft_evagg_src").toString
+    val dstA = java.nio.file.Files.createTempDirectory("graft_evagg_a").toString + "/v"
+    val dstB = java.nio.file.Files.createTempDirectory("graft_evagg_b").toString + "/v"
+    def rows(r: Range) = spark.range(r.start, r.end).select(
+      col("id"), (col("id") % 10).as("g"),
+      (col("id") % 7).cast("decimal(10,2)").as("v"))
+    val aggs = Seq(("n", "", "count"), ("s", "v", "sum"))
+    Layout.writeClustered(rows(0 until 1000), src, col("id"), nFiles = 2)
+    Layout.incrementalAggregate(spark, src, dstA, "g", aggs, nFiles = 2)
+    Layout.incrementalAggregate(spark, src, dstB, "g", aggs, nFiles = 2)
+    // an UNRELATED evolve passes: the view never touches the new column
+    Layout.addColumn(spark, src, "note", org.apache.spark.sql.types.StringType)
+    Layout.appendClustered(
+      rows(1000 until 1500).withColumn("note", concat(lit("n"), col("id"))),
+      src, col("id"), nFiles = 1)
+    val ok = Layout.incrementalAggregate(spark, src, dstA, "g", aggs)
+    assert(!ok.caughtUp && ok.groupsMerged == 10L)
+    val want = Layout.readCommitted(spark, src).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast("decimal(38,2)").as("s"))
+    val got = Layout.readCommitted(spark, dstA).select("g", "n", "s")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // an evolve DROPPING an agg input refuses loudly with the remedy
+    // (dstB's mark still points before the drop, so its next window
+    // crosses it)
+    Layout.dropColumn(spark, src, "v")
+    val ex = intercept[IllegalArgumentException] {
+      Layout.incrementalAggregate(spark, src, dstB, "g", aggs)
+    }
+    assert(ex.getMessage.contains("re-bootstrap"),
+      s"refusal must name the remedy, got: ${ex.getMessage}")
+  }
+
   test("writeClustered is a pure permutation (content parity, key kept)") {
     val base = spark.range(5000).select(
       col("id"), ((col("id") * 37L) % 100).as("x"), ((col("id") * 11L) % 100).as("y"))
