@@ -12,14 +12,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JMH-style warm-up before measuring: ONE pass at sf0.01 compiles
-    // every plan and drives the shared kernels into C2; the first
-    // measured pass at the target SF then doubles as the target-scale
-    // warm-up, with min-of-2 discarding its residual JIT cost. (The
-    // former 3-SF warm-up + 2 measured = 5 full suite passes was the
-    // direct cause of the round-13 driver-bench wall-clock kill; plan
-    // compilation does not need three scale factors.)
-    Seq("/root/testdata/sf0.01").filterNot(_ == sfDir).foreach { warmDir =>
+    // JMH-style warm-up before measuring: ONE pass at the SMALLEST SF
+    // compiles every plan and drives the shared kernels into C2 — both
+    // costs are data-size-independent, so the cheapest data warms. The
+    // first measured pass at the target SF then doubles as the
+    // target-scale warm-up, with min-of-2 discarding its residual JIT
+    // cost. (The former 3-SF warm-up + 2 measured = 5 full suite passes
+    // was the direct cause of the round-13 driver-bench wall-clock
+    // kill.)
+    Seq("/root/testdata/sf0.001").filterNot(_ == sfDir).foreach { warmDir =>
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => }
       }

@@ -38,16 +38,20 @@ object GoldenGate {
     * are oracle-backed) is self-verifying at the driver's gate sf.
     */
   private val Pins: Map[String, Map[String, Long]] = Map(
-    // quantized-Long gradient training — bit-reproducible scores
     // fixed-level raw deflate over UTF-8 bytes (JVM zlib; determinism
     // within the container is the claim the pin asserts)
     "q_compression_ratio" -> Map(
       "sf0.001" -> 5659351399849157726L,
       "sf0.01" -> -1003849550103307618L),
+    // quantized-Long gradient training — bit-reproducible scores. ALSO
+    // oracle-backed since round 14 (OracleStash restates the scoring
+    // path with the learned weights as literals); the pin stays as
+    // defense-in-depth over the training loop itself
     "q_lr_quality" -> Map(
       "sf0.001" -> 593451318610010724L,
       "sf0.01" -> 9062431030121579018L),
-    // deterministic BPE merge loop
+    // deterministic BPE merge loop; ALSO oracle-backed since round 14
+    // (OracleStash replays merge application from the learned list)
     "q_bpe_tokenize" -> Map(
       "sf0.001" -> 311557740884800157L,
       "sf0.01" -> 8502358823665122315L),
@@ -116,7 +120,8 @@ object GoldenGate {
     "q_substring_pairs" -> Map(
       "sf0.001" -> 1666661063672788951L,
       "sf0.01" -> -6784187389549244528L),
-    // BPE spine + two-phase running total — integer-exact
+    // BPE spine + two-phase running total — integer-exact; ALSO
+    // oracle-backed since round 14 (OracleStash)
     "q_tokenize_pack" -> Map(
       "sf0.001" -> 8446402077215570318L,
       "sf0.01" -> -8775121591589721512L),

@@ -269,7 +269,7 @@ object Pipeline {
     // the incremental append==rebuild parity, so the gate times the
     // disk probe instead of re-running both paths through two
     // bidirectional anti-joins.
-    "q_dedup_index_persist" -> ((s, dir) => {
+    "q_dedup_index_persist" -> ((s, dir) => ScaleDomain.lifecycleOnce(s, "q_dedup_index_persist", dir) {
       val docs = Tables(s, dir, "documents")
       val even = docs.filter(col("doc_id") % 2 === 0)
       val odd = docs.filter(col("doc_id") % 2 === 1)
@@ -759,7 +759,7 @@ object Pipeline {
     // probe (multiset hash, any divergence flips the golden pin), and
     // the probed result is the emitted rows. Row-level parity + measured
     // partition skipping live in OpsSpec.
-    "q_ann_ivf_persist" -> ((s, dir) => {
+    "q_ann_ivf_persist" -> ((s, dir) => ScaleDomain.lifecycleOnce(s, "q_ann_ivf_persist", dir) {
       val emb = Tables(s, dir, "embeddings")
       val build = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 0)
       val delta = emb.filter(pmod(col("vec_id"), lit(5L)) === 0)
@@ -1431,7 +1431,7 @@ object Pipeline {
     // to parquet ONCE, scoring reads them back — must land on the same
     // oracle hash as the inline paths, proving the model file is a
     // lossless medium, not a near-copy.
-    "q_fivegram_kn_persist" -> ((s, dir) => {
+    "q_fivegram_kn_persist" -> ((s, dir) => ScaleDomain.lifecycleOnce(s, "q_fivegram_kn_persist", dir) {
       val docs = Tables(s, dir, "documents")
       val path = ScaleDomain.scratch(s, "kn5", dir)
       graft.SubTimings.time("q_fivegram_kn_persist", "model_write") {

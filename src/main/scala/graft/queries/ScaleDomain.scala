@@ -71,7 +71,7 @@ object ScaleDomain {
   private val lifecycleMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def lifecycleOnce(s: SparkSession, q: String, dir: String)(
+  private[queries] def lifecycleOnce(s: SparkSession, q: String, dir: String)(
       run: => DataFrame): DataFrame =
     lifecycleMemo.computeIfAbsent(
       s"$q|${s.sparkContext.applicationId}|$dir", _ => run)
@@ -386,7 +386,7 @@ object ScaleDomain {
     // aggregate per path — the row-level equivalence and the measured
     // partition skipping are DedupSpec's, so the gate times the probe,
     // not a duplicated exceptAll proof).
-    "q_phash_index_persist" -> ((s, dir) => {
+    "q_phash_index_persist" -> ((s, dir) => lifecycleOnce(s, "q_phash_index_persist", dir) {
       val m = media(s, dir)
       val twins = Tables(s, dir, "documents")
         .filter(col("doc_id") % 97 === 0 && col("doc_id") % 2 === 0)
