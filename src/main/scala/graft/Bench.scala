@@ -227,6 +227,17 @@ object Bench {
       "(q_lr_quality 2.7 vs 3.4 s) and 4+-rep JIT descents from 4-9x cold " +
       "(q_bam_fetch_sharded, q_heaps_fit); movers inside that band are " +
       "session noise, not plan changes.\n")
+    sb ++= ("- Round-14 harness change: lifecycle and persisted-index gates " +
+      "run their multi-commit fixture story ONCE per JVM and reruns time " +
+      "only the oracle-gated read, so totals for the q_manifest_*/" +
+      "q_incremental_*/q_replicate_committed/q_*_persist families dropped " +
+      "by construction (not a plan change; invariants are spec-pinned and " +
+      "driver-verified once per round). The suite also now measures at JIT " +
+      "depth 2-3 (one smallest-SF warm pass + two timed target passes) " +
+      "instead of depth 5, so slow-JIT-descent queries (the graph family, " +
+      "q_*_kn_dist, q_crawl_frontier) read HIGHER than r13-era artifacts " +
+      "on identical code — divide by the drift_probe sentinels in the same " +
+      "artifact before calling a regression.\n")
     sb ++= ("- Machine drift (measured, DriftProbe round 13 close, 6 reps at " +
       "sf0.1): the box itself slowed vs the r12-era artifacts on " +
       "byte-identical fixture-free queries — q_trustrank floor 5.3-5.9 s " +

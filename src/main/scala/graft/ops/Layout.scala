@@ -812,6 +812,20 @@ object Layout {
     out
   }
 
+  /** Resolve a consumer's source snapshot: the latest commit, or —
+    * with `asOfVersion >= 0` — exactly that retained version, the Delta
+    * `endingVersion` analog. Bounded consumption is what makes a run
+    * REPRODUCIBLE (pin the version, rerun the consumer, get the same
+    * window regardless of concurrent ingest) and lets a backfill walk a
+    * long history in deliberate steps.
+    */
+  private def resolveAsOf(spark: SparkSession, srcPath: String,
+      asOfVersion: Long, who: String): TableSnapshot =
+    if (asOfVersion >= 0L) snapshotAt(spark, srcPath, asOfVersion)
+    else latestSnapshot(spark, srcPath).getOrElse(
+      throw new IllegalStateException(
+        s"$who: no committed source table under $srcPath"))
+
   /** What [[incrementalEtl]] did: the source window it processed
     * ((fromVersion, toVersion]; fromVersion = 0 on the bootstrap run),
     * the rows it appended to the derived table, and the derived table's
@@ -856,14 +870,13 @@ object Layout {
     */
   def incrementalEtl(spark: SparkSession, srcPath: String, dstPath: String,
       transform: DataFrame => DataFrame, key: Column, nFiles: Int,
-      writerId: String = null, statsCols: Seq[String] = Nil): EtlStats = {
-    val srcSnap = latestSnapshot(spark, srcPath).getOrElse(
-      throw new IllegalStateException(
-        s"incrementalEtl: no committed source table under $srcPath"))
+      writerId: String = null, statsCols: Seq[String] = Nil,
+      asOfVersion: Long = -1L): EtlStats = {
+    val srcSnap = resolveAsOf(spark, srcPath, asOfVersion, "incrementalEtl")
     val writer = Option(writerId).getOrElse(s"etl:$srcPath")
     latestSnapshot(spark, dstPath) match {
       case None =>
-        val out = transform(readCommitted(spark, srcPath))
+        val out = transform(readSnapshot(spark, srcPath, srcSnap))
         val written = writeClustered(out, dstPath, key, nFiles,
           txn = Some(writer -> srcSnap.version), statsCols = statsCols)
         EtlStats(0L, srcSnap.version, written.count(),
@@ -960,15 +973,14 @@ object Layout {
       dstPath: String, groupCol: String,
       aggs: Seq[(String, String, String)],
       prepare: DataFrame => DataFrame = identity(_),
-      nFiles: Int = 0, writerId: String = null): AggEtlStats = {
+      nFiles: Int = 0, writerId: String = null,
+      asOfVersion: Long = -1L): AggEtlStats = {
     require(aggs.nonEmpty, "incrementalAggregate: empty agg list")
     require(aggs.map(_._1).distinct.size == aggs.size,
       "incrementalAggregate: duplicate output names")
     require(!aggs.map(_._1).contains(groupCol),
       "incrementalAggregate: an output name shadows the group column")
-    val srcSnap = latestSnapshot(spark, srcPath).getOrElse(
-      throw new IllegalStateException(
-        s"incrementalAggregate: no committed source table under $srcPath"))
+    val srcSnap = resolveAsOf(spark, srcPath, asOfVersion, "incrementalAggregate")
     val writer = Option(writerId).getOrElse(s"aggetl:$srcPath")
 
     import org.apache.spark.sql.types._
@@ -1011,7 +1023,7 @@ object Layout {
 
     latestSnapshot(spark, dstPath) match {
       case None =>
-        val boot = partial(prepare(readCommitted(spark, srcPath)))
+        val boot = partial(prepare(readSnapshot(spark, srcPath, srcSnap)))
         val n = if (nFiles > 0) nFiles else math.max(1, srcSnap.files.size / 2)
         writeClustered(boot, dstPath, xxhash64(col(groupCol)), n,
           txn = Some(writer -> srcSnap.version)): Unit
@@ -1138,10 +1150,8 @@ object Layout {
     */
   def replicateCommitted(spark: SparkSession, srcPath: String,
       dstPath: String, idCol: String, nFiles: Int = 0,
-      writerId: String = null): SyncStats = {
-    val srcSnap = latestSnapshot(spark, srcPath).getOrElse(
-      throw new IllegalStateException(
-        s"replicateCommitted: no committed source table under $srcPath"))
+      writerId: String = null, asOfVersion: Long = -1L): SyncStats = {
+    val srcSnap = resolveAsOf(spark, srcPath, asOfVersion, "replicateCommitted")
     val writer = Option(writerId).getOrElse(s"sync:$srcPath")
     require(idCol == srcSnap.keyName || srcSnap.statsCols.contains(idCol),
       s"replicateCommitted: '$idCol' has no per-file stats in the source " +
@@ -1150,7 +1160,7 @@ object Layout {
     latestSnapshot(spark, dstPath) match {
       case None =>
         val n = if (nFiles > 0) nFiles else srcSnap.files.size
-        writeClustered(readCommitted(spark, srcPath), dstPath,
+        writeClustered(readSnapshot(spark, srcPath, srcSnap), dstPath,
           col(srcSnap.keyName), n, keyName = srcSnap.keyName,
           txn = Some(writer -> srcSnap.version),
           statsCols = srcSnap.statsCols): Unit
@@ -1473,6 +1483,31 @@ object Layout {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** DESCRIBE HISTORY — the manifest log as a DataFrame: one row per
+    * RETAINED snapshot with (version, op, n_files, n_rows, txns). Cost
+    * is planning-state only — the small manifest files are read, never
+    * a data file — so auditing a 100 TB table's commit history is free
+    * at any size (the Delta DESCRIBE HISTORY analog over plain
+    * parquet). Vacuumed versions are absent by definition; `txns`
+    * renders the cumulative writer high-water marks sorted, so an
+    * ingest's exactly-once state is inspectable per version.
+    */
+  def describeHistory(spark: SparkSession, path: String): DataFrame = {
+    val fs = fsOf(spark, path)
+    val mdir = new org.apache.hadoop.fs.Path(path, ManifestDir)
+    require(fs.exists(mdir), s"describeHistory: no committed table under $path")
+    val versions = fs.listStatus(mdir)
+      .flatMap(st => versionOf(st.getPath.getName).map(_ -> st.getPath))
+      .sortBy(_._1)
+    require(versions.nonEmpty, s"describeHistory: empty manifest log under $path")
+    import spark.implicits._
+    versions.toIndexedSeq.map { case (v, p) =>
+      val s = readSnapshotFile(fs, p, v)
+      (v, s.op, s.files.size.toLong, s.totalRows,
+        s.txns.toSeq.sortBy(_._1).map { case (w, b) => s"$w:$b" }.mkString(","))
+    }.toDF("version", "op", "n_files", "n_rows", "txns")
   }
 
   /** Txn-only commit — the Delta empty-batch action: snapshot N+1 with

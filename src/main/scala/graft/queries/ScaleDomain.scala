@@ -1010,6 +1010,46 @@ object ScaleDomain {
         .withColumn("metadata_only", lit(true))
     }),
 
+    // DESCRIBE HISTORY as a gated query: a scripted lifecycle (create +
+    // two appends + compact + final append) audited from the MANIFEST
+    // LOG ALONE — describeHistory reads the small snapshot files, zero
+    // data access at any table size — with the op sequence and the
+    // exact per-version row counts oracle-recomputed from the pristine
+    // table's l_orderkey%4 batch partition (the compact preserves rows
+    // by contract, and the audit proves it version by version).
+    "q_table_history" -> ((s, dir) => lifecycleOnce(s, "q_table_history", dir) {
+      val path = scratch(s, "mhistory", dir)
+      val li = Tables(s, dir, "lineitem")
+      val key = Layout.zorderKey(Seq(
+        Layout.gridCell(col("l_partkey"), 0, 20000, 10),
+        Layout.gridCell(col("l_suppkey"), 0, 1000, 10)), 10)
+      def batch(i: Int) = li.filter(pmod(col("l_orderkey"), lit(4L)) === i)
+      graft.SubTimings.time("q_table_history", "fixture_write") {
+        Layout.writeClustered(batch(0), path, key, nFiles = 4): Unit
+      }
+      // rerun hygiene (see q_manifest_append)
+      Layout.vacuum(s, path, keepVersions = 1, minAgeMs = 0L): Unit
+      val v0 = Layout.latestSnapshot(s, path).get.version
+      graft.SubTimings.time("q_table_history", "fixture_write") {
+        Layout.appendClustered(batch(1), path, key, nFiles = 4): Unit
+        Layout.appendClustered(batch(2), path, key, nFiles = 4): Unit
+      }
+      val v2 = Layout.latestSnapshot(s, path).get
+      graft.SubTimings.time("q_table_history", "compact") {
+        Layout.compactFiles(s, path, "cluster_key",
+          minFileBytes = 64L * 1024 * 1024,
+          targetFileBytes = math.max(1L, v2.files.map(_.bytes).sum / 4)): Unit
+      }
+      graft.SubTimings.time("q_table_history", "fixture_write") {
+        Layout.appendClustered(batch(3), path, key, nFiles = 4): Unit
+      }
+      Layout.describeHistory(s, path)
+        .filter(col("version") >= v0)
+        .select((col("version") - lit(v0)).as("version_delta"),
+          col("op"), col("n_rows"))
+        .orderBy(col("version_delta"))
+    }),
+
     // Per-file bloom sidecar: point lookups on a column the z-order
     // does NOT cluster (l_orderkey in a partkey/suppkey-ordered table —
     // its min/max box spans every file, so stats boxes prune nothing).
@@ -1917,6 +1957,26 @@ object ScaleDomain {
         |  MIN(l_suppkey) AS min_l_suppkey, MAX(l_suppkey) AS max_l_suppkey,
         |  true AS metadata_only
         |FROM lineitem""".stripMargin,
+    // the history audit: op sequence is the scripted lifecycle, row
+    // counts are the cumulative batch sums (compact preserves rows)
+    "q_table_history" ->
+      """WITH c AS (
+        |  SELECT
+        |    SUM(CASE WHEN l_orderkey % 4 = 0 THEN 1 ELSE 0 END) AS c0,
+        |    SUM(CASE WHEN l_orderkey % 4 = 1 THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN l_orderkey % 4 = 2 THEN 1 ELSE 0 END) AS c2,
+        |    SUM(CASE WHEN l_orderkey % 4 = 3 THEN 1 ELSE 0 END) AS c3
+        |  FROM lineitem)
+        |SELECT v.version_delta, v.op,
+        |  CAST(CASE v.version_delta
+        |    WHEN 0 THEN c0 WHEN 1 THEN c0 + c1 WHEN 2 THEN c0 + c1 + c2
+        |    WHEN 3 THEN c0 + c1 + c2 ELSE c0 + c1 + c2 + c3 END AS BIGINT)
+        |    AS n_rows
+        |FROM (VALUES (CAST(0 AS BIGINT), 'create'), (1, 'append'),
+        |      (2, 'append'), (3, 'compact'), (4, 'append'))
+        |  v(version_delta, op)
+        |CROSS JOIN c
+        |ORDER BY v.version_delta""".stripMargin,
     // the point lookup restated directly on the pristine table; the
     // bloom's no-false-negative guarantee is what makes the pruned,
     // re-filtered read exact
