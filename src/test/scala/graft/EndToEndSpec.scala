@@ -185,7 +185,7 @@ class EndToEndSpec extends AnyFunSuite {
     assume(new java.io.File(dir).isDirectory)
     Seq("q_update_committed", "q_schema_evolve", "q_replicate_committed",
       "q_incremental_etl", "q_incremental_agg", "q_committed_bloom",
-      "q_manifest_stats").foreach { name =>
+      "q_manifest_stats", "q_table_history").foreach { name =>
       val fn = SparkEntry.queries(name)
       val df1 = fn(spark, dir)
       val first = df1.collect().map(_.toSeq).toSeq
@@ -194,7 +194,8 @@ class EndToEndSpec extends AnyFunSuite {
       val boolIdx = df1.schema.fields.zipWithIndex.collect {
         case (f, i) if f.dataType == org.apache.spark.sql.types.BooleanType => i
       }
-      assert(boolIdx.nonEmpty || name == "q_incremental_agg",
+      assert(boolIdx.nonEmpty ||
+        name == "q_incremental_agg" || name == "q_table_history",
         s"$name carries no pins?")
       assert(first.forall(r => boolIdx.forall(i => r(i) == true)),
         s"$name pin false on rerun: ${first.head}")
