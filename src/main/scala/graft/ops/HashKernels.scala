@@ -578,6 +578,20 @@ object HashKernels {
     c => f(c)
   }
 
+  /** The hyperplane weight family as a dense matrix — what lets an
+    * external oracle restate the signature bits: w(g, i) for global
+    * bits [0, n) over dims [0, d), the SAME formula [[hyperplaneProjs]]
+    * folds inline (any drift between the two is caught by the
+    * q_ann_lsh oracle gate, which replays signatures from this matrix).
+    */
+  def hyperplaneWeights(n: Int, d: Int, seed: Int): Array[Array[Double]] =
+    Array.tabulate(n) { b =>
+      Array.tabulate(d) { i =>
+        val h = mix(seed.toLong * 0x9e3779b97f4a7c15L + b.toLong * 0xbf58476d1ce4e5b9L + i)
+        (((h % 100000L) + 100000L) % 100000L).toDouble / 100000.0 - 0.5
+      }
+    }
+
   def bandBucketsUdf(bands: Int, r: Int, seed: Int): Column => Column = {
     val f = udf((v: Array[Float]) => hyperplaneBandBuckets(v, bands, r, seed))
     c => f(c)

@@ -338,9 +338,11 @@ object Similarity {
       k: Int = 10,
       kCentroids: Int = 16,
       nProbe: Int = 4,
-      lloydIters: Int = 3): DataFrame = {
+      lloydIters: Int = 3,
+      centroids: Option[DataFrame] = None): DataFrame = {
     ensureNative(corpus)
-    val cent = trainCentroids(corpus, idCol, vecCol, kCentroids, lloydIters)
+    val cent = centroids.getOrElse(
+      trainCentroids(corpus, idCol, vecCol, kCentroids, lloydIters))
 
     def cellScores(df: DataFrame, id: String) =
       df.select(col(idCol).as(id), col(vecCol).as("v"))

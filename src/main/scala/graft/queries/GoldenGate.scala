@@ -55,16 +55,21 @@ object GoldenGate {
     "q_bpe_tokenize" -> Map(
       "sf0.001" -> 311557740884800157L,
       "sf0.01" -> 8502358823665122315L),
-    // seeded hyperplane LSH top-k (per-row double sims, heap total-ordered)
+    // seeded hyperplane LSH top-k (per-row double sims, heap
+    // total-ordered); ALSO oracle-backed since round 14 (OracleStash
+    // replays signatures from the stashed weight matrix)
     "q_ann_lsh" -> Map(
       "sf0.001" -> -8064504202328906915L,
       "sf0.01" -> 1588868561351953551L),
-    // driver-deterministic k-means cells + exact in-cell scan
+    // driver-deterministic k-means cells + exact in-cell scan; ALSO
+    // oracle-backed since round 14 (OracleStash replays the probe
+    // pipeline with the stashed centroid model as literals)
     "q_ann_ivf" -> Map(
       "sf0.001" -> 6113114698965881482L,
       "sf0.01" -> 1996259252821340999L),
     // the same cells probed THROUGH the persisted cell-partitioned
-    // index; append==rebuild parity rides in the hashed rows
+    // index; append==rebuild parity rides in the hashed rows; ALSO
+    // oracle-backed since round 14 (OracleStash, build-slice model)
     "q_ann_ivf_persist" -> Map(
       "sf0.001" -> -2425388314313340813L,
       "sf0.01" -> 7699449505327174160L),

@@ -28,10 +28,20 @@ object OracleStash {
 
   @volatile private var bpeMerges: Option[Seq[(String, String)]] = None
   @volatile private var lrModel: Option[(Long, Array[Long])] = None
+  private val ivfCents =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Float])]]()
+  @volatile private var lshWeights: Option[Array[Array[Double]]] = None
+
+  def putLshWeights(w: Array[Array[Double]]): Unit = { lshWeights = Some(w) }
 
   def putBpeMerges(merges: Seq[(String, String)]): Unit = { bpeMerges = Some(merges) }
   def putLrModel(biasNano: Long, weightNanos: Array[Long]): Unit =
     { lrModel = Some((biasNano, weightNanos.clone())) }
+  /** IVF centroid model for `query` (q_ann_ivf / q_ann_ivf_persist train
+    * DIFFERENT models — full corpus vs the 80% build slice).
+    */
+  def putIvfCentroids(query: String, cents: Seq[(Long, Seq[Float])]): Unit =
+    { ivfCents.put(query, cents): Unit }
 
   /** SQL string literal with single quotes escaped. */
   private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -198,6 +208,103 @@ object OracleStash {
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 
+  // ---- IVF ANN: stashed centroid model, full probe replay in SQL ------
+  //
+  // The centroid TRAINING (hash-ordered sample, k-means++ with a seeded
+  // RNG, Lloyd rounds) is a deterministic driver loop — stashed as
+  // literals, separately pinned by the GoldenGate hashes and OpsSpec.
+  // Everything downstream is restated: every vector's argmax cell
+  // (unrounded cosine, ties to the smallest cell — the max_by order
+  // key), each query's nProbe=4 nearest cells (same tie-break), the
+  // self-excluded candidate set from the probed cells, the rounded
+  // exact re-rank, and the (sim DESC, neighbor_id) top-5 — the same
+  // cosine spelling the long-green q_ann_bruteforce oracle uses, so a
+  // hash match certifies the whole IVF pipeline given the model.
+  // Centroid floats are emitted via Double.toString of their exact
+  // double widening (shortest-repr FLOAT strings would re-round
+  // differently when DuckDB parses them as DOUBLE).
+  private def cos(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1, 64),
+       |      i -> $a[i]::DOUBLE * $b[i]::DOUBLE))
+       |    / nullif(sqrt(list_sum(list_transform(generate_series(1, 64),
+       |      i -> $a[i]::DOUBLE * $a[i]::DOUBLE))) *
+       |      sqrt(list_sum(list_transform(generate_series(1, 64),
+       |      i -> $b[i]::DOUBLE * $b[i]::DOUBLE))), 0)""".stripMargin
+
+  /** Shared final stages: self-excluded candidates → rounded exact
+    * re-rank → (sim DESC, neighbor_id) top-5 — the q_ann_bruteforce
+    * oracle discipline. `candCte` must define cand(query_id, neighbor_id).
+    */
+  private def annRerankSql(extraCols: String): String =
+    s"""scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    round(coalesce(${cos("q.embedding", "n.embedding")}, 0.0), 6) AS sim
+       |  FROM cand c
+       |  JOIN embeddings q ON q.vec_id = c.query_id
+       |  JOIN embeddings n ON n.vec_id = c.neighbor_id)
+       |SELECT query_id, neighbor_id, sim, rank$extraCols FROM (
+       |  SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private def ivfSql(cents: Seq[(Long, Seq[Float])], extraCols: String): String = {
+    val rows = cents.map { case (cell, v) =>
+      s"(CAST($cell AS BIGINT), [${v.map(_.toDouble.toString).mkString(", ")}])"
+    }.mkString(",\n      ")
+    s"""WITH cent(cell, cv) AS (VALUES
+       |      $rows),
+       |ccs AS (
+       |  SELECT e.vec_id AS nid, cent.cell,
+       |    coalesce(${cos("e.embedding", "cent.cv")}, 0.0) AS csim
+       |  FROM embeddings e CROSS JOIN cent),
+       |casg AS (
+       |  SELECT nid, cell FROM (
+       |    SELECT nid, cell, ROW_NUMBER() OVER (PARTITION BY nid
+       |      ORDER BY csim DESC, cell) AS rn
+       |    FROM ccs) t WHERE rn = 1),
+       |qsel AS (
+       |  SELECT nid AS query_id, cell FROM (
+       |    SELECT nid, cell, ROW_NUMBER() OVER (PARTITION BY nid
+       |      ORDER BY csim DESC, cell) AS rn
+       |    FROM ccs WHERE nid < 10) t WHERE rn <= 4),
+       |cand AS (
+       |  SELECT DISTINCT q.query_id, a.nid AS neighbor_id
+       |  FROM qsel q JOIN casg a USING (cell)
+       |  WHERE a.nid <> q.query_id),
+       |${annRerankSql(extraCols)}""".stripMargin
+  }
+
+  /** q_ann_lsh: hyperplane sign signatures replayed from the stashed
+    * weight matrix (72 global bits × 64 dims — deterministic splitmix
+    * weights, stashed because restating 64-bit wrapping splitmix in SQL
+    * buys nothing over literals), bucketed into 12 bands of 6 bits,
+    * exact-bucket candidate join (multiProbe = false in the gate),
+    * then the shared re-rank.
+    */
+  private def lshSql(w: Array[Array[Double]]): String = {
+    val rows = w.zipWithIndex.map { case (v, g) =>
+      s"(CAST($g AS BIGINT), [${v.map(_.toString).mkString(", ")}])"
+    }.mkString(",\n      ")
+    s"""WITH w(g, wv) AS (VALUES
+       |      $rows),
+       |bits AS (
+       |  SELECT e.vec_id AS id, w.g // 6 AS band,
+       |    CASE WHEN list_sum(list_transform(generate_series(1, 64),
+       |        i -> e.embedding[i]::DOUBLE * w.wv[i])) >= 0
+       |      THEN (CAST(1 AS BIGINT) << CAST(w.g % 6 AS INT)) ELSE 0 END AS bit
+       |  FROM embeddings e CROSS JOIN w),
+       |bk AS (
+       |  SELECT id, band, CAST(SUM(bit) AS BIGINT) AS bucket
+       |  FROM bits GROUP BY id, band),
+       |cand AS (
+       |  SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+       |  FROM bk q JOIN bk c USING (band, bucket)
+       |  WHERE q.id < 10 AND c.id <> q.id),
+       |${annRerankSql("")}""".stripMargin
+  }
+
   /** Oracle entries for whichever artifacts this JVM's query runs
     * stashed — evaluated by SparkEntry.oracleSql AFTER Verify ran the
     * queries.
@@ -209,6 +316,11 @@ object OracleStash {
       b += ("q_tokenize_pack" -> tokenizePackSql(m))
     }
     lrModel.foreach { case (bias, w) => b += ("q_lr_quality" -> lrScoreSql(bias, w)) }
+    Option(ivfCents.get("q_ann_ivf")).foreach(c =>
+      b += ("q_ann_ivf" -> ivfSql(c, "")))
+    Option(ivfCents.get("q_ann_ivf_persist")).foreach(c =>
+      b += ("q_ann_ivf_persist" -> ivfSql(c, ", true AS append_eq_rebuild")))
+    lshWeights.foreach(w => b += ("q_ann_lsh" -> lshSql(w)))
     b.result()
   }
 }

