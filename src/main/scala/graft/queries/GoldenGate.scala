@@ -82,7 +82,8 @@ object GoldenGate {
     "q_clean_corpus" -> Map(
       "sf0.001" -> 3009267281317416306L,
       "sf0.01" -> -531134740585318274L),
-    // seeded LSH candidates, exact rounded-cosine verify
+    // seeded LSH candidates, exact rounded-cosine verify; ALSO
+    // oracle-backed since round 14 (OracleStash weight-matrix replay)
     "q_cosine_neardup" -> Map(
       "sf0.001" -> -1167652805735308602L,
       "sf0.01" -> 7138736516249591035L),

@@ -30,9 +30,14 @@ object OracleStash {
   @volatile private var lrModel: Option[(Long, Array[Long])] = None
   private val ivfCents =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Float])]]()
-  @volatile private var lshWeights: Option[Array[Array[Double]]] = None
+  private val hypWeights =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
-  def putLshWeights(w: Array[Array[Double]]): Unit = { lshWeights = Some(w) }
+  /** Hyperplane weight matrix for `query` (q_ann_lsh probes 12x6 bits,
+    * q_cosine_neardup bands 12x5 — different geometries, same family).
+    */
+  def putHyperplaneWeights(query: String, w: Array[Array[Double]]): Unit =
+    { hypWeights.put(query, w): Unit }
 
   def putBpeMerges(merges: Seq[(String, String)]): Unit = { bpeMerges = Some(merges) }
   def putLrModel(biasNano: Long, weightNanos: Array[Long]): Unit =
@@ -305,6 +310,40 @@ object OracleStash {
        |${annRerankSql("")}""".stripMargin
   }
 
+  /** q_cosine_neardup: the same weight family bucketed as 12 bands of
+    * 5 bits, all-pairs (id_a < id_b) exact-bucket candidates, verified
+    * with the rounded cosine at threshold 0.35 — the self-join twin of
+    * [[lshSql]].
+    */
+  private def cosNeardupSql(w: Array[Array[Double]]): String = {
+    val rows = w.zipWithIndex.map { case (v, g) =>
+      s"(CAST($g AS BIGINT), [${v.map(_.toString).mkString(", ")}])"
+    }.mkString(",\n      ")
+    s"""WITH w(g, wv) AS (VALUES
+       |      $rows),
+       |bits AS (
+       |  SELECT e.vec_id AS id, w.g // 5 AS band,
+       |    CASE WHEN list_sum(list_transform(generate_series(1, 64),
+       |        i -> e.embedding[i]::DOUBLE * w.wv[i])) >= 0
+       |      THEN (CAST(1 AS BIGINT) << CAST(w.g % 5 AS INT)) ELSE 0 END AS bit
+       |  FROM embeddings e CROSS JOIN w),
+       |bk AS (
+       |  SELECT id, band, CAST(SUM(bit) AS BIGINT) AS bucket
+       |  FROM bits GROUP BY id, band),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bk a JOIN bk b USING (band, bucket)
+       |  WHERE a.id < b.id),
+       |scored AS (
+       |  SELECT c.id_a, c.id_b,
+       |    round(coalesce(${cos("x.embedding", "y.embedding")}, 0.0), 6) AS sim
+       |  FROM cand c
+       |  JOIN embeddings x ON x.vec_id = c.id_a
+       |  JOIN embeddings y ON y.vec_id = c.id_b)
+       |SELECT id_a, id_b, sim FROM scored
+       |WHERE sim >= 0.35 ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Oracle entries for whichever artifacts this JVM's query runs
     * stashed — evaluated by SparkEntry.oracleSql AFTER Verify ran the
     * queries.
@@ -320,7 +359,10 @@ object OracleStash {
       b += ("q_ann_ivf" -> ivfSql(c, "")))
     Option(ivfCents.get("q_ann_ivf_persist")).foreach(c =>
       b += ("q_ann_ivf_persist" -> ivfSql(c, ", true AS append_eq_rebuild")))
-    lshWeights.foreach(w => b += ("q_ann_lsh" -> lshSql(w)))
+    Option(hypWeights.get("q_ann_lsh")).foreach(w =>
+      b += ("q_ann_lsh" -> lshSql(w)))
+    Option(hypWeights.get("q_cosine_neardup")).foreach(w =>
+      b += ("q_cosine_neardup" -> cosNeardupSql(w)))
     b.result()
   }
 }

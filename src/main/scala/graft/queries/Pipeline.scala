@@ -739,7 +739,7 @@ object Pipeline {
       // oracle-backed since round 14: the deterministic hyperplane
       // weight matrix is stashed and the signature/bucket/re-rank path
       // replayed in DuckDB (OracleStash.lshSql)
-      OracleStash.putLshWeights(
+      OracleStash.putHyperplaneWeights("q_ann_lsh",
         graft.ops.HashKernels.hyperplaneWeights(n = 72, d = 64, seed = 42))
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, bitsPerBand = 6, bands = 12, multiProbe = false)
@@ -837,10 +837,15 @@ object Pipeline {
     // p≈0.61). Real corpora keep the defaults: threshold 0.95 auto-solves
     // to 20-bit bands, background 2^−20/band ⇒ ~10^−5·N² candidates.
     // Rows-only.
-    "q_cosine_neardup" -> ((s, dir) =>
+    "q_cosine_neardup" -> ((s, dir) => {
+      // oracle-backed since round 14: signatures replayed from the
+      // stashed weight matrix (OracleStash.cosNeardupSql)
+      OracleStash.putHyperplaneWeights("q_cosine_neardup",
+        graft.ops.HashKernels.hyperplaneWeights(n = 60, d = 64, seed = 42))
       Similarity.cosineNearDuplicates(Tables(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.35, bitsPerBand = 5, bands = 12)
-        .orderBy(col("id_a"), col("id_b"))),
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     // Measured near-dup contract (round 8), the dedup-family twin of
     // q_ann_recall: each probabilistic detector runs against the EXACT
