@@ -20,32 +20,47 @@ object Bench {
     // cost. (The former 3-SF warm-up + 2 measured = 5 full suite passes
     // was the direct cause of the round-13 driver-bench wall-clock
     // kill.)
+    val sc = spark.sparkContext
     Seq("/root/testdata/sf0.001").filterNot(_ == sfDir).foreach { warmDir =>
       SparkEntry.queries.foreach { case (_, fn) =>
+        val before = Checkpoints.mark(sc)
         try fn(spark, warmDir).count() catch { case _: Throwable => }
+        Checkpoints.releaseSince(sc, before): Unit
       }
     }
     // two measured iterations, report the per-query min: steady-state
     // latency, insulated from one-off GC/scheduler hiccups. A throwing
     // query reports -1.0 (never its elapsed time) so a broken query can't
     // masquerade as a fast one; failures are also listed under "errors".
-    def once(): (Map[String, Double], Map[String, Map[String, Double]]) = {
+    //
+    // Every query's checkpoints are released once its count lands
+    // (graft.Checkpoints; lifecycle-memoized frames are retained): the
+    // round-14 artifact shipped four rows distorted 8-46× by
+    // accumulated localCheckpoint blocks across 228 queries × 2 passes,
+    // and the per-pass storage summary below makes any regrowth visible
+    // in the run log instead of surfacing as unexplained late-bench
+    // slowdowns.
+    def once(tag: String): (Map[String, Double], Map[String, Map[String, Double]]) = {
       val subs = Map.newBuilder[String, Map[String, Double]]
       val times = SparkEntry.queries.map { case (name, fn) =>
         SubTimings.reset(name)
+        val before = Checkpoints.mark(sc)
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        Checkpoints.releaseSince(sc, before): Unit
         val st = SubTimings.get(name)
         if (ok && st.nonEmpty) subs += (name -> st)
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        name -> (if (ok) elapsed else -1.0)
       }
+      System.err.println(s"[bench] pass $tag done: ${Checkpoints.storageSummary(sc)}")
       (times, subs.result())
     }
     // scope the stage recordings to THIS measured run: a Verify (or any
     // other submitter) sharing the JVM records into its own bucket and
     // cannot contaminate these accumulated stage times
     val ((r1, s1), (r2, s2)) =
-      SubTimings.withRun(s"bench-${System.nanoTime()}")((once(), once()))
+      SubTimings.withRun(s"bench-${System.nanoTime()}")((once("1"), once("2")))
     val results = r1.map { case (k, v) =>
       k -> (if (v < 0 || r2(k) < 0) -1.0 else math.min(v, r2(k)))
     }
@@ -69,15 +84,42 @@ object Bench {
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    // host-speed sentinels for cross-session drift attribution: the
-    // min-of-2 of three fixture-free, code-stable queries IS a
-    // DriftProbe floor sample — a judge comparing artifacts divides by
-    // these instead of re-deriving host speed from the notes prose
-    val driftProbe = Seq("q_trustrank", "q_pagerank", "q_heaps_fit")
-      .flatMap(q => results.get(q).filter(_ >= 0).map(v => s"\"" + q + "\":" + v))
+    // host-speed sentinels for cross-session drift attribution: three
+    // fixture-free, code-stable queries re-measured in a SHORT DEDICATED
+    // loop (min-of-3 each) immediately before artifact write — NOT their
+    // in-suite values, which round 14 proved can be poisoned by the very
+    // late-bench JVM state they exist to diagnose (q_pagerank read 2.8×
+    // its floor inside the degraded run while its siblings read 0.88×,
+    // mutually inconsistent and useless for attribution). The dedicated
+    // loop runs on an otherwise idle pool at full JIT depth, so the
+    // three values are a clean same-JVM floor sample; a judge divides
+    // cross-artifact movement by these before calling a regression.
+    val sentinels = Seq("q_trustrank", "q_pagerank", "q_heaps_fit")
+    val sentinelFloors = sentinels.flatMap { q =>
+      SparkEntry.queries.get(q).map { fn =>
+        val floors = (1 to 3).map { _ =>
+          val before = Checkpoints.mark(sc)
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).count() catch { case _: Throwable => }
+          val t = (System.nanoTime() - t0) / 1e9
+          Checkpoints.releaseSince(sc, before): Unit
+          t
+        }
+        q -> floors.min
+      }
+    }
+    val driftProbe = sentinelFloors
+      .map { case (q, v) => s"\"" + q + "\":" + v }
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"subtimings":$subJson,"errors":$errors,"drift_probe":$driftProbe,"sf":"$sfDir"}"""
     println(line)
+    // The driver captures only a TAIL of stdout and the full line above
+    // exceeds it (round 14 shipped `parsed: null`); a compact summary
+    // printed AFTER it guarantees the tail always ends with parseable
+    // JSON carrying the headline numbers. The sentinels double as the
+    // compact line's `queries` so the driver's parsed record still has
+    // per-query anchors.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$driftProbe,"n_queries":${results.size},"errors":$errors,"drift_probe":$driftProbe,"sf":"$sfDir","full":"bench_full.json"}""")
     // The driver captures only a tail of stdout, which truncates per-query
     // timings past ~29 queries; persist the complete record alongside it.
     // The round-over-round notes are generated HERE, from the artifact
@@ -204,10 +246,22 @@ object Bench {
       sb ++= s"- Newly timed: ${newQ.map(q => s"$q ${f(cq(q))}s").mkString(", ")}\n"
     sb ++= s"- Regressions > 0.25 s: ${if (regress.isEmpty) "none" else ""}\n"
     regress.foreach { q =>
-      val note = KnownNoise.get(q).map(n => s" [$n]").getOrElse(
-        " [unattributed — within the measured cross-JVM drift band if < ~25%;" +
-        " run `runMain graft.DriftProbe <sfDir> " + q + " 8` twice to attribute" +
-        " before treating as a plan change]")
+      val ratio = cq(q) / math.max(pq(q), 1e-9)
+      // a multi-× mover is NEVER band-eligible: round 14 stamped a
+      // 45.8× JVM-state artifact with the "<~25%" boilerplate below.
+      // Anything past 2× gets an explicit probe-required flag — the
+      // KnownNoise prose (when present) rides along as context only.
+      val note =
+        if (ratio > 2.0)
+          f" [${ratio}%.1fx — OUTSIDE any drift band — probe before shipping:" +
+            " run `runMain graft.DriftProbe <sfDir> " + q + " 8` in a fresh JVM" +
+            " and attribute (JVM state / host / plan) before treating this row" +
+            " as real" +
+            KnownNoise.get(q).map(n => s"; stale band context: $n").getOrElse("") + "]"
+        else KnownNoise.get(q).map(n => s" [$n]").getOrElse(
+          " [unattributed — within the measured cross-JVM drift band if < ~25%;" +
+          " run `runMain graft.DriftProbe <sfDir> " + q + " 8` twice to attribute" +
+          " before treating as a plan change]")
       val split = (pSub.get(q), cSub.get(q)) match {
         case (Some(p), Some(c)) => s" {stages: $p -> $c}"
         case (None, Some(c)) => s" {stages: $c}"

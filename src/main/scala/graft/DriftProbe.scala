@@ -42,9 +42,15 @@ object DriftProbe {
       val runs = SubTimings.withRun(s"drift-${System.nanoTime()}") {
         (1 to reps).map { _ =>
           SubTimings.reset(name)
+          // same post-consumption checkpoint release as Bench: 8 reps
+          // of a checkpoint-heavy gate query would otherwise degrade
+          // the probe's OWN later reps — the exact JVM state this
+          // instrument exists to factor out
+          val before = Checkpoints.mark(spark.sparkContext)
           val t0 = System.nanoTime()
           fn(spark, dir).count()
           val total = (System.nanoTime() - t0) / 1e9
+          Checkpoints.releaseSince(spark.sparkContext, before): Unit
           (total, SubTimings.get(name))
         }
       }

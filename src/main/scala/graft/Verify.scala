@@ -35,12 +35,19 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // checkpoint hygiene: once the parquet write has fully consumed
+      // the result, the query's localCheckpoint frames (gate truths,
+      // GoldenGate pin materializations) are garbage — release them so
+      // a 228-query dump doesn't accumulate block-manager pressure
+      // (lifecycle-memoized frames are retained; see graft.Checkpoints)
+      val before = Checkpoints.mark(spark.sparkContext)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      Checkpoints.releaseSince(spark.sparkContext, before): Unit
     }
     // Gate self-check: a registered query that produced no parquet is a
     // silently-invisible hole in the round's correctness record (round 6

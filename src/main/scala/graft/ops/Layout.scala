@@ -730,6 +730,11 @@ object Layout {
         case "compact" => // byte permutation: adds no rows
         case "evolve"  => // same files, wider schema: adds no rows
         case "txn"     => // mark-only commit: same files, adds no rows
+        case "restore" =>
+          throw new IllegalArgumentException(
+            s"tableChanges: v$v under $path is a RESTORE — a rollback can " +
+            "REMOVE rows, which an adds-only feed cannot express; consume " +
+            "the window with tableChangesCdf (insert+delete legs) instead")
         case other =>
           throw new IllegalArgumentException(
             s"tableChanges: v$v under $path is a '$other' commit — it replaces " +
@@ -792,7 +797,11 @@ object Layout {
         case "evolve"  => // schema widened; rows unchanged (reads align
                           // on the TO-version schema, see above)
         case "txn"     => // mark-only commit: no row-level change
-        case "delete" | "upsert" | "update" =>
+        case "delete" | "upsert" | "update" | "restore" =>
+          // a restore IS a known file-list diff (the files V re-listed
+          // vs the files the undone commits had written), so the same
+          // pre/post legs express it exactly — Delta's RESTORE appears
+          // in ITS change feed the same way
           val pre = read(removed)
           val post = read(added)
           out = out
@@ -1053,7 +1062,13 @@ object Layout {
           var vv = from + 1
           while (vv <= srcSnap.version) {
             val sv = snapshotAt(spark, srcPath, vv)
-            if (sv.op == "evolve") {
+            // pre-schema-era `from` snapshots record no column set; an
+            // empty-set default would make EVERY in-window evolve look
+            // like it added the watched columns and spuriously refuse
+            // legacy tables — skip the diff until both sides record a
+            // schema (the evolve commit itself always does, so the walk
+            // self-heals one version in)
+            if (sv.op == "evolve" && pv.schema.isDefined) {
               val before = pv.schema.map(_.fieldNames.toSet).getOrElse(Set.empty)
               val after = sv.schema.map(_.fieldNames.toSet).getOrElse(before)
               val touched = ((after diff before) ++ (before diff after)) & watched
@@ -1145,8 +1160,10 @@ object Layout {
     * [[graft.ops.SnapshotDiff.applyChangeSet]] elects one winner per
     * id) and carrying per-file stats there (the key or a statsCols
     * entry), so the replica-side rewrite plans over boxes. A source
-    * rewrite/unknown commit refuses loudly — whole-table replacement
-    * has no incremental story; re-bootstrap the replica.
+    * RESTORE applies incrementally too (it is a known file-list diff —
+    * its CDF legs are exactly the rollback's removed + resurrected
+    * rows); only rewrite/unknown commits refuse loudly — whole-table
+    * replacement has no incremental story; re-bootstrap the replica.
     */
   def replicateCommitted(spark: SparkSession, srcPath: String,
       dstPath: String, idCol: String, nFiles: Int = 0,
@@ -1231,7 +1248,12 @@ object Layout {
               applied += 1
               prev = cur
               v += 1
-            case "delete" | "update" | "upsert" =>
+            case "delete" | "update" | "upsert" | "restore" =>
+              // a restore is a known file-list diff, so the replica
+              // follows it incrementally like any row-level mutation:
+              // the CDF legs carry exactly the rows the rollback
+              // removed and resurrected (round-14 directive #8 — the
+              // former `case other` refusal forced a re-bootstrap)
               val cdf = tableChangesCdf(spark, srcPath, v - 1, v)
               val legs = cdf
                 .withColumn("version",
@@ -1529,6 +1551,57 @@ object Layout {
       txns = snap.txns + (writer -> batchId), op = "txn")
     commitSnapshot(spark, path, next)
     next
+  }
+
+  /** RESTORE — roll the table back to retained version `version` as a
+    * NEW commit (Delta RESTORE semantics): snapshot N+1 re-lists
+    * exactly version V's files, schema, stats contract and tombstones,
+    * so readers see the old content under a new version while the full
+    * history — including the commits being undone — stays
+    * time-travelable until vacuum. Nothing is copied or rewritten: the
+    * restored files are still on disk (they were referenced by the
+    * retained snapshot V, which is exactly what [[vacuum]] preserves),
+    * so RESTORE is a manifest-only commit at any table size.
+    *
+    * The txn high-water marks are carried forward from the CURRENT
+    * snapshot, not V's: restore changes CONTENT, not ingest dedup
+    * state — a streaming sink's already-committed batch ids must not
+    * replay just because the data moved back (the Delta RESTORE rule).
+    *
+    * Change feeds: a restore is adds+deletes over a known file-list
+    * diff, so [[tableChangesCdf]] crosses it with the usual pre/post
+    * exceptAll legs and [[replicateCommitted]] applies it
+    * incrementally; the adds-only [[tableChanges]] refuses (restores
+    * can remove rows, which row-adds cannot express).
+    *
+    * Single-writer like every rewrite: losing the version race throws.
+    * Restoring to the current content is legal and commits a no-op
+    * restore (an explicit audit row in DESCRIBE HISTORY).
+    */
+  def restoreVersion(spark: SparkSession, path: String, version: Long): TableSnapshot = {
+    val cur = latestSnapshot(spark, path).getOrElse(
+      throw new IllegalStateException(s"restoreVersion: no committed table under $path"))
+    require(version <= cur.version,
+      s"restoreVersion: v$version is ahead of the table (latest v${cur.version})")
+    val tgt = snapshotAt(spark, path, version) // throws if vacuumed
+    // defense in depth: every restored file must still be on disk. A
+    // retained manifest whose files are gone means retention was
+    // bypassed (manual deletion, a foreign vacuum) — refuse with the
+    // remedy instead of committing a snapshot that cannot be read.
+    val fs = fsOf(spark, path)
+    val missing = tgt.files.map(_.name)
+      .filterNot(n => fs.exists(new org.apache.hadoop.fs.Path(s"$path/$n")))
+    require(missing.isEmpty,
+      s"restoreVersion: ${missing.size} of v$version's files are no longer " +
+      s"on disk under $path (e.g. ${missing.take(3).mkString(", ")}) — the " +
+      "generation was reclaimed outside vacuum's retention contract; " +
+      "restore from a replica or re-ingest instead")
+    val snap = TableSnapshot(cur.version + 1, tgt.keyName, tgt.files,
+      tgt.schemaHash, cur.txns, op = "restore",
+      statsCols = tgt.statsCols, schema = tgt.schema,
+      droppedCols = tgt.droppedCols)
+    commitSnapshot(spark, path, snap)
+    snap
   }
 
   /** What [[deleteWhere]] did: file and row accounting for the commit. */

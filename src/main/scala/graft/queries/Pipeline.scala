@@ -1062,35 +1062,67 @@ object Pipeline {
 
       // `subsetTruth` defaults to the recall truth; the strict stratum
       // passes the FULL truth there (a probe pair at j ∈ [0.7, 0.9) is
-      // correct, just outside the strict recall stratum)
+      // correct, just outside the strict recall stratum).
+      //
+      // One job per verdict: the approx side is consumed exactly ONCE —
+      // left-joined against the truth (hit marker) and the subset truth
+      // (allowed marker), both verdicts aggregated in the same pass.
+      // The round-14 shape (checkpoint t/a/st, then semi- and
+      // anti-join counts) materialized every frame an extra time and
+      // pinned ~20 localCheckpoints per invocation — the single largest
+      // block-manager pressure in the whole bench (round-14 verdict #1).
+      // Truth frames shared across verdicts arrive pre-checkpointed by
+      // the caller; pair keys are unique on both sides by construction,
+      // so the left-join markers count each approx pair exactly once.
+      // Each verdict records its own v_<method> sub-timing (the three
+      // coarse stages hid which of the 7 detectors grew — round-14
+      // directive #3); verdicts run on parallel threads, so the stage
+      // sums may exceed the query wall-clock (they attribute, not
+      // partition).
       def verdict(method: String, floor: Double, truth: DataFrame,
-          approx: DataFrame, subsetTruth: DataFrame = null) = {
-        val t = truth.localCheckpoint()
-        val a = approx.localCheckpoint()
-        val st = if (subsetTruth == null) t else subsetTruth.localCheckpoint()
-        val nTrue = t.count()
-        val hits = a.join(t, Seq("id_a", "id_b"), "left_semi").count()
-        val spurious = a.join(st, Seq("id_a", "id_b"), "left_anti").count()
-        (method, floor, nTrue > 0 && hits.toDouble / nTrue >= floor, spurious == 0L)
-      }
+          approx: DataFrame, subsetTruth: DataFrame = null) =
+        graft.SubTimings.time("q_approx_dedup_quality", s"v_$method") {
+          val t = truth
+          val st = if (subsetTruth == null) t else subsetTruth
+          val nTrue = t.count()
+          val row = approx
+            .join(t.select(col("id_a"), col("id_b"), lit(1).as("__hit")),
+              Seq("id_a", "id_b"), "left")
+            .join(st.select(col("id_a"), col("id_b"), lit(1).as("__ok")),
+              Seq("id_a", "id_b"), "left")
+            .agg(
+              coalesce(sum(col("__hit")).cast("long"), lit(0L)).as("hits"),
+              coalesce(sum(when(col("__ok").isNull, lit(1L))).cast("long"),
+                lit(0L)).as("spurious"))
+            .head()
+          val hits = row.getLong(0)
+          val spurious = row.getLong(1)
+          (method, floor, nTrue > 0 && hits.toDouble / nTrue >= floor,
+            spurious == 0L)
+        }
       import s.implicits._
-      // the six measurements are independent Spark job chains over
+      // the seven measurements are independent Spark job chains over
       // already-checkpointed slices — submit them from parallel threads
       // so their jobs interleave on the executor pool (wall-clock ≈ the
       // slowest one, not the sum; this is a gate query, but a 7.5s
       // serial tail was the most expensive row in the whole bench)
       import scala.concurrent.ExecutionContext.Implicits.global
-      val rows = graft.SubTimings.time("q_approx_dedup_quality", "verify") {
+      // frames feeding MORE THAN ONE evaluation are checkpointed once,
+      // INSIDE the future chain so their materializations overlap like
+      // the verdicts themselves do (a serial checkpoint block up front
+      // would re-serialize exactly the work the threads parallelize)
+      val incPairsF = Future(incPairs.localCheckpoint()) // feeds TWO verdicts
+      val rows =
         Await.result(Future.sequence(Seq(
         Future(verdict("cosine_lsh_5x12", 0.55, truthCosCk, cos512)),
-        Future(verdict("dct_phash", 1.0, truthDct, dctPairs)),
-        Future(verdict("incremental_minhash", 0.30, truthInc, incPairs)),
-        Future(verdict("incremental_strict", 0.75, truthIncStrict, incPairs, truthInc)),
-        Future(verdict("phash", 1.0, truthPh, phPairs)),
-        Future(verdict("semdedup", 0.25, truthDropped, semDropped)),
-        Future(verdict("simhash", 1.0, truthSim, simPairs)))),
+        Future(verdict("dct_phash", 1.0, truthDct.localCheckpoint(), dctPairs)),
+        incPairsF.map(ck => verdict("incremental_minhash", 0.30, truthInc, ck)),
+        incPairsF.map(ck =>
+          verdict("incremental_strict", 0.75, truthIncStrict, ck, truthInc)),
+        Future(verdict("phash", 1.0, truthPh.localCheckpoint(), phPairs)),
+        Future(verdict("semdedup", 0.25, truthDropped.localCheckpoint(), semDropped)),
+        Future(verdict("simhash", 1.0, truthSim.localCheckpoint(), simPairs)))),
           scala.concurrent.duration.Duration.Inf)
-      }
       rows
         .toDF("method", "recall_floor", "recall_ok", "exact_subset")
         .orderBy(col("method"))
@@ -1140,14 +1172,26 @@ object Pipeline {
       val cos = Similarity.cosineNearDuplicates(emb, "vec_id", "embedding",
         threshold = 0.35, bitsPerBand = 4, bands = 20)
         .select(col("id_a"), col("id_b"))
-      def verdict(method: String, floor: Double, truth: DataFrame, approx: DataFrame) = {
-        val t = truth.localCheckpoint()
-        val a = approx.localCheckpoint()
-        val nTrue = t.count()
-        val hits = a.join(t, Seq("id_a", "id_b"), "left_semi").count()
-        val spurious = a.join(t, Seq("id_a", "id_b"), "left_anti").count()
-        (method, floor, hits.toDouble / nTrue >= floor, spurious == 0L)
-      }
+      // one checkpoint per truth (it feeds a count AND a join), approx
+      // consumed exactly once in a single hit/spurious aggregation —
+      // the q_approx_dedup_quality verdict shape (round-14 directive
+      // #3: the old checkpoint-heavy semi/anti-join pair materialized
+      // every frame twice and pinned blocks for the rest of the bench)
+      def verdict(method: String, floor: Double, truth: DataFrame, approx: DataFrame) =
+        graft.SubTimings.time("q_dedup_quality", s"v_$method") {
+          val t = truth.localCheckpoint()
+          val nTrue = t.count()
+          val row = approx
+            .join(t.select(col("id_a"), col("id_b"), lit(1).as("__hit")),
+              Seq("id_a", "id_b"), "left")
+            .agg(
+              coalesce(sum(col("__hit")).cast("long"), lit(0L)).as("hits"),
+              coalesce(sum(when(col("__hit").isNull, lit(1L))).cast("long"),
+                lit(0L)).as("spurious"))
+            .head()
+          (method, floor, row.getLong(0).toDouble / nTrue >= floor,
+            row.getLong(1) == 0L)
+        }
       import s.implicits._
       // independent job chains → two submitting threads (see
       // q_approx_dedup_quality): wall-clock ≈ max, not sum

@@ -71,10 +71,23 @@ object ScaleDomain {
   private val lifecycleMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Test hook: drop every memoized lifecycle frame so the next
+    * invocation re-executes its fixture story against the PERSISTED
+    * scratch state — what EndToEndSpec's rerun battery needs to pin
+    * rerun hygiene for real (a memoized second call would only pin
+    * plan re-execution; round-14 ADVICE #2).
+    */
+  private[graft] def clearLifecycleMemo(): Unit = lifecycleMemo.clear()
+
   private[queries] def lifecycleOnce(s: SparkSession, q: String, dir: String)(
       run: => DataFrame): DataFrame =
     lifecycleMemo.computeIfAbsent(
-      s"$q|${s.sparkContext.applicationId}|$dir", _ => run)
+      s"$q|${s.sparkContext.applicationId}|$dir",
+      // RDDs checkpointed during the once-run back the MEMOIZED plan
+      // across invocations — retain them so the harnesses' post-query
+      // checkpoint release (graft.Checkpoints) never frees a frame a
+      // later rerun still reads through truncated lineage
+      _ => graft.Checkpoints.retaining(s.sparkContext)(run))
 
   /** q_incremental_etl derived-table invocation counter (see the query). */
   private val etlRuns = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -1019,6 +1032,13 @@ object ScaleDomain {
     // by contract, and the audit proves it version by version).
     "q_table_history" -> ((s, dir) => lifecycleOnce(s, "q_table_history", dir) {
       val path = scratch(s, "mhistory", dir)
+      // rerun hygiene for an op-AUDIT gate is a wipe, not a vacuum: a
+      // body rerun on the existing table would open with a REWRITE
+      // commit, and the oracle pins the delta-0 op as 'create' — the
+      // vacuum spelling survived only because memoization hid the
+      // rerun path (round-14 ADVICE #2's memo-cleared battery now
+      // executes it for real)
+      deleteRecursively(new java.io.File(path))
       val li = Tables(s, dir, "lineitem")
       val key = Layout.zorderKey(Seq(
         Layout.gridCell(col("l_partkey"), 0, 20000, 10),
@@ -1027,8 +1047,6 @@ object ScaleDomain {
       graft.SubTimings.time("q_table_history", "fixture_write") {
         Layout.writeClustered(batch(0), path, key, nFiles = 4): Unit
       }
-      // rerun hygiene (see q_manifest_append)
-      Layout.vacuum(s, path, keepVersions = 1, minAgeMs = 0L): Unit
       val v0 = Layout.latestSnapshot(s, path).get.version
       graft.SubTimings.time("q_table_history", "fixture_write") {
         Layout.appendClustered(batch(1), path, key, nFiles = 4): Unit
@@ -1048,6 +1066,60 @@ object ScaleDomain {
         .select((col("version") - lit(v0)).as("version_delta"),
           col("op"), col("n_rows"))
         .orderBy(col("version_delta"))
+    }),
+
+    // RESTORE — the rollback verb over the manifest log (round-14
+    // directive #7): create → two appends → a row-level DELETE →
+    // RESTORE to the pre-delete version → one more append. The restore
+    // re-commits the pre-delete FILE LIST as a new version (manifest
+    // only — nothing is copied or rewritten at any table size), so the
+    // final content is exactly the four batches = the pristine
+    // lineitem, which the oracle recomputes directly: a hash match
+    // certifies the rollback undid the delete bit-for-bit AND that the
+    // restored schema contract accepted the post-restore append. The
+    // audit trail (op sequence after the create, from DESCRIBE
+    // HISTORY) rides as a literal column the oracle pins verbatim.
+    // Scratch is wiped at body start so every body run tells the same
+    // create-rooted story (rerun identity via the memo-cleared
+    // EndToEndSpec battery).
+    "q_table_restore" -> ((s, dir) => lifecycleOnce(s, "q_table_restore", dir) {
+      val path = scratch(s, "mrestore", dir)
+      deleteRecursively(new java.io.File(path))
+      val li = Tables(s, dir, "lineitem")
+      val key = Layout.zorderKey(Seq(
+        Layout.gridCell(col("l_partkey"), 0, 20000, 10),
+        Layout.gridCell(col("l_suppkey"), 0, 1000, 10)), 10)
+      def batch(i: Int) = li.filter(pmod(col("l_orderkey"), lit(4L)) === i)
+      graft.SubTimings.time("q_table_restore", "fixture_write") {
+        Layout.writeClustered(batch(0), path, key, nFiles = 4): Unit
+        Layout.appendClustered(batch(1), path, key, nFiles = 4): Unit
+        Layout.appendClustered(batch(2), path, key, nFiles = 4): Unit
+      }
+      val vPre = Layout.latestSnapshot(s, path).get.version
+      graft.SubTimings.time("q_table_restore", "mutate") {
+        // non-prunable predicate (orderkey is smeared across every
+        // partkey/suppkey-clustered file) — the delete rewrites broadly,
+        // which is exactly what makes the subsequent manifest-only
+        // rollback the interesting contrast
+        Layout.deleteWhere(s, path, pmod(col("l_orderkey"), lit(8L)) === 1L): Unit
+      }
+      graft.SubTimings.time("q_table_restore", "restore") {
+        Layout.restoreVersion(s, path, vPre): Unit
+      }
+      graft.SubTimings.time("q_table_restore", "fixture_write") {
+        Layout.appendClustered(batch(3), path, key, nFiles = 4): Unit
+      }
+      val ops = Layout.describeHistory(s, path)
+        .filter(col("version") > lit(1L))
+        .orderBy(col("version"))
+        .select(col("op")).collect().map(_.getString(0)).mkString(",")
+      Layout.readCommitted(s, path)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("sum_qty"))
+        .withColumn("ops_applied", lit(ops))
+        .orderBy(col("l_returnflag"))
     }),
 
     // Per-file bloom sidecar: point lookups on a column the z-order
@@ -1078,8 +1150,13 @@ object ScaleDomain {
         BloomIndex.writeBloomSidecar(s, path, "l_orderkey"): Unit
       }
       graft.SubTimings.time("q_committed_bloom", "fixture_write") {
+        // 8 appended files, not 4: the odd half is ≈ the even half's
+        // rows, and extendBloomSidecar guards `biggest <= 4 *
+        // rowsCapacity` against the 16-file create's max — a 4-way
+        // split sat exactly AT the boundary, one skewed range
+        // partition from erroring the gate (round-14 ADVICE #1)
         Layout.appendClustered(li.filter(pmod(col("l_orderkey"), lit(2L)) === 1),
-          path, key, nFiles = 4): Unit
+          path, key, nFiles = 8): Unit
       }
       graft.SubTimings.time("q_committed_bloom", "index_write") {
         BloomIndex.extendBloomSidecar(s, path, "l_orderkey"): Unit
@@ -1977,6 +2054,16 @@ object ScaleDomain {
         |  v(version_delta, op)
         |CROSS JOIN c
         |ORDER BY v.version_delta""".stripMargin,
+    // the final table content IS the pristine lineitem (the four
+    // batches partition it; the delete was rolled back), so the oracle
+    // recomputes it directly — plus the audit-trail literal: any lost
+    // or resurrected row, and any deviation in the committed op
+    // sequence, hash-breaks
+    "q_table_restore" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  'append,append,delete,restore,append' AS ops_applied
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // the point lookup restated directly on the pristine table; the
     // bloom's no-false-negative guarantee is what makes the pruned,
     // re-filtered read exact

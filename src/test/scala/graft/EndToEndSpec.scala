@@ -175,30 +175,40 @@ class EndToEndSpec extends AnyFunSuite {
     assert(trail.forall { case (u, n) => n <= perUser(u) },
       "trailing count cannot exceed the user's event count")
   }
-  test("round-13 lifecycle gates rerun in one session: identical rows, pins stay true") {
-    // the bench's contract: every query runs several times in one JVM
-    // against the same per-app scratch root, so a second invocation
-    // must land on identical rows with every Boolean pin still true —
-    // this is exactly the check that catches stale-state bugs like a
-    // tombstone from run 1 refusing run 2's addColumn
+  test("lifecycle gates rerun on persisted scratch: identical rows, pins stay true") {
+    // two layers of rerun contract. The memoized second call pins plan
+    // RE-EXECUTION (the bench's per-pass rerun: same DataFrame, fresh
+    // jobs). Clearing the lifecycle memo (round-14 ADVICE #2) then
+    // forces a FULL fixture replay against the scratch state run 1
+    // persisted — the rerun-hygiene path (rewrite/vacuum/wipe + fresh
+    // derived paths) that memoization had hidden; this is the check
+    // that catches stale-state bugs like a tombstone from run 1
+    // refusing run 2's addColumn.
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(dir).isDirectory)
     Seq("q_update_committed", "q_schema_evolve", "q_replicate_committed",
       "q_incremental_etl", "q_incremental_agg", "q_committed_bloom",
-      "q_manifest_stats", "q_table_history").foreach { name =>
+      "q_manifest_stats", "q_table_history", "q_table_restore").foreach { name =>
       val fn = SparkEntry.queries(name)
       val df1 = fn(spark, dir)
       val first = df1.collect().map(_.toSeq).toSeq
       val second = fn(spark, dir).collect().map(_.toSeq).toSeq
-      assert(first == second, s"$name rerun produced different rows")
+      assert(first == second, s"$name memoized rerun produced different rows")
+      graft.queries.ScaleDomain.clearLifecycleMemo()
+      val replay = fn(spark, dir).collect().map(_.toSeq).toSeq
+      assert(first == replay,
+        s"$name fixture replay on persisted scratch produced different rows")
       val boolIdx = df1.schema.fields.zipWithIndex.collect {
         case (f, i) if f.dataType == org.apache.spark.sql.types.BooleanType => i
       }
       assert(boolIdx.nonEmpty ||
-        name == "q_incremental_agg" || name == "q_table_history",
+        name == "q_incremental_agg" || name == "q_table_history" ||
+        name == "q_table_restore",
         s"$name carries no pins?")
       assert(first.forall(r => boolIdx.forall(i => r(i) == true)),
         s"$name pin false on rerun: ${first.head}")
+      assert(replay.forall(r => boolIdx.forall(i => r(i) == true)),
+        s"$name pin false on fixture replay: ${replay.head}")
     }
   }
 }

@@ -1211,6 +1211,107 @@ class LayoutSpec extends AnyFunSuite {
       Layout.replicateCommitted(spark, src, dst, "id", writerId = "other"))
   }
 
+  test("restoreVersion: rollback as a new commit; history, CDF and appends stay consistent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_restore").toString
+    def rows(r: Range) = spark.range(r.start, r.end).select(
+      col("id"), concat(lit("v"), col("id")).as("payload"))
+    Layout.writeClustered(rows(0 until 100), dir, col("id"), nFiles = 2,
+      txn = Some("ingest" -> 1L))                                  // v1
+    Layout.appendClustered(rows(100 until 200), dir, col("id"), nFiles = 1,
+      txn = Some("ingest" -> 2L))                                  // v2
+    val vPre = Layout.latestSnapshot(spark, dir).get.version
+    assert(vPre == 2L)
+    Layout.deleteWhere(spark, dir, col("id") < 20L,
+      Seq(("cluster_key", 0L, 19L)))                               // v3
+    assert(Layout.readCommitted(spark, dir).count() == 180L)
+    val snap = Layout.restoreVersion(spark, dir, vPre)             // v4
+    assert(snap.version == 4L && snap.op == "restore")
+    // content == the pre-delete snapshot, bit for bit
+    val now = Layout.readCommitted(spark, dir).select("id", "payload")
+    val pre = Layout.readVersion(spark, dir, vPre).select("id", "payload")
+    assert(now.exceptAll(pre).isEmpty && pre.exceptAll(now).isEmpty)
+    // txn marks carried forward from the CURRENT head, not v2's copy
+    assert(snap.txns == Map("ingest" -> 2L))
+    // full history stays time-travelable, restore row in the audit log
+    assert(Layout.readVersion(spark, dir, 3L).count() == 180L)
+    val hist = Layout.describeHistory(spark, dir)
+      .orderBy(col("version")).select("op").collect().map(_.getString(0))
+    assert(hist.toSeq == Seq("create", "append", "delete", "restore"))
+    // CDF across the restore: exactly the deleted rows come back
+    val legs = Layout.tableChangesCdf(spark, dir, 3L, 4L)
+    assert(legs.filter(col("_change_type") === "insert").count() == 20L)
+    assert(legs.filter(col("_change_type") === "delete").count() == 0L)
+    // whole window delete→restore nets to zero row changes
+    val net = Layout.tableChangesCdf(spark, dir, 2L, 4L)
+    val ins = net.filter(col("_change_type") === "insert").drop("_change_type")
+    val del = net.filter(col("_change_type") === "delete").drop("_change_type")
+    assert(ins.exceptAll(del).isEmpty && del.exceptAll(ins).isEmpty)
+    // the adds-only feed refuses the restore with the CDF remedy
+    val err = intercept[IllegalArgumentException](
+      Layout.tableChanges(spark, dir, 3L, 4L))
+    assert(err.getMessage.contains("tableChangesCdf"))
+    // restore-then-append: the restored schema contract accepts batches
+    Layout.appendClustered(rows(200 until 210), dir, col("id"), nFiles = 1) // v5
+    assert(Layout.readCommitted(spark, dir).count() == 210L)
+    // replayed batch ids are still no-ops across the restore
+    val again = Layout.appendClustered(rows(900 until 990), dir, col("id"),
+      nFiles = 1, txn = Some("ingest" -> 2L))
+    assert(again.version == 5L, "replayed batch must not land after a restore")
+    // restoring ahead of the head refuses
+    intercept[IllegalArgumentException](
+      Layout.restoreVersion(spark, dir, 99L))
+  }
+
+  test("vacuum across a restore keeps the restored generation readable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_restore_vac").toString
+    def rows(r: Range) = spark.range(r.start, r.end).select(
+      col("id"), concat(lit("v"), col("id")).as("payload"))
+    Layout.writeClustered(rows(0 until 300), dir, col("id"), nFiles = 3) // v1
+    Layout.deleteWhere(spark, dir, col("id") >= 250L,
+      Seq(("cluster_key", 250L, 299L)))                                  // v2
+    Layout.restoreVersion(spark, dir, 1L)                                // v3
+    // keep only the restore snapshot; minAge 0 reclaims aggressively
+    val (droppedSnaps, droppedFiles) = Layout.vacuum(spark, dir, keepVersions = 1, minAgeMs = 0L)
+    assert(droppedSnaps == 2)
+    // the delete's rewritten generation is now orphaned — reclaimed
+    assert(droppedFiles > 0, "the undone delete's generation should be orphans")
+    // the restored (== v1) generation is REFERENCED by the kept
+    // snapshot and must survive the sweep
+    assert(Layout.readCommitted(spark, dir).count() == 300L)
+    // a vacuumed restore target refuses with the retention message
+    intercept[IllegalArgumentException](
+      Layout.restoreVersion(spark, dir, 2L))
+  }
+
+  test("replicateCommitted follows a source RESTORE incrementally") {
+    val src = java.nio.file.Files.createTempDirectory("graft_rst_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_rst_dst").toString + "/r"
+    def rows(r: Range) = spark.range(r.start, r.end).select(
+      col("id"), concat(lit("v"), col("id")).as("payload"))
+    Layout.writeClustered(rows(0 until 500), src, col("id"), nFiles = 3,
+      statsCols = Seq("id"))                                         // v1
+    Layout.replicateCommitted(spark, src, dst, "id")
+    def parity(): Unit = {
+      val a = Layout.readCommitted(spark, src).select("id", "payload")
+      val b = Layout.readCommitted(spark, dst).select("id", "payload")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, "replica != source")
+    }
+    parity()
+    Layout.appendClustered(rows(500 until 600), src, col("id"), nFiles = 1) // v2
+    Layout.deleteWhere(spark, src, col("id").between(100, 150),
+      Seq(("id", 100L, 150L)))                                       // v3
+    Layout.restoreVersion(spark, src, 2L)                            // v4: undo the delete
+    val st = Layout.replicateCommitted(spark, src, dst, "id")
+    assert(st.versionsApplied == 3L && !st.caughtUp,
+      s"append+delete+restore must all apply: $st")
+    parity()
+    assert(Layout.readCommitted(spark, dst).count() == 600L)
+    // and the replica keeps following normally afterwards
+    Layout.appendClustered(rows(700 until 720), src, col("id"), nFiles = 1)
+    Layout.replicateCommitted(spark, src, dst, "id")
+    parity()
+  }
+
   test("statsAggregate: manifest-only COUNT/MIN/MAX, exact across the lifecycle") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mstats").toString
     val base = spark.range(10000).select(
