@@ -168,16 +168,19 @@ object Bench {
     "q_lr_quality" -> ("flat curve, floors 3.4 vs 2.7 s in two fresh JVMs " +
       "(DriftProbe, round 11) — cross-JVM machine/session noise (~25%), " +
       "not JIT and not a plan change; band 2.5-3.7 s on identical code"),
-    "q_crawl_frontier" -> ("slow JIT descent: 17-18 s cold -> floors " +
-      "3.7-5.6 s still drifting down at rep 6 in two fresh JVMs " +
-      "(DriftProbe, round 11) — the 5-round PageRank lineage is the " +
+    "q_crawl_frontier" -> ("slow JIT descent: 28-53 s cold -> floors " +
+      "5.2-6.4 s still drifting at rep 6 in two fresh JVMs (DriftProbe, " +
+      "round 15, 6 reps each) — the 5-round PageRank lineage is the " +
       "largest codegen unit in the suite; min-of-2 after warm-up lands " +
-      "anywhere in 3.7-5.0 s on identical code"),
-    "q_approx_dedup_quality" -> ("tight floors 7.7-8.2 s across two fresh " +
-      "JVMs (DriftProbe, round 11; bench values run lower, 6.8-7.5, " +
-      "because the suite's warm-up pre-compiles the shared kernels) — " +
-      "band ~6.8-8.2 s on identical code; the query is a measurement " +
-      "gate with capped exact truths by construction"),
+      "anywhere in 5.2-8.5 s on identical code (the round-11 3.7-5.6 " +
+      "band predates the 2-pass harness's shallower JIT depth)"),
+    "q_approx_dedup_quality" -> ("band 8.5-11.5 s across two fresh JVMs " +
+      "(DriftProbe, round 15, 5-6 reps: floors 8.7 and 10.4, cold 19-21) " +
+      "after the round-15 single-job verdict rewrite cut the floor from " +
+      "~14 s; truth_build owns 5.3-7.8 s (doc/embedding slices + exact " +
+      "cosine + media signatures + inc-jaccard truth), each of the 7 " +
+      "verdicts 0.5-2.3 s at floor — judge detector growth from the " +
+      "v_<method> sub-timings, not the total"),
     "q_manifest_prune" -> ("band SPLIT by sub-timings (DriftProbe, round 12, " +
       "two fresh JVMs x 6 reps): fixture_write floor 1.3-2.1 s (file-system " +
       "cache rides along), plan-side rest floor 0.45-0.77 s — judge the " +
@@ -203,9 +206,11 @@ object Bench {
       "DriftProbe, sf0.1, post-sharpening: the exceptAll parity proof was " +
       "replaced by one bit_xor aggregate per path); total floor ~5.8 s, " +
       "was 6.5 s in the r12 artifact"),
-    "q_fivegram_kn" -> ("model_train ~2.9-3.3 s + score (round-13 " +
-      "DriftProbe, sf0.1): total floor 4.5 s after the scorer hot-path cut " +
-      "(was 7.0-7.9 s); first rep in a fresh JVM is 3-4x (JIT depth)"))
+    "q_fivegram_kn" -> ("model_train 3.0-5.5 s + score (round-15 " +
+      "DriftProbe, sf0.1, two fresh JVMs x 6 reps): total floors 4.9 and " +
+      "5.7, min-of-2 after warm-up lands 4.9-6.1 s on identical code; " +
+      "first rep in a fresh JVM is 1.5-2x (JIT depth). Round-13's 4.5 s " +
+      "floor predates the 2-pass harness regime"))
 
   /** Markdown comparison of two Bench JSON lines (prev vs current), the
     * Scala twin of tools/bench_notes.py. Parsing is the inverse of this

@@ -18,6 +18,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // declare which SF's learned artifacts the oracle dump must pair
+    // with (OracleStash entries are keyed by data dir; a multi-SF JVM
+    // would otherwise have no principled winner)
+    graft.queries.OracleStash.setEmitDir(sfDir)
     new java.io.File(outDir).mkdirs()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -51,7 +51,7 @@ object Mining {
       // stash the learned weights: oracleSql restates the SCORING path
       // (murmur3 buckets + ordered margin fold + sigmoid) in DuckDB with
       // these as literals — see OracleStash
-      OracleStash.putLrModel(model.biasNano, model.weightNanos)
+      OracleStash.putLrModel(dir, model.biasNano, model.weightNanos)
       Classifier.scoreLogistic(docs, "doc_id", "text", model)
         .orderBy(col("doc_id"))
     }),

@@ -26,27 +26,43 @@ package graft.queries
   */
 object OracleStash {
 
-  @volatile private var bpeMerges: Option[Seq[(String, String)]] = None
-  @volatile private var lrModel: Option[(Long, Array[Long])] = None
+  // Every stash is keyed by the DATA DIR the artifact was learned from
+  // (round-14 ADVICE #4): a JVM that runs queries at more than one SF
+  // (the Bench warm-pass pattern) holds one artifact per (query, dir)
+  // instead of silently overwriting, and oracle emission below resolves
+  // exactly one dir — loudly, never by accident.
+  private val bpeMerges =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+  private val lrModel =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Array[Long])]()
   private val ivfCents =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Float])]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[(Long, Seq[Float])]]()
   private val hypWeights =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Array[Array[Double]]]()
+
+  /** The dir whose artifacts [[dynamicOracles]] emits. Verify declares
+    * it (the one SF its queries and oracle dump share); without a
+    * declaration, a single-dir stash resolves itself and a multi-dir
+    * stash refuses.
+    */
+  @volatile private var emitDir: Option[String] = None
+  def setEmitDir(dir: String): Unit = { emitDir = Some(dir) }
 
   /** Hyperplane weight matrix for `query` (q_ann_lsh probes 12x6 bits,
     * q_cosine_neardup bands 12x5 — different geometries, same family).
     */
-  def putHyperplaneWeights(query: String, w: Array[Array[Double]]): Unit =
-    { hypWeights.put(query, w): Unit }
+  def putHyperplaneWeights(query: String, dir: String, w: Array[Array[Double]]): Unit =
+    { hypWeights.put((query, dir), w): Unit }
 
-  def putBpeMerges(merges: Seq[(String, String)]): Unit = { bpeMerges = Some(merges) }
-  def putLrModel(biasNano: Long, weightNanos: Array[Long]): Unit =
-    { lrModel = Some((biasNano, weightNanos.clone())) }
+  def putBpeMerges(dir: String, merges: Seq[(String, String)]): Unit =
+    { bpeMerges.put(dir, merges): Unit }
+  def putLrModel(dir: String, biasNano: Long, weightNanos: Array[Long]): Unit =
+    { lrModel.put(dir, (biasNano, weightNanos.clone())): Unit }
   /** IVF centroid model for `query` (q_ann_ivf / q_ann_ivf_persist train
     * DIFFERENT models — full corpus vs the 80% build slice).
     */
-  def putIvfCentroids(query: String, cents: Seq[(Long, Seq[Float])]): Unit =
-    { ivfCents.put(query, cents): Unit }
+  def putIvfCentroids(query: String, dir: String, cents: Seq[(Long, Seq[Float])]): Unit =
+    { ivfCents.put((query, dir), cents): Unit }
 
   /** SQL string literal with single quotes escaped. */
   private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
@@ -349,19 +365,33 @@ object OracleStash {
     * queries.
     */
   def dynamicOracles: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val dirs = (bpeMerges.keySet.asScala.toSet ++ lrModel.keySet.asScala.toSet ++
+      ivfCents.keySet.asScala.map(_._2) ++ hypWeights.keySet.asScala.map(_._2))
+    if (dirs.isEmpty) return Map.empty
+    val dir = emitDir
+      .orElse(if (dirs.size == 1) dirs.headOption else None)
+      .getOrElse(throw new IllegalStateException(
+        "OracleStash: artifacts stashed for multiple data dirs " +
+        s"(${dirs.toSeq.sorted.mkString(", ")}) and no emit dir declared — " +
+        "a multi-SF JVM must call OracleStash.setEmitDir(<sfDir>) (Verify " +
+        "does) before evaluating oracleSql, or the oracle would pair one " +
+        "SF's SQL with another SF's learned artifacts"))
     val b = Map.newBuilder[String, String]
-    bpeMerges.foreach { m =>
+    Option(bpeMerges.get(dir)).foreach { m =>
       b += ("q_bpe_tokenize" -> bpeTokenizeSql(m))
       b += ("q_tokenize_pack" -> tokenizePackSql(m))
     }
-    lrModel.foreach { case (bias, w) => b += ("q_lr_quality" -> lrScoreSql(bias, w)) }
-    Option(ivfCents.get("q_ann_ivf")).foreach(c =>
+    Option(lrModel.get(dir)).foreach { case (bias, w) =>
+      b += ("q_lr_quality" -> lrScoreSql(bias, w))
+    }
+    Option(ivfCents.get(("q_ann_ivf", dir))).foreach(c =>
       b += ("q_ann_ivf" -> ivfSql(c, "")))
-    Option(ivfCents.get("q_ann_ivf_persist")).foreach(c =>
+    Option(ivfCents.get(("q_ann_ivf_persist", dir))).foreach(c =>
       b += ("q_ann_ivf_persist" -> ivfSql(c, ", true AS append_eq_rebuild")))
-    Option(hypWeights.get("q_ann_lsh")).foreach(w =>
+    Option(hypWeights.get(("q_ann_lsh", dir))).foreach(w =>
       b += ("q_ann_lsh" -> lshSql(w)))
-    Option(hypWeights.get("q_cosine_neardup")).foreach(w =>
+    Option(hypWeights.get(("q_cosine_neardup", dir))).foreach(w =>
       b += ("q_cosine_neardup" -> cosNeardupSql(w)))
     b.result()
   }

@@ -739,7 +739,7 @@ object Pipeline {
       // oracle-backed since round 14: the deterministic hyperplane
       // weight matrix is stashed and the signature/bucket/re-rank path
       // replayed in DuckDB (OracleStash.lshSql)
-      OracleStash.putHyperplaneWeights("q_ann_lsh",
+      OracleStash.putHyperplaneWeights("q_ann_lsh", dir,
         graft.ops.HashKernels.hyperplaneWeights(n = 72, d = 64, seed = 42))
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, bitsPerBand = 6, bands = 12, multiProbe = false)
@@ -756,7 +756,7 @@ object Pipeline {
       val emb = Tables(s, dir, "embeddings")
       val cent = Similarity.trainCentroids(emb, "vec_id", "embedding",
         k = 16, lloydIters = 3)
-      OracleStash.putIvfCentroids("q_ann_ivf",
+      OracleStash.putIvfCentroids("q_ann_ivf", dir,
         cent.collect().map(r =>
           (r.getLong(0), r.getSeq[Float](1).toIndexedSeq)).sortBy(_._1).toIndexedSeq)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
@@ -787,7 +787,7 @@ object Pipeline {
       // call — the persisted index is bit-unchanged)
       val cent0 = Similarity.trainCentroids(build, "vec_id", "embedding",
         k = 16, lloydIters = 3)
-      OracleStash.putIvfCentroids("q_ann_ivf_persist",
+      OracleStash.putIvfCentroids("q_ann_ivf_persist", dir,
         cent0.collect().map(r =>
           (r.getLong(0), r.getSeq[Float](1).toIndexedSeq)).sortBy(_._1).toIndexedSeq)
       val idx = graft.SubTimings.time("q_ann_ivf_persist", "index_write") {
@@ -840,7 +840,7 @@ object Pipeline {
     "q_cosine_neardup" -> ((s, dir) => {
       // oracle-backed since round 14: signatures replayed from the
       // stashed weight matrix (OracleStash.cosNeardupSql)
-      OracleStash.putHyperplaneWeights("q_cosine_neardup",
+      OracleStash.putHyperplaneWeights("q_cosine_neardup", dir,
         graft.ops.HashKernels.hyperplaneWeights(n = 60, d = 64, seed = 42))
       Similarity.cosineNearDuplicates(Tables(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.35, bitsPerBand = 5, bands = 12)
@@ -1534,7 +1534,7 @@ object Pipeline {
       val merges = graft.ops.BpeTrainer.train(docs, "doc_id", "text", numMerges = 50)
       // stash the learned merge list: oracleSql restates tokenization +
       // greedy merge application in DuckDB with it — see OracleStash
-      OracleStash.putBpeMerges(merges.map(m => (m.a, m.b)))
+      OracleStash.putBpeMerges(dir, merges.map(m => (m.a, m.b)))
       graft.ops.BpeTrainer.tokenize(docs, "doc_id", "text", merges)
         .select(col("doc_id"), col("n_tokens"), col("n_subwords"))
         .orderBy(col("doc_id"))
@@ -1547,7 +1547,7 @@ object Pipeline {
     "q_tokenize_pack" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       val merges = graft.ops.BpeTrainer.train(docs, "doc_id", "text", numMerges = 50)
-      OracleStash.putBpeMerges(merges.map(m => (m.a, m.b)))
+      OracleStash.putBpeMerges(dir, merges.map(m => (m.a, m.b)))
       val tok = graft.ops.BpeTrainer.tokenize(docs, "doc_id", "text", merges)
       // pin the chunk frame: packBySize walks its input twice (the
       // narrow running-total projection and the join back) and the
@@ -2220,6 +2220,13 @@ object Pipeline {
         |  CAST(list_sum(lens) AS INT) AS total_chunk_chars,
         |  list_sum(lens) = n AS covered_ok
         |FROM ch ORDER BY doc_id""").stripMargin,
+    // round-15 promotions (directive #6): the signature kernels restated
+    // from raw text in SQL (graft.queries.HashSql) — the GoldenGate pins
+    // stay in force as defense-in-depth over partition-order stability
+    "q_dedup_simhash" -> HashSql.dedupSimhashSql,
+    "q_substring_pairs" -> HashSql.substringPairsSql,
+    "q_split_leakage_safe" -> HashSql.splitLeakageSafeSql(
+      Sampling.hashSplitOracleCase("coalesce(c.component, d.doc_id)", SplitSpec)),
     "q_neardup_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, lang || '|' || source AS blk,
