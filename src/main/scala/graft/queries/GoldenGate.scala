@@ -95,7 +95,9 @@ object GoldenGate {
     "q_dedup_minhash" -> Map(
       "sf0.001" -> -1369828898447798070L,
       "sf0.01" -> -468088737826377300L),
-    // deterministic 64-bit signatures, 4x16-bit chunk blocking
+    // deterministic 64-bit signatures, 4x16-bit chunk blocking; ALSO
+    // oracle-backed since round 15 (HashSql restates the full
+    // token-vote signature pipeline + all-pairs Hamming verify in SQL)
     "q_dedup_simhash" -> Map(
       "sf0.001" -> 4697273878940751875L,
       "sf0.01" -> 4444710912247945519L),
@@ -118,11 +120,15 @@ object GoldenGate {
     "q_semantic_dedup" -> Map(
       "sf0.001" -> -1100432165491027870L,
       "sf0.01" -> -5137861434621326852L),
-    // md5 rank keys + group-cover assignment — integer-exact
+    // md5 rank keys + group-cover assignment — integer-exact; ALSO
+    // oracle-backed since round 15 (HashSql: recursive-CTE components
+    // over the jaccard pairs + the hashSplit CASE on representatives)
     "q_split_leakage_safe" -> Map(
       "sf0.001" -> 8885026643837775078L,
       "sf0.01" -> -8806773357719023054L),
-    // winnowed fingerprints (position-deterministic), integer pair counts
+    // winnowed fingerprints (position-deterministic), integer pair
+    // counts; ALSO oracle-backed since round 15 (HashSql restates the
+    // windowed signed-min winnowing + df band + shared floor in SQL)
     "q_substring_pairs" -> Map(
       "sf0.001" -> 1666661063672788951L,
       "sf0.01" -> -6784187389549244528L),

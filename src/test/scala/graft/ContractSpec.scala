@@ -76,7 +76,7 @@ class ContractSpec extends AnyFunSuite {
     // crude but effective: every FROM/JOIN target must be a known table or
     // a CTE defined in the same statement
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      val ctes = ("(?i)(?:WITH|,)\\s*([a-zA-Z_0-9]+)\\s*" +
+      val ctes = ("(?i)(?:WITH(?:\\s+RECURSIVE)?|,)\\s*([a-zA-Z_0-9]+)\\s*" +
         "(?:\\([a-zA-Z_0-9, ]*\\))?\\s*AS\\s*(?:MATERIALIZED\\s*)?\\(").r
         .findAllMatchIn(sql).map(_.group(1)).toSet
       val targets = "(?i)(?:FROM|JOIN)\\s+([a-zA-Z_][a-zA-Z_0-9]*)".r
