@@ -177,10 +177,12 @@ object Bench {
     "q_approx_dedup_quality" -> ("band 8.5-11.5 s across two fresh JVMs " +
       "(DriftProbe, round 15, 5-6 reps: floors 8.7 and 10.4, cold 19-21) " +
       "after the round-15 single-job verdict rewrite cut the floor from " +
-      "~14 s; truth_build owns 5.3-7.8 s (doc/embedding slices + exact " +
+      "~14 s; bench values run lower still (7.05 in the r15 artifact — " +
+      "the suite's warm-up pre-compiles the shared kernels). truth_build " +
+      "owns 5.3-7.8 s at probe floor (doc/embedding slices + exact " +
       "cosine + media signatures + inc-jaccard truth), each of the 7 " +
-      "verdicts 0.5-2.3 s at floor — judge detector growth from the " +
-      "v_<method> sub-timings, not the total"),
+      "verdicts 0.5-2.3 s — judge detector growth from the v_<method> " +
+      "sub-timings, not the total"),
     "q_manifest_prune" -> ("band SPLIT by sub-timings (DriftProbe, round 12, " +
       "two fresh JVMs x 6 reps): fixture_write floor 1.3-2.1 s (file-system " +
       "cache rides along), plan-side rest floor 0.45-0.77 s — judge the " +

@@ -34,6 +34,15 @@ object SubTimings {
     try body finally run.set(prev)
   }
 
+  /** The ambient run token. InheritableThreadLocal only copies at
+    * thread CREATION — a pooled executor thread spawned before the
+    * measured scope opened (Bench's warm pass warms the global
+    * ExecutionContext) records into the wrong bucket. Queries that time
+    * stages on pool threads capture this on the SUBMITTING thread and
+    * re-open the scope inside the task ([[withRun]](captured)).
+    */
+  def currentRun: String = run.get()
+
   /** Time `body` under (current run, query, stage); re-entrant stages
     * accumulate.
     */

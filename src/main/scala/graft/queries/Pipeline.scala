@@ -1079,8 +1079,14 @@ object Pipeline {
       // directive #3); verdicts run on parallel threads, so the stage
       // sums may exceed the query wall-clock (they attribute, not
       // partition).
+      // pool threads may predate the bench's measured scope, so each
+      // verdict re-opens the submitting thread's run scope before
+      // recording (SubTimings.currentRun) — otherwise the v_* stages
+      // land in the unscoped bucket and vanish from the artifact
+      val runToken = graft.SubTimings.currentRun
       def verdict(method: String, floor: Double, truth: DataFrame,
           approx: DataFrame, subsetTruth: DataFrame = null) =
+        graft.SubTimings.withRun(runToken) {
         graft.SubTimings.time("q_approx_dedup_quality", s"v_$method") {
           val t = truth
           val st = if (subsetTruth == null) t else subsetTruth
@@ -1099,6 +1105,7 @@ object Pipeline {
           val spurious = row.getLong(1)
           (method, floor, nTrue > 0 && hits.toDouble / nTrue >= floor,
             spurious == 0L)
+        }
         }
       import s.implicits._
       // the seven measurements are independent Spark job chains over
@@ -1177,7 +1184,10 @@ object Pipeline {
       // the q_approx_dedup_quality verdict shape (round-14 directive
       // #3: the old checkpoint-heavy semi/anti-join pair materialized
       // every frame twice and pinned blocks for the rest of the bench)
+      // run-scope capture: see q_approx_dedup_quality's verdict
+      val runToken = graft.SubTimings.currentRun
       def verdict(method: String, floor: Double, truth: DataFrame, approx: DataFrame) =
+        graft.SubTimings.withRun(runToken) {
         graft.SubTimings.time("q_dedup_quality", s"v_$method") {
           val t = truth.localCheckpoint()
           val nTrue = t.count()
@@ -1191,6 +1201,7 @@ object Pipeline {
             .head()
           (method, floor, row.getLong(0).toDouble / nTrue >= floor,
             row.getLong(1) == 0L)
+        }
         }
       import s.implicits._
       // independent job chains → two submitting threads (see
