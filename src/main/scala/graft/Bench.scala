@@ -208,6 +208,15 @@ object Bench {
       "DriftProbe, sf0.1, post-sharpening: the exceptAll parity proof was " +
       "replaced by one bit_xor aggregate per path); total floor ~5.8 s, " +
       "was 6.5 s in the r12 artifact"),
+    "q_data_release" -> ("fresh-JVM floor 4.4-4.7 s (DriftProbe, round " +
+      "15 close, 5 reps; cold 24.5) — the capstone chains most of the " +
+      "pipeline kernels, so its first reps carry the suite's deepest " +
+      "JIT descent; min-of-2 lands 3.4-8.0 s across host windows on " +
+      "identical code"),
+    "q_hits_warm" -> ("fresh-JVM floor 6.1-6.4 s (DriftProbe, round 15 " +
+      "close, 5 reps) — warm-start HITS reads higher than q_hits " +
+      "because the warm leg compiles a second full recurrence; swings " +
+      "with the host window (sentinels moved 1.3-1.45x the same day)"),
     "q_fivegram_kn" -> ("model_train 3.0-5.5 s + score (round-15 " +
       "DriftProbe, sf0.1, two fresh JVMs x 6 reps): total floors 4.9 and " +
       "5.7, min-of-2 after warm-up lands 4.9-6.1 s on identical code; " +
