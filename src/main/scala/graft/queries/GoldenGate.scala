@@ -87,11 +87,15 @@ object GoldenGate {
     "q_cosine_neardup" -> Map(
       "sf0.001" -> -1167652805735308602L,
       "sf0.01" -> 7138736516249591035L),
-    // seeded MinHash pairs -> components -> min-id representative
+    // seeded MinHash pairs -> components -> min-id representative; ALSO
+    // oracle-backed since round 15 (HashSql.dedupCorpusSql: the full
+    // 40x8 detector + MATERIALIZED-closure election in SQL)
     "q_dedup_corpus" -> Map(
       "sf0.001" -> -7066194519912670156L,
       "sf0.01" -> 5169745455655986661L),
-    // seeded MinHash banding, exact hashed-shingle Jaccard verify
+    // seeded MinHash banding, exact hashed-shingle Jaccard verify; ALSO
+    // oracle-backed since round 15 (HashSql.dedupMinhashSql re-derives
+    // signatures, byte-wise band buckets and the verify from raw text)
     "q_dedup_minhash" -> Map(
       "sf0.001" -> -1369828898447798070L,
       "sf0.01" -> -468088737826377300L),
@@ -101,13 +105,16 @@ object GoldenGate {
     "q_dedup_simhash" -> Map(
       "sf0.001" -> 4697273878940751875L,
       "sf0.01" -> 4444710912247945519L),
-    // seeded index build + probe, rounded jaccard output
+    // seeded index build + probe, rounded jaccard output; ALSO
+    // oracle-backed since round 15 (HashSql.incrementalDedupSql)
     "q_incremental_dedup" -> Map(
       "sf0.001" -> -3614380921660295881L,
       "sf0.01" -> 7807773766077415880L),
     // the probe THROUGH the persisted (band, bucket)-partitioned index;
     // paths_equal pins on-disk == in-memory (multiset-hash parity;
-    // row-level exceptAll pin in DedupSpec)
+    // row-level exceptAll pin in DedupSpec); ALSO oracle-backed since
+    // round 15 (same probe restatement as q_incremental_dedup — the
+    // in-query parity gate extends the oracle's reach to the disk path)
     "q_dedup_index_persist" -> Map(
       "sf0.001" -> -5573654698542180147L,
       "sf0.01" -> 4017603715062287948L),

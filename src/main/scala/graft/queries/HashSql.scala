@@ -139,6 +139,147 @@ object HashSql {
        |HAVING COUNT(*) >= 10
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- MinHash family: signatures + banding in SQL --------------------
+  //
+  // [[graft.ops.HashKernels.minhashSig]] restated: shingle hashes are
+  // fnv1a over the k-char windows (NO mix), per-function values are
+  // splitmix64(shingle XOR f·GOLDEN) with the min taken over SIGNED
+  // longs; [[graft.ops.HashKernels.minhashBandBuckets]] folds each
+  // band's `rows` signature longs BYTE-WISE (LSB first) through fnv1a
+  // and avalanches with the same mix. The oracle shingles by STRING
+  // (hash-collision freedom is separately gated by q_shingle_stats);
+  // the verify jaccard is the string-set ratio, which equals the
+  // kernel's hashed-set ratio under the same no-collision contract.
+
+  /** CTE chain: `sh0(doc_id, ss)` distinct shingle strings,
+    * `sizes(doc_id, n)`, `banded(doc_id, band, band_hash)`.
+    */
+  private def sigCtes(k: Int, numHashes: Int, bands: Int): String = {
+    val rows = numHashes / bands
+    val golden = BigInt("9e3779b97f4a7c15", 16)
+    val c2 = BigInt("bf58476d1ce4e5b9", 16)
+    val c3 = BigInt("94d049bb133111eb", 16)
+    s"""sh0 AS (
+       |  SELECT doc_id,
+       |    list_distinct([substring(text, i, $k) FOR i IN range(1, greatest(length(text) - ${k - 1}, 1) + 1)]) AS ss
+       |  FROM documents),
+       |dg AS (SELECT DISTINCT unnest(ss) AS t FROM sh0),
+       |gh AS (SELECT t, $fnv1a AS h FROM dg),
+       |ds AS (
+       |  SELECT s.doc_id, gh.h
+       |  FROM (SELECT doc_id, unnest(ss) AS t FROM sh0) s JOIN gh USING (t)),
+       |sizes AS (SELECT doc_id, COUNT(DISTINCT h) AS n FROM ds GROUP BY doc_id),
+       |m0 AS (
+       |  SELECT doc_id, h, f, xor(ds.h, CAST(($golden * f) % $P AS UBIGINT)) AS z0
+       |  FROM ds, unnest(range(0, $numHashes)) AS u(f)),
+       |m1 AS (SELECT doc_id, f, ${addMod("z0", golden)} AS z1 FROM m0),
+       |m2 AS (SELECT doc_id, f, ${mulMod(s"xor(z1, z1 // ${1L << 30})", c2)} AS z2 FROM m1),
+       |m3 AS (SELECT doc_id, f, ${mulMod(s"xor(z2, z2 // ${1L << 27})", c3)} AS z3 FROM m2),
+       |mh AS (SELECT doc_id, f, ${signed(s"xor(z3, z3 // ${1L << 31})")} AS hv FROM m3),
+       |sig AS (SELECT doc_id, f, MIN(hv) AS sv FROM mh GROUP BY doc_id, f),
+       |sigl AS (SELECT doc_id, list(sv ORDER BY f) AS sg FROM sig GROUP BY doc_id),
+       |bb0 AS (
+       |  SELECT doc_id, b,
+       |    list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT),
+       |      flatten([[CAST(((CASE WHEN sg[b*$rows + r + 1] < 0
+       |                       THEN CAST(sg[b*$rows + r + 1] AS HUGEINT) + $P
+       |                       ELSE CAST(sg[b*$rows + r + 1] AS HUGEINT) END)
+       |                      // (CAST(1 AS HUGEINT) << (8*s))) % 256 AS UBIGINT)
+       |                 FOR s IN range(0, 8)]
+       |                FOR r IN range(0, $rows)])),
+       |      (h, c) -> CAST((CAST(xor(h, c) AS HUGEINT) * 1099511628211) % $P AS UBIGINT)) AS bh0
+       |  FROM sigl, unnest(range(0, $bands)) AS u(b)),
+       |b1 AS (SELECT doc_id, b, ${addMod("bh0", golden)} AS z1 FROM bb0),
+       |b2 AS (SELECT doc_id, b, ${mulMod(s"xor(z1, z1 // ${1L << 30})", c2)} AS z2 FROM b1),
+       |b3 AS (SELECT doc_id, b, ${mulMod(s"xor(z2, z2 // ${1L << 27})", c3)} AS z3 FROM b2),
+       |banded AS (SELECT doc_id, b AS band, xor(z3, z3 // ${1L << 31}) AS band_hash FROM b3)""".stripMargin
+  }
+
+  private val jacc =
+    "len(list_intersect(x.ss, y.ss))::DOUBLE / " +
+      "(len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss)))"
+
+  /** Self-join candidates (bucket cap, size bound, band-match floor) +
+    * exact string-shingle verify → `vpairs(id_a, id_b, jaccard)`.
+    */
+  private def pairsCte(threshold: Double, maxBucket: Int, minBandMatches: Int): String = {
+    val cap =
+      if (maxBucket > 0)
+        s"""keep AS (
+           |  SELECT band, band_hash FROM banded GROUP BY band, band_hash
+           |  HAVING COUNT(*) >= 2 AND COUNT(*) <= $maxBucket),
+           |bucketed AS (SELECT banded.* FROM banded JOIN keep USING (band, band_hash)),""".stripMargin
+      else "bucketed AS (SELECT * FROM banded),"
+    s"""$cap
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM (SELECT bu.*, s.n FROM bucketed bu JOIN sizes s USING (doc_id)) a
+       |  JOIN (SELECT bu.*, s.n FROM bucketed bu JOIN sizes s USING (doc_id)) b
+       |    USING (band, band_hash)
+       |  WHERE a.doc_id < b.doc_id
+       |    AND least(a.n, b.n) >= $threshold * greatest(a.n, b.n)
+       |  GROUP BY a.doc_id, b.doc_id
+       |  HAVING COUNT(*) >= $minBandMatches),
+       |vpairs AS (
+       |  SELECT c.id_a, c.id_b, $jacc AS jaccard
+       |  FROM cand c JOIN sh0 x ON x.doc_id = c.id_a JOIN sh0 y ON y.doc_id = c.id_b
+       |  WHERE $jacc >= $threshold)""".stripMargin
+  }
+
+  /** q_dedup_minhash: the full classic-MinHash detector (k=5, 60 hashes,
+    * 12 bands, bucket cap 200) — signatures, banding, candidate pruning
+    * and the exact verify all re-derived from raw text.
+    */
+  def dedupMinhashSql: String =
+    s"""WITH ${sigCtes(5, 60, 12)},
+       |${pairsCte(0.7, 200, 1)}
+       |SELECT id_a, id_b, jaccard FROM vpairs ORDER BY id_a, id_b""".stripMargin
+
+  /** q_dedup_corpus: the 40×8 pair detector → transitive-closure
+    * components (min-id labels) → survivors = unpaired docs plus each
+    * component's min id. `edges` is MATERIALIZED — the recursion
+    * re-evaluates its source per iteration otherwise (measured 49 s →
+    * 5 s at sf0.01).
+    */
+  def dedupCorpusSql: String =
+    s"""WITH RECURSIVE ${sigCtes(5, 40, 8)},
+       |${pairsCte(0.7, 0, 1)},
+       |edges AS MATERIALIZED (
+       |  SELECT id_a AS src, id_b AS dst FROM vpairs
+       |  UNION ALL SELECT id_b, id_a FROM vpairs),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+       |SELECT d.doc_id FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+       |WHERE c.id IS NULL OR c.component = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** The q_incremental_dedup / q_dedup_index_persist probe: the even-id
+    * half is the indexed corpus, the odd half the probing increment
+    * (k=3, 40 hashes, 8 bands, ≥2 band matches). `extraCols` appends
+    * identity-pinned invariant columns (q_dedup_index_persist's
+    * paths_equal rides there — the on-disk probe is gated equal to the
+    * in-memory one in-query, so one restatement serves both).
+    */
+  def incrementalDedupSql(extraCols: String): String =
+    s"""WITH ${sigCtes(3, 40, 8)},
+       |cand AS (
+       |  SELECT a.doc_id AS id_new, b.doc_id AS id_old
+       |  FROM (SELECT bu.*, s.n FROM banded bu JOIN sizes s USING (doc_id)
+       |        WHERE doc_id % 2 = 1) a
+       |  JOIN (SELECT bu.*, s.n FROM banded bu JOIN sizes s USING (doc_id)
+       |        WHERE doc_id % 2 = 0) b
+       |    USING (band, band_hash)
+       |  WHERE least(a.n, b.n) >= 0.7 * greatest(a.n, b.n)
+       |  GROUP BY a.doc_id, b.doc_id
+       |  HAVING COUNT(*) >= 2)
+       |SELECT c.id_new, c.id_old, round($jacc, 6) AS jaccard$extraCols
+       |FROM cand c JOIN sh0 x ON x.doc_id = c.id_new JOIN sh0 y ON y.doc_id = c.id_old
+       |WHERE $jacc >= 0.7
+       |ORDER BY id_new, id_old""".stripMargin
+
   /** q_split_leakage_safe: the q_neardup_jaccard pair CTE (long
     * oracle-green — string shingles certify the hashed-shingle kernel),
     * connected components as a recursive-CTE transitive closure with
@@ -159,7 +300,7 @@ object HashSql {
        |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
        |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT id_a AS src, id_b AS dst FROM pairs
        |  UNION ALL
        |  SELECT id_b AS src, id_a AS dst FROM pairs),

@@ -2231,13 +2231,24 @@ object Pipeline {
         |  CAST(list_sum(lens) AS INT) AS total_chunk_chars,
         |  list_sum(lens) = n AS covered_ok
         |FROM ch ORDER BY doc_id""").stripMargin,
-    // round-15 promotions (directive #6): the signature kernels restated
-    // from raw text in SQL (graft.queries.HashSql) — the GoldenGate pins
-    // stay in force as defense-in-depth over partition-order stability
+    // round-15 promotions (directive #6 and beyond): the signature
+    // kernels restated from raw text in SQL (graft.queries.HashSql) —
+    // the GoldenGate pins stay in force as defense-in-depth over
+    // partition-order stability
     "q_dedup_simhash" -> HashSql.dedupSimhashSql,
     "q_substring_pairs" -> HashSql.substringPairsSql,
     "q_split_leakage_safe" -> HashSql.splitLeakageSafeSql(
       Sampling.hashSplitOracleCase("coalesce(c.component, d.doc_id)", SplitSpec)),
+    // the whole classic-MinHash family: signatures, byte-wise band
+    // buckets, candidate pruning, exact verify — and for the corpus
+    // variant the component election — all re-derived from raw text
+    "q_dedup_minhash" -> HashSql.dedupMinhashSql,
+    "q_dedup_corpus" -> HashSql.dedupCorpusSql,
+    "q_incremental_dedup" -> HashSql.incrementalDedupSql(""),
+    // the persisted probe is gated equal to the in-memory one in-query
+    // (multiset-hash parity rides in the hashed rows), so one probe
+    // restatement serves both — paths_equal is the identity pin
+    "q_dedup_index_persist" -> HashSql.incrementalDedupSql(", true AS paths_equal"),
     "q_neardup_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, lang || '|' || source AS blk,
