@@ -78,7 +78,9 @@ object GoldenGate {
       "sf0.001" -> 2631537098319517309L,
       "sf0.01" -> 3833823461305376123L),
     // Gopher filter (integer rules) + Table-A1 repetition filter (round
-    // 8, pins re-derived) + seeded MinHash dedup stage
+    // 8, pins re-derived) + seeded MinHash dedup stage; ALSO
+    // oracle-backed since round 15 (HashSql.cleanCorpusSql composes the
+    // survivor CTEs with the MinHash election end to end)
     "q_clean_corpus" -> Map(
       "sf0.001" -> 3009267281317416306L,
       "sf0.01" -> -531134740585318274L),
@@ -119,11 +121,16 @@ object GoldenGate {
       "sf0.001" -> -5573654698542180147L,
       "sf0.01" -> 4017603715062287948L),
     // dHash probe THROUGH the persisted (chunk, bucket)-partitioned
-    // Hamming band index; paths_equal = mem/disk multiset-hash parity
+    // Hamming band index; paths_equal = mem/disk multiset-hash parity;
+    // ALSO oracle-backed since round 15 (the q_media_phash dHash SQL +
+    // all cross-parity pairs at Hamming <= 3 — pigeonhole-complete)
     "q_phash_index_persist" -> Map(
       "sf0.001" -> -3329418933034230360L,
       "sf0.01" -> 1731462171867627892L),
-    // driver-deterministic k-means cells + exact within-cell pairs
+    // driver-deterministic k-means cells + exact within-cell pairs;
+    // ALSO oracle-backed since round 15 (OracleStash.semDedupSql replays
+    // assignment, within-cell pairs and the election from the stashed
+    // centroid literals)
     "q_semantic_dedup" -> Map(
       "sf0.001" -> -1100432165491027870L,
       "sf0.01" -> -5137861434621326852L),

@@ -154,7 +154,8 @@ object HashSql {
   /** CTE chain: `sh0(doc_id, ss)` distinct shingle strings,
     * `sizes(doc_id, n)`, `banded(doc_id, band, band_hash)`.
     */
-  private def sigCtes(k: Int, numHashes: Int, bands: Int): String = {
+  private def sigCtes(k: Int, numHashes: Int, bands: Int,
+      source: String = "documents"): String = {
     val rows = numHashes / bands
     val golden = BigInt("9e3779b97f4a7c15", 16)
     val c2 = BigInt("bf58476d1ce4e5b9", 16)
@@ -162,7 +163,7 @@ object HashSql {
     s"""sh0 AS (
        |  SELECT doc_id,
        |    list_distinct([substring(text, i, $k) FOR i IN range(1, greatest(length(text) - ${k - 1}, 1) + 1)]) AS ss
-       |  FROM documents),
+       |  FROM $source),
        |dg AS (SELECT DISTINCT unnest(ss) AS t FROM sh0),
        |gh AS (SELECT t, $fnv1a AS h FROM dg),
        |ds AS (
@@ -279,6 +280,57 @@ object HashSql {
        |FROM cand c JOIN sh0 x ON x.doc_id = c.id_new JOIN sh0 y ON y.doc_id = c.id_old
        |WHERE $jacc >= 0.7
        |ORDER BY id_new, id_old""".stripMargin
+
+  /** q_clean_corpus: the full Gopher-order cleaning pipeline —
+    * quality filter → Table-A1 repetition filter → MinHash near-dup
+    * election among survivors ([[graft.ops.Corpus.clean]] defaults:
+    * k=5, 40 hashes, 8 bands, threshold 0.8). The caller passes the
+    * repetition CTE bodies (they live beside the q_repetition_filter
+    * oracle so the two restatements cannot drift): `repCtes` WITHOUT
+    * its leading `WITH `, the counts select, and the drop-reason CASE.
+    * Both filters are per-document, so applying them as one conjunctive
+    * `kept` CTE equals the staged Scala order; the dedup stage then
+    * runs the [[sigCtes]] pipeline over `kept` and elects min-id
+    * survivors through the MATERIALIZED closure.
+    */
+  def cleanCorpusSql(repCtes: String, repSelect: String, repCase: String): String =
+    s"""WITH RECURSIVE $repCtes,
+       |counts AS (
+       |$repSelect),
+       |gs AS (
+       |  SELECT doc_id,
+       |    len(toks) AS n,
+       |    COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS sum_len,
+       |    len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+       |    len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','it','for','was','der','die','und','das','ist','nicht','ein','mit','auf','sich','el','la','de','los','es','que','un','una','por','con','le','les','et','est','une','dans','pour','qui'))) AS stops,
+       |    (length(text) - length(replace(text, '#', ''))) +
+       |    (length(text) - length(replace(text, '...', ''))) // 3 AS symbols
+       |  FROM (SELECT doc_id, text,
+       |          regexp_extract_all(lower(trim(text)), '\\S+') AS toks
+       |        FROM documents)),
+       |gkeep AS (
+       |  SELECT doc_id FROM gs
+       |  WHERE NOT (n < 10 OR n > 100000 OR sum_len < n * 2 OR sum_len > n * 12
+       |    OR symbols * 10 > n OR alpha * 10 < n * 7 OR stops < 2)),
+       |kept AS (
+       |  SELECT d.doc_id, d.text
+       |  FROM documents d
+       |  JOIN gkeep USING (doc_id)
+       |  JOIN counts USING (doc_id)
+       |  WHERE ($repCase) IS NULL),
+       |${sigCtes(5, 40, 8, "kept")},
+       |${pairsCte(0.8, 0, 1)},
+       |edges AS MATERIALIZED (
+       |  SELECT id_a AS src, id_b AS dst FROM vpairs
+       |  UNION ALL SELECT id_b, id_a FROM vpairs),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+       |SELECT k.doc_id FROM kept k LEFT JOIN comp c ON k.doc_id = c.id
+       |WHERE c.id IS NULL OR c.component = k.doc_id
+       |ORDER BY k.doc_id""".stripMargin
 
   /** q_split_leakage_safe: the q_neardup_jaccard pair CTE (long
     * oracle-green — string shingles certify the hashed-shingle kernel),

@@ -297,6 +297,49 @@ object OracleStash {
        |${annRerankSql(extraCols)}""".stripMargin
   }
 
+  /** q_semantic_dedup: the SemDeDup drop set replayed from the stashed
+    * 8-centroid model — every vector's argmax cell (unrounded cosine,
+    * ties to the smallest cell: the max_by(struct(csim, -cell)) order),
+    * all WITHIN-CELL pairs at rounded cosine ≥ 0.35 (the grid split is
+    * an execution detail — every intra-cell pair meets in exactly one
+    * task, so the pair SET is grid-free), transitive-closure components
+    * with min-id labels, survivors = everything except non-min members.
+    */
+  private def semDedupSql(cents: Seq[(Long, Seq[Float])]): String = {
+    val rows = cents.map { case (cell, v) =>
+      s"(CAST($cell AS BIGINT), [${v.map(_.toDouble.toString).mkString(", ")}])"
+    }.mkString(",\n      ")
+    s"""WITH RECURSIVE cent(cell, cv) AS (VALUES
+       |      $rows),
+       |ccs AS (
+       |  SELECT e.vec_id AS nid, cent.cell,
+       |    coalesce(${cos("e.embedding", "cent.cv")}, 0.0) AS csim
+       |  FROM embeddings e CROSS JOIN cent),
+       |casg AS (
+       |  SELECT nid, cell FROM (
+       |    SELECT nid, cell, ROW_NUMBER() OVER (PARTITION BY nid
+       |      ORDER BY csim DESC, cell) AS rn
+       |    FROM ccs) t WHERE rn = 1),
+       |vpairs AS MATERIALIZED (
+       |  SELECT a.nid AS id_a, b.nid AS id_b
+       |  FROM casg a JOIN casg b USING (cell)
+       |  JOIN embeddings x ON x.vec_id = a.nid
+       |  JOIN embeddings y ON y.vec_id = b.nid
+       |  WHERE a.nid < b.nid
+       |    AND round(coalesce(${cos("x.embedding", "y.embedding")}, 0.0), 6) >= 0.35),
+       |edges AS MATERIALIZED (
+       |  SELECT id_a AS src, id_b AS dst FROM vpairs
+       |  UNION ALL SELECT id_b, id_a FROM vpairs),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+       |SELECT e.vec_id FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.id
+       |WHERE c.id IS NULL OR c.component = e.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+  }
+
   /** q_ann_lsh: hyperplane sign signatures replayed from the stashed
     * weight matrix (72 global bits × 64 dims — deterministic splitmix
     * weights, stashed because restating 64-bit wrapping splitmix in SQL
@@ -387,6 +430,8 @@ object OracleStash {
     }
     Option(ivfCents.get(("q_ann_ivf", dir))).foreach(c =>
       b += ("q_ann_ivf" -> ivfSql(c, "")))
+    Option(ivfCents.get(("q_semantic_dedup", dir))).foreach(c =>
+      b += ("q_semantic_dedup" -> semDedupSql(c)))
     Option(ivfCents.get(("q_ann_ivf_persist", dir))).foreach(c =>
       b += ("q_ann_ivf_persist" -> ivfSql(c, ", true AS append_eq_rebuild")))
     Option(hypWeights.get(("q_ann_lsh", dir))).foreach(w =>

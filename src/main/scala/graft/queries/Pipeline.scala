@@ -498,12 +498,24 @@ object Pipeline {
     // guard are pinned by SemDedupSpec. The testdata embeddings are
     // random (cosine mass near 0.35-0.5), so the threshold targets the
     // top tail, like q_cosine_neardup; real corpora use ~0.95.
-    "q_semantic_dedup" -> ((s, dir) =>
-      SemDedup.dropSemanticDuplicates(Tables(s, dir, "embeddings"),
+    "q_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      // oracle-backed since round 15: the driver-deterministic centroid
+      // model is stashed (training is seeded k-means++ on a hash-ordered
+      // sample, so this standalone train IS the model dropSemanticDuplicates
+      // derives internally) and the whole drop pipeline — argmax cells,
+      // within-cell rounded-cosine pairs, component election — is
+      // restated in DuckDB with the model as literals (OracleStash.semDedupSql)
+      OracleStash.putIvfCentroids("q_semantic_dedup", dir,
+        Similarity.trainCentroids(emb, "vec_id", "embedding",
+          k = 8, lloydIters = 2).collect().map(r =>
+          (r.getLong(0), r.getSeq[Float](1).toIndexedSeq)).sortBy(_._1).toIndexedSeq)
+      SemDedup.dropSemanticDuplicates(emb,
         "vec_id", "embedding", threshold = 0.35, kCentroids = 8,
         lloydIters = 2, maxCellRows = 200)
         .select(col("vec_id"))
-        .orderBy(col("vec_id"))),
+        .orderBy(col("vec_id"))
+    }),
 
     // ---- text cleansing -------------------------------------------------
     // PII scrub (emails/IPs/phones -> typed placeholders) with per-class
@@ -2249,6 +2261,11 @@ object Pipeline {
     // (multiset-hash parity rides in the hashed rows), so one probe
     // restatement serves both — paths_equal is the identity pin
     "q_dedup_index_persist" -> HashSql.incrementalDedupSql(", true AS paths_equal"),
+    // the composite cleaning pipeline end to end: the repetition CTEs
+    // are the SAME builders the q_repetition_filter oracle uses, so the
+    // two restatements cannot drift
+    "q_clean_corpus" -> HashSql.cleanCorpusSql(
+      repGopherCtes.stripPrefix("WITH "), repGopherSelect, repFilterCase),
     "q_neardup_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, lang || '|' || source AS blk,

@@ -1757,6 +1757,56 @@ object ScaleDomain {
         |  CASE WHEN ah.hi >= 2147483648 THEN (ah.hi - 4294967296) * 4294967296 + ah.lo
         |       ELSE ah.hi * 4294967296 + ah.lo END AS ahash
         |FROM dh JOIN ah USING (media_id) ORDER BY media_id""".stripMargin,
+    // the dHash probe THROUGH the persisted (chunk, bucket) index,
+    // promoted to an oracle row in round 15: the probe's pigeonhole
+    // blocking has GUARANTEED recall at Hamming ≤ 3 and verifies with
+    // the exact bit_count, so its pair set equals the all-cross-parity-
+    // pairs restatement below; the in-query disk==memory parity gate
+    // (paths_equal) extends the oracle's reach to the persisted path,
+    // exactly the q_dedup_index_persist discipline. Twins: %97 EVEN
+    // docs get a substring-surgery copy at an ODD id (+10000001), so
+    // the truth set crosses the index/probe split at every SF.
+    "q_phash_index_persist" ->
+      """WITH m0 AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000001,
+        |    substr(text, 1, 18) || 'Z' || substr(text, 20, 1000000)
+        |  FROM documents WHERE doc_id % 97 = 0 AND doc_id % 2 = 0),
+        |m AS (
+        |  SELECT media_id, text, strlen(text) AS n,
+        |    greatest((strlen(text) + 15) // 16, 1) AS src_h
+        |  FROM m0),
+        |p9 AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 72), k ->
+        |      CASE WHEN ((k // 9) * src_h // 8) * 16 + ((k % 9) * 16 // 9) < n
+        |        THEN unicode(substring(text,
+        |          CAST(((k // 9) * src_h // 8) * 16
+        |               + ((k % 9) * 16 // 9) + 1 AS INT), 1))
+        |        ELSE 0 END) AS q
+        |  FROM m),
+        |dh AS (
+        |  SELECT media_id,
+        |    CAST(list_sum(list_transform(range(0, 32), b ->
+        |      CASE WHEN q[(b // 8) * 9 + (b % 8) + 1] < q[(b // 8) * 9 + (b % 8) + 2]
+        |        THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)) AS BIGINT) AS lo,
+        |    CAST(list_sum(list_transform(range(32, 64), b ->
+        |      CASE WHEN q[(b // 8) * 9 + (b % 8) + 1] < q[(b // 8) * 9 + (b % 8) + 2]
+        |        THEN (CAST(1 AS BIGINT) << CAST(b - 32 AS INT)) ELSE 0 END)) AS BIGINT) AS hi
+        |  FROM p9),
+        |sig AS (
+        |  SELECT media_id,
+        |    CASE WHEN hi >= 2147483648 THEN (hi - 4294967296) * 4294967296 + lo
+        |         ELSE hi * 4294967296 + lo END AS s
+        |  FROM dh)
+        |SELECT p.media_id AS id_new, i.media_id AS id_old,
+        |  CAST(bit_count(xor(p.s, i.s)) AS INT) AS hamming_bits,
+        |  true AS paths_equal
+        |FROM sig p JOIN sig i
+        |  ON p.media_id % 2 = 1 AND i.media_id % 2 = 0
+        | AND bit_count(xor(p.s, i.s)) <= 3
+        |ORDER BY id_new, id_old""".stripMargin,
     // the full perceptual-dedup chain restated: dHash per media row
     // (base docs + the %97 substring-surgery twins), exact all-pairs
     // Hamming ≤ 3 via xor+bit_count (legitimate here because the banded
