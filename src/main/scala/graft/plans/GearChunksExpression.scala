@@ -82,7 +82,9 @@ object GearChunksExpr {
     * stable, but SplitMix64 is spec-on-the-page reproducible by any
     * external reimplementation).
     */
-  private[plans] val Gear: Array[Long] = {
+  // private[graft]: graft.queries.HashSql embeds the table as oracle
+  // literals, so the SQL restatement can never drift from the kernel
+  private[graft] val Gear: Array[Long] = {
     var x = 0x2545F4914F6CDD1DL
     Array.fill(256) {
       x += 0x9E3779B97F4A7C15L

@@ -152,7 +152,9 @@ object GoldenGate {
       "sf0.001" -> 8446402077215570318L,
       "sf0.01" -> -8775121591589721512L),
     // Gear rolling-hash CDC — integer byte counts + boolean contracts;
-    // the GEAR table is SplitMix64 from a fixed seed, JVM-independent
+    // the GEAR table is SplitMix64 from a fixed seed, JVM-independent;
+    // ALSO oracle-backed since round 15 (HashSql.cdcGearSql restates the
+    // state machine via the gear hash's 64-byte-window algebra)
     "q_cdc_gear" -> Map(
       "sf0.001" -> 2917118337503949230L,
       "sf0.01" -> -5465476134181944840L),

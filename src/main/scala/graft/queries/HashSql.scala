@@ -332,6 +332,74 @@ object HashSql {
        |WHERE c.id IS NULL OR c.component = k.doc_id
        |ORDER BY k.doc_id""".stripMargin
 
+  /** q_cdc_gear: the FastCDC gear-chunking state machine
+    * ([[graft.plans.GearChunksExpr]]) restated WITHOUT a sequential
+    * fold — DuckDB v1.0.0's `list_reduce` silently corrupts struct
+    * accumulators when a batch of rows spans vector chunks (verified:
+    * the same doc folds to different cut counts depending on its
+    * neighbors), so the oracle leans on the gear hash's own windowed
+    * algebra instead:
+    *
+    *   G(p) = Σ_{{j<p}} gear[b_j]·2^(p-1-j) mod 2^64 — the NO-RESET
+    *   rolling hash — depends on only the last 64 bytes (higher terms
+    *   vanish mod 2^64), so every position is independently
+    *   computable; and the reset-at-s hash the kernel actually tests
+    *   is H(s,p) = G(p) − G(s)·2^(p−s) mod 2^64 (the G(s) term also
+    *   vanishing once p−s ≥ 64).
+    *
+    * Cuts then follow by a pure-join recursion: from chunk start s the
+    * next cut is the smallest p ∈ [s+16, min(s+128, n−1)] whose H has
+    * the top `maskBits` bits clear (h < 2^59), else the forced cut at
+    * s+128 while interior. The emitted stats match the Spark gate's
+    * column set; the gear table itself is [[graft.plans.GearChunksExpr.Gear]]
+    * verbatim, embedded as literals.
+    */
+  def cdcGearSql: String = {
+    val gl = graft.plans.GearChunksExpr.Gear
+      .map(g => s"CAST(${java.lang.Long.toUnsignedString(g)} AS HUGEINT)")
+      .mkString("[", ", ", "]")
+    val hExpr =
+      s"""(CASE WHEN k >= 64 THEN g.gl[c.s + k]
+         |                ELSE ((g.gl[c.s + k]
+         |                       - (CASE WHEN c.s = 0 THEN CAST(0 AS HUGEINT) ELSE g.gl[c.s] END)
+         |                         * (CAST(1 AS HUGEINT) << CAST(k AS INT))) % $P + $P) % $P
+         |           END)""".stripMargin
+    s"""WITH RECURSIVE gt AS (SELECT $gl AS g),
+       |d AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+       |gp AS MATERIALIZED (
+       |  SELECT d.doc_id, d.n,
+       |    list_transform(range(1, d.n + 1), p ->
+       |      CAST(list_sum(list_transform(range(0, least(64, p)), k ->
+       |        (gt.g[unicode(substr(d.text, CAST(p - k AS INT), 1)) + 1]
+       |          * (CAST(1 AS HUGEINT) << CAST(k AS INT))) % $P))
+       |        % $P AS HUGEINT)) AS gl
+       |  FROM d CROSS JOIN gt),
+       |cuts(doc_id, s) AS (
+       |  SELECT doc_id, CAST(0 AS BIGINT) FROM gp
+       |  UNION ALL
+       |  SELECT doc_id, nx FROM (
+       |    SELECT c.doc_id,
+       |      coalesce(
+       |        list_min(list_filter(range(16, least(128, g.n - 1 - c.s) + 1), k ->
+       |          $hExpr < ${1L << 59})) + c.s,
+       |        CASE WHEN c.s + 128 <= g.n - 1 THEN c.s + 128 END) AS nx
+       |    FROM cuts c JOIN gp g USING (doc_id)) t
+       |  WHERE nx IS NOT NULL),
+       |lens AS (
+       |  SELECT c.doc_id, nx.n,
+       |    coalesce(LEAD(c.s) OVER (PARTITION BY c.doc_id ORDER BY c.s), nx.n) - c.s AS ln,
+       |    LEAD(c.s) OVER (PARTITION BY c.doc_id ORDER BY c.s) IS NOT NULL AS non_final
+       |  FROM cuts c JOIN (SELECT doc_id, n FROM gp) nx USING (doc_id))
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS INT) AS n_chunks,
+       |  CAST(SUM(ln) AS INT) AS total_chunk_bytes,
+       |  CAST(MAX(ln) AS INT) AS max_chunk_bytes,
+       |  SUM(ln) = MIN(n) AS covered_ok,
+       |  (MAX(ln) <= 131 AND
+       |   coalesce(MIN(CASE WHEN non_final THEN ln END), 16) >= 16) AS bounds_ok
+       |FROM lens GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** q_split_leakage_safe: the q_neardup_jaccard pair CTE (long
     * oracle-green — string shingles certify the hashed-shingle kernel),
     * connected components as a recursive-CTE transitive closure with

@@ -2266,6 +2266,10 @@ object Pipeline {
     // two restatements cannot drift
     "q_clean_corpus" -> HashSql.cleanCorpusSql(
       repGopherCtes.stripPrefix("WITH "), repGopherSelect, repFilterCase),
+    // gear CDC via its windowed algebra (no sequential fold — see the
+    // builder's DuckDB list_reduce caveat); the gear table is the
+    // kernel's own constants embedded as literals
+    "q_cdc_gear" -> HashSql.cdcGearSql,
     "q_neardup_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, lang || '|' || source AS blk,
