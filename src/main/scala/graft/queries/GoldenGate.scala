@@ -165,7 +165,9 @@ object GoldenGate {
       "sf0.01" -> 5162878873516740508L),
     // PCA: quantized-Long moments (oracle row q_pca_moments) -> driver
     // Jacobi -> per-row projections / spectrum — bit-reproducible end
-    // to end, eigensolve not SQL-expressible
+    // to end, eigensolve not SQL-expressible; q_pca_project ALSO
+    // oracle-backed since round 15 (OracleStash.pcaProjectSql replays
+    // the per-row projection arithmetic from eigenvector literals)
     "q_pca_project" -> Map(
       "sf0.001" -> 8541896421514893595L,
       "sf0.01" -> 7597635679064844160L),

@@ -160,6 +160,13 @@ object Mining {
     "q_pca_project" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val model = Pca.fit(emb, "embedding", k = 8, dim = 64)
+      // oracle-backed since round 15: eigenvectors + mean-dot biases
+      // stashed as literals (the eigensolve stays pinned), the per-row
+      // projection arithmetic replayed from raw embeddings in DuckDB
+      OracleStash.putPcaProjection(dir,
+        model.components.toIndexedSeq.map(comp => (
+          comp.toIndexedSeq,
+          comp.zip(model.mean).map { case (c, m) => c * m }.sum)))
       Pca.project(emb, "embedding", model)
         .select(col("vec_id") +: col("label") +:
           (1 to 8).map(i => round(col(s"pc_$i"), 6).as(s"pc_$i")): _*)

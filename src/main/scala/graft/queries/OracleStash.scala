@@ -40,6 +40,17 @@ object OracleStash {
   private val hypWeights =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Array[Array[Double]]]()
 
+  private val pcaProj =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Seq[Double], Double)]]()
+
+  /** PCA projection model for q_pca_project: per component, the
+    * eigenvector and its precomputed mean-dot bias (bias is summed
+    * driver-side in the model's own association order, so only the
+    * 64-term data dot is restated in SQL).
+    */
+  def putPcaProjection(dir: String, comps: Seq[(Seq[Double], Double)]): Unit =
+    { pcaProj.put(dir, comps): Unit }
+
   /** The dir whose artifacts [[dynamicOracles]] emits. Verify declares
     * it (the one SF its queries and oracle dump share); without a
     * declaration, a single-dir stash resolves itself and a multi-dir
@@ -340,6 +351,25 @@ object OracleStash {
        |ORDER BY e.vec_id""".stripMargin
   }
 
+  /** q_pca_project: every row's top-k projections replayed from the
+    * stashed eigenvector/bias literals — pc_i = dot(v, comp_i) − bias_i
+    * rounded at 6, the exact [[graft.ops.Pca.project]] arithmetic (the
+    * dot is the same left-to-right 64-term double sum the ANN oracles
+    * already hash-match). The eigensolve itself stays GoldenGate-pinned;
+    * the oracle certifies the distributed application path over every
+    * raw embedding.
+    */
+  private def pcaProjectSql(comps: Seq[(Seq[Double], Double)]): String = {
+    val pcCols = comps.zipWithIndex.map { case ((cv, bias), i) =>
+      val lits = cv.map(_.toString).mkString("[", ", ", "]")
+      s"round(list_sum(list_transform(generate_series(1, ${cv.length}), " +
+        s"i -> e.embedding[i]::DOUBLE * ($lits)[i])) - ($bias), 6) AS pc_${i + 1}"
+    }.mkString(",\n  ")
+    s"""SELECT e.vec_id, e.label,
+       |  $pcCols
+       |FROM embeddings e ORDER BY e.vec_id""".stripMargin
+  }
+
   /** q_ann_lsh: hyperplane sign signatures replayed from the stashed
     * weight matrix (72 global bits × 64 dims — deterministic splitmix
     * weights, stashed because restating 64-bit wrapping splitmix in SQL
@@ -410,7 +440,8 @@ object OracleStash {
   def dynamicOracles: Map[String, String] = {
     import scala.jdk.CollectionConverters._
     val dirs = (bpeMerges.keySet.asScala.toSet ++ lrModel.keySet.asScala.toSet ++
-      ivfCents.keySet.asScala.map(_._2) ++ hypWeights.keySet.asScala.map(_._2))
+      ivfCents.keySet.asScala.map(_._2) ++ hypWeights.keySet.asScala.map(_._2) ++
+      pcaProj.keySet.asScala.toSet)
     if (dirs.isEmpty) return Map.empty
     val dir = emitDir
       .orElse(if (dirs.size == 1) dirs.headOption else None)
@@ -432,6 +463,8 @@ object OracleStash {
       b += ("q_ann_ivf" -> ivfSql(c, "")))
     Option(ivfCents.get(("q_semantic_dedup", dir))).foreach(c =>
       b += ("q_semantic_dedup" -> semDedupSql(c)))
+    Option(pcaProj.get(dir)).foreach(c =>
+      b += ("q_pca_project" -> pcaProjectSql(c)))
     Option(ivfCents.get(("q_ann_ivf_persist", dir))).foreach(c =>
       b += ("q_ann_ivf_persist" -> ivfSql(c, ", true AS append_eq_rebuild")))
     Option(hypWeights.get(("q_ann_lsh", dir))).foreach(w =>
