@@ -73,7 +73,10 @@ object GoldenGate {
     "q_ann_ivf_persist" -> Map(
       "sf0.001" -> -2425388314313340813L,
       "sf0.01" -> 7699449505327174160L),
-    // hash-ordered 4096-row training sample + ADC shortlist re-rank
+    // hash-ordered 4096-row training sample + ADC shortlist re-rank;
+    // ALSO oracle-backed since round 15 (OracleStash.pqSql replays
+    // float-normalize, encode, ADC and the exact re-rank from the
+    // stashed codebooks)
     "q_ann_pq" -> Map(
       "sf0.001" -> 2631537098319517309L,
       "sf0.01" -> 3833823461305376123L),
@@ -171,6 +174,8 @@ object GoldenGate {
     "q_pca_project" -> Map(
       "sf0.001" -> 8541896421514893595L,
       "sf0.01" -> 7597635679064844160L),
+    // q_pca_spectrum ALSO oracle-backed since round 15 (eigenvalue/cum
+    // literals + the trace re-derived from exact quantized moments)
     "q_pca_spectrum" -> Map(
       "sf0.001" -> -7558644478549166367L,
       "sf0.01" -> 5212120727519290290L))

@@ -175,13 +175,20 @@ object Mining {
 
     // The eigen-spectrum: per-component eigenvalue + explained-variance
     // shares against the exact-moment trace. GoldenGate-pinned.
-    "q_pca_spectrum" -> ((s, dir) =>
+    "q_pca_spectrum" -> ((s, dir) => {
+      val model = Pca.fit(Tables(s, dir, "embeddings"), "embedding", k = 16, dim = 64)
+      // oracle-backed since round 15: eigenvalues + running sums stashed
+      // (driver-Jacobi artifacts), the trace denominator re-derived from
+      // raw embeddings via the exact quantized moments
+      OracleStash.putPcaSpectrum(dir, model.eigenvalues.toIndexedSeq
+        .zip(model.eigenvalues.scanLeft(0.0)(_ + _).tail.toIndexedSeq))
       Pca.spectrum(Tables(s, dir, "embeddings"), "embedding", k = 16, dim = 64)
         .select(col("component"),
           round(col("eigenvalue"), 9).as("eigenvalue"),
           round(col("var_share"), 9).as("var_share"),
           round(col("cum_share"), 9).as("cum_share"))
-        .orderBy(col("component"))),
+        .orderBy(col("component"))
+    }),
 
     // The persisted retrieval index: one row per (token, doc) posting
     // with tf/df and positional bounds — one (token,doc)-keyed

@@ -51,6 +51,29 @@ object OracleStash {
   def putPcaProjection(dir: String, comps: Seq[(Seq[Double], Double)]): Unit =
     { pcaProj.put(dir, comps): Unit }
 
+  private val pqBooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Seq[Float]]]]()
+
+  /** PQ codebooks for q_ann_pq: cents(j)(c) = subspace-j centroid c
+    * (dsub floats). The per-subspace k-means is a deterministic driver
+    * loop (seeded, hash-ordered sample) — stashed; encode + ADC + exact
+    * re-rank replay in SQL.
+    */
+  def putPqCodebooks(dir: String, cents: Seq[Seq[Seq[Float]]]): Unit =
+    { pqBooks.put(dir, cents): Unit }
+
+  private val pcaSpec =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Double, Double)]]()
+
+  /** PCA spectrum artifacts for q_pca_spectrum: per component, the
+    * eigenvalue and its running cumulative sum (both driver-side, in
+    * the model's own association order). The DATA path the oracle
+    * re-derives is the covariance TRACE from exact quantized moments —
+    * the shares' denominator.
+    */
+  def putPcaSpectrum(dir: String, evs: Seq[(Double, Double)]): Unit =
+    { pcaSpec.put(dir, evs): Unit }
+
   /** The dir whose artifacts [[dynamicOracles]] emits. Verify declares
     * it (the one SF its queries and oracle dump share); without a
     * declaration, a single-dir stash resolves itself and a multi-dir
@@ -370,6 +393,105 @@ object OracleStash {
        |FROM embeddings e ORDER BY e.vec_id""".stripMargin
   }
 
+  /** q_pca_spectrum: the eigenvalues (and their running sums) are
+    * driver-Jacobi artifacts — literals; the explained-variance shares'
+    * denominator is the covariance TRACE, which the oracle re-derives
+    * from raw embeddings through the exact quantized-moment arithmetic
+    * ([[graft.ops.Pca.MomentsAggregator]]: per-row floor(x·2^24) /
+    * floor(x²·2^24) integer sums — the q_pca_moments discipline), with
+    * every double division and the i-ordered trace sum replayed in the
+    * kernel's own association order. A drifted moment pass, a lost row
+    * or a wrong normalization moves every share and hash-breaks.
+    */
+  private def pcaSpectrumSql(evs: Seq[(Double, Double)]): String = {
+    val rows = evs.zipWithIndex.map { case ((ev, cum), i) =>
+      s"(CAST(${i + 1} AS INT), CAST($ev AS DOUBLE), CAST($cum AS DOUBLE))"
+    }.mkString(",\n      ")
+    s"""WITH mo AS (
+       |  SELECT i,
+       |    SUM(CAST(floor(embedding[i]::DOUBLE * 16777216) AS BIGINT)) AS q1,
+       |    SUM(CAST(floor(embedding[i]::DOUBLE * embedding[i]::DOUBLE * 16777216) AS BIGINT)) AS q2,
+       |    COUNT(*) AS n
+       |  FROM embeddings, unnest(generate_series(1, 64)) AS u(i)
+       |  WHERE embedding IS NOT NULL AND len(embedding) = 64
+       |  GROUP BY i),
+       |tr AS (
+       |  SELECT list_sum(list(term ORDER BY i)) AS trace FROM (
+       |    SELECT i,
+       |      ((q2::DOUBLE / 16777216)
+       |        - n * ((q1::DOUBLE / 16777216) / n) * ((q1::DOUBLE / 16777216) / n))
+       |        / (n - 1) AS term
+       |    FROM mo)),
+       |ev(component, ev, cum) AS (VALUES
+       |      $rows)
+       |SELECT ev.component,
+       |  round(ev.ev, 9) AS eigenvalue,
+       |  round(ev.ev / tr.trace, 9) AS var_share,
+       |  round(ev.cum / tr.trace, 9) AS cum_share
+       |FROM ev CROSS JOIN tr ORDER BY ev.component""".stripMargin
+  }
+
+  /** q_ann_pq: the full PQ/ADC pipeline from the stashed codebooks —
+    * float-normalize every vector (the CAST to FLOAT replays the
+    * kernel's (x/n).toFloat rounding; zero norms pass through raw),
+    * encode = per-subspace argmin squared L2 against the centroid
+    * literals (ties to the smallest code), per-query subspace lookup
+    * tables as the same left-to-right 8-term double dots, ADC = the
+    * j-ordered sum of table entries, self-excluded top-(k·rerank)
+    * shortlist by (adc DESC, id), then the shared exact re-rank
+    * ([[annRerankSql]], top-5 rounded cosine). Geometry fixed by the
+    * gate: m=8, dsub=8, k=5, rerankFactor=16.
+    */
+  private def pqSql(cents: Seq[Seq[Seq[Float]]]): String = {
+    val rows = (for {
+      (book, j) <- cents.zipWithIndex
+      (cv, c) <- book.zipWithIndex
+    } yield s"($j, $c, [${cv.map(_.toDouble.toString).mkString(", ")}])")
+      .mkString(",\n      ")
+    s"""WITH cent(j, c, cv) AS (VALUES
+       |      $rows),
+       |en AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(generate_series(1, 64),
+       |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+       |  FROM embeddings),
+       |nv AS (
+       |  SELECT vec_id,
+       |    list_transform(generate_series(1, 64), i ->
+       |      CASE WHEN nrm = 0 THEN embedding[i]::DOUBLE
+       |           ELSE CAST(CAST(embedding[i]::DOUBLE / nrm AS FLOAT) AS DOUBLE)
+       |      END) AS v
+       |  FROM en),
+       |dist AS (
+       |  SELECT n.vec_id, cent.j, cent.c,
+       |    list_sum(list_transform(generate_series(1, 8), q ->
+       |      (n.v[cent.j * 8 + q] - cent.cv[q]) * (n.v[cent.j * 8 + q] - cent.cv[q]))) AS d
+       |  FROM nv n CROSS JOIN cent),
+       |codes AS (
+       |  SELECT vec_id, j, c FROM (
+       |    SELECT vec_id, j, c,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+       |    FROM dist) t WHERE rn = 1),
+       |lut AS (
+       |  SELECT n.vec_id AS query_id, cent.j, cent.c,
+       |    list_sum(list_transform(generate_series(1, 8), q ->
+       |      n.v[cent.j * 8 + q] * cent.cv[q])) AS dp
+       |  FROM nv n CROSS JOIN cent WHERE n.vec_id < 10),
+       |adc AS (
+       |  SELECT l.query_id, co.vec_id AS neighbor_id,
+       |    list_sum(list(l.dp ORDER BY l.j)) AS adc_sim
+       |  FROM codes co JOIN lut l ON l.j = co.j AND l.c = co.c
+       |  WHERE l.query_id <> co.vec_id
+       |  GROUP BY l.query_id, co.vec_id),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY adc_sim DESC, neighbor_id) AS rn
+       |    FROM adc) t WHERE rn <= 80),
+       |${annRerankSql("")}""".stripMargin
+  }
+
   /** q_ann_lsh: hyperplane sign signatures replayed from the stashed
     * weight matrix (72 global bits × 64 dims — deterministic splitmix
     * weights, stashed because restating 64-bit wrapping splitmix in SQL
@@ -441,7 +563,8 @@ object OracleStash {
     import scala.jdk.CollectionConverters._
     val dirs = (bpeMerges.keySet.asScala.toSet ++ lrModel.keySet.asScala.toSet ++
       ivfCents.keySet.asScala.map(_._2) ++ hypWeights.keySet.asScala.map(_._2) ++
-      pcaProj.keySet.asScala.toSet)
+      pcaProj.keySet.asScala.toSet ++ pqBooks.keySet.asScala.toSet ++
+      pcaSpec.keySet.asScala.toSet)
     if (dirs.isEmpty) return Map.empty
     val dir = emitDir
       .orElse(if (dirs.size == 1) dirs.headOption else None)
@@ -465,6 +588,10 @@ object OracleStash {
       b += ("q_semantic_dedup" -> semDedupSql(c)))
     Option(pcaProj.get(dir)).foreach(c =>
       b += ("q_pca_project" -> pcaProjectSql(c)))
+    Option(pqBooks.get(dir)).foreach(c =>
+      b += ("q_ann_pq" -> pqSql(c)))
+    Option(pcaSpec.get(dir)).foreach(c =>
+      b += ("q_pca_spectrum" -> pcaSpectrumSql(c)))
     Option(ivfCents.get(("q_ann_ivf_persist", dir))).foreach(c =>
       b += ("q_ann_ivf_persist" -> ivfSql(c, ", true AS append_eq_rebuild")))
     Option(hypWeights.get(("q_ann_lsh", dir))).foreach(w =>

@@ -830,6 +830,14 @@ object Pipeline {
     // and determinism are pinned by ProductQuantizerSpec.
     "q_ann_pq" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
+      // oracle-backed since round 15: the per-subspace k-means is a
+      // deterministic driver loop — the codebooks are stashed (training
+      // here IS the model pqTopK derives internally, same seed/sample)
+      // and the encode/ADC/re-rank pipeline replays in DuckDB from the
+      // raw embeddings (OracleStash.pqSql)
+      OracleStash.putPqCodebooks(dir,
+        ProductQuantizer.train(emb, "vec_id", "embedding", m = 8, ksub = 64)
+          .cents.toIndexedSeq.map(_.toIndexedSeq.map(_.toIndexedSeq)))
       // rerankFactor=16 (an 80-candidate exact re-rank per query, the
       // FAISS-typical shortlist band): the default 4 measured under the
       // 0.55 recall floor once the corpus grew to 2000 random vectors
