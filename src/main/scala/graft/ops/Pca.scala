@@ -215,10 +215,11 @@ object Pca {
     * the rows are bit-reproducible).
     */
   def spectrum(df: DataFrame, vecCol: String, k: Int, dim: Int,
-               scaleBits: Int = 24): DataFrame = {
+               scaleBits: Int = 24,
+               fitted: Option[PcaModel] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val model = fit(df, vecCol, k, dim, scaleBits)
+    val model = fitted.getOrElse(fit(df, vecCol, k, dim, scaleBits))
     val buf = rawMoments(df, vecCol, dim, model.scale)
     val s = model.scale.toDouble
     val n = model.n

@@ -166,9 +166,13 @@ object ProductQuantizer {
       m: Int = 8,
       ksub: Int = 64,
       lloydIters: Int = 5,
-      rerankFactor: Int = 4): DataFrame = {
+      rerankFactor: Int = 4,
+      codebooks: Option[Codebooks] = None): DataFrame = {
     require(k >= 1 && rerankFactor >= 1)
-    val cb = train(corpus, idCol, vecCol, m, ksub, lloydIters)
+    // a caller that already trained (to stash the model for the oracle)
+    // passes it in — training is deterministic, so this is purely a
+    // recompute saver, the ivfTopK `centroids=` convention
+    val cb = codebooks.getOrElse(train(corpus, idCol, vecCol, m, ksub, lloydIters))
     val encoded = encode(corpus, idCol, vecCol, cb)
       .withColumnRenamed(idCol, "neighbor_id")
 

@@ -37,12 +37,17 @@ object SemDedup {
       threshold: Double = 0.95,
       kCentroids: Int = 64,
       lloydIters: Int = 3,
-      maxCellRows: Int = 100000): DataFrame = {
+      maxCellRows: Int = 100000,
+      centroids: Option[DataFrame] = None): DataFrame = {
     require(threshold >= -1.0 && threshold <= 1.0,
       s"cosine threshold must be in [-1, 1], got $threshold")
     require(maxCellRows > 0, "maxCellRows must be positive")
     graft.plans.GraftExtensions.register(corpus.sparkSession)
-    val cent = Similarity.trainCentroids(corpus, idCol, vecCol, kCentroids, lloydIters)
+    // pre-trained centroids welcome (the ivfTopK convention): training
+    // is deterministic, so this only saves the recompute for callers
+    // that already hold the model (e.g. to stash it for the oracle)
+    val cent = centroids.getOrElse(
+      Similarity.trainCentroids(corpus, idCol, vecCol, kCentroids, lloydIters))
 
     // nearest-cell assignment: argmax via max_by with map-side combine
     // (same shape as ivfTopK's assignment — never a per-id window)
@@ -92,9 +97,10 @@ object SemDedup {
       threshold: Double = 0.95,
       kCentroids: Int = 64,
       lloydIters: Int = 3,
-      maxCellRows: Int = 100000): DataFrame = {
+      maxCellRows: Int = 100000,
+      centroids: Option[DataFrame] = None): DataFrame = {
     val pairs = semanticPairs(corpus, idCol, vecCol, threshold,
-      kCentroids, lloydIters, maxCellRows)
+      kCentroids, lloydIters, maxCellRows, centroids)
     val comps = Dedup.connectedComponents(pairs)
     val losers = comps.filter(col("id") =!= col("component")).select(col("id"))
     corpus.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")

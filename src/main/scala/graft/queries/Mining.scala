@@ -182,7 +182,8 @@ object Mining {
       // raw embeddings via the exact quantized moments
       OracleStash.putPcaSpectrum(dir, model.eigenvalues.toIndexedSeq
         .zip(model.eigenvalues.scanLeft(0.0)(_ + _).tail.toIndexedSeq))
-      Pca.spectrum(Tables(s, dir, "embeddings"), "embedding", k = 16, dim = 64)
+      Pca.spectrum(Tables(s, dir, "embeddings"), "embedding", k = 16, dim = 64,
+        fitted = Some(model))
         .select(col("component"),
           round(col("eigenvalue"), 9).as("eigenvalue"),
           round(col("var_share"), 9).as("var_share"),

@@ -506,13 +506,14 @@ object Pipeline {
       // derives internally) and the whole drop pipeline — argmax cells,
       // within-cell rounded-cosine pairs, component election — is
       // restated in DuckDB with the model as literals (OracleStash.semDedupSql)
+      val cent = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        k = 8, lloydIters = 2)
       OracleStash.putIvfCentroids("q_semantic_dedup", dir,
-        Similarity.trainCentroids(emb, "vec_id", "embedding",
-          k = 8, lloydIters = 2).collect().map(r =>
+        cent.collect().map(r =>
           (r.getLong(0), r.getSeq[Float](1).toIndexedSeq)).sortBy(_._1).toIndexedSeq)
       SemDedup.dropSemanticDuplicates(emb,
         "vec_id", "embedding", threshold = 0.35, kCentroids = 8,
-        lloydIters = 2, maxCellRows = 200)
+        lloydIters = 2, maxCellRows = 200, centroids = Some(cent))
         .select(col("vec_id"))
         .orderBy(col("vec_id"))
     }),
@@ -835,9 +836,9 @@ object Pipeline {
       // here IS the model pqTopK derives internally, same seed/sample)
       // and the encode/ADC/re-rank pipeline replays in DuckDB from the
       // raw embeddings (OracleStash.pqSql)
+      val cb = ProductQuantizer.train(emb, "vec_id", "embedding", m = 8, ksub = 64)
       OracleStash.putPqCodebooks(dir,
-        ProductQuantizer.train(emb, "vec_id", "embedding", m = 8, ksub = 64)
-          .cents.toIndexedSeq.map(_.toIndexedSeq.map(_.toIndexedSeq)))
+        cb.cents.toIndexedSeq.map(_.toIndexedSeq.map(_.toIndexedSeq)))
       // rerankFactor=16 (an 80-candidate exact re-rank per query, the
       // FAISS-typical shortlist band): the default 4 measured under the
       // 0.55 recall floor once the corpus grew to 2000 random vectors
@@ -845,7 +846,8 @@ object Pipeline {
       // neighbors past a 20-deep shortlist. The re-rank stays narrow
       // (nq * 80 rows) at any corpus size.
       ProductQuantizer.pqTopK(emb, emb.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, m = 8, ksub = 64, rerankFactor = 16)
+        "vec_id", "embedding", k = 5, m = 8, ksub = 64, rerankFactor = 16,
+        codebooks = Some(cb))
         .orderBy(col("query_id"), col("rank"))
     }),
 
