@@ -183,6 +183,13 @@ object Bench {
       "cosine + media signatures + inc-jaccard truth), each of the 7 " +
       "verdicts 0.5-2.3 s — judge detector growth from the v_<method> " +
       "sub-timings, not the total"),
+    "q_dedup_quality" -> ("fresh-JVM floor 3.4-4.5 s, tail mean 3.6 " +
+      "(DriftProbe, round 15, 6 reps: 14.3 cold then 3.4-4.5) with the " +
+      "two detector stages moving together (v_cosine_lsh 2.1-2.8, " +
+      "v_minhash 2.6-3.4 at floor); min-of-2 at the suite's shallow JIT " +
+      "depth lands anywhere in 3.3-5.3 s on identical code — proportional " +
+      "growth of BOTH stages is the noise signature, a single stage " +
+      "growing alone would be a plan change"),
     "q_manifest_prune" -> ("band SPLIT by sub-timings (DriftProbe, round 12, " +
       "two fresh JVMs x 6 reps): fixture_write floor 1.3-2.1 s (file-system " +
       "cache rides along), plan-side rest floor 0.45-0.77 s — judge the " +
