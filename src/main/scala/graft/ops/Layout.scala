@@ -33,7 +33,27 @@ import org.apache.spark.sql.functions._
   */
 final case class SnapshotFile(
     name: String, bytes: Long, rows: Long, minKey: Long, maxKey: Long,
-    stats: Map[String, (Long, Long)] = Map.empty)
+    stats: Map[String, (Long, Long)] = Map.empty,
+    dv: Option[DvRef] = None) {
+  /** Rows a reader actually serves: physical rows minus the deletion
+    * vector's positions. `rows` stays the PHYSICAL count (what a scan
+    * of the file yields before DV application) — the invariant every
+    * rewrite verification in this file counts against.
+    */
+  def liveRows: Long = rows - dv.map(_.nDeleted).getOrElse(0L)
+}
+
+/** A deletion vector reference: `name` is a positions parquet under the
+  * table directory (columns `file: string, pos: bigint` — parquet row
+  * indexes within the named data file), `nDeleted` the number of this
+  * data file's positions it holds. One physical DV parquet may serve
+  * many data files (each file's rows are hash-co-located, so a file's
+  * positions live in exactly one DV parquet); a data file carries at
+  * most ONE DvRef — a later merge-on-read delete folds old + new
+  * positions into a fresh DV parquet and repoints the ref, so readers
+  * never union DV generations.
+  */
+final case class DvRef(name: String, nDeleted: Long)
 
 /** A committed table version: the authoritative file list readers plan
   * from. Files on disk but not listed here are invisible (in-flight
@@ -62,6 +82,16 @@ final case class TableSnapshot(
     schema: Option[org.apache.spark.sql.types.StructType] = None,
     droppedCols: Seq[String] = Nil) {
   def totalRows: Long = files.map(_.rows).sum
+  /** Rows a committed read serves — physical rows minus every file's
+    * deletion-vector positions; equals [[totalRows]] on DV-free tables.
+    */
+  def totalLiveRows: Long = files.map(_.liveRows).sum
+  /** True when any listed file carries a deletion vector — readers must
+    * be merge-on-read aware ([[Layout.ReaderVersion]] >= 2) and
+    * manifest-only min/max answers become unsound (a deleted row may
+    * have held the extreme).
+    */
+  def hasDeletionVectors: Boolean = files.exists(_.dv.isDefined)
 }
 
 object Layout {
@@ -286,10 +316,32 @@ object Layout {
     val smallPaths = candidates.map(_.getPath.toString).toIndexedSeq
     // an evolved table's smalls can span schema generations — read them
     // through the recorded schema so older files serve NULL columns
-    val smalls = committed.flatMap(_.schema) match {
+    val smallsRaw = committed.flatMap(_.schema) match {
       case Some(st) => spark.read.schema(st).parquet(smallPaths: _*)
       case None     => spark.read.parquet(smallPaths: _*)
     }
+    // compaction is the deletion-vector MATERIALIZATION path: apply the
+    // candidates' DVs during the rewrite (the rewritten generation
+    // carries none), or deleted rows would resurrect into the compacted
+    // files
+    val candNames = candidates.map(_.getPath.getName).toSet
+    val dvCand = committed.toSeq.flatMap(_.files)
+      .filter(f => candNames.contains(f.name) && f.dv.isDefined)
+    val smalls =
+      if (dvCand.isEmpty) smallsRaw
+      else {
+        val positions = spark.read
+          .parquet(dvCand.map(f => s"$path/${f.dv.get.name}").distinct: _*)
+          .filter(col("file").isin(dvCand.map(_.name): _*))
+          .withColumnRenamed("file", "_graft_dv_file")
+          .withColumnRenamed("pos", "_graft_dv_pos")
+        smallsRaw
+          .withColumn("_graft_dv_file", col("_metadata.file_name"))
+          .withColumn("_graft_dv_pos", col("_metadata.row_index"))
+          .join(broadcast(positions), Seq("_graft_dv_file", "_graft_dv_pos"),
+            "left_anti")
+          .drop("_graft_dv_file", "_graft_dv_pos")
+      }
     val nRows = smalls.count()
     val totalBytes = candidates.map(_.getLen).sum
     val nOut = math.max(1L,
@@ -418,11 +470,26 @@ object Layout {
       .take(12).map(b => f"$b%02x").mkString
   }
 
+  /** Highest snapshot-format feature level this reader understands.
+    * Version 2 added deletion vectors (merge-on-read deletes): a v2
+    * snapshot's file entries may carry a DV reference, and a reader
+    * that ignored it would RESURRECT deleted rows — so any snapshot
+    * using the feature stamps `minreader=2` and pre-v2 parsers that
+    * learned the header refuse instead of answering wrongly. (Parsers
+    * from before the header existed skip it — the same bootstrap gap
+    * Delta's protocol-version action has; the guard protects every
+    * reader from here on.)
+    */
+  val ReaderVersion: Int = 2
+
   /** Parse one snapshot file body. Header lines (`key=`, `schema=`,
     * repeatable `txn=writer:batchId`) precede the tab-separated file
     * entries; unknown `name=value` headers are skipped so the format can
     * grow without breaking old readers (file entries always contain a
-    * tab, header lines never do).
+    * tab, header lines never do) — EXCEPT `minreader=N`, which is the
+    * forward-compatibility stop: it names the feature level the
+    * snapshot requires, and a parser below it must refuse rather than
+    * misread.
     */
   private def parseSnapshot(version: Long, txt: String, where: String): TableSnapshot = {
     val lines = txt.split("\n").filter(_.nonEmpty)
@@ -452,6 +519,12 @@ object Layout {
           val c = v.lastIndexOf(':')
           require(c > 0, s"malformed txn header '$h' in $where")
           txns += (v.substring(0, c) -> v.substring(c + 1).toLong)
+        case ("minreader", v) =>
+          require(v.toInt <= ReaderVersion,
+            s"snapshot in $where requires reader version $v, this reader " +
+            s"is $ReaderVersion — refusing rather than misreading (a " +
+            "feature-unaware read of e.g. a deletion-vector snapshot " +
+            "would resurrect deleted rows)")
         case _ => // forward-compatible: ignore unknown headers
       }
     }
@@ -461,7 +534,15 @@ object Layout {
       val stats = statsCols.zipWithIndex.map { case (c, i) =>
         c -> ((f(5 + 2 * i).toLong, f(6 + 2 * i).toLong))
       }.toMap
-      SnapshotFile(f(0), f(1).toLong, f(2).toLong, f(3).toLong, f(4).toLong, stats)
+      // optional deletion-vector fields follow the stats columns; a
+      // DV-free file's line simply ends earlier
+      val dvBase = 5 + 2 * statsCols.size
+      val dv =
+        if (f.length >= dvBase + 2 && f(dvBase).nonEmpty)
+          Some(DvRef(f(dvBase), f(dvBase + 1).toLong))
+        else None
+      SnapshotFile(f(0), f(1).toLong, f(2).toLong, f(3).toLong, f(4).toLong,
+        stats, dv)
     }
     TableSnapshot(version, key, files, schemaHash, txns.result(), op,
       statsCols, schemaJson, dropped)
@@ -518,6 +599,10 @@ object Layout {
     val body = new StringBuilder()
     body.append(SnapshotMagic).append('\n')
     body.append("key=").append(snapshot.keyName).append('\n')
+    // deletion vectors are a reader-breaking feature: stamp the level so
+    // a DV-unaware parser refuses instead of resurrecting deleted rows
+    if (snapshot.hasDeletionVectors)
+      body.append("minreader=2").append('\n')
     if (snapshot.op != "unknown")
       body.append("op=").append(snapshot.op).append('\n')
     if (snapshot.statsCols.nonEmpty) {
@@ -552,6 +637,15 @@ object Layout {
         val (mn, mx) = f.stats.getOrElse(c, throw new IllegalArgumentException(
           s"snapshot v${snapshot.version}: file ${f.name} lacks stats for '$c'"))
         body.append('\t').append(mn).append('\t').append(mx)
+      }
+      f.dv.foreach { d =>
+        require(!d.name.contains('\t') && !d.name.contains('\n') && d.name.nonEmpty,
+          s"deletion vector name '${d.name}' contains reserved characters")
+        require(d.nDeleted > 0 && d.nDeleted < f.rows,
+          s"snapshot v${snapshot.version}: file ${f.name} records " +
+          s"${d.nDeleted} deleted of ${f.rows} physical rows — an empty " +
+          "or fully-deleted file must be dropped from the list, not DV'd")
+        body.append('\t').append(d.name).append('\t').append(d.nDeleted)
       }
       body.append('\n')
     }
@@ -599,12 +693,50 @@ object Layout {
     * read bare — all their files share one physical schema.
     */
   private[ops] def readFiles(spark: SparkSession, path: String,
-      snap: TableSnapshot, names: Seq[String]): DataFrame = {
+      snap: TableSnapshot, names: Seq[String]): DataFrame =
+    readFilesDv(spark, path, snap,
+      names, snap.files.iterator.map(f => f.name -> f.dv).toMap)
+
+  /** [[readFiles]] with the deletion-vector ownership made explicit:
+    * `dvOf` maps file name -> that file's DV ref AS OF the version being
+    * read. The change-feed legs need this split because they read a
+    * PREVIOUS version's removed files through the window-end schema —
+    * the schema comes from `snap`, the DV state from the version that
+    * owned the files.
+    */
+  private[ops] def readFilesDv(spark: SparkSession, path: String,
+      snap: TableSnapshot, names: Seq[String],
+      dvOf: Map[String, Option[DvRef]]): DataFrame = {
     require(names.nonEmpty, "readFiles: empty file list")
     val paths = names.map(n => s"$path/$n")
-    snap.schema match {
+    val base = snap.schema match {
       case Some(st) => spark.read.schema(st).parquet(paths: _*)
       case None     => spark.read.parquet(paths: _*)
+    }
+    val dvd = names.flatMap(n => dvOf.getOrElse(n, None).map(n -> _))
+    if (dvd.isEmpty) base
+    else {
+      // merge-on-read: anti-join the scan against the referenced DV
+      // positions on (file name, parquet row index). The positions side
+      // is BROADCAST — it is bounded by rows deleted since the last
+      // rewrite of these files (compaction materializes DVs and resets
+      // it), so the scan side never shuffles; predicate pushdown and
+      // column pruning on the data columns are untouched below the
+      // join. A shared DV parquet may also hold OTHER files' positions,
+      // so the probe filters to the files actually being read.
+      val dvNames = dvd.map(_._2.name).distinct
+      val fileNames = dvd.map(_._1)
+      val positions = spark.read
+        .parquet(dvNames.map(n => s"$path/$n"): _*)
+        .filter(col("file").isin(fileNames: _*))
+        .withColumnRenamed("file", "_graft_dv_file")
+        .withColumnRenamed("pos", "_graft_dv_pos")
+      base
+        .withColumn("_graft_dv_file", col("_metadata.file_name"))
+        .withColumn("_graft_dv_pos", col("_metadata.row_index"))
+        .join(broadcast(positions), Seq("_graft_dv_file", "_graft_dv_pos"),
+          "left_anti")
+        .drop("_graft_dv_file", "_graft_dv_pos")
     }
   }
 
@@ -735,6 +867,12 @@ object Layout {
             s"tableChanges: v$v under $path is a RESTORE — a rollback can " +
             "REMOVE rows, which an adds-only feed cannot express; consume " +
             "the window with tableChangesCdf (insert+delete legs) instead")
+        case "deletedv" =>
+          throw new IllegalArgumentException(
+            s"tableChanges: v$v under $path is a deletion-vector DELETE — " +
+            "it removes rows, which an adds-only feed cannot express; " +
+            "consume the window with tableChangesCdf (the DV position " +
+            "diff becomes its delete leg)")
         case other =>
           throw new IllegalArgumentException(
             s"tableChanges: v$v under $path is a '$other' commit — it replaces " +
@@ -778,9 +916,14 @@ object Layout {
     val toSnap = snapshotAt(spark, path, toVersion)
     val empty = readFiles(spark, path, toSnap, prev.files.map(_.name))
       .filter(lit(false))
-    def read(names: Seq[String]): DataFrame =
+    // each leg reads through the window-end SCHEMA but the owning
+    // version's DV state: a pre-image leg must apply the DVs the rows
+    // had BEFORE the commit (or rows deleted in an earlier version
+    // would be re-reported), a post-image leg the DVs after
+    def read(names: Seq[String], dvOwner: TableSnapshot): DataFrame =
       if (names.isEmpty) empty
-      else readFiles(spark, path, toSnap, names)
+      else readFilesDv(spark, path, toSnap, names,
+        dvOwner.files.iterator.map(f => f.name -> f.dv).toMap)
     var out: DataFrame = empty.withColumn("_change_type", lit("insert"))
     var v = fromVersion + 1
     while (v <= toVersion) {
@@ -792,7 +935,7 @@ object Layout {
       cur.op match {
         case "append" =>
           out = out.unionByName(
-            read(added).withColumn("_change_type", lit("insert")))
+            read(added, cur).withColumn("_change_type", lit("insert")))
         case "compact" => // byte permutation: no row-level change
         case "evolve"  => // schema widened; rows unchanged (reads align
                           // on the TO-version schema, see above)
@@ -802,13 +945,63 @@ object Layout {
           // vs the files the undone commits had written), so the same
           // pre/post legs express it exactly — Delta's RESTORE appears
           // in ITS change feed the same way
-          val pre = read(removed)
-          val post = read(added)
+          val pre = read(removed, prev)
+          val post = read(added, cur)
           out = out
             .unionByName(post.exceptAll(pre)
               .withColumn("_change_type", lit("insert")))
             .unionByName(pre.exceptAll(post)
               .withColumn("_change_type", lit("delete")))
+        case "deletedv" =>
+          // a merge-on-read delete names its rows exactly: the commit's
+          // delta IS the position diff (cur DV minus prev DV per
+          // surviving file) plus every live row of the files it
+          // dropped. Cost ∝ the delete — the position join scans only
+          // the files whose refs changed, never the table.
+          out = out.unionByName(
+            read(removed, prev).withColumn("_change_type", lit("delete")))
+          val prevBy = prev.files.map(f => f.name -> f).toMap
+          val changed = cur.files
+            .filter(f => prevBy.get(f.name).exists(_.dv != f.dv))
+          if (changed.nonEmpty) {
+            def positions(refs: Seq[SnapshotFile]): Option[DataFrame] = {
+              val withDv = refs.filter(_.dv.isDefined)
+              if (withDv.isEmpty) None
+              else Some(spark.read
+                .parquet(withDv.map(f => s"$path/${f.dv.get.name}").distinct: _*)
+                .filter(col("file").isin(withDv.map(_.name): _*)))
+            }
+            val curPos = positions(changed).getOrElse(
+              throw new IllegalStateException(
+                s"tableChangesCdf: v$v deletedv commit changed DV refs " +
+                "without recording any — snapshot log corrupted"))
+            val newPos = positions(changed.map(f => prevBy(f.name))) match {
+              case None => curPos
+              case Some(old) => curPos.join(
+                old.withColumnRenamed("file", "_pf")
+                  .withColumnRenamed("pos", "_pp"),
+                col("file") === col("_pf") && col("pos") === col("_pp"),
+                "left_anti")
+            }
+            val raw = {
+              val paths = changed.map(f => s"$path/${f.name}")
+              val base = toSnap.schema match {
+                case Some(st) => spark.read.schema(st).parquet(paths: _*)
+                case None     => spark.read.parquet(paths: _*)
+              }
+              base
+                .withColumn("_graft_dv_file", col("_metadata.file_name"))
+                .withColumn("_graft_dv_pos", col("_metadata.row_index"))
+            }
+            val deletedRows = raw.join(
+              broadcast(newPos
+                .withColumnRenamed("file", "_graft_dv_file")
+                .withColumnRenamed("pos", "_graft_dv_pos")),
+              Seq("_graft_dv_file", "_graft_dv_pos"))
+              .drop("_graft_dv_file", "_graft_dv_pos")
+            out = out.unionByName(
+              deletedRows.withColumn("_change_type", lit("delete")))
+          }
         case other =>
           throw new IllegalArgumentException(
             s"tableChangesCdf: v$v under $path is a '$other' commit — it " +
@@ -1248,12 +1441,17 @@ object Layout {
               applied += 1
               prev = cur
               v += 1
-            case "delete" | "update" | "upsert" | "restore" =>
+            case "delete" | "update" | "upsert" | "restore" | "deletedv" =>
               // a restore is a known file-list diff, so the replica
               // follows it incrementally like any row-level mutation:
               // the CDF legs carry exactly the rows the rollback
               // removed and resurrected (round-14 directive #8 — the
-              // former `case other` refusal forced a re-bootstrap)
+              // former `case other` refusal forced a re-bootstrap).
+              // A deletion-vector delete rides the same path: its CDF
+              // delta is the position diff's rows, applied here as
+              // content deletes by id — the replica's physical layout
+              // differs from the source's, so positions don't
+              // transfer, but ids do
               val cdf = tableChangesCdf(spark, srcPath, v - 1, v)
               val legs = cdf
                 .withColumn("version",
@@ -1300,7 +1498,16 @@ object Layout {
     val snap = latestSnapshot(spark, path).getOrElse(
       throw new IllegalStateException(
         s"statsAggregate: no committed table under $path"))
-    val exprs = lit(snap.totalRows).as("n_rows") +: cols.flatMap { c =>
+    // n_rows stays exact under deletion vectors (every DV ref records
+    // its count); per-column MIN/MAX do NOT — a deleted row may have
+    // held the extreme, and the boxes are computed at write time —
+    // so a DV-carrying snapshot refuses them with the remedy
+    require(cols.isEmpty || !snap.hasDeletionVectors,
+      s"statsAggregate: snapshot v${snap.version} under $path carries " +
+      "deletion vectors — per-file min/max boxes may cover deleted rows, " +
+      "so manifest-only MIN/MAX would be unsound; compact the table to " +
+      "materialize the DVs first (row count alone is still exact)")
+    val exprs = lit(snap.totalLiveRows).as("n_rows") +: cols.flatMap { c =>
       require(c == snap.keyName || snap.statsCols.contains(c),
         s"statsAggregate: snapshot v${snap.version} carries no stats for " +
         s"'$c' (key=${snap.keyName}, stats=${snap.statsCols.mkString(",")})")
@@ -1527,7 +1734,7 @@ object Layout {
     import spark.implicits._
     versions.toIndexedSeq.map { case (v, p) =>
       val s = readSnapshotFile(fs, p, v)
-      (v, s.op, s.files.size.toLong, s.totalRows,
+      (v, s.op, s.files.size.toLong, s.totalLiveRows,
         s.txns.toSeq.sortBy(_._1).map { case (w, b) => s"$w:$b" }.mkString(","))
     }.toDF("version", "op", "n_files", "n_rows", "txns")
   }
@@ -1589,7 +1796,8 @@ object Layout {
     // bypassed (manual deletion, a foreign vacuum) — refuse with the
     // remedy instead of committing a snapshot that cannot be read.
     val fs = fsOf(spark, path)
-    val missing = tgt.files.map(_.name)
+    val missing = (tgt.files.map(_.name) ++
+        tgt.files.flatMap(_.dv).map(_.name).distinct)
       .filterNot(n => fs.exists(new org.apache.hadoop.fs.Path(s"$path/$n")))
     require(missing.isEmpty,
       s"restoreVersion: ${missing.size} of v$version's files are no longer " +
@@ -1651,7 +1859,10 @@ object Layout {
     // a NULL predicate keeps its row (a bare !predicate would drop it)
     val keep = src.filter(!coalesce(predicate, lit(false)))
     val keptRows = keep.count()
-    val deleted = affected.map(_.rows).sum - keptRows
+    // live rows, not physical: readFiles already applied any deletion
+    // vectors, so the rewrite MATERIALIZES them (rewritten entries
+    // carry no DV) and the accounting must start from the live count
+    val deleted = affected.map(_.liveRows).sum - keptRows
     val untouched = snap.files.filterNot(affected.map(_.name).toSet contains _.name)
     if (deleted == 0L)
       return DeleteStats(snap.files.size.toLong, 0L, 0L, snap.version)
@@ -1672,6 +1883,157 @@ object Layout {
       droppedCols = snap.droppedCols)
     commitSnapshot(spark, path, next)
     DeleteStats(snap.files.size.toLong, affected.size.toLong, deleted, next.version)
+  }
+
+  /** What [[deleteWhereDv]] did. `nRowsDeleted` counts NEWLY deleted
+    * live rows (positions already in an existing DV are not re-counted);
+    * `nFilesDvUpdated` the files whose DV ref was written or re-pointed;
+    * `nFilesDropped` the files every live row of which is now deleted
+    * (removed from the snapshot list outright instead of carrying a
+    * full-file DV).
+    */
+  final case class DvDeleteStats(
+      nFilesTotal: Long, nFilesDvUpdated: Long, nFilesDropped: Long,
+      nRowsDeleted: Long, version: Long)
+
+  /** Merge-on-read DELETE — the deletion-vector twin of [[deleteWhere]].
+    * Instead of rewriting every affected data file (copy-on-write cost ∝
+    * file bytes, even for a 10-row delete out of a 1 GB file), the
+    * matching rows' PARQUET ROW POSITIONS are written to a small
+    * positions sidecar (`dv-*.parquet`: file name, row index) and
+    * snapshot N+1 repoints each affected file's [[DvRef]] — cost ∝ rows
+    * deleted, never ∝ table bytes, which is what lets a 100 TB corpus
+    * serve right-to-be-forgotten requests at interactive latency.
+    * Committed reads apply DVs as a broadcast anti-join on (file,
+    * position) above the scan ([[readFilesDv]]); rewrites
+    * (compaction, copy-on-write mutations) MATERIALIZE them, so the
+    * broadcast side stays bounded by deletes-since-last-rewrite.
+    *
+    * Semantics and contracts mirror [[deleteWhere]]: SQL DELETE NULL
+    * handling (a NULL predicate keeps its row), `scanRanges` as a
+    * covering planning hint, time travel to the pre-delete snapshot
+    * still answering, single-writer commit. A file already carrying a
+    * DV gets old + new positions folded into this commit's sidecar and
+    * its ref repointed (one ref per file, never a union of DV
+    * generations); a file whose every live row matches is dropped from
+    * the snapshot entirely. The commit records op=deletedv — the
+    * appends-only [[tableChanges]] feed refuses to cross it, and
+    * [[tableChangesCdf]] surfaces exactly the newly-deleted rows (a
+    * position diff, cost ∝ the delete). Snapshots carrying DVs stamp
+    * `minreader=2` so a DV-unaware parser refuses instead of
+    * resurrecting deleted rows.
+    *
+    * `dvShards` controls the sidecar's file count (positions are
+    * hash-partitioned by data file, so each data file's positions land
+    * in exactly one sidecar shard); 1 is right until a single delete
+    * touches many millions of rows.
+    */
+  def deleteWhereDv(spark: SparkSession, path: String, predicate: Column,
+      scanRanges: Seq[(String, Long, Long)] = Nil,
+      dvShards: Int = 1): DvDeleteStats = {
+    require(dvShards >= 1, "deleteWhereDv: dvShards must be >= 1")
+    val snap = latestSnapshot(spark, path).getOrElse(throw new IllegalStateException(
+      s"deleteWhereDv: no committed table under $path"))
+    val affected = snap.files.filter { f =>
+      scanRanges.forall { case (c, lo, hi) =>
+        val (mn, mx) = if (c == snap.keyName) (f.minKey, f.maxKey)
+          else f.stats.getOrElse(c, throw new IllegalArgumentException(
+            s"deleteWhereDv: snapshot v${snap.version} carries no stats for '$c'"))
+        mx >= lo && mn <= hi
+      }
+    }
+    if (affected.isEmpty)
+      return DvDeleteStats(snap.files.size.toLong, 0L, 0L, 0L, snap.version)
+    // physical read (no DV application): positions are parquet row
+    // indexes, and re-listing an already-deleted position is harmless —
+    // the union below de-duplicates it
+    val names = affected.map(_.name)
+    val paths = names.map(n => s"$path/$n")
+    val base = snap.schema match {
+      case Some(st) => spark.read.schema(st).parquet(paths: _*)
+      case None     => spark.read.parquet(paths: _*)
+    }
+    val newPos = base
+      .withColumn("file", col("_metadata.file_name"))
+      .withColumn("pos", col("_metadata.row_index"))
+      .filter(coalesce(predicate, lit(false)))
+      .select(col("file"), col("pos"))
+    // fold in the affected files' EXISTING positions so each file's new
+    // ref covers its full deleted set (one ref per file)
+    val existingRefs = affected.filter(_.dv.isDefined)
+    val merged = (if (existingRefs.isEmpty) newPos else {
+      val dvNames = existingRefs.map(_.dv.get.name).distinct
+      val old = spark.read.parquet(dvNames.map(n => s"$path/$n"): _*)
+        .filter(col("file").isin(existingRefs.map(_.name): _*))
+      newPos.unionByName(old)
+    }).distinct()
+    // per-file deleted counts: bounded by the affected file count
+    val counts = merged.groupBy(col("file"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val newlyDeleted = counts.values.sum -
+      affected.flatMap(_.dv).map(_.nDeleted).sum
+    if (newlyDeleted == 0L)
+      return DvDeleteStats(snap.files.size.toLong, 0L, 0L, 0L, snap.version)
+    val byRows = affected.map(f => f.name -> f.rows).toMap
+    val dropped = counts.collect {
+      case (n, c) if c == byRows(n) => n
+    }.toSet
+    val survivors = snap.files.filterNot(f => dropped.contains(f.name))
+    require(survivors.nonEmpty,
+      s"deleteWhereDv would empty the table at $path entirely — a committed " +
+      "snapshot must list at least one file; drop the table instead")
+    // stage the sidecar (fully-deleted files need no positions — they
+    // leave the list) and move it in under dv-* names; vacuum's orphan
+    // sweep covers the dv- prefix, so a crash between here and commit
+    // leaves reclaimable files, never a wrong table
+    val keepPos = if (dropped.isEmpty) merged
+      else merged.filter(!col("file").isin(dropped.toSeq: _*))
+    val fs = fsOf(spark, path)
+    val refOf: Map[String, DvRef] =
+      if (counts.keySet.forall(dropped.contains)) Map.empty
+      else {
+        val token = java.util.UUID.randomUUID().toString.take(8)
+        val tmp = new org.apache.hadoop.fs.Path(s"$path/.dvdelete-$token")
+        keepPos.repartition(dvShards, col("file"))
+          .write.mode("overwrite").parquet(tmp.toString)
+        val staged = fs.listStatus(tmp)
+          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        val moved = staged.zipWithIndex.map { case (st, i) =>
+          val target = new org.apache.hadoop.fs.Path(
+            s"$path/dv-$token-$i${suffixOf(st.getPath.getName)}")
+          if (!fs.rename(st.getPath, target))
+            throw new java.io.IOException(
+              s"dvdelete rename ${st.getPath} -> $target failed")
+          target.getName
+        }.toIndexedSeq
+        fs.delete(tmp, true)
+        // which shard holds which data file's positions (hash
+        // partitioning is not driver-predictable): one column-pruned
+        // scan of the sidecar, bounded by the affected file count
+        spark.read.parquet(moved.map(n => s"$path/$n"): _*)
+          .withColumn("dvfile", input_file_name())
+          .groupBy(col("file"))
+          .agg(min(col("dvfile")).as("dvfile"), count(lit(1)).as("n"))
+          .collect()
+          .map { r =>
+            val dvName = new org.apache.hadoop.fs.Path(r.getString(1)).getName
+            r.getString(0) -> DvRef(dvName, r.getLong(2))
+          }.toMap
+      }
+    val nextFiles = survivors.map { f =>
+      refOf.get(f.name) match {
+        case Some(ref) => f.copy(dv = Some(ref))
+        case None      => f
+      }
+    }
+    val next = TableSnapshot(snap.version + 1, snap.keyName, nextFiles,
+      snap.schemaHash, snap.txns, op = "deletedv",
+      statsCols = snap.statsCols, schema = snap.schema,
+      droppedCols = snap.droppedCols)
+    commitSnapshot(spark, path, next)
+    DvDeleteStats(snap.files.size.toLong, refOf.size.toLong,
+      dropped.size.toLong, newlyDeleted, next.version)
   }
 
   /** What [[updateWhere]] did — same accounting as [[DeleteStats]]. */
@@ -1745,9 +2107,11 @@ object Layout {
     val nOut = if (nFiles > 0) nFiles else affected.size
     val moved = stageAndMoveIn(updated, path, "update", snap.keyName, nOut)
     val movedEntries = snapshotEntries(spark, path, snap.keyName, moved, snap.statsCols)
-    require(movedEntries.map(_.rows).sum == affected.map(_.rows).sum,
+    // live rows: readFiles applied any deletion vectors, so the rewrite
+    // materializes them and the preservation check counts live rows
+    require(movedEntries.map(_.rows).sum == affected.map(_.liveRows).sum,
       "updateWhere: rewritten row count diverged from the affected files' " +
-      "row count; nothing committed, both generations on disk")
+      "live row count; nothing committed, both generations on disk")
     val next = TableSnapshot(snap.version + 1, snap.keyName,
       untouched ++ movedEntries, snap.schemaHash, snap.txns,
       op = "update", statsCols = snap.statsCols, schema = snap.schema,
@@ -1798,7 +2162,7 @@ object Layout {
     txn.foreach { case (app, id) =>
       if (snap.txns.get(app).exists(_ >= id))
         return UpsertStats(snap.files.size.toLong, 0L,
-          snap.totalRows, snap.totalRows, snap.version)
+          snap.totalLiveRows, snap.totalLiveRows, snap.version)
     }
     require(idCol == snap.keyName || snap.statsCols.contains(idCol),
       s"upsertCommitted: '$idCol' has no per-file stats in snapshot " +
@@ -1860,7 +2224,7 @@ object Layout {
       droppedCols = snap.droppedCols)
     commitSnapshot(spark, path, next)
     UpsertStats(snap.files.size.toLong, affected.size.toLong,
-      snap.totalRows, next.totalRows, next.version)
+      snap.totalLiveRows, next.totalLiveRows, next.version)
   }
 
   /** Default vacuum retention horizon: comfortably above any append's
@@ -1902,14 +2266,19 @@ object Layout {
       .flatMap(st => versionOf(st.getPath.getName).map(_ -> st.getPath))
       .sortBy(-_._1)
     val (kept, dropped) = versions.splitAt(keepVersions)
-    // referenced = union of file lists across RETAINED snapshots
+    // referenced = union of file lists across RETAINED snapshots —
+    // including their deletion-vector sidecars (reclaiming a referenced
+    // DV would resurrect its rows on the next read)
     val referenced = kept.flatMap { case (v, p) =>
-      readSnapshotFile(fs, p, v).files.map(_.name)
+      val s = readSnapshotFile(fs, p, v)
+      s.files.map(_.name) ++ s.files.flatMap(_.dv).map(_.name)
     }.toSet
     val horizon = System.currentTimeMillis() - minAgeMs
     val listing = fs.listStatus(new org.apache.hadoop.fs.Path(path))
     val orphans = listing
-      .filter(st => st.isFile && st.getPath.getName.startsWith("part-") &&
+      .filter(st => st.isFile &&
+        (st.getPath.getName.startsWith("part-") ||
+          st.getPath.getName.startsWith("dv-")) &&
         !referenced.contains(st.getPath.getName) &&
         st.getModificationTime < horizon)
     orphans.foreach(st => fs.delete(st.getPath, false))
@@ -1926,7 +2295,8 @@ object Layout {
         st.isDirectory && st.getModificationTime < horizon &&
           (n.startsWith(".append-") || n.startsWith(".compact-") ||
             n.startsWith(".rewrite-") || n.startsWith(".delete-") ||
-            n.startsWith(".upsert-") || n.startsWith(".update-"))
+            n.startsWith(".upsert-") || n.startsWith(".update-") ||
+            n.startsWith(".dvdelete-"))
       }
       .foreach(st => fs.delete(st.getPath, true))
     fs.listStatus(mdir)

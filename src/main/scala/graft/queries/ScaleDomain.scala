@@ -1122,6 +1122,123 @@ object ScaleDomain {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Deletion vectors — merge-on-read DELETE (the Delta DV / Iceberg
+    // positional-delete verb): two deleteWhereDv commits mark the
+    // victims' parquet row positions in a dv-* sidecar and repoint the
+    // affected files' refs — NO data file is rewritten (no_rewrite pins
+    // the post-delete file set ⊆ the create's), which is what lets a
+    // 100 TB table serve a 10-row right-to-be-forgotten request at
+    // sidecar cost. The committed read applies the positions as a
+    // broadcast anti-join above the scan; the oracle recomputes the
+    // survivors directly from the pristine table, so a hash match
+    // certifies the position algebra end-to-end (including the second
+    // commit FOLDING the first's positions into its fresh sidecar —
+    // one ref per file, never a union of DV generations). Invariants
+    // ride as literals: physical rows unchanged while live rows
+    // dropped (mor_accounting), the pre-delete snapshot resurrected in
+    // full (time_travel_ok), the adds-only feed refusing to cross
+    // (feed_refused). Scratch wiped at body start (create-rooted
+    // story; rerun identity via the EndToEndSpec battery).
+    "q_delete_dv" -> ((s, dir) => lifecycleOnce(s, "q_delete_dv", dir) {
+      val path = scratch(s, "mdvdel", dir)
+      deleteRecursively(new java.io.File(path))
+      val li = Tables(s, dir, "lineitem")
+      val key = Layout.zorderKey(Seq(
+        Layout.gridCell(col("l_partkey"), 0, 20000, 10),
+        Layout.gridCell(col("l_suppkey"), 0, 1000, 10)), 10)
+      graft.SubTimings.time("q_delete_dv", "fixture_write") {
+        Layout.writeClustered(li, path, key, nFiles = 16,
+          statsCols = Seq("l_partkey")): Unit
+      }
+      val snapPre = Layout.latestSnapshot(s, path).get
+      val nTotal = snapPre.totalRows
+      graft.SubTimings.time("q_delete_dv", "dv_delete") {
+        Layout.deleteWhereDv(s, path,
+          col("l_partkey").between(10, 80), Seq(("l_partkey", 10L, 80L))): Unit
+        Layout.deleteWhereDv(s, path,
+          col("l_partkey").between(81, 120), Seq(("l_partkey", 81L, 120L))): Unit
+      }
+      val snapPost = Layout.latestSnapshot(s, path).get
+      val noRewrite = snapPost.files.map(_.name).toSet
+        .subsetOf(snapPre.files.map(_.name).toSet)
+      val morAccounting = snapPost.totalRows >= snapPost.totalLiveRows &&
+        snapPost.hasDeletionVectors &&
+        snapPost.totalLiveRows == Layout.readCommitted(s, path).count()
+      val timeTravelOk =
+        Layout.readVersion(s, path, snapPre.version).count() == nTotal
+      val feedRefused =
+        try { Layout.tableChanges(s, path, snapPre.version, snapPost.version)
+              .count(); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("deletion-vector") }
+      Layout.readCommitted(s, path)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("sum_qty"))
+        .withColumn("no_rewrite", lit(noRewrite))
+        .withColumn("mor_accounting", lit(morAccounting))
+        .withColumn("time_travel_ok", lit(timeTravelOk))
+        .withColumn("feed_refused", lit(feedRefused))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // The deletedv CHANGE FEED + materialization: tableChangesCdf
+    // crosses two DV commits and must emit EXACTLY the newly-deleted
+    // rows (a position diff — cur DV minus prev DV — joined back to
+    // the affected files; cost ∝ the delete, never the table). The
+    // oracle recomputes both slices' victims from the pristine table
+    // as delete-typed rows. The second window's exactness — slice B
+    // alone, because the pre-image leg applies version A's DVs —
+    // rides as cdf_window_exact (the subtle bug class this pins:
+    // re-reporting earlier deletions). Compaction afterwards
+    // MATERIALIZES the DVs (refs gone, live content preserved —
+    // dv_materialized), completing the maintenance story: the
+    // broadcast side of every committed read is bounded by
+    // deletes-since-last-compaction.
+    "q_delete_dv_cdf" -> ((s, dir) => lifecycleOnce(s, "q_delete_dv_cdf", dir) {
+      val path = scratch(s, "mdvcdf", dir)
+      deleteRecursively(new java.io.File(path))
+      val li = Tables(s, dir, "lineitem")
+      val key = Layout.zorderKey(Seq(
+        Layout.gridCell(col("l_partkey"), 0, 20000, 10),
+        Layout.gridCell(col("l_suppkey"), 0, 1000, 10)), 10)
+      graft.SubTimings.time("q_delete_dv_cdf", "fixture_write") {
+        Layout.writeClustered(li, path, key, nFiles = 16,
+          statsCols = Seq("l_partkey")): Unit
+      }
+      val v1 = Layout.latestSnapshot(s, path).get.version
+      graft.SubTimings.time("q_delete_dv_cdf", "dv_delete") {
+        Layout.deleteWhereDv(s, path,
+          col("l_partkey").between(10, 80), Seq(("l_partkey", 10L, 80L))): Unit
+      }
+      val v2 = Layout.latestSnapshot(s, path).get.version
+      graft.SubTimings.time("q_delete_dv_cdf", "dv_delete") {
+        Layout.deleteWhereDv(s, path,
+          col("l_partkey").between(81, 150), Seq(("l_partkey", 81L, 150L))): Unit
+      }
+      val v3 = Layout.latestSnapshot(s, path).get.version
+      val sliceB = li.filter(col("l_partkey").between(81, 150)).count()
+      val windowExact =
+        Layout.tableChangesCdf(s, path, v2, v3).count() == sliceB
+      val dvMaterialized = graft.SubTimings.time("q_delete_dv_cdf", "compact") {
+        val live = Layout.latestSnapshot(s, path).get.totalLiveRows
+        Layout.compactFiles(s, path, "cluster_key",
+          minFileBytes = 64L * 1024 * 1024,
+          targetFileBytes = 64L * 1024 * 1024): Unit
+        val after = Layout.latestSnapshot(s, path).get
+        !after.hasDeletionVectors && after.totalRows == live
+      }
+      Layout.tableChangesCdf(s, path, v1, v3)
+        .groupBy(col("_change_type").as("change_type"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("sum_qty"))
+        .withColumn("cdf_window_exact", lit(windowExact))
+        .withColumn("dv_materialized", lit(dvMaterialized))
+        .orderBy(col("change_type"), col("l_returnflag"))
+    }),
+
     // Per-file bloom sidecar: point lookups on a column the z-order
     // does NOT cluster (l_orderkey in a partkey/suppkey-ordered table —
     // its min/max box spans every file, so stats boxes prune nothing).
@@ -2114,6 +2231,26 @@ object ScaleDomain {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  'append,append,delete,restore,append' AS ops_applied
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // merge-on-read survivors = the pristine table under NOT (both DV
+    // slices); the no-rewrite / accounting / time-travel / feed
+    // invariants are identity pins
+    "q_delete_dv" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  true AS no_rewrite, true AS mor_accounting,
+        |  true AS time_travel_ok, true AS feed_refused
+        |FROM lineitem
+        |WHERE NOT (l_partkey BETWEEN 10 AND 120)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the DV change feed's delete legs = both slices' victims on the
+    // pristine table; window-exactness and materialization are pins
+    "q_delete_dv_cdf" ->
+      """SELECT 'delete' AS change_type, l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  true AS cdf_window_exact, true AS dv_materialized
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 10 AND 150
+        |GROUP BY l_returnflag ORDER BY change_type, l_returnflag""".stripMargin,
     // the point lookup restated directly on the pristine table; the
     // bloom's no-false-negative guarantee is what makes the pruned,
     // re-filtered read exact

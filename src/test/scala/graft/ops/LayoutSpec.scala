@@ -1594,4 +1594,221 @@ class LayoutSpec extends AnyFunSuite {
     assert(re.filter(Layout.zorderKey(Seq(col("x"), col("y")), 7) =!=
       col("cluster_key")).isEmpty)
   }
+
+  /** Shared fixture for the deletion-vector battery: 40k rows, 16
+    * z-ordered files, x stats recorded.
+    */
+  private def dvTable(tag: String): (String, DataFrame) = {
+    val base = spark.range(40000).select(
+      col("id"),
+      ((col("id") * 7919L) % 1000).as("x"),
+      ((col("id") * 104729L) % 997).as("y"))
+    val key = Layout.zorderKey(Seq(
+      Layout.gridCell(col("x"), 0, 1000, 8),
+      Layout.gridCell(col("y"), 0, 997, 8)), 8)
+    val dir = java.nio.file.Files.createTempDirectory(tag).toString
+    Layout.writeClustered(base, dir, key, nFiles = 16, statsCols = Seq("x"))
+    (dir, base)
+  }
+
+  test("deleteWhereDv: merge-on-read delete — no data rewrite, refs merge, history intact") {
+    val (dir, base) = dvTable("graft_dv")
+    val snap1 = Layout.latestSnapshot(spark, dir).get
+    val s1 = Layout.deleteWhereDv(spark, dir,
+      col("x").between(0, 99), Seq(("x", 0L, 99L)))
+    assert(s1.nRowsDeleted == base.filter(col("x").between(0, 99)).count())
+    assert(s1.nFilesDropped == 0L && s1.nFilesDvUpdated > 0L)
+    val snap2 = Layout.latestSnapshot(spark, dir).get
+    assert(snap2.op == "deletedv" && snap2.hasDeletionVectors)
+    // merge-on-read means NO data files were rewritten: same names
+    assert(snap2.files.map(_.name).toSet == snap1.files.map(_.name).toSet)
+    // the committed read serves exactly the survivors
+    val want1 = base.filter(!col("x").between(0, 99))
+    assert(Layout.readCommitted(spark, dir).select("id").as[Long].collect().sorted
+      .toSeq == want1.select("id").as[Long].collect().sorted.toSeq)
+    // live accounting: physical rows unchanged, live rows down
+    assert(snap2.totalRows == 40000L &&
+      snap2.totalLiveRows == 40000L - s1.nRowsDeleted)
+    // time travel to the pre-delete snapshot resurrects everything
+    assert(Layout.readVersion(spark, dir, snap1.version).count() == 40000L)
+    // a second DV delete FOLDS refs (one ref per file, both slices gone)
+    val s2 = Layout.deleteWhereDv(spark, dir,
+      col("x").between(100, 149), Seq(("x", 100L, 149L)))
+    assert(s2.nRowsDeleted == base.filter(col("x").between(100, 149)).count())
+    val want2 = base.filter(!col("x").between(0, 149))
+    assert(Layout.readCommitted(spark, dir).count() == want2.count())
+    Layout.latestSnapshot(spark, dir).get.files.foreach(f =>
+      assert(f.dv.forall(_.nDeleted < f.rows)))
+    // re-deleting an already-deleted slice is a no-op commit-wise
+    val s3 = Layout.deleteWhereDv(spark, dir,
+      col("x").between(0, 99), Seq(("x", 0L, 99L)))
+    assert(s3.nRowsDeleted == 0L && s3.version == s2.version)
+    // the adds-only feed refuses to cross a deletedv commit
+    val ex = intercept[IllegalArgumentException](
+      Layout.tableChanges(spark, dir, snap1.version, s2.version))
+    assert(ex.getMessage.contains("deletion-vector"))
+    // manifest-only MIN/MAX is unsound under DVs and says so; the
+    // row count alone stays exact (live)
+    val ex2 = intercept[IllegalArgumentException](
+      Layout.statsAggregate(spark, dir, Seq("x")))
+    assert(ex2.getMessage.contains("deletion vectors"))
+    assert(Layout.statsAggregate(spark, dir).select("n_rows")
+      .as[Long].head() == want2.count())
+    // DESCRIBE HISTORY reports live rows per version
+    val hist = Layout.describeHistory(spark, dir)
+      .select("version", "n_rows").as[(Long, Long)].collect().toMap
+    assert(hist(snap1.version) == 40000L && hist(s2.version) == want2.count())
+  }
+
+  test("deleteWhereDv: full-file coverage drops the file; emptying the table is refused") {
+    val base = spark.range(1000).select(col("id"), (col("id") % 10).as("x"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_dv_drop").toString
+    Layout.writeClustered(base, dir, col("x"), nFiles = 10, statsCols = Seq("x"))
+    // target ONE actual file's key box: every row of that file matches,
+    // so the commit must DROP it from the list instead of DV'ing 100%
+    val snap0 = Layout.latestSnapshot(spark, dir).get
+    val victim = snap0.files.maxBy(_.rows)
+    val (mn, mx) = (victim.minKey, victim.maxKey)
+    val expect = Layout.readCommitted(spark, dir)
+      .filter(col("cluster_key").between(mn, mx)).count()
+    val s = Layout.deleteWhereDv(spark, dir,
+      col("cluster_key").between(mn, mx), Seq(("cluster_key", mn, mx)))
+    assert(s.nRowsDeleted == expect && s.nFilesDropped >= 1L)
+    val snap = Layout.latestSnapshot(spark, dir).get
+    assert(!snap.files.exists(_.name == victim.name), "victim must leave the list")
+    assert(snap.totalLiveRows == 1000L - expect)
+    assert(Layout.readCommitted(spark, dir)
+      .filter(col("cluster_key").between(mn, mx)).isEmpty)
+    // deleting everything is refused before anything commits
+    intercept[IllegalArgumentException](
+      Layout.deleteWhereDv(spark, dir, lit(true)))
+    assert(Layout.readCommitted(spark, dir).count() == 1000L - expect)
+  }
+
+  test("compactFiles materializes deletion vectors; CoW mutations count live rows") {
+    val (dir, base) = dvTable("graft_dv_mat")
+    Layout.deleteWhereDv(spark, dir, col("x").between(0, 199), Seq(("x", 0L, 199L)))
+    val live = base.filter(!col("x").between(0, 199))
+    // compact everything (huge minFileBytes): the rewritten generation
+    // must carry the deletes physically — no refs left, content equal
+    val cs = Layout.compactFiles(spark, dir, "cluster_key",
+      minFileBytes = Long.MaxValue / 4, targetFileBytes = Long.MaxValue / 4)
+    assert(cs.nSmallRewritten > 0 && cs.rowsPreserved)
+    val snap = Layout.latestSnapshot(spark, dir).get
+    assert(!snap.hasDeletionVectors, "compaction must materialize DVs")
+    assert(snap.totalRows == live.count() && snap.totalLiveRows == snap.totalRows)
+    assert(Layout.readCommitted(spark, dir).select("id").as[Long].collect().sorted
+      .toSeq == live.select("id").as[Long].collect().sorted.toSeq)
+    // copy-on-write delete on a DV table: accounting starts from live
+    val (dir2, base2) = dvTable("graft_dv_cow")
+    Layout.deleteWhereDv(spark, dir2, col("x").between(0, 99), Seq(("x", 0L, 99L)))
+    val cow = Layout.deleteWhere(spark, dir2,
+      col("x").between(50, 199), Seq(("x", 50L, 199L)))
+    // rows 50-99 are already DV-deleted: only 100-199 count as deleted here
+    assert(cow.nRowsDeleted == base2.filter(col("x").between(100, 199)).count())
+    assert(Layout.readCommitted(spark, dir2).count() ==
+      base2.filter(!col("x").between(0, 199)).count())
+    // updateWhere on a DV'd slice keeps deleted rows dead
+    val (dir3, base3) = dvTable("graft_dv_upd")
+    Layout.deleteWhereDv(spark, dir3, col("x") < 100, Seq(("x", 0L, 99L)))
+    Layout.updateWhere(spark, dir3, col("x").between(100, 199),
+      Seq("y" -> lit(-1L)), Seq(("x", 100L, 199L)))
+    val got3 = Layout.readCommitted(spark, dir3)
+    assert(got3.count() == base3.filter(col("x") >= 100).count())
+    assert(got3.filter(col("x") < 100).isEmpty)
+    assert(got3.filter(col("y") === -1L).count() ==
+      base3.filter(col("x").between(100, 199)).count())
+  }
+
+  test("tableChangesCdf crosses deletedv with exactly the newly-deleted rows") {
+    // statsCols includes id so a CDC replica can follow this table
+    val base = spark.range(40000).select(
+      col("id"),
+      ((col("id") * 7919L) % 1000).as("x"),
+      ((col("id") * 104729L) % 997).as("y"))
+    val key = Layout.zorderKey(Seq(
+      Layout.gridCell(col("x"), 0, 1000, 8),
+      Layout.gridCell(col("y"), 0, 997, 8)), 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dv_cdf").toString
+    Layout.writeClustered(base, dir, key, nFiles = 16, statsCols = Seq("x", "id"))
+    val v1 = Layout.latestSnapshot(spark, dir).get.version
+    val sA = Layout.deleteWhereDv(spark, dir,
+      col("x").between(0, 49), Seq(("x", 0L, 49L)))
+    val sB = Layout.deleteWhereDv(spark, dir,
+      col("x").between(50, 99), Seq(("x", 50L, 99L)))
+    // the full window: both slices, all tagged delete
+    val cdfAll = Layout.tableChangesCdf(spark, dir, v1, sB.version)
+    assert(cdfAll.filter(col("_change_type") =!= "delete").isEmpty)
+    assert(cdfAll.select("id").as[Long].collect().sorted.toSeq ==
+      base.filter(col("x").between(0, 99)).select("id").as[Long]
+        .collect().sorted.toSeq)
+    // the second window alone: ONLY slice B — the pre-image leg must
+    // apply version A's DVs or slice A would be re-reported
+    val cdfB = Layout.tableChangesCdf(spark, dir, sA.version, sB.version)
+    assert(cdfB.select("id").as[Long].collect().sorted.toSeq ==
+      base.filter(col("x").between(50, 99)).select("id").as[Long]
+        .collect().sorted.toSeq)
+    // CDF-driven downstream: bootstrap the replica at the PRE-delete
+    // version, then sync — the catch-up must WALK both deletedv commits
+    // (a latest-version bootstrap would never exercise them)
+    val repl = java.nio.file.Files.createTempDirectory("graft_dv_repl").toString
+    Layout.replicateCommitted(spark, dir, repl, "id", asOfVersion = v1)
+    assert(Layout.readCommitted(spark, repl).count() == 40000L)
+    val sync = Layout.replicateCommitted(spark, dir, repl, "id")
+    assert(sync.versionsApplied >= 2L || sync.toVersion == sB.version)
+    assert(Layout.readCommitted(spark, repl).select("id").as[Long].collect().sorted
+      .toSeq == Layout.readCommitted(spark, dir).select("id").as[Long]
+        .collect().sorted.toSeq)
+  }
+
+  test("vacuum keeps referenced DV sidecars; restore crosses deletedv both ways") {
+    val (dir, base) = dvTable("graft_dv_vac")
+    val v1 = Layout.latestSnapshot(spark, dir).get.version
+    Layout.deleteWhereDv(spark, dir, col("x") < 50, Seq(("x", 0L, 49L)))
+    val s2 = Layout.deleteWhereDv(spark, dir,
+      col("x").between(50, 99), Seq(("x", 50L, 99L)))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    def dvFiles() = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("dv-")).toSet
+    assert(dvFiles().size >= 2, "each deletedv commit stages its own sidecar")
+    // restore to the pre-delete version FIRST (needs v1 retained), then
+    // verify both directions of the rollback
+    val r1 = Layout.restoreVersion(spark, dir, v1)
+    assert(Layout.readCommitted(spark, dir).count() == 40000L)
+    val r2 = Layout.restoreVersion(spark, dir, s2.version)
+    assert(Layout.readCommitted(spark, dir).count() ==
+      base.filter(col("x") >= 100).count())
+    assert(r2.hasDeletionVectors, "restore must carry the DV refs")
+    // vacuum to the latest snapshot only: the first commit's sidecar is
+    // now unreferenced and goes; the restored refs' sidecar stays
+    Layout.vacuum(spark, dir, keepVersions = 1, minAgeMs = 0L)
+    val left = dvFiles()
+    val referenced = Layout.latestSnapshot(spark, dir).get
+      .files.flatMap(_.dv).map(_.name).toSet
+    assert(referenced.nonEmpty && referenced.subsetOf(left))
+    assert(left == referenced, s"unreferenced sidecars must be reclaimed: $left")
+    assert(Layout.readCommitted(spark, dir).count() ==
+      base.filter(col("x") >= 100).count())
+    assert(intercept[IllegalArgumentException](
+      Layout.restoreVersion(spark, dir, r1.version)).getMessage
+      .contains("retention"))
+  }
+
+  test("minreader: a snapshot stamped above this reader's level refuses to parse") {
+    val (dir, _) = dvTable("graft_dv_rdr")
+    val mdir = new java.io.File(dir, "_manifests")
+    val v99 = new java.io.File(mdir, "v0000000099.txt")
+    val w = new java.io.PrintWriter(v99, "UTF-8")
+    w.println("graft-snapshot-v1")
+    w.println("key=cluster_key")
+    w.println("minreader=99")
+    w.println("fake-file.parquet\t1\t1\t0\t0")
+    w.close()
+    val ex = intercept[IllegalArgumentException](
+      Layout.latestSnapshot(spark, dir))
+    assert(ex.getMessage.contains("reader version 99"))
+    v99.delete()
+    assert(Layout.latestSnapshot(spark, dir).get.version >= 1L)
+  }
 }
