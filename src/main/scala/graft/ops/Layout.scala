@@ -860,6 +860,7 @@ object Layout {
           val before = prev.files.map(_.name).toSet
           added ++= cur.files.map(_.name).filterNot(before.contains)
         case "compact" => // byte permutation: adds no rows
+        case "purge"   => // DV materialization: live content unchanged
         case "evolve"  => // same files, wider schema: adds no rows
         case "txn"     => // mark-only commit: same files, adds no rows
         case "restore" =>
@@ -867,10 +868,11 @@ object Layout {
             s"tableChanges: v$v under $path is a RESTORE — a rollback can " +
             "REMOVE rows, which an adds-only feed cannot express; consume " +
             "the window with tableChangesCdf (insert+delete legs) instead")
-        case "deletedv" =>
+        case "deletedv" | "updatedv" =>
           throw new IllegalArgumentException(
-            s"tableChanges: v$v under $path is a deletion-vector DELETE — " +
-            "it removes rows, which an adds-only feed cannot express; " +
+            s"tableChanges: v$v under $path is a deletion-vector " +
+            s"${if (cur.op == "deletedv") "DELETE" else "UPDATE"} — it " +
+            "removes rows, which an adds-only feed cannot express; " +
             "consume the window with tableChangesCdf (the DV position " +
             "diff becomes its delete leg)")
         case other =>
@@ -937,6 +939,7 @@ object Layout {
           out = out.unionByName(
             read(added, cur).withColumn("_change_type", lit("insert")))
         case "compact" => // byte permutation: no row-level change
+        case "purge"   => // DV materialization: live content unchanged
         case "evolve"  => // schema widened; rows unchanged (reads align
                           // on the TO-version schema, see above)
         case "txn"     => // mark-only commit: no row-level change
@@ -952,12 +955,17 @@ object Layout {
               .withColumn("_change_type", lit("insert")))
             .unionByName(pre.exceptAll(post)
               .withColumn("_change_type", lit("delete")))
-        case "deletedv" =>
+        case "deletedv" | "updatedv" =>
           // a merge-on-read delete names its rows exactly: the commit's
           // delta IS the position diff (cur DV minus prev DV per
           // surviving file) plus every live row of the files it
           // dropped. Cost ∝ the delete — the position join scans only
-          // the files whose refs changed, never the table.
+          // the files whose refs changed, never the table. A
+          // merge-on-read UPDATE adds one more leg: its appended files
+          // are the new images (inserts), making the standard CDF
+          // old-delete + new-insert pair.
+          out = out.unionByName(
+            read(added, cur).withColumn("_change_type", lit("insert")))
           out = out.unionByName(
             read(removed, prev).withColumn("_change_type", lit("delete")))
           val prevBy = prev.files.map(f => f.name -> f).toMap
@@ -1423,8 +1431,9 @@ object Layout {
               applied += end - v + 1
               prev = endSnap
               v = end + 1
-            case "compact" | "txn" =>
-              // byte permutation / mark-only: the replica already agrees
+            case "compact" | "purge" | "txn" =>
+              // byte permutation / DV materialization / mark-only: the
+              // replica already agrees on live content
               prev = cur
               v += 1
             case "evolve" =>
@@ -1441,7 +1450,8 @@ object Layout {
               applied += 1
               prev = cur
               v += 1
-            case "delete" | "update" | "upsert" | "restore" | "deletedv" =>
+            case "delete" | "update" | "upsert" | "restore" | "deletedv"
+               | "updatedv" =>
               // a restore is a known file-list diff, so the replica
               // follows it incrementally like any row-level mutation:
               // the CDF legs carry exactly the rows the rollback
@@ -2036,6 +2046,221 @@ object Layout {
       dropped.size.toLong, newlyDeleted, next.version)
   }
 
+  /** What [[purgeDeletes]] did. */
+  final case class PurgeStats(
+      nFilesTotal: Long, nFilesPurged: Long, nRowsMaterialized: Long,
+      version: Long)
+
+  /** REORG / PURGE — the deletion-vector maintenance verb (Delta's
+    * `REORG TABLE … APPLY (PURGE)`): rewrite ONLY the files whose
+    * deleted fraction has crossed `minDeletedFraction`, materializing
+    * their DVs into a fresh generation; every other file — DV'd or
+    * not — carries forward byte-identical. This is what keeps the
+    * merge-on-read read tax bounded on a 100 TB table: reads pay a
+    * broadcast anti-join proportional to outstanding positions, purge
+    * resets exactly the files where that tax concentrates, at rewrite
+    * cost ∝ the purged files, never the table. Content-preserving by
+    * construction (live rows in == physical rows out), so the commit
+    * records op=purge and both change feeds cross it as a no-op, like
+    * a compaction.
+    *
+    * `minDeletedFraction` = 0 purges every DV-carrying file; 0.3 is a
+    * sensible maintenance default (rewrite once a third of a file is
+    * dead). Files above the threshold but listed without a DV are
+    * untouched — there is nothing to materialize.
+    */
+  def purgeDeletes(spark: SparkSession, path: String,
+      minDeletedFraction: Double = 0.0, nFiles: Int = 0): PurgeStats = {
+    require(minDeletedFraction >= 0.0 && minDeletedFraction <= 1.0,
+      s"purgeDeletes: minDeletedFraction must be in [0,1], got $minDeletedFraction")
+    val snap = latestSnapshot(spark, path).getOrElse(throw new IllegalStateException(
+      s"purgeDeletes: no committed table under $path"))
+    val victims = snap.files.filter(f => f.dv.exists(
+      d => d.nDeleted.toDouble / f.rows >= minDeletedFraction))
+    if (victims.isEmpty)
+      return PurgeStats(snap.files.size.toLong, 0L, 0L, snap.version)
+    // readFiles applies the victims' DVs — the rewrite IS the
+    // materialization; survivors re-cluster under fresh names
+    val live = readFiles(spark, path, snap, victims.map(_.name))
+    val expect = victims.map(_.liveRows).sum
+    val moved = stageAndMoveIn(live, path, "purge", snap.keyName,
+      if (nFiles > 0) nFiles else victims.size)
+    val movedEntries = snapshotEntries(spark, path, snap.keyName, moved, snap.statsCols)
+    require(movedEntries.map(_.rows).sum == expect,
+      "purgeDeletes: rewritten row count diverged from the victims' live " +
+      "count; nothing committed, both generations on disk")
+    val untouched = snap.files.filterNot(victims.map(_.name).toSet contains _.name)
+    val next = TableSnapshot(snap.version + 1, snap.keyName,
+      untouched ++ movedEntries, snap.schemaHash, snap.txns,
+      op = "purge", statsCols = snap.statsCols, schema = snap.schema,
+      droppedCols = snap.droppedCols)
+    commitSnapshot(spark, path, next)
+    PurgeStats(snap.files.size.toLong, victims.size.toLong, expect, next.version)
+  }
+
+  /** What [[updateWhereDv]] did. */
+  final case class DvUpdateStats(
+      nFilesTotal: Long, nFilesDvUpdated: Long, nFilesDropped: Long,
+      nRowsUpdated: Long, version: Long)
+
+  /** Merge-on-read UPDATE — the deletion-vector twin of [[updateWhere]]
+    * (how Delta executes UPDATE under DV feature enablement): the
+    * matched rows' OLD images are marked deleted in a positions sidecar
+    * (exactly [[deleteWhereDv]]'s mechanics, refs folded, fully-covered
+    * files dropped) and their NEW images are appended as a fresh
+    * clustered generation — ONE commit, op=updatedv, carrying both the
+    * repointed refs and the added files. Cost ∝ rows updated (positions
+    * + new rows), never ∝ the affected files' bytes — on a 100 TB table
+    * a 10-row correction no longer rewrites 10 gigabyte-scale files.
+    *
+    * Semantics mirror [[updateWhere]]: assignments apply only where the
+    * predicate is TRUE (NULL keeps the row), every SET expression is
+    * cast back to its column's type so the schema fingerprint is
+    * preserved by construction, updating the cluster key re-clusters
+    * the new generation on the post-update values, and `scanRanges`
+    * must cover the predicate. Already-deleted rows are excluded
+    * BEFORE matching — a DV'd row that happens to satisfy the
+    * predicate must not be resurrected as a fresh image. The adds-only
+    * feed refuses to cross (updates are not row-adds);
+    * [[tableChangesCdf]] surfaces old images from the position diff as
+    * deletes and new images from the added files as inserts;
+    * [[replicateCommitted]] follows through the same CDF legs.
+    */
+  def updateWhereDv(spark: SparkSession, path: String, predicate: Column,
+      set: Seq[(String, Column)],
+      scanRanges: Seq[(String, Long, Long)] = Nil,
+      nFiles: Int = 0, dvShards: Int = 1): DvUpdateStats = {
+    require(set.nonEmpty, "updateWhereDv: empty SET list")
+    require(dvShards >= 1, "updateWhereDv: dvShards must be >= 1")
+    val snap = latestSnapshot(spark, path).getOrElse(throw new IllegalStateException(
+      s"updateWhereDv: no committed table under $path"))
+    val affected = snap.files.filter { f =>
+      scanRanges.forall { case (c, lo, hi) =>
+        val (mn, mx) = if (c == snap.keyName) (f.minKey, f.maxKey)
+          else f.stats.getOrElse(c, throw new IllegalArgumentException(
+            s"updateWhereDv: snapshot v${snap.version} carries no stats for '$c'"))
+        mx >= lo && mn <= hi
+      }
+    }
+    if (affected.isEmpty)
+      return DvUpdateStats(snap.files.size.toLong, 0L, 0L, 0L, snap.version)
+    val names = affected.map(_.name)
+    val paths = names.map(n => s"$path/$n")
+    val raw0 = snap.schema match {
+      case Some(st) => spark.read.schema(st).parquet(paths: _*)
+      case None     => spark.read.parquet(paths: _*)
+    }
+    val missing = set.map(_._1).filterNot(raw0.columns.contains)
+    require(missing.isEmpty,
+      s"updateWhereDv: table at $path has no column(s) ${missing.mkString(", ")} " +
+      "— SET must name existing table columns")
+    val dataCols = raw0.columns.toIndexedSeq
+    val raw = raw0
+      .withColumn("_graft_dv_file", col("_metadata.file_name"))
+      .withColumn("_graft_dv_pos", col("_metadata.row_index"))
+    // LIVE rows only: an already-deleted row matching the predicate
+    // must not come back as a fresh image
+    val existingRefs = affected.filter(_.dv.isDefined)
+    def existingPositions(): Option[DataFrame] =
+      if (existingRefs.isEmpty) None
+      else Some(spark.read
+        .parquet(existingRefs.map(f => s"$path/${f.dv.get.name}").distinct: _*)
+        .filter(col("file").isin(existingRefs.map(_.name): _*)))
+    val live = existingPositions() match {
+      case None => raw
+      case Some(old) => raw.join(
+        broadcast(old.withColumnRenamed("file", "_graft_dv_file")
+          .withColumnRenamed("pos", "_graft_dv_pos")),
+        Seq("_graft_dv_file", "_graft_dv_pos"), "left_anti")
+    }
+    val matched = live.filter(coalesce(predicate, lit(false)))
+    val nUpdated = matched.count()
+    if (nUpdated == 0L)
+      return DvUpdateStats(snap.files.size.toLong, 0L, 0L, 0L, snap.version)
+    // old images -> merged positions (fold with existing refs, exactly
+    // deleteWhereDv's discipline)
+    val newPos = matched.select(col("_graft_dv_file").as("file"),
+      col("_graft_dv_pos").as("pos"))
+    val merged = (existingPositions() match {
+      case None      => newPos
+      case Some(old) => newPos.unionByName(old)
+    }).distinct()
+    val counts = merged.groupBy(col("file"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byRows = affected.map(f => f.name -> f.rows).toMap
+    val dropped = counts.collect {
+      case (n, c) if c == byRows(n) => n
+    }.toSet
+    // new images: SET applied, types preserved, original column order
+    val setMap = set.toMap
+    val fieldTypes = raw0.schema.fields.map(f => f.name -> f.dataType).toMap
+    val updated = matched.select(dataCols.map { c =>
+      setMap.get(c) match {
+        case Some(e) => e.cast(fieldTypes(c)).as(c)
+        case None    => col(c)
+      }
+    }: _*)
+    snap.schemaHash.foreach { expect =>
+      val got = schemaHashOf(updated.schema)
+      require(got == expect,
+        s"updateWhereDv: updated-image schema (hash $got) does not match the " +
+        s"table's recorded schema (hash $expect) under $path")
+    }
+    val fs = fsOf(spark, path)
+    // stage the NEW generation first, then the sidecar; a crash at any
+    // point before commit leaves only vacuum-able orphans
+    val moved = stageAndMoveIn(updated, path, "update",
+      snap.keyName, if (nFiles > 0) nFiles else math.max(1, affected.size / 4))
+    val movedEntries = snapshotEntries(spark, path, snap.keyName, moved, snap.statsCols)
+    require(movedEntries.map(_.rows).sum == nUpdated,
+      "updateWhereDv: appended image count diverged from the matched count; " +
+      "nothing committed, staged files are vacuum-able orphans")
+    val keepPos = if (dropped.isEmpty) merged
+      else merged.filter(!col("file").isin(dropped.toSeq: _*))
+    val refOf: Map[String, DvRef] =
+      if (counts.keySet.forall(dropped.contains)) Map.empty
+      else {
+        val token = java.util.UUID.randomUUID().toString.take(8)
+        val tmp = new org.apache.hadoop.fs.Path(s"$path/.dvdelete-$token")
+        keepPos.repartition(dvShards, col("file"))
+          .write.mode("overwrite").parquet(tmp.toString)
+        val staged = fs.listStatus(tmp)
+          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        val movedDv = staged.zipWithIndex.map { case (st, i) =>
+          val target = new org.apache.hadoop.fs.Path(
+            s"$path/dv-$token-$i${suffixOf(st.getPath.getName)}")
+          if (!fs.rename(st.getPath, target))
+            throw new java.io.IOException(
+              s"updatedv rename ${st.getPath} -> $target failed")
+          target.getName
+        }.toIndexedSeq
+        fs.delete(tmp, true)
+        spark.read.parquet(movedDv.map(n => s"$path/$n"): _*)
+          .withColumn("dvfile", input_file_name())
+          .groupBy(col("file"))
+          .agg(min(col("dvfile")).as("dvfile"), count(lit(1)).as("n"))
+          .collect()
+          .map { r =>
+            val dvName = new org.apache.hadoop.fs.Path(r.getString(1)).getName
+            r.getString(0) -> DvRef(dvName, r.getLong(2))
+          }.toMap
+      }
+    val survivors = snap.files.filterNot(f => dropped.contains(f.name)).map { f =>
+      refOf.get(f.name) match {
+        case Some(ref) => f.copy(dv = Some(ref))
+        case None      => f
+      }
+    }
+    val next = TableSnapshot(snap.version + 1, snap.keyName,
+      survivors ++ movedEntries, snap.schemaHash, snap.txns,
+      op = "updatedv", statsCols = snap.statsCols, schema = snap.schema,
+      droppedCols = snap.droppedCols)
+    commitSnapshot(spark, path, next)
+    DvUpdateStats(snap.files.size.toLong, refOf.size.toLong,
+      dropped.size.toLong, nUpdated, next.version)
+  }
+
   /** What [[updateWhere]] did — same accounting as [[DeleteStats]]. */
   final case class UpdateStats(
       nFilesTotal: Long, nFilesRewritten: Long, nRowsUpdated: Long,
@@ -2296,7 +2521,7 @@ object Layout {
           (n.startsWith(".append-") || n.startsWith(".compact-") ||
             n.startsWith(".rewrite-") || n.startsWith(".delete-") ||
             n.startsWith(".upsert-") || n.startsWith(".update-") ||
-            n.startsWith(".dvdelete-"))
+            n.startsWith(".dvdelete-") || n.startsWith(".purge-"))
       }
       .foreach(st => fs.delete(st.getPath, true))
     fs.listStatus(mdir)

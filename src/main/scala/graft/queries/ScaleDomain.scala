@@ -1183,6 +1183,72 @@ object ScaleDomain {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Merge-on-read UPDATE + PURGE — the DV completion of the CRUD
+    // story: updateWhereDv marks the matched rows' OLD images deleted
+    // in a positions sidecar and appends their NEW images as a fresh
+    // clustered generation in ONE commit — cost ∝ rows updated, never
+    // ∝ the affected files' bytes (the q_update_committed contrast: a
+    // 10-row correction on a 100 TB table stops rewriting gigabyte
+    // files). mor_update pins the mechanics (no original file
+    // rewritten, physical rows grown by exactly the new images, live
+    // rows constant); cdf_balanced pins the old-delete/new-insert
+    // pairing from the position diff + added files; purge_materialized
+    // then runs purgeDeletes and pins that the maintenance verb shed
+    // every ref while preserving live content — the complete
+    // mark-then-materialize cycle under one oracle, which recomputes
+    // the CASE WHEN image from the pristine table.
+    "q_update_dv" -> ((s, dir) => lifecycleOnce(s, "q_update_dv", dir) {
+      val path = scratch(s, "mdvupd", dir)
+      deleteRecursively(new java.io.File(path))
+      val li = Tables(s, dir, "lineitem")
+      val key = Layout.zorderKey(Seq(
+        Layout.gridCell(col("l_partkey"), 0, 20000, 10),
+        Layout.gridCell(col("l_suppkey"), 0, 1000, 10)), 10)
+      graft.SubTimings.time("q_update_dv", "fixture_write") {
+        Layout.writeClustered(li, path, key, nFiles = 16,
+          statsCols = Seq("l_partkey")): Unit
+      }
+      val snap0 = Layout.latestSnapshot(s, path).get
+      val stats = graft.SubTimings.time("q_update_dv", "dv_update") {
+        Layout.updateWhereDv(s, path, col("l_partkey").between(10, 80),
+          Seq("l_quantity" -> (col("l_quantity") + 5.0d)),
+          Seq(("l_partkey", 10L, 80L)))
+      }
+      val snap1 = Layout.latestSnapshot(s, path).get
+      // every original file is either still listed BYTE-IDENTICAL
+      // (merge-on-read never rewrites) or was dropped because the
+      // predicate covered its every live row; live rows are conserved
+      // (updates move rows, never add or lose them)
+      val after1 = snap1.files.map(_.name).toSet
+      val morUpdate = stats.nRowsUpdated > 0L &&
+        snap0.files.count(f => after1.contains(f.name)) ==
+          snap0.files.size - stats.nFilesDropped &&
+        snap1.totalLiveRows == snap0.totalRows
+      val timeTravelOk =
+        Layout.readVersion(s, path, snap0.version).count() == snap0.totalRows
+      val cdf = Layout.tableChangesCdf(s, path, snap0.version, stats.version)
+        .groupBy(col("_change_type")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val cdfBalanced = cdf.getOrElse("insert", 0L) == stats.nRowsUpdated &&
+        cdf.getOrElse("delete", 0L) == stats.nRowsUpdated
+      val purgeMaterialized = graft.SubTimings.time("q_update_dv", "purge") {
+        val ps = Layout.purgeDeletes(s, path)
+        val after = Layout.latestSnapshot(s, path).get
+        ps.nFilesPurged == stats.nFilesDvUpdated &&
+          !after.hasDeletionVectors && after.totalRows == snap0.totalRows
+      }
+      Layout.readCommitted(s, path)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("sum_qty"))
+        .withColumn("mor_update", lit(morUpdate))
+        .withColumn("time_travel_ok", lit(timeTravelOk))
+        .withColumn("cdf_balanced", lit(cdfBalanced))
+        .withColumn("purge_materialized", lit(purgeMaterialized))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // The deletedv CHANGE FEED + materialization: tableChangesCdf
     // crosses two DV commits and must emit EXACTLY the newly-deleted
     // rows (a position diff — cur DV minus prev DV — joined back to
@@ -2242,6 +2308,16 @@ object ScaleDomain {
         |FROM lineitem
         |WHERE NOT (l_partkey BETWEEN 10 AND 120)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the merge-on-read UPDATE's image == the CASE WHEN over the
+    // pristine table; mechanics / CDF pairing / purge cycle are pins
+    "q_update_dv" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(CASE WHEN l_partkey BETWEEN 10 AND 80
+        |    THEN l_quantity + 5.0 ELSE l_quantity END
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  true AS mor_update, true AS time_travel_ok,
+        |  true AS cdf_balanced, true AS purge_materialized
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // the DV change feed's delete legs = both slices' victims on the
     // pristine table; window-exactness and materialization are pins
     "q_delete_dv_cdf" ->

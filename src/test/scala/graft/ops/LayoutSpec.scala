@@ -1795,6 +1795,102 @@ class LayoutSpec extends AnyFunSuite {
       .contains("retention"))
   }
 
+  test("purgeDeletes: threshold-scoped DV materialization, content preserved, feeds no-op") {
+    val (dir, base) = dvTable("graft_dv_purge")
+    Layout.deleteWhereDv(spark, dir, col("x") < 120, Seq(("x", 0L, 119L)))
+    val snapDv = Layout.latestSnapshot(spark, dir).get
+    val live = snapDv.totalLiveRows
+    // pick a threshold between the min and max per-file deleted
+    // fractions so the purge is provably PARTIAL
+    val fracs = snapDv.files.flatMap(f => f.dv.map(_.nDeleted.toDouble / f.rows))
+    assume(fracs.distinct.size >= 2, "fixture needs uneven DV coverage")
+    val thr = (fracs.min + fracs.max) / 2
+    val ps = Layout.purgeDeletes(spark, dir, minDeletedFraction = thr)
+    assert(ps.nFilesPurged > 0 && ps.nFilesPurged < fracs.size,
+      s"expected a partial purge, got ${ps.nFilesPurged}/${fracs.size} DV'd files")
+    val snapP = Layout.latestSnapshot(spark, dir).get
+    assert(snapP.op == "purge")
+    assert(snapP.totalLiveRows == live, "purge must preserve live content")
+    assert(snapP.files.count(_.dv.isDefined) ==
+      fracs.size - ps.nFilesPurged.toInt, "purged files must shed their refs")
+    // purge everything remaining: table fully materialized
+    val ps2 = Layout.purgeDeletes(spark, dir)
+    val snapAll = Layout.latestSnapshot(spark, dir).get
+    assert(!snapAll.hasDeletionVectors && snapAll.totalRows == live)
+    assert(Layout.readCommitted(spark, dir).select("id").as[Long].collect().sorted
+      .toSeq == base.filter(col("x") >= 120).select("id").as[Long]
+        .collect().sorted.toSeq)
+    // a DV-free table purges as a no-op without committing
+    val ps3 = Layout.purgeDeletes(spark, dir)
+    assert(ps3.nFilesPurged == 0L && ps3.version == ps2.version)
+    // both feeds cross a purge as a no-op
+    assert(Layout.tableChanges(spark, dir, ps.version, ps2.version).count() == 0L)
+    assert(Layout.tableChangesCdf(spark, dir, ps.version, ps2.version).count() == 0L)
+  }
+
+  test("updateWhereDv: merge-on-read UPDATE — old images DV'd, new images appended, one commit") {
+    val (dir, base) = dvTable("graft_dv_mupd")
+    val snap0 = Layout.latestSnapshot(spark, dir).get
+    val us = Layout.updateWhereDv(spark, dir,
+      col("x").between(100, 199), Seq("y" -> lit(-7L)),
+      Seq(("x", 100L, 199L)))
+    val expect = base.filter(col("x").between(100, 199)).count()
+    assert(us.nRowsUpdated == expect)
+    val snap1 = Layout.latestSnapshot(spark, dir).get
+    assert(snap1.op == "updatedv" && snap1.hasDeletionVectors)
+    // the original files are all still listed (none fully covered by a
+    // partial predicate at this geometry); new image files were ADDED
+    assert(snap0.files.map(_.name).toSet.subsetOf(snap1.files.map(_.name).toSet)
+      || us.nFilesDropped > 0)
+    assert(snap1.files.map(_.name).toSet.size > snap0.files.size - us.nFilesDropped)
+    // live content: the CASE WHEN image of the pristine table
+    val got = Layout.readCommitted(spark, dir)
+      .select(col("id"), col("y")).as[(Long, Long)].collect().sorted.toSeq
+    val want = base.select(col("id"),
+      when(col("x").between(100, 199), lit(-7L)).otherwise(col("y")).as("y"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got == want, "updated image diverged from the CASE WHEN oracle")
+    assert(snap1.totalLiveRows == 40000L)
+    // an already-updated (hence DV-deleted) old image must NOT be
+    // resurrected by a second update matching the same predicate: the
+    // second run matches the NEW images only (y now -7, set y = -8)
+    val us2 = Layout.updateWhereDv(spark, dir,
+      col("x").between(100, 199) && col("y") === -7L, Seq("y" -> lit(-8L)))
+    assert(us2.nRowsUpdated == expect, "second update must match each row once")
+    assert(Layout.readCommitted(spark, dir).filter(col("y") === -8L).count()
+      == expect)
+    assert(Layout.readCommitted(spark, dir).count() == 40000L)
+    // time travel: pre-update snapshot intact
+    assert(Layout.readVersion(spark, dir, snap0.version)
+      .filter(col("y") < 0).count() == 0L)
+    // CDF across the first update: old-image deletes + new-image inserts
+    val cdf = Layout.tableChangesCdf(spark, dir, snap0.version, us.version)
+    assert(cdf.filter(col("_change_type") === "delete").count() == expect)
+    assert(cdf.filter(col("_change_type") === "insert").count() == expect)
+    assert(cdf.filter(col("_change_type") === "insert")
+      .filter(col("y") =!= -7L).isEmpty)
+    // adds-only feed refuses
+    val ex = intercept[IllegalArgumentException](
+      Layout.tableChanges(spark, dir, snap0.version, us.version))
+    assert(ex.getMessage.contains("UPDATE"))
+    // a replica bootstrapped pre-update follows both updatedv commits
+    val repl = java.nio.file.Files.createTempDirectory("graft_dv_mupd_repl").toString
+    val src2 = java.nio.file.Files.createTempDirectory("graft_dv_mupd_src").toString
+    val key2 = Layout.zorderKey(Seq(
+      Layout.gridCell(col("x"), 0, 1000, 8),
+      Layout.gridCell(col("y"), 0, 997, 8)), 8)
+    Layout.writeClustered(base, src2, key2, nFiles = 8, statsCols = Seq("x", "id"))
+    val v1 = Layout.latestSnapshot(spark, src2).get.version
+    Layout.replicateCommitted(spark, src2, repl, "id", asOfVersion = v1)
+    Layout.updateWhereDv(spark, src2,
+      col("x").between(0, 49), Seq("y" -> lit(-9L)), Seq(("x", 0L, 49L)))
+    Layout.replicateCommitted(spark, src2, repl, "id")
+    assert(Layout.readCommitted(spark, repl).select("id", "y")
+      .as[(Long, Long)].collect().sorted.toSeq ==
+      Layout.readCommitted(spark, src2).select("id", "y")
+        .as[(Long, Long)].collect().sorted.toSeq)
+  }
+
   test("minreader: a snapshot stamped above this reader's level refuses to parse") {
     val (dir, _) = dvTable("graft_dv_rdr")
     val mdir = new java.io.File(dir, "_manifests")
