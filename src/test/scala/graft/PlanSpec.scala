@@ -658,6 +658,34 @@ class PlanSpec extends AnyFunSuite {
       s"last-writer election must map-side combine:\n${p.take(800)}")
   }
 
+  test("deletion-vector reads: broadcast anti-join above the scan, pushdown intact below it") {
+    // a DV'd committed table must keep the scan-side contract: the
+    // user's predicate pushes into the parquet scan UNDER the position
+    // anti-join, the positions side is BROADCAST (the scan never
+    // shuffles for DV application), and column pruning still holds
+    import org.apache.spark.sql.functions._
+    val base = spark.range(20000).select(
+      col("id"), ((col("id") * 7919L) % 1000).as("x"),
+      ((col("id") * 104729L) % 997).as("y"))
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_dv_plan").toString
+    graft.ops.Layout.writeClustered(base, dir2,
+      pmod(col("x"), lit(256L)), nFiles = 8, statsCols = Seq("x"))
+    graft.ops.Layout.deleteWhereDv(spark, dir2,
+      col("x") < 100, Seq(("x", 0L, 99L)))
+    val df = graft.ops.Layout.readCommitted(spark, dir2)
+      .filter(col("y") > 500).select(col("id"), col("y"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"DV application must be a broadcast anti-join:\n${p.take(1200)}")
+    assert(p.contains("PushedFilters: [IsNotNull(y), GreaterThan(y,500)"),
+      s"user predicate must push below the DV join:\n${p.take(1200)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"DV application must not shuffle the scan side:\n${p.take(1200)}")
+    // row parity against the logical answer while we're here
+    assert(df.count() ==
+      base.filter(col("x") >= 100 && col("y") > 500).count())
+  }
+
   test("PCA moments: ONE partial-combined aggregate, vectors never shuffle raw") {
     // the only exchange carries the ~17 KB Long-array buffer (SinglePartition
     // merge of partials), never the embedding rows themselves
