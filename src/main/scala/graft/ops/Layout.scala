@@ -80,7 +80,8 @@ final case class TableSnapshot(
     schemaHash: Option[String] = None, txns: Map[String, Long] = Map.empty,
     op: String = "unknown", statsCols: Seq[String] = Nil,
     schema: Option[org.apache.spark.sql.types.StructType] = None,
-    droppedCols: Seq[String] = Nil) {
+    droppedCols: Seq[String] = Nil,
+    constraints: Seq[(String, String)] = Nil) {
   def totalRows: Long = files.map(_.rows).sum
   /** Rows a committed read serves — physical rows minus every file's
     * deletion-vector positions; equals [[totalRows]] on DV-free tables.
@@ -398,7 +399,8 @@ object Layout {
         prev.flatMap(_.schemaHash), prev.map(_.txns).getOrElse(Map.empty),
         op = "compact", statsCols = prev.map(_.statsCols).getOrElse(Nil),
         schema = prev.flatMap(_.schema),
-        droppedCols = prev.map(_.droppedCols).getOrElse(Nil)))
+        droppedCols = prev.map(_.droppedCols).getOrElse(Nil),
+        constraints = prev.map(_.constraints).getOrElse(Nil)))
     }
     // physical deletion: on a COMMITTED table the compacted originals
     // are only LOGICALLY deleted (absent from snapshot N+1) — they stay
@@ -502,6 +504,7 @@ object Layout {
     var op: String = "unknown"
     var statsCols: Seq[String] = Nil
     var dropped: Seq[String] = Nil
+    val constraints = Seq.newBuilder[(String, String)]
     val txns = Map.newBuilder[String, Long]
     headers.foreach { h =>
       val eq = h.indexOf('=')
@@ -519,6 +522,10 @@ object Layout {
           val c = v.lastIndexOf(':')
           require(c > 0, s"malformed txn header '$h' in $where")
           txns += (v.substring(0, c) -> v.substring(c + 1).toLong)
+        case ("constraint", v) =>
+          val c = v.indexOf(':')
+          require(c > 0, s"malformed constraint header '$h' in $where")
+          constraints += (v.substring(0, c) -> v.substring(c + 1))
         case ("minreader", v) =>
           require(v.toInt <= ReaderVersion,
             s"snapshot in $where requires reader version $v, this reader " +
@@ -545,7 +552,7 @@ object Layout {
         stats, dv)
     }
     TableSnapshot(version, key, files, schemaHash, txns.result(), op,
-      statsCols, schemaJson, dropped)
+      statsCols, schemaJson, dropped, constraints.result())
   }
 
   private def readSnapshotFile(
@@ -628,6 +635,14 @@ object Layout {
       require(!app.contains('\n') && !app.contains('\t'),
         s"txn writer id '$app' contains reserved characters")
       body.append("txn=").append(app).append(':').append(id).append('\n')
+    }
+    snapshot.constraints.foreach { case (cname, sql) =>
+      require(cname.nonEmpty && cname.forall(ch =>
+          ch.isLetterOrDigit || ch == '_'),
+        s"constraint name '$cname' must be [A-Za-z0-9_]+")
+      require(!sql.contains('\n') && !sql.contains('\t') && sql.nonEmpty,
+        s"constraint '$cname' expression contains reserved characters")
+      body.append("constraint=").append(cname).append(':').append(sql).append('\n')
     }
     snapshot.files.sortBy(_.name).foreach { f =>
       body.append(f.name).append('\t').append(f.bytes).append('\t')
@@ -863,6 +878,7 @@ object Layout {
         case "purge"   => // DV materialization: live content unchanged
         case "evolve"  => // same files, wider schema: adds no rows
         case "txn"     => // mark-only commit: same files, adds no rows
+        case "constraint" => // metadata-only commit: same files
         case "restore" =>
           throw new IllegalArgumentException(
             s"tableChanges: v$v under $path is a RESTORE — a rollback can " +
@@ -943,6 +959,7 @@ object Layout {
         case "evolve"  => // schema widened; rows unchanged (reads align
                           // on the TO-version schema, see above)
         case "txn"     => // mark-only commit: no row-level change
+        case "constraint" => // metadata-only commit: no row-level change
         case "delete" | "upsert" | "update" | "restore" =>
           // a restore IS a known file-list diff (the files V re-listed
           // vs the files the undone commits had written), so the same
@@ -1325,7 +1342,7 @@ object Layout {
           untouched ++ movedEntries, dst0.schemaHash,
           dst0.txns + (writer -> srcSnap.version),
           op = "upsert", statsCols = dst0.statsCols, schema = dst0.schema,
-          droppedCols = dst0.droppedCols)
+          droppedCols = dst0.droppedCols, constraints = dst0.constraints)
         commitSnapshot(spark, dstPath, next)
         AggEtlStats(from, srcSnap.version, nGroups, affected.size.toLong,
           dst0.files.size.toLong, next.version, caughtUp = false)
@@ -1436,6 +1453,20 @@ object Layout {
               // replica already agrees on live content
               prev = cur
               v += 1
+            case "constraint" =>
+              // mirror the constraint list so the replica enforces the
+              // same invariants on ITS future batches; idempotent (a
+              // matching list commits nothing). Content equality makes
+              // re-validation redundant — the rows are the source's,
+              // which the source verified on add.
+              val dstSnap = latestSnapshot(spark, dstPath).get
+              if (dstSnap.constraints != cur.constraints)
+                commitSnapshot(spark, dstPath,
+                  dstSnap.copy(version = dstSnap.version + 1,
+                    op = "constraint", constraints = cur.constraints))
+              applied += 1
+              prev = cur
+              v += 1
             case "evolve" =>
               // mirror the schema change (adds AND drops); idempotent
               // under replays (present columns skip, absent ones too)
@@ -1529,6 +1560,82 @@ object Layout {
     spark.range(1).select(exprs.toIndexedSeq: _*)
   }
 
+  /** Verify every recorded CHECK constraint over `df` in ONE pass: a
+    * single aggregate sums each constraint's violation indicator (SQL
+    * CHECK semantics — only FALSE violates; NULL passes), so N
+    * constraints cost one job over the batch, not N. Refuses with the
+    * first violated constraint named and counted; nothing staged,
+    * nothing committed.
+    */
+  private def verifyConstraints(df: DataFrame,
+      constraints: Seq[(String, String)], who: String): Unit = {
+    if (constraints.isEmpty) return
+    val aggs = constraints.map { case (cname, sql) =>
+      sum(when(coalesce(expr(sql), lit(true)) === false, 1L)
+        .otherwise(0L)).as(cname)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    constraints.zipWithIndex.foreach { case ((cname, sql), i) =>
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+      require(bad == 0L,
+        s"$who: CHECK constraint '$cname' ($sql) violated by $bad row(s) " +
+        "of the batch — nothing committed")
+    }
+  }
+
+  /** ADD CHECK CONSTRAINT — a table-level row invariant enforced from
+    * now on (the Delta `ALTER TABLE … ADD CONSTRAINT … CHECK` verb):
+    * `sqlExpr` must hold (TRUE or NULL — SQL CHECK semantics) for
+    * every EXISTING row, verified in one pass before anything commits,
+    * and every future content-introducing commit (append, rewrite,
+    * update old-or-new images, merge) verifies its batch against the
+    * recorded list BEFORE staging becomes a commit — cost ∝ the batch,
+    * never the table. The constraint list rides the snapshot header
+    * like the schema fingerprint; the commit is manifest-only
+    * (op=constraint, same files), both feeds cross it as a no-op, and
+    * replication mirrors it. DROP COLUMN refuses while a constraint
+    * still references the column (resolution-checked against the
+    * narrowed schema, not text-matched). RESTORE does NOT re-verify —
+    * rolling back to pre-constraint content revives rows as they were,
+    * the Delta behavior; re-add the constraint to re-validate.
+    */
+  def addCheckConstraint(spark: SparkSession, path: String,
+      name: String, sqlExpr: String): TableSnapshot = {
+    val snap = latestSnapshot(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"addCheckConstraint: no committed table under $path"))
+    require(name.nonEmpty && name.forall(ch => ch.isLetterOrDigit || ch == '_'),
+      s"addCheckConstraint: name '$name' must be [A-Za-z0-9_]+")
+    require(!snap.constraints.exists(_._1 == name),
+      s"addCheckConstraint: table at $path already has a constraint '$name'")
+    require(!sqlExpr.contains('\n') && !sqlExpr.contains('\t') && sqlExpr.nonEmpty,
+      s"addCheckConstraint: expression contains reserved characters")
+    verifyConstraints(readSnapshot(spark, path, snap),
+      Seq(name -> sqlExpr), "addCheckConstraint")
+    val next = snap.copy(version = snap.version + 1, op = "constraint",
+      constraints = snap.constraints :+ (name -> sqlExpr))
+    commitSnapshot(spark, path, next)
+    next
+  }
+
+  /** DROP CHECK CONSTRAINT — manifest-only removal; future batches stop
+    * being verified against it. Refuses an unknown name (a typo'd drop
+    * silently keeping enforcement off would be the worse failure).
+    */
+  def dropCheckConstraint(spark: SparkSession, path: String,
+      name: String): TableSnapshot = {
+    val snap = latestSnapshot(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"dropCheckConstraint: no committed table under $path"))
+    require(snap.constraints.exists(_._1 == name),
+      s"dropCheckConstraint: table at $path has no constraint '$name' " +
+      s"(recorded: ${snap.constraints.map(_._1).mkString(",")})")
+    val next = snap.copy(version = snap.version + 1, op = "constraint",
+      constraints = snap.constraints.filterNot(_._1 == name))
+    commitSnapshot(spark, path, next)
+    next
+  }
+
   /** ADD COLUMN — schema evolution without rewriting a byte: commit
     * snapshot N+1 with the SAME files and the widened recorded schema.
     * Committed reads serve NULL for the new column from pre-evolution
@@ -1570,7 +1677,7 @@ object Layout {
     val next = TableSnapshot(snap.version + 1, snap.keyName, snap.files,
       Some(schemaHashOf(widened)), snap.txns, op = "evolve",
       statsCols = snap.statsCols, schema = Some(widened),
-      droppedCols = snap.droppedCols)
+      droppedCols = snap.droppedCols, constraints = snap.constraints)
     commitSnapshot(spark, path, next)
     next
   }
@@ -1604,10 +1711,25 @@ object Layout {
       "table with new statsCols instead of silently voiding the contract")
     val narrowed = org.apache.spark.sql.types.StructType(
       cur.fields.filterNot(_.name == name))
+    // a CHECK constraint still referencing the column would make every
+    // future batch verification fail analysis — refuse the drop with
+    // the constraint named. Resolution-checked (analysis only, no
+    // jobs), not text-matched: `l_qty >= 0` must not block dropping
+    // `l_q`.
+    snap.constraints.foreach { case (cname, sql) =>
+      val ok = scala.util.Try(
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], narrowed)
+          .filter(expr(sql)).queryExecution.analyzed).isSuccess
+      require(ok,
+        s"dropColumn: CHECK constraint '$cname' ($sql) references '$name' — " +
+        "drop the constraint first")
+    }
     val next = TableSnapshot(snap.version + 1, snap.keyName, snap.files,
       Some(schemaHashOf(narrowed)), snap.txns, op = "evolve",
       statsCols = snap.statsCols, schema = Some(narrowed),
-      droppedCols = snap.droppedCols :+ name)
+      droppedCols = snap.droppedCols :+ name,
+      constraints = snap.constraints)
     commitSnapshot(spark, path, next)
     next
   }
@@ -1671,6 +1793,10 @@ object Layout {
         s") does not match the committed table's recorded schema (hash $expect) " +
         s"under $path — refusing the append before it poisons committed reads")
     }
+    // the batch must satisfy every recorded CHECK constraint before a
+    // byte is staged — cost ∝ the batch (one combined aggregate)
+    verifyConstraints(df.withColumn(keyName, key), prev0.constraints,
+      "appendClustered")
     val fs = fsOf(spark, path)
     val token = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new org.apache.hadoop.fs.Path(s"$path/.append-$token")
@@ -1698,6 +1824,9 @@ object Layout {
       require(prev.statsCols == prev0.statsCols,
         s"appendClustered: table stats columns changed underneath " +
         s"(${prev0.statsCols.mkString(",")} -> ${prev.statsCols.mkString(",")})")
+      require(prev.constraints == prev0.constraints,
+        s"appendClustered: table CHECK constraints changed underneath — " +
+        "the staged batch was verified against the old list; re-run the append")
       txn.foreach { case (app, id) =>
         if (prev.txns.get(app).exists(_ >= id)) {
           // a racing replay of the SAME (writer, batch) won the commit:
@@ -1712,7 +1841,7 @@ object Layout {
         txn.fold(prev.txns) { case (app, id) => prev.txns + (app -> id) },
         op = "append", statsCols = prev.statsCols,
         schema = prev.schema.orElse(Some(df.withColumn(keyName, key).schema)),
-        droppedCols = prev.droppedCols)
+        droppedCols = prev.droppedCols, constraints = prev.constraints)
       try {
         commitSnapshot(spark, path, snap)
         return snap
@@ -1817,7 +1946,7 @@ object Layout {
     val snap = TableSnapshot(cur.version + 1, tgt.keyName, tgt.files,
       tgt.schemaHash, cur.txns, op = "restore",
       statsCols = tgt.statsCols, schema = tgt.schema,
-      droppedCols = tgt.droppedCols)
+      droppedCols = tgt.droppedCols, constraints = tgt.constraints)
     commitSnapshot(spark, path, snap)
     snap
   }
@@ -1890,7 +2019,7 @@ object Layout {
     val next = TableSnapshot(snap.version + 1, snap.keyName,
       untouched ++ movedEntries, snap.schemaHash, snap.txns,
       op = "delete", statsCols = snap.statsCols, schema = snap.schema,
-      droppedCols = snap.droppedCols)
+      droppedCols = snap.droppedCols, constraints = snap.constraints)
     commitSnapshot(spark, path, next)
     DeleteStats(snap.files.size.toLong, affected.size.toLong, deleted, next.version)
   }
@@ -2040,7 +2169,7 @@ object Layout {
     val next = TableSnapshot(snap.version + 1, snap.keyName, nextFiles,
       snap.schemaHash, snap.txns, op = "deletedv",
       statsCols = snap.statsCols, schema = snap.schema,
-      droppedCols = snap.droppedCols)
+      droppedCols = snap.droppedCols, constraints = snap.constraints)
     commitSnapshot(spark, path, next)
     DvDeleteStats(snap.files.size.toLong, refOf.size.toLong,
       dropped.size.toLong, newlyDeleted, next.version)
@@ -2093,7 +2222,7 @@ object Layout {
     val next = TableSnapshot(snap.version + 1, snap.keyName,
       untouched ++ movedEntries, snap.schemaHash, snap.txns,
       op = "purge", statsCols = snap.statsCols, schema = snap.schema,
-      droppedCols = snap.droppedCols)
+      droppedCols = snap.droppedCols, constraints = snap.constraints)
     commitSnapshot(spark, path, next)
     PurgeStats(snap.files.size.toLong, victims.size.toLong, expect, next.version)
   }
@@ -2207,6 +2336,8 @@ object Layout {
         s"updateWhereDv: updated-image schema (hash $got) does not match the " +
         s"table's recorded schema (hash $expect) under $path")
     }
+    // the new images must satisfy the CHECK constraints before staging
+    verifyConstraints(updated, snap.constraints, "updateWhereDv")
     val fs = fsOf(spark, path)
     // stage the NEW generation first, then the sidecar; a crash at any
     // point before commit leaves only vacuum-able orphans
@@ -2255,7 +2386,7 @@ object Layout {
     val next = TableSnapshot(snap.version + 1, snap.keyName,
       survivors ++ movedEntries, snap.schemaHash, snap.txns,
       op = "updatedv", statsCols = snap.statsCols, schema = snap.schema,
-      droppedCols = snap.droppedCols)
+      droppedCols = snap.droppedCols, constraints = snap.constraints)
     commitSnapshot(spark, path, next)
     DvUpdateStats(snap.files.size.toLong, refOf.size.toLong,
       dropped.size.toLong, nUpdated, next.version)
@@ -2328,6 +2459,10 @@ object Layout {
         s"updateWhere: rewritten schema (hash $got) does not match the " +
         s"table's recorded schema (hash $expect) under $path")
     }
+    // the post-update images must satisfy the CHECK constraints (the
+    // untouched rows passed at their own commit time; one pass over
+    // the affected files covers both)
+    verifyConstraints(updated, snap.constraints, "updateWhere")
     val untouched = snap.files.filterNot(affected.map(_.name).toSet contains _.name)
     val nOut = if (nFiles > 0) nFiles else affected.size
     val moved = stageAndMoveIn(updated, path, "update", snap.keyName, nOut)
@@ -2340,7 +2475,7 @@ object Layout {
     val next = TableSnapshot(snap.version + 1, snap.keyName,
       untouched ++ movedEntries, snap.schemaHash, snap.txns,
       op = "update", statsCols = snap.statsCols, schema = snap.schema,
-      droppedCols = snap.droppedCols)
+      droppedCols = snap.droppedCols, constraints = snap.constraints)
     commitSnapshot(spark, path, next)
     UpdateStats(snap.files.size.toLong, affected.size.toLong, nUpdated, next.version)
   }
@@ -2430,6 +2565,8 @@ object Layout {
         s"table's recorded schema (hash $expect) under $path — column set or " +
         "order drifted")
     }
+    // the merged generation must satisfy the CHECK constraints
+    verifyConstraints(clustered, snap.constraints, "upsertCommitted")
     val keptRows = clustered.count()
     val untouched = snap.files.filterNot(affected.map(_.name).toSet contains _.name)
     require(untouched.nonEmpty || keptRows > 0L,
@@ -2446,7 +2583,7 @@ object Layout {
     val next = TableSnapshot(snap.version + 1, keyName,
       untouched ++ movedEntries, snap.schemaHash, snap.txns ++ txn,
       op = "upsert", statsCols = snap.statsCols, schema = snap.schema,
-      droppedCols = snap.droppedCols)
+      droppedCols = snap.droppedCols, constraints = snap.constraints)
     commitSnapshot(spark, path, next)
     UpsertStats(snap.files.size.toLong, affected.size.toLong,
       snap.totalLiveRows, next.totalLiveRows, next.version)
@@ -2609,7 +2746,10 @@ object Layout {
       case Some(p) =>
         // full rewrite of a committed table: new generation, old history
         // intact; the txn high-water marks survive (Delta semantics — a
-        // rewrite changes content, not the ingest dedup state)
+        // rewrite changes content, not the ingest dedup state). The new
+        // content is the whole future table, so it must satisfy every
+        // recorded CHECK constraint before a byte is staged
+        verifyConstraints(clustered, p.constraints, "writeClustered")
         val fs = fsOf(spark, path)
         val token = java.util.UUID.randomUUID().toString.take(8)
         val tmp = new org.apache.hadoop.fs.Path(s"$path/.rewrite-$token")
@@ -2636,7 +2776,7 @@ object Layout {
           // lists was just written through the current schema, so no
           // live file can resurrect a previously-dropped column's bytes
           op = "rewrite", statsCols = sc, schema = Some(clustered.schema),
-          droppedCols = Nil))
+          droppedCols = Nil, constraints = p.constraints))
         readCommitted(spark, path)
       case None =>
         clustered.write.mode("overwrite").parquet(path)

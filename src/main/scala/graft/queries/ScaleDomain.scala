@@ -1183,6 +1183,70 @@ object ScaleDomain {
         .orderBy(col("l_returnflag"))
     }),
 
+    // CHECK constraints — declared row invariants enforced at the
+    // format layer (ALTER TABLE … ADD CONSTRAINT … CHECK): add
+    // validates ALL existing data in one pass before committing
+    // (add_validates pins the refusal of an invariant history
+    // violates, with the recorded list unchanged), then every future
+    // content-introducing commit verifies its batch BEFORE staging
+    // becomes a commit — batch_refused pins a poisoned append bouncing
+    // with no version bump and no orphan generation. Cost ∝ the batch
+    // (one combined aggregate for N constraints), never the table —
+    // at 100 TB the invariant is checked where the data enters, not by
+    // re-scanning what already passed. The audit trail (op sequence,
+    // manifest-only constraint commits included) rides as a literal;
+    // the oracle recomputes the final content from the pristine table:
+    // both halves arrived intact BECAUSE they satisfied the checks.
+    "q_table_constraint" -> ((s, dir) => lifecycleOnce(s, "q_table_constraint", dir) {
+      val path = scratch(s, "mconstraint", dir)
+      deleteRecursively(new java.io.File(path))
+      val li = Tables(s, dir, "lineitem")
+      val key = Layout.zorderKey(Seq(
+        Layout.gridCell(col("l_partkey"), 0, 20000, 10),
+        Layout.gridCell(col("l_suppkey"), 0, 1000, 10)), 10)
+      def batch(i: Int) = li.filter(pmod(col("l_orderkey"), lit(2L)) === i)
+      graft.SubTimings.time("q_table_constraint", "fixture_write") {
+        Layout.writeClustered(batch(0), path, key, nFiles = 8,
+          statsCols = Seq("l_partkey")): Unit
+      }
+      val v0 = Layout.latestSnapshot(s, path).get.version
+      graft.SubTimings.time("q_table_constraint", "constrain") {
+        Layout.addCheckConstraint(s, path, "qty_nonneg", "l_quantity >= 0"): Unit
+        Layout.addCheckConstraint(s, path, "price_nonneg",
+          "l_extendedprice >= 0"): Unit
+      }
+      val addValidates =
+        (try { Layout.addCheckConstraint(s, path, "partkey_big",
+                 "l_partkey > 100"): Unit; false }
+         catch { case _: IllegalArgumentException => true }) &&
+        Layout.latestSnapshot(s, path).get.constraints.map(_._1) ==
+          Seq("qty_nonneg", "price_nonneg")
+      val vPre = Layout.latestSnapshot(s, path).get.version
+      val batchRefused =
+        (try { Layout.appendClustered(
+                 batch(1).withColumn("l_quantity",
+                   col("l_quantity") * lit(-1.0d) - lit(1.0d)),
+                 path, key, nFiles = 8): Unit; false }
+         catch { case _: IllegalArgumentException => true }) &&
+        Layout.latestSnapshot(s, path).get.version == vPre
+      graft.SubTimings.time("q_table_constraint", "fixture_write") {
+        Layout.appendClustered(batch(1), path, key, nFiles = 8): Unit
+      }
+      val ops = Layout.describeHistory(s, path)
+        .filter(col("version") >= v0)
+        .orderBy(col("version"))
+        .select(col("op")).collect().map(_.getString(0)).mkString(",")
+      Layout.readCommitted(s, path)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+            .as("sum_qty"))
+        .withColumn("add_validates", lit(addValidates))
+        .withColumn("batch_refused", lit(batchRefused))
+        .withColumn("ops_applied", lit(ops))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Merge-on-read UPDATE + PURGE — the DV completion of the CRUD
     // story: updateWhereDv marks the matched rows' OLD images deleted
     // in a positions sidecar and appends their NEW images as a fresh
@@ -2308,6 +2372,15 @@ object ScaleDomain {
         |FROM lineitem
         |WHERE NOT (l_partkey BETWEEN 10 AND 120)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // both halves arrived intact because they satisfied the declared
+    // invariants; the add-validation and batch-refusal stories are
+    // pins, the op audit trail a pinned literal
+    "q_table_constraint" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  true AS add_validates, true AS batch_refused,
+        |  'create,constraint,constraint,append' AS ops_applied
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // the merge-on-read UPDATE's image == the CASE WHEN over the
     // pristine table; mechanics / CDF pairing / purge cycle are pins
     "q_update_dv" ->

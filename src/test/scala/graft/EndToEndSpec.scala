@@ -189,7 +189,8 @@ class EndToEndSpec extends AnyFunSuite {
     Seq("q_update_committed", "q_schema_evolve", "q_replicate_committed",
       "q_incremental_etl", "q_incremental_agg", "q_committed_bloom",
       "q_manifest_stats", "q_table_history", "q_table_restore",
-      "q_delete_dv", "q_delete_dv_cdf", "q_update_dv").foreach { name =>
+      "q_delete_dv", "q_delete_dv_cdf", "q_update_dv",
+      "q_table_constraint").foreach { name =>
       val fn = SparkEntry.queries(name)
       val df1 = fn(spark, dir)
       val first = df1.collect().map(_.toSeq).toSeq

@@ -1891,6 +1891,83 @@ class LayoutSpec extends AnyFunSuite {
         .as[(Long, Long)].collect().sorted.toSeq)
   }
 
+  test("CHECK constraints: add validates history, every batch kind verified, evolve guard, mirror") {
+    val base = spark.range(4000).select(
+      col("id"),
+      ((col("id") * 7919L) % 1000).as("x"),
+      // NULLs on ~1/7 of rows: SQL CHECK passes NULL (only FALSE violates)
+      when(pmod(col("id"), lit(7L)) === 0L, lit(null).cast("long"))
+        .otherwise((col("id") * 104729L) % 997).as("y"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_chk").toString
+    Layout.writeClustered(base, dir, pmod(col("x"), lit(64L)), nFiles = 8,
+      statsCols = Seq("x", "id"))
+    // history validation: a satisfied invariant commits (NULL y passes),
+    // a violated one refuses with nothing committed
+    val c1 = Layout.addCheckConstraint(spark, dir, "x_nonneg", "x >= 0")
+    assert(c1.op == "constraint" && c1.constraints == Seq("x_nonneg" -> "x >= 0"))
+    Layout.addCheckConstraint(spark, dir, "y_nonneg", "y >= 0"): Unit
+    val exAdd = intercept[IllegalArgumentException](
+      Layout.addCheckConstraint(spark, dir, "x_small", "x < 500"))
+    assert(exAdd.getMessage.contains("x_small") &&
+      Layout.latestSnapshot(spark, dir).get.constraints.size == 2)
+    // append: a bad batch refuses BEFORE staging (no version, no orphans)
+    val vBefore = Layout.latestSnapshot(spark, dir).get.version
+    val bad = spark.range(10).select(col("id") + 100000L as "id",
+      lit(-5L).as("x"), lit(1L).as("y"))
+    intercept[IllegalArgumentException](
+      Layout.appendClustered(bad, dir, pmod(col("x"), lit(64L)), nFiles = 1))
+    assert(Layout.latestSnapshot(spark, dir).get.version == vBefore)
+    val good = spark.range(10).select(col("id") + 100000L as "id",
+      lit(5L).as("x"), lit(null).cast("long").as("y"))
+    Layout.appendClustered(good, dir, pmod(col("x"), lit(64L)), nFiles = 1): Unit
+    // row-level mutations verify their images (CoW and merge-on-read)
+    intercept[IllegalArgumentException](
+      Layout.updateWhere(spark, dir, col("x") === 5L, Seq("x" -> lit(-1L))))
+    intercept[IllegalArgumentException](
+      Layout.updateWhereDv(spark, dir, col("x") === 5L, Seq("y" -> lit(-2L))))
+    Layout.updateWhereDv(spark, dir, col("x") === 5L, Seq("y" -> lit(2L))): Unit
+    assert(Layout.readCommitted(spark, dir).filter(col("y") < 0).isEmpty)
+    // MERGE verifies the merged generation
+    import spark.implicits._
+    val badChange = Seq((0L, 1L, "upsert", -9L, 0L, 0L))
+      .toDF("id", "version", "op", "x", "y", "cluster_key")
+    intercept[IllegalArgumentException](
+      Layout.upsertCommitted(spark, dir, badChange, "id",
+        Seq("x", "y", "cluster_key"), pmod(col("x"), lit(64L))))
+    // rewrite verifies the whole new content
+    intercept[IllegalArgumentException](
+      Layout.writeClustered(base.withColumn("x", col("x") - 100L),
+        dir, pmod(col("x"), lit(64L)), nFiles = 8))
+    // DROP COLUMN refuses while a constraint resolves against the column
+    val exDrop = intercept[IllegalArgumentException](
+      Layout.dropColumn(spark, dir, "y"))
+    assert(exDrop.getMessage.contains("y_nonneg"))
+    Layout.dropCheckConstraint(spark, dir, "y_nonneg"): Unit
+    Layout.dropColumn(spark, dir, "y"): Unit
+    intercept[IllegalArgumentException](
+      Layout.dropCheckConstraint(spark, dir, "nope"))
+    // the metadata commits are invisible to both feeds
+    assert(Layout.tableChanges(spark, dir, c1.version - 1, c1.version).count() == 0L)
+    assert(Layout.tableChangesCdf(spark, dir, c1.version - 1, c1.version).count() == 0L)
+    // a replica mirrors the constraint list and enforces it on its own
+    // future batches
+    val src = java.nio.file.Files.createTempDirectory("graft_chk_src").toString
+    Layout.writeClustered(base, src, pmod(col("x"), lit(64L)), nFiles = 4,
+      statsCols = Seq("x", "id"))
+    val v1 = Layout.latestSnapshot(spark, src).get.version
+    val repl = java.nio.file.Files.createTempDirectory("graft_chk_repl").toString
+    Layout.replicateCommitted(spark, src, repl, "id", asOfVersion = v1)
+    Layout.addCheckConstraint(spark, src, "x_nonneg", "x >= 0"): Unit
+    Layout.replicateCommitted(spark, src, repl, "id")
+    assert(Layout.latestSnapshot(spark, repl).get.constraints ==
+      Seq("x_nonneg" -> "x >= 0"))
+    intercept[IllegalArgumentException](
+      Layout.appendClustered(bad, repl, pmod(col("x"), lit(64L)), nFiles = 1))
+    // restore to the pre-constraint version rolls the list back too
+    val r = Layout.restoreVersion(spark, src, v1)
+    assert(r.constraints.isEmpty)
+  }
+
   test("minreader: a snapshot stamped above this reader's level refuses to parse") {
     val (dir, _) = dvTable("graft_dv_rdr")
     val mdir = new java.io.File(dir, "_manifests")
