@@ -81,7 +81,8 @@ final case class TableSnapshot(
     op: String = "unknown", statsCols: Seq[String] = Nil,
     schema: Option[org.apache.spark.sql.types.StructType] = None,
     droppedCols: Seq[String] = Nil,
-    constraints: Seq[(String, String)] = Nil) {
+    constraints: Seq[(String, String)] = Nil,
+    minWriter: Int = 1) {
   def totalRows: Long = files.map(_.rows).sum
   /** Rows a committed read serves — physical rows minus every file's
     * deletion-vector positions; equals [[totalRows]] on DV-free tables.
@@ -283,6 +284,7 @@ object Layout {
     // uncommitted orphans (a failed append's moved-in files) into the
     // next snapshot. Raw directories (no log) keep the listing behavior.
     val committed = latestSnapshot(spark, path).filter(_.keyName == keyName)
+    committed.foreach(assertWritable(_, "compactFiles"))
     // an UNCOMMITTED compaction of a committed table would physically
     // replace files the latest snapshot still references (breaking every
     // committed reader) or leave a moved-in generation as orphans for no
@@ -316,33 +318,17 @@ object Layout {
       return CompactionStats(before.length, 0, before.length, 0, 0)
     val smallPaths = candidates.map(_.getPath.toString).toIndexedSeq
     // an evolved table's smalls can span schema generations — read them
-    // through the recorded schema so older files serve NULL columns
-    val smallsRaw = committed.flatMap(_.schema) match {
-      case Some(st) => spark.read.schema(st).parquet(smallPaths: _*)
-      case None     => spark.read.parquet(smallPaths: _*)
+    // through the recorded schema so older files serve NULL columns.
+    // Committed candidates go through readFilesDv: compaction is the
+    // deletion-vector MATERIALIZATION path (the rewritten generation
+    // carries none), and a raw read would resurrect deleted rows.
+    val smalls = committed match {
+      case Some(snap) =>
+        readFilesDv(spark, path, snap,
+          candidates.map(_.getPath.getName).toIndexedSeq,
+          snap.files.iterator.map(f => f.name -> f.dv).toMap)
+      case None => spark.read.parquet(smallPaths: _*)
     }
-    // compaction is the deletion-vector MATERIALIZATION path: apply the
-    // candidates' DVs during the rewrite (the rewritten generation
-    // carries none), or deleted rows would resurrect into the compacted
-    // files
-    val candNames = candidates.map(_.getPath.getName).toSet
-    val dvCand = committed.toSeq.flatMap(_.files)
-      .filter(f => candNames.contains(f.name) && f.dv.isDefined)
-    val smalls =
-      if (dvCand.isEmpty) smallsRaw
-      else {
-        val positions = spark.read
-          .parquet(dvCand.map(f => s"$path/${f.dv.get.name}").distinct: _*)
-          .filter(col("file").isin(dvCand.map(_.name): _*))
-          .withColumnRenamed("file", "_graft_dv_file")
-          .withColumnRenamed("pos", "_graft_dv_pos")
-        smallsRaw
-          .withColumn("_graft_dv_file", col("_metadata.file_name"))
-          .withColumn("_graft_dv_pos", col("_metadata.row_index"))
-          .join(broadcast(positions), Seq("_graft_dv_file", "_graft_dv_pos"),
-            "left_anti")
-          .drop("_graft_dv_file", "_graft_dv_pos")
-      }
     val nRows = smalls.count()
     val totalBytes = candidates.map(_.getLen).sum
     val nOut = math.max(1L,
@@ -484,6 +470,29 @@ object Layout {
     */
   val ReaderVersion: Int = 2
 
+  /** Highest snapshot-format feature level this WRITER understands.
+    * Version 2 covers deletion vectors (a DV-unaware compactor would
+    * resurrect deleted rows into its rewrite) and CHECK constraints (a
+    * constraint-unaware writer would append without verifying — worse
+    * than refusing, per Delta's minWriterVersion rationale). Snapshots
+    * using either feature stamp `minwriter=2`; reading such a table
+    * stays legal for any reader that passes the `minreader` gate, but
+    * every MUTATING verb calls [[assertWritable]] first and refuses a
+    * table stamped above this level.
+    */
+  val WriterVersion: Int = 2
+
+  /** Refuse to mutate a table whose snapshot demands a newer writer —
+    * the guard every content- or metadata-changing verb runs before
+    * touching anything.
+    */
+  private def assertWritable(snap: TableSnapshot, who: String): Unit =
+    require(snap.minWriter <= WriterVersion,
+      s"$who: table requires writer version ${snap.minWriter}, this " +
+      s"writer is $WriterVersion — mutating it could silently void a " +
+      "feature this build does not understand (refusing is the " +
+      "minWriterVersion contract)")
+
   /** Parse one snapshot file body. Header lines (`key=`, `schema=`,
     * repeatable `txn=writer:batchId`) precede the tab-separated file
     * entries; unknown `name=value` headers are skipped so the format can
@@ -504,6 +513,7 @@ object Layout {
     var op: String = "unknown"
     var statsCols: Seq[String] = Nil
     var dropped: Seq[String] = Nil
+    var minWriter: Int = 1
     val constraints = Seq.newBuilder[(String, String)]
     val txns = Map.newBuilder[String, Long]
     headers.foreach { h =>
@@ -526,6 +536,10 @@ object Layout {
           val c = v.indexOf(':')
           require(c > 0, s"malformed constraint header '$h' in $where")
           constraints += (v.substring(0, c) -> v.substring(c + 1))
+        case ("minwriter", v) =>
+          // reading stays legal — the gate fires in assertWritable
+          // when a mutation is attempted
+          minWriter = v.toInt
         case ("minreader", v) =>
           require(v.toInt <= ReaderVersion,
             s"snapshot in $where requires reader version $v, this reader " +
@@ -552,7 +566,7 @@ object Layout {
         stats, dv)
     }
     TableSnapshot(version, key, files, schemaHash, txns.result(), op,
-      statsCols, schemaJson, dropped, constraints.result())
+      statsCols, schemaJson, dropped, constraints.result(), minWriter)
   }
 
   private def readSnapshotFile(
@@ -610,6 +624,13 @@ object Layout {
     // a DV-unaware parser refuses instead of resurrecting deleted rows
     if (snapshot.hasDeletionVectors)
       body.append("minreader=2").append('\n')
+    // DVs and CHECK constraints are writer-breaking: a feature-unaware
+    // writer must refuse to mutate (assertWritable) instead of
+    // resurrecting rows in a compaction or appending unverified batches
+    val mw = math.max(snapshot.minWriter,
+      if (snapshot.hasDeletionVectors || snapshot.constraints.nonEmpty) 2 else 1)
+    if (mw > 1)
+      body.append("minwriter=").append(mw).append('\n')
     if (snapshot.op != "unknown")
       body.append("op=").append(snapshot.op).append('\n')
     if (snapshot.statsCols.nonEmpty) {
@@ -942,6 +963,49 @@ object Layout {
       if (names.isEmpty) empty
       else readFilesDv(spark, path, toSnap, names,
         dvOwner.files.iterator.map(f => f.name -> f.dv).toMap)
+    // the rows at the positions `from`'s DVs hold that `to`'s do NOT —
+    // i.e. the per-file DV position diff over same-named files, joined
+    // back to the data. Direction gives both CDF legs: (prev -> cur)
+    // is rows this commit deleted, (cur -> prev) rows it resurrected
+    // (a RESTORE across a DV commit). None when no ref changed.
+    def dvDiffRows(from: Seq[SnapshotFile],
+        to: Map[String, Option[DvRef]]): Option[DataFrame] = {
+      val changed = from.filter(f =>
+        to.contains(f.name) && to(f.name) != f.dv && f.dv.isDefined)
+      if (changed.isEmpty) return None
+      def positions(refs: Seq[SnapshotFile]): Option[DataFrame] = {
+        val withDv = refs.filter(_.dv.isDefined)
+        if (withDv.isEmpty) None
+        else Some(spark.read
+          .parquet(withDv.map(f => s"$path/${f.dv.get.name}").distinct: _*)
+          .filter(col("file").isin(withDv.map(_.name): _*)))
+      }
+      val fromPos = positions(changed).get // changed filters on dv.isDefined
+      val toPos = positions(changed.map(f => f.copy(dv = to(f.name))))
+      val diff = toPos match {
+        case None => fromPos
+        case Some(t) => fromPos.join(
+          t.withColumnRenamed("file", "_pf").withColumnRenamed("pos", "_pp"),
+          col("file") === col("_pf") && col("pos") === col("_pp"),
+          "left_anti")
+      }
+      val raw = {
+        val paths = changed.map(f => s"$path/${f.name}")
+        val base = toSnap.schema match {
+          case Some(st) => spark.read.schema(st).parquet(paths: _*)
+          case None     => spark.read.parquet(paths: _*)
+        }
+        base
+          .withColumn("_graft_dv_file", col("_metadata.file_name"))
+          .withColumn("_graft_dv_pos", col("_metadata.row_index"))
+      }
+      Some(raw.join(
+        broadcast(diff
+          .withColumnRenamed("file", "_graft_dv_file")
+          .withColumnRenamed("pos", "_graft_dv_pos")),
+        Seq("_graft_dv_file", "_graft_dv_pos"))
+        .drop("_graft_dv_file", "_graft_dv_pos"))
+    }
     var out: DataFrame = empty.withColumn("_change_type", lit("insert"))
     var v = fromVersion + 1
     while (v <= toVersion) {
@@ -964,7 +1028,12 @@ object Layout {
           // a restore IS a known file-list diff (the files V re-listed
           // vs the files the undone commits had written), so the same
           // pre/post legs express it exactly — Delta's RESTORE appears
-          // in ITS change feed the same way
+          // in ITS change feed the same way. Restores across DV
+          // commits additionally repoint or clear refs on SAME-NAMED
+          // files — invisible to a name diff — so both position-diff
+          // directions ride too: positions cur holds that prev did
+          // not are rows the rollback re-deleted, positions prev held
+          // that cur does not are rows it RESURRECTED.
           val pre = read(removed, prev)
           val post = read(added, cur)
           out = out
@@ -972,6 +1041,12 @@ object Layout {
               .withColumn("_change_type", lit("insert")))
             .unionByName(pre.exceptAll(post)
               .withColumn("_change_type", lit("delete")))
+          val prevDvB = prev.files.iterator.map(f => f.name -> f.dv).toMap
+          val curDvB = cur.files.iterator.map(f => f.name -> f.dv).toMap
+          dvDiffRows(cur.files, prevDvB).foreach(d =>
+            out = out.unionByName(d.withColumn("_change_type", lit("delete"))))
+          dvDiffRows(prev.files, curDvB).foreach(d =>
+            out = out.unionByName(d.withColumn("_change_type", lit("insert"))))
         case "deletedv" | "updatedv" =>
           // a merge-on-read delete names its rows exactly: the commit's
           // delta IS the position diff (cur DV minus prev DV per
@@ -985,48 +1060,9 @@ object Layout {
             read(added, cur).withColumn("_change_type", lit("insert")))
           out = out.unionByName(
             read(removed, prev).withColumn("_change_type", lit("delete")))
-          val prevBy = prev.files.map(f => f.name -> f).toMap
-          val changed = cur.files
-            .filter(f => prevBy.get(f.name).exists(_.dv != f.dv))
-          if (changed.nonEmpty) {
-            def positions(refs: Seq[SnapshotFile]): Option[DataFrame] = {
-              val withDv = refs.filter(_.dv.isDefined)
-              if (withDv.isEmpty) None
-              else Some(spark.read
-                .parquet(withDv.map(f => s"$path/${f.dv.get.name}").distinct: _*)
-                .filter(col("file").isin(withDv.map(_.name): _*)))
-            }
-            val curPos = positions(changed).getOrElse(
-              throw new IllegalStateException(
-                s"tableChangesCdf: v$v deletedv commit changed DV refs " +
-                "without recording any — snapshot log corrupted"))
-            val newPos = positions(changed.map(f => prevBy(f.name))) match {
-              case None => curPos
-              case Some(old) => curPos.join(
-                old.withColumnRenamed("file", "_pf")
-                  .withColumnRenamed("pos", "_pp"),
-                col("file") === col("_pf") && col("pos") === col("_pp"),
-                "left_anti")
-            }
-            val raw = {
-              val paths = changed.map(f => s"$path/${f.name}")
-              val base = toSnap.schema match {
-                case Some(st) => spark.read.schema(st).parquet(paths: _*)
-                case None     => spark.read.parquet(paths: _*)
-              }
-              base
-                .withColumn("_graft_dv_file", col("_metadata.file_name"))
-                .withColumn("_graft_dv_pos", col("_metadata.row_index"))
-            }
-            val deletedRows = raw.join(
-              broadcast(newPos
-                .withColumnRenamed("file", "_graft_dv_file")
-                .withColumnRenamed("pos", "_graft_dv_pos")),
-              Seq("_graft_dv_file", "_graft_dv_pos"))
-              .drop("_graft_dv_file", "_graft_dv_pos")
-            out = out.unionByName(
-              deletedRows.withColumn("_change_type", lit("delete")))
-          }
+          val prevDv = prev.files.iterator.map(f => f.name -> f.dv).toMap
+          dvDiffRows(cur.files, prevDv).foreach(d =>
+            out = out.unionByName(d.withColumn("_change_type", lit("delete"))))
         case other =>
           throw new IllegalArgumentException(
             s"tableChangesCdf: v$v under $path is a '$other' commit — it " +
@@ -1399,6 +1435,15 @@ object Layout {
           col(srcSnap.keyName), n, keyName = srcSnap.keyName,
           txn = Some(writer -> srcSnap.version),
           statsCols = srcSnap.statsCols): Unit
+        // mirror the source's CHECK constraints at bootstrap — the
+        // catch-up loop starts PAST the version that added them, so
+        // without this seed a replica of a constrained table would
+        // never enforce the invariants on its own future batches
+        if (srcSnap.constraints.nonEmpty) {
+          val d = latestSnapshot(spark, dstPath).get
+          commitSnapshot(spark, dstPath, d.copy(version = d.version + 1,
+            op = "constraint", constraints = srcSnap.constraints))
+        }
         SyncStats(0L, srcSnap.version, 1L,
           latestSnapshot(spark, dstPath).get.version, caughtUp = false)
       case Some(dst0) =>
@@ -1503,6 +1548,15 @@ object Layout {
                 .drop("_change_type")
               upsertCommitted(spark, dstPath, legs, idCol, payloadCols(),
                 col(cur.keyName), txn = Some(writer -> v)): Unit
+              // a RESTORE can roll the source's CHECK-constraint list
+              // back; resync it or the replica keeps enforcing a stale
+              // stricter list and wedges on the source's next
+              // legitimately-unconstrained append
+              val dstAfterMut = latestSnapshot(spark, dstPath).get
+              if (dstAfterMut.constraints != cur.constraints)
+                commitSnapshot(spark, dstPath,
+                  dstAfterMut.copy(version = dstAfterMut.version + 1,
+                    op = "constraint", constraints = cur.constraints))
               applied += 1
               prev = cur
               v += 1
@@ -1604,6 +1658,7 @@ object Layout {
     val snap = latestSnapshot(spark, path).getOrElse(
       throw new IllegalStateException(
         s"addCheckConstraint: no committed table under $path"))
+    assertWritable(snap, "addCheckConstraint")
     require(name.nonEmpty && name.forall(ch => ch.isLetterOrDigit || ch == '_'),
       s"addCheckConstraint: name '$name' must be [A-Za-z0-9_]+")
     require(!snap.constraints.exists(_._1 == name),
@@ -1627,6 +1682,7 @@ object Layout {
     val snap = latestSnapshot(spark, path).getOrElse(
       throw new IllegalStateException(
         s"dropCheckConstraint: no committed table under $path"))
+    assertWritable(snap, "dropCheckConstraint")
     require(snap.constraints.exists(_._1 == name),
       s"dropCheckConstraint: table at $path has no constraint '$name' " +
       s"(recorded: ${snap.constraints.map(_._1).mkString(",")})")
@@ -1654,6 +1710,7 @@ object Layout {
     val snap = latestSnapshot(spark, path).getOrElse(
       throw new IllegalStateException(
         s"addColumn: no committed table under $path"))
+    assertWritable(snap, "addColumn")
     val cur = snap.schema.getOrElse(throw new IllegalStateException(
       s"addColumn: snapshot v${snap.version} under $path records no schema " +
       "(pre-evolution era) — append or rewrite once to record it"))
@@ -1698,6 +1755,7 @@ object Layout {
     val snap = latestSnapshot(spark, path).getOrElse(
       throw new IllegalStateException(
         s"dropColumn: no committed table under $path"))
+    assertWritable(snap, "dropColumn")
     val cur = snap.schema.getOrElse(throw new IllegalStateException(
       s"dropColumn: snapshot v${snap.version} under $path records no schema " +
       "(pre-evolution era) — append or rewrite once to record it"))
@@ -1781,6 +1839,7 @@ object Layout {
     val spark = df.sparkSession
     val prev0 = latestSnapshot(spark, path).getOrElse(throw new IllegalStateException(
       s"appendClustered: no committed table under $path — create it with writeClustered"))
+    assertWritable(prev0, "appendClustered")
     val keyName = prev0.keyName
     txn.foreach { case (app, id) =>
       if (prev0.txns.get(app).exists(_ >= id)) return prev0 // replayed batch
@@ -1892,6 +1951,7 @@ object Layout {
       batchId: Long): TableSnapshot = {
     val snap = latestSnapshot(spark, path).getOrElse(
       throw new IllegalStateException(s"commitTxn: no committed table under $path"))
+    assertWritable(snap, "commitTxn")
     if (snap.txns.get(writer).exists(_ >= batchId)) return snap
     val next = snap.copy(version = snap.version + 1,
       txns = snap.txns + (writer -> batchId), op = "txn")
@@ -1927,6 +1987,7 @@ object Layout {
   def restoreVersion(spark: SparkSession, path: String, version: Long): TableSnapshot = {
     val cur = latestSnapshot(spark, path).getOrElse(
       throw new IllegalStateException(s"restoreVersion: no committed table under $path"))
+    assertWritable(cur, "restoreVersion")
     require(version <= cur.version,
       s"restoreVersion: v$version is ahead of the table (latest v${cur.version})")
     val tgt = snapshotAt(spark, path, version) // throws if vacuumed
@@ -1983,6 +2044,7 @@ object Layout {
       nFiles: Int = 0): DeleteStats = {
     val snap = latestSnapshot(spark, path).getOrElse(throw new IllegalStateException(
       s"deleteWhere: no committed table under $path"))
+    assertWritable(snap, "deleteWhere")
     val affected = snap.files.filter { f =>
       scanRanges.forall { case (c, lo, hi) =>
         val (mn, mx) = if (c == snap.keyName) (f.minKey, f.maxKey)
@@ -2035,6 +2097,52 @@ object Layout {
       nFilesTotal: Long, nFilesDvUpdated: Long, nFilesDropped: Long,
       nRowsDeleted: Long, version: Long)
 
+  /** Stage a deletion-vector positions sidecar and derive each data
+    * file's new ref — the shared tail of [[deleteWhereDv]] and
+    * [[updateWhereDv]]. `merged` must hold the FULL per-file position
+    * sets (old folded with new, already distinct, already persisted by
+    * the caller); positions of fully-deleted files are excluded here.
+    * Writes `dvShards` hash-partitioned-by-file parquet shards under a
+    * hidden `.dvdelete-*` staging dir, moves them in as `dv-*`, and
+    * maps each file to (its shard, its position count) with one
+    * column-pruned scan of the sidecar — bounded by the affected file
+    * count. Returns empty when every counted file is dropped. A crash
+    * anywhere before the caller's commit leaves only vacuum-able
+    * orphans.
+    */
+  private def stageDvSidecar(spark: SparkSession, path: String,
+      merged: DataFrame, counts: Map[String, Long], dropped: Set[String],
+      dvShards: Int, who: String): Map[String, DvRef] = {
+    if (counts.keySet.forall(dropped.contains)) return Map.empty
+    val keepPos = if (dropped.isEmpty) merged
+      else merged.filter(!col("file").isin(dropped.toSeq: _*))
+    val fs = fsOf(spark, path)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.dvdelete-$token")
+    keepPos.repartition(dvShards, col("file"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val staged = fs.listStatus(tmp)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    val moved = staged.zipWithIndex.map { case (st, i) =>
+      val target = new org.apache.hadoop.fs.Path(
+        s"$path/dv-$token-$i${suffixOf(st.getPath.getName)}")
+      if (!fs.rename(st.getPath, target))
+        throw new java.io.IOException(
+          s"$who rename ${st.getPath} -> $target failed")
+      target.getName
+    }.toIndexedSeq
+    fs.delete(tmp, true)
+    spark.read.parquet(moved.map(n => s"$path/$n"): _*)
+      .withColumn("dvfile", input_file_name())
+      .groupBy(col("file"))
+      .agg(min(col("dvfile")).as("dvfile"), count(lit(1)).as("n"))
+      .collect()
+      .map { r =>
+        val dvName = new org.apache.hadoop.fs.Path(r.getString(1)).getName
+        r.getString(0) -> DvRef(dvName, r.getLong(2))
+      }.toMap
+  }
+
   /** Merge-on-read DELETE — the deletion-vector twin of [[deleteWhere]].
     * Instead of rewriting every affected data file (copy-on-write cost ∝
     * file bytes, even for a 10-row delete out of a 1 GB file), the
@@ -2073,6 +2181,7 @@ object Layout {
     require(dvShards >= 1, "deleteWhereDv: dvShards must be >= 1")
     val snap = latestSnapshot(spark, path).getOrElse(throw new IllegalStateException(
       s"deleteWhereDv: no committed table under $path"))
+    assertWritable(snap, "deleteWhereDv")
     val affected = snap.files.filter { f =>
       scanRanges.forall { case (c, lo, hi) =>
         val (mn, mx) = if (c == snap.keyName) (f.minKey, f.maxKey)
@@ -2092,13 +2201,20 @@ object Layout {
       case Some(st) => spark.read.schema(st).parquet(paths: _*)
       case None     => spark.read.parquet(paths: _*)
     }
+    // the metadata columns take collision-proof names UNTIL the user
+    // predicate has run — a table column named 'file' or 'pos' (SAM
+    // tables have 'pos') must keep resolving to the DATA, not to
+    // parquet metadata
     val newPos = base
-      .withColumn("file", col("_metadata.file_name"))
-      .withColumn("pos", col("_metadata.row_index"))
+      .withColumn("_graft_dv_file", col("_metadata.file_name"))
+      .withColumn("_graft_dv_pos", col("_metadata.row_index"))
       .filter(coalesce(predicate, lit(false)))
-      .select(col("file"), col("pos"))
+      .select(col("_graft_dv_file").as("file"), col("_graft_dv_pos").as("pos"))
     // fold in the affected files' EXISTING positions so each file's new
-    // ref covers its full deleted set (one ref per file)
+    // ref covers its full deleted set (one ref per file). Persisted:
+    // the predicate scan over the affected files' bytes is the
+    // dominant cost, and both the counts aggregate and the sidecar
+    // write below consume this (tiny, ∝ deleted rows) frame.
     val existingRefs = affected.filter(_.dv.isDefined)
     val merged = (if (existingRefs.isEmpty) newPos else {
       val dvNames = existingRefs.map(_.dv.get.name).distinct
@@ -2106,73 +2222,43 @@ object Layout {
         .filter(col("file").isin(existingRefs.map(_.name): _*))
       newPos.unionByName(old)
     }).distinct()
-    // per-file deleted counts: bounded by the affected file count
-    val counts = merged.groupBy(col("file"))
-      .agg(count(lit(1)).as("n")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val newlyDeleted = counts.values.sum -
-      affected.flatMap(_.dv).map(_.nDeleted).sum
-    if (newlyDeleted == 0L)
-      return DvDeleteStats(snap.files.size.toLong, 0L, 0L, 0L, snap.version)
-    val byRows = affected.map(f => f.name -> f.rows).toMap
-    val dropped = counts.collect {
-      case (n, c) if c == byRows(n) => n
-    }.toSet
-    val survivors = snap.files.filterNot(f => dropped.contains(f.name))
-    require(survivors.nonEmpty,
-      s"deleteWhereDv would empty the table at $path entirely — a committed " +
-      "snapshot must list at least one file; drop the table instead")
-    // stage the sidecar (fully-deleted files need no positions — they
-    // leave the list) and move it in under dv-* names; vacuum's orphan
-    // sweep covers the dv- prefix, so a crash between here and commit
-    // leaves reclaimable files, never a wrong table
-    val keepPos = if (dropped.isEmpty) merged
-      else merged.filter(!col("file").isin(dropped.toSeq: _*))
-    val fs = fsOf(spark, path)
-    val refOf: Map[String, DvRef] =
-      if (counts.keySet.forall(dropped.contains)) Map.empty
-      else {
-        val token = java.util.UUID.randomUUID().toString.take(8)
-        val tmp = new org.apache.hadoop.fs.Path(s"$path/.dvdelete-$token")
-        keepPos.repartition(dvShards, col("file"))
-          .write.mode("overwrite").parquet(tmp.toString)
-        val staged = fs.listStatus(tmp)
-          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-        val moved = staged.zipWithIndex.map { case (st, i) =>
-          val target = new org.apache.hadoop.fs.Path(
-            s"$path/dv-$token-$i${suffixOf(st.getPath.getName)}")
-          if (!fs.rename(st.getPath, target))
-            throw new java.io.IOException(
-              s"dvdelete rename ${st.getPath} -> $target failed")
-          target.getName
-        }.toIndexedSeq
-        fs.delete(tmp, true)
-        // which shard holds which data file's positions (hash
-        // partitioning is not driver-predictable): one column-pruned
-        // scan of the sidecar, bounded by the affected file count
-        spark.read.parquet(moved.map(n => s"$path/$n"): _*)
-          .withColumn("dvfile", input_file_name())
-          .groupBy(col("file"))
-          .agg(min(col("dvfile")).as("dvfile"), count(lit(1)).as("n"))
-          .collect()
-          .map { r =>
-            val dvName = new org.apache.hadoop.fs.Path(r.getString(1)).getName
-            r.getString(0) -> DvRef(dvName, r.getLong(2))
-          }.toMap
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // per-file deleted counts: bounded by the affected file count
+      val counts = merged.groupBy(col("file"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val newlyDeleted = counts.values.sum -
+        affected.flatMap(_.dv).map(_.nDeleted).sum
+      if (newlyDeleted == 0L)
+        return DvDeleteStats(snap.files.size.toLong, 0L, 0L, 0L, snap.version)
+      val byRows = affected.map(f => f.name -> f.rows).toMap
+      val dropped = counts.collect {
+        case (n, c) if c == byRows(n) => n
+      }.toSet
+      val survivors = snap.files.filterNot(f => dropped.contains(f.name))
+      require(survivors.nonEmpty,
+        s"deleteWhereDv would empty the table at $path entirely — a committed " +
+        "snapshot must list at least one file; drop the table instead")
+      // fully-deleted files need no positions — they leave the list;
+      // vacuum's orphan sweep covers dv-*, so a crash between here and
+      // commit leaves reclaimable files, never a wrong table
+      val refOf = stageDvSidecar(spark, path, merged, counts, dropped,
+        dvShards, "dvdelete")
+      val nextFiles = survivors.map { f =>
+        refOf.get(f.name) match {
+          case Some(ref) => f.copy(dv = Some(ref))
+          case None      => f
+        }
       }
-    val nextFiles = survivors.map { f =>
-      refOf.get(f.name) match {
-        case Some(ref) => f.copy(dv = Some(ref))
-        case None      => f
-      }
-    }
-    val next = TableSnapshot(snap.version + 1, snap.keyName, nextFiles,
-      snap.schemaHash, snap.txns, op = "deletedv",
-      statsCols = snap.statsCols, schema = snap.schema,
-      droppedCols = snap.droppedCols, constraints = snap.constraints)
-    commitSnapshot(spark, path, next)
-    DvDeleteStats(snap.files.size.toLong, refOf.size.toLong,
-      dropped.size.toLong, newlyDeleted, next.version)
+      val next = TableSnapshot(snap.version + 1, snap.keyName, nextFiles,
+        snap.schemaHash, snap.txns, op = "deletedv",
+        statsCols = snap.statsCols, schema = snap.schema,
+        droppedCols = snap.droppedCols, constraints = snap.constraints)
+      commitSnapshot(spark, path, next)
+      DvDeleteStats(snap.files.size.toLong, refOf.size.toLong,
+        dropped.size.toLong, newlyDeleted, next.version)
+    } finally { merged.unpersist(false): Unit }
   }
 
   /** What [[purgeDeletes]] did. */
@@ -2204,6 +2290,7 @@ object Layout {
       s"purgeDeletes: minDeletedFraction must be in [0,1], got $minDeletedFraction")
     val snap = latestSnapshot(spark, path).getOrElse(throw new IllegalStateException(
       s"purgeDeletes: no committed table under $path"))
+    assertWritable(snap, "purgeDeletes")
     val victims = snap.files.filter(f => f.dv.exists(
       d => d.nDeleted.toDouble / f.rows >= minDeletedFraction))
     if (victims.isEmpty)
@@ -2263,6 +2350,7 @@ object Layout {
     require(dvShards >= 1, "updateWhereDv: dvShards must be >= 1")
     val snap = latestSnapshot(spark, path).getOrElse(throw new IllegalStateException(
       s"updateWhereDv: no committed table under $path"))
+    assertWritable(snap, "updateWhereDv")
     val affected = snap.files.filter { f =>
       scanRanges.forall { case (c, lo, hi) =>
         val (mn, mx) = if (c == snap.keyName) (f.minKey, f.maxKey)
@@ -2302,94 +2390,72 @@ object Layout {
           .withColumnRenamed("pos", "_graft_dv_pos")),
         Seq("_graft_dv_file", "_graft_dv_pos"), "left_anti")
     }
+    // persisted: the anti-join + predicate scan over the affected
+    // files' bytes is the dominant cost, and FOUR consumers read this
+    // (∝ updated rows) frame — the count, the position projection, the
+    // new-image staging, and through it the constraint check
     val matched = live.filter(coalesce(predicate, lit(false)))
-    val nUpdated = matched.count()
-    if (nUpdated == 0L)
-      return DvUpdateStats(snap.files.size.toLong, 0L, 0L, 0L, snap.version)
-    // old images -> merged positions (fold with existing refs, exactly
-    // deleteWhereDv's discipline)
-    val newPos = matched.select(col("_graft_dv_file").as("file"),
-      col("_graft_dv_pos").as("pos"))
-    val merged = (existingPositions() match {
-      case None      => newPos
-      case Some(old) => newPos.unionByName(old)
-    }).distinct()
-    val counts = merged.groupBy(col("file"))
-      .agg(count(lit(1)).as("n")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val byRows = affected.map(f => f.name -> f.rows).toMap
-    val dropped = counts.collect {
-      case (n, c) if c == byRows(n) => n
-    }.toSet
-    // new images: SET applied, types preserved, original column order
-    val setMap = set.toMap
-    val fieldTypes = raw0.schema.fields.map(f => f.name -> f.dataType).toMap
-    val updated = matched.select(dataCols.map { c =>
-      setMap.get(c) match {
-        case Some(e) => e.cast(fieldTypes(c)).as(c)
-        case None    => col(c)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nUpdated = matched.count()
+      if (nUpdated == 0L)
+        return DvUpdateStats(snap.files.size.toLong, 0L, 0L, 0L, snap.version)
+      // old images -> merged positions (fold with existing refs, exactly
+      // deleteWhereDv's discipline)
+      val newPos = matched.select(col("_graft_dv_file").as("file"),
+        col("_graft_dv_pos").as("pos"))
+      val merged = (existingPositions() match {
+        case None      => newPos
+        case Some(old) => newPos.unionByName(old)
+      }).distinct()
+      val counts = merged.groupBy(col("file"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val byRows = affected.map(f => f.name -> f.rows).toMap
+      val dropped = counts.collect {
+        case (n, c) if c == byRows(n) => n
+      }.toSet
+      // new images: SET applied, types preserved, original column order
+      val setMap = set.toMap
+      val fieldTypes = raw0.schema.fields.map(f => f.name -> f.dataType).toMap
+      val updated = matched.select(dataCols.map { c =>
+        setMap.get(c) match {
+          case Some(e) => e.cast(fieldTypes(c)).as(c)
+          case None    => col(c)
+        }
+      }: _*)
+      snap.schemaHash.foreach { expect =>
+        val got = schemaHashOf(updated.schema)
+        require(got == expect,
+          s"updateWhereDv: updated-image schema (hash $got) does not match the " +
+          s"table's recorded schema (hash $expect) under $path")
       }
-    }: _*)
-    snap.schemaHash.foreach { expect =>
-      val got = schemaHashOf(updated.schema)
-      require(got == expect,
-        s"updateWhereDv: updated-image schema (hash $got) does not match the " +
-        s"table's recorded schema (hash $expect) under $path")
-    }
-    // the new images must satisfy the CHECK constraints before staging
-    verifyConstraints(updated, snap.constraints, "updateWhereDv")
-    val fs = fsOf(spark, path)
-    // stage the NEW generation first, then the sidecar; a crash at any
-    // point before commit leaves only vacuum-able orphans
-    val moved = stageAndMoveIn(updated, path, "update",
-      snap.keyName, if (nFiles > 0) nFiles else math.max(1, affected.size / 4))
-    val movedEntries = snapshotEntries(spark, path, snap.keyName, moved, snap.statsCols)
-    require(movedEntries.map(_.rows).sum == nUpdated,
-      "updateWhereDv: appended image count diverged from the matched count; " +
-      "nothing committed, staged files are vacuum-able orphans")
-    val keepPos = if (dropped.isEmpty) merged
-      else merged.filter(!col("file").isin(dropped.toSeq: _*))
-    val refOf: Map[String, DvRef] =
-      if (counts.keySet.forall(dropped.contains)) Map.empty
-      else {
-        val token = java.util.UUID.randomUUID().toString.take(8)
-        val tmp = new org.apache.hadoop.fs.Path(s"$path/.dvdelete-$token")
-        keepPos.repartition(dvShards, col("file"))
-          .write.mode("overwrite").parquet(tmp.toString)
-        val staged = fs.listStatus(tmp)
-          .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-        val movedDv = staged.zipWithIndex.map { case (st, i) =>
-          val target = new org.apache.hadoop.fs.Path(
-            s"$path/dv-$token-$i${suffixOf(st.getPath.getName)}")
-          if (!fs.rename(st.getPath, target))
-            throw new java.io.IOException(
-              s"updatedv rename ${st.getPath} -> $target failed")
-          target.getName
-        }.toIndexedSeq
-        fs.delete(tmp, true)
-        spark.read.parquet(movedDv.map(n => s"$path/$n"): _*)
-          .withColumn("dvfile", input_file_name())
-          .groupBy(col("file"))
-          .agg(min(col("dvfile")).as("dvfile"), count(lit(1)).as("n"))
-          .collect()
-          .map { r =>
-            val dvName = new org.apache.hadoop.fs.Path(r.getString(1)).getName
-            r.getString(0) -> DvRef(dvName, r.getLong(2))
-          }.toMap
+      // the new images must satisfy the CHECK constraints before staging
+      verifyConstraints(updated, snap.constraints, "updateWhereDv")
+      // stage the NEW generation first, then the sidecar; a crash at any
+      // point before commit leaves only vacuum-able orphans
+      val moved = stageAndMoveIn(updated, path, "update",
+        snap.keyName, if (nFiles > 0) nFiles else math.max(1, affected.size / 4))
+      val movedEntries = snapshotEntries(spark, path, snap.keyName, moved, snap.statsCols)
+      require(movedEntries.map(_.rows).sum == nUpdated,
+        "updateWhereDv: appended image count diverged from the matched count; " +
+        "nothing committed, staged files are vacuum-able orphans")
+      val refOf = stageDvSidecar(spark, path, merged, counts, dropped,
+        dvShards, "updatedv")
+      val survivors = snap.files.filterNot(f => dropped.contains(f.name)).map { f =>
+        refOf.get(f.name) match {
+          case Some(ref) => f.copy(dv = Some(ref))
+          case None      => f
+        }
       }
-    val survivors = snap.files.filterNot(f => dropped.contains(f.name)).map { f =>
-      refOf.get(f.name) match {
-        case Some(ref) => f.copy(dv = Some(ref))
-        case None      => f
-      }
-    }
-    val next = TableSnapshot(snap.version + 1, snap.keyName,
-      survivors ++ movedEntries, snap.schemaHash, snap.txns,
-      op = "updatedv", statsCols = snap.statsCols, schema = snap.schema,
-      droppedCols = snap.droppedCols, constraints = snap.constraints)
-    commitSnapshot(spark, path, next)
-    DvUpdateStats(snap.files.size.toLong, refOf.size.toLong,
-      dropped.size.toLong, nUpdated, next.version)
+      val next = TableSnapshot(snap.version + 1, snap.keyName,
+        survivors ++ movedEntries, snap.schemaHash, snap.txns,
+        op = "updatedv", statsCols = snap.statsCols, schema = snap.schema,
+        droppedCols = snap.droppedCols, constraints = snap.constraints)
+      commitSnapshot(spark, path, next)
+      DvUpdateStats(snap.files.size.toLong, refOf.size.toLong,
+        dropped.size.toLong, nUpdated, next.version)
+    } finally { matched.unpersist(false): Unit }
   }
 
   /** What [[updateWhere]] did — same accounting as [[DeleteStats]]. */
@@ -2426,6 +2492,7 @@ object Layout {
     require(set.nonEmpty, "updateWhere: empty SET list")
     val snap = latestSnapshot(spark, path).getOrElse(throw new IllegalStateException(
       s"updateWhere: no committed table under $path"))
+    assertWritable(snap, "updateWhere")
     val affected = snap.files.filter { f =>
       scanRanges.forall { case (c, lo, hi) =>
         val (mn, mx) = if (c == snap.keyName) (f.minKey, f.maxKey)
@@ -2519,6 +2586,7 @@ object Layout {
     require(payloadCols.nonEmpty)
     val snap = latestSnapshot(spark, path).getOrElse(throw new IllegalStateException(
       s"upsertCommitted: no committed table under $path"))
+    assertWritable(snap, "upsertCommitted")
     txn.foreach { case (app, id) =>
       if (snap.txns.get(app).exists(_ >= id))
         return UpsertStats(snap.files.size.toLong, 0L,
@@ -2744,6 +2812,7 @@ object Layout {
       .sortWithinPartitions(keyName)
     prev match {
       case Some(p) =>
+        assertWritable(p, "writeClustered")
         // full rewrite of a committed table: new generation, old history
         // intact; the txn high-water marks survive (Delta semantics — a
         // rewrite changes content, not the ingest dedup state). The new

@@ -1963,9 +1963,109 @@ class LayoutSpec extends AnyFunSuite {
       Seq("x_nonneg" -> "x >= 0"))
     intercept[IllegalArgumentException](
       Layout.appendClustered(bad, repl, pmod(col("x"), lit(64L)), nFiles = 1))
-    // restore to the pre-constraint version rolls the list back too
+    // a replica bootstrapped AFTER the source was constrained mirrors
+    // the list at bootstrap (the catch-up loop starts past the commit
+    // that added it)
+    val repl2 = java.nio.file.Files.createTempDirectory("graft_chk_repl2").toString
+    Layout.replicateCommitted(spark, src, repl2, "id")
+    assert(Layout.latestSnapshot(spark, repl2).get.constraints ==
+      Seq("x_nonneg" -> "x >= 0"))
+    // restore to the pre-constraint version rolls the list back too —
+    // and a replica following the restore RESYNCS (a stale stricter
+    // list would wedge it on the source's next legitimate append)
     val r = Layout.restoreVersion(spark, src, v1)
     assert(r.constraints.isEmpty)
+    Layout.replicateCommitted(spark, src, repl2, "id")
+    assert(Layout.latestSnapshot(spark, repl2).get.constraints.isEmpty)
+    Layout.appendClustered(bad, src, pmod(col("x"), lit(64L)), nFiles = 1): Unit
+    Layout.replicateCommitted(spark, src, repl2, "id")
+    assert(Layout.readCommitted(spark, repl2).count() ==
+      Layout.readCommitted(spark, src).count())
+  }
+
+  test("deleteWhereDv resolves predicate columns named 'pos'/'file' to DATA, not metadata") {
+    // SAM tables carry a core 'pos' column — a predicate on it must
+    // never silently bind to the parquet row index
+    val base = spark.range(2000).select(
+      col("id"), (col("id") % 100).as("pos"),
+      concat(lit("f"), col("id") % 7).as("file"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_dv_collide").toString
+    Layout.writeClustered(base, dir, pmod(col("id"), lit(16L)), nFiles = 4)
+    val s = Layout.deleteWhereDv(spark, dir, col("pos") < 10)
+    assert(s.nRowsDeleted == base.filter(col("pos") < 10).count())
+    val got = Layout.readCommitted(spark, dir)
+    assert(got.filter(col("pos") < 10).isEmpty)
+    assert(got.count() == base.filter(col("pos") >= 10).count())
+    // and the string 'file' column survives untouched as data
+    val s2 = Layout.deleteWhereDv(spark, dir, col("file") === "f3")
+    assert(s2.nRowsDeleted ==
+      base.filter(col("pos") >= 10 && col("file") === "f3").count())
+  }
+
+  test("CDF and replication cross a RESTORE over DV commits (position-diff legs)") {
+    val base = spark.range(20000).select(
+      col("id"),
+      ((col("id") * 7919L) % 1000).as("x"),
+      ((col("id") * 104729L) % 997).as("y"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_dv_restcdf").toString
+    Layout.writeClustered(base, dir, pmod(col("x"), lit(64L)), nFiles = 8,
+      statsCols = Seq("x", "id"))
+    val v1 = Layout.latestSnapshot(spark, dir).get.version
+    val sliceA = base.filter(col("x") < 100)
+    val sDel = Layout.deleteWhereDv(spark, dir, col("x") < 100, Seq(("x", 0L, 99L)))
+    // bootstrap a replica AFTER the delete (it holds the post-delete view)
+    val repl = java.nio.file.Files.createTempDirectory("graft_dv_restrepl").toString
+    Layout.replicateCommitted(spark, dir, repl, "id")
+    // restore to the pre-delete version: same file NAMES, refs cleared —
+    // the name diff is empty, so only the position-diff legs can carry
+    // the resurrection
+    val sRest = Layout.restoreVersion(spark, dir, v1)
+    val cdf = Layout.tableChangesCdf(spark, dir, sDel.version, sRest.version)
+    assert(cdf.filter(col("_change_type") === "delete").isEmpty)
+    assert(cdf.filter(col("_change_type") === "insert")
+      .select("id").as[Long].collect().sorted.toSeq ==
+      sliceA.select("id").as[Long].collect().sorted.toSeq,
+      "restore across deletedv must resurrect exactly the deleted rows")
+    // the replica follows the rollback through the same legs
+    Layout.replicateCommitted(spark, dir, repl, "id")
+    assert(Layout.readCommitted(spark, repl).count() == 20000L)
+    // and the reverse direction: restoring BACK to the post-delete
+    // version re-deletes through the cur-minus-prev leg
+    val sBack = Layout.restoreVersion(spark, dir, sDel.version)
+    val cdf2 = Layout.tableChangesCdf(spark, dir, sRest.version, sBack.version)
+    assert(cdf2.filter(col("_change_type") === "insert").isEmpty)
+    assert(cdf2.filter(col("_change_type") === "delete").count() == sliceA.count())
+    Layout.replicateCommitted(spark, dir, repl, "id")
+    assert(Layout.readCommitted(spark, repl).count() == 20000L - sliceA.count())
+  }
+
+  test("minwriter: reading a newer-writer table stays legal, mutating refuses") {
+    val (dir, _) = dvTable("graft_dv_wrt")
+    val n = Layout.readCommitted(spark, dir).count()
+    val mdir = new java.io.File(dir, "_manifests")
+    val v99 = new java.io.File(mdir, "v0000000099.txt")
+    val cur = mdir.listFiles().filter(_.getName.endsWith(".txt")).maxBy(_.getName)
+    val body = scala.io.Source.fromFile(cur, "UTF-8").mkString
+    val w = new java.io.PrintWriter(v99, "UTF-8")
+    // same content, stamped as requiring a FUTURE writer level
+    body.split("\n").foreach { l =>
+      w.println(l)
+      if (l.startsWith("key=")) w.println("minwriter=99")
+    }
+    w.close()
+    assert(Layout.readCommitted(spark, dir).count() == n,
+      "minwriter must not gate reads")
+    val ex = intercept[IllegalArgumentException](
+      Layout.appendClustered(
+        spark.range(5).select(col("id"),
+          lit(1L).as("x"), lit(1L).as("y")),
+        dir, pmod(col("id"), lit(4L)), nFiles = 1))
+    assert(ex.getMessage.contains("writer version 99"))
+    intercept[IllegalArgumentException](
+      Layout.deleteWhereDv(spark, dir, lit(false)))
+    intercept[IllegalArgumentException](
+      Layout.addCheckConstraint(spark, dir, "c1", "x >= 0"))
+    v99.delete(): Unit
   }
 
   test("minreader: a snapshot stamped above this reader's level refuses to parse") {
