@@ -696,22 +696,45 @@ object LanguageModel {
         if (i < 1) null else toks(i - 1),
         toks(i)))
     })
-    val base = train.select(explode(quadUdf(col(textCol))).as("p"))
-      .select(col("p._2").as("w1"), col("p._3").as("w2"),
-        col("p._4").as("w3"), col("p._5").as("w4"))
-      .localCheckpoint()
+    // ONE tokenize+explode pass in the self-scoring shape (train eq
+    // docs — the q_fourgram_kn_dist gate): the doc-side frame is
+    // materialized once and every training aggregate derives from it
+    // instead of re-running the tokenizer UDF over the corpus twice
+    val docPos = {
+      val p0 = docs
+        .select(col(idCol), explode(quadUdf(col(textCol))).as("p"))
+        .select(col(idCol), col("p._1").as("pos"),
+          col("p._2").as("w1"), col("p._3").as("w2"),
+          col("p._4").as("w3"), col("p._5").as("w4"))
+      if (train eq docs) p0.localCheckpoint() else p0
+    }
+    val base =
+      // toDF re-aliases with fresh expression ids so the type tables'
+      // grouping keys never collide with docPos's own w1..w4 in the
+      // scorer's self-join
+      if (train eq docs)
+        docPos.select(col("w1"), col("w2"), col("w3"), col("w4"))
+          .toDF("w1", "w2", "w3", "w4")
+      else train.select(explode(quadUdf(col(textCol))).as("p"))
+        .select(col("p._2").as("w1"), col("p._3").as("w2"),
+          col("p._4").as("w3"), col("p._5").as("w4"))
+        .localCheckpoint()
     // level-1/2 statistics from bigram/trigram TYPE tables
     val bic = base.filter(col("w3").isNotNull)
       .groupBy(col("w3"), col("w4")).agg(count(lit(1)).as("bc"))
       .localCheckpoint()
-    val bt = bic.agg(count(lit(1))).head().getLong(0)
-    val vsz = base.agg(countDistinct(col("w4"))).head().getLong(0)
+    // both Pc scalars in ONE 1-row-aggregate job (were two actions)
+    val scal = bic.agg(count(lit(1)).as("bt"))
+      .crossJoin(base.agg(countDistinct(col("w4")).as("vsz"))).head()
+    val bt = scal.getLong(0)
+    val vsz = scal.getLong(1)
     val pcDen = bt + 0.5 * (vsz + 1.0)
     val lt = bic.groupBy(col("w4")).agg(count(lit(1)).as("ltc"))
       .withColumnRenamed("w4", "lw")
+    // tic3 feeds exactly ONE consumer (cb2) — no checkpoint: the two
+    // chained aggregates pipeline in a single job, nothing recomputes
     val tic3 = base.filter(col("w2").isNotNull)
       .groupBy(col("w2"), col("w3"), col("w4")).agg(count(lit(1)).as("t3"))
-      .localCheckpoint()
     val cb2 = tic3.groupBy(col("w3"), col("w4")).agg(count(lit(1)).as("cbc"))
       .withColumnRenamed("w3", "b3").withColumnRenamed("w4", "b4")
       .localCheckpoint()
@@ -734,12 +757,6 @@ object LanguageModel {
     val cm3 = cb3.groupBy(col("e2"), col("e3"))
       .agg(sum(col("c3c")).as("cm3c"), count(lit(1)).as("ct3"))
       .withColumnRenamed("e2", "f2").withColumnRenamed("e3", "f3")
-
-    val docPos = docs
-      .select(col(idCol), explode(quadUdf(col(textCol))).as("p"))
-      .select(col(idCol), col("p._1").as("pos"),
-        col("p._2").as("w1"), col("p._3").as("w2"),
-        col("p._4").as("w3"), col("p._5").as("w4"))
 
     // 10 counts + pos exceeds the typed-udf arity cap, so the counts
     // travel as ONE array column (order documented inline below)
@@ -1003,27 +1020,50 @@ object LanguageModel {
       textCol: String,
       train: DataFrame,
       discount: Double = 0.75): DataFrame = {
-    val base = train.select(explode(quintUdf(col(textCol))).as("p"))
-      .select(col("p._2").as("w1"), col("p._3").as("w2"),
-        col("p._4").as("w3"), col("p._5").as("w4"), col("p._6").as("w5"))
-      .localCheckpoint()
+    // ONE tokenize+explode pass in the self-scoring shape (train eq
+    // docs — the q_fivegram_kn_dist gate): the scored position frame is
+    // materialized once and doubles as the training base, instead of
+    // re-running the tokenizer UDF over the corpus a second time
+    val docPos = {
+      val p0 = docs
+        .select(col(idCol), explode(quintUdf(col(textCol))).as("p"))
+        .select(col(idCol), col("p._1").as("pos"),
+          col("p._2").as("w1"), col("p._3").as("w2"),
+          col("p._4").as("w3"), col("p._5").as("w4"), col("p._6").as("w5"))
+      if (train eq docs) p0.localCheckpoint() else p0
+    }
+    val base =
+      // toDF re-aliases with fresh expression ids so the type tables'
+      // grouping keys never collide with docPos's own w1..w5 in the
+      // scorer's self-join
+      if (train eq docs)
+        docPos.select(col("w1"), col("w2"), col("w3"), col("w4"), col("w5"))
+          .toDF("w1", "w2", "w3", "w4", "w5")
+      else train.select(explode(quintUdf(col(textCol))).as("p"))
+        .select(col("p._2").as("w1"), col("p._3").as("w2"),
+          col("p._4").as("w3"), col("p._5").as("w4"), col("p._6").as("w5"))
+        .localCheckpoint()
     // the four n-gram TYPE tables + the two Pc scalars — everything the
-    // scorer needs (and everything [[saveFivegramTables]] persists)
+    // scorer needs (and everything [[saveFivegramTables]] persists).
+    // tic3/tic4 feed exactly ONE consumer each (cb2/cb3 inside the
+    // scoring core) — no checkpoint: the chained aggregates pipeline.
     val bic = base.filter(col("w4").isNotNull)
       .groupBy(col("w4"), col("w5")).agg(count(lit(1)).as("bc"))
       .localCheckpoint()
-    val bt = bic.agg(count(lit(1))).head().getLong(0)
-    val vsz = base.agg(countDistinct(col("w5"))).head().getLong(0)
+    // both Pc scalars in ONE 1-row-aggregate job (were two actions)
+    val scal = bic.agg(count(lit(1)).as("bt"))
+      .crossJoin(base.agg(countDistinct(col("w5")).as("vsz"))).head()
+    val bt = scal.getLong(0)
+    val vsz = scal.getLong(1)
     val tic3 = base.filter(col("w3").isNotNull)
       .groupBy(col("w3"), col("w4"), col("w5")).agg(count(lit(1)).as("t3"))
-      .localCheckpoint()
     val tic4 = base.filter(col("w2").isNotNull)
       .groupBy(col("w2"), col("w3"), col("w4"), col("w5"))
-      .agg(count(lit(1)).as("t4")).localCheckpoint()
+      .agg(count(lit(1)).as("t4"))
     val tic5 = base.filter(col("w1").isNotNull)
       .groupBy(col("w1"), col("w2"), col("w3"), col("w4"), col("w5"))
       .agg(count(lit(1)).as("qc")).localCheckpoint()
-    scoreFivegramFromTypeTables(docs, idCol, textCol,
+    scoreFivegramFromPositions(docPos, idCol,
       bic, tic3, tic4, tic5, bt, vsz, discount)
   }
 
@@ -1044,6 +1084,20 @@ object LanguageModel {
     */
   private def scoreFivegramFromTypeTables(
       docs: DataFrame, idCol: String, textCol: String,
+      bic: DataFrame, tic3: DataFrame, tic4: DataFrame, tic5: DataFrame,
+      bt: Long, vsz: Long, discount: Double): DataFrame =
+    scoreFivegramFromPositions(
+      docs.select(col(idCol), explode(quintUdf(col(textCol))).as("p"))
+        .select(col(idCol), col("p._1").as("pos"),
+          col("p._2").as("w1"), col("p._3").as("w2"),
+          col("p._4").as("w3"), col("p._5").as("w4"), col("p._6").as("w5")),
+      idCol, bic, tic3, tic4, tic5, bt, vsz, discount)
+
+  /** The scoring core over a pre-exploded (id, pos, w1..w5) frame — lets
+    * the self-scoring joined path reuse its one materialized explode.
+    */
+  private def scoreFivegramFromPositions(
+      docPos: DataFrame, idCol: String,
       bic: DataFrame, tic3: DataFrame, tic4: DataFrame, tic5: DataFrame,
       bt: Long, vsz: Long, discount: Double): DataFrame = {
     val d = discount
@@ -1077,12 +1131,6 @@ object LanguageModel {
       .agg(sum(col("c4c")).as("cm4c"), count(lit(1)).as("ct4"))
       .withColumnRenamed("g2", "h2").withColumnRenamed("g3", "h3")
       .withColumnRenamed("g4", "h4")
-
-    val docPos = docs
-      .select(col(idCol), explode(quintUdf(col(textCol))).as("p"))
-      .select(col(idCol), col("p._1").as("pos"),
-        col("p._2").as("w1"), col("p._3").as("w2"),
-        col("p._4").as("w3"), col("p._5").as("w4"), col("p._6").as("w5"))
 
     // 13 counts + pos: the counts travel as ONE array column
     // (order: qc, cc, nt, c4c, cm4c, ct4, c3c, cm3c, ct3, cbc, cmc, ctp, ltc)
@@ -1241,23 +1289,46 @@ object LanguageModel {
         if (i < 1) null else toks(i - 1),
         toks(i)))
     })
-    val trainPairs = train
-      .select(explode(tripleUdf(col(textCol))).as("p"))
-      .select(col("p._3").as("w2"), col("p._4").as("w3"))
+    // ONE tokenize+explode pass for the whole query in the self-scoring
+    // shape (train eq docs — every q_*_kn_dist gate): the doc-side frame
+    // is materialized once and every training aggregate derives from it.
+    // The round-14 shape re-ran the tokenizer UDF over the corpus FOUR
+    // times (pairs, vocab scalar, trigrams, doc positions); the counts
+    // are bit-identical — only the number of corpus passes changes.
+    val docPos = {
+      val p0 = docs
+        .select(col(idCol), explode(tripleUdf(col(textCol))).as("p"))
+        .select(col(idCol), col("p._1").as("pos"),
+          col("p._2").as("w1"), col("p._3").as("w2"), col("p._4").as("w3"))
+      if (train eq docs) p0.localCheckpoint() else p0
+    }
+    // distinct-train path: still ONE explode, materialized once.
+    // toDF in the shared branch re-aliases with fresh expression ids so
+    // the n-gram tables' grouping keys never collide with docPos's own
+    // w1..w3 in the scorer's self-join
+    val trainTok =
+      if (train eq docs)
+        docPos.select(col("w1"), col("w2"), col("w3"))
+          .toDF("w1", "w2", "w3")
+      else train.select(explode(tripleUdf(col(textCol))).as("p"))
+        .select(col("p._2").as("w1"), col("p._3").as("w2"),
+          col("p._4").as("w3"))
+        .localCheckpoint()
+    val trainPairs = trainTok.select(col("w2"), col("w3"))
       .filter(col("w2").isNotNull)
     val bic = trainPairs.groupBy(col("w2"), col("w3"))
       .agg(count(lit(1)).as("bc")).localCheckpoint()
-    // the two scalars of the Pc floor — 1-row aggregates, not tables
-    val bt = bic.agg(count(lit(1))).head().getLong(0)
-    val vsz = train.select(explode(tripleUdf(col(textCol))).as("p"))
-      .select(col("p._4").as("w")).agg(countDistinct(col("w"))).head().getLong(0)
+    // the two scalars of the Pc floor — ONE 1-row-aggregate job (they
+    // were two separate driver actions)
+    val scal = bic.agg(count(lit(1)).as("bt"))
+      .crossJoin(trainTok.agg(countDistinct(col("w3")).as("vsz"))).head()
+    val bt = scal.getLong(0)
+    val vsz = scal.getLong(1)
     val pcDen = bt + 0.5 * (vsz + 1.0)
     val lt = bic.groupBy(col("w3")).agg(count(lit(1)).as("ltc"))
       .withColumnRenamed("w3", "lw")
 
-    val trainTris = train
-      .select(explode(tripleUdf(col(textCol))).as("p"))
-      .select(col("p._2").as("w1"), col("p._3").as("w2"), col("p._4").as("w3"))
+    val trainTris = trainTok.select(col("w1"), col("w2"), col("w3"))
       .filter(col("w1").isNotNull)
     val tic = trainTris.groupBy(col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("tc")).localCheckpoint()
@@ -1271,11 +1342,6 @@ object LanguageModel {
     val cm = cb.groupBy(col("b2"))
       .agg(sum(col("cbc")).as("cmc"), count(lit(1)).as("ctp"))
       .withColumnRenamed("b2", "m2")
-
-    val docPos = docs
-      .select(col(idCol), explode(tripleUdf(col(textCol))).as("p"))
-      .select(col(idCol), col("p._1").as("pos"),
-        col("p._2").as("w1"), col("p._3").as("w2"), col("p._4").as("w3"))
 
     // every branch goes through the ONE kernel so association order and
     // quantization are shared with the broadcast scorer literally
@@ -1330,8 +1396,32 @@ object LanguageModel {
       idCol: String,
       textCol: String,
       train: DataFrame): DataFrame = {
-    val uni = Vocabulary.docTermFrequencies(train, idCol, textCol)
-      .groupBy(col("token")).agg(sum(col("tf")).as("uc"))
+    // one row per token: (pos, prev-token-or-null, token)
+    val pairUdf = udf((text: String) => {
+      val toks = HashKernels.tokensOf(text)
+      Array.tabulate(toks.length)(i =>
+        (i, if (i == 0) null else toks(i - 1), toks(i)))
+    })
+    // ONE tokenize+explode pass in the self-scoring shape (train eq
+    // docs — the q_bigram_score_dist gate): the doc-side frame is
+    // materialized once and the unigram/bigram training aggregates
+    // derive from it; the round-14 shape tokenized the corpus three
+    // times (docTermFrequencies, train pairs, doc pairs)
+    val docPairs = {
+      val p0 = docs
+        .select(col(idCol), explode(pairUdf(col(textCol))).as("p"))
+        .select(col(idCol), col("p._1").as("pos"),
+          col("p._2").as("prev"), col("p._3").as("cur"))
+      if (train eq docs) p0.localCheckpoint() else p0
+    }
+    // unigram count per token == occurrence count over all positions
+    // (docTermFrequencies' per-doc tf values sum to exactly this)
+    val uni =
+      if (train eq docs)
+        docPairs.groupBy(col("cur")).agg(count(lit(1)).as("uc"))
+          .withColumnRenamed("cur", "token")
+      else Vocabulary.docTermFrequencies(train, idCol, textCol)
+        .groupBy(col("token")).agg(sum(col("tf")).as("uc"))
     val head = uni.agg(sum(col("uc")), count(lit(1))).head()
     val total = head.getLong(0)
     val vsz = head.getLong(1)
@@ -1339,24 +1429,16 @@ object LanguageModel {
     val uniDenom = (total + vsz).toDouble
     val vszD = vsz.toDouble
 
-    // one row per token: (pos, prev-token-or-null, token)
-    val pairUdf = udf((text: String) => {
-      val toks = HashKernels.tokensOf(text)
-      Array.tabulate(toks.length)(i =>
-        (i, if (i == 0) null else toks(i - 1), toks(i)))
-    })
-    val trainPairs = train
-      .select(explode(pairUdf(col(textCol))).as("p"))
-      .select(col("p._2").as("w1"), col("p._3").as("w2"))
+    val trainPairs =
+      (if (train eq docs)
+        docPairs.select(col("prev").as("w1"), col("cur").as("w2"))
+      else train
+        .select(explode(pairUdf(col(textCol))).as("p"))
+        .select(col("p._2").as("w1"), col("p._3").as("w2")))
       .filter(col("w1").isNotNull)
     val bigrams = trainPairs.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("bc"))
     val prefixes = bigrams.groupBy(col("w1")).agg(sum(col("bc")).as("pc"))
-
-    val docPairs = docs
-      .select(col(idCol), explode(pairUdf(col(textCol))).as("p"))
-      .select(col(idCol), col("p._1").as("pos"),
-        col("p._2").as("prev"), col("p._3").as("cur"))
 
     // first-token rows: one per doc, unigram-smoothed
     val firstUdf = udf((uc: Long) =>

@@ -281,8 +281,13 @@ object Links {
     // (whose r2 CTE is exactly the materialized round-k seed), and any
     // warm-start drift hash-breaks every row.
     "q_pagerank_warm" -> ((s, dir) => {
-      val roundK = LinkGraph.pageRank(edgesDf(s, dir), iters = 2)
-      LinkGraph.pageRank(edgesDf(s, dir), iters = 3, init = Some(roundK))
+      // ONE materialized edge derivation feeds both legs — the cold
+      // seed and the warm run used to each re-run the full extraction
+      // (scan → HTML build → href regex → RFC resolution → domain
+      // aggregate), the single most expensive subtree in the query
+      val e = edgesDf(s, dir).localCheckpoint()
+      val roundK = LinkGraph.pageRank(e, iters = 2)
+      LinkGraph.pageRank(e, iters = 3, init = Some(roundK))
         .orderBy(col("node"))
     }),
 
@@ -468,9 +473,11 @@ object Links {
     // oracle is the SAME unrolled 5-round chain as q_hits and any
     // warm-start drift hash-breaks every row.
     "q_hits_warm" -> ((s, dir) => {
-      val roundK = LinkGraph.hits(edgesDf(s, dir), iters = 2)
+      // shared edge materialization, same rationale as q_pagerank_warm
+      val e = edgesDf(s, dir).localCheckpoint()
+      val roundK = LinkGraph.hits(e, iters = 2)
         .select(col("node"), col("hub"))
-      LinkGraph.hits(edgesDf(s, dir), iters = 3, init = Some(roundK))
+      LinkGraph.hits(e, iters = 3, init = Some(roundK))
         .orderBy(col("node"))
     }),
 
