@@ -47,15 +47,22 @@ object Links {
     * from a 1-row broadcast (max(doc_id)+1), never a literal, so the
     * derivation is scale-factor-agnostic.
     */
-  private def linkedPages(s: SparkSession, dir: String): DataFrame = {
+  private def linkedPages(s: SparkSession, dir: String): DataFrame =
+    linkedPagesFrom(Web.normalized(s, dir)
+      .select(col("doc_id"), col("url"), col("url_norm"), col("domain"),
+        col("source"))
+      .localCheckpoint())
+
+  /** [[linkedPages]] over a caller-materialized normalized base — lets a
+    * query that needs the normalized frame for its own joins (the
+    * frontier) share ONE scan+normalization pass with the edge
+    * derivation instead of re-running it.
+    */
+  private def linkedPagesFrom(base: DataFrame): DataFrame = {
     // ONE materialized derivation feeds the page side and both
     // neighbor-join sides — three separate normalized() calls would
     // re-run the scan + URL normalization per side (self-join branches
     // share no map subtrees in Spark)
-    val base = Web.normalized(s, dir)
-      .select(col("doc_id"), col("url"), col("url_norm"), col("domain"),
-        col("source"))
-      .localCheckpoint()
     val n = base.select(col("doc_id"), col("url"), col("url_norm"),
       col("domain"))
     val nd = n.agg((max(col("doc_id")) + 1).as("nd"))
@@ -86,7 +93,13 @@ object Links {
     * registrable domain → one (src, dst)-keyed count aggregate.
     */
   private def edgesDf(s: SparkSession, dir: String): DataFrame =
-    linkedPages(s, dir)
+    edgesFrom(linkedPages(s, dir))
+
+  /** Edge aggregate over an already-derived page frame (see
+    * [[linkedPagesFrom]]).
+    */
+  private def edgesFrom(pages: DataFrame): DataFrame =
+    pages
       .select(col("domain").as("src"), col("url"),
         explode(LinkGraph.outlinkHrefs(col("html"))).as("href"))
       .select(col("src"), UrlOps.registrableDomain(
@@ -326,7 +339,13 @@ object Links {
     // by; PageRank is the bounded iteration; everything else is
     // map-only.
     "q_crawl_frontier" -> ((s, dir) => {
+      // ONE scan+normalization pass feeds the candidate side AND the
+      // PageRank edge derivation (they each re-ran Web.normalized —
+      // a second full corpus map pass — before round 15)
       val n = Web.normalized(s, dir)
+        .select(col("doc_id"), col("url"), col("url_norm"), col("domain"),
+          col("source"))
+        .localCheckpoint()
       val surv = n.groupBy(col("url_norm")).agg(min(col("doc_id")).as("doc_id"))
       val robots = when(length(col("domain")) % 2 === 0,
           lit("User-agent: *\nDisallow: /fr\nAllow: /fr/Doc-1\nCrawl-delay: 2\n"))
@@ -341,7 +360,7 @@ object Links {
       val sched = ok.withColumn("rn", row_number().over(
         Window.partitionBy(col("domain"))
           .orderBy(md5(col("url_norm")), col("url_norm"))))
-      val ranks = LinkGraph.pageRank(edgesDf(s, dir), iters = 5)
+      val ranks = LinkGraph.pageRank(edgesFrom(linkedPagesFrom(n)), iters = 5)
         .withColumnRenamed("node", "domain")
       sched.groupBy(col("domain"))
         .agg(max(col("capacity")).as("capacity"),
