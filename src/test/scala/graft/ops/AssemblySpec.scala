@@ -270,6 +270,25 @@ class AssemblySpec extends AnyFunSuite {
     assert(broadcastScores.nonEmpty)
   }
 
+  test("joined scorers: shared-explode (train eq docs) == distinct-train path, bit for bit") {
+    // round-15 optimization pins: `train eq docs` takes the ONE-explode
+    // shared path; a same-data different-REFERENCE frame takes the
+    // distinct-train path — both must land on the identical bits for
+    // every refactored order (bigram / trigram / 4-gram / 5-gram)
+    val trainCopy = docs.select(docs.columns.map(col): _*)
+    assert(!(trainCopy eq docs))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+    assert(rows(LanguageModel.scoreBigramsJoined(docs, "doc_id", "text", docs))
+      == rows(LanguageModel.scoreBigramsJoined(docs, "doc_id", "text", trainCopy)))
+    assert(rows(LanguageModel.scoreTrigramKneserNeyJoined(docs, "doc_id", "text", docs))
+      == rows(LanguageModel.scoreTrigramKneserNeyJoined(docs, "doc_id", "text", trainCopy)))
+    assert(rows(LanguageModel.scoreFourgramKneserNeyJoined(docs, "doc_id", "text", docs))
+      == rows(LanguageModel.scoreFourgramKneserNeyJoined(docs, "doc_id", "text", trainCopy)))
+    assert(rows(LanguageModel.scoreFivegramKneserNeyJoined(docs, "doc_id", "text", docs))
+      == rows(LanguageModel.scoreFivegramKneserNeyJoined(docs, "doc_id", "text", trainCopy)))
+  }
+
   test("4-gram KN: continuation levels, backoff chain, dist == broadcast") {
     val m = LanguageModel.trainFourgramKneserNey(docs, "doc_id", "text")
     // 4-grams: the-cat-sat-on, cat-sat-on-the, sat-on-the-mat — all x1

@@ -230,6 +230,26 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(ppr == tr, s"ppr=$ppr tr=$tr")
   }
 
+  test("dangling-free graph: the carried has_out flag sums an exactly-zero dangling mass") {
+    // round-15 optimization pin: the per-round dangling mass is now a
+    // filter over a flag carried on the rank vector (was an anti-join);
+    // on a graph with NO dangling nodes the filtered sum must be exactly
+    // 0 every round — a symmetric 3-cycle then keeps all ranks equal and
+    // conserves mass up to the documented floor-division leak
+    val scale = 1000000000000L
+    val edges = Seq(("A", "B", 1L), ("B", "C", 1L), ("C", "A", 1L))
+      .toDF("src", "dst", "w")
+    val r = LinkGraph.pageRank(edges, iters = 4)
+      .as[(String, Long)].collect().toMap
+    assert(r.size == 3)
+    assert(r.values.toSet.size == 1, s"symmetric cycle must stay uniform: $r")
+    val total = r.values.sum
+    // per-round leak bound is n + 1 units; 4 rounds x 4 on n = 3
+    assert(total <= scale && total >= scale - 16L, s"mass not conserved: $total")
+    // output schema is exactly (node, rank) — the internal flag never leaks
+    assert(LinkGraph.pageRank(edges, iters = 1).columns.toSeq == Seq("node", "rank"))
+  }
+
   test("warm-start: round-k output + j warm rounds == k+j cold rounds, bit for bit") {
     import spark.implicits._
     // a graph with a dangling sink (D) so the re-teleport leg is live
