@@ -172,15 +172,28 @@ object LanguageModel {
     val lf = train.select(explode(ladderUdf(col(textCol))).as("g"))
       .select((1 to maxOrder).map(n => col(s"g._$n").as(s"g$n")): _*)
       .localCheckpoint()
-    (1 to maxOrder).map { n =>
+    // the per-order aggregates are independent job chains over the one
+    // materialized ladder frame — submit them from parallel threads so
+    // the driver-collect wall-clock is the slowest order, not the sum
+    // (guide §2.6 overlap; same pattern as the dedup-quality verdicts).
+    // Model contents are collect-order-insensitive (maps + commutative
+    // sums), so the parallelism cannot move a gate hash.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = (1 to maxOrder).map { n =>
       val cap = capOf(n)
       require(cap > 0 && cap < Int.MaxValue,
         s"maxEntries must be in (0, Int.MaxValue), got $cap")
-      val agg0 = lf.filter(col(s"g$n").isNotNull)
-        .groupBy(col(s"g$n")).agg(count(lit(1)).as("c"))
-      val agg = if (n == 2) agg0.filter(col("c") >= minCountBi) else agg0
-      n -> agg.limit(cap.toInt + 1)
-        .collect().map(r => r.getString(0) -> r.getLong(1))
+      n -> Future {
+        val agg0 = lf.filter(col(s"g$n").isNotNull)
+          .groupBy(col(s"g$n")).agg(count(lit(1)).as("c"))
+        val agg = if (n == 2) agg0.filter(col("c") >= minCountBi) else agg0
+        agg.limit(cap.toInt + 1)
+          .collect().map(r => r.getString(0) -> r.getLong(1))
+      }
+    }
+    futures.map { case (n, f) =>
+      n -> Await.result(f, scala.concurrent.duration.Duration.Inf)
     }.toMap
   }
 
