@@ -168,12 +168,13 @@ object Bench {
     "q_lr_quality" -> ("flat curve, floors 3.4 vs 2.7 s in two fresh JVMs " +
       "(DriftProbe, round 11) — cross-JVM machine/session noise (~25%), " +
       "not JIT and not a plan change; band 2.5-3.7 s on identical code"),
-    "q_crawl_frontier" -> ("slow JIT descent: 28-53 s cold -> floors " +
-      "5.2-6.4 s still drifting at rep 6 in two fresh JVMs (DriftProbe, " +
-      "round 15, 6 reps each) — the 5-round PageRank lineage is the " +
-      "largest codegen unit in the suite; min-of-2 after warm-up lands " +
-      "anywhere in 5.2-8.5 s on identical code (the round-11 3.7-5.6 " +
-      "band predates the 2-pass harness's shallower JIT depth)"),
+    "q_crawl_frontier" -> ("RE-PINNED after the round-15 optimization " +
+      "(shared normalized base + PageRank loop hoists cut the floor): " +
+      "fresh-JVM floor 2.4-3.0 s in quiet windows (DriftProbe, round-15 " +
+      "opt, 6 reps, untouched control steady), reading up to ~1.7x " +
+      "higher in contended host windows; min-of-2 in the artifact lands " +
+      "2.9-3.6 s. The pre-optimization 5.2-8.5 s band is obsolete — a " +
+      "return there would be a real regression, not noise"),
     "q_approx_dedup_quality" -> ("band 8.5-11.5 s across two fresh JVMs " +
       "(DriftProbe, round 15, 5-6 reps: floors 8.7 and 10.4, cold 19-21) " +
       "after the round-15 single-job verdict rewrite cut the floor from " +
@@ -224,11 +225,13 @@ object Bench {
       "close, 5 reps) — warm-start HITS reads higher than q_hits " +
       "because the warm leg compiles a second full recurrence; swings " +
       "with the host window (sentinels moved 1.3-1.45x the same day)"),
-    "q_fivegram_kn" -> ("model_train 3.0-5.5 s + score (round-15 " +
-      "DriftProbe, sf0.1, two fresh JVMs x 6 reps): total floors 4.9 and " +
-      "5.7, min-of-2 after warm-up lands 4.9-6.1 s on identical code; " +
-      "first rep in a fresh JVM is 1.5-2x (JIT depth). Round-13's 4.5 s " +
-      "floor predates the 2-pass harness regime"))
+    "q_fivegram_kn" -> ("RE-PINNED after the round-15 optimization " +
+      "(parallel per-order ladder collects): model_train floor " +
+      "1.9-2.9 s, total floor 3.5-4.6 s (DriftProbe, round-15 opt, two " +
+      "windows x 4-5 reps; artifact min-of-2 4.5 s with " +
+      "model_train=2.70); first rep in a fresh JVM is 1.5-2x (JIT " +
+      "depth). The pre-optimization 4.9-6.1 s band is obsolete — a " +
+      "return there would be a real regression, not noise"))
 
   /** Markdown comparison of two Bench JSON lines (prev vs current), the
     * Scala twin of tools/bench_notes.py. Parsing is the inverse of this
