@@ -712,8 +712,12 @@ object Pipeline {
     // PlanSpec pins that no Exchange SinglePartition appears (the naive
     // global ordered window would plan one). Exact → oracle-backed.
     "q_pack_sequences" -> ((s, dir) => {
+      // the two-phase cumsum consumes this frame twice (range cumsum +
+      // join back) — pin the narrow (id, tokens) projection so the
+      // scan + tokenCount map pass runs once, not per consumer
       val toks = Tables(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .localCheckpoint()
       graft.ops.Packing.packBySize(toks, "doc_id", "n_tokens", capacity = 2048)
         .select(col("doc_id"), col("n_tokens"), col("cum_tokens"), col("bin"))
         .orderBy(col("doc_id"))
@@ -947,23 +951,35 @@ object Pipeline {
       }
       // the doc-side (slice → simhash signatures) and vector-side
       // (slice → exact cosine truth) materialization chains are
-      // independent — overlap them on two submitting threads
+      // independent — and so is every downstream truth chain (cosine
+      // pairs → exact components, media slice → perceptual/DCT
+      // signatures, cross-batch jaccard). Each eager chain submits
+      // from its own future so their jobs interleave on the executor
+      // pool (the round-15 build shape overlapped only the two slice
+      // chains and ran the five truth materializations serially on the
+      // submitting thread). Like the v_* verdicts, the truth_build
+      // sub-timing ATTRIBUTES — per-chain times sum across overlapped
+      // threads and may exceed the query wall-clock.
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
-      val docsF = Future {
+      import scala.concurrent.duration.Duration.{Inf => Forever}
+      // run-scope capture: pool threads may predate the bench's
+      // measured scope (see the verdict note below)
+      val runToken = graft.SubTimings.currentRun
+      def tb[T](body: => T): T = graft.SubTimings.withRun(runToken) {
+        graft.SubTimings.time("q_approx_dedup_quality", "truth_build")(body)
+      }
+      val docsF = Future { tb {
         val d = slice(Tables(s, dir, "documents"), "doc_id").localCheckpoint()
         val sg = d.select(col("doc_id").as("id"),
           graft.ops.HashKernels.simhashUdf(col("text")).as("sig")).localCheckpoint()
         (d, sg)
-      }
-      val embF = Future(slice(Tables(s, dir, "embeddings"), "vec_id").localCheckpoint())
-      val emb = graft.SubTimings.time("q_approx_dedup_quality", "truth_build") {
-        Await.result(embF, scala.concurrent.duration.Duration.Inf)
-      }
+      } }
+      val embF = Future(tb(
+        slice(Tables(s, dir, "embeddings"), "vec_id").localCheckpoint()))
+      val emb = Await.result(embF, Forever)
       // exact cosine truth (identical formula/rounding to the verify
-      // stages), shared by the semdedup and 5×12 gates — built and
-      // checkpointed BEFORE awaiting the doc side, so the two
-      // materialization chains actually overlap
+      // stages), shared by the semdedup and 5×12 gates
       val vecs = emb.select(col("vec_id").as("id"), col("embedding").as("v"),
         graft.ops.HashKernels.normUdf(col("embedding")).as("nrm"))
       val truthCos0 = vecs
@@ -976,15 +992,19 @@ object Pipeline {
             .otherwise(lit(0.0)), 6).as("sim"))
         .filter(col("sim") >= 0.35)
         .select(col("id_a"), col("id_b"))
-      val truthCosCk = graft.SubTimings.time("q_approx_dedup_quality", "truth_build") {
-        truthCos0.localCheckpoint()
-      }
+      val truthCosCkF = Future(tb(truthCos0.localCheckpoint()))
 
       // semdedup drop sets: truth = min-id election over exact
-      // components; detector = the q_semantic_dedup cell geometry
-      val truthDropped = Dedup.connectedComponents(truthCosCk)
-        .filter(col("id") =!= col("component"))
-        .select(col("id").as("id_a"), col("id").as("id_b"))
+      // components; detector = the q_semantic_dedup cell geometry.
+      // connectedComponents is itself eager (union-find over the
+      // collected edge list), so it chains off the cosine-truth future
+      // instead of blocking the submitting thread
+      val truthDroppedCkF = truthCosCkF.map { tc => tb {
+        Dedup.connectedComponents(tc)
+          .filter(col("id") =!= col("component"))
+          .select(col("id").as("id_a"), col("id").as("id_b"))
+          .localCheckpoint()
+      } }
       val semKept = SemDedup.dropSemanticDuplicates(emb, "vec_id", "embedding",
         threshold = 0.35, kCentroids = 8, lloydIters = 2, maxCellRows = 200)
         .select(col("vec_id"))
@@ -997,9 +1017,7 @@ object Pipeline {
         .select(col("id_a"), col("id_b"))
 
       // doc side ready: simhash truth/detector + incremental truth/probe
-      val (docs, sigs) = graft.SubTimings.time("q_approx_dedup_quality", "truth_build") {
-        Await.result(docsF, scala.concurrent.duration.Duration.Inf)
-      }
+      val (docs, sigs) = Await.result(docsF, Forever)
       val truthSim = sigs.select(col("id").as("id_a"), col("sig").as("sa"))
         .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")),
           col("id_a") < col("id_b"))
@@ -1022,14 +1040,40 @@ object Pipeline {
         .unionByName(docs.filter(col("doc_id") % 97 === 0)
           .select((col("doc_id") + 10000000L).as("media_id"),
             overlay(col("text"), lit("Z"), lit(19)).cast("binary").as("payload")))
-      val mediaSliceCk = graft.SubTimings.time("q_approx_dedup_quality", "truth_build") {
-        mediaSlice0.localCheckpoint()
-      }
-      val phSigs = graft.SubTimings.time("q_approx_dedup_quality", "truth_build") {
-        graft.ops.Multimodal.perceptualHashes(mediaSliceCk)
+      val mediaCkF = Future(tb(mediaSlice0.localCheckpoint()))
+      // the two signature planes are independent given the media slice
+      // — both chain off its future and run concurrently
+      val phSigsF = mediaCkF.map { m => tb {
+        graft.ops.Multimodal.perceptualHashes(m)
           .select(col("media_id").as("id"), col("dhash").as("sig"))
           .localCheckpoint()
-      }
+      } }
+      val dctSigsF = mediaCkF.map { m => tb {
+        graft.ops.Multimodal.dctHashes(m)
+          .select(col("media_id").as("id"), col("dcthash").as("sig"))
+          .localCheckpoint()
+      } }
+      // incremental: exact cross-batch truth on the probe's own shingle
+      // size, detector = the q_incremental_dedup index+probe geometry.
+      // TWO truth strata: all pairs at the probe's own threshold (the
+      // S-curve-bounded floor), and the j ≥ 0.9 stratum, where
+      // P(≥2 of 8 bands | p = 0.9^5) ≈ 0.993 — near-identical
+      // re-ingests MUST be caught, so the strict floor is high.
+      // Submitted BEFORE the media awaits below — the jaccard truth is
+      // the longest doc-side chain and must overlap the media plane.
+      val truthIncAll0 = Dedup.ngramJaccard(
+        docs.withColumn("blk", lit(0)), "doc_id", "text", "blk",
+        n = 3, threshold = 0.7, maxBlockRows = 500)
+        .filter((col("id_a") % 2 === 0) =!= (col("id_b") % 2 === 0))
+        .select(
+          when(col("id_a") % 2 === 1, col("id_a")).otherwise(col("id_b")).as("id_a"),
+          when(col("id_a") % 2 === 1, col("id_b")).otherwise(col("id_a")).as("id_b"),
+          col("jaccard"))
+      val truthIncAllCkF = Future(tb(truthIncAll0.localCheckpoint()))
+      // every eager truth chain is now in flight — await each where its
+      // lazy consumers are constructed
+      val mediaSliceCk = Await.result(mediaCkF, Forever)
+      val phSigs = Await.result(phSigsF, Forever)
       val truthPh = phSigs.select(col("id").as("id_a"), col("sig").as("sa"))
         .join(phSigs.select(col("id").as("id_b"), col("sig").as("sb")),
           col("id_a") < col("id_b"))
@@ -1043,11 +1087,7 @@ object Pipeline {
       // the floor is exactly 1.0 like simhash/phash. (The overlay twins
       // move ≤1 plane pixel → a bounded low-frequency perturbation;
       // the truth set stays nonempty at every SF.)
-      val dctSigs = graft.SubTimings.time("q_approx_dedup_quality", "truth_build") {
-        graft.ops.Multimodal.dctHashes(mediaSliceCk)
-          .select(col("media_id").as("id"), col("dcthash").as("sig"))
-          .localCheckpoint()
-      }
+      val dctSigs = Await.result(dctSigsF, Forever)
       val truthDct = dctSigs.select(col("id").as("id_a"), col("sig").as("sa"))
         .join(dctSigs.select(col("id").as("id_b"), col("sig").as("sb")),
           col("id_a") < col("id_b"))
@@ -1056,23 +1096,7 @@ object Pipeline {
       val dctPairs = graft.ops.Multimodal.dctNearDuplicates(mediaSliceCk)
         .select(col("id_a"), col("id_b"))
 
-      // incremental: exact cross-batch truth on the probe's own shingle
-      // size, detector = the q_incremental_dedup index+probe geometry.
-      // TWO truth strata: all pairs at the probe's own threshold (the
-      // S-curve-bounded floor), and the j ≥ 0.9 stratum, where
-      // P(≥2 of 8 bands | p = 0.9^5) ≈ 0.993 — near-identical
-      // re-ingests MUST be caught, so the strict floor is high
-      val truthIncAll0 = Dedup.ngramJaccard(
-        docs.withColumn("blk", lit(0)), "doc_id", "text", "blk",
-        n = 3, threshold = 0.7, maxBlockRows = 500)
-        .filter((col("id_a") % 2 === 0) =!= (col("id_b") % 2 === 0))
-        .select(
-          when(col("id_a") % 2 === 1, col("id_a")).otherwise(col("id_b")).as("id_a"),
-          when(col("id_a") % 2 === 1, col("id_b")).otherwise(col("id_a")).as("id_b"),
-          col("jaccard"))
-      val truthIncAllCk = graft.SubTimings.time("q_approx_dedup_quality", "truth_build") {
-        truthIncAll0.localCheckpoint()
-      }
+      val truthIncAllCk = Await.result(truthIncAllCkF, Forever)
       val truthInc = truthIncAllCk.select(col("id_a"), col("id_b"))
       val truthIncStrict = truthIncAllCk.filter(col("jaccard") >= 0.9)
         .select(col("id_a"), col("id_b"))
@@ -1103,9 +1127,10 @@ object Pipeline {
       // partition).
       // pool threads may predate the bench's measured scope, so each
       // verdict re-opens the submitting thread's run scope before
-      // recording (SubTimings.currentRun) — otherwise the v_* stages
+      // recording (runToken, captured above) — otherwise the v_* stages
       // land in the unscoped bucket and vanish from the artifact
-      val runToken = graft.SubTimings.currentRun
+      val truthCosCk = Await.result(truthCosCkF, Forever)
+      val truthDroppedCk = Await.result(truthDroppedCkF, Forever)
       def verdict(method: String, floor: Double, truth: DataFrame,
           approx: DataFrame, subsetTruth: DataFrame = null) =
         graft.SubTimings.withRun(runToken) {
@@ -1149,7 +1174,7 @@ object Pipeline {
         incPairsF.map(ck =>
           verdict("incremental_strict", 0.75, truthIncStrict, ck, truthInc)),
         Future(verdict("phash", 1.0, truthPh.localCheckpoint(), phPairs)),
-        Future(verdict("semdedup", 0.25, truthDropped.localCheckpoint(), semDropped)),
+        Future(verdict("semdedup", 0.25, truthDroppedCk, semDropped)),
         Future(verdict("simhash", 1.0, truthSim.localCheckpoint(), simPairs)))),
           scala.concurrent.duration.Duration.Inf)
       rows
@@ -1207,13 +1232,20 @@ object Pipeline {
       // #3: the old checkpoint-heavy semi/anti-join pair materialized
       // every frame twice and pinned blocks for the rest of the bench)
       // run-scope capture: see q_approx_dedup_quality's verdict
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
       val runToken = graft.SubTimings.currentRun
       def verdict(method: String, floor: Double, truth: DataFrame, approx: DataFrame) =
         graft.SubTimings.withRun(runToken) {
         graft.SubTimings.time("q_dedup_quality", s"v_$method") {
+          // truth (exact jaccard / exact cosine) and detector (LSH
+          // banding) are independent job chains until the join —
+          // materialize the detector on a sibling thread so each
+          // verdict costs max(truth, detector), not their sum
+          val aF = Future(approx.localCheckpoint())
           val t = truth.localCheckpoint()
           val nTrue = t.count()
-          val row = approx
+          val row = Await.result(aF, scala.concurrent.duration.Duration.Inf)
             .join(t.select(col("id_a"), col("id_b"), lit(1).as("__hit")),
               Seq("id_a", "id_b"), "left")
             .agg(
@@ -1393,10 +1425,14 @@ object Pipeline {
     // budget (pretraining mixes are drawn to token budgets, not doc
     // counts). Exact running total -> oracle-backed.
     "q_token_budget" -> ((s, dir) => {
+      // same double-consumption as q_pack_sequences (the budget's
+      // running total range-partitions AND joins back) — narrow to the
+      // two output-feeding columns and pin once
       val docs = Tables(s, dir, "documents")
-        .withColumn("n_tokens",
+        .select(col("doc_id"),
           size(filter(split(lower(trim(col("text"))), "\\s+"),
-            t => length(t) > lit(0))))
+            t => length(t) > lit(0))).as("n_tokens"))
+        .localCheckpoint()
       Sampling.tokenBudgetSample(docs, "doc_id", "n_tokens", budget = 60000L)
         .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
         .orderBy(col("doc_id"))
@@ -1616,6 +1652,15 @@ object Pipeline {
     // lang-keyed window + broadcast targets (mixture), and the
     // no-single-task running total (pack) — no shuffle this plan does
     // not need at 100 TB.
+    //
+    // Stage materialization: three of the chained kernels consume their
+    // input TWICE inside one plan (decontaminate = gram explode +
+    // anti-join back; the budget = group targets + per-group window;
+    // the pack = range cumsum + join back), so an unbroken lineage
+    // re-evaluates every upstream stage multiplicatively — the
+    // pre-checkpoint physical plan scanned the documents parquet 30
+    // times (plans/r15/q_data_release_before.txt). One localCheckpoint
+    // per double-consumed frame makes each stage run once.
     "q_data_release" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       val docCols = docs.columns.map(col)
@@ -1624,19 +1669,23 @@ object Pipeline {
       val deduped = docs.join(firstIds, Seq("doc_id"), "left_semi")
       val quality = TextAnalysis.gopherFilter(deduped, "text")
         .filter(col("keep")).select(docCols: _*)
+        .localCheckpoint()
       val bench = docs.filter(col("doc_id") % 53 === 0)
       val decon = Decontaminate.decontaminate(
         quality.filter(col("doc_id") % 53 =!= 0), "doc_id", "text",
         bench, "doc_id", "text", n = 3, minShared = 2)
       val train = Sampling.hashSplit(decon, "doc_id", SplitSpec)
         .filter(col("split") === "train")
-      val toks = train.withColumn("n_tokens",
-        TextAnalysis.tokenCount(col("text")).cast("long"))
+      // narrow to the three columns every downstream stage needs before
+      // pinning — (id, lang, tokens) is 24 bytes/row vs the full text
+      val toks = train.select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .localCheckpoint()
       val sel = Sampling.stratifiedTokenBudget(
         toks, "lang", "doc_id", "n_tokens", budget = 20000L)
-      graft.ops.Packing.packBySize(
-        sel.select(col("doc_id"), col("lang"), col("n_tokens")),
-        "doc_id", "n_tokens", capacity = 2048)
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+        .localCheckpoint()
+      graft.ops.Packing.packBySize(sel, "doc_id", "n_tokens", capacity = 2048)
         .select(col("doc_id"), col("lang"),
           col("n_tokens").cast("long").as("n_tokens"),
           col("cum_tokens").cast("long").as("cum_tokens"),

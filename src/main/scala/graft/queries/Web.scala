@@ -586,10 +586,15 @@ object Web {
     // integer cumsum. Emitted as the per-domain fill summary (targets,
     // selected docs/tokens, never-over-budget contract column).
     "q_domain_mixture" -> ((s, dir) => {
+      // the budget consumes its input twice (group targets + per-group
+      // window) — pin ONE narrow (domain, id, tokens) frame instead of
+      // running the full normalization map pass per consumer (the
+      // pre-checkpoint plan scanned the parquet 6 times)
       val docs = normalized(s, dir)
-        .withColumn("n_tokens",
+        .select(col("domain"), col("doc_id"),
           size(filter(split(lower(trim(col("text"))), "\\s+"),
-            t => length(t) > lit(0))))
+            t => length(t) > lit(0))).as("n_tokens"))
+        .localCheckpoint()
       val sel = graft.ops.Sampling.stratifiedTokenBudget(
         docs, "domain", "doc_id", "n_tokens", budget = 20000L)
       sel.groupBy(col("domain"))

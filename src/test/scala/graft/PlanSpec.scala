@@ -537,19 +537,24 @@ class PlanSpec extends AnyFunSuite {
       s"domain stats exceed the two-exchange multi-distinct shape:\n${ps.take(800)}")
   }
 
-  test("data-release capstone: broadcast decontamination, no cartesian, bounded shuffles") {
+  test("data-release capstone: no cartesian, bounded shuffles, single-pass stages") {
+    // Since the round-15 stage checkpoints, the final plan is the
+    // post-checkpoint tail (budget window + broadcast targets + the
+    // two-phase pack); the decontaminate anti-join runs inside the
+    // construction segment and its broadcast shape is pinned by the
+    // standalone decontaminate tests above. What this pin now guards:
+    // the tail never cartesians, never funnels the corpus through one
+    // task beyond the mixture's scalar weight-total, and reads each
+    // pinned stage ONCE (no parquet scan may survive into the tail —
+    // a scan here would mean a stage silently escaped its checkpoint
+    // and re-runs multiplicatively, the round-15 before-plan bug: 30
+    // scans of the documents parquet in one plan).
     val p = physicalPlan("q_data_release")
     assert(!p.contains("CartesianProduct"), p.take(800))
-    // the decontamination anti-join must broadcast the (benchmark-
-    // bounded) flagged set, never shuffle the corpus against it
-    assert(p.contains("BroadcastHashJoin") &&
-      "BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,
-      s"decontaminate must be a broadcast anti-join:\n${p.take(1200)}")
-    // at most ONE single-partition exchange, and it is the mixture
-    // stage's scalar weight-total (a one-row aggregate — inherent to
-    // "share of the global budget", not a data funnel); the packing
-    // running total is two-phase and the global sort is the
-    // presentation orderBy
+    assert(p.contains("Window"),
+      s"expected the two-phase cumsum's partition-local window:\n${p.take(800)}")
+    assert(!p.contains("Scan parquet"),
+      s"a parquet scan escaped the stage checkpoints:\n${p.take(1200)}")
     val singles = "Exchange SinglePartition".r.findAllIn(p).length
     assert(singles <= 1,
       s"only the scalar weight-total may single-partition ($singles found):\n${p.take(1200)}")
