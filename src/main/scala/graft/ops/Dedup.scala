@@ -636,7 +636,17 @@ object Dedup {
   }
 
   def hammingNearDuplicates64(withSig: DataFrame, maxHamming: Int): DataFrame = {
-    val chunked = hammingChunked(withSig, maxHamming)
+    // The signature frame feeds BOTH sides of the banded self-join;
+    // with nothing between the scan and the join, each side re-runs
+    // the signature kernel (simhash tokenization / dHash resample —
+    // the dominant map cost) over the full corpus. repartition(id)
+    // inserts one narrow 16-byte/row exchange whose two consumers are
+    // canonically identical subtrees, so the planner reuses it
+    // (ReusedExchange) and the kernel runs ONCE — the
+    // minhashNearDuplicates discipline applied to the Hamming family
+    // (before: q_dedup_simhash's plan scanned the corpus 4x).
+    val sig = withSig.select(col("id"), col("sig")).repartition(col("id"))
+    val chunked = hammingChunked(sig, maxHamming)
     val a = chunked.select(col("chunk"), col("chunk_val"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = chunked.select(col("chunk"), col("chunk_val"),

@@ -227,6 +227,31 @@ class DedupSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Dedup.hammingNearDuplicates64(sigs, 64))
   }
 
+  test("hammingNearDuplicates64 runs the signature kernel once, not per join side") {
+    // the narrow repartition(id) between the kernel and the banded
+    // self-join makes both join sides canonically identical consumers
+    // of ONE exchange, which the planner/AQE reuses — so the signature
+    // kernel (simhash tokenization, dHash resample: the dominant map
+    // cost at corpus scale) evaluates each row once. A regression to
+    // per-side evaluation doubles this counter.
+    import org.apache.spark.sql.functions.udf
+    val spark = TestSpark.spark
+    // a driver-side counter would stay at 0 (task closures deserialize
+    // their own copy) — an accumulator reports executor-side calls back
+    val calls = spark.sparkContext.longAccumulator("sig-kernel-calls")
+    val sigU = udf((id: Long) => { calls.add(1L); id * 0x9e3779b97f4a7c15L })
+      .asNondeterministic()
+    val n = 64L
+    val withSig = spark.range(n).select(col("id"), sigU(col("id")).as("sig"))
+    calls.reset()
+    Dedup.hammingNearDuplicates64(withSig, 3).count()
+    val c = calls.value
+    info(s"signature kernel invocations: $c for $n rows")
+    assert(c >= n, s"premise: the kernel must have run at all (got $c)")
+    assert(c <= n + n / 2,
+      s"signature kernel ran $c times for $n rows — the join sides no longer share the exchange")
+  }
+
   test("persisted hamming index: disk == memory, partitions skipped, append == rebuild") {
     // signatures with planted near-pairs across the index/probe split
     val base = 0x0123456789abcdefL
