@@ -132,17 +132,19 @@ object LanguageModel {
     */
   private val DefaultMaxVocab = 2000000L
 
-  /** ONE tokenize+explode pass for the whole KN ladder: every token
-    * position emits its n-gram string for each order up to `maxOrder`
-    * (null where the document runs out), the frame is materialized
-    * once (localCheckpoint — the explode and the UDF never re-run),
-    * and each order's distinct-count aggregate runs over it. This is
-    * the KenLM-style shared pass that replaces one full corpus
-    * tokenize+explode PER ORDER (the 5-gram ladder used to pay five);
-    * every aggregate is a keyed count with map-side partials, and the
-    * per-order driver collects stay behind the same `limit(cap+1)`
-    * bounds the standalone trainers used. Bigram counts honor
-    * `minCountBi` exactly as trainBigrams' filter did.
+  /** ONE tokenize+explode pass AND ONE aggregate for the whole KN
+    * ladder: every token position emits an `(order, gram)` row for
+    * each order up to `maxOrder` that fits in the document, and ALL
+    * orders' counts ride a single `(order, gram)`-keyed aggregate with
+    * map-side partials — one shuffle where the previous shape ran one
+    * full aggregate job per order over a materialized ladder frame.
+    * The tiny aggregated result (one row per distinct gram across all
+    * orders) is materialized once, and the per-order driver collects
+    * are near-free scans of it that keep the standalone trainers'
+    * exact `limit(cap+1)` overflow-sentinel semantics (the downstream
+    * `require` throws past the cap, and the bound keeps an over-cap
+    * corpus from pulling an unbounded result onto the driver). Bigram
+    * counts honor `minCountBi` exactly as trainBigrams' filter did.
     */
   private def ladderCounts(
       train: DataFrame,
@@ -152,43 +154,41 @@ object LanguageModel {
       minCountBi: Long): Map[Int, Array[(String, Long)]] = {
     require(maxOrder >= 1 && maxOrder <= 5)
     val mo = maxOrder
+    val caps = (1 to maxOrder).map(n => n -> capOf(n)).toMap
+    caps.values.foreach(cap => require(cap > 0 && cap < Int.MaxValue,
+      s"maxEntries must be in (0, Int.MaxValue), got $cap"))
     val ladderUdf = udf((text: String) => {
       val toks = HashKernels.tokensOf(text)
-      Array.tabulate(toks.length) { i =>
-        val out = new Array[String](5)
-        out(0) = toks(i)
+      val out = new scala.collection.mutable.ArrayBuilder.ofRef[(Int, String)]
+      out.sizeHint(toks.length * mo)
+      var i = 0
+      while (i < toks.length) {
+        out += ((1, toks(i)))
         val sb = new java.lang.StringBuilder(toks(i))
-        var n = 1
-        while (n < mo) {
-          if (i + n < toks.length) {
-            sb.append(' ').append(toks(i + n))
-            out(n) = sb.toString
-          }
+        var n = 2
+        while (n <= mo && i + n - 1 < toks.length) {
+          sb.append(' ').append(toks(i + n - 1))
+          out += ((n, sb.toString))
           n += 1
         }
-        (out(0), out(1), out(2), out(3), out(4))
+        i += 1
       }
+      out.result()
     })
-    val lf = train.select(explode(ladderUdf(col(textCol))).as("g"))
-      .select((1 to maxOrder).map(n => col(s"g._$n").as(s"g$n")): _*)
+    val agg = train.select(explode(ladderUdf(col(textCol))).as("g"))
+      .groupBy(col("g._1").as("n"), col("g._2").as("gram"))
+      .agg(count(lit(1)).as("c"))
+      .filter(!(col("n") === 2 && col("c") < minCountBi))
       .localCheckpoint()
-    // the per-order aggregates are independent job chains over the one
-    // materialized ladder frame — submit them from parallel threads so
-    // the driver-collect wall-clock is the slowest order, not the sum
-    // (guide §2.6 overlap; same pattern as the dedup-quality verdicts).
-    // Model contents are collect-order-insensitive (maps + commutative
-    // sums), so the parallelism cannot move a gate hash.
+    // per-order collects overlap on the scheduler (guide §2.6); model
+    // contents are collect-order-insensitive (maps + commutative sums),
+    // so the parallelism cannot move a gate hash.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     val futures = (1 to maxOrder).map { n =>
-      val cap = capOf(n)
-      require(cap > 0 && cap < Int.MaxValue,
-        s"maxEntries must be in (0, Int.MaxValue), got $cap")
       n -> Future {
-        val agg0 = lf.filter(col(s"g$n").isNotNull)
-          .groupBy(col(s"g$n")).agg(count(lit(1)).as("c"))
-        val agg = if (n == 2) agg0.filter(col("c") >= minCountBi) else agg0
-        agg.limit(cap.toInt + 1)
+        agg.filter(col("n") === n).select(col("gram"), col("c"))
+          .limit(caps(n).toInt + 1)
           .collect().map(r => r.getString(0) -> r.getLong(1))
       }
     }

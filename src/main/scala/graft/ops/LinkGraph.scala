@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Materialize.MatOps
 
 /** Hyperlink-graph kernels: outlink/anchor extraction from HTML, RFC
   * 3986 relative-reference resolution, and a deterministic fixed-point
@@ -353,31 +354,35 @@ object LinkGraph {
     * production path; web domain graphs have small diameter, so k
     * keyed joins is the right scale shape here.)
     *
-    * Per round: one (neighbor⋈label) shuffle join + one dst-keyed min
-    * aggregate + a left join back — all keyed on the node, the same
-    * co-partitioning every round; lineage truncated per round.
+    * Per round: one (neighbor⋈label) shuffle join + ONE node-keyed min
+    * aggregate over the union of neighbor contributions and the label
+    * frame itself — `min(own ∪ neighbor labels)` is exactly
+    * `least(own, coalesce(min(neighbors), own))`, so the completion
+    * left-join the round-15 shape paid per round rides the aggregate
+    * (guide §2.4, the HITS-completion method): isolated nodes survive
+    * through their own-label row, and every node appears exactly once
+    * in the result. One fewer exchange + one fewer join per round;
+    * lineage truncated per round.
     */
   def labelPropagation(edges: DataFrame, rounds: Int,
       snapshotAt: Option[Int] = None): DataFrame = {
     require(rounds >= 1, "labelPropagation: rounds must be >= 1")
     require(snapshotAt.forall(k => k >= 1 && k <= rounds),
       "labelPropagation: snapshotAt must be in [1, rounds]")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).materialized
     val und = e.select(col("src").as("s"), col("dst").as("d"))
       .union(e.select(col("dst").as("s"), col("src").as("d")))
-    val nodes = und.select(col("s").as("node")).distinct().localCheckpoint()
-    var labels = nodes.withColumn("lbl", col("node")).localCheckpoint()
+    val nodes = und.select(col("s").as("node")).distinct().materialized
+    var labels = nodes.withColumn("lbl", col("node")).materialized
     var prev = labels
     var snap: DataFrame = null
     for (k <- 1 to rounds) {
       prev = labels
-      val nbrMin = und.join(labels, und("s") === labels("node"))
-        .groupBy(col("d")).agg(min(col("lbl")).as("nl"))
-        .withColumnRenamed("d", "node")
-      labels = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+      val contrib = und.join(labels, und("s") === labels("node"))
+        .select(col("d").as("node"), col("lbl"))
+      labels = contrib.union(labels.select(col("node"), col("lbl")))
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .materialized
       if (snapshotAt.contains(k)) snap = labels
     }
     val base = labels.join(prev.withColumnRenamed("lbl", "lbl_prev"), "node")
@@ -403,7 +408,7 @@ object LinkGraph {
     // derive from it) — without truncation each round would re-derive
     // the caller's whole edge pipeline (extraction, joins, UDFs)
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
-      .localCheckpoint()
+      .materialized
     // loop-invariant work hoisted out of the rounds: the per-source
     // out-weight never changes, so it is attached to each edge ONCE
     // here instead of a second shuffle join inside every round; the
@@ -411,13 +416,13 @@ object LinkGraph {
     // dangling mass is a filter over the already-materialized rank
     // vector, not a fresh anti-join against outw
     val outw = e.groupBy("src").agg(sum("w").as("outw"))
-    val eo = e.join(outw, "src").localCheckpoint() // (src, dst, w, outw)
+    val eo = e.join(outw, "src").materialized // (src, dst, w, outw)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .join(outw.select(col("src").as("node"), lit(true).as("has_out")),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("has_out"), lit(false)).as("has_out"))
-      .localCheckpoint()
+      .materialized
     val n = nodes.count()
     require(n > 0, "pageRank: empty edge set")
     val base = (15L * scale) / (100L * n) // floor, non-negative
@@ -428,7 +433,7 @@ object LinkGraph {
           col(w0.columns(1)).cast("long").as("rank")), Seq("node"), "left")
         .select(col("node"), col("has_out"),
           coalesce(col("rank"), lit(scale / n)).as("rank"))
-        .localCheckpoint()
+        .materialized
     }
     for (_ <- 1 to iters) {
       // floor(rank·w / outw) via the exact identity
@@ -450,7 +455,7 @@ object LinkGraph {
           (lit(base) + expr(
             s"(85 * (coalesce(contrib, 0L) + (dang div ${n}L))) div 100"))
             .as("rank"))
-        .localCheckpoint()
+        .materialized
     }
     ranks.select(col("node"), col("rank"))
   }
@@ -471,13 +476,13 @@ object LinkGraph {
   def trustRank(edges: DataFrame, seeds: DataFrame, iters: Int = 5,
       scale: Long = 1000000000000L): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
-      .localCheckpoint()
+      .materialized
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     // loop-invariant hoists, same as [[pageRank]]: out-weight attached
     // to each edge once, dangling flag carried on the node/rank frames
     val outw = e.groupBy("src").agg(sum("w").as("outw"))
-    val eo = e.join(outw, "src").localCheckpoint() // (src, dst, w, outw)
+    val eo = e.join(outw, "src").materialized // (src, dst, w, outw)
     val sd = nodes.join(
       seeds.select(col(seeds.columns.head).as("node")).distinct(), "node")
     val flagged = nodes
@@ -486,14 +491,14 @@ object LinkGraph {
         Seq("node"), "left")
       .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"),
         coalesce(col("has_out"), lit(false)).as("has_out"))
-      .localCheckpoint()
+      .materialized
     val nS = flagged.filter(col("is_seed")).count()
     require(nS > 0, "trustRank: no seed intersects the graph")
     val base = (15L * scale) / (100L * nS)
     var ranks = flagged
       .select(col("node"), col("has_out"),
         when(col("is_seed"), lit(scale / nS)).otherwise(lit(0L)).as("rank"))
-      .localCheckpoint()
+      .materialized
     for (_ <- 1 to iters) {
       val contribs = eo.join(ranks, eo("src") === ranks("node"))
         .select(col("dst").as("node"),
@@ -510,7 +515,7 @@ object LinkGraph {
               s"(85 * (coalesce(contrib, 0L) + (dang div ${nS}L))) div 100"))
             .otherwise(expr("(85 * coalesce(contrib, 0L)) div 100"))
             .as("rank"))
-        .localCheckpoint()
+        .materialized
     }
     flagged.select(col("node"), col("is_seed"))
       .join(ranks.select(col("node"), col("rank")), "node")
@@ -547,13 +552,13 @@ object LinkGraph {
     require((15L * scale) % 100L == 0,
       "personalizedPageRank: 15*scale must be divisible by 100 for an exact teleport base")
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
-      .localCheckpoint()
+      .materialized
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     // loop-invariant hoists, same as [[pageRank]]: out-weight attached
     // to each edge once, dangling flag carried on the node/rank frames
     val outw = e.groupBy("src").agg(sum("w").as("outw"))
-    val eo = e.join(outw, "src").localCheckpoint() // (src, dst, w, outw)
+    val eo = e.join(outw, "src").materialized // (src, dst, w, outw)
     val tv = teleport.select(col(teleport.columns(0)).as("node"),
       col(teleport.columns(1)).cast("long").as("tw"))
       .filter(col("tw") > 0)
@@ -562,7 +567,7 @@ object LinkGraph {
         Seq("node"), "left")
       .select(col("node"), coalesce(col("tw"), lit(0L)).as("tw"),
         coalesce(col("has_out"), lit(false)).as("has_out"))
-      .localCheckpoint()
+      .materialized
     val head = flagged.agg(sum(col("tw")), max(col("tw"))).head()
     val bigW = head.getLong(0)
     require(bigW > 0, "personalizedPageRank: no teleport node intersects the graph")
@@ -582,7 +587,7 @@ object LinkGraph {
           Seq("node"), "left")
         .select(col("node"), col("tw"), col("has_out"),
           coalesce(col("r0"), share(scale)).as("rank"))
-    }).localCheckpoint()
+    }).materialized
     for (_ <- 1 to iters) {
       val contribs = eo.join(ranks, eo("src") === ranks("node"))
         .select(col("dst").as("node"),
@@ -601,7 +606,7 @@ object LinkGraph {
               s")) div 100"))
             .otherwise(expr("(85 * coalesce(contrib, 0L)) div 100"))
             .as("rank"))
-        .localCheckpoint()
+        .materialized
     }
     ranks.select(col("node"), col("tw"), col("rank"))
   }
@@ -641,9 +646,9 @@ object LinkGraph {
       init: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, "hits: iters must be >= 1")
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
-      .localCheckpoint()
+      .materialized
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("node"))).distinct().materialized
     val n = nodes.count()
     require(n > 0, "hits: empty edge set")
     // weighted sum in decimal: w·score stays exact for any Long score
@@ -677,17 +682,17 @@ object LinkGraph {
           col(h0.columns(1)).cast("long").as("hub0")), Seq("node"), "left")
         .select(col("node"),
           coalesce(col("hub0"), lit(scale / n)).as("hub"))
-    }).localCheckpoint()
+    }).materialized
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
       val authRaw = e.join(hub, e("src") === hub("node"))
         .select(col("dst").as("node"), weighted(col("hub")).as("x"))
         .groupBy("node").agg(sum("x").cast("decimal(38,0)").as("raw"))
-      auth = normalized(authRaw, "auth").localCheckpoint()
+      auth = normalized(authRaw, "auth").materialized
       val hubRaw = e.join(auth, e("dst") === auth("node"))
         .select(col("src").as("node"), weighted(col("auth")).as("x"))
         .groupBy("node").agg(sum("x").cast("decimal(38,0)").as("raw"))
-      hub = normalized(hubRaw, "hub").localCheckpoint()
+      hub = normalized(hubRaw, "hub").materialized
     }
     // the ONE node-set completion: every node appears in the output,
     // absent-from-raw scores coalesce to the 0 they always were

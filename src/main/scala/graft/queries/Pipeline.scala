@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
+import graft.Materialize.MatOps
 import graft.ops.{Chunking, Classifier, Decontaminate, Dedup, Embeddings, ProductQuantizer, Sampling, Search, SegmentDedup, SemDedup, Similarity, TextAnalysis, TextCleanse, Vocabulary}
 
 /** Training-data-pipeline operators over `documents` / `embeddings` /
@@ -717,7 +718,7 @@ object Pipeline {
       // scan + tokenCount map pass runs once, not per consumer
       val toks = Tables(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))
-        .localCheckpoint()
+        .materialized
       graft.ops.Packing.packBySize(toks, "doc_id", "n_tokens", capacity = 2048)
         .select(col("doc_id"), col("n_tokens"), col("cum_tokens"), col("bin"))
         .orderBy(col("doc_id"))
@@ -1432,7 +1433,7 @@ object Pipeline {
         .select(col("doc_id"),
           size(filter(split(lower(trim(col("text"))), "\\s+"),
             t => length(t) > lit(0))).as("n_tokens"))
-        .localCheckpoint()
+        .materialized
       Sampling.tokenBudgetSample(docs, "doc_id", "n_tokens", budget = 60000L)
         .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
         .orderBy(col("doc_id"))
@@ -1669,7 +1670,7 @@ object Pipeline {
       val deduped = docs.join(firstIds, Seq("doc_id"), "left_semi")
       val quality = TextAnalysis.gopherFilter(deduped, "text")
         .filter(col("keep")).select(docCols: _*)
-        .localCheckpoint()
+        .materialized
       val bench = docs.filter(col("doc_id") % 53 === 0)
       val decon = Decontaminate.decontaminate(
         quality.filter(col("doc_id") % 53 =!= 0), "doc_id", "text",
@@ -1680,11 +1681,11 @@ object Pipeline {
       // pinning — (id, lang, tokens) is 24 bytes/row vs the full text
       val toks = train.select(col("doc_id"), col("lang"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
-        .localCheckpoint()
+        .materialized
       val sel = Sampling.stratifiedTokenBudget(
         toks, "lang", "doc_id", "n_tokens", budget = 20000L)
         .select(col("doc_id"), col("lang"), col("n_tokens"))
-        .localCheckpoint()
+        .materialized
       graft.ops.Packing.packBySize(sel, "doc_id", "n_tokens", capacity = 2048)
         .select(col("doc_id"), col("lang"),
           col("n_tokens").cast("long").as("n_tokens"),

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Column
 
 import graft.Tables
+import graft.Materialize.MatOps
 import graft.ops.{HtmlExtract, UrlOps}
 
 /** URL / domain-provenance queries (§2.12 web layer), all oracle-backed.
@@ -594,7 +595,7 @@ object Web {
         .select(col("domain"), col("doc_id"),
           size(filter(split(lower(trim(col("text"))), "\\s+"),
             t => length(t) > lit(0))).as("n_tokens"))
-        .localCheckpoint()
+        .materialized
       val sel = graft.ops.Sampling.stratifiedTokenBudget(
         docs, "domain", "doc_id", "n_tokens", budget = 20000L)
       sel.groupBy(col("domain"))
