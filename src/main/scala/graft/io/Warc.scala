@@ -386,8 +386,21 @@ object Warc {
       }
     }
     val serConf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    // Split POOLING (FileSourceScanExec-style bin-packing): every split
+    // keeps its exact byte range — ownership-by-first-byte and the
+    // boundary resync logic are exercised at every splitSize boundary
+    // exactly as before — but contiguous splits share one TASK instead
+    // of paying a scheduler launch each (a small-splitSize stress read
+    // of a 10 MB archive used to schedule ~1300 tasks). The partition
+    // count stays scale-adaptive: one task per split once splits reach
+    // ~128 MB (the production shape, where pooling is inert), and at
+    // most ~4 waves of the available cores for many-tiny-split layouts.
+    val totalBytes = statuses.map(_.getLen).sum
+    val targetParts = math.max(
+      spark.sparkContext.defaultParallelism * 4,
+      (totalBytes / (128L * 1024 * 1024)).toInt + 1)
     val rdd = spark.sparkContext
-      .parallelize(splits, math.max(splits.size, 1))
+      .parallelize(splits, math.max(1, math.min(splits.size, targetParts)))
       .mapPartitions { it =>
         it.flatMap { case (p, start, end, gz) =>
           val hp = new Path(p)

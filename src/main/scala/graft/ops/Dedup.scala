@@ -236,8 +236,12 @@ object Dedup {
     candidates
       .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      // native codegen merge (plans.JaccardSortedLong): no per-pair array copy
-      .withColumn("jaccard", call_function("jaccard_sorted", col("sh_a"), col("sh_b")))
+      // native codegen merge with a lossless threshold early-exit
+      // (plans.JaccardSortedMinLong): no per-pair array copy, and
+      // pairs that cannot reach `threshold` stop merging early —
+      // identical rows and jaccard values past the >= filter
+      .withColumn("jaccard",
+        call_function("jaccard_sorted_min", col("sh_a"), col("sh_b"), lit(threshold)))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -350,8 +354,8 @@ object Dedup {
         Seq("id_new"))
       .join(index.shingled.select(col("id").as("id_old"), col("sh").as("sh_old")),
         Seq("id_old"))
-      .withColumn("jaccard",
-        call_function("jaccard_sorted", col("sh_new"), col("sh_old")))
+      .withColumn("jaccard", call_function("jaccard_sorted_min",
+        col("sh_new"), col("sh_old"), lit(threshold)))
       .filter(col("jaccard") >= threshold)
       .select("id_new", "id_old", "jaccard")
   }
@@ -1014,7 +1018,8 @@ object Dedup {
         // intersection entirely for pairs that cannot qualify
         least(col("sz_a"), col("sz_b")) >= lit(threshold) * greatest(col("sz_a"), col("sz_b")))
       .select(col("id_a"), col("id_b"),
-        call_function("jaccard_sorted", col("sh_a"), col("sh_b")).as("jaccard"))
+        call_function("jaccard_sorted_min",
+          col("sh_a"), col("sh_b"), lit(threshold)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

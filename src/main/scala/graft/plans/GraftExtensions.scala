@@ -92,11 +92,29 @@ object GraftExtensions {
         lint(children(2), "minSize"), lint(children(3), "maxSize"))
     })
 
+  /** jaccard_sorted_min(sh_a, sh_b, t) — the threshold must be a double
+    * literal (it parameterizes the lossless early exit, not the row).
+    */
+  private def jaccardMinDescriptor: Descriptor = (
+    FunctionIdentifier("jaccard_sorted_min"),
+    new ExpressionInfo(classOf[JaccardSortedMinLong].getName, "jaccard_sorted_min"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3,
+        "jaccard_sorted_min(a, b, t) takes 3 arguments")
+      val t = children(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+        case other => throw new IllegalArgumentException(
+          s"jaccard_sorted_min: t must be a double literal, got $other")
+      }
+      JaccardSortedMinLong(children(0), children(1), t)
+    })
+
   private[plans] val descriptors: Seq[Descriptor] = Seq(
     binary("hamming_distance", classOf[HammingDistance], HammingDistance.apply),
     binary("dot_f", classOf[DotProductFloat], DotProductFloat.apply),
     binary("cosine_f", classOf[CosineSimFloat], CosineSimFloat.apply),
     binary("jaccard_sorted", classOf[JaccardSortedLong], JaccardSortedLong.apply),
+    jaccardMinDescriptor,
     alignDescriptor,
     cdcDescriptor,
     gearDescriptor)

@@ -135,6 +135,115 @@ case class JaccardSortedLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[JaccardSortedLong]] with a LOSSLESS threshold early-exit for the
+  * `jaccard >= t` consumers (every dedup call site filters on the
+  * threshold immediately after computing the value): the merge bails as
+  * soon as `inter + min(remaining_a, remaining_b)` — the best possible
+  * final intersection — drops below the smallest integer intersection
+  * `m` whose jaccard rounds to ≥ t in double arithmetic, and returns
+  * −1.0 (below every threshold in [0,1]). Pairs that can still qualify
+  * run the FULL merge and return the bit-identical exact value, so a
+  * downstream `>= t` filter sees exactly the rows [[JaccardSortedLong]]
+  * would pass, with exactly the same jaccard column. `m` is derived by
+  * direct probing of the double-rounded ratio (not the real-number
+  * bound), so the exit can never disagree with the filter by a ulp.
+  * At t = 0 the exit never fires and the kernel degenerates to the
+  * plain merge. For dissimilar pairs under a high threshold (the
+  * common case in near-dup truth builds) the merge stops after
+  * ~(1−t/(1+t))·|smaller| steps instead of walking both arrays.
+  */
+case class JaccardSortedMinLong(left: Expression, right: Expression, t: Double)
+    extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sorted_min"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(org.apache.spark.sql.types.LongType, _),
+          ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<bigint>), got $other")
+  }
+
+  protected override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    val m = JaccardSortedMinLong.minQualifyingInter(na, nb, t)
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      if (inter + math.min(na - i, nb - j) < m) return -1.0
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val inter = ctx.freshName("inter")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val m = ctx.freshName("m")
+      val rem = ctx.freshName("rem")
+      val bail = ctx.freshName("bail")
+      val cls = JaccardSortedMinLong.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $inter = 0;
+         |boolean $bail = false;
+         |if ($na != 0 || $nb != 0) {
+         |  int $m = $cls.minQualifyingInter($na, $nb, $t);
+         |  int $i = 0; int $j = 0;
+         |  while ($i < $na && $j < $nb) {
+         |    int $rem = ($na - $i < $nb - $j) ? ($na - $i) : ($nb - $j);
+         |    if ($inter + $rem < $m) { $bail = true; break; }
+         |    long $x = $a.getLong($i); long $y = $b.getLong($j);
+         |    if ($x == $y) { $inter++; $i++; $j++; }
+         |    else if ($x < $y) $i++;
+         |    else $j++;
+         |  }
+         |}
+         |${ev.value} = $bail ? -1.0 : (($na == 0 && $nb == 0)
+         |  ? 0.0 : ((double) $inter) / ($na + $nb - $inter));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSortedMinLong =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaccardSortedMinLong {
+  /** Smallest intersection count whose DOUBLE-ROUNDED jaccard is ≥ t for
+    * set sizes (na, nb) — probed directly against the rounded ratio so
+    * the early exit and the downstream `>= t` filter can never disagree.
+    * Monotonicity: inter/(na+nb−inter) is increasing in inter, and
+    * double rounding preserves ≤, so "final inter < m" implies the
+    * rounded jaccard is < t.
+    */
+  def minQualifyingInter(na: Int, nb: Int, t: Double): Int = {
+    if (t <= 0.0) return 0
+    val upper = math.min(na, nb)
+    def q(m: Int): Double = m.toDouble / (na.toLong + nb - m)
+    var m = math.ceil(t / (1.0 + t) * (na.toLong + nb)).toInt
+    if (m > upper) m = upper + 1
+    while (m > 0 && q(m - 1) >= t) m -= 1
+    while (m <= upper && q(m) < t) m += 1
+    m
+  }
+}
+
 /** Cosine similarity with the dot and both norms fused into ONE pass over
   * the arrays; 0.0 when either vector has zero norm.
   */

@@ -967,16 +967,22 @@ object Pipeline {
       // run-scope capture: pool threads may predate the bench's
       // measured scope (see the verdict note below)
       val runToken = graft.SubTimings.currentRun
-      def tb[T](body: => T): T = graft.SubTimings.withRun(runToken) {
-        graft.SubTimings.time("q_approx_dedup_quality", "truth_build")(body)
+      // `truth_build` keeps its historical summed-across-chains meaning;
+      // the nested t_<chain> stages split it so the artifact says WHICH
+      // truth chain grew (r15 verdict "Next round" #5 — the coarse label
+      // could not distinguish compute from job-count)
+      def tb[T](chain: String)(body: => T): T = graft.SubTimings.withRun(runToken) {
+        graft.SubTimings.time("q_approx_dedup_quality", "truth_build") {
+          graft.SubTimings.time("q_approx_dedup_quality", s"t_$chain")(body)
+        }
       }
-      val docsF = Future { tb {
+      val docsF = Future { tb("doc_slice_simhash") {
         val d = slice(Tables(s, dir, "documents"), "doc_id").localCheckpoint()
         val sg = d.select(col("doc_id").as("id"),
           graft.ops.HashKernels.simhashUdf(col("text")).as("sig")).localCheckpoint()
         (d, sg)
       } }
-      val embF = Future(tb(
+      val embF = Future(tb("emb_slice")(
         slice(Tables(s, dir, "embeddings"), "vec_id").localCheckpoint()))
       val emb = Await.result(embF, Forever)
       // exact cosine truth (identical formula/rounding to the verify
@@ -993,14 +999,14 @@ object Pipeline {
             .otherwise(lit(0.0)), 6).as("sim"))
         .filter(col("sim") >= 0.35)
         .select(col("id_a"), col("id_b"))
-      val truthCosCkF = Future(tb(truthCos0.localCheckpoint()))
+      val truthCosCkF = Future(tb("cosine_allpairs")(truthCos0.localCheckpoint()))
 
       // semdedup drop sets: truth = min-id election over exact
       // components; detector = the q_semantic_dedup cell geometry.
       // connectedComponents is itself eager (union-find over the
       // collected edge list), so it chains off the cosine-truth future
       // instead of blocking the submitting thread
-      val truthDroppedCkF = truthCosCkF.map { tc => tb {
+      val truthDroppedCkF = truthCosCkF.map { tc => tb("cosine_components") {
         Dedup.connectedComponents(tc)
           .filter(col("id") =!= col("component"))
           .select(col("id").as("id_a"), col("id").as("id_b"))
@@ -1041,15 +1047,15 @@ object Pipeline {
         .unionByName(docs.filter(col("doc_id") % 97 === 0)
           .select((col("doc_id") + 10000000L).as("media_id"),
             overlay(col("text"), lit("Z"), lit(19)).cast("binary").as("payload")))
-      val mediaCkF = Future(tb(mediaSlice0.localCheckpoint()))
+      val mediaCkF = Future(tb("media_slice")(mediaSlice0.localCheckpoint()))
       // the two signature planes are independent given the media slice
       // — both chain off its future and run concurrently
-      val phSigsF = mediaCkF.map { m => tb {
+      val phSigsF = mediaCkF.map { m => tb("phash_sigs") {
         graft.ops.Multimodal.perceptualHashes(m)
           .select(col("media_id").as("id"), col("dhash").as("sig"))
           .localCheckpoint()
       } }
-      val dctSigsF = mediaCkF.map { m => tb {
+      val dctSigsF = mediaCkF.map { m => tb("dct_sigs") {
         graft.ops.Multimodal.dctHashes(m)
           .select(col("media_id").as("id"), col("dcthash").as("sig"))
           .localCheckpoint()
@@ -1070,7 +1076,7 @@ object Pipeline {
           when(col("id_a") % 2 === 1, col("id_a")).otherwise(col("id_b")).as("id_a"),
           when(col("id_a") % 2 === 1, col("id_b")).otherwise(col("id_a")).as("id_b"),
           col("jaccard"))
-      val truthIncAllCkF = Future(tb(truthIncAll0.localCheckpoint()))
+      val truthIncAllCkF = Future(tb("jaccard_allpairs")(truthIncAll0.localCheckpoint()))
       // every eager truth chain is now in flight — await each where its
       // lazy consumers are constructed
       val mediaSliceCk = Await.result(mediaCkF, Forever)
