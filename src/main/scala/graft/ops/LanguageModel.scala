@@ -759,13 +759,22 @@ object LanguageModel {
         .select(col("p._2").as("w1"), col("p._3").as("w2"),
           col("p._4").as("w3"), col("p._5").as("w4"))
         .localCheckpoint()
-    // level-1/2 statistics from bigram/trigram TYPE tables
-    val bic = base.filter(col("w3").isNotNull)
-      .groupBy(col("w3"), col("w4")).agg(count(lit(1)).as("bc"))
+    // every training statistic derives from ONE corpus-scale aggregate
+    // (guide §2.3): the (w1..w4) context-tuple counts — the lower-order
+    // tables are suffix-sums over the SMALL aggregated frame instead of
+    // their own full passes over the position frame (3 → 1 corpus
+    // aggregates, the same collapse as the 5-gram scorer). Counts are
+    // bit-identical.
+    val ctxCounts = base
+      .groupBy(col("w1"), col("w2"), col("w3"), col("w4"))
+      .agg(count(lit(1)).as("cc0"))
+      .localCheckpoint()
+    val bic = ctxCounts.filter(col("w3").isNotNull)
+      .groupBy(col("w3"), col("w4")).agg(sum(col("cc0")).as("bc"))
       .localCheckpoint()
     // both Pc scalars in ONE 1-row-aggregate job (were two actions)
     val scal = bic.agg(count(lit(1)).as("bt"))
-      .crossJoin(base.agg(countDistinct(col("w4")).as("vsz"))).head()
+      .crossJoin(ctxCounts.agg(countDistinct(col("w4")).as("vsz"))).head()
     val bt = scal.getLong(0)
     val vsz = scal.getLong(1)
     val pcDen = bt + 0.5 * (vsz + 1.0)
@@ -773,18 +782,18 @@ object LanguageModel {
       .withColumnRenamed("w4", "lw")
     // tic3 feeds exactly ONE consumer (cb2) — no checkpoint: the two
     // chained aggregates pipeline in a single job, nothing recomputes
-    val tic3 = base.filter(col("w2").isNotNull)
-      .groupBy(col("w2"), col("w3"), col("w4")).agg(count(lit(1)).as("t3"))
+    val tic3 = ctxCounts.filter(col("w2").isNotNull)
+      .groupBy(col("w2"), col("w3"), col("w4")).agg(sum(col("cc0")).as("t3"))
     val cb2 = tic3.groupBy(col("w3"), col("w4")).agg(count(lit(1)).as("cbc"))
       .withColumnRenamed("w3", "b3").withColumnRenamed("w4", "b4")
       .localCheckpoint()
     val cm2 = cb2.groupBy(col("b3"))
       .agg(sum(col("cbc")).as("cmc"), count(lit(1)).as("ctp"))
       .withColumnRenamed("b3", "m3")
-    // level-3/4 statistics from the 4-gram table
-    val tic4 = base.filter(col("w1").isNotNull)
-      .groupBy(col("w1"), col("w2"), col("w3"), col("w4"))
-      .agg(count(lit(1)).as("qc")).localCheckpoint()
+    // level-3/4 statistics from the 4-gram slice of the context frame
+    val tic4 = ctxCounts.filter(col("w1").isNotNull)
+      .select(col("w1"), col("w2"), col("w3"), col("w4"),
+        col("cc0").as("qc"))
     val ctx = tic4.groupBy(col("w1"), col("w2"), col("w3"))
       .agg(sum(col("qc")).as("cc"), count(lit(1)).as("nt"))
       .withColumnRenamed("w1", "c1").withColumnRenamed("w2", "c2")
@@ -1088,25 +1097,37 @@ object LanguageModel {
           col("p._4").as("w3"), col("p._5").as("w4"), col("p._6").as("w5"))
         .localCheckpoint()
     // the four n-gram TYPE tables + the two Pc scalars — everything the
-    // scorer needs (and everything [[saveFivegramTables]] persists).
-    // tic3/tic4 feed exactly ONE consumer each (cb2/cb3 inside the
-    // scoring core) — no checkpoint: the chained aggregates pipeline.
-    val bic = base.filter(col("w4").isNotNull)
-      .groupBy(col("w4"), col("w5")).agg(count(lit(1)).as("bc"))
+    // scorer needs (and everything [[saveFivegramTables]] persists) —
+    // all derive from ONE corpus-scale aggregate (guide §2.3): the
+    // (w1..w5) context-tuple counts. An n-gram ending at a position is
+    // the last n slots of its context tuple, so each lower-order table
+    // is a suffix-sum over the SMALL aggregated frame (one row per
+    // distinct context) instead of its own full pass over the 10M-row
+    // position frame; tic5 is the non-null-w1 slice verbatim. Counts
+    // are bit-identical — only the number of corpus passes changes
+    // (4 → 1, the same collapse ladderCounts got).
+    val ctxCounts = base
+      .groupBy(col("w1"), col("w2"), col("w3"), col("w4"), col("w5"))
+      .agg(count(lit(1)).as("cc0"))
       .localCheckpoint()
-    // both Pc scalars in ONE 1-row-aggregate job (were two actions)
+    val bic = ctxCounts.filter(col("w4").isNotNull)
+      .groupBy(col("w4"), col("w5")).agg(sum(col("cc0")).as("bc"))
+      .localCheckpoint()
+    // both Pc scalars in ONE 1-row-aggregate job (were two actions);
+    // distinct w5 over the context frame == distinct tokens over the
+    // position frame (every position lands its token in w5)
     val scal = bic.agg(count(lit(1)).as("bt"))
-      .crossJoin(base.agg(countDistinct(col("w5")).as("vsz"))).head()
+      .crossJoin(ctxCounts.agg(countDistinct(col("w5")).as("vsz"))).head()
     val bt = scal.getLong(0)
     val vsz = scal.getLong(1)
-    val tic3 = base.filter(col("w3").isNotNull)
-      .groupBy(col("w3"), col("w4"), col("w5")).agg(count(lit(1)).as("t3"))
-    val tic4 = base.filter(col("w2").isNotNull)
+    val tic3 = ctxCounts.filter(col("w3").isNotNull)
+      .groupBy(col("w3"), col("w4"), col("w5")).agg(sum(col("cc0")).as("t3"))
+    val tic4 = ctxCounts.filter(col("w2").isNotNull)
       .groupBy(col("w2"), col("w3"), col("w4"), col("w5"))
-      .agg(count(lit(1)).as("t4"))
-    val tic5 = base.filter(col("w1").isNotNull)
-      .groupBy(col("w1"), col("w2"), col("w3"), col("w4"), col("w5"))
-      .agg(count(lit(1)).as("qc")).localCheckpoint()
+      .agg(sum(col("cc0")).as("t4"))
+    val tic5 = ctxCounts.filter(col("w1").isNotNull)
+      .select(col("w1"), col("w2"), col("w3"), col("w4"), col("w5"),
+        col("cc0").as("qc"))
     scoreFivegramFromPositions(docPos, idCol,
       bic, tic3, tic4, tic5, bt, vsz, discount)
   }
@@ -1358,24 +1379,29 @@ object LanguageModel {
         .select(col("p._2").as("w1"), col("p._3").as("w2"),
           col("p._4").as("w3"))
         .localCheckpoint()
-    val trainPairs = trainTok.select(col("w2"), col("w3"))
-      .filter(col("w2").isNotNull)
-    val bic = trainPairs.groupBy(col("w2"), col("w3"))
-      .agg(count(lit(1)).as("bc")).localCheckpoint()
+    // every training statistic derives from ONE corpus-scale aggregate
+    // (guide §2.3): the (w1,w2,w3) context-tuple counts — lower-order
+    // tables are suffix-sums over the SMALL aggregated frame (2 → 1
+    // corpus aggregates, the same collapse as the 4/5-gram scorers).
+    val ctxCounts = trainTok
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("cc0"))
+      .localCheckpoint()
+    val bic = ctxCounts.filter(col("w2").isNotNull)
+      .groupBy(col("w2"), col("w3"))
+      .agg(sum(col("cc0")).as("bc")).localCheckpoint()
     // the two scalars of the Pc floor — ONE 1-row-aggregate job (they
     // were two separate driver actions)
     val scal = bic.agg(count(lit(1)).as("bt"))
-      .crossJoin(trainTok.agg(countDistinct(col("w3")).as("vsz"))).head()
+      .crossJoin(ctxCounts.agg(countDistinct(col("w3")).as("vsz"))).head()
     val bt = scal.getLong(0)
     val vsz = scal.getLong(1)
     val pcDen = bt + 0.5 * (vsz + 1.0)
     val lt = bic.groupBy(col("w3")).agg(count(lit(1)).as("ltc"))
       .withColumnRenamed("w3", "lw")
 
-    val trainTris = trainTok.select(col("w1"), col("w2"), col("w3"))
-      .filter(col("w1").isNotNull)
-    val tic = trainTris.groupBy(col("w1"), col("w2"), col("w3"))
-      .agg(count(lit(1)).as("tc")).localCheckpoint()
+    val tic = ctxCounts.filter(col("w1").isNotNull)
+      .select(col("w1"), col("w2"), col("w3"), col("cc0").as("tc"))
     val ctx = tic.groupBy(col("w1"), col("w2"))
       .agg(sum(col("tc")).as("cc"), count(lit(1)).as("nt"))
       .withColumnRenamed("w1", "c1").withColumnRenamed("w2", "c2")
@@ -1458,14 +1484,24 @@ object LanguageModel {
           col("p._2").as("prev"), col("p._3").as("cur"))
       if (train eq docs) p0.localCheckpoint() else p0
     }
-    // unigram count per token == occurrence count over all positions
-    // (docTermFrequencies' per-doc tf values sum to exactly this)
-    val uni =
-      if (train eq docs)
-        docPairs.groupBy(col("cur")).agg(count(lit(1)).as("uc"))
-          .withColumnRenamed("cur", "token")
-      else Vocabulary.docTermFrequencies(train, idCol, textCol)
-        .groupBy(col("token")).agg(sum(col("tf")).as("uc"))
+    // every training statistic derives from ONE corpus-scale aggregate
+    // (guide §2.3): the (prev, cur) pair counts including the null-prev
+    // first-position rows. Unigram counts are the per-cur sums of that
+    // frame (every position contributes exactly one pair row, so the
+    // sums equal the old per-position count — and docTermFrequencies'
+    // per-doc tf values sum to exactly this); the bigram table is the
+    // non-null-prev slice verbatim. 2 → 1 corpus aggregates in the
+    // self-scoring shape, counts bit-identical.
+    val pairCounts =
+      (if (train eq docs)
+        docPairs.select(col("prev").as("w1"), col("cur").as("w2"))
+      else train
+        .select(explode(pairUdf(col(textCol))).as("p"))
+        .select(col("p._2").as("w1"), col("p._3").as("w2")))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cc0"))
+      .localCheckpoint()
+    val uni = pairCounts.groupBy(col("w2")).agg(sum(col("cc0")).as("uc"))
+      .withColumnRenamed("w2", "token")
     val head = uni.agg(sum(col("uc")), count(lit(1))).head()
     val total = head.getLong(0)
     val vsz = head.getLong(1)
@@ -1473,15 +1509,8 @@ object LanguageModel {
     val uniDenom = (total + vsz).toDouble
     val vszD = vsz.toDouble
 
-    val trainPairs =
-      (if (train eq docs)
-        docPairs.select(col("prev").as("w1"), col("cur").as("w2"))
-      else train
-        .select(explode(pairUdf(col(textCol))).as("p"))
-        .select(col("p._2").as("w1"), col("p._3").as("w2")))
-      .filter(col("w1").isNotNull)
-    val bigrams = trainPairs.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("bc"))
+    val bigrams = pairCounts.filter(col("w1").isNotNull)
+      .select(col("w1"), col("w2"), col("cc0").as("bc"))
     val prefixes = bigrams.groupBy(col("w1")).agg(sum(col("bc")).as("pc"))
 
     // first-token rows: one per doc, unigram-smoothed

@@ -442,18 +442,27 @@ object LinkGraph {
       // exceeds ~9.2e6 against near-scale ranks; here the largest
       // intermediate is (rank mod outw)·w < outw·w, safe for any
       // realistic weighted domain graph. Same identity in the oracle.
+      //
+      // Node completion rides the aggregate (guide §2.4, the
+      // labelPropagation method): the node frame unions into the
+      // contribution stream as a zero row per node, so one node-keyed
+      // sum yields every node's contribution (0 where nothing arrived)
+      // AND carries the has_out flag (max over {flag, nulls} = flag) —
+      // the round-15 shape paid a left join back onto the node set per
+      // round for exactly this completion.
       val contribs = eo.join(ranks, eo("src") === ranks("node"))
         .select(col("dst").as("node"),
-          expr("(rank div outw) * w + ((rank % outw) * w) div outw").as("c"))
-        .groupBy("node").agg(sum("c").as("contrib"))
+          expr("(rank div outw) * w + ((rank % outw) * w) div outw").as("c"),
+          lit(null).cast("boolean").as("has_out"))
       val dang = ranks.filter(!col("has_out"))
         .agg(coalesce(sum("rank"), lit(0L)).as("dang"))
-      ranks = nodes
-        .join(contribs, Seq("node"), "left")
+      ranks = contribs
+        .unionByName(nodes.select(col("node"), lit(0L).as("c"), col("has_out")))
+        .groupBy("node").agg(sum("c").as("contrib"), max("has_out").as("has_out"))
         .crossJoin(broadcast(dang))
         .select(col("node"), col("has_out"),
           (lit(base) + expr(
-            s"(85 * (coalesce(contrib, 0L) + (dang div ${n}L))) div 100"))
+            s"(85 * (contrib + (dang div ${n}L))) div 100"))
             .as("rank"))
         .materialized
     }
@@ -500,20 +509,27 @@ object LinkGraph {
         when(col("is_seed"), lit(scale / nS)).otherwise(lit(0L)).as("rank"))
       .materialized
     for (_ <- 1 to iters) {
+      // node completion rides the aggregate (guide §2.4): the flagged
+      // node frame unions in as zero rows carrying is_seed/has_out, so
+      // the per-round left join back onto the node set is gone
       val contribs = eo.join(ranks, eo("src") === ranks("node"))
         .select(col("dst").as("node"),
-          expr("(rank div outw) * w + ((rank % outw) * w) div outw").as("c"))
-        .groupBy("node").agg(sum("c").as("contrib"))
+          expr("(rank div outw) * w + ((rank % outw) * w) div outw").as("c"),
+          lit(null).cast("boolean").as("is_seed"),
+          lit(null).cast("boolean").as("has_out"))
       val dang = ranks.filter(!col("has_out"))
         .agg(coalesce(sum("rank"), lit(0L)).as("dang"))
-      ranks = flagged
-        .join(contribs, Seq("node"), "left")
+      ranks = contribs
+        .unionByName(flagged.select(col("node"), lit(0L).as("c"),
+          col("is_seed"), col("has_out")))
+        .groupBy("node").agg(sum("c").as("contrib"),
+          max("is_seed").as("is_seed"), max("has_out").as("has_out"))
         .crossJoin(broadcast(dang))
         .select(col("node"), col("has_out"),
           when(col("is_seed"),
             lit(base) + expr(
-              s"(85 * (coalesce(contrib, 0L) + (dang div ${nS}L))) div 100"))
-            .otherwise(expr("(85 * coalesce(contrib, 0L)) div 100"))
+              s"(85 * (contrib + (dang div ${nS}L))) div 100"))
+            .otherwise(expr("(85 * contrib) div 100"))
             .as("rank"))
         .materialized
     }
@@ -589,22 +605,29 @@ object LinkGraph {
           coalesce(col("r0"), share(scale)).as("rank"))
     }).materialized
     for (_ <- 1 to iters) {
+      // node completion rides the aggregate (guide §2.4): the flagged
+      // node frame unions in as zero rows carrying tw/has_out, so the
+      // per-round left join back onto the node set is gone
       val contribs = eo.join(ranks, eo("src") === ranks("node"))
         .select(col("dst").as("node"),
-          expr("(rank div outw) * w + ((rank % outw) * w) div outw").as("c"))
-        .groupBy("node").agg(sum("c").as("contrib"))
+          expr("(rank div outw) * w + ((rank % outw) * w) div outw").as("c"),
+          lit(null).cast("long").as("tw"),
+          lit(null).cast("boolean").as("has_out"))
       val dang = ranks.filter(!col("has_out"))
         .agg(coalesce(sum("rank"), lit(0L)).as("dang"))
-      ranks = flagged
-        .join(contribs, Seq("node"), "left")
+      ranks = contribs
+        .unionByName(flagged.select(col("node"), lit(0L).as("c"),
+          col("tw"), col("has_out")))
+        .groupBy("node").agg(sum("c").as("contrib"),
+          max("tw").as("tw"), max("has_out").as("has_out"))
         .crossJoin(broadcast(dang))
         .select(col("node"), col("tw"), col("has_out"),
           when(col("tw") > 0,
             share(telBase) + expr(
-              s"(85 * (coalesce(contrib, 0L) + " +
+              s"(85 * (contrib + " +
               s"((dang div ${bigW}L) * tw + ((dang % ${bigW}L) * tw) div ${bigW}L)" +
               s")) div 100"))
-            .otherwise(expr("(85 * coalesce(contrib, 0L)) div 100"))
+            .otherwise(expr("(85 * contrib) div 100"))
             .as("rank"))
         .materialized
     }
