@@ -132,27 +132,19 @@ object LanguageModel {
     */
   private val DefaultMaxVocab = 2000000L
 
-  /** ONE tokenize+explode pass, ONE aggregate, ONE driver collect for
-    * the whole KN ladder. Every token position emits its raw mo-token
-    * CONTEXT TUPLE (leading slots null near the document start) — no
-    * n-gram strings are ever built on the corpus-sized side — and one
-    * tuple-keyed count with map-side partials is the only shuffle. The
-    * aggregated frame is small by construction (full rows biject onto
-    * distinct mo-grams, boundary rows onto distinct document-initial
-    * shorter grams), so it is collected once and every order's counts
-    * derive on the driver by suffix-sums: the n-gram ending at a
-    * position is the last n slots of its context tuple. The previous
-    * shape ran one aggregate job per order (and, before round 16, one
-    * full corpus pass per order).
-    *
-    * Overflow sentinel: the collect is bounded by `limit(Σcaps + 1)`.
-    * Distinct context rows ≤ Σ_n(distinct n-grams), so the limit can
-    * only truncate when some order exceeds its cap — and truncation
-    * trips the combined `require` below before any derived map is
-    * built, so a truncated collect can never produce silently-wrong
-    * counts. Per-order caps are still enforced on the derived arrays
-    * by the downstream builders' `require`s. Bigram counts honor
-    * `minCountBi` exactly as trainBigrams' filter did.
+  /** ONE tokenize+explode pass AND ONE aggregate for the whole KN
+    * ladder: every token position emits an `(order, gram)` row for
+    * each order up to `maxOrder` that fits in the document, and ALL
+    * orders' counts ride a single `(order, gram)`-keyed aggregate with
+    * map-side partials — one shuffle where the previous shape ran one
+    * full aggregate job per order over a materialized ladder frame.
+    * The tiny aggregated result (one row per distinct gram across all
+    * orders) is materialized once, and the per-order driver collects
+    * are near-free scans of it that keep the standalone trainers'
+    * exact `limit(cap+1)` overflow-sentinel semantics (the downstream
+    * `require` throws past the cap, and the bound keeps an over-cap
+    * corpus from pulling an unbounded result onto the driver). Bigram
+    * counts honor `minCountBi` exactly as trainBigrams' filter did.
     */
   private def ladderCounts(
       train: DataFrame,
@@ -165,62 +157,43 @@ object LanguageModel {
     val caps = (1 to maxOrder).map(n => n -> capOf(n)).toMap
     caps.values.foreach(cap => require(cap > 0 && cap < Int.MaxValue,
       s"maxEntries must be in (0, Int.MaxValue), got $cap"))
-    val capSum = caps.values.sum
-    require(capSum < Int.MaxValue,
-      s"combined ladder caps must stay under Int.MaxValue, got $capSum")
-    val ctxUdf = udf((text: String) => {
+    val ladderUdf = udf((text: String) => {
       val toks = HashKernels.tokensOf(text)
-      Array.tabulate(toks.length) { i =>
-        def at(j: Int): String = { // slot j in 1..mo holds toks(i-(mo-j))
-          val k = i - (mo - j); if (k < 0) null else toks(k)
+      val out = new scala.collection.mutable.ArrayBuilder.ofRef[(Int, String)]
+      out.sizeHint(toks.length * mo)
+      var i = 0
+      while (i < toks.length) {
+        out += ((1, toks(i)))
+        val sb = new java.lang.StringBuilder(toks(i))
+        var n = 2
+        while (n <= mo && i + n - 1 < toks.length) {
+          sb.append(' ').append(toks(i + n - 1))
+          out += ((n, sb.toString))
+          n += 1
         }
-        (at(1), if (mo >= 2) at(2) else null, if (mo >= 3) at(3) else null,
-          if (mo >= 4) at(4) else null, if (mo >= 5) at(5) else null)
+        i += 1
       }
+      out.result()
     })
-    val rows = train.select(explode(ctxUdf(col(textCol))).as("p"))
-      .select((1 to mo).map(j => col(s"p._$j").as(s"w$j")): _*)
-      .groupBy((1 to mo).map(j => col(s"w$j")): _*)
+    val agg = train.select(explode(ladderUdf(col(textCol))).as("g"))
+      .groupBy(col("g._1").as("n"), col("g._2").as("gram"))
       .agg(count(lit(1)).as("c"))
-      .limit(capSum.toInt + 1)
-      .collect()
-    require(rows.length <= capSum,
-      s"ladderCounts: distinct n-gram contexts exceed the combined " +
-        s"driver-collect cap ($capSum) — some order is past its " +
-        "maxEntries; raise it deliberately or use the *Joined scorers, " +
-        "which keep every table distributed")
-    // suffix-sum derivation: slots j..mo (0-based j-1..mo-1) of each
-    // context row name the (mo-j+1)-gram ending at that position; a
-    // row contributes to order n iff slot mo-n is non-null. Plain
-    // hash-map sums over exact Longs — collect-order-insensitive, so
-    // this is bit-identical to the per-order aggregate jobs it
-    // replaces (AssemblySpec pins it against the standalone trainers).
-    val maps = Array.fill(mo + 1)(new java.util.HashMap[String, Long]())
-    rows.foreach { r =>
-      val c = r.getLong(mo)
-      var first = 0
-      while (first < mo && r.isNullAt(first)) first += 1
-      var key: String = null
-      var slot = mo - 1
-      while (slot >= first) {
-        key = if (key == null) r.getString(slot)
-        else r.getString(slot) + " " + key
-        val m = maps(mo - slot)
-        m.merge(key, c, (a, b) => a + b): Unit
-        slot -= 1
+      .filter(!(col("n") === 2 && col("c") < minCountBi))
+      .localCheckpoint()
+    // per-order collects overlap on the scheduler (guide §2.6); model
+    // contents are collect-order-insensitive (maps + commutative sums),
+    // so the parallelism cannot move a gate hash.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = (1 to maxOrder).map { n =>
+      n -> Future {
+        agg.filter(col("n") === n).select(col("gram"), col("c"))
+          .limit(caps(n).toInt + 1)
+          .collect().map(r => r.getString(0) -> r.getLong(1))
       }
     }
-    (1 to maxOrder).map { n =>
-      val m = maps(n)
-      val out = new Array[(String, Long)](m.size)
-      var i = 0
-      val it = m.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        if (n == 2 && e.getValue < minCountBi) () // trainBigrams' prune
-        else { out(i) = (e.getKey, e.getValue); i += 1 }
-      }
-      n -> (if (i == out.length) out else java.util.Arrays.copyOf(out, i))
+    futures.map { case (n, f) =>
+      n -> Await.result(f, scala.concurrent.duration.Duration.Inf)
     }.toMap
   }
 
