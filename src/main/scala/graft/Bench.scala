@@ -207,16 +207,18 @@ object Bench {
       "signature: descent 9.3/9.4 (cold) -> floor 1.10-1.48 s across two " +
       "fresh JVMs (DriftProbe, round 11); the descent needs 4+ sf0.1 reps " +
       "to settle, so min-of-2 after warm-up lands anywhere in 1.1-1.8 s"),
-    "q_bam_dist" -> ("tight floor 0.87-1.02 s across two fresh JVMs " +
-      "(DriftProbe, round 11, 8 reps each); swings beyond ~0.2 s are " +
-      "session noise, beyond ~0.4 s would be a real plan change"),
-    "q_heaps_fit" -> ("JIT descent 6.9/8.1 (cold) -> floor 2.08-2.78 s " +
-      "with +-0.3 s intra-JVM spread at the floor (DriftProbe, round 11, " +
-      "two fresh JVMs); min-of-2 lands anywhere in 2.1-2.8 s on identical " +
-      "code"),
-    "q_lr_quality" -> ("flat curve, floors 3.4 vs 2.7 s in two fresh JVMs " +
-      "(DriftProbe, round 11) — cross-JVM machine/session noise (~25%), " +
-      "not JIT and not a plan change; band 2.5-3.7 s on identical code"),
+    "q_bam_dist" -> ("HOST SENTINEL, re-pinned round 16 (DriftProbe, " +
+      "2 fresh JVMs x 8 reps): floor 0.61-0.89 s, cold 1.8-2.0; the r11 " +
+      "0.87-1.02 band shifted down with the host. Swings beyond ~0.3 s " +
+      "at floor would be a real plan change"),
+    "q_heaps_fit" -> ("HOST SENTINEL, re-pinned round 16 (DriftProbe, " +
+      "2 fresh JVMs x 8 reps + 4 in-batch windows): floors 1.6-2.5 s on " +
+      "identical code across windows, cold first rep 8-12 s; min-of-2 in " +
+      "the suite lands 1.4-2.5 s. The r11 2.08-2.78 band is superseded"),
+    "q_lr_quality" -> ("HOST SENTINEL, re-pinned round 16 (DriftProbe, " +
+      "2 fresh JVMs x 8 reps): floors 2.14 vs 2.76 s on identical code — " +
+      "the ~30% cross-JVM spread r11 measured persists; band 2.1-2.9 s, " +
+      "suite min-of-2 2.2-2.8 s"),
     "q_crawl_frontier" -> ("RE-PINNED after the round-15 optimization " +
       "(shared normalized base + PageRank loop hoists cut the floor): " +
       "fresh-JVM floor 2.4-3.0 s in quiet windows (DriftProbe, round-15 " +
@@ -224,22 +226,22 @@ object Bench {
       "higher in contended host windows; min-of-2 in the artifact lands " +
       "2.9-3.6 s. The pre-optimization 5.2-8.5 s band is obsolete — a " +
       "return there would be a real regression, not noise"),
-    "q_approx_dedup_quality" -> ("band 8.5-11.5 s across two fresh JVMs " +
-      "(DriftProbe, round 15, 5-6 reps: floors 8.7 and 10.4, cold 19-21) " +
-      "after the round-15 single-job verdict rewrite cut the floor from " +
-      "~14 s; bench values run lower still (7.05 in the r15 artifact — " +
-      "the suite's warm-up pre-compiles the shared kernels). truth_build " +
-      "owns 5.3-7.8 s at probe floor (doc/embedding slices + exact " +
-      "cosine + media signatures + inc-jaccard truth), each of the 7 " +
-      "verdicts 0.5-2.3 s — judge detector growth from the v_<method> " +
-      "sub-timings, not the total"),
-    "q_dedup_quality" -> ("fresh-JVM floor 3.4-4.5 s, tail mean 3.6 " +
-      "(DriftProbe, round 15, 6 reps: 14.3 cold then 3.4-4.5) with the " +
-      "two detector stages moving together (v_cosine_lsh 2.1-2.8, " +
-      "v_minhash 2.6-3.4 at floor); min-of-2 at the suite's shallow JIT " +
-      "depth lands anywhere in 3.3-5.3 s on identical code — proportional " +
-      "growth of BOTH stages is the noise signature, a single stage " +
-      "growing alone would be a plan change"),
+    "q_approx_dedup_quality" -> ("RE-PINNED after the round-16 " +
+      "jaccard_sorted_min early-exit (lossless threshold bail in the " +
+      "shingle merge): fresh-JVM floor 5.0-5.2 s (DriftProbe r16, " +
+      "steady control), suite min-of-2 4.3-4.5; truth_build floor " +
+      "3.8-4.1 with the per-chain t_<chain> stages now recorded — " +
+      "t_jaccard_allpairs 1.9-2.6 owns the largest share, every other " +
+      "chain <= 1.2. The r15 8.5-11.5 band is obsolete — a return " +
+      "there would be a real regression, not noise; judge detector " +
+      "growth from the v_<method> sub-timings"),
+    "q_dedup_quality" -> ("RE-PINNED after the round-16 " +
+      "jaccard_sorted_min early-exit (the v_minhash detector rescleans " +
+      "with it): suite min-of-2 1.8-2.4 s (was 3.3-5.3 in the r15 " +
+      "band), probe floor ~3.1 in a visibly degraded window " +
+      "(control-adjusted ~2). Proportional growth of BOTH detector " +
+      "stages is still the noise signature; a single stage growing " +
+      "alone would be a plan change"),
     "q_manifest_prune" -> ("band SPLIT by sub-timings (DriftProbe, round 12, " +
       "two fresh JVMs x 6 reps): fixture_write floor 1.3-2.1 s (file-system " +
       "cache rides along), plan-side rest floor 0.45-0.77 s — judge the " +
