@@ -255,6 +255,55 @@ object HashKernels {
     */
   private[ops] def tokensOf(text: String): Array[String] = {
     if (text == null) return Array.empty[String]
+    // ASCII fast path: ICU root-locale full case mapping on pure-ASCII
+    // text is EXACTLY 'A'..'Z' → 'a'..'z' — no contextual rule (final
+    // sigma, Lithuanian dots) touches ASCII input, no mapping expands
+    // or contracts it, and an ASCII char's mapping never depends on
+    // context. So when every char is < 0x80 the lowering runs inline
+    // in the token walk (zero UTF8String/lowered-string allocations,
+    // tokens that are already lowercase are substring-shared); ANY
+    // non-ASCII char anywhere falls back to the exact ICU routine
+    // (whose output CAN depend on cross-char context). Bit-identical
+    // either way — HashKernelsSpec pins fast == ICU on an ASCII
+    // battery and KernelParitySpec pins the ICU path against Spark's
+    // lower() including the Greek contextual cases.
+    val n0 = text.length
+    var ascii = true
+    var k = 0
+    while (ascii && k < n0) {
+      if (text.charAt(k) >= 0x80) ascii = false
+      k += 1
+    }
+    if (!ascii) return tokensOfIcu(text)
+    val out = new scala.collection.mutable.ArrayBuffer[String](n0 / 5 + 1)
+    var i = 0
+    while (i < n0) {
+      while (i < n0 && isRegexSpace(text.charAt(i))) i += 1
+      val start = i
+      var hasUpper = false
+      while (i < n0 && !isRegexSpace(text.charAt(i))) {
+        val c = text.charAt(i)
+        if (c >= 'A' && c <= 'Z') hasUpper = true
+        i += 1
+      }
+      if (i > start) {
+        if (!hasUpper) out += text.substring(start, i)
+        else {
+          val arr = new Array[Char](i - start)
+          var j = start
+          while (j < i) {
+            val c = text.charAt(j)
+            arr(j - start) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+            j += 1
+          }
+          out += new String(arr)
+        }
+      }
+    }
+    out.toArray
+  }
+
+  private[ops] def tokensOfIcu(text: String): Array[String] = {
     val s = org.apache.spark.sql.catalyst.util.CollationSupport.Lower
       .execBinaryICU(org.apache.spark.unsafe.types.UTF8String.fromString(text))
       .toString
